@@ -1,0 +1,15 @@
+"""resilispark — a PySpark-native web-archive analytics engine.
+
+From-scratch re-expression of the capabilities of
+chatnoir-eu/chatnoir-resiliparse (FastWARC + Resiliparse + its Beam
+pipelines) as idiomatic Spark: a WARC Python data source with
+predicate/column pushdown, an Arrow-vectorized parse/extract kernel
+library, Catalyst-delegated relational operators, and LLM-data-pipeline
+extensions (dedup, similarity, text analysis) designed for 100 TB scale.
+"""
+
+from resilispark.session import get_spark
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "__version__"]

@@ -1,0 +1,21 @@
+"""Query registry: every operator from SURVEY.md §2 declared as a
+(spark_fn, oracle_sql) pair.
+
+``QUERIES`` maps name -> callable(spark, sf_dir) -> DataFrame.
+``ORACLES`` maps name -> equivalent DuckDB SQL (or None for ops whose
+semantics are not SQL-expressible; the driver then records a rows-only
+check).
+"""
+
+from __future__ import annotations
+
+from resilispark.queries import relational, textops, warcops
+
+QUERIES = {}
+ORACLES = {}
+
+for _mod in (relational, textops, warcops):
+    QUERIES.update(_mod.QUERIES)
+    ORACLES.update(_mod.ORACLES)
+
+__all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,23 @@
+"""Shared helpers for the query suite."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dround(col: Column | str, d: int) -> Column:
+    """Cross-engine-deterministic rounding: floor(x * 10^d + 0.5) / 10^d.
+
+    Engine-native round() diverges between Spark (BigDecimal HALF_UP on
+    the shortest decimal repr) and DuckDB (C-library rounding of the raw
+    double) exactly at representable decimal midpoints. Expressing the
+    rounding as explicit IEEE-double arithmetic makes both engines
+    execute the identical operation sequence, so results are bitwise
+    equal. The matching oracle-SQL spelling is
+    ``floor((x) * 1e<d> + 0.5) / 1e<d>``.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    scale = float(10**d)
+    return F.floor(col * scale + F.lit(0.5)) / F.lit(scale)

@@ -1,0 +1,791 @@
+"""Relational operator suite (SURVEY.md §2.2-§2.8 declared queries).
+
+Each query exists twice: as idiomatic DataFrame code (what the engine
+runs — Catalyst plans it) and as ANSI SQL for the DuckDB oracle. Column
+aliases match exactly on both sides; ORDER BY keys are always total
+(unique tiebreak) wherever LIMIT or window ordering could otherwise be
+nondeterministic; floating aggregates are rounded so partial-aggregation
+order cannot perturb the hash compare.
+
+Reference parity notes (file:line cites are into /root/reference):
+ - filters/predicates: fastwarc-py/fastwarc/warc.pyx:1238-1243 (filter
+   cascade) -> plain `df.filter` conjuncts, Catalyst orders them.
+ - joins J1-J3: SURVEY §2.3 (request/response pairing, index lookup,
+   revisit dedup) -> equi joins incl. semi/anti.
+ - aggregations A1-A6: SURVEY §2.4 -> groupBy/agg incl. distinct, rollup.
+ - windows W1-W2: fastwarc-py/fastwarc/cli.py:276-283 (lead-offset) ->
+   lead/lag/row_number/running frames.
+ - sorts/limits O1-O4 and set ops §2.7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from resilispark.queries._util import dround
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+        # parquet reader refuses; read nanos as long and truncate to micros
+        # (DuckDB's reader truncates nanos->micros the same way).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# A-series: aggregations
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (SURVEY §2.4 A2/A3 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            dround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            dround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2                            AS sum_qty,
+       floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2                       AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2    AS sum_disc_price,
+       floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4                            AS avg_qty,
+       floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4                       AS avg_price,
+       floor((avg(l_discount)) * 1e4 + 0.5) / 1e4                            AS avg_disc,
+       count(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) per group (SURVEY §2.4 declared)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_Q02 = """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_custs,
+       count(*)                  AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q03_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over a 3-way join (SURVEY §2.4 declared rollup query)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.rollup("n_name", "o_orderstatus")
+        .agg(
+            dround(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("n_name").asc_nulls_first(), F.col("o_orderstatus").asc_nulls_first())
+    )
+
+
+ORACLE_Q03 = """
+SELECT n_name, o_orderstatus,
+       floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total_price,
+       count(*)                    AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderstatus)
+ORDER BY n_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+def q04_cube_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over part attributes."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.cube("p_brand", "p_size")
+        .agg(
+            dround(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .orderBy(F.col("p_brand").asc_nulls_first(), F.col("p_size").asc_nulls_first())
+    )
+
+
+ORACLE_Q04 = """
+SELECT p_brand, p_size,
+       floor((avg(p_retailprice)) * 1e4 + 0.5) / 1e4 AS avg_price,
+       count(*)                     AS n_parts
+FROM part
+GROUP BY CUBE (p_brand, p_size)
+ORDER BY p_brand ASC NULLS FIRST, p_size ASC NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# J-series: joins (SURVEY §2.3)
+# --------------------------------------------------------------------------
+
+
+def q05_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join + per-customer agg (J1 shape: pairing via key)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_Q05 = """
+SELECT c_custkey, c_name, c_mktsegment,
+       count(*)                    AS n_orders,
+       floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total_spent
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY c_custkey
+"""
+
+
+def q06_left_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers without orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_Q06 = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+"""
+
+
+def q07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join: customers with at least one high-value order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_Q07 = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+def q08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no orders at all (J3 revisit-dedup shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_Q08 = """
+SELECT c_custkey, c_nationkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q09_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way join lineitem-orders-customer-nation-region with small dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name")
+    )
+
+
+ORACLE_Q09 = """
+SELECT r_name,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue,
+       count(*)                                          AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# W-series: window functions (SURVEY §2.5)
+# --------------------------------------------------------------------------
+
+
+def q10_window_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per customer (declared W query; tiebreak on o_orderkey)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+ORACLE_Q10 = """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+def q11_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum over a deterministic frame (declared W query)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            dround(F.sum("l_extendedprice").over(w), 2).alias("running_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+ORACLE_Q11 = """
+SELECT l_orderkey, l_linenumber,
+       floor((sum(l_extendedprice) OVER (
+         PARTITION BY l_orderkey ORDER BY l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e2 + 0.5) / 1e2 AS running_price
+FROM lineitem
+WHERE l_orderkey < 1000
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q12_window_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() gap-to-next-event per user — the CDXJ record-length pattern
+    (fastwarc cli.py:276-283: next offset minus own offset) on events."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("gap_us"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+ORACLE_Q12 = """
+SELECT user_id, event_id,
+       lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - epoch_us(ts) AS gap_us
+FROM events
+WHERE user_id < 50
+ORDER BY user_id, event_id
+"""
+
+
+def q13_window_rank_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile + first_value analytic bundle."""
+    s = _t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    return (
+        s.select(
+            "s_nationkey",
+            "s_suppkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.first_value("s_suppkey").over(w).alias("top_supp"),
+        )
+        .orderBy("s_nationkey", "s_suppkey")
+    )
+
+
+ORACLE_Q13 = """
+SELECT s_nationkey, s_suppkey,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4)     OVER w AS quartile,
+       first_value(s_suppkey) OVER w AS top_supp
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+ORDER BY s_nationkey, s_suppkey
+"""
+
+
+def q14_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group (SURVEY W2: top-N docs per host) on orders/customer."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("c_mktsegment", "rn", "o_orderkey", dround("o_totalprice", 2).alias("price"))
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+ORACLE_Q14 = """
+SELECT c_mktsegment, rn, o_orderkey, floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS price FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey) t
+WHERE rn <= 5
+ORDER BY c_mktsegment, rn
+"""
+
+
+# --------------------------------------------------------------------------
+# O-series: sorts / limits; set ops (SURVEY §2.6, §2.7)
+# --------------------------------------------------------------------------
+
+
+def q15_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY ... LIMIT (TakeOrderedAndProject; declared O query)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", dround("o_totalprice", 2).alias("price"), "o_orderstatus")
+        .limit(10)
+    )
+
+
+ORACLE_Q15 = """
+SELECT o_orderkey, floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS price, o_orderstatus
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q16_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (declared §2.7 query)."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.intersect(c).orderBy("custkey")
+
+
+ORACLE_Q16 = """
+SELECT o_custkey AS custkey FROM orders
+INTERSECT
+SELECT c_custkey AS custkey FROM customer
+ORDER BY custkey
+"""
+
+
+def q17_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customer keys never appearing in orders."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o).orderBy("custkey")
+
+
+ORACLE_Q17 = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+ORDER BY custkey
+"""
+
+
+def q18_union_all_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two filtered scans then agg (multi-file glob scan shape,
+    beam/warcio.py:65 — implicit union of per-file scans)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 300000).select(
+        F.lit("high").alias("bucket"), "o_orderkey"
+    )
+    lo = o.filter(F.col("o_totalprice") <= 100000).select(
+        F.lit("low").alias("bucket"), "o_orderkey"
+    )
+    return (
+        hi.unionAll(lo)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+ORACLE_Q18 = """
+SELECT bucket, count(*) AS n FROM (
+  SELECT 'high' AS bucket, o_orderkey FROM orders WHERE o_totalprice > 300000
+  UNION ALL
+  SELECT 'low'  AS bucket, o_orderkey FROM orders WHERE o_totalprice <= 100000) t
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# F-series: scalar functions (SURVEY §2.8 built-in cover)
+# --------------------------------------------------------------------------
+
+
+def q19_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar bundle (declared §2.8 query)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+            dround("o_totalprice", 0).alias("r"),
+            F.substring("o_orderpriority", 1, 1).alias("p"),
+            F.lower("o_orderstatus").alias("st"),
+            F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("cat"),
+            F.length("o_orderpriority").cast("bigint").alias("plen"),
+            F.abs(F.col("o_totalprice") - 200000).alias("dist"),
+            F.pmod(F.col("o_orderkey"), F.lit(7)).cast("bigint").alias("bucket7"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_Q19 = """
+SELECT o_orderkey,
+       year(o_orderdate)::BIGINT            AS y,
+       month(o_orderdate)::BIGINT           AS m,
+       floor((o_totalprice) * 1e0 + 0.5) / 1e0               AS r,
+       substring(o_orderpriority, 1, 1)     AS p,
+       lower(o_orderstatus)                 AS st,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS cat,
+       length(o_orderpriority)::BIGINT      AS plen,
+       abs(o_totalprice - 200000)           AS dist,
+       mod(o_orderkey, 7)::BIGINT           AS bucket7
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+ORDER BY o_orderkey
+"""
+
+
+def q20_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace / split on part names."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+            F.regexp_replace("p_type", r"\s+", "_").alias("type_snake"),
+            F.size(F.split("p_name", r"\s+")).cast("bigint").alias("n_words"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE_Q20 = r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\w+)', 1)           AS first_word,
+       regexp_replace(p_type, '\s+', '_', 'g')       AS type_snake,
+       len(regexp_split_to_array(p_name, '\s+'))::BIGINT AS n_words
+FROM part
+ORDER BY p_partkey
+"""
+
+
+def q21_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props column (F23 to_json/from_json
+    family; cli.py:253 emits JSON lines)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .filter(F.col("k") > 80)
+        .orderBy("event_id")
+    )
+
+
+ORACLE_Q21 = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
+ORDER BY event_id
+"""
+
+
+def q22_conditional_caseexpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif bundle."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, "overdrawn")
+            .when(F.col("c_acctbal") < 5000, "normal")
+            .otherwise("premium")
+            .alias("tier"),
+            F.coalesce(F.nullif("c_mktsegment", F.lit("AUTOMOBILE")), F.lit("CAR")).alias(
+                "seg"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_Q22 = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+            WHEN c_acctbal < 5000 THEN 'normal'
+            ELSE 'premium' END AS tier,
+       coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'CAR') AS seg
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# T-series: event-time patterns in batch (SURVEY §2.9)
+# --------------------------------------------------------------------------
+
+
+def q23_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute event-time window agg (T1: warc_date event time).
+    Bucket projected as epoch seconds so the hash is timezone-proof."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("bucket_s"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("bucket_s", "event_type")
+    )
+
+
+ORACLE_Q23 = """
+SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS bucket_s,
+       event_type,
+       count(*)             AS n,
+       floor((sum(value)) * 1e2 + 0.5) / 1e2 AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket_s, event_type
+"""
+
+
+def q24_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap>30min cumulative flag (batch analog of
+    session_window; SURVEY §2.9 streaming concept T1)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = e.withColumn(
+        "new_sess",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1800 * 1_000_000
+        ).cast("int"),
+    ).withColumn("new_sess", F.coalesce("new_sess", F.lit(1)))
+    sess = gapped.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.max("n_events").alias("max_session_len"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_Q24 = """
+WITH gapped AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1
+              WHEN lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM gapped
+), per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n_events
+  FROM sess GROUP BY user_id, sess_id
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_sessions,
+       max(n_events)    AS max_session_len
+FROM per_sess
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q25_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts by type per user bucket."""
+    e = _t(spark, sf_dir, "events")
+    b = e.withColumn("user_bucket", F.pmod("user_id", F.lit(10)).cast("bigint"))
+    return (
+        b.groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_bucket")
+    )
+
+
+ORACLE_Q25 = """
+SELECT mod(user_id, 10)::BIGINT AS user_bucket,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'view')     AS view,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'error')    AS error
+FROM events
+GROUP BY 1
+ORDER BY user_bucket
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_distinct_agg": q02_distinct_agg,
+    "q03_rollup": q03_rollup,
+    "q04_cube_parts": q04_cube_parts,
+    "q05_join_customer_orders": q05_join_customer_orders,
+    "q06_left_join_nulls": q06_left_join_nulls,
+    "q07_semi_join": q07_semi_join,
+    "q08_anti_join": q08_anti_join,
+    "q09_multiway_join": q09_multiway_join,
+    "q10_window_rownum": q10_window_rownum,
+    "q11_window_running_sum": q11_window_running_sum,
+    "q12_window_lead_gap": q12_window_lead_gap,
+    "q13_window_rank_value": q13_window_rank_value,
+    "q14_topk_per_group": q14_topk_per_group,
+    "q15_top10_orders": q15_top10_orders,
+    "q16_set_intersect": q16_set_intersect,
+    "q17_set_except": q17_set_except,
+    "q18_union_all_agg": q18_union_all_agg,
+    "q19_scalar_funcs": q19_scalar_funcs,
+    "q20_regex_funcs": q20_regex_funcs,
+    "q21_json_extract": q21_json_extract,
+    "q22_conditional_caseexpr": q22_conditional_caseexpr,
+    "q23_tumbling_window": q23_tumbling_window,
+    "q24_sessionize": q24_sessionize,
+    "q25_pivot": q25_pivot,
+}
+
+ORACLES = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q02_distinct_agg": ORACLE_Q02,
+    "q03_rollup": ORACLE_Q03,
+    "q04_cube_parts": ORACLE_Q04,
+    "q05_join_customer_orders": ORACLE_Q05,
+    "q06_left_join_nulls": ORACLE_Q06,
+    "q07_semi_join": ORACLE_Q07,
+    "q08_anti_join": ORACLE_Q08,
+    "q09_multiway_join": ORACLE_Q09,
+    "q10_window_rownum": ORACLE_Q10,
+    "q11_window_running_sum": ORACLE_Q11,
+    "q12_window_lead_gap": ORACLE_Q12,
+    "q13_window_rank_value": ORACLE_Q13,
+    "q14_topk_per_group": ORACLE_Q14,
+    "q15_top10_orders": ORACLE_Q15,
+    "q16_set_intersect": ORACLE_Q16,
+    "q17_set_except": ORACLE_Q17,
+    "q18_union_all_agg": ORACLE_Q18,
+    "q19_scalar_funcs": ORACLE_Q19,
+    "q20_regex_funcs": ORACLE_Q20,
+    "q21_json_extract": ORACLE_Q21,
+    "q22_conditional_caseexpr": ORACLE_Q22,
+    "q23_tumbling_window": ORACLE_Q23,
+    "q24_sessionize": ORACLE_Q24,
+    "q25_pivot": ORACLE_Q25,
+}

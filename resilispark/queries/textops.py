@@ -1,0 +1,579 @@
+"""LLM-data-pipeline operators over the documents/embeddings tables.
+
+These extend the reference surface (BASELINE.json north star): exact and
+near-duplicate deduplication, similarity search, and corpus text
+analysis, each expressed as pure DataFrame/SQL plans so Catalyst can
+push, prune, and parallelize them, with DuckDB oracles built from the
+same deterministic arithmetic (md5 hex strings as the hash family —
+identical in both engines — instead of engine-private hash functions).
+
+Reference tie-ins: A6 line-dedup-by-SHA1 (resiliparse-py/resiliparse/
+cli.py:310-314) generalizes to d01; the MinHash/SimHash/LSH family is
+the SURVEY §2.3 J4 extension.
+
+Scale notes (100 TB design):
+ - d01 exact dedup is a hash-partitioned groupBy on a 128-bit digest —
+   the canonical shuffle-on-key plan; skew-free by construction.
+ - d02/d03 shingle explosion multiplies rows ~L×; the LSH variant (d03)
+   exists precisely so the candidate join is on small band keys rather
+   than a full shingle self-join; at scale, band tables are orders of
+   magnitude smaller than shingle tables.
+ - s01 brute-force cosine is the correctness baseline; s02 is the scale
+   path (bucket first, compare within buckets only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from resilispark.queries._util import dround
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# 3-word shingles, 1-based indexing so the Spark and DuckDB expressions are
+# literally the same arithmetic. Docs with <3 words yield no shingles.
+_SPARK_SHINGLES = """
+CASE WHEN size(split(text, ' ')) >= 3 THEN
+  transform(sequence(1, size(split(text, ' ')) - 2),
+            i -> concat(element_at(split(text, ' '), i), ' ',
+                        element_at(split(text, ' '), i + 1), ' ',
+                        element_at(split(text, ' '), i + 2)))
+ELSE array() END
+"""
+
+_DUCK_SHINGLES = """
+CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+  list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat(string_split(text, ' ')[i], ' ',
+                             string_split(text, ' ')[i + 1], ' ',
+                             string_split(text, ' ')[i + 2]))
+ELSE [] END
+"""
+
+
+# --------------------------------------------------------------------------
+# d-series: deduplication
+# --------------------------------------------------------------------------
+
+
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: mark every doc keep/drop.
+
+    Plan: md5 over the text, min(doc_id) per digest via a window — one
+    hash-partitioned shuffle on the digest, no skew (digests uniform).
+    """
+    d = _docs(spark, sf_dir)
+    hashed = d.withColumn("content_hash", F.md5(F.encode("text", "UTF-8")))
+    w = W.partitionBy("content_hash")
+    return (
+        hashed.select(
+            "doc_id",
+            "content_hash",
+            (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("copies"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_D01 = """
+SELECT doc_id,
+       md5(text) AS content_hash,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate,
+       count(*) OVER (PARTITION BY md5(text))::BIGINT      AS copies
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs via shingle self-join.
+
+    Candidate pairs share >=1 shingle; Jaccard over distinct 3-word
+    shingle sets; emit pairs above 0.08. The shingle table is the
+    explode; the pair table is an equi join on the shingle value.
+    """
+    d = _docs(spark, sf_dir)
+    sh = (
+        d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sh_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sh_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            dround(F.col("n_common") / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.08)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_D02 = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       floor((n_common / (sa.n_sh + sb.n_sh - n_common)) * 1e4 + 0.5) / 1e4 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor((n_common / (sa.n_sh + sb.n_sh - n_common)) * 1e4 + 0.5) / 1e4 >= 0.08
+ORDER BY doc_a, doc_b
+"""
+
+
+def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes) + 4 LSH band keys per document.
+
+    Hash family: md5 of seed-prefixed shingle, minimum taken in hex-string
+    order — deterministic and identical across engines. Bands pair up
+    adjacent minhashes; at scale, candidate generation joins on the tiny
+    band-key table instead of the shingle table (SURVEY §2.3 J4).
+    """
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle")).distinct()
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"{s}|"), F.col("shingle")), "UTF-8"))).alias(
+            f"h{s}"
+        )
+        for s in range(8)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    for b in range(4):
+        sig = sig.withColumn(
+            f"band{b}", F.md5(F.encode(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")), "UTF-8"))
+        )
+    return sig.select(
+        "doc_id", *[f"h{s}" for s in range(8)], *[f"band{b}" for b in range(4)]
+    ).orderBy("doc_id")
+
+
+_h = ",\n       ".join(
+    f"min(md5('{s}|' || shingle)) AS h{s}" for s in range(8)
+)
+ORACLE_D03 = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+       {_h}
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7,
+       md5(h0 || h1) AS band0,
+       md5(h2 || h3) AS band1,
+       md5(h4 || h5) AS band2,
+       md5(h6 || h7) AS band3
+FROM sig
+ORDER BY doc_id
+"""
+
+
+def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any minhash band bucket.
+
+    The join key is (band_index, band_value) — this is the scale path:
+    band tables are O(n_docs), not O(n_shingles).
+    """
+    sig = d03_minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("val")) for b in range(4)])
+        ).alias("bd"),
+    ).select("doc_id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.val").alias("val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_D04 = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+       {_h}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS val FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.val = b.val AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint from word unigrams.
+
+    Bit j is the sign of the sum over words of ±1 according to the high
+    bit of hex digit j of md5(word). Pure column arithmetic — no UDF.
+    """
+    d = _docs(spark, sf_dir)
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).withColumn(
+        "wh", F.md5(F.encode("word", "UTF-8"))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.instr(F.lit("89abcdef"), F.substring("wh", j + 1, 1)) > 0, 1
+            ).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    sums = words.groupBy("doc_id").agg(*bit_aggs)
+    fp = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = term if fp is None else (fp + term)
+    return sums.select("doc_id", fp.cast("bigint").alias("simhash16")).orderBy("doc_id")
+
+
+_bits = " + ".join(
+    "CASE WHEN sum(CASE WHEN strpos('89abcdef', substring(wh, {p}, 1)) > 0 "
+    "THEN 1 ELSE -1 END) > 0 THEN {v} ELSE 0 END".format(p=j + 1, v=2**j)
+    for j in range(16)
+)
+ORACLE_D05 = f"""
+WITH words AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS wh
+  FROM documents
+)
+SELECT doc_id, CAST({_bits} AS BIGINT) AS simhash16
+FROM words
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# t-series: text analysis
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def t01_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring: length, mean word length,
+    stopword ratio, type-token ratio (SURVEY north-star text analysis)."""
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_words = F.size(words).cast("bigint")
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x))).cast("bigint")
+    n_uniq = F.size(F.array_distinct(words)).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            dround((F.length("text") - (n_words - 1)) / n_words, 4).alias("avg_word_len"),
+            dround(n_stop / n_words, 4).alias("stopword_ratio"),
+            dround(n_uniq / n_words, 4).alias("type_token_ratio"),
+            dround(F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.5
+                + (n_stop / n_words) * 0.25
+                + (n_uniq / n_words) * 0.25, 4).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_stop_list = "', '".join(_STOPWORDS)
+ORACLE_T01 = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w)::BIGINT AS n_words,
+         len(list_filter(w, x -> list_contains(['{_stop_list}'], x)))::BIGINT AS n_stop,
+         len(list_distinct(w))::BIGINT AS n_uniq,
+         n_chars
+  FROM base
+)
+SELECT doc_id, n_words,
+       floor(((n_chars - (n_words - 1)) / n_words) * 1e4 + 0.5) / 1e4 AS avg_word_len,
+       floor((n_stop / n_words) * 1e4 + 0.5) / 1e4                    AS stopword_ratio,
+       floor((n_uniq / n_words) * 1e4 + 0.5) / 1e4                    AS type_token_ratio,
+       floor((least(n_words / 100.0, 1.0) * 0.5
+             + (n_stop / n_words) * 0.25
+             + (n_uniq / n_words) * 0.25) * 1e4 + 0.5) / 1e4         AS quality
+FROM m
+ORDER BY doc_id
+"""
+
+
+def t02_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and regex word tokens."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), F.lit(0)))
+            .cast("bigint")
+            .alias("re_tokens"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_T02 = """
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT                 AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT   AS re_tokens,
+       length(text)::BIGINT                                 AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def t03_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language/source distribution with rollup (A4 confusion-matrix
+    shape: resiliparse-py/resiliparse/cli.py:467-526)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dround(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy(F.col("lang").asc_nulls_first(), F.col("source").asc_nulls_first())
+    )
+
+
+ORACLE_T03 = """
+SELECT lang, source, count(*) AS n_docs, floor((avg(n_chars)) * 1e4 + 0.5) / 1e4 AS avg_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST
+"""
+
+
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum shingle hash —
+    a 1-permutation minhash usable as a cheap cluster key."""
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.min(F.md5(F.encode("shingle", "UTF-8"))).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_T04 = f"""
+SELECT doc_id, min(md5(shingle)) AS fingerprint
+FROM (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents) sh
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# s-series: similarity search over embeddings
+# --------------------------------------------------------------------------
+
+# Explicit left-fold dot product in both engines, all math in double.
+_SPARK_DOT = (
+    "aggregate(zip_with(transform({a}, x -> cast(x as double)), "
+    "transform({b}, x -> cast(x as double)), (x, y) -> x * y), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+_DUCK_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 10 vectors.
+
+    The baseline ANN oracle: broadcast the (tiny) query side, evaluate
+    dot/norm with JVM-side higher-order functions — no Python UDF.
+    """
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    dot = F.expr(_SPARK_DOT.format(a="qv", b="cv"))
+    nq = F.sqrt(F.expr(_SPARK_DOT.format(a="qv", b="qv")))
+    nc = F.sqrt(F.expr(_SPARK_DOT.format(a="cv", b="cv")))
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", (dot / (nq * nc)).alias("cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "rn", "cid", dround("cos", 4).alias("cosine"))
+        .orderBy("qid", "rn")
+    )
+
+
+ORACLE_S01 = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+), sims AS (
+  SELECT qid, e.vec_id AS cid,
+         {_DUCK_DOT.format(a="qv", b="e.embedding")} /
+         (sqrt({_DUCK_DOT.format(a="qv", b="qv")}) *
+          sqrt({_DUCK_DOT.format(a="e.embedding", b="e.embedding")})) AS cos
+  FROM q, embeddings e
+  WHERE e.vec_id <> qid
+), ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+  FROM sims
+)
+SELECT qid, rn, cid, floor((cos) * 1e4 + 0.5) / 1e4 AS cosine
+FROM ranked WHERE rn <= 5
+ORDER BY qid, rn
+"""
+
+
+def s02_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing: 8-bit bucket from the signs of the first 8
+    dims; per-bucket population + per-label breakdown. The scale path for
+    s01 — candidate comparisons happen within buckets only."""
+    e = _embs(spark, sf_dir)
+    bucket = None
+    for i in range(8):
+        term = F.when(F.element_at("embedding", i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else (bucket + term)
+    return (
+        e.withColumn("bucket", bucket.cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+            F.min("vec_id").alias("min_vec"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_bucket_duck = " + ".join(
+    f"CASE WHEN embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END" for i in range(8)
+)
+ORACLE_S02 = f"""
+SELECT CAST({_bucket_duck} AS BIGINT) AS bucket,
+       count(*)              AS n_vecs,
+       count(DISTINCT label) AS n_labels,
+       min(vec_id)           AS min_vec
+FROM embeddings
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def s03_label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector norm + count (A5 language-profile-training
+    shape: parse/lang.pyx:196-226 — mean of count vectors per class)."""
+    e = _embs(spark, sf_dir)
+    norm = F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            dround(F.avg(norm), 4).alias("avg_norm"),
+            dround(F.min(norm), 4).alias("min_norm"),
+            dround(F.max(norm), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_S03 = f"""
+SELECT label,
+       count(*) AS n_vecs,
+       floor((avg(sqrt({_DUCK_DOT.format(a="embedding", b="embedding")}))) * 1e4 + 0.5) / 1e4 AS avg_norm,
+       floor((min(sqrt({_DUCK_DOT.format(a="embedding", b="embedding")}))) * 1e4 + 0.5) / 1e4 AS min_norm,
+       floor((max(sqrt({_DUCK_DOT.format(a="embedding", b="embedding")}))) * 1e4 + 0.5) / 1e4 AS max_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+QUERIES = {
+    "d01_exact_dedup": d01_exact_dedup,
+    "d02_ngram_jaccard": d02_ngram_jaccard,
+    "d03_minhash_signatures": d03_minhash_signatures,
+    "d04_minhash_lsh_pairs": d04_minhash_lsh_pairs,
+    "d05_simhash": d05_simhash,
+    "t01_quality_score": t01_quality_score,
+    "t02_token_count": t02_token_count,
+    "t03_lang_distribution": t03_lang_distribution,
+    "t04_fingerprint": t04_fingerprint,
+    "s01_cosine_topk": s01_cosine_topk,
+    "s02_lsh_buckets": s02_lsh_buckets,
+    "s03_label_centroid_norms": s03_label_centroid_norms,
+}
+
+ORACLES = {
+    "d01_exact_dedup": ORACLE_D01,
+    "d02_ngram_jaccard": ORACLE_D02,
+    "d03_minhash_signatures": ORACLE_D03,
+    "d04_minhash_lsh_pairs": ORACLE_D04,
+    "d05_simhash": ORACLE_D05,
+    "t01_quality_score": ORACLE_T01,
+    "t02_token_count": ORACLE_T02,
+    "t03_lang_distribution": ORACLE_T03,
+    "t04_fingerprint": ORACLE_T04,
+    "s01_cosine_topk": ORACLE_S01,
+    "s02_lsh_buckets": ORACLE_S02,
+    "s03_label_centroid_norms": ORACLE_S03,
+}

@@ -1,0 +1,6 @@
+"""WARC-engine queries (filled in as the datasource/kernels land)."""
+
+from __future__ import annotations
+
+QUERIES: dict = {}
+ORACLES: dict = {}
