@@ -1,0 +1,5 @@
+"""Spark data sources: the WARC reader/writer (format name "warc")."""
+
+from resilispark.datasource.warc import WarcDataSource, register
+
+__all__ = ["WarcDataSource", "register"]

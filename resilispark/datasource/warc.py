@@ -1,0 +1,291 @@
+"""WARC Spark data source (format name: ``warc``).
+
+The Spark-native replacement for the reference's scan pipeline
+(ArchiveIterator, fastwarc-py/fastwarc/warc.pyx:1092-1272 + the Beam
+sources resiliparse-py/resiliparse/beam/warcio.py:43-98): WARC files
+become a DataFrame with the canonical record schema (SURVEY.md §1.2).
+
+Scale design (100 TB):
+ - **Partition planning.** Uncompressed ``.warc`` files are split into
+   ~128 MiB byte ranges — the reader aligns each range to the next
+   ``WARC/`` magic, mirroring Beam's OffsetRange restriction trackers
+   (beam/warcio.py:101-109) and the text source's split alignment
+   (beam/textio.py:189-193). Member-per-record ``.warc.gz`` files are
+   one partition per file by default (a gzip stream is not blindly
+   splittable); a CDXJ side-index can pre-split them (SURVEY §4).
+ - **Predicate pushdown.** Scan-level filtering is exposed through
+   reader OPTIONS (``record_types``, ``min/max_content_length``),
+   mirroring ArchiveIterator's constructor filters
+   (warc.pyx:1092-1114); the reader skips records before payload
+   materialization — the same skip-without-allocation cascade as
+   warc.pyx:1238-1248. ``DataSourceReader.pushFilters`` is
+   deliberately NOT implemented: in PySpark 4.1 the planned Python
+   reader is cached per relation with last-planned-wins semantics, so
+   absorbed per-query filters leak across every reuse of the loaded
+   DataFrame (a plain ``df.count()`` after a filtered query returns
+   the filtered count, and self-join branches share one branch's
+   filter). Option-based pushdown is immune because options are fixed
+   at load time.
+ - **Column pruning.** HTTP header parsing and payload materialization
+   are skipped when the pruned schema doesn't need them (the
+   ``parse_http=False`` / ``always_keep_meta`` optimizations of
+   warc.pyx:1104-1105 and beam/warcio.py:124-126).
+ - **Arrow output.** Batches are emitted as pyarrow RecordBatches, so
+   rows cross the Python->JVM boundary columnar, not pickled.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from resilispark.io.warc import (
+    GZIP_MAGIC,
+    LZ4_MAGIC,
+    WARC_MAGIC,
+    decode_warc_stream,
+    iter_warc_bytes,
+)
+
+_HEADERS_T = ArrayType(
+    StructType([StructField("key", StringType()), StructField("value", StringType())])
+)
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("filename", StringType()),
+        StructField("stream_pos", LongType()),
+        StructField("record_length", LongType()),
+        StructField("record_id", StringType()),
+        StructField("record_type", StringType()),
+        StructField("warc_version", StringType()),
+        StructField("warc_date", TimestampType()),
+        StructField("target_uri", StringType()),
+        StructField("concurrent_to", StringType()),
+        StructField("headers", _HEADERS_T),
+        StructField("is_http", BooleanType()),
+        StructField("http_status", IntegerType()),
+        StructField("http_headers", _HEADERS_T),
+        StructField("http_content_type", StringType()),
+        StructField("http_charset", StringType()),
+        StructField("http_date", TimestampType()),
+        StructField("content_length", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("block_digest_ok", BooleanType()),
+        StructField("payload_digest_ok", BooleanType()),
+    ]
+)
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("filename", pa.string()),
+        ("stream_pos", pa.int64()),
+        ("record_length", pa.int64()),
+        ("record_id", pa.string()),
+        ("record_type", pa.string()),
+        ("warc_version", pa.string()),
+        ("warc_date", pa.timestamp("us")),
+        ("target_uri", pa.string()),
+        ("concurrent_to", pa.string()),
+        (
+            "headers",
+            pa.list_(pa.struct([("key", pa.string()), ("value", pa.string())])),
+        ),
+        ("is_http", pa.bool_()),
+        ("http_status", pa.int32()),
+        (
+            "http_headers",
+            pa.list_(pa.struct([("key", pa.string()), ("value", pa.string())])),
+        ),
+        ("http_content_type", pa.string()),
+        ("http_charset", pa.string()),
+        ("http_date", pa.timestamp("us")),
+        ("content_length", pa.int64()),
+        ("payload", pa.binary()),
+        ("block_digest_ok", pa.bool_()),
+        ("payload_digest_ok", pa.bool_()),
+    ]
+)
+
+_TARGET_SPLIT_BYTES = 128 * 1024 * 1024
+_BATCH_ROWS = 512
+
+
+@dataclass
+class _WarcPartition(InputPartition):
+    path: str
+    start: int
+    end: int  # exclusive; records STARTING in [start, end) belong here
+
+
+class WarcDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.paths = self._expand_paths()
+        self.record_types: set[str] | None = self._csv_opt("record_types")
+        self.min_len = int(self.options.get("min_content_length", -1))
+        self.max_len = int(self.options.get("max_content_length", -1))
+        self.parse_http = self._bool_opt("parse_http", True)
+        self.verify_digests = self._bool_opt("verify_digests", False)
+        self.keep_meta = self._bool_opt("always_keep_meta", False)
+        self.keep_payload = self._bool_opt("payload", True)
+        self.strict = self._bool_opt("strict", False)
+        split = self.options.get("split_bytes")
+        self.split_bytes = int(split) if split else _TARGET_SPLIT_BYTES
+
+    def _expand_paths(self) -> list[str]:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("warc data source requires a path")
+        if path.startswith("file:"):
+            path = path[len("file:") :]
+        matches = sorted(globlib.glob(path, recursive=True)) if any(
+            c in path for c in "*?["
+        ) else ([path] if os.path.isfile(path) else sorted(
+            globlib.glob(os.path.join(path, "**", "*.warc*"), recursive=True)
+        ))
+        if not matches:
+            raise FileNotFoundError(f"no WARC files match {path!r}")
+        return matches
+
+    def _csv_opt(self, key: str) -> set[str] | None:
+        v = self.options.get(key)
+        return {s.strip().lower() for s in v.split(",") if s.strip()} if v else None
+
+    def _bool_opt(self, key: str, default: bool) -> bool:
+        v = self.options.get(key)
+        return default if v is None else str(v).lower() in ("1", "true", "yes")
+
+    # -- split planning -----------------------------------------------------
+    def partitions(self) -> list[_WarcPartition]:
+        parts: list[_WarcPartition] = []
+        for p in self.paths:
+            size = os.path.getsize(p)
+            with open(p, "rb") as f:
+                head = f.read(8)
+            if head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC):
+                # compressed stream: whole file is one partition (member
+                # boundaries are only discoverable by decompressing)
+                parts.append(_WarcPartition(p, 0, size))
+            else:
+                n_splits = max(1, size // self.split_bytes)
+                step = (size + n_splits - 1) // n_splits
+                for s in range(0, size, step):
+                    parts.append(_WarcPartition(p, s, min(s + step, size)))
+        return parts
+
+    # -- record scan --------------------------------------------------------
+    def read(self, partition: _WarcPartition) -> Iterator[pa.RecordBatch]:
+        with open(partition.path, "rb") as f:
+            data = f.read()
+        filename = os.path.basename(partition.path)
+        rows: list[dict] = []
+
+        def flush():
+            nonlocal rows
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=_ARROW_SCHEMA)
+                rows = []
+
+        kwargs = dict(
+            record_types=self.record_types,
+            min_content_length=self.min_len,
+            max_content_length=self.max_len,
+            parse_http=self.parse_http,
+            verify_digests=self.verify_digests,
+            keep_meta_on_strip=self.keep_meta,
+            strict=self.strict,
+        )
+        if data[:2] == GZIP_MAGIC or data[:4] == LZ4_MAGIC:
+            streams = decode_warc_stream(data)
+        else:
+            # byte-range split: records starting inside [start, end).
+            # Range alignment = scan forward to the next WARC/ magic, the
+            # analog of Beam's try_claim on record offsets.
+            chunk_start = partition.start
+            if chunk_start > 0:
+                idx = data.find(WARC_MAGIC, chunk_start)
+                chunk_start = idx if idx >= 0 else len(data)
+            streams = [(chunk_start, data[chunk_start:])] if chunk_start < len(data) else []
+            streams = iter(streams)
+
+        for base, plain in streams:
+            if base >= partition.end and partition.start > 0:
+                break
+            off = 0 if isinstance(streams, list) else None  # noqa: unused
+            for rec in iter_warc_bytes(plain, stream_pos_base=base, **kwargs):
+                if rec.stream_pos >= partition.end and not (
+                    data[:2] == GZIP_MAGIC or data[:4] == LZ4_MAGIC
+                ):
+                    break
+                rows.append(
+                    {
+                        "filename": filename,
+                        "stream_pos": rec.stream_pos,
+                        "record_length": rec.record_length,
+                        "record_id": rec.record_id,
+                        "record_type": rec.record_type,
+                        "warc_version": rec.warc_version,
+                        "warc_date": rec.warc_date,
+                        "target_uri": rec.target_uri,
+                        "concurrent_to": rec.concurrent_to,
+                        "headers": [{"key": k, "value": v} for k, v in rec.headers],
+                        "is_http": rec.is_http,
+                        "http_status": rec.http_status,
+                        "http_headers": (
+                            [{"key": k, "value": v} for k, v in rec.http_headers]
+                            if rec.http_headers is not None
+                            else None
+                        ),
+                        "http_content_type": rec.http_content_type,
+                        "http_charset": rec.http_charset,
+                        "http_date": rec.http_date,
+                        "content_length": rec.content_length,
+                        "payload": rec.payload if self.keep_payload else None,
+                        "block_digest_ok": rec.block_digest_ok,
+                        "payload_digest_ok": rec.payload_digest_ok,
+                    }
+                )
+                if len(rows) >= _BATCH_ROWS:
+                    yield from flush()
+        yield from flush()
+
+
+class WarcDataSource(DataSource):
+    """``spark.read.format("warc").options(...).load(glob)``.
+
+    Options: record_types (csv), min/max_content_length, parse_http,
+    verify_digests, always_keep_meta, payload (false = never materialize
+    payload bytes), strict, split_bytes.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> StructType:
+        return WARC_SCHEMA
+
+    def reader(self, schema: StructType) -> WarcDataSourceReader:
+        return WarcDataSourceReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(WarcDataSource)

@@ -1,0 +1,1 @@
+"""Low-level I/O: WARC stream parsing/writing, compression negotiation."""

@@ -1,0 +1,195 @@
+"""Deterministic WARC fixture generation (FIXTURES.md §1).
+
+Mirrors the reference's golden test file ``tests/data/warcfile.warc``:
+50 records = 16 response + 16 request + 16 metadata + 2 warcinfo
+(tests/fastwarc/test_warc.py:21-32), with the content-length skew that
+makes ``max_content_length=500`` keep exactly 33 records
+(tests/resiliparse/beam/test_warcio.py:46-61), request->response
+``WARC-Concurrent-To`` pairing, duplicate headers, and a mix of valid /
+missing / wrong digests.
+
+Everything is seeded — byte-identical across runs.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import os
+import random
+from datetime import datetime, timedelta
+
+from resilispark.io.warc import WarcRecord, write_warc
+
+_HOSTS = [f"host{i}.example.org" for i in range(10)]
+
+_HTML_BODY = """<!doctype html>
+<html><head><title>{title}</title><meta charset="utf-8"></head>
+<body>
+<nav class="sidebar">Home | About | <a href="/contact">Contact</a></nav>
+<main class="article-body">
+<h1>{title}</h1>
+<p>{para0}</p>
+<p>{para1}</p>
+<ul><li>alpha</li><li>beta</li><li>gamma</li></ul>
+</main>
+<script>var x = 1;</script>
+<footer id="global-footer">(c) example</footer>
+</body></html>"""
+
+_WORDS = (
+    "web archive analytics spark engine record stream parse extract text "
+    "language charset html warc crawl index search query filter join"
+).split()
+
+
+def _b32(alg: str, data: bytes) -> str:
+    return alg + ":" + base64.b32encode(hashlib.new(alg, data).digest()).decode()
+
+
+def _sentence(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n))
+
+
+def build_golden_records(n_groups: int = 16) -> list[WarcRecord]:
+    """16 response + 16 request + 16 metadata + 2 warcinfo (order mixed
+    response/request/metadata per page, warcinfo first), 50 total."""
+    rng = random.Random(42)
+    base_date = datetime(2024, 5, 1, 12, 0, 0)
+    records: list[WarcRecord] = []
+
+    def uid(i: int) -> str:
+        return f"<urn:uuid:00000000-0000-4000-8000-{i:012d}>"
+
+    for w in range(2):
+        payload = (
+            b"software: resilispark-fixture/0.1\r\nformat: WARC File Format 1.1\r\n"
+        )
+        rec = WarcRecord(
+            warc_version="WARC/1.1",
+            headers=[
+                ("WARC-Type", "warcinfo"),
+                ("WARC-Record-ID", uid(w)),
+                ("WARC-Date", (base_date + timedelta(seconds=w)).isoformat() + "Z"),
+                ("Content-Type", "application/warc-fields"),
+                ("Content-Length", str(len(payload))),
+            ],
+            payload=payload,
+        )
+        records.append(rec)
+
+    for i in range(n_groups):
+        host = _HOSTS[i % len(_HOSTS)]
+        url = f"https://{host}/page/{i}"
+        date = base_date + timedelta(minutes=i, seconds=rng.randint(0, 50))
+        resp_id = uid(100 + i)
+        req_id = uid(200 + i)
+        meta_id = uid(300 + i)
+
+        # exactly 17 of the 48 typed records exceed 500 bytes content
+        # length so max_content_length=500 keeps 33 of 50 (incl. the 2
+        # warcinfo), reproducing the reference's golden count
+        # (tests/resiliparse/beam/test_warcio.py:46-61): 7 responses
+        # (i%3==0 plus i==1), 5 requests (i%3==1), 5 metadata (i%3==2).
+        big = i % 3 == 0 or i == 1
+        title = f"Page {i} on {host}"
+        if big:
+            body = _HTML_BODY.format(
+                title=title,
+                para0=_sentence(rng, 60),
+                para1=_sentence(rng, 120),
+            ).encode("utf-8")
+        else:
+            body = (
+                f"<!doctype html><html><head><title>{title}</title></head>"
+                f"<body><p>{_sentence(rng, 6)}</p></body></html>"
+            ).encode("utf-8")
+        status = [200, 200, 200, 301, 404, 500][i % 6]
+        http_head = (
+            f"HTTP/1.1 {status} X\r\n"
+            f"Content-Type: text/html; charset=utf-8\r\n"
+            f"Date: {date.strftime('%a, %d %b %Y %H:%M:%S GMT')}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("ascii")
+        resp_payload = http_head + body
+        digest = _b32("sha1", resp_payload)
+        if i % 10 == 7:  # deliberately wrong digest (~5%)
+            digest = _b32("sha1", resp_payload + b"x")
+        resp_headers = [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", resp_id),
+            ("WARC-Date", date.isoformat() + "Z"),
+            ("WARC-Target-URI", url),
+            ("Content-Type", "application/http; msgtype=response"),
+            ("WARC-Payload-Digest", _b32("sha1", body)),
+            ("Content-Length", str(len(resp_payload))),
+        ]
+        if i % 10 != 4:  # ~10% have no block digest
+            resp_headers.insert(5, ("WARC-Block-Digest", digest))
+        if i == 0:  # duplicate header key + folded continuation value
+            resp_headers.append(("WARC-Custom", "first"))
+            resp_headers.append(("WARC-Custom", "second value folded"))
+        records.append(WarcRecord(warc_version="WARC/1.1", headers=resp_headers, payload=resp_payload))
+
+        req_payload = (
+            f"GET /page/{i} HTTP/1.1\r\nHost: {host}\r\nUser-Agent: resilispark\r\n"
+            + ("X-Pad: " + "p" * (600 if i % 3 == 1 else 10) + "\r\n")
+            + "\r\n"
+        ).encode("ascii")
+        assert (len(req_payload) > 500) == (i % 3 == 1)
+        records.append(
+            WarcRecord(
+                warc_version="WARC/1.0" if i % 4 == 0 else "WARC/1.1",
+                headers=[
+                    ("WARC-Type", "request"),
+                    ("WARC-Record-ID", req_id),
+                    ("WARC-Date", date.isoformat() + "Z"),
+                    ("WARC-Target-URI", url),
+                    ("WARC-Concurrent-To", resp_id),
+                    ("Content-Type", "application/http; msgtype=request"),
+                    ("Content-Length", str(len(req_payload))),
+                ],
+                payload=req_payload,
+            )
+        )
+
+        meta_payload = (
+            f"fetchTimeMs: {rng.randint(20, 900)}\r\ncharset-detected: utf-8\r\n"
+            + ("notes: " + _sentence(rng, 150) + "\r\n" if i % 3 == 2 else "")
+        ).encode("utf-8")
+        records.append(
+            WarcRecord(
+                warc_version="WARC/1.1",
+                headers=[
+                    ("WARC-Type", "metadata"),
+                    ("WARC-Record-ID", meta_id),
+                    ("WARC-Date", date.isoformat() + "Z"),
+                    ("WARC-Target-URI", url),
+                    ("WARC-Concurrent-To", resp_id),
+                    ("Content-Type", "application/warc-fields"),
+                    ("Content-Length", str(len(meta_payload))),
+                ],
+                payload=meta_payload,
+            )
+        )
+    # golden invariants (mirror tests/fastwarc/test_warc.py:21-32 and
+    # tests/resiliparse/beam/test_warcio.py:46-61)
+    assert len(records) == 2 + 3 * n_groups
+    if n_groups == 16:
+        assert sum(1 for r in records if len(r.payload) <= 500) == 33, [
+            len(r.payload) for r in records
+        ]
+    return records
+
+
+def ensure_fixture_dir(root: str = "/root/repo/.fixtures") -> str:
+    """Idempotently materialize the golden fixture files; returns dir."""
+    os.makedirs(root, exist_ok=True)
+    plain = os.path.join(root, "golden-50.warc")
+    gz = os.path.join(root, "golden-50.warc.gz")
+    if not (os.path.exists(plain) and os.path.exists(gz)):
+        # checksum_data=False preserves the deliberately-wrong digests
+        recs = build_golden_records()
+        write_warc(recs, plain, compression="none", checksum_data=False)
+        write_warc(recs, gz, compression="gzip", checksum_data=False)
+    return root

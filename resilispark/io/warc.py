@@ -1,0 +1,424 @@
+"""Pure-Python WARC (Web ARChive) stream reader/writer.
+
+A from-scratch implementation of the WARC/1.0-1.1 record model (ISO
+28500) with the same observable behavior as the reference's
+ArchiveIterator (fastwarc-py/fastwarc/warc.pyx:1092-1272):
+
+ - stream-type auto-negotiation via magic bytes (gzip ``1f 8b``, LZ4
+   frame ``04 22 4d 18``, literal ``WARC/``) — stream_io.pyx:890-917;
+ - tolerant header parsing: CRLF or LF line ends, continuation-line
+   folding, case-insensitive keys kept in original order with
+   duplicates — warc.pyx:1028-1087;
+ - the filter cascade (record type -> content-length bounds -> user
+   predicate) applied BEFORE payload materialization so skipped records
+   cost no allocation — warc.pyx:1238-1248;
+ - optional HTTP header split + typed accessors (status, content-type,
+   charset, date) — warc.pyx:595-691,760-783;
+ - block/payload digest verification, ``sha1:<base32>`` /
+   ``<alg>:<hex>`` formats — warc.pyx:940-1024;
+ - per-record gzip-member compressed writing so the output is seekable
+   and splittable at member boundaries — stream_io.pyx:561-591.
+
+This module is deliberately dependency-free (stdlib only) so it can run
+inside Spark Python workers; LZ4/Brotli support is gated behind
+import-try since those codecs aren't in the base image.
+"""
+
+from __future__ import annotations
+
+import base64
+import gzip
+import hashlib
+import io
+import zlib
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from email.utils import parsedate_to_datetime
+from typing import BinaryIO, Callable, Iterator
+
+try:  # optional codec, not in the base image
+    import lz4.frame as _lz4frame  # type: ignore
+except Exception:  # pragma: no cover
+    _lz4frame = None
+
+GZIP_MAGIC = b"\x1f\x8b"
+LZ4_MAGIC = b"\x04\x22\x4d\x18"
+WARC_MAGIC = b"WARC/"
+
+RECORD_TYPES = frozenset(
+    {
+        "warcinfo",
+        "response",
+        "request",
+        "metadata",
+        "revisit",
+        "resource",
+        "conversion",
+        "continuation",
+    }
+)
+
+
+@dataclass
+class WarcRecord:
+    """One parsed WARC record (materialized, no lazy payload)."""
+
+    stream_pos: int = 0
+    record_length: int = 0
+    warc_version: str = "WARC/1.1"
+    headers: list[tuple[str, str]] = field(default_factory=list)
+    payload: bytes = b""
+    # parsed/derived
+    record_id: str | None = None
+    record_type: str | None = None
+    warc_date: datetime | None = None
+    target_uri: str | None = None
+    concurrent_to: str | None = None
+    content_length: int = 0
+    is_http: bool = False
+    http_status: int | None = None
+    http_headers: list[tuple[str, str]] | None = None
+    http_content_type: str | None = None
+    http_charset: str | None = None
+    http_date: datetime | None = None
+    block_digest_ok: bool | None = None
+    payload_digest_ok: bool | None = None
+    truncated: bool = False  # payload stripped by max_content_length keep-meta
+
+    def header(self, key: str) -> str | None:
+        """First-occurrence, case-insensitive lookup (warc.pyx:409-418)."""
+        lk = key.lower()
+        for k, v in self.headers:
+            if k.lower() == lk:
+                return v
+        return None
+
+
+def detect_stream_type(head: bytes) -> str:
+    """Magic-byte stream negotiation (stream_io.pyx:890-917)."""
+    if head.startswith(GZIP_MAGIC):
+        return "gzip"
+    if head.startswith(LZ4_MAGIC):
+        return "lz4"
+    return "plain"
+
+
+def _parse_warc_date(value: str | None) -> datetime | None:
+    if not value:
+        return None
+    v = value.strip()
+    try:
+        if v.endswith("Z"):
+            v = v[:-1] + "+00:00"
+        dt = datetime.fromisoformat(v)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.astimezone(timezone.utc).replace(tzinfo=None)
+    except ValueError:
+        return None
+
+
+def _parse_http_date(value: str | None) -> datetime | None:
+    if not value:
+        return None
+    try:
+        dt = parsedate_to_datetime(value.strip())
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.astimezone(timezone.utc).replace(tzinfo=None)
+    except (ValueError, TypeError):
+        return None
+
+
+def parse_header_block(data: bytes, start: int) -> tuple[list[tuple[str, str]], int]:
+    """Parse header lines until the empty line; returns (headers, next_pos).
+
+    CRLF or bare LF terminators; continuation lines (leading SP/HT) fold
+    into the previous value with a single space (warc.pyx:1028-1087).
+    """
+    headers: list[tuple[str, str]] = []
+    pos = start
+    n = len(data)
+    while pos < n:
+        eol = data.find(b"\n", pos)
+        if eol < 0:
+            line = data[pos:]
+            pos = n
+        else:
+            line = data[pos:eol]
+            pos = eol + 1
+        if line.endswith(b"\r"):
+            line = line[:-1]
+        if not line:
+            break
+        if line[:1] in (b" ", b"\t") and headers:
+            k, v = headers[-1]
+            headers[-1] = (k, v + " " + line.strip().decode("utf-8", "replace"))
+            continue
+        sep = line.find(b":")
+        if sep < 0:
+            headers.append((line.strip().decode("utf-8", "replace"), ""))
+        else:
+            headers.append(
+                (
+                    line[:sep].strip().decode("utf-8", "replace"),
+                    line[sep + 1 :].strip().decode("utf-8", "replace"),
+                )
+            )
+    return headers, pos
+
+
+def _verify_digest(declared: str | None, data: bytes) -> bool | None:
+    """Check a ``<alg>:<base32-or-hex>`` digest (warc.pyx:940-1024)."""
+    if not declared or ":" not in declared:
+        return None
+    alg, _, val = declared.partition(":")
+    alg = alg.strip().lower()
+    try:
+        h = hashlib.new(alg, data)
+    except ValueError:
+        return None
+    val = val.strip()
+    b32 = base64.b32encode(h.digest()).decode("ascii")
+    return val.upper() == b32 or val.lower() == h.hexdigest()
+
+
+def _parse_http_payload(rec: WarcRecord, raw: bytes) -> None:
+    """Split HTTP headers off the payload (warc.pyx:760-783) and fill
+    typed accessors (warc.pyx:595-691)."""
+    head_end = raw.find(b"\r\n\r\n")
+    sep = 4
+    if head_end < 0:
+        head_end = raw.find(b"\n\n")
+        sep = 2
+    if head_end < 0:
+        return
+    head = raw[:head_end]
+    first_eol = head.find(b"\n")
+    status_line = head[: first_eol if first_eol > 0 else len(head)].rstrip(b"\r")
+    if not (status_line.startswith(b"HTTP/") or b" HTTP/" in status_line):
+        return
+    rec.is_http = True
+    http_headers, _ = parse_header_block(head, (first_eol + 1) if first_eol > 0 else len(head))
+    rec.http_headers = http_headers
+    parts = status_line.decode("ascii", "replace").split(None, 2)
+    if status_line.startswith(b"HTTP/") and len(parts) >= 2:
+        try:
+            rec.http_status = int(parts[1])
+        except ValueError:
+            rec.http_status = None
+    for k, v in http_headers:
+        lk = k.lower()
+        if lk == "content-type" and rec.http_content_type is None:
+            main, _, params = v.partition(";")
+            rec.http_content_type = main.strip().lower() or None
+            cs = params.lower().find("charset=")
+            if cs >= 0:
+                charset = params[cs + 8 :].split(";")[0].strip().strip('"')
+                rec.http_charset = charset.lower() or None
+        elif lk == "date" and rec.http_date is None:
+            rec.http_date = _parse_http_date(v)
+    rec.payload = raw[head_end + sep :]
+    rec.content_length = len(rec.payload)
+
+
+def parse_record_at(
+    data: bytes,
+    pos: int,
+    *,
+    strict: bool = False,
+) -> tuple[WarcRecord | None, int]:
+    """Parse one record from ``data`` starting at/after ``pos``.
+
+    Returns (record, next_pos); record is None at stream end. Non-strict
+    mode scans forward to the next ``WARC/`` magic like the reference's
+    tolerant version-line search (warc.pyx:1183-1207).
+    """
+    n = len(data)
+    idx = data.find(WARC_MAGIC, pos)
+    if idx < 0:
+        return None, n
+    if strict and data[pos:idx].strip(b"\r\n"):
+        raise ValueError(f"garbage before record at offset {pos}")
+    eol = data.find(b"\n", idx)
+    if eol < 0:
+        return None, n
+    version = data[idx:eol].rstrip(b"\r").decode("ascii", "replace")
+    headers, body_start = parse_header_block(data, eol + 1)
+    rec = WarcRecord(stream_pos=idx, warc_version=version, headers=headers)
+    try:
+        rec.content_length = int(rec.header("Content-Length") or 0)
+    except ValueError:
+        rec.content_length = 0
+    body_end = min(body_start + rec.content_length, n)
+    rec.payload = data[body_start:body_end]
+    rec.record_id = rec.header("WARC-Record-ID")
+    rtype = (rec.header("WARC-Type") or "").lower()
+    rec.record_type = rtype if rtype in RECORD_TYPES else "unknown"
+    rec.warc_date = _parse_warc_date(rec.header("WARC-Date"))
+    rec.target_uri = rec.header("WARC-Target-URI")
+    rec.concurrent_to = rec.header("WARC-Concurrent-To")
+    next_pos = body_end
+    # consume the record-separating blank lines (\r\n\r\n)
+    while next_pos < n and data[next_pos : next_pos + 1] in (b"\r", b"\n"):
+        next_pos += 1
+    rec.record_length = next_pos - idx
+    return rec, next_pos
+
+
+def iter_warc_bytes(
+    data: bytes,
+    *,
+    record_types: frozenset[str] | None = None,
+    min_content_length: int = -1,
+    max_content_length: int = -1,
+    parse_http: bool = True,
+    verify_digests: bool = False,
+    func_filter: Callable[[WarcRecord], bool] | None = None,
+    keep_meta_on_strip: bool = False,
+    strict: bool = False,
+    stream_pos_base: int = 0,
+) -> Iterator[WarcRecord]:
+    """Iterate records from an UNCOMPRESSED byte buffer with the
+    reference's cheap-first filter cascade (warc.pyx:1238-1248)."""
+    pos = 0
+    while True:
+        rec, pos = parse_record_at(data, pos, strict=strict)
+        if rec is None:
+            return
+        rec.stream_pos += stream_pos_base
+        # filter cascade: cheapest first, skip without further work
+        if record_types is not None and rec.record_type not in record_types:
+            continue
+        if min_content_length >= 0 and rec.content_length < min_content_length:
+            continue
+        if max_content_length >= 0 and rec.content_length > max_content_length:
+            if not keep_meta_on_strip:
+                continue
+            rec.payload = b""
+            rec.truncated = True  # beam/warcio.py:145-149 keep-meta semantics
+        if verify_digests:
+            rec.block_digest_ok = _verify_digest(rec.header("WARC-Block-Digest"), rec.payload)
+        if parse_http and rec.record_type in ("response", "request") and not rec.truncated:
+            raw = rec.payload
+            _parse_http_payload(rec, raw)
+            if verify_digests and rec.is_http:
+                rec.payload_digest_ok = _verify_digest(
+                    rec.header("WARC-Payload-Digest"), rec.payload
+                )
+        if func_filter is not None and not func_filter(rec):
+            continue
+        yield rec
+
+
+def _iter_gzip_members(data: bytes) -> Iterator[tuple[int, bytes]]:
+    """Yield (compressed_offset, decompressed_bytes) per gzip member.
+
+    Member-per-record .warc.gz is the splittable layout the reference
+    writes (stream_io.pyx:561-591); offsets let stream_pos refer to the
+    compressed stream exactly like FastWARC's.
+    """
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if not data.startswith(GZIP_MAGIC, pos):
+            break
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out = d.decompress(data[pos:])
+        consumed = (n - pos) - len(d.unused_data)
+        yield pos, out
+        pos += consumed
+
+
+def decode_warc_stream(data: bytes) -> Iterator[tuple[int, bytes]]:
+    """Negotiate compression and yield (stream_pos_base, plain_bytes)
+    chunks, one per compression member (or one for the whole stream)."""
+    kind = detect_stream_type(data[:8])
+    if kind == "gzip":
+        yield from _iter_gzip_members(data)
+    elif kind == "lz4":
+        if _lz4frame is None:
+            raise RuntimeError("LZ4-compressed WARC requires the 'lz4' package")
+        yield 0, _lz4frame.decompress(data)
+    else:
+        yield 0, data
+
+
+def iter_warc(
+    source: str | bytes | BinaryIO,
+    **kwargs,
+) -> Iterator[WarcRecord]:
+    """Iterate WARC records from a path, bytes, or file-like object with
+    automatic stream-type negotiation (the ArchiveIterator equivalent)."""
+    if isinstance(source, (str, bytes)):
+        data = open(source, "rb").read() if isinstance(source, str) else source
+    else:
+        data = source.read()
+    for base, plain in decode_warc_stream(data):
+        # records never span gzip members in the member-per-record layout;
+        # multi-record members parse fine too (offsets then member-relative)
+        yield from iter_warc_bytes(plain, stream_pos_base=base, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# Writer (S9/S10: warc.pyx:840-938 + member framing stream_io.pyx:561-591)
+# --------------------------------------------------------------------------
+
+
+def _b32_sha1(data: bytes) -> str:
+    return "sha1:" + base64.b32encode(hashlib.sha1(data).digest()).decode("ascii")
+
+
+def serialize_record(
+    rec: WarcRecord,
+    *,
+    checksum_data: bool = True,
+) -> bytes:
+    """Serialize one record (headers + payload + trailing CRLFs).
+
+    When ``checksum_data`` is set, Content-Length and the SHA-1 block
+    digest are recomputed from the payload, mirroring
+    WarcRecord.write(checksum_data=True) (warc.pyx:840-938).
+    """
+    headers = list(rec.headers)
+    if checksum_data:
+        headers = [
+            (k, v)
+            for k, v in headers
+            if k.lower() not in ("content-length", "warc-block-digest")
+        ]
+        headers.append(("Content-Length", str(len(rec.payload))))
+        headers.append(("WARC-Block-Digest", _b32_sha1(rec.payload)))
+    buf = io.BytesIO()
+    buf.write(rec.warc_version.encode("ascii") + b"\r\n")
+    for k, v in headers:
+        buf.write(f"{k}: {v}".encode("utf-8") + b"\r\n")
+    buf.write(b"\r\n")
+    buf.write(rec.payload)
+    buf.write(b"\r\n\r\n")
+    return buf.getvalue()
+
+
+def write_warc(
+    records,
+    path: str,
+    *,
+    compression: str = "none",
+    checksum_data: bool = True,
+) -> int:
+    """Write records to a WARC file; gzip = one member per record so the
+    output is splittable (S9). Returns the number of records written."""
+    n = 0
+    with open(path, "wb") as f:
+        for rec in records:
+            blob = serialize_record(rec, checksum_data=checksum_data)
+            if compression == "gzip":
+                f.write(gzip.compress(blob, mtime=0))
+            elif compression == "lz4":
+                if _lz4frame is None:
+                    raise RuntimeError("lz4 package not available")
+                f.write(_lz4frame.compress(blob))
+            else:
+                f.write(blob)
+            n += 1
+    return n

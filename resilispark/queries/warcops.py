@@ -1,6 +1,237 @@
-"""WARC-engine queries (filled in as the datasource/kernels land)."""
+"""WARC-engine queries over the deterministic golden fixture.
+
+Each query runs the real scan pipeline (the ``warc`` data source) and is
+checked against a CONSTANT-SQL oracle — the same golden-count test
+strategy as the reference's suite (tests/fastwarc/test_warc.py:21-32:
+50 records, 16 per type; tests/resiliparse/beam/test_warcio.py:46-61:
+33 records under max_content_length=500).
+
+The fixture (.fixtures/golden-50.warc{,.gz}) is seeded and
+byte-identical across runs, so the constants are stable goldens, not
+snapshots of arbitrary behavior.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _warc(spark: SparkSession, compressed: bool = True, **options: str) -> DataFrame:
+    from resilispark.datasource import register
+    from resilispark.io.fixtures import ensure_fixture_dir
+    from resilispark.session import ensure_workers_can_import
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_workers_can_import(spark)
+    register(spark)
+    d = ensure_fixture_dir()
+    path = f"{d}/golden-50.warc.gz" if compressed else f"{d}/golden-50.warc"
+    reader = spark.read.format("warc")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def w01_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P1 + A1: full scan, count per record type (golden 16/16/16/2)."""
+    return (
+        _warc(spark)
+        .groupBy("record_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("record_type")
+    )
+
+
+ORACLE_W01 = """
+SELECT * FROM (VALUES
+  ('metadata', CAST(16 AS BIGINT)),
+  ('request',  CAST(16 AS BIGINT)),
+  ('response', CAST(16 AS BIGINT)),
+  ('warcinfo', CAST(2  AS BIGINT))) t(record_type, n)
+ORDER BY record_type
+"""
+
+
+def w02_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: max_content_length pushdown at the scan (golden 33-of-50,
+    beam/test_warcio.py:46-61). parse_http=false keeps the raw header
+    Content-Length semantics of the reference's filter."""
+    df = _warc(spark, parse_http="false", max_content_length="500")
+    return df.agg(F.count(F.lit(1)).alias("n_records"))
+
+
+ORACLE_W02 = "SELECT CAST(33 AS BIGINT) AS n_records"
+
+
+def w03_status_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP parse path: status distribution over response records."""
+    return (
+        _warc(spark, record_types="response")
+        .groupBy("http_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("http_status").asc_nulls_first())
+    )
+
+
+ORACLE_W03 = """
+SELECT * FROM (VALUES
+  (200, CAST(9 AS BIGINT)),
+  (301, CAST(3 AS BIGINT)),
+  (404, CAST(2 AS BIGINT)),
+  (500, CAST(2 AS BIGINT))) t(http_status, n)
+ORDER BY http_status
+"""
+
+
+def w04_concurrent_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: request<->response pairing via WARC-Concurrent-To
+    (is_concurrent predicate, warc.pyx:1336-1343), aggregated by the
+    paired response's status."""
+    df = _warc(spark)
+    resp = df.filter(F.col("record_type") == "response").select(
+        F.col("record_id").alias("resp_id"), "http_status"
+    )
+    req = df.filter(F.col("record_type") == "request").select(
+        F.col("concurrent_to").alias("resp_ref"), F.col("record_id").alias("req_id")
+    )
+    return (
+        resp.join(req, resp.resp_id == req.resp_ref)
+        .groupBy("http_status")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("http_status")
+    )
+
+
+ORACLE_W04 = """
+SELECT * FROM (VALUES
+  (200, CAST(9 AS BIGINT)),
+  (301, CAST(3 AS BIGINT)),
+  (404, CAST(2 AS BIGINT)),
+  (500, CAST(2 AS BIGINT))) t(http_status, n_pairs)
+ORDER BY http_status
+"""
+
+
+def w05_cdxj_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/S11: CDXJ record-length derivation — next record's offset minus
+    own offset via lead() (fastwarc cli.py:276-283) — validated against
+    the parser's own record_length on the uncompressed fixture."""
+    df = _warc(spark, compressed=False)
+    w = W.partitionBy("filename").orderBy("stream_pos")
+    led = df.select(
+        "filename",
+        "stream_pos",
+        "record_length",
+        (F.lead("stream_pos").over(w) - F.col("stream_pos")).alias("derived_length"),
+    )
+    return led.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(
+            F.when(
+                F.col("derived_length").isNull()
+                | (F.col("derived_length") == F.col("record_length")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_length_match"),
+        F.max(F.col("stream_pos") + F.col("record_length")).alias("end_of_last"),
+    )
+
+
+# 41199 = byte size of golden-50.warc (deterministic fixture)
+ORACLE_W05 = """
+SELECT CAST(50 AS BIGINT) AS n_records,
+       CAST(50 AS BIGINT) AS n_length_match,
+       CAST(41199 AS BIGINT) AS end_of_last
+"""
+
+
+def w06_digest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/F18 + A3: digest-verification summary (fastwarc cli.py:130-182
+    'check' command shape): ok / failed / no-digest counts."""
+    df = _warc(spark, verify_digests="true")
+    status = (
+        F.when(F.col("block_digest_ok").isNull(), "no_digest")
+        .when(F.col("block_digest_ok"), "ok")
+        .otherwise("failed")
+    )
+    return (
+        df.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
+ORACLE_W06 = """
+SELECT * FROM (VALUES
+  ('failed',    CAST(1  AS BIGINT)),
+  ('no_digest', CAST(36 AS BIGINT)),
+  ('ok',        CAST(13 AS BIGINT))) t(status, n)
+ORDER BY status
+"""
+
+
+def w07_version_and_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P7: warc_version predicate + header-multimap projection — count
+    records per version and records carrying duplicate header keys
+    (duplicates preserved per warc.pyx:367-374)."""
+    df = _warc(spark)
+    dup_keys = F.size(F.col("headers")) - F.size(
+        F.array_distinct(F.transform(F.col("headers"), lambda h: F.lower(h["key"])))
+    )
+    return (
+        df.select("warc_version", (dup_keys > 0).alias("has_dup_header"))
+        .groupBy("warc_version", "has_dup_header")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("warc_version", "has_dup_header")
+    )
+
+
+ORACLE_W07 = """
+SELECT * FROM (VALUES
+  ('WARC/1.0', false, CAST(4 AS BIGINT)),
+  ('WARC/1.1', false, CAST(45 AS BIGINT)),
+  ('WARC/1.1', true,  CAST(1 AS BIGINT))) t(warc_version, has_dup_header, n)
+ORDER BY warc_version, has_dup_header
+"""
+
+
+def w08_split_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5-style byte-range splitting: forcing ~8 KiB splits on the plain
+    fixture must yield the identical record set (no drops/dupes at split
+    boundaries — the seek-align invariant of beam/textio.py:189-193)."""
+    df = _warc(spark, compressed=False, split_bytes="8192")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct("record_id").alias("n_distinct_ids"),
+    )
+
+
+ORACLE_W08 = """
+SELECT CAST(50 AS BIGINT) AS n_records, CAST(50 AS BIGINT) AS n_distinct_ids
+"""
+
+
+QUERIES = {
+    "w01_type_counts": w01_type_counts,
+    "w02_length_filter": w02_length_filter,
+    "w03_status_dist": w03_status_dist,
+    "w04_concurrent_join": w04_concurrent_join,
+    "w05_cdxj_offsets": w05_cdxj_offsets,
+    "w06_digest_summary": w06_digest_summary,
+    "w07_version_and_headers": w07_version_and_headers,
+    "w08_split_invariance": w08_split_invariance,
+}
+
+ORACLES = {
+    "w01_type_counts": ORACLE_W01,
+    "w02_length_filter": ORACLE_W02,
+    "w03_status_dist": ORACLE_W03,
+    "w04_concurrent_join": ORACLE_W04,
+    "w05_cdxj_offsets": ORACLE_W05,
+    "w06_digest_summary": ORACLE_W06,
+    "w07_version_and_headers": ORACLE_W07,
+    "w08_split_invariance": ORACLE_W08,
+}

@@ -35,6 +35,35 @@ def get_spark(app_name: str = "resilispark", cpus: int | None = None) -> SparkSe
     return spark
 
 
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Make the resilispark package importable inside Spark Python workers.
+
+    The WARC data source and the kernel UDFs are pickled by reference, so
+    executors must be able to ``import resilispark`` on their own — the
+    host application's ``sys.path`` is not inherited. We zip the package
+    and ship it with addPyFile (idempotent per session); on a real
+    cluster this is exactly how the engine deploys.
+    """
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(os.path.dirname(pkg_dir), ".fixtures", "resilispark.zip")
+    os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                sources.append(os.path.join(root, fn))
+    newest = max(os.path.getmtime(s) for s in sources)
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+            for s in sorted(sources):
+                arc = os.path.join("resilispark", os.path.relpath(s, pkg_dir))
+                zf.write(s, arc)
+        os.replace(zip_path + ".tmp", zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Normalize a session we did not create (e.g. the driver's).
 
