@@ -1,0 +1,25 @@
+"""Kernel function library (SURVEY.md §2.8 F-series).
+
+Pure-Python, batch-vectorizable re-implementations of the reference's
+parse/extract kernels, packaged as pandas UDFs (see
+``resilispark.functions.registry``) so they run Arrow-batched inside
+Spark executors and are callable from both DataFrame code and SQL.
+"""
+
+from resilispark.functions.encoding import bytes_to_str, detect_encoding, detect_mime
+from resilispark.functions.html import extract_plain_text, html_title, select_css
+from resilispark.functions.http import decode_http_body, iterate_http_chunks
+from resilispark.functions.lang import detect_fast, supported_langs
+
+__all__ = [
+    "bytes_to_str",
+    "detect_encoding",
+    "detect_mime",
+    "extract_plain_text",
+    "html_title",
+    "select_css",
+    "decode_http_body",
+    "iterate_http_chunks",
+    "detect_fast",
+    "supported_langs",
+]

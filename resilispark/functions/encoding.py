@@ -1,0 +1,251 @@
+"""Charset detection, resilient decoding, and MIME sniffing kernels.
+
+Re-implements the observable behavior of
+resiliparse-py/resiliparse/parse/encoding.pyx:
+
+ - ``detect_encoding`` (encoding.pyx:196-258): BOM probe, optional HTML
+   ``<meta charset>`` probe of the first 1024 bytes, statistical
+   detection (UTF-8 validity scan + byte-distribution heuristics in
+   place of uchardet — a documented detector delta), head+tail sampling
+   above ``max_len``, WHATWG name canonicalization, UTF-8 fallback.
+ - ``map_encoding_to_html5`` (encoding.pyx:261-302): WHATWG
+   encoding-label remap (independently built from the public WHATWG
+   encoding spec, same rule set the reference encodes).
+ - ``bytes_to_str`` (encoding.pyx:320-367): decode with fallback chain
+   and BOM stripping; never raises.
+ - ``detect_mime`` (encoding.pyx:370-406): magic-byte sniff + XHTML/SVG
+   refinement + unprintable-ratio text/binary split.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+
+# WHATWG encoding-label map (subset covering the labels that differ from
+# their canonical python codec; built from the public WHATWG spec table).
+_WHATWG_MAP = {
+    "iso-8859-1": "cp1252",
+    "latin1": "cp1252",
+    "latin-1": "cp1252",
+    "us-ascii": "cp1252",
+    "ascii": "cp1252",
+    "windows-1252": "cp1252",
+    "x-cp1252": "cp1252",
+    "iso-8859-9": "cp1254",
+    "latin5": "cp1254",
+    "iso-8859-11": "cp874",
+    "tis-620": "cp874",
+    "windows-874": "cp874",
+    "shift-jis": "shift_jis",
+    "shift_jis": "shift_jis",
+    "sjis": "shift_jis",
+    "x-sjis": "shift_jis",
+    "ms932": "cp932",
+    "windows-31j": "cp932",
+    "euc-jp": "euc_jp",
+    "x-euc-jp": "euc_jp",
+    "euc-kr": "euc_kr",
+    "korean": "euc_kr",
+    "ks_c_5601-1987": "euc_kr",
+    "windows-949": "euc_kr",
+    "gb2312": "gbk",
+    "gb_2312": "gbk",
+    "x-gbk": "gbk",
+    "chinese": "gbk",
+    "big5": "big5",
+    "big5-hkscs": "big5hkscs",
+    "koi8-r": "koi8_r",
+    "koi8": "koi8_r",
+    "koi8-u": "koi8_u",
+    "mac": "mac_roman",
+    "macintosh": "mac_roman",
+    "x-mac-cyrillic": "mac_cyrillic",
+    "utf8": "utf-8",
+    "unicode-1-1-utf-8": "utf-8",
+    "utf-16": "utf-16",
+    "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+    "iso-8859-2": "iso8859-2",
+    "latin2": "iso8859-2",
+    "iso-8859-5": "iso8859-5",
+    "iso-8859-6": "iso8859-6",
+    "iso-8859-7": "iso8859-7",
+    "iso-8859-8": "iso8859-8",
+    "iso-8859-8-i": "iso8859-8",
+    "iso-8859-13": "iso8859-13",
+    "iso-8859-15": "iso8859-15",
+    "windows-1250": "cp1250",
+    "windows-1251": "cp1251",
+    "windows-1253": "cp1253",
+    "windows-1254": "cp1254",
+    "windows-1255": "cp1255",
+    "windows-1256": "cp1256",
+    "windows-1257": "cp1257",
+    "windows-1258": "cp1258",
+}
+
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([\w][\w.:-]*)""", re.IGNORECASE
+)
+_BOMS = (
+    (codecs.BOM_UTF8, "utf-8"),
+    (codecs.BOM_UTF32_LE, "utf-32-le"),
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+
+
+def map_encoding_to_html5(encoding: str | None, fallback_utf8: bool = True) -> str | None:
+    """WHATWG label canonicalization (encoding.pyx:261-302)."""
+    if not encoding:
+        return "utf-8" if fallback_utf8 else None
+    label = encoding.strip().lower()
+    mapped = _WHATWG_MAP.get(label, label)
+    try:
+        return codecs.lookup(mapped).name
+    except LookupError:
+        return "utf-8" if fallback_utf8 else None
+
+
+def _is_valid_utf8(data: bytes) -> bool:
+    try:
+        data.decode("utf-8", "strict")
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
+def detect_encoding(
+    data: bytes,
+    max_len: int = 131072,
+    html5_compatible: bool = True,
+    from_html_meta: bool = False,
+) -> str:
+    """Charset detection (encoding.pyx:196-258).
+
+    Head+tail sampling above max_len, BOM probe, optional <meta charset>
+    probe of the first 1024 bytes, then a statistical pass: strict UTF-8
+    validity, else byte-distribution heuristics, else cp1252.
+    """
+    if data is None:
+        return "utf-8"
+    if len(data) > max_len:
+        half = max_len // 2
+        data = data[:half] + data[-half:]
+    for bom, enc in _BOMS:
+        if data.startswith(bom):
+            return map_encoding_to_html5(enc) if html5_compatible else enc
+    if from_html_meta:
+        m = _META_CHARSET.search(data[:1024])
+        if m:
+            enc = map_encoding_to_html5(m.group(1).decode("ascii", "replace"), fallback_utf8=False)
+            if enc:
+                return enc
+    if not data:
+        return "utf-8"
+    if _is_valid_utf8(data):
+        return "utf-8"
+    # byte-distribution heuristics for common legacy encodings
+    n = len(data)
+    hi = sum(1 for b in data if b >= 0x80)
+    if hi == 0:
+        return "utf-8"
+    # UTF-16 heuristics: many interleaved NULs
+    nul_even = sum(1 for i in range(0, min(n, 4096), 2) if data[i] == 0)
+    nul_odd = sum(1 for i in range(1, min(n, 4096), 2) if data[i] == 0)
+    if nul_odd > min(n, 4096) // 5:
+        return "utf-16-le"
+    if nul_even > min(n, 4096) // 5:
+        return "utf-16-be"
+    for enc in ("shift_jis", "euc_kr", "gbk"):
+        try:
+            data.decode(enc, "strict")
+            # require multibyte sequences to actually dominate the high bytes
+            if hi / n > 0.15:
+                return enc
+        except UnicodeDecodeError:
+            continue
+    return "cp1252" if html5_compatible else "iso-8859-1"
+
+
+def bytes_to_str(
+    data: bytes,
+    encoding: str = "utf-8",
+    errors: str = "ignore",
+    fallback_encodings: tuple[str, ...] = ("utf-8", "cp1252"),
+    strip_bom: bool = True,
+) -> str:
+    """Decode with a fallback chain; never raises (encoding.pyx:320-367)."""
+    if data is None:
+        return ""
+    tried = []
+    for enc in (encoding, *fallback_encodings):
+        enc_norm = map_encoding_to_html5(enc)
+        if enc_norm in tried:
+            continue
+        tried.append(enc_norm)
+        try:
+            s = data.decode(enc_norm, "strict")
+            break
+        except (UnicodeDecodeError, LookupError):
+            continue
+    else:
+        s = data.decode(map_encoding_to_html5(encoding) or "utf-8", errors)
+    if strip_bom and s.startswith("﻿"):
+        s = s[1:]
+    return s
+
+
+# magic-byte table (encoding.pyx:370-406 rule class)
+_MAGIC = (
+    (b"%PDF-", "application/pdf"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"BM", "image/bmp"),
+    (b"\x1f\x8b", "application/gzip"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"PK\x05\x06", "application/zip"),
+    (b"Rar!\x1a\x07", "application/x-rar-compressed"),
+    (b"\x7fELF", "application/octet-stream"),
+    (b"MZ", "application/octet-stream"),
+    (b"OggS", "audio/ogg"),
+    (b"RIFF", "audio/x-wav"),
+    (b"\x00\x00\x00\x1cftyp", "video/mp4"),
+    (b"\x00\x00\x00\x18ftyp", "video/mp4"),
+    (b"%!PS", "application/postscript"),
+)
+
+_HTML_TOKENS = re.compile(
+    rb"<(?:!doctype\s+html|html|head|body|title|div|p|a\s|meta|script|h1)", re.IGNORECASE
+)
+_XML_DECL = re.compile(rb"^\s*<\?xml", re.IGNORECASE)
+
+
+def detect_mime(data: bytes, max_unprintable: float = 0.05) -> str:
+    """MIME sniff: magic bytes -> XHTML/SVG refinement -> text/binary
+    split by unprintable ratio (encoding.pyx:370-406)."""
+    if not data:
+        return "application/octet-stream"
+    head = data[:64]
+    for magic, mime in _MAGIC:
+        if head.startswith(magic):
+            if mime == "image/bmp" and len(data) < 14:
+                continue
+            return mime
+    probe = data[:4096]
+    if _XML_DECL.match(probe) or probe.lstrip()[:1] == b"<":
+        if _HTML_TOKENS.search(probe):
+            return "text/html"
+        if b"<svg" in probe[:1024].lower():
+            return "image/svg+xml"
+        if _XML_DECL.match(probe):
+            return "application/xml"
+    sample = data[:4096]
+    unprintable = sum(1 for b in sample if b < 0x09 or (0x0E <= b < 0x20) or b == 0x7F)
+    if unprintable / len(sample) > max_unprintable:
+        return "application/octet-stream"
+    return "text/plain"

@@ -1,0 +1,443 @@
+"""HTML parsing, CSS selection, and plain-text extraction kernels.
+
+From-scratch stdlib-only re-implementation of the reference's HTML
+surface (resiliparse-py/resiliparse/parse/html.pyx — lexbor-backed DOM
+with query_selector et al. — and resiliparse/extract/html2text.pyx —
+the DOM-walk plain-text serializer with main-content heuristics).
+
+Documented divergences from the reference: the tokenizer is Python's
+``html.parser`` (tolerant, but not a full HTML5 tree builder — no
+implicit ``<p>`` auto-closing or foster parenting), and the
+main-content rule stack implements the same rule *classes* (candidate
+selectors, class/id regex blacklists, link-density pruning:
+html2text.pyx:469-520, 530-728) with an independently-written rule
+table rather than a verbatim port.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# elements whose subtree never contributes text (html2text.pyx:806-815)
+SKIP_ELEMENTS = frozenset(
+    "script style iframe template object video audio svg canvas noscript".split()
+)
+
+BLOCK_ELEMENTS = frozenset(
+    (
+        "address article aside blockquote body center dd details dialog dir div dl dt "
+        "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr html "
+        "legend li listing main menu nav ol p plaintext pre section summary table tbody "
+        "td tfoot th thead tr ul"
+    ).split()
+)
+
+# paragraph-level blocks get a blank line around them in formatted mode
+DOUBLE_MARGIN = frozenset(
+    "article blockquote div figure footer h1 h2 h3 h4 h5 h6 header main p pre section table".split()
+)
+
+
+class Node:
+    """Minimal DOM node: element or text."""
+
+    __slots__ = ("tag", "attrs", "children", "parent", "text")
+
+    def __init__(self, tag: str | None, attrs: dict | None = None, text: str | None = None):
+        self.tag = tag  # None for text nodes
+        self.attrs = attrs or {}
+        self.children: list[Node] = []
+        self.parent: Node | None = None
+        self.text = text
+
+    # -- accessors mirroring DOMNode (html.pyx:522-1332) -------------------
+    @property
+    def is_text(self) -> bool:
+        return self.tag is None
+
+    def attr(self, name: str) -> str | None:
+        return self.attrs.get(name)
+
+    @property
+    def class_list(self) -> list[str]:
+        return (self.attrs.get("class") or "").split()
+
+    def iter(self):
+        """Pre-order traversal (traverse_dom, html.pyx:1885-1935)."""
+        yield self
+        for c in self.children:
+            yield from c.iter()
+
+    def iter_elements(self):
+        for n in self.iter():
+            if not n.is_text:
+                yield n
+
+    def full_text(self) -> str:
+        return "".join(n.text or "" for n in self.iter() if n.is_text)
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        node.parent = self.stack[-1]
+        self.stack[-1].children.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        node.parent = self.stack[-1]
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignored (tolerant parsing)
+
+    def handle_data(self, data):
+        if data:
+            node = Node(None, text=data)
+            node.parent = self.stack[-1]
+            self.stack[-1].children.append(node)
+
+
+def parse_html(html: str) -> Node:
+    """Parse an HTML string into a Node tree (HTMLTree.parse,
+    html.pyx:1734-1747)."""
+    b = _TreeBuilder()
+    try:
+        b.feed(html or "")
+        b.close()
+    except Exception:
+        pass  # resilient: return whatever was built
+    return b.root
+
+
+# --------------------------------------------------------------------------
+# CSS selector subset (query_selector*, html.pyx:309-393)
+# --------------------------------------------------------------------------
+
+_SEL_PART = re.compile(
+    r"(?P<tag>[a-zA-Z][\w-]*|\*)?"
+    r"(?P<quals>(?:[.#][\w-]+|\[[^\]]+\])*)"
+)
+_QUAL = re.compile(r"([.#])([\w-]+)|\[([^\]=~|^$*]+)(?:([~|^$*]?=)\"?([^\]\"]*)\"?)?\]")
+
+
+def _compile_simple(sel: str):
+    m = _SEL_PART.fullmatch(sel.strip())
+    if not m:
+        raise ValueError(f"unsupported selector part: {sel!r}")
+    tag = m.group("tag")
+    tag = None if tag in (None, "*") else tag.lower()
+    checks = []
+    for qm in _QUAL.finditer(m.group("quals") or ""):
+        if qm.group(1) == ".":
+            cls = qm.group(2)
+            checks.append(lambda n, c=cls: c in n.class_list)
+        elif qm.group(1) == "#":
+            ident = qm.group(2)
+            checks.append(lambda n, i=ident: n.attr("id") == i)
+        else:
+            attr, op, val = qm.group(3), qm.group(4), qm.group(5)
+            attr = attr.strip().lower()
+            if op is None:
+                checks.append(lambda n, a=attr: n.attr(a) is not None)
+            elif op == "=":
+                checks.append(lambda n, a=attr, v=val: n.attr(a) == v)
+            elif op == "~=":
+                checks.append(lambda n, a=attr, v=val: v in (n.attr(a) or "").split())
+            elif op == "^=":
+                checks.append(lambda n, a=attr, v=val: (n.attr(a) or "").startswith(v))
+            elif op == "$=":
+                checks.append(lambda n, a=attr, v=val: (n.attr(a) or "").endswith(v))
+            elif op == "*=":
+                checks.append(lambda n, a=attr, v=val: v in (n.attr(a) or ""))
+
+    def match(n: Node) -> bool:
+        if n.is_text:
+            return False
+        if tag is not None and n.tag != tag:
+            return False
+        return all(c(n) for c in checks)
+
+    return match
+
+
+def _compile_selector(selector: str):
+    """Compile one comma-free selector with descendant/child combinators."""
+    tokens = selector.replace(">", " > ").split()
+    parts = []  # list of (combinator, matcher); combinator '' for first
+    comb = ""
+    for tok in tokens:
+        if tok == ">":
+            comb = ">"
+            continue
+        parts.append((comb, _compile_simple(tok)))
+        comb = " "
+    if not parts:
+        raise ValueError(f"empty selector: {selector!r}")
+
+    def matches(n: Node) -> bool:
+        # match right-to-left walking ancestors
+        idx = len(parts) - 1
+        if not parts[idx][1](n):
+            return False
+        cur = n
+        idx -= 1
+        comb_right = parts[idx + 1][0]
+        while idx >= 0:
+            comb, matcher = parts[idx]
+            anc = cur.parent
+            if comb_right == ">":
+                if anc is None or not matcher(anc):
+                    return False
+                cur = anc
+            else:
+                while anc is not None and not matcher(anc):
+                    anc = anc.parent
+                if anc is None:
+                    return False
+                cur = anc
+            comb_right = comb
+            idx -= 1
+        return True
+
+    return matches
+
+
+def query_selector_all(root: Node, selector: str, first_only: bool = False) -> list[Node]:
+    """CSS select over the subtree (query_selector_all,
+    html.pyx:1071-1123); first_only mirrors the LXB_STATUS_STOP
+    early-exit of the single-match variant (html.pyx:303-306)."""
+    matchers = [_compile_selector(s) for s in selector.split(",") if s.strip()]
+    out = []
+    for n in root.iter_elements():
+        if any(m(n) for m in matchers):
+            out.append(n)
+            if first_only:
+                break
+    return out
+
+
+def select_css(html: str, selector: str, text_only: bool = True) -> list[str]:
+    """Engine-level projection: text (or tag) of all CSS matches."""
+    root = parse_html(html)
+    nodes = query_selector_all(root, selector)
+    if text_only:
+        return [_collapse(n.full_text()) for n in nodes]
+    return [n.tag or "" for n in nodes]
+
+
+def html_title(html: str) -> str | None:
+    """<title> text (HTMLTree.title, html.pyx:1769-1789)."""
+    root = parse_html(html)
+    found = query_selector_all(root, "title", first_only=True)
+    return _collapse(found[0].full_text()) if found else None
+
+
+# --------------------------------------------------------------------------
+# Plain-text extraction (extract_plain_text, html2text.pyx:736-933)
+# --------------------------------------------------------------------------
+
+_WS = re.compile(r"[ \t\r\n\f\v]+")
+# class/id boilerplate blacklist — same rule class as html2text.pyx:469-489
+_BOILERPLATE = re.compile(
+    r"(?:^|[-_ ])(?:sidebar|sidenav|breadcrumbs?|social(?:-media)?|share|sharing|"
+    r"cookie|consent|banner|advert|ad-?block|sponsor|promo|related|recommend|"
+    r"popup|modal|newsletter|subscribe|comment|disqus|pagination|pager|"
+    r"menu|navigation|nav-?bar|footer|copyright|skip-?link)(?:[-_ ]|$)",
+    re.IGNORECASE,
+)
+_MAIN_CANDIDATES = (  # html2text.pyx:879-888 rule class
+    "main",
+    "[role=main]",
+    "article",
+    ".article-body",
+    ".articlebody",
+    ".post-content",
+    ".postcontent",
+    ".main-content",
+    "#main",
+    "#content",
+)
+
+
+def _collapse(s: str) -> str:
+    return _WS.sub(" ", s).strip()
+
+
+def _is_hidden(n: Node) -> bool:
+    if n.attr("hidden") is not None:
+        return True
+    if (n.attr("aria-hidden") or "").lower() == "true":
+        return True
+    style = (n.attr("style") or "").replace(" ", "").lower()
+    return "display:none" in style or "visibility:hidden" in style
+
+
+def _link_density(n: Node) -> float:
+    """Share of text inside <a> (link-cluster filter, html2text.pyx:498-520)."""
+    total = len(n.full_text().strip())
+    if total == 0:
+        return 0.0
+    link = 0
+    for a in n.iter_elements():
+        if a.tag == "a":
+            link += len(a.full_text().strip())
+    return min(1.0, link / total)
+
+
+def _find_main_root(root: Node) -> Node:
+    for sel in _MAIN_CANDIDATES:
+        found = query_selector_all(root, sel)
+        if len(found) == 1:
+            return found[0]
+    return root
+
+
+def extract_plain_text(
+    html: str,
+    *,
+    preserve_formatting: bool = True,
+    main_content: bool = False,
+    list_bullets: bool = True,
+    alt_texts: bool = False,
+    links: bool = False,
+    form_fields: bool = False,
+    noscript: bool = False,
+    skip_elements: list[str] | None = None,
+) -> str:
+    """DOM walk -> plain text (the F9 flagship kernel).
+
+    Single pre-order traversal with end-tag tracking mirroring
+    html2text.pyx:911-931; block margins, <br>, <pre>, bullets and
+    numbered lists, optional link-href suffixing / alt-texts /
+    form-field rendering; main_content prunes navigation, boilerplate
+    (class/id regex) and link-dense clusters.
+    """
+    root = parse_html(html)
+    skip = set(SKIP_ELEMENTS)
+    if noscript:
+        skip.discard("noscript")
+    if skip_elements:
+        for sel in skip_elements:
+            for n in query_selector_all(root, sel):
+                n.children = []
+                n.tag = "#skipped"
+        skip.add("#skipped")
+
+    base = _find_main_root(root) if main_content else root
+    out: list[str] = []  # list of text runs; "\n" markers for breaks
+    ol_counters: list[int] = []
+
+    def emit_margin(double: bool):
+        if not preserve_formatting:
+            out.append(" ")  # block boundary still separates words
+            return
+        # normalize: at most one blank line between blocks
+        while out and out[-1] == "\n":
+            out.pop()
+        if out:
+            out.append("\n")
+            if double:
+                out.append("\n")
+
+    def walk(n: Node, in_pre: bool):
+        if n.is_text:
+            if n.text:
+                if in_pre and preserve_formatting:
+                    # \x01 protects pre whitespace through the serializer
+                    out.append(n.text.replace(" ", "\x01").replace("\t", "\x01\x01"))
+                else:
+                    t = _WS.sub(" ", n.text)
+                    if t:
+                        out.append(t)
+            return
+        tag = n.tag
+        if tag in skip or tag == "head":
+            return  # head metadata (incl. <title>) is not body text
+        if _is_hidden(n):
+            return
+        if main_content:
+            ident = (n.attr("class") or "") + " " + (n.attr("id") or "")
+            if tag in ("nav", "aside", "footer", "header") and n is not base:
+                return
+            if (n.attr("role") or "").lower() in ("navigation", "banner", "contentinfo"):
+                return
+            if _BOILERPLATE.search(ident):
+                return
+            if tag in ("div", "section", "ul", "table") and len(n.full_text()) > 20 and _link_density(n) > 0.75:
+                return
+        is_block = tag in BLOCK_ELEMENTS
+        if tag == "br":
+            out.append("\n" if preserve_formatting else " ")
+            return
+        if tag == "img":
+            if alt_texts and n.attr("alt"):
+                out.append(_collapse(n.attr("alt")))
+            return
+        if tag == "input":
+            if form_fields and (n.attr("type") or "text") not in ("hidden",):
+                v = n.attr("value") or n.attr("placeholder") or ""
+                if v:
+                    out.append(_collapse(v))
+            return
+        if is_block:
+            emit_margin(tag in DOUBLE_MARGIN)
+        if tag == "ol":
+            ol_counters.append(0)
+        bullet_prefix = None
+        if tag == "li" and preserve_formatting and list_bullets:
+            if ol_counters:
+                ol_counters[-1] += 1
+                bullet_prefix = f"{ol_counters[-1]}. "
+            else:
+                bullet_prefix = "• "
+        if bullet_prefix:
+            out.append(bullet_prefix)
+        pre_now = in_pre or tag == "pre"
+        for c in n.children:
+            walk(c, pre_now)
+        if tag == "ol":
+            ol_counters.pop()
+        if tag == "a" and links and n.attr("href"):
+            out.append(f" ({n.attr('href')})")
+        if is_block:
+            emit_margin(tag in DOUBLE_MARGIN)
+
+    walk(base, False)
+
+    if not preserve_formatting:
+        return _collapse("".join(out))
+    # serializer: join runs, collapse spaces around newlines (html2text
+    # serializer semantics, :282-437); \x01 = protected pre whitespace
+    text = "".join(out)
+    lines = [_WS.sub(" ", ln).strip().replace("\x01", " ") for ln in text.split("\n")]
+    # strip leading/trailing empties, collapse 3+ blank lines to 1
+    res: list[str] = []
+    blank = 0
+    for ln in lines:
+        if not ln:
+            blank += 1
+            if blank > 1 or not res:
+                continue
+        else:
+            blank = 0
+        res.append(ln)
+    while res and not res[-1]:
+        res.pop()
+    return "\n".join(res)

@@ -1,0 +1,110 @@
+"""HTTP payload decoding kernels.
+
+ - chunked transfer-encoding decode: hex size line + CRLF framing
+   (resiliparse-py/resiliparse/parse/http.pyx:28-63);
+ - Content-/Transfer-Encoding chain decode applied in REVERSE header
+   order (fastwarc-py/fastwarc/warc.pyx:760-837): gzip/x-gzip, deflate
+   (zlib-wrapped or raw), brotli (gated: package not in the base image).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+try:  # optional codec
+    import brotli as _brotli  # type: ignore
+except Exception:  # pragma: no cover
+    _brotli = None
+
+
+def read_http_chunk(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Read one chunk at ``pos``; returns (chunk, next_pos); empty chunk
+    = terminator (http.pyx:28-46)."""
+    eol = data.find(b"\r\n", pos)
+    if eol < 0:
+        raise ValueError("malformed chunk: no size line")
+    size_token = data[pos:eol].split(b";", 1)[0].strip()
+    size = int(size_token, 16)
+    start = eol + 2
+    chunk = data[start : start + size]
+    if len(chunk) < size:
+        raise ValueError("truncated chunk")
+    next_pos = start + size
+    if data[next_pos : next_pos + 2] == b"\r\n":
+        next_pos += 2
+    return chunk, next_pos
+
+
+def iterate_http_chunks(data: bytes) -> Iterator[bytes]:
+    """Iterate chunks until the 0-size terminator (http.pyx:49-63)."""
+    pos = 0
+    while pos < len(data):
+        chunk, pos = read_http_chunk(data, pos)
+        if not chunk:
+            return
+        yield chunk
+
+
+def decode_chunked(data: bytes) -> bytes:
+    try:
+        return b"".join(iterate_http_chunks(data))
+    except ValueError:
+        return data  # resilient: undecodable -> raw
+
+
+def _decode_one(data: bytes, encoding: str) -> bytes:
+    enc = encoding.strip().lower()
+    if enc in ("gzip", "x-gzip"):
+        return zlib.decompress(data, wbits=zlib.MAX_WBITS | 16)
+    if enc == "deflate":
+        try:
+            return zlib.decompress(data)
+        except zlib.error:
+            return zlib.decompress(data, wbits=-zlib.MAX_WBITS)  # raw deflate
+    if enc == "br":
+        if _brotli is None:
+            raise RuntimeError("brotli package not available")
+        return _brotli.decompress(data)
+    if enc in ("chunked",):
+        return decode_chunked(data)
+    if enc in ("identity", ""):
+        return data
+    raise ValueError(f"unsupported encoding {encoding!r}")
+
+
+def decode_http_body(
+    data: bytes,
+    content_encoding: str | None = None,
+    transfer_encoding: str | None = None,
+) -> bytes:
+    """Undo Transfer-Encoding then Content-Encoding chains, each applied
+    in reverse declaration order (warc.pyx:816-835). Resilient: if any
+    step fails the bytes as of that step are returned."""
+    if data is None:
+        return b""
+    out = data
+    for header in (transfer_encoding, content_encoding):
+        if not header:
+            continue
+        encodings = [e.strip() for e in header.split(",") if e.strip()]
+        for enc in reversed(encodings):
+            try:
+                out = _decode_one(out, enc)
+            except Exception:
+                return out
+    return out
+
+
+def decode_http_body_from_headers(data: bytes, http_headers) -> bytes:
+    """Header-list convenience wrapper (headers as [(key, value), ...] or
+    list of {key,value} structs from the DataFrame column)."""
+    ce = te = None
+    for h in http_headers or ():
+        k, v = (h["key"], h["value"]) if isinstance(h, dict) else (h[0], h[1])
+        lk = (k or "").lower()
+        if lk == "content-encoding" and ce is None:
+            ce = v
+        elif lk == "transfer-encoding" and te is None:
+            te = v
+    return decode_http_body(data, ce, te)

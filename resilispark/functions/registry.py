@@ -1,0 +1,149 @@
+"""Arrow-vectorized UDF registration (SURVEY.md §2.11).
+
+Every kernel becomes a pandas UDF (batch in, batch out — the Python
+boundary is crossed columnar, not per row) and is additionally
+registered as a SQL function so the whole library is usable from
+``spark.sql``. Errors are captured per-row rather than failing the task
+(R4 exc_loop semantics, resiliparse/itertools.pyx:37-63): parse kernels
+return NULL on unparseable input, never raise.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _series_map(fn):
+    def apply(s: pd.Series) -> pd.Series:
+        out = []
+        for v in s:
+            try:
+                out.append(fn(v) if v is not None else None)
+            except Exception:
+                out.append(None)  # R4: quarantine, don't fail the task
+        return pd.Series(out, dtype=object)
+
+    return apply
+
+
+def make_udfs():
+    """Build the pandas-UDF dict (import-light so executors only pay for
+    what a query uses)."""
+    from resilispark.functions import encoding as enc
+    from resilispark.functions import html as H
+    from resilispark.functions import http as HT
+    from resilispark.functions import lang as L
+
+    @F.pandas_udf(T.StringType())
+    def detect_encoding(payload: pd.Series) -> pd.Series:
+        return _series_map(lambda b: enc.detect_encoding(bytes(b), from_html_meta=True))(payload)
+
+    @F.pandas_udf(T.StringType())
+    def to_str(payload: pd.Series, charset: pd.Series) -> pd.Series:
+        out = []
+        for b, cs in zip(payload, charset):
+            if b is None:
+                out.append(None)
+                continue
+            try:
+                out.append(enc.bytes_to_str(bytes(b), cs or "utf-8"))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    @F.pandas_udf(T.StringType())
+    def detect_mime(payload: pd.Series) -> pd.Series:
+        return _series_map(lambda b: enc.detect_mime(bytes(b)))(payload)
+
+    @F.pandas_udf(T.StringType())
+    def html_title(html: pd.Series) -> pd.Series:
+        return _series_map(H.html_title)(html)
+
+    @F.pandas_udf(T.StringType())
+    def extract_text(html: pd.Series) -> pd.Series:
+        return _series_map(lambda h: H.extract_plain_text(h, preserve_formatting=False))(html)
+
+    @F.pandas_udf(T.StringType())
+    def extract_text_formatted(html: pd.Series) -> pd.Series:
+        return _series_map(lambda h: H.extract_plain_text(h, preserve_formatting=True))(html)
+
+    @F.pandas_udf(T.StringType())
+    def extract_main_content(html: pd.Series) -> pd.Series:
+        return _series_map(
+            lambda h: H.extract_plain_text(h, preserve_formatting=False, main_content=True)
+        )(html)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def select_css(html: pd.Series, selector: pd.Series) -> pd.Series:
+        out = []
+        for h, sel in zip(html, selector):
+            if h is None or sel is None:
+                out.append(None)
+                continue
+            try:
+                out.append(H.select_css(h, sel))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("lang", T.StringType()),
+        T.StructField("rank", T.IntegerType()),
+    ]))
+    def detect_lang(text: pd.Series) -> pd.DataFrame:
+        langs, ranks = [], []
+        for t in text:
+            if t is None:
+                langs.append(None)
+                ranks.append(None)
+                continue
+            try:
+                lg, r = L.detect_fast(t)
+                langs.append(lg)
+                ranks.append(r)
+            except Exception:
+                langs.append(None)
+                ranks.append(None)
+        return pd.DataFrame({"lang": langs, "rank": pd.array(ranks, dtype="Int32")})
+
+    @F.pandas_udf(T.BinaryType())
+    def decode_http_body(payload: pd.Series, content_encoding: pd.Series, transfer_encoding: pd.Series) -> pd.Series:
+        out = []
+        for b, ce, te in zip(payload, content_encoding, transfer_encoding):
+            if b is None:
+                out.append(None)
+                continue
+            try:
+                out.append(HT.decode_http_body(bytes(b), ce, te))
+            except Exception:
+                out.append(bytes(b))
+        return pd.Series(out, dtype=object)
+
+    return {
+        "detect_encoding": detect_encoding,
+        "to_str": to_str,
+        "detect_mime": detect_mime,
+        "html_title": html_title,
+        "extract_text": extract_text,
+        "extract_text_formatted": extract_text_formatted,
+        "extract_main_content": extract_main_content,
+        "select_css": select_css,
+        "detect_lang": detect_lang,
+        "decode_http_body": decode_http_body,
+    }
+
+
+def register_functions(spark: SparkSession) -> dict:
+    """Register all kernels as SQL functions; returns the UDF dict for
+    DataFrame-side use."""
+    from resilispark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    udfs = make_udfs()
+    for name, udf in udfs.items():
+        spark.udf.register(f"resilispark_{name}", udf)
+    return udfs

@@ -1,0 +1,2 @@
+"""High-level engine operators: composed pipelines, dedup, similarity,
+CDXJ indexing, sinks."""

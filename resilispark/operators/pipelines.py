@@ -1,0 +1,84 @@
+"""Composed extraction pipelines — the engine's equivalent of the
+reference's Beam pipelines (docs/man/beam.rst: WARC source -> ParDo
+parse/extract -> sink) as DataFrame lineage that Catalyst plans.
+
+The flagship: ``warc_to_html_docs`` — scan WARC, keep HTML responses,
+undo Content-/Transfer-Encoding, charset-decode, extract title /
+main-content plain text, detect language. One declarative plan; the
+Python kernels run Arrow-batched; everything before them (scan filter,
+projection) and after them (joins/aggs over the result) stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def warc_to_html_docs(
+    spark: SparkSession,
+    path: str,
+    *,
+    main_content: bool = True,
+) -> DataFrame:
+    """WARC -> html_docs(url, title, plain_text, lang, lang_rank,
+    encoding, mime, n_chars) — SURVEY §1.2's downstream derived table.
+    """
+    from resilispark.datasource import register
+    from resilispark.functions.registry import register_functions
+    from resilispark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    register(spark)
+    udfs = register_functions(spark)
+
+    records = (
+        spark.read.format("warc")
+        .option("record_types", "response")
+        .load(path)
+        .filter(F.col("http_content_type") == "text/html")
+    )
+    body = udfs["decode_http_body"](
+        F.col("payload"),
+        F.element_at(
+            F.map_from_entries(
+                F.transform(
+                    F.coalesce("http_headers", F.array()),
+                    lambda h: F.struct(F.lower(h["key"]).alias("key"), h["value"].alias("value")),
+                )
+            ),
+            "content-encoding",
+        ),
+        F.element_at(
+            F.map_from_entries(
+                F.transform(
+                    F.coalesce("http_headers", F.array()),
+                    lambda h: F.struct(F.lower(h["key"]).alias("key"), h["value"].alias("value")),
+                )
+            ),
+            "transfer-encoding",
+        ),
+    )
+    decoded = records.withColumn("body", body).withColumn(
+        "encoding",
+        F.coalesce("http_charset", udfs["detect_encoding"](F.col("body"))),
+    )
+    html = decoded.withColumn("html", udfs["to_str"](F.col("body"), F.col("encoding")))
+    extract = udfs["extract_main_content"] if main_content else udfs["extract_text"]
+    docs = (
+        html.withColumn("title", udfs["html_title"](F.col("html")))
+        .withColumn("plain_text", extract(F.col("html")))
+        .withColumn("mime", udfs["detect_mime"](F.col("body")))
+        .withColumn("lang_res", udfs["detect_lang"](F.col("plain_text")))
+    )
+    return docs.select(
+        F.col("target_uri").alias("url"),
+        "warc_date",
+        "title",
+        "plain_text",
+        F.col("lang_res.lang").alias("lang"),
+        F.col("lang_res.rank").alias("lang_rank"),
+        "encoding",
+        "mime",
+        F.length("plain_text").cast("bigint").alias("n_chars"),
+    )

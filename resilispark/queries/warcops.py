@@ -214,6 +214,43 @@ SELECT CAST(50 AS BIGINT) AS n_records, CAST(50 AS BIGINT) AS n_distinct_ids
 """
 
 
+def w09_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F10/F15/F17 flagship: WARC scan -> HTTP body decode -> charset
+    decode -> title + main-content extraction (the reference's Beam
+    pipeline WARC -> ParDo(extract) -> sink, docs/man/beam.rst), checked
+    against golden titles/lengths like the reference's html2text golden
+    tests (tests/resiliparse/extract/test_html2text.py:53-140)."""
+    from resilispark.io.fixtures import ensure_fixture_dir
+    from resilispark.operators.pipelines import warc_to_html_docs
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = ensure_fixture_dir()
+    docs = warc_to_html_docs(spark, f"{d}/golden-50.warc.gz")
+    return docs.select("url", "title", "n_chars").orderBy("url")
+
+
+ORACLE_W09 = """
+SELECT * FROM (VALUES
+  ('https://host0.example.org/page/0', 'Page 0 on host0.example.org', CAST(1253 AS BIGINT)),
+  ('https://host0.example.org/page/10', 'Page 10 on host0.example.org', CAST(39 AS BIGINT)),
+  ('https://host1.example.org/page/1', 'Page 1 on host1.example.org', CAST(1254 AS BIGINT)),
+  ('https://host1.example.org/page/11', 'Page 11 on host1.example.org', CAST(42 AS BIGINT)),
+  ('https://host2.example.org/page/12', 'Page 12 on host2.example.org', CAST(1243 AS BIGINT)),
+  ('https://host2.example.org/page/2', 'Page 2 on host2.example.org', CAST(43 AS BIGINT)),
+  ('https://host3.example.org/page/13', 'Page 13 on host3.example.org', CAST(37 AS BIGINT)),
+  ('https://host3.example.org/page/3', 'Page 3 on host3.example.org', CAST(1201 AS BIGINT)),
+  ('https://host4.example.org/page/14', 'Page 14 on host4.example.org', CAST(35 AS BIGINT)),
+  ('https://host4.example.org/page/4', 'Page 4 on host4.example.org', CAST(37 AS BIGINT)),
+  ('https://host5.example.org/page/15', 'Page 15 on host5.example.org', CAST(1253 AS BIGINT)),
+  ('https://host5.example.org/page/5', 'Page 5 on host5.example.org', CAST(47 AS BIGINT)),
+  ('https://host6.example.org/page/6', 'Page 6 on host6.example.org', CAST(1227 AS BIGINT)),
+  ('https://host7.example.org/page/7', 'Page 7 on host7.example.org', CAST(43 AS BIGINT)),
+  ('https://host8.example.org/page/8', 'Page 8 on host8.example.org', CAST(40 AS BIGINT)),
+  ('https://host9.example.org/page/9', 'Page 9 on host9.example.org', CAST(1239 AS BIGINT))) t(url, title, n_chars)
+ORDER BY url
+"""
+
+
 QUERIES = {
     "w01_type_counts": w01_type_counts,
     "w02_length_filter": w02_length_filter,
@@ -223,6 +260,7 @@ QUERIES = {
     "w06_digest_summary": w06_digest_summary,
     "w07_version_and_headers": w07_version_and_headers,
     "w08_split_invariance": w08_split_invariance,
+    "w09_extract_pipeline": w09_extract_pipeline,
 }
 
 ORACLES = {
@@ -234,4 +272,5 @@ ORACLES = {
     "w06_digest_summary": ORACLE_W06,
     "w07_version_and_headers": ORACLE_W07,
     "w08_split_invariance": ORACLE_W08,
+    "w09_extract_pipeline": ORACLE_W09,
 }

@@ -1,0 +1,20 @@
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from resilispark.session import get_spark
+
+    s = get_spark("resilispark-tests", cpus=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def fixture_dir():
+    from resilispark.io.fixtures import ensure_fixture_dir
+
+    return ensure_fixture_dir()

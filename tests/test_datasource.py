@@ -1,0 +1,95 @@
+"""WARC data source integration tests (Spark-level; mirrors the Beam
+pipeline tests tests/resiliparse/beam/test_warcio.py: end-to-end counts
+through the distributed engine)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from resilispark.datasource import register
+    from resilispark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    register(spark)
+
+
+def _load(spark, fixture_dir, name="golden-50.warc.gz", **opts):
+    r = spark.read.format("warc")
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load(f"{fixture_dir}/{name}")
+
+
+def test_count_globally(spark, fixture_dir):
+    # beam/test_warcio.py:23-31: Count.Globally == 50
+    assert _load(spark, fixture_dir).count() == 50
+
+
+def test_type_counts(spark, fixture_dir):
+    rows = (
+        _load(spark, fixture_dir)
+        .groupBy("record_type")
+        .count()
+        .collect()
+    )
+    assert {r["record_type"]: r["count"] for r in rows} == {
+        "response": 16,
+        "request": 16,
+        "metadata": 16,
+        "warcinfo": 2,
+    }
+
+
+def test_max_content_length_option(spark, fixture_dir):
+    # beam/test_warcio.py:46-61: max_content_length=500 -> 33 records
+    df = _load(spark, fixture_dir, parse_http="false", max_content_length=500)
+    assert df.count() == 33
+
+
+def test_keep_meta(spark, fixture_dir):
+    df = _load(
+        spark,
+        fixture_dir,
+        parse_http="false",
+        max_content_length=500,
+        always_keep_meta="true",
+    )
+    rows = df.select("payload").collect()
+    assert len(rows) == 50
+    assert sum(1 for r in rows if not r.payload) == 17
+
+
+def test_payload_pruning_option(spark, fixture_dir):
+    df = _load(spark, fixture_dir, payload="false")
+    assert df.filter(F.col("payload").isNull()).count() == 50
+
+
+def test_self_join_branches_not_shared(spark, fixture_dir):
+    """Regression: J1 pairing on one loaded DataFrame must not leak scan
+    state between plan branches."""
+    df = _load(spark, fixture_dir)
+    resp = df.filter("record_type='response'").select("record_id")
+    req = df.filter("record_type='request'").select("concurrent_to")
+    assert resp.join(req, resp.record_id == req.concurrent_to).count() == 16
+    assert df.count() == 50  # and reuse after filtered queries stays intact
+
+
+def test_split_invariance(spark, fixture_dir):
+    df = _load(spark, fixture_dir, name="golden-50.warc", split_bytes=4096)
+    assert df.rdd.getNumPartitions() > 1
+    assert df.count() == 50
+    assert df.select("record_id").distinct().count() == 50
+
+
+def test_extraction_pipeline(spark, fixture_dir):
+    from resilispark.operators.pipelines import warc_to_html_docs
+
+    docs = warc_to_html_docs(spark, f"{fixture_dir}/golden-50.warc.gz").collect()
+    assert len(docs) == 16
+    assert all(d.title.startswith("Page ") for d in docs)
+    assert all(d.mime == "text/html" for d in docs)
+    assert all(d.encoding == "utf-8" for d in docs)
+    assert all(d.n_chars > 0 for d in docs)

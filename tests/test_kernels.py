@@ -1,0 +1,218 @@
+"""Kernel unit tests (mirrors the reference's parse/extract test areas:
+test_html.py, test_html2text.py, test_encoding.py, test_lang.py,
+test_http.py)."""
+
+import gzip
+import zlib
+
+import pytest
+
+from resilispark.functions.encoding import (
+    bytes_to_str,
+    detect_encoding,
+    detect_mime,
+    map_encoding_to_html5,
+)
+from resilispark.functions.html import (
+    extract_plain_text,
+    html_title,
+    parse_html,
+    query_selector_all,
+    select_css,
+)
+from resilispark.functions.http import decode_http_body, iterate_http_chunks
+from resilispark.functions.lang import detect_fast, supported_langs, train_language_examples
+
+_DOC = """<!doctype html><html><head><title> Golden  Page </title>
+<style>.x{color:red}</style></head>
+<body>
+<nav class="sidebar">Home | About</nav>
+<main class="article-body">
+<h1>Heading</h1>
+<p>First paragraph with <a href="/link">anchor text</a>.</p>
+<p hidden>invisible</p>
+<p style="display: none">also invisible</p>
+<ul><li>alpha</li><li>beta</li></ul>
+<ol><li>uno</li><li>dos</li></ol>
+<pre>  pre   formatted  </pre>
+<img alt="picture alt">
+<input type="text" value="field value"><input type="hidden" value="secret">
+<script>var x;</script><noscript>no js</noscript>
+</main>
+<div class="social-share">Share me</div>
+<footer id="global-footer">(c) example</footer>
+</body></html>"""
+
+
+class TestHtml:
+    def test_title(self):
+        assert html_title(_DOC) == "Golden Page"
+
+    def test_plain_golden(self):
+        assert extract_plain_text(_DOC, preserve_formatting=False) == (
+            "Home | About Heading First paragraph with anchor text. "
+            "alpha beta uno dos pre formatted Share me (c) example"
+        )
+
+    def test_formatted_golden(self):
+        assert extract_plain_text(_DOC, preserve_formatting=True) == (
+            "Home | About\n\nHeading\n\nFirst paragraph with anchor text.\n\n"
+            "• alpha\n• beta\n\n1. uno\n2. dos\n\n  pre   formatted  \n\nShare me\n\n(c) example"
+        )
+
+    def test_main_content(self):
+        out = extract_plain_text(_DOC, preserve_formatting=False, main_content=True)
+        assert "Home | About" not in out  # nav pruned
+        assert "Share me" not in out  # boilerplate class pruned
+        assert "(c) example" not in out  # footer pruned
+        assert "Heading" in out and "anchor text" in out
+
+    def test_hidden_and_script_skipped(self):
+        out = extract_plain_text(_DOC, preserve_formatting=False)
+        assert "invisible" not in out and "var x" not in out and "no js" not in out
+
+    def test_alt_links_forms(self):
+        out = extract_plain_text(
+            _DOC, preserve_formatting=False, alt_texts=True, links=True, form_fields=True
+        )
+        assert "picture alt" in out
+        assert "(/link)" in out
+        assert "field value" in out and "secret" not in out
+
+    def test_noscript_option(self):
+        out = extract_plain_text(_DOC, preserve_formatting=False, noscript=True)
+        assert "no js" in out
+
+    def test_skip_elements(self):
+        out = extract_plain_text(_DOC, preserve_formatting=False, skip_elements=["ul"])
+        assert "alpha" not in out and "uno" in out
+
+    def test_selectors(self):
+        assert select_css(_DOC, "main p") == [
+            "First paragraph with anchor text.",
+            "invisible",
+            "also invisible",
+        ]
+        assert select_css(_DOC, "ul > li") == ["alpha", "beta"]
+        assert select_css(_DOC, ".sidebar") == ["Home | About"]
+        assert select_css(_DOC, "#global-footer") == ["(c) example"]
+        assert select_css(_DOC, "a[href]") == ["anchor text"]
+        assert select_css(_DOC, "input[type=hidden]", text_only=False) == ["input"]
+        assert select_css(_DOC, "h1, h2") == ["Heading"]
+
+    def test_first_match_early_exit(self):
+        root = parse_html(_DOC)
+        found = query_selector_all(root, "li", first_only=True)
+        assert len(found) == 1 and found[0].full_text() == "alpha"
+
+    def test_malformed_resilience(self):
+        assert extract_plain_text("<p>unclosed <b>bold", preserve_formatting=False) == (
+            "unclosed bold"
+        )
+        assert html_title("<title>no end") == "no end"
+        assert extract_plain_text("", preserve_formatting=False) == ""
+
+
+class TestEncoding:
+    def test_utf8(self):
+        assert detect_encoding("héllo wörld".encode("utf-8")) == "utf-8"
+
+    def test_bom(self):
+        assert detect_encoding(b"\xff\xfeh\x00i\x00") == "utf-16-le"
+        assert detect_encoding(b"\xef\xbb\xbfplain") == "utf-8"
+
+    def test_cp1252(self):
+        assert detect_encoding("café naïve résumé".encode("cp1252")) == "cp1252"
+
+    def test_meta_probe(self):
+        data = b'<html><head><meta charset="koi8-r"></head><body>\xd0\xd2</body>'
+        assert detect_encoding(data, from_html_meta=True) == "koi8-r"
+
+    def test_whatwg_map(self):
+        assert map_encoding_to_html5("ISO-8859-1") == "cp1252"
+        assert map_encoding_to_html5("latin1") == "cp1252"
+        assert map_encoding_to_html5("GB2312") == "gbk"
+        assert map_encoding_to_html5("nonsense") == "utf-8"
+        assert map_encoding_to_html5("nonsense", fallback_utf8=False) is None
+
+    def test_bytes_to_str_fallback(self):
+        assert bytes_to_str(b"caf\xe9", "utf-8") == "café"  # falls back to cp1252
+        assert bytes_to_str("正しい".encode("utf-8"), "utf-8") == "正しい"
+        assert bytes_to_str(b"\xef\xbb\xbfbom", "utf-8") == "bom"
+
+    def test_mime_magic(self):
+        assert detect_mime(b"\x89PNG\r\n\x1a\n rest") == "image/png"
+        assert detect_mime(b"%PDF-1.7 x") == "application/pdf"
+        assert detect_mime(b"\x1f\x8b\x08rest") == "application/gzip"
+        assert detect_mime(b"<!DOCTYPE html><html></html>") == "text/html"
+        assert detect_mime(b"<?xml version='1.0'?><note/>") == "application/xml"
+        assert detect_mime(b"plain old text") == "text/plain"
+        assert detect_mime(b"\x00\x01\x02\x03\x04") == "application/octet-stream"
+
+
+class TestHttp:
+    BODY = b"the quick brown fox " * 40
+
+    def test_chunked_roundtrip(self):
+        framed = (
+            b"14\r\n" + self.BODY[:0x14] + b"\r\n"
+            + format(len(self.BODY) - 0x14, "x").encode() + b"\r\n" + self.BODY[0x14:] + b"\r\n"
+            + b"0\r\n\r\n"
+        )
+        assert b"".join(iterate_http_chunks(framed)) == self.BODY
+        assert decode_http_body(framed, None, "chunked") == self.BODY
+
+    @pytest.mark.parametrize(
+        "ce,te,encode",
+        [
+            ("gzip", None, lambda b: gzip.compress(b)),
+            ("deflate", None, lambda b: zlib.compress(b)),
+            ("deflate", None, lambda b: zlib.compress(b)[2:-4]),  # raw deflate
+            ("gzip, deflate", None, lambda b: zlib.compress(gzip.compress(b))),
+            (None, None, lambda b: b),
+        ],
+    )
+    def test_content_encodings(self, ce, te, encode):
+        """Mirror of the encoding matrix in tests/fastwarc/test_warc.py:63-101."""
+        assert decode_http_body(encode(self.BODY), ce, te) == self.BODY
+
+    def test_resilient_on_garbage(self):
+        assert decode_http_body(b"not gzip", "gzip", None) == b"not gzip"
+
+
+class TestLang:
+    def test_supported(self):
+        langs = supported_langs()
+        assert "en" in langs and len(langs) >= 14
+
+    @pytest.mark.parametrize(
+        "lang,text",
+        [
+            ("en", "The committee will meet on Thursday to discuss the budget and the plan."),
+            ("de", "Der Ausschuss trifft sich am Donnerstag, um den Haushalt zu besprechen."),
+            ("fr", "Le comité se réunira jeudi pour discuter du budget et du calendrier."),
+            ("es", "El comité se reunirá el jueves para discutir el presupuesto del año."),
+            ("ru", "Комитет соберется в четверг, чтобы обсудить новый бюджет."),
+            ("zh", "委员会将于周四开会,讨论新的预算提案和日程安排。"),
+            ("ja", "委員会は木曜日に会合を開き、新しい予算案について話し合う。"),
+            ("ko", "위원회는 새 예산안을 논의하기 위해 목요일에 모인다."),
+            ("ar", "سوف تجتمع اللجنة يوم الخميس لمناقشة مقترح الميزانية الجديد."),
+        ],
+    )
+    def test_detection(self, lang, text):
+        got, rank = detect_fast(text)
+        assert got == lang, f"{text!r} -> {got}"
+
+    def test_short_text_penalty(self):
+        _, r_short = detect_fast("the cat")
+        _, r_long = detect_fast("the cat sat on the mat and looked out of the window at the rain " * 3)
+        assert r_short > r_long
+
+    def test_n_results(self):
+        res = detect_fast("the quick brown fox jumps over the lazy dog near the river bank", n_results=3)
+        assert isinstance(res, list) and len(res) == 3
+        assert res[0][1] <= res[1][1] <= res[2][1]
+
+    def test_trainer(self):
+        vec = train_language_examples(["hello world", "hello there world"])
+        assert vec.shape == (256,) and vec.dtype.name == "uint8" and vec.sum() > 0
