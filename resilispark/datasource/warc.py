@@ -43,7 +43,13 @@ from typing import Iterator
 
 import pyarrow as pa
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -268,6 +274,86 @@ class WarcDataSourceReader(DataSourceReader):
         yield from flush()
 
 
+@dataclass
+class _WarcCommit(WriterCommitMessage):
+    path: str
+    n_records: int
+
+
+class WarcDataSourceWriter(DataSourceWriter):
+    """``df.write.format("warc").save(dir)`` — the S9 record writer.
+
+    One ``part-*.warc[.gz]`` file per partition; gzip mode writes one
+    member per record so output is seekable/splittable
+    (stream_io.pyx:561-591). Content-Length and the SHA-1 block digest
+    are recomputed per record (WarcRecord.write(checksum_data=True),
+    warc.pyx:840-938).
+
+    HTTP records whose payload column holds only the decoded body (i.e.
+    the scan ran with parse_http=true) are re-framed from http_status +
+    http_headers; for byte-exact recompression read with
+    parse_http=false so payload carries the full original block.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.options = dict(options)
+        self.path = self.options.get("path")
+        if not self.path:
+            raise ValueError("warc writer requires a path")
+        self.compression = self.options.get("compression", "gzip").lower()
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _WarcCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        from resilispark.io.warc import WarcRecord, write_warc
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        os.makedirs(self.path, exist_ok=True)
+        ext = ".warc.gz" if self.compression == "gzip" else ".warc"
+        out = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{ext}")
+
+        def to_records():
+            for row in iterator:
+                d = row.asDict(recursive=True)
+                headers = [
+                    (h["key"], h["value"]) for h in (d.get("headers") or [])
+                ]
+                payload = d.get("payload") or b""
+                if d.get("is_http") and d.get("http_headers") is not None:
+                    status = d.get("http_status") or 200
+                    head = f"HTTP/1.1 {status} \r\n" + "".join(
+                        f'{h["key"]}: {h["value"]}\r\n' for h in d["http_headers"]
+                    )
+                    payload = head.encode("utf-8") + b"\r\n" + bytes(payload)
+                else:
+                    payload = bytes(payload)
+                yield WarcRecord(
+                    warc_version=d.get("warc_version") or "WARC/1.1",
+                    headers=headers,
+                    payload=payload,
+                )
+
+        n = write_warc(
+            to_records(),
+            out,
+            compression="gzip" if self.compression == "gzip" else "none",
+            checksum_data=True,
+        )
+        return _WarcCommit(path=out, n_records=n)
+
+    def commit(self, messages):
+        pass
+
+    def abort(self, messages):
+        for m in messages:
+            if m and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class WarcDataSource(DataSource):
     """``spark.read.format("warc").options(...).load(glob)``.
 
@@ -285,6 +371,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema: StructType) -> WarcDataSourceReader:
         return WarcDataSourceReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> WarcDataSourceWriter:
+        return WarcDataSourceWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

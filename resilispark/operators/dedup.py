@@ -1,0 +1,184 @@
+"""Deduplication operators as first-class DataFrame transforms.
+
+Scale design: every variant reduces to hash-partitioned shuffles on
+bounded keys. Exact dedup shuffles on a 128-bit digest (uniform, no
+skew). MinHash-LSH shuffles on band keys — O(docs x bands) rows, never
+O(shingles^2); near-dup candidate generation is a self-join on the band
+table followed by verified Jaccard on candidates only. SimHash gives a
+64-bit fingerprint whose Hamming-ball lookup is a band-join on bit
+chunks. All plans are pure DataFrame lineage (Catalyst handles partial
+aggregation, AQE handles skew).
+
+Generalizes A6 (SHA-1 line dedup, resiliparse-py/resiliparse/
+cli.py:310-314) and J4 (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _shingles(text: Column, k: int = 3) -> Column:
+    words = F.split(text, " ")
+    return F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + off) for off in range(k)]
+            ),
+        ),
+    ).otherwise(F.array())
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep-first exact dedup by content digest; adds is_duplicate +
+    copies columns. One shuffle on the digest."""
+    hashed = df.withColumn("content_hash", F.md5(F.encode(text_col, "UTF-8")))
+    w = W.partitionBy("content_hash")
+    return hashed.withColumn(
+        "is_duplicate", F.col(id_col) != F.min(id_col).over(w)
+    ).withColumn("copies", F.count(F.lit(1)).over(w).cast("bigint"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, *, num_hashes: int = 8, shingle_k: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature columns h0..h{n-1} (md5-hex min per
+    seeded hash family — engine-portable and deterministic)."""
+    sh = df.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_k)).alias("shingle")
+    ).distinct()
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"{s}|"), F.col("shingle")), "UTF-8"))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float | None = None,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH; when
+    ``jaccard_threshold`` is set, candidates are verified with exact
+    shingle-set Jaccard (columns doc_a, doc_b[, jaccard])."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.encode(
+                    F.concat(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]),
+                    "UTF-8",
+                )
+            ).alias("val"),
+        )
+        for b in range(bands)
+    ]
+    bands_df = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bd")
+    ).select(id_col, "bd.band_idx", "bd.val")
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    if jaccard_threshold is None:
+        return pairs
+    sh = df.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_k)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("sh_a"))
+    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("sh_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn(
+            "jaccard", F.col("n_common") / (F.col("sh_a") + F.col("sh_b") - F.col("n_common"))
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, *, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash fingerprint column ``simhash`` (word unigrams,
+    md5-hex high-bit votes)."""
+    words = df.select(
+        F.col(id_col), F.explode(F.split(text_col, " ")).alias("word")
+    ).withColumn("wh", F.md5(F.encode("word", "UTF-8")))
+    bit_aggs = [
+        F.sum(
+            F.when(F.instr(F.lit("89abcdef"), F.substring("wh", j + 1, 1)) > 0, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = words.groupBy(id_col).agg(*bit_aggs)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = term if fp is None else (fp + term)
+    return sums.select(id_col, fp.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard above threshold (the correctness
+    baseline; use minhash_lsh_pairs at scale)."""
+    sh = df.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_k)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("sh_a"))
+    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("sh_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn(
+            "jaccard", F.col("n_common") / (F.col("sh_a") + F.col("sh_b") - F.col("n_common"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,143 @@
+"""Elasticsearch bulk-index sink (S8).
+
+A foreachPartition port of the reference's Beam sink
+(resiliparse-py/resiliparse/beam/elasticsearch.py:36-227): per-partition
+action buffering (default 3200), sort by ``_id`` before flushing
+(elasticsearch.py:183 — keeps shard routing coherent), chunked bulk
+submission (default 800), exponential-backoff retry on transport errors
+(2s initial, 600s cap, 10 retries — elasticsearch.py:177-227),
+``ignore_400`` and ``dry_run`` modes, and an indexed-ID side output.
+
+The elasticsearch-py client is not in the base image, so the sink takes
+a ``client_factory`` callable (built per executor partition — clients
+are not picklable) with a ``bulk(actions) -> list[(ok, info)]``
+protocol; tests inject a stub, production injects a thin wrapper over
+``elasticsearch.helpers.streaming_bulk``.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class EsSinkConfig:
+    default_index: str
+    buffer_size: int = 3200
+    chunk_size: int = 800
+    max_retries: int = 10
+    initial_backoff: float = 2.0
+    max_backoff: float = 600.0
+    ignore_400: bool = False
+    dry_run: bool = False
+    update: bool = False
+
+
+class RecordingStubClient:
+    """In-memory stand-in for the ES client (the reference's tests run
+    against exactly such a stub, tests/resiliparse/beam/
+    test_elasticsearch.py). Optionally fails the first N bulk calls to
+    exercise the retry path."""
+
+    def __init__(self, fail_times: int = 0):
+        self.fail_times = fail_times
+        self.calls: list[list[dict]] = []
+
+    def bulk(self, actions):
+        if self.fail_times > 0:
+            self.fail_times -= 1
+            raise ConnectionError("transport down")
+        self.calls.append(list(actions))
+        return [(True, {"_id": a.get("_id", "")}) for a in actions]
+
+
+def build_action(row: dict, cfg: EsSinkConfig) -> dict:
+    """Document row -> bulk action (action builders,
+    beam/elasticsearch.py:230-279)."""
+    doc = dict(row)
+    _id = doc.pop("_id", None)
+    _index = doc.pop("_index", None) or cfg.default_index
+    action = {"_op_type": "update" if cfg.update else "index", "_index": _index}
+    if _id is not None:
+        action["_id"] = _id
+    if cfg.update:
+        action["doc"] = doc
+        action["doc_as_upsert"] = True
+    else:
+        action["_source"] = doc
+    return action
+
+
+def _flush_buffer(buffer: list[dict], client, cfg: EsSinkConfig) -> list[str]:
+    """Sort, chunk, submit with retry/backoff; returns indexed IDs
+    (the _flush_buffer algorithm, beam/elasticsearch.py:177-227)."""
+    buffer.sort(key=lambda a: str(a.get("_id", "")))
+    indexed: list[str] = []
+    if cfg.dry_run:
+        ids = [str(a.get("_id", "")) for a in buffer]
+        buffer.clear()
+        return ids
+    retry = 0
+    backoff = cfg.initial_backoff
+    while True:
+        try:
+            errors = []
+            for start in range(0, len(buffer), cfg.chunk_size):
+                chunk = buffer[start : start + cfg.chunk_size]
+                for ok, info in client.bulk(chunk):
+                    if ok:
+                        indexed.append(str(info.get("_id", "")))
+                    else:
+                        status = info.get("status", 500)
+                        if cfg.ignore_400 and 400 <= status < 500 and status != 429:
+                            continue
+                        errors.append(info)
+            if errors:
+                raise RuntimeError(f"bulk errors: {errors[:3]}")
+            buffer.clear()
+            return indexed
+        except Exception:
+            retry += 1
+            if retry > cfg.max_retries:
+                raise
+            time.sleep(min(backoff * (1 + random.random() * 0.1), cfg.max_backoff))
+            backoff *= 2
+
+
+def elasticsearch_bulk_index(
+    df: DataFrame,
+    cfg: EsSinkConfig,
+    client_factory: Callable[[], object],
+    *,
+    parallelism: int | None = None,
+) -> int:
+    """Index every row of ``df``; returns the number of documents
+    submitted. ``parallelism`` mirrors the Beam sink's optional
+    reshuffle (beam/elasticsearch.py:92-95) -> repartition."""
+    if parallelism:
+        df = df.repartition(parallelism)
+
+    counter = df.sparkSession.sparkContext.accumulator(0)
+    cfg_b = df.sparkSession.sparkContext.broadcast(cfg)
+
+    def handle_partition(rows) -> None:
+        cfg_local = cfg_b.value
+        client = client_factory()
+        buffer: list[dict] = []
+        n = 0
+        for row in rows:
+            buffer.append(build_action(row.asDict(recursive=True), cfg_local))
+            n += 1
+            if len(buffer) >= cfg_local.buffer_size:
+                _flush_buffer(buffer, client, cfg_local)
+        if buffer:
+            _flush_buffer(buffer, client, cfg_local)
+        counter.add(n)
+
+    df.foreachPartition(handle_partition)
+    return counter.value

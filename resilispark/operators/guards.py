@@ -1,0 +1,61 @@
+"""Resilience guards (SURVEY.md §2.10 R-series).
+
+The reference's process guards (resiliparse-py/resiliparse/
+process_guard.pyx) interrupt runaway *records*; Spark kills *tasks*.
+The engine therefore maps the semantics down a level:
+
+ - ``time_guard(kernel, timeout)``: per-ROW soft timeout inside a UDF —
+   the kernel runs on a watched worker thread and is abandoned on
+   expiry (R1, process_guard.pyx:184-321). Returns None for the timed
+   out row instead of killing the task, which is the distributed analog
+   of interrupting one record.
+ - ``exc_loop(kernel)``: convert exceptions into (None, error) results
+   so corrupt rows are quarantined, not fatal (R4,
+   resiliparse/itertools.pyx:37-63).
+ - task-level hard limits stay with Spark itself
+   (``spark.task.reaper.enabled``, executor memory caps) — R2's
+   mem_guard has no sound per-row analog in a JVM executor.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+from typing import Any, Callable
+
+_POOL: concurrent.futures.ThreadPoolExecutor | None = None
+
+
+def _pool() -> concurrent.futures.ThreadPoolExecutor:
+    global _POOL
+    if _POOL is None:
+        _POOL = concurrent.futures.ThreadPoolExecutor(max_workers=4)
+    return _POOL
+
+
+def time_guard(kernel: Callable[..., Any], timeout: float = 30.0, default: Any = None):
+    """Wrap ``kernel`` with a per-call soft timeout (R1)."""
+
+    def guarded(*args, **kwargs):
+        fut = _pool().submit(kernel, *args, **kwargs)
+        try:
+            return fut.result(timeout=timeout)
+        except concurrent.futures.TimeoutError:
+            fut.cancel()
+            return default
+        except Exception:
+            return default
+
+    return guarded
+
+
+def exc_loop(kernel: Callable[..., Any]):
+    """Wrap ``kernel`` to return (result, error_string) instead of
+    raising (R4)."""
+
+    def wrapped(*args, **kwargs):
+        try:
+            return kernel(*args, **kwargs), None
+        except Exception as exc:  # noqa: BLE001 — quarantine by design
+            return None, f"{type(exc).__name__}: {exc}"
+
+    return wrapped

@@ -1,0 +1,117 @@
+"""Multimodal column operators (BASELINE.json north star).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct; decode / feature-extract / resize / frame-sample run
+as Arrow-batched ``mapInPandas`` operators. The Spark-side plumbing
+(schemas, batch iteration, partitioning) is real and tested; the codec
+step itself is STUBBED behind ``RESILISPARK_FAKE_DECODE`` — the image/
+audio libraries are not in this container. With the env var set, a
+deterministic fake decoder derived from the payload bytes stands in so
+the distributed pipeline can be exercised end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id string, mime string, width int, height int, feature array<float>"
+)
+
+
+def _fake_enabled() -> bool:
+    return os.environ.get("RESILISPARK_FAKE_DECODE", "").lower() in ("1", "true")
+
+
+def _decode_image(payload: bytes, fake: bool = False):
+    """Codec boundary. Real implementation needs PIL/libvips (absent in
+    this container)."""
+    if fake or _fake_enabled():
+        # deterministic fake: dimensions + 8-dim feature from the digest
+        h = hashlib.sha256(payload or b"").digest()
+        w = 64 + h[0]
+        ht = 64 + h[1]
+        feat = [b / 255.0 for b in h[:8]]
+        return w, ht, feat
+    raise NotImplementedError(
+        "image decode requires PIL/libvips, not present in the base image; "
+        "set RESILISPARK_FAKE_DECODE=1 for the deterministic test stub"
+    )
+
+
+def extract_image_features(media: DataFrame, *, fake: bool = False) -> DataFrame:
+    """media(MEDIA_SCHEMA) -> per-image feature vectors via mapInPandas.
+
+    The operator is partition-parallel and Arrow-batched; at 100 TB the
+    binary payloads stay columnar through the Python boundary and never
+    hit the driver."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    w, h, feat = _decode_image(bytes(r["payload"]) if r["payload"] is not None else b"", fake=fake)
+                    rows.append((r["media_id"], r["mime"], w, h, feat))
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    rows.append((r["media_id"], r["mime"], None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "mime", "width", "height", "feature"]
+            )
+
+    return media.mapInPandas(op, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling: one output row per sampled frame timestamp.
+
+    Real frame extraction needs ffmpeg (absent); the stub derives the
+    frame list from meta.duration_ms so the explode/partition shape is
+    real."""
+    frames = media.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )
+    if not _fake_enabled():
+        return frames.withColumn(
+            "frame",
+            F.raise_error(F.lit("frame decode requires ffmpeg; set RESILISPARK_FAKE_DECODE=1")),
+        )
+    return frames.withColumn(
+        "frame", F.sha2(F.concat_ws(":", "media_id", "frame_ts_ms"), 256).cast("binary")
+    )

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (array<float>).
+
+ - ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+   The query side is broadcast (it is small by construction); the dot
+   product runs JVM-side via higher-order functions, no Python UDF.
+ - ``lsh_topk``: the scale path — sign-LSH bucket join first, exact
+   cosine only within buckets. At 100 TB the candidate set per query is
+   ~n/2^bits instead of n.
+ - ``label_centroids``: grouped mean vectors via applyInPandas (the A5
+   language-profile-training shape, parse/lang.pyx:196-226).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+_DOT = (
+    "aggregate(zip_with(transform({a}, x -> cast(x as double)), "
+    "transform({b}, x -> cast(x as double)), (x, y) -> x * y), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+
+def _cos(a: str, b: str):
+    dot = F.expr(_DOT.format(a=a, b=b))
+    na = F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+    nb = F.sqrt(F.expr(_DOT.format(a=b, b=b)))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query vector (qid, rn, cid, cosine)."""
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = candidates.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    sims = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", _cos("qv", "cv").alias("cosine"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "cid")
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def sign_lsh_bucket(df: DataFrame, *, vec_col: str = "embedding", bits: int = 8):
+    bucket = None
+    for i in range(bits):
+        term = F.when(F.element_at(vec_col, i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else (bucket + term)
+    return bucket.cast("bigint")
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: equi-join on the sign-LSH bucket, exact cosine
+    within buckets only. Recall < 1 by design; bits trades recall for
+    candidate-set size."""
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        sign_lsh_bucket(queries, vec_col=vec_col, bits=bits).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        sign_lsh_bucket(candidates, vec_col=vec_col, bits=bits).alias("bucket"),
+    )
+    sims = (
+        q.join(c, "bucket")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", _cos("qv", "cv").alias("cosine"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cosine").desc(), "cid")
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def label_centroids(
+    df: DataFrame, *, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Mean vector per label via grouped-map pandas (A5 trainer shape)."""
+    import numpy as np
+
+    dim_probe = df.select(F.size(vec_col).alias("d")).first()
+    dim = dim_probe.d if dim_probe else 0
+
+    def mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        return pd.DataFrame(
+            {
+                label_col: [pdf[label_col].iloc[0]],
+                "centroid": [mat.mean(axis=0).tolist()],
+                "n_vecs": [len(pdf)],
+            }
+        )
+
+    return df.groupBy(label_col).applyInPandas(
+        mean_vec, schema=f"{label_col} int, centroid array<double>, n_vecs long"
+    )

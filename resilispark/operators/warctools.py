@@ -1,0 +1,85 @@
+"""WARC utility operators: recompress, CDXJ indexing (S10/S11).
+
+Spark-native ports of the fastwarc CLI tools
+(fastwarc-py/fastwarc/cli.py): ``recompress`` is scan -> write with a
+different codec (tools.pyx:91-152); ``cdxj_index`` derives the
+offset/length index with a lead() window (cli.py:225-283) and emits
+JSON lines via to_json — fully JVM-side after the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _prep(spark: SparkSession):
+    from resilispark.datasource import register
+    from resilispark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    register(spark)
+
+
+def recompress(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    *,
+    compression: str = "gzip",
+) -> int:
+    """Re-write WARC files under a different compression
+    (fastwarc recompress, tools.pyx:91-152). Reads with parse_http=false
+    so payloads carry the full original record block; digests are
+    recomputed (as with ``fastwarc recompress``'s write path)."""
+    _prep(spark)
+    df = (
+        spark.read.format("warc")
+        .option("parse_http", "false")
+        .load(src)
+    )
+    n = df.count()
+    (
+        df.write.format("warc")
+        .option("compression", compression)
+        .mode("append")
+        .save(dst)
+    )
+    return n
+
+
+def cdxj_index(
+    spark: SparkSession,
+    src: str,
+    *,
+    fields: tuple[str, ...] = ("offset", "length", "filename", "http:status"),
+) -> DataFrame:
+    """CDXJ index records: one JSON line per record with the configured
+    fields (fastwarc index, cli.py:225-283). ``length`` uses the
+    lead-offset window (cli.py:276-283)."""
+    _prep(spark)
+    df = spark.read.format("warc").option("payload", "false").load(src)
+    w = W.partitionBy("filename").orderBy("stream_pos")
+    enriched = df.select(
+        "filename",
+        "target_uri",
+        "warc_date",
+        "http_status",
+        F.col("stream_pos").alias("offset"),
+        F.coalesce(
+            F.lead("stream_pos").over(w) - F.col("stream_pos"), F.col("record_length")
+        ).alias("length"),
+    )
+    field_cols = {
+        "offset": F.col("offset"),
+        "length": F.col("length"),
+        "filename": F.col("filename"),
+        "http:status": F.col("http_status").alias("status"),
+    }
+    json_struct = F.struct(*[field_cols[f] for f in fields if f in field_cols])
+    return enriched.select(
+        F.col("target_uri").alias("surt_key"),
+        F.date_format("warc_date", "yyyyMMddHHmmss").alias("ts"),
+        F.to_json(json_struct).alias("record"),
+    )

@@ -548,6 +548,84 @@ ORDER BY label
 """
 
 
+def s04_label_centroid_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 trainer shape (parse/lang.pyx:196-226): per-label mean vector,
+    projected over the first 8 dimensions via posexplode + JVM avg (the
+    applyInPandas variant lives in operators.similarity.label_centroids)."""
+    e = _embs(spark, sf_dir)
+    dims = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim0", "v")
+    ).filter(F.col("dim0") < 8)
+    return (
+        dims.groupBy("label", (F.col("dim0") + 1).cast("bigint").alias("dim"))
+        .agg(dround(F.avg(F.col("v").cast("double")), 6).alias("avg_v"))
+        .orderBy("label", "dim")
+    )
+
+
+ORACLE_S04 = """
+SELECT label, CAST(i AS BIGINT) AS dim,
+       floor((avg(CAST(embedding[i] AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS avg_v
+FROM embeddings, generate_series(1, 8) t(i)
+GROUP BY label, i
+ORDER BY label, dim
+"""
+
+
+def m01_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' bytes as fake image payloads ->
+    mapInPandas decode stub (deterministic sha256-derived dims/features)
+    -> aggregate. Exercises the binary-column operator end to end; the
+    DuckDB oracle recomputes the same sha256 arithmetic."""
+    from resilispark.operators.multimodal import extract_image_features
+    from resilispark.session import ensure_workers_can_import
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_workers_can_import(spark)
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image/fake").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("codec"),
+        ).alias("meta"),
+    )
+    feats = extract_image_features(media, fake=True)
+    return (
+        feats.select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            F.col("width").cast("bigint").alias("width"),
+            F.col("height").cast("bigint").alias("height"),
+            dround(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_M01 = """
+WITH h AS (
+  SELECT doc_id, sha256(text) AS hx FROM documents
+), b AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS b0,
+         (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1) AS b1
+  FROM h
+)
+SELECT doc_id,
+       CAST(64 + b0 AS BIGINT) AS width,
+       CAST(64 + b1 AS BIGINT) AS height,
+       floor((CAST(CAST(b0 / 255.0 AS REAL) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS f0
+FROM b
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -561,6 +639,8 @@ QUERIES = {
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
     "s03_label_centroid_norms": s03_label_centroid_norms,
+    "s04_label_centroid_dims": s04_label_centroid_dims,
+    "m01_image_features": m01_image_features,
 }
 
 ORACLES = {
@@ -576,4 +656,6 @@ ORACLES = {
     "s01_cosine_topk": ORACLE_S01,
     "s02_lsh_buckets": ORACLE_S02,
     "s03_label_centroid_norms": ORACLE_S03,
+    "s04_label_centroid_dims": ORACLE_S04,
+    "m01_image_features": ORACLE_M01,
 }

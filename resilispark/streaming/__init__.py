@@ -1,0 +1,15 @@
+"""Structured Streaming surface (SURVEY.md §2.9 T1-T3)."""
+
+from resilispark.streaming.warc_stream import (
+    read_warc_stream,
+    session_window_counts,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
+
+__all__ = [
+    "read_warc_stream",
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "session_window_counts",
+]

@@ -1,0 +1,136 @@
+"""Streaming WARC ingest + event-time windowing.
+
+The reference carries streaming-ready metadata (every Beam record is
+emitted as ``TimestampedValue(record, record_date.timestamp())``,
+beam/warcio.py:155-157) but runs batch; here the same model becomes real
+Structured Streaming:
+
+ - ``read_warc_stream``: a file-drop-directory micro-batch source built
+   on the Python ``SimpleDataSourceStreamReader``. The offset is the
+   set of fully-ingested files, so each micro-batch picks up newly
+   dropped ``.warc[.gz]`` files exactly once (the unbounded-source
+   analog of warc_retry's resume bookkeeping, itertools.pyx:66-154).
+ - window helpers: tumbling / sliding / session aggregation over the
+   ``warc_date`` event-time column with a configurable watermark for
+   late records (T1).
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+from resilispark.datasource.warc import WARC_SCHEMA, WarcDataSourceReader, _WarcPartition
+
+
+class WarcStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader: offset = sorted list of files already read."""
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        path = self.options.get("path") or ""
+        if path.startswith("file:"):
+            path = path[len("file:") :]
+        self.pattern = (
+            path if any(c in path for c in "*?[") else os.path.join(path, "*.warc*")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _list(self) -> list[str]:
+        return sorted(globlib.glob(self.pattern))
+
+    def read(self, start: dict):
+        seen = set(start.get("files", []))
+        new_files = [f for f in self._list() if f not in seen]
+        end = {"files": sorted(seen | set(new_files))}
+
+        rows = []  # must be materialized: Spark pickles the batch for replay
+        for f in new_files:
+            # reuse the batch reader's record scan for each new file
+            reader = WarcDataSourceReader({**self.options, "path": f})
+            for batch in reader.read(_WarcPartition(f, 0, os.path.getsize(f))):
+                for row in batch.to_pylist():
+                    rows.append(tuple(row[name] for name in WARC_SCHEMA.fieldNames()))
+        return iter(rows), end
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def read_warc_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """``spark.readStream.format("warc-stream").load(drop_dir)``."""
+    from resilispark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    spark.dataSource.register(WarcStreamDataSource)
+    return spark.readStream.format("warc-stream").load(drop_dir)
+
+
+class WarcStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "warc-stream"
+
+    def schema(self):
+        return WARC_SCHEMA
+
+    def simpleStreamReader(self, schema) -> WarcStreamReader:
+        return WarcStreamReader(self.options)
+
+
+# -- event-time windowing helpers (T1) --------------------------------------
+
+
+def tumbling_window_counts(
+    records: DataFrame,
+    *,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    time_col: str = "warc_date",
+    group_col: str = "record_type",
+) -> DataFrame:
+    return (
+        records.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("w"), group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), group_col, "n")
+    )
+
+
+def sliding_window_counts(
+    records: DataFrame,
+    *,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+    time_col: str = "warc_date",
+    group_col: str = "record_type",
+) -> DataFrame:
+    return (
+        records.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window, slide).alias("w"), group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), group_col, "n")
+    )
+
+
+def session_window_counts(
+    records: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    time_col: str = "warc_date",
+    group_col: str = "target_uri",
+) -> DataFrame:
+    return (
+        records.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap).alias("w"), group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), group_col, "n")
+    )

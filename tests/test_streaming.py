@@ -1,0 +1,78 @@
+"""Structured Streaming tests: file-drop WARC source + event-time
+windows, driven synchronously with the memory sink (T1-T3)."""
+
+import shutil
+
+import pytest
+
+
+@pytest.fixture()
+def drop_dir(tmp_path, fixture_dir):
+    d = tmp_path / "drop"
+    d.mkdir()
+    return str(d)
+
+
+def _start(spark, df, name):
+    # default trigger: keeps micro-batching so later file drops are seen
+    return df.writeStream.outputMode("append").format("memory").queryName(name).start()
+
+
+def test_warc_stream_incremental(spark, fixture_dir, drop_dir):
+    from resilispark.streaming import read_warc_stream
+
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", f"{drop_dir}/a.warc.gz")
+    stream = read_warc_stream(spark, drop_dir)
+    assert stream.isStreaming
+    q = _start(spark, stream.select("record_id", "record_type", "warc_date"), "warc_s1")
+    q.processAllAvailable()
+    n1 = spark.sql("SELECT count(*) c FROM warc_s1").collect()[0].c
+    assert n1 == 50
+    # drop a second file -> only the delta is ingested
+    shutil.copy(f"{fixture_dir}/golden-50.warc", f"{drop_dir}/b.warc")
+    q.processAllAvailable()
+    n2 = spark.sql("SELECT count(*) c FROM warc_s1").collect()[0].c
+    assert n2 == 100
+    dup = spark.sql(
+        "SELECT count(*) c FROM (SELECT record_id FROM warc_s1 GROUP BY record_id HAVING count(*) <> 2)"
+    ).collect()[0].c
+    q.stop()
+    assert dup == 0  # every record exactly once per file
+
+
+def test_tumbling_window_stream(spark, fixture_dir, drop_dir):
+    from resilispark.streaming import read_warc_stream, tumbling_window_counts
+
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", f"{drop_dir}/a.warc.gz")
+    agg = tumbling_window_counts(read_warc_stream(spark, drop_dir), window="5 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("warc_w")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.sql("SELECT * FROM warc_w").collect()
+    q.stop()
+    assert sum(r.n for r in rows) == 50
+    assert all(r.w_end > r.w_start for r in rows)
+
+
+def test_session_window_stream(spark, fixture_dir, drop_dir):
+    from resilispark.streaming import read_warc_stream, session_window_counts
+
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", f"{drop_dir}/a.warc.gz")
+    agg = session_window_counts(read_warc_stream(spark, drop_dir), gap="30 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("warc_sess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.sql("SELECT * FROM warc_sess").collect()
+    q.stop()
+    # 16 target_uris (+ null for warcinfo) each with >=1 session
+    assert sum(r.n for r in rows) == 50
