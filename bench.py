@@ -35,8 +35,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from resilispark.datasource import register
+    from resilispark.io.fixtures import ensure_bench_fixture
     from resilispark.queries import QUERIES
-    from resilispark.session import get_spark
+    from resilispark.session import ensure_workers_can_import, get_spark
 
     spark = get_spark("resilispark-bench")
     # warm the JVM/session so the first timed query isn't paying startup
@@ -48,6 +50,43 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # BASELINE.md-comparable throughput runs (names carry the record
+    # count; e.g. records/s = 15002 / warc_scan_gz_15002_recs).
+    ensure_workers_can_import(spark)
+    register(spark)
+    n_groups = int(os.environ.get("RESILISPARK_BENCH_GROUPS", "5000"))
+    n_records = 3 * n_groups + 2
+    bdir = ensure_bench_fixture(n_groups)
+    for label, path, opts in (
+        (f"warc_scan_gz_{n_records}_recs", f"{bdir}/bench-{n_groups}.warc.gz", {}),
+        (f"warc_scan_plain_{n_records}_recs", f"{bdir}/bench-{n_groups}.warc", {}),
+    ):
+        reader = spark.read.format("warc")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        t0 = time.perf_counter()
+        reader.load(path).write.mode("overwrite").format("noop").save()
+        timings[label] = round(time.perf_counter() - t0, 3)
+
+    from resilispark.operators.pipelines import warc_to_html_docs
+
+    t0 = time.perf_counter()
+    warc_to_html_docs(spark, f"{bdir}/bench-{n_groups}.warc.gz").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    timings[f"warc_extract_pipeline_{n_groups}_docs"] = round(time.perf_counter() - t0, 3)
+
+    from resilispark.functions.registry import register_functions
+
+    udfs = register_functions(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    docs.select(udfs["detect_lang"]("text").alias("l")).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    timings[f"lang_detect_{n_docs}_docs"] = round(time.perf_counter() - t0, 3)
 
     sf = None
     base = os.path.basename(sf_dir.rstrip("/"))

@@ -32,17 +32,30 @@ def _fnv1a(data: bytes) -> int:
 
 
 def vectorize(text: str, vec_len: int = VEC_LEN, max_chars: int = 4096) -> np.ndarray:
-    """Hash 1-5-gram counts into a uint8 profile vector (lang.pyx:32-102)."""
+    """Hash 1-5-gram counts into a uint8 profile vector (lang.pyx:32-102).
+
+    The FNV-1a fold over each n-gram window is vectorized across all
+    window positions with numpy (the per-position hash state is
+    independent, so ``h = (h ^ byte) * prime`` runs as whole-array ops —
+    the kernel stays per-core comparable with the reference's C loop).
+    """
     t = " ".join(text[:max_chars].lower().split())
     counts = np.zeros(vec_len, dtype=np.float64)
-    data = t.encode("utf-8")
+    data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
     n = len(data)
+    mask = np.uint64(0xFFFFFFFF)
+    prime = np.uint64(_FNV_PRIME)
     for glen in (1, 2, 3, 4, 5):
-        for i in range(n - glen + 1):
-            counts[_fnv1a(data[i : i + glen]) % vec_len] += 1.0
-    m = counts.max()
-    if m > 0:
-        counts = counts * (255.0 / m)
+        if n < glen:
+            break
+        m = n - glen + 1
+        h = np.full(m, _FNV_OFFSET, dtype=np.uint64)
+        for k in range(glen):
+            h = ((h ^ data[k : k + m]) * prime) & mask
+        counts += np.bincount((h % np.uint64(vec_len)).astype(np.int64), minlength=vec_len)
+    mx = counts.max() if n else 0
+    if mx > 0:
+        counts = counts * (255.0 / mx)
     return counts.astype(np.uint8)
 
 

@@ -182,6 +182,21 @@ def build_golden_records(n_groups: int = 16) -> list[WarcRecord]:
     return records
 
 
+def ensure_bench_fixture(n_groups: int = 5000, root: str = "/root/repo/.fixtures") -> str:
+    """Throughput-benchmark fixture: ``3*n_groups + 2`` records with the
+    same record mix as the golden file (BASELINE.md measures records/s
+    over Common Crawl WARCs; this is the synthetic stand-in). Built once,
+    reused across rounds."""
+    os.makedirs(root, exist_ok=True)
+    gz = os.path.join(root, f"bench-{n_groups}.warc.gz")
+    plain = os.path.join(root, f"bench-{n_groups}.warc")
+    if not (os.path.exists(gz) and os.path.exists(plain)):
+        recs = build_golden_records(n_groups=n_groups)
+        write_warc(recs, plain, compression="none", checksum_data=False)
+        write_warc(recs, gz, compression="gzip", checksum_data=False)
+    return root
+
+
 def ensure_fixture_dir(root: str = "/root/repo/.fixtures") -> str:
     """Idempotently materialize the golden fixture files; returns dir."""
     os.makedirs(root, exist_ok=True)

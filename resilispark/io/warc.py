@@ -317,16 +317,34 @@ def _iter_gzip_members(data: bytes) -> Iterator[tuple[int, bytes]]:
     Member-per-record .warc.gz is the splittable layout the reference
     writes (stream_io.pyx:561-591); offsets let stream_pos refer to the
     compressed stream exactly like FastWARC's.
+
+    The decompressor is fed in small chunks: handing it ``data[pos:]``
+    wholesale is O(stream²) over member count, because both the input
+    slice and ``unused_data`` copy the remaining tail for every member
+    (the incremental-feed pattern of the reference's buffered readers,
+    stream_io.pyx:480-523).
     """
     pos = 0
     n = len(data)
+    chunk_size = 64 * 1024
     while pos < n:
         if not data.startswith(GZIP_MAGIC, pos):
             break
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out = d.decompress(data[pos:])
-        consumed = (n - pos) - len(d.unused_data)
-        yield pos, out
+        out = []
+        p = pos
+        while not d.eof and p < n:
+            # first feed small: member-per-record members are tiny, and
+            # every unused byte fed here is re-copied for the next member
+            step = min(4096 if not out else chunk_size, n - p)
+            out.append(d.decompress(data[p : p + step]))
+            p += step
+        if not d.eof:
+            # truncated trailing member: tolerate, like non-strict mode
+            yield pos, b"".join(out)
+            return
+        consumed = (p - pos) - len(d.unused_data)
+        yield pos, b"".join(out)
         pos += consumed
 
 

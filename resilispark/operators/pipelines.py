@@ -32,11 +32,17 @@ def warc_to_html_docs(
     register(spark)
     udfs = register_functions(spark)
 
+    n_cores = spark.sparkContext.defaultParallelism
     records = (
         spark.read.format("warc")
         .option("record_types", "response")
         .load(path)
         .filter(F.col("http_content_type") == "text/html")
+        # fusion break: a single compressed WARC scans as one partition;
+        # spread records across cores before the kernel UDFs run — the
+        # exact Reshuffle the reference's Beam source inserts
+        # (beam/fileio.py:42-44)
+        .repartition(n_cores)
     )
     body = udfs["decode_http_body"](
         F.col("payload"),
