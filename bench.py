@@ -44,6 +44,20 @@ def main() -> None:
     # warm the JVM/session so the first timed query isn't paying startup
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # warm the Python-worker path too (datasource planner + Arrow UDF
+    # workers): BASELINE.md throughput is steady-state over 630k records
+    # — a cold 32-worker fork+import (~7s) would otherwise dominate every
+    # first timed run at small record counts
+    ensure_workers_can_import(spark)
+    register(spark)
+    from resilispark.io.fixtures import ensure_fixture_dir
+    from resilispark.operators.pipelines import warc_to_html_docs
+
+    fdir = ensure_fixture_dir()
+    warc_to_html_docs(spark, f"{fdir}/golden-50.warc.gz").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -53,8 +67,6 @@ def main() -> None:
 
     # BASELINE.md-comparable throughput runs (names carry the record
     # count; e.g. records/s = 15002 / warc_scan_gz_15002_recs).
-    ensure_workers_can_import(spark)
-    register(spark)
     n_groups = int(os.environ.get("RESILISPARK_BENCH_GROUPS", "5000"))
     n_records = 3 * n_groups + 2
     bdir = ensure_bench_fixture(n_groups)
@@ -68,8 +80,6 @@ def main() -> None:
         t0 = time.perf_counter()
         reader.load(path).write.mode("overwrite").format("noop").save()
         timings[label] = round(time.perf_counter() - t0, 3)
-
-    from resilispark.operators.pipelines import warc_to_html_docs
 
     t0 = time.perf_counter()
     warc_to_html_docs(spark, f"{bdir}/bench-{n_groups}.warc.gz").write.mode(

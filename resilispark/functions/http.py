@@ -100,7 +100,9 @@ def decode_http_body_from_headers(data: bytes, http_headers) -> bytes:
     """Header-list convenience wrapper (headers as [(key, value), ...] or
     list of {key,value} structs from the DataFrame column)."""
     ce = te = None
-    for h in http_headers or ():
+    if http_headers is None:
+        http_headers = ()
+    for h in http_headers:
         k, v = (h["key"], h["value"]) if isinstance(h, dict) else (h[0], h[1])
         lk = (k or "").lower()
         if lk == "content-encoding" and ce is None:

@@ -13,6 +13,78 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_date", T.TimestampType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("plain_text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("lang_rank", T.IntegerType()),
+        T.StructField("encoding", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _fused_extract(main_content: bool):
+    """One-pass Arrow-batched kernel for the whole decode→parse→extract
+    chain — the Spark analog of the reference's fused ParDo chain (Beam
+    fuses ReadWarcs >> Map(extract) into one worker stage,
+    docs/man/beam.rst). Fusing into a single mapInPandas node crosses
+    the JVM↔Python Arrow boundary once instead of once per kernel."""
+
+    def run(batches):
+        import pandas as pd
+
+        from resilispark.functions import encoding as enc
+        from resilispark.functions import html as H
+        from resilispark.functions import lang as L
+        from resilispark.functions.http import decode_http_body_from_headers
+
+        for pdf in batches:
+            rows = {k: [] for k in _DOCS_SCHEMA.fieldNames()}
+            for url, date, payload, headers, charset in zip(
+                pdf["target_uri"],
+                pdf["warc_date"],
+                pdf["payload"],
+                pdf["http_headers"],
+                pdf["http_charset"],
+            ):
+                title = text = lg = encoding = mime = None
+                rank = n_chars = None
+                try:
+                    body = decode_http_body_from_headers(bytes(payload), headers)
+                    encoding = charset or enc.detect_encoding(body, from_html_meta=True)
+                    html = enc.bytes_to_str(body, encoding or "utf-8")
+                    mime = enc.detect_mime(body)
+                    title = H.html_title(html)
+                    text = H.extract_plain_text(
+                        html, preserve_formatting=False, main_content=main_content
+                    )
+                    n_chars = len(text) if text is not None else None
+                    if text:
+                        lg, rank = L.detect_fast(text)
+                except Exception:
+                    pass  # R4: quarantine the row, never fail the task
+                rows["url"].append(url)
+                rows["warc_date"].append(date)
+                rows["title"].append(title)
+                rows["plain_text"].append(text)
+                rows["lang"].append(lg)
+                rows["lang_rank"].append(rank)
+                rows["encoding"].append(encoding)
+                rows["mime"].append(mime)
+                rows["n_chars"].append(n_chars)
+            out = pd.DataFrame(rows)
+            out["lang_rank"] = pd.array(out["lang_rank"], dtype="Int32")
+            out["n_chars"] = pd.array(out["n_chars"], dtype="Int64")
+            yield out
+
+    return run
 
 
 def warc_to_html_docs(
@@ -20,9 +92,15 @@ def warc_to_html_docs(
     path: str,
     *,
     main_content: bool = True,
+    fused: bool = True,
 ) -> DataFrame:
     """WARC -> html_docs(url, title, plain_text, lang, lang_rank,
     encoding, mime, n_chars) — SURVEY §1.2's downstream derived table.
+
+    ``fused=True`` (default) runs the whole kernel chain in one
+    mapInPandas pass; ``fused=False`` keeps the à-la-carte per-kernel
+    UDF lineage (same result, one Arrow hop per kernel) for composition
+    with other column logic.
     """
     from resilispark.datasource import register
     from resilispark.functions.registry import register_functions
@@ -30,7 +108,6 @@ def warc_to_html_docs(
 
     ensure_workers_can_import(spark)
     register(spark)
-    udfs = register_functions(spark)
 
     n_cores = spark.sparkContext.defaultParallelism
     records = (
@@ -44,6 +121,12 @@ def warc_to_html_docs(
         # (beam/fileio.py:42-44)
         .repartition(n_cores)
     )
+    if fused:
+        return records.select(
+            "target_uri", "warc_date", "payload", "http_headers", "http_charset"
+        ).mapInPandas(_fused_extract(main_content), schema=_DOCS_SCHEMA)
+
+    udfs = register_functions(spark)
     body = udfs["decode_http_body"](
         F.col("payload"),
         F.element_at(
