@@ -572,6 +572,143 @@ ORDER BY label, dim
 """
 
 
+def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with sign-LSH blocking.
+
+    The scale path for embedding dedup at 100 TB: block on the 8-bit
+    sign bucket (s02) so the self-join compares within buckets only
+    (candidate set is O(sum of squared bucket sizes), not O(n²)); exact
+    cosine confirms within the block. Blocked recall < exhaustive — the
+    standard LSH tradeoff; multiple rotations would raise it.
+    """
+    e = _embs(spark, sf_dir)
+    bucket = None
+    for i in range(8):
+        term = F.when(F.element_at("embedding", i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        bucket = term if bucket is None else (bucket + term)
+    b = e.select("vec_id", "label", "embedding", bucket.cast("bigint").alias("bucket"))
+    a2 = b.alias("a")
+    b2 = b.alias("b")
+    dot = F.expr(_SPARK_DOT.format(a="a.embedding", b="b.embedding"))
+    na = F.sqrt(F.expr(_SPARK_DOT.format(a="a.embedding", b="a.embedding")))
+    nb = F.sqrt(F.expr(_SPARK_DOT.format(a="b.embedding", b="b.embedding")))
+    return (
+        a2.join(
+            b2,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.col("a.label") == F.col("b.label")).alias("same_label"),
+            (dot / (na * nb)).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.3)
+        .select("vec_a", "vec_b", "same_label", dround("cos", 4).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+ORACLE_D06 = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding,
+         {_bucket_duck} AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.label = b.label AS same_label,
+         {_DUCK_DOT.format(a="a.embedding", b="b.embedding")} /
+         (sqrt({_DUCK_DOT.format(a="a.embedding", b="a.embedding")}) *
+          sqrt({_DUCK_DOT.format(a="b.embedding", b="b.embedding")})) AS cos
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, same_label, floor((cos) * 1e4 + 0.5) / 1e4 AS cosine
+FROM pairs WHERE cos >= 0.3
+ORDER BY vec_a, vec_b
+"""
+
+
+def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest of 8
+    centroids (here: the first 8 vectors stand in for trained k-means
+    centroids — deterministic), then answer each query by probing ONLY
+    its own cell (nprobe=1) and ranking candidates by exact cosine.
+
+    Scale design: the centroid table is tiny and broadcast, so the
+    assignment is a broadcast nested-loop with no shuffle of the big
+    side; the probe is an equi join on cell id — at 100 TB the
+    candidate set per query is n/k, not n (s01 is the exhaustive
+    baseline this approximates).
+    """
+    e = _embs(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    dot = F.expr(_SPARK_DOT.format(a="embedding", b="cv"))
+    nv = F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
+    ncv = F.sqrt(F.expr(_SPARK_DOT.format(a="cv", b="cv")))
+    wassign = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cent_id")
+    cells = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", dot / (nv * ncv))
+        .withColumn("arn", F.row_number().over(wassign))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "label", "embedding", "cent_id")
+    )
+    q = cells.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("cent_id").alias("qcell")
+    )
+    c = cells.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ev"), F.col("cent_id").alias("ccell")
+    )
+    qdot = F.expr(_SPARK_DOT.format(a="qv", b="ev"))
+    nq = F.sqrt(F.expr(_SPARK_DOT.format(a="qv", b="qv")))
+    ne = F.sqrt(F.expr(_SPARK_DOT.format(a="ev", b="ev")))
+    wtop = W.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        F.broadcast(q)
+        .join(c, (F.col("qcell") == F.col("ccell")) & (F.col("qid") != F.col("cid")))
+        .select("qid", "cid", (qdot / (nq * ne)).alias("cos"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "rn", "cid", dround("cos", 4).alias("cosine"))
+        .orderBy("qid", "rn")
+    )
+
+
+ORACLE_S05 = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+), assign AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_DUCK_DOT.format(a="e.embedding", b="c.cv")} /
+                    (sqrt({_DUCK_DOT.format(a="e.embedding", b="e.embedding")}) *
+                     sqrt({_DUCK_DOT.format(a="c.cv", b="c.cv")})) DESC, c.cent_id
+         ) AS arn
+  FROM embeddings e, cents c
+), cells AS (
+  SELECT vec_id, embedding, cent_id FROM assign WHERE arn = 1
+), q AS (
+  SELECT vec_id AS qid, embedding AS qv, cent_id AS qcell FROM cells WHERE vec_id >= 490
+), sims AS (
+  SELECT qid, c.vec_id AS cid,
+         {_DUCK_DOT.format(a="qv", b="c.embedding")} /
+         (sqrt({_DUCK_DOT.format(a="qv", b="qv")}) *
+          sqrt({_DUCK_DOT.format(a="c.embedding", b="c.embedding")})) AS cos
+  FROM q JOIN cells c ON q.qcell = c.cent_id AND q.qid <> c.vec_id
+), ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+  FROM sims
+)
+SELECT qid, rn, cid, floor((cos) * 1e4 + 0.5) / 1e4 AS cosine
+FROM ranked WHERE rn <= 3
+ORDER BY qid, rn
+"""
+
+
 def m01_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: documents' bytes as fake image payloads ->
     mapInPandas decode stub (deterministic sha256-derived dims/features)
@@ -632,6 +769,7 @@ QUERIES = {
     "d03_minhash_signatures": d03_minhash_signatures,
     "d04_minhash_lsh_pairs": d04_minhash_lsh_pairs,
     "d05_simhash": d05_simhash,
+    "d06_embedding_neardup": d06_embedding_neardup,
     "t01_quality_score": t01_quality_score,
     "t02_token_count": t02_token_count,
     "t03_lang_distribution": t03_lang_distribution,
@@ -640,6 +778,7 @@ QUERIES = {
     "s02_lsh_buckets": s02_lsh_buckets,
     "s03_label_centroid_norms": s03_label_centroid_norms,
     "s04_label_centroid_dims": s04_label_centroid_dims,
+    "s05_ivf_topk": s05_ivf_topk,
     "m01_image_features": m01_image_features,
 }
 
@@ -649,6 +788,7 @@ ORACLES = {
     "d03_minhash_signatures": ORACLE_D03,
     "d04_minhash_lsh_pairs": ORACLE_D04,
     "d05_simhash": ORACLE_D05,
+    "d06_embedding_neardup": ORACLE_D06,
     "t01_quality_score": ORACLE_T01,
     "t02_token_count": ORACLE_T02,
     "t03_lang_distribution": ORACLE_T03,
@@ -657,5 +797,6 @@ ORACLES = {
     "s02_lsh_buckets": ORACLE_S02,
     "s03_label_centroid_norms": ORACLE_S03,
     "s04_label_centroid_dims": ORACLE_S04,
+    "s05_ivf_topk": ORACLE_S05,
     "m01_image_features": ORACLE_M01,
 }
