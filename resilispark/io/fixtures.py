@@ -197,6 +197,30 @@ def ensure_bench_fixture(n_groups: int = 5000, root: str = "/root/repo/.fixtures
     return root
 
 
+def ensure_text_fixture(root: str = "/root/repo/.fixtures") -> str:
+    """Deterministic text-lines fixture for the S5 parallel text scan
+    (beam/textio.py:35-76): 1000 seeded id\\ttoken... lines, written
+    plain and gzip (the compressed-unsplittable path). Goldens:
+    1000 lines, 53228 chars, 7433 tokens over 20 distinct words."""
+    os.makedirs(root, exist_ok=True)
+    plain = os.path.join(root, "lines-1000.txt")
+    gz = os.path.join(root, "lines-1000.txt.gz")
+    if not (os.path.exists(plain) and os.path.exists(gz)):
+        import gzip as gzlib
+
+        rng = random.Random(7)
+        lines = [
+            f"{i:04d}\t" + " ".join(rng.choice(_WORDS) for _ in range(rng.randint(3, 12)))
+            for i in range(1000)
+        ]
+        data = ("\n".join(lines) + "\n").encode("utf-8")
+        with open(plain, "wb") as f:
+            f.write(data)
+        with gzlib.open(gz, "wb") as f:
+            f.write(data)
+    return root
+
+
 def ensure_fixture_dir(root: str = "/root/repo/.fixtures") -> str:
     """Idempotently materialize the golden fixture files; returns dir."""
     os.makedirs(root, exist_ok=True)

@@ -52,6 +52,25 @@ CASE WHEN size(split(text, ' ')) >= 3 THEN
 ELSE array() END
 """
 
+# Same shingles from a pre-materialized words column: subexpression
+# elimination does not reach inside a transform() lambda, so the inline
+# form re-splits the text for every element_at — O(words²) per doc.
+_SPARK_SHINGLES_W = """
+CASE WHEN size(w) >= 3 THEN
+  transform(sequence(1, size(w) - 2),
+            i -> concat(element_at(w, i), ' ',
+                        element_at(w, i + 1), ' ',
+                        element_at(w, i + 2)))
+ELSE array() END
+"""
+
+
+def _shingle_df(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded table, words split exactly once."""
+    return d.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id", F.explode(F.expr(_SPARK_SHINGLES_W)).alias("shingle")
+    )
+
 _DUCK_SHINGLES = """
 CASE WHEN len(string_split(text, ' ')) >= 3 THEN
   list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
@@ -105,10 +124,7 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode; the pair table is an equi join on the shingle value.
     """
     d = _docs(spark, sf_dir)
-    sh = (
-        d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
-        .distinct()
-    )
+    sh = _shingle_df(d).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -162,7 +178,11 @@ def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-key table instead of the shingle table (SURVEY §2.3 J4).
     """
     d = _docs(spark, sf_dir)
-    sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle")).distinct()
+    # no .distinct() before the agg: min() is idempotent under duplicate
+    # shingles, so set semantics hold without the extra full shuffle of
+    # the exploded table — partial (map-side) min aggregation is the
+    # only pre-shuffle work
+    sh = _shingle_df(d)
     aggs = [
         F.min(F.md5(F.encode(F.concat(F.lit(f"{s}|"), F.col("shingle")), "UTF-8"))).alias(
             f"h{s}"
@@ -401,7 +421,7 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: the minimum shingle hash —
     a 1-permutation minhash usable as a cheap cluster key."""
     d = _docs(spark, sf_dir)
-    sh = d.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+    sh = _shingle_df(d)
     return (
         sh.groupBy("doc_id")
         .agg(F.min(F.md5(F.encode("shingle", "UTF-8"))).alias("fingerprint"))

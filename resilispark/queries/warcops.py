@@ -251,6 +251,41 @@ ORDER BY url
 """
 
 
+def w10_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 parallel text scan (beam/textio.py:35-76): ``spark.read.text``
+    over the plain AND gzip copies of the line fixture — Spark splits the
+    plain file natively and single-streams the .gz (compressed files are
+    unsplittable, textio.py:58-61); both must agree on every statistic.
+    """
+    from resilispark.io.fixtures import ensure_text_fixture
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = ensure_text_fixture()
+    out = []
+    for codec, path in (("gzip", f"{d}/lines-1000.txt.gz"), ("plain", f"{d}/lines-1000.txt")):
+        lines = spark.read.text(path)
+        toks = F.split(F.split("value", "\t")[1], " ")
+        out.append(
+            lines.agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.length("value")).alias("sum_len"),
+                F.sum(F.size(toks)).alias("n_tokens"),
+                F.size(F.array_distinct(F.flatten(F.collect_list(toks)))).cast("bigint").alias("n_words"),
+            )
+        )
+    return out[0].unionAll(out[1]).orderBy("codec")
+
+
+ORACLE_W10 = """
+SELECT * FROM (VALUES
+  ('gzip',  CAST(1000 AS BIGINT), CAST(53228 AS BIGINT), CAST(7433 AS BIGINT), CAST(20 AS BIGINT)),
+  ('plain', CAST(1000 AS BIGINT), CAST(53228 AS BIGINT), CAST(7433 AS BIGINT), CAST(20 AS BIGINT)))
+  t(codec, n_lines, sum_len, n_tokens, n_words)
+ORDER BY codec
+"""
+
+
 QUERIES = {
     "w01_type_counts": w01_type_counts,
     "w02_length_filter": w02_length_filter,
@@ -261,6 +296,7 @@ QUERIES = {
     "w07_version_and_headers": w07_version_and_headers,
     "w08_split_invariance": w08_split_invariance,
     "w09_extract_pipeline": w09_extract_pipeline,
+    "w10_text_lines": w10_text_lines,
 }
 
 ORACLES = {
@@ -273,4 +309,5 @@ ORACLES = {
     "w07_version_and_headers": ORACLE_W07,
     "w08_split_invariance": ORACLE_W08,
     "w09_extract_pipeline": ORACLE_W09,
+    "w10_text_lines": ORACLE_W10,
 }
