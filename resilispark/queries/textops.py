@@ -234,16 +234,22 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("val")) for b in range(4)])
         ).alias("bd"),
     ).select("doc_id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.val").alias("val"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # bucket-grouped pair generation instead of a band-table self-join:
+    # a self-join re-executes the whole shingle->minhash lineage on both
+    # branches (no ReuseExchange: the branches differ after aliasing).
+    # Grouping by band key computes the signature aggregation ONCE and
+    # emits pairs from each bucket's id set; bucket sizes are small by
+    # the LSH premise (a hyper-common band value — e.g. many identical
+    # short docs — would need a size cap + salt at 100 TB).
+    buckets = (
+        bands.groupBy("band_idx", "val")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
