@@ -197,6 +197,69 @@ def ensure_bench_fixture(n_groups: int = 5000, root: str = "/root/repo/.fixtures
     return root
 
 
+def build_revisit_records() -> list[WarcRecord]:
+    """J3 fixture: 10 original responses + 12 revisit records
+    (warc.pyx:62 record type) — 10 whose ``WARC-Refers-To`` resolves to
+    an original, 2 dangling. Deterministic."""
+    base_date = datetime(2024, 6, 1, 9, 0, 0)
+    records: list[WarcRecord] = []
+
+    def uid(i: int) -> str:
+        return f"<urn:uuid:00000000-0000-4000-9000-{i:012d}>"
+
+    for i in range(10):
+        body = f"<html><body>original {i}</body></html>".encode()
+        payload = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        records.append(
+            WarcRecord(
+                warc_version="WARC/1.1",
+                headers=[
+                    ("WARC-Type", "response"),
+                    ("WARC-Record-ID", uid(i)),
+                    ("WARC-Date", (base_date + timedelta(minutes=i)).isoformat() + "Z"),
+                    ("WARC-Target-URI", f"https://rev.example.org/page/{i}"),
+                    ("Content-Type", "application/http; msgtype=response"),
+                    ("WARC-Payload-Digest", _b32("sha1", body)),
+                    ("Content-Length", str(len(payload))),
+                ],
+                payload=payload,
+            )
+        )
+    for j in range(12):
+        refers = uid(j % 10) if j < 10 else uid(900 + j)  # 2 dangling
+        payload = b""
+        records.append(
+            WarcRecord(
+                warc_version="WARC/1.1",
+                headers=[
+                    ("WARC-Type", "revisit"),
+                    ("WARC-Record-ID", uid(100 + j)),
+                    ("WARC-Date", (base_date + timedelta(hours=1, minutes=j)).isoformat() + "Z"),
+                    ("WARC-Target-URI", f"https://rev.example.org/page/{j % 10}"),
+                    ("WARC-Refers-To", refers),
+                    (
+                        "WARC-Profile",
+                        "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+                    ),
+                    ("Content-Length", "0"),
+                ],
+                payload=payload,
+            )
+        )
+    return records
+
+
+def ensure_revisit_fixture(root: str = "/root/repo/.fixtures") -> str:
+    os.makedirs(root, exist_ok=True)
+    gz = os.path.join(root, "revisit-22.warc.gz")
+    if not os.path.exists(gz):
+        write_warc(build_revisit_records(), gz, compression="gzip", checksum_data=False)
+    return root
+
+
 def ensure_text_fixture(root: str = "/root/repo/.fixtures") -> str:
     """Deterministic text-lines fixture for the S5 parallel text scan
     (beam/textio.py:35-76): 1000 seeded id\\ttoken... lines, written

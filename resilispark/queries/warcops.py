@@ -286,6 +286,95 @@ ORDER BY codec
 """
 
 
+def w11_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: revisit-record dedup against originals — self-join on
+    ``WARC-Refers-To`` = record_id (record type 'revisit', warc.pyx:62),
+    with the header projected out of the multimap (P7, warc.pyx:302-374).
+    Left join so dangling references surface as unresolved."""
+    from resilispark.datasource import register
+    from resilispark.io.fixtures import ensure_revisit_fixture
+    from resilispark.session import ensure_workers_can_import
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_workers_can_import(spark)
+    register(spark)
+    d = ensure_revisit_fixture()
+    df = spark.read.format("warc").load(f"{d}/revisit-22.warc.gz")
+    refers_to = F.element_at(
+        F.transform(
+            F.filter(F.col("headers"), lambda h: F.lower(h["key"]) == F.lit("warc-refers-to")),
+            lambda h: h["value"],
+        ),
+        1,
+    )
+    revisits = df.filter(F.col("record_type") == "revisit").select(
+        F.col("record_id").alias("revisit_id"), refers_to.alias("refers_to")
+    )
+    originals = df.filter(F.col("record_type") == "response").select(
+        F.col("record_id").alias("orig_id"), "target_uri"
+    )
+    joined = revisits.join(originals, revisits.refers_to == originals.orig_id, "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_revisits"),
+        F.count("orig_id").alias("n_resolved"),
+        F.sum(F.when(F.col("orig_id").isNull(), 1).otherwise(0)).cast("bigint").alias("n_dangling"),
+        F.countDistinct("orig_id").alias("n_distinct_originals"),
+    )
+
+
+ORACLE_W11 = """
+SELECT CAST(12 AS BIGINT) AS n_revisits,
+       CAST(10 AS BIGINT) AS n_resolved,
+       CAST(2  AS BIGINT) AS n_dangling,
+       CAST(10 AS BIGINT) AS n_distinct_originals
+"""
+
+
+def w12_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S10: writer round-trip — scan the golden fixture with
+    parse_http=false (payload = full record block), rewrite it through
+    the warc writer (gzip member-per-record, digests recomputed:
+    WarcRecord.write, warc.pyx:840-938), re-scan, and join on record_id
+    comparing payload bytes. Every payload must survive byte-identical.
+    """
+    import shutil
+
+    from resilispark.io.fixtures import ensure_fixture_dir
+    from resilispark.operators.warctools import recompress
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = ensure_fixture_dir()
+    out = f"{d}/roundtrip"
+    shutil.rmtree(out, ignore_errors=True)  # writer appends; start clean
+    recompress(spark, f"{d}/golden-50.warc.gz", out, compression="gzip")
+    src = (
+        spark.read.format("warc")
+        .option("parse_http", "false")
+        .load(f"{d}/golden-50.warc.gz")
+        .select("record_id", F.md5("payload").alias("src_md5"))
+    )
+    rt = (
+        spark.read.format("warc")
+        .option("parse_http", "false")
+        .load(out)
+        .select("record_id", F.md5("payload").alias("rt_md5"))
+    )
+    return (
+        src.join(rt, "record_id", "full")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(F.when(F.col("src_md5") == F.col("rt_md5"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_payload_identical"),
+        )
+    )
+
+
+ORACLE_W12 = """
+SELECT CAST(50 AS BIGINT) AS n_records, CAST(50 AS BIGINT) AS n_payload_identical
+"""
+
+
 QUERIES = {
     "w01_type_counts": w01_type_counts,
     "w02_length_filter": w02_length_filter,
@@ -297,6 +386,8 @@ QUERIES = {
     "w08_split_invariance": w08_split_invariance,
     "w09_extract_pipeline": w09_extract_pipeline,
     "w10_text_lines": w10_text_lines,
+    "w11_revisit_dedup": w11_revisit_dedup,
+    "w12_write_roundtrip": w12_write_roundtrip,
 }
 
 ORACLES = {
@@ -310,4 +401,6 @@ ORACLES = {
     "w08_split_invariance": ORACLE_W08,
     "w09_extract_pipeline": ORACLE_W09,
     "w10_text_lines": ORACLE_W10,
+    "w11_revisit_dedup": ORACLE_W11,
+    "w12_write_roundtrip": ORACLE_W12,
 }
