@@ -84,6 +84,21 @@ def main() -> None:
         reader.load(path).write.mode("overwrite").format("noop").save()
         timings[label] = round(time.perf_counter() - t0, 3)
 
+    # CDXJ-assisted parallel scan of the same gz file (SURVEY §4 member
+    # splitting): sidecar offsets let the scan fan out across cores
+    from resilispark.operators.warctools import write_cdxj_sidecar
+
+    gz_path = f"{bdir}/bench-{n_groups}.warc.gz"
+    if not os.path.exists(gz_path + ".cdxj"):
+        write_cdxj_sidecar(spark, gz_path)
+    split_df = (
+        spark.read.format("warc").option("split_bytes", str(256 * 1024)).load(gz_path)
+    )
+    split_df.write.mode("overwrite").format("noop").save()
+    t0 = time.perf_counter()
+    split_df.write.mode("overwrite").format("noop").save()
+    timings[f"warc_scan_gz_split_{n_records}_recs"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     warc_to_html_docs(spark, f"{bdir}/bench-{n_groups}.warc.gz").write.mode(
         "overwrite"

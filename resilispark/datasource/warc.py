@@ -10,9 +10,13 @@ Scale design (100 TB):
    ~128 MiB byte ranges — the reader aligns each range to the next
    ``WARC/`` magic, mirroring Beam's OffsetRange restriction trackers
    (beam/warcio.py:101-109) and the text source's split alignment
-   (beam/textio.py:189-193). Member-per-record ``.warc.gz`` files are
-   one partition per file by default (a gzip stream is not blindly
-   splittable); a CDXJ side-index can pre-split them (SURVEY §4).
+   (beam/textio.py:189-193); partitions range-read ONLY their bytes
+   (+bounded re-read for range-crossing records), never the whole
+   file. Member-per-record ``.warc.gz`` files are one partition per
+   file by default (a gzip stream is not blindly splittable); when a
+   ``<file>.cdxj`` side-index exists (write_cdxj_sidecar), partitions
+   split at member boundaries and the compressed scan fans out
+   (SURVEY §4 CDXJ-assisted split planning).
  - **Predicate pushdown.** Scan-level filtering is exposed through
    reader OPTIONS (``record_types``, ``min/max_content_length``),
    mirroring ArchiveIterator's constructor filters
@@ -66,8 +70,10 @@ from resilispark.io.warc import (
     GZIP_MAGIC,
     LZ4_MAGIC,
     WARC_MAGIC,
+    _iter_gzip_members,
     decode_warc_stream,
     iter_warc_bytes,
+    iter_warc_range,
 )
 
 _HEADERS_T = ArrayType(
@@ -180,6 +186,32 @@ class WarcDataSourceReader(DataSourceReader):
         return default if v is None else str(v).lower() in ("1", "true", "yes")
 
     # -- split planning -----------------------------------------------------
+    def _sidecar_offsets(self, path: str) -> list[int] | None:
+        """Record offsets from a CDXJ side-index (``<path>.cdxj``, one
+        JSON line per record with an ``offset`` field — the fastwarc
+        index format, cli.py:225-283). This is what makes
+        member-per-record .warc.gz splittable without decompressing on
+        the driver (SURVEY §4: CDXJ-assisted split planning)."""
+        import json
+
+        side = path + ".cdxj"
+        if not os.path.isfile(side):
+            return None
+        offs: list[int] = []
+        try:
+            with open(side, "r", encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    # CDXJ = optional searchable-key fields, then JSON
+                    obj = json.loads(line[line.index("{"):])
+                    offs.append(int(obj["offset"]))
+        except (ValueError, KeyError, OSError):
+            return None
+        offs.sort()
+        return offs or None
+
     def partitions(self) -> list[_WarcPartition]:
         parts: list[_WarcPartition] = []
         for p in self.paths:
@@ -187,9 +219,25 @@ class WarcDataSourceReader(DataSourceReader):
             with open(p, "rb") as f:
                 head = f.read(8)
             if head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC):
-                # compressed stream: whole file is one partition (member
-                # boundaries are only discoverable by decompressing)
-                parts.append(_WarcPartition(p, 0, size))
+                offs = self._sidecar_offsets(p) if head.startswith(GZIP_MAGIC) else None
+                if offs and size > self.split_bytes:
+                    # split at member boundaries listed by the index:
+                    # each range starts at a record offset and spans
+                    # ~split_bytes of compressed stream
+                    bounds = [offs[0]]
+                    for o in offs[1:]:
+                        if o - bounds[-1] >= self.split_bytes:
+                            bounds.append(o)
+                    bounds.append(size)
+                    if bounds[0] > 0:  # anything before the first
+                        bounds.insert(0, 0)  # indexed record
+                    for s, e in zip(bounds, bounds[1:]):
+                        if e > s:
+                            parts.append(_WarcPartition(p, s, e))
+                else:
+                    # no index: whole file is one partition (member
+                    # boundaries are only discoverable by decompressing)
+                    parts.append(_WarcPartition(p, 0, size))
             else:
                 n_splits = max(1, size // self.split_bytes)
                 step = (size + n_splits - 1) // n_splits
@@ -199,8 +247,9 @@ class WarcDataSourceReader(DataSourceReader):
 
     # -- record scan --------------------------------------------------------
     def read(self, partition: _WarcPartition) -> Iterator[pa.RecordBatch]:
+        size = os.path.getsize(partition.path)
         with open(partition.path, "rb") as f:
-            data = f.read()
+            head = f.read(8)
         filename = os.path.basename(partition.path)
         rows: list[dict] = []
 
@@ -219,58 +268,65 @@ class WarcDataSourceReader(DataSourceReader):
             keep_meta_on_strip=self.keep_meta,
             strict=self.strict,
         )
-        if data[:2] == GZIP_MAGIC or data[:4] == LZ4_MAGIC:
-            streams = decode_warc_stream(data)
-        else:
-            # byte-range split: records starting inside [start, end).
-            # Range alignment = scan forward to the next WARC/ magic, the
-            # analog of Beam's try_claim on record offsets.
-            chunk_start = partition.start
-            if chunk_start > 0:
-                idx = data.find(WARC_MAGIC, chunk_start)
-                chunk_start = idx if idx >= 0 else len(data)
-            streams = [(chunk_start, data[chunk_start:])] if chunk_start < len(data) else []
-            streams = iter(streams)
-
-        for base, plain in streams:
-            if base >= partition.end and partition.start > 0:
-                break
-            off = 0 if isinstance(streams, list) else None  # noqa: unused
-            for rec in iter_warc_bytes(plain, stream_pos_base=base, **kwargs):
-                if rec.stream_pos >= partition.end and not (
-                    data[:2] == GZIP_MAGIC or data[:4] == LZ4_MAGIC
-                ):
-                    break
-                rows.append(
-                    {
-                        "filename": filename,
-                        "stream_pos": rec.stream_pos,
-                        "record_length": rec.record_length,
-                        "record_id": rec.record_id,
-                        "record_type": rec.record_type,
-                        "warc_version": rec.warc_version,
-                        "warc_date": rec.warc_date,
-                        "target_uri": rec.target_uri,
-                        "concurrent_to": rec.concurrent_to,
-                        "headers": [{"key": k, "value": v} for k, v in rec.headers],
-                        "is_http": rec.is_http,
-                        "http_status": rec.http_status,
-                        "http_headers": (
-                            [{"key": k, "value": v} for k, v in rec.http_headers]
-                            if rec.http_headers is not None
-                            else None
-                        ),
-                        "http_content_type": rec.http_content_type,
-                        "http_charset": rec.http_charset,
-                        "http_date": rec.http_date,
-                        "content_length": rec.content_length,
-                        "payload": rec.payload if self.keep_payload else None,
-                        "block_digest_ok": rec.block_digest_ok,
-                        "payload_digest_ok": rec.payload_digest_ok,
-                    }
+        if head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC):
+            # compressed: read only this partition's byte range (the
+            # whole file when unsplit; a member-aligned CDXJ range when
+            # split) and iterate members with stream_pos in the
+            # compressed stream, exactly like FastWARC's offsets
+            with open(partition.path, "rb") as f:
+                f.seek(partition.start)
+                data = f.read(partition.end - partition.start)
+            if partition.start == 0 and partition.end >= size:
+                streams = decode_warc_stream(data)
+            else:
+                streams = (
+                    (partition.start + off, plain)
+                    for off, plain in _iter_gzip_members(data)
                 )
-                if len(rows) >= _BATCH_ROWS:
-                    yield from flush()
+            record_iter = (
+                rec
+                for base, plain in streams
+                for rec in iter_warc_bytes(plain, stream_pos_base=base, **kwargs)
+            )
+        else:
+            # uncompressed: true range read — records starting inside
+            # [start, end), magic-aligned, with bounded re-read for
+            # range-crossing records (iter_warc_range)
+            record_iter = iter_warc_range(
+                partition.path, partition.start, partition.end, file_size=size, **kwargs
+            )
+
+        for rec in record_iter:
+            rows.append(
+                {
+                    "filename": filename,
+                    "stream_pos": rec.stream_pos,
+                    "record_length": rec.record_length,
+                    "record_id": rec.record_id,
+                    "record_type": rec.record_type,
+                    "warc_version": rec.warc_version,
+                    "warc_date": rec.warc_date,
+                    "target_uri": rec.target_uri,
+                    "concurrent_to": rec.concurrent_to,
+                    "headers": [{"key": k, "value": v} for k, v in rec.headers],
+                    "is_http": rec.is_http,
+                    "http_status": rec.http_status,
+                    "http_headers": (
+                        [{"key": k, "value": v} for k, v in rec.http_headers]
+                        if rec.http_headers is not None
+                        else None
+                    ),
+                    "http_content_type": rec.http_content_type,
+                    "http_charset": rec.http_charset,
+                    "http_date": rec.http_date,
+                    "content_length": rec.content_length,
+                    "payload": rec.payload if self.keep_payload else None,
+                    "block_digest_ok": rec.block_digest_ok,
+                    "payload_digest_ok": rec.payload_digest_ok,
+                }
+            )
+            if len(rows) >= _BATCH_ROWS:
+                yield from flush()
         yield from flush()
 
 

@@ -30,6 +30,7 @@ import base64
 import gzip
 import hashlib
 import io
+import os
 import zlib
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
@@ -266,8 +267,8 @@ def parse_record_at(
     return rec, next_pos
 
 
-def iter_warc_bytes(
-    data: bytes,
+def _postprocess(
+    rec: WarcRecord,
     *,
     record_types: frozenset[str] | None = None,
     min_content_length: int = -1,
@@ -276,8 +277,39 @@ def iter_warc_bytes(
     verify_digests: bool = False,
     func_filter: Callable[[WarcRecord], bool] | None = None,
     keep_meta_on_strip: bool = False,
+) -> WarcRecord | None:
+    """The reference's cheap-first filter cascade + HTTP/digest
+    processing for one parsed record (warc.pyx:1238-1248); None =
+    filtered out."""
+    if record_types is not None and rec.record_type not in record_types:
+        return None
+    if min_content_length >= 0 and rec.content_length < min_content_length:
+        return None
+    if max_content_length >= 0 and rec.content_length > max_content_length:
+        if not keep_meta_on_strip:
+            return None
+        rec.payload = b""
+        rec.truncated = True  # beam/warcio.py:145-149 keep-meta semantics
+    if verify_digests:
+        rec.block_digest_ok = _verify_digest(rec.header("WARC-Block-Digest"), rec.payload)
+    if parse_http and rec.record_type in ("response", "request") and not rec.truncated:
+        raw = rec.payload
+        _parse_http_payload(rec, raw)
+        if verify_digests and rec.is_http:
+            rec.payload_digest_ok = _verify_digest(
+                rec.header("WARC-Payload-Digest"), rec.payload
+            )
+    if func_filter is not None and not func_filter(rec):
+        return None
+    return rec
+
+
+def iter_warc_bytes(
+    data: bytes,
+    *,
     strict: bool = False,
     stream_pos_base: int = 0,
+    **filter_opts,
 ) -> Iterator[WarcRecord]:
     """Iterate records from an UNCOMPRESSED byte buffer with the
     reference's cheap-first filter cascade (warc.pyx:1238-1248)."""
@@ -287,28 +319,70 @@ def iter_warc_bytes(
         if rec is None:
             return
         rec.stream_pos += stream_pos_base
-        # filter cascade: cheapest first, skip without further work
-        if record_types is not None and rec.record_type not in record_types:
-            continue
-        if min_content_length >= 0 and rec.content_length < min_content_length:
-            continue
-        if max_content_length >= 0 and rec.content_length > max_content_length:
-            if not keep_meta_on_strip:
+        rec = _postprocess(rec, **filter_opts)
+        if rec is not None:
+            yield rec
+
+
+def iter_warc_range(
+    path: str,
+    start: int,
+    end: int,
+    *,
+    slack: int = 16 * 2**20,
+    strict: bool = False,
+    file_size: int | None = None,
+    **filter_opts,
+) -> Iterator[WarcRecord]:
+    """Records STARTING in byte range [start, end) of an uncompressed
+    WARC file, reading only that range (+slack) from disk — the Spark
+    analog of Beam's OffsetRange restriction tracker
+    (beam/warcio.py:101-109) without materializing the whole file.
+
+    Alignment: scan forward to the next ``WARC/`` magic (the seek-align
+    pattern of beam/textio.py:189-193). A record that starts before
+    ``end`` but extends past the buffered range triggers a bounded
+    re-read from the record's own offset with doubled slack, so records
+    larger than ``slack`` are still exact (never dropped/truncated).
+    """
+    size = os.path.getsize(path) if file_size is None else file_size
+    end = min(end, size)
+    if start >= end:
+        return
+    with open(path, "rb") as f:
+        f.seek(start)
+        buf = f.read(min(end - start + slack, size - start))
+        base = start  # absolute offset of buf[0]
+        pos = 0
+        if start > 0:
+            idx = buf.find(WARC_MAGIC)
+            if idx < 0:
+                return
+            pos = idx
+        while True:
+            abs_pos = base + pos
+            if abs_pos >= end:
+                return
+            rec, nxt = parse_record_at(buf, pos, strict=strict)
+            buffer_truncated = base + len(buf) < size and (rec is None or nxt >= len(buf))
+            # parse_record_at is truncation-tolerant (it clips the
+            # payload at buffer end, like non-strict streaming) — so any
+            # record that touches the end of a non-final buffer must be
+            # re-read, not trusted
+            if buffer_truncated:
+                grow = max(2 * (len(buf) - pos), 2 * slack)
+                f.seek(abs_pos)
+                buf = f.read(min(grow, size - abs_pos))
+                base = abs_pos
+                pos = 0
                 continue
-            rec.payload = b""
-            rec.truncated = True  # beam/warcio.py:145-149 keep-meta semantics
-        if verify_digests:
-            rec.block_digest_ok = _verify_digest(rec.header("WARC-Block-Digest"), rec.payload)
-        if parse_http and rec.record_type in ("response", "request") and not rec.truncated:
-            raw = rec.payload
-            _parse_http_payload(rec, raw)
-            if verify_digests and rec.is_http:
-                rec.payload_digest_ok = _verify_digest(
-                    rec.header("WARC-Payload-Digest"), rec.payload
-                )
-        if func_filter is not None and not func_filter(rec):
-            continue
-        yield rec
+            if rec is None:
+                return  # true end of file / no record starts in range
+            rec.stream_pos += base
+            pos = nxt
+            rec = _postprocess(rec, **filter_opts)
+            if rec is not None:
+                yield rec
 
 
 def _iter_gzip_members(data: bytes) -> Iterator[tuple[int, bytes]]:

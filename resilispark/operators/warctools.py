@@ -83,3 +83,23 @@ def cdxj_index(
         F.date_format("warc_date", "yyyyMMddHHmmss").alias("ts"),
         F.to_json(json_struct).alias("record"),
     )
+
+
+def write_cdxj_sidecar(spark: SparkSession, warc_path: str) -> str:
+    """Write ``<warc_path>.cdxj`` next to a member-per-record .warc.gz
+    so the warc data source can split it at member boundaries
+    (SURVEY §4 CDXJ-assisted split planning; the scan's partitions()
+    reads the sidecar's ``offset`` fields). One driver-side pass over
+    the index DataFrame — the sidecar is tiny (one line per record).
+    """
+    _prep(spark)
+    rows = (
+        cdxj_index(spark, warc_path, fields=("offset", "length", "filename"))
+        .orderBy(F.get_json_object("record", "$.offset").cast("bigint"))
+        .collect()
+    )
+    side = warc_path + ".cdxj"
+    with open(side, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(f"{r.surt_key} {r.ts} {r.record}\n")
+    return side

@@ -17,10 +17,14 @@ def _register(spark):
 
 
 def _load(spark, fixture_dir, name="golden-50.warc.gz", **opts):
+    return _load_path(spark, f"{fixture_dir}/{name}", **opts)
+
+
+def _load_path(spark, path, **opts):
     r = spark.read.format("warc")
     for k, v in opts.items():
         r = r.option(k, str(v))
-    return r.load(f"{fixture_dir}/{name}")
+    return r.load(path)
 
 
 def test_count_globally(spark, fixture_dir):
@@ -93,3 +97,37 @@ def test_extraction_pipeline(spark, fixture_dir):
     assert all(d.mime == "text/html" for d in docs)
     assert all(d.encoding == "utf-8" for d in docs)
     assert all(d.n_chars > 0 for d in docs)
+
+
+def test_cdxj_gz_split_invariance(spark, fixture_dir, tmp_path):
+    """SURVEY §4: CDXJ-assisted member-boundary splitting of .warc.gz
+    must yield the identical record set as the single-partition scan."""
+    import shutil
+
+    from resilispark.operators.warctools import write_cdxj_sidecar
+
+    gz = str(tmp_path / "golden-50.warc.gz")
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", gz)
+    write_cdxj_sidecar(spark, gz)
+    unsplit = _load_path(spark, gz)
+    split = _load_path(spark, gz, split_bytes=2048)
+    assert split.rdd.getNumPartitions() > 1
+    a = sorted((r.record_id, r.stream_pos) for r in unsplit.select("record_id", "stream_pos").collect())
+    b = sorted((r.record_id, r.stream_pos) for r in split.select("record_id", "stream_pos").collect())
+    assert a == b and len(a) == 50
+
+
+def test_range_read_growth(spark, fixture_dir):
+    """iter_warc_range must re-read exactly when a record crosses the
+    buffered range (slack smaller than a record)."""
+    from resilispark.io.warc import iter_warc, iter_warc_range
+
+    path = f"{fixture_dir}/golden-50.warc"
+    full = list(iter_warc(path))
+    size = max(r.stream_pos + r.record_length for r in full)
+    got = []
+    step = 1500
+    for s in range(0, size, step):
+        got.extend(iter_warc_range(path, s, min(s + step, size), slack=64))
+    assert sorted(r.record_id for r in got) == sorted(r.record_id for r in full)
+    assert sorted(len(r.payload) for r in got) == sorted(len(r.payload) for r in full)
