@@ -76,12 +76,19 @@ def main() -> None:
     for label, path, opts in (
         (f"warc_scan_gz_{n_records}_recs", f"{bdir}/bench-{n_groups}.warc.gz", {}),
         (f"warc_scan_plain_{n_records}_recs", f"{bdir}/bench-{n_groups}.warc", {}),
+        (
+            f"warc_scan_plain_split_{n_records}_recs",
+            f"{bdir}/bench-{n_groups}.warc",
+            {"split_bytes": str(256 * 1024)},
+        ),
     ):
         reader = spark.read.format("warc")
         for k, v in opts.items():
             reader = reader.option(k, v)
+        df = reader.load(path)
+        df.write.mode("overwrite").format("noop").save()
         t0 = time.perf_counter()
-        reader.load(path).write.mode("overwrite").format("noop").save()
+        df.write.mode("overwrite").format("noop").save()
         timings[label] = round(time.perf_counter() - t0, 3)
 
     # CDXJ-assisted parallel scan of the same gz file (SURVEY §4 member

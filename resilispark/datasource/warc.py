@@ -161,6 +161,8 @@ class WarcDataSourceReader(DataSourceReader):
         self.strict = self._bool_opt("strict", False)
         split = self.options.get("split_bytes")
         self.split_bytes = int(split) if split else _TARGET_SPLIT_BYTES
+        off = self.options.get("offset")
+        self.offset = int(off) if off is not None else None
 
     def _expand_paths(self) -> list[str]:
         path = self.options.get("path")
@@ -214,6 +216,11 @@ class WarcDataSourceReader(DataSourceReader):
 
     def partitions(self) -> list[_WarcPartition]:
         parts: list[_WarcPartition] = []
+        if self.offset is not None:
+            # S12 point extract (fastwarc extract FILE OFFSET,
+            # cli.py:185-222): seek straight to the record — one
+            # partition covering exactly the record starting at offset
+            return [_WarcPartition(p, self.offset, self.offset + 1) for p in self.paths]
         for p in self.paths:
             size = os.path.getsize(p)
             with open(p, "rb") as f:
@@ -273,16 +280,22 @@ class WarcDataSourceReader(DataSourceReader):
             # whole file when unsplit; a member-aligned CDXJ range when
             # split) and iterate members with stream_pos in the
             # compressed stream, exactly like FastWARC's offsets
+            point = partition.end == partition.start + 1  # S12 seek-extract
             with open(partition.path, "rb") as f:
                 f.seek(partition.start)
-                data = f.read(partition.end - partition.start)
+                f_end = size if point else partition.end
+                data = f.read(f_end - partition.start)
             if partition.start == 0 and partition.end >= size:
                 streams = decode_warc_stream(data)
             else:
+                import itertools
+
                 streams = (
                     (partition.start + off, plain)
                     for off, plain in _iter_gzip_members(data)
                 )
+                if point:
+                    streams = itertools.islice(streams, 1)
             record_iter = (
                 rec
                 for base, plain in streams

@@ -137,22 +137,38 @@ def parse_header_block(data: bytes, start: int) -> tuple[list[tuple[str, str]], 
     CRLF or bare LF terminators; continuation lines (leading SP/HT) fold
     into the previous value with a single space (warc.pyx:1028-1087).
     """
-    headers: list[tuple[str, str]] = []
-    pos = start
     n = len(data)
-    while pos < n:
-        eol = data.find(b"\n", pos)
-        if eol < 0:
-            line = data[pos:]
-            pos = n
-        else:
-            line = data[pos:eol]
-            pos = eol + 1
+    # empty block right away
+    if data.startswith(b"\r\n", start):
+        return [], start + 2
+    if data.startswith(b"\n", start):
+        return [], start + 1
+    # find the blank line once (C-level), then split the block once —
+    # much faster than a find-per-line Python loop. The search is
+    # windowed: an unbounded find for the line style the file does NOT
+    # use would scan to the end of the buffer for every record (O(n²)
+    # over a whole-file buffer)
+    win = 8192
+    while True:
+        hi = min(start + win, n)
+        e1 = data.find(b"\n\r\n", start, hi)
+        e2 = data.find(b"\n\n", start, hi)
+        if e1 >= 0 or e2 >= 0 or hi >= n:
+            break
+        win *= 4
+    if e1 < 0 and e2 < 0:
+        block_end, next_pos = n, n
+    elif e1 >= 0 and (e2 < 0 or e1 < e2):
+        block_end, next_pos = e1, e1 + 3
+    else:
+        block_end, next_pos = e2, e2 + 2
+    headers: list[tuple[str, str]] = []
+    for line in data[start:block_end].split(b"\n"):
         if line.endswith(b"\r"):
             line = line[:-1]
         if not line:
-            break
-        if line[:1] in (b" ", b"\t") and headers:
+            continue
+        if line[0] in (32, 9) and headers:  # SP/HT continuation fold
             k, v = headers[-1]
             headers[-1] = (k, v + " " + line.strip().decode("utf-8", "replace"))
             continue
@@ -166,7 +182,7 @@ def parse_header_block(data: bytes, start: int) -> tuple[list[tuple[str, str]], 
                     line[sep + 1 :].strip().decode("utf-8", "replace"),
                 )
             )
-    return headers, pos
+    return headers, next_pos
 
 
 def _verify_digest(declared: str | None, data: bytes) -> bool | None:
@@ -247,18 +263,35 @@ def parse_record_at(
     version = data[idx:eol].rstrip(b"\r").decode("ascii", "replace")
     headers, body_start = parse_header_block(data, eol + 1)
     rec = WarcRecord(stream_pos=idx, warc_version=version, headers=headers)
+    # single pass over the multimap for the fixed fields (first
+    # occurrence wins, like header()) instead of six linear lookups
+    h_id = h_type = h_date = h_uri = h_conc = h_clen = None
+    for k, v in headers:
+        lk = k.lower()
+        if lk == "warc-record-id":
+            h_id = h_id if h_id is not None else v
+        elif lk == "warc-type":
+            h_type = h_type if h_type is not None else v
+        elif lk == "warc-date":
+            h_date = h_date if h_date is not None else v
+        elif lk == "warc-target-uri":
+            h_uri = h_uri if h_uri is not None else v
+        elif lk == "warc-concurrent-to":
+            h_conc = h_conc if h_conc is not None else v
+        elif lk == "content-length":
+            h_clen = h_clen if h_clen is not None else v
     try:
-        rec.content_length = int(rec.header("Content-Length") or 0)
+        rec.content_length = int(h_clen or 0)
     except ValueError:
         rec.content_length = 0
     body_end = min(body_start + rec.content_length, n)
     rec.payload = data[body_start:body_end]
-    rec.record_id = rec.header("WARC-Record-ID")
-    rtype = (rec.header("WARC-Type") or "").lower()
+    rec.record_id = h_id
+    rtype = (h_type or "").lower()
     rec.record_type = rtype if rtype in RECORD_TYPES else "unknown"
-    rec.warc_date = _parse_warc_date(rec.header("WARC-Date"))
-    rec.target_uri = rec.header("WARC-Target-URI")
-    rec.concurrent_to = rec.header("WARC-Concurrent-To")
+    rec.warc_date = _parse_warc_date(h_date)
+    rec.target_uri = h_uri
+    rec.concurrent_to = h_conc
     next_pos = body_end
     # consume the record-separating blank lines (\r\n\r\n)
     while next_pos < n and data[next_pos : next_pos + 1] in (b"\r", b"\n"):

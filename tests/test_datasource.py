@@ -131,3 +131,15 @@ def test_range_read_growth(spark, fixture_dir):
         got.extend(iter_warc_range(path, s, min(s + step, size), slack=64))
     assert sorted(r.record_id for r in got) == sorted(r.record_id for r in full)
     assert sorted(len(r.payload) for r in got) == sorted(len(r.payload) for r in full)
+
+
+def test_point_extract_by_offset(spark, fixture_dir):
+    """S12: seek to a byte offset and parse exactly one record
+    (fastwarc extract FILE OFFSET, cli.py:185-222) — both codecs."""
+    for name in ("golden-50.warc", "golden-50.warc.gz"):
+        full = _load(spark, fixture_dir, name=name).select("stream_pos", "record_id").collect()
+        target = sorted(full, key=lambda r: r.stream_pos)[20]
+        one = _load(spark, fixture_dir, name=name, offset=target.stream_pos).collect()
+        assert len(one) == 1
+        assert one[0].record_id == target.record_id
+        assert one[0].stream_pos == target.stream_pos
