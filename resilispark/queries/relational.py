@@ -734,6 +734,73 @@ ORDER BY user_bucket
 """
 
 
+def q26_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + correlated subquery surface: orders above the global
+    average price, with each customer's own order count (correlated
+    scalar) — exercises Catalyst's subquery rewrites (scalar subquery →
+    cross join of a 1-row aggregate; correlated → left outer agg join).
+    """
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q26_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               (SELECT CAST(count(*) AS BIGINT) FROM q26_orders i
+                WHERE i.o_custkey = o.o_custkey) AS cust_orders
+        FROM q26_orders o
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM q26_orders)
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 50
+        """
+    )
+
+
+ORACLE_Q26 = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       (SELECT count(*)::BIGINT FROM orders i
+        WHERE i.o_custkey = o.o_custkey) AS cust_orders
+FROM orders o
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+"""
+
+
+def q27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond q03 rollup / q04 cube): the §2.4
+    'full built-in agg surface' claim, including grouping() flags."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q27_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT)  AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               CAST(count(*) AS BIGINT) AS n,
+               floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS total
+        FROM q27_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        ORDER BY g_status, g_prio,
+                 o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+ORACLE_Q27 = """
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus)::INT  AS g_status,
+       grouping(o_orderpriority)::INT AS g_prio,
+       count(*)::BIGINT AS n,
+       floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+ORDER BY g_status, g_prio,
+         o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_distinct_agg": q02_distinct_agg,
@@ -760,6 +827,8 @@ QUERIES = {
     "q23_tumbling_window": q23_tumbling_window,
     "q24_sessionize": q24_sessionize,
     "q25_pivot": q25_pivot,
+    "q26_scalar_subquery": q26_scalar_subquery,
+    "q27_grouping_sets": q27_grouping_sets,
 }
 
 ORACLES = {
@@ -788,4 +857,6 @@ ORACLES = {
     "q23_tumbling_window": ORACLE_Q23,
     "q24_sessionize": ORACLE_Q24,
     "q25_pivot": ORACLE_Q25,
+    "q26_scalar_subquery": ORACLE_Q26,
+    "q27_grouping_sets": ORACLE_Q27,
 }
