@@ -13,6 +13,8 @@ snapshots of arbitrary behavior.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -375,6 +377,52 @@ SELECT CAST(50 AS BIGINT) AS n_records, CAST(50 AS BIGINT) AS n_payload_identica
 """
 
 
+def w13_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T3: real Structured Streaming — the warc-stream file-drop
+    source (micro-batch, exactly-once per file) feeding a tumbling
+    event-time window over warc_date (TimestampedValue semantics of
+    beam/warcio.py:155-157), executed with availableNow and returned
+    from the memory sink. All 50 golden records land in one 30-minute
+    window."""
+    import shutil
+
+    from resilispark.io.fixtures import ensure_fixture_dir
+    from resilispark.streaming.warc_stream import read_warc_stream, tumbling_window_counts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = ensure_fixture_dir()
+    drop = f"{d}/stream-drop"
+    os.makedirs(drop, exist_ok=True)
+    if not os.path.exists(f"{drop}/golden-50.warc.gz"):
+        shutil.copy(f"{d}/golden-50.warc.gz", f"{drop}/golden-50.warc.gz")
+    stream = read_warc_stream(spark, drop)
+    q = (
+        tumbling_window_counts(stream, window="30 minutes")
+        .writeStream.format("memory")
+        .queryName("w13_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table("w13_windows")
+        .select("w_start", "w_end", "record_type", "n")
+        .orderBy("record_type")
+    )
+
+
+ORACLE_W13 = """
+SELECT * FROM (VALUES
+  (TIMESTAMP '2024-05-01 12:00:00', TIMESTAMP '2024-05-01 12:30:00', 'metadata', CAST(16 AS BIGINT)),
+  (TIMESTAMP '2024-05-01 12:00:00', TIMESTAMP '2024-05-01 12:30:00', 'request',  CAST(16 AS BIGINT)),
+  (TIMESTAMP '2024-05-01 12:00:00', TIMESTAMP '2024-05-01 12:30:00', 'response', CAST(16 AS BIGINT)),
+  (TIMESTAMP '2024-05-01 12:00:00', TIMESTAMP '2024-05-01 12:30:00', 'warcinfo', CAST(2  AS BIGINT)))
+  t(w_start, w_end, record_type, n)
+ORDER BY record_type
+"""
+
+
 QUERIES = {
     "w01_type_counts": w01_type_counts,
     "w02_length_filter": w02_length_filter,
@@ -388,6 +436,7 @@ QUERIES = {
     "w10_text_lines": w10_text_lines,
     "w11_revisit_dedup": w11_revisit_dedup,
     "w12_write_roundtrip": w12_write_roundtrip,
+    "w13_streaming_ingest": w13_streaming_ingest,
 }
 
 ORACLES = {
@@ -403,4 +452,5 @@ ORACLES = {
     "w10_text_lines": ORACLE_W10,
     "w11_revisit_dedup": ORACLE_W11,
     "w12_write_roundtrip": ORACLE_W12,
+    "w13_streaming_ingest": ORACLE_W13,
 }
