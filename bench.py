@@ -27,9 +27,12 @@ HEADLINE = [
     "d03_minhash_signatures",
     "d04_minhash_lsh_pairs",
     "d05_simhash",
+    "d06_embedding_neardup",
     "t01_quality_score",
     "s01_cosine_topk",
     "s02_lsh_buckets",
+    "s05_ivf_topk",
+    "m02_video_frames",
 ]
 
 

@@ -789,6 +789,55 @@ ORDER BY doc_id
 """
 
 
+def m02_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: docs as fake video payloads with a
+    duration derived from n_chars -> sample_video_frames (explode over
+    a JVM-side sequence; ffmpeg step stubbed deterministically) ->
+    per-video frame count + first frame digest."""
+    import os
+
+    from resilispark.operators.multimodal import sample_video_frames
+
+    os.environ["RESILISPARK_FAKE_DECODE"] = "1"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video/fake").alias("mime"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.lit("fake").alias("codec"),
+        ).alias("meta"),
+    )
+    frames = sample_video_frames(media, every_ms=500)
+    return (
+        frames.groupBy(F.col("media_id").cast("bigint").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min(F.col("frame").cast("string")).alias("first_frame"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_M02 = """
+WITH f AS (
+  SELECT doc_id,
+         unnest(generate_series(0, greatest(n_chars * 10 - 1, 0), 500)) AS ts
+  FROM documents
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_frames,
+       min(sha256(doc_id::VARCHAR || ':' || ts::VARCHAR)) AS first_frame
+FROM f
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -806,6 +855,7 @@ QUERIES = {
     "s04_label_centroid_dims": s04_label_centroid_dims,
     "s05_ivf_topk": s05_ivf_topk,
     "m01_image_features": m01_image_features,
+    "m02_video_frames": m02_video_frames,
 }
 
 ORACLES = {
@@ -825,4 +875,5 @@ ORACLES = {
     "s04_label_centroid_dims": ORACLE_S04,
     "s05_ivf_topk": ORACLE_S05,
     "m01_image_features": ORACLE_M01,
+    "m02_video_frames": ORACLE_M02,
 }
