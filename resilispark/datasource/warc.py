@@ -137,7 +137,7 @@ _ARROW_SCHEMA = pa.schema(
 )
 
 _TARGET_SPLIT_BYTES = 128 * 1024 * 1024
-_BATCH_ROWS = 512
+_BATCH_ROWS = 2048  # ~2 MiB batches at avg CC record size; 512 paid per-batch overhead, 8192 lost cache locality
 
 
 @dataclass
@@ -258,13 +258,20 @@ class WarcDataSourceReader(DataSourceReader):
         with open(partition.path, "rb") as f:
             head = f.read(8)
         filename = os.path.basename(partition.path)
-        rows: list[dict] = []
+        # column-wise accumulation: pa.array per column is ~2x faster
+        # than from_pylist's per-row dict decoding for this wide schema
+        cols: list[list] = [[] for _ in _ARROW_SCHEMA]
+        n_buf = 0
 
         def flush():
-            nonlocal rows
-            if rows:
-                yield pa.RecordBatch.from_pylist(rows, schema=_ARROW_SCHEMA)
-                rows = []
+            nonlocal cols, n_buf
+            if n_buf:
+                arrays = [
+                    pa.array(c, type=f.type) for c, f in zip(cols, _ARROW_SCHEMA)
+                ]
+                yield pa.RecordBatch.from_arrays(arrays, schema=_ARROW_SCHEMA)
+                cols = [[] for _ in _ARROW_SCHEMA]
+                n_buf = 0
 
         kwargs = dict(
             record_types=self.record_types,
@@ -309,36 +316,32 @@ class WarcDataSourceReader(DataSourceReader):
                 partition.path, partition.start, partition.end, file_size=size, **kwargs
             )
 
+        keep_payload = self.keep_payload
         for rec in record_iter:
-            rows.append(
-                {
-                    "filename": filename,
-                    "stream_pos": rec.stream_pos,
-                    "record_length": rec.record_length,
-                    "record_id": rec.record_id,
-                    "record_type": rec.record_type,
-                    "warc_version": rec.warc_version,
-                    "warc_date": rec.warc_date,
-                    "target_uri": rec.target_uri,
-                    "concurrent_to": rec.concurrent_to,
-                    "headers": [{"key": k, "value": v} for k, v in rec.headers],
-                    "is_http": rec.is_http,
-                    "http_status": rec.http_status,
-                    "http_headers": (
-                        [{"key": k, "value": v} for k, v in rec.http_headers]
-                        if rec.http_headers is not None
-                        else None
-                    ),
-                    "http_content_type": rec.http_content_type,
-                    "http_charset": rec.http_charset,
-                    "http_date": rec.http_date,
-                    "content_length": rec.content_length,
-                    "payload": rec.payload if self.keep_payload else None,
-                    "block_digest_ok": rec.block_digest_ok,
-                    "payload_digest_ok": rec.payload_digest_ok,
-                }
-            )
-            if len(rows) >= _BATCH_ROWS:
+            (c_fn, c_sp, c_rl, c_rid, c_rt, c_wv, c_wd, c_tu, c_ct, c_h,
+             c_ih, c_hs, c_hh, c_hct, c_hcs, c_hd, c_cl, c_pl, c_bd, c_pd) = cols
+            c_fn.append(filename)
+            c_sp.append(rec.stream_pos)
+            c_rl.append(rec.record_length)
+            c_rid.append(rec.record_id)
+            c_rt.append(rec.record_type)
+            c_wv.append(rec.warc_version)
+            c_wd.append(rec.warc_date)
+            c_tu.append(rec.target_uri)
+            c_ct.append(rec.concurrent_to)
+            c_h.append(rec.headers)  # pa.array accepts (key, value) tuples
+            c_ih.append(rec.is_http)
+            c_hs.append(rec.http_status)
+            c_hh.append(rec.http_headers)
+            c_hct.append(rec.http_content_type)
+            c_hcs.append(rec.http_charset)
+            c_hd.append(rec.http_date)
+            c_cl.append(rec.content_length)
+            c_pl.append(rec.payload if keep_payload else None)
+            c_bd.append(rec.block_digest_ok)
+            c_pd.append(rec.payload_digest_ok)
+            n_buf += 1
+            if n_buf >= _BATCH_ROWS:
                 yield from flush()
         yield from flush()
 
