@@ -62,6 +62,16 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
                 zf.write(s, arc)
         os.replace(zip_path + ".tmp", zip_path)
     spark.sparkContext.addPyFile(zip_path)
+    # addPyFile covers task workers, but the streaming data-source
+    # PLANNER worker (python_streaming_source_runner) builds its
+    # sys.path from PYTHONPATH only. Python workers inherit the driver
+    # process env in local mode, so extend it here too.
+    parent = os.path.dirname(pkg_dir)
+    existing = os.environ.get("PYTHONPATH", "")
+    if parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            parent + (os.pathsep + existing if existing else "")
+        )
 
 
 def configure_session(spark: SparkSession) -> SparkSession:

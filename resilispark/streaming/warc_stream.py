@@ -68,6 +68,23 @@ def read_warc_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
     from resilispark.session import ensure_workers_can_import
 
     ensure_workers_can_import(spark)
+    # The streaming data-source PLANNER worker
+    # (python_streaming_source_runner) does not see addPyFile shipments,
+    # so a by-reference pickle of this class fails to import off-repo.
+    # Register the involved modules for by-value pickling: the stream
+    # source then carries its own code, wherever the driver runs.
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+
+        for mod in ("resilispark.streaming.warc_stream",
+                    "resilispark.datasource.warc",
+                    "resilispark.io.warc"):
+            if mod in sys.modules:
+                cloudpickle.register_pickle_by_value(sys.modules[mod])
+    except Exception:
+        pass  # older cloudpickle: fall back to by-reference + addPyFile
     spark.dataSource.register(WarcStreamDataSource)
     return spark.readStream.format("warc-stream").load(drop_dir)
 
