@@ -17,6 +17,7 @@ table rather than a verbatim port.
 from __future__ import annotations
 
 import re
+from functools import lru_cache as _lru_cache
 from html.parser import HTMLParser
 
 VOID_ELEMENTS = frozenset(
@@ -137,6 +138,7 @@ _SEL_PART = re.compile(
 _QUAL = re.compile(r"([.#])([\w-]+)|\[([^\]=~|^$*]+)(?:([~|^$*]?=)\"?([^\]\"]*)\"?)?\]")
 
 
+@_lru_cache(maxsize=512)
 def _compile_simple(sel: str):
     m = _SEL_PART.fullmatch(sel.strip())
     if not m:
@@ -242,9 +244,10 @@ def select_css(html: str, selector: str, text_only: bool = True) -> list[str]:
     return [n.tag or "" for n in nodes]
 
 
-def html_title(html: str) -> str | None:
-    """<title> text (HTMLTree.title, html.pyx:1769-1789)."""
-    root = parse_html(html)
+def html_title(html: str | Node) -> str | None:
+    """<title> text (HTMLTree.title, html.pyx:1769-1789). Accepts raw
+    HTML or an already-parsed tree (parse once, derive many)."""
+    root = html if isinstance(html, Node) else parse_html(html)
     found = query_selector_all(root, "title", first_only=True)
     return _collapse(found[0].full_text()) if found else None
 
@@ -310,7 +313,7 @@ def _find_main_root(root: Node) -> Node:
 
 
 def extract_plain_text(
-    html: str,
+    html: str | Node,
     *,
     preserve_formatting: bool = True,
     main_content: bool = False,
@@ -329,7 +332,7 @@ def extract_plain_text(
     form-field rendering; main_content prunes navigation, boilerplate
     (class/id regex) and link-dense clusters.
     """
-    root = parse_html(html)
+    root = html if isinstance(html, Node) else parse_html(html)
     skip = set(SKIP_ELEMENTS)
     if noscript:
         skip.discard("noscript")

@@ -61,9 +61,10 @@ def _fused_extract(main_content: bool):
                     encoding = charset or enc.detect_encoding(body, from_html_meta=True)
                     html = enc.bytes_to_str(body, encoding or "utf-8")
                     mime = enc.detect_mime(body)
-                    title = H.html_title(html)
+                    tree = H.parse_html(html)  # parse once, derive many
+                    title = H.html_title(tree)
                     text = H.extract_plain_text(
-                        html, preserve_formatting=False, main_content=main_content
+                        tree, preserve_formatting=False, main_content=main_content
                     )
                     n_chars = len(text) if text is not None else None
                     if text:
