@@ -789,6 +789,33 @@ ORDER BY doc_id
 """
 
 
+def t05_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 language-evaluation confusion matrix (resiliparse-py/
+    resiliparse/cli.py:467-526): run the detect_lang kernel over the
+    documents table and cross-tabulate detected vs labeled language.
+
+    ROWS-ONLY gate entry (no oracle_sql): the n-gram kernel has no SQL
+    equivalent — DuckDB cannot re-run it. Deterministic nonetheless
+    (seeded profiles, fixed input); exact golden assertions live in
+    tests/test_kernels.py.
+    """
+    from resilispark.functions.registry import register_functions
+    from resilispark.session import ensure_workers_can_import
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_workers_can_import(spark)
+    udfs = register_functions(spark)
+    d = _docs(spark, sf_dir)
+    det = d.select(
+        "lang", udfs["detect_lang"]("text").alias("r")
+    ).select(F.col("lang").alias("labeled"), F.col("r.lang").alias("detected"))
+    return (
+        det.groupBy("labeled", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("labeled", "detected")
+    )
+
+
 def m02_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling: docs as fake video payloads with a
     duration derived from n_chars -> sample_video_frames (explode over
@@ -849,6 +876,7 @@ QUERIES = {
     "t02_token_count": t02_token_count,
     "t03_lang_distribution": t03_lang_distribution,
     "t04_fingerprint": t04_fingerprint,
+    "t05_lang_confusion": t05_lang_confusion,
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
     "s03_label_centroid_norms": s03_label_centroid_norms,
@@ -869,6 +897,7 @@ ORACLES = {
     "t02_token_count": ORACLE_T02,
     "t03_lang_distribution": ORACLE_T03,
     "t04_fingerprint": ORACLE_T04,
+    "t05_lang_confusion": None,
     "s01_cosine_topk": ORACLE_S01,
     "s02_lsh_buckets": ORACLE_S02,
     "s03_label_centroid_norms": ORACLE_S03,
