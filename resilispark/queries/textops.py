@@ -657,7 +657,7 @@ ORDER BY vec_a, vec_b
 def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its nearest of 8
     centroids (here: the first 8 vectors stand in for trained k-means
-    centroids — deterministic), then answer each query by probing ONLY
+    centroids — deterministic), then answer each of a fixed 10-query set by probing ONLY
     its own cell (nprobe=1) and ranking candidates by exact cosine.
 
     Scale design: the centroid table is tiny and broadcast, so the
@@ -667,21 +667,41 @@ def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline this approximates).
     """
     e = _embs(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    # centroids are tiny and "trained" offline: collect them once and
+    # ship as literal vectors, so the assignment is a single projection
+    # (argmax over 8 inline cosines via array_max of (cos, -id) structs)
+    # instead of a crossJoin + per-vector window — no shuffle, one scan
+    cent_rows = (
+        e.filter(F.col("vec_id") < 8).select("vec_id", "embedding").orderBy("vec_id").collect()
     )
-    dot = F.expr(_SPARK_DOT.format(a="embedding", b="cv"))
-    nv = F.sqrt(F.expr(_SPARK_DOT.format(a="embedding", b="embedding")))
-    ncv = F.sqrt(F.expr(_SPARK_DOT.format(a="cv", b="cv")))
-    wassign = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), "cent_id")
-    cells = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", dot / (nv * ncv))
-        .withColumn("arn", F.row_number().over(wassign))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "label", "embedding", "cent_id")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                F.transform(a, lambda x: x.cast("double")),
+                F.transform(b, lambda x: x.cast("double")),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    emb = F.col("embedding")
+    nv = F.sqrt(_dot(emb, emb))
+    choices = []
+    for r in cent_rows:
+        la = F.array(*[F.lit(float(v)) for v in r.embedding])
+        cos_c = _dot(emb, la) / (nv * F.sqrt(_dot(la, la)))
+        choices.append(
+            F.struct(cos_c.alias("c"), F.lit(-r.vec_id).cast("bigint").alias("nid"))
+        )
+    # struct max = highest cosine, ties to the LOWEST centroid id (max
+    # of negated id) — same ordering as the oracle's row_number
+    best = F.array_max(F.array(*choices))
+    cells = e.select(
+        "vec_id", "label", "embedding", (-best["nid"]).cast("bigint").alias("cent_id")
     )
-    q = cells.filter(F.col("vec_id") >= 490).select(
+    q = cells.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"), F.col("cent_id").alias("qcell")
     )
     c = cells.select(
@@ -717,7 +737,7 @@ WITH cents AS (
 ), cells AS (
   SELECT vec_id, embedding, cent_id FROM assign WHERE arn = 1
 ), q AS (
-  SELECT vec_id AS qid, embedding AS qv, cent_id AS qcell FROM cells WHERE vec_id >= 490
+  SELECT vec_id AS qid, embedding AS qv, cent_id AS qcell FROM cells WHERE vec_id < 10
 ), sims AS (
   SELECT qid, c.vec_id AS cid,
          {_DUCK_DOT.format(a="qv", b="c.embedding")} /
