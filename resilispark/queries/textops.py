@@ -126,11 +126,21 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     sh = _shingle_df(d).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # pair generation by shingle bucket (one grouped pass over the
+    # shingle table) instead of a shingle self-join, which would
+    # re-execute the explode lineage on both join branches; posting
+    # lists per shingle are small for natural text (a stopword-like
+    # hyper-frequent shingle needs a df cap at 100 TB)
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sh_a"))
