@@ -74,7 +74,9 @@ class TestGuards:
     def test_time_guard_passes(self):
         from resilispark.operators.guards import time_guard
 
-        assert time_guard(lambda x: x * 2, timeout=5.0)(21) == 42
+        # generous budget: this asserts pass-through, not latency, and
+        # the worker thread can start late when the host is saturated
+        assert time_guard(lambda x: x * 2, timeout=60.0)(21) == 42
 
     def test_time_guard_times_out(self):
         import time as _t
