@@ -175,6 +175,7 @@ class WarcDataSourceReader(DataSourceReader):
         ) else ([path] if os.path.isfile(path) else sorted(
             globlib.glob(os.path.join(path, "**", "*.warc*"), recursive=True)
         ))
+        matches = [m for m in matches if not m.endswith(".cdxj")]
         if not matches:
             raise FileNotFoundError(f"no WARC files match {path!r}")
         return matches
@@ -373,6 +374,7 @@ class WarcDataSourceWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("warc writer requires a path")
         self.compression = self.options.get("compression", "gzip").lower()
+        self.cdxj = str(self.options.get("cdxj", "")).lower() in ("1", "true", "yes")
         self.overwrite = overwrite
 
     def write(self, iterator) -> _WarcCommit:
@@ -414,6 +416,7 @@ class WarcDataSourceWriter(DataSourceWriter):
             out,
             compression="gzip" if self.compression == "gzip" else "none",
             checksum_data=True,
+            cdxj_sidecar=self.cdxj,
         )
         return _WarcCommit(path=out, n_records=n)
 

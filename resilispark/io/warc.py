@@ -530,20 +530,38 @@ def write_warc(
     *,
     compression: str = "none",
     checksum_data: bool = True,
+    cdxj_sidecar: bool = False,
 ) -> int:
     """Write records to a WARC file; gzip = one member per record so the
-    output is splittable (S9). Returns the number of records written."""
+    output is splittable (S9). Returns the number of records written.
+
+    ``cdxj_sidecar`` also writes ``<path>.cdxj`` (offset/length per
+    record, fastwarc index format) alongside, so the output is
+    immediately split-plannable by the warc data source without a
+    separate indexing pass."""
     n = 0
+    index_lines: list[str] = []
     with open(path, "wb") as f:
         for rec in records:
             blob = serialize_record(rec, checksum_data=checksum_data)
             if compression == "gzip":
-                f.write(gzip.compress(blob, mtime=0))
+                out = gzip.compress(blob, mtime=0)
             elif compression == "lz4":
                 if _lz4frame is None:
                     raise RuntimeError("lz4 package not available")
-                f.write(_lz4frame.compress(blob))
+                out = _lz4frame.compress(blob)
             else:
-                f.write(blob)
+                out = blob
+            if cdxj_sidecar:
+                ts = rec.warc_date.strftime("%Y%m%d%H%M%S") if rec.warc_date else "-"
+                key = rec.target_uri or rec.record_id or "-"
+                index_lines.append(
+                    f'{key} {ts} {{"offset": {f.tell()}, "length": {len(out)}, '
+                    f'"filename": "{os.path.basename(path)}"}}\n'
+                )
+            f.write(out)
             n += 1
+    if cdxj_sidecar:
+        with open(path + ".cdxj", "w", encoding="utf-8") as idx:
+            idx.writelines(index_lines)
     return n

@@ -61,3 +61,33 @@ def test_cdxj_index(spark, fixture_dir):
     offs = sorted(r["offset"] for r in recs)
     assert len(set(offs)) == 50 and offs[0] == 0
     assert sum(r["length"] for r in recs) == 41199
+
+
+def test_writer_cdxj_sidecar_roundtrip(spark, fixture_dir, tmp_path):
+    """df.write.format('warc').option('cdxj','true') emits a sidecar per
+    part file; the re-scan splits at the indexed member boundaries and
+    returns the identical record set."""
+    import glob
+    import os
+
+    src = spark.read.format("warc").option("parse_http", "false").load(
+        f"{fixture_dir}/golden-50.warc.gz"
+    )
+    out = str(tmp_path / "indexed")
+    (
+        src.write.format("warc")
+        .option("compression", "gzip")
+        .option("cdxj", "true")
+        .mode("append")
+        .save(out)
+    )
+    parts = glob.glob(f"{out}/part-*.warc.gz")
+    assert parts and all(os.path.exists(p + ".cdxj") for p in parts)
+    rescan = (
+        spark.read.format("warc")
+        .option("parse_http", "false")
+        .option("split_bytes", "2048")
+        .load(f"{out}/part-*.warc.gz")
+    )
+    assert rescan.count() == 50
+    assert rescan.select("record_id").distinct().count() == 50
