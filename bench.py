@@ -109,10 +109,15 @@ def main() -> None:
     split_df.write.mode("overwrite").format("noop").save()
     timings[f"warc_scan_gz_split_{n_records}_recs"] = round(time.perf_counter() - t0, 3)
 
+    # sidecar exists (written above), so the scan fans out too
+    pipe = warc_to_html_docs(
+        spark,
+        f"{bdir}/bench-{n_groups}.warc.gz",
+        scan_options={"split_bytes": 256 * 1024},
+    )
+    pipe.write.mode("overwrite").format("noop").save()
     t0 = time.perf_counter()
-    warc_to_html_docs(spark, f"{bdir}/bench-{n_groups}.warc.gz").write.mode(
-        "overwrite"
-    ).format("noop").save()
+    pipe.write.mode("overwrite").format("noop").save()
     timings[f"warc_extract_pipeline_{n_groups}_docs"] = round(time.perf_counter() - t0, 3)
 
     from resilispark.functions.registry import register_functions

@@ -94,6 +94,7 @@ def warc_to_html_docs(
     *,
     main_content: bool = True,
     fused: bool = True,
+    scan_options: dict | None = None,
 ) -> DataFrame:
     """WARC -> html_docs(url, title, plain_text, lang, lang_rank,
     encoding, mime, n_chars) — SURVEY §1.2's downstream derived table.
@@ -111,10 +112,11 @@ def warc_to_html_docs(
     register(spark)
 
     n_cores = spark.sparkContext.defaultParallelism
+    reader = spark.read.format("warc").option("record_types", "response")
+    for k, v in (scan_options or {}).items():
+        reader = reader.option(k, str(v))
     records = (
-        spark.read.format("warc")
-        .option("record_types", "response")
-        .load(path)
+        reader.load(path)
         .filter(F.col("http_content_type") == "text/html")
         # fusion break: a single compressed WARC scans as one partition;
         # spread records across cores before the kernel UDFs run — the
