@@ -133,3 +133,58 @@ def test_serialize_record_framing():
     assert b"Content-Length: 5\r\n" in blob
     assert b"WARC-Block-Digest: sha1:" in blob
     assert blob.endswith(b"hello\r\n\r\n")
+
+
+class TestCorruptStreams:
+    """Mirrors the reference's clipped/quirk fixtures
+    (tests/fastwarc/test_stream_io.py: clipped.warc.gz,
+    clueweb-quirk.warc.gz): truncation and inter-record garbage must not
+    kill a non-strict scan."""
+
+    def test_clipped_gzip_member(self, fixture_dir):
+        from resilispark.io.warc import iter_warc
+
+        data = open(f"{fixture_dir}/golden-50.warc.gz", "rb").read()
+        clipped = data[: len(data) - len(data) // 3]  # cut mid-member
+        recs = list(iter_warc(clipped))
+        assert 0 < len(recs) < 50
+        assert all(r.record_id for r in recs)
+
+    def test_garbage_between_records_non_strict(self, fixture_dir):
+        from resilispark.io.warc import iter_warc_bytes, serialize_record, iter_warc
+
+        recs = list(iter_warc(f"{fixture_dir}/golden-50.warc"))[:3]
+        blob = (
+            serialize_record(recs[0], checksum_data=False)
+            + b"###garbage bytes not a record###\r\n"
+            + serialize_record(recs[1], checksum_data=False)
+        )
+        got = list(iter_warc_bytes(blob))
+        assert [r.record_id for r in got] == [recs[0].record_id, recs[1].record_id]
+
+    def test_garbage_raises_in_strict_mode(self, fixture_dir):
+        import pytest
+
+        from resilispark.io.warc import iter_warc_bytes, serialize_record, iter_warc
+
+        recs = list(iter_warc(f"{fixture_dir}/golden-50.warc"))[:2]
+        blob = (
+            serialize_record(recs[0], checksum_data=False)
+            + b"###garbage###\r\n"
+            + serialize_record(recs[1], checksum_data=False)
+        )
+        with pytest.raises(ValueError):
+            list(iter_warc_bytes(blob, strict=True))
+
+    def test_truncated_final_record_payload(self, fixture_dir):
+        from resilispark.io.warc import iter_warc
+
+        data = open(f"{fixture_dir}/golden-50.warc", "rb").read()
+        recs_full = list(iter_warc(data))
+        # cut into the last record's payload
+        last = max(recs_full, key=lambda r: r.stream_pos)
+        clipped = data[: last.stream_pos + last.record_length // 2]
+        recs = list(iter_warc(clipped))
+        assert len(recs) == 50  # truncated tail record still surfaces
+        tail = max(recs, key=lambda r: r.stream_pos)
+        assert len(tail.payload) <= len(last.payload)
