@@ -123,12 +123,16 @@ def main() -> None:
     from resilispark.functions.registry import register_functions
 
     udfs = register_functions(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # small parquet = one input split; spread rows so the kernel runs on
+    # every core (what a many-file corpus gets naturally)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     n_docs = docs.count()
+    lang_df = docs.select(udfs["detect_lang"]("text").alias("l"))
+    lang_df.write.mode("overwrite").format("noop").save()
     t0 = time.perf_counter()
-    docs.select(udfs["detect_lang"]("text").alias("l")).write.mode("overwrite").format(
-        "noop"
-    ).save()
+    lang_df.write.mode("overwrite").format("noop").save()
     timings[f"lang_detect_{n_docs}_docs"] = round(time.perf_counter() - t0, 3)
 
     sf = None
