@@ -257,6 +257,15 @@ def html_title(html: str | Node) -> str | None:
 # --------------------------------------------------------------------------
 
 _WS = re.compile(r"[ \t\r\n\f\v]+")
+# minimal_html mode: structural tags kept in the output (html2text
+# minimal_html examples, docs/man/extract/html2text.rst)
+_MINIMAL_TAGS = frozenset(
+    {"h1", "h2", "h3", "h4", "h5", "h6", "p", "ul", "ol", "li", "pre", "blockquote"}
+)
+
+
+def _html_escape(t: str) -> str:
+    return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 # class/id boilerplate blacklist — same rule class as html2text.pyx:469-489
 _BOILERPLATE = re.compile(
     r"(?:^|[-_ ])(?:sidebar|sidenav|breadcrumbs?|social(?:-media)?|share|sharing|"
@@ -315,7 +324,7 @@ def _find_main_root(root: Node) -> Node:
 def extract_plain_text(
     html: str | Node,
     *,
-    preserve_formatting: bool = True,
+    preserve_formatting: bool | str = True,
     main_content: bool = False,
     list_bullets: bool = True,
     alt_texts: bool = False,
@@ -343,12 +352,18 @@ def extract_plain_text(
                 n.tag = "#skipped"
         skip.add("#skipped")
 
+    # preserve_formatting follows the reference's tri-state
+    # (html2text.pyx:736-933): False | True | 'minimal_html' — the
+    # latter keeps structural tags and HTML-escapes text (:142-159)
+    minimal = preserve_formatting == "minimal_html"
+    preserve = bool(preserve_formatting)
+
     base = _find_main_root(root) if main_content else root
     out: list[str] = []  # list of text runs; "\n" markers for breaks
     ol_counters: list[int] = []
 
     def emit_margin(double: bool):
-        if not preserve_formatting:
+        if not preserve:
             out.append(" ")  # block boundary still separates words
             return
         # normalize: at most one blank line between blocks
@@ -362,13 +377,13 @@ def extract_plain_text(
     def walk(n: Node, in_pre: bool):
         if n.is_text:
             if n.text:
-                if in_pre and preserve_formatting:
+                if in_pre and preserve:
                     # \x01 protects pre whitespace through the serializer
                     out.append(n.text.replace(" ", "\x01").replace("\t", "\x01\x01"))
                 else:
                     t = _WS.sub(" ", n.text)
                     if t:
-                        out.append(t)
+                        out.append(_html_escape(t) if minimal else t)
             return
         tag = n.tag
         if tag in skip or tag == "head":
@@ -387,7 +402,7 @@ def extract_plain_text(
                 return
         is_block = tag in BLOCK_ELEMENTS
         if tag == "br":
-            out.append("\n" if preserve_formatting else " ")
+            out.append("\n" if preserve else " ")
             return
         if tag == "img":
             if alt_texts and n.attr("alt"):
@@ -401,10 +416,12 @@ def extract_plain_text(
             return
         if is_block:
             emit_margin(tag in DOUBLE_MARGIN)
+        if minimal and tag in _MINIMAL_TAGS:
+            out.append(f"<{tag}>")
         if tag == "ol":
             ol_counters.append(0)
         bullet_prefix = None
-        if tag == "li" and preserve_formatting and list_bullets:
+        if tag == "li" and preserve and not minimal and list_bullets:
             if ol_counters:
                 ol_counters[-1] += 1
                 bullet_prefix = f"{ol_counters[-1]}. "
@@ -417,6 +434,8 @@ def extract_plain_text(
             walk(c, pre_now)
         if tag == "ol":
             ol_counters.pop()
+        if minimal and tag in _MINIMAL_TAGS:
+            out.append(f"</{tag}>")
         if tag == "a" and links and n.attr("href"):
             out.append(f" ({n.attr('href')})")
         if is_block:
@@ -424,7 +443,7 @@ def extract_plain_text(
 
     walk(base, False)
 
-    if not preserve_formatting:
+    if not preserve:
         return _collapse("".join(out))
     # serializer: join runs, collapse spaces around newlines (html2text
     # serializer semantics, :282-437); \x01 = protected pre whitespace

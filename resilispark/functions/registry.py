@@ -72,6 +72,12 @@ def make_udfs():
         return _series_map(lambda h: H.extract_plain_text(h, preserve_formatting=True))(html)
 
     @F.pandas_udf(T.StringType())
+    def extract_text_minimal_html(html: pd.Series) -> pd.Series:
+        return _series_map(
+            lambda h: H.extract_plain_text(h, preserve_formatting="minimal_html")
+        )(html)
+
+    @F.pandas_udf(T.StringType())
     def extract_main_content(html: pd.Series) -> pd.Series:
         return _series_map(
             lambda h: H.extract_plain_text(h, preserve_formatting=False, main_content=True)
@@ -130,6 +136,7 @@ def make_udfs():
         "html_title": html_title,
         "extract_text": extract_text,
         "extract_text_formatted": extract_text_formatted,
+        "extract_text_minimal_html": extract_text_minimal_html,
         "extract_main_content": extract_main_content,
         "select_css": select_css,
         "detect_lang": detect_lang,

@@ -216,3 +216,26 @@ class TestLang:
     def test_trainer(self):
         vec = train_language_examples(["hello world", "hello there world"])
         assert vec.shape == (256,) and vec.dtype.name == "uint8" and vec.sum() > 0
+
+
+def test_extract_minimal_html_golden():
+    """F9 tri-state preserve_formatting: 'minimal_html' keeps structural
+    tags and escapes text (html2text.pyx:142-159 escape semantics)."""
+    from resilispark.functions.html import extract_plain_text
+
+    h = (
+        "<html><body><h1>Title &amp; more</h1>"
+        "<p>Some <b>bold</b> text with 1 < 2.</p>"
+        "<ul><li>alpha</li><li>beta</li></ul>"
+        "<pre>a  b</pre></body></html>"
+    )
+    assert extract_plain_text(h, preserve_formatting="minimal_html") == (
+        "<h1>Title &amp; more</h1>\n\n"
+        "<p>Some bold text with 1 &lt; 2.</p>\n"
+        "<ul>\n<li>alpha</li>\n<li>beta</li>\n</ul>\n\n"
+        "<pre>a  b</pre>"
+    )
+    # the three modes agree on the underlying text
+    assert extract_plain_text(h, preserve_formatting=False) == (
+        "Title & more Some bold text with 1 < 2. alpha beta a b"
+    )
