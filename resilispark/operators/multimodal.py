@@ -91,6 +91,50 @@ def extract_image_features(media: DataFrame, *, fake: bool = False) -> DataFrame
     return media.mapInPandas(op, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id string, mime string, sample_rate int, rms float, zcr float"
+)
+
+
+def _decode_audio(payload: bytes, fake: bool = False):
+    """Codec boundary. Real implementation needs soundfile/librosa
+    (absent in this container)."""
+    if fake or _fake_enabled():
+        h = hashlib.sha256(payload or b"").digest()
+        rate = 8000 + h[2] * 64
+        rms = h[3] / 255.0
+        zcr = h[4] / 255.0
+        return rate, rms, zcr
+    raise NotImplementedError(
+        "audio decode requires soundfile/librosa, not present in the base "
+        "image; set RESILISPARK_FAKE_DECODE=1 for the deterministic stub"
+    )
+
+
+def extract_audio_features(media: DataFrame, *, fake: bool = False) -> DataFrame:
+    """media(MEDIA_SCHEMA) -> per-clip audio stats via mapInPandas (same
+    Arrow-batched partition-parallel plumbing as the image operator)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    rate, rms, zcr = _decode_audio(
+                        bytes(r["payload"]) if r["payload"] is not None else b"", fake=fake
+                    )
+                    rows.append((r["media_id"], r["mime"], rate, rms, zcr))
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    rows.append((r["media_id"], r["mime"], None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "mime", "sample_rate", "rms", "zcr"]
+            )
+
+    return media.mapInPandas(op, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame sampling: one output row per sampled frame timestamp.
 

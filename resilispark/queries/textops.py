@@ -895,6 +895,61 @@ ORDER BY doc_id
 """
 
 
+def m03_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio plumbing: documents' bytes as fake audio clips ->
+    mapInPandas decode stub (sha256-derived sample-rate/rms/zcr) ->
+    per-clip stats; the DuckDB oracle recomputes the same arithmetic."""
+    from resilispark.operators.multimodal import extract_audio_features
+    from resilispark.session import ensure_workers_can_import
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_workers_can_import(spark)
+    d = _docs(spark, sf_dir)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("audio/fake").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("codec"),
+        ).alias("meta"),
+    )
+    feats = extract_audio_features(media, fake=True)
+    return (
+        feats.select(
+            F.col("media_id").cast("bigint").alias("doc_id"),
+            F.col("sample_rate").cast("bigint").alias("sample_rate"),
+            dround(F.col("rms").cast("double"), 6).alias("rms"),
+            dround(F.col("zcr").cast("double"), 6).alias("zcr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_M03 = """
+WITH h AS (
+  SELECT doc_id, sha256(text) AS hx FROM documents
+), b AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substring(hx, 5, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(hx, 6, 1)) - 1) AS b2,
+         (strpos('0123456789abcdef', substring(hx, 7, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(hx, 8, 1)) - 1) AS b3,
+         (strpos('0123456789abcdef', substring(hx, 9, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(hx, 10, 1)) - 1) AS b4
+  FROM h
+)
+SELECT doc_id,
+       CAST(8000 + b2 * 64 AS BIGINT) AS sample_rate,
+       floor((CAST(CAST(b3 / 255.0 AS REAL) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rms,
+       floor((CAST(CAST(b4 / 255.0 AS REAL) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS zcr
+FROM b
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -914,6 +969,7 @@ QUERIES = {
     "s05_ivf_topk": s05_ivf_topk,
     "m01_image_features": m01_image_features,
     "m02_video_frames": m02_video_frames,
+    "m03_audio_features": m03_audio_features,
 }
 
 ORACLES = {
@@ -935,4 +991,5 @@ ORACLES = {
     "s05_ivf_topk": ORACLE_S05,
     "m01_image_features": ORACLE_M01,
     "m02_video_frames": ORACLE_M02,
+    "m03_audio_features": ORACLE_M03,
 }

@@ -423,6 +423,44 @@ ORDER BY record_type
 """
 
 
+def w14_css_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11/F12 DOM queries as columns: decode each HTML response, then
+    select_css for list items and the h1 heading (query_selector_all,
+    parse/html.pyx:309-393) — golden constants from the fixture."""
+    from resilispark.functions.registry import register_functions
+
+    udfs = register_functions(spark)
+    df = _warc(spark, record_types="response")
+    html = udfs["to_str"](F.col("payload"), F.lit("utf-8"))
+    sel_li = udfs["select_css"](html, F.lit("li"))
+    sel_h1 = udfs["select_css"](html, F.lit("h1"))
+    return (
+        df.select(
+            F.col("target_uri").alias("url"),
+            F.coalesce(F.size(sel_li), F.lit(0)).cast("bigint").alias("n_li"),
+            F.try_element_at(sel_h1, F.lit(1)).alias("h1"),
+        )
+        .orderBy("url")
+    )
+
+
+def _w14_oracle() -> str:
+    rows = []
+    for i in range(16):
+        big = i % 3 == 0 or i == 1
+        host = f"host{i % 10}.example.org"
+        url = f"https://{host}/page/{i}"
+        n_li = 3 if big else 0
+        h1 = f"'Page {i} on {host}'" if big else "CAST(NULL AS VARCHAR)"
+        rows.append(f"  ('{url}', CAST({n_li} AS BIGINT), {h1})")
+    return (
+        "SELECT * FROM (VALUES\n" + ",\n".join(rows) + ") t(url, n_li, h1)\nORDER BY url"
+    )
+
+
+ORACLE_W14 = _w14_oracle()
+
+
 QUERIES = {
     "w01_type_counts": w01_type_counts,
     "w02_length_filter": w02_length_filter,
@@ -437,6 +475,7 @@ QUERIES = {
     "w11_revisit_dedup": w11_revisit_dedup,
     "w12_write_roundtrip": w12_write_roundtrip,
     "w13_streaming_ingest": w13_streaming_ingest,
+    "w14_css_select": w14_css_select,
 }
 
 ORACLES = {
@@ -453,4 +492,5 @@ ORACLES = {
     "w11_revisit_dedup": ORACLE_W11,
     "w12_write_roundtrip": ORACLE_W12,
     "w13_streaming_ingest": ORACLE_W13,
+    "w14_css_select": ORACLE_W14,
 }

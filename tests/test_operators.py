@@ -219,3 +219,32 @@ class TestMultimodal:
         finally:
             del os.environ["RESILISPARK_FAKE_DECODE"]
         assert [r.frame_ts_ms for r in rows] == [0, 1000, 2000, 3000]
+
+
+class TestAudioStub:
+    def test_audio_features_fake(self, spark):
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.multimodal import extract_audio_features
+        from resilispark.session import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
+        media = spark.createDataFrame(
+            [("a", "audio/fake", b"hello", None)],
+            "media_id string, mime string, payload binary, meta struct<width:int,height:int,duration_ms:long,codec:string>",
+        )
+        row = extract_audio_features(media, fake=True).collect()[0]
+        import hashlib
+
+        h = hashlib.sha256(b"hello").digest()
+        assert row.sample_rate == 8000 + h[2] * 64
+        assert abs(row.rms - h[3] / 255.0) < 1e-6
+        assert abs(row.zcr - h[4] / 255.0) < 1e-6
+
+    def test_audio_decode_stub_raises(self):
+        import pytest
+
+        from resilispark.operators.multimodal import _decode_audio
+
+        with pytest.raises(NotImplementedError):
+            _decode_audio(b"x", fake=False)
