@@ -1,0 +1,59 @@
+"""Skew-mitigation operators (SURVEY §4 scale notes; BASELINE.json
+north star: "salting for skew, AQE for runtime re-plan").
+
+AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on in
+the engine session) covers sort-merge joins automatically; these
+utilities cover the cases AQE cannot re-plan: hot-key *aggregations*
+whose single reducer partition melts, and broadcast-ineligible joins
+against a hot dimension. Both are pure DataFrame lineage.
+
+The salt is `pmod(monotonically_increasing_id(), n)` — a per-row value
+independent of the key, so one hot key's rows spread across ``n``
+reducer partitions. Results are identical to the unsalted plan (joins
+replicate the small side per salt; aggregations re-combine partials),
+so the same oracle SQL validates both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salt_rows(df: DataFrame, n_salt: int = 16, salt_col: str = _SALT) -> DataFrame:
+    """Attach a key-independent salt in [0, n_salt)."""
+    return df.withColumn(salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi join robust to a hot key on the big side: salt the big side,
+    replicate the small side once per salt value, join on (key, salt).
+    Output columns match ``big.join(small, on, how)``."""
+    big_s = salt_rows(big, n_salt)
+    small_r = small.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    out = big_s.join(small_r, [on, _SALT], how)
+    return out.drop(_SALT)
+
+
+def salted_count_by(df: DataFrame, *keys: str, n_salt: int = 16) -> DataFrame:
+    """Two-phase count for hot grouping keys: partial count per
+    (keys, salt), then final sum per keys — the hot key's reduction
+    spreads over ``n_salt`` partitions before the tiny final combine.
+    Equivalent to ``df.groupBy(*keys).count()``."""
+    partial = (
+        salt_rows(df, n_salt)
+        .groupBy(*keys, _SALT)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("__c").cast("bigint").alias("n"))

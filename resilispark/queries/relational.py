@@ -801,6 +801,25 @@ ORDER BY g_status, g_prio,
 """
 
 
+def q28_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-robust two-phase aggregation (operators.skew.salted_count_by):
+    partial count per (key, salt) then final sum — a hot grouping key's
+    reduction spreads over n_salt partitions. Result identical to the
+    plain GROUP BY, which is exactly what the oracle runs."""
+    from resilispark.operators.skew import salted_count_by
+
+    e = _t(spark, sf_dir, "events")
+    return salted_count_by(e, "event_type", n_salt=16).orderBy("event_type")
+
+
+ORACLE_Q28 = """
+SELECT event_type, count(*)::BIGINT AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_distinct_agg": q02_distinct_agg,
@@ -829,6 +848,7 @@ QUERIES = {
     "q25_pivot": q25_pivot,
     "q26_scalar_subquery": q26_scalar_subquery,
     "q27_grouping_sets": q27_grouping_sets,
+    "q28_salted_skew_agg": q28_salted_skew_agg,
 }
 
 ORACLES = {
@@ -859,4 +879,5 @@ ORACLES = {
     "q25_pivot": ORACLE_Q25,
     "q26_scalar_subquery": ORACLE_Q26,
     "q27_grouping_sets": ORACLE_Q27,
+    "q28_salted_skew_agg": ORACLE_Q28,
 }

@@ -248,3 +248,37 @@ class TestAudioStub:
 
         with pytest.raises(NotImplementedError):
             _decode_audio(b"x", fake=False)
+
+
+class TestSkew:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        # 90% of rows share one key
+        hot = spark.range(900).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+        rest = spark.range(100).select((F.col("id") % 9 + 2).cast("long").alias("k"), F.col("id").alias("v"))
+        return hot.unionAll(rest)
+
+    def test_salted_count_matches_plain(self, skewed):
+        from resilispark.operators.skew import salted_count_by
+
+        plain = {r.k: r["count"] for r in skewed.groupBy("k").count().collect()}
+        salted = {r.k: r.n for r in salted_count_by(skewed, "k").collect()}
+        assert salted == plain
+
+    def test_salted_join_matches_plain(self, spark, skewed):
+        from resilispark.operators.skew import salted_join
+
+        dim = spark.createDataFrame(
+            [(k, f"name{k}") for k in range(1, 11)], "k long, name string"
+        )
+        plain = sorted((r.k, r.v, r.name) for r in skewed.join(dim, "k").collect())
+        salted = sorted((r.k, r.v, r.name) for r in salted_join(skewed, dim, "k").collect())
+        assert salted == plain
+
+    def test_salted_left_join_keeps_unmatched(self, spark, skewed):
+        from resilispark.operators.skew import salted_join
+
+        dim = spark.createDataFrame([(1, "one")], "k long, name string")
+        out = salted_join(skewed, dim, "k", how="left")
+        assert out.count() == 1000
+        assert out.filter("name IS NULL").count() == 100
