@@ -1,0 +1,73 @@
+"""Regenerate PLANS.md: physical-plan audit of representative queries.
+
+Usage: python tools/gen_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PICKS = {
+    "q01_pricing_summary": "Filter pushdown + column pruning at the parquet scan; partial/final hash aggregate.",
+    "q05_join_customer_orders": "Broadcast hash join (orders side streamed), no sort-merge shuffle.",
+    "q09_multiway_join": "Four-way join planned as a broadcast chain — zero join shuffles.",
+    "q14_topk_per_group": "Per-group top-k via ranking window after a single hash partition.",
+    "d01_exact_dedup": "One hash-partitioned exchange on the digest; window over it.",
+    "d04_minhash_lsh_pairs": "One signature aggregation feeding band buckets (no self-join).",
+    "s01_cosine_topk": "Tiny query side broadcast; candidates streamed once.",
+    "q28_salted_skew_agg": "Two-phase salted aggregation: hot key spread over 16 partitions.",
+}
+
+_KEEP = re.compile(
+    r"PushedFilters|ReadSchema|BroadcastHashJoin \w|SortMergeJoin \w|HashAggregate"
+    r"|Exchange \w|Window|Scan parquet|InMemory"
+)
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from resilispark.queries import QUERIES
+    from resilispark.session import get_spark
+
+    spark = get_spark("plans")
+    out = [
+        "# PLANS — physical-plan audit (sf0.1, local[32], AQE on)",
+        "",
+        "Generated from `.explain('formatted')`; regenerate with `python tools/gen_plans.py`.",
+        "",
+    ]
+    for name, note in PICKS.items():
+        df = QUERIES[name](spark, sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        keep = [l for l in p.splitlines() if _KEEP.search(l)]
+        out += [
+            f"## {name}",
+            note,
+            f"(exchanges: {p.count('Exchange ')}, broadcast joins: "
+            f"{p.count('BroadcastHashJoin')}, sort-merge joins: {p.count('SortMergeJoin')})",
+            "```",
+        ]
+        seen: set[str] = set()
+        for l in keep[:14]:
+            t = l.strip()[:150]
+            if t not in seen:
+                seen.add(t)
+                out.append(t)
+        out += ["```", ""]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"PLANS.md written ({len(PICKS)} queries)")
+
+
+if __name__ == "__main__":
+    main()
