@@ -9,7 +9,9 @@ vectors per language (train_language_examples, lang.pyx:196-226).
 
 The reference ships 101 precomputed profiles (lang_profiles.h) which we
 deliberately do NOT copy; profiles here are trained at import time from
-original seed snippets for 14 languages. ``train_language_examples`` /
+original seed snippets for 26 languages (scripts with a single supported
+language shortcut via the script vote; shared scripts — e.g. Cyrillic —
+restrict the rank to their candidate set). ``train_language_examples`` /
 the A5 applyInPandas trainer in ``resilispark.operators`` is the path to
 production-grade profiles at corpus scale.
 """
@@ -77,25 +79,51 @@ _SEEDS: dict[str, str] = {
         "L'étude rapide de la langue est une fenêtre sur la pensée des gens. "
         "Chaque matin, le vieux bac traversait la rivière grise, emportant "
         "des ouvriers, des étudiants et quelques voyageurs endormis vers "
-        "l'autre rive où les marchés ouvraient tôt et le pain était encore chaud. Ce n'était pas la première fois qu'ils voyaient de telles choses, mais la lumière sur l'eau était différente maintenant, et tous ceux qui regardaient depuis le pont disaient que ce serait une bonne année."
+        "l'autre rive où les marchés ouvraient tôt et le pain était encore "
+        "chaud. Ce n'était pas la première fois qu'ils voyaient de telles "
+        "choses, mais la lumière sur l'eau était différente maintenant, et "
+        "tous ceux qui regardaient depuis le pont disaient que ce serait une "
+        "bonne année. Le conseil devait se réunir jeudi pour discuter du "
+        "nouveau budget et du calendrier des travaux, et plusieurs membres "
+        "voulaient aussi entendre ce que les habitants de la ville "
+        "pensaient des projets pour l'année suivante."
     ),
     "es": (
         "El estudio rápido del idioma es una ventana a cómo piensa la gente. "
         "Cada mañana el viejo ferry cruzaba el río gris llevando obreros, "
         "estudiantes y algunos viajeros somnolientos hasta la otra orilla, "
-        "donde los mercados abrían temprano y el pan seguía caliente. No era la primera vez que veían cosas así, pero la luz sobre el agua era diferente ahora, y todos los que miraban desde el puente decían que este sería un buen año."
+        "donde los mercados abrían temprano y el pan seguía caliente. No era "
+        "la primera vez que veían cosas así, pero la luz sobre el agua era "
+        "diferente ahora, y todos los que miraban desde el puente decían que "
+        "este sería un buen año. El consejo debía reunirse el jueves para "
+        "discutir el nuevo presupuesto y el calendario de las obras, y "
+        "varios miembros querían también escuchar lo que los habitantes de "
+        "la ciudad pensaban de los planes para el año siguiente."
     ),
     "it": (
         "Lo studio rapido della lingua è una finestra su come pensano le "
         "persone. Ogni mattina il vecchio traghetto attraversava il fiume "
         "grigio portando operai, studenti e qualche viaggiatore assonnato "
-        "verso l'altra riva, dove i mercati aprivano presto e il pane era caldo. Non era la prima volta che vedevano cose simili, ma la luce sull'acqua era diversa adesso, e tutti quelli che guardavano dal ponte dicevano che questo sarebbe stato un buon anno."
+        "verso l'altra riva, dove i mercati aprivano presto e il pane era "
+        "caldo. Non era la prima volta che vedevano cose simili, ma la luce "
+        "sull'acqua era diversa adesso, e tutti quelli che guardavano dal "
+        "ponte dicevano che questo sarebbe stato un buon anno. Il consiglio "
+        "doveva riunirsi giovedì per discutere il nuovo bilancio e il "
+        "calendario dei lavori, e diversi membri volevano anche sentire che "
+        "cosa gli abitanti della città pensassero dei progetti per l'anno "
+        "successivo."
     ),
     "pt": (
         "O estudo rápido da língua é uma janela para a forma como as pessoas "
         "pensam. Todas as manhãs a velha balsa atravessava o rio cinzento "
         "levando operários, estudantes e alguns viajantes sonolentos para a "
-        "outra margem, onde os mercados abriam cedo e o pão ainda estava quente. Não era a primeira vez que viam coisas assim, mas a luz sobre a água estava diferente agora, e todos os que olhavam da ponte diziam que este seria um bom ano."
+        "outra margem, onde os mercados abriam cedo e o pão ainda estava "
+        "quente. Não era a primeira vez que viam coisas assim, mas a luz "
+        "sobre a água estava diferente agora, e todos os que olhavam da "
+        "ponte diziam que este seria um bom ano. O conselho devia reunir-se "
+        "na quinta-feira para discutir o novo orçamento e o calendário das "
+        "obras, e vários membros queriam também ouvir o que os habitantes "
+        "da cidade pensavam dos planos para o ano seguinte."
     ),
     "nl": (
         "De snelle studie van taal is een venster op hoe mensen denken. Elke "
@@ -113,7 +141,12 @@ _SEEDS: dict[str, str] = {
         "Dilin hızlı incelenmesi, insanların nasıl düşündüğüne açılan bir "
         "penceredir. Her sabah eski feribot gri nehri geçerek işçileri, "
         "öğrencileri ve birkaç uykulu yolcuyu karşı kıyıya taşırdı; orada "
-        "pazarlar erken açılır ve ekmek hâlâ sıcak olurdu. Böyle şeyleri ilk kez görmüyorlardı ama suyun üzerindeki ışık artık farklıydı ve köprüden izleyen herkes bunun iyi bir yıl olacağını söylüyordu."
+        "pazarlar erken açılır ve ekmek hâlâ sıcak olurdu. Böyle şeyleri ilk "
+        "kez görmüyorlardı ama suyun üzerindeki ışık artık farklıydı ve "
+        "köprüden izleyen herkes bunun iyi bir yıl olacağını söylüyordu. "
+        "Kurul, yeni bütçeyi ve çalışma takvimini görüşmek üzere perşembe "
+        "günü toplanacaktı; birçok üye ayrıca şehirde yaşayanların gelecek "
+        "yıla ilişkin planlar hakkında ne düşündüğünü de duymak istiyordu."
     ),
     "ru": (
         "Быстрое изучение языка — это окно в то, как люди думают. Каждое "
@@ -142,6 +175,101 @@ _SEEDS: dict[str, str] = {
         "المسافرين الناعسين إلى الضفة الأخرى حيث تفتح الأسواق مبكراً ويظل "
         "الخبز دافئاً."
     ),
+    "sv": (
+        "Att studera språk snabbt är ett fönster mot hur människor tänker. "
+        "Varje morgon korsade den gamla färjan den grå floden och förde "
+        "arbetare, studenter och några sömniga resenärer till andra stranden, "
+        "där marknaderna öppnade tidigt och brödet fortfarande var varmt. Alla som tittade från bron sade att det skulle bli ett bra år."
+    ),
+    "da": (
+        "At studere sprog hurtigt er et vindue ind i, hvordan mennesker "
+        "tænker. Hver morgen krydsede den gamle færge den grå flod og bragte "
+        "arbejdere, studerende og nogle søvnige rejsende til den anden bred, "
+        "hvor markederne åbnede tidligt, og brødet stadig var varmt. Alle der så til fra broen sagde, at det ville blive et godt år."
+    ),
+    "no": (
+        "Å studere språk raskt er et vindu inn i hvordan folk tenker. Hver "
+        "morgen krysset den gamle fergen den grå elven og fraktet arbeidere, "
+        "studenter og noen søvnige reisende til den andre bredden, der "
+        "markedene åpnet tidlig og brødet fremdeles var varmt. Alle som så på fra broen sa at dette kom til å bli et godt år."
+    ),
+    "fi": (
+        "Kielen nopea tutkiminen on ikkuna siihen, miten ihmiset "
+        "ajattelevat. Joka aamu vanha lautta ylitti harmaan joen ja kuljetti "
+        "työläisiä, opiskelijoita ja muutamia unisia matkustajia toiselle "
+        "rannalle, missä torit avautuivat aikaisin ja leipä oli vielä "
+        "lämmintä. Kaikki sillalla seisovat sanoivat, että tästä tulisi hyvä "
+        "vuosi. Valtuuston oli määrä kokoontua torstaina keskustelemaan "
+        "uudesta talousarviosta ja töiden aikataulusta, ja monet jäsenet "
+        "halusivat myös kuulla, mitä kaupungin asukkaat ajattelivat ensi "
+        "vuoden suunnitelmista."
+    ),
+    "cs": (
+        "Rychlé studium jazyka je oknem do toho, jak lidé přemýšlejí. Každé "
+        "ráno stará loď převážela přes šedou řeku dělníky, studenty a "
+        "několik ospalých cestujících na druhý břeh, kde trhy otevíraly brzy "
+        "a chléb byl ještě teplý. Všichni, kdo se dívali z mostu, říkali, že "
+        "to bude dobrý rok. Výbor se měl sejít ve čtvrtek, aby projednal "
+        "nový návrh rozpočtu, a několik členů chtělo také slyšet, co si "
+        "obyvatelé města myslí o plánech na příští rok a jaké otázky je "
+        "ještě třeba zodpovědět, než bude možné rozhodnout."
+    ),
+    "hu": (
+        "A nyelv gyors tanulmányozása ablak arra, hogyan gondolkodnak az "
+        "emberek. Minden reggel a régi komp átkelt a szürke folyón, "
+        "munkásokat, diákokat és néhány álmos utazót vitt a túlsó partra, "
+        "ahol a piacok korán nyitottak, és a kenyér még meleg volt. Mindenki, aki a hídról nézte, azt mondta, hogy jó év lesz."
+    ),
+    "ro": (
+        "Studierea rapidă a limbii este o fereastră către felul în care "
+        "gândesc oamenii. În fiecare dimineață, vechiul bac traversa râul "
+        "cenușiu, ducând muncitori, studenți și câțiva călători somnoroși pe "
+        "malul celălalt, unde piețele se deschideau devreme și pâinea era "
+        "încă caldă. Toți cei care priveau de pe pod spuneau că acesta va fi "
+        "un an bun pentru oraș și pentru oamenii săi. Nu era prima dată când "
+        "vedeau asemenea lucruri, dar lumina de deasupra apei era acum "
+        "diferită, iar bătrânii își aminteau că și în alți ani buni "
+        "diminețile începeau la fel, cu ceață subțire și cu vocile "
+        "vânzătorilor care se auzeau până departe. Consiliul urma să se "
+        "întrunească joi pentru a discuta noul buget și calendarul "
+        "lucrărilor, iar mai mulți membri voiau să audă și ce credeau "
+        "locuitorii orașului despre planurile pentru anul următor."
+    ),
+    "el": (
+        "Η γρήγορη μελέτη της γλώσσας είναι ένα παράθυρο στον τρόπο που "
+        "σκέφτονται οι άνθρωποι. Κάθε πρωί το παλιό πορθμείο διέσχιζε το "
+        "γκρίζο ποτάμι μεταφέροντας εργάτες, φοιτητές και μερικούς "
+        "νυσταγμένους ταξιδιώτες στην άλλη όχθη, όπου οι αγορές άνοιγαν νωρίς και το ψωμί ήταν ακόμη ζεστό."
+    ),
+    "vi": (
+        "Việc nghiên cứu ngôn ngữ một cách nhanh chóng là cửa sổ nhìn vào "
+        "cách con người suy nghĩ. Mỗi buổi sáng, chuyến phà cũ băng qua dòng "
+        "sông xám, chở công nhân, sinh viên và vài hành khách buồn ngủ sang "
+        "bờ bên kia, nơi chợ mở sớm và bánh mì vẫn còn ấm. Ai đứng trên cầu nhìn xuống cũng nói rằng năm nay sẽ là một năm tốt."
+    ),
+    "id": (
+        "Mempelajari bahasa dengan cepat adalah jendela untuk melihat cara "
+        "orang berpikir. Setiap pagi feri tua itu menyeberangi sungai "
+        "kelabu, membawa pekerja, pelajar, dan beberapa penumpang mengantuk "
+        "ke seberang, tempat pasar buka lebih awal dan roti masih hangat. Semua orang yang menonton dari jembatan berkata tahun ini akan menjadi tahun yang baik."
+    ),
+    "uk": (
+        "Швидке вивчення мови — це вікно в те, як думають люди. Щоранку "
+        "старий пором перетинав сіру річку, перевозячи робітників, "
+        "студентів і кількох сонних мандрівників на інший берег, де ринки "
+        "відчинялися рано, а хліб був ще теплим. Усі, хто дивився з мосту, казали, що це буде добрий рік."
+    ),
+    "ca": (
+        "Estudiar una llengua de pressa és una finestra a la manera com "
+        "pensa la gent. Cada matí el vell transbordador creuava el riu gris "
+        "portant treballadors, estudiants i alguns viatgers endormiscats a "
+        "l'altra riba, on els mercats obrien d'hora i el pa encara era "
+        "calent. Tothom que mirava des del pont deia que seria un bon any. "
+        "No era la primera vegada que veien aquestes coses, però la llum "
+        "sobre l'aigua ara era diferent, i els més vells recordaven que els "
+        "bons anys començaven així, amb una boira fina damunt del riu i amb "
+        "les veus dels venedors que se sentien des de lluny."
+    ),
 }
 
 _PROFILES: dict[str, np.ndarray] = {}
@@ -169,11 +297,13 @@ def train_language_examples(examples: list[str], vec_len: int = VEC_LEN) -> np.n
     return (acc / len(examples)).astype(np.uint8)
 
 
-def _script_vote(text: str) -> str | None:
-    """Unambiguous-script shortcut: a script used by exactly one
-    supported language decides directly (kana vs han disambiguates
-    ja/zh the way every practical detector does)."""
-    has_kana = has_han = has_hangul = has_cyr = has_arab = False
+def _script_vote(text: str) -> str | frozenset[str] | None:
+    """Script shortcut (the practical-detector heuristic): a script used
+    by exactly ONE supported language decides directly (kana→ja,
+    hangul→ko); a script shared by several supported languages returns
+    the candidate SET so the n-gram rank only has to separate within it
+    (Cyrillic → {ru, uk}); None = rank against everything."""
+    has_kana = has_han = has_hangul = has_cyr = has_arab = has_greek = False
     for ch in text[:2000]:
         cp = ord(ch)
         if 0x3040 <= cp <= 0x30FF:
@@ -186,6 +316,8 @@ def _script_vote(text: str) -> str | None:
             has_cyr = True
         elif 0x0600 <= cp <= 0x06FF:
             has_arab = True
+        elif 0x0370 <= cp <= 0x03FF:
+            has_greek = True
     if has_kana:
         return "ja"
     if has_hangul:
@@ -193,9 +325,11 @@ def _script_vote(text: str) -> str | None:
     if has_han:
         return "zh"
     if has_cyr:
-        return "ru"
+        return frozenset({"ru", "uk"})
     if has_arab:
         return "ar"
+    if has_greek:
+        return "el"
     return None
 
 
@@ -213,8 +347,12 @@ def detect_fast(
     if langs:
         profiles = {k: v for k, v in profiles.items() if k in langs}
     voted = _script_vote(text or "")
-    if voted is not None and (not langs or voted in langs):
-        profiles = {k: v for k, v in profiles.items() if k == voted}
+    if voted is not None:
+        cands = voted if isinstance(voted, frozenset) else frozenset({voted})
+        if langs:
+            cands = cands & frozenset(langs)
+        if cands:
+            profiles = {k: v for k, v in profiles.items() if k in cands}
     vec = vectorize(text or "").astype(np.int16)
     scored = []
     for lang, prof in profiles.items():

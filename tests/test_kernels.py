@@ -197,6 +197,18 @@ class TestLang:
             ("ja", "委員会は木曜日に会合を開き、新しい予算案について話し合う。"),
             ("ko", "위원회는 새 예산안을 논의하기 위해 목요일에 모인다."),
             ("ar", "سوف تجتمع اللجنة يوم الخميس لمناقشة مقترح الميزانية الجديد."),
+            ("sv", "Kommittén träffas på torsdag för att diskutera den nya budgeten."),
+            ("da", "Udvalget mødes torsdag for at drøfte det nye budgetforslag. Formanden sagde, at der stadig er mange spørgsmål."),
+            ("no", "Utvalget møtes på torsdag for å diskutere det nye budsjettet."),
+            ("fi", "Valiokunta kokoontuu torstaina keskustelemaan uudesta talousarviosta."),
+            ("cs", "Výbor se sejde ve čtvrtek, aby projednal nový návrh rozpočtu."),
+            ("hu", "A bizottság csütörtökön ülésezik, hogy megvitassa az új költségvetést."),
+            ("ro", "Comitetul se întrunește joi pentru a discuta noul buget propus."),
+            ("el", "Η επιτροπή θα συνεδριάσει την Πέμπτη για να συζητήσει τον νέο προϋπολογισμό."),
+            ("vi", "Ủy ban sẽ họp vào thứ năm để thảo luận về đề xuất ngân sách mới."),
+            ("id", "Komite akan bertemu pada hari Kamis untuk membahas usulan anggaran baru."),
+            ("uk", "Комітет збереться в четвер, щоб обговорити новий бюджет і розклад."),
+            ("ca", "El comitè es reunirà dijous per debatre la nova proposta de pressupost. El president va dir que encara queden moltes preguntes."),
         ],
     )
     def test_detection(self, lang, text):
