@@ -200,6 +200,11 @@ class WarcDataSourceReader(DataSourceReader):
         side = path + ".cdxj"
         if not os.path.isfile(side):
             return None
+        if os.path.getmtime(side) < os.path.getmtime(path):
+            # stale index (WARC rewritten after indexing): offsets may
+            # point mid-member — splitting on them would silently drop
+            # records, so fall back to the unsplit scan
+            return None
         offs: list[int] = []
         try:
             with open(side, "r", encoding="utf-8") as f:
@@ -298,6 +303,13 @@ class WarcDataSourceReader(DataSourceReader):
             else:
                 import itertools
 
+                if not data.startswith(GZIP_MAGIC):
+                    # a split partition MUST begin at a member boundary;
+                    # failing loudly beats silently yielding no records
+                    raise ValueError(
+                        f"gzip split at {partition.start} of {partition.path} "
+                        "is not a member boundary (stale/foreign .cdxj index?)"
+                    )
                 streams = (
                     (partition.start + off, plain)
                     for off, plain in _iter_gzip_members(data)

@@ -143,3 +143,23 @@ def test_point_extract_by_offset(spark, fixture_dir):
         assert len(one) == 1
         assert one[0].record_id == target.record_id
         assert one[0].stream_pos == target.stream_pos
+
+
+def test_stale_cdxj_sidecar_ignored(spark, fixture_dir, tmp_path):
+    """A sidecar older than its WARC must not drive split planning
+    (offsets could point mid-member after a rewrite)."""
+    import os
+    import shutil
+    import time
+
+    from resilispark.operators.warctools import write_cdxj_sidecar
+
+    gz = str(tmp_path / "golden-50.warc.gz")
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", gz)
+    write_cdxj_sidecar(spark, gz)
+    # "rewrite" the warc after indexing
+    time.sleep(0.05)
+    os.utime(gz, None)
+    df = _load_path(spark, gz, split_bytes=2048)
+    assert df.rdd.getNumPartitions() == 1  # sidecar ignored
+    assert df.count() == 50
