@@ -388,6 +388,13 @@ class WarcDataSourceWriter(DataSourceWriter):
         self.compression = self.options.get("compression", "gzip").lower()
         self.cdxj = str(self.options.get("cdxj", "")).lower() in ("1", "true", "yes")
         self.overwrite = overwrite
+        if overwrite and os.path.isdir(self.path):
+            # mode("overwrite") replaces prior output (runs on the
+            # driver, before any task writes)
+            import glob as _g
+
+            for old in _g.glob(os.path.join(self.path, "part-*.warc*")):
+                os.remove(old)
 
     def write(self, iterator) -> _WarcCommit:
         import uuid

@@ -91,3 +91,14 @@ def test_writer_cdxj_sidecar_roundtrip(spark, fixture_dir, tmp_path):
     )
     assert rescan.count() == 50
     assert rescan.select("record_id").distinct().count() == 50
+
+
+def test_writer_overwrite_mode_replaces(spark, fixture_dir, tmp_path):
+    src = spark.read.format("warc").option("parse_http", "false").load(
+        f"{fixture_dir}/golden-50.warc.gz"
+    )
+    out = str(tmp_path / "ow")
+    for _ in range(2):
+        src.write.format("warc").mode("overwrite").save(out)
+    rescan = spark.read.format("warc").option("parse_http", "false").load(out)
+    assert rescan.count() == 50  # not 100: second write replaced the first
