@@ -33,6 +33,65 @@ def _shingles(text: Column, k: int = 3) -> Column:
     ).otherwise(F.array())
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    *,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster ids for near-duplicate pair graphs: each vertex gets the
+    MINIMUM id reachable from it (label propagation to fixpoint).
+
+    The dedup endgame: d04-style candidate pairs only say "these two
+    match"; keep-one-per-cluster needs the transitive closure. Iterative
+    DataFrame algorithm (small-star style label propagation): per round,
+    every vertex takes min(own label, neighbors' labels); converges in
+    O(cluster diameter) rounds — near-dup clusters are shallow. Each
+    round is one shuffle on vertex id; the loop is driver-side but the
+    data never leaves the cluster (only the convergence COUNT comes
+    back, an aggregate).
+
+    Returns (vertex, cluster_id). Oracle-expressible as a recursive CTE,
+    so this stays inside the hash-checked gate.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("cluster_id", F.col("vertex"))
+    )
+    for _ in range(max_iterations):
+        # min neighbor label per vertex
+        msgs = (
+            edges.join(labels, edges.dst == labels.vertex)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, labels.vertex == msgs.src, "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.coalesce("nbr_min", F.col("cluster_id")) < F.col("cluster_id")).alias(
+                    "_changed"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        changed = new_labels.filter("_changed").limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep-first exact dedup by content digest; adds is_duplicate +
     copies columns. One shuffle on the digest."""

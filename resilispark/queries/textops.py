@@ -819,6 +819,63 @@ ORDER BY doc_id
 """
 
 
+def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the d04 LSH candidate pairs: every doc
+    in a near-dup cluster gets the cluster's minimum doc_id, plus the
+    cluster size — the keep-one-per-cluster table a 100 TB dedup run
+    materializes. Iterative label propagation on the engine side; the
+    oracle expresses the same fixpoint as a recursive CTE."""
+    from resilispark.operators.dedup import connected_components
+
+    pairs = d04_minhash_lsh_pairs(spark, sf_dir)
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            F.col("vertex").alias("doc_id"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_D07 = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+       {_h}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS val FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.val = b.val AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT doc_id, cluster_id::BIGINT AS cluster_id, cluster_size::BIGINT AS cluster_size
+FROM (
+  SELECT l.doc_id, l.cluster_id,
+         count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+  FROM (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src) l
+)
+ORDER BY doc_id
+"""
+
+
 def t05_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 language-evaluation confusion matrix (resiliparse-py/
     resiliparse/cli.py:467-526): run the detect_lang kernel over the
@@ -957,6 +1014,7 @@ QUERIES = {
     "d04_minhash_lsh_pairs": d04_minhash_lsh_pairs,
     "d05_simhash": d05_simhash,
     "d06_embedding_neardup": d06_embedding_neardup,
+    "d07_dedup_clusters": d07_dedup_clusters,
     "t01_quality_score": t01_quality_score,
     "t02_token_count": t02_token_count,
     "t03_lang_distribution": t03_lang_distribution,
@@ -979,6 +1037,7 @@ ORACLES = {
     "d04_minhash_lsh_pairs": ORACLE_D04,
     "d05_simhash": ORACLE_D05,
     "d06_embedding_neardup": ORACLE_D06,
+    "d07_dedup_clusters": ORACLE_D07,
     "t01_quality_score": ORACLE_T01,
     "t02_token_count": ORACLE_T02,
     "t03_lang_distribution": ORACLE_T03,

@@ -282,3 +282,26 @@ class TestSkew:
         out = salted_join(skewed, dim, "k", how="left")
         assert out.count() == 1000
         assert out.filter("name IS NULL").count() == 100
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        from resilispark.operators.dedup import connected_components
+
+        # chain 1-2-3-4, pair {10,11}, pair {20,21} + bridge 21-22
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+            "doc_a long, doc_b long",
+        )
+        got = {r.vertex: r.cluster_id for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_long_chain_converges(self, spark):
+        from resilispark.operators.dedup import connected_components
+
+        n = 30
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+        )
+        got = {r.vertex: r.cluster_id for r in connected_components(pairs, max_iterations=50).collect()}
+        assert set(got.values()) == {0} and len(got) == n + 1
