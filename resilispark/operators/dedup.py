@@ -59,6 +59,9 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # materialize once: the pair lineage (e.g. the whole MinHash
+        # pipeline) must not re-execute on every propagation round
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("vertex"))
