@@ -819,6 +819,73 @@ ORDER BY doc_id
 """
 
 
+def d08_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs: band the 16-bit fingerprint
+    into four 4-bit chunks (pigeonhole: any pair within Hamming<=3 of the 4-banded code shares
+    at least one chunk), bucket-group on chunk value, verify candidates
+    with exact popcount(xor). Fingerprints travel WITH the bucket rows
+    (collect_set of structs), so the fingerprint lineage executes once —
+    no re-join against the fingerprint table.
+    """
+    fps = d05_simhash(spark, sf_dir)
+    chunks = fps.select(
+        "doc_id",
+        "simhash16",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("simhash16", 4 * i).bitwiseAND(F.lit(15)).alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash16", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    buckets = (
+        chunks.groupBy("ci", "cv")
+        .agg(F.collect_set(F.struct("doc_id", "simhash16")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    pairs = (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash16 ^ b.simhash16)").cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 1).orderBy("doc_a", "doc_b")
+
+
+ORACLE_D08 = f"""
+WITH words AS (
+  SELECT doc_id, md5(unnest(string_split(text, ' '))) AS wh
+  FROM documents
+), fp AS (
+  SELECT doc_id, CAST({_bits} AS BIGINT) AS simhash16
+  FROM words
+  GROUP BY doc_id
+), chunks AS (
+  SELECT doc_id, simhash16, i AS ci,
+         (simhash16 >> (4 * i)) & 15 AS cv
+  FROM fp, generate_series(0, 3) t(i)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming
+FROM pairs WHERE hamming <= 1
+ORDER BY doc_a, doc_b
+"""
+
+
 def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the d04 LSH candidate pairs: every doc
     in a near-dup cluster gets the cluster's minimum doc_id, plus the
@@ -1015,6 +1082,7 @@ QUERIES = {
     "d05_simhash": d05_simhash,
     "d06_embedding_neardup": d06_embedding_neardup,
     "d07_dedup_clusters": d07_dedup_clusters,
+    "d08_simhash_pairs": d08_simhash_pairs,
     "t01_quality_score": t01_quality_score,
     "t02_token_count": t02_token_count,
     "t03_lang_distribution": t03_lang_distribution,
@@ -1038,6 +1106,7 @@ ORACLES = {
     "d05_simhash": ORACLE_D05,
     "d06_embedding_neardup": ORACLE_D06,
     "d07_dedup_clusters": ORACLE_D07,
+    "d08_simhash_pairs": ORACLE_D08,
     "t01_quality_score": ORACLE_T01,
     "t02_token_count": ORACLE_T02,
     "t03_lang_distribution": ORACLE_T03,
