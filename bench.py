@@ -28,6 +28,7 @@ HEADLINE = [
     "d04_minhash_lsh_pairs",
     "d05_simhash",
     "d06_embedding_neardup",
+    "d08_simhash_pairs",
     "t01_quality_score",
     "s01_cosine_topk",
     "s02_lsh_buckets",
