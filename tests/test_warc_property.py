@@ -1,0 +1,62 @@
+"""Property-based WARC serialize->parse round-trip (hypothesis).
+
+The reference's suite is golden-based; this adds the adversarial
+complement: arbitrary header values and payload bytes must survive the
+writer->parser cycle exactly."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from resilispark.io.warc import WarcRecord, iter_warc_bytes, serialize_record
+
+# header VALUES: printable, no CR/LF (the WARC line protocol's own
+# constraint); keys from the real header vocabulary
+_value = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+    min_size=0,
+    max_size=60,
+).map(lambda s: " ".join(s.split()))
+
+_payload = st.binary(min_size=0, max_size=2048)
+
+
+def _mk(uri, payload, extra):
+    headers = [
+        ("WARC-Type", "resource"),
+        ("WARC-Record-ID", "<urn:uuid:00000000-0000-4000-8000-000000000001>"),
+        ("WARC-Date", "2024-05-01T12:00:00Z"),
+        ("WARC-Target-URI", uri),
+        ("Content-Length", str(len(payload))),
+    ]
+    if extra:
+        headers.append(("X-Custom", extra))
+    return WarcRecord(warc_version="WARC/1.1", headers=headers, payload=payload)
+
+
+@settings(max_examples=200, deadline=None)
+@given(uri=_value, payload=_payload, extra=_value)
+def test_roundtrip_single(uri, payload, extra):
+    rec = _mk(uri, payload, extra)
+    blob = serialize_record(rec, checksum_data=True)
+    out = list(iter_warc_bytes(blob))
+    assert len(out) == 1
+    got = out[0]
+    assert got.payload == payload
+    assert (got.target_uri or "") == uri  # empty value round-trips as ''
+    assert got.record_type == "resource"
+    if extra:
+        assert got.header("X-Custom") == extra
+
+
+@settings(max_examples=50, deadline=None)
+@given(payloads=st.lists(_payload, min_size=1, max_size=6))
+def test_roundtrip_stream(payloads):
+    """Multiple records in one stream: payloads containing CRLFs, WARC/
+    magic bytes, or binary junk must not desynchronize the parser."""
+    blob = b"".join(
+        serialize_record(_mk(f"u{i}", p, ""), checksum_data=True)
+        for i, p in enumerate(payloads)
+    )
+    out = list(iter_warc_bytes(blob))
+    assert len(out) == len(payloads)
+    assert [r.payload for r in out] == payloads
