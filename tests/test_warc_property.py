@@ -60,3 +60,45 @@ def test_roundtrip_stream(payloads):
     out = list(iter_warc_bytes(blob))
     assert len(out) == len(payloads)
     assert [r.payload for r in out] == payloads
+
+
+# -- kernel resilience properties (the reference's "resili-" contract:
+# parse anything, never raise) ----------------------------------------------
+
+
+from resilispark.functions.encoding import bytes_to_str, detect_encoding, detect_mime
+from resilispark.functions.html import extract_plain_text, html_title, parse_html
+from resilispark.functions.http import decode_http_body
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.binary(min_size=0, max_size=4096))
+def test_byte_kernels_never_raise(data):
+    enc = detect_encoding(data)
+    assert enc is None or isinstance(enc, str)
+    s = bytes_to_str(data, enc or "utf-8")
+    assert isinstance(s, str)
+    assert isinstance(detect_mime(data), str)
+    assert isinstance(decode_http_body(data, "gzip", "chunked"), bytes)
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=st.text(max_size=2048))
+def test_html_kernels_never_raise(text):
+    # arbitrary text as "HTML": truncated tags, stray <, entities, etc.
+    tree = parse_html(text)
+    html_title(tree)
+    out = extract_plain_text(tree, preserve_formatting=False)
+    assert isinstance(out, str)
+    out2 = extract_plain_text(parse_html(text), preserve_formatting="minimal_html")
+    assert isinstance(out2, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(text=st.text(max_size=1024))
+def test_lang_kernel_never_raises(text):
+    from resilispark.functions.lang import detect_fast, vectorize
+
+    assert vectorize(text).shape == (256,)
+    lang, rank = detect_fast(text)
+    assert isinstance(lang, str) and isinstance(rank, int)
