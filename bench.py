@@ -100,8 +100,9 @@ def main() -> None:
     from resilispark.operators.warctools import write_cdxj_sidecar
 
     gz_path = f"{bdir}/bench-{n_groups}.warc.gz"
-    if not os.path.exists(gz_path + ".cdxj"):
-        write_cdxj_sidecar(spark, gz_path)
+    side = gz_path + ".cdxj"
+    if not os.path.exists(side) or os.path.getmtime(side) < os.path.getmtime(gz_path):
+        write_cdxj_sidecar(spark, gz_path)  # (re)index fresh fixture
     split_df = (
         spark.read.format("warc").option("split_bytes", str(256 * 1024)).load(gz_path)
     )

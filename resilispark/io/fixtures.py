@@ -51,6 +51,15 @@ def _sentence(rng: random.Random, n: int) -> str:
     return " ".join(rng.choice(_WORDS) for _ in range(n))
 
 
+
+def _stale(paths: list[str]) -> bool:
+    """True if any fixture file is missing or older than this generator
+    module — fixture definitions may change between rounds, and a stale
+    cached file would silently break the golden constants."""
+    me = os.path.getmtime(os.path.abspath(__file__))
+    return any(not os.path.exists(p) or os.path.getmtime(p) < me for p in paths)
+
+
 def build_golden_records(n_groups: int = 16) -> list[WarcRecord]:
     """16 response + 16 request + 16 metadata + 2 warcinfo (order mixed
     response/request/metadata per page, warcinfo first), 50 total."""
@@ -190,7 +199,7 @@ def ensure_bench_fixture(n_groups: int = 5000, root: str = "/root/repo/.fixtures
     os.makedirs(root, exist_ok=True)
     gz = os.path.join(root, f"bench-{n_groups}.warc.gz")
     plain = os.path.join(root, f"bench-{n_groups}.warc")
-    if not (os.path.exists(gz) and os.path.exists(plain)):
+    if _stale([gz, plain]):
         recs = build_golden_records(n_groups=n_groups)
         write_warc(recs, plain, compression="none", checksum_data=False)
         write_warc(recs, gz, compression="gzip", checksum_data=False)
@@ -255,7 +264,7 @@ def build_revisit_records() -> list[WarcRecord]:
 def ensure_revisit_fixture(root: str = "/root/repo/.fixtures") -> str:
     os.makedirs(root, exist_ok=True)
     gz = os.path.join(root, "revisit-22.warc.gz")
-    if not os.path.exists(gz):
+    if _stale([gz]):
         write_warc(build_revisit_records(), gz, compression="gzip", checksum_data=False)
     return root
 
@@ -268,7 +277,7 @@ def ensure_text_fixture(root: str = "/root/repo/.fixtures") -> str:
     os.makedirs(root, exist_ok=True)
     plain = os.path.join(root, "lines-1000.txt")
     gz = os.path.join(root, "lines-1000.txt.gz")
-    if not (os.path.exists(plain) and os.path.exists(gz)):
+    if _stale([plain, gz]):
         import gzip as gzlib
 
         rng = random.Random(7)
@@ -289,7 +298,7 @@ def ensure_fixture_dir(root: str = "/root/repo/.fixtures") -> str:
     os.makedirs(root, exist_ok=True)
     plain = os.path.join(root, "golden-50.warc")
     gz = os.path.join(root, "golden-50.warc.gz")
-    if not (os.path.exists(plain) and os.path.exists(gz)):
+    if _stale([plain, gz]):
         # checksum_data=False preserves the deliberately-wrong digests
         recs = build_golden_records()
         write_warc(recs, plain, compression="none", checksum_data=False)
