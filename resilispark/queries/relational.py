@@ -820,6 +820,80 @@ ORDER BY event_type
 """
 
 
+def q29_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery in FROM: each customer's two most
+    expensive orders — the per-row-subquery operator (Spark 3.2+ lateral
+    join; planned as a correlated rewrite)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("q29_customer")
+    o.createOrReplaceTempView("q29_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM q29_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM q29_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 100
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
+
+
+ORACLE_Q29 = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey <= 100
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+def q30_stat_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: exact percentiles (median/p90,
+    linear interpolation in both engines), sample stddev/variance, and
+    Pearson correlation — per order-status group."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q30_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               floor(percentile(o_totalprice, 0.5) * 1e2 + 0.5) / 1e2 AS median_price,
+               floor(percentile(o_totalprice, 0.9) * 1e2 + 0.5) / 1e2 AS p90_price,
+               floor(stddev_samp(o_totalprice) * 1e2 + 0.5) / 1e2     AS sd_price,
+               floor(var_samp(o_totalprice) * 1e0 + 0.5) / 1e0        AS var_price,
+               floor(corr(o_totalprice, o_custkey) * 1e4 + 0.5) / 1e4 AS corr_price_cust
+        FROM q30_orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+ORACLE_Q30 = """
+SELECT o_orderstatus,
+       floor(quantile_cont(o_totalprice, 0.5) * 1e2 + 0.5) / 1e2 AS median_price,
+       floor(quantile_cont(o_totalprice, 0.9) * 1e2 + 0.5) / 1e2 AS p90_price,
+       floor(stddev_samp(o_totalprice) * 1e2 + 0.5) / 1e2        AS sd_price,
+       floor(var_samp(o_totalprice) * 1e0 + 0.5) / 1e0           AS var_price,
+       floor(corr(o_totalprice, o_custkey) * 1e4 + 0.5) / 1e4    AS corr_price_cust
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_distinct_agg": q02_distinct_agg,
@@ -849,6 +923,8 @@ QUERIES = {
     "q26_scalar_subquery": q26_scalar_subquery,
     "q27_grouping_sets": q27_grouping_sets,
     "q28_salted_skew_agg": q28_salted_skew_agg,
+    "q29_lateral_topn": q29_lateral_topn,
+    "q30_stat_aggs": q30_stat_aggs,
 }
 
 ORACLES = {
@@ -880,4 +956,6 @@ ORACLES = {
     "q26_scalar_subquery": ORACLE_Q26,
     "q27_grouping_sets": ORACLE_Q27,
     "q28_salted_skew_agg": ORACLE_Q28,
+    "q29_lateral_topn": ORACLE_Q29,
+    "q30_stat_aggs": ORACLE_Q30,
 }
