@@ -232,7 +232,7 @@ class WarcDataSourceReader(DataSourceReader):
             with open(p, "rb") as f:
                 head = f.read(8)
             if head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC):
-                offs = self._sidecar_offsets(p) if head.startswith(GZIP_MAGIC) else None
+                offs = self._sidecar_offsets(p)  # gzip AND lz4 members split at indexed offsets
                 if offs and size > self.split_bytes:
                     # split at member boundaries listed by the index:
                     # each range starts at a record offset and spans
@@ -303,17 +303,21 @@ class WarcDataSourceReader(DataSourceReader):
             else:
                 import itertools
 
-                if not data.startswith(GZIP_MAGIC):
+                if data.startswith(GZIP_MAGIC):
+                    members = _iter_gzip_members(data)
+                elif data.startswith(LZ4_MAGIC):
+                    from resilispark.io.lz4f import decompress_members
+
+                    members = decompress_members(data)
+                else:
                     # a split partition MUST begin at a member boundary;
                     # failing loudly beats silently yielding no records
                     raise ValueError(
-                        f"gzip split at {partition.start} of {partition.path} "
-                        "is not a member boundary (stale/foreign .cdxj index?)"
+                        f"compressed split at {partition.start} of "
+                        f"{partition.path} is not a member boundary "
+                        "(stale/foreign .cdxj index?)"
                     )
-                streams = (
-                    (partition.start + off, plain)
-                    for off, plain in _iter_gzip_members(data)
-                )
+                streams = ((partition.start + off, plain) for off, plain in members)
                 if point:
                     streams = itertools.islice(streams, 1)
             record_iter = (

@@ -1,0 +1,187 @@
+"""Pure-Python LZ4 *frame* codec (S13: the reference reads/writes
+.warc.lz4, stream_io.pyx:604-766; the ``lz4`` package is not in this
+image, so the engine carries a minimal self-contained implementation of
+the public LZ4 frame format, https://github.com/lz4/lz4 documentation).
+
+- ``decompress``: full LZ4 block decoding (literals + matches, overlap
+  copies), frame descriptor parsing, compressed AND uncompressed blocks.
+- ``compress_stored``: valid LZ4 frames whose blocks are stored
+  uncompressed (the format's escape hatch, high bit of the block size).
+  No ratio, full compatibility — any standard LZ4 reader accepts it.
+- ``xxh32``: needed for the frame descriptor's header checksum.
+
+Throughput is Python-speed — the fallback path. When the ``lz4``
+package exists it is preferred (see resilispark.io.warc).
+"""
+
+from __future__ import annotations
+
+import struct
+
+LZ4_FRAME_MAGIC = b"\x04\x22\x4d\x18"
+
+_P1 = 2654435761
+_P2 = 2246822519
+_P3 = 3266489917
+_P4 = 668265263
+_P5 = 374761393
+_M32 = 0xFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """xxHash32 (public algorithm; used by the LZ4 frame header/content
+    checksums)."""
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + _P1 + _P2) & _M32
+        v2 = (seed + _P2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _P1) & _M32
+        limit = n - 16
+        while i <= limit:
+            lane = struct.unpack_from("<IIII", data, i)
+            v1 = (_rotl((v1 + lane[0] * _P2) & _M32, 13) * _P1) & _M32
+            v2 = (_rotl((v2 + lane[1] * _P2) & _M32, 13) * _P1) & _M32
+            v3 = (_rotl((v3 + lane[2] * _P2) & _M32, 13) * _P1) & _M32
+            v4 = (_rotl((v4 + lane[3] * _P2) & _M32, 13) * _P1) & _M32
+            i += 16
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M32
+    else:
+        h = (seed + _P5) & _M32
+    h = (h + n) & _M32
+    while i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h = (_rotl((h + k * _P3) & _M32, 17) * _P4) & _M32
+        i += 4
+    while i < n:
+        h = (_rotl((h + data[i] * _P5) & _M32, 11) * _P1) & _M32
+        i += 1
+    h ^= h >> 15
+    h = (h * _P2) & _M32
+    h ^= h >> 13
+    h = (h * _P3) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _decode_block(src: bytes, out: bytearray) -> None:
+    """LZ4 block: sequences of (token, literals, offset, match)."""
+    i = 0
+    n = len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit_len += b
+                if b != 255:
+                    break
+        if lit_len:
+            out += src[i : i + lit_len]
+            i += lit_len
+        if i >= n:
+            return  # last sequence has no match
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise ValueError("invalid LZ4 match offset 0")
+        match_len = (token & 15) + 4
+        if (token & 15) == 15:
+            while True:
+                b = src[i]
+                i += 1
+                match_len += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if start < 0:
+            raise ValueError("LZ4 match before output start")
+        if offset >= match_len:
+            out += out[start : start + match_len]
+        else:
+            for k in range(match_len):  # overlapping copy, byte-wise
+                out.append(out[start + k])
+
+
+def decompress(data: bytes) -> bytes:
+    """Decode one LZ4 frame; returns the content (trailing bytes after
+    the EndMark are ignored — use decompress_members for concatenated
+    member streams)."""
+    content, _ = _decompress_one(data, 0)
+    return content
+
+
+def _decompress_one(data: bytes, pos: int) -> tuple[bytes, int]:
+    if data[pos : pos + 4] != LZ4_FRAME_MAGIC:
+        raise ValueError("not an LZ4 frame")
+    pos += 4
+    flg = data[pos]
+    bd_ = data[pos + 1]  # noqa: F841 - block-size cap not enforced on read
+    pos += 2
+    version = flg >> 6
+    if version != 1:
+        raise ValueError(f"unsupported LZ4 frame version {version}")
+    b_checksum = bool(flg & 0x10)
+    c_size = bool(flg & 0x08)
+    c_checksum = bool(flg & 0x04)
+    dict_id = bool(flg & 0x01)
+    if c_size:
+        pos += 8
+    if dict_id:
+        pos += 4
+    pos += 1  # header checksum byte
+    out = bytearray()
+    while True:
+        (bsize,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if bsize == 0:
+            break  # EndMark
+        stored = bool(bsize & 0x80000000)
+        bsize &= 0x7FFFFFFF
+        block = data[pos : pos + bsize]
+        pos += bsize
+        if b_checksum:
+            pos += 4
+        if stored:
+            out += block
+        else:
+            _decode_block(block, out)
+    if c_checksum:
+        pos += 4
+    return bytes(out), pos
+
+
+def decompress_members(data: bytes):
+    """Yield (byte_offset, content) per concatenated LZ4 frame — the
+    member-per-record layout analog of gzip members."""
+    pos = 0
+    n = len(data)
+    while pos < n and data[pos : pos + 4] == LZ4_FRAME_MAGIC:
+        content, nxt = _decompress_one(data, pos)
+        yield pos, content
+        pos = nxt
+
+
+def compress_stored(data: bytes, block_size: int = 4 * 1024 * 1024) -> bytes:
+    """A valid LZ4 frame with uncompressed (stored) blocks: FLG v01 +
+    block-independence, 4 MiB max block size, correct xxh32 header
+    checksum, EndMark terminator. Readable by every LZ4 decoder."""
+    flg = 0x60  # version 01, block independence
+    bd = 0x70  # max block size code 7 = 4 MiB
+    desc = bytes([flg, bd])
+    hc = (xxh32(desc) >> 8) & 0xFF
+    parts = [LZ4_FRAME_MAGIC, desc, bytes([hc])]
+    for i in range(0, len(data), block_size):
+        block = data[i : i + block_size]
+        parts.append(struct.pack("<I", len(block) | 0x80000000))
+        parts.append(block)
+    parts.append(struct.pack("<I", 0))  # EndMark (empty content: only this)
+    return b"".join(parts)

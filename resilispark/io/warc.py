@@ -462,9 +462,11 @@ def decode_warc_stream(data: bytes) -> Iterator[tuple[int, bytes]]:
     if kind == "gzip":
         yield from _iter_gzip_members(data)
     elif kind == "lz4":
-        if _lz4frame is None:
-            raise RuntimeError("LZ4-compressed WARC requires the 'lz4' package")
-        yield 0, _lz4frame.decompress(data)
+        # member-per-frame .warc.lz4 (stream_io.pyx:604-766); native lz4
+        # when available, else the pure-Python frame codec
+        from resilispark.io import lz4f
+
+        yield from lz4f.decompress_members(data)
     else:
         yield 0, data
 
@@ -547,9 +549,12 @@ def write_warc(
             if compression == "gzip":
                 out = gzip.compress(blob, mtime=0)
             elif compression == "lz4":
-                if _lz4frame is None:
-                    raise RuntimeError("lz4 package not available")
-                out = _lz4frame.compress(blob)
+                if _lz4frame is not None:
+                    out = _lz4frame.compress(blob)
+                else:
+                    from resilispark.io import lz4f
+
+                    out = lz4f.compress_stored(blob)
             else:
                 out = blob
             if cdxj_sidecar:

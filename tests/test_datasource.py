@@ -163,3 +163,22 @@ def test_stale_cdxj_sidecar_ignored(spark, fixture_dir, tmp_path):
     df = _load_path(spark, gz, split_bytes=2048)
     assert df.rdd.getNumPartitions() == 1  # sidecar ignored
     assert df.count() == 50
+
+
+def test_lz4_scan_and_point_extract(spark, fixture_dir, tmp_path):
+    """S13 LZ4 path through the data source: full scan, type counts, and
+    offset point-extract over a member-per-record .warc.lz4."""
+    from resilispark.io.fixtures import build_golden_records
+    from resilispark.io.warc import write_warc
+
+    lz = str(tmp_path / "golden-50.warc.lz4")
+    write_warc(build_golden_records(), lz, compression="lz4", checksum_data=False)
+    df = _load_path(spark, lz)
+    assert df.count() == 50
+    rows = df.groupBy("record_type").count().collect()
+    assert {r["record_type"]: r["count"] for r in rows} == {
+        "response": 16, "request": 16, "metadata": 16, "warcinfo": 2
+    }
+    target = sorted(df.select("stream_pos", "record_id").collect(), key=lambda r: r.stream_pos)[7]
+    one = _load_path(spark, lz, offset=target.stream_pos).collect()
+    assert len(one) == 1 and one[0].record_id == target.record_id

@@ -188,3 +188,34 @@ class TestCorruptStreams:
         assert len(recs) == 50  # truncated tail record still surfaces
         tail = max(recs, key=lambda r: r.stream_pos)
         assert len(tail.payload) <= len(last.payload)
+
+
+class TestLz4:
+    def test_lz4_frame_codec_roundtrip(self):
+        import os
+
+        from resilispark.io.lz4f import compress_stored, decompress, xxh32
+
+        assert xxh32(b"abc") == 0x32D153FF  # published test vector
+        for payload in (b"", b"abc", os.urandom(5 * 1024 * 1024)):
+            assert decompress(compress_stored(payload)) == payload
+
+    def test_warc_lz4_roundtrip(self, fixture_dir, tmp_path):
+        """S13: write .warc.lz4 (member per record) and scan it back —
+        works with or without the native lz4 package."""
+        from resilispark.io.fixtures import build_golden_records
+        from resilispark.io.warc import iter_warc, write_warc
+
+        out = str(tmp_path / "golden.warc.lz4")
+        recs = build_golden_records()
+        write_warc(recs, out, compression="lz4", checksum_data=False)
+        got = list(iter_warc(out))
+        assert len(got) == 50
+        assert sorted(r.record_id for r in got) == sorted(
+            r.header("WARC-Record-ID") for r in recs
+        )
+        from collections import Counter
+
+        assert Counter(r.record_type for r in got) == {
+            "response": 16, "request": 16, "metadata": 16, "warcinfo": 2
+        }
