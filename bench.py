@@ -85,6 +85,7 @@ def main() -> None:
             f"{bdir}/bench-{n_groups}.warc",
             {"split_bytes": str(256 * 1024)},
         ),
+        (f"warc_scan_lz4_{n_records}_recs", f"{bdir}/bench-{n_groups}.warc.lz4", {}),
     ):
         reader = spark.read.format("warc")
         for k, v in opts.items():

@@ -199,10 +199,12 @@ def ensure_bench_fixture(n_groups: int = 5000, root: str = "/root/repo/.fixtures
     os.makedirs(root, exist_ok=True)
     gz = os.path.join(root, f"bench-{n_groups}.warc.gz")
     plain = os.path.join(root, f"bench-{n_groups}.warc")
-    if _stale([gz, plain]):
+    lz = os.path.join(root, f"bench-{n_groups}.warc.lz4")
+    if _stale([gz, plain, lz]):
         recs = build_golden_records(n_groups=n_groups)
         write_warc(recs, plain, compression="none", checksum_data=False)
         write_warc(recs, gz, compression="gzip", checksum_data=False)
+        write_warc(recs, lz, compression="lz4", checksum_data=False)
     return root
 
 
