@@ -36,13 +36,21 @@ Scale design (100 TB):
    warc.pyx:1104-1105 and beam/warcio.py:124-126).
  - **Arrow output.** Batches are emitted as pyarrow RecordBatches, so
    rows cross the Python->JVM boundary columnar, not pickled.
+ - **Remote input.** Paths resolve through ``resilispark.io.fs``
+   (local, ``memory://``, ``http(s)://`` Range reads, ``s3://`` boto3
+   ranged GetObject — the reference's fsspec/boto3 surface,
+   warc.pyx:1118-1126, beam/warcio.py:183-217). Split planning does one
+   LIST + one HEAD per file on the driver; each executor fetches only
+   its partition's byte range. Comma-separated path lists are accepted
+   (the Beam file-list source, beam/warcio.py:43-67).
 """
 
 from __future__ import annotations
 
-import glob as globlib
 import os
+import posixpath
 from dataclasses import dataclass
+from struct import error as struct_error
 from typing import Iterator
 
 import pyarrow as pa
@@ -66,6 +74,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from resilispark.io.fs import expand_source, get_fs, split_scheme
 from resilispark.io.warc import (
     GZIP_MAGIC,
     LZ4_MAGIC,
@@ -147,6 +156,41 @@ class _WarcPartition(InputPartition):
     end: int  # exclusive; records STARTING in [start, end) belong here
 
 
+def _read_first_member(fs, path: str, start: int, size: int,
+                       init_slack: int = 4 * 2**20) -> bytes:
+    """Fetch enough bytes from ``start`` that the first compression
+    member decodes completely, doubling the window on truncation —
+    the S12 point extract never reads offset..EOF from a remote store."""
+    import zlib
+
+    slack = init_slack
+    while True:
+        length = min(slack, size - start)
+        data = fs.read_range(path, start, length)
+        complete = start + length >= size
+        if not complete:
+            if data.startswith(GZIP_MAGIC):
+                d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+                try:
+                    d.decompress(data)
+                    complete = d.eof
+                except zlib.error:
+                    complete = False
+            elif data.startswith(LZ4_MAGIC):
+                from resilispark.io import lz4f
+
+                try:
+                    lz4f._decompress_one(data, 0)
+                    complete = True
+                except (ValueError, IndexError, struct_error):
+                    complete = False
+            else:
+                complete = True  # uncompressed: range scanner handles it
+        if complete:
+            return data
+        slack *= 2
+
+
 class WarcDataSourceReader(DataSourceReader):
     def __init__(self, options: dict):
         self.options = dict(options)
@@ -165,20 +209,27 @@ class WarcDataSourceReader(DataSourceReader):
         self.offset = int(off) if off is not None else None
 
     def _expand_paths(self) -> list[str]:
-        path = self.options.get("path")
+        path = self.options.get("path") or self.options.get("paths")
         if not path:
             raise ValueError("warc data source requires a path")
-        if path.startswith("file:"):
-            path = path[len("file:") :]
-        matches = sorted(globlib.glob(path, recursive=True)) if any(
-            c in path for c in "*?["
-        ) else ([path] if os.path.isfile(path) else sorted(
-            globlib.glob(os.path.join(path, "**", "*.warc*"), recursive=True)
-        ))
-        matches = [m for m in matches if not m.endswith(".cdxj")]
+        # expand_source handles local paths/globs/dirs, comma-separated
+        # file lists, and remote schemes (memory://, http(s)://, s3://)
+        matches = [m for m in expand_source(path) if not m.endswith(".cdxj")]
         if not matches:
             raise FileNotFoundError(f"no WARC files match {path!r}")
+        # filesystem handles are captured at plan time (driver-side) so
+        # memory:// stores travel to executors by value via pickle
+        self._fss = {}
+        for m in matches:
+            scheme = split_scheme(m)[0]
+            if scheme not in self._fss:
+                self._fss[scheme] = get_fs(m)
         return matches
+
+    def _fs(self, path: str):
+        scheme = split_scheme(path)[0]
+        fs = getattr(self, "_fss", {}).get(scheme)
+        return fs if fs is not None else get_fs(path)
 
     def _csv_opt(self, key: str) -> set[str] | None:
         v = self.options.get(key)
@@ -197,19 +248,20 @@ class WarcDataSourceReader(DataSourceReader):
         the driver (SURVEY §4: CDXJ-assisted split planning)."""
         import json
 
+        fs = self._fs(path)
         side = path + ".cdxj"
-        if not os.path.isfile(side):
+        if not fs.exists(side):
             return None
-        if os.path.getmtime(side) < os.path.getmtime(path):
+        if fs.mtime(side) < fs.mtime(path):
             # stale index (WARC rewritten after indexing): offsets may
             # point mid-member — splitting on them would silently drop
             # records, so fall back to the unsplit scan
             return None
         offs: list[int] = []
         try:
-            with open(side, "r", encoding="utf-8") as f:
-                for line in f:
-                    line = line.strip()
+            with fs.open(side) as f:
+                for raw in f.read().decode("utf-8").splitlines():
+                    line = raw.strip()
                     if not line:
                         continue
                     # CDXJ = optional searchable-key fields, then JSON
@@ -228,9 +280,9 @@ class WarcDataSourceReader(DataSourceReader):
             # partition covering exactly the record starting at offset
             return [_WarcPartition(p, self.offset, self.offset + 1) for p in self.paths]
         for p in self.paths:
-            size = os.path.getsize(p)
-            with open(p, "rb") as f:
-                head = f.read(8)
+            fs = self._fs(p)
+            size = fs.size(p)
+            head = fs.read_head(p, 8)
             if head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC):
                 offs = self._sidecar_offsets(p)  # gzip AND lz4 members split at indexed offsets
                 if offs and size > self.split_bytes:
@@ -260,10 +312,10 @@ class WarcDataSourceReader(DataSourceReader):
 
     # -- record scan --------------------------------------------------------
     def read(self, partition: _WarcPartition) -> Iterator[pa.RecordBatch]:
-        size = os.path.getsize(partition.path)
-        with open(partition.path, "rb") as f:
-            head = f.read(8)
-        filename = os.path.basename(partition.path)
+        fs = self._fs(partition.path)
+        size = fs.size(partition.path)
+        head = fs.read_head(partition.path, 8)
+        filename = posixpath.basename(split_scheme(partition.path)[1])
         # column-wise accumulation: pa.array per column is ~2x faster
         # than from_pylist's per-row dict decoding for this wide schema
         cols: list[list] = [[] for _ in _ARROW_SCHEMA]
@@ -294,10 +346,16 @@ class WarcDataSourceReader(DataSourceReader):
             # split) and iterate members with stream_pos in the
             # compressed stream, exactly like FastWARC's offsets
             point = partition.end == partition.start + 1  # S12 seek-extract
-            with open(partition.path, "rb") as f:
-                f.seek(partition.start)
-                f_end = size if point else partition.end
-                data = f.read(f_end - partition.start)
+            if point:
+                # bounded fetch: grow until the first member decodes
+                # complete, instead of reading offset..EOF (which over
+                # http/s3 would pull the remainder of a multi-GiB file)
+                data = _read_first_member(fs, partition.path, partition.start, size)
+            else:
+                data = fs.read_range(
+                    partition.path, partition.start,
+                    partition.end - partition.start,
+                )
             if partition.start == 0 and partition.end >= size:
                 streams = decode_warc_stream(data)
             else:
@@ -330,7 +388,8 @@ class WarcDataSourceReader(DataSourceReader):
             # [start, end), magic-aligned, with bounded re-read for
             # range-crossing records (iter_warc_range)
             record_iter = iter_warc_range(
-                partition.path, partition.start, partition.end, file_size=size, **kwargs
+                partition.path, partition.start, partition.end,
+                file_size=size, opener=fs.open, **kwargs
             )
 
         keep_payload = self.keep_payload
@@ -389,7 +448,19 @@ class WarcDataSourceWriter(DataSourceWriter):
         self.path = self.options.get("path")
         if not self.path:
             raise ValueError("warc writer requires a path")
+        if split_scheme(self.path)[0] != "file":
+            raise NotImplementedError(
+                "the warc writer targets local paths; write locally and "
+                "upload, or use a distributed object-store sink"
+            )
         self.compression = self.options.get("compression", "gzip").lower()
+        if self.compression in ("none", "", "uncompressed"):
+            self.compression = "none"
+        if self.compression not in ("gzip", "lz4", "none"):
+            raise ValueError(
+                f"unsupported warc compression {self.compression!r}; "
+                "use gzip, lz4, or none"
+            )
         self.cdxj = str(self.options.get("cdxj", "")).lower() in ("1", "true", "yes")
         self.overwrite = overwrite
         if overwrite and os.path.isdir(self.path):
@@ -410,7 +481,9 @@ class WarcDataSourceWriter(DataSourceWriter):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
         os.makedirs(self.path, exist_ok=True)
-        ext = ".warc.gz" if self.compression == "gzip" else ".warc"
+        ext = {"gzip": ".warc.gz", "lz4": ".warc.lz4", "none": ".warc"}[
+            self.compression
+        ]
         out = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{ext}")
 
         def to_records():
@@ -437,7 +510,7 @@ class WarcDataSourceWriter(DataSourceWriter):
         n = write_warc(
             to_records(),
             out,
-            compression="gzip" if self.compression == "gzip" else "none",
+            compression=self.compression,
             checksum_data=True,
             cdxj_sidecar=self.cdxj,
         )

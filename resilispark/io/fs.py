@@ -1,0 +1,474 @@
+"""Minimal filesystem abstraction for remote WARC input (SURVEY §2 S4).
+
+The reference opens WARC sources through fsspec / boto3 streams
+(fastwarc-py/fastwarc/warc.pyx:1118-1126 ``fsspec.open``;
+resiliparse-py/resiliparse/beam/warcio.py:183-217 custom boto3 reader).
+fsspec is not available in this environment, so this module provides
+the small slice of that surface the engine needs — ``open``, ``glob``,
+``size``, ``mtime``, ranged reads — for four schemes:
+
+ - ``file://`` / bare paths  — local filesystem
+ - ``memory://``             — in-process store; instances pickle their
+                               file dict BY VALUE, so a DataSourceReader
+                               holding a MemoryFS works on executor
+                               workers (the test double for "remote")
+ - ``http(s)://``            — requests/urllib with HTTP Range reads
+ - ``s3://``                 — boto3 ranged GetObject (anonymous/
+                               unsigned when no credentials are
+                               configured, for public buckets like
+                               Common Crawl); gated behind import-try
+
+Scale notes: executors fetch ONLY their partition's byte range
+(``read_range`` → one ranged GET), so a 1000-executor scan of a 100 TB
+S3 corpus never routes bytes through the driver; the driver does one
+LIST (glob) + one HEAD per file for split planning.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import io
+import os
+import posixpath
+import re
+from typing import BinaryIO
+
+_SCHEME_RE = re.compile(r"^([a-z][a-z0-9+.-]*)://", re.IGNORECASE)
+_MAGIC_CHARS = "*?["
+
+
+def split_scheme(path: str) -> tuple[str, str]:
+    """('s3', 'bucket/key') for 's3://bucket/key'; ('file', p) for bare."""
+    m = _SCHEME_RE.match(path)
+    if not m:
+        return "file", path
+    return m.group(1).lower(), path[m.end():]
+
+
+def has_magic(path: str) -> bool:
+    return any(c in path for c in _MAGIC_CHARS)
+
+
+class FileSystem:
+    """Protocol: binary reads only (the scan path); writes local-only."""
+
+    scheme = "abstract"
+
+    def open(self, path: str, mode: str = "rb") -> BinaryIO:
+        raise NotImplementedError
+
+    def glob(self, pattern: str) -> list[str]:
+        raise NotImplementedError
+
+    def size(self, path: str) -> int:
+        raise NotImplementedError
+
+    def mtime(self, path: str) -> float:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def isfile(self, path: str) -> bool:
+        return self.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return False
+
+    def read_range(self, path: str, start: int, length: int) -> bytes:
+        """Exactly the bytes [start, start+length) (clipped at EOF)."""
+        with self.open(path) as f:
+            f.seek(start)
+            return f.read(length)
+
+    def read_head(self, path: str, n: int = 8) -> bytes:
+        return self.read_range(path, 0, n)
+
+
+class LocalFS(FileSystem):
+    scheme = "file"
+
+    @staticmethod
+    def _strip(path: str) -> str:
+        if path.startswith("file://"):
+            return path[len("file://"):]
+        if path.startswith("file:"):
+            return path[len("file:"):]
+        return path
+
+    def open(self, path: str, mode: str = "rb") -> BinaryIO:
+        return open(self._strip(path), mode)
+
+    def glob(self, pattern: str) -> list[str]:
+        import glob as globlib
+
+        return sorted(globlib.glob(self._strip(pattern), recursive=True))
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(self._strip(path))
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(self._strip(path))
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._strip(path))
+
+    def isfile(self, path: str) -> bool:
+        return os.path.isfile(self._strip(path))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._strip(path))
+
+
+class MemoryFS(FileSystem):
+    """memory://name — the in-process test double for remote stores.
+
+    Spark plans Python data sources in a SEPARATE planning worker and
+    reads in executor workers, so a plain per-process dict is invisible
+    outside the driver. The store therefore spills to a shared scratch
+    directory (one per uid, overridable via RESILISPARK_MEMFS_DIR):
+    every process on the machine sees one consistent namespace, which
+    is exactly what local-mode tests need. NOT a multi-host filesystem
+    — use s3:// or http(s):// for real remote input.
+    """
+
+    scheme = "memory"
+
+    def __init__(self, root: str | None = None):
+        import tempfile
+
+        self.root = root or os.environ.get("RESILISPARK_MEMFS_DIR") or (
+            os.path.join(
+                tempfile.gettempdir(), f"resilispark-memfs-{os.getuid()}"
+            )
+        )
+
+    def __reduce__(self):
+        return (MemoryFS, (self.root,))
+
+    def _loc(self, path: str) -> str:
+        _, rest = split_scheme(path)
+        key = rest.lstrip("/")
+        loc = os.path.normpath(os.path.join(self.root, key))
+        if not loc.startswith(os.path.normpath(self.root)):
+            raise ValueError(f"memory path escapes the store: {path!r}")
+        return loc
+
+    def _name(self, loc: str) -> str:
+        rel = os.path.relpath(loc, self.root).replace(os.sep, "/")
+        return "memory://" + rel
+
+    def open(self, path: str, mode: str = "rb") -> BinaryIO:
+        loc = self._loc(path)
+        if "w" in mode or "a" in mode:
+            os.makedirs(os.path.dirname(loc), exist_ok=True)
+        try:
+            return open(loc, mode if "b" in mode else mode + "b")
+        except FileNotFoundError:
+            raise FileNotFoundError(path) from None
+
+    def glob(self, pattern: str) -> list[str]:
+        import glob as globlib
+
+        return sorted(
+            self._name(m)
+            for m in globlib.glob(self._loc(pattern), recursive=True)
+            if os.path.isfile(m)
+        )
+
+    def size(self, path: str) -> int:
+        try:
+            return os.path.getsize(self._loc(path))
+        except FileNotFoundError:
+            raise FileNotFoundError(path) from None
+
+    def mtime(self, path: str) -> float:
+        try:
+            return os.path.getmtime(self._loc(path))
+        except FileNotFoundError:
+            return 0.0
+
+    def exists(self, path: str) -> bool:
+        return os.path.isfile(self._loc(path))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._loc(path))
+
+    def put(self, path: str, data: bytes) -> None:
+        with self.open(path, "wb") as f:
+            f.write(bytes(data))
+
+    def delete(self, path: str) -> None:
+        os.remove(self._loc(path))
+
+    def clear(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)
+
+
+class RangeFile(io.RawIOBase):
+    """Lazy seekable read-only file over ``fs.read_range`` with a
+    read-ahead buffer — the executor-side handle for http/s3 sources.
+    Each ``read`` past the buffer issues ONE ranged GET of
+    max(requested, readahead) bytes; the WARC range scanner reads in
+    multi-MiB slabs, so per-record round-trips never happen."""
+
+    def __init__(self, fs: FileSystem, path: str, size: int | None = None,
+                 readahead: int = 4 * 2**20):
+        super().__init__()
+        self.fs, self.path = fs, path
+        self._size = fs.size(path) if size is None else size
+        self._pos = 0
+        self._buf = b""
+        self._buf_start = 0
+        self._readahead = readahead
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek(self, offset: int, whence: int = os.SEEK_SET) -> int:
+        if whence == os.SEEK_SET:
+            self._pos = offset
+        elif whence == os.SEEK_CUR:
+            self._pos += offset
+        elif whence == os.SEEK_END:
+            self._pos = self._size + offset
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        n = max(0, min(n, self._size - self._pos))
+        if n == 0:
+            return b""
+        in_buf = self._buf_start <= self._pos and (
+            self._pos + n <= self._buf_start + len(self._buf)
+        )
+        if not in_buf:
+            fetch = max(n, self._readahead)
+            self._buf = self.fs.read_range(self.path, self._pos, fetch)
+            self._buf_start = self._pos
+        off = self._pos - self._buf_start
+        out = self._buf[off : off + n]
+        self._pos += len(out)
+        return out
+
+
+class HTTPFS(FileSystem):
+    """http(s):// via requests (urllib fallback). No listing protocol —
+    glob only accepts literal URLs or comma lists (handled upstream)."""
+
+    scheme = "http"
+
+    def __init__(self):
+        self._session = None
+
+    def __reduce__(self):  # sessions aren't picklable; rebuild on worker
+        return (HTTPFS, ())
+
+    def _sess(self):
+        if self._session is None:
+            try:
+                import requests
+
+                self._session = requests.Session()
+            except ImportError:
+                self._session = False
+        return self._session
+
+    def open(self, path: str, mode: str = "rb") -> BinaryIO:
+        if mode != "rb":
+            raise NotImplementedError("http filesystem is read-only")
+        return RangeFile(self, path)
+
+    def glob(self, pattern: str) -> list[str]:
+        if has_magic(pattern):
+            raise NotImplementedError(
+                "http(s) sources cannot be listed; pass explicit URLs "
+                "(comma-separated) instead of a glob"
+            )
+        return [pattern]
+
+    def size(self, path: str) -> int:
+        s = self._sess()
+        if s:
+            r = s.head(path, allow_redirects=True, timeout=60)
+            if r.ok and "content-length" in r.headers:
+                return int(r.headers["content-length"])
+            # HEAD unsupported: 1-byte ranged GET exposes total size
+            r = s.get(path, headers={"Range": "bytes=0-0"}, timeout=60)
+            cr = r.headers.get("content-range", "")
+            if "/" in cr:
+                return int(cr.rsplit("/", 1)[1])
+            raise OSError(f"cannot determine size of {path}")
+        import urllib.request
+
+        req = urllib.request.Request(path, method="HEAD")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return int(r.headers["Content-Length"])
+
+    def mtime(self, path: str) -> float:
+        return 0.0
+
+    def exists(self, path: str) -> bool:
+        try:
+            self.size(path)
+            return True
+        except Exception:
+            return False
+
+    def read_range(self, path: str, start: int, length: int) -> bytes:
+        if length <= 0:
+            return b""
+        hdr = {"Range": f"bytes={start}-{start + length - 1}"}
+        s = self._sess()
+        if s:
+            r = s.get(path, headers=hdr, timeout=120)
+            r.raise_for_status()
+            data = r.content
+        else:
+            import urllib.request
+
+            req = urllib.request.Request(path, headers=hdr)
+            with urllib.request.urlopen(req, timeout=120) as r:
+                data = r.read()
+        # a 200 (no Range support) returns the whole body: clip
+        return data[:length] if len(data) > length else data
+
+
+class S3FS(FileSystem):
+    """s3://bucket/key via boto3 ranged GetObject. Unsigned requests
+    when no credentials are configured (public buckets, e.g.
+    s3://commoncrawl/). Mirrors the reference's boto3 streaming source
+    (resiliparse-py/resiliparse/beam/warcio.py:183-217)."""
+
+    scheme = "s3"
+
+    def __init__(self):
+        self._client = None
+
+    def __reduce__(self):
+        return (S3FS, ())
+
+    def _cli(self):
+        if self._client is None:
+            import boto3
+            from botocore import UNSIGNED
+            from botocore.config import Config
+
+            session = boto3.session.Session()
+            if session.get_credentials() is None:
+                self._client = session.client(
+                    "s3", config=Config(signature_version=UNSIGNED)
+                )
+            else:
+                self._client = session.client("s3")
+        return self._client
+
+    @staticmethod
+    def _bk(path: str) -> tuple[str, str]:
+        _, rest = split_scheme(path)
+        bucket, _, key = rest.partition("/")
+        return bucket, key
+
+    def open(self, path: str, mode: str = "rb") -> BinaryIO:
+        if mode != "rb":
+            raise NotImplementedError("s3 writes go through the WARC writer")
+        return RangeFile(self, path)
+
+    def glob(self, pattern: str) -> list[str]:
+        bucket, key = self._bk(pattern)
+        if not has_magic(key):
+            return [pattern] if self.exists(pattern) else []
+        # LIST from the longest literal prefix, client-side fnmatch —
+        # one paginated LIST per glob, driver-side only
+        prefix = re.split(r"[*?\[]", key, 1)[0]
+        out = []
+        paginator = self._cli().get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
+            for obj in page.get("Contents", []):
+                if fnmatch.fnmatchcase(obj["Key"], key):
+                    out.append(f"s3://{bucket}/{obj['Key']}")
+        return sorted(out)
+
+    def size(self, path: str) -> int:
+        bucket, key = self._bk(path)
+        return self._cli().head_object(Bucket=bucket, Key=key)["ContentLength"]
+
+    def mtime(self, path: str) -> float:
+        bucket, key = self._bk(path)
+        lm = self._cli().head_object(Bucket=bucket, Key=key)["LastModified"]
+        return lm.timestamp()
+
+    def exists(self, path: str) -> bool:
+        try:
+            self.size(path)
+            return True
+        except Exception:
+            return False
+
+    def read_range(self, path: str, start: int, length: int) -> bytes:
+        if length <= 0:
+            return b""
+        bucket, key = self._bk(path)
+        rng = f"bytes={start}-{start + length - 1}"
+        try:
+            resp = self._cli().get_object(Bucket=bucket, Key=key, Range=rng)
+        except self._cli().exceptions.ClientError as exc:  # pragma: no cover
+            code = exc.response.get("Error", {}).get("Code")
+            if code == "InvalidRange":
+                return b""
+            raise
+        return resp["Body"].read()
+
+
+_LOCAL = LocalFS()
+_HTTP = HTTPFS()
+
+
+def get_fs(path: str) -> FileSystem:
+    scheme, _ = split_scheme(path)
+    if scheme == "file":
+        return _LOCAL
+    if scheme == "memory":
+        return MemoryFS()
+    if scheme in ("http", "https"):
+        return _HTTP
+    if scheme == "s3":
+        return S3FS()
+    raise ValueError(f"unsupported filesystem scheme {scheme!r} in {path!r}")
+
+
+def expand_source(path: str, default_suffix_glob: str = "*.warc*") -> list[str]:
+    """Resolve a source spec into concrete file paths/URLs.
+
+    Accepts a single path/URL, a glob, a directory, or a COMMA-SEPARATED
+    list of any of those (the reference's file-list source,
+    beam/warcio.py:43-67 reading N explicit paths). Local bare paths
+    keep their bare spelling."""
+    out: list[str] = []
+    for piece in (p.strip() for p in path.split(",")):
+        if not piece:
+            continue
+        fs = get_fs(piece)
+        if has_magic(piece):
+            out.extend(fs.glob(piece))
+        elif fs.isdir(piece):
+            out.extend(
+                fs.glob(posixpath.join(piece, "**", default_suffix_glob))
+            )
+        elif fs.exists(piece):
+            out.append(piece)
+        elif isinstance(fs, (HTTPFS,)):
+            out.append(piece)  # trust explicit URLs; opened lazily
+        else:
+            raise FileNotFoundError(piece)
+    # stable planning order; dedupe a path listed twice
+    return sorted(dict.fromkeys(out))

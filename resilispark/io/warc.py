@@ -365,6 +365,7 @@ def iter_warc_range(
     slack: int = 16 * 2**20,
     strict: bool = False,
     file_size: int | None = None,
+    opener=None,
     **filter_opts,
 ) -> Iterator[WarcRecord]:
     """Records STARTING in byte range [start, end) of an uncompressed
@@ -382,7 +383,9 @@ def iter_warc_range(
     end = min(end, size)
     if start >= end:
         return
-    with open(path, "rb") as f:
+    # opener lets remote filesystems (resilispark.io.fs) supply ranged
+    # readers; reads here are few and large (range + slack slabs)
+    with (opener or (lambda p: open(p, "rb")))(path) as f:
         f.seek(start)
         buf = f.read(min(end - start + slack, size - start))
         base = start  # absolute offset of buf[0]

@@ -1,0 +1,276 @@
+"""Remote-input tests: the fs abstraction (SURVEY §2 S4) and the warc
+data source over non-local protocols.
+
+The reference reads WARC sources through fsspec/boto3 streams
+(fastwarc-py/fastwarc/warc.pyx:1118-1126,
+resiliparse-py/resiliparse/beam/warcio.py:183-217); here the same
+surface is exercised with memory:// (executors see a pickled-by-value
+snapshot — a true cross-process remote read) and a live local HTTP
+server that enforces Range requests.
+"""
+
+import http.server
+import os
+import re
+import threading
+
+import pytest
+
+from resilispark.io.fs import (
+    HTTPFS,
+    MemoryFS,
+    RangeFile,
+    expand_source,
+    get_fs,
+    split_scheme,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    from resilispark.datasource import register
+    from resilispark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    register(spark)
+
+
+@pytest.fixture(scope="module")
+def memfs(fixture_dir):
+    fs = MemoryFS()
+    fs.clear()
+    for name in ("golden-50.warc.gz", "golden-50.warc"):
+        with open(os.path.join(fixture_dir, name), "rb") as f:
+            fs.put(f"memory://{name}", f.read())
+    yield fs
+    fs.clear()
+
+
+def _load(spark, path, **opts):
+    r = spark.read.format("warc")
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load(path)
+
+
+# -- unit: scheme parsing / dispatch ------------------------------------
+
+
+def test_split_scheme():
+    assert split_scheme("s3://bucket/a/b.warc.gz") == ("s3", "bucket/a/b.warc.gz")
+    assert split_scheme("/local/path.warc") == ("file", "/local/path.warc")
+    assert split_scheme("memory://x.warc") == ("memory", "x.warc")
+
+
+def test_get_fs_dispatch():
+    assert get_fs("/tmp/x").scheme == "file"
+    assert get_fs("memory://x").scheme == "memory"
+    assert get_fs("https://example.org/x").scheme == "http"
+    with pytest.raises(ValueError):
+        get_fs("gopher://x")
+
+
+def test_memoryfs_roundtrip_and_glob(memfs):
+    memfs.put("memory://sub/a.warc", b"abc")
+    assert memfs.size("memory://sub/a.warc") == 3
+    with memfs.open("memory://sub/a.warc") as f:
+        assert f.read() == b"abc"
+    assert memfs.glob("memory://sub/*.warc") == ["memory://sub/a.warc"]
+    assert memfs.read_range("memory://sub/a.warc", 1, 1) == b"b"
+    memfs.delete("memory://sub/a.warc")
+
+
+def test_memoryfs_pickle_crosses_processes(memfs):
+    """The planning/executor-worker property: an unpickled MemoryFS
+    resolves the same namespace (spill-dir backed)."""
+    import pickle
+
+    clone = pickle.loads(pickle.dumps(memfs))
+    assert clone.root == memfs.root
+    assert clone.size("memory://golden-50.warc.gz") == memfs.size(
+        "memory://golden-50.warc.gz"
+    )
+
+
+def test_expand_source_comma_list(fixture_dir):
+    # the reference's explicit file-list source (beam/warcio.py:43-67)
+    spec = f"{fixture_dir}/golden-50.warc,{fixture_dir}/golden-50.warc.gz"
+    got = expand_source(spec)
+    assert got == sorted(
+        [f"{fixture_dir}/golden-50.warc", f"{fixture_dir}/golden-50.warc.gz"]
+    )
+    with pytest.raises(FileNotFoundError):
+        expand_source(f"{fixture_dir}/nope.warc")
+
+
+# -- memory:// through the Spark data source ----------------------------
+
+
+def test_warc_scan_memory_protocol(spark, memfs, fixture_dir):
+    df = _load(spark, "memory://golden-50.warc.gz")
+    assert df.count() == 50
+    local = _load(spark, f"{fixture_dir}/golden-50.warc.gz")
+    assert sorted(r.record_id for r in df.select("record_id").collect()) == sorted(
+        r.record_id for r in local.select("record_id").collect()
+    )
+
+
+def test_warc_split_planning_memory(spark, memfs, fixture_dir):
+    """CDXJ-assisted split planning over a remote store: write the
+    sidecar into the memory fs and assert the plan fans out."""
+    from resilispark.datasource.warc import WarcDataSourceReader
+
+    side = fixture_dir + "/golden-50.warc.gz.cdxj"
+    if not os.path.exists(side):
+        from resilispark.operators.warctools import write_cdxj_sidecar
+
+        write_cdxj_sidecar(spark, fixture_dir + "/golden-50.warc.gz")
+    with open(side, "rb") as f:
+        memfs.put("memory://golden-50.warc.gz.cdxj", f.read())
+
+    reader = WarcDataSourceReader(
+        {"path": "memory://golden-50.warc.gz", "split_bytes": "2048"}
+    )
+    parts = reader.partitions()
+    assert len(parts) > 1
+    # and the split scan returns every record exactly once
+    df = _load(spark, "memory://golden-50.warc.gz", split_bytes=2048)
+    assert df.count() == 50
+    assert df.select("record_id").distinct().count() == 50
+    memfs.delete("memory://golden-50.warc.gz.cdxj")
+
+
+def test_warc_plain_range_split_memory(spark, memfs):
+    """Uncompressed byte-range splitting over the remote protocol."""
+    df = _load(spark, "memory://golden-50.warc", split_bytes=8192)
+    assert df.count() == 50
+
+
+def test_warc_point_extract_memory(spark, memfs, fixture_dir):
+    """S12 seek-extract against the remote store: pick a real member
+    offset from a local scan, then extract just that record."""
+    local = _load(spark, f"{fixture_dir}/golden-50.warc.gz")
+    row = (
+        local.select("stream_pos", "record_id")
+        .orderBy("stream_pos")
+        .collect()[10]
+    )
+    got = _load(
+        spark, "memory://golden-50.warc.gz", offset=row.stream_pos
+    ).collect()
+    assert len(got) == 1
+    assert got[0].record_id == row.record_id
+
+
+# -- http:// through a live Range-enforcing server ----------------------
+
+
+class _RangeHandler(http.server.SimpleHTTPRequestHandler):
+    """Serves fixture files honoring Range (SimpleHTTPRequestHandler
+    alone replies 200-full-body, which would mask a broken ranged
+    reader)."""
+
+    directory = None  # set per-instance via functools.partial
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def do_GET(self):
+        path = self.translate_path(self.path)
+        if not os.path.isfile(path):
+            self.send_error(404)
+            return
+        with open(path, "rb") as f:
+            data = f.read()
+        m = re.match(r"bytes=(\d+)-(\d*)", self.headers.get("Range", ""))
+        if m:
+            start = int(m.group(1))
+            end = int(m.group(2)) if m.group(2) else len(data) - 1
+            chunk = data[start : end + 1]
+            self.send_response(206)
+            self.send_header(
+                "Content-Range", f"bytes {start}-{start + len(chunk) - 1}/{len(data)}"
+            )
+            self.send_header("Content-Length", str(len(chunk)))
+            self.end_headers()
+            self.wfile.write(chunk)
+        else:
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+
+@pytest.fixture(scope="module")
+def http_url(fixture_dir):
+    import functools
+
+    handler = functools.partial(_RangeHandler, directory=fixture_dir)
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_httpfs_size_and_range(http_url, fixture_dir):
+    fs = HTTPFS()
+    url = f"{http_url}/golden-50.warc"
+    assert fs.size(url) == os.path.getsize(f"{fixture_dir}/golden-50.warc")
+    with open(f"{fixture_dir}/golden-50.warc", "rb") as f:
+        f.seek(100)
+        want = f.read(64)
+    assert fs.read_range(url, 100, 64) == want
+
+
+def test_rangefile_seek_read(http_url, fixture_dir):
+    fs = HTTPFS()
+    url = f"{http_url}/golden-50.warc.gz"
+    rf = RangeFile(fs, url, readahead=1024)
+    with open(f"{fixture_dir}/golden-50.warc.gz", "rb") as f:
+        data = f.read()
+    rf.seek(10)
+    assert rf.read(20) == data[10:30]
+    rf.seek(-8, os.SEEK_END)
+    assert rf.read() == data[-8:]
+
+
+def test_warc_scan_http(spark, http_url):
+    df = _load(spark, f"{http_url}/golden-50.warc.gz")
+    assert df.count() == 50
+    types = {
+        r.record_type: r["count"]
+        for r in df.groupBy("record_type").count().collect()
+    }
+    assert types["response"] == 16
+
+
+def test_warc_scan_http_plain_split(spark, http_url):
+    df = _load(spark, f"{http_url}/golden-50.warc", split_bytes=8192)
+    assert df.count() == 50
+
+
+def test_http_glob_rejected():
+    with pytest.raises(NotImplementedError):
+        HTTPFS().glob("http://example.org/*.warc.gz")
+
+
+# -- writer option hardening (ADVICE) -----------------------------------
+
+
+def test_writer_lz4_compression(spark, fixture_dir, tmp_path):
+    out = str(tmp_path / "lzout")
+    df = _load(spark, f"{fixture_dir}/golden-50.warc.gz", parse_http="false")
+    df.write.format("warc").option("compression", "lz4").mode("append").save(out)
+    files = os.listdir(out)
+    assert files and all(f.endswith(".warc.lz4") for f in files)
+    back = _load(spark, out)
+    assert back.count() == 50
+
+
+def test_writer_unknown_compression_raises(spark, fixture_dir, tmp_path):
+    df = _load(spark, f"{fixture_dir}/golden-50.warc.gz", parse_http="false")
+    with pytest.raises(Exception, match="compression"):
+        df.write.format("warc").option("compression", "zstd").mode(
+            "append"
+        ).save(str(tmp_path / "bad"))
