@@ -6,10 +6,15 @@ beam/warcio.py:155-157) but runs batch; here the same model becomes real
 Structured Streaming:
 
  - ``read_warc_stream``: a file-drop-directory micro-batch source built
-   on the Python ``SimpleDataSourceStreamReader``. The offset is the
+   on the partition-based ``DataSourceStreamReader``. The offset is the
    set of fully-ingested files, so each micro-batch picks up newly
    dropped ``.warc[.gz]`` files exactly once (the unbounded-source
    analog of warc_retry's resume bookkeeping, itertools.pyx:66-154).
+   The driver only LISTs the drop directory and plans partitions
+   (one-or-more per new file — large uncompressed or CDXJ-indexed
+   files split exactly like the batch source); executors do ALL record
+   reading and emit Arrow batches. No payload byte ever passes through
+   the driver, so streaming ingest scales with the executor count.
  - window helpers: tumbling / sliding / session aggregation over the
    ``warc_date`` event-time column with a configurable watermark for
    late records (T1).
@@ -17,47 +22,62 @@ Structured Streaming:
 
 from __future__ import annotations
 
-import glob as globlib
-import os
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader
 
-from resilispark.datasource.warc import WARC_SCHEMA, WarcDataSourceReader, _WarcPartition
+from resilispark.datasource.warc import WARC_SCHEMA, WarcDataSourceReader
+from resilispark.io.fs import get_fs, has_magic
 
 
-class WarcStreamReader(SimpleDataSourceStreamReader):
-    """Micro-batch reader: offset = sorted list of files already read."""
+class WarcStreamReader(DataSourceStreamReader):
+    """Micro-batch reader: offset = sorted list of files already seen.
+
+    ``partitions(start, end)`` reuses the batch reader's split planner
+    per new file, so a single dropped 10 GiB uncompressed WARC fans out
+    across executors instead of serializing through one task. The
+    offset dict grows with the total file count — at millions of files
+    move to a compacted manifest, noted in the class docstring rather
+    than hidden."""
 
     def __init__(self, options: dict):
         self.options = dict(options)
         path = self.options.get("path") or ""
-        if path.startswith("file:"):
-            path = path[len("file:") :]
         self.pattern = (
-            path if any(c in path for c in "*?[") else os.path.join(path, "*.warc*")
+            path if has_magic(path) else posixpath.join(path, "*.warc*")
         )
 
     def initialOffset(self) -> dict:
         return {"files": []}
 
     def _list(self) -> list[str]:
-        return sorted(globlib.glob(self.pattern))
+        fs = get_fs(self.pattern)
+        return sorted(
+            p for p in fs.glob(self.pattern) if not p.endswith(".cdxj")
+        )
 
-    def read(self, start: dict):
+    def latestOffset(self) -> dict:
+        return {"files": self._list()}
+
+    def partitions(self, start: dict, end: dict):
         seen = set(start.get("files", []))
-        new_files = [f for f in self._list() if f not in seen]
-        end = {"files": sorted(seen | set(new_files))}
-
-        rows = []  # must be materialized: Spark pickles the batch for replay
+        new_files = [f for f in end.get("files", []) if f not in seen]
+        parts = []
         for f in new_files:
-            # reuse the batch reader's record scan for each new file
-            reader = WarcDataSourceReader({**self.options, "path": f})
-            for batch in reader.read(_WarcPartition(f, 0, os.path.getsize(f))):
-                for row in batch.to_pylist():
-                    rows.append(tuple(row[name] for name in WARC_SCHEMA.fieldNames()))
-        return iter(rows), end
+            # one batch-reader per file reuses CDXJ/byte-range split
+            # planning; its partitions carry (path, start, end) only
+            parts.extend(
+                WarcDataSourceReader({**self.options, "path": f}).partitions()
+            )
+        return parts
+
+    def read(self, partition):
+        # runs on executors; rebuild the scan kernel locally and emit
+        # Arrow record batches (columnar across the Python->JVM hop)
+        reader = WarcDataSourceReader({**self.options, "path": partition.path})
+        yield from reader.read(partition)
 
     def commit(self, end: dict) -> None:
         pass
@@ -80,7 +100,9 @@ def read_warc_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
 
         for mod in ("resilispark.streaming.warc_stream",
                     "resilispark.datasource.warc",
-                    "resilispark.io.warc"):
+                    "resilispark.io.warc",
+                    "resilispark.io.fs",
+                    "resilispark.io.lz4f"):
             if mod in sys.modules:
                 cloudpickle.register_pickle_by_value(sys.modules[mod])
     except Exception:
@@ -97,7 +119,7 @@ class WarcStreamDataSource(DataSource):
     def schema(self):
         return WARC_SCHEMA
 
-    def simpleStreamReader(self, schema) -> WarcStreamReader:
+    def streamReader(self, schema) -> WarcStreamReader:
         return WarcStreamReader(self.options)
 
 

@@ -76,3 +76,22 @@ def test_session_window_stream(spark, fixture_dir, drop_dir):
     q.stop()
     # 16 target_uris (+ null for warcinfo) each with >=1 session
     assert sum(r.n for r in rows) == 50
+
+
+def test_stream_partitions_fan_out(spark, fixture_dir, drop_dir):
+    """Partition-based reader: a multi-file drop plans >1 input
+    partition (executors read; the driver only lists and plans)."""
+    import shutil
+
+    from resilispark.streaming.warc_stream import WarcStreamReader
+
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", f"{drop_dir}/a.warc.gz")
+    shutil.copy(f"{fixture_dir}/golden-50.warc", f"{drop_dir}/b.warc")
+    reader = WarcStreamReader({"path": drop_dir})
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    assert len(end["files"]) == 2
+    parts = reader.partitions(start, end)
+    assert len(parts) >= 2
+    # and a re-plan from the new offset is empty (exactly-once files)
+    assert reader.partitions(end, reader.latestOffset()) == []
