@@ -120,21 +120,86 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str,
+def lsh_bucket_pairs(
+    bands_df: DataFrame,
     id_col: str,
     *,
-    num_hashes: int = 8,
-    bands: int = 4,
-    jaccard_threshold: float | None = None,
-    shingle_k: int = 3,
+    max_bucket: int = 1024,
+    checkpoint: bool = True,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via banded MinHash-LSH; when
-    ``jaccard_threshold`` is set, candidates are verified with exact
-    shingle-set Jaccard (columns doc_a, doc_b[, jaccard])."""
+    """Exact all-pairs per (band_idx, val) bucket with BOUNDED per-task
+    state — the 100 TB-safe candidate generator.
+
+    The naive plans both break on a hyper-common band value (millions of
+    near-empty/boilerplate docs hashing to one bucket): a band-table
+    self-join re-executes the expensive signature lineage on both
+    branches, and a plain ``collect_set`` builds one giant array on a
+    single reducer. Here:
+
+     - the band table (id, band_idx, val — a few dozen bytes/row) is
+       localCheckpoint'ed once, so the shingle→minhash lineage runs
+       exactly once no matter how many downstream branches read it;
+     - each bucket is split into ``ceil(size / max_bucket)`` chunks by a
+       deterministic content hash of the id (retry-safe — see
+       operators/skew.py);
+     - intra-chunk pairs come from ``collect_set`` over arrays capped at
+       ~``max_bucket`` elements;
+     - cross-chunk pairs come from a chunk-grained self-join restricted
+       to the hot buckets only (``chunk_a < chunk_b`` emits each pair
+       once).
+
+    Output is EXACTLY the all-pairs set — the cap bounds memory, not
+    semantics. (The pair COUNT of a hot bucket is inherently O(m²);
+    when that itself is too much, link components via
+    ``connected_components`` on star edges instead of all-pairs.)
+    """
+    if checkpoint:
+        bands_df = bands_df.localCheckpoint(eager=True)
+    sizes = bands_df.groupBy("band_idx", "val").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    chunked = (
+        bands_df.join(sizes, ["band_idx", "val"])
+        .withColumn(
+            "_nc", F.greatest(F.ceil(F.col("_n") / max_bucket), F.lit(1)).cast("int")
+        )
+        .withColumn("_chunk", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nc")))
+    )
+    intra = (
+        chunked.groupBy("band_idx", "val", "_chunk")
+        .agg(F.collect_set(id_col).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    # no second checkpoint: both self-join branches re-derive the
+    # bucket sizing from the ALREADY-materialized band table, which is
+    # cheap — the expensive signature lineage was cut above
+    hot = chunked.filter(F.col("_nc") >= 2).select(
+        "band_idx", "val", "_chunk", F.col(id_col).alias("_id")
+    )
+    ha, hb = hot.alias("ha"), hot.alias("hb")
+    cross = (
+        ha.join(
+            hb,
+            (F.col("ha.band_idx") == F.col("hb.band_idx"))
+            & (F.col("ha.val") == F.col("hb.val"))
+            & (F.col("ha._chunk") < F.col("hb._chunk")),
+        )
+        .select(
+            F.least("ha._id", "hb._id").alias("doc_a"),
+            F.greatest("ha._id", "hb._id").alias("doc_b"),
+        )
+    )
+    return intra.unionAll(cross).distinct()
+
+
+def band_table(
+    sig: DataFrame, id_col: str, *, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, val) rows from signature columns h0..h{n-1}."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k)
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -147,20 +212,30 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    bands_df = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bd")
     ).select(id_col, "bd.band_idx", "bd.val")
-    a, b = bands_df.alias("a"), bands_df.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
-    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float | None = None,
+    shingle_k: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH; when
+    ``jaccard_threshold`` is set, candidates are verified with exact
+    shingle-set Jaccard (columns doc_a, doc_b[, jaccard]).
+    Candidate generation is bucket-chunked (``lsh_bucket_pairs``), so a
+    pathological hot band value cannot melt one reducer."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k)
+    bands_df = band_table(sig, id_col, num_hashes=num_hashes, bands=bands)
+    pairs = lsh_bucket_pairs(bands_df, id_col, max_bucket=max_bucket)
     if jaccard_threshold is None:
         return pairs
     sh = df.select(

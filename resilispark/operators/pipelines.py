@@ -130,26 +130,23 @@ def warc_to_html_docs(
         ).mapInPandas(_fused_extract(main_content), schema=_DOCS_SCHEMA)
 
     udfs = register_functions(spark)
+
+    def header_first(name: str):
+        # first-match array lookup, NOT map_from_entries: real WARC
+        # responses carry duplicate header keys (multiple Set-Cookie),
+        # which map_from_entries rejects at runtime under the default
+        # spark.sql.mapKeyDedupPolicy=EXCEPTION
+        matches = F.filter(
+            F.coalesce("http_headers", F.array()),
+            lambda h: F.lower(h["key"]) == F.lit(name),
+        )
+        # F.get is null-on-missing (element_at raises under ANSI mode)
+        return F.get(matches, 0)["value"]
+
     body = udfs["decode_http_body"](
         F.col("payload"),
-        F.element_at(
-            F.map_from_entries(
-                F.transform(
-                    F.coalesce("http_headers", F.array()),
-                    lambda h: F.struct(F.lower(h["key"]).alias("key"), h["value"].alias("value")),
-                )
-            ),
-            "content-encoding",
-        ),
-        F.element_at(
-            F.map_from_entries(
-                F.transform(
-                    F.coalesce("http_headers", F.array()),
-                    lambda h: F.struct(F.lower(h["key"]).alias("key"), h["value"].alias("value")),
-                )
-            ),
-            "transfer-encoding",
-        ),
+        header_first("content-encoding"),
+        header_first("transfer-encoding"),
     )
     decoded = records.withColumn("body", body).withColumn(
         "encoding",

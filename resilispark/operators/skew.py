@@ -7,11 +7,18 @@ utilities cover the cases AQE cannot re-plan: hot-key *aggregations*
 whose single reducer partition melts, and broadcast-ineligible joins
 against a hot dimension. Both are pure DataFrame lineage.
 
-The salt is `pmod(monotonically_increasing_id(), n)` — a per-row value
-independent of the key, so one hot key's rows spread across ``n``
-reducer partitions. Results are identical to the unsalted plan (joins
-replicate the small side per salt; aggregations re-combine partials),
-so the same oracle SQL validates both.
+The salt must be DETERMINISTIC under recomputation: a stage/task retry
+re-evaluates the salting expression, and if a row can change salt
+between the shuffle-map attempt and a retried reducer, rows are silently
+lost or duplicated (the classic repartition-nondeterminism hazard —
+invisible on local[32], real on a 1000-executor cluster). So the salt is
+``pmod(xxhash64(all columns), n)``: pure content hash, same value on
+every recomputation, and spreads a hot key's rows because the *other*
+columns vary within the key. (``monotonically_increasing_id`` — the
+tempting alternative — is recomputed with different values per attempt.)
+Results are identical to the unsalted plan (joins replicate the small
+side per salt; aggregations re-combine partials), so the same oracle SQL
+validates both.
 """
 
 from __future__ import annotations
@@ -23,8 +30,15 @@ _SALT = "__salt"
 
 
 def salt_rows(df: DataFrame, n_salt: int = 16, salt_col: str = _SALT) -> DataFrame:
-    """Attach a key-independent salt in [0, n_salt)."""
-    return df.withColumn(salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)))
+    """Attach a deterministic content-derived salt in [0, n_salt).
+
+    Identical rows hash to the same salt — harmless for correctness
+    (dedup happens per (key, salt) first), and only degrades spreading
+    when a hot KEY consists of byte-identical full ROWS, in which case
+    the rows are indistinguishable anyway."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    )
 
 
 def salted_join(
@@ -37,7 +51,19 @@ def salted_join(
 ) -> DataFrame:
     """Equi join robust to a hot key on the big side: salt the big side,
     replicate the small side once per salt value, join on (key, salt).
-    Output columns match ``big.join(small, on, how)``."""
+    Output columns match ``big.join(small, on, how)``.
+
+    Only ``inner`` and ``left`` are supported: the small side is
+    replicated ``n_salt`` times, so ``right``/``full``/``left_anti``
+    etc. would emit every unmatched small-side row once per replica —
+    NOT equivalent to the unsalted join. Those shapes rarely skew on
+    the replicated side; use the plain join (+AQE) for them."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "replicating the small side breaks unmatched-row semantics "
+            "for right/full/semi/anti joins"
+        )
     big_s = salt_rows(big, n_salt)
     small_r = small.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))

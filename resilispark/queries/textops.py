@@ -237,6 +237,8 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The join key is (band_index, band_value) — this is the scale path:
     band tables are O(n_docs), not O(n_shingles).
     """
+    from resilispark.operators.dedup import lsh_bucket_pairs
+
     sig = d03_minhash_signatures(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -244,24 +246,14 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("val")) for b in range(4)])
         ).alias("bd"),
     ).select("doc_id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.val").alias("val"))
-    # bucket-grouped pair generation instead of a band-table self-join:
-    # a self-join re-executes the whole shingle->minhash lineage on both
-    # branches (no ReuseExchange: the branches differ after aliasing).
-    # Grouping by band key computes the signature aggregation ONCE and
-    # emits pairs from each bucket's id set; bucket sizes are small by
-    # the LSH premise (a hyper-common band value — e.g. many identical
-    # short docs — would need a size cap + salt at 100 TB).
-    buckets = (
-        bands.groupBy("band_idx", "val")
-        .agg(F.collect_set("doc_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    return (
-        buckets.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
+    # bucket-chunked pair generation (operators/dedup.py
+    # lsh_bucket_pairs): the band table is checkpointed once (the
+    # shingle->minhash lineage never re-executes), per-bucket arrays are
+    # capped at max_bucket elements, and a hyper-common band value (many
+    # identical short docs) spreads over chunk-pairs instead of melting
+    # one reducer — exact all-pairs output either way.
+    return lsh_bucket_pairs(bands, "doc_id", max_bucket=1024).orderBy(
+        "doc_a", "doc_b"
     )
 
 

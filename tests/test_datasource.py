@@ -182,3 +182,38 @@ def test_lz4_scan_and_point_extract(spark, fixture_dir, tmp_path):
     target = sorted(df.select("stream_pos", "record_id").collect(), key=lambda r: r.stream_pos)[7]
     one = _load_path(spark, lz, offset=target.stream_pos).collect()
     assert len(one) == 1 and one[0].record_id == target.record_id
+
+
+def test_extraction_pipeline_duplicate_http_headers(spark, tmp_path):
+    """Duplicate HTTP header keys (e.g. two Set-Cookie lines — common
+    in real responses) must not break the unfused header lookup
+    (map_from_entries would raise DUPLICATED_MAP_KEY)."""
+    from resilispark.io.warc import WarcRecord, write_warc
+    from resilispark.operators.pipelines import warc_to_html_docs
+
+    body = b"<html><head><title>Dup</title></head><body><p>hi</p></body></html>"
+    head = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Set-Cookie: a=1\r\n"
+        b"Set-Cookie: b=2\r\n"
+        + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+    )
+    payload = head + body
+    rec = WarcRecord(
+        warc_version="WARC/1.1",
+        headers=[
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", "<urn:uuid:00000000-0000-4000-8000-00000000dup0>"),
+            ("WARC-Date", "2024-05-01T12:00:00Z"),
+            ("WARC-Target-URI", "https://dup.example.org/"),
+            ("Content-Type", "application/http; msgtype=response"),
+            ("Content-Length", str(len(payload))),
+        ],
+        payload=payload,
+    )
+    path = str(tmp_path / "dup.warc.gz")
+    write_warc([rec], path, compression="gzip")
+    for fused in (True, False):
+        docs = warc_to_html_docs(spark, path, fused=fused).collect()
+        assert len(docs) == 1 and docs[0].title == "Dup", f"fused={fused}"

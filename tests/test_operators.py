@@ -283,6 +283,26 @@ class TestSkew:
         assert out.count() == 1000
         assert out.filter("name IS NULL").count() == 100
 
+    def test_salt_deterministic_across_recomputation(self, skewed):
+        # retry-safety: the salt is a content hash, so re-evaluating the
+        # lineage (a second action) assigns every row the same salt —
+        # monotonically_increasing_id would not survive this
+        from resilispark.operators.skew import salt_rows
+
+        salted = salt_rows(skewed, 16)
+        a = sorted((r.k, r.v, r["__salt"]) for r in salted.collect())
+        b = sorted((r.k, r.v, r["__salt"]) for r in salted.collect())
+        assert a == b
+        assert len({s for _, _, s in a}) > 1  # actually spreads
+
+    def test_salted_join_rejects_outer_variants(self, spark, skewed):
+        from resilispark.operators.skew import salted_join
+
+        dim = spark.createDataFrame([(1, "one")], "k long, name string")
+        for how in ("right", "full", "left_anti", "left_semi"):
+            with pytest.raises(ValueError, match="salted_join"):
+                salted_join(skewed, dim, "k", how=how)
+
 
 class TestConnectedComponents:
     def test_chain_and_islands(self, spark):
@@ -305,3 +325,57 @@ class TestConnectedComponents:
         )
         got = {r.vertex: r.cluster_id for r in connected_components(pairs, max_iterations=50).collect()}
         assert set(got.values()) == {0} and len(got) == n + 1
+
+
+class TestLshBucketCap:
+    def test_hot_bucket_bounded_and_exact(self, spark):
+        """500 identical docs -> one hot band bucket. The chunked path
+        must emit EXACTLY the all-pairs set while every collect_set
+        array stays <= ~max_bucket."""
+        from resilispark.operators.dedup import band_table, lsh_bucket_pairs, minhash_signatures
+
+        docs = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.lit("identical boilerplate text repeated across the corpus").alias("text"),
+        )
+        sig = minhash_signatures(docs, "text", "doc_id", num_hashes=8)
+        bands = band_table(sig, "doc_id", num_hashes=8, bands=4)
+        pairs = lsh_bucket_pairs(bands, "doc_id", max_bucket=50)
+        assert pairs.count() == 500 * 499 // 2
+        # chunk arrays bounded: no (band, val, chunk) group exceeds the
+        # cap by more than hash-imbalance slack
+        chunk_sizes = (
+            bands.withColumn("_chunk", F.pmod(F.xxhash64("doc_id"), F.lit(10)))
+            .groupBy("band_idx", "val", "_chunk")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert chunk_sizes < 50 * 2
+
+    def test_mixed_buckets_match_naive(self, spark):
+        """Normal corpus: chunked output == naive all-pairs output."""
+        from resilispark.operators.dedup import band_table, lsh_bucket_pairs, minhash_signatures
+
+        docs = spark.range(60).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 3 == 0, F.lit("the quick brown fox jumps over the lazy dog"))
+            .when(F.col("id") % 3 == 1, F.concat(F.lit("unique words here number "), F.col("id")))
+            .otherwise(F.lit("another common duplicate body of text content")).alias("text"),
+        )
+        sig = minhash_signatures(docs, "text", "doc_id", num_hashes=8)
+        bands = band_table(sig, "doc_id", num_hashes=8, bands=4)
+        naive = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.val") == F.col("b.val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        got = sorted((r.doc_a, r.doc_b) for r in lsh_bucket_pairs(bands, "doc_id", max_bucket=5).collect())
+        want = sorted((r.doc_a, r.doc_b) for r in naive.collect())
+        assert got == want and len(want) > 0
