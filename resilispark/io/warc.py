@@ -31,6 +31,7 @@ import gzip
 import hashlib
 import io
 import os
+import re
 import zlib
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
@@ -46,6 +47,17 @@ GZIP_MAGIC = b"\x1f\x8b"
 LZ4_MAGIC = b"\x04\x22\x4d\x18"
 WARC_MAGIC = b"WARC/"
 
+_BLANK_LINE_RE = re.compile(rb"\n\r?\n")
+
+_FIELD_SLOTS = {}
+_FIELD_SLOTS_LOWER = {}
+for _i, _name in enumerate(
+    ("WARC-Record-ID", "WARC-Type", "WARC-Date", "WARC-Target-URI",
+     "WARC-Concurrent-To", "Content-Length")
+):
+    _FIELD_SLOTS[_name] = _i
+    _FIELD_SLOTS_LOWER[_name.lower()] = _i
+
 RECORD_TYPES = frozenset(
     {
         "warcinfo",
@@ -60,7 +72,7 @@ RECORD_TYPES = frozenset(
 )
 
 
-@dataclass
+@dataclass(slots=True)
 class WarcRecord:
     """One parsed WARC record (materialized, no lazy payload)."""
 
@@ -108,6 +120,17 @@ def _parse_warc_date(value: str | None) -> datetime | None:
     if not value:
         return None
     v = value.strip()
+    # fast path: the canonical "YYYY-MM-DDThh:mm:ssZ" shape every
+    # real-world writer emits (per-record hot loop; fromisoformat +
+    # astimezone costs ~5x)
+    if len(v) == 20 and v[19] == "Z" and v[10] == "T":
+        try:
+            return datetime(
+                int(v[0:4]), int(v[5:7]), int(v[8:10]),
+                int(v[11:13]), int(v[14:16]), int(v[17:19]),
+            )
+        except ValueError:
+            pass
     try:
         if v.endswith("Z"):
             v = v[:-1] + "+00:00"
@@ -119,11 +142,31 @@ def _parse_warc_date(value: str | None) -> datetime | None:
         return None
 
 
+_MONTHS = {
+    "jan": 1, "feb": 2, "mar": 3, "apr": 4, "may": 5, "jun": 6,
+    "jul": 7, "aug": 8, "sep": 9, "oct": 10, "nov": 11, "dec": 12,
+}
+
+
 def _parse_http_date(value: str | None) -> datetime | None:
     if not value:
         return None
+    v = value.strip()
+    # fast path: the IMF-fixdate shape "Sun, 06 Nov 1994 08:49:37 GMT"
+    # (the overwhelmingly dominant form) parsed by hand — email.utils'
+    # general parser costs ~6x more and this loop runs per record
+    parts = v.split()
+    if len(parts) == 6 and parts[5] == "GMT":
+        try:
+            day = int(parts[1])
+            mon = _MONTHS[parts[2].lower()]
+            year = int(parts[3])
+            hh, mm, ss = parts[4].split(":")
+            return datetime(year, mon, day, int(hh), int(mm), int(ss))
+        except (ValueError, KeyError):
+            pass
     try:
-        dt = parsedate_to_datetime(value.strip())
+        dt = parsedate_to_datetime(v)
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)
         return dt.astimezone(timezone.utc).replace(tzinfo=None)
@@ -143,45 +186,37 @@ def parse_header_block(data: bytes, start: int) -> tuple[list[tuple[str, str]], 
         return [], start + 2
     if data.startswith(b"\n", start):
         return [], start + 1
-    # find the blank line once (C-level), then split the block once —
-    # much faster than a find-per-line Python loop. The search is
-    # windowed: an unbounded find for the line style the file does NOT
-    # use would scan to the end of the buffer for every record (O(n²)
-    # over a whole-file buffer)
+    # find the blank line with ONE C-level regex pass (windowed so an
+    # absent terminator never scans the whole remaining buffer per
+    # record — that was an O(n²) bug once), then decode the block ONCE
+    # and split as str: one decode per block beats two decodes per line
     win = 8192
     while True:
         hi = min(start + win, n)
-        e1 = data.find(b"\n\r\n", start, hi)
-        e2 = data.find(b"\n\n", start, hi)
-        if e1 >= 0 or e2 >= 0 or hi >= n:
+        m = _BLANK_LINE_RE.search(data, start, hi)
+        if m is not None or hi >= n:
             break
         win *= 4
-    if e1 < 0 and e2 < 0:
+    if m is None:
         block_end, next_pos = n, n
-    elif e1 >= 0 and (e2 < 0 or e1 < e2):
-        block_end, next_pos = e1, e1 + 3
     else:
-        block_end, next_pos = e2, e2 + 2
-    headers: list[tuple[str, str]] = []
-    for line in data[start:block_end].split(b"\n"):
-        if line.endswith(b"\r"):
+        block_end, next_pos = m.start(), m.end()
+    block = data[start:block_end].decode("utf-8", "replace")
+    headers = []
+    for line in block.split("\n"):
+        if line.endswith("\r"):
             line = line[:-1]
         if not line:
             continue
-        if line[0] in (32, 9) and headers:  # SP/HT continuation fold
+        if (line[0] == " " or line[0] == "\t") and headers:  # SP/HT fold
             k, v = headers[-1]
-            headers[-1] = (k, v + " " + line.strip().decode("utf-8", "replace"))
+            headers[-1] = (k, v + " " + line.strip())
             continue
-        sep = line.find(b":")
+        sep = line.find(":")
         if sep < 0:
-            headers.append((line.strip().decode("utf-8", "replace"), ""))
+            headers.append((line.strip(), ""))
         else:
-            headers.append(
-                (
-                    line[:sep].strip().decode("utf-8", "replace"),
-                    line[sep + 1 :].strip().decode("utf-8", "replace"),
-                )
-            )
+            headers.append((line[:sep].strip(), line[sep + 1 :].strip()))
     return headers, next_pos
 
 
@@ -264,22 +299,19 @@ def parse_record_at(
     headers, body_start = parse_header_block(data, eol + 1)
     rec = WarcRecord(stream_pos=idx, warc_version=version, headers=headers)
     # single pass over the multimap for the fixed fields (first
-    # occurrence wins, like header()) instead of six linear lookups
-    h_id = h_type = h_date = h_uri = h_conc = h_clen = None
+    # occurrence wins, like header()): one dict probe on the exact key
+    # (headers are canonical-cased in practice), a lowered retry only
+    # for oddly-cased writers
+    vals = [None] * 6
     for k, v in headers:
-        lk = k.lower()
-        if lk == "warc-record-id":
-            h_id = h_id if h_id is not None else v
-        elif lk == "warc-type":
-            h_type = h_type if h_type is not None else v
-        elif lk == "warc-date":
-            h_date = h_date if h_date is not None else v
-        elif lk == "warc-target-uri":
-            h_uri = h_uri if h_uri is not None else v
-        elif lk == "warc-concurrent-to":
-            h_conc = h_conc if h_conc is not None else v
-        elif lk == "content-length":
-            h_clen = h_clen if h_clen is not None else v
+        s = _FIELD_SLOTS.get(k)
+        if s is None:
+            s = _FIELD_SLOTS_LOWER.get(k.lower())
+            if s is None:
+                continue
+        if vals[s] is None:
+            vals[s] = v
+    h_id, h_type, h_date, h_uri, h_conc, h_clen = vals
     try:
         rec.content_length = int(h_clen or 0)
     except ValueError:
@@ -293,8 +325,9 @@ def parse_record_at(
     rec.target_uri = h_uri
     rec.concurrent_to = h_conc
     next_pos = body_end
-    # consume the record-separating blank lines (\r\n\r\n)
-    while next_pos < n and data[next_pos : next_pos + 1] in (b"\r", b"\n"):
+    # consume the record-separating blank lines (\r\n\r\n);
+    # int indexing avoids a bytes allocation per separator byte
+    while next_pos < n and data[next_pos] in (13, 10):
         next_pos += 1
     rec.record_length = next_pos - idx
     return rec, next_pos
