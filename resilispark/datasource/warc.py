@@ -31,9 +31,15 @@ Scale design (100 TB):
    filter). Option-based pushdown is immune because options are fixed
    at load time.
  - **Column pruning.** HTTP header parsing and payload materialization
-   are skipped when the pruned schema doesn't need them (the
-   ``parse_http=False`` / ``always_keep_meta`` optimizations of
-   warc.pyx:1104-1105 and beam/warcio.py:124-126).
+   are skipped when the query doesn't need them (the
+   ``parse_http=False`` / ``payload=false`` / ``always_keep_meta``
+   optimizations of warc.pyx:1104-1105 and beam/warcio.py:124-126).
+   Pruning is OPTION-driven by necessity: PySpark 4.1's Python data
+   source API exposes no column-pruning hook (``DataSourceReader`` has
+   ``pushFilters`` but no required-schema callback; ``reader(schema)``
+   always receives the full declared schema), so Catalyst's pruned
+   schema cannot reach this reader. When the API gains a prune hook,
+   map absent ``payload``/``http_*`` columns onto these options.
  - **Arrow output.** Batches are emitted as pyarrow RecordBatches, so
    rows cross the Python->JVM boundary columnar, not pickled.
  - **Remote input.** Paths resolve through ``resilispark.io.fs``

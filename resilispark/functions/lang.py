@@ -8,19 +8,24 @@ short-text bias, top-n results, and a trainer that averages example
 vectors per language (train_language_examples, lang.pyx:196-226).
 
 The reference ships 101 precomputed profiles (lang_profiles.h) which we
-deliberately do NOT copy; profiles here are trained at import time from
-original seed snippets for 26 languages (scripts with a single supported
-language shortcut via the script vote; shared scripts — e.g. Cyrillic —
-restrict the rank to their candidate set). ``train_language_examples`` /
-the A5 applyInPandas trainer in ``resilispark.operators`` is the path to
-production-grade profiles at corpus scale.
+deliberately do NOT copy; profiles here are trained lazily from original
+seed snippets for the 84 languages in ``lang_seeds.SEEDS`` (scripts with
+a single supported language shortcut via the script vote; shared scripts
+— Cyrillic, Arabic, Devanagari, Hebrew — restrict the rank to their
+candidate set). ``train_language_examples`` / the A5 applyInPandas
+trainer in ``resilispark.operators`` is the path to production-grade
+profiles at corpus scale.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-VEC_LEN = 256
+from resilispark.functions.lang_seeds import SEEDS as _SEEDS
+from resilispark.functions.lang_seeds import SEEDS_EXTRA as _SEEDS_EXTRA
+
+VEC_LEN = 256  # public trainer default (train_language_examples API)
+PROFILE_VEC_LEN = 1024  # built-in profiles: 4x dims halve hash collisions
 _FNV_PRIME = 0x01000193
 _FNV_OFFSET = 0x811C9DC5
 
@@ -61,225 +66,23 @@ def vectorize(text: str, vec_len: int = VEC_LEN, max_chars: int = 4096) -> np.nd
     return counts.astype(np.uint8)
 
 
-# original seed snippets (written for this project, not quoted from any corpus)
-_SEEDS: dict[str, str] = {
-    "en": (
-        "The quick study of language is a window into how people think and "
-        "share ideas. Every morning the old ferry crossed the gray river, "
-        "carrying workers, students, and a few sleepy travelers to the far "
-        "shore where the markets opened early and the bread was still warm. It was not the first time that they had seen such things, but the light over the water was different now, and everyone who watched from the bridge said that this would be a good year."
-    ),
-    "de": (
-        "Die schnelle Untersuchung der Sprache ist ein Fenster in das Denken "
-        "der Menschen. Jeden Morgen überquerte die alte Fähre den grauen "
-        "Fluss und brachte Arbeiter, Studenten und müde Reisende ans andere "
-        "Ufer, wo die Märkte früh öffneten und das Brot noch warm war. Es war nicht das erste Mal, dass sie solche Dinge gesehen hatten, aber das Licht über dem Wasser war jetzt anders, und alle, die von der Brücke aus zuschauten, sagten, dass dies ein gutes Jahr werden würde."
-    ),
-    "fr": (
-        "L'étude rapide de la langue est une fenêtre sur la pensée des gens. "
-        "Chaque matin, le vieux bac traversait la rivière grise, emportant "
-        "des ouvriers, des étudiants et quelques voyageurs endormis vers "
-        "l'autre rive où les marchés ouvraient tôt et le pain était encore "
-        "chaud. Ce n'était pas la première fois qu'ils voyaient de telles "
-        "choses, mais la lumière sur l'eau était différente maintenant, et "
-        "tous ceux qui regardaient depuis le pont disaient que ce serait une "
-        "bonne année. Le conseil devait se réunir jeudi pour discuter du "
-        "nouveau budget et du calendrier des travaux, et plusieurs membres "
-        "voulaient aussi entendre ce que les habitants de la ville "
-        "pensaient des projets pour l'année suivante."
-    ),
-    "es": (
-        "El estudio rápido del idioma es una ventana a cómo piensa la gente. "
-        "Cada mañana el viejo ferry cruzaba el río gris llevando obreros, "
-        "estudiantes y algunos viajeros somnolientos hasta la otra orilla, "
-        "donde los mercados abrían temprano y el pan seguía caliente. No era "
-        "la primera vez que veían cosas así, pero la luz sobre el agua era "
-        "diferente ahora, y todos los que miraban desde el puente decían que "
-        "este sería un buen año. El consejo debía reunirse el jueves para "
-        "discutir el nuevo presupuesto y el calendario de las obras, y "
-        "varios miembros querían también escuchar lo que los habitantes de "
-        "la ciudad pensaban de los planes para el año siguiente."
-    ),
-    "it": (
-        "Lo studio rapido della lingua è una finestra su come pensano le "
-        "persone. Ogni mattina il vecchio traghetto attraversava il fiume "
-        "grigio portando operai, studenti e qualche viaggiatore assonnato "
-        "verso l'altra riva, dove i mercati aprivano presto e il pane era "
-        "caldo. Non era la prima volta che vedevano cose simili, ma la luce "
-        "sull'acqua era diversa adesso, e tutti quelli che guardavano dal "
-        "ponte dicevano che questo sarebbe stato un buon anno. Il consiglio "
-        "doveva riunirsi giovedì per discutere il nuovo bilancio e il "
-        "calendario dei lavori, e diversi membri volevano anche sentire che "
-        "cosa gli abitanti della città pensassero dei progetti per l'anno "
-        "successivo."
-    ),
-    "pt": (
-        "O estudo rápido da língua é uma janela para a forma como as pessoas "
-        "pensam. Todas as manhãs a velha balsa atravessava o rio cinzento "
-        "levando operários, estudantes e alguns viajantes sonolentos para a "
-        "outra margem, onde os mercados abriam cedo e o pão ainda estava "
-        "quente. Não era a primeira vez que viam coisas assim, mas a luz "
-        "sobre a água estava diferente agora, e todos os que olhavam da "
-        "ponte diziam que este seria um bom ano. O conselho devia reunir-se "
-        "na quinta-feira para discutir o novo orçamento e o calendário das "
-        "obras, e vários membros queriam também ouvir o que os habitantes "
-        "da cidade pensavam dos planos para o ano seguinte."
-    ),
-    "nl": (
-        "De snelle studie van taal is een venster op hoe mensen denken. Elke "
-        "ochtend stak de oude veerboot de grijze rivier over met arbeiders, "
-        "studenten en een paar slaperige reizigers naar de overkant, waar de "
-        "markten vroeg opengingen en het brood nog warm was. Het was niet de eerste keer dat ze zulke dingen zagen, maar het licht boven het water was nu anders, en iedereen die vanaf de brug toekeek zei dat dit een goed jaar zou worden."
-    ),
-    "pl": (
-        "Szybkie badanie języka jest oknem na to, jak ludzie myślą. Każdego "
-        "ranka stary prom przepływał przez szarą rzekę, wioząc robotników, "
-        "studentów i kilku sennych podróżnych na drugi brzeg, gdzie targi "
-        "otwierały się wcześnie, a chleb wciąż był ciepły. To nie był pierwszy raz, kiedy widzieli takie rzeczy, ale światło nad wodą było teraz inne, a wszyscy, którzy patrzyli z mostu, mówili, że to będzie dobry rok."
-    ),
-    "tr": (
-        "Dilin hızlı incelenmesi, insanların nasıl düşündüğüne açılan bir "
-        "penceredir. Her sabah eski feribot gri nehri geçerek işçileri, "
-        "öğrencileri ve birkaç uykulu yolcuyu karşı kıyıya taşırdı; orada "
-        "pazarlar erken açılır ve ekmek hâlâ sıcak olurdu. Böyle şeyleri ilk "
-        "kez görmüyorlardı ama suyun üzerindeki ışık artık farklıydı ve "
-        "köprüden izleyen herkes bunun iyi bir yıl olacağını söylüyordu. "
-        "Kurul, yeni bütçeyi ve çalışma takvimini görüşmek üzere perşembe "
-        "günü toplanacaktı; birçok üye ayrıca şehirde yaşayanların gelecek "
-        "yıla ilişkin planlar hakkında ne düşündüğünü de duymak istiyordu."
-    ),
-    "ru": (
-        "Быстрое изучение языка — это окно в то, как люди думают. Каждое "
-        "утро старый паром пересекал серую реку, перевозя рабочих, "
-        "студентов и нескольких сонных путешественников на другой берег, "
-        "где рынки открывались рано, а хлеб был ещё тёплым."
-    ),
-    "zh": (
-        "对语言的快速研究是了解人们思维方式的一扇窗户。每天早晨,老渡船载着工人、"
-        "学生和几位困倦的旅客横渡灰色的河流,驶向对岸,那里的集市开得很早,面包还"
-        "带着温热。清晨的雾气慢慢散去,河面上闪着微光。"
-    ),
-    "ja": (
-        "言語の素早い研究は、人々がどのように考えるかを知る窓である。毎朝、古い"
-        "フェリーは灰色の川を渡り、労働者や学生、眠そうな旅人たちを対岸へ運んだ。"
-        "そこでは市場が早く開き、パンはまだ温かかった。朝の霧がゆっくりと晴れていく。"
-    ),
-    "ko": (
-        "언어에 대한 빠른 연구는 사람들이 어떻게 생각하는지를 보여주는 창이다. "
-        "매일 아침 낡은 여객선은 회색 강을 건너 노동자와 학생, 졸린 여행자 몇 명을 "
-        "건너편으로 실어 날랐다. 그곳의 시장은 일찍 열렸고 빵은 여전히 따뜻했다."
-    ),
-    "ar": (
-        "إن الدراسة السريعة للغة نافذة على طريقة تفكير الناس. كل صباح كانت "
-        "العبّارة القديمة تعبر النهر الرمادي حاملة العمال والطلاب وبعض "
-        "المسافرين الناعسين إلى الضفة الأخرى حيث تفتح الأسواق مبكراً ويظل "
-        "الخبز دافئاً."
-    ),
-    "sv": (
-        "Att studera språk snabbt är ett fönster mot hur människor tänker. "
-        "Varje morgon korsade den gamla färjan den grå floden och förde "
-        "arbetare, studenter och några sömniga resenärer till andra stranden, "
-        "där marknaderna öppnade tidigt och brödet fortfarande var varmt. Alla som tittade från bron sade att det skulle bli ett bra år."
-    ),
-    "da": (
-        "At studere sprog hurtigt er et vindue ind i, hvordan mennesker "
-        "tænker. Hver morgen krydsede den gamle færge den grå flod og bragte "
-        "arbejdere, studerende og nogle søvnige rejsende til den anden bred, "
-        "hvor markederne åbnede tidligt, og brødet stadig var varmt. Alle der så til fra broen sagde, at det ville blive et godt år."
-    ),
-    "no": (
-        "Å studere språk raskt er et vindu inn i hvordan folk tenker. Hver "
-        "morgen krysset den gamle fergen den grå elven og fraktet arbeidere, "
-        "studenter og noen søvnige reisende til den andre bredden, der "
-        "markedene åpnet tidlig og brødet fremdeles var varmt. Alle som så på fra broen sa at dette kom til å bli et godt år."
-    ),
-    "fi": (
-        "Kielen nopea tutkiminen on ikkuna siihen, miten ihmiset "
-        "ajattelevat. Joka aamu vanha lautta ylitti harmaan joen ja kuljetti "
-        "työläisiä, opiskelijoita ja muutamia unisia matkustajia toiselle "
-        "rannalle, missä torit avautuivat aikaisin ja leipä oli vielä "
-        "lämmintä. Kaikki sillalla seisovat sanoivat, että tästä tulisi hyvä "
-        "vuosi. Valtuuston oli määrä kokoontua torstaina keskustelemaan "
-        "uudesta talousarviosta ja töiden aikataulusta, ja monet jäsenet "
-        "halusivat myös kuulla, mitä kaupungin asukkaat ajattelivat ensi "
-        "vuoden suunnitelmista."
-    ),
-    "cs": (
-        "Rychlé studium jazyka je oknem do toho, jak lidé přemýšlejí. Každé "
-        "ráno stará loď převážela přes šedou řeku dělníky, studenty a "
-        "několik ospalých cestujících na druhý břeh, kde trhy otevíraly brzy "
-        "a chléb byl ještě teplý. Všichni, kdo se dívali z mostu, říkali, že "
-        "to bude dobrý rok. Výbor se měl sejít ve čtvrtek, aby projednal "
-        "nový návrh rozpočtu, a několik členů chtělo také slyšet, co si "
-        "obyvatelé města myslí o plánech na příští rok a jaké otázky je "
-        "ještě třeba zodpovědět, než bude možné rozhodnout."
-    ),
-    "hu": (
-        "A nyelv gyors tanulmányozása ablak arra, hogyan gondolkodnak az "
-        "emberek. Minden reggel a régi komp átkelt a szürke folyón, "
-        "munkásokat, diákokat és néhány álmos utazót vitt a túlsó partra, "
-        "ahol a piacok korán nyitottak, és a kenyér még meleg volt. Mindenki, aki a hídról nézte, azt mondta, hogy jó év lesz."
-    ),
-    "ro": (
-        "Studierea rapidă a limbii este o fereastră către felul în care "
-        "gândesc oamenii. În fiecare dimineață, vechiul bac traversa râul "
-        "cenușiu, ducând muncitori, studenți și câțiva călători somnoroși pe "
-        "malul celălalt, unde piețele se deschideau devreme și pâinea era "
-        "încă caldă. Toți cei care priveau de pe pod spuneau că acesta va fi "
-        "un an bun pentru oraș și pentru oamenii săi. Nu era prima dată când "
-        "vedeau asemenea lucruri, dar lumina de deasupra apei era acum "
-        "diferită, iar bătrânii își aminteau că și în alți ani buni "
-        "diminețile începeau la fel, cu ceață subțire și cu vocile "
-        "vânzătorilor care se auzeau până departe. Consiliul urma să se "
-        "întrunească joi pentru a discuta noul buget și calendarul "
-        "lucrărilor, iar mai mulți membri voiau să audă și ce credeau "
-        "locuitorii orașului despre planurile pentru anul următor."
-    ),
-    "el": (
-        "Η γρήγορη μελέτη της γλώσσας είναι ένα παράθυρο στον τρόπο που "
-        "σκέφτονται οι άνθρωποι. Κάθε πρωί το παλιό πορθμείο διέσχιζε το "
-        "γκρίζο ποτάμι μεταφέροντας εργάτες, φοιτητές και μερικούς "
-        "νυσταγμένους ταξιδιώτες στην άλλη όχθη, όπου οι αγορές άνοιγαν νωρίς και το ψωμί ήταν ακόμη ζεστό."
-    ),
-    "vi": (
-        "Việc nghiên cứu ngôn ngữ một cách nhanh chóng là cửa sổ nhìn vào "
-        "cách con người suy nghĩ. Mỗi buổi sáng, chuyến phà cũ băng qua dòng "
-        "sông xám, chở công nhân, sinh viên và vài hành khách buồn ngủ sang "
-        "bờ bên kia, nơi chợ mở sớm và bánh mì vẫn còn ấm. Ai đứng trên cầu nhìn xuống cũng nói rằng năm nay sẽ là một năm tốt."
-    ),
-    "id": (
-        "Mempelajari bahasa dengan cepat adalah jendela untuk melihat cara "
-        "orang berpikir. Setiap pagi feri tua itu menyeberangi sungai "
-        "kelabu, membawa pekerja, pelajar, dan beberapa penumpang mengantuk "
-        "ke seberang, tempat pasar buka lebih awal dan roti masih hangat. Semua orang yang menonton dari jembatan berkata tahun ini akan menjadi tahun yang baik."
-    ),
-    "uk": (
-        "Швидке вивчення мови — це вікно в те, як думають люди. Щоранку "
-        "старий пором перетинав сіру річку, перевозячи робітників, "
-        "студентів і кількох сонних мандрівників на інший берег, де ринки "
-        "відчинялися рано, а хліб був ще теплим. Усі, хто дивився з мосту, казали, що це буде добрий рік."
-    ),
-    "ca": (
-        "Estudiar una llengua de pressa és una finestra a la manera com "
-        "pensa la gent. Cada matí el vell transbordador creuava el riu gris "
-        "portant treballadors, estudiants i alguns viatgers endormiscats a "
-        "l'altra riba, on els mercats obrien d'hora i el pa encara era "
-        "calent. Tothom que mirava des del pont deia que seria un bon any. "
-        "No era la primera vegada que veien aquestes coses, però la llum "
-        "sobre l'aigua ara era diferent, i els més vells recordaven que els "
-        "bons anys començaven així, amb una boira fina damunt del riu i amb "
-        "les veus dels venedors que se sentien des de lluny."
-    ),
-}
-
-_PROFILES: dict[str, np.ndarray] = {}
+_PROFILE_CACHE: list = []  # [langs: list[str], mat: float32 (n, PROFILE_VEC_LEN)]
 
 
-def _ensure_profiles() -> dict[str, np.ndarray]:
-    if not _PROFILES:
-        for lang, seed in _SEEDS.items():
-            _PROFILES[lang] = vectorize(seed).astype(np.int16)
-    return _PROFILES
+def _ensure_profiles() -> tuple[list[str], np.ndarray]:
+    """Lazy-build the normalized profile matrix: one row per language,
+    trained on the concatenated seed snippets (lang_seeds). Cosine
+    scoring is then ONE matvec per document."""
+    if not _PROFILE_CACHE:
+        langs = sorted(_SEEDS)
+        rows = []
+        for lang in langs:
+            text = _SEEDS[lang] + " " + _SEEDS_EXTRA.get(lang, "")
+            v = vectorize(text, PROFILE_VEC_LEN, max_chars=8192).astype(np.float32)
+            rows.append(v / (np.linalg.norm(v) or 1.0))
+        _PROFILE_CACHE.append(langs)
+        _PROFILE_CACHE.append(np.stack(rows))
+    return _PROFILE_CACHE[0], _PROFILE_CACHE[1]
 
 
 def supported_langs() -> list[str]:
@@ -297,69 +100,131 @@ def train_language_examples(examples: list[str], vec_len: int = VEC_LEN) -> np.n
     return (acc / len(examples)).astype(np.uint8)
 
 
+# (lo, hi, script) Unicode block table, sorted by lo; only non-Latin
+# scripts appear — Latin text (cp < 0x370) short-circuits per char
+_SCRIPT_RANGES = (
+    (0x0370, 0x03FF, "greek"),
+    (0x0400, 0x052F, "cyrillic"),
+    (0x0530, 0x058F, "armenian"),
+    (0x0590, 0x05FF, "hebrew"),
+    (0x0600, 0x077F, "arabic"),
+    (0x0900, 0x097F, "devanagari"),
+    (0x0980, 0x09FF, "bengali"),
+    (0x0A00, 0x0A7F, "gurmukhi"),
+    (0x0A80, 0x0AFF, "gujarati"),
+    (0x0B80, 0x0BFF, "tamil"),
+    (0x0C00, 0x0C7F, "telugu"),
+    (0x0C80, 0x0CFF, "kannada"),
+    (0x0D00, 0x0D7F, "malayalam"),
+    (0x0D80, 0x0DFF, "sinhala"),
+    (0x0E00, 0x0E7F, "thai"),
+    (0x0E80, 0x0EFF, "lao"),
+    (0x1000, 0x109F, "myanmar"),
+    (0x10A0, 0x10FF, "georgian"),
+    (0x1200, 0x137F, "ethiopic"),
+    (0x1780, 0x17FF, "khmer"),
+    (0x3040, 0x30FF, "kana"),
+    (0x4E00, 0x9FFF, "han"),
+    (0xAC00, 0xD7AF, "hangul"),
+)
+
+# script -> the one supported language, or the candidate set the n-gram
+# rank then separates within (mirrors the reference's script shortcut
+# stage; candidate sets keep same-script families competitive only with
+# each other)
+_SCRIPT_LANGS: dict[str, str | frozenset[str]] = {
+    "greek": "el",
+    "cyrillic": frozenset({"ru", "uk", "be", "bg", "sr", "mk", "kk", "ky", "mn", "tg"}),
+    "armenian": "hy",
+    "hebrew": frozenset({"he", "yi"}),
+    "arabic": frozenset({"ar", "fa", "ur", "ps"}),
+    "devanagari": frozenset({"hi", "mr", "ne"}),
+    "bengali": "bn",
+    "gurmukhi": "pa",
+    "gujarati": "gu",
+    "tamil": "ta",
+    "telugu": "te",
+    "kannada": "kn",
+    "malayalam": "ml",
+    "sinhala": "si",
+    "thai": "th",
+    "lao": "lo",
+    "myanmar": "my",
+    "georgian": "ka",
+    "ethiopic": "am",
+    "khmer": "km",
+    "kana": "ja",
+    "han": "zh",
+    "hangul": "ko",
+}
+
+
 def _script_vote(text: str) -> str | frozenset[str] | None:
     """Script shortcut (the practical-detector heuristic): a script used
     by exactly ONE supported language decides directly (kana→ja,
-    hangul→ko); a script shared by several supported languages returns
+    thai→th); a script shared by several supported languages returns
     the candidate SET so the n-gram rank only has to separate within it
-    (Cyrillic → {ru, uk}); None = rank against everything."""
-    has_kana = has_han = has_hangul = has_cyr = has_arab = has_greek = False
+    (Cyrillic → {ru, uk, bg, ...}); None = rank against everything.
+    Mixed-script text takes the MOST FREQUENT script, except kana/hangul
+    which beat han (ja/ko text embeds han characters)."""
+    counts: dict[str, int] = {}
     for ch in text[:2000]:
         cp = ord(ch)
-        if 0x3040 <= cp <= 0x30FF:
-            has_kana = True
-        elif 0x4E00 <= cp <= 0x9FFF:
-            has_han = True
-        elif 0xAC00 <= cp <= 0xD7AF:
-            has_hangul = True
-        elif 0x0400 <= cp <= 0x04FF:
-            has_cyr = True
-        elif 0x0600 <= cp <= 0x06FF:
-            has_arab = True
-        elif 0x0370 <= cp <= 0x03FF:
-            has_greek = True
-    if has_kana:
+        if cp < 0x0370:
+            continue
+        for lo, hi, script in _SCRIPT_RANGES:
+            if cp < lo:
+                break
+            if cp <= hi:
+                counts[script] = counts.get(script, 0) + 1
+                break
+    if not counts:
+        return None
+    if "kana" in counts:
         return "ja"
-    if has_hangul:
+    if "hangul" in counts:
         return "ko"
-    if has_han:
-        return "zh"
-    if has_cyr:
-        return frozenset({"ru", "uk"})
-    if has_arab:
-        return "ar"
-    if has_greek:
-        return "el"
-    return None
+    dominant = max(counts.items(), key=lambda kv: kv[1])[0]
+    return _SCRIPT_LANGS.get(dominant)
 
 
 def detect_fast(
     text: str,
-    cutoff: int = 1200,
+    cutoff: int = 700,
     n_results: int = 1,
     langs: list[str] | None = None,
 ) -> tuple[str, int] | list[tuple[str, int]]:
-    """Detect language: script vote, then L1 out-of-place rank against
-    profiles (lang.pyx:111-175). Returns (lang, rank); rank above
-    ``cutoff`` -> ('unknown', rank). Short texts (<150 chars) get a rank
-    penalty, mirroring the positional-bias branch (lang.pyx:151-153)."""
-    profiles = _ensure_profiles()
+    """Detect language: script vote, then cosine rank against the
+    profile matrix (the out-of-place-rank stage of lang.pyx:111-175,
+    re-expressed as angular distance — length-invariant, so a 60-char
+    tweet and a 6000-char article score on the same scale). Returns
+    (lang, rank) with rank = (1 - cosine) * 1000; rank above ``cutoff``
+    -> ('unknown', rank). Short texts (<150 chars) get a rank penalty,
+    mirroring the positional-bias branch (lang.pyx:151-153)."""
+    all_langs, mat = _ensure_profiles()
+    keep = None
     if langs:
-        profiles = {k: v for k, v in profiles.items() if k in langs}
+        keep = frozenset(langs)
     voted = _script_vote(text or "")
     if voted is not None:
         cands = voted if isinstance(voted, frozenset) else frozenset({voted})
-        if langs:
-            cands = cands & frozenset(langs)
+        cands = cands & keep if keep else cands
         if cands:
-            profiles = {k: v for k, v in profiles.items() if k in cands}
-    vec = vectorize(text or "").astype(np.int16)
-    scored = []
-    for lang, prof in profiles.items():
-        rank = int(np.abs(vec - prof).sum()) // 16
-        scored.append((lang, rank))
-    scored.sort(key=lambda kv: (kv[1], kv[0]))
+            keep = cands
+    if keep is not None:
+        idx = [i for i, lg in enumerate(all_langs) if lg in keep]
+        all_langs = [all_langs[i] for i in idx]
+        mat = mat[idx]
+    vec = vectorize(text or "", PROFILE_VEC_LEN).astype(np.float32)
+    norm = float(np.linalg.norm(vec))
+    if norm > 0:
+        vec /= norm
+    cos = mat @ vec  # one matvec scores every candidate profile
+    ranks = ((1.0 - cos) * 1000.0).astype(np.int64)
+    scored = sorted(zip(ranks.tolist(), all_langs))
     penalty = 200 if len(text or "") < 150 else 0
-    scored = [(lg, r + penalty) for lg, r in scored]
-    top = [(lg if r <= cutoff else "unknown", r) for lg, r in scored[:n_results]]
+    top = [
+        (lg if r + penalty <= cutoff else "unknown", r + penalty)
+        for r, lg in scored[:n_results]
+    ]
     return top[0] if n_results == 1 else top

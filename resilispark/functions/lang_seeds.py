@@ -1,0 +1,895 @@
+"""Seed snippets for the language-ID profile trainer.
+
+Every snippet is ORIGINAL text written for this project (loose
+variations on one shared motif — a ferry, a river, a morning market —
+so profiles emphasize each language's character statistics rather than
+topic vocabulary). None of it is quoted from any corpus, and none of it
+is copied from the reference's shipped profiles (lang_profiles.h),
+which we deliberately do not use.
+
+Coverage target: the reference supports 101 languages
+(resiliparse-py docs/man/parse/lang.rst:77-79); this table covers the
+70 most common of them. Languages with a unique script are decided (or
+short-listed) by the script vote in ``lang.py`` before the n-gram rank
+runs, so even compact seeds are reliable there; for same-script
+families (Romance, Slavic-Latin, Nordic) the n-gram rank does the
+separating, and ``train_language_examples`` over real per-language
+corpora remains the production path to reference-grade accuracy.
+"""
+
+from __future__ import annotations
+
+SEEDS: dict[str, str] = {
+    # ---- Latin script: Germanic -------------------------------------
+    "en": (
+        "The quick study of language is a window into how people think and "
+        "share ideas. Every morning the old ferry crossed the gray river, "
+        "carrying workers, students, and a few sleepy travelers to the far "
+        "shore where the markets opened early and the bread was still warm. "
+        "It was not the first time that they had seen such things, but the "
+        "light over the water was different now, and everyone who watched "
+        "from the bridge said that this would be a good year."
+    ),
+    "de": (
+        "Die schnelle Untersuchung der Sprache ist ein Fenster in das Denken "
+        "der Menschen. Jeden Morgen überquerte die alte Fähre den grauen "
+        "Fluss und brachte Arbeiter, Studenten und müde Reisende ans andere "
+        "Ufer, wo die Märkte früh öffneten und das Brot noch warm war. Es "
+        "war nicht das erste Mal, dass sie solche Dinge gesehen hatten, aber "
+        "das Licht über dem Wasser war jetzt anders, und alle, die von der "
+        "Brücke aus zuschauten, sagten, dass dies ein gutes Jahr werden "
+        "würde."
+    ),
+    "nl": (
+        "De snelle studie van taal is een venster op hoe mensen denken. Elke "
+        "ochtend stak de oude veerboot de grijze rivier over met arbeiders, "
+        "studenten en een paar slaperige reizigers naar de overkant, waar de "
+        "markten vroeg opengingen en het brood nog warm was. Het was niet de "
+        "eerste keer dat ze zulke dingen zagen, maar het licht boven het "
+        "water was nu anders, en iedereen die vanaf de brug toekeek zei dat "
+        "dit een goed jaar zou worden."
+    ),
+    "sv": (
+        "Att studera språk snabbt är ett fönster mot hur människor tänker. "
+        "Varje morgon korsade den gamla färjan den grå floden och förde "
+        "arbetare, studenter och några sömniga resenärer till andra "
+        "stranden, där marknaderna öppnade tidigt och brödet fortfarande var "
+        "varmt. Alla som tittade från bron sade att det skulle bli ett bra "
+        "år, och de äldre mindes att goda år ofta började just så här."
+    ),
+    "da": (
+        "At studere sprog hurtigt er et vindue ind i, hvordan mennesker "
+        "tænker. Hver morgen krydsede den gamle færge den grå flod og "
+        "bragte arbejdere, studerende og nogle søvnige rejsende til den "
+        "anden bred, hvor markederne åbnede tidligt, og brødet stadig var "
+        "varmt. Alle der så til fra broen sagde, at det ville blive et godt "
+        "år, og de ældste huskede, at gode år tit begyndte netop sådan."
+    ),
+    "no": (
+        "Å studere språk raskt er et vindu inn i hvordan folk tenker. Hver "
+        "morgen krysset den gamle fergen den grå elven og fraktet "
+        "arbeidere, studenter og noen søvnige reisende til den andre "
+        "bredden, der markedene åpnet tidlig og brødet fremdeles var varmt. "
+        "Alle som så på fra broen sa at dette kom til å bli et godt år, og "
+        "de gamle husket at gode år gjerne begynte slik."
+    ),
+    "is": (
+        "Að rannsaka tungumál er gluggi inn í hugsun fólksins. Á hverjum "
+        "morgni fór gamla ferjan yfir gráa ána með verkafólk, námsmenn og "
+        "nokkra syfjaða ferðalanga yfir á hinn bakkann, þar sem markaðirnir "
+        "opnuðu snemma og brauðið var enn heitt. Allir sem horfðu af brúnni "
+        "sögðu að þetta yrði gott ár."
+    ),
+    "af": (
+        "Om taal vinnig te bestudeer is 'n venster op hoe mense dink. Elke "
+        "oggend het die ou veerboot die grys rivier oorgesteek met werkers, "
+        "studente en 'n paar vaak reisigers na die oorkant, waar die markte "
+        "vroeg oopgemaak het en die brood nog warm was. Almal wat van die "
+        "brug af gekyk het, het gesê dat dit 'n goeie jaar sou wees."
+    ),
+    "lb": (
+        "D'Sprooch séier ze studéieren ass eng Fënster an d'Denke vun de "
+        "Leit. All Moien ass déi al Fär iwwer de groe Floss gefuer, mat "
+        "Aarbechter, Studenten an e puer midden Reesender op déi aner Säit, "
+        "wou d'Mäert fréi opgemaach hunn an d'Brout nach waarm war. Jidderee "
+        "vun der Bréck sot, dat géif e gutt Joer ginn."
+    ),
+    # ---- Latin script: Romance --------------------------------------
+    "fr": (
+        "L'étude rapide de la langue est une fenêtre sur la pensée des "
+        "gens. Chaque matin, le vieux bac traversait la rivière grise, "
+        "emportant des ouvriers, des étudiants et quelques voyageurs "
+        "endormis vers l'autre rive où les marchés ouvraient tôt et le pain "
+        "était encore chaud. Ce n'était pas la première fois qu'ils "
+        "voyaient de telles choses, mais la lumière sur l'eau était "
+        "différente maintenant, et tous ceux qui regardaient depuis le pont "
+        "disaient que ce serait une bonne année."
+    ),
+    "es": (
+        "El estudio rápido del idioma es una ventana a cómo piensa la "
+        "gente. Cada mañana el viejo ferry cruzaba el río gris llevando "
+        "obreros, estudiantes y algunos viajeros somnolientos hasta la otra "
+        "orilla, donde los mercados abrían temprano y el pan seguía "
+        "caliente. No era la primera vez que veían cosas así, pero la luz "
+        "sobre el agua era diferente ahora, y todos los que miraban desde "
+        "el puente decían que este sería un buen año."
+    ),
+    "it": (
+        "Lo studio rapido della lingua è una finestra su come pensano le "
+        "persone. Ogni mattina il vecchio traghetto attraversava il fiume "
+        "grigio portando operai, studenti e qualche viaggiatore assonnato "
+        "verso l'altra riva, dove i mercati aprivano presto e il pane era "
+        "caldo. Non era la prima volta che vedevano cose simili, ma la luce "
+        "sull'acqua era diversa adesso, e tutti quelli che guardavano dal "
+        "ponte dicevano che questo sarebbe stato un buon anno."
+    ),
+    "pt": (
+        "O estudo rápido da língua é uma janela para a forma como as "
+        "pessoas pensam. Todas as manhãs a velha balsa atravessava o rio "
+        "cinzento levando operários, estudantes e alguns viajantes "
+        "sonolentos para a outra margem, onde os mercados abriam cedo e o "
+        "pão ainda estava quente. Não era a primeira vez que viam coisas "
+        "assim, mas a luz sobre a água estava diferente agora, e todos os "
+        "que olhavam da ponte diziam que este seria um bom ano."
+    ),
+    "ca": (
+        "Estudiar una llengua de pressa és una finestra a la manera com "
+        "pensa la gent. Cada matí el vell transbordador creuava el riu gris "
+        "portant treballadors, estudiants i alguns viatgers endormiscats a "
+        "l'altra riba, on els mercats obrien d'hora i el pa encara era "
+        "calent. Tothom que mirava des del pont deia que seria un bon any, "
+        "i els més vells recordaven que els bons anys començaven així."
+    ),
+    "gl": (
+        "Estudar unha lingua axiña é unha fiestra ao xeito en que pensa a "
+        "xente. Cada mañá o vello transbordador cruzaba o río gris levando "
+        "obreiros, estudantes e algúns viaxeiros asonados á outra beira, "
+        "onde os mercados abrían cedo e o pan aínda estaba quente. Todos os "
+        "que ollaban dende a ponte dicían que este ía ser un bo ano."
+    ),
+    "ro": (
+        "Studierea rapidă a limbii este o fereastră către felul în care "
+        "gândesc oamenii. În fiecare dimineață, vechiul bac traversa râul "
+        "cenușiu, ducând muncitori, studenți și câțiva călători somnoroși "
+        "pe malul celălalt, unde piețele se deschideau devreme și pâinea "
+        "era încă caldă. Toți cei care priveau de pe pod spuneau că acesta "
+        "va fi un an bun pentru oraș și pentru oamenii săi."
+    ),
+    "la": (
+        "Lingua celeriter discenda fenestra est in mentes hominum. Omni "
+        "mane navis vetus flumen canum transibat, operarios discipulosque "
+        "et viatores somno graves ad alteram ripam portans, ubi fora mature "
+        "aperiebantur et panis adhuc calidus erat. Omnes qui de ponte "
+        "spectabant dicebant hunc annum bonum fore."
+    ),
+    "ht": (
+        "Etidye yon lang vit se yon fenèt sou jan moun panse. Chak maten "
+        "vye kannòt la te travèse rivyè gri a, li te pote ouvriye, elèv ak "
+        "kèk vwayajè ki t'ap dòmi sou lòt bò a, kote mache yo te louvri "
+        "bonè epi pen an te toujou cho. Tout moun ki t'ap gade sou pon an "
+        "te di ane sa a t'ap yon bon ane."
+    ),
+    # ---- Latin script: Slavic + Baltic ------------------------------
+    "pl": (
+        "Szybkie badanie języka jest oknem na to, jak ludzie myślą. "
+        "Każdego ranka stary prom przepływał przez szarą rzekę, wioząc "
+        "robotników, studentów i kilku sennych podróżnych na drugi brzeg, "
+        "gdzie targi otwierały się wcześnie, a chleb wciąż był ciepły. "
+        "Wszyscy, którzy patrzyli z mostu, mówili, że to będzie dobry rok."
+    ),
+    "cs": (
+        "Rychlé studium jazyka je oknem do toho, jak lidé přemýšlejí. "
+        "Každé ráno stará loď převážela přes šedou řeku dělníky, studenty "
+        "a několik ospalých cestujících na druhý břeh, kde trhy otevíraly "
+        "brzy a chléb byl ještě teplý. Všichni, kdo se dívali z mostu, "
+        "říkali, že to bude dobrý rok."
+    ),
+    "sk": (
+        "Rýchle štúdium jazyka je oknom do toho, ako ľudia rozmýšľajú. "
+        "Každé ráno stará kompa prevážala cez sivú rieku robotníkov, "
+        "študentov a niekoľkých ospalých cestujúcich na druhý breh, kde "
+        "trhy otvárali zavčasu a chlieb bol ešte teplý. Všetci, ktorí sa "
+        "pozerali z mosta, vraveli, že to bude dobrý rok."
+    ),
+    "sl": (
+        "Hitro preučevanje jezika je okno v to, kako ljudje razmišljajo. "
+        "Vsako jutro je stari trajekt prečkal sivo reko ter vozil delavce, "
+        "študente in nekaj zaspanih potnikov na drugi breg, kjer so se "
+        "tržnice odpirale zgodaj in je bil kruh še topel. Vsi, ki so "
+        "gledali z mostu, so rekli, da bo to dobro leto."
+    ),
+    "hr": (
+        "Brzo proučavanje jezika prozor je u način na koji ljudi "
+        "razmišljaju. Svakoga jutra stara je skela prelazila sivu rijeku "
+        "prevozeći radnike, studente i nekoliko pospanih putnika na drugu "
+        "obalu, gdje su tržnice otvarale rano, a kruh je još bio topao. Svi "
+        "koji su promatrali s mosta govorili su da će ovo biti dobra "
+        "godina."
+    ),
+    "bs": (
+        "Brzo proučavanje jezika je prozor u to kako ljudi misle. Svako "
+        "jutro stara skela je prelazila sivu rijeku noseći radnike, "
+        "studente i nekoliko pospanih putnika na drugu obalu, gdje su "
+        "pijace otvarale rano a hljeb je još uvijek bio topao. Svi koji su "
+        "gledali sa mosta govorili su da će ova godina biti dobra."
+    ),
+    "lt": (
+        "Greitas kalbos tyrimas yra langas į tai, kaip žmonės mąsto. "
+        "Kiekvieną rytą senas keltas plaukdavo per pilką upę, veždamas "
+        "darbininkus, studentus ir kelis mieguistus keleivius į kitą "
+        "krantą, kur turgūs atsidarydavo anksti, o duona dar buvo šilta. "
+        "Visi, kurie žiūrėjo nuo tilto, sakė, kad šie metai bus geri."
+    ),
+    "lv": (
+        "Ātra valodas pētīšana ir logs uz to, kā cilvēki domā. Katru rītu "
+        "vecais prāmis šķērsoja pelēko upi, vezdams strādniekus, studentus "
+        "un dažus miegainus ceļotājus uz otru krastu, kur tirgi atvērās "
+        "agri un maize vēl bija silta. Visi, kas skatījās no tilta, teica, "
+        "ka šis būs labs gads."
+    ),
+    "et": (
+        "Keele kiire uurimine on aken sellesse, kuidas inimesed mõtlevad. "
+        "Igal hommikul ületas vana parvlaev halli jõge, viies töölisi, "
+        "tudengeid ja paar unist reisijat teisele kaldale, kus turud "
+        "avanesid vara ja leib oli veel soe. Kõik, kes sillalt vaatasid, "
+        "ütlesid, et sellest tuleb hea aasta."
+    ),
+    # ---- Latin script: other European -------------------------------
+    "fi": (
+        "Kielen nopea tutkiminen on ikkuna siihen, miten ihmiset "
+        "ajattelevat. Joka aamu vanha lautta ylitti harmaan joen ja "
+        "kuljetti työläisiä, opiskelijoita ja muutamia unisia matkustajia "
+        "toiselle rannalle, missä torit avautuivat aikaisin ja leipä oli "
+        "vielä lämmintä. Kaikki sillalla seisovat sanoivat, että tästä "
+        "tulisi hyvä vuosi."
+    ),
+    "hu": (
+        "A nyelv gyors tanulmányozása ablak arra, hogyan gondolkodnak az "
+        "emberek. Minden reggel a régi komp átkelt a szürke folyón, "
+        "munkásokat, diákokat és néhány álmos utazót vitt a túlsó partra, "
+        "ahol a piacok korán nyitottak, és a kenyér még meleg volt. "
+        "Mindenki, aki a hídról nézte, azt mondta, hogy jó év lesz."
+    ),
+    "tr": (
+        "Dilin hızlı incelenmesi, insanların nasıl düşündüğüne açılan bir "
+        "penceredir. Her sabah eski feribot gri nehri geçerek işçileri, "
+        "öğrencileri ve birkaç uykulu yolcuyu karşı kıyıya taşırdı; orada "
+        "pazarlar erken açılır ve ekmek hâlâ sıcak olurdu. Köprüden "
+        "izleyen herkes bunun iyi bir yıl olacağını söylüyordu."
+    ),
+    "az": (
+        "Dili sürətlə öyrənmək insanların necə düşündüyünə açılan "
+        "pəncərədir. Hər səhər köhnə bərə boz çayı keçərək fəhlələri, "
+        "tələbələri və bir neçə yuxulu sərnişini o biri sahilə aparırdı; "
+        "orada bazarlar tez açılır və çörək hələ isti olurdu. Körpüdən "
+        "baxan hər kəs bu ilin yaxşı il olacağını deyirdi."
+    ),
+    "uz": (
+        "Tilni tez o'rganish odamlarning qanday fikrlashiga ochilgan "
+        "deraza. Har kuni ertalab eski parom kulrang daryodan o'tib, "
+        "ishchilarni, talabalarni va bir nechta uyquli yo'lovchilarni "
+        "narigi qirg'oqqa olib borardi; u yerda bozorlar erta ochilar va "
+        "non hali issiq bo'lardi. Ko'prikdan qaraganlarning hammasi bu yil "
+        "yaxshi yil bo'lishini aytishardi."
+    ),
+    "sq": (
+        "Studimi i shpejtë i gjuhës është një dritare në mënyrën se si "
+        "mendojnë njerëzit. Çdo mëngjes trageti i vjetër kalonte lumin gri "
+        "duke mbartur punëtorë, studentë dhe disa udhëtarë të përgjumur në "
+        "bregun tjetër, ku tregjet hapeshin herët dhe buka ishte ende e "
+        "ngrohtë. Të gjithë ata që shikonin nga ura thoshin se ky do të "
+        "ishte një vit i mbarë."
+    ),
+    "eu": (
+        "Hizkuntza azkar aztertzea jendeak nola pentsatzen duen ikusteko "
+        "leiho bat da. Goizero ferry zaharrak ibai grisa zeharkatzen zuen, "
+        "langileak, ikasleak eta bidaiari logaletu batzuk beste ertzera "
+        "eramanez; han merkatuak goiz irekitzen ziren eta ogia oraindik "
+        "bero zegoen. Zubitik begiratzen zuten guztiek esaten zuten urte "
+        "ona izango zela."
+    ),
+    "mt": (
+        "L-istudju mgħaġġel tal-lingwa huwa tieqa fuq kif jaħsbu n-nies. "
+        "Kull filgħodu l-lanċa l-qadima kienet taqsam ix-xmara griża "
+        "ġġorr ħaddiema, studenti u xi vjaġġaturi bi ngħas lejn ix-xatt "
+        "l-ieħor, fejn is-swieq kienu jiftħu kmieni u l-ħobż kien għadu "
+        "sħun. Kulħadd li kien iħares mill-pont kien jgħid li din se tkun "
+        "sena tajba."
+    ),
+    "ga": (
+        "Is fuinneog í an staidéar tapa ar theanga ar an gcaoi a "
+        "smaoiníonn daoine. Gach maidin thrasnaigh an seanbhád farantóireachta "
+        "an abhainn liath, ag iompar oibrithe, mic léinn agus roinnt "
+        "taistealaithe codlatacha go dtí an bruach eile, áit ar oscail na "
+        "margaí go luath agus bhí an t-arán te fós. Dúirt gach duine a "
+        "bhreathnaigh ón droichead gur bhliain mhaith a bheadh ann."
+    ),
+    "cy": (
+        "Mae astudio iaith yn gyflym yn ffenestr ar sut mae pobl yn "
+        "meddwl. Bob bore croesai'r fferi hen yr afon lwyd, gan gludo "
+        "gweithwyr, myfyrwyr ac ychydig deithwyr cysglyd i'r lan arall, "
+        "lle'r oedd y marchnadoedd yn agor yn gynnar a'r bara'n dal yn "
+        "gynnes. Dywedodd pawb a wyliai o'r bont y byddai hon yn flwyddyn "
+        "dda."
+    ),
+    # ---- Latin script: Asia / Pacific / Africa ----------------------
+    "vi": (
+        "Việc nghiên cứu ngôn ngữ một cách nhanh chóng là cửa sổ nhìn vào "
+        "cách con người suy nghĩ. Mỗi buổi sáng, chuyến phà cũ băng qua "
+        "dòng sông xám, chở công nhân, sinh viên và vài hành khách buồn "
+        "ngủ sang bờ bên kia, nơi chợ mở sớm và bánh mì vẫn còn ấm. Ai "
+        "đứng trên cầu nhìn xuống cũng nói rằng năm nay sẽ là một năm tốt."
+    ),
+    "id": (
+        "Mempelajari bahasa dengan cepat adalah jendela untuk melihat cara "
+        "orang berpikir. Setiap pagi feri tua itu menyeberangi sungai "
+        "kelabu, membawa pekerja, pelajar, dan beberapa penumpang "
+        "mengantuk ke seberang, tempat pasar buka lebih awal dan roti "
+        "masih hangat. Semua orang yang menonton dari jembatan berkata "
+        "tahun ini akan menjadi tahun yang baik."
+    ),
+    "ms": (
+        "Mengkaji bahasa dengan pantas ialah jendela kepada cara manusia "
+        "berfikir. Setiap pagi feri lama itu melintasi sungai kelabu "
+        "sambil membawa pekerja, penuntut dan beberapa penumpang yang "
+        "mengantuk ke seberang, di mana pasar dibuka awal dan roti masih "
+        "panas. Semua yang memerhati dari jambatan berkata tahun ini bakal "
+        "menjadi tahun yang baik."
+    ),
+    "tl": (
+        "Ang mabilis na pag-aaral ng wika ay bintana sa kung paano "
+        "mag-isip ang mga tao. Tuwing umaga, tumatawid ang lumang bangka "
+        "sa kulay-abong ilog, sakay ang mga manggagawa, mga estudyante at "
+        "ilang inaantok na pasahero patungo sa kabilang pampang, kung "
+        "saan maagang nagbubukas ang mga palengke at mainit pa ang "
+        "tinapay. Sabi ng lahat ng nakamasid mula sa tulay, magiging "
+        "maganda ang taong ito."
+    ),
+    "sw": (
+        "Kujifunza lugha haraka ni dirisha la kuona jinsi watu "
+        "wanavyofikiri. Kila asubuhi kivuko cha zamani kilivuka mto wa "
+        "kijivu kikiwabeba wafanyakazi, wanafunzi na wasafiri wachache "
+        "wenye usingizi hadi ng'ambo ya pili, ambako masoko yalifunguliwa "
+        "mapema na mkate ulikuwa bado moto. Kila aliyetazama kutoka "
+        "darajani alisema mwaka huu utakuwa mwaka mzuri."
+    ),
+    "so": (
+        "Barashada luqadda si degdeg ah waa daaqad lagu arko sida dadku u "
+        "fikiraan. Subax walba doonnida duqa ahi waxay ka gudbi jirtay "
+        "webiga cawlan iyadoo sidda shaqaale, arday iyo dhawr socdaal oo "
+        "hurdo la'. Dhinaca kale suuqyadu goor hore ayay furmi jireen, "
+        "rootigana wuu kululaa. Qof kasta oo buundada ka daawaday wuxuu "
+        "yidhi sannadkani wuxuu noqon doonaa mid wanaagsan."
+    ),
+    "ha": (
+        "Nazarin harshe da sauri taga ce ta ganin yadda mutane suke "
+        "tunani. Kowace safiya tsohon jirgin ruwa yana ketare kogin mai "
+        "launin toka yana dauke da ma'aikata, dalibai da wasu matafiya "
+        "masu barci zuwa daya gefen, inda kasuwanni ke budewa da wuri "
+        "kuma burodi na nan da dumi. Duk wanda ya kalla daga gada ya ce "
+        "wannan shekara za ta zama mai kyau."
+    ),
+    "yo": (
+        "Kíkọ́ èdè kíákíá jẹ́ fèrèsé sí bí àwọn ènìyàn ṣe ń ronú. Ní "
+        "àràárọ̀ ọkọ̀ ojú omi àtijọ́ máa ń sọdá odò aláwọ̀ eérú, ó ń gbé "
+        "àwọn òṣìṣẹ́, akẹ́kọ̀ọ́ àti àwọn arìnrìn-àjò tí oorun ń kùn lọ sí "
+        "apá kejì, níbi tí ọjà ti ń ṣí ní kùtùkùtù tí búrẹ́dì sì ṣì gbóná. "
+        "Gbogbo ẹni tí ó wò láti orí afárá sọ pé ọdún yìí yóò dára."
+    ),
+    "zu": (
+        "Ukufunda ulimi ngokushesha kuyifasitela lokubona indlela abantu "
+        "abacabanga ngayo. Njalo ekuseni isikebhe esidala sasiwela umfula "
+        "ompunga sithwele izisebenzi, abafundi nabagibeli abambalwa "
+        "abozelayo siye ngaphesheya, lapho izimakethe zazivulwa ekuseni "
+        "futhi isinkwa sisafudumele. Bonke ababebuka besebhulohweni bathi "
+        "lo nyaka uzoba muhle."
+    ),
+    # ---- Cyrillic script --------------------------------------------
+    "ru": (
+        "Быстрое изучение языка — это окно в то, как люди думают. Каждое "
+        "утро старый паром пересекал серую реку, перевозя рабочих, "
+        "студентов и нескольких сонных путешественников на другой берег, "
+        "где рынки открывались рано, а хлеб был ещё тёплым. Все, кто "
+        "смотрел с моста, говорили, что этот год будет хорошим."
+    ),
+    "uk": (
+        "Швидке вивчення мови — це вікно в те, як думають люди. Щоранку "
+        "старий пором перетинав сіру річку, перевозячи робітників, "
+        "студентів і кількох сонних мандрівників на інший берег, де ринки "
+        "відчинялися рано, а хліб був ще теплим. Усі, хто дивився з мосту, "
+        "казали, що це буде добрий рік."
+    ),
+    "be": (
+        "Хуткае вывучэнне мовы — гэта акно ў тое, як думаюць людзі. "
+        "Штораніцы стары паром перасякаў шэрую раку, перавозячы рабочых, "
+        "студэнтаў і некалькіх сонных падарожнікаў на другі бераг, дзе "
+        "рынкі адчыняліся рана, а хлеб быў яшчэ цёплы. Усе, хто глядзеў з "
+        "моста, казалі, што гэты год будзе добрым."
+    ),
+    "bg": (
+        "Бързото изучаване на езика е прозорец към това как мислят "
+        "хората. Всяка сутрин старият ферибот прекосяваше сивата река, "
+        "превозвайки работници, студенти и няколко сънени пътници на "
+        "другия бряг, където пазарите отваряха рано, а хлябът беше още "
+        "топъл. Всички, които гледаха от моста, казваха, че тази година "
+        "ще бъде добра."
+    ),
+    "sr": (
+        "Брзо проучавање језика је прозор у начин на који људи "
+        "размишљају. Сваког јутра стара скела је прелазила сиву реку "
+        "превозећи раднике, студенте и неколико поспаних путника на другу "
+        "обалу, где су пијаце отварале рано, а хлеб је још био топао. Сви "
+        "који су гледали са моста говорили су да ће ова година бити "
+        "добра."
+    ),
+    "mk": (
+        "Брзото проучување на јазикот е прозорец кон тоа како луѓето "
+        "размислуваат. Секое утро стариот траект ја преминуваше сивата "
+        "река, превезувајќи работници, студенти и неколку сонливи патници "
+        "на другиот брег, каде што пазарите се отвораа рано, а лебот беше "
+        "уште топол. Сите што гледаа од мостот велеа дека оваа година ќе "
+        "биде добра."
+    ),
+    "kk": (
+        "Тілді жылдам зерттеу — адамдардың қалай ойлайтынын көрсететін "
+        "терезе. Күн сайын таңертең ескі паром сұр өзеннен өтіп, "
+        "жұмысшыларды, студенттерді және бірнеше ұйқылы жолаушыны арғы "
+        "жағаға жеткізетін; онда базарлар ерте ашылып, нан әлі жылы "
+        "болатын. Көпірден қарағандардың бәрі бұл жыл жақсы болады деп "
+        "айтатын."
+    ),
+    "ky": (
+        "Тилди тез үйрөнүү — адамдар кантип ойлонорун көрсөткөн терезе. "
+        "Күн сайын эртең менен эски паром боз дарыядан өтүп, "
+        "жумушчуларды, студенттерди жана бир нече уйкулуу жүргүнчүнү "
+        "наркы өйүзгө жеткирчү; ал жерде базарлар эрте ачылып, нан дагы "
+        "эле жылуу болчу. Көпүрөдөн карагандардын баары бул жыл жакшы "
+        "болот дешчү."
+    ),
+    "mn": (
+        "Хэлийг хурдан судлах нь хүмүүс хэрхэн сэтгэдгийг харах цонх юм. "
+        "Өглөө бүр хуучин гатлага онгоц саарал голыг гаталж, ажилчид, "
+        "оюутнууд болон хэдэн нойрмог зорчигчдыг нөгөө эрэг рүү хүргэдэг "
+        "байв; тэнд зах зээл эрт нээгдэж, талх халуун хэвээр байв. "
+        "Гүүрнээс харсан бүхэн энэ жил сайхан жил болно гэж хэлдэг байв."
+    ),
+    "tg": (
+        "Омӯзиши зуди забон тирезаест ба он ки одамон чӣ гуна фикр "
+        "мекунанд. Ҳар субҳ пароми кӯҳна аз дарёи хокистарранг гузашта, "
+        "коргарон, донишҷӯён ва чанд мусофири хоболудро ба соҳили дигар "
+        "мебурд; дар он ҷо бозорҳо барвақт кушода мешуданд ва нон ҳанӯз "
+        "гарм буд. Ҳамаи онҳое, ки аз пул менигаристанд, мегуфтанд, ки "
+        "ин сол соли хуб хоҳад шуд."
+    ),
+    # ---- Greek / Armenian / Georgian / Hebrew -----------------------
+    "el": (
+        "Η γρήγορη μελέτη της γλώσσας είναι ένα παράθυρο στον τρόπο που "
+        "σκέφτονται οι άνθρωποι. Κάθε πρωί το παλιό πορθμείο διέσχιζε το "
+        "γκρίζο ποτάμι μεταφέροντας εργάτες, φοιτητές και μερικούς "
+        "νυσταγμένους ταξιδιώτες στην άλλη όχθη, όπου οι αγορές άνοιγαν "
+        "νωρίς και το ψωμί ήταν ακόμη ζεστό. Όλοι όσοι κοιτούσαν από τη "
+        "γέφυρα έλεγαν ότι αυτή θα ήταν μια καλή χρονιά."
+    ),
+    "hy": (
+        "Լեզվի արագ ուսումնասիրությունը պատուհան է դեպի այն, թե ինչպես "
+        "են մտածում մարդիկ: Ամեն առավոտ հին լաստանավը հատում էր մոխրագույն "
+        "գետը՝ տանելով բանվորների, ուսանողների և մի քանի քնկոտ "
+        "ճանապարհորդների մյուս ափ, որտեղ շուկաները բացվում էին վաղ, իսկ "
+        "հացը դեռ տաք էր: Բոլոր նրանք, ովքեր նայում էին կամրջից, ասում "
+        "էին, որ այս տարին լավ տարի կլինի:"
+    ),
+    "ka": (
+        "ენის სწრაფი შესწავლა ფანჯარაა იმისა, თუ როგორ ფიქრობენ "
+        "ადამიანები. ყოველ დილით ძველი ბორანი კვეთდა ნაცრისფერ მდინარეს, "
+        "გადაჰყავდა მუშები, სტუდენტები და რამდენიმე მძინარე მგზავრი მეორე "
+        "ნაპირზე, სადაც ბაზრები ადრე იხსნებოდა და პური ჯერ კიდევ თბილი "
+        "იყო. ყველა, ვინც ხიდიდან უყურებდა, ამბობდა, რომ ეს წელი კარგი "
+        "იქნებოდა."
+    ),
+    "he": (
+        "לימוד מהיר של שפה הוא חלון אל הדרך שבה אנשים חושבים. בכל בוקר "
+        "חצתה המעבורת הישנה את הנהר האפור, נושאת פועלים, סטודנטים וכמה "
+        "נוסעים מנומנמים אל הגדה השנייה, שם השווקים נפתחו מוקדם והלחם "
+        "היה עדיין חם. כל מי שצפה מהגשר אמר שהשנה הזאת תהיה שנה טובה."
+    ),
+    "yi": (
+        "דאָס גיכע לערנען פֿון אַ שפּראַך איז אַ פֿענצטער אין דעם ווי "
+        "מענטשן טראַכטן. יעדן פֿרימאָרגן איז די אַלטע שיפֿל אַריבער דעם "
+        "גרויען טײַך, טראָגנדיק אַרבעטער, סטודענטן און עטלעכע פֿאַרשלאָפֿענע "
+        "רײַזנדע צו דער צווייטער זײַט, וווּ די מערק האָבן זיך געעפֿנט פֿרי "
+        "און דאָס ברויט איז נאָך געווען וואַרעם."
+    ),
+    # ---- Arabic script ----------------------------------------------
+    "ar": (
+        "إن الدراسة السريعة للغة نافذة على طريقة تفكير الناس. كل صباح "
+        "كانت العبّارة القديمة تعبر النهر الرمادي حاملة العمال والطلاب "
+        "وبعض المسافرين الناعسين إلى الضفة الأخرى حيث تفتح الأسواق مبكراً "
+        "ويظل الخبز دافئاً. وكان كل من يراقب من الجسر يقول إن هذا العام "
+        "سيكون عاماً جيداً."
+    ),
+    "fa": (
+        "مطالعه سریع زبان پنجره‌ای است به شیوه اندیشیدن مردم. هر بامداد "
+        "کرجی کهنه از رودخانه خاکستری می‌گذشت و کارگران، دانشجویان و چند "
+        "مسافر خواب‌آلود را به کرانه دیگر می‌برد؛ جایی که بازارها زود باز "
+        "می‌شدند و نان هنوز گرم بود. همه کسانی که از روی پل تماشا "
+        "می‌کردند می‌گفتند امسال سال خوبی خواهد بود."
+    ),
+    "ur": (
+        "زبان کا تیز مطالعہ اس بات کی کھڑکی ہے کہ لوگ کیسے سوچتے ہیں۔ ہر "
+        "صبح پرانی کشتی سرمئی دریا عبور کرتی تھی، مزدوروں، طلبہ اور چند "
+        "اونگھتے مسافروں کو دوسرے کنارے لے جاتی تھی، جہاں بازار سویرے "
+        "کھلتے تھے اور روٹی ابھی گرم ہوتی تھی۔ پل سے دیکھنے والے سب کہتے "
+        "تھے کہ یہ سال اچھا سال ہوگا۔"
+    ),
+    "ps": (
+        "د ژبې چټکه زده کړه یوه کړکۍ ده چې خلک څنګه فکر کوي. هر سهار "
+        "زوړ بېړۍ له خړ سیند څخه تېرېده، کارګران، زده کوونکي او څو "
+        "خوبولي مسافر یې بلې غاړې ته وړل، هلته بازارونه وختي پرانیستل "
+        "کېدل او ډوډۍ لا توده وه. ټولو چې له پله یې کتل ویل چې دا کال به "
+        "ښه کال وي."
+    ),
+    # ---- Indic scripts ----------------------------------------------
+    "hi": (
+        "भाषा का तेज़ अध्ययन इस बात की खिड़की है कि लोग कैसे सोचते हैं। "
+        "हर सुबह पुरानी नाव धूसर नदी पार करती थी, मज़दूरों, छात्रों और "
+        "कुछ ऊँघते यात्रियों को दूसरे किनारे ले जाती थी, जहाँ बाज़ार जल्दी "
+        "खुलते थे और रोटी अभी भी गर्म रहती थी। पुल से देखने वाले सभी कहते "
+        "थे कि यह साल अच्छा रहेगा।"
+    ),
+    "mr": (
+        "भाषेचा जलद अभ्यास म्हणजे लोक कसे विचार करतात हे पाहण्याची खिडकी "
+        "आहे. दररोज सकाळी जुनी होडी करड्या नदीतून पलीकडे जात असे, कामगार, "
+        "विद्यार्थी आणि काही पेंगुळलेले प्रवासी घेऊन, जिथे बाजार लवकर "
+        "उघडत आणि भाकरी अजूनही गरम असे. पुलावरून पाहणारे सगळे म्हणत की "
+        "हे वर्ष चांगले जाईल."
+    ),
+    "ne": (
+        "भाषाको छिटो अध्ययन मानिसहरू कसरी सोच्छन् भन्ने हेर्ने झ्याल हो। "
+        "हरेक बिहान पुरानो डुङ्गाले खैरो नदी तरेर मजदुर, विद्यार्थी र "
+        "केही निद्रा लागेका यात्रुहरूलाई पारि पुर्‍याउँथ्यो, जहाँ बजारहरू "
+        "चाँडै खुल्थे र रोटी अझै तातो हुन्थ्यो। पुलबाट हेर्ने सबैले यो "
+        "वर्ष राम्रो हुनेछ भन्थे।"
+    ),
+    "bn": (
+        "ভাষার দ্রুত অধ্যয়ন মানুষ কীভাবে ভাবে তা দেখার একটি জানালা। "
+        "প্রতিদিন সকালে পুরনো খেয়া ধূসর নদী পেরিয়ে শ্রমিক, ছাত্র আর "
+        "কয়েকজন ঘুমঘুম যাত্রীকে ওপারে নিয়ে যেত, যেখানে বাজার সকাল "
+        "সকাল খুলত আর রুটি তখনও গরম থাকত। সেতু থেকে যারা দেখত তারা সবাই "
+        "বলত এই বছরটা ভালো যাবে।"
+    ),
+    "pa": (
+        "ਭਾਸ਼ਾ ਦਾ ਤੇਜ਼ ਅਧਿਐਨ ਇਸ ਗੱਲ ਦੀ ਖਿੜਕੀ ਹੈ ਕਿ ਲੋਕ ਕਿਵੇਂ ਸੋਚਦੇ ਹਨ। "
+        "ਹਰ ਸਵੇਰ ਪੁਰਾਣੀ ਬੇੜੀ ਸਲੇਟੀ ਦਰਿਆ ਪਾਰ ਕਰਦੀ ਸੀ, ਮਜ਼ਦੂਰਾਂ, "
+        "ਵਿਦਿਆਰਥੀਆਂ ਅਤੇ ਕੁਝ ਉਂਘਦੇ ਮੁਸਾਫ਼ਰਾਂ ਨੂੰ ਦੂਜੇ ਕੰਢੇ ਲੈ ਜਾਂਦੀ ਸੀ, "
+        "ਜਿੱਥੇ ਬਾਜ਼ਾਰ ਸਵਖਤੇ ਖੁੱਲ੍ਹਦੇ ਸਨ ਅਤੇ ਰੋਟੀ ਅਜੇ ਵੀ ਗਰਮ ਹੁੰਦੀ ਸੀ। "
+        "ਪੁਲ ਤੋਂ ਵੇਖਣ ਵਾਲੇ ਸਾਰੇ ਕਹਿੰਦੇ ਸਨ ਕਿ ਇਹ ਸਾਲ ਚੰਗਾ ਰਹੇਗਾ।"
+    ),
+    "gu": (
+        "ભાષાનો ઝડપી અભ્યાસ એ લોકો કેવી રીતે વિચારે છે તેની બારી છે. દરરોજ "
+        "સવારે જૂની હોડી રાખોડી નદી પાર કરતી, મજૂરો, વિદ્યાર્થીઓ અને થોડા "
+        "ઊંઘરેટા મુસાફરોને સામે કાંઠે લઈ જતી, જ્યાં બજારો વહેલી ખૂલતી અને "
+        "રોટલી હજી ગરમ રહેતી. પુલ પરથી જોનારા બધા કહેતા કે આ વર્ષ સારું "
+        "જશે."
+    ),
+    "ta": (
+        "மொழியை விரைவாகப் படிப்பது மக்கள் எப்படி சிந்திக்கிறார்கள் "
+        "என்பதைப் பார்க்கும் சாளரம். ஒவ்வொரு காலையும் பழைய படகு சாம்பல் "
+        "நிற ஆற்றைக் கடந்து தொழிலாளர்கள், மாணவர்கள் மற்றும் சில "
+        "தூக்கக் கலக்கமான பயணிகளை மறுகரைக்குக் கொண்டு சென்றது; அங்கே "
+        "சந்தைகள் அதிகாலையில் திறந்தன, ரொட்டி இன்னும் சூடாக இருந்தது. "
+        "பாலத்திலிருந்து பார்த்த அனைவரும் இந்த ஆண்டு நல்ல ஆண்டாக இருக்கும் "
+        "என்று சொன்னார்கள்."
+    ),
+    "te": (
+        "భాషను వేగంగా అధ్యయనం చేయడం ప్రజలు ఎలా ఆలోచిస్తారో చూసే కిటికీ. "
+        "ప్రతి ఉదయం పాత పడవ బూడిద రంగు నదిని దాటి కార్మికులను, "
+        "విద్యార్థులను మరియు కొందరు నిద్రమత్తులో ఉన్న ప్రయాణికులను అవతలి "
+        "ఒడ్డుకు తీసుకెళ్లేది; అక్కడ సంతలు త్వరగా తెరుచుకునేవి, రొట్టె "
+        "ఇంకా వేడిగా ఉండేది. వంతెన మీద నుంచి చూసేవారంతా ఈ సంవత్సరం "
+        "మంచిదవుతుందని చెప్పేవారు."
+    ),
+    "kn": (
+        "ಭಾಷೆಯ ವೇಗದ ಅಧ್ಯಯನವು ಜನರು ಹೇಗೆ ಯೋಚಿಸುತ್ತಾರೆ ಎಂಬುದನ್ನು ನೋಡುವ "
+        "ಕಿಟಕಿ. ಪ್ರತಿ ಬೆಳಿಗ್ಗೆ ಹಳೆಯ ದೋಣಿ ಬೂದು ನದಿಯನ್ನು ದಾಟಿ ಕಾರ್ಮಿಕರು, "
+        "ವಿದ್ಯಾರ್ಥಿಗಳು ಮತ್ತು ಕೆಲವು ನಿದ್ದೆ ತೂಗುವ ಪ್ರಯಾಣಿಕರನ್ನು ಆಚೆ ದಡಕ್ಕೆ "
+        "ಕೊಂಡೊಯ್ಯುತ್ತಿತ್ತು; ಅಲ್ಲಿ ಮಾರುಕಟ್ಟೆಗಳು ಬೇಗ ತೆರೆಯುತ್ತಿದ್ದವು, "
+        "ರೊಟ್ಟಿ ಇನ್ನೂ ಬಿಸಿಯಾಗಿತ್ತು. ಸೇತುವೆಯಿಂದ ನೋಡುತ್ತಿದ್ದವರೆಲ್ಲ ಈ ವರ್ಷ "
+        "ಒಳ್ಳೆಯದಾಗಲಿದೆ ಎಂದು ಹೇಳುತ್ತಿದ್ದರು."
+    ),
+    "ml": (
+        "ഭാഷയെ വേഗത്തിൽ പഠിക്കുന്നത് ആളുകൾ എങ്ങനെ ചിന്തിക്കുന്നു "
+        "എന്നതിലേക്കുള്ള ജാലകമാണ്. എല്ലാ പ്രഭാതത്തിലും പഴയ കടത്തുവള്ളം "
+        "ചാരനിറമുള്ള നദി കടന്ന് തൊഴിലാളികളെയും വിദ്യാർത്ഥികളെയും ഏതാനും "
+        "ഉറക്കം തൂങ്ങുന്ന യാത്രക്കാരെയും മറുകരയിലേക്ക് കൊണ്ടുപോയി; "
+        "അവിടെ ചന്തകൾ നേരത്തെ തുറക്കുകയും റൊട്ടി അപ്പോഴും ചൂടായിരിക്കുകയും "
+        "ചെയ്തു. പാലത്തിൽ നിന്ന് നോക്കിയവരെല്ലാം ഈ വർഷം നല്ലതായിരിക്കുമെന്ന് "
+        "പറഞ്ഞു."
+    ),
+    "si": (
+        "භාෂාව ඉක්මනින් හැදෑරීම මිනිසුන් සිතන ආකාරය දැකීමට ඇති කවුළුවකි. "
+        "සෑම උදෑසනකම පැරණි බෝට්ටුව අළු පැහැති ගඟ තරණය කරමින් කම්කරුවන්, "
+        "සිසුන් සහ නිදිමත ගතවූ මගීන් කිහිප දෙනෙකු අනෙක් ඉවුරට ගෙන ගියේය; "
+        "එහි වෙළඳපොළ වේලාසනින් විවෘත වූ අතර පාන් තවමත් උණුසුම්ව තිබුණි. "
+        "පාලමෙන් බලා සිටි සියල්ලෝම මේ වසර හොඳ වසරක් වනු ඇතැයි කීහ."
+    ),
+    # ---- Southeast Asian scripts ------------------------------------
+    "th": (
+        "การศึกษาภาษาอย่างรวดเร็วคือหน้าต่างสู่วิธีคิดของผู้คน "
+        "ทุกเช้าเรือข้ามฟากลำเก่าจะข้ามแม่น้ำสีเทา พาคนงาน นักศึกษา "
+        "และผู้โดยสารง่วงนอนอีกสองสามคนไปยังฝั่งตรงข้าม "
+        "ที่นั่นตลาดเปิดแต่เช้าและขนมปังยังอุ่นอยู่ "
+        "ทุกคนที่มองจากสะพานบอกว่าปีนี้จะเป็นปีที่ดี"
+    ),
+    "lo": (
+        "ການສຶກສາພາສາຢ່າງວ່ອງໄວແມ່ນປ່ອງຢ້ຽມເບິ່ງວິທີທີ່ຄົນຄິດ. "
+        "ທຸກໆເຊົ້າເຮືອຂ້າມຟາກລຳເກົ່າຈະຂ້າມແມ່ນ້ຳສີເທົາ ພາຄົນງານ ນັກສຶກສາ "
+        "ແລະຜູ້ໂດຍສານເຫງົານອນຈຳນວນໜຶ່ງໄປຝັ່ງກົງກັນຂ້າມ "
+        "ບ່ອນທີ່ຕະຫຼາດເປີດແຕ່ເຊົ້າ ແລະເຂົ້າຈີ່ຍັງອຸ່ນຢູ່."
+    ),
+    "km": (
+        "ការសិក្សាភាសាយ៉ាងរហ័សគឺជាបង្អួចមើលរបៀបដែលមនុស្សគិត។ "
+        "រៀងរាល់ព្រឹក ទូកចម្លងចាស់ឆ្លងទន្លេពណ៌ប្រផេះ ដឹកកម្មករ និស្សិត "
+        "និងអ្នកដំណើរងងុយគេងពីរបីនាក់ទៅត្រើយម្ខាង "
+        "ដែលនៅទីនោះផ្សារបើកពីព្រលឹម ហើយនំប៉័ងនៅក្តៅនៅឡើយ។ "
+        "អ្នកដែលមើលពីលើស្ពានទាំងអស់និយាយថា ឆ្នាំនេះនឹងជាឆ្នាំល្អ។"
+    ),
+    "my": (
+        "ဘာသာစကားကို လျင်မြန်စွာ လေ့လာခြင်းသည် လူတို့ မည်သို့ "
+        "တွေးခေါ်သည်ကို ကြည့်ရှုရာ ပြတင်းပေါက်ဖြစ်သည်။ နံနက်တိုင်း "
+        "ကူးတို့ဟောင်းသည် မီးခိုးရောင်မြစ်ကို ဖြတ်ကူးပြီး အလုပ်သမားများ၊ "
+        "ကျောင်းသားများနှင့် အိပ်ငိုက်နေသော ခရီးသည်အချို့ကို "
+        "တစ်ဖက်ကမ်းသို့ ပို့ဆောင်ပေးသည်။ ထိုနေရာတွင် ဈေးများ "
+        "စောစောဖွင့်ပြီး ပေါင်မုန့်သည် နွေးနေသေးသည်။"
+    ),
+    # ---- East Asian -------------------------------------------------
+    "zh": (
+        "对语言的快速研究是了解人们思维方式的一扇窗户。每天早晨,老渡船载着工人、"
+        "学生和几位困倦的旅客横渡灰色的河流,驶向对岸,那里的集市开得很早,面包还"
+        "带着温热。清晨的雾气慢慢散去,河面上闪着微光。站在桥上观望的人都说,今年"
+        "会是一个好年景。"
+    ),
+    "ja": (
+        "言語の素早い研究は、人々がどのように考えるかを知る窓である。毎朝、古い"
+        "フェリーは灰色の川を渡り、労働者や学生、眠そうな旅人たちを対岸へ運んだ。"
+        "そこでは市場が早く開き、パンはまだ温かかった。朝の霧がゆっくりと晴れていき、"
+        "橋の上から眺めていた人々は、今年は良い年になるだろうと言った。"
+    ),
+    "ko": (
+        "언어에 대한 빠른 연구는 사람들이 어떻게 생각하는지를 보여주는 창이다. "
+        "매일 아침 낡은 여객선은 회색 강을 건너 노동자와 학생, 졸린 여행자 몇 명을 "
+        "건너편으로 실어 날랐다. 그곳의 시장은 일찍 열렸고 빵은 여전히 따뜻했다. "
+        "다리 위에서 지켜보던 사람들은 모두 올해가 좋은 해가 될 것이라고 말했다."
+    ),
+    # ---- Ethiopic ---------------------------------------------------
+    "am": (
+        "ቋንቋን በፍጥነት ማጥናት ሰዎች እንዴት እንደሚያስቡ የሚያሳይ መስኮት ነው። በየማለዳው አሮጌው "
+        "ጀልባ ግራጫውን ወንዝ እየተሻገረ ሠራተኞችን፣ ተማሪዎችንና ጥቂት እንቅልፍ የወሰዳቸውን "
+        "መንገደኞች ወደ ማዶ ዳርቻ ያደርስ ነበር፤ እዚያም ገበያዎች በማለዳ ይከፈቱ ነበር፣ ዳቦውም "
+        "ገና ሞቃት ነበር። ከድልድዩ ላይ የሚመለከቱ ሁሉ ይህ ዓመት መልካም ዓመት እንደሚሆን ይናገሩ "
+        "ነበር።"
+    ),
+}
+
+
+# Second, topically different snippets (winter, a library, mountains)
+# for languages whose close relatives share a script — two stylistically
+# distinct samples per language sharpen the profile exactly where the
+# n-gram rank has to separate sibling languages. Original text, as above.
+SEEDS_EXTRA: dict[str, str] = {
+    "en": (
+        "In winter the library stays open late, and snow gathers quietly "
+        "on the roofs of the town. Children learn to skate on the frozen "
+        "pond behind the school, while their grandparents tell long "
+        "stories about the mountains and the roads that once led there."
+    ),
+    "de": (
+        "Im Winter bleibt die Bibliothek lange geöffnet, und der Schnee "
+        "sammelt sich leise auf den Dächern der Stadt. Die Kinder lernen "
+        "auf dem zugefrorenen Teich hinter der Schule Schlittschuh zu "
+        "laufen, während ihre Großeltern lange Geschichten über die Berge "
+        "erzählen."
+    ),
+    "nl": (
+        "In de winter blijft de bibliotheek lang open, en de sneeuw "
+        "verzamelt zich stil op de daken van de stad. De kinderen leren "
+        "schaatsen op de bevroren vijver achter de school, terwijl hun "
+        "grootouders lange verhalen vertellen over de bergen."
+    ),
+    "sv": (
+        "På vintern håller biblioteket öppet sent, och snön samlas tyst "
+        "på stadens tak. Barnen lär sig åka skridskor på den frusna "
+        "dammen bakom skolan, medan deras farföräldrar berättar långa "
+        "historier om bergen och vägarna som en gång ledde dit."
+    ),
+    "da": (
+        "Om vinteren holder biblioteket åbent til sent, og sneen samler "
+        "sig stille på byens tage. Børnene lærer at løbe på skøjter på "
+        "den frosne dam bag skolen, mens deres bedsteforældre fortæller "
+        "lange historier om bjergene og vejene, der engang førte derhen."
+    ),
+    "no": (
+        "Om vinteren holder biblioteket åpent til sent, og snøen samler "
+        "seg stille på takene i byen. Barna lærer å gå på skøyter på den "
+        "frosne dammen bak skolen, mens besteforeldrene deres forteller "
+        "lange historier om fjellene og veiene som en gang førte dit."
+    ),
+    "fr": (
+        "En hiver, la bibliothèque reste ouverte tard, et la neige "
+        "s'accumule doucement sur les toits de la ville. Les enfants "
+        "apprennent à patiner sur l'étang gelé derrière l'école, tandis "
+        "que leurs grands-parents racontent de longues histoires sur les "
+        "montagnes et les chemins qui y menaient autrefois."
+    ),
+    "es": (
+        "En invierno la biblioteca permanece abierta hasta tarde, y la "
+        "nieve se acumula en silencio sobre los tejados del pueblo. Los "
+        "niños aprenden a patinar en el estanque helado detrás de la "
+        "escuela, mientras sus abuelos cuentan largas historias sobre las "
+        "montañas y los caminos que antes llevaban hasta allí. Sin "
+        "embargo, todavía quedan muchas cosas por hacer esta semana: es "
+        "necesario que todos participen, porque si no lo hacemos ahora "
+        "mismo, luego será mucho más difícil. Desde luego, lo más "
+        "importante es que los vecinos puedan opinar y que las "
+        "decisiones se tomen entre todos, aunque no estemos de acuerdo "
+        "con lo que se propone."
+    ),
+    "it": (
+        "D'inverno la biblioteca resta aperta fino a tardi, e la neve si "
+        "accumula in silenzio sui tetti del paese. I bambini imparano a "
+        "pattinare sullo stagno ghiacciato dietro la scuola, mentre i "
+        "nonni raccontano lunghe storie sulle montagne e sulle strade che "
+        "un tempo portavano lassù."
+    ),
+    "pt": (
+        "No inverno a biblioteca fica aberta até tarde, e a neve "
+        "acumula-se em silêncio sobre os telhados da vila. As crianças "
+        "aprendem a patinar no lago congelado atrás da escola, enquanto "
+        "os avós contam longas histórias sobre as montanhas e os caminhos "
+        "que antigamente levavam até lá."
+    ),
+    "ca": (
+        "A l'hivern la biblioteca roman oberta fins tard, i la neu "
+        "s'acumula en silenci sobre les teulades del poble. Els nens "
+        "aprenen a patinar a l'estany glaçat darrere l'escola, mentre els "
+        "avis expliquen llargues històries sobre les muntanyes i els "
+        "camins que abans hi duien. Això no obstant, encara queden "
+        "moltes coses per fer aquesta setmana: cal que tothom hi "
+        "participi, perquè si no ho fem ara mateix, després serà més "
+        "difícil. Doncs bé, el més important és que els veïns puguin "
+        "dir-hi la seva i que les decisions es prenguin entre tots, "
+        "també quan no estiguem d'acord amb allò que es proposa."
+    ),
+    "gl": (
+        "No inverno a biblioteca queda aberta ata tarde, e a neve "
+        "acumúlase en silencio sobre os tellados da vila. Os nenos "
+        "aprenden a patinar no estanque xeado detrás da escola, mentres "
+        "os avós contan longas historias sobre as montañas e os camiños "
+        "que antes levaban alá."
+    ),
+    "ro": (
+        "Iarna biblioteca rămâne deschisă până târziu, iar zăpada se "
+        "adună în liniște pe acoperișurile orașului. Copiii învață să "
+        "patineze pe iazul înghețat din spatele școlii, în timp ce "
+        "bunicii povestesc întâmplări lungi despre munți și despre "
+        "drumurile care duceau odinioară acolo."
+    ),
+    "pl": (
+        "Zimą biblioteka jest otwarta do późna, a śnieg cicho zbiera się "
+        "na dachach miasteczka. Dzieci uczą się jeździć na łyżwach po "
+        "zamarzniętym stawie za szkołą, podczas gdy dziadkowie "
+        "opowiadają długie historie o górach i drogach, które kiedyś tam "
+        "prowadziły."
+    ),
+    "cs": (
+        "V zimě zůstává knihovna otevřená dlouho do večera a sníh se "
+        "tiše hromadí na střechách městečka. Děti se učí bruslit na "
+        "zamrzlém rybníku za školou, zatímco jejich prarodiče vyprávějí "
+        "dlouhé příběhy o horách a o cestách, které tam kdysi vedly."
+    ),
+    "sk": (
+        "V zime zostáva knižnica otvorená dlho do večera a sneh sa ticho "
+        "hromadí na strechách mestečka. Deti sa učia korčuľovať na "
+        "zamrznutom rybníku za školou, zatiaľ čo ich starí rodičia "
+        "rozprávajú dlhé príbehy o horách a o cestách, ktoré ta kedysi "
+        "viedli."
+    ),
+    "sl": (
+        "Pozimi knjižnica ostane odprta pozno v večer in sneg se tiho "
+        "nabira na strehah mesteca. Otroci se učijo drsati na zamrznjenem "
+        "ribniku za šolo, medtem ko stari starši pripovedujejo dolge "
+        "zgodbe o gorah in o poteh, ki so nekoč vodile tja."
+    ),
+    "hr": (
+        "Zimi knjižnica ostaje otvorena do kasno, a snijeg se tiho "
+        "skuplja na krovovima gradića. Djeca uče klizati na zaleđenom "
+        "ribnjaku iza škole, dok im djedovi i bake pričaju duge priče o "
+        "planinama i putovima koji su nekad vodili onamo."
+    ),
+    "bs": (
+        "Zimi biblioteka ostaje otvorena do kasno, a snijeg se tiho "
+        "skuplja na krovovima gradića. Djeca uče klizati na zaleđenom "
+        "jezercetu iza škole, dok im nane i djedovi pričaju duge priče o "
+        "planinama i putevima koji su nekada vodili tamo."
+    ),
+    "ru": (
+        "Зимой библиотека открыта допоздна, и снег тихо собирается на "
+        "крышах городка. Дети учатся кататься на коньках на замёрзшем "
+        "пруду за школой, а бабушки и дедушки рассказывают длинные "
+        "истории о горах и о дорогах, которые когда-то туда вели."
+    ),
+    "uk": (
+        "Узимку бібліотека працює допізна, і сніг тихо збирається на "
+        "дахах містечка. Діти вчаться кататися на ковзанах на замерзлому "
+        "ставку за школою, а бабусі й дідусі розповідають довгі історії "
+        "про гори та про дороги, які колись туди вели."
+    ),
+    "be": (
+        "Узімку бібліятэка працуе дапазна, і снег ціха збіраецца на "
+        "дахах мястэчка. Дзеці вучацца катацца на каньках на замёрзлым "
+        "сажалцы за школай, а бабулі і дзядулі расказваюць доўгія "
+        "гісторыі пра горы і пра дарогі, якія калісьці туды вялі."
+    ),
+    "bg": (
+        "През зимата библиотеката остава отворена до късно, а снегът "
+        "тихо се трупа по покривите на градчето. Децата се учат да се "
+        "пързалят с кънки на замръзналото езерце зад училището, докато "
+        "бабите и дядовците разказват дълги истории за планините и за "
+        "пътищата, които някога водеха натам."
+    ),
+    "sr": (
+        "Зими библиотека остаје отворена до касно, а снег се тихо "
+        "скупља на крововима варошице. Деца уче да клизају на залеђеном "
+        "језерцету иза школе, док им баке и деке причају дуге приче о "
+        "планинама и путевима који су некада водили тамо."
+    ),
+    "mk": (
+        "Во зима библиотеката останува отворена до доцна, а снегот тивко "
+        "се собира на покривите на гратчето. Децата учат да се лизгаат "
+        "на замрзнатото езерце зад училиштето, додека бабите и дедовците "
+        "раскажуваат долги приказни за планините и за патиштата што "
+        "некогаш воделе таму."
+    ),
+    "id": (
+        "Pada musim hujan perpustakaan tetap buka sampai malam, dan air "
+        "menetes pelan dari atap-atap kota kecil itu. Anak-anak belajar "
+        "berenang di kolam di belakang sekolah, sementara kakek dan "
+        "nenek mereka bercerita panjang tentang gunung dan jalan-jalan "
+        "yang dulu menuju ke sana. Tetapi sekarang kita tidak bisa "
+        "menunggu lagi, karena banyak hal yang harus dikerjakan hari "
+        "ini juga: kalau warga tidak ikut membantu, pekerjaan ini akan "
+        "jadi lebih sulit nanti. Oleh karena itu semua orang diminta "
+        "datang, supaya keputusan bisa diambil bersama-sama."
+    ),
+    "ms": (
+        "Pada musim tengkujuh perpustakaan tetap dibuka hingga lewat "
+        "malam, dan air menitis perlahan daripada bumbung-bumbung pekan "
+        "kecil itu. Kanak-kanak belajar berenang di kolam di belakang "
+        "sekolah, manakala datuk dan nenek mereka bercerita panjang "
+        "tentang gunung serta jalan-jalan yang dahulu menghala ke sana."
+    ),
+    "fi": (
+        "Talvella kirjasto on auki myöhään, ja lumi kertyy hiljaa "
+        "kaupungin katoille. Lapset opettelevat luistelemaan koulun "
+        "takana olevalla jäätyneellä lammella, kun taas isovanhemmat "
+        "kertovat pitkiä tarinoita vuorista ja teistä, jotka ennen "
+        "johtivat sinne."
+    ),
+    "et": (
+        "Talvel on raamatukogu hilja õhtuni avatud ja lumi koguneb "
+        "vaikselt linnakese katustele. Lapsed õpivad kooli taga asuval "
+        "külmunud tiigil uisutama, samal ajal kui vanavanemad jutustavad "
+        "pikki lugusid mägedest ja teedest, mis kunagi sinna viisid."
+    ),
+    "lt": (
+        "Žiemą biblioteka dirba iki vėlumos, o sniegas tyliai renkasi "
+        "ant miestelio stogų. Vaikai mokosi čiuožti ant užšalusio "
+        "tvenkinio už mokyklos, o seneliai pasakoja ilgas istorijas apie "
+        "kalnus ir kelius, kurie kadaise ten vedė."
+    ),
+    "lv": (
+        "Ziemā bibliotēka strādā līdz vēlam vakaram, un sniegs klusi "
+        "krājas uz pilsētiņas jumtiem. Bērni mācās slidot uz aizsalušā "
+        "dīķa aiz skolas, kamēr vecvecāki stāsta garus stāstus par "
+        "kalniem un ceļiem, kas kādreiz tur veda."
+    ),
+}
