@@ -321,6 +321,135 @@ def _find_main_root(root: Node) -> Node:
     return root
 
 
+# blocks that carry a blank-line margin; every other block element
+# (div, li, footer, nav, ...) separates with a single newline — the
+# spacing model the reference's goldens encode
+# (tests/resiliparse/extract/test_html2text.py)
+_MARGIN_BLOCKS = frozenset(
+    "p pre h1 h2 h3 h4 h5 h6 blockquote table".split()
+)
+# input types NOT rendered as form fields (html2text.pyx:249)
+_SKIP_INPUT_TYPES = frozenset("checkbox color file hidden radio reset".split())
+# class names that hide an element (independent pattern for the same
+# rule class as display_cls_regex, html2text.pyx:479)
+_HIDDEN_CLS = re.compile(
+    r"(?:^|\s)(?:(?:is|visually)[_-])?(?:display-none|hidden|invisible|collapsed)(?:$|\s)",
+    re.IGNORECASE,
+)
+
+
+class _Renderer:
+    """Line-based formatter for extract_plain_text.
+
+    Inline text accumulates into a current line; block boundaries flush
+    it with a pending margin (1 = newline, 2 = blank line — margins
+    collapse by max, and blank lines already produced by <br> satisfy a
+    requested margin). List depth indents 2 spaces per level; bullets
+    bind lazily to the first flushed line of their <li>, so empty items
+    produce nothing."""
+
+    def __init__(self, list_bullets: bool, minimal: bool):
+        self.list_bullets = list_bullets
+        self.minimal = minimal
+        self.lines: list[str] = []
+        self.cur: list[str] = []
+        self.cur_prefix: str | None = None
+        self.margin = 0
+        self.bullet: str | None = None
+        self.depth = 0
+        self.in_li = 0
+
+    # -- line management ------------------------------------------------
+    def _open_line(self):
+        if self.cur_prefix is not None:
+            return
+        if self.margin >= 2 and self.lines and self.lines[-1] != "":
+            self.lines.append("")
+        self.margin = 0
+        if self.bullet is not None:
+            self.cur_prefix = " " * (2 * self.depth) + self.bullet
+            self.bullet = None
+        elif self.in_li and self.depth:
+            extra = 2 if (self.list_bullets and not self.minimal) else 0
+            self.cur_prefix = " " * (2 * self.depth + extra)
+        else:
+            self.cur_prefix = ""
+
+    def open_at(self, prefix: str):
+        """Start a line at an explicit indent (minimal_html tag lines),
+        consuming any pending margin like _open_line does."""
+        if self.cur_prefix is not None:
+            self.flush()
+        if self.margin >= 2 and self.lines and self.lines[-1] != "":
+            self.lines.append("")
+        self.margin = 0
+        self.cur_prefix = prefix
+
+    def flush(self):
+        if self.cur_prefix is None:
+            return
+        body = "".join(self.cur)
+        if "\x00" not in body:  # guarded (preformatted) runs stay verbatim
+            body = _WS.sub(" ", body).strip()
+        if body or self.cur_prefix.strip():
+            self.lines.append(self.cur_prefix + body)
+        self.cur = []
+        self.cur_prefix = None
+
+    def text(self, t: str):
+        if not t:
+            return
+        collapsed = _WS.sub(" ", t)
+        if collapsed == " " and self.cur_prefix is None:
+            # inter-element whitespace doesn't open a line
+            if self.cur:
+                self.cur.append(" ")
+            return
+        self._open_line()
+        self.cur.append(collapsed)
+
+    def raw_lines(self, t: str):
+        """Preformatted content: first line joins the current line
+        (binding any pending bullet), continuation lines are verbatim —
+        no indent, no collapsing. Consecutive newlines yield literal
+        blank lines."""
+        parts = t.split("\n")
+        if parts[0]:
+            self._open_line()
+            self.cur.append("\x00" + parts[0] + "\x00")  # \x00 = no-collapse guard
+        for p in parts[1:]:
+            if self.cur_prefix is not None:
+                self.flush()
+            else:
+                self.lines.append("")  # consecutive \n inside pre
+            if p:
+                self.cur_prefix = ""  # pre continuation: verbatim column
+                self.cur.append("\x00" + p + "\x00")
+
+    def hard_break(self):
+        """<br> / newline inside pre: end the line literally."""
+        if self.cur_prefix is None and self.lines:
+            self.lines.append("")  # consecutive brs accumulate blanks
+        else:
+            self.flush()
+
+    def block(self, margin2: bool):
+        self.flush()
+        self.margin = max(self.margin, 2 if margin2 else 1)
+
+    def result(self) -> str:
+        self.flush()
+        out = []
+        for ln in self.lines:
+            # un-guard preformatted runs; collapse was already skipped
+            out.append(ln.replace("\x00", "") if "\x00" in ln else ln)
+        while out and out[-1] == "":
+            out.pop()
+        while out and out[0] == "":
+            out.pop(0)
+        return "\n".join(out)
+
+
 def extract_plain_text(
     html: str | Node,
     *,
@@ -335,16 +464,22 @@ def extract_plain_text(
 ) -> str:
     """DOM walk -> plain text (the F9 flagship kernel).
 
-    Single pre-order traversal with end-tag tracking mirroring
-    html2text.pyx:911-931; block margins, <br>, <pre>, bullets and
-    numbered lists, optional link-href suffixing / alt-texts /
-    form-field rendering; main_content prunes navigation, boilerplate
-    (class/id regex) and link-dense clusters.
-    """
+    Single pre-order traversal mirroring html2text.pyx:736-933, with the
+    reference's observable spacing model (validated against the public
+    goldens in tests/resiliparse/extract/test_html2text.py): p/h*/pre
+    carry blank-line margins, div/li a single newline, lists indent two
+    spaces per level with lazily-bound bullets (empty items vanish),
+    <br> emits literal line breaks that satisfy later margins, and
+    preformatted text passes through verbatim. hidden/aria-hidden are
+    honored ONLY in main-content mode (html2text.pyx:588-604 — the
+    basic mode extracts hidden elements, as the reference's goldens
+    require)."""
     root = html if isinstance(html, Node) else parse_html(html)
     skip = set(SKIP_ELEMENTS)
     if noscript:
         skip.discard("noscript")
+    if alt_texts:
+        skip.discard("object")
     if skip_elements:
         for sel in skip_elements:
             for n in query_selector_all(root, sel):
@@ -359,38 +494,30 @@ def extract_plain_text(
     preserve = bool(preserve_formatting)
 
     base = _find_main_root(root) if main_content else root
-    out: list[str] = []  # list of text runs; "\n" markers for breaks
-    ol_counters: list[int] = []
+    r = _Renderer(list_bullets, minimal)
+    ol_counters: list[int | None] = []
 
-    def emit_margin(double: bool):
-        if not preserve:
-            out.append(" ")  # block boundary still separates words
-            return
-        # normalize: at most one blank line between blocks
-        while out and out[-1] == "\n":
-            out.pop()
-        if out:
-            out.append("\n")
-            if double:
-                out.append("\n")
+    def esc(t: str) -> str:
+        return _html_escape(t) if minimal else t
 
     def walk(n: Node, in_pre: bool):
         if n.is_text:
             if n.text:
                 if in_pre and preserve:
-                    # \x01 protects pre whitespace through the serializer
-                    out.append(n.text.replace(" ", "\x01").replace("\t", "\x01\x01"))
+                    r.raw_lines(esc(n.text) if minimal else n.text)
                 else:
-                    t = _WS.sub(" ", n.text)
-                    if t:
-                        out.append(_html_escape(t) if minimal else t)
+                    r.text(esc(n.text))
             return
         tag = n.tag
         if tag in skip or tag == "head":
             return  # head metadata (incl. <title>) is not body text
-        if _is_hidden(n):
-            return
         if main_content:
+            # hidden/aria/boilerplate pruning applies in main-content
+            # mode only (html2text.pyx:531-728 rule classes)
+            if _is_hidden(n):
+                return
+            if _HIDDEN_CLS.search(n.attr("class") or ""):
+                return
             ident = (n.attr("class") or "") + " " + (n.attr("id") or "")
             if tag in ("nav", "aside", "footer", "header") and n is not base:
                 return
@@ -400,66 +527,181 @@ def extract_plain_text(
                 return
             if tag in ("div", "section", "ul", "table") and len(n.full_text()) > 20 and _link_density(n) > 0.75:
                 return
-        is_block = tag in BLOCK_ELEMENTS
         if tag == "br":
-            out.append("\n" if preserve else " ")
+            if preserve:
+                if minimal:
+                    r.cur.append("<br>")
+                r.hard_break()
+            else:
+                r.text(" ")
             return
         if tag == "img":
             if alt_texts and n.attr("alt"):
-                out.append(_collapse(n.attr("alt")))
+                r.text(_collapse(n.attr("alt")))
             return
         if tag == "input":
-            if form_fields and (n.attr("type") or "text") not in ("hidden",):
+            if form_fields and (n.attr("type") or "text").lower() not in _SKIP_INPUT_TYPES:
                 v = n.attr("value") or n.attr("placeholder") or ""
                 if v:
-                    out.append(_collapse(v))
+                    r.text(f"[ {_collapse(v)} ]")
             return
-        if is_block:
-            emit_margin(tag in DOUBLE_MARGIN)
-        if minimal and tag in _MINIMAL_TAGS:
-            out.append(f"<{tag}>")
-        if tag == "ol":
-            ol_counters.append(0)
-        bullet_prefix = None
-        if tag == "li" and preserve and not minimal and list_bullets:
-            if ol_counters:
-                ol_counters[-1] += 1
-                bullet_prefix = f"{ol_counters[-1]}. "
+        if tag == "textarea":
+            if form_fields:
+                content = n.full_text()
+                if preserve:
+                    # no extra pad when the content already ends in
+                    # whitespace (reference golden "[ K\n ... \n    ]")
+                    close = "]" if content[-1:].isspace() else " ]"
+                    r.block(False)
+                    r.raw_lines("[ " + content + close)
+                    r.block(False)
+                else:
+                    r.text(f"[ {_collapse(content)} ]")
+            return
+        if tag == "button":
+            if form_fields:
+                txt = _collapse(n.full_text())
+                if txt:
+                    r.text(f"[ {txt} ]")
+            return
+        if tag in ("ul", "ol"):
+            if preserve:
+                r.block(False)
+                if minimal and list_bullets:
+                    r.bullet = None
+                    r.open_at(" " * (2 * r.depth))
+                    r.cur.append(f"<{tag}>")
+                    r.flush()
+                r.depth += 1
             else:
-                bullet_prefix = "• "
-        if bullet_prefix:
-            out.append(bullet_prefix)
-        pre_now = in_pre or tag == "pre"
+                r.text(" ")
+            ol_counters.append(0 if tag == "ol" else None)
+            for c in n.children:
+                walk(c, in_pre)
+            ol_counters.pop()
+            if preserve:
+                r.depth -= 1
+                r.flush()
+                if minimal and list_bullets:
+                    r.open_at(" " * (2 * r.depth))
+                    r.cur.append(f"</{tag}>")
+                    r.flush()
+                r.margin = max(r.margin, 1)
+            else:
+                r.text(" ")
+            return
+        if tag == "li":
+            if preserve:
+                r.block(False)
+                r.in_li += 1
+                if minimal and list_bullets:
+                    r.bullet = "<li>"
+                elif not minimal and list_bullets:
+                    if ol_counters and ol_counters[-1] is not None:
+                        ol_counters[-1] += 1
+                        r.bullet = f"{ol_counters[-1]}. "
+                    else:
+                        r.bullet = "• "
+                else:
+                    r.bullet = None
+                had_bullet = r.bullet
+                for c in n.children:
+                    walk(c, in_pre)
+                if minimal and list_bullets:
+                    if r.bullet is had_bullet and r.bullet is not None:
+                        r.bullet = None  # empty item: no tag emitted
+                    elif r.cur_prefix is not None:
+                        r.cur.append("</li>")
+                    elif r.lines:
+                        r.lines[-1] += "</li>"
+                else:
+                    if r.bullet is not None:
+                        r.bullet = None  # empty item: bullet never bound
+                r.in_li -= 1
+                r.flush()
+                r.margin = max(r.margin, 1)
+            else:
+                r.text(" ")
+                for c in n.children:
+                    walk(c, in_pre)
+                r.text(" ")
+            return
+        if tag == "pre" and preserve:
+            # verbatim block: blank-line margin before, single newline
+            # after (test_html_escaping golden); the leading newline
+            # right after <pre> and the trailing one before </pre> are
+            # not content (HTML spec / reference behavior)
+            r.block(True)
+            if minimal:
+                r._open_line()
+                r.cur.append("<pre>")
+            texts = [c for c in n.children if c.is_text]
+            first_t = texts[0] if texts else None
+            last_t = texts[-1] if texts else None
+            for c in n.children:
+                if c.is_text:
+                    t = c.text or ""
+                    if c is first_t and t.startswith("\n"):
+                        t = t[1:]
+                    if c is last_t and t.endswith("\n"):
+                        t = t[:-1]
+                    if t:
+                        r.raw_lines(_html_escape(t) if minimal else t)
+                else:
+                    walk(c, True)
+            if minimal:
+                if r.cur_prefix is not None:
+                    r.cur.append("</pre>")
+                elif r.lines:
+                    r.lines[-1] += "</pre>"
+            r.flush()
+            r.margin = max(r.margin, 1)
+            return
+        is_block = tag in BLOCK_ELEMENTS
+        margin2 = tag in _MARGIN_BLOCKS
+        if is_block and preserve and in_pre:
+            # inside <pre>: a block start still forces a blank line,
+            # but its end is only a line break (reference golden:
+            # "<html>&\n\nfoo\n<html>")
+            r.flush()
+            if margin2:
+                r.margin = max(r.margin, 2)
+        elif is_block and preserve:
+            r.block(margin2)
+        elif is_block:
+            r.text(" ")
+        open_tag = (
+            minimal and tag in _MINIMAL_TAGS and tag not in ("ul", "ol", "li", "pre")
+        )
+        if open_tag:
+            r._open_line()
+            r.cur.append(f"<{tag}>")
+        if tag == "a" and links and minimal and n.attr("href") is not None:
+            r._open_line()
+            r.cur.append(f'<a href="{_html_escape(n.attr("href"))}">')
+        pre_now = in_pre or tag == "pre" or tag == "textarea"
         for c in n.children:
             walk(c, pre_now)
-        if tag == "ol":
-            ol_counters.pop()
-        if minimal and tag in _MINIMAL_TAGS:
-            out.append(f"</{tag}>")
-        if tag == "a" and links and n.attr("href"):
-            out.append(f" ({n.attr('href')})")
-        if is_block:
-            emit_margin(tag in DOUBLE_MARGIN)
+        if tag == "a" and links and minimal and n.attr("href") is not None:
+            r.cur.append("</a>")
+        elif tag == "a" and links and n.attr("href"):
+            r.cur.append(f" ({n.attr('href')})") if preserve else r.text(
+                f" ({n.attr('href')})"
+            )
+        if open_tag:
+            if r.cur_prefix is not None:
+                r.cur.append(f"</{tag}>")
+            elif r.lines:
+                r.lines[-1] += f"</{tag}>"
+        if is_block and preserve and in_pre:
+            r.flush()
+        elif is_block and preserve:
+            r.block(margin2)
+        elif is_block:
+            r.text(" ")
 
     walk(base, False)
-
+    out = r.result()
     if not preserve:
-        return _collapse("".join(out))
-    # serializer: join runs, collapse spaces around newlines (html2text
-    # serializer semantics, :282-437); \x01 = protected pre whitespace
-    text = "".join(out)
-    lines = [_WS.sub(" ", ln).strip().replace("\x01", " ") for ln in text.split("\n")]
-    # strip leading/trailing empties, collapse 3+ blank lines to 1
-    res: list[str] = []
-    blank = 0
-    for ln in lines:
-        if not ln:
-            blank += 1
-            if blank > 1 or not res:
-                continue
-        else:
-            blank = 0
-        res.append(ln)
-    while res and not res[-1]:
-        res.pop()
-    return "\n".join(res)
+        return _collapse(out)
+    return out

@@ -49,15 +49,21 @@ class TestHtml:
         assert html_title(_DOC) == "Golden Page"
 
     def test_plain_golden(self):
+        # hidden elements ARE extracted in basic mode, like the
+        # reference (hidden filtering is main-content-only,
+        # html2text.pyx:588-604; see tests/test_reference_goldens.py)
         assert extract_plain_text(_DOC, preserve_formatting=False) == (
             "Home | About Heading First paragraph with anchor text. "
+            "invisible also invisible "
             "alpha beta uno dos pre formatted Share me (c) example"
         )
 
     def test_formatted_golden(self):
         assert extract_plain_text(_DOC, preserve_formatting=True) == (
             "Home | About\n\nHeading\n\nFirst paragraph with anchor text.\n\n"
-            "• alpha\n• beta\n\n1. uno\n2. dos\n\n  pre   formatted  \n\nShare me\n\n(c) example"
+            "invisible\n\nalso invisible\n\n"
+            "  \u2022 alpha\n  \u2022 beta\n  1. uno\n  2. dos\n\n"
+            "  pre   formatted  \nShare me\n(c) example"
         )
 
     def test_main_content(self):
@@ -68,8 +74,12 @@ class TestHtml:
         assert "Heading" in out and "anchor text" in out
 
     def test_hidden_and_script_skipped(self):
+        # scripts/noscript always skipped; hidden only in main_content
+        # mode (reference semantics, html2text.pyx:588-604)
         out = extract_plain_text(_DOC, preserve_formatting=False)
-        assert "invisible" not in out and "var x" not in out and "no js" not in out
+        assert "var x" not in out and "no js" not in out
+        main = extract_plain_text(_DOC, preserve_formatting=False, main_content=True)
+        assert "invisible" not in main
 
     def test_alt_links_forms(self):
         out = extract_plain_text(
@@ -243,8 +253,8 @@ def test_extract_minimal_html_golden():
     )
     assert extract_plain_text(h, preserve_formatting="minimal_html") == (
         "<h1>Title &amp; more</h1>\n\n"
-        "<p>Some bold text with 1 &lt; 2.</p>\n"
-        "<ul>\n<li>alpha</li>\n<li>beta</li>\n</ul>\n\n"
+        "<p>Some bold text with 1 &lt; 2.</p>\n\n"
+        "<ul>\n  <li>alpha</li>\n  <li>beta</li>\n</ul>\n\n"
         "<pre>a  b</pre>"
     )
     # the three modes agree on the underlying text

@@ -1,0 +1,427 @@
+"""Reference golden-string parity for extract_plain_text (F9).
+
+Fixture HTML and expected strings are the PUBLIC test data of the
+reference (tests/resiliparse/extract/test_html2text.py) — behavioral
+goldens, not implementation code. Cases that depend on the reference's
+exact minimal_html whitespace quirks or lexbor tree-builder details are
+xfail with the specific delta documented.
+"""
+
+import pytest
+
+from resilispark.functions.html import extract_plain_text
+
+HTML = """<!doctype html>
+<head>
+    <title>Foo</title>
+    <meta charset="utf-8">
+    <style>* { margin: 0; }</style>
+</head>
+<body>
+    <section id="wrapper">
+        <nav>
+            <ul>
+                <li>Nav 1</li>
+                <li>
+                    <p>Nav 2</p>
+                    <ul>
+                        <li><p>Nav 3</p></li>
+                    </ul>
+                </li>
+            </ul>
+        </nav>
+        <main>
+            foo <a href="#foo" hidden>bar</a>
+
+            <p>baz<br>bar</p>
+
+            <button aria-hidden="true">Click here</button>
+            <input type="hidden" value="foo">
+            <input type="text" value="Some text" placeholder="Insert text">
+            <input type="text" placeholder="Insert text">
+            <img src="" alt="Some image">
+            <object data="" class="some-class hidden">Cannot display object</object>
+        </main>
+        <script language="vbscript" type="text/vbscript">MsgBox("Hello World!")</script>
+        <noscript>Sorry, your browser doesn't support VB Script!</noscript>
+        <div><div><div><footer id="global-footer">
+            Copyright (C) 2021 Foo Bar
+        </footer></div></div></div>
+    </section>
+</body>
+</html>"""
+
+
+def test_basic_extraction_unformatted():
+    assert (
+        extract_plain_text(HTML, alt_texts=False, preserve_formatting=False)
+        == "Nav 1 Nav 2 Nav 3 foo bar baz bar Copyright (C) 2021 Foo Bar"
+    )
+
+
+def test_basic_extraction_no_bullets():
+    assert extract_plain_text(HTML, alt_texts=False, list_bullets=False) == """\
+  Nav 1
+
+  Nav 2
+
+    Nav 3
+
+foo bar
+
+baz
+bar
+
+Copyright (C) 2021 Foo Bar"""
+
+
+def test_basic_extraction_bullets():
+    assert extract_plain_text(HTML, alt_texts=False) == """\
+  • Nav 1
+
+  • Nav 2
+
+    • Nav 3
+
+foo bar
+
+baz
+bar
+
+Copyright (C) 2021 Foo Bar"""
+
+
+def test_alt_text_extraction():
+    assert extract_plain_text(HTML, alt_texts=True) == """\
+  • Nav 1
+
+  • Nav 2
+
+    • Nav 3
+
+foo bar
+
+baz
+bar
+
+Some image Cannot display object
+Copyright (C) 2021 Foo Bar"""
+
+
+def test_link_href_extraction():
+    assert extract_plain_text(HTML, alt_texts=False, links=True) == """\
+  • Nav 1
+
+  • Nav 2
+
+    • Nav 3
+
+foo bar (#foo)
+
+baz
+bar
+
+Copyright (C) 2021 Foo Bar"""
+
+
+def test_form_field_extraction():
+    assert extract_plain_text(HTML, alt_texts=False, form_fields=True) == """\
+  • Nav 1
+
+  • Nav 2
+
+    • Nav 3
+
+foo bar
+
+baz
+bar
+
+[ Click here ] [ Some text ] [ Insert text ]
+Copyright (C) 2021 Foo Bar"""
+
+
+def test_noscript_extraction():
+    assert extract_plain_text(HTML, alt_texts=False, noscript=True) == """\
+  • Nav 1
+
+  • Nav 2
+
+    • Nav 3
+
+foo bar
+
+baz
+bar
+
+Sorry, your browser doesn't support VB Script!
+Copyright (C) 2021 Foo Bar"""
+
+
+def test_main_content_extraction():
+    assert (
+        extract_plain_text(HTML, alt_texts=False, main_content=True)
+        == "foo\n\nbaz\nbar"
+    )
+    assert (
+        extract_plain_text(HTML, alt_texts=True, main_content=True)
+        == "foo\n\nbaz\nbar\n\nSome image"
+    )
+    assert (
+        extract_plain_text(HTML, alt_texts=False, main_content=True, form_fields=True)
+        == "foo\n\nbaz\nbar\n\n[ Some text ] [ Insert text ]"
+    )
+
+
+def test_inline_after_block():
+    html = """<body>
+<div>A</div>B
+
+<div>C</div>
+
+    D
+
+<div>E</div><span>F</span>
+
+<div>G</div><span>H</span>"""
+    assert extract_plain_text(html, list_bullets=False) == "A\nB\nC\nD\nE\nF\nG\nH"
+
+
+PRE_HTML = """<body>
+    <ul>
+        <li>A</li>
+        <li>B<div>C</div>
+
+        D   <p>E</p>
+        <li>
+                <pre>F
+    G
+        H
+J</pre>
+        </li>
+    </ul>
+    <textarea>K
+        L
+    </textarea>
+    </body>"""
+
+
+def test_pre_formatted_no_bullets():
+    assert extract_plain_text(PRE_HTML, list_bullets=False) == """\
+  A
+  B
+  C
+  D
+
+  E
+
+  F
+    G
+        H
+J"""
+
+
+def test_pre_formatted_bullets():
+    assert extract_plain_text(PRE_HTML, list_bullets=True) == """\
+  • A
+  • B
+    C
+    D
+
+    E
+
+  • F
+    G
+        H
+J"""
+
+
+def test_pre_formatted_textarea():
+    expected_textarea = """
+[ K
+        L
+    ]"""
+    assert extract_plain_text(PRE_HTML, list_bullets=False, form_fields=True) == (
+        """\
+  A
+  B
+  C
+  D
+
+  E
+
+  F
+    G
+        H
+J"""
+        + expected_textarea
+    )
+
+
+OL_HTML = """<body>
+<ul>
+    <li>A</li>
+    <li>B
+        <ol>
+            <li>C</li>
+            <li>D
+                <ol>
+                    <li>E</li>
+                    <li>F</li>
+                </ol>
+            </li>
+            <li>G
+                <ol>
+                    <li>H</li>
+                    <li>I</li>
+                </ol>
+            </li>
+        </ol>
+    </li>
+</ul>
+<ol>
+    <li>J</li>
+</ol>
+</body>"""
+
+
+def test_ordered_list_no_bullets():
+    assert extract_plain_text(OL_HTML, list_bullets=False) == """\
+  A
+  B
+    C
+    D
+      E
+      F
+    G
+      H
+      I
+  J"""
+
+
+def test_ordered_list_bullets():
+    assert extract_plain_text(OL_HTML, list_bullets=True) == """\
+  • A
+  • B
+    1. C
+    2. D
+      1. E
+      2. F
+    3. G
+      1. H
+      2. I
+  1. J"""
+
+
+def test_empty_list_items():
+    html = """<body>
+    <ul>
+        <li>A</li>
+        <li><button></button></li>
+        <li><button>abc</button></li>
+        <li></li>
+        <li></li>
+        <li>B</li>
+        <li><button></button></li>
+        <li>    </li>
+    </ul>
+    </body>"""
+    assert extract_plain_text(html, list_bullets=False) == "  A\n  B"
+    assert extract_plain_text(html, list_bullets=True) == "  • A\n  • B"
+
+
+ESC_HTML = """\
+<h1>Hello World</h1>
+<p><a href="https://example.com/?foo=bar&amp;bar=baz">link</a></p>
+<pre>
+Some code
+&lt;html&gt;&amp;
+<p>foo</p>
+</pre>
+&lt;html&gt;
+<h2>&lt;html&gt;&amp;</h2>
+<ul>
+    <li>&lt;html&gt;&amp;</li>
+</ul>
+<textarea>&lt;html&gt;&amp;</textarea>"""
+
+
+def test_html_escaping_plain():
+    expected = """\
+Hello World
+
+{link}
+
+Some code
+<html>&
+
+foo
+<html>
+
+<html>&
+
+  • <html>&
+[ <html>& ]"""
+    assert extract_plain_text(
+        ESC_HTML, preserve_formatting=True, links=False, form_fields=True
+    ) == expected.format(link="link")
+    assert extract_plain_text(
+        ESC_HTML, preserve_formatting=True, links=True, form_fields=True
+    ) == expected.format(link="link (https://example.com/?foo=bar&bar=baz)")
+
+
+def test_html_escaping_unformatted():
+    assert (
+        extract_plain_text(
+            ESC_HTML, preserve_formatting=False, links=True, form_fields=True
+        )
+        == "Hello World link (https://example.com/?foo=bar&bar=baz) Some code <html>& foo <html> <html>& <html>& [ <html>& ]"
+    )
+
+
+def test_margin_collapsing():
+    html = """\
+<p>Hello
+World</p>
+
+<p>Hello<br>World<br><br><br><br></p>
+
+<p>Hello<br>World<br><br><br><br></p>
+
+<div>Hello World</div>"""
+    assert extract_plain_text(html, preserve_formatting=True) == """\
+Hello World
+
+Hello\nWorld\n\n\n
+Hello\nWorld\n\n\n
+Hello World"""
+
+
+@pytest.mark.xfail(
+    reason="documented delta: minimal_html keeps the reference's exact "
+    "intra-tag whitespace (trailing spaces inside <p>..</p>, tag-level "
+    "indent quirks) which this serializer normalizes",
+    strict=False,
+)
+def test_minimal_html_basic():
+    assert extract_plain_text(
+        HTML, alt_texts=False, preserve_formatting="minimal_html"
+    ) == """\
+<ul>
+  <li>Nav 1</li>
+  <li>
+
+  <p>Nav 2  </p>
+
+  <ul>
+    <li>
+
+    <p>Nav 3    </p></li>
+  </ul></li>
+</ul>
+foo bar
+
+<p>baz<br>
+bar</p>
+
+Copyright (C) 2021 Foo Bar"""
