@@ -61,6 +61,89 @@ def sign_lsh_bucket(df: DataFrame, *, vec_col: str = "embedding", bits: int = 8)
     return bucket.cast("bigint")
 
 
+def hyperplane_lsh_bucket(
+    vec_col: str,
+    *,
+    dim: int,
+    bits: int = 16,
+    seed: int = 42,
+):
+    """Random-hyperplane sign-LSH bucket column (SimHash for vectors).
+
+    Unlike ``sign_lsh_bucket`` (raw coordinate signs — capped at the
+    vector's dimensionality and correlated across dims), hyperplane
+    bits are decorrelated and UNLIMITED: pick
+    ``bits ≈ log2(n_vectors / target_bucket_size)`` so bucket sizes
+    stay bounded as the corpus grows (at 10⁹ vectors and target 1k:
+    bits=20). Deterministic planes from the seed — retry-safe.
+    Arrow-batched pandas UDF: one numpy matmul per batch."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, bits))
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @pandas_udf("long")
+    def bucket(s: pd.Series) -> pd.Series:
+        mat = np.array(s.tolist(), dtype=np.float64)
+        if mat.size == 0:
+            return pd.Series([], dtype="int64")
+        signs = (mat @ planes) > 0
+        return pd.Series((signs * weights).sum(axis=1).astype(np.int64))
+
+    return bucket(F.col(vec_col))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 16,
+    rotations: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate embedding pairs above a cosine threshold —
+    the d06 operator at corpus scale.
+
+    Candidates come from ``rotations`` independent hyperplane-LSH
+    bucketings (multi-probe: a near pair missed by one rotation's
+    bucket boundary is caught by another — exact duplicates always
+    collide in every rotation); exact cosine confirms. Blocked recall
+    is still < exhaustive for pairs near the threshold — the standard
+    LSH tradeoff; raise ``rotations`` for recall, ``bits`` for bucket
+    size. Each rotation is one shuffle on its bucket key; no O(n²)
+    stage anywhere."""
+    dim_probe = df.select(F.size(vec_col).alias("d")).first()
+    dim = dim_probe.d if dim_probe else 0
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    cand = None
+    for r in range(rotations):
+        b = base.withColumn(
+            "_bucket",
+            hyperplane_lsh_bucket("_v", dim=dim, bits=bits, seed=seed + r),
+        )
+        a2, b2 = b.alias("a"), b.alias("b")
+        pairs_r = a2.join(
+            b2,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        ).select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            _cos("a._v", "b._v").alias("cosine"),
+        )
+        cand = pairs_r if cand is None else cand.unionAll(pairs_r)
+    return (
+        cand.filter(F.col("cosine") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

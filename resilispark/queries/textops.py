@@ -603,11 +603,15 @@ ORDER BY label, dim
 def d06_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs with sign-LSH blocking.
 
-    The scale path for embedding dedup at 100 TB: block on the 8-bit
-    sign bucket (s02) so the self-join compares within buckets only
-    (candidate set is O(sum of squared bucket sizes), not O(n²)); exact
-    cosine confirms within the block. Blocked recall < exhaustive — the
-    standard LSH tradeoff; multiple rotations would raise it.
+    Blocks on the 8-bit sign bucket (s02) so the self-join compares
+    within buckets only — candidate set is O(sum of squared bucket
+    sizes), not O(n²). 8 fixed bits is sized for the gate corpus (more
+    bits empty every bucket at 500 vectors); at 10⁹+ vectors use
+    ``operators.similarity.embedding_neardup_pairs``, whose
+    random-hyperplane bits scale with the corpus
+    (bits ≈ log2(n / target_bucket)) and whose multi-rotation probing
+    restores recall. Blocked recall < exhaustive either way — the
+    standard LSH tradeoff.
     """
     e = _embs(spark, sf_dir)
     bucket = None

@@ -379,3 +379,58 @@ class TestLshBucketCap:
         got = sorted((r.doc_a, r.doc_b) for r in lsh_bucket_pairs(bands, "doc_id", max_bucket=5).collect())
         want = sorted((r.doc_a, r.doc_b) for r in naive.collect())
         assert got == want and len(want) > 0
+
+
+class TestHyperplaneLsh:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        base = rng.standard_normal((20, 32))
+        rows = []
+        vid = 0
+        for v in base:
+            rows.append((vid, [float(x) for x in v])); vid += 1
+            # an exact duplicate and a slight perturbation per vector
+            rows.append((vid, [float(x) for x in v])); vid += 1
+            rows.append((vid, [float(x) for x in v + rng.standard_normal(32) * 0.01])); vid += 1
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_exact_duplicates_always_found(self, vecs):
+        from resilispark.operators.similarity import embedding_neardup_pairs
+
+        pairs = embedding_neardup_pairs(
+            vecs, threshold=0.999, bits=12, rotations=1
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        # every (3k, 3k+1) exact-duplicate pair collides in any rotation
+        for k in range(20):
+            assert (3 * k, 3 * k + 1) in got
+
+    def test_rotations_raise_recall(self, spark, vecs):
+        from resilispark.operators.similarity import embedding_neardup_pairs
+
+        def recall(rotations):
+            pairs = embedding_neardup_pairs(
+                vecs, threshold=0.99, bits=10, rotations=rotations
+            ).count()
+            return pairs
+
+        r1, r4 = recall(1), recall(4)
+        assert r4 >= r1
+        # brute-force ceiling: rotations=4 finds most true pairs
+        brute = (
+            vecs.alias("a")
+            .join(vecs.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.expr(
+                    "aggregate(zip_with(a.embedding, b.embedding, (x,y)->x*y), cast(0.0 as double), (acc,v)->acc+v)"
+                    " / (sqrt(aggregate(transform(a.embedding, x->x*x), cast(0.0 as double), (acc,v)->acc+v))"
+                    " * sqrt(aggregate(transform(b.embedding, x->x*x), cast(0.0 as double), (acc,v)->acc+v)))"
+                ).alias("cos")
+            )
+            .filter("cos >= 0.99")
+            .count()
+        )
+        assert r4 >= brute * 0.8
