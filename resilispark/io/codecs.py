@@ -1,0 +1,332 @@
+"""Pure-stdlib media codecs for the multimodal operators.
+
+The container has no PIL/libvips/soundfile/ffmpeg, so the decode step
+of the multimodal pipeline implements the formats that CAN be decoded
+with the standard library alone:
+
+ - WAV  (RIFF PCM 8/16/32-bit) via ``wave`` + struct
+ - BMP  (BITMAPINFOHEADER, uncompressed 24/32-bit BI_RGB)
+ - PPM/PGM (netpbm binary P5/P6)
+ - PNG  (8-bit gray/RGB/RGBA, non-interlaced) via zlib inflate +
+   Sub/Up/Average/Paeth unfiltering
+
+Compressed formats that genuinely need native codecs (JPEG, GIF-LZW
+beyond stdlib, MP3/AAC, video) stay behind the documented
+``RESILISPARK_FAKE_DECODE`` stub in ``operators/multimodal.py``.
+
+Everything returns numpy arrays so feature extraction is vectorized.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+
+class UnsupportedMediaError(ValueError):
+    """Payload is not in a format this pure-Python layer can decode."""
+
+
+# ---------------------------------------------------------------------------
+# format sniffing
+# ---------------------------------------------------------------------------
+
+
+def detect_media_format(payload: bytes) -> str | None:
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if payload.startswith(b"BM"):
+        return "bmp"
+    if payload.startswith((b"P5", b"P6", b"P2", b"P3")):
+        return "pnm"
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# audio: WAV
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """(sample_rate, channels, float64 samples in [-1, 1], frames x ch)."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as exc:
+        raise UnsupportedMediaError(f"bad WAV: {exc}") from exc
+    if width == 1:  # unsigned 8-bit
+        arr = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        arr = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise UnsupportedMediaError(f"unsupported WAV sample width {width}")
+    if ch > 1:
+        arr = arr.reshape(-1, ch)
+    return rate, ch, arr
+
+
+def audio_features(samples: np.ndarray) -> tuple[float, float]:
+    """(rms, zero-crossing rate) over the mono mix."""
+    if samples.size == 0:
+        return 0.0, 0.0
+    mono = samples.mean(axis=1) if samples.ndim > 1 else samples
+    rms = float(np.sqrt(np.mean(mono**2)))
+    if len(mono) < 2:
+        return rms, 0.0
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    return rms, zcr
+
+
+# ---------------------------------------------------------------------------
+# images
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """HxWx3 uint8 RGB from an uncompressed 24/32-bit BI_RGB BMP."""
+    if len(payload) < 54 or not payload.startswith(b"BM"):
+        raise UnsupportedMediaError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise UnsupportedMediaError("BMP core header unsupported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise UnsupportedMediaError(f"BMP bpp={bpp} compression={compression}")
+    flip = h > 0
+    h = abs(h)
+    bytes_pp = bpp // 8
+    row_stride = (w * bytes_pp + 3) & ~3
+    need = data_off + row_stride * h
+    if len(payload) < need:
+        raise UnsupportedMediaError("truncated BMP")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * h, offset=data_off
+    ).reshape(h, row_stride)
+    px = rows[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    rgb = px[:, :, 2::-1]  # BGR(A) -> RGB
+    if flip:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """HxWx3 uint8 RGB from binary netpbm (P5 gray / P6 rgb)."""
+    if not payload.startswith((b"P5", b"P6")):
+        raise UnsupportedMediaError("only binary netpbm (P5/P6) supported")
+    # header: magic, whitespace/comment-separated width height maxval
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = nl + 1 if nl >= 0 else len(payload)
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        try:
+            vals.append(int(payload[start:pos]))
+        except ValueError as exc:
+            raise UnsupportedMediaError("bad netpbm header") from exc
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise UnsupportedMediaError("16-bit netpbm unsupported")
+    ch = 3 if payload.startswith(b"P6") else 1
+    need = w * h * ch
+    data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    img = data.reshape(h, w, ch)
+    if ch == 1:
+        img = np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img)
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline PNG filtering; returns (h, w*bpp) uint8."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
+            np.int32
+        )
+        pos += stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    v = line[x] + a
+                elif ftype == 3:
+                    v = line[x] + ((a + b) >> 1)
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pred
+                cur[x] = v & 0xFF
+        else:
+            raise UnsupportedMediaError(f"PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """HxWx3 uint8 RGB from an 8-bit gray/RGB/RGBA non-interlaced PNG."""
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise UnsupportedMediaError("not a PNG")
+    pos = 8
+    w = h = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        pos += 8
+        chunk = payload[pos : pos + length]
+        pos += length + 4  # skip CRC
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif ctype == b"IDAT":
+            idat.extend(chunk)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise UnsupportedMediaError("PNG missing IHDR/IDAT")
+    if bit_depth != 8 or interlace != 0:
+        raise UnsupportedMediaError(
+            f"PNG bit_depth={bit_depth} interlace={interlace} unsupported"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise UnsupportedMediaError(f"PNG color_type={color_type}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise UnsupportedMediaError(f"bad PNG stream: {exc}") from exc
+    if len(raw) != h * (1 + w * channels):
+        raise UnsupportedMediaError("PNG data length mismatch")
+    px = _png_unfilter(raw, w, h, channels).reshape(h, w, channels)
+    if channels == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    elif channels == 2:  # gray+alpha
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    elif channels == 4:
+        rgb = px[:, :, :3]
+    else:
+        rgb = px
+    return np.ascontiguousarray(rgb)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch by magic; HxWx3 uint8 RGB or UnsupportedMediaError."""
+    fmt = detect_media_format(payload)
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "pnm":
+        return decode_pnm(payload)
+    raise UnsupportedMediaError(f"no pure-Python decoder for format {fmt!r}")
+
+
+def image_features(rgb: np.ndarray, bins: int = 5) -> list[float]:
+    """8-dim feature: mean R,G,B (0-1 scaled) + normalized gray
+    histogram over ``bins`` bins — the compact embedding the similarity
+    operators consume."""
+    arr = rgb.astype(np.float64) / 255.0
+    means = arr.reshape(-1, 3).mean(axis=0)
+    gray = arr.reshape(-1, 3).mean(axis=1)
+    hist, _ = np.histogram(gray, bins=bins, range=(0.0, 1.0))
+    hist = hist / max(1, gray.size)
+    return [float(x) for x in means] + [float(x) for x in hist]
+
+
+# ---------------------------------------------------------------------------
+# tiny encoders (test fixtures; also used to round-trip the decoders)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Mono 16-bit PCM WAV from float samples in [-1, 1]."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            (np.clip(samples, -1, 1) * 32767.0).astype("<i2").tobytes()
+        )
+    return buf.getvalue()
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BMP from HxWx3 uint8."""
+    h, w = rgb.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + data
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """8-bit RGB PNG (filter 0 rows) from HxWx3 uint8."""
+    import binascii
+
+    h, w = rgb.shape[:2]
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", binascii.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_pnm(rgb: np.ndarray) -> bytes:
+    h, w = rgb.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()

@@ -3,11 +3,14 @@
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched ``mapInPandas`` operators. The Spark-side plumbing
-(schemas, batch iteration, partitioning) is real and tested; the codec
-step itself is STUBBED behind ``RESILISPARK_FAKE_DECODE`` — the image/
-audio libraries are not in this container. With the env var set, a
-deterministic fake decoder derived from the payload bytes stands in so
-the distributed pipeline can be exercised end to end.
+(schemas, batch iteration, partitioning) is real and tested.
+
+Codec status: PNG, BMP, netpbm images and RIFF/WAV PCM audio decode
+FOR REAL through the pure-stdlib codecs in ``resilispark.io.codecs``
+(no PIL/soundfile in this container). Formats that genuinely need
+native libraries (JPEG, GIF, MP3/AAC, video frames) remain behind the
+documented ``RESILISPARK_FAKE_DECODE`` deterministic stub so the
+distributed pipeline can still be exercised end to end.
 """
 
 from __future__ import annotations
@@ -51,8 +54,9 @@ def _fake_enabled() -> bool:
 
 
 def _decode_image(payload: bytes, fake: bool = False):
-    """Codec boundary. Real implementation needs PIL/libvips (absent in
-    this container)."""
+    """Codec boundary. PNG/BMP/PPM decode for real via the pure-stdlib
+    codecs (io/codecs.py); JPEG/GIF/WebP would need PIL/libvips (absent
+    in this container) and fall back to the documented stub."""
     if fake or _fake_enabled():
         # deterministic fake: dimensions + 8-dim feature from the digest
         h = hashlib.sha256(payload or b"").digest()
@@ -60,10 +64,18 @@ def _decode_image(payload: bytes, fake: bool = False):
         ht = 64 + h[1]
         feat = [b / 255.0 for b in h[:8]]
         return w, ht, feat
-    raise NotImplementedError(
-        "image decode requires PIL/libvips, not present in the base image; "
-        "set RESILISPARK_FAKE_DECODE=1 for the deterministic test stub"
-    )
+    from resilispark.io.codecs import UnsupportedMediaError, decode_image, image_features
+
+    try:
+        rgb = decode_image(payload or b"")
+    except UnsupportedMediaError as exc:
+        raise NotImplementedError(
+            f"no pure-Python decoder for this payload ({exc}); JPEG/GIF "
+            "need PIL/libvips, or set RESILISPARK_FAKE_DECODE=1 for the "
+            "deterministic test stub"
+        ) from exc
+    h, w = rgb.shape[:2]
+    return w, h, image_features(rgb)
 
 
 def extract_image_features(media: DataFrame, *, fake: bool = False) -> DataFrame:
@@ -97,18 +109,27 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def _decode_audio(payload: bytes, fake: bool = False):
-    """Codec boundary. Real implementation needs soundfile/librosa
-    (absent in this container)."""
+    """Codec boundary. RIFF/WAV PCM decodes for real via the
+    pure-stdlib codecs (io/codecs.py); compressed audio (MP3/AAC/OGG)
+    would need soundfile/librosa (absent) and falls back to the stub."""
     if fake or _fake_enabled():
         h = hashlib.sha256(payload or b"").digest()
         rate = 8000 + h[2] * 64
         rms = h[3] / 255.0
         zcr = h[4] / 255.0
         return rate, rms, zcr
-    raise NotImplementedError(
-        "audio decode requires soundfile/librosa, not present in the base "
-        "image; set RESILISPARK_FAKE_DECODE=1 for the deterministic stub"
-    )
+    from resilispark.io.codecs import UnsupportedMediaError, audio_features, decode_wav
+
+    try:
+        rate, _, samples = decode_wav(payload or b"")
+    except UnsupportedMediaError as exc:
+        raise NotImplementedError(
+            f"no pure-Python decoder for this payload ({exc}); compressed "
+            "audio needs soundfile/librosa, or set RESILISPARK_FAKE_DECODE=1 "
+            "for the deterministic test stub"
+        ) from exc
+    rms, zcr = audio_features(samples)
+    return rate, rms, zcr
 
 
 def extract_audio_features(media: DataFrame, *, fake: bool = False) -> DataFrame:

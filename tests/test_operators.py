@@ -434,3 +434,136 @@ class TestHyperplaneLsh:
             .count()
         )
         assert r4 >= brute * 0.8
+
+
+class TestRealCodecs:
+    """Pure-stdlib media decode (io/codecs.py): encoders round-trip
+    through the decoders, and the Spark multimodal operators produce
+    real features from real payloads (fake=False)."""
+
+    def test_wav_roundtrip(self):
+        import numpy as np
+
+        from resilispark.io.codecs import audio_features, decode_wav, encode_wav
+
+        t = np.arange(16000) / 16000.0
+        sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+        payload = encode_wav(sig, rate=16000)
+        rate, ch, samples = decode_wav(payload)
+        assert rate == 16000 and ch == 1
+        assert np.allclose(samples, sig, atol=1e-3)
+        rms, zcr = audio_features(samples)
+        assert abs(rms - 0.5 / 2**0.5) < 0.01  # sine RMS = A/sqrt(2)
+        assert abs(zcr - 2 * 440 / 16000) < 0.01  # 2 crossings per cycle
+
+    def test_bmp_png_pnm_roundtrip(self):
+        import numpy as np
+
+        from resilispark.io.codecs import (
+            decode_bmp, decode_png, decode_pnm,
+            encode_bmp, encode_png, encode_pnm,
+        )
+
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (17, 23, 3), dtype=np.uint8)  # odd stride
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+        assert np.array_equal(decode_pnm(encode_pnm(img)), img)
+
+    def test_png_filtered_rows(self):
+        # exercise Sub/Up/Average/Paeth unfiltering with a hand-built
+        # stream (one row per filter type)
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from resilispark.io.codecs import decode_png, encode_png
+
+        img = np.tile(np.arange(0, 80, 10, dtype=np.uint8).reshape(1, -1, 1), (5, 1, 3))
+        ref = decode_png(encode_png(img))
+        w, h = img.shape[1], img.shape[0]
+        # re-encode with per-row filters 1,2,3,4,0
+        rows = []
+        prev = np.zeros(w * 3, dtype=np.int32)
+        for y, f in zip(range(h), (1, 2, 3, 4, 0)):
+            line = img[y].reshape(-1).astype(np.int32)
+            enc = np.empty_like(line)
+            for x in range(len(line)):
+                a = line[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                if f == 0: pred = 0
+                elif f == 1: pred = a
+                elif f == 2: pred = b
+                elif f == 3: pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (line[x] - pred) & 0xFF
+            rows.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+            prev = line
+        import binascii
+
+        def chunk(ctype, payload):
+            return (struct.pack(">I", len(payload)) + ctype + payload
+                    + struct.pack(">I", binascii.crc32(ctype + payload) & 0xFFFFFFFF))
+
+        png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+               + chunk(b"IEND", b""))
+        assert np.array_equal(decode_png(png), ref)
+
+    def test_spark_real_image_features(self, spark):
+        import numpy as np
+
+        from resilispark.io.codecs import encode_bmp, encode_png
+        from resilispark.operators.multimodal import extract_image_features
+        from resilispark.session import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
+        rng = np.random.RandomState(5)
+        rows = []
+        for i in range(6):
+            img = rng.randint(0, 256, (8 + i, 9 + i, 3), dtype=np.uint8)
+            payload = encode_png(img) if i % 2 else encode_bmp(img)
+            rows.append((str(i), "image/png" if i % 2 else "image/bmp",
+                         bytearray(payload), (9 + i, 8 + i, None, None)))
+        media = spark.createDataFrame(
+            rows,
+            "media_id string, mime string, payload binary, "
+            "meta struct<width:int,height:int,duration_ms:bigint,codec:string>",
+        )
+        out = {r.media_id: r for r in extract_image_features(media, fake=False).collect()}
+        assert len(out) == 6
+        for i in range(6):
+            r = out[str(i)]
+            assert (r.width, r.height) == (9 + i, 8 + i)
+            assert len(r.feature) == 8 and all(0 <= f <= 1 for f in r.feature)
+
+    def test_spark_real_audio_features(self, spark):
+        import numpy as np
+
+        from resilispark.io.codecs import encode_wav
+        from resilispark.operators.multimodal import extract_audio_features
+        from resilispark.session import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
+        t = np.arange(8000) / 8000.0
+        rows = [
+            ("a", "audio/wav", bytearray(encode_wav(0.25 * np.sin(2 * np.pi * 100 * t), rate=8000)),
+             (None, None, 1000, "pcm")),
+            ("b", "audio/wav", bytearray(encode_wav(np.zeros(100), rate=44100)),
+             (None, None, 2, "pcm")),
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id string, mime string, payload binary, "
+            "meta struct<width:int,height:int,duration_ms:bigint,codec:string>",
+        )
+        out = {r.media_id: r for r in extract_audio_features(media, fake=False).collect()}
+        assert out["a"].sample_rate == 8000
+        assert abs(out["a"].rms - 0.25 / 2**0.5) < 0.01
+        assert out["b"].sample_rate == 44100 and out["b"].rms == 0.0
