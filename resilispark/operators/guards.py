@@ -12,15 +12,26 @@ The engine therefore maps the semantics down a level:
  - ``exc_loop(kernel)``: convert exceptions into (None, error) results
    so corrupt rows are quarantined, not fatal (R4,
    resiliparse/itertools.pyx:37-63).
+ - ``mem_guard(iterable, max_rss_bytes)``: per-ITEM RSS watermark check
+   (R2, process_guard.pyx mem_guard) — raises MemGuardExceeded between
+   items once the Python worker's resident set passes the limit, so a
+   memory-eating record batch fails fast with a diagnosable error
+   instead of an executor OOM kill. Granularity is per item, not
+   per allocation (the reference interrupts mid-record via signals;
+   a Python worker cannot safely do that).
+ - ``iter_warc_retry``: offset-resume record iteration over flaky
+   streams (R5, resiliparse/itertools.pyx:66-154 warc_retry) — on a
+   read failure the source is re-opened with a ranged read from the
+   last good record offset and already-yielded records are skipped,
+   so each record is delivered exactly once.
  - task-level hard limits stay with Spark itself
-   (``spark.task.reaper.enabled``, executor memory caps) — R2's
-   mem_guard has no sound per-row analog in a JVM executor.
+   (``spark.task.reaper.enabled``, executor memory caps).
 """
 
 from __future__ import annotations
 
 import concurrent.futures
-from typing import Any, Callable
+from typing import Any, Callable, Iterable, Iterator
 
 _POOL: concurrent.futures.ThreadPoolExecutor | None = None
 
@@ -59,3 +70,106 @@ def exc_loop(kernel: Callable[..., Any]):
             return None, f"{type(exc).__name__}: {exc}"
 
     return wrapped
+
+
+class MemGuardExceeded(MemoryError):
+    """Raised by mem_guard when the RSS watermark passes the limit."""
+
+
+def _current_rss() -> int:
+    import resource
+    import sys
+
+    ru = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # ru_maxrss is KiB on Linux, bytes on macOS
+    return ru * 1024 if sys.platform != "darwin" else ru
+
+
+def mem_guard(
+    items: Iterable[Any],
+    max_rss_bytes: int,
+    *,
+    grace_items: int = 1,
+) -> Iterator[Any]:
+    """Yield from ``items``, failing fast with MemGuardExceeded once the
+    worker's peak RSS passes ``max_rss_bytes`` (R2). ``grace_items``
+    items are always yielded so a limit set below the interpreter's
+    baseline fails with a clear error rather than never starting."""
+    for i, item in enumerate(items):
+        if i >= grace_items:
+            rss = _current_rss()
+            if rss > max_rss_bytes:
+                raise MemGuardExceeded(
+                    f"peak RSS {rss} exceeds mem_guard limit {max_rss_bytes}"
+                )
+        yield item
+
+
+def iter_warc_retry(
+    path: str,
+    *,
+    fs=None,
+    retry_count: int = 3,
+    start: int = 0,
+    end: int | None = None,
+    **filter_opts,
+) -> Iterator[Any]:
+    """Offset-resume WARC record iteration (R5, itertools.pyx:66-154).
+
+    Reads records from ``path`` via the fs abstraction; on any stream
+    failure, re-opens with a ranged read from the LAST SUCCESSFUL
+    record's offset (the seek=False "S3 range request" flavor of the
+    reference's warc_retry — the natural one for http/s3 sources) and
+    skips records already delivered. Exceptions from the re-open also
+    count toward ``retry_count``. retry_count=0/None retries forever
+    (T3 unbounded reading)."""
+    from resilispark.io.fs import get_fs
+    from resilispark.io.warc import (
+        GZIP_MAGIC,
+        LZ4_MAGIC,
+        decode_warc_stream,
+        iter_warc_bytes,
+        iter_warc_range,
+    )
+
+    fs = fs or get_fs(path)
+    size = fs.size(path)
+    stop = size if end is None else min(end, size)
+    head = fs.read_head(path, 8)
+    compressed = head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC)
+
+    pos = start
+    last_pos = -1
+    retries = 0
+    while True:
+        try:
+            if compressed:
+                # resume point must be a MEMBER boundary (a compressed
+                # stream cannot restart mid-member), so track the base
+                # of the member each record came from
+                origin = pos
+                data = fs.read_range(path, origin, stop - origin)
+                for base, plain in decode_warc_stream(data):
+                    member_abs = origin + base
+                    pos = member_abs
+                    for rec in iter_warc_bytes(
+                        plain, stream_pos_base=member_abs, **filter_opts
+                    ):
+                        if rec.stream_pos <= last_pos:
+                            continue  # delivered before the failure
+                        yield rec
+                        last_pos = rec.stream_pos
+            else:
+                for rec in iter_warc_range(
+                    path, pos, stop, file_size=size, opener=fs.open, **filter_opts
+                ):
+                    if rec.stream_pos <= last_pos:
+                        continue
+                    yield rec
+                    last_pos = rec.stream_pos
+                    pos = rec.stream_pos
+            return
+        except Exception:
+            retries += 1
+            if retry_count and retries > retry_count:
+                raise

@@ -567,3 +567,83 @@ class TestRealCodecs:
         assert out["a"].sample_rate == 8000
         assert abs(out["a"].rms - 0.25 / 2**0.5) < 0.01
         assert out["b"].sample_rate == 44100 and out["b"].rms == 0.0
+
+
+class TestResilienceGuards:
+    def test_mem_guard_passes_under_limit(self):
+        from resilispark.operators.guards import mem_guard
+
+        assert list(mem_guard(range(100), 1 << 40)) == list(range(100))
+
+    def test_mem_guard_trips(self):
+        from resilispark.operators.guards import MemGuardExceeded, mem_guard
+
+        with pytest.raises(MemGuardExceeded):
+            list(mem_guard(range(100), 1))  # below interpreter baseline
+
+    @pytest.mark.parametrize("name", ["golden-50.warc", "golden-50.warc.gz"])
+    def test_warc_retry_resumes_exactly_once(self, fixture_dir, name):
+        """A stream that fails twice mid-read still yields every record
+        exactly once (R5 offset-resume, itertools.pyx:66-154)."""
+        from resilispark.io.fs import LocalFS
+        from resilispark.io.warc import iter_warc
+        from resilispark.operators.guards import iter_warc_retry
+
+        path = f"{fixture_dir}/{name}"
+        want = [r.record_id for r in iter_warc(path)]
+
+        class FlakyFS(LocalFS):
+            def __init__(self):
+                self.fails_left = 2
+
+            def read_range(self, p, start, length):
+                data = super().read_range(p, start, length)
+                if self.fails_left and start > 0:
+                    # fail after a partial re-read once resumed
+                    self.fails_left -= 1
+                    raise OSError("simulated stream failure")
+                return data
+
+            def open(self, p, mode="rb"):
+                fs = self
+                real = super().open(p, mode)
+
+                class Flaky:
+                    def __enter__(self):
+                        return self
+
+                    def __exit__(self, *a):
+                        real.close()
+
+                    def seek(self, *a):
+                        return real.seek(*a)
+
+                    def read(self, n=-1):
+                        out = real.read(n)
+                        if fs.fails_left and real.tell() > 4000:
+                            fs.fails_left -= 1
+                            raise OSError("simulated stream failure")
+                        return out
+
+                return Flaky()
+
+        got = [r.record_id for r in iter_warc_retry(path, fs=FlakyFS(), retry_count=5)]
+        assert got == want
+
+    def test_warc_retry_exhausts(self, fixture_dir):
+        from resilispark.io.fs import LocalFS
+        from resilispark.operators.guards import iter_warc_retry
+
+        class AlwaysFail(LocalFS):
+            def read_range(self, p, start, length):
+                raise OSError("down")
+
+            def open(self, p, mode="rb"):
+                raise OSError("down")
+
+        with pytest.raises(OSError):
+            list(
+                iter_warc_retry(
+                    f"{fixture_dir}/golden-50.warc", fs=AlwaysFail(), retry_count=2
+                )
+            )
