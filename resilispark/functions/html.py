@@ -6,12 +6,14 @@ with query_selector et al. — and resiliparse/extract/html2text.pyx —
 the DOM-walk plain-text serializer with main-content heuristics).
 
 Documented divergences from the reference: the tokenizer is Python's
-``html.parser`` (tolerant, but not a full HTML5 tree builder — no
-implicit ``<p>`` auto-closing or foster parenting), and the
-main-content rule stack implements the same rule *classes* (candidate
-selectors, class/id regex blacklists, link-density pruning:
-html2text.pyx:469-520, 530-728) with an independently-written rule
-table rather than a verbatim port.
+``html.parser`` with an implied-end-tag layer on top (unclosed ``<p>``,
+``<li>``, ``<dd>/<dt>``, table rows/cells, ``<option>`` auto-close per
+the HTML5 in-body rules) — but NOT a full HTML5 tree builder: no foster
+parenting of table-misnested content and no adoption-agency
+reconstruction of misnested formatting elements. The main-content rule
+stack implements the same rule *classes* (candidate selectors, class/id
+regex blacklists, link-density pruning: html2text.pyx:469-520, 530-728)
+with an independently-written rule table rather than a verbatim port.
 """
 
 from __future__ import annotations
@@ -83,13 +85,54 @@ class Node:
         return "".join(n.text or "" for n in self.iter() if n.is_text)
 
 
+# HTML5 implied end tags (whatwg spec "closing elements that have
+# implied end tags" + the in-body insertion mode's close-a-p rules):
+# starting tag T auto-closes open tags in CLOSES before any tag in STOP
+_P_CLOSERS = frozenset(
+    "address article aside blockquote details dialog dir div dl fieldset "
+    "figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr main "
+    "menu nav ol p pre section summary table ul".split()
+)
+_AUTOCLOSE: dict[str, tuple[frozenset, frozenset]] = {
+    "li": (frozenset({"li"}), frozenset({"ul", "ol", "menu"})),
+    "dd": (frozenset({"dd", "dt"}), frozenset({"dl"})),
+    "dt": (frozenset({"dd", "dt"}), frozenset({"dl"})),
+    "tr": (frozenset({"tr", "td", "th"}), frozenset({"table", "thead", "tbody", "tfoot"})),
+    "td": (frozenset({"td", "th"}), frozenset({"tr", "table"})),
+    "th": (frozenset({"td", "th"}), frozenset({"tr", "table"})),
+    "thead": (frozenset({"thead", "tbody", "tfoot", "tr", "td", "th", "caption", "colgroup"}), frozenset({"table"})),
+    "tbody": (frozenset({"thead", "tbody", "tfoot", "tr", "td", "th", "caption", "colgroup"}), frozenset({"table"})),
+    "tfoot": (frozenset({"thead", "tbody", "tfoot", "tr", "td", "th", "caption", "colgroup"}), frozenset({"table"})),
+    "option": (frozenset({"option"}), frozenset({"select", "optgroup"})),
+    "optgroup": (frozenset({"option", "optgroup"}), frozenset({"select"})),
+    "a": (frozenset({"a"}), frozenset(BLOCK_ELEMENTS)),
+}
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = Node("#document")
         self.stack = [self.root]
 
+    def _autoclose(self, closes: frozenset, stop: frozenset):
+        """Pop the innermost open tag in ``closes`` if it appears above
+        any ``stop`` scope boundary — the implied-end-tag step real-web
+        HTML relies on (unclosed <p>, <li>, <tr>, ...)."""
+        for i in range(len(self.stack) - 1, 0, -1):
+            t = self.stack[i].tag
+            if t in closes:
+                del self.stack[i:]
+                return
+            if t in stop:
+                return
+
     def handle_starttag(self, tag, attrs):
+        if tag in _P_CLOSERS:
+            self._autoclose(frozenset({"p"}), frozenset({"body", "html"}))
+        rule = _AUTOCLOSE.get(tag)
+        if rule:
+            self._autoclose(*rule)
         node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
         node.parent = self.stack[-1]
         self.stack[-1].children.append(node)

@@ -333,3 +333,60 @@ class TestLangCoverage:
             if lang in unique:
                 got, _ = detect_fast(text)
                 assert got == lang, f"{lang} -> {got}"
+
+
+class TestImpliedEndTags:
+    """Real-web HTML omits closers; the tree builder applies the HTML5
+    implied-end-tag rules (F10 — html.parser + implied-end layer)."""
+
+    def test_unclosed_paragraphs(self):
+        from resilispark.functions.html import extract_plain_text, parse_html
+
+        root = parse_html("<body><p>one<p>two<p>three</body>")
+        body = root.children[0]
+        assert [c.tag for c in body.children] == ["p", "p", "p"]
+        assert extract_plain_text("<p>one<p>two") == "one\n\ntwo"
+
+    def test_p_closed_by_block(self):
+        from resilispark.functions.html import parse_html
+
+        root = parse_html("<body><p>text<div>block</div></body>")
+        body = root.children[0]
+        assert [c.tag for c in body.children] == ["p", "div"]
+
+    def test_unclosed_list_items(self):
+        from resilispark.functions.html import extract_plain_text, parse_html
+
+        root = parse_html("<ul><li>a<li>b<li>c</ul>")
+        ul = root.children[0]
+        assert [c.tag for c in ul.children] == ["li", "li", "li"]
+        assert extract_plain_text("<ul><li>a<li>b</ul>") == "  • a\n  • b"
+
+    def test_nested_list_stays_nested(self):
+        from resilispark.functions.html import parse_html
+
+        root = parse_html("<ul><li>a<ul><li>x<li>y</ul><li>b</ul>")
+        ul = root.children[0]
+        assert len([c for c in ul.children if c.tag == "li"]) == 2
+        inner = [c for c in ul.children[0].children if c.tag == "ul"][0]
+        assert len([c for c in inner.children if c.tag == "li"]) == 2
+
+    def test_unclosed_table_cells(self):
+        from resilispark.functions.html import parse_html, query_selector_all
+
+        root = parse_html(
+            "<table><tr><td>a<td>b<tr><td>c<th>d</table>"
+        )
+        assert len(query_selector_all(root, "tr")) == 2
+        assert len(query_selector_all(root, "td")) == 3
+        assert len(query_selector_all(root, "th")) == 1
+
+    def test_unclosed_dt_dd_options(self):
+        from resilispark.functions.html import parse_html, query_selector_all
+
+        root = parse_html("<dl><dt>t1<dd>d1<dt>t2<dd>d2</dl>")
+        assert len(query_selector_all(root, "dt")) == 2
+        assert len(query_selector_all(root, "dd")) == 2
+        root = parse_html("<select><option>x<option>y</select>")
+        sel = query_selector_all(root, "select")[0]
+        assert [c.tag for c in sel.children if not c.is_text] == ["option", "option"]
