@@ -22,68 +22,94 @@ from __future__ import annotations
 import codecs
 import re
 
-# WHATWG encoding-label map (subset covering the labels that differ from
-# their canonical python codec; built from the public WHATWG spec table).
-_WHATWG_MAP = {
-    "iso-8859-1": "cp1252",
-    "latin1": "cp1252",
-    "latin-1": "cp1252",
-    "us-ascii": "cp1252",
-    "ascii": "cp1252",
-    "windows-1252": "cp1252",
-    "x-cp1252": "cp1252",
-    "iso-8859-9": "cp1254",
-    "latin5": "cp1254",
-    "iso-8859-11": "cp874",
-    "tis-620": "cp874",
-    "windows-874": "cp874",
-    "shift-jis": "shift_jis",
-    "shift_jis": "shift_jis",
-    "sjis": "shift_jis",
-    "x-sjis": "shift_jis",
-    "ms932": "cp932",
-    "windows-31j": "cp932",
-    "euc-jp": "euc_jp",
-    "x-euc-jp": "euc_jp",
-    "euc-kr": "euc_kr",
-    "korean": "euc_kr",
-    "ks_c_5601-1987": "euc_kr",
-    "windows-949": "euc_kr",
-    "gb2312": "gbk",
-    "gb_2312": "gbk",
-    "x-gbk": "gbk",
-    "chinese": "gbk",
-    "big5": "big5",
-    "big5-hkscs": "big5hkscs",
-    "koi8-r": "koi8_r",
-    "koi8": "koi8_r",
-    "koi8-u": "koi8_u",
-    "mac": "mac_roman",
-    "macintosh": "mac_roman",
-    "x-mac-cyrillic": "mac_cyrillic",
-    "utf8": "utf-8",
-    "unicode-1-1-utf-8": "utf-8",
-    "utf-16": "utf-16",
-    "utf-16le": "utf-16-le",
-    "utf-16be": "utf-16-be",
-    "iso-8859-2": "iso8859-2",
-    "latin2": "iso8859-2",
-    "iso-8859-5": "iso8859-5",
-    "iso-8859-6": "iso8859-6",
-    "iso-8859-7": "iso8859-7",
-    "iso-8859-8": "iso8859-8",
-    "iso-8859-8-i": "iso8859-8",
-    "iso-8859-13": "iso8859-13",
-    "iso-8859-15": "iso8859-15",
-    "windows-1250": "cp1250",
-    "windows-1251": "cp1251",
-    "windows-1253": "cp1253",
-    "windows-1254": "cp1254",
-    "windows-1255": "cp1255",
-    "windows-1256": "cp1256",
-    "windows-1257": "cp1257",
-    "windows-1258": "cp1258",
+# Full WHATWG encoding-label table (built from the public WHATWG
+# Encoding Standard's labels table — all ~225 labels over the 39
+# canonical encodings — independently transcribed, then mapped onto
+# Python codec names). Notable decode-superset choices follow the
+# spec's indices: WHATWG shift_jis carries the NEC/IBM extensions
+# (python cp932), euc-kr is the UHC index (cp949), big5 includes the
+# HKSCS extension rows (big5hkscs), and gb2312 labels decode as gbk.
+_WHATWG_ENCODINGS: dict[str, tuple[str, ...]] = {
+    # python codec -> WHATWG labels
+    "utf-8": ("unicode-1-1-utf-8", "unicode11utf8", "unicode20utf8",
+              "utf-8", "utf8", "x-unicode20utf8"),
+    "cp866": ("866", "cp866", "csibm866", "ibm866"),
+    "iso8859-2": ("csisolatin2", "iso-8859-2", "iso-ir-101", "iso8859-2",
+                  "iso88592", "iso_8859-2", "iso_8859-2:1987", "l2", "latin2"),
+    "iso8859-3": ("csisolatin3", "iso-8859-3", "iso-ir-109", "iso8859-3",
+                  "iso88593", "iso_8859-3", "iso_8859-3:1988", "l3", "latin3"),
+    "iso8859-4": ("csisolatin4", "iso-8859-4", "iso-ir-110", "iso8859-4",
+                  "iso88594", "iso_8859-4", "iso_8859-4:1988", "l4", "latin4"),
+    "iso8859-5": ("csisolatincyrillic", "cyrillic", "iso-8859-5", "iso-ir-144",
+                  "iso8859-5", "iso88595", "iso_8859-5", "iso_8859-5:1988"),
+    "iso8859-6": ("arabic", "asmo-708", "csiso88596e", "csiso88596i",
+                  "csisolatinarabic", "ecma-114", "iso-8859-6", "iso-8859-6-e",
+                  "iso-8859-6-i", "iso-ir-127", "iso8859-6", "iso88596",
+                  "iso_8859-6", "iso_8859-6:1987"),
+    "iso8859-7": ("csisolatingreek", "ecma-118", "elot_928", "greek", "greek8",
+                  "iso-8859-7", "iso-ir-126", "iso8859-7", "iso88597",
+                  "iso_8859-7", "iso_8859-7:1987", "sun_eu_greek"),
+    "iso8859-8": ("csiso88598e", "csisolatinhebrew", "hebrew", "iso-8859-8",
+                  "iso-8859-8-e", "iso-ir-138", "iso8859-8", "iso88598",
+                  "iso_8859-8", "iso_8859-8:1988", "visual",
+                  # iso-8859-8-i (logical order) shares the byte map
+                  "csiso88598i", "iso-8859-8-i", "logical"),
+    "iso8859-10": ("csisolatin6", "iso-8859-10", "iso-ir-157", "iso8859-10",
+                   "iso885910", "l6", "latin6"),
+    "iso8859-13": ("iso-8859-13", "iso8859-13", "iso885913"),
+    "iso8859-14": ("iso-8859-14", "iso8859-14", "iso885914"),
+    "iso8859-15": ("csisolatin9", "iso-8859-15", "iso8859-15", "iso885915",
+                   "iso_8859-15", "l9"),
+    "iso8859-16": ("iso-8859-16",),
+    "koi8_r": ("cskoi8r", "koi", "koi8", "koi8-r", "koi8_r"),
+    "koi8_u": ("koi8-ru", "koi8-u"),
+    "mac_roman": ("csmacintosh", "mac", "macintosh", "x-mac-roman"),
+    "cp874": ("dos-874", "iso-8859-11", "iso8859-11", "iso885911",
+              "tis-620", "windows-874"),
+    "cp1250": ("cp1250", "windows-1250", "x-cp1250"),
+    "cp1251": ("cp1251", "windows-1251", "x-cp1251"),
+    "cp1252": ("ansi_x3.4-1968", "ascii", "cp1252", "cp819", "csisolatin1",
+               "ibm819", "iso-8859-1", "iso-ir-100", "iso8859-1", "iso88591",
+               "iso_8859-1", "iso_8859-1:1987", "l1", "latin1", "latin-1",
+               "us-ascii", "windows-1252", "x-cp1252"),
+    "cp1253": ("cp1253", "windows-1253", "x-cp1253"),
+    "cp1254": ("cp1254", "csisolatin5", "iso-8859-9", "iso-ir-148",
+               "iso8859-9", "iso88599", "iso_8859-9", "iso_8859-9:1989",
+               "l5", "latin5", "windows-1254", "x-cp1254"),
+    "cp1255": ("cp1255", "windows-1255", "x-cp1255"),
+    "cp1256": ("cp1256", "windows-1256", "x-cp1256"),
+    "cp1257": ("cp1257", "windows-1257", "x-cp1257"),
+    "cp1258": ("cp1258", "windows-1258", "x-cp1258"),
+    "mac_cyrillic": ("x-mac-cyrillic", "x-mac-ukrainian"),
+    "gbk": ("chinese", "csgb2312", "csiso58gb231280", "gb2312", "gb_2312",
+            "gb_2312-80", "gbk", "iso-ir-58", "x-gbk"),
+    "gb18030": ("gb18030",),
+    "big5hkscs": ("big5", "big5-hkscs", "cn-big5", "csbig5", "x-x-big5"),
+    "euc_jp": ("cseucpkdfmtjapanese", "euc-jp", "x-euc-jp"),
+    "iso2022_jp": ("csiso2022jp", "iso-2022-jp"),
+    "cp932": ("csshiftjis", "ms932", "ms_kanji", "shift-jis", "shift_jis",
+              "sjis", "windows-31j", "x-sjis"),
+    "cp949": ("cseuckr", "csksc56011987", "euc-kr", "iso-ir-149", "korean",
+              "ks_c_5601-1987", "ks_c_5601-1989", "ksc5601", "ksc_5601",
+              "windows-949"),
+    # the spec's "replacement" encoding decodes any input to a single
+    # U+FFFD; python has no such codec, so these fall through to the
+    # utf-8 fallback in map_encoding_to_html5 (never raises)
+    None: ("csiso2022kr", "hz-gb-2312", "iso-2022-cn", "iso-2022-cn-ext",
+           "iso-2022-kr", "replacement"),
+    "utf-16-be": ("unicodefffe", "utf-16be"),
+    "utf-16-le": ("csunicode", "iso-10646-ucs-2", "ucs-2", "unicode",
+                  "unicodefeff", "utf-16", "utf-16le"),
+    # x-user-defined maps high bytes to U+F780+; latin-1 is the closest
+    # lossless-roundtrip python codec (documented approximation)
+    "latin-1": ("x-user-defined",),
 }
+
+_WHATWG_MAP: dict[str, str | None] = {}
+for _codec, _labels in _WHATWG_ENCODINGS.items():
+    for _label in _labels:
+        _WHATWG_MAP[_label] = _codec
+
 
 _META_CHARSET = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?\s*([\w][\w.:-]*)""", re.IGNORECASE
@@ -103,6 +129,8 @@ def map_encoding_to_html5(encoding: str | None, fallback_utf8: bool = True) -> s
         return "utf-8" if fallback_utf8 else None
     label = encoding.strip().lower()
     mapped = _WHATWG_MAP.get(label, label)
+    if mapped is None:  # WHATWG "replacement" encoding: no python codec
+        return "utf-8" if fallback_utf8 else None
     try:
         return codecs.lookup(mapped).name
     except LookupError:

@@ -390,3 +390,40 @@ class TestImpliedEndTags:
         root = parse_html("<select><option>x<option>y</select>")
         sel = query_selector_all(root, "select")[0]
         assert [c.tag for c in sel.children if not c.is_text] == ["option", "option"]
+
+
+def test_whatwg_label_table_complete():
+    """F2: the full WHATWG label set resolves — one spot label per
+    canonical encoding plus the oddball aliases real crawls hit."""
+    import codecs
+
+    from resilispark.functions.encoding import _WHATWG_MAP, map_encoding_to_html5
+
+    assert len(_WHATWG_MAP) >= 220
+    spot = {
+        "ansi_x3.4-1968": "cp1252",
+        "asmo-708": "iso8859-6",
+        "sun_eu_greek": "iso8859-7",
+        "visual": "iso8859-8",
+        "logical": "iso8859-8",
+        "dos-874": "cp874",
+        "x-mac-ukrainian": "mac_cyrillic",
+        "csiso58gb231280": "gbk",
+        "cn-big5": "big5hkscs",
+        "ms_kanji": "cp932",
+        "ks_c_5601-1989": "cp949",
+        "unicodefffe": "utf-16-be",
+        "iso-10646-ucs-2": "utf-16-le",
+        "866": "cp866",
+    }
+    for label, want in spot.items():
+        got = map_encoding_to_html5(label)
+        assert got == codecs.lookup(want).name, (label, got)
+    # the replacement encoding family never resolves to a live codec
+    for label in ("hz-gb-2312", "iso-2022-kr", "replacement"):
+        assert map_encoding_to_html5(label, fallback_utf8=False) is None
+    # every label decodes b"abc" without raising through bytes_to_str
+    from resilispark.functions.encoding import bytes_to_str
+
+    for label in _WHATWG_MAP:
+        assert isinstance(bytes_to_str(b"abc", label), str)
