@@ -454,11 +454,9 @@ class WarcDataSourceWriter(DataSourceWriter):
         self.path = self.options.get("path")
         if not self.path:
             raise ValueError("warc writer requires a path")
-        if split_scheme(self.path)[0] != "file":
-            raise NotImplementedError(
-                "the warc writer targets local paths; write locally and "
-                "upload, or use a distributed object-store sink"
-            )
+        self.scheme = split_scheme(self.path)[0]
+        if self.scheme in ("http", "https"):
+            raise NotImplementedError("http(s) destinations are read-only")
         self.compression = self.options.get("compression", "gzip").lower()
         if self.compression in ("none", "", "uncompressed"):
             self.compression = "none"
@@ -469,13 +467,13 @@ class WarcDataSourceWriter(DataSourceWriter):
             )
         self.cdxj = str(self.options.get("cdxj", "")).lower() in ("1", "true", "yes")
         self.overwrite = overwrite
-        if overwrite and os.path.isdir(self.path):
+        if overwrite:
             # mode("overwrite") replaces prior output (runs on the
-            # driver, before any task writes)
-            import glob as _g
-
-            for old in _g.glob(os.path.join(self.path, "part-*.warc*")):
-                os.remove(old)
+            # driver, before any task writes); remote schemes list and
+            # delete through the fs layer
+            fs = get_fs(self.path)
+            for old in fs.glob(posixpath.join(self.path, "part-*.warc*")):
+                fs.delete(old)
 
     def write(self, iterator) -> _WarcCommit:
         import uuid
@@ -486,11 +484,23 @@ class WarcDataSourceWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
-        os.makedirs(self.path, exist_ok=True)
         ext = {"gzip": ".warc.gz", "lz4": ".warc.lz4", "none": ".warc"}[
             self.compression
         ]
-        out = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{ext}")
+        name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{ext}"
+        remote = self.scheme != "file"
+        if remote:
+            # task-local staging, then one upload per part file — each
+            # executor uploads only its own output, never the driver
+            import tempfile
+
+            stage_dir = tempfile.mkdtemp(prefix="resilispark-warc-")
+            out = os.path.join(stage_dir, name)
+            final = posixpath.join(self.path, name)
+        else:
+            os.makedirs(self.path, exist_ok=True)
+            out = os.path.join(self.path, name)
+            final = out
 
         def to_records():
             for row in iterator:
@@ -520,15 +530,29 @@ class WarcDataSourceWriter(DataSourceWriter):
             checksum_data=True,
             cdxj_sidecar=self.cdxj,
         )
-        return _WarcCommit(path=out, n_records=n)
+        if remote:
+            import shutil
+
+            fs = get_fs(final)
+            fs.put_file(out, final)
+            if self.cdxj:
+                fs.put_file(out + ".cdxj", final + ".cdxj")
+            shutil.rmtree(stage_dir, ignore_errors=True)
+        return _WarcCommit(path=final, n_records=n)
 
     def commit(self, messages):
         pass
 
     def abort(self, messages):
         for m in messages:
-            if m and os.path.exists(m.path):
-                os.remove(m.path)
+            if not m:
+                continue
+            try:
+                fs = get_fs(m.path)
+                if fs.exists(m.path):
+                    fs.delete(m.path)
+            except Exception:
+                pass  # best-effort cleanup
 
 
 class WarcDataSource(DataSource):

@@ -84,6 +84,18 @@ class FileSystem:
     def read_head(self, path: str, n: int = 8) -> bytes:
         return self.read_range(path, 0, n)
 
+    def put_file(self, local_path: str, dest_path: str) -> None:
+        """Upload a local file to ``dest_path`` (write-side hook for the
+        WARC writer: tasks write locally, then upload one object)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support uploads"
+        )
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support deletes"
+        )
+
 
 class LocalFS(FileSystem):
     scheme = "file"
@@ -118,6 +130,17 @@ class LocalFS(FileSystem):
 
     def isdir(self, path: str) -> bool:
         return os.path.isdir(self._strip(path))
+
+    def put_file(self, local_path: str, dest_path: str) -> None:
+        import shutil
+
+        dest = self._strip(dest_path)
+        os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+        if os.path.abspath(local_path) != os.path.abspath(dest):
+            shutil.copyfile(local_path, dest)
+
+    def delete(self, path: str) -> None:
+        os.remove(self._strip(path))
 
 
 class MemoryFS(FileSystem):
@@ -197,6 +220,13 @@ class MemoryFS(FileSystem):
     def put(self, path: str, data: bytes) -> None:
         with self.open(path, "wb") as f:
             f.write(bytes(data))
+
+    def put_file(self, local_path: str, dest_path: str) -> None:
+        import shutil
+
+        loc = self._loc(dest_path)
+        os.makedirs(os.path.dirname(loc), exist_ok=True)
+        shutil.copyfile(local_path, loc)
 
     def delete(self, path: str) -> None:
         os.remove(self._loc(path))
@@ -427,6 +457,15 @@ class S3FS(FileSystem):
                 return b""
             raise
         return resp["Body"].read()
+
+    def put_file(self, local_path: str, dest_path: str) -> None:
+        bucket, key = self._bk(dest_path)
+        # multipart-aware managed upload; requires write credentials
+        self._cli().upload_file(local_path, bucket, key)
+
+    def delete(self, path: str) -> None:
+        bucket, key = self._bk(path)
+        self._cli().delete_object(Bucket=bucket, Key=key)
 
 
 _LOCAL = LocalFS()

@@ -274,3 +274,26 @@ def test_writer_unknown_compression_raises(spark, fixture_dir, tmp_path):
         df.write.format("warc").option("compression", "zstd").mode(
             "append"
         ).save(str(tmp_path / "bad"))
+
+
+def test_writer_remote_memory_roundtrip(spark, memfs, fixture_dir):
+    """S9 to a remote scheme: tasks stage locally and upload one object
+    each; the output is immediately scannable from the same scheme."""
+    df = _load(spark, f"{fixture_dir}/golden-50.warc.gz", parse_http="false")
+    out = "memory://writer-out"
+    df.write.format("warc").option("cdxj", "true").mode("overwrite").save(out)
+    files = MemoryFS().glob("memory://writer-out/part-*.warc.gz")
+    assert files
+    back = _load(spark, out)
+    assert back.count() == 50
+    # overwrite replaces instead of appending
+    df.write.format("warc").mode("overwrite").save(out)
+    back2 = _load(spark, out)
+    assert back2.count() == 50
+    MemoryFS().clear()
+
+
+def test_writer_http_rejected(spark, fixture_dir):
+    df = _load(spark, f"{fixture_dir}/golden-50.warc.gz", parse_http="false")
+    with pytest.raises(Exception, match="read-only"):
+        df.write.format("warc").mode("append").save("http://example.org/out")
