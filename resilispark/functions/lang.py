@@ -112,6 +112,7 @@ _SCRIPT_RANGES = (
     (0x0980, 0x09FF, "bengali"),
     (0x0A00, 0x0A7F, "gurmukhi"),
     (0x0A80, 0x0AFF, "gujarati"),
+    (0x0B00, 0x0B7F, "odia"),
     (0x0B80, 0x0BFF, "tamil"),
     (0x0C00, 0x0C7F, "telugu"),
     (0x0C80, 0x0CFF, "kannada"),
@@ -119,6 +120,7 @@ _SCRIPT_RANGES = (
     (0x0D80, 0x0DFF, "sinhala"),
     (0x0E00, 0x0E7F, "thai"),
     (0x0E80, 0x0EFF, "lao"),
+    (0x0F00, 0x0FFF, "tibetan"),
     (0x1000, 0x109F, "myanmar"),
     (0x10A0, 0x10FF, "georgian"),
     (0x1200, 0x137F, "ethiopic"),
@@ -134,12 +136,16 @@ _SCRIPT_RANGES = (
 # each other)
 _SCRIPT_LANGS: dict[str, str | frozenset[str]] = {
     "greek": "el",
-    "cyrillic": frozenset({"ru", "uk", "be", "bg", "sr", "mk", "kk", "ky", "mn", "tg"}),
+    "cyrillic": frozenset(
+        {"ru", "uk", "be", "bg", "sr", "mk", "kk", "ky", "mn", "tg", "tt", "ba"}
+    ),
     "armenian": "hy",
     "hebrew": frozenset({"he", "yi"}),
-    "arabic": frozenset({"ar", "fa", "ur", "ps"}),
-    "devanagari": frozenset({"hi", "mr", "ne"}),
+    "arabic": frozenset({"ar", "fa", "ur", "ps", "sd", "ug"}),
+    "devanagari": frozenset({"hi", "mr", "ne", "sa"}),
     "bengali": "bn",
+    "odia": "or",
+    "tibetan": "bo",
     "gurmukhi": "pa",
     "gujarati": "gu",
     "tamil": "ta",

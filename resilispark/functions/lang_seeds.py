@@ -660,6 +660,160 @@ SEEDS: dict[str, str] = {
         "건너편으로 실어 날랐다. 그곳의 시장은 일찍 열렸고 빵은 여전히 따뜻했다. "
         "다리 위에서 지켜보던 사람들은 모두 올해가 좋은 해가 될 것이라고 말했다."
     ),
+    # ---- constructed / smaller European -----------------------------
+    "eo": (
+        "La rapida studado de lingvo estas fenestro al tio, kiel homoj "
+        "pensas. Ĉiun matenon la malnova pramo transiris la grizan "
+        "riveron, portante laboristojn, studentojn kaj kelkajn dormemajn "
+        "vojaĝantojn al la alia bordo, kie la merkatoj malfermiĝis frue "
+        "kaj la pano estis ankoraŭ varma. Ĉiuj, kiuj rigardis de la "
+        "ponto, diris, ke ĉi tiu jaro estos bona jaro."
+    ),
+    "io": (
+        "La rapida studio di linguo esas fenestro a quale homi pensas. "
+        "Singla matino la olda pramo transiris la griza rivero, portante "
+        "laboristi, studenti e kelka dormema voyajanti a l'altra bordo, "
+        "ube la merkati apertesis frue e la pano esis ankore varma. Omni "
+        "qui regardis de la ponto dicis ke ca yaro esos bona."
+    ),
+    "fo": (
+        "At kanna mál skjótt er ein gluggi inn í hugsunarhátt fólks. "
+        "Hvønn morgun fór gamla ferjan yvir um gráu ánna við "
+        "arbeiðsfólki, lesandi og nøkrum syvnum ferðafólkum yvir á hin "
+        "bakkan, har marknaðirnir lótu upp tíðliga og breyðið enn var "
+        "heitt. Øll, sum hugdu av brúnni, søgdu, at hetta fór at verða "
+        "eitt gott ár."
+    ),
+    "fy": (
+        "It fluch bestudearjen fan taal is in finster op hoe't minsken "
+        "tinke. Alle moarnen stiek de âlde pont de grize rivier oer mei "
+        "arbeiders, studinten en in pear sliepperige reizgers nei de "
+        "oare kant, dêr't de merken betiid iepen giene en it bôle noch "
+        "waarm wie. Elkenien dy't fan 'e brêge seach, sei dat dit in "
+        "goed jier wurde soe."
+    ),
+    "br": (
+        "Studiañ ur yezh buan a zo ur prenestr war an doare ma sonj an "
+        "dud. Bep mintin e treuze ar vag kozh ar stêr c'hris, o tougen "
+        "labourerien, studierien hag un nebeud beajourien gousket betek "
+        "an tu all, e-lec'h ma tigore ar marc'hadoù abred hag e chome "
+        "tomm ar bara. An holl re a selle eus ar pont a lavare e vefe "
+        "ur bloavezh mat."
+    ),
+    "gd": (
+        "Tha sgrùdadh luath air cànan na uinneag air mar a bhios daoine "
+        "a' smaoineachadh. Gach madainn chaidh an t-seann aiseag thar na "
+        "h-aibhne glaise, a' giùlan luchd-obrach, oileanaich agus "
+        "beagan luchd-siubhail cadalach chun a' chladaich eile, far an "
+        "do dh'fhosgail na margaidhean tràth agus bha an t-aran fhathast "
+        "blàth. Thuirt a h-uile duine a bha a' coimhead bhon drochaid "
+        "gum biodh seo na bhliadhna mhath."
+    ),
+    "rm": (
+        "Studegiar ina lingua svelt è ina fanestra sin co che la glieud "
+        "pensa. Mintga damaun traversava la veglia bartga il flum grisch "
+        "cun lavurants, students ed in pèr viagiaturs sunnegiads fin a "
+        "l'autra riva, nua ch'ils martgads avrivan baud ed il paun era "
+        "anc chaud. Tuts che guardavan da la punt schevan che quest onn "
+        "vegn ad esser in bun onn."
+    ),
+    "sc": (
+        "S'istùdiu lestru de una limba est una ventana subra comente "
+        "pensat sa gente. Dònnia mangianu sa barca betza colaiat su "
+        "riu murru giughende traballadores, istudiantes e carchi "
+        "biagiadore dormidu a s'àtera oru, in ue sos mercados aberiant "
+        "chitzo e su pane fiat galu caente. Totus sos chi abbaidaiant "
+        "dae su ponte naraiant chi custu annu diat èssere bonu."
+    ),
+    # ---- Latin script: Asia / Africa additions ----------------------
+    "jv": (
+        "Nyinaoni basa kanthi cepet iku jendela kanggo ndeleng carane "
+        "wong mikir. Saben esuk prau tuwa iku nyabrang kali klawu, "
+        "nggawa buruh, murid lan sawetara penumpang ngantuk menyang "
+        "sabrang, ing kono pasar wis bukak esuk lan rotine isih anget. "
+        "Kabeh sing ndeleng saka kreteg padha kandha yen taun iki bakal "
+        "dadi taun sing apik."
+    ),
+    "mg": (
+        "Ny fandalinana haingana ny fiteny dia varavarankely mijery ny "
+        "fomba fisainan'ny olona. Isa-maraina ny lakana taloha dia "
+        "niampita ny renirano volondavenona, nitondra mpiasa, mpianatra "
+        "ary mpandeha vitsivitsy rendremana ho any amin'ny ilany, izay "
+        "nisokatra maraina ny tsena ary mbola mafana ny mofo. Izay "
+        "rehetra nijery teo amin'ny tetezana dia nilaza fa ho taona "
+        "tsara ity taona ity."
+    ),
+    "ku": (
+        "Lêkolîna bilez a zimên pencereyek e ku mirov çawa difikirin. "
+        "Her sibe keştiya kevn çemê gewr derbas dikir, karker, xwendekar "
+        "û çend rêwiyên xewle dibirin aliyê din, li wir bazar zû vedibûn "
+        "û nan hîn germ bû. Her kesê ku ji pirê temaşe dikir digot ku ev "
+        "sal dê saleke baş be."
+    ),
+    "tk": (
+        "Dili çalt öwrenmek adamlaryň nähili pikirlenýändigini görkezýän "
+        "penjiredir. Her gün irden köne gämi çal derýadan geçip, "
+        "işçileri, talyplary we birnäçe ukuly ýolagçyny beýleki kenara "
+        "äkidýärdi; ol ýerde bazarlar ir açylýardy we çörek entek "
+        "gyzgyndy. Köprüden seredýänleriň hemmesi bu ýylyň gowy ýyl "
+        "boljakdygyny aýdýardylar."
+    ),
+    # ---- Cyrillic additions -----------------------------------------
+    "tt": (
+        "Телне тиз өйрәнү — кешеләрнең ничек уйлаганын күрсәтә торган "
+        "тәрәзә. Һәр иртә иске көймә соры елга аша эшчеләрне, "
+        "студентларны һәм берничә йокылы юлчыны аргы ярга алып бара "
+        "иде; анда базарлар иртә ачыла, икмәк әле җылы була иде. "
+        "Күпердән караучыларның барысы да бу елның яхшы ел булачагын "
+        "әйтә иде."
+    ),
+    "ba": (
+        "Телде тиҙ өйрәнеү — кешеләрҙең нисек уйлағанын күрһәткән "
+        "тәҙрә. Һәр иртән иҫке кәмә һоро йылға аша эшселәрҙе, "
+        "студенттарҙы һәм бер нисә йоҡло юлсыны аръяҡҡа алып бара ине; "
+        "унда баҙарҙар иртә асыла, икмәк әле йылы була ине. Күперҙән "
+        "ҡараусыларҙың барыһы ла был йылдың яҡшы йыл буласағын әйтә "
+        "ине."
+    ),
+    # ---- Arabic-script additions ------------------------------------
+    "sd": (
+        "ٻوليءَ جو تڪڙو اڀياس هڪ دري آهي ته ماڻهو ڪيئن سوچين ٿا. هر صبح "
+        "پراڻي ٻيڙي ڀوري درياهه پار ڪندي هئي، مزدورن، شاگردن ۽ ڪجهه "
+        "ننڊاکڙن مسافرن کي ٻئي ڪناري پهچائيندي هئي، جتي بازار سوير "
+        "کلندا هئا ۽ ماني اڃا گرم هوندي هئي. پل تان ڏسندڙ سڀ چوندا هئا "
+        "ته هي سال سٺو سال ٿيندو."
+    ),
+    "ug": (
+        "تىلنى تېز ئۆگىنىش كىشىلەرنىڭ قانداق ئويلايدىغانلىقىنى "
+        "كۆرسىتىدىغان بىر كۆزنەكتۇر. ھەر كۈنى ئەتىگەندە كونا پاراخوت "
+        "كۈلرەڭ دەريادىن ئۆتۈپ، ئىشچىلار، ئوقۇغۇچىلار ۋە بىرنەچچە "
+        "ئۇيقۇلۇق يولۇچىنى قارشى قىرغاققا ئاپىراتتى؛ ئۇ يەردە بازارلار "
+        "بالدۇر ئېچىلاتتى، نان تېخى ئىسسىق ئىدى."
+    ),
+    # ---- Indic additions --------------------------------------------
+    "sa": (
+        "भाषायाः शीघ्रम् अध्ययनं जनाः कथं चिन्तयन्ति इति दर्शयति "
+        "गवाक्षः। प्रतिदिनं प्रातः पुरातनी नौका धूसरां नदीं तीर्त्वा "
+        "श्रमिकान् छात्रान् च कतिपयान् निद्रालून् यात्रिकान् अपरं तीरं "
+        "नयति स्म। तत्र विपणयः प्रातः एव उद्घाटिताः भवन्ति स्म, "
+        "रोटिका च अद्यापि उष्णा आसीत्। सेतोः पश्यन्तः सर्वे अवदन् इदं "
+        "वर्षं शुभं भविष्यति इति।"
+    ),
+    "or": (
+        "ଭାଷାର ଶୀଘ୍ର ଅଧ୍ୟୟନ ହେଉଛି ଲୋକେ କିପରି ଭାବନ୍ତି ତାହା ଦେଖିବାର "
+        "ଝରକା। ପ୍ରତିଦିନ ସକାଳେ ପୁରୁଣା ଡଙ୍ଗା ଧୂସର ନଦୀ ପାର ହୋଇ ଶ୍ରମିକ, "
+        "ଛାତ୍ର ଏବଂ କିଛି ନିଦୁଆ ଯାତ୍ରୀଙ୍କୁ ଆର ପାଖକୁ ନେଇଯାଉଥିଲା, ଯେଉଁଠି "
+        "ବଜାର ସକାଳୁ ଖୋଲୁଥିଲା ଏବଂ ରୁଟି ତଥାପି ଗରମ ଥିଲା। ପୋଲରୁ "
+        "ଦେଖୁଥିବା ସମସ୍ତେ କହୁଥିଲେ ଯେ ଏ ବର୍ଷ ଭଲ ବର୍ଷ ହେବ।"
+    ),
+    # ---- Tibetan ----------------------------------------------------
+    "bo": (
+        "སྐད་ཡིག་མགྱོགས་པོར་སྦྱོང་བ་ནི་མི་རྣམས་ཀྱིས་ཇི་ལྟར་བསམ་བློ་"
+        "གཏོང་བ་ལྟ་བའི་སྒེའུ་ཁུང་ཞིག་རེད། ཞོགས་པ་རེ་རེར་གྲུ་གཟིངས་"
+        "རྙིང་པ་དེ་ཆུ་བོ་སྐྱ་བོ་བརྒལ་ནས་ལས་མི་དང་སློབ་མ། གཉིད་ཀྱིས་"
+        "འཐིབས་པའི་འགྲུལ་པ་འགའ་ཕར་ཕྱོགས་ཀྱི་འགྲམ་ལ་བསྐྱལ། དེར་ཁྲོམ་"
+        "ར་སྔ་པོར་ཕྱེ་ཞིང་བག་ལེབ་ད་དུང་དྲོན་མོ་རེད།"
+    ),
     # ---- Ethiopic ---------------------------------------------------
     "am": (
         "ቋንቋን በፍጥነት ማጥናት ሰዎች እንዴት እንደሚያስቡ የሚያሳይ መስኮት ነው። በየማለዳው አሮጌው "

@@ -427,3 +427,19 @@ def test_whatwg_label_table_complete():
 
     for label in _WHATWG_MAP:
         assert isinstance(bytes_to_str(b"abc", label), str)
+
+
+def test_script_ranges_sorted_and_seed_self_detection():
+    """The script-vote scan early-exits on sorted block starts — an
+    out-of-order insertion silently masks later scripts. And every one
+    of the 103 seed profiles must detect its own training text."""
+    from resilispark.functions.lang import _SCRIPT_RANGES, _SEEDS, detect_fast, supported_langs
+
+    assert list(_SCRIPT_RANGES) == sorted(_SCRIPT_RANGES)
+    assert len(supported_langs()) >= 100
+    wrong = [
+        (lg, detect_fast(_SEEDS[lg])[0])
+        for lg in supported_langs()
+        if detect_fast(_SEEDS[lg])[0] != lg
+    ]
+    assert not wrong, wrong
