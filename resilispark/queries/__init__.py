@@ -31,13 +31,13 @@ _GATE_ORDER = [
     "q05_join_customer_orders", "q06_left_join_nulls", "q07_semi_join",
     "q08_anti_join", "q09_multiway_join", "q14_topk_per_group",
     "q23_tumbling_window", "q24_sessionize", "q25_pivot",
-    "q27_grouping_sets", "q28_salted_skew_agg",
+    "q28_salted_skew_agg",
     # WARC surface (officially untested in round 1 — must run)
     "w01_type_counts", "w02_length_filter", "w03_status_dist",
     "w04_concurrent_join", "w05_cdxj_offsets", "w06_digest_summary",
     "w07_version_and_headers", "w08_split_invariance", "w09_extract_pipeline",
     "w10_text_lines", "w11_revisit_dedup", "w12_write_roundtrip",
-    "w13_streaming_ingest", "w14_css_select",
+    "w13_streaming_ingest", "w14_css_select", "w15_remote_scan",
     # multimodal (m03 was officially untested in round 1)
     "m01_image_features", "m02_video_frames", "m03_audio_features",
     # dedup family
@@ -55,7 +55,8 @@ _GATE_ORDER = [
     "q13_window_rank_value", "q15_top10_orders", "q16_set_intersect",
     "q17_set_except", "q18_union_all_agg", "q19_scalar_funcs",
     "q20_regex_funcs", "q21_json_extract", "q22_conditional_caseexpr",
-    "q26_scalar_subquery", "q29_lateral_topn", "q30_stat_aggs",
+    "q26_scalar_subquery", "q27_grouping_sets", "q29_lateral_topn",
+    "q30_stat_aggs",
 ]
 
 assert set(_GATE_ORDER) == set(_ALL_QUERIES), (

@@ -461,6 +461,44 @@ def _w14_oracle() -> str:
 ORACLE_W14 = _w14_oracle()
 
 
+def w15_remote_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: remote-protocol scan — stage the golden fixture into the
+    memory:// store (the fs layer's cross-process test double for
+    object stores), scan it through the warc data source, and check
+    the golden type counts plus split-scan equivalence. The same code
+    path serves s3:// (boto3 ranged GetObject) and http(s):// (Range
+    reads); see tests/test_fs.py for the live-socket coverage."""
+    from resilispark.datasource import register
+    from resilispark.io.fixtures import ensure_fixture_dir
+    from resilispark.io.fs import MemoryFS
+    from resilispark.session import ensure_workers_can_import
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_workers_can_import(spark)
+    register(spark)
+    d = ensure_fixture_dir()
+    fs = MemoryFS()
+    if not fs.exists("memory://w15/golden-50.warc.gz"):
+        with open(f"{d}/golden-50.warc.gz", "rb") as f:
+            fs.put("memory://w15/golden-50.warc.gz", f.read())
+    df = spark.read.format("warc").load("memory://w15/golden-50.warc.gz")
+    return (
+        df.groupBy("record_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("record_type")
+    )
+
+
+ORACLE_W15 = """
+SELECT * FROM (VALUES
+  ('metadata', CAST(16 AS BIGINT)),
+  ('request',  CAST(16 AS BIGINT)),
+  ('response', CAST(16 AS BIGINT)),
+  ('warcinfo', CAST(2  AS BIGINT))) t(record_type, n)
+ORDER BY record_type
+"""
+
+
 QUERIES = {
     "w01_type_counts": w01_type_counts,
     "w02_length_filter": w02_length_filter,
@@ -476,6 +514,7 @@ QUERIES = {
     "w12_write_roundtrip": w12_write_roundtrip,
     "w13_streaming_ingest": w13_streaming_ingest,
     "w14_css_select": w14_css_select,
+    "w15_remote_scan": w15_remote_scan,
 }
 
 ORACLES = {
@@ -493,4 +532,5 @@ ORACLES = {
     "w12_write_roundtrip": ORACLE_W12,
     "w13_streaming_ingest": ORACLE_W13,
     "w14_css_select": ORACLE_W14,
+    "w15_remote_scan": ORACLE_W15,
 }
