@@ -377,8 +377,15 @@ ORDER BY doc_id
 """
 
 
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9']+| +"
+
+
 def t02_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens and regex word tokens."""
+    """Token counting three ways: whitespace tokens, regex word tokens,
+    and a GPT-2-style pre-tokenizer segmentation (contraction suffixes,
+    space-prefixed word/number/punctuation runs) — the unit a BPE
+    tokenizer would split further. The pattern uses explicit ASCII
+    classes so Spark's Java regex and DuckDB's RE2 agree."""
     d = _docs(spark, sf_dir)
     return (
         d.select(
@@ -387,16 +394,20 @@ def t02_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), F.lit(0)))
             .cast("bigint")
             .alias("re_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+            .cast("bigint")
+            .alias("bpe_tokens"),
             F.length("text").cast("bigint").alias("n_chars"),
         )
         .orderBy("doc_id")
     )
 
 
-ORACLE_T02 = """
+ORACLE_T02 = f"""
 SELECT doc_id,
        len(string_split(text, ' '))::BIGINT                 AS ws_tokens,
        len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT   AS re_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}'))::BIGINT AS bpe_tokens,
        length(text)::BIGINT                                 AS n_chars
 FROM documents
 ORDER BY doc_id
