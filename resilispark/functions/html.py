@@ -8,9 +8,10 @@ the DOM-walk plain-text serializer with main-content heuristics).
 Documented divergences from the reference: the tokenizer is Python's
 ``html.parser`` with an implied-end-tag layer on top (unclosed ``<p>``,
 ``<li>``, ``<dd>/<dt>``, table rows/cells, ``<option>`` auto-close per
-the HTML5 in-body rules) — but NOT a full HTML5 tree builder: no foster
-parenting of table-misnested content and no adoption-agency
-reconstruction of misnested formatting elements. The main-content rule
+the HTML5 in-body rules, and table-misnested content foster-parents
+before the table) — but NOT a full HTML5 tree builder: no
+adoption-agency reconstruction of misnested formatting elements (a
+documented divergence). The main-content rule
 stack implements the same rule *classes* (candidate selectors, class/id
 regex blacklists, link-density pruning: html2text.pyx:469-520, 530-728)
 with an independently-written rule table rather than a verbatim port.
@@ -109,11 +110,43 @@ _AUTOCLOSE: dict[str, tuple[frozenset, frozenset]] = {
 }
 
 
+# children a table-section element may legally contain; anything else
+# inserted there is FOSTER-PARENTED before the table (HTML5 "in table"
+# insertion mode) — old real-web HTML leans on this constantly
+_TABLE_ALLOWED = {
+    "table": frozenset(
+        "caption colgroup col thead tbody tfoot tr script template style form".split()
+    ),
+    "thead": frozenset("tr script template style".split()),
+    "tbody": frozenset("tr script template style".split()),
+    "tfoot": frozenset("tr script template style".split()),
+    "tr": frozenset("td th script template style".split()),
+}
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.root = Node("#document")
         self.stack = [self.root]
+
+    def _foster_parent(self, node: Node) -> bool:
+        """If the insertion point is a table section that cannot contain
+        ``node``, insert it BEFORE the nearest open table instead
+        (returns True when fostered)."""
+        top = self.stack[-1].tag
+        allowed = _TABLE_ALLOWED.get(top)
+        if allowed is None or (node.tag is not None and node.tag in allowed):
+            return False
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == "table":
+                table = self.stack[i]
+                parent = table.parent or self.root
+                idx = parent.children.index(table)
+                parent.children.insert(idx, node)
+                node.parent = parent
+                return True
+        return False
 
     def _autoclose(self, closes: frozenset, stop: frozenset):
         """Pop the innermost open tag in ``closes`` if it appears above
@@ -134,15 +167,17 @@ class _TreeBuilder(HTMLParser):
         if rule:
             self._autoclose(*rule)
         node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
-        node.parent = self.stack[-1]
-        self.stack[-1].children.append(node)
+        if not self._foster_parent(node):
+            node.parent = self.stack[-1]
+            self.stack[-1].children.append(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
         node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
-        node.parent = self.stack[-1]
-        self.stack[-1].children.append(node)
+        if not self._foster_parent(node):
+            node.parent = self.stack[-1]
+            self.stack[-1].children.append(node)
 
     def handle_endtag(self, tag):
         for i in range(len(self.stack) - 1, 0, -1):
@@ -152,10 +187,15 @@ class _TreeBuilder(HTMLParser):
         # stray end tag: ignored (tolerant parsing)
 
     def handle_data(self, data):
-        if data:
-            node = Node(None, text=data)
-            node.parent = self.stack[-1]
-            self.stack[-1].children.append(node)
+        if not data:
+            return
+        node = Node(None, text=data)
+        # non-whitespace text in table scope is fostered like elements;
+        # pure whitespace stays (it is legal between rows/cells)
+        if data.strip() and self._foster_parent(node):
+            return
+        node.parent = self.stack[-1]
+        self.stack[-1].children.append(node)
 
 
 def parse_html(html: str) -> Node:

@@ -443,3 +443,31 @@ def test_script_ranges_sorted_and_seed_self_detection():
         if detect_fast(_SEEDS[lg])[0] != lg
     ]
     assert not wrong, wrong
+
+
+def test_foster_parenting():
+    """Content illegally nested in a table moves BEFORE the table (the
+    HTML5 'in table' insertion mode old real-web pages rely on)."""
+    from resilispark.functions.html import extract_plain_text, parse_html, query_selector_all
+
+    root = parse_html(
+        "<body><table>stray text<tr><td>cell</td></tr>"
+        "<div>stray div</div><tr><td>cell2</td></tr></table></body>"
+    )
+    body = root.children[0]
+    tags = [c.tag for c in body.children if not c.is_text]
+    # the stray div hoisted out and sits before the table
+    assert tags == ["div", "table"]
+    texts = [c.text for c in body.children if c.is_text]
+    assert any("stray text" in (x or "") for x in texts)
+    table = query_selector_all(root, "table")[0]
+    assert len(query_selector_all(table, "td")) == 2
+    # whitespace between rows is NOT fostered
+    root2 = parse_html("<table> <tr><td>a</td></tr> </table>")
+    assert len(query_selector_all(root2, "td")) == 1
+    # extraction sees fostered content before the table text
+    out = extract_plain_text(
+        "<body><table>hello<tr><td>cell</td></tr></table></body>",
+        preserve_formatting=False,
+    )
+    assert out == "hello cell"
