@@ -118,6 +118,22 @@ def main() -> None:
     split_df.write.mode("overwrite").format("noop").save()
     timings[f"warc_scan_gz_split_{n_records}_recs"] = round(time.perf_counter() - t0, 3)
 
+    # remote-protocol scan (io/fs.py): same gz file through the
+    # memory:// store — the delta vs warc_scan_gz is the fs-layer cost
+    from resilispark.io.fs import MemoryFS
+
+    memfs = MemoryFS()
+    if not memfs.exists(f"memory://bench/bench-{n_groups}.warc.gz"):
+        with open(gz_path, "rb") as f:
+            memfs.put(f"memory://bench/bench-{n_groups}.warc.gz", f.read())
+    mem_df = spark.read.format("warc").load(
+        f"memory://bench/bench-{n_groups}.warc.gz"
+    )
+    mem_df.write.mode("overwrite").format("noop").save()
+    t0 = time.perf_counter()
+    mem_df.write.mode("overwrite").format("noop").save()
+    timings[f"warc_scan_remote_{n_records}_recs"] = round(time.perf_counter() - t0, 3)
+
     # sidecar exists (written above), so the scan fans out too
     pipe = warc_to_html_docs(
         spark,

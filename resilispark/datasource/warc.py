@@ -213,6 +213,9 @@ class WarcDataSourceReader(DataSourceReader):
         self.split_bytes = int(split) if split else _TARGET_SPLIT_BYTES
         off = self.options.get("offset")
         self.offset = int(off) if off is not None else None
+        # T3/R5: per-partition offset-resume against flaky streams
+        # (0 = rely on Spark task retry alone)
+        self.retry_count = int(self.options.get("retry_count", 0))
 
     def _expand_paths(self) -> list[str]:
         path = self.options.get("path") or self.options.get("paths")
@@ -346,7 +349,22 @@ class WarcDataSourceReader(DataSourceReader):
             keep_meta_on_strip=self.keep_meta,
             strict=self.strict,
         )
-        if head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC):
+        point = partition.end == partition.start + 1
+        if self.retry_count and not point:
+            # R5: resume this partition's scan from the last good record
+            # offset on stream failure, instead of re-running the whole
+            # task (matters for flaky object stores)
+            from resilispark.operators.guards import iter_warc_retry
+
+            record_iter = iter_warc_retry(
+                partition.path,
+                fs=fs,
+                retry_count=self.retry_count,
+                start=partition.start,
+                end=partition.end,
+                **kwargs,
+            )
+        elif head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC):
             # compressed: read only this partition's byte range (the
             # whole file when unsplit; a member-aligned CDXJ range when
             # split) and iterate members with stream_pos in the

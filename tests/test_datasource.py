@@ -217,3 +217,50 @@ def test_extraction_pipeline_duplicate_http_headers(spark, tmp_path):
     for fused in (True, False):
         docs = warc_to_html_docs(spark, path, fused=fused).collect()
         assert len(docs) == 1 and docs[0].title == "Dup", f"fused={fused}"
+
+
+def test_reader_retry_option_resumes(fixture_dir):
+    """retry_count wires per-partition offset-resume (R5) into the scan:
+    a reader whose filesystem fails mid-read still yields every record
+    exactly once."""
+    from resilispark.datasource.warc import WarcDataSourceReader, _WarcPartition
+    from resilispark.io.fs import LocalFS
+
+    class FlakyFS(LocalFS):
+        def __init__(self):
+            self.fails_left = 2
+
+        def open(self, p, mode="rb"):
+            fs = self
+            real = super().open(p, mode)
+
+            class Flaky:
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *a):
+                    real.close()
+
+                def seek(self, *a):
+                    return real.seek(*a)
+
+                def read(self, n=-1):
+                    out = real.read(n)
+                    if fs.fails_left and real.tell() > 4000:
+                        fs.fails_left -= 1
+                        raise OSError("simulated stream failure")
+                    return out
+
+            return Flaky()
+
+    path = f"{fixture_dir}/golden-50.warc"
+    reader = WarcDataSourceReader({"path": path, "retry_count": "5"})
+    reader._fss["file"] = FlakyFS()
+    import os as _os
+
+    rows = [
+        row
+        for batch in reader.read(_WarcPartition(path, 0, _os.path.getsize(path)))
+        for row in batch.column("record_id").to_pylist()
+    ]
+    assert len(rows) == 50 and len(set(rows)) == 50
