@@ -165,6 +165,43 @@ _SCRIPT_LANGS: dict[str, str | frozenset[str]] = {
 }
 
 
+# Cyrillic letters unique to (or definitively excluding) specific
+# languages — the same decision logic as the script vote, one level
+# deeper. Applied as set refinements; an empty result falls back.
+_CYRILLIC_MARKERS: tuple[tuple[frozenset[str], str, bool], ...] = (
+    # (marker characters, semantics) — True = intersect, False = subtract
+    (frozenset("їєґ"), "uk", True),
+    (frozenset("ў"), "be", True),
+    (frozenset("ћђ"), "sr", True),
+    (frozenset("ќѓѕ"), "mk", True),
+    (frozenset("ҙҫҡ"), "ba", True),
+    (frozenset("җ"), "tt", True),
+    (frozenset("ҷӣӯ"), "tg", True),
+    (frozenset("ұ"), "kk", True),  # қ/ғ are shared with tg/uz — not markers
+)
+_CYR_I = "і"  # present in uk and be only
+_CYR_YERY = frozenset("ыэ")  # absent from uk/sr/mk/bg
+
+
+def _refine_cyrillic(text: str, cands: frozenset[str]) -> frozenset[str]:
+    chars = set(text[:2000])
+    for markers, lang, _ in _CYRILLIC_MARKERS:
+        if chars & markers:
+            hit = cands & {lang}
+            if hit:
+                return hit
+    out = cands
+    if _CYR_I in chars:
+        narrowed = out & {"uk", "be"}
+        if narrowed:
+            out = narrowed
+    if chars & _CYR_YERY:
+        narrowed = out - {"uk", "sr", "mk", "bg"}
+        if narrowed:
+            out = narrowed
+    return out
+
+
 def _script_vote(text: str) -> str | frozenset[str] | None:
     """Script shortcut (the practical-detector heuristic): a script used
     by exactly ONE supported language decides directly (kana→ja,
@@ -191,7 +228,10 @@ def _script_vote(text: str) -> str | frozenset[str] | None:
     if "hangul" in counts:
         return "ko"
     dominant = max(counts.items(), key=lambda kv: kv[1])[0]
-    return _SCRIPT_LANGS.get(dominant)
+    voted = _SCRIPT_LANGS.get(dominant)
+    if dominant == "cyrillic" and isinstance(voted, frozenset):
+        voted = _refine_cyrillic(text, voted)
+    return voted
 
 
 def detect_fast(

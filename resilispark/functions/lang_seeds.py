@@ -899,7 +899,11 @@ SEEDS_EXTRA: dict[str, str] = {
         "acumula-se em silêncio sobre os telhados da vila. As crianças "
         "aprendem a patinar no lago congelado atrás da escola, enquanto "
         "os avós contam longas histórias sobre as montanhas e os caminhos "
-        "que antigamente levavam até lá."
+        "que antigamente levavam até lá. No entanto, ainda há muitas "
+        "coisas por fazer esta semana: é preciso que todos participem, "
+        "pois se não o fizermos agora, depois será bem mais difícil. As "
+        "decisões não devem ser tomadas sem ouvir os vizinhos, e as "
+        "reuniões têm de começar à hora marcada, senão ninguém vem."
     ),
     "ca": (
         "A l'hivern la biblioteca roman oberta fins tard, i la neu "
@@ -975,7 +979,11 @@ SEEDS_EXTRA: dict[str, str] = {
         "Узимку бібліотека працює допізна, і сніг тихо збирається на "
         "дахах містечка. Діти вчаться кататися на ковзанах на замерзлому "
         "ставку за школою, а бабусі й дідусі розповідають довгі історії "
-        "про гори та про дороги, які колись туди вели."
+        "про гори та про дороги, які колись туди вели. Проте цього тижня "
+        "ще багато справ: потрібно, щоб усі долучилися, бо якщо не "
+        "зробимо цього зараз, потім буде значно важче. Рішення не можна "
+        "ухвалювати, не вислухавши сусідів, а засідання мають "
+        "починатися вчасно, інакше ніхто не прийде."
     ),
     "be": (
         "Узімку бібліятэка працуе дапазна, і снег ціха збіраецца на "
@@ -994,7 +1002,11 @@ SEEDS_EXTRA: dict[str, str] = {
         "Зими библиотека остаје отворена до касно, а снег се тихо "
         "скупља на крововима варошице. Деца уче да клизају на залеђеном "
         "језерцету иза школе, док им баке и деке причају дуге приче о "
-        "планинама и путевима који су некада водили тамо."
+        "планинама и путевима који су некада водили тамо. Међутим, ове "
+        "недеље има још много посла: потребно је да се сви укључе, јер "
+        "ако то не урадимо одмах, касније ће бити много теже. Одлуке не "
+        "треба доносити док се не саслушају комшије, а седнице морају "
+        "почињати на време, иначе нико неће доћи."
     ),
     "mk": (
         "Во зима библиотеката останува отворена до доцна, а снегот тивко "

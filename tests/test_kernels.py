@@ -268,10 +268,10 @@ class TestLangCoverage:
     (VERDICT r1 #7). Texts are original and disjoint from the training
     seeds. The reference's corpus-trained profiles publish ~96%
     macro-avg (docs/man/parse/lang.rst:73); seed-trained profiles land
-    close on unique-script languages (script vote decides) and within a
-    few points on same-script siblings — asserted ≥85% here so honest
-    regressions fail loudly without flaking on the two closest pairs
-    (sr/mk, id/ms)."""
+    close on unique-script languages (script vote decides); Cyrillic
+    marker letters resolve the uk/sr/mk/bg family. Measured 100% on
+    this set — asserted ≥90% so profile edits fail loudly while seed
+    tweaks don't flake."""
 
     HELD_OUT = [
         ("en", "The committee will meet on Thursday to discuss the budget and the plan. The chairman said there are still many questions that must be answered before a decision can be made."),
@@ -322,7 +322,7 @@ class TestLangCoverage:
             got, _ = detect_fast(text)
             (ok if got == lang else wrong).append((lang, got))
         acc = len(ok) / len(self.HELD_OUT)
-        assert acc >= 0.85, f"accuracy {acc:.2f}, wrong: {wrong}"
+        assert acc >= 0.90, f"accuracy {acc:.2f}, wrong: {wrong}"
 
     def test_unique_script_languages_always_right(self):
         """Unique-script languages are decided by the script vote, so
