@@ -19,7 +19,9 @@ PICKS = {
     "q09_multiway_join": "Four-way join planned as a broadcast chain — zero join shuffles.",
     "q14_topk_per_group": "Per-group top-k via ranking window after a single hash partition.",
     "d01_exact_dedup": "One hash-partitioned exchange on the digest; window over it.",
-    "d04_minhash_lsh_pairs": "One signature aggregation feeding band buckets (no self-join).",
+    "d04_minhash_lsh_pairs": "Band table checkpointed once; chunked bucket pairs + chunk-pair join (bounded arrays, exact output).",
+    "d06_embedding_neardup": "Sign-LSH blocked self-join; exact cosine inside buckets only.",
+    "t02_token_count": "Pure projection: three regex tokenizations in one codegen stage, no shuffle.",
     "s01_cosine_topk": "Tiny query side broadcast; candidates streamed once.",
     "q28_salted_skew_agg": "Two-phase salted aggregation: hot key spread over 16 partitions.",
 }
