@@ -182,6 +182,32 @@ _CYRILLIC_MARKERS: tuple[tuple[frozenset[str], str, bool], ...] = (
 _CYR_I = "і"  # present in uk and be only
 _CYR_YERY = frozenset("ыэ")  # absent from uk/sr/mk/bg
 
+# Arabic-script marker letters (same refinement idea): retroflex and
+# extended letters unique to one language of the candidate set
+_ARABIC_MARKERS: tuple[tuple[frozenset[str], str], ...] = (
+    (frozenset("ٹڈڑےں"), "ur"),
+    (frozenset("ښږړڼۍځڅ"), "ps"),
+    (frozenset("ٺڀٽڄڃڻٿڙ"), "sd"),
+    (frozenset("ۇۆۈېٶ"), "ug"),  # NOT گ — shared with fa/ur
+)
+# Perso-Arabic extensions shared by fa/ur/ps/sd/ug but absent from
+# Arabic itself: their presence at least rules out ar
+_PERSO_EXT = frozenset("پچژگکی")
+
+
+def _refine_arabic(text: str, cands: frozenset[str]) -> frozenset[str]:
+    chars = set(text[:2000])
+    for markers, lang in _ARABIC_MARKERS:
+        if chars & markers:
+            hit = cands & {lang}
+            if hit:
+                return hit
+    if chars & _PERSO_EXT:
+        narrowed = cands - {"ar"}
+        if narrowed:
+            return narrowed
+    return cands
+
 
 def _refine_cyrillic(text: str, cands: frozenset[str]) -> frozenset[str]:
     chars = set(text[:2000])
@@ -231,6 +257,8 @@ def _script_vote(text: str) -> str | frozenset[str] | None:
     voted = _SCRIPT_LANGS.get(dominant)
     if dominant == "cyrillic" and isinstance(voted, frozenset):
         voted = _refine_cyrillic(text, voted)
+    elif dominant == "arabic" and isinstance(voted, frozenset):
+        voted = _refine_arabic(text, voted)
     return voted
 
 

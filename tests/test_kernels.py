@@ -314,6 +314,17 @@ class TestLangCoverage:
         ("ka", "კომიტეტი ხუთშაბათს შეიკრიბება ახალი ბიუჯეტის პროექტის განსახილველად. თავმჯდომარემ თქვა, რომ ჯერ კიდევ ბევრ კითხვას სჭირდება პასუხი."),
         ("hy", "Հանձնաժողովը կհավաքվի հինգշաբթի օրը՝ քննարկելու նոր բյուջեի նախագիծը. նախագահն ասաց, որ դեռ շատ հարցերի պատասխաններ են պետք."),
         ("am", "ኮሚቴው አዲሱን የበጀት ሀሳብ ለመወያየት ሐሙስ ይሰበሰባል። ሊቀመንበሩ ገና መመለስ ያለባቸው ብዙ ጥያቄዎች እንዳሉ ተናገሩ።"),
+        ("eo", "La komitato kunvenos ĵaŭde por diskuti la novan buĝetproponon. La prezidanto diris, ke restas ankoraŭ multaj demandoj, kiujn oni devas respondi."),
+        ("fo", "Nevndin kemur saman hósdagin at viðgera nýggja fíggjarætlanina. Formaðurin segði, at enn eru nógvar spurningar, sum mugu svarast."),
+        ("fy", "De kommisje komt tongersdei byinoar om it nije budzjet te besprekken. De foarsitter sei dat der noch in protte fragen beäntwurde wurde moatte."),
+        ("jv", "Panitia bakal kumpul dina Kemis kanggo ngrembug usulan anggaran anyar. Ketua ngandika isih akeh pitakonan sing kudu diwangsuli."),
+        ("mg", "Hivory ny komity ny alakamisy mba hiresaka ny tetibola vaovao. Nilaza ny filoha fa mbola maro ny fanontaniana tsy maintsy valiana."),
+        ("or", "ନୂଆ ବଜେଟ ପ୍ରସ୍ତାବ ଉପରେ ଆଲୋଚନା କରିବାକୁ କମିଟି ଗୁରୁବାର ବୈଠକ କରିବ। ଅଧ୍ୟକ୍ଷ କହିଲେ ଯେ ଏବେ ବି ଅନେକ ପ୍ରଶ୍ନର ଉତ୍ତର ଦେବାକୁ ବାକି ଅଛି।"),
+        ("bo", "ཚོགས་ཆུང་གིས་སྔོན་རྩིས་གསར་པའི་གྲོས་འཆར་ལ་གྲོས་བསྡུར་བྱེད་པར་གཟའ་ཕུར་བུར་ཚོགས་འདུ་འཚོགས་རྒྱུ་རེད། ད་དུང་དྲི་བ་མང་པོ་ལན་འདེབས་དགོས་ཡོད།"),
+        ("sa", "समितिः नूतनस्य आयव्ययपत्रस्य प्रस्तावं विचारयितुं गुरुवासरे मिलिष्यति। अध्यक्षः अवदत् अद्यापि बहूनां प्रश्नानाम् उत्तराणि देयानि सन्ति इति।"),
+        ("ps", "کمیټه به د پنجشنبې په ورځ د نوي بودیجې وړاندیز د بحث لپاره غونډه وکړي. مشر وویل چې لا ډېرې پوښتنې شته چې ځواب ته اړتیا لري."),
+        ("ug", "كومىتېت يېڭى خامچوت تەكلىپىنى مۇزاكىرە قىلىش ئۈچۈن پەيشەنبە كۈنى يىغىن ئاچىدۇ. رەئىس جاۋاب بېرىلىشى كېرەك بولغان سوئاللار يەنىلا كۆپ دېدى."),
+        ("tt", "Комитет яңа бюджет тәкъдимен тикшерү өчен пәнҗешәмбе көнне җыела. Рәис әле җавап бирәсе сораулар күп дип әйтте."),
     ]
 
     def test_held_out_macro_accuracy(self):
