@@ -85,6 +85,58 @@ class Node:
     def full_text(self) -> str:
         return "".join(n.text or "" for n in self.iter() if n.is_text)
 
+    # -- classic DOM lookups (F12, html.pyx get_element(s)_by_*) ----------
+    def get_element_by_id(self, ident: str) -> "Node | None":
+        for n in self.iter_elements():
+            if n.attrs.get("id") == ident:
+                return n
+        return None
+
+    def get_elements_by_class_name(self, cls: str) -> "list[Node]":
+        return [n for n in self.iter_elements() if cls in n.class_list]
+
+    def get_elements_by_tag_name(self, tag: str) -> "list[Node]":
+        tag = tag.lower()
+        return [n for n in self.iter_elements() if n.tag == tag]
+
+    def get_elements_by_attr(self, name: str, value: str) -> "list[Node]":
+        return [n for n in self.iter_elements() if n.attrs.get(name) == value]
+
+    # -- mutation (F13, html.pyx DOMNode append_child/remove/setattr) -----
+    def set_attr(self, name: str, value: str) -> None:
+        self.attrs[name] = value
+
+    def remove_attr(self, name: str) -> None:
+        self.attrs.pop(name, None)
+
+    def append_child(self, child: "Node") -> "Node":
+        if child.parent is not None:
+            child.parent.children.remove(child)
+        child.parent = self
+        self.children.append(child)
+        return child
+
+    def insert_before(self, child: "Node", reference: "Node") -> "Node":
+        if child.parent is not None:
+            child.parent.children.remove(child)
+        idx = self.children.index(reference)
+        child.parent = self
+        self.children.insert(idx, child)
+        return child
+
+    def remove(self) -> "Node":
+        """Detach this node from its parent (decompose-style removal)."""
+        if self.parent is not None:
+            self.parent.children.remove(self)
+            self.parent = None
+        return self
+
+    def create_element(self, tag: str, attrs: dict | None = None) -> "Node":
+        return Node(tag.lower(), dict(attrs or {}))
+
+    def create_text(self, text: str) -> "Node":
+        return Node(None, text=text)
+
 
 # HTML5 implied end tags (whatwg spec "closing elements that have
 # implied end tags" + the in-body insertion mode's close-a-p rules):

@@ -482,3 +482,33 @@ def test_foster_parenting():
         preserve_formatting=False,
     )
     assert out == "hello cell"
+
+
+def test_dom_lookups_and_mutation():
+    """F12 classic lookups + F13 mutation API on the Node tree."""
+    from resilispark.functions.html import extract_plain_text, parse_html
+
+    root = parse_html(
+        '<body><div id="main" class="box big"><p>one</p><p class="box">two</p></div>'
+        "<span>three</span></body>"
+    )
+    main = root.get_element_by_id("main")
+    assert main is not None and main.tag == "div"
+    assert len(root.get_elements_by_class_name("box")) == 2
+    assert [n.full_text() for n in root.get_elements_by_tag_name("p")] == ["one", "two"]
+    assert root.get_elements_by_attr("id", "main") == [main]
+
+    # mutation: drop a paragraph, retitle the div, add a new child
+    root.get_elements_by_tag_name("p")[1].remove()
+    main.set_attr("data-x", "1")
+    assert main.attr("data-x") == "1"
+    p = main.create_element("p")
+    p.append_child(main.create_text("four"))
+    main.append_child(p)
+    assert extract_plain_text(root, preserve_formatting=False) == "one four three"
+    # insert_before places relative to an existing child
+    first = main.children[0]
+    z = main.create_element("p")
+    z.append_child(main.create_text("zero"))
+    main.insert_before(z, first)
+    assert extract_plain_text(root, preserve_formatting=False) == "zero one four three"
