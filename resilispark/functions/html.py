@@ -405,8 +405,20 @@ def _html_escape(t: str) -> str:
 _BOILERPLATE = re.compile(
     r"(?:^|[-_ ])(?:sidebar|sidenav|breadcrumbs?|social(?:-media)?|share|sharing|"
     r"cookie|consent|banner|advert|ad-?block|sponsor|promo|related|recommend|"
-    r"popup|modal|newsletter|subscribe|comment|disqus|pagination|pager|"
+    r"popup|modal|newsletter|subscribe|pagination|pager|"
     r"menu|navigation|nav-?bar|footer|copyright|skip-?link)(?:[-_ ]|$)",
+    re.IGNORECASE,
+)
+# comment sections / post bylines prune only when the caller opts out
+# (the reference's keep_comments / keep_post_meta gates,
+# html2text.pyx:697-706) — independent patterns of the same rule class
+_COMMENTS_CLS = re.compile(
+    r"(?:^|[-_ ])(?:comments?|comment-?list|reply|replies|disqus)(?:[-_ ]|$)",
+    re.IGNORECASE,
+)
+_POST_META_CLS = re.compile(
+    r"(?:^|[-_ ])(?:byline|post-?meta|article-?meta|entry-?meta|published|"
+    r"timestamp|author-?info|dateline)(?:[-_ ]|$)",
     re.IGNORECASE,
 )
 _MAIN_CANDIDATES = (  # html2text.pyx:879-888 rule class
@@ -427,10 +439,16 @@ def _collapse(s: str) -> str:
     return _WS.sub(" ", s).strip()
 
 
-def _is_hidden(n: Node) -> bool:
+def _is_hidden_attr(n: Node) -> bool:
+    """hidden / aria-hidden attributes (always pruned in main mode)."""
     if n.attr("hidden") is not None:
         return True
-    if (n.attr("aria-hidden") or "").lower() == "true":
+    return (n.attr("aria-hidden") or "").lower() == "true"
+
+
+def _is_hidden_css(n: Node) -> bool:
+    """Class/inline-CSS hiding (gated by ``hidden_elements``)."""
+    if _HIDDEN_CLS.search(n.attr("class") or ""):
         return True
     style = (n.attr("style") or "").replace(" ", "").lower()
     return "display:none" in style or "visibility:hidden" in style
@@ -591,10 +609,13 @@ def extract_plain_text(
     preserve_formatting: bool | str = True,
     main_content: bool = False,
     list_bullets: bool = True,
-    alt_texts: bool = False,
+    alt_texts: bool = True,
     links: bool = False,
     form_fields: bool = False,
     noscript: bool = False,
+    comments: bool = True,
+    post_meta: bool = True,
+    hidden_elements: bool = False,
     skip_elements: list[str] | None = None,
 ) -> str:
     """DOM walk -> plain text (the F9 flagship kernel).
@@ -648,10 +669,13 @@ def extract_plain_text(
             return  # head metadata (incl. <title>) is not body text
         if main_content:
             # hidden/aria/boilerplate pruning applies in main-content
-            # mode only (html2text.pyx:531-728 rule classes)
-            if _is_hidden(n):
+            # mode only (html2text.pyx:531-728 rule classes). The
+            # hidden/aria-hidden ATTRIBUTES always prune (pyx:588-604);
+            # class/inline-CSS hiding is gated by hidden_elements
+            # (pyx:626-629 keep_hidden).
+            if _is_hidden_attr(n):
                 return
-            if _HIDDEN_CLS.search(n.attr("class") or ""):
+            if not hidden_elements and _is_hidden_css(n):
                 return
             ident = (n.attr("class") or "") + " " + (n.attr("id") or "")
             if tag in ("nav", "aside", "footer", "header") and n is not base:
@@ -659,6 +683,10 @@ def extract_plain_text(
             if (n.attr("role") or "").lower() in ("navigation", "banner", "contentinfo"):
                 return
             if _BOILERPLATE.search(ident):
+                return
+            if not comments and _COMMENTS_CLS.search(ident):
+                return
+            if not post_meta and _POST_META_CLS.search(ident):
                 return
             if tag in ("div", "section", "ul", "table") and len(n.full_text()) > 20 and _link_density(n) > 0.75:
                 return
@@ -836,6 +864,15 @@ def extract_plain_text(
             r.text(" ")
 
     walk(base, False)
+    if main_content and noscript and base is not root:
+        # noscript=True is an explicit opt-in: the reference's
+        # rule-based filter keeps <noscript> content in main mode even
+        # outside the main landmark (docs/man/extract/html2text.rst
+        # worked example); our subtree narrowing must not drop it
+        in_base = set(map(id, base.iter()))
+        for n in root.iter_elements():
+            if n.tag == "noscript" and id(n) not in in_base:
+                walk(n, False)
     out = r.result()
     if not preserve:
         return _collapse(out)

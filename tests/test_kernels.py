@@ -52,10 +52,11 @@ class TestHtml:
         # hidden elements ARE extracted in basic mode, like the
         # reference (hidden filtering is main-content-only,
         # html2text.pyx:588-604; see tests/test_reference_goldens.py)
+        # alt_texts defaults True, like the reference (html2text.pyx:740)
         assert extract_plain_text(_DOC, preserve_formatting=False) == (
             "Home | About Heading First paragraph with anchor text. "
             "invisible also invisible "
-            "alpha beta uno dos pre formatted Share me (c) example"
+            "alpha beta uno dos pre formatted picture alt Share me (c) example"
         )
 
     def test_formatted_golden(self):
@@ -63,7 +64,7 @@ class TestHtml:
             "Home | About\n\nHeading\n\nFirst paragraph with anchor text.\n\n"
             "invisible\n\nalso invisible\n\n"
             "  \u2022 alpha\n  \u2022 beta\n  1. uno\n  2. dos\n\n"
-            "  pre   formatted  \nShare me\n(c) example"
+            "  pre   formatted  \npicture alt\nShare me\n(c) example"
         )
 
     def test_main_content(self):

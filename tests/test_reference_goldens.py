@@ -425,3 +425,116 @@ foo bar
 bar</p>
 
 Copyright (C) 2021 Foo Bar"""
+
+
+# -- the reference MANUAL's worked example (docs/man/extract/html2text.rst) --
+
+DOC_HTML = """<!doctype html>
+<head>
+    <title>Foo</title>
+    <meta charset="utf-8">
+</head>
+<body>
+    <section id="wrapper">
+        <nav>
+            <ul>
+                <li><a href="/">Index</a></li>
+                <li><a href="/contact">Contact</a></li>
+            </ul>
+        </nav>
+        <main id="foo">
+            <h1>foo <a href="#foo" aria-hidden="true">Link</a></h1>
+
+            <p>baz<br>bar</p>
+
+            <img src="" alt="Some image">
+
+            <input type="hidden" value="foo">
+            <input type="text" value="Some text" placeholder="Insert text">
+            <input type="text" placeholder="Insert text">
+        </main>
+        <script>alert('Hello World!');</script>
+        <noscript>Sorry, your browser doesn't support JavaScript!</noscript>
+        <div><div><div><footer id="global-footer">
+            Copyright (C) 2021 Foo Bar
+        </footer></div></div></div>
+    </section>
+</body>
+</html>"""
+
+
+def test_manual_default_extraction():
+    """Default call: alt_texts=True, aria-hidden anchor KEPT in basic
+    mode — the manual's first worked example."""
+    assert extract_plain_text(DOC_HTML) == """\
+  • Index
+  • Contact
+
+foo Link
+
+baz
+bar
+
+Some image
+Copyright (C) 2021 Foo Bar"""
+
+
+def test_manual_main_content():
+    assert extract_plain_text(DOC_HTML, main_content=True) == """\
+foo
+
+baz
+bar
+
+Some image"""
+
+
+def test_manual_main_content_unformatted_noscript():
+    assert (
+        extract_plain_text(
+            DOC_HTML,
+            main_content=True,
+            alt_texts=False,
+            preserve_formatting=False,
+            noscript=True,
+        )
+        == "foo baz bar Sorry, your browser doesn't support JavaScript!"
+    )
+
+
+def test_comments_and_post_meta_gates():
+    """comments/post_meta default to MAIN CONTENT (kept); opting out
+    prunes the classed sections (html2text.pyx:697-706)."""
+    html = (
+        '<body><main><p>story</p>'
+        '<div class="post-meta">By Someone, Jan 1</div>'
+        '<div class="comments"><p>first!</p></div></main></body>'
+    )
+    base = extract_plain_text(html, main_content=True, preserve_formatting=False)
+    assert "story" in base and "first!" in base and "By Someone" in base
+    no_c = extract_plain_text(
+        html, main_content=True, preserve_formatting=False, comments=False
+    )
+    assert "first!" not in no_c and "By Someone" in no_c
+    no_m = extract_plain_text(
+        html, main_content=True, preserve_formatting=False, post_meta=False
+    )
+    assert "By Someone" not in no_m and "first!" in no_m
+
+
+def test_hidden_elements_gate():
+    """class/CSS-hidden prunes in main mode unless hidden_elements=True;
+    the hidden ATTRIBUTE prunes regardless (html2text.pyx:588-629)."""
+    html = (
+        '<body><main><p>visible</p>'
+        '<p class="hidden">cls-hidden</p>'
+        '<p style="display: none">css-hidden</p>'
+        "<p hidden>attr-hidden</p></main></body>"
+    )
+    base = extract_plain_text(html, main_content=True, preserve_formatting=False)
+    assert base == "visible"
+    kept = extract_plain_text(
+        html, main_content=True, preserve_formatting=False, hidden_elements=True
+    )
+    assert "cls-hidden" in kept and "css-hidden" in kept
+    assert "attr-hidden" not in kept
