@@ -511,6 +511,11 @@ class _Renderer:
         self.bullet: str | None = None
         self.depth = 0
         self.in_li = 0
+        # set after a block end tag left the line open (</ul> in
+        # minimal mode): following whitespace-only text is lstripped
+        # away, as the reference does after any make_block node
+        # (html2text.pyx:409-411)
+        self.swallow_ws = False
 
     # -- line management ------------------------------------------------
     def _open_line(self):
@@ -522,8 +527,11 @@ class _Renderer:
         if self.bullet is not None:
             self.cur_prefix = " " * (2 * self.depth) + self.bullet
             self.bullet = None
-        elif self.in_li and self.depth:
-            extra = 2 if (self.list_bullets and not self.minimal) else 0
+        elif self.in_li and self.depth and not self.minimal:
+            # minimal_html indents only the emitted tags themselves
+            # (html2text.pyx:376-380 gates _make_indent on the tag
+            # branch); plain continuation text starts at column 0
+            extra = 2 if self.list_bullets else 0
             self.cur_prefix = " " * (2 * self.depth + extra)
         else:
             self.cur_prefix = ""
@@ -539,10 +547,24 @@ class _Renderer:
         self.cur_prefix = prefix
 
     def flush(self):
+        self.swallow_ws = False
         if self.cur_prefix is None:
             return
         body = "".join(self.cur)
-        if "\x00" not in body:  # guarded (preformatted) runs stay verbatim
+        if "\x00" in body:
+            # guarded (\x00..\x00) runs stay verbatim; the unguarded
+            # segments around them still collapse, and only the
+            # unguarded extremities are stripped (so a protected
+            # trailing indent — the minimal_html end-tag quirk — or
+            # preformatted leading spaces survive)
+            segs = body.split("\x00")
+            for i in range(0, len(segs), 2):
+                segs[i] = _WS.sub(" ", segs[i])
+            segs[0] = segs[0].lstrip()
+            if len(segs) % 2 == 1:
+                segs[-1] = segs[-1].rstrip()
+            body = "\x00".join(segs)
+        else:
             body = _WS.sub(" ", body).strip()
         if body or self.cur_prefix.strip():
             self.lines.append(self.cur_prefix + body)
@@ -553,6 +575,10 @@ class _Renderer:
         if not t:
             return
         collapsed = _WS.sub(" ", t)
+        if self.swallow_ws:
+            if collapsed == " ":
+                return
+            self.swallow_ws = False
         if collapsed == " " and self.cur_prefix is None:
             # inter-element whitespace doesn't open a line
             if self.cur:
@@ -730,8 +756,11 @@ def extract_plain_text(
         if tag in ("ul", "ol"):
             if preserve:
                 r.block(False)
-                if minimal and list_bullets:
-                    r.bullet = None
+                if minimal and list_bullets and n.children:
+                    # tags only for non-empty lists
+                    # (html2text.pyx:361-363 first_child guard); the
+                    # open tag line consumes the pending margin and
+                    # resets it (pyx:366-373 make_block=False)
                     r.open_at(" " * (2 * r.depth))
                     r.cur.append(f"<{tag}>")
                     r.flush()
@@ -745,21 +774,46 @@ def extract_plain_text(
             if preserve:
                 r.depth -= 1
                 r.flush()
-                if minimal and list_bullets:
+                if minimal and list_bullets and n.children:
+                    # the close tag is appended WITHOUT flushing the
+                    # pending margin (pyx:366-368 skips end tags), and
+                    # the line stays open so a following </li> joins it
+                    saved = r.margin
+                    r.margin = 0
                     r.open_at(" " * (2 * r.depth))
                     r.cur.append(f"</{tag}>")
-                    r.flush()
-                r.margin = max(r.margin, 1)
+                    r.margin = max(saved, 1)
+                    r.swallow_ws = True
+                else:
+                    r.margin = max(r.margin, 1)
             else:
                 r.text(" ")
             return
         if tag == "li":
-            if preserve:
+            if preserve and minimal and list_bullets:
+                # eager <li> at 2*depth (html2text.pyx:331-340): the
+                # pending margin flushes BEFORE the tag, text joins the
+                # same line, and a block child breaks after the <li>
+                r.flush()
+                r.open_at(" " * (2 * r.depth))
+                r.cur.append("<li>")
+                r.in_li += 1
+                for c in n.children:
+                    walk(c, in_pre)
+                r.in_li -= 1
+                # </li> discards any pending margin (pyx:334,341-344:
+                # _make_margin's newlines are rstripped straight back
+                # off), closes the line, and leaves a 1-line margin
+                if r.cur_prefix is not None:
+                    r.cur.append("</li>")
+                    r.flush()
+                elif r.lines:
+                    r.lines[-1] += "</li>"
+                r.margin = 1
+            elif preserve:
                 r.block(False)
                 r.in_li += 1
-                if minimal and list_bullets:
-                    r.bullet = "<li>"
-                elif not minimal and list_bullets:
+                if not minimal and list_bullets:
                     if ol_counters and ol_counters[-1] is not None:
                         ol_counters[-1] += 1
                         r.bullet = f"{ol_counters[-1]}. "
@@ -767,19 +821,10 @@ def extract_plain_text(
                         r.bullet = "• "
                 else:
                     r.bullet = None
-                had_bullet = r.bullet
                 for c in n.children:
                     walk(c, in_pre)
-                if minimal and list_bullets:
-                    if r.bullet is had_bullet and r.bullet is not None:
-                        r.bullet = None  # empty item: no tag emitted
-                    elif r.cur_prefix is not None:
-                        r.cur.append("</li>")
-                    elif r.lines:
-                        r.lines[-1] += "</li>"
-                else:
-                    if r.bullet is not None:
-                        r.bullet = None  # empty item: bullet never bound
+                if r.bullet is not None:
+                    r.bullet = None  # empty item: bullet never bound
                 r.in_li -= 1
                 r.flush()
                 r.margin = max(r.margin, 1)
@@ -794,10 +839,19 @@ def extract_plain_text(
             # after (test_html_escaping golden); the leading newline
             # right after <pre> and the trailing one before </pre> are
             # not content (HTML spec / reference behavior)
-            r.block(True)
             if minimal:
-                r._open_line()
+                # <pre> appends inline after flushing only the PENDING
+                # margin (html2text.pyx:346-350 — no own make_block):
+                # "<li> <pre>F" stays on one line, but a pending
+                # paragraph margin still breaks before it
+                if r.margin:
+                    r.flush()
+                    r._open_line()
+                elif r.cur_prefix is None:
+                    r._open_line()
                 r.cur.append("<pre>")
+            else:
+                r.block(True)
             texts = [c for c in n.children if c.is_text]
             first_t = texts[0] if texts else None
             last_t = texts[-1] if texts else None
@@ -834,10 +888,17 @@ def extract_plain_text(
         elif is_block:
             r.text(" ")
         open_tag = (
-            minimal and tag in _MINIMAL_TAGS and tag not in ("ul", "ol", "li", "pre")
+            minimal
+            and tag in _MINIMAL_TAGS
+            and tag not in ("ul", "ol", "li", "pre")
+            and bool(n.children)  # html2text.pyx:361 first_child guard
         )
         if open_tag:
-            r._open_line()
+            if list_bullets and r.depth:
+                # in-list tag lines indent 2*depth (pyx:376-380)
+                r.open_at(" " * (2 * r.depth))
+            else:
+                r._open_line()
             r.cur.append(f"<{tag}>")
         if tag == "a" and links and minimal and n.attr("href") is not None:
             r._open_line()
@@ -852,10 +913,17 @@ def extract_plain_text(
                 f" ({n.attr('href')})"
             )
         if open_tag:
+            # end tags also get the list indent (pyx:376-380 calls
+            # _make_indent with the full depth for end tags) — this is
+            # the reference's "Nav 2  </p>" trailing-space quirk; the
+            # \x00 guard protects the spaces from collapsing
+            ind = "  " * r.depth if (list_bullets and r.depth) else ""
             if r.cur_prefix is not None:
+                if ind:
+                    r.cur.append("\x00" + ind + "\x00")
                 r.cur.append(f"</{tag}>")
             elif r.lines:
-                r.lines[-1] += f"</{tag}>"
+                r.lines[-1] += ind + f"</{tag}>"
         if is_block and preserve and in_pre:
             r.flush()
         elif is_block and preserve:

@@ -255,7 +255,9 @@ def test_extract_minimal_html_golden():
     assert extract_plain_text(h, preserve_formatting="minimal_html") == (
         "<h1>Title &amp; more</h1>\n\n"
         "<p>Some bold text with 1 &lt; 2.</p>\n\n"
-        "<ul>\n  <li>alpha</li>\n  <li>beta</li>\n</ul>\n\n"
+        # </ul> leaves a 1-line margin and <pre> flushes only the
+        # pending margin (html2text.pyx:346-350) — single newline
+        "<ul>\n  <li>alpha</li>\n  <li>beta</li>\n</ul>\n"
         "<pre>a  b</pre>"
     )
     # the three modes agree on the underlying text

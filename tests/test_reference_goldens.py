@@ -108,6 +108,144 @@ Some image Cannot display object
 Copyright (C) 2021 Foo Bar"""
 
 
+def test_minimal_html_no_bullets():
+    """list_bullets=False minimal keeps <p>/<h*> tags but drops
+    ul/ol/li tags, indentation, and the end-tag indent quirk
+    (reference golden, test_html2text.py:127-140)."""
+    assert extract_plain_text(
+        HTML, alt_texts=True, preserve_formatting="minimal_html", list_bullets=False
+    ) == """\
+Nav 1
+
+<p>Nav 2</p>
+
+<p>Nav 3</p>
+
+foo bar
+
+<p>baz<br>
+bar</p>
+
+Some image Cannot display object
+Copyright (C) 2021 Foo Bar"""
+
+
+ORDERED_HTML = """<body>
+<ul>
+    <li>A</li>
+    <li>B
+        <ol>
+            <li>C</li>
+            <li>D
+                <ol>
+                    <li>E</li>
+                    <li>F</li>
+                </ol>
+            </li>
+            <li>G
+                <ol>
+                    <li>H</li>
+                    <li>I</li>
+                </ol>
+            </li>
+        </ol>
+    </li>
+</ul>
+<ol>
+    <li>J</li>
+</ol>
+</body>"""
+
+
+def test_minimal_html_ordered_list():
+    """Nested ol inside li: no blank line before <ol>, close tags at
+    the decremented depth joined by </li> (reference golden,
+    test_html2text.py:386-407)."""
+    assert extract_plain_text(
+        ORDERED_HTML, list_bullets=True, preserve_formatting="minimal_html"
+    ) == """\
+<ul>
+  <li>A</li>
+  <li>B
+  <ol>
+    <li>C</li>
+    <li>D
+    <ol>
+      <li>E</li>
+      <li>F</li>
+    </ol></li>
+    <li>G
+    <ol>
+      <li>H</li>
+      <li>I</li>
+    </ol></li>
+  </ol></li>
+</ul>
+<ol>
+  <li>J</li>
+</ol>"""
+    assert (
+        extract_plain_text(
+            ORDERED_HTML, list_bullets=False, preserve_formatting="minimal_html"
+        )
+        == "A\nB\nC\nD\nE\nF\nG\nH\nI\nJ"
+    )
+
+
+PRE_LIST_HTML = """<body>
+    <ul>
+        <li>A</li>
+        <li>B<div>C</div>
+
+        D   <p>E</p>
+        <li>
+                <pre>F
+    G
+        H
+J</pre>
+        </li>
+    </ul>
+    <textarea>K
+        L
+    </textarea>
+    </body>"""
+
+
+def test_minimal_html_pre_in_list():
+    """<pre> joins the open <li> line inline; block-divided text lines
+    inside <li> carry no indent; implied </li> before the next <li>
+    (reference golden, test_html2text.py:296-330)."""
+    assert extract_plain_text(
+        PRE_LIST_HTML, list_bullets=True, preserve_formatting="minimal_html"
+    ) == """\
+<ul>
+  <li>A</li>
+  <li>B
+C
+D
+
+  <p>E  </p></li>
+  <li> <pre>F
+    G
+        H
+J</pre></li>
+</ul>"""
+    assert extract_plain_text(
+        PRE_LIST_HTML, list_bullets=False, preserve_formatting="minimal_html"
+    ) == """\
+A
+B
+C
+D
+
+<p>E</p>
+
+<pre>F
+    G
+        H
+J</pre>"""
+
+
 def test_link_href_extraction():
     assert extract_plain_text(HTML, alt_texts=False, links=True) == """\
   • Nav 1
@@ -397,12 +535,6 @@ Hello\nWorld\n\n\n
 Hello World"""
 
 
-@pytest.mark.xfail(
-    reason="documented delta: minimal_html keeps the reference's exact "
-    "intra-tag whitespace (trailing spaces inside <p>..</p>, tag-level "
-    "indent quirks) which this serializer normalizes",
-    strict=False,
-)
 def test_minimal_html_basic():
     assert extract_plain_text(
         HTML, alt_texts=False, preserve_formatting="minimal_html"
