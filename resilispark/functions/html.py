@@ -162,6 +162,29 @@ _AUTOCLOSE: dict[str, tuple[frozenset, frozenset]] = {
 }
 
 
+# HTML5 formatting elements (whatwg "the stack of open elements" /
+# "list of active formatting elements"): misnesting like
+# <b>1<i>2</b>3</i> is repaired by the adoption agency algorithm, and
+# formatting left open across a block boundary is re-opened (cloned)
+# inside the next block — the behavior lexbor gives the reference
+# (resiliparse-py/resiliparse/parse/html.pyx:1734 HTMLTree.parse)
+_FORMATTING = frozenset("a b big code em font i nobr s small strike strong tt u".split())
+# opening these pushes a marker: formatting never reconstructs across
+# a cell/caption/object boundary
+_MARKER_OPEN = frozenset("td th caption object applet marquee template".split())
+_FMT_MARKER = object()
+# start tags that do NOT reconstruct active formatting (the spec's
+# dedicated in-body branches: blocks, list items, table structure);
+# everything else — phrasing, unknown, br/img/input — does
+_NO_RECONSTRUCT = (
+    _P_CLOSERS
+    | frozenset(
+        "li dd dt tr td th thead tbody tfoot caption colgroup col option "
+        "optgroup html head body frameset frame script style title meta link".split()
+    )
+)
+
+
 # children a table-section element may legally contain; anything else
 # inserted there is FOSTER-PARENTED before the table (HTML5 "in table"
 # insertion mode) — old real-web HTML leans on this constantly
@@ -181,6 +204,8 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Node("#document")
         self.stack = [self.root]
+        # list of active formatting elements (Node or _FMT_MARKER)
+        self.fmt: list = []
 
     def _foster_parent(self, node: Node) -> bool:
         """If the insertion point is a table section that cannot contain
@@ -207,10 +232,129 @@ class _TreeBuilder(HTMLParser):
         for i in range(len(self.stack) - 1, 0, -1):
             t = self.stack[i].tag
             if t in closes:
+                popped = self.stack[i:]
                 del self.stack[i:]
+                for p in popped:
+                    if p.tag in _MARKER_OPEN:
+                        self._clear_to_marker()
                 return
             if t in stop:
                 return
+
+    # -- active formatting elements (whatwg 13.2.4.3) -------------------
+    def _insert(self, node: Node):
+        if not self._foster_parent(node):
+            node.parent = self.stack[-1]
+            self.stack[-1].children.append(node)
+
+    @staticmethod
+    def _clone(n: Node) -> Node:
+        return Node(n.tag, dict(n.attrs))
+
+    def _clear_to_marker(self):
+        while self.fmt:
+            if self.fmt.pop() is _FMT_MARKER:
+                return
+
+    def _reconstruct(self):
+        """Re-open (as clones) formatting elements that were closed by
+        a block boundary but are still active — <p><b>x</p><p>y makes
+        the second paragraph bold."""
+        fmt = self.fmt
+        if not fmt or fmt[-1] is _FMT_MARKER or fmt[-1] in self.stack:
+            return
+        i = len(fmt) - 1
+        while i > 0 and fmt[i - 1] is not _FMT_MARKER and fmt[i - 1] not in self.stack:
+            i -= 1
+        for j in range(i, len(fmt)):
+            clone = self._clone(fmt[j])
+            self._insert(clone)
+            self.stack.append(clone)
+            fmt[j] = clone
+
+    def _foster_into(self, parent: Node, node: Node):
+        """Append ``node`` to ``parent``, fostering before the table if
+        ``parent`` is a table section that cannot contain it."""
+        allowed = _TABLE_ALLOWED.get(parent.tag)
+        if allowed is not None and (node.tag is None or node.tag not in allowed):
+            gp = parent.parent or self.root
+            if parent.tag == "table":
+                idx = gp.children.index(parent)
+                gp.children.insert(idx, node)
+                node.parent = gp
+                return
+        node.parent = parent
+        parent.children.append(node)
+
+    def _adoption_agency(self, tag: str):
+        """whatwg 13.2.6.4.7 'adoption agency algorithm' (bounded to
+        the spec's 8 outer / 3 inner iterations)."""
+        for _ in range(8):
+            fmt_el = None
+            for e in reversed(self.fmt):
+                if e is _FMT_MARKER:
+                    break
+                if e.tag == tag:
+                    fmt_el = e
+                    break
+            if fmt_el is None:
+                # no active entry: plain end-tag pop
+                for i in range(len(self.stack) - 1, 0, -1):
+                    if self.stack[i].tag == tag:
+                        del self.stack[i:]
+                        return
+                return
+            if fmt_el not in self.stack:
+                self.fmt.remove(fmt_el)
+                return
+            fi = self.stack.index(fmt_el)
+            furthest = None
+            for j in range(fi + 1, len(self.stack)):
+                if self.stack[j].tag not in _FORMATTING:
+                    furthest = self.stack[j]
+                    break
+            if furthest is None:
+                # nothing special below: pop to the element (formatting
+                # elements above it stay ACTIVE and reconstruct later)
+                del self.stack[fi:]
+                self.fmt.remove(fmt_el)
+                return
+            common_ancestor = self.stack[fi - 1]
+            bookmark = self.fmt.index(fmt_el)
+            last_node = furthest
+            inner = 0
+            chain = self.stack[fi + 1 : self.stack.index(furthest)]
+            for node in reversed(chain):
+                inner += 1
+                if inner > 3 or node not in self.fmt:
+                    if node in self.fmt:
+                        self.fmt.remove(node)
+                    self.stack.remove(node)
+                    continue
+                clone = self._clone(node)
+                self.fmt[self.fmt.index(node)] = clone
+                self.stack[self.stack.index(node)] = clone
+                if last_node is furthest:
+                    bookmark = self.fmt.index(clone) + 1
+                last_node.remove()
+                clone.children.append(last_node)
+                last_node.parent = clone
+                last_node = clone
+            last_node.remove()
+            self._foster_into(common_ancestor, last_node)
+            fmt_clone = self._clone(fmt_el)
+            for c in furthest.children:
+                c.parent = fmt_clone
+            fmt_clone.children = furthest.children
+            furthest.children = [fmt_clone]
+            fmt_clone.parent = furthest
+            old = self.fmt.index(fmt_el)
+            self.fmt.remove(fmt_el)
+            if bookmark > old:
+                bookmark -= 1
+            self.fmt.insert(bookmark, fmt_clone)
+            self.stack.remove(fmt_el)
+            self.stack.insert(self.stack.index(furthest) + 1, fmt_clone)
 
     def handle_starttag(self, tag, attrs):
         if tag in _P_CLOSERS:
@@ -218,10 +362,23 @@ class _TreeBuilder(HTMLParser):
         rule = _AUTOCLOSE.get(tag)
         if rule:
             self._autoclose(*rule)
+        if tag not in _NO_RECONSTRUCT:
+            self._reconstruct()
         node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
-        if not self._foster_parent(node):
-            node.parent = self.stack[-1]
-            self.stack[-1].children.append(node)
+        if tag in _FORMATTING:
+            # Noah's Ark clause: at most 3 identical active entries —
+            # bounds reconstruction cost on pathological <b><b><b>… runs
+            same = [
+                e
+                for e in self.fmt
+                if e is not _FMT_MARKER and e.tag == tag and e.attrs == node.attrs
+            ]
+            if len(same) >= 3:
+                self.fmt.remove(same[0])
+            self.fmt.append(node)
+        elif tag in _MARKER_OPEN:
+            self.fmt.append(_FMT_MARKER)
+        self._insert(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
@@ -232,15 +389,22 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(node)
 
     def handle_endtag(self, tag):
+        if tag in _FORMATTING:
+            self._adoption_agency(tag)
+            return
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
                 del self.stack[i:]
+                if tag in _MARKER_OPEN:
+                    self._clear_to_marker()
                 return
         # stray end tag: ignored (tolerant parsing)
 
     def handle_data(self, data):
         if not data:
             return
+        if data.strip():
+            self._reconstruct()
         node = Node(None, text=data)
         # non-whitespace text in table scope is fostered like elements;
         # pure whitespace stays (it is legal between rows/cells)

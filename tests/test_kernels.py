@@ -487,6 +487,43 @@ def test_foster_parenting():
     assert out == "hello cell"
 
 
+def _serialize(n):
+    if n.is_text:
+        return n.text
+    inner = "".join(_serialize(c) for c in n.children)
+    return inner if n.tag == "#document" else f"<{n.tag}>{inner}</{n.tag}>"
+
+
+def test_adoption_agency():
+    """Misnested formatting tags repair per the HTML5 adoption agency
+    algorithm (whatwg 13.2.6.4.7) — the tree lexbor gives the
+    reference (resiliparse-py/resiliparse/parse/html.pyx:1734)."""
+    from resilispark.functions.html import parse_html
+
+    cases = [
+        # the canonical misnest: </b> before </i>
+        ("<p>1<b>2<i>3</b>4</i>5</p>", "<p>1<b>2<i>3</i></b><i>4</i>5</p>"),
+        # furthest-block case: block inside formatting, closed early
+        ("<b>1<p>2</b>3</p>", "<b>1</b><p><b>2</b>3</p>"),
+        # formatting left open across a block boundary reconstructs
+        ("<p><b>x</p><p>y</p>", "<p><b>x</b></p><p><b>y</b></p>"),
+        ("<b><i>a</b>b</i>", "<b><i>a</i></b><i>b</i>"),
+        # cell boundary is a marker: bold does NOT leak into td 2
+        (
+            "<table><tr><td><b>x</td><td>y</td></tr></table>",
+            "<table><tr><td><b>x</b></td><td>y</td></tr></table>",
+        ),
+    ]
+    for html, want in cases:
+        assert _serialize(parse_html(html)) == want, html
+
+    # Noah's Ark clause bounds identical reopened entries to 3
+    root = parse_html("<p>" + "<b>" * 10 + "x</p><p>y</p>")
+    ps = [c for c in root.iter_elements() if c.tag == "p"]
+    reopened = [c for c in ps[-1].iter_elements() if c.tag == "b"]
+    assert 0 < len(reopened) <= 3
+
+
 def test_dom_lookups_and_mutation():
     """F12 classic lookups + F13 mutation API on the Node tree."""
     from resilispark.functions.html import extract_plain_text, parse_html
