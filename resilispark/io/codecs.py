@@ -9,10 +9,13 @@ with the standard library alone:
  - PPM/PGM (netpbm binary P5/P6)
  - PNG  (8-bit gray/RGB/RGBA, non-interlaced) via zlib inflate +
    Sub/Up/Average/Paeth unfiltering
+ - GIF  (87a/89a, LZW, interlace, local color tables; first frame)
+ - JPEG (baseline SOF0/SOF1: Huffman entropy decode, restart
+   markers, any sampling factors, vectorized numpy IDCT)
 
-Compressed formats that genuinely need native codecs (JPEG, GIF-LZW
-beyond stdlib, MP3/AAC, video) stay behind the documented
-``RESILISPARK_FAKE_DECODE`` stub in ``operators/multimodal.py``.
+Formats that genuinely need native codecs (progressive JPEG, MP3/AAC,
+video) stay behind the documented ``RESILISPARK_FAKE_DECODE`` stub in
+``operators/multimodal.py``.
 
 Everything returns numpy arrays so feature extraction is vectorized.
 """
@@ -248,6 +251,401 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgb)
 
 
+# ---------------------------------------------------------------------------
+# images: GIF (LZW)
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytearray:
+    """GIF-variant LZW: variable 3..12-bit codes, CLEAR resets the
+    table, codes are packed LSB-first."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # dictionary as list of bytes entries
+    base = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = buf & ((1 << code_size) - 1)
+            buf >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise UnsupportedMediaError("corrupt GIF LZW stream")
+            out += entry
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a as HxWx3 uint8 RGB (transparent
+    pixels take the background color). Multi-frame GIFs decode only
+    frame 0 — use gif_frame_count for the animation length."""
+    if not payload.startswith((b"GIF87a", b"GIF89a")):
+        raise UnsupportedMediaError("not a GIF")
+    sw, sh, flags, bg, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    transparent = -1
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # graphic control
+                gflags = payload[pos + 1]
+                if gflags & 0x01:
+                    transparent = payload[pos + 4]
+            while payload[pos]:  # skip sub-blocks
+                pos += payload[pos] + 1
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise UnsupportedMediaError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+        pos += 10
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if ct is None:
+            raise UnsupportedMediaError("GIF frame has no color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos]:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1 : pos + 1 + ln])
+            pos += ln + 1
+        pos += 1
+        idx = np.frombuffer(
+            bytes(_gif_lzw_decode(min_code, b"".join(chunks), w * h)), np.uint8
+        )
+        if idx.size < w * h:
+            idx = np.pad(idx, (0, w * h - idx.size))
+        grid = idx[: w * h].reshape(h, w)
+        if iflags & 0x40:  # 4-pass interlace
+            de = np.empty_like(grid)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                rows = range(start, h, step)
+                de[list(rows)] = grid[src : src + len(rows)]
+                src += len(rows)
+            grid = de
+        frame = ct[np.minimum(grid, len(ct) - 1)]
+        if transparent >= 0 and gct is not None:
+            bg_rgb = gct[min(bg, len(gct) - 1)]
+            frame = np.where((grid == transparent)[:, :, None], bg_rgb, frame)
+        canvas = np.zeros((sh, sw, 3), np.uint8)
+        if gct is not None:
+            canvas[:] = gct[min(bg, len(gct) - 1)]
+        canvas[top : top + h, left : left + w] = frame[: sh - top, : sw - left]
+        return canvas
+    raise UnsupportedMediaError("GIF contains no image data")
+
+
+def gif_frame_count(payload: bytes) -> int:
+    """Number of image frames (skips data without LZW-decoding it)."""
+    if not payload.startswith((b"GIF87a", b"GIF89a")):
+        raise UnsupportedMediaError("not a GIF")
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:
+        pos += (2 << (flags & 0x07)) * 3
+    frames = 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            break
+        iflags = payload[pos + 9]
+        pos += 10
+        if iflags & 0x80:
+            pos += (2 << (iflags & 0x07)) * 3
+        pos += 1  # min code size
+        while payload[pos]:
+            pos += payload[pos] + 1
+        pos += 1
+        frames += 1
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# images: baseline JPEG (SOF0/SOF1, Huffman, 8-bit)
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array(
+    [ 0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    np.int64,
+)
+
+# orthonormal 8-point DCT basis: spatial = T.T @ coeff @ T
+_IDCT_T = np.array(
+    [
+        [
+            (0.5 * (1.0 / np.sqrt(2.0) if u == 0 else 1.0))
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _JpegBits:
+    """MSB-first bit reader over a pre-destuffed entropy segment."""
+
+    __slots__ = ("d", "pos", "buf", "n")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.buf = 0
+        self.n = 0
+
+    def bits(self, count: int) -> int:
+        while self.n < count:
+            byte = self.d[self.pos] if self.pos < len(self.d) else 0
+            self.pos += 1
+            self.buf = (self.buf << 8) | byte
+            self.n += 8
+        self.n -= count
+        v = (self.buf >> self.n) & ((1 << count) - 1)
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise UnsupportedMediaError("invalid JPEG Huffman code")
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _receive_extend(bits: _JpegBits, s: int) -> int:
+    if s == 0:
+        return 0
+    v = bits.bits(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JPEG (SOF0/SOF1) to HxWx3 uint8 RGB:
+    Huffman entropy decode per MCU, dequantize, vectorized 8x8 IDCT,
+    chroma upsample, YCbCr->RGB. Progressive (SOF2) is rejected."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise UnsupportedMediaError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    height = width = 0
+    restart = 0
+    scan: list[tuple[int, int, int]] = []  # (comp_index, dc_id, ac_id)
+    pos = 2
+    while pos < len(payload) - 1:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                prec, tid = seg[off] >> 4, seg[off] & 15
+                off += 1
+                if prec:
+                    tbl = np.frombuffer(seg, ">u2", 64, off).astype(np.int32)
+                    off += 128
+                else:
+                    tbl = np.frombuffer(seg, np.uint8, 64, off).astype(np.int32)
+                    off += 64
+                qt[tid] = tbl
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                cls, tid = seg[off] >> 4, seg[off] & 15
+                counts = seg[off + 1 : off + 17]
+                total = sum(counts)
+                symbols = seg[off + 17 : off + 17 + total]
+                huff[(cls, tid)] = _jpeg_huff_table(counts, symbols)
+                off += 17 + total
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+            height, width = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            comps = [
+                (seg[6 + 3 * i], seg[7 + 3 * i] >> 4, seg[7 + 3 * i] & 15, seg[8 + 3 * i])
+                for i in range(ncomp)
+            ]
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError("only baseline JPEG is supported")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            by_id = {c[0]: i for i, c in enumerate(comps)}
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((by_id[cid], tabs >> 4, tabs & 15))
+            pos += ln
+            break
+        pos += ln
+    if not comps or not scan:
+        raise UnsupportedMediaError("truncated JPEG (no frame/scan)")
+
+    # de-stuff entropy data and split at restart markers
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n = len(payload)
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        m = payload[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif m == 0xD9:
+            break
+        else:
+            i += 2
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # per-component coefficient planes (blocks_y, blocks_x, 64)
+    planes = [np.zeros((mcuy * c[2], mcux * c[1], 64), np.int32) for c in comps]
+    preds = [0] * len(comps)
+    seg_iter = iter(segments)
+    bits = _JpegBits(next(seg_iter))
+    mcu_in_seg = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_in_seg == restart:
+                bits = _JpegBits(next(seg_iter, b""))
+                preds = [0] * len(comps)
+                mcu_in_seg = 0
+            mcu_in_seg += 1
+            for ci, dc_id, ac_id in scan:
+                _, ch, cv, tq = comps[ci]
+                dc_tab = huff[(0, dc_id)]
+                ac_tab = huff[(1, ac_id)]
+                q = qt[tq]
+                for by in range(cv):
+                    for bx in range(ch):
+                        s = bits.huff(dc_tab)
+                        preds[ci] += _receive_extend(bits, s)
+                        coef = np.zeros(64, np.int32)
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = bits.huff(ac_tab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break
+                            k += r
+                            if k > 63:
+                                break
+                            coef[k] = _receive_extend(bits, s)
+                            k += 1
+                        planes[ci][my * cv + by, mx * ch + bx] = coef * q
+    # vectorized IDCT per component, then upsample and crop
+    out_planes = []
+    for (cid, ch, cv, tq), plane in zip(comps, planes):
+        by, bx = plane.shape[:2]
+        f = np.zeros((by * bx, 8, 8))
+        f.reshape(by * bx, 64)[:, _ZIGZAG] = plane.reshape(by * bx, 64)
+        spatial = np.einsum("ux,nuv,vy->nxy", _IDCT_T, f, _IDCT_T) + 128.0
+        img = spatial.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        img = np.repeat(np.repeat(img, vmax // cv, axis=0), hmax // ch, axis=1)
+        out_planes.append(img[:height, :width])
+    if len(out_planes) == 1:
+        y = np.clip(out_planes[0], 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = out_planes[:3]
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch by magic; HxWx3 uint8 RGB or UnsupportedMediaError."""
     fmt = detect_media_format(payload)
@@ -257,6 +655,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "pnm":
         return decode_pnm(payload)
+    if fmt == "gif":
+        return decode_gif(payload)
+    if fmt == "jpeg":
+        return decode_jpeg(payload)
     raise UnsupportedMediaError(f"no pure-Python decoder for format {fmt!r}")
 
 
@@ -330,3 +732,259 @@ def encode_png(rgb: np.ndarray) -> bytes:
 def encode_pnm(rgb: np.ndarray) -> bytes:
     h, w = rgb.shape[:2]
     return f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
+
+
+def encode_gif(rgb: np.ndarray) -> bytes:
+    """Single-frame GIF89a with a 256-entry 6x7x6 color cube and the
+    trivial LZW stream (literal 9-bit codes with periodic CLEARs) —
+    valid per the spec, just uncompressed; exists so the GIF decode
+    path has an in-repo roundtrip fixture."""
+    h, w = rgb.shape[:2]
+    # 6x7x6 = 252-entry color cube, padded to 256
+    levels_r = np.linspace(0, 255, 6).astype(np.uint8)
+    levels_g = np.linspace(0, 255, 7).astype(np.uint8)
+    levels_b = np.linspace(0, 255, 6).astype(np.uint8)
+    cube = np.zeros((256, 3), np.uint8)
+    i = 0
+    for r in levels_r:
+        for g in levels_g:
+            for b in levels_b:
+                cube[i] = (r, g, b)
+                i += 1
+    qr = np.clip((rgb[:, :, 0].astype(np.int32) * 6) // 256, 0, 5)
+    qg = np.clip((rgb[:, :, 1].astype(np.int32) * 7) // 256, 0, 6)
+    qb = np.clip((rgb[:, :, 2].astype(np.int32) * 6) // 256, 0, 5)
+    idx = (qr * 42 + qg * 6 + qb).astype(np.uint16).ravel()
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    out += cube.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    out.append(8)  # LZW min code size
+    # literal 9-bit codes, CLEAR (256) after every 254 so the code
+    # width never grows past 9 bits; END (257) terminates
+    bitbuf = 0
+    nbits = 0
+    data = bytearray()
+
+    def emit(code: int):
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            data.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    emit(256)
+    for j, px in enumerate(idx):
+        emit(int(px))
+        if (j + 1) % 254 == 0:
+            emit(256)
+    emit(257)
+    if nbits:
+        data.append(bitbuf & 0xFF)
+    for off in range(0, len(data), 255):
+        chunk = data[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# JPEG Annex K reference tables (ITU T.81): luma/chroma quant at the
+# spec's base quality, and the "typical" Huffman tables
+_JPEG_QL = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    np.int32,
+)
+_JPEG_QC = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    np.int32,
+)
+_DC_L_COUNTS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+_DC_L_SYMS = bytes(range(12))
+_DC_C_COUNTS = bytes([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0])
+_DC_C_SYMS = bytes(range(12))
+_AC_L_COUNTS = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+_AC_L_SYMS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+_AC_C_COUNTS = bytes([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77])
+_AC_C_SYMS = bytes([
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+class _JpegBitWriter:
+    __slots__ = ("out", "buf", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.buf = (self.buf << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.buf >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            byte = ((self.buf << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.buf = 0
+            self.n = 0
+
+
+def _huff_encode_map(counts: bytes, symbols: bytes) -> dict:
+    m = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            m[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return m
+
+
+def encode_jpeg(rgb: np.ndarray) -> bytes:
+    """Baseline 4:4:4 JPEG with the Annex K tables — the roundtrip
+    fixture generator for decode_jpeg (and a real writer)."""
+    h, w = rgb.shape[:2]
+    arr = rgb.astype(np.float64)
+    y = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    cb = 128.0 - 0.168736 * arr[:, :, 0] - 0.331264 * arr[:, :, 1] + 0.5 * arr[:, :, 2]
+    cr = 128.0 + 0.5 * arr[:, :, 0] - 0.418688 * arr[:, :, 1] - 0.081312 * arr[:, :, 2]
+    bh, bw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = []
+    for p in (y, cb, cr):
+        pad = np.pad(p, ((0, bh - h), (0, bw - w)), mode="edge") - 128.0
+        blocks = pad.reshape(bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
+        planes.append(blocks.reshape(-1, 8, 8))
+    # forward DCT: F = T @ f @ T.T with the orthonormal basis
+    coefs = [np.einsum("ux,nxy,vy->nuv", _IDCT_T, p, _IDCT_T) for p in planes]
+    # the Annex K tables above are in natural (row-major) order:
+    # quantize naturally, then reorder coefficients to zigzag for
+    # emission (the DQT segment itself is written zigzagged below)
+    qtabs = [_JPEG_QL, _JPEG_QC, _JPEG_QC]
+    quant = []
+    for c, q in zip(coefs, qtabs):
+        flat = np.round(c.reshape(-1, 64) / q).astype(np.int32)
+        quant.append(flat[:, _ZIGZAG])
+    dc_l = _huff_encode_map(_DC_L_COUNTS, _DC_L_SYMS)
+    dc_c = _huff_encode_map(_DC_C_COUNTS, _DC_C_SYMS)
+    ac_l = _huff_encode_map(_AC_L_COUNTS, _AC_L_SYMS)
+    ac_c = _huff_encode_map(_AC_C_COUNTS, _AC_C_SYMS)
+    writer = _JpegBitWriter()
+
+    def magnitude(v: int) -> tuple[int, int]:
+        s = 0
+        a = abs(v)
+        while a:
+            s += 1
+            a >>= 1
+        return s, (v if v >= 0 else v + (1 << s) - 1)
+
+    nb = quant[0].shape[0]
+    preds = [0, 0, 0]
+    for bi in range(nb):
+        for ci in range(3):
+            dc_map = dc_l if ci == 0 else dc_c
+            ac_map = ac_l if ci == 0 else ac_c
+            blk = quant[ci][bi]
+            diff = int(blk[0]) - preds[ci]
+            preds[ci] = int(blk[0])
+            s, v = magnitude(diff)
+            code, ln = dc_map[s]
+            writer.write(code, ln)
+            if s:
+                writer.write(v, s)
+            run = 0
+            last_nz = 0
+            nz = np.nonzero(blk[1:])[0]
+            last_nz = nz[-1] + 1 if nz.size else 0
+            for k in range(1, 64):
+                val = int(blk[k])
+                if k > last_nz:
+                    break
+                if val == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_map[0xF0]
+                    writer.write(code, ln)
+                    run -= 16
+                s, v = magnitude(val)
+                code, ln = ac_map[(run << 4) | s]
+                writer.write(code, ln)
+                writer.write(v, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_map[0x00]  # EOB
+                writer.write(code, ln)
+    writer.flush()
+
+    out = bytearray(b"\xff\xd8")
+    for tid, q in ((0, _JPEG_QL), (1, _JPEG_QC)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(x) for x in q[_ZIGZAG])  # DQT is zigzag-ordered
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, tq])
+    for cls, tid, counts, syms in (
+        (0, 0, _DC_L_COUNTS, _DC_L_SYMS),
+        (0, 1, _DC_C_COUNTS, _DC_C_SYMS),
+        (1, 0, _AC_L_COUNTS, _AC_L_SYMS),
+        (1, 1, _AC_C_COUNTS, _AC_C_SYMS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(syms)) + bytes([(cls << 4) | tid])
+        out += counts + syms
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tabs in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, tabs])
+    out += b"\x00\x3f\x00"
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)

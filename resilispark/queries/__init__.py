@@ -40,6 +40,7 @@ _GATE_ORDER = [
     "w13_streaming_ingest", "w14_css_select", "w15_remote_scan",
     # multimodal (m03 was officially untested in round 1)
     "m01_image_features", "m02_video_frames", "m03_audio_features",
+    "m04_real_codec_roundtrip",
     # dedup family
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signatures",
     "d04_minhash_lsh_pairs", "d05_simhash", "d06_embedding_neardup",

@@ -1081,6 +1081,109 @@ ORDER BY doc_id
 """
 
 
+def m04_real_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec gate: each document's first 144 utf-8 bytes
+    become a 4x12 RGB image, encoded to PNG and GIF by io/codecs.py and
+    decoded back by the same pure-Python decoders (PNG: zlib+unfilter,
+    GIF: a real LZW decode). PNG is lossless so decoded channel means
+    equal raw byte means; GIF quantizes through the deterministic 6x7x6
+    color cube — BOTH are re-derivable byte arithmetic, so the DuckDB
+    oracle hash-verifies the decoders themselves (hex(encode(text)) +
+    per-byte extraction). Plan: one narrow Arrow-batched mapInPandas
+    over the parquet scan — no shuffle, O(1) work per row, scales
+    linearly with executors."""
+    from resilispark.session import ensure_workers_can_import
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_workers_can_import(spark)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    schema = (
+        "doc_id bigint, width bigint, height bigint, "
+        "png_r double, png_g double, png_b double, "
+        "gif_r double, gif_g double, gif_b double"
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from resilispark.io.codecs import decode_image, encode_gif, encode_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "").encode("utf-8")[:144]
+                raw = raw + b"\0" * (144 - len(raw))
+                img = np.frombuffer(raw, np.uint8).reshape(4, 12, 3)
+                png = decode_image(encode_png(img)).astype(np.int64)
+                gif = decode_image(encode_gif(img)).astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        png.shape[1],
+                        png.shape[0],
+                        # integer sums are exact in float64; /48.0 is a
+                        # single IEEE op — bit-identical to the oracle
+                        *(float(png[:, :, c].sum()) / 48.0 for c in range(3)),
+                        *(float(gif[:, :, c].sum()) / 48.0 for c in range(3)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "png_r", "png_g", "png_b", "gif_r", "gif_g", "gif_b",
+                ],
+            )
+
+    feats = d.mapInPandas(gen, schema)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        *[dround(F.col(c), 4).alias(c) for c in
+          ("png_r", "png_g", "png_b", "gif_r", "gif_g", "gif_b")],
+    ).orderBy("doc_id")
+
+
+# byte k (0-based) of the utf-8 text lives at hex chars 2k+1..2k+2;
+# missing bytes (short docs) are zero like the Spark-side padding.
+# GIF quantization: level index floor(v*N/256), palette values qr*51 /
+# the 7-level green table / qb*51 — the exact arithmetic of encode_gif.
+ORACLE_M04 = """
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h FROM documents
+), px AS (
+  SELECT doc_id,
+         CASE WHEN 2*(3*i.i+1) <= length(h)
+              THEN ('0x' || substr(h, 2*(3*i.i)+1, 2))::INT ELSE 0 END AS r,
+         CASE WHEN 2*(3*i.i+2) <= length(h)
+              THEN ('0x' || substr(h, 2*(3*i.i+1)+1, 2))::INT ELSE 0 END AS g,
+         CASE WHEN 2*(3*i.i+3) <= length(h)
+              THEN ('0x' || substr(h, 2*(3*i.i+2)+1, 2))::INT ELSE 0 END AS b
+  FROM hx, generate_series(0, 47) AS i(i)
+), q AS (
+  SELECT doc_id, r, g, b,
+         CAST(floor(r * 6 / 256.0) AS INT) * 51 AS gr,
+         ([0, 42, 85, 127, 170, 212, 255])[CAST(floor(g * 7 / 256.0) AS INT) + 1] AS gg,
+         CAST(floor(b * 6 / 256.0) AS INT) * 51 AS gb
+  FROM px
+)
+SELECT doc_id,
+       CAST(12 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       floor((SUM(r) / 48.0) * 1e4 + 0.5) / 1e4 AS png_r,
+       floor((SUM(g) / 48.0) * 1e4 + 0.5) / 1e4 AS png_g,
+       floor((SUM(b) / 48.0) * 1e4 + 0.5) / 1e4 AS png_b,
+       floor((SUM(gr) / 48.0) * 1e4 + 0.5) / 1e4 AS gif_r,
+       floor((SUM(gg) / 48.0) * 1e4 + 0.5) / 1e4 AS gif_g,
+       floor((SUM(gb) / 48.0) * 1e4 + 0.5) / 1e4 AS gif_b
+FROM q
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1103,6 +1206,7 @@ QUERIES = {
     "m01_image_features": m01_image_features,
     "m02_video_frames": m02_video_frames,
     "m03_audio_features": m03_audio_features,
+    "m04_real_codec_roundtrip": m04_real_codec_roundtrip,
 }
 
 ORACLES = {
@@ -1127,4 +1231,5 @@ ORACLES = {
     "m01_image_features": ORACLE_M01,
     "m02_video_frames": ORACLE_M02,
     "m03_audio_features": ORACLE_M03,
+    "m04_real_codec_roundtrip": ORACLE_M04,
 }

@@ -8,6 +8,55 @@ from pyspark.sql import functions as F
 
 from resilispark.operators.elasticsearch import RecordingStubClient as _StubEsClient
 
+# 32x24 gradient (see TestRealCodecs._gradient) encoded by javax.imageio
+# (JDK 17) — independent-encoder fixtures for the JPEG/GIF decoders
+_JAVA_JPEG_B64 = (
+    "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRof"
+    "Hh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/2wBDAQkJCQwLDBgNDRgyIRwh"
+    "MjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjL/wAAR"
+    "CAAYACADASIAAhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAA"
+    "AgEDAwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkK"
+    "FhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWG"
+    "h4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl"
+    "5ufo6erx8vP09fb3+Pn6/8QAHwEAAwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREA"
+    "AgECBAQDBAcFBAQAAQJ3AAECAxEEBSExBhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYk"
+    "NOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElKU1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOE"
+    "hYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk"
+    "5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwDyC20vp8tbFtpfT5a3rbS+ny1sW2ldPlqa"
+    "dU58Bmm2pgW2ldPlrXttL6fLW/baX0+Wte20vp8tdtOqfZ4DNNtTPttL6fLWxbaV0+WiivDp"
+    "yZ+JYDEVNNTXttL6fLWvbaX0+Wiiu2nJn2mAxFTTU//Z"
+)
+_JAVA_GIF_B64 = (
+    "R0lGODlhIAAYAPcAAA8PDwcqFgU5GxcqHw8/JB8qJBs6KCsFGicVHzcAHzcUKDM0MwBKHwtK"
+    "JgVZKQ9fMhdKLR9KMhtaNgBqLQtqNAd5OBtqPRd0PytKOClYPTdKPxx7RS9fRD9KRDtaSCtq"
+    "Ril3Sy9/UTdqTT9qUTt5VlIONUktPWkDPV8fRFY3SHUSSnEzV38/ZEtKSkdVTUxbUltKU1ta"
+    "WktqWEl3XVdqX09/ZF9qZFt5aGlNXWxbZXtKZnlYa39fcWtqamd0bWx7cntqc3t5egOKPQCU"
+    "Pw+KRAiaRxuKSheUTRybUgOqSg+qUQC0TQi6VRuqWBm3XR+/ZC+SWjybZSeqXy+qZCu5aDuq"
+    "aje0bTy7cgTQXBbWaA/ubzHTdynsfUuKZkmXa0+fcVeKbV+KcVuZdUuqc0u5eluqfFe0f2yQ"
+    "e0fJfz/fhDjvh1y7hW+fhH+KhHuZiGuqhmm3i2+/kXeqjX+qkXu5lU/JhEvZiFvJilfUjVzb"
+    "klPulW/RmXzbpGfpn3TvqZAMWJwbZYcqX5Q1a6cAX7MQbasqc6s6ersqfLc1f4dKbY9KcYta"
+    "dZtKeJlYfYtqfId0f6dKf8sFdckYfdkDfbw7hZ9fhIx7hZtqhpl3i59/ka9KhKtaiLtKirdV"
+    "jbxbkqdqja9qkat5lbtqmLl3nb9/o9kYhtM0j+8Pj+sqmOk4nfcqn/Q7pMtKk8tamttKnNdV"
+    "n9xbpMdqn89qo8t5qNtqqtd0rdx7sutKpelYq+9fsfdKrfdas+tqs+t5uvdquvd0v/d/w4uK"
+    "ioeUjYybkpuKk5uZmouqmIm3nZeqn4+/o5+qo5u5qKmNnaybpLuKpbmXq7+fsauqqqe0ray7"
+    "sruqs7u5uovJpYnXq4/fsZfJrZ/JsZvZtZHtuazQu5/0w7nXxrPuzMeKrc+KscuZtduKuNmX"
+    "vcmtveeKv9+fw8y7xNuqxdm3yt+/0e+Kw+uZx/eKyPeUzPef0e+01cvJysfUzMzb0tvJ09vZ"
+    "2s3t29zw5OnM3fHX5u/u7g8PDw8PDw8PDywAAAAAIAAYAEcI/wABCBR44EACBSUSljhxQoWK"
+    "PxD/DCJEMVKkSZNOaXTAUYKEDBk8eHDxIkYMHDl27Fi0qFGjTZs6eWrV6hUsXLh2JUmipEkT"
+    "KVOqVBkzpkyZN2/kzDFmDJmyaNGoUTNnTp06eVgDaB1QYIHXBSZMpEixouyKQILSFip06JCp"
+    "t6ZQoVJVoe6GDSBCkCAxo8aNGz9+BAliyRKmTKFCjSI1a5YtW716AcOCJYvlLZi32LGDJ8+e"
+    "z3yuXdu2rVu3b9/o1bt3T9++fQMFIlBAW2EJhw4jAqJIUZKkUqU0nhIggIABA18XjB1rlkXa"
+    "tIYMUaIE11SqVasmUKBgwcKHDyJGyP+QQcNGjx5AgDhydOnSJ1CiRMWSRYsWL16+hhQpcgQJ"
+    "lP9ReOGFGGKccYYbbggzTDHFMNPMM8+MM0455bjjDjxMZOjEE1RQccUVZJCxxhpwxEEHHcck"
+    "s8wy00xTTTXppLMOO1jJo8WNN3LBhRpq6OGjHn34ISQ3RHIDzpHg4KNkPvw0GRsABdWmUEO5"
+    "RcQbIRZNEpxGT9ImZQko4PbQH4DsxttvwAlHnADHJScWc2Y9J0h0iFAHVyrXMdBAAxBEgAEG"
+    "GnTQQgswwIADDjrokIgijDACiSaccMIKK664csstunD0gEcZcCDSCyXFkENKPLDUSCUweTJT"
+    "K7DclMsudVW/cAFeIOw1wwx/+SBYEI8Yhklio4zSWC2Q9fKLEEIQYYQR//3XRRdghGHgGW0E"
+    "EwwxxDDDjDPOhCMOOeSc0847+xWBhH9QRBHgFwSewQaCwyxYTDMPQiNhOehYGM8SGjrRoRUg"
+    "kmEGiXCceMwxK0rjYjXmyLhOjZRVlkVmW6BRxx13fPaZNdZko41pp80zjz326OOaxJdhlsZm"
+    "eXi2Bx+hYUPaaajVs9o9r+2DY4489vijkEMS6Q2SSeKTD5NNBgQAOw=="
+)
+
 
 class TestEsSink:
     def _df(self, spark, n=20):
@@ -469,6 +518,64 @@ class TestRealCodecs:
         assert np.array_equal(decode_bmp(encode_bmp(img)), img)
         assert np.array_equal(decode_png(encode_png(img)), img)
         assert np.array_equal(decode_pnm(encode_pnm(img)), img)
+
+    @staticmethod
+    def _gradient(h=24, w=32):
+        import numpy as np
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack(
+            [xx * 255 // w, yy * 255 // h, (xx + yy) * 255 // (w + h)], axis=2
+        ).astype(np.uint8)
+
+    def test_gif_roundtrip(self):
+        import numpy as np
+
+        from resilispark.io.codecs import decode_gif, encode_gif, gif_frame_count
+
+        img = self._gradient()
+        payload = encode_gif(img)
+        out = decode_gif(payload)
+        assert out.shape == img.shape
+        # 6x7x6 palette: error bounded by one quantization bucket
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 43
+        assert gif_frame_count(payload) == 1
+
+    def test_jpeg_roundtrip(self):
+        import numpy as np
+
+        from resilispark.io.codecs import decode_jpeg, encode_jpeg
+
+        img = self._gradient()
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert float(err.mean()) < 4.0 and int(err.max()) < 32
+        # odd dimensions exercise edge-block padding
+        img2 = self._gradient(17, 19)
+        out2 = decode_jpeg(encode_jpeg(img2))
+        assert out2.shape == img2.shape
+
+    def test_decode_independent_encoders(self):
+        """Fixtures produced by an INDEPENDENT encoder (javax.imageio):
+        a 4:2:0 baseline JPEG and a real-LZW GIF of the same gradient —
+        guards against self-consistent encode/decode transposition
+        bugs."""
+        import base64
+
+        import numpy as np
+
+        from resilispark.io.codecs import decode_gif, decode_jpeg
+
+        truth = self._gradient()
+        jpg = base64.b64decode(_JAVA_JPEG_B64)
+        out = decode_jpeg(jpg)
+        assert out.shape == truth.shape
+        assert float(np.abs(out.astype(int) - truth.astype(int)).mean()) < 6.0
+        gif = base64.b64decode(_JAVA_GIF_B64)
+        out = decode_gif(gif)
+        assert out.shape == truth.shape
+        assert float(np.abs(out.astype(int) - truth.astype(int)).mean()) < 8.0
 
     def test_png_filtered_rows(self):
         # exercise Sub/Up/Average/Paeth unfiltering with a hand-built
