@@ -198,6 +198,51 @@ def detect_encoding(
     return "cp1252" if html5_compatible else "iso-8859-1"
 
 
+class EncodingDetector:
+    """Stateful incremental charset detector (F5; the reference's
+    uchardet-backed EncodingDetector, encoding.pyx:116-185).
+
+    ``update()`` accumulates chunks (bounded head+tail retention, so
+    feeding a 1 GB stream costs constant memory like uchardet's
+    shortcutting), ``encoding()`` runs the same statistical pass as
+    :func:`detect_encoding` and RESETS the detector — the reference's
+    documented call contract."""
+
+    __slots__ = ("_head", "_tail", "_n", "_max_len")
+
+    def __init__(self, max_len: int = 131072):
+        self._max_len = max_len
+        self._head = bytearray()
+        self._tail = bytearray()
+        self._n = 0
+
+    def update(self, data: bytes) -> None:
+        if not data:
+            return
+        self._n += len(data)
+        half = self._max_len // 2
+        need = half - len(self._head)
+        if need > 0:
+            self._head += data[:need]
+            data = data[need:]
+        if data:
+            self._tail += data
+            if len(self._tail) > half:
+                del self._tail[: len(self._tail) - half]
+
+    def encoding(self, html5_compatible: bool = True) -> str | None:
+        data = bytes(self._head + self._tail)
+        self.reset()
+        if not data:
+            return "utf-8" if html5_compatible else None
+        return detect_encoding(data, html5_compatible=html5_compatible)
+
+    def reset(self) -> None:
+        self._head = bytearray()
+        self._tail = bytearray()
+        self._n = 0
+
+
 def bytes_to_str(
     data: bytes,
     encoding: str = "utf-8",

@@ -139,6 +139,30 @@ class TestEncoding:
         data = b'<html><head><meta charset="koi8-r"></head><body>\xd0\xd2</body>'
         assert detect_encoding(data, from_html_meta=True) == "koi8-r"
 
+    def test_stateful_detector(self):
+        """F5 incremental EncodingDetector: chunked updates agree with
+        the one-shot detector, encoding() resets state, and memory
+        stays bounded on long streams (encoding.pyx:116-185)."""
+        from resilispark.functions.encoding import EncodingDetector
+
+        det = EncodingDetector()
+        payload = "café naïve résumé ".encode("cp1252") * 50
+        for i in range(0, len(payload), 7):  # ragged chunks
+            det.update(payload[i : i + 7])
+        assert det.encoding() == detect_encoding(payload) == "cp1252"
+        # encoding() reset the state: fresh stream gives a fresh answer
+        det.update("héllo".encode("utf-8"))
+        assert det.encoding() == "utf-8"
+        # empty detector falls back per the html5_compatible contract
+        assert det.encoding() == "utf-8"
+        assert det.encoding(html5_compatible=False) is None
+        # head+tail retention keeps memory constant on a huge stream
+        det2 = EncodingDetector(max_len=1024)
+        for _ in range(1000):
+            det2.update(b"x" * 1000)
+        assert len(det2._head) + len(det2._tail) <= 1024
+        assert det2.encoding() == "utf-8"
+
     def test_whatwg_map(self):
         assert map_encoding_to_html5("ISO-8859-1") == "cp1252"
         assert map_encoding_to_html5("latin1") == "cp1252"
