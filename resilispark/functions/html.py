@@ -375,6 +375,15 @@ class _TreeBuilder(HTMLParser):
             ]
             if len(same) >= 3:
                 self.fmt.remove(same[0])
+            # hard robustness cap beyond Noah's Ark: attr-distinct
+            # formatting spam (<b class=1><b class=2>…) would otherwise
+            # grow the list unboundedly and make every later text node
+            # reconstruct thousands of clones on crawled junk HTML
+            if len(self.fmt) >= 64:
+                for k, e in enumerate(self.fmt):
+                    if e is not _FMT_MARKER:
+                        del self.fmt[k]
+                        break
             self.fmt.append(node)
         elif tag in _MARKER_OPEN:
             self.fmt.append(_FMT_MARKER)

@@ -1,0 +1,63 @@
+"""Property-based HTML parser/extractor robustness (hypothesis).
+
+100 TB of crawled HTML contains every possible malformation; the
+parser and extractor must never raise and must terminate in bounded
+time. This fuzzes random tag soup — misnested formatting, stray end
+tags, table misnesting, formatting spam — through parse_html and every
+extract_plain_text mode."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from resilispark.functions.html import extract_plain_text, parse_html
+
+_TAGS = [
+    "div", "p", "span", "b", "i", "em", "a", "ul", "ol", "li", "table",
+    "tr", "td", "th", "pre", "br", "h1", "h2", "section", "nav", "button",
+    "object", "font", "small", "strike",
+]
+
+_token = st.one_of(
+    st.sampled_from([f"<{t}>" for t in _TAGS]),
+    st.sampled_from([f"</{t}>" for t in _TAGS]),
+    st.sampled_from(['<b class="x">', '<a href="#">', "<li value=3>", "<td colspan=2>"]),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="<>&"),
+        min_size=0,
+        max_size=12,
+    ),
+)
+
+_soup = st.lists(_token, min_size=0, max_size=60).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(html=_soup)
+def test_parse_and_extract_never_raise(html):
+    root = parse_html(html)
+    # the tree is well-formed: every child points back to its parent
+    stack = [root]
+    seen = 0
+    while stack:
+        n = stack.pop()
+        seen += 1
+        assert seen < 50_000  # no runaway cloning
+        for c in n.children:
+            assert c.parent is n
+            stack.append(c)
+    for mode in (False, True, "minimal_html"):
+        out = extract_plain_text(html, preserve_formatting=mode)
+        assert isinstance(out, str)
+    extract_plain_text(html, main_content=True)
+    extract_plain_text(html, list_bullets=False, links=True, form_fields=True)
+
+
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(min_value=1, max_value=200))
+def test_formatting_spam_bounded(n):
+    """Attr-distinct formatting spam stays bounded by the fmt cap: the
+    tree must not explode quadratically via reconstruction clones."""
+    html = "".join(f'<b class="c{i}">' for i in range(n)) + "<p>x</p><p>y</p>"
+    root = parse_html(html)
+    count = sum(1 for _ in root.iter_elements())
+    assert count < 20 * n + 200
