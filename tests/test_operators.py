@@ -26,6 +26,22 @@ _JAVA_JPEG_B64 = (
     "dU58Bmm2pgW2ldPlrXttL6fLW/baX0+Wte20vp8tdtOqfZ4DNNtTPttL6fLWxbaV0+WiivDp"
     "yZ+JYDEVNNTXttL6fLWvbaX0+Wiiu2nJn2mAxFTTU//Z"
 )
+# the same gradient written by javax.imageio as a 10-scan PROGRESSIVE
+# JPEG (SOF2: DC first+refine, spectral-selection AC first+refine)
+_JAVA_PROG_JPEG_B64 = (
+    "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRof"
+    "Hh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/2wBDAQkJCQwLDBgNDRgyIRwh"
+    "MjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjL/wgAR"
+    "CAAYACADASIAAhEBAxEB/8QAFwABAQEBAAAAAAAAAAAAAAAABAAFBv/EABgBAAIDAAAAAAAA"
+    "AAAAAAAAAAMFAQQG/9oADAMBAAIQAxAAAAHj2PZAwL0FmcnZVHEsXR3X/8QAFhAAAwAAAAAA"
+    "AAAAAAAAAAAAAAID/9oACAEBAAEFAlkLIWQshZCyFkLIWQshZCyP/8QAFxEBAQEBAAAAAAAA"
+    "AAAAAAAAAwACBP/aAAgBAwEBPwEOqDqgTUCav//EABYRAQEBAAAAAAAAAAAAAAAAAAIAAf/a"
+    "AAgBAgEBPwEqKjsdv//EABQQAQAAAAAAAAAAAAAAAAAAADD/2gAIAQEABj8CT//EABUQAQEA"
+    "AAAAAAAAAAAAAAAAAABh/9oACAEBAAE/IYIIIIIIIIIIIP/aAAwDAQACAAMAAAAQ8X+c/8QA"
+    "FhEBAQEAAAAAAAAAAAAAAAAAIQAx/9oACAEDAQE/EMmyYjEb/8QAFhEBAQEAAAAAAAAAAAAA"
+    "AAAAAAEQ/9oACAECAQE/EMWij//EABUQAQEAAAAAAAAAAAAAAAAAAAAx/9oACAEBAAE/EJEi"
+    "ZIkTJEiRMkSP/9k="
+)
 _JAVA_GIF_B64 = (
     "R0lGODlhIAAYAPcAAA8PDwcqFgU5GxcqHw8/JB8qJBs6KCsFGicVHzcAHzcUKDM0MwBKHwtK"
     "JgVZKQ9fMhdKLR9KMhtaNgBqLQtqNAd5OBtqPRd0PytKOClYPTdKPxx7RS9fRD9KRDtaSCtq"
@@ -555,6 +571,23 @@ class TestRealCodecs:
         img2 = self._gradient(17, 19)
         out2 = decode_jpeg(encode_jpeg(img2))
         assert out2.shape == img2.shape
+
+    def test_progressive_jpeg(self):
+        """A 10-scan progressive JPEG (SOF2: interleaved DC first +
+        refine, per-component spectral AC first + refine) of the same
+        gradient as the baseline fixture, same quant tables — the two
+        decodes must be BIT-IDENTICAL, so any EOB-run or correction-bit
+        slip (which desyncs the whole bitstream) fails loudly."""
+        import base64
+
+        import numpy as np
+
+        from resilispark.io.codecs import decode_jpeg
+
+        base = decode_jpeg(base64.b64decode(_JAVA_JPEG_B64))
+        prog = decode_jpeg(base64.b64decode(_JAVA_PROG_JPEG_B64))
+        assert prog.shape == (24, 32, 3)
+        assert np.array_equal(base, prog)
 
     def test_decode_independent_encoders(self):
         """Fixtures produced by an INDEPENDENT encoder (javax.imageio):
