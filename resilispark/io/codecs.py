@@ -7,8 +7,8 @@ with the standard library alone:
  - WAV  (RIFF PCM 8/16/32-bit) via ``wave`` + struct
  - BMP  (BITMAPINFOHEADER, uncompressed 24/32-bit BI_RGB)
  - PPM/PGM (netpbm binary P5/P6)
- - PNG  (8-bit gray/RGB/RGBA, non-interlaced) via zlib inflate +
-   Sub/Up/Average/Paeth unfiltering
+ - PNG  (gray/RGB/RGBA/palette at bit depth 1-16, Adam7 interlace)
+   via zlib inflate + Sub/Up/Average/Paeth unfiltering
  - GIF  (87a/89a, LZW, interlace, local color tables; first frame)
  - JPEG (baseline SOF0/SOF1 AND progressive SOF2: Huffman entropy
    decode, EOB runs + successive-approximation refinement, restart
@@ -167,11 +167,15 @@ def decode_pnm(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
-def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
-    """Undo per-scanline PNG filtering; returns (h, w*bpp) uint8."""
-    stride = w * bpp
+def _png_unfilter(
+    raw: bytes, w: int, h: int, bpp: int, pos: int = 0, stride: int | None = None
+) -> np.ndarray:
+    """Undo per-scanline PNG filtering from ``raw[pos:]``; returns
+    (h, stride) uint8. ``stride`` defaults to w*bpp (byte-aligned
+    pixels); sub-byte depths pass the packed row width with bpp=1."""
+    if stride is None:
+        stride = w * bpp
     out = np.zeros((h, stride), dtype=np.uint8)
-    pos = 0
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
         ftype = raw[pos]
@@ -207,13 +211,43 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 interlace passes: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_decode_pixels(raw, w, h, channels, bit_depth, pos=0):
+    """Unfilter + unpack one (sub)image; returns ((h, w, channels)
+    uint8 scaled to 8-bit, bytes consumed)."""
+    if bit_depth == 8:
+        stride = w * channels
+        px = _png_unfilter(raw, w, h, channels, pos).reshape(h, w, channels)
+    elif bit_depth == 16:
+        stride = w * channels * 2
+        rows = _png_unfilter(raw, w, h, channels * 2, pos)
+        px = rows.reshape(h, w, channels, 2)[:, :, :, 0]  # high byte
+    else:  # 1/2/4-bit gray or palette indices (channels == 1)
+        stride = (w * bit_depth + 7) // 8
+        rows = _png_unfilter(raw, w, h, 1, pos, stride=stride)
+        bits = np.unpackbits(rows, axis=1)[:, : w * bit_depth]
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        px = (bits.reshape(h, w, bit_depth) * weights).sum(axis=2)
+        px = px.astype(np.uint8)[:, :, None]
+    return px, h * (1 + stride)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """HxWx3 uint8 RGB from an 8-bit gray/RGB/RGBA non-interlaced PNG."""
+    """HxWx3 uint8 RGB from a PNG: gray/RGB/RGBA/gray-alpha at bit
+    depth 1-16, palette (PLTE) images, and Adam7 interlacing. 16-bit
+    samples take the high byte; alpha is dropped (no compositing)."""
     if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
         raise UnsupportedMediaError("not a PNG")
     pos = 8
     w = h = bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack_from(">I4s", payload, pos)
         pos += 8
@@ -223,27 +257,46 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8)[: 3 * (len(chunk) // 3)].reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(chunk)
         elif ctype == b"IEND":
             break
     if w is None or not idat:
         raise UnsupportedMediaError("PNG missing IHDR/IDAT")
-    if bit_depth != 8 or interlace != 0:
-        raise UnsupportedMediaError(
-            f"PNG bit_depth={bit_depth} interlace={interlace} unsupported"
-        )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise UnsupportedMediaError(f"PNG color_type={color_type}")
+    if bit_depth not in (1, 2, 4, 8, 16) or (bit_depth < 8 and channels != 1):
+        raise UnsupportedMediaError(f"PNG bit_depth={bit_depth}/type={color_type}")
+    if color_type == 3 and plte is None:
+        raise UnsupportedMediaError("palette PNG missing PLTE")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise UnsupportedMediaError(f"bad PNG stream: {exc}") from exc
-    if len(raw) != h * (1 + w * channels):
-        raise UnsupportedMediaError("PNG data length mismatch")
-    px = _png_unfilter(raw, w, h, channels).reshape(h, w, channels)
-    if channels == 1:
+    if interlace == 0:
+        px, _used = _png_decode_pixels(raw, w, h, channels, bit_depth)
+    elif interlace == 1:
+        px = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, used = _png_decode_pixels(raw, pw, ph, channels, bit_depth, off)
+            off += used
+            px[y0::dy, x0::dx] = sub
+        px = px.reshape(h, w, channels)
+    else:
+        raise UnsupportedMediaError(f"PNG interlace={interlace}")
+    if color_type == 3:
+        rgb = plte[np.minimum(px[:, :, 0], len(plte) - 1)]
+    elif channels == 1:
+        if bit_depth < 8:  # scale 1/2/4-bit gray to full range
+            px = (px.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
         rgb = np.repeat(px, 3, axis=2)
     elif channels == 2:  # gray+alpha
         rgb = np.repeat(px[:, :, :1], 3, axis=2)

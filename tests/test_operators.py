@@ -42,6 +42,39 @@ _JAVA_PROG_JPEG_B64 = (
     "AAAAAAEQ/9oACAECAQE/EMWij//EABUQAQEAAAAAAAAAAAAAAAAAAAAx/9oACAEBAAE/EJEi"
     "ZIkTJEiRMkSP/9k="
 )
+# the same gradient as a PALETTE (color type 3) PNG written by
+# javax.imageio (TYPE_BYTE_INDEXED) - our decode must match its
+# palette mapping exactly
+_JAVA_PAL_PNG_B64 = (
+    "iVBORw0KGgoAAAANSUhEUgAAACAAAAAYCAMAAACsjQ8GAAADAFBMVEUAAAAAADMAAGYAAJkA"
+    "AMwAAP8AMwAAMzMAM2YAM5kAM8wAM/8AZgAAZjMAZmYAZpkAZswAZv8AmQAAmTMAmWYAmZkA"
+    "mcwAmf8AzAAAzDMAzGYAzJkAzMwAzP8A/wAA/zMA/2YA/5kA/8wA//8zAAAzADMzAGYzAJkz"
+    "AMwzAP8zMwAzMzMzM2YzM5kzM8wzM/8zZgAzZjMzZmYzZpkzZswzZv8zmQAzmTMzmWYzmZkz"
+    "mcwzmf8zzAAzzDMzzGYzzJkzzMwzzP8z/wAz/zMz/2Yz/5kz/8wz//9mAABmADNmAGZmAJlm"
+    "AMxmAP9mMwBmMzNmM2ZmM5lmM8xmM/9mZgBmZjNmZmZmZplmZsxmZv9mmQBmmTNmmWZmmZlm"
+    "mcxmmf9mzABmzDNmzGZmzJlmzMxmzP9m/wBm/zNm/2Zm/5lm/8xm//+ZAACZADOZAGaZAJmZ"
+    "AMyZAP+ZMwCZMzOZM2aZM5mZM8yZM/+ZZgCZZjOZZmaZZpmZZsyZZv+ZmQCZmTOZmWaZmZmZ"
+    "mcyZmf+ZzACZzDOZzGaZzJmZzMyZzP+Z/wCZ/zOZ/2aZ/5mZ/8yZ///MAADMADPMAGbMAJnM"
+    "AMzMAP/MMwDMMzPMM2bMM5nMM8zMM//MZgDMZjPMZmbMZpnMZszMZv/MmQDMmTPMmWbMmZnM"
+    "mczMmf/MzADMzDPMzGbMzJnMzMzMzP/M/wDM/zPM/2bM/5nM/8zM////AAD/ADP/AGb/AJn/"
+    "AMz/AP//MwD/MzP/M2b/M5n/M8z/M///ZgD/ZjP/Zmb/Zpn/Zsz/Zv//mQD/mTP/mWb/mZn/"
+    "mcz/mf//zAD/zDP/zGb/zJn/zMz/zP///wD//zP//2b//5n//8z///8SEhIYGBgeHh4kJCQq"
+    "KiowMDA2NjY8PDxCQkJISEhOTk5UVFRaWlpgYGBmZmZsbGxycnJ4eHh+fn6EhISKioqQkJCW"
+    "lpacnJyioqKoqKiurq60tLS6urrAwMDGxsbMzMzS0tLY2Nje3t7k5OTq6urw8PD29vb8/Pwg"
+    "KWLDAAACf0lEQVR4Xk2S30tUQRTHz5m5zZBsgVsvPexlZSdINzEKe6mHHopNpWVNk/6BAtMl"
+    "NbOiv6A2y/VnGP4FiruutrLkg/TSU4WV4cO9EDsvUYEU7MNO7p3m3lWIy2W+zBk43/M5XwQA"
+    "4cZQ48EZM+pACwACO2ItVtTrUBIQA1OX2q87MWZ0WQPZOVWEtc5iZykxC2g+15bmgSNcVdcW"
+    "MGiLrOvSXmlorp8BRpgAxWzWjFUeKQsgbZ9atySQBMFsv/yLValMHaRygSsJjkKGnxGJRzW5"
+    "O5WeGUDhCN+DcagDTXCrFeKeZerZ9PTgjOk+ZpzIwI8jyoCMvz8X4cvXcwRwcEZb4/emQPEI"
+    "r3IAu2wz2qAWPmY2aV9PH4GuwWt3Ktujb7mqhGSIqootQ3gEPpz1e62kVhDo3qHJoQmflhs4"
+    "MbTMg8BTPpVPFWjN0jg5lA1I1V8IyniNNbFaLrqQ671JkGaHJ0bejf5M/WA13iSjnHAFtvxr"
+    "Zl5KLlOgnoThFyPj3fke5TPhijZQ+lt8a7QWb+QeXL6fIAmEC/piMbnW7VixP2FKGwBxV7jh"
+    "xaXe8Maz0QT1RjqILv1KFlDvCieMx1DziL9r35XRGQOo2PU6WUgWur+YOzweTAHAq8Fszx9m"
+    "rBr1yGpytX5PD/NoxUzBgDbxo/zpoydjV16en2tvhpaT8b0z3xltrFbscsjs2ZZhS23CRmbs"
+    "8ezAbDv1aP7SliF5wu//f+4CSmmzGU12Wr6eJn4CHT9JwgX3QKenPQuIboH4NjGJYqKseawc"
+    "Y2Jf6/nB+ZqhBmQ7TphiStoy+JkhZ84qvz3fP+e9AWK4YnQ/P/X9AfpObr3y9dVSh8nTPxoP"
+    "Cn301OdTAAAAAElFTkSuQmCC"
+)
 _JAVA_GIF_B64 = (
     "R0lGODlhIAAYAPcAAA8PDwcqFgU5GxcqHw8/JB8qJBs6KCsFGicVHzcAHzcUKDM0MwBKHwtK"
     "JgVZKQ9fMhdKLR9KMhtaNgBqLQtqNAd5OBtqPRd0PytKOClYPTdKPxx7RS9fRD9KRDtaSCtq"
@@ -571,6 +604,74 @@ class TestRealCodecs:
         img2 = self._gradient(17, 19)
         out2 = decode_jpeg(encode_jpeg(img2))
         assert out2.shape == img2.shape
+
+    def test_png_variants(self):
+        """Palette PNG against javax.imageio's exact palette mapping,
+        plus hand-built Adam7 interlace, 4-bit palette, 16-bit RGB
+        (high byte), and 1-bit gray streams — all must decode exactly."""
+        import base64
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from resilispark.io.codecs import decode_png
+
+        truth = self._gradient()
+        # javax.imageio quantizes to a 6x6x6-ish web cube; compare to
+        # its own decode of the file being exact is the real assertion:
+        pal = decode_png(base64.b64decode(_JAVA_PAL_PNG_B64))
+        assert pal.shape == truth.shape
+        assert float(np.abs(pal.astype(int) - truth.astype(int)).mean()) < 15.0
+
+        def chunk(t, d):
+            return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+        def png(w, h, depth, ctype, interlace, raw, extra=b""):
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace))
+                + extra
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b"")
+            )
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, (13, 21, 3)).astype(np.uint8)
+        adam7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        raw = bytearray()
+        for x0, y0, dx, dy in adam7:
+            for row in img[y0::dy, x0::dx]:
+                raw.append(0)
+                raw += row.tobytes()
+        assert np.array_equal(decode_png(png(21, 13, 8, 2, 1, raw)), img)
+
+        palette = np.array([[i * 17, 255 - i * 17, (i * 53) % 256] for i in range(16)], np.uint8)
+        idx = rng.randint(0, 16, (9, 11)).astype(np.uint8)
+        raw = bytearray()
+        for row in idx:
+            raw.append(0)
+            for i in range(0, 11, 2):
+                raw.append((row[i] << 4) | (row[i + 1] if i + 1 < 11 else 0))
+        out = decode_png(png(11, 9, 4, 3, 0, raw, extra=chunk(b"PLTE", palette.tobytes())))
+        assert np.array_equal(out, palette[idx])
+
+        img16 = rng.randint(0, 65536, (7, 9, 3)).astype(np.uint16)
+        raw = bytearray()
+        for row in img16:
+            raw.append(0)
+            raw += row.astype(">u2").tobytes()
+        assert np.array_equal(
+            decode_png(png(9, 7, 16, 2, 0, raw)), (img16 >> 8).astype(np.uint8)
+        )
+
+        bits = rng.randint(0, 2, (5, 10)).astype(np.uint8)
+        raw = bytearray()
+        for row in bits:
+            raw.append(0)
+            raw += np.packbits(row).tobytes()
+        assert np.array_equal(decode_png(png(10, 5, 1, 0, 0, raw))[:, :, 0], bits * 255)
 
     def test_progressive_jpeg(self):
         """A 10-scan progressive JPEG (SOF2: interleaved DC first +
