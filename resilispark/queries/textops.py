@@ -182,22 +182,28 @@ ORDER BY doc_a, doc_b
 def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 hashes) + 4 LSH band keys per document.
 
-    Hash family: md5 of seed-prefixed shingle, minimum taken in hex-string
-    order — deterministic and identical across engines. Bands pair up
-    adjacent minhashes; at scale, candidate generation joins on the tiny
-    band-key table instead of the shingle table (SURVEY §2.3 J4).
+    Hash family: ONE md5 per shingle, its 128-bit digest split into
+    eight 16-bit (4 hex char) slices — the standard wide-hash-split
+    minhash construction. One hash pass instead of eight seed-prefixed
+    ones is the difference between 1x and 8x digest cost on the
+    dominant exploded-shingle table; minima are taken in hex-string
+    order (= numeric order), deterministic and identical across
+    engines. Bands pair up adjacent minhashes; at scale, candidate
+    generation joins on the tiny band-key table instead of the shingle
+    table (SURVEY §2.3 J4).
     """
     d = _docs(spark, sf_dir)
     # no .distinct() before the agg: min() is idempotent under duplicate
     # shingles, so set semantics hold without the extra full shuffle of
     # the exploded table — partial (map-side) min aggregation is the
-    # only pre-shuffle work
-    sh = _shingle_df(d)
+    # only pre-shuffle work. The md5 materializes in a projection
+    # BEFORE the aggregate so the 8 slice expressions cannot
+    # re-evaluate it.
+    sh = _shingle_df(d).select(
+        "doc_id", F.md5(F.encode("shingle", "UTF-8")).alias("mh")
+    )
     aggs = [
-        F.min(F.md5(F.encode(F.concat(F.lit(f"{s}|"), F.col("shingle")), "UTF-8"))).alias(
-            f"h{s}"
-        )
-        for s in range(8)
+        F.min(F.substring("mh", 1 + 4 * s, 4)).alias(f"h{s}") for s in range(8)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
     for b in range(4):
@@ -210,11 +216,11 @@ def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _h = ",\n       ".join(
-    f"min(md5('{s}|' || shingle)) AS h{s}" for s in range(8)
+    f"min(substr(mh, {1 + 4 * s}, 4)) AS h{s}" for s in range(8)
 )
 ORACLE_D03 = f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+  SELECT doc_id, md5(unnest({_DUCK_SHINGLES})) AS mh
   FROM documents
 ), sig AS (
   SELECT doc_id,
@@ -259,7 +265,7 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_D04 = f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+  SELECT doc_id, md5(unnest({_DUCK_SHINGLES})) AS mh
   FROM documents
 ), sig AS (
   SELECT doc_id,
@@ -828,11 +834,14 @@ ORDER BY doc_id
 
 def d08_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup pairs: band the 16-bit fingerprint
-    into four 4-bit chunks (pigeonhole: any pair within Hamming<=3 of the 4-banded code shares
-    at least one chunk), bucket-group on chunk value, verify candidates
-    with exact popcount(xor). Fingerprints travel WITH the bucket rows
-    (collect_set of structs), so the fingerprint lineage executes once —
-    no re-join against the fingerprint table.
+    into two 8-bit chunks — pigeonhole-complete for the Hamming<=1
+    output (one differing bit leaves the other half intact), and the
+    widest banding that is: 2x256 buckets generate ~30x fewer candidate
+    pairs than 4x16 banding at the same recall. Bucket-group on chunk
+    value, verify candidates with exact popcount(xor). Fingerprints
+    travel WITH the bucket rows (collect_set of structs), so the
+    fingerprint lineage executes once — no re-join against the
+    fingerprint table.
     """
     fps = d05_simhash(spark, sf_dir)
     chunks = fps.select(
@@ -843,9 +852,9 @@ def d08_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftright("simhash16", 4 * i).bitwiseAND(F.lit(15)).alias("cv"),
+                        F.shiftright("simhash16", 8 * i).bitwiseAND(F.lit(255)).alias("cv"),
                     )
-                    for i in range(4)
+                    for i in range(2)
                 ]
             )
         ).alias("c"),
@@ -917,7 +926,7 @@ def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_D07 = f"""
 WITH RECURSIVE sh AS (
-  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+  SELECT doc_id, md5(unnest({_DUCK_SHINGLES})) AS mh
   FROM documents
 ), sig AS (
   SELECT doc_id,
