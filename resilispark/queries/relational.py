@@ -41,6 +41,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _epoch_us(df: DataFrame, colname: str):
+    """Epoch microseconds for a timestamp column, robust to the parquet
+    writer's isAdjustedToUTC flag: driver-regenerated testdata types
+    ``events.ts`` as TIMESTAMP_NTZ, which ``unix_micros`` rejects
+    (DATATYPE_MISMATCH).  NTZ columns are measured with ``timestampdiff``
+    against an NTZ epoch literal — pure wall-clock arithmetic, no session
+    timezone involved — matching DuckDB's ``epoch_us`` on naive timestamps."""
+    if dict(df.dtypes).get(colname) == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {colname})"
+        )
+    return F.unix_micros(colname)
+
+
 # --------------------------------------------------------------------------
 # A-series: aggregations
 # --------------------------------------------------------------------------
@@ -351,7 +365,7 @@ def q12_window_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "user_id",
             "event_id",
-            (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("gap_us"),
+            (F.lead(_epoch_us(e, "ts")).over(w) - _epoch_us(e, "ts")).alias("gap_us"),
         )
         .orderBy("user_id", "event_id")
     )
@@ -665,7 +679,7 @@ def q24_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gapped = e.withColumn(
         "new_sess",
         (
-            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1800 * 1_000_000
+            _epoch_us(e, "ts") - F.lag(_epoch_us(e, "ts")).over(w) > 1800 * 1_000_000
         ).cast("int"),
     ).withColumn("new_sess", F.coalesce("new_sess", F.lit(1)))
     sess = gapped.withColumn(

@@ -1,0 +1,56 @@
+"""Regression: event-time queries must survive both TIMESTAMP flavors.
+
+The driver's regenerated testdata writes ``events.ts`` with
+``isAdjustedToUTC=0``, which Spark 4 reads as TIMESTAMP_NTZ and which
+``unix_micros()`` rejects (DATATYPE_MISMATCH) — this silently broke
+q12/q24 in round 2.  Round-trip both queries through an explicitly
+NTZ-typed parquet AND a UTC-adjusted (instant) parquet.
+"""
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from resilispark.queries.relational import q12_window_lead_gap, q24_sessionize
+
+
+def _write_events(tmpdir: str, tz_adjusted: bool) -> str:
+    ts_type = pa.timestamp("us", tz="UTC") if tz_adjusted else pa.timestamp("us")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # two users; user 1 has a >30min gap -> 2 sessions
+    for i, off_s in enumerate([0, 60, 120, 60 * 60, 60 * 60 + 30]):
+        rows.append((i, base + dt.timedelta(seconds=off_s), 1, "click", 1.0, "{}"))
+    for i, off_s in enumerate([0, 10]):
+        rows.append((10 + i, base + dt.timedelta(seconds=off_s), 2, "view", 2.0, "{}"))
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], ts_type),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, f"{tmpdir}/events.parquet")
+    return tmpdir
+
+
+@pytest.mark.parametrize("tz_adjusted", [False, True], ids=["ntz", "utc"])
+def test_sessionize_both_timestamp_flavors(spark, tmp_path, tz_adjusted):
+    sf_dir = _write_events(str(tmp_path), tz_adjusted)
+    got = {
+        (r.user_id, r.n_sessions, r.max_session_len)
+        for r in q24_sessionize(spark, sf_dir).collect()
+    }
+    assert got == {(1, 2, 3), (2, 1, 2)}
+
+
+@pytest.mark.parametrize("tz_adjusted", [False, True], ids=["ntz", "utc"])
+def test_lead_gap_both_timestamp_flavors(spark, tmp_path, tz_adjusted):
+    sf_dir = _write_events(str(tmp_path), tz_adjusted)
+    rows = q12_window_lead_gap(spark, sf_dir).collect()
+    gaps = [r.gap_us for r in rows if r.user_id == 1]
+    assert gaps == [60_000_000, 60_000_000, 3480_000_000, 30_000_000, None]
