@@ -41,7 +41,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from resilispark.datasource import register
     from resilispark.io.fixtures import ensure_bench_fixture
-    from resilispark.queries import QUERIES
+    from resilispark.queries import ALL_QUERIES as QUERIES
     from resilispark.session import ensure_workers_can_import, get_spark
 
     spark = get_spark("resilispark-bench")

@@ -1,0 +1,190 @@
+"""Composite correctness gates.
+
+The driver records at most 50 ``queries()`` entries per round; round 2
+proved that anything past the cap rots silently (q12 broke with no red
+row).  Instead of rotating the tail, the cheap relational demos are
+folded into *family* gates: each family unions its member queries'
+results into one uniform frame — a ``part`` tag column plus typed slot
+columns (``s1..`` strings, ``n1..`` bigints, ``d1..`` doubles) — and the
+matching oracle applies the identical slotting in SQL.  A hash match on
+the family frame is exactly as strong as hash matches on every member,
+so all of SURVEY §2 fits inside the driver's 50 rows.
+
+The slot layout is pinned in ``_SPECS`` (column name -> slot class) and
+guarded by ``tests/test_composite_gates.py`` against drift from the
+member queries' actual output schemas.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from resilispark.queries import relational
+
+# slot classes: s = string, n = bigint (any integral), d = double
+_SPECS: dict[str, list[tuple[str, str]]] = {
+    "q02_distinct_agg": [("o_orderstatus", "s"), ("n_custs", "n"), ("n_orders", "n")],
+    "q03_rollup": [
+        ("n_name", "s"), ("o_orderstatus", "s"), ("total_price", "d"), ("n_orders", "n"),
+    ],
+    "q04_cube_parts": [
+        ("p_brand", "s"), ("p_size", "n"), ("avg_price", "d"), ("n_parts", "n"),
+    ],
+    "q27_grouping_sets": [
+        ("o_orderstatus", "s"), ("o_orderpriority", "s"), ("g_status", "n"),
+        ("g_prio", "n"), ("n", "n"), ("total", "d"),
+    ],
+    "q05_join_customer_orders": [
+        ("c_custkey", "n"), ("c_name", "s"), ("c_mktsegment", "s"),
+        ("n_orders", "n"), ("total_spent", "d"),
+    ],
+    "q06_left_join_nulls": [("c_custkey", "n"), ("n_orders", "n")],
+    "q07_semi_join": [("c_custkey", "n"), ("c_name", "s")],
+    "q08_anti_join": [("c_custkey", "n"), ("c_nationkey", "n")],
+    "q10_window_rownum": [("o_custkey", "n"), ("o_orderkey", "n"), ("rn", "n")],
+    "q11_window_running_sum": [
+        ("l_orderkey", "n"), ("l_linenumber", "n"), ("running_price", "d"),
+    ],
+    "q12_window_lead_gap": [("user_id", "n"), ("event_id", "n"), ("gap_us", "n")],
+    "q13_window_rank_value": [
+        ("s_nationkey", "n"), ("s_suppkey", "n"), ("rnk", "n"), ("drnk", "n"),
+        ("quartile", "n"), ("top_supp", "n"),
+    ],
+    "q15_top10_orders": [("o_orderkey", "n"), ("price", "d"), ("o_orderstatus", "s")],
+    "q16_set_intersect": [("custkey", "n")],
+    "q17_set_except": [("custkey", "n")],
+    "q18_union_all_agg": [("bucket", "s"), ("n", "n")],
+    "q19_scalar_funcs": [
+        ("o_orderkey", "n"), ("y", "n"), ("m", "n"), ("r", "d"), ("p", "s"),
+        ("st", "s"), ("cat", "s"), ("plen", "n"), ("dist", "d"), ("bucket7", "n"),
+    ],
+    "q20_regex_funcs": [
+        ("p_partkey", "n"), ("first_word", "s"), ("type_snake", "s"), ("n_words", "n"),
+    ],
+    "q21_json_extract": [("event_id", "n"), ("k", "n")],
+    "q22_conditional_caseexpr": [("c_custkey", "n"), ("tier", "s"), ("seg", "s")],
+    "q26_scalar_subquery": [
+        ("o_orderkey", "n"), ("o_custkey", "n"), ("o_totalprice", "d"),
+        ("cust_orders", "n"),
+    ],
+    "q29_lateral_topn": [("c_custkey", "n"), ("o_orderkey", "n"), ("o_totalprice", "d")],
+    "q30_stat_aggs": [
+        ("o_orderstatus", "s"), ("median_price", "d"), ("p90_price", "d"),
+        ("sd_price", "d"), ("var_price", "d"), ("corr_price_cust", "d"),
+    ],
+}
+
+FAMILIES: dict[str, list[str]] = {
+    # rollup/cube/grouping-sets/distinct-count (SURVEY §2.4)
+    "qc_grouping_family": [
+        "q02_distinct_agg", "q03_rollup", "q04_cube_parts", "q27_grouping_sets",
+    ],
+    # inner/left/semi/anti equi joins (SURVEY §2.3)
+    "qc_joins_family": [
+        "q05_join_customer_orders", "q06_left_join_nulls", "q07_semi_join",
+        "q08_anti_join",
+    ],
+    # ranking/frame/lead-lag windows (SURVEY §2.5, W1/W2)
+    "qc_windows_family": [
+        "q10_window_rownum", "q11_window_running_sum", "q12_window_lead_gap",
+        "q13_window_rank_value",
+    ],
+    # sort/limit + set operations (SURVEY §2.6/§2.7)
+    "qc_sortset_family": [
+        "q15_top10_orders", "q16_set_intersect", "q17_set_except",
+        "q18_union_all_agg",
+    ],
+    # scalar string/date/math/regex/json functions (SURVEY §2.8)
+    "qc_scalar_family": [
+        "q19_scalar_funcs", "q20_regex_funcs", "q21_json_extract",
+        "q22_conditional_caseexpr",
+    ],
+    # correlated subquery / lateral / statistical aggregates
+    "qc_analytics_family": [
+        "q26_scalar_subquery", "q29_lateral_topn", "q30_stat_aggs",
+    ],
+}
+
+_SQL_TYPE = {"s": "VARCHAR", "n": "BIGINT", "d": "DOUBLE"}
+_SPARK_TYPE = {"s": "string", "n": "bigint", "d": "double"}
+
+
+def _family_widths(members: list[str]) -> dict[str, int]:
+    width = {"s": 0, "n": 0, "d": 0}
+    for m in members:
+        counts = {"s": 0, "n": 0, "d": 0}
+        for _, k in _SPECS[m]:
+            counts[k] += 1
+        for k in width:
+            width[k] = max(width[k], counts[k])
+    return width
+
+
+def _slot_frame(df: DataFrame, member: str, width: dict[str, int]) -> DataFrame:
+    spec = _SPECS[member]
+    if df.columns != [c for c, _ in spec]:
+        raise ValueError(
+            f"{member}: output columns {df.columns} drifted from spec {spec}"
+        )
+    # slots are emitted in canonical order (part, s*, n*, d*) so every
+    # member's select list lines up positionally — SQL UNION ALL matches
+    # columns by position, not by name
+    slots: dict[str, object] = {}
+    used = {"s": 0, "n": 0, "d": 0}
+    for col, k in spec:
+        used[k] += 1
+        slots[f"{k}{used[k]}"] = F.col(col).cast(_SPARK_TYPE[k])
+    exprs = [F.lit(member).alias("part")]
+    for k in ("s", "n", "d"):
+        for i in range(1, width[k] + 1):
+            expr = slots.get(f"{k}{i}", F.lit(None).cast(_SPARK_TYPE[k]))
+            exprs.append(expr.alias(f"{k}{i}"))
+    return df.select(*exprs)
+
+
+def make_family_query(
+    members: list[str],
+) -> Callable[[SparkSession, str], DataFrame]:
+    width = _family_widths(members)
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for m in members:
+            part = _slot_frame(relational.QUERIES[m](spark, sf_dir), m, width)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    return fn
+
+
+def make_family_oracle(members: list[str]) -> str:
+    width = _family_widths(members)
+    parts = []
+    for m in members:
+        spec = _SPECS[m]
+        slots: dict[str, str] = {}
+        used = {"s": 0, "n": 0, "d": 0}
+        for col, k in spec:
+            used[k] += 1
+            slots[f"{k}{used[k]}"] = f'CAST("{col}" AS {_SQL_TYPE[k]})'
+        cols = [f"'{m}' AS part"]
+        for k in ("s", "n", "d"):
+            for i in range(1, width[k] + 1):
+                cols.append(
+                    slots.get(f"{k}{i}", f"CAST(NULL AS {_SQL_TYPE[k]})")
+                    + f" AS {k}{i}"
+                )
+        inner = relational.ORACLES[m].strip().rstrip(";")
+        parts.append("SELECT " + ", ".join(cols) + " FROM (\n" + inner + "\n)")
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: make_family_query(members) for name, members in FAMILIES.items()
+}
+ORACLES: dict[str, str] = {
+    name: make_family_oracle(members) for name, members in FAMILIES.items()
+}

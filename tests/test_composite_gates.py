@@ -1,0 +1,62 @@
+"""Guards for the qc_*_family composite gates (queries/composite.py).
+
+The composites exist so every SURVEY §2 operator keeps an official
+correctness row inside the driver's 50-entry cap; these tests pin the
+slot specs to the member queries' real output schemas so a member edit
+can't silently skew the family frame.
+"""
+import duckdb
+import pytest
+
+from resilispark.queries import composite, relational
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def test_every_spec_matches_member_schema(spark):
+    for name, spec in composite._SPECS.items():
+        df = relational.QUERIES[name](spark, SF_DIR)
+        assert df.columns == [c for c, _ in spec], name
+        for (col, k), (_, dtype) in zip(spec, df.dtypes):
+            if k == "s":
+                assert dtype in ("string", "date", "timestamp", "timestamp_ntz"), (
+                    name, col, dtype)
+            elif k == "n":
+                assert dtype in ("tinyint", "smallint", "int", "bigint"), (
+                    name, col, dtype)
+            else:
+                assert dtype in ("float", "double") or dtype.startswith("decimal"), (
+                    name, col, dtype)
+
+
+def test_every_member_query_is_covered_by_a_gate():
+    from resilispark.queries import QUERIES
+
+    gates = set(QUERIES)
+    in_families = {m for ms in composite.FAMILIES.values() for m in ms}
+    from resilispark.queries import ALL_QUERIES
+
+    assert gates | in_families >= set(ALL_QUERIES)
+    assert len(QUERIES) == 50
+
+
+@pytest.mark.parametrize("family", sorted(composite.FAMILIES))
+def test_family_rowcount_equals_member_sum(spark, family):
+    members = composite.FAMILIES[family]
+    fam_n = composite.QUERIES[family](spark, SF_DIR).count()
+    member_n = sum(relational.QUERIES[m](spark, SF_DIR).count() for m in members)
+    assert fam_n == member_n
+
+
+@pytest.mark.parametrize("family", sorted(composite.FAMILIES))
+def test_family_oracle_runs_in_duckdb(family):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    res = con.execute(composite.ORACLES[family])
+    cols = [d[0] for d in res.description]
+    assert cols[0] == "part"
+    assert len(res.fetchall()) > 0
