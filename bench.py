@@ -11,10 +11,23 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def timed_median(run, n: int = 3) -> float:
+    """Median-of-n wall time for ``run()`` (round 2's single-shot timing
+    produced 2-4x phantom regressions on unchanged plans; the median
+    absorbs GC pauses and JIT/compile noise)."""
+    samples = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        run()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 3)
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -66,11 +79,11 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         # steady-state: first run pays cold parquet footers/page cache;
-        # the timed second run measures the plan itself
+        # the timed runs measure the plan itself
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = timed_median(
+            lambda: fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        )
 
     # BASELINE.md-comparable throughput runs (names carry the record
     # count; e.g. records/s = 15002 / warc_scan_gz_15002_recs).
@@ -98,9 +111,9 @@ def main() -> None:
             reader = reader.option(k, v)
         df = reader.load(path)
         df.write.mode("overwrite").format("noop").save()
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[label] = round(time.perf_counter() - t0, 3)
+        timings[label] = timed_median(
+            lambda: df.write.mode("overwrite").format("noop").save()
+        )
 
     # CDXJ-assisted parallel scan of the same gz file (SURVEY §4 member
     # splitting): sidecar offsets let the scan fan out across cores
@@ -114,9 +127,9 @@ def main() -> None:
         spark.read.format("warc").option("split_bytes", str(256 * 1024)).load(gz_path)
     )
     split_df.write.mode("overwrite").format("noop").save()
-    t0 = time.perf_counter()
-    split_df.write.mode("overwrite").format("noop").save()
-    timings[f"warc_scan_gz_split_{n_records}_recs"] = round(time.perf_counter() - t0, 3)
+    timings[f"warc_scan_gz_split_{n_records}_recs"] = timed_median(
+        lambda: split_df.write.mode("overwrite").format("noop").save()
+    )
 
     # remote-protocol scan (io/fs.py): same gz file through the
     # memory:// store — the delta vs warc_scan_gz is the fs-layer cost
@@ -130,9 +143,9 @@ def main() -> None:
         f"memory://bench/bench-{n_groups}.warc.gz"
     )
     mem_df.write.mode("overwrite").format("noop").save()
-    t0 = time.perf_counter()
-    mem_df.write.mode("overwrite").format("noop").save()
-    timings[f"warc_scan_remote_{n_records}_recs"] = round(time.perf_counter() - t0, 3)
+    timings[f"warc_scan_remote_{n_records}_recs"] = timed_median(
+        lambda: mem_df.write.mode("overwrite").format("noop").save()
+    )
 
     # sidecar exists (written above), so the scan fans out too
     pipe = warc_to_html_docs(
@@ -141,9 +154,9 @@ def main() -> None:
         scan_options={"split_bytes": 256 * 1024},
     )
     pipe.write.mode("overwrite").format("noop").save()
-    t0 = time.perf_counter()
-    pipe.write.mode("overwrite").format("noop").save()
-    timings[f"warc_extract_pipeline_{n_groups}_docs"] = round(time.perf_counter() - t0, 3)
+    timings[f"warc_extract_pipeline_{n_groups}_docs"] = timed_median(
+        lambda: pipe.write.mode("overwrite").format("noop").save()
+    )
 
     from resilispark.functions.registry import register_functions
 
@@ -156,9 +169,9 @@ def main() -> None:
     n_docs = docs.count()
     lang_df = docs.select(udfs["detect_lang"]("text").alias("l"))
     lang_df.write.mode("overwrite").format("noop").save()
-    t0 = time.perf_counter()
-    lang_df.write.mode("overwrite").format("noop").save()
-    timings[f"lang_detect_{n_docs}_docs"] = round(time.perf_counter() - t0, 3)
+    timings[f"lang_detect_{n_docs}_docs"] = timed_median(
+        lambda: lang_df.write.mode("overwrite").format("noop").save()
+    )
 
     sf = None
     base = os.path.basename(sf_dir.rstrip("/"))
