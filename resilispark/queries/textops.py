@@ -24,6 +24,8 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -779,20 +781,39 @@ ORDER BY qid, rn
 
 
 def m01_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: documents' bytes as fake image payloads ->
-    mapInPandas decode stub (deterministic sha256-derived dims/features)
-    -> aggregate. Exercises the binary-column operator end to end; the
-    DuckDB oracle recomputes the same sha256 arithmetic."""
+    """REAL image decode gate: each document's first 144 utf-8 bytes
+    become a 4x12 RGB image, PNG-encoded (io/codecs.py) into the media
+    payload column, then ``extract_image_features`` runs its REAL
+    decode path (no fake=) — PNG parse, zlib inflate, unfilter, channel
+    means.  PNG is lossless, so the decoded channel sums (recovered
+    from the mean features; exact integers well inside float32
+    precision) equal raw-byte sums the DuckDB oracle re-derives with
+    hex arithmetic.  Plan: two chained Arrow-batched kernels over the
+    parquet scan — no shuffle, O(1) per row, scales linearly."""
     from resilispark.operators.multimodal import extract_image_features
     from resilispark.session import ensure_workers_can_import
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ensure_workers_can_import(spark)
     d = _docs(spark, sf_dir)
+
+    @F.pandas_udf("binary")
+    def to_png(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from resilispark.io.codecs import encode_png
+
+        out = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")[:144]
+            raw = raw + b"\0" * (144 - len(raw))
+            out.append(encode_png(np.frombuffer(raw, np.uint8).reshape(4, 12, 3)))
+        return pd.Series(out)
+
     media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
-        F.lit("image/fake").alias("mime"),
-        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/png").alias("mime"),
+        to_png("text").alias("payload"),
         F.struct(
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
@@ -800,34 +821,45 @@ def m01_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("codec"),
         ).alias("meta"),
     )
-    feats = extract_image_features(media, fake=True)
+    feats = extract_image_features(media)  # REAL decode path
     return (
         feats.select(
             F.col("media_id").cast("bigint").alias("doc_id"),
             F.col("width").cast("bigint").alias("width"),
             F.col("height").cast("bigint").alias("height"),
-            dround(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+            # feature[i] = channel_sum / (48*255); float32 abs error
+            # <= 6e-8 -> scaled error <= 7e-4 << 0.5, so round() is exact
+            F.round(F.element_at("feature", 1) * (48 * 255)).cast("bigint").alias("sum_r"),
+            F.round(F.element_at("feature", 2) * (48 * 255)).cast("bigint").alias("sum_g"),
+            F.round(F.element_at("feature", 3) * (48 * 255)).cast("bigint").alias("sum_b"),
         )
         .orderBy("doc_id")
     )
 
 
+# byte k (0-based) of the utf-8 text lives at hex chars 2k+1..2k+2;
+# missing bytes (short docs) are zero like the Spark-side padding.
 ORACLE_M01 = """
-WITH h AS (
-  SELECT doc_id, sha256(text) AS hx FROM documents
-), b AS (
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h FROM documents
+), px AS (
   SELECT doc_id,
-         (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS b0,
-         (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1) AS b1
-  FROM h
+         CASE WHEN 2*(3*i.i+1) <= length(h)
+              THEN ('0x' || substr(h, 2*(3*i.i)+1, 2))::INT ELSE 0 END AS r,
+         CASE WHEN 2*(3*i.i+2) <= length(h)
+              THEN ('0x' || substr(h, 2*(3*i.i+1)+1, 2))::INT ELSE 0 END AS g,
+         CASE WHEN 2*(3*i.i+3) <= length(h)
+              THEN ('0x' || substr(h, 2*(3*i.i+2)+1, 2))::INT ELSE 0 END AS b
+  FROM hx, generate_series(0, 47) AS i(i)
 )
 SELECT doc_id,
-       CAST(64 + b0 AS BIGINT) AS width,
-       CAST(64 + b1 AS BIGINT) AS height,
-       floor((CAST(CAST(b0 / 255.0 AS REAL) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS f0
-FROM b
+       CAST(12 AS BIGINT) AS width,
+       CAST(4 AS BIGINT) AS height,
+       SUM(r)::BIGINT AS sum_r,
+       SUM(g)::BIGINT AS sum_g,
+       SUM(b)::BIGINT AS sum_b
+FROM px
+GROUP BY doc_id
 ORDER BY doc_id
 """
 
@@ -1036,19 +1068,41 @@ ORDER BY doc_id
 
 
 def m03_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal audio plumbing: documents' bytes as fake audio clips ->
-    mapInPandas decode stub (sha256-derived sample-rate/rms/zcr) ->
-    per-clip stats; the DuckDB oracle recomputes the same arithmetic."""
+    """REAL audio decode gate: each document's first 128 utf-8 bytes
+    become 128 float samples ((v-128)/128), encoded to mono 16-bit PCM
+    WAV (io/codecs.py encode_wav) as the media payload, then
+    ``extract_audio_features`` runs its REAL decode path — wave-module
+    parse, int16 -> float, rms + zero-crossing rate.  Every step is
+    exact IEEE arithmetic (powers of two, integer-valued sums, one sqrt,
+    one division), so the DuckDB oracle re-derives rms/zcr from the
+    same byte arithmetic; the float32 schema quantization is replicated
+    with CAST(... AS REAL).  Plan: two chained Arrow kernels, no
+    shuffle."""
     from resilispark.operators.multimodal import extract_audio_features
     from resilispark.session import ensure_workers_can_import
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ensure_workers_can_import(spark)
     d = _docs(spark, sf_dir)
+
+    @F.pandas_udf("binary")
+    def to_wav(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from resilispark.io.codecs import encode_wav
+
+        out = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")[:128]
+            raw = raw + b"\0" * (128 - len(raw))
+            samples = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+            out.append(encode_wav(samples, rate=16000))
+        return pd.Series(out)
+
     media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
-        F.lit("audio/fake").alias("mime"),
-        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+        to_wav("text").alias("payload"),
         F.struct(
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
@@ -1056,7 +1110,7 @@ def m03_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("codec"),
         ).alias("meta"),
     )
-    feats = extract_audio_features(media, fake=True)
+    feats = extract_audio_features(media)  # REAL decode path
     return (
         feats.select(
             F.col("media_id").cast("bigint").alias("doc_id"),
@@ -1068,25 +1122,41 @@ def m03_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Byte v -> sample (v-128)/128 -> int16 trunc(s*32767) (encode_wav's
+# astype) -> decoded i/32768.  (v-128)*32767/128 fits in 23 bits, so
+# trunc is float-exact; squares are k/2^30, their 128-term sum and
+# /128 mean are exact; sqrt is correctly rounded IEEE on both engines;
+# CAST AS REAL replicates the operator's float32 output column.  zcr
+# counts sign flips ((a<0) != (b<0); decoded 0 is +0.0) over the 127
+# adjacent pairs.
 ORACLE_M03 = """
-WITH h AS (
-  SELECT doc_id, sha256(text) AS hx FROM documents
-), b AS (
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h FROM documents
+), sm AS (
+  SELECT doc_id, i.i AS idx,
+         CAST(trunc((CASE WHEN 2*(i.i+1) <= length(h)
+                          THEN ('0x' || substr(h, 2*i.i+1, 2))::INT
+                          ELSE 0 END - 128) * 32767.0 / 128.0) AS BIGINT)
+           AS i16
+  FROM hx, generate_series(0, 127) AS i(i)
+), dec AS (
+  SELECT doc_id, idx, i16 / 32768.0 AS s FROM sm
+), flagged AS (
   SELECT doc_id,
-         (strpos('0123456789abcdef', substring(hx, 5, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substring(hx, 6, 1)) - 1) AS b2,
-         (strpos('0123456789abcdef', substring(hx, 7, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substring(hx, 8, 1)) - 1) AS b3,
-         (strpos('0123456789abcdef', substring(hx, 9, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substring(hx, 10, 1)) - 1) AS b4
-  FROM h
+         CASE WHEN (s < 0) != (lag(s) OVER (PARTITION BY doc_id ORDER BY idx) < 0)
+              THEN 1 ELSE 0 END AS flip
+  FROM dec
+), flips AS (
+  SELECT doc_id, sum(flip) AS n_flips FROM flagged GROUP BY doc_id
+), rmses AS (
+  SELECT doc_id, sqrt(sum(s * s) / 128.0) AS rms FROM dec GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(8000 + b2 * 64 AS BIGINT) AS sample_rate,
-       floor((CAST(CAST(b3 / 255.0 AS REAL) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS rms,
-       floor((CAST(CAST(b4 / 255.0 AS REAL) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS zcr
-FROM b
-ORDER BY doc_id
+SELECT r.doc_id,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       floor(CAST(CAST(r.rms AS REAL) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rms,
+       floor(CAST(CAST(f.n_flips / 127.0 AS REAL) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS zcr
+FROM rmses r JOIN flips f USING (doc_id)
+ORDER BY r.doc_id
 """
 
 
