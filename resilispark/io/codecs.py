@@ -51,6 +51,8 @@ def detect_media_format(payload: bytes) -> str | None:
         return "pnm"
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return "wav"
+    if payload.startswith(b"RIFF") and payload[8:12] == b"AVI ":
+        return "avi"
     if payload.startswith(b"\xff\xd8\xff"):
         return "jpeg"
     if payload.startswith((b"GIF87a", b"GIF89a")):
@@ -872,6 +874,137 @@ def decode_image(payload: bytes) -> np.ndarray:
     if fmt == "jpeg":
         return decode_jpeg(payload)
     raise UnsupportedMediaError(f"no pure-Python decoder for format {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# video: RIFF/AVI container (MJPEG '00dc' via decode_jpeg, raw DIB '00db')
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_size) for the chunk run in
+    data[pos:end]; RIFF chunks are word-aligned (odd sizes padded)."""
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = pos + 8
+        if body + size > end:
+            size = max(0, end - body)  # tolerate truncated tail chunk
+        yield fourcc, body, size
+        pos = body + size + (size & 1)
+
+
+def parse_avi(payload: bytes) -> tuple[float, int, int, list[tuple[bytes, bytes]]]:
+    """(fps, width, height, [(stream_fourcc, frame_bytes)]) from an AVI.
+
+    Walks RIFF → LIST hdrl (avih / strl strh+strf) and LIST movi,
+    collecting video frame chunks ('##dc' compressed, '##db' raw DIB).
+    fps prefers the video strh rate/scale, falling back to the avih
+    micro-seconds-per-frame."""
+    if not (payload.startswith(b"RIFF") and payload[8:12] == b"AVI "):
+        raise UnsupportedMediaError("not an AVI")
+    fps = 0.0
+    usec_pf = 0
+    width = height = 0
+    frames: list[tuple[bytes, bytes]] = []
+
+    def walk(pos: int, end: int):
+        nonlocal fps, usec_pf, width, height
+        for fourcc, body, size in _riff_chunks(payload, pos, end):
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)  # skip the 4-byte form type
+            elif fourcc == b"avih" and size >= 40:
+                usec_pf = struct.unpack_from("<I", payload, body)[0]
+                width, height = struct.unpack_from("<II", payload, body + 32)
+            elif fourcc == b"strh" and size >= 32:
+                if payload[body : body + 4] == b"vids":
+                    scale, rate = struct.unpack_from("<II", payload, body + 20)
+                    if scale and rate:
+                        fps = rate / scale
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                frames.append((fourcc, payload[body : body + size]))
+    walk(12, len(payload))
+    if fps <= 0.0 and usec_pf:
+        fps = 1e6 / usec_pf
+    if fps <= 0.0:
+        fps = 25.0
+    return fps, width, height, frames
+
+
+def _decode_dib_frame(data: bytes, width: int, height: int) -> np.ndarray:
+    """Raw AVI '00db' frame: bottom-up BGR rows, 4-byte row alignment
+    (the BMP pixel-array layout without the BMP header)."""
+    stride = (width * 3 + 3) & ~3
+    if len(data) < stride * height:
+        raise UnsupportedMediaError("short DIB frame")
+    rows = np.frombuffer(data[: stride * height], np.uint8).reshape(height, stride)
+    return rows[:, : width * 3].reshape(height, width, 3)[::-1, :, ::-1].copy()
+
+
+def decode_avi_frames(payload: bytes) -> tuple[float, list[np.ndarray]]:
+    """(fps, [HxWx3 uint8 RGB frame, ...]) — real video decode for
+    MJPEG ('##dc' JPEG-per-frame via decode_jpeg) and raw-DIB AVIs."""
+    fps, width, height, raw = parse_avi(payload)
+    frames = []
+    for fourcc, data in raw:
+        if fourcc[2:4] == b"dc":
+            frames.append(decode_image(data))
+        else:
+            frames.append(_decode_dib_frame(data, width, height))
+    return fps, frames
+
+
+def encode_avi(
+    frames: list[np.ndarray], fps: int = 25, codec: str = "DIB"
+) -> bytes:
+    """Minimal spec-correct AVI writer: one video stream of ``frames``
+    (HxWx3 uint8), either raw bottom-up DIB ('00db') or MJPEG ('00dc'
+    via encode_jpeg).  The fixture generator for decode_avi_frames and
+    a real single-stream writer."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    is_mjpg = codec.upper() == "MJPG"
+    chunks = []
+    for fr in frames:
+        if fr.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        if is_mjpg:
+            data = encode_jpeg(fr)
+            tag = b"00dc"
+        else:
+            stride = (w * 3 + 3) & ~3
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : w * 3] = fr[::-1, :, ::-1].reshape(h, w * 3)
+            data = rows.tobytes()
+            tag = b"00db"
+        chunks.append((tag, data))
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + (b"\0" * (len(data) & 1))
+
+    def lst(form: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", form + data)
+
+    buf_size = max(len(d) for _, d in chunks)
+    handler = b"MJPG" if is_mjpg else b"DIB "
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, buf_size * fps, 0, 0x10, len(frames), 0, 1,
+        buf_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h", b"vids", handler, 0, 0, 0, 0, 1, fps, 0,
+        len(frames), buf_size, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24,
+        b"MJPG" if is_mjpg else b"\0\0\0\0",
+        buf_size, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(t, d) for t, d in chunks))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def image_features(rgb: np.ndarray, bins: int = 5) -> list[float]:

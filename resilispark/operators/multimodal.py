@@ -5,12 +5,13 @@ metadata struct; decode / feature-extract / resize / frame-sample run
 as Arrow-batched ``mapInPandas`` operators. The Spark-side plumbing
 (schemas, batch iteration, partitioning) is real and tested.
 
-Codec status: PNG, BMP, netpbm images and RIFF/WAV PCM audio decode
-FOR REAL through the pure-stdlib codecs in ``resilispark.io.codecs``
-(no PIL/soundfile in this container). Formats that genuinely need
-native libraries (JPEG, GIF, MP3/AAC, video frames) remain behind the
-documented ``RESILISPARK_FAKE_DECODE`` deterministic stub so the
-distributed pipeline can still be exercised end to end.
+Codec status: PNG, BMP, netpbm, GIF, JPEG (baseline + progressive)
+images, RIFF/WAV PCM audio, and RIFF/AVI video (MJPEG + raw-DIB
+frames) decode FOR REAL through the pure-Python codecs in
+``resilispark.io.codecs`` (no PIL/soundfile/ffmpeg in this container).
+Formats that genuinely need native libraries (MP3/AAC, H.264/VP9)
+remain behind the documented ``RESILISPARK_FAKE_DECODE`` deterministic
+stub so the distributed pipeline can still be exercised end to end.
 """
 
 from __future__ import annotations
@@ -154,6 +155,61 @@ def extract_audio_features(media: DataFrame, *, fake: bool = False) -> DataFrame
             )
 
     return media.mapInPandas(op, schema=AUDIO_FEATURES_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "media_id string, frame_idx int, frame_ts_ms long, "
+    "width int, height int, mean_r float, mean_g float, mean_b float"
+)
+
+
+def extract_video_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling: decode each payload as a RIFF/AVI container
+    (MJPEG frames through the pure-Python JPEG decoder, raw-DIB frames
+    directly — io/codecs.py), then emit one row per ``every_ms`` tick
+    with the sampled frame's dimensions and channel means.
+
+    Same Arrow-batched mapInPandas plumbing as the image/audio
+    operators: payloads stay columnar off the driver, rows fan out
+    partition-parallel, no shuffle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from resilispark.io.codecs import decode_avi_frames
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                try:
+                    fps, frames = decode_avi_frames(payload)
+                except Exception:  # UnsupportedMediaError / truncated
+                    rows.append((r["media_id"], None, None, None, None, None, None, None))
+                    continue
+                if not frames:
+                    rows.append((r["media_id"], None, None, None, None, None, None, None))
+                    continue
+                duration_ms = len(frames) / fps * 1000.0
+                ts = 0
+                while ts < duration_ms:
+                    idx = min(int(ts * fps / 1000.0), len(frames) - 1)
+                    fr = frames[idx]
+                    means = fr.astype("float64").reshape(-1, 3).mean(axis=0) / 255.0
+                    rows.append(
+                        (
+                            r["media_id"], idx, ts, fr.shape[1], fr.shape[0],
+                            means[0], means[1], means[2],
+                        )
+                    )
+                    ts += every_ms
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "frame_ts_ms",
+                    "width", "height", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media.mapInPandas(op, schema=VIDEO_FRAMES_SCHEMA)
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:

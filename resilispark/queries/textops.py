@@ -1019,18 +1019,83 @@ def t05_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def m02_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame sampling: docs as fake video payloads with a
-    duration derived from n_chars -> sample_video_frames (explode over
-    a JVM-side sequence; ffmpeg step stubbed deterministically) ->
-    per-video frame count + first frame digest."""
+    """Video gate, two parts unioned into one slot frame:
+
+    part='real' — REAL video decode: each document's bytes become 1-3
+    raw-DIB 4x12 frames in a real RIFF/AVI container (io/codecs.py
+    encode_avi), then ``extract_video_frames`` walks the RIFF tree,
+    reads fps from the stream header, decodes every frame, and samples
+    one row per 250 ms tick.  DIB frames are lossless, so per-frame
+    channel sums (recovered exactly from the float32 means) equal
+    raw-byte sums the DuckDB oracle re-derives with hex arithmetic.
+    (MJPEG '00dc' frames run the same path through the real JPEG
+    decoder — proven by pytest round-trips, not SQL-derivable because
+    JPEG is lossy.)
+
+    part='stub' — the documented ffmpeg-less fallback:
+    sample_video_frames explodes a JVM-side sequence over
+    meta.duration_ms and stamps deterministic sha256 frame digests,
+    proving the payload-free sampling plumbing.
+    """
     import os
 
-    from resilispark.operators.multimodal import sample_video_frames
+    from resilispark.operators.multimodal import (
+        extract_video_frames,
+        sample_video_frames,
+    )
+    from resilispark.session import ensure_workers_can_import
 
     os.environ["RESILISPARK_FAKE_DECODE"] = "1"
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_workers_can_import(spark)
     d = _docs(spark, sf_dir)
-    media = d.select(
+
+    @F.pandas_udf("binary")
+    def to_avi(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from resilispark.io.codecs import encode_avi
+
+        out = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            n_frames = 1 + len(raw) % 3
+            raw = raw[: n_frames * 144]
+            raw = raw + b"\0" * (n_frames * 144 - len(raw))
+            frames = [
+                np.frombuffer(raw[j * 144 : (j + 1) * 144], np.uint8).reshape(4, 12, 3)
+                for j in range(n_frames)
+            ]
+            out.append(encode_avi(frames, fps=4, codec="DIB"))
+        return pd.Series(out)
+
+    real_media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video/x-msvideo").alias("mime"),
+        to_avi("text").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit("DIB").alias("codec"),
+        ).alias("meta"),
+    )
+    # fps=4 and every_ms=250 -> exactly one tick per frame
+    real_frames = extract_video_frames(real_media, every_ms=250)
+    real_part = real_frames.select(
+        F.lit("real").alias("part"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("media_id").cast("bigint").alias("n1"),
+        F.col("frame_idx").cast("bigint").alias("n2"),
+        F.col("frame_ts_ms").cast("bigint").alias("n3"),
+        F.col("width").cast("bigint").alias("n4"),
+        F.col("height").cast("bigint").alias("n5"),
+        F.round(F.col("mean_r") * (48 * 255)).cast("bigint").alias("n6"),
+        F.round(F.col("mean_g") * (48 * 255)).cast("bigint").alias("n7"),
+        F.round(F.col("mean_b") * (48 * 255)).cast("bigint").alias("n8"),
+    )
+
+    stub_media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("video/fake").alias("mime"),
         F.lit(None).cast("binary").alias("payload"),
@@ -1041,29 +1106,73 @@ def m02_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("fake").alias("codec"),
         ).alias("meta"),
     )
-    frames = sample_video_frames(media, every_ms=500)
-    return (
-        frames.groupBy(F.col("media_id").cast("bigint").alias("doc_id"))
+    stub_frames = sample_video_frames(stub_media, every_ms=500)
+    stub_part = (
+        stub_frames.groupBy(F.col("media_id").cast("bigint").alias("doc_id"))
         .agg(
             F.count(F.lit(1)).alias("n_frames"),
             F.min(F.col("frame").cast("string")).alias("first_frame"),
         )
-        .orderBy("doc_id")
+        .select(
+            F.lit("stub").alias("part"),
+            F.col("first_frame").alias("s1"),
+            F.col("doc_id").alias("n1"),
+            F.col("n_frames").alias("n2"),
+            *[F.lit(None).cast("bigint").alias(f"n{i}") for i in range(3, 9)],
+        )
     )
+    return real_part.unionByName(stub_part).orderBy("part", "n1", "n2")
 
 
+# real part: byte b of frame j is utf-8 byte 144*j + b (zero-padded);
+# n_frames = 1 + byte_len % 3; fps=4 & every_ms=250 -> tick per frame,
+# frame_ts_ms = 250 * frame_idx.  stub part: the sha256 sequence stub.
 ORACLE_M02 = """
-WITH f AS (
+WITH hx AS (
+  SELECT doc_id, hex(encode(text)) AS h, 1 + (length(h) // 2) % 3 AS nf
+  FROM documents
+), px AS (
+  SELECT doc_id, f.f AS frame_idx, nf,
+         CASE WHEN 2*(144*f.f + 3*i.i + 1) <= length(h)
+              THEN ('0x' || substr(h, 2*(144*f.f + 3*i.i) + 1, 2))::INT ELSE 0 END AS r,
+         CASE WHEN 2*(144*f.f + 3*i.i + 2) <= length(h)
+              THEN ('0x' || substr(h, 2*(144*f.f + 3*i.i + 1) + 1, 2))::INT ELSE 0 END AS g,
+         CASE WHEN 2*(144*f.f + 3*i.i + 3) <= length(h)
+              THEN ('0x' || substr(h, 2*(144*f.f + 3*i.i + 2) + 1, 2))::INT ELSE 0 END AS b
+  FROM hx, generate_series(0, 2) AS f(f), generate_series(0, 47) AS i(i)
+  WHERE f.f < nf
+), real_part AS (
+  SELECT 'real' AS part,
+         CAST(NULL AS VARCHAR) AS s1,
+         doc_id AS n1,
+         CAST(frame_idx AS BIGINT) AS n2,
+         CAST(250 * frame_idx AS BIGINT) AS n3,
+         CAST(12 AS BIGINT) AS n4,
+         CAST(4 AS BIGINT) AS n5,
+         SUM(r)::BIGINT AS n6,
+         SUM(g)::BIGINT AS n7,
+         SUM(b)::BIGINT AS n8
+  FROM px
+  GROUP BY doc_id, frame_idx
+), ticks AS (
   SELECT doc_id,
          unnest(generate_series(0, greatest(n_chars * 10 - 1, 0), 500)) AS ts
   FROM documents
+), stub_part AS (
+  SELECT 'stub' AS part,
+         min(sha256(doc_id::VARCHAR || ':' || ts::VARCHAR)) AS s1,
+         doc_id AS n1,
+         count(*)::BIGINT AS n2,
+         CAST(NULL AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4,
+         CAST(NULL AS BIGINT) AS n5, CAST(NULL AS BIGINT) AS n6,
+         CAST(NULL AS BIGINT) AS n7, CAST(NULL AS BIGINT) AS n8
+  FROM ticks
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       count(*)::BIGINT AS n_frames,
-       min(sha256(doc_id::VARCHAR || ':' || ts::VARCHAR)) AS first_frame
-FROM f
-GROUP BY doc_id
-ORDER BY doc_id
+SELECT * FROM real_part
+UNION ALL
+SELECT * FROM stub_part
+ORDER BY part, n1, n2
 """
 
 

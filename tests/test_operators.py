@@ -809,6 +809,90 @@ class TestRealCodecs:
         assert abs(out["a"].rms - 0.25 / 2**0.5) < 0.01
         assert out["b"].sample_rate == 44100 and out["b"].rms == 0.0
 
+    def test_avi_dib_roundtrip_lossless(self):
+        import numpy as np
+
+        from resilispark.io.codecs import decode_avi_frames, encode_avi
+
+        rng = np.random.RandomState(11)
+        for h, w, n in ((4, 12, 3), (5, 7, 2), (8, 8, 1)):
+            frames = [rng.randint(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+            fps, out = decode_avi_frames(encode_avi(frames, fps=10, codec="DIB"))
+            assert fps == 10.0
+            assert len(out) == n
+            for a, b in zip(frames, out):
+                assert np.array_equal(a, b)
+
+    def test_avi_mjpeg_frames_match_jpeg_decoder(self):
+        """MJPEG '00dc' chunks run the real JPEG decoder: frames from
+        the container must be byte-identical to standalone decode of
+        the same encode_jpeg payload."""
+        import numpy as np
+
+        from resilispark.io.codecs import (
+            decode_avi_frames,
+            decode_image,
+            encode_avi,
+            encode_jpeg,
+        )
+
+        rng = np.random.RandomState(13)
+        frames = [rng.randint(0, 256, (16, 24, 3), dtype=np.uint8) for _ in range(4)]
+        fps, out = decode_avi_frames(encode_avi(frames, fps=25, codec="MJPG"))
+        assert fps == 25.0 and len(out) == 4
+        for fr, dec in zip(frames, out):
+            assert np.array_equal(dec, decode_image(encode_jpeg(fr)))
+
+    def test_avi_rejects_non_avi(self):
+        import pytest as _pytest
+
+        from resilispark.io.codecs import UnsupportedMediaError, parse_avi
+
+        with _pytest.raises(UnsupportedMediaError):
+            parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+        with _pytest.raises(UnsupportedMediaError):
+            parse_avi(b"garbage")
+
+    def test_spark_real_video_frames(self, spark):
+        """extract_video_frames end to end: RIFF walk + fps from strh +
+        per-tick sampling; undecodable payloads quarantine to NULL rows
+        instead of failing the task."""
+        import numpy as np
+
+        from resilispark.io.codecs import encode_avi
+        from resilispark.operators.multimodal import extract_video_frames
+        from resilispark.session import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
+        rng = np.random.RandomState(17)
+        vids = {
+            "a": [rng.randint(0, 256, (4, 12, 3), dtype=np.uint8) for _ in range(3)],
+            "b": [rng.randint(0, 256, (4, 12, 3), dtype=np.uint8) for _ in range(1)],
+        }
+        rows = [
+            (k, "video/x-msvideo", bytearray(encode_avi(v, fps=4, codec="DIB")),
+             (12, 4, None, "DIB"))
+            for k, v in vids.items()
+        ] + [("bad", "video/mp4", bytearray(b"not a video"), (None, None, None, None))]
+        media = spark.createDataFrame(
+            rows,
+            "media_id string, mime string, payload binary, "
+            "meta struct<width:int,height:int,duration_ms:bigint,codec:string>",
+        )
+        out = extract_video_frames(media, every_ms=250).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r.media_id, []).append(r)
+        # fps=4, every_ms=250 -> one tick per frame
+        assert [r.frame_idx for r in sorted(by_id["a"], key=lambda r: r.frame_ts_ms)] == [0, 1, 2]
+        assert [r.frame_ts_ms for r in sorted(by_id["a"], key=lambda r: r.frame_ts_ms)] == [0, 250, 500]
+        assert len(by_id["b"]) == 1
+        for r in by_id["a"]:
+            assert (r.width, r.height) == (12, 4)
+            exp = vids["a"][r.frame_idx].reshape(-1, 3).mean(axis=0) / 255.0
+            assert abs(r.mean_r - exp[0]) < 1e-6
+        assert len(by_id["bad"]) == 1 and by_id["bad"][0].frame_idx is None
+
 
 class TestResilienceGuards:
     def test_mem_guard_passes_under_limit(self):
