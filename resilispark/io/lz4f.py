@@ -73,20 +73,21 @@ def _decode_block(src: bytes, out: bytearray) -> None:
     """LZ4 block: sequences of (token, literals, offset, match)."""
     i = 0
     n = len(src)
+    out_len = len(out)
     while i < n:
         token = src[i]
         i += 1
         lit_len = token >> 4
         if lit_len == 15:
-            while True:
+            b = 255
+            while b == 255:
                 b = src[i]
                 i += 1
                 lit_len += b
-                if b != 255:
-                    break
         if lit_len:
             out += src[i : i + lit_len]
             i += lit_len
+            out_len += lit_len
         if i >= n:
             return  # last sequence has no match
         offset = src[i] | (src[i + 1] << 8)
@@ -94,21 +95,24 @@ def _decode_block(src: bytes, out: bytearray) -> None:
         if offset == 0:
             raise ValueError("invalid LZ4 match offset 0")
         match_len = (token & 15) + 4
-        if (token & 15) == 15:
-            while True:
+        if match_len == 19:
+            b = 255
+            while b == 255:
                 b = src[i]
                 i += 1
                 match_len += b
-                if b != 255:
-                    break
-        start = len(out) - offset
+        start = out_len - offset
         if start < 0:
             raise ValueError("LZ4 match before output start")
         if offset >= match_len:
             out += out[start : start + match_len]
         else:
-            for k in range(match_len):  # overlapping copy, byte-wise
-                out.append(out[start + k])
+            # overlapping match = repeating pattern of length ``offset``:
+            # tile the pattern instead of copying byte-by-byte (the
+            # dominant case in runs/RLE-heavy data)
+            pattern = bytes(out[start:])
+            out += (pattern * (match_len // offset + 1))[:match_len]
+        out_len += match_len
 
 
 def decompress(data: bytes) -> bytes:
@@ -168,6 +172,97 @@ def decompress_members(data: bytes):
         content, nxt = _decompress_one(data, pos)
         yield pos, content
         pos = nxt
+
+
+def _emit_sequence(
+    out: bytearray,
+    src: bytes,
+    lit_start: int,
+    lit_end: int,
+    offset: int | None = None,
+    match_len: int = 0,
+) -> None:
+    lit_len = lit_end - lit_start
+    m_code = 0 if offset is None else match_len - 4
+    out.append((min(lit_len, 15) << 4) | min(m_code, 15))
+    if lit_len >= 15:
+        rem = lit_len - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out += src[lit_start:lit_end]
+    if offset is not None:
+        out.append(offset & 0xFF)
+        out.append(offset >> 8)
+        if m_code >= 15:
+            rem = m_code - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+
+
+def compress_block(src: bytes) -> bytes:
+    """Real LZ4 block compression: greedy hash-table matcher over
+    4-byte prefixes (the format's minimum match), emitting standard
+    (token, literals, offset, match) sequences.  Spec end-of-block
+    rules honored: the last 5 bytes are literals and the final
+    sequence is literal-only."""
+    n = len(src)
+    out = bytearray()
+    if n < 13:  # too short for any legal match
+        _emit_sequence(out, src, 0, n)
+        return bytes(out)
+    table: dict[int, int] = {}
+    unpack = struct.unpack_from
+    anchor = 0
+    i = 0
+    last_match_start = n - 12
+    mflimit = n - 5
+    while i < last_match_start:
+        key = unpack("<I", src, i)[0]
+        j = table.get(key, -1)
+        table[key] = i
+        if j >= 0 and i - j <= 0xFFFF:
+            m = i + 4
+            k = j + 4
+            while m + 8 <= mflimit and src[m : m + 8] == src[k : k + 8]:
+                m += 8
+                k += 8
+            while m < mflimit and src[m] == src[k]:
+                m += 1
+                k += 1
+            _emit_sequence(out, src, anchor, i, i - j, m - i)
+            anchor = m
+            i = m
+        else:
+            i += 1
+    _emit_sequence(out, src, anchor, n)
+    return bytes(out)
+
+
+def compress(data: bytes, block_size: int = 4 * 1024 * 1024) -> bytes:
+    """A standard LZ4 frame with really-compressed blocks (falling back
+    to stored for incompressible blocks, per the format's high-bit
+    escape): FLG v01 + block independence, correct xxh32 header
+    checksum, EndMark terminator."""
+    flg = 0x60  # version 01, block independence
+    bd = 0x70  # max block size code 7 = 4 MiB
+    desc = bytes([flg, bd])
+    hc = (xxh32(desc) >> 8) & 0xFF
+    parts = [LZ4_FRAME_MAGIC, desc, bytes([hc])]
+    for i in range(0, len(data), block_size):
+        block = data[i : i + block_size]
+        packed = compress_block(block)
+        if len(packed) < len(block):
+            parts.append(struct.pack("<I", len(packed)))
+            parts.append(packed)
+        else:
+            parts.append(struct.pack("<I", len(block) | 0x80000000))
+            parts.append(block)
+    parts.append(struct.pack("<I", 0))  # EndMark
+    return b"".join(parts)
 
 
 def compress_stored(data: bytes, block_size: int = 4 * 1024 * 1024) -> bytes:

@@ -590,7 +590,7 @@ def write_warc(
                 else:
                     from resilispark.io import lz4f
 
-                    out = lz4f.compress_stored(blob)
+                    out = lz4f.compress(blob)
             else:
                 out = blob
             if cdxj_sidecar:

@@ -200,6 +200,48 @@ class TestLz4:
         for payload in (b"", b"abc", os.urandom(5 * 1024 * 1024)):
             assert decompress(compress_stored(payload)) == payload
 
+    def test_lz4_real_compression_roundtrip(self):
+        """compress() emits standard frames with real match sequences;
+        every payload shape must round-trip (overlap offsets 1/2/3,
+        long runs, incompressible stored fallback, length extensions)."""
+        import os
+        import random
+
+        from resilispark.io.lz4f import compress, decompress
+
+        random.seed(9)
+        words = [bytes([65 + i]) * random.randrange(1, 9) for i in range(26)]
+        cases = [
+            b"",
+            b"a",
+            b"abcabcabcabcabcabcabcabcabc",  # overlap offset 3
+            b"ababababababababababababab",  # overlap offset 2
+            b"z" * 4000,  # offset-1 run + match-length extension bytes
+            b"".join(random.choice(words) for _ in range(2000)),
+            os.urandom(70000),  # incompressible -> stored block
+            (b"0123456789abcdef" * 20 + os.urandom(300)) * 40,
+            b"x" * 14,  # shortest legal match territory
+            b"x" * 12,  # below the minimum-match threshold
+        ]
+        for payload in cases:
+            frame = compress(payload)
+            assert decompress(frame) == payload
+        # compressible text really compresses
+        text = b"the quick brown fox jumps over the lazy dog. " * 100
+        assert len(compress(text)) < len(text) // 2
+
+    def test_lz4_real_compression_members(self):
+        """Member-per-record layout with really-compressed frames keeps
+        per-member offsets intact for the CDXJ-split scan path."""
+        from resilispark.io.lz4f import compress, decompress_members
+
+        payloads = [f"record {i} ".encode() * (10 + i) for i in range(50)]
+        blob = b"".join(compress(p) for p in payloads)
+        out = list(decompress_members(blob))
+        assert [c for _, c in out] == payloads
+        offs = [o for o, _ in out]
+        assert offs[0] == 0 and offs == sorted(offs)
+
     def test_warc_lz4_roundtrip(self, fixture_dir, tmp_path):
         """S13: write .warc.lz4 (member per record) and scan it back —
         works with or without the native lz4 package."""
