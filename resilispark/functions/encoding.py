@@ -109,6 +109,9 @@ _WHATWG_MAP: dict[str, str | None] = {}
 for _codec, _labels in _WHATWG_ENCODINGS.items():
     for _label in _labels:
         _WHATWG_MAP[_label] = _codec
+# UTF-7 is not a WHATWG encoding; the reference maps it to utf-8
+# (test_encoding.py: map_encoding_to_html5('utf-7') == 'utf-8')
+_WHATWG_MAP["utf-7"] = "utf-8"
 
 
 _META_CHARSET = re.compile(
@@ -118,7 +121,10 @@ _BOMS = (
     (codecs.BOM_UTF8, "utf-8"),
     (codecs.BOM_UTF32_LE, "utf-32-le"),
     (codecs.BOM_UTF32_BE, "utf-32-be"),
-    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    # an FF FE BOM detects as generic "utf-16" (uchardet's answer); the
+    # WHATWG map then resolves it to utf-16-le, matching the reference's
+    # html5_compatible=False / True pair ('utf-16' / 'utf-16-le')
+    (codecs.BOM_UTF16_LE, "utf-16"),
     (codecs.BOM_UTF16_BE, "utf-16-be"),
 )
 
@@ -173,13 +179,16 @@ def detect_encoding(
                 return enc
     if not data:
         return "utf-8"
+    if data.isascii():
+        # uchardet reports pure 7-bit input as ASCII; WHATWG maps
+        # ascii -> windows-1252 (reference: detect_encoding(b'Hello
+        # World') == 'cp1252', 'ascii' when html5_compatible=False)
+        return "cp1252" if html5_compatible else "ascii"
     if _is_valid_utf8(data):
         return "utf-8"
     # byte-distribution heuristics for common legacy encodings
     n = len(data)
     hi = sum(1 for b in data if b >= 0x80)
-    if hi == 0:
-        return "utf-8"
     # UTF-16 heuristics: many interleaved NULs
     nul_even = sum(1 for i in range(0, min(n, 4096), 2) if data[i] == 0)
     nul_odd = sum(1 for i in range(1, min(n, 4096), 2) if data[i] == 0)
@@ -253,72 +262,168 @@ def bytes_to_str(
     """Decode with a fallback chain; never raises (encoding.pyx:320-367)."""
     if data is None:
         return ""
+    # the requested codec is honored VERBATIM (no WHATWG remap): the
+    # reference's bytes_to_str(b'\xc3\x9c...', 'ascii') must FAIL the
+    # strict ascii decode and fall back to utf-8, not silently decode
+    # as windows-1252
     tried = []
     for enc in (encoding, *fallback_encodings):
-        enc_norm = map_encoding_to_html5(enc)
-        if enc_norm in tried:
-            continue
-        tried.append(enc_norm)
         try:
-            s = data.decode(enc_norm, "strict")
+            enc_name = codecs.lookup(enc).name
+        except LookupError:
+            continue
+        if enc_name in tried:
+            continue
+        tried.append(enc_name)
+        try:
+            s = data.decode(enc_name, "strict")
             break
-        except (UnicodeDecodeError, LookupError):
+        except UnicodeDecodeError:
             continue
     else:
-        s = data.decode(map_encoding_to_html5(encoding) or "utf-8", errors)
+        try:
+            s = data.decode(encoding, errors)
+        except LookupError:
+            s = data.decode("utf-8", errors)
+        # double-decode sanitization (encoding.pyx:367): the best-effort
+        # pass can leave lone surrogates that a re-encode would reject
+        s = s.encode("utf-8", errors).decode("utf-8")
     if strip_bom and s.startswith("﻿"):
         s = s[1:]
     return s
 
 
-# magic-byte table (encoding.pyx:370-406 rule class)
+# ordered magic-byte table mirroring the reference's public rule list
+# (encoding.h MIME_BYTES via encoding.pyx:370-406): first match wins,
+# checked against both the raw head and the whitespace-stripped head.
 _MAGIC = (
-    (b"%PDF-", "application/pdf"),
+    # text BOMs / UTF-7 signatures
+    (b"\xef\xbb\xbf", "text/plain"),
+    (b"\xff\xfe", "text/plain"),
+    (b"\xfe\xff", "text/plain"),
+    (b"\x0e\xfe\xff", "text/plain"),
+    (b"+/v8", "text/plain"),
+    (b"+/v9", "text/plain"),
+    (b"+/v+", "text/plain"),
+    (b"+/v/", "text/plain"),
+    # markup
+    (b"<!DOCTYPE html", "text/html"),
+    (b"<!DOCTYPE HTML", "text/html"),
+    (b"<!doctype html", "text/html"),
+    (b"<!doctype HTML", "text/html"),
+    (b"<!DOCTYPE svg", "image/svg+xml"),
+    (b"<!doctype svg", "image/svg+xml"),
+    (b"<!DOCTYPE SVG", "image/svg+xml"),
+    (b"<!doctype SVG", "image/svg+xml"),
+    (b"<?xml ", "application/xml"),
+    (b"\x00<\x00?\x00x\x00m\x00l\x00 ", "application/xml"),
+    (b"{\\rtf1", "application/rtf"),
+    (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "application/msword"),
+    # images
+    (b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01", "image/jpeg"),
+    (b"\xff\xd8\xff\xe0", "image/jpeg"),
+    (b"\xff\xd8\xff\xe1", "image/jpeg"),
+    (b"\xff\xd8\xff\xe2", "image/jpeg"),
+    (b"\xff\xd8\xff\xe8", "image/jpeg"),
+    (b"\xff\xd8\xff\xee", "image/jpeg"),
     (b"\x89PNG\r\n\x1a\n", "image/png"),
-    (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF87a", "image/gif"),
     (b"GIF89a", "image/gif"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
+    (b"\x00\x00\x01\x00", "image/x-icon"),
+    (b"icns", "image/icns"),
+    (b"\x00\x00\x00\x0cjP  \r\n\x87\n", "image/jp2"),
+    (b"\xff\x4f\xff\x51", "image/jp2"),
     (b"BM", "image/bmp"),
-    (b"\x1f\x8b", "application/gzip"),
+    (b"RIFF", "image/webp"),
+    (b"/* XPM */", "image/x-xpixmap"),
+    # documents
+    (b"%PDF-", "application/pdf"),
+    (b"%!PS", "application/postscript"),
+    (b"8BPS", "image/vnd.adobe.photoshop"),
+    # archives / compression
     (b"PK\x03\x04", "application/zip"),
     (b"PK\x05\x06", "application/zip"),
-    (b"Rar!\x1a\x07", "application/x-rar-compressed"),
-    (b"\x7fELF", "application/octet-stream"),
-    (b"MZ", "application/octet-stream"),
-    (b"OggS", "audio/ogg"),
-    (b"RIFF", "audio/x-wav"),
-    (b"\x00\x00\x00\x1cftyp", "video/mp4"),
-    (b"\x00\x00\x00\x18ftyp", "video/mp4"),
-    (b"%!PS", "application/postscript"),
+    (b"PK\x07\x08", "application/zip"),
+    (b"ustar\x0000", "application/x-tar"),
+    (b"ustar  \x00", "application/x-tar"),
+    (b"7z\xbc\xaf\x27\x1c", "application/x-7z-compressed"),
+    (b"\x1f\x8b", "application/gzip"),
+    (b"INDX", "application/x-bzip2"),
+    (b"BZh", "application/x-bzip2"),
+    (b"\x04\x22\x4d\x18", "application/x-lz4"),
+    (b"\xfd7zXZ\x00", "application/x-xz"),
+    (b"Rar!\x1a\x07\x00", "application/vnd.rar"),
+    (b"Rar!\x1a\x07\x01\x00", "application/vnd.rar"),
+    # fonts
+    (b"wOFF", "font/woff"),
+    (b"wOF2", "font/woff2"),
+    (b"\x00\x01\x00\x00\x00", "font/ttf"),
+    (b"KCMS", "application/vnd.iccprofile"),
+    # audio / video
+    (b"OggS", "application/ogg"),
+    (b"fLaC", "audio/flac"),
+    (b"FORM", "audio/aiff"),
+    (b"\xff\xfb", "audio/mpeg"),
+    (b"\xff\xf2", "audio/mpeg"),
+    (b"ID3", "audio/mpeg"),
+    (b"ftypisom", "video/mp4"),
+    (b"\x00\x00\x01\xb3", "video/mpeg"),
+    (b"\x1a\x45\xdf\xa3", "video/x-matroska"),
+    (b"\x00\x00\x01\xba", "video/mpeg"),
+    (b"CWS", "application/x-shockwave-flash"),
+    (b"FWS", "application/x-shockwave-flash"),
+    # executables / binaries
+    (b"\x7fELF", "application/x-elf"),
+    (b"MSCF", "application/vnd.ms-cab-compressed"),
+    (b"CD001", "application/x-iso9660-image"),
+    (b"\xfe\xed\xfa\xce", "application/x-mach-binary"),
+    (b"\xfe\xed\xfa\xcf", "application/x-mach-binary"),
+    (b"\xce\xfa\xed\xfe", "application/x-mach-binary"),
+    (b"\xcf\xfa\xed\xfe", "application/x-mach-binary"),
+    (b"\x00asm", "application/wasm"),
+    (b"!<arch>\n", "application/vnd.debian.binary-package"),
+    (b"\xca\xfe\xba\xbe", "application/java-vm"),
+    (b"ITSF\x03\x00\x00\x00\x60\x00\x00\x00", "application/vnd.ms-htmlhelp"),
 )
 
+# engine extension beyond the reference table: common HTML fragments
+# that lack a doctype still sniff as text/html before the plain-text
+# fallback
 _HTML_TOKENS = re.compile(
-    rb"<(?:!doctype\s+html|html|head|body|title|div|p|a\s|meta|script|h1)", re.IGNORECASE
+    rb"<(?:!doctype\s+html|html|head|body|title|meta|script)", re.IGNORECASE
 )
-_XML_DECL = re.compile(rb"^\s*<\?xml", re.IGNORECASE)
 
 
 def detect_mime(data: bytes, max_unprintable: float = 0.05) -> str:
-    """MIME sniff: magic bytes -> XHTML/SVG refinement -> text/binary
-    split by unprintable ratio (encoding.pyx:370-406)."""
+    """MIME sniff mirroring the reference rule-for-rule
+    (encoding.pyx:370-406 + the public encoding.h magic table): ordered
+    first-match over raw AND whitespace-stripped head, XHTML/SVG
+    doctype refinement, then the unprintable-ratio text/binary split."""
     if not data:
         return "application/octet-stream"
-    head = data[:64]
+    stripped = data[:128].lstrip()
     for magic, mime in _MAGIC:
-        if head.startswith(magic):
+        if data.startswith(magic) or stripped.startswith(magic):
+            if mime in ("text/html", "application/xml"):
+                if b'"-//W3C//DTD XHTML' in stripped:
+                    return "application/xhtml+xml"
+                if mime == "application/xml" and (
+                    b"<svg " in stripped or b'"-//W3C//DTD SVG' in stripped
+                ):
+                    return "image/svg+xml"
             if mime == "image/bmp" and len(data) < 14:
                 continue
             return mime
     probe = data[:4096]
-    if _XML_DECL.match(probe) or probe.lstrip()[:1] == b"<":
-        if _HTML_TOKENS.search(probe):
-            return "text/html"
-        if b"<svg" in probe[:1024].lower():
-            return "image/svg+xml"
-        if _XML_DECL.match(probe):
-            return "application/xml"
-    sample = data[:4096]
-    unprintable = sum(1 for b in sample if b < 0x09 or (0x0E <= b < 0x20) or b == 0x7F)
-    if unprintable / len(sample) > max_unprintable:
+    if probe.lstrip()[:1] == b"<" and _HTML_TOKENS.search(probe):
+        return "text/html"  # doctype-less HTML (engine extension)
+    # the reference's text/binary split: control AND high bytes both
+    # count as unprintable (encoding.pyx:399-405); 64 KiB cap keeps the
+    # kernel O(1) per row
+    sample = data[:65536]
+    unprintable = sum(1 for b in sample if b <= 0x1F or b >= 0x7F)
+    if unprintable > len(sample) * max_unprintable:
         return "application/octet-stream"
     return "text/plain"

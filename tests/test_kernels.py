@@ -161,7 +161,8 @@ class TestEncoding:
         for _ in range(1000):
             det2.update(b"x" * 1000)
         assert len(det2._head) + len(det2._tail) <= 1024
-        assert det2.encoding() == "utf-8"
+        # pure ASCII detects as ascii -> WHATWG cp1252 (reference parity)
+        assert det2.encoding() == "cp1252"
 
     def test_whatwg_map(self):
         assert map_encoding_to_html5("ISO-8859-1") == "cp1252"
