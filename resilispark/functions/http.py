@@ -18,6 +18,14 @@ except Exception:  # pragma: no cover
     _brotli = None
 
 
+class MissingCodecError(RuntimeError):
+    """The payload declares an encoding whose codec is not installed
+    (Content-Encoding: br without the brotli package).  Deliberately NOT
+    swallowed by the resilient decode chain: silently passing raw
+    compressed bytes downstream would corrupt every consumer; callers
+    quarantine the row instead (R4 NULL-on-error policy)."""
+
+
 def read_http_chunk(data: bytes, pos: int) -> tuple[bytes, int]:
     """Read one chunk at ``pos``; returns (chunk, next_pos); empty chunk
     = terminator (http.pyx:28-46)."""
@@ -64,7 +72,10 @@ def _decode_one(data: bytes, encoding: str) -> bytes:
             return zlib.decompress(data, wbits=-zlib.MAX_WBITS)  # raw deflate
     if enc == "br":
         if _brotli is None:
-            raise RuntimeError("brotli package not available")
+            raise MissingCodecError(
+                "Content-Encoding: br requires the brotli package "
+                "(not in this image); row should be quarantined"
+            )
         return _brotli.decompress(data)
     if enc in ("chunked",):
         return decode_chunked(data)
@@ -79,8 +90,11 @@ def decode_http_body(
     transfer_encoding: str | None = None,
 ) -> bytes:
     """Undo Transfer-Encoding then Content-Encoding chains, each applied
-    in reverse declaration order (warc.pyx:816-835). Resilient: if any
-    step fails the bytes as of that step are returned."""
+    in reverse declaration order (warc.pyx:816-835). Resilient: if a
+    codec fails ON THE DATA the bytes as of that step are returned; a
+    MISSING codec (brotli not installed) raises MissingCodecError
+    instead — returning still-compressed bytes as if decoded would be
+    silent corruption."""
     if data is None:
         return b""
     out = data
@@ -91,6 +105,8 @@ def decode_http_body(
         for enc in reversed(encodings):
             try:
                 out = _decode_one(out, enc)
+            except MissingCodecError:
+                raise
             except Exception:
                 return out
     return out

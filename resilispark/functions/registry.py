@@ -125,6 +125,10 @@ def make_udfs():
                 continue
             try:
                 out.append(HT.decode_http_body(bytes(b), ce, te))
+            except HT.MissingCodecError:
+                # typed quarantine: NULL, never raw compressed bytes
+                # masquerading as a decoded body
+                out.append(None)
             except Exception:
                 out.append(bytes(b))
         return pd.Series(out, dtype=object)

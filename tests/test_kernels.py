@@ -215,6 +215,57 @@ class TestHttp:
     def test_resilient_on_garbage(self):
         assert decode_http_body(b"not gzip", "gzip", None) == b"not gzip"
 
+    def test_brotli_missing_is_loud(self, monkeypatch):
+        """Content-Encoding: br without the brotli package must raise a
+        typed MissingCodecError — NOT silently return the compressed
+        bytes as if they were the decoded body (Common Crawl carries br
+        bodies; silent raw passthrough corrupts every consumer)."""
+        from resilispark.functions import http as HT
+
+        monkeypatch.setattr(HT, "_brotli", None)
+        with pytest.raises(HT.MissingCodecError):
+            decode_http_body(b"\x1b\x03\x00body", "br", None)
+        # the chain variant is just as loud
+        from resilispark.functions.http import decode_http_body_from_headers
+
+        with pytest.raises(HT.MissingCodecError):
+            decode_http_body_from_headers(
+                b"\x1b\x03\x00body", [("Content-Encoding", "br")]
+            )
+
+    def test_brotli_decodes_when_codec_present(self, monkeypatch):
+        """With a brotli module installed the same path decodes (stubbed
+        here since the package is absent from this image)."""
+        from resilispark.functions import http as HT
+
+        class FakeBrotli:
+            @staticmethod
+            def decompress(data):
+                assert data == b"BRDATA"
+                return b"decoded body"
+
+        monkeypatch.setattr(HT, "_brotli", FakeBrotli)
+        assert decode_http_body(b"BRDATA", "br", None) == b"decoded body"
+
+    def test_brotli_missing_quarantines_to_null_in_udf(self, spark, monkeypatch):
+        """The registered decode UDF maps MissingCodecError to NULL (the
+        R4 quarantine marker), never to raw compressed bytes."""
+        from resilispark.functions.registry import register_functions
+        from resilispark.session import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
+        udfs = register_functions(spark)
+        df = spark.createDataFrame(
+            [(bytearray(b"\x1b\x03\x00body"), "br", None),
+             (bytearray(b"plain"), None, None)],
+            "payload binary, ce string, te string",
+        )
+        rows = df.select(
+            udfs["decode_http_body"]("payload", "ce", "te").alias("body")
+        ).collect()
+        assert rows[0].body is None
+        assert bytes(rows[1].body) == b"plain"
+
 
 class TestLang:
     def test_supported(self):
