@@ -89,14 +89,16 @@ def extract_image_features(media: DataFrame, *, fake: bool = False) -> DataFrame
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for mid, mime, payload in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
                 try:
-                    w, h, feat = _decode_image(bytes(r["payload"]) if r["payload"] is not None else b"", fake=fake)
-                    rows.append((r["media_id"], r["mime"], w, h, feat))
+                    w, h, feat = _decode_image(
+                        bytes(payload) if payload is not None else b"", fake=fake
+                    )
+                    rows.append((mid, mime, w, h, feat))
                 except NotImplementedError:
                     raise
                 except Exception:
-                    rows.append((r["media_id"], r["mime"], None, None, None))
+                    rows.append((mid, mime, None, None, None))
             yield pd.DataFrame(
                 rows, columns=["media_id", "mime", "width", "height", "feature"]
             )
@@ -140,16 +142,16 @@ def extract_audio_features(media: DataFrame, *, fake: bool = False) -> DataFrame
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            for mid, mime, payload in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
                 try:
                     rate, rms, zcr = _decode_audio(
-                        bytes(r["payload"]) if r["payload"] is not None else b"", fake=fake
+                        bytes(payload) if payload is not None else b"", fake=fake
                     )
-                    rows.append((r["media_id"], r["mime"], rate, rms, zcr))
+                    rows.append((mid, mime, rate, rms, zcr))
                 except NotImplementedError:
                     raise
                 except Exception:
-                    rows.append((r["media_id"], r["mime"], None, None, None))
+                    rows.append((mid, mime, None, None, None))
             yield pd.DataFrame(
                 rows, columns=["media_id", "mime", "sample_rate", "rms", "zcr"]
             )
@@ -178,15 +180,15 @@ def extract_video_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
                 try:
                     fps, frames = decode_avi_frames(payload)
                 except Exception:  # UnsupportedMediaError / truncated
-                    rows.append((r["media_id"], None, None, None, None, None, None, None))
+                    rows.append((mid, None, None, None, None, None, None, None))
                     continue
                 if not frames:
-                    rows.append((r["media_id"], None, None, None, None, None, None, None))
+                    rows.append((mid, None, None, None, None, None, None, None))
                     continue
                 duration_ms = len(frames) / fps * 1000.0
                 ts = 0
@@ -196,7 +198,7 @@ def extract_video_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame
                     means = fr.astype("float64").reshape(-1, 3).mean(axis=0) / 255.0
                     rows.append(
                         (
-                            r["media_id"], idx, ts, fr.shape[1], fr.shape[0],
+                            mid, idx, ts, fr.shape[1], fr.shape[0],
                             means[0], means[1], means[2],
                         )
                     )

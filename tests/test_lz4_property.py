@@ -1,0 +1,57 @@
+"""Property-based LZ4 frame codec round-trip (hypothesis).
+
+compress() must produce frames decompress() reads back verbatim for
+arbitrary byte strings, and concatenated members must preserve
+per-member boundaries — the invariants the CDXJ-split WARC scan
+depends on.
+"""
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from resilispark.io.lz4f import (
+    compress,
+    compress_stored,
+    decompress,
+    decompress_members,
+)
+
+payloads = st.one_of(
+    st.binary(max_size=4096),
+    # compressible shapes: repeated short patterns
+    st.builds(
+        lambda pat, n: pat * n,
+        st.binary(min_size=1, max_size=16),
+        st.integers(min_value=1, max_value=512),
+    ),
+    # mixed: pattern run + random tail
+    st.builds(
+        lambda pat, n, tail: pat * n + tail,
+        st.binary(min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=256),
+        st.binary(max_size=64),
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(payloads)
+def test_compress_roundtrip(data):
+    assert decompress(compress(data)) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(payloads)
+def test_stored_and_compressed_members_interleave(data):
+    blob = compress(data) + compress_stored(data) + compress(data + b"x")
+    out = [c for _, c in decompress_members(blob)]
+    assert out == [data, data, data + b"x"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(payloads, min_size=1, max_size=8))
+def test_member_offsets_monotone(parts):
+    blob = b"".join(compress(p) for p in parts)
+    out = list(decompress_members(blob))
+    assert [c for _, c in out] == parts
+    offs = [o for o, _ in out]
+    assert offs == sorted(offs) and offs[0] == 0
