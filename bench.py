@@ -98,47 +98,59 @@ def main() -> None:
     # pure-Python member decode measures ~31k members/s single-core —
     # within 1.6x of the reference's native 49.8k rec/s — and the
     # CDXJ-split row below fans the same scan across all cores.
-    n_groups = int(os.environ.get("RESILISPARK_BENCH_GROUPS", "5000"))
-    n_records = 3 * n_groups + 2
-    bdir = ensure_bench_fixture(n_groups)
-    for label, path, opts in (
-        (f"warc_scan_gz_{n_records}_recs", f"{bdir}/bench-{n_groups}.warc.gz", {}),
-        (f"warc_scan_plain_{n_records}_recs", f"{bdir}/bench-{n_groups}.warc", {}),
-        (
-            f"warc_scan_plain_split_{n_records}_recs",
-            f"{bdir}/bench-{n_groups}.warc",
-            {"split_bytes": str(256 * 1024)},
-        ),
-        (f"warc_scan_lz4_{n_records}_recs", f"{bdir}/bench-{n_groups}.warc.lz4", {}),
-    ):
-        reader = spark.read.format("warc")
-        for k, v in opts.items():
-            reader = reader.option(k, v)
-        df = reader.load(path)
-        df.write.mode("overwrite").format("noop").save()
-        timings[label] = timed_median(
-            lambda: df.write.mode("overwrite").format("noop").save()
-        )
-
-    # CDXJ-assisted parallel scans (SURVEY §4 member splitting): sidecar
-    # offsets let the gz AND lz4 scans fan out across cores
+    # Two fixture sizes: the 15k-record (12 MiB) fixture keeps the
+    # historical row names comparable across rounds, and the 150k-record
+    # (~120 MiB) fixture makes the per-core numbers load-bearing — at
+    # 12 MiB the ~0.3-0.5 s fixed Spark stage overhead dominates the
+    # single-partition scans; at 120 MiB the codec+parse kernel does.
     from resilispark.operators.warctools import write_cdxj_sidecar
 
+    n_groups = int(os.environ.get("RESILISPARK_BENCH_GROUPS", "5000"))
+    big_groups = int(os.environ.get("RESILISPARK_BENCH_BIG_GROUPS", "50000"))
+    for groups in dict.fromkeys((n_groups, big_groups)):
+        if groups <= 0:
+            continue
+        n_records = 3 * groups + 2
+        bdir = ensure_bench_fixture(groups)
+        for label, path, opts in (
+            (f"warc_scan_gz_{n_records}_recs", f"{bdir}/bench-{groups}.warc.gz", {}),
+            (f"warc_scan_plain_{n_records}_recs", f"{bdir}/bench-{groups}.warc", {}),
+            (
+                f"warc_scan_plain_split_{n_records}_recs",
+                f"{bdir}/bench-{groups}.warc",
+                {"split_bytes": str(256 * 1024)},
+            ),
+            (f"warc_scan_lz4_{n_records}_recs", f"{bdir}/bench-{groups}.warc.lz4", {}),
+        ):
+            reader = spark.read.format("warc")
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            df = reader.load(path)
+            df.write.mode("overwrite").format("noop").save()
+            timings[label] = timed_median(
+                lambda: df.write.mode("overwrite").format("noop").save()
+            )
+
+        # CDXJ-assisted parallel scans (SURVEY §4 member splitting):
+        # sidecar offsets let the gz AND lz4 scans fan out across cores
+        for label, cpath in (
+            (f"warc_scan_gz_split_{n_records}_recs", f"{bdir}/bench-{groups}.warc.gz"),
+            (f"warc_scan_lz4_split_{n_records}_recs", f"{bdir}/bench-{groups}.warc.lz4"),
+        ):
+            side = cpath + ".cdxj"
+            if not os.path.exists(side) or os.path.getmtime(side) < os.path.getmtime(cpath):
+                write_cdxj_sidecar(spark, cpath)  # (re)index fresh fixture
+            split_df = (
+                spark.read.format("warc").option("split_bytes", str(256 * 1024)).load(cpath)
+            )
+            split_df.write.mode("overwrite").format("noop").save()
+            timings[label] = timed_median(
+                lambda: split_df.write.mode("overwrite").format("noop").save()
+            )
+
+    bdir = ensure_bench_fixture(n_groups)
+    n_records = 3 * n_groups + 2
     gz_path = f"{bdir}/bench-{n_groups}.warc.gz"
-    for label, cpath in (
-        (f"warc_scan_gz_split_{n_records}_recs", gz_path),
-        (f"warc_scan_lz4_split_{n_records}_recs", f"{bdir}/bench-{n_groups}.warc.lz4"),
-    ):
-        side = cpath + ".cdxj"
-        if not os.path.exists(side) or os.path.getmtime(side) < os.path.getmtime(cpath):
-            write_cdxj_sidecar(spark, cpath)  # (re)index fresh fixture
-        split_df = (
-            spark.read.format("warc").option("split_bytes", str(256 * 1024)).load(cpath)
-        )
-        split_df.write.mode("overwrite").format("noop").save()
-        timings[label] = timed_median(
-            lambda: split_df.write.mode("overwrite").format("noop").save()
-        )
 
     # remote-protocol scan (io/fs.py): same gz file through the
     # memory:// store — the delta vs warc_scan_gz is the fs-layer cost

@@ -24,6 +24,9 @@ PICKS = {
     "t02_token_count": "Pure projection: three regex tokenizations in one codegen stage, no shuffle.",
     "s01_cosine_topk": "Tiny query side broadcast; candidates streamed once.",
     "q28_salted_skew_agg": "Two-phase salted aggregation: hot key spread over 16 partitions.",
+    "qc_windows_family": "Composite gate: union of four window queries — each member keeps its own single hash-partition window, the union adds NO extra shuffle.",
+    "m01_image_features": "Real PNG decode path: two chained Arrow Python kernels over the parquet scan, no shuffle.",
+    "m02_video_frames": "Real AVI decode + stub sampling unioned; sort only at the final output.",
 }
 
 _KEEP = re.compile(
@@ -34,7 +37,7 @@ _KEEP = re.compile(
 
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    from resilispark.queries import QUERIES
+    from resilispark.queries import ALL_QUERIES as QUERIES
     from resilispark.session import get_spark
 
     spark = get_spark("plans")
