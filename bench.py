@@ -112,15 +112,25 @@ def main() -> None:
             continue
         n_records = 3 * groups + 2
         bdir = ensure_bench_fixture(groups)
+        # forced-split granularity: ~1 partition per 100 records on the
+        # small fixture (256 KiB), ~4 MiB on the large one — 256 KiB
+        # splits of a 122 MiB file make 480 tasks whose per-task
+        # overhead swamps the work
+        forced_split = 256 * 1024 if groups <= 10000 else 4 * 1024 * 1024
+        # the plain/gz/lz4 rows pin split_bytes huge so they measure the
+        # SINGLE-CORE codec+parse floor deterministically — without the
+        # pin the compressed rows silently auto-split (and speed up 3x)
+        # as soon as a .cdxj sidecar exists from the split rows below
+        one_part = {"split_bytes": str(1 << 40)}
         for label, path, opts in (
-            (f"warc_scan_gz_{n_records}_recs", f"{bdir}/bench-{groups}.warc.gz", {}),
-            (f"warc_scan_plain_{n_records}_recs", f"{bdir}/bench-{groups}.warc", {}),
+            (f"warc_scan_gz_{n_records}_recs", f"{bdir}/bench-{groups}.warc.gz", one_part),
+            (f"warc_scan_plain_{n_records}_recs", f"{bdir}/bench-{groups}.warc", one_part),
             (
                 f"warc_scan_plain_split_{n_records}_recs",
                 f"{bdir}/bench-{groups}.warc",
-                {"split_bytes": str(256 * 1024)},
+                {"split_bytes": str(forced_split)},
             ),
-            (f"warc_scan_lz4_{n_records}_recs", f"{bdir}/bench-{groups}.warc.lz4", {}),
+            (f"warc_scan_lz4_{n_records}_recs", f"{bdir}/bench-{groups}.warc.lz4", one_part),
         ):
             reader = spark.read.format("warc")
             for k, v in opts.items():
@@ -141,7 +151,9 @@ def main() -> None:
             if not os.path.exists(side) or os.path.getmtime(side) < os.path.getmtime(cpath):
                 write_cdxj_sidecar(spark, cpath)  # (re)index fresh fixture
             split_df = (
-                spark.read.format("warc").option("split_bytes", str(256 * 1024)).load(cpath)
+                spark.read.format("warc")
+                .option("split_bytes", str(forced_split))
+                .load(cpath)
             )
             split_df.write.mode("overwrite").format("noop").save()
             timings[label] = timed_median(
