@@ -4,7 +4,9 @@
    (resiliparse-py/resiliparse/parse/http.pyx:28-63);
  - Content-/Transfer-Encoding chain decode applied in REVERSE header
    order (fastwarc-py/fastwarc/warc.pyx:760-837): gzip/x-gzip, deflate
-   (zlib-wrapped or raw), brotli (gated: package not in the base image).
+   (zlib-wrapped or raw), brotli (the brotli package when installed,
+   else the system libbrotlidec via ctypes — io/brotli_ctypes.py; only
+   when BOTH are absent does ``br`` raise MissingCodecError).
 """
 
 from __future__ import annotations
@@ -12,10 +14,21 @@ from __future__ import annotations
 import zlib
 from typing import Iterator
 
-try:  # optional codec
+try:  # optional codec package
     import brotli as _brotli  # type: ignore
 except Exception:  # pragma: no cover
     _brotli = None
+
+if _brotli is None:  # system-library fallback (RFC 7932 reference impl)
+    try:
+        from resilispark.io import brotli_ctypes as _brotli_sys
+
+        if not _brotli_sys.available():
+            _brotli_sys = None
+    except Exception:  # pragma: no cover
+        _brotli_sys = None
+else:  # pragma: no cover
+    _brotli_sys = None
 
 
 class MissingCodecError(RuntimeError):
@@ -71,12 +84,14 @@ def _decode_one(data: bytes, encoding: str) -> bytes:
         except zlib.error:
             return zlib.decompress(data, wbits=-zlib.MAX_WBITS)  # raw deflate
     if enc == "br":
-        if _brotli is None:
-            raise MissingCodecError(
-                "Content-Encoding: br requires the brotli package "
-                "(not in this image); row should be quarantined"
-            )
-        return _brotli.decompress(data)
+        if _brotli is not None:
+            return _brotli.decompress(data)
+        if _brotli_sys is not None:
+            return _brotli_sys.decompress(data)
+        raise MissingCodecError(
+            "Content-Encoding: br requires the brotli package or the "
+            "libbrotlidec system library; row should be quarantined"
+        )
     if enc in ("chunked",):
         return decode_chunked(data)
     if enc in ("identity", ""):

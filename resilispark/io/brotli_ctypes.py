@@ -1,0 +1,148 @@
+"""Brotli via the system C library (RFC 7932).
+
+The reference decodes ``Content-Encoding: br`` HTTP bodies
+(fastwarc-py/fastwarc/warc.pyx:793-800) through the brotli package;
+that package is absent from this image, but the standard shared
+libraries (libbrotlidec / libbrotlienc, shipped with the OS) are
+present — this module binds them with ctypes so br bodies REALLY
+decode.  When the libraries are missing too, ``decompress`` raises
+``BrotliUnavailable`` and the HTTP decode chain surfaces its typed
+MissingCodecError instead of silently passing compressed bytes.
+
+Streaming decode API (BrotliDecoderDecompressStream) so output size
+need not be known in advance; the encoder one-shot
+(BrotliEncoderCompress) exists for fixtures/tests and the writer.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+
+_DEC_NAMES = ("libbrotlidec.so.1", "libbrotlidec.so", "libbrotlidec.dylib")
+_ENC_NAMES = ("libbrotlienc.so.1", "libbrotlienc.so", "libbrotlienc.dylib")
+
+# BrotliDecoderResult
+_RESULT_ERROR = 0
+_RESULT_SUCCESS = 1
+_RESULT_NEEDS_MORE_INPUT = 2
+_RESULT_NEEDS_MORE_OUTPUT = 3
+
+
+class BrotliUnavailable(RuntimeError):
+    """Neither the brotli package nor the system library is present."""
+
+
+def _load(names: tuple[str, ...], find: str):
+    for name in names:
+        try:
+            return ctypes.CDLL(name)
+        except OSError:
+            continue
+    found = ctypes.util.find_library(find)
+    if found:
+        try:
+            return ctypes.CDLL(found)
+        except OSError:
+            pass
+    return None
+
+
+_dec = _load(_DEC_NAMES, "brotlidec")
+_enc = _load(_ENC_NAMES, "brotlienc")
+
+if _dec is not None:
+    _dec.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+    _dec.BrotliDecoderCreateInstance.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    _dec.BrotliDecoderDestroyInstance.argtypes = [ctypes.c_void_p]
+    _dec.BrotliDecoderDecompressStream.restype = ctypes.c_int
+    _dec.BrotliDecoderDecompressStream.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_size_t),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+
+if _enc is not None:
+    _enc.BrotliEncoderCompress.restype = ctypes.c_int
+    _enc.BrotliEncoderCompress.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
+    ]
+    _enc.BrotliEncoderMaxCompressedSize.restype = ctypes.c_size_t
+    _enc.BrotliEncoderMaxCompressedSize.argtypes = [ctypes.c_size_t]
+
+
+def available() -> bool:
+    return _dec is not None
+
+
+def encoder_available() -> bool:
+    return _enc is not None
+
+
+def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
+    """Decode one brotli stream; raises BrotliUnavailable without the
+    system library, ValueError on malformed input or output overflow."""
+    if _dec is None:
+        raise BrotliUnavailable(
+            "no brotli package and no libbrotlidec system library"
+        )
+    state = _dec.BrotliDecoderCreateInstance(None, None, None)
+    if not state:
+        raise MemoryError("BrotliDecoderCreateInstance failed")
+    try:
+        src = (ctypes.c_uint8 * len(data)).from_buffer_copy(data) if data else (ctypes.c_uint8 * 1)()
+        next_in = ctypes.cast(src, ctypes.POINTER(ctypes.c_uint8))
+        avail_in = ctypes.c_size_t(len(data))
+        chunks: list[bytes] = []
+        total = 0
+        buf_size = 1 << 16
+        while True:
+            out_buf = (ctypes.c_uint8 * buf_size)()
+            next_out = ctypes.cast(out_buf, ctypes.POINTER(ctypes.c_uint8))
+            avail_out = ctypes.c_size_t(buf_size)
+            res = _dec.BrotliDecoderDecompressStream(
+                state,
+                ctypes.byref(avail_in), ctypes.byref(next_in),
+                ctypes.byref(avail_out), ctypes.byref(next_out),
+                None,
+            )
+            produced = buf_size - avail_out.value
+            if produced:
+                total += produced
+                if total > max_output:
+                    raise ValueError("brotli output exceeds max_output")
+                chunks.append(bytes(out_buf[:produced]))
+            if res == _RESULT_SUCCESS:
+                return b"".join(chunks)
+            if res == _RESULT_NEEDS_MORE_OUTPUT:
+                continue
+            if res == _RESULT_NEEDS_MORE_INPUT:
+                # one-shot input already fully supplied -> truncated stream
+                raise ValueError("truncated brotli stream")
+            raise ValueError("malformed brotli stream")
+    finally:
+        _dec.BrotliDecoderDestroyInstance(state)
+
+
+def compress(data: bytes, quality: int = 5, lgwin: int = 22) -> bytes:
+    """One-shot encode (fixture generator / writer support)."""
+    if _enc is None:
+        raise BrotliUnavailable(
+            "no brotli package and no libbrotlienc system library"
+        )
+    max_size = _enc.BrotliEncoderMaxCompressedSize(len(data)) or (len(data) + 1024)
+    out = ctypes.create_string_buffer(max_size)
+    out_len = ctypes.c_size_t(max_size)
+    ok = _enc.BrotliEncoderCompress(
+        quality, lgwin, 0, len(data), data, ctypes.byref(out_len), out
+    )
+    if not ok:
+        raise ValueError("BrotliEncoderCompress failed")
+    return out.raw[: out_len.value]

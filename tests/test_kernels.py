@@ -215,17 +215,31 @@ class TestHttp:
     def test_resilient_on_garbage(self):
         assert decode_http_body(b"not gzip", "gzip", None) == b"not gzip"
 
+    def test_brotli_decodes_for_real(self):
+        """Content-Encoding: br decodes through the system libbrotlidec
+        (io/brotli_ctypes.py) — the reference decodes br bodies
+        (warc.pyx:793-800) and Common Crawl carries them."""
+        from resilispark.io import brotli_ctypes as B
+
+        if not (B.available() and B.encoder_available()):
+            pytest.skip("no system brotli library in this environment")
+        enc = B.compress(self.BODY)
+        assert len(enc) < len(self.BODY) // 4
+        assert decode_http_body(enc, "br", None) == self.BODY
+        # chained with gzip, reverse declaration order
+        chained = gzip.compress(enc)
+        assert decode_http_body(chained, "br, gzip", None) == self.BODY
+
     def test_brotli_missing_is_loud(self, monkeypatch):
-        """Content-Encoding: br without the brotli package must raise a
-        typed MissingCodecError — NOT silently return the compressed
-        bytes as if they were the decoded body (Common Crawl carries br
-        bodies; silent raw passthrough corrupts every consumer)."""
+        """With NEITHER the brotli package NOR the system library,
+        br must raise a typed MissingCodecError — NOT silently return
+        the compressed bytes as if they were the decoded body."""
         from resilispark.functions import http as HT
 
         monkeypatch.setattr(HT, "_brotli", None)
+        monkeypatch.setattr(HT, "_brotli_sys", None)
         with pytest.raises(HT.MissingCodecError):
             decode_http_body(b"\x1b\x03\x00body", "br", None)
-        # the chain variant is just as loud
         from resilispark.functions.http import decode_http_body_from_headers
 
         with pytest.raises(HT.MissingCodecError):
@@ -233,8 +247,8 @@ class TestHttp:
                 b"\x1b\x03\x00body", [("Content-Encoding", "br")]
             )
 
-    def test_brotli_decodes_when_codec_present(self, monkeypatch):
-        """With a brotli module installed the same path decodes (stubbed
+    def test_brotli_decodes_when_package_present(self, monkeypatch):
+        """The pip-package path is preferred when installed (stubbed
         here since the package is absent from this image)."""
         from resilispark.functions import http as HT
 
@@ -247,24 +261,39 @@ class TestHttp:
         monkeypatch.setattr(HT, "_brotli", FakeBrotli)
         assert decode_http_body(b"BRDATA", "br", None) == b"decoded body"
 
-    def test_brotli_missing_quarantines_to_null_in_udf(self, spark, monkeypatch):
-        """The registered decode UDF maps MissingCodecError to NULL (the
-        R4 quarantine marker), never to raw compressed bytes."""
+    def test_brotli_decodes_in_spark_udf(self, spark):
+        """End to end through the registered decode UDF on executors:
+        br bodies come back really decoded."""
+        from resilispark.io import brotli_ctypes as B
+
+        if not (B.available() and B.encoder_available()):
+            pytest.skip("no system brotli library in this environment")
         from resilispark.functions.registry import register_functions
         from resilispark.session import ensure_workers_can_import
 
         ensure_workers_can_import(spark)
         udfs = register_functions(spark)
         df = spark.createDataFrame(
-            [(bytearray(b"\x1b\x03\x00body"), "br", None),
+            [(bytearray(B.compress(self.BODY)), "br", None),
              (bytearray(b"plain"), None, None)],
             "payload binary, ce string, te string",
         )
         rows = df.select(
             udfs["decode_http_body"]("payload", "ce", "te").alias("body")
         ).collect()
-        assert rows[0].body is None
+        assert bytes(rows[0].body) == self.BODY
         assert bytes(rows[1].body) == b"plain"
+
+    def test_brotli_ctypes_rejects_bad_streams(self):
+        from resilispark.io import brotli_ctypes as B
+
+        if not (B.available() and B.encoder_available()):
+            pytest.skip("no system brotli library in this environment")
+        with pytest.raises(ValueError):
+            B.decompress(b"\x00\x01garbage-not-brotli" * 3)
+        with pytest.raises(ValueError):
+            B.decompress(B.compress(self.BODY)[:10])  # truncated
+        assert B.decompress(B.compress(b"")) == b""
 
 
 class TestLang:
