@@ -18,16 +18,9 @@ from resilispark.functions.encoding import (
     map_encoding_to_html5,
 )
 
-# reference case -> (our answer, reference answer, why)
-KNOWN_DELTAS = {
-    "latin2_polish": (
-        "cp1252",
-        ("iso8859-2", "cp1250"),
-        "single-byte Latin-2 vs Latin-1 separation needs uchardet's "
-        "per-language byte statistics; the heuristic detector returns "
-        "the WHATWG default cp1252",
-    ),
-}
+# reference case -> (our answer, reference answer, why); currently empty:
+# the Latin-2 structural heuristic (_looks_latin2) resolved the last one
+KNOWN_DELTAS: dict = {}
 
 
 class TestDetectEncodingParity:
@@ -44,11 +37,18 @@ class TestDetectEncodingParity:
             == "cp1252"
         )
 
-    def test_latin2_polish_documented_delta(self):
+    def test_latin2_polish(self):
+        # reference accepts iso8859-2 OR cp1250; the structural
+        # heuristic (symbol bytes inside words) picks iso8859-2
         got = detect_encoding(b"Potrzeba jest matk\xb1 wynalazk\xf3w.")
-        ours, ref, _why = KNOWN_DELTAS["latin2_polish"]
-        assert got == ours
-        assert got not in ref  # if this starts passing, drop the delta
+        assert got in ("iso8859-2", "cp1250")
+
+    def test_latin2_heuristic_keeps_real_cp1252_symbols(self):
+        # genuine cp1252 symbol usage (space/digit before the symbol)
+        # must keep the default
+        assert detect_encoding(b"Temperatura: 25 \xb0C na ulicy.") == "cp1252"
+        assert detect_encoding(b"Zobacz \xa7 2 ustawy bud\xbfetowej.") == "cp1252"
+        assert detect_encoding(b"Cena: 3 \xbd kg jab\xb3ek.") == "cp1252"
 
     def test_html_meta_probe(self):
         html = b'<!doctype html><meta charset="iso-8859-1"><title>Foo</title><body></body>'
