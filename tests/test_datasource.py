@@ -133,6 +133,45 @@ def test_range_read_growth(spark, fixture_dir):
     assert sorted(len(r.payload) for r in got) == sorted(len(r.payload) for r in full)
 
 
+def test_range_read_default_slack_huge_record(tmp_path):
+    """A record larger than the DEFAULT 1 MiB read slack must still
+    parse exactly via the bounded re-read (the slack was cut from
+    16 MiB for I/O scaling; correctness must not depend on it)."""
+    from datetime import datetime
+
+    from resilispark.io.warc import WarcRecord, iter_warc_range, write_warc
+
+    recs = []
+    for i, size in enumerate((100, 3 * 2**20, 100)):
+        payload = bytes([65 + i]) * size
+        recs.append(
+            WarcRecord(
+                headers=[
+                    ("WARC-Record-ID", f"<urn:uuid:huge-{i}>"),
+                    ("WARC-Type", "resource"),
+                    ("WARC-Date", "2024-05-01T12:00:00Z"),
+                    ("Content-Length", str(size)),
+                ],
+                payload=payload,
+                record_id=f"<urn:uuid:huge-{i}>",
+                record_type="resource",
+                warc_date=datetime(2024, 5, 1, 12, 0, 0),
+                content_length=size,
+            )
+        )
+    path = str(tmp_path / "huge.warc")
+    write_warc(recs, path, compression="none", checksum_data=False)
+    import os as _os
+
+    size = _os.path.getsize(path)
+    got = []
+    step = 256 * 1024
+    for s in range(0, size, step):
+        got.extend(iter_warc_range(path, s, min(s + step, size)))
+    assert sorted(r.record_id for r in got) == sorted(r.record_id for r in recs)
+    assert sorted(len(r.payload) for r in got) == [100, 100, 3 * 2**20]
+
+
 def test_point_extract_by_offset(spark, fixture_dir):
     """S12: seek to a byte offset and parse exactly one record
     (fastwarc extract FILE OFFSET, cli.py:185-222) — both codecs."""
