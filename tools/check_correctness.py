@@ -58,6 +58,16 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only - set(queries):
+        # composite-family MEMBERS (q10, q19, ...) are not driver gates
+        # but stay individually checkable for diagnosis
+        from resilispark.queries import ALL_ORACLES, ALL_QUERIES
+
+        for name in only - set(queries):
+            if name in ALL_QUERIES:
+                queries[name] = ALL_QUERIES[name]
+                if ALL_ORACLES.get(name) is not None:
+                    oracles[name] = ALL_ORACLES[name]
     n_pass = n_fail = n_rows_only = 0
     for name, fn in queries.items():
         if only and name not in only:
