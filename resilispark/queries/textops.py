@@ -711,19 +711,31 @@ def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
+    import math
+
     emb = F.col("embedding")
-    nv = F.sqrt(_dot(emb, emb))
+    # the 8 centroid norms are constants: fold them in Python with the
+    # SAME sequential left-fold + IEEE doubles as the JVM expression
+    # (bit-identical), so the per-row plan evaluates 8 dots, not 24
+    def _py_norm(vec) -> float:
+        acc = 0.0
+        for v in vec:
+            acc = acc + float(v) * float(v)
+        return math.sqrt(acc)
+
     choices = []
     for r in cent_rows:
         la = F.array(*[F.lit(float(v)) for v in r.embedding])
-        cos_c = _dot(emb, la) / (nv * F.sqrt(_dot(la, la)))
+        cos_c = _dot(emb, la) / (F.col("_nv") * F.lit(_py_norm(r.embedding)))
         choices.append(
             F.struct(cos_c.alias("c"), F.lit(-r.vec_id).cast("bigint").alias("nid"))
         )
     # struct max = highest cosine, ties to the LOWEST centroid id (max
-    # of negated id) — same ordering as the oracle's row_number
+    # of negated id) — same ordering as the oracle's row_number.
+    # ||v|| is materialized once per row (_nv) instead of once per
+    # centroid term — Catalyst does not CSE through the 8 struct fields
     best = F.array_max(F.array(*choices))
-    cells = e.select(
+    cells = e.withColumn("_nv", F.sqrt(_dot(emb, emb))).select(
         "vec_id", "label", "embedding", (-best["nid"]).cast("bigint").alias("cent_id")
     )
     q = cells.filter(F.col("vec_id") < 10).select(
