@@ -93,11 +93,12 @@ def main() -> None:
     # single-core rate. The wall numbers here additionally carry
     # ~0.3-0.5 s of fixed per-stage Spark overhead, which dominates at
     # this 12 MiB fixture size and amortizes away on real corpora.
-    # LZ4 floor: the fixture now carries REALLY-compressed frames
-    # (lz4f.compress greedy matcher, ~0.6 ratio on the synthetic docs);
-    # pure-Python member decode measures ~31k members/s single-core —
-    # within 1.6x of the reference's native 49.8k rec/s — and the
-    # CDXJ-split row below fans the same scan across all cores.
+    # LZ4 floor: the fixture carries REALLY-compressed frames
+    # (lz4f.compress greedy matcher, ~0.66 ratio on the synthetic
+    # records); pure-Python member decode measures ~25k members/s
+    # single-core on this fixture (reference native: 49.8k rec/s) and
+    # the full single-core scan ~19k rec/s — the CDXJ-split rows fan
+    # the same scan across all cores (~110k rec/s wall).
     # Two fixture sizes: the 15k-record (12 MiB) fixture keeps the
     # historical row names comparable across rounds, and the 150k-record
     # (~120 MiB) fixture makes the per-core numbers load-bearing — at

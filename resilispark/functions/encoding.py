@@ -209,14 +209,23 @@ def detect_encoding(
     return "cp1252" if html5_compatible else "iso-8859-1"
 
 
-# cp1252 codepoints that are NOT letters — a high byte decoding to one
-# of these INSIDE a word (ascii letters on both sides) is evidence the
-# text is really Latin-2 (where the same bytes are letters: 0xB1 'ą',
-# 0xB6 'ś', 0xBF 'ż', 0xA5 'Ą', ...)
-_CP1252_SYMBOLS = frozenset(
-    b"\xa1\xa2\xa3\xa4\xa5\xa6\xa7\xa8\xa9\xaa\xab\xac\xad\xae\xaf"
-    b"\xb0\xb1\xb2\xb3\xb4\xb5\xb6\xb7\xb8\xb9\xba\xbb\xbc\xbd\xbe\xbf"
-    b"\xd7\xf7"
+# byte classes for the Latin-2 discriminator, derived from the codecs
+# themselves: _L2_LETTERS = bytes that read as punctuation in cp1252
+# but as LETTERS in iso8859-2 (0xB1 'ą', 0xB6 'ś', 0xBF 'ż', ...);
+# _CP1252_ONLY_SYMS = bytes that are non-letters in BOTH readings
+# ('°', '§', '½', ...) — their presence is evidence of genuine cp1252
+# symbol prose.  Bytes alphabetic in cp1252 itself ('º', 'ª', 'µ', and
+# everything >= 0xC0) belong to neither class, so Spanish ordinals and
+# French accents never count as evidence.
+_L2_LETTERS = frozenset(
+    b for b in range(0xA0, 0x100)
+    if not bytes([b]).decode("cp1252", "replace").isalpha()
+    and bytes([b]).decode("iso8859-2", "replace").isalpha()
+)
+_CP1252_ONLY_SYMS = frozenset(
+    b for b in range(0xA0, 0x100)
+    if not bytes([b]).decode("cp1252", "replace").isalpha()
+    and not bytes([b]).decode("iso8859-2", "replace").isalpha()
 )
 
 
@@ -225,26 +234,26 @@ def _looks_latin2(data: bytes) -> bool:
     reference distinguishes iso8859-2/cp1250 from cp1252 with trained
     byte statistics; this is the cheap structural version): C1-range
     bytes (0x80-0x9F) are printable in cp1252 but control characters in
-    ISO-8859-*, so their presence vetoes Latin-2; otherwise, symbol
-    codepoints hugging a word (an ascii letter immediately before)
-    mean the cp1252 reading puts punctuation inside words and the
-    Latin-2 reading (letters there) is right — e.g. b'matk\\xb1' =
-    'matk±' in cp1252 but 'matką' in iso8859-2.  Latin-2 wins only
-    when EVERY symbol-class byte is letter-adjacent, so prose that
-    uses real cp1252 symbols ('25 °C', '§ 2') keeps its default."""
+    ISO-8859-*, so any vetoes Latin-2; Latin-2 wins only when the text
+    contains bytes that read as punctuation-inside-a-word under cp1252
+    but as letters under Latin-2 (b'matk\\xb1' = 'matk±' vs 'matką'),
+    EVERY such byte is letter-adjacent, and no byte reads as a symbol
+    under both codecs (genuine '°'/'§'/'½' prose keeps the default)."""
     sample = data[:65536]
-    sym_total = 0
+    evidence_total = 0
     letter_adjacent = 0
     prev_is_letter = False
     for b in sample:
         if 0x80 <= b <= 0x9F:
             return False  # printable cp1252 / control in iso8859-*
-        if b in _CP1252_SYMBOLS:
-            sym_total += 1
+        if b in _L2_LETTERS:
+            evidence_total += 1
             if prev_is_letter:
                 letter_adjacent += 1
+        elif b in _CP1252_ONLY_SYMS:
+            return False  # real symbol usage -> trust the default
         prev_is_letter = (65 <= b <= 90) or (97 <= b <= 122)
-    return sym_total > 0 and letter_adjacent == sym_total
+    return evidence_total > 0 and letter_adjacent == evidence_total
 
 
 class EncodingDetector:

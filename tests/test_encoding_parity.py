@@ -44,11 +44,21 @@ class TestDetectEncodingParity:
         assert got in ("iso8859-2", "cp1250")
 
     def test_latin2_heuristic_keeps_real_cp1252_symbols(self):
-        # genuine cp1252 symbol usage (space/digit before the symbol)
-        # must keep the default
+        # genuine cp1252 symbol usage must keep the default — even when
+        # the symbol directly follows a letter (French 'n°', footnotes)
         assert detect_encoding(b"Temperatura: 25 \xb0C na ulicy.") == "cp1252"
+        assert detect_encoding(b"Voir le n\xb05 du journal.") == "cp1252"
         assert detect_encoding(b"Zobacz \xa7 2 ustawy bud\xbfetowej.") == "cp1252"
         assert detect_encoding(b"Cena: 3 \xbd kg jab\xb3ek.") == "cp1252"
+
+    def test_latin2_heuristic_ignores_cp1252_letter_bytes(self):
+        # 'º'/'ª' are LETTERS in cp1252 (Spanish ordinals) and never
+        # count as Latin-2 evidence; accented Latin-1 letters neither
+        assert detect_encoding(b"El 1\xba piso, planta 2\xaa.") == "cp1252"
+        assert (
+            detect_encoding(b"Mieux vaut \xeatre seul que mal accompagn\xe9.")
+            == "cp1252"
+        )
 
     def test_html_meta_probe(self):
         html = b'<!doctype html><meta charset="iso-8859-1"><title>Foo</title><body></body>'
