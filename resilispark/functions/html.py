@@ -529,11 +529,21 @@ def _compile_selector(selector: str):
     return matches
 
 
+@_lru_cache(maxsize=512)
+def _compiled_selector_list(selector: str) -> tuple:
+    """Compiled matcher tuple per selector string. Selector strings in
+    an extraction pipeline are a small fixed vocabulary (main-content
+    candidates, blacklists, user selectors), so compiling once per
+    PROCESS instead of once per call removes the parse cost from the
+    per-document hot path."""
+    return tuple(_compile_selector(s) for s in selector.split(",") if s.strip())
+
+
 def query_selector_all(root: Node, selector: str, first_only: bool = False) -> list[Node]:
     """CSS select over the subtree (query_selector_all,
     html.pyx:1071-1123); first_only mirrors the LXB_STATUS_STOP
     early-exit of the single-match variant (html.pyx:303-306)."""
-    matchers = [_compile_selector(s) for s in selector.split(",") if s.strip()]
+    matchers = _compiled_selector_list(selector)
     out = []
     for n in root.iter_elements():
         if any(m(n) for m in matchers):
@@ -640,10 +650,22 @@ def _link_density(n: Node) -> float:
 
 
 def _find_main_root(root: Node) -> Node:
-    for sel in _MAIN_CANDIDATES:
-        found = query_selector_all(root, sel)
-        if len(found) == 1:
-            return found[0]
+    """First candidate selector with EXACTLY one match wins
+    (html2text.pyx:877-890).  All candidates are evaluated in a single
+    tree walk instead of one walk per selector — candidate priority is
+    preserved by picking afterwards."""
+    matcher_groups = [_compiled_selector_list(s) for s in _MAIN_CANDIDATES]
+    counts = [0] * len(matcher_groups)
+    firsts: list[Node | None] = [None] * len(matcher_groups)
+    for n in root.iter_elements():
+        for i, ms in enumerate(matcher_groups):
+            if any(m(n) for m in ms):
+                counts[i] += 1
+                if firsts[i] is None:
+                    firsts[i] = n
+    for i, sel_count in enumerate(counts):
+        if sel_count == 1:
+            return firsts[i]  # type: ignore[return-value]
     return root
 
 
