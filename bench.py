@@ -87,12 +87,12 @@ def main() -> None:
 
     # BASELINE.md-comparable throughput runs (names carry the record
     # count; e.g. records/s = 15002 / warc_scan_gz_15002_recs).
-    # Per-core floor analysis (plain scan): the parse kernel runs at
-    # ~73k rec/s and the data source (kernel + Arrow batches) at ~56k
-    # rec/s in-process — within 2x of the reference's 108.5k native
-    # single-core rate. The wall numbers here additionally carry
-    # ~0.3-0.5 s of fixed per-stage Spark overhead, which dominates at
-    # this 12 MiB fixture size and amortizes away on real corpora.
+    # Per-core floor analysis on the 150k-record fixture (plain scan):
+    # the parse kernel runs at ~64k rec/s in-process (within 1.7x of
+    # the reference's 108.5k native single-core rate) and the data
+    # source (kernel + Arrow batches) at ~38k; the pinned wall rows
+    # additionally carry the Spark worker/transport overhead. gzip
+    # single-core (~25k rec/s) BEATS the reference's 10.4k.
     # LZ4 floor: the fixture carries REALLY-compressed frames
     # (lz4f.compress greedy matcher, ~0.66 ratio on the synthetic
     # records); pure-Python member decode measures ~25k members/s
