@@ -1,0 +1,162 @@
+"""``python -m resilispark`` — CLI parity with the reference's
+``fastwarc`` commands (fastwarc-py/fastwarc/cli.py), expressed over the
+Spark engine: every command is a DataFrame job on the ``warc`` data
+source, so the same invocations scale from one laptop file to a
+cluster glob.
+
+Commands: check, recompress, index, extract, benchmark.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _spark(cpus: int | None = None):
+    from resilispark.datasource import register
+    from resilispark.session import ensure_workers_can_import, get_spark
+
+    spark = get_spark("resilispark-cli", cpus=cpus)
+    ensure_workers_can_import(spark)
+    register(spark)
+    return spark
+
+
+def cmd_check(args) -> int:
+    """Digest verification summary (fastwarc check, cli.py:130-182):
+    per-status counts plus the failing record ids; exit 1 on failures."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args.cpus)
+    df = (
+        spark.read.format("warc")
+        .option("verify_digests", "true")
+        .load(args.file)
+    )
+    status = F.when(F.col("block_digest_ok") == False, "FAIL").when(  # noqa: E712
+        F.col("block_digest_ok").isNull(), "NO_DIGEST"
+    ).otherwise("OK")
+    rows = (
+        df.select(status.alias("status"), "record_id")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), F.collect_list("record_id").alias("ids"))
+        .collect()
+    )
+    failed: list[str] = []
+    for r in sorted(rows, key=lambda r: r.status):
+        print(f"{r.status}: {r.n}")
+        if r.status == "FAIL":
+            failed = sorted(r.ids)
+    if failed:
+        print("Failed records:")
+        for rid in failed:
+            print(rid)
+        return 1
+    return 0
+
+
+def cmd_recompress(args) -> int:
+    from resilispark.operators.warctools import recompress
+
+    spark = _spark(args.cpus)
+    alg = {"uncompressed": "none"}.get(args.compress_alg, args.compress_alg)
+    n = recompress(spark, args.infile, args.outfile, compression=alg)
+    print(f"{n} records recompressed to {args.outfile}")
+    return 0
+
+
+def cmd_index(args) -> int:
+    from resilispark.operators.warctools import cdxj_index
+
+    spark = _spark(args.cpus)
+    fields = tuple(args.fields.split(",")) if args.fields else (
+        "offset", "length", "filename", "http:status",
+    )
+    for r in cdxj_index(spark, args.file, fields=fields).collect():
+        print(f"{r.surt_key} {r.ts} {r.record}")
+    return 0
+
+
+def cmd_extract(args) -> int:
+    """Point extract by byte offset (fastwarc extract, cli.py:185-222)."""
+    spark = _spark(args.cpus)
+    rows = (
+        spark.read.format("warc")
+        .option("offset", str(args.offset))
+        .load(args.file)
+        .collect()
+    )
+    if not rows:
+        print(f"no record at offset {args.offset}", file=sys.stderr)
+        return 1
+    rec = rows[0]
+    if args.output == "headers" or args.output == "all":
+        for k, v in rec.headers:
+            print(f"{k}: {v}")
+        print()
+    if args.output in ("payload", "all") and rec.payload is not None:
+        sys.stdout.buffer.write(bytes(rec.payload))
+        sys.stdout.buffer.flush()
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    """Scan throughput (fastwarc benchmark, cli.py:351-447)."""
+    spark = _spark(args.cpus)
+    reader = spark.read.format("warc")
+    if args.split_bytes:
+        reader = reader.option("split_bytes", str(args.split_bytes))
+    df = reader.load(args.file)
+    t0 = time.perf_counter()
+    n = df.count()
+    dt = time.perf_counter() - t0
+    print(f"{n} records in {dt:.2f}s = {n / dt:,.0f} records/s")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="resilispark", description="Spark-native FastWARC CLI parity"
+    )
+    ap.add_argument("--cpus", type=int, default=None, help="local[N] cores")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("check", help="verify record digests")
+    p.add_argument("file")
+    p.set_defaults(fn=cmd_check)
+
+    p = sub.add_parser("recompress", help="rewrite under a different compression")
+    p.add_argument("infile")
+    p.add_argument("outfile")
+    p.add_argument(
+        "-c", "--compress-alg", default="gzip",
+        choices=["gzip", "lz4", "uncompressed"],
+    )
+    p.set_defaults(fn=cmd_recompress)
+
+    p = sub.add_parser("index", help="emit a CDXJ index")
+    p.add_argument("file")
+    p.add_argument("-f", "--fields", default=None, help="comma-separated fields")
+    p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("extract", help="extract one record by byte offset")
+    p.add_argument("file")
+    p.add_argument("offset", type=int)
+    p.add_argument(
+        "--output", default="all", choices=["headers", "payload", "all"],
+    )
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("benchmark", help="measure scan throughput")
+    p.add_argument("file")
+    p.add_argument("--split-bytes", type=int, default=None)
+    p.set_defaults(fn=cmd_benchmark)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,93 @@
+"""CLI parity with the reference's fastwarc commands
+(fastwarc-py/fastwarc/cli.py): check / recompress / index / extract /
+benchmark as Spark jobs via ``python -m resilispark``."""
+import io
+import sys
+
+import pytest
+
+from resilispark.__main__ import main
+
+
+@pytest.fixture()
+def golden_gz(fixture_dir):
+    return f"{fixture_dir}/golden-50.warc.gz"
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    return rc, capsys.readouterr().out
+
+
+def test_check_ok(capsys, tmp_path, spark):
+    from resilispark.io.fixtures import build_golden_records
+    from resilispark.io.warc import write_warc
+
+    path = str(tmp_path / "clean.warc")
+    write_warc(build_golden_records(), path, compression="none", checksum_data=True)
+    rc, out = _run(capsys, ["check", path])
+    assert rc == 0
+    lines = dict(l.split(": ") for l in out.strip().splitlines())
+    assert int(lines.get("OK", 0)) == 50
+    assert "FAIL" not in lines
+
+
+def test_check_fails_on_bad_digest(capsys, golden_gz, spark):
+    # the golden fixture deliberately carries one failing block digest
+    # (the w06 digest-summary scenario)
+    rc, out = _run(capsys, ["check", golden_gz])
+    assert rc == 1
+    assert "FAIL: 1" in out and "Failed records:" in out
+
+
+def test_recompress_roundtrip(capsys, tmp_path, golden_gz, spark):
+    out_dir = str(tmp_path / "out")
+    rc, out = _run(capsys, ["recompress", "-c", "lz4", golden_gz, out_dir])
+    assert rc == 0 and "50 records" in out
+    import glob
+
+    from resilispark.io.warc import iter_warc
+
+    parts = glob.glob(f"{out_dir}/*.warc.lz4")
+    assert parts
+    assert sum(1 for p in parts for _ in iter_warc(p)) == 50
+
+
+def test_index_emits_cdxj(capsys, golden_gz, spark):
+    rc, out = _run(capsys, ["index", golden_gz, "-f", "offset,length,filename"])
+    assert rc == 0
+    lines = out.strip().splitlines()
+    assert len(lines) == 50
+    import json
+
+    rec = json.loads(lines[0].split(" ", 2)[2])
+    assert {"offset", "length", "filename"} <= set(rec)
+
+
+def test_extract_by_offset(capsys, golden_gz, spark):
+    rc, out = _run(capsys, ["index", golden_gz, "-f", "offset"])
+    import json
+
+    offs = sorted(
+        json.loads(l.split(" ", 2)[2])["offset"] for l in out.strip().splitlines()
+    )
+    target = offs[10]
+    # capture binary payload too
+    old = sys.stdout
+    rc = None
+    try:
+        buf = io.TextIOWrapper(io.BytesIO(), encoding="utf-8")
+        sys.stdout = buf
+        rc = main(["extract", golden_gz, str(target), "--output", "headers"])
+        buf.flush()
+        text = buf.buffer.getvalue().decode("utf-8")
+    finally:
+        sys.stdout = old
+    assert rc == 0
+    assert "WARC-Record-ID:" in text
+
+
+def test_benchmark(capsys, golden_gz, spark):
+    rc, out = _run(capsys, ["benchmark", golden_gz])
+    assert rc == 0
+    assert "50 records" in out and "records/s" in out
