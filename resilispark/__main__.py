@@ -102,6 +102,28 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_extract_text(args) -> int:
+    """The flagship extraction pipeline (SURVEY §3.3: WARC -> decode ->
+    DOM -> main-content text -> language) as one command; JSON lines to
+    stdout or parquet/json to --output."""
+    from pyspark.sql import functions as F
+
+    from resilispark.operators.pipelines import warc_to_html_docs
+
+    spark = _spark(args.cpus)
+    docs = warc_to_html_docs(
+        spark, args.file, main_content=args.main_content
+    )
+    if args.output:
+        fmt = "json" if args.output.endswith(".jsonl") or args.format == "json" else args.format
+        docs.write.mode("overwrite").format(fmt).save(args.output)
+        print(f"wrote {args.output}")
+        return 0
+    for line in docs.select(F.to_json(F.struct(*docs.columns)).alias("j")).collect():
+        print(line.j)
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """Scan throughput (fastwarc benchmark, cli.py:351-447)."""
     spark = _spark(args.cpus)
@@ -148,6 +170,15 @@ def main(argv: list[str] | None = None) -> int:
         "--output", default="all", choices=["headers", "payload", "all"],
     )
     p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser(
+        "extract-text", help="WARC -> plain-text documents (flagship pipeline)"
+    )
+    p.add_argument("file")
+    p.add_argument("-o", "--output", default=None, help="output path (dir)")
+    p.add_argument("--format", default="parquet", choices=["parquet", "json"])
+    p.add_argument("--main-content", action="store_true")
+    p.set_defaults(fn=cmd_extract_text)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")
     p.add_argument("file")

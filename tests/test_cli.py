@@ -91,3 +91,22 @@ def test_benchmark(capsys, golden_gz, spark):
     rc, out = _run(capsys, ["benchmark", golden_gz])
     assert rc == 0
     assert "50 records" in out and "records/s" in out
+
+
+def test_extract_text_jsonl(capsys, golden_gz, spark):
+    import json
+
+    rc, out = _run(capsys, ["extract-text", golden_gz, "--main-content"])
+    assert rc == 0
+    rows = [json.loads(l) for l in out.strip().splitlines()]
+    assert len(rows) == 16  # one per response record
+    assert all("plain_text" in r and "lang" in r for r in rows)
+
+
+def test_extract_text_parquet(capsys, tmp_path, golden_gz, spark):
+    out_dir = str(tmp_path / "docs")
+    rc, out = _run(capsys, ["extract-text", golden_gz, "-o", out_dir])
+    assert rc == 0
+    df = spark.read.parquet(out_dir)
+    assert df.count() == 16
+    assert "plain_text" in df.columns
