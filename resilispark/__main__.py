@@ -38,18 +38,18 @@ def cmd_check(args) -> int:
     status = F.when(F.col("block_digest_ok") == False, "FAIL").when(  # noqa: E712
         F.col("block_digest_ok").isNull(), "NO_DIGEST"
     ).otherwise("OK")
-    rows = (
-        df.select(status.alias("status"), "record_id")
-        .groupBy("status")
-        .agg(F.count(F.lit(1)).alias("n"), F.collect_list("record_id").alias("ids"))
-        .collect()
-    )
-    failed: list[str] = []
-    for r in sorted(rows, key=lambda r: r.status):
-        print(f"{r.status}: {r.n}")
-        if r.status == "FAIL":
-            failed = sorted(r.ids)
-    if failed:
+    tagged = df.select(status.alias("status"), "record_id")
+    counts = {r.status: r.n for r in tagged.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for st in sorted(counts):
+        print(f"{st}: {counts[st]}")
+    if counts.get("FAIL"):
+        # only the FAILING ids come to the driver (bounded by failures,
+        # never by corpus size)
+        failed = sorted(
+            r.record_id
+            for r in tagged.filter(F.col("status") == "FAIL").collect()
+        )
         print("Failed records:")
         for rid in failed:
             print(rid)
