@@ -4,6 +4,7 @@ from resilispark.streaming.warc_stream import (
     read_warc_stream,
     session_window_counts,
     sliding_window_counts,
+    stateful_first_seen,
     tumbling_window_counts,
 )
 
@@ -12,4 +13,5 @@ __all__ = [
     "tumbling_window_counts",
     "sliding_window_counts",
     "session_window_counts",
+    "stateful_first_seen",
 ]

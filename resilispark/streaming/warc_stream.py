@@ -173,3 +173,54 @@ def session_window_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), group_col, "n")
     )
+
+
+def stateful_first_seen(
+    records: DataFrame,
+    *,
+    key_col: str = "record_id",
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cross-micro-batch exact dedup — each key is emitted the FIRST time
+    it appears anywhere in the stream and suppressed on every later
+    micro-batch.  The per-key state is one counter, partitioned by the
+    grouping key, so state scales with distinct keys per executor —
+    the streaming analog of the d01 exact-dedup operator.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("n_duplicates", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("seen", LongType())])
+
+    def dedup(key, pdfs, state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        (seen,) = state.get if state.exists else (0,)
+        state.update((seen + n,))
+        if seen == 0:
+            yield pd.DataFrame({"key": [key[0]], "n_duplicates": [n - 1]})
+
+    return (
+        records.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -95,3 +95,29 @@ def test_stream_partitions_fan_out(spark, fixture_dir, drop_dir):
     assert len(parts) >= 2
     # and a re-plan from the new offset is empty (exactly-once files)
     assert reader.partitions(end, reader.latestOffset()) == []
+
+
+def test_stateful_first_seen_dedup(spark, fixture_dir, drop_dir):
+    """applyInPandasWithState cross-batch dedup: the same 50 record ids
+    arrive again in a second micro-batch (same content, other codec)
+    and are suppressed by the per-key state."""
+    from resilispark.streaming import read_warc_stream, stateful_first_seen
+
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", f"{drop_dir}/a.warc.gz")
+    deduped = stateful_first_seen(read_warc_stream(spark, drop_dir))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("warc_dedup")
+        .start()
+    )
+    q.processAllAvailable()
+    n1 = spark.sql("SELECT count(*) c FROM warc_dedup").collect()[0].c
+    assert n1 == 50
+    # batch 2: the SAME records (uncompressed flavor) -> all suppressed
+    shutil.copy(f"{fixture_dir}/golden-50.warc", f"{drop_dir}/b.warc")
+    q.processAllAvailable()
+    rows = spark.sql("SELECT key, n_duplicates FROM warc_dedup").collect()
+    q.stop()
+    assert len(rows) == 50  # no new emissions
+    assert all(r.n_duplicates == 0 for r in rows)  # first batch had no dupes
