@@ -216,6 +216,50 @@ def main() -> None:
         lambda: lang_df.write.mode("overwrite").format("noop").save()
     )
 
+    # HTML parse + <title> SINGLE-CORE rows, directly comparable to
+    # BASELINE's `resiliparse html benchmark` (1,149.56 docs/s over an
+    # uncompressed 42,015-doc CC WARC, docs/man/parse/html.rst:485-489).
+    # Same loop shape as the reference CLI (resiliparse-py/resiliparse/
+    # cli.py:125-134): WARC response scan -> detect_encoding -> full DOM
+    # parse -> .title — run in-process single-threaded exactly like the
+    # reference harness, on web-page-sized (~25 KiB) fixture docs (the
+    # golden fixture's ~600 B payloads would overstate docs/s ~40x).
+    # docs/s = n_docs / html_parse_title_{n}_docs.
+    # Excluded from the headline sum (single-core floor rows, like the
+    # one_part scan rows).  The extract row additionally runs the full
+    # main-content plain-text serializer — strictly more work than the
+    # reference's parse+title; no published baseline row exists for it.
+    from resilispark.functions.encoding import bytes_to_str, detect_encoding
+    from resilispark.functions.html import extract_plain_text, html_title, parse_html
+    from resilispark.io.fixtures import ensure_html_bench_fixture
+    from resilispark.io.warc import iter_warc_bytes
+
+    n_html = int(os.environ.get("RESILISPARK_BENCH_HTML_DOCS", "1000"))
+    with open(ensure_html_bench_fixture(n_html), "rb") as f:
+        hdata = f.read()
+    payloads = [
+        r.payload
+        for r in iter_warc_bytes(
+            hdata, record_types=frozenset(["response"]), parse_http=True
+        )
+    ]
+
+    def parse_title_run():
+        for p in payloads:
+            html_title(parse_html(bytes_to_str(p, detect_encoding(p))))
+
+    def extract_run():
+        for p in payloads:
+            extract_plain_text(
+                bytes_to_str(p, detect_encoding(p)), main_content=True
+            )
+
+    parse_title_run()  # warm (regex/selector caches)
+    timings[f"html_parse_title_{n_html}_docs"] = timed_median(parse_title_run)
+    timings[f"html_extract_main_{n_html}_docs"] = timed_median(extract_run)
+    big_labels.add(f"html_parse_title_{n_html}_docs")
+    big_labels.add(f"html_extract_main_{n_html}_docs")
+
     sf = None
     base = os.path.basename(sf_dir.rstrip("/"))
     if base.startswith("sf"):

@@ -445,13 +445,27 @@ _HTML_TOKENS = re.compile(
 )
 
 
+_UNPRINTABLE = bytes(range(0x00, 0x20)) + bytes(range(0x7F, 0x100))
+
+
 def detect_mime(data: bytes, max_unprintable: float = 0.05) -> str:
     """MIME sniff mirroring the reference rule-for-rule
     (encoding.pyx:370-406 + the public encoding.h magic table): ordered
     first-match over raw AND whitespace-stripped head, XHTML/SVG
-    doctype refinement, then the unprintable-ratio text/binary split."""
+    doctype refinement, then the unprintable-ratio text/binary split
+    over the WHOLE payload (reference scans all of ``data``,
+    encoding.pyx:399-405; empty input falls through to text/plain).
+
+    Documented deltas (engine extensions, not parity breaks):
+    the XHTML/SVG doctype probes use the real W3C public identifiers
+    (``-//W3C//DTD …``) where the reference greps for a single-slash
+    ``-/W3C/DTD`` form that no published doctype contains
+    (encoding.pyx:392-395); doctype-less ``<html``-token payloads sniff
+    as text/html before the plain-text fallback (_HTML_TOKENS above);
+    truncated BMP magic (<14 bytes) falls through rather than
+    classifying as image/bmp."""
     if not data:
-        return "application/octet-stream"
+        return "text/plain"
     stripped = data[:128].lstrip()
     for magic, mime in _MAGIC:
         if data.startswith(magic) or stripped.startswith(magic):
@@ -469,10 +483,10 @@ def detect_mime(data: bytes, max_unprintable: float = 0.05) -> str:
     if probe.lstrip()[:1] == b"<" and _HTML_TOKENS.search(probe):
         return "text/html"  # doctype-less HTML (engine extension)
     # the reference's text/binary split: control AND high bytes both
-    # count as unprintable (encoding.pyx:399-405); 64 KiB cap keeps the
-    # kernel O(1) per row
-    sample = data[:65536]
-    unprintable = sum(1 for b in sample if b <= 0x1F or b >= 0x7F)
-    if unprintable > len(sample) * max_unprintable:
+    # count as unprintable (encoding.pyx:399-405), scanning the whole
+    # payload.  bytes.translate deletes at C speed, so full-scan parity
+    # costs one memcpy-ish pass instead of a Python byte loop.
+    unprintable = len(data) - len(data.translate(None, _UNPRINTABLE))
+    if unprintable > 0 and unprintable > len(data) * max_unprintable:
         return "application/octet-stream"
     return "text/plain"

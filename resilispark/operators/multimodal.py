@@ -214,12 +214,16 @@ def extract_video_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame
     return media.mapInPandas(op, schema=VIDEO_FRAMES_SCHEMA)
 
 
-def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+def sample_video_frames(
+    media: DataFrame, every_ms: int = 1000, *, fake: bool = False
+) -> DataFrame:
     """Frame sampling: one output row per sampled frame timestamp.
 
     Real frame extraction needs ffmpeg (absent); the stub derives the
     frame list from meta.duration_ms so the explode/partition shape is
-    real."""
+    real.  Pass ``fake=True`` to opt into the deterministic digest
+    stub explicitly (preferred over the ambient env flag, which
+    mutates process-wide state)."""
     frames = media.select(
         "media_id",
         F.explode(
@@ -230,7 +234,7 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
-    if not _fake_enabled():
+    if not (fake or _fake_enabled()):
         return frames.withColumn(
             "frame",
             F.raise_error(F.lit("frame decode requires ffmpeg; set RESILISPARK_FAKE_DECODE=1")),

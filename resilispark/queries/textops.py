@@ -1049,15 +1049,12 @@ def m02_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta.duration_ms and stamps deterministic sha256 frame digests,
     proving the payload-free sampling plumbing.
     """
-    import os
-
     from resilispark.operators.multimodal import (
         extract_video_frames,
         sample_video_frames,
     )
     from resilispark.session import ensure_workers_can_import
 
-    os.environ["RESILISPARK_FAKE_DECODE"] = "1"
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ensure_workers_can_import(spark)
     d = _docs(spark, sf_dir)
@@ -1118,7 +1115,7 @@ def m02_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("fake").alias("codec"),
         ).alias("meta"),
     )
-    stub_frames = sample_video_frames(stub_media, every_ms=500)
+    stub_frames = sample_video_frames(stub_media, every_ms=500, fake=True)
     stub_part = (
         stub_frames.groupBy(F.col("media_id").cast("bigint").alias("doc_id"))
         .agg(

@@ -179,6 +179,7 @@ def stateful_first_seen(
     records: DataFrame,
     *,
     key_col: str = "record_id",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
     cross-micro-batch exact dedup — each key is emitted the FIRST time
@@ -186,6 +187,15 @@ def stateful_first_seen(
     micro-batch.  The per-key state is one counter, partitioned by the
     grouping key, so state scales with distinct keys per executor —
     the streaming analog of the d01 exact-dedup operator.
+
+    State-size contract: with the default ``state_ttl_ms=None`` the
+    operator keeps one state row per distinct key FOREVER (exact dedup
+    over the whole stream history) — on an unbounded high-cardinality
+    stream, size executors for the distinct-key count, or pass
+    ``state_ttl_ms`` to evict idle keys after that many milliseconds of
+    processing time (ProcessingTimeTimeout).  With a TTL the dedup
+    becomes approximate: a key re-appearing after its state expired is
+    re-emitted as first-seen.
     """
     import pandas as pd
 
@@ -205,12 +215,21 @@ def stateful_first_seen(
     )
     state_schema = StructType([StructField("seen", LongType())])
 
+    ttl = state_ttl_ms
+
     def dedup(key, pdfs, state: GroupState):
+        if ttl is not None and state.hasTimedOut:
+            # idle key evicted: drop the counter; a later re-appearance
+            # re-emits as first-seen (documented approximation)
+            state.remove()
+            return
         n = 0
         for pdf in pdfs:
             n += len(pdf)
         (seen,) = state.get if state.exists else (0,)
         state.update((seen + n,))
+        if ttl is not None:
+            state.setTimeoutDuration(ttl)
         if seen == 0:
             yield pd.DataFrame({"key": [key[0]], "n_duplicates": [n - 1]})
 
@@ -221,6 +240,10 @@ def stateful_first_seen(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

@@ -309,14 +309,29 @@ class TestMultimodal:
             "media_id string, mime string, payload binary, "
             "meta struct<width:int,height:int,duration_ms:long,codec:string>",
         )
+        rows = sample_video_frames(media, every_ms=1000, fake=True).collect()
+        assert [r.frame_ts_ms for r in rows] == [0, 1000, 2000, 3000]
+
+    def test_m02_query_builder_leaves_env_untouched(self, spark):
+        """Regression: m02 used to set RESILISPARK_FAKE_DECODE=1
+        process-wide, silently flipping later real-decode calls to the
+        stub.  The query now threads fake=True explicitly; building it
+        must not mutate the environment, and a REAL decode afterwards
+        in the same process must still take the real path."""
         import os
 
-        os.environ["RESILISPARK_FAKE_DECODE"] = "1"
-        try:
-            rows = sample_video_frames(media, every_ms=1000).collect()
-        finally:
-            del os.environ["RESILISPARK_FAKE_DECODE"]
-        assert [r.frame_ts_ms for r in rows] == [0, 1000, 2000, 3000]
+        import numpy as np
+
+        from resilispark.io.codecs import decode_png, encode_png
+        from resilispark.queries.textops import m02_video_frames
+
+        before = os.environ.get("RESILISPARK_FAKE_DECODE")
+        df = m02_video_frames(spark, "/root/testdata/sf0.001")
+        assert df.limit(1).count() >= 0
+        assert os.environ.get("RESILISPARK_FAKE_DECODE") == before
+        # real decode still real in-process after m02 ran
+        img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        assert np.array_equal(decode_png(encode_png(img)), img)
 
 
 class TestAudioStub:

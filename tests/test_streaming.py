@@ -121,3 +121,46 @@ def test_stateful_first_seen_dedup(spark, fixture_dir, drop_dir):
     q.stop()
     assert len(rows) == 50  # no new emissions
     assert all(r.n_duplicates == 0 for r in rows)  # first batch had no dupes
+
+
+def test_stateful_first_seen_ttl_evicts_idle_keys(spark, fixture_dir, drop_dir):
+    """With state_ttl_ms, an idle key's state is evicted and a later
+    re-appearance is re-emitted as first-seen (documented approximate
+    contract for unbounded streams)."""
+    import time
+
+    from resilispark.streaming import read_warc_stream, stateful_first_seen
+
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", f"{drop_dir}/a.warc.gz")
+    deduped = stateful_first_seen(read_warc_stream(spark, drop_dir), state_ttl_ms=200)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("warc_dedup_ttl")
+        .start()
+    )
+    q.processAllAvailable()
+    n1 = spark.sql("SELECT count(*) c FROM warc_dedup_ttl").collect()[0].c
+    assert n1 == 50
+    # let the TTL lapse, then tick a batch with an UNRELATED key so the
+    # idle keys' processing-time timeouts fire and their state is
+    # removed (timeouts only fire for keys absent from the batch)
+    time.sleep(1.0)
+    from resilispark.io.warc import WarcRecord, write_warc
+
+    tick = WarcRecord(
+        headers=[
+            ("WARC-Type", "resource"),
+            ("WARC-Record-ID", "<urn:uuid:ttl-tick-0001>"),
+            ("WARC-Date", "2024-01-01T00:00:00Z"),
+        ],
+        payload=b"tick",
+    )
+    write_warc([tick], f"{drop_dir}/tick.warc")
+    q.processAllAvailable()
+    # replay the SAME 50 keys: their state was evicted -> re-emitted
+    shutil.copy(f"{fixture_dir}/golden-50.warc", f"{drop_dir}/b.warc")
+    q.processAllAvailable()
+    n2 = spark.sql("SELECT count(*) c FROM warc_dedup_ttl").collect()[0].c
+    q.stop()
+    assert n2 == 101  # 50 + tick + 50 re-emitted after eviction
