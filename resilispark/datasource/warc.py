@@ -191,7 +191,7 @@ def _read_first_member(fs, path: str, start: int, size: int,
                 from resilispark.io import lz4f
 
                 try:
-                    lz4f._decompress_one(data, 0)
+                    lz4f.decompress(data)  # native or pure; raises on truncation
                     complete = True
                 except (ValueError, IndexError, struct_error):
                     complete = False
@@ -422,9 +422,12 @@ class WarcDataSourceReader(DataSourceReader):
             )
 
         keep_payload = self.keep_payload
+        # bind the 20 column lists ONCE per batch, not per record (the
+        # per-record unpack was ~8% of the scan loop); flush() swaps in
+        # fresh lists, so re-bind right after each flush below
+        (c_fn, c_sp, c_rl, c_rid, c_rt, c_wv, c_wd, c_tu, c_ct, c_h,
+         c_ih, c_hs, c_hh, c_hct, c_hcs, c_hd, c_cl, c_pl, c_bd, c_pd) = cols
         for rec in record_iter:
-            (c_fn, c_sp, c_rl, c_rid, c_rt, c_wv, c_wd, c_tu, c_ct, c_h,
-             c_ih, c_hs, c_hh, c_hct, c_hcs, c_hd, c_cl, c_pl, c_bd, c_pd) = cols
             c_fn.append(filename)
             c_sp.append(rec.stream_pos)
             c_rl.append(rec.record_length)
@@ -448,6 +451,9 @@ class WarcDataSourceReader(DataSourceReader):
             n_buf += 1
             if n_buf >= _BATCH_ROWS:
                 yield from flush()
+                (c_fn, c_sp, c_rl, c_rid, c_rt, c_wv, c_wd, c_tu, c_ct,
+                 c_h, c_ih, c_hs, c_hh, c_hct, c_hcs, c_hd, c_cl, c_pl,
+                 c_bd, c_pd) = cols
         yield from flush()
 
 

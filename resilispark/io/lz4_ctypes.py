@@ -1,0 +1,202 @@
+"""LZ4 frame decode via the system C library (liblz4 >= 1.8).
+
+The reference reads ``.warc.lz4`` member streams through the native
+lz4 library (fastwarc-py/fastwarc/stream_io.pyx:604-766); that Python
+package is absent from this image, but the OS ships ``liblz4.so.1``
+(the same C core) — this module binds its LZ4F streaming API with
+ctypes, exactly like ``brotli_ctypes`` does for brotli.  ``io/lz4f.py``
+keeps the complete pure-Python frame codec as the documented fallback
+and as the cross-validation reference (tests decode every native frame
+with the pure decoder and vice versa); this binding only changes the
+speed, never the bytes.
+
+Streaming decode (LZ4F_decompress) so the content size need not be
+declared in the frame header — WARC .lz4 members generally omit it.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+
+_LIB_NAMES = ("liblz4.so.1", "liblz4.so", "liblz4.dylib")
+
+_LZ4F_VERSION = 100  # LZ4F_VERSION constant from lz4frame.h
+
+
+def _load():
+    for name in _LIB_NAMES:
+        try:
+            lib = ctypes.CDLL(name)
+        except OSError:
+            continue
+        if hasattr(lib, "LZ4F_createDecompressionContext"):
+            return lib
+    found = ctypes.util.find_library("lz4")
+    if found:
+        try:
+            lib = ctypes.CDLL(found)
+            if hasattr(lib, "LZ4F_createDecompressionContext"):
+                return lib
+        except OSError:
+            pass
+    return None
+
+
+_lib = _load()
+
+if _lib is not None:
+    _lib.LZ4F_isError.restype = ctypes.c_uint
+    _lib.LZ4F_isError.argtypes = [ctypes.c_size_t]
+    _lib.LZ4F_getErrorName.restype = ctypes.c_char_p
+    _lib.LZ4F_getErrorName.argtypes = [ctypes.c_size_t]
+    _lib.LZ4F_createDecompressionContext.restype = ctypes.c_size_t
+    _lib.LZ4F_createDecompressionContext.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.c_uint,
+    ]
+    _lib.LZ4F_freeDecompressionContext.restype = ctypes.c_size_t
+    _lib.LZ4F_freeDecompressionContext.argtypes = [ctypes.c_void_p]
+    _lib.LZ4F_decompress.restype = ctypes.c_size_t
+    _lib.LZ4F_decompress.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_void_p,
+    ]
+    if hasattr(_lib, "LZ4F_resetDecompressionContext"):
+        _lib.LZ4F_resetDecompressionContext.restype = None
+        _lib.LZ4F_resetDecompressionContext.argtypes = [ctypes.c_void_p]
+
+
+class Lz4Unavailable(RuntimeError):
+    """Neither the lz4 package nor the system library is present."""
+
+
+def available() -> bool:
+    return _lib is not None
+
+
+class _Decoder:
+    """One LZ4F_dctx plus the source buffer pinned ONCE per stream —
+    a context that finishes a frame (LZ4F_decompress returned 0) is
+    automatically ready for the next, so a member-stream walk pays a
+    single allocation and a single source copy for the whole file."""
+
+    __slots__ = ("_ctx", "_src", "_n", "_out")
+
+    _BUF_SIZE = 256 * 1024
+
+    def __init__(self, data) -> None:
+        if _lib is None:
+            raise Lz4Unavailable("no lz4 package and no liblz4 system library")
+        ctx = ctypes.c_void_p()
+        err = _lib.LZ4F_createDecompressionContext(
+            ctypes.byref(ctx), _LZ4F_VERSION
+        )
+        if _lib.LZ4F_isError(err):
+            raise MemoryError("LZ4F_createDecompressionContext failed")
+        self._ctx = ctx
+        self._n = len(data)
+        if isinstance(data, (bytearray, memoryview)):
+            # writable buffers can be pinned zero-copy
+            self._src = (ctypes.c_char * self._n).from_buffer(data)
+        else:
+            self._src = (
+                (ctypes.c_char * self._n).from_buffer_copy(data)
+                if self._n
+                else (ctypes.c_char * 1)()
+            )
+        # reusable output window: one allocation per stream, and only
+        # the produced bytes are copied out (string_at), never the
+        # whole window
+        self._out = ctypes.create_string_buffer(self._BUF_SIZE)
+
+    def __del__(self) -> None:  # pragma: no cover - interpreter teardown
+        ctx = getattr(self, "_ctx", None)
+        if ctx and _lib is not None:
+            _lib.LZ4F_freeDecompressionContext(ctx)
+            self._ctx = None
+
+    def _reset(self) -> None:
+        """Recover the context after a decode error mid-frame."""
+        if hasattr(_lib, "LZ4F_resetDecompressionContext"):
+            _lib.LZ4F_resetDecompressionContext(self._ctx)
+        else:  # pragma: no cover - liblz4 < 1.8
+            _lib.LZ4F_freeDecompressionContext(self._ctx)
+            ctx = ctypes.c_void_p()
+            _lib.LZ4F_createDecompressionContext(ctypes.byref(ctx), _LZ4F_VERSION)
+            self._ctx = ctx
+
+    def decompress_frame(
+        self, pos: int = 0, max_output: int = 1 << 31
+    ) -> tuple[bytes, int]:
+        """Decode ONE frame starting at ``pos``; returns
+        (content, position after the frame).  The stream may hold many
+        concatenated frames — bytes past the EndMark are not consumed.
+        """
+        src_off = pos
+        n = self._n
+        chunks: list[bytes] = []
+        total = 0
+        # the reusable window covers typical WARC members in a single
+        # call; large frames loop
+        buf_size = self._BUF_SIZE
+        out_buf = self._out
+        dst_size = ctypes.c_size_t()
+        src_size = ctypes.c_size_t()
+        decomp = _lib.LZ4F_decompress
+        while True:
+            dst_size.value = buf_size
+            src_size.value = n - src_off
+            ret = decomp(
+                self._ctx,
+                out_buf,
+                ctypes.byref(dst_size),
+                ctypes.byref(self._src, src_off),
+                ctypes.byref(src_size),
+                None,
+            )
+            if _lib.LZ4F_isError(ret):
+                name = _lib.LZ4F_getErrorName(ret)
+                self._reset()
+                raise ValueError(
+                    f"LZ4 frame decode failed: {name.decode('ascii', 'replace')}"
+                )
+            produced = dst_size.value
+            if produced:
+                total += produced
+                if total > max_output:
+                    self._reset()
+                    raise ValueError("LZ4 output exceeds max_output")
+                chunks.append(ctypes.string_at(out_buf, produced))
+            src_off += src_size.value
+            if ret == 0:  # frame complete; context ready for the next
+                return (
+                    chunks[0] if len(chunks) == 1 else b"".join(chunks)
+                ), src_off
+            if src_size.value == 0 and produced == 0:
+                self._reset()
+                raise ValueError("truncated LZ4 frame")
+
+
+def decompress_frame(data, pos: int = 0) -> tuple[bytes, int]:
+    """Decode one frame from ``data`` at ``pos``; returns
+    (content, position after the frame)."""
+    return _Decoder(data).decompress_frame(pos)
+
+
+def decompress_members(data):
+    """Yield (byte_offset, content) per concatenated LZ4 frame using
+    one shared native context and one pinned source buffer."""
+    from resilispark.io.lz4f import LZ4_FRAME_MAGIC
+
+    dec = _Decoder(data)
+    pos = 0
+    n = len(data)
+    while pos < n and data[pos : pos + 4] == LZ4_FRAME_MAGIC:
+        content, nxt = dec.decompress_frame(pos)
+        yield pos, content
+        pos = nxt

@@ -185,9 +185,26 @@ _MONTHS = {
 }
 
 
+_http_date_cache: dict = {}
+
+
 def _parse_http_date(value: str | None) -> datetime | None:
     if not value:
         return None
+    # same memo rationale as _parse_warc_date: a crawl writes many
+    # records per clock second, so Date values repeat heavily
+    dt = _http_date_cache.get(value)
+    if dt is not None:
+        return dt
+    dt = _parse_http_date_uncached(value)
+    if dt is not None:
+        if len(_http_date_cache) >= 65536:
+            _http_date_cache.clear()
+        _http_date_cache[value] = dt
+    return dt
+
+
+def _parse_http_date_uncached(value: str) -> datetime | None:
     v = value.strip()
     # fast path: the IMF-fixdate shape "Sun, 06 Nov 1994 08:49:37 GMT"
     # (the overwhelmingly dominant form) parsed by hand — email.utils'
@@ -211,11 +228,15 @@ def _parse_http_date(value: str | None) -> datetime | None:
         return None
 
 
-def parse_header_block(data: bytes, start: int) -> tuple[list[tuple[str, str]], int]:
+def parse_header_block(
+    data: bytes, start: int, end: int = -1
+) -> tuple[list[tuple[str, str]], int]:
     """Parse header lines until the empty line; returns (headers, next_pos).
 
     CRLF or bare LF terminators; continuation lines (leading SP/HT) fold
     into the previous value with a single space (warc.pyx:1028-1087).
+    ``end >= 0`` pins the block end when the caller already knows it
+    (the HTTP head split) and skips the blank-line search pass.
     """
     n = len(data)
     # empty block right away
@@ -223,21 +244,24 @@ def parse_header_block(data: bytes, start: int) -> tuple[list[tuple[str, str]], 
         return [], start + 2
     if data.startswith(b"\n", start):
         return [], start + 1
-    # find the blank line with ONE C-level regex pass (windowed so an
-    # absent terminator never scans the whole remaining buffer per
-    # record — that was an O(n²) bug once), then decode the block ONCE
-    # and split as str: one decode per block beats two decodes per line
-    win = 8192
-    while True:
-        hi = min(start + win, n)
-        m = _BLANK_LINE_RE.search(data, start, hi)
-        if m is not None or hi >= n:
-            break
-        win *= 4
-    if m is None:
-        block_end, next_pos = n, n
+    if end >= 0:
+        block_end = next_pos = end
     else:
-        block_end, next_pos = m.start(), m.end()
+        # find the blank line with ONE C-level regex pass (windowed so an
+        # absent terminator never scans the whole remaining buffer per
+        # record — that was an O(n²) bug once), then decode the block ONCE
+        # and split as str: one decode per block beats two decodes per line
+        win = 8192
+        while True:
+            hi = min(start + win, n)
+            m = _BLANK_LINE_RE.search(data, start, hi)
+            if m is not None or hi >= n:
+                break
+            win *= 4
+        if m is None:
+            block_end, next_pos = n, n
+        else:
+            block_end, next_pos = m.start(), m.end()
     block = data[start:block_end].decode("utf-8", "replace")
     if (
         "\n " not in block
@@ -300,7 +324,9 @@ def _parse_http_payload(rec: WarcRecord, raw: bytes) -> None:
     if not (status_line.startswith(b"HTTP/") or b" HTTP/" in status_line):
         return
     rec.is_http = True
-    http_headers, _ = parse_header_block(head, (first_eol + 1) if first_eol > 0 else len(head))
+    http_headers, _ = parse_header_block(
+        head, (first_eol + 1) if first_eol > 0 else len(head), end=len(head)
+    )
     rec.http_headers = http_headers
     parts = status_line.decode("ascii", "replace").split(None, 2)
     if status_line.startswith(b"HTTP/") and len(parts) >= 2:
@@ -360,16 +386,18 @@ def parse_record_at(
         if len(_ver_cache) < 64:
             _ver_cache[vb] = version
     headers, body_start = parse_header_block(data, eol + 1)
-    rec = WarcRecord(stream_pos=idx, warc_version=version, headers=headers)
+    rec = WarcRecord(idx, 0, version, headers)
     # single pass over the multimap for the fixed fields (first
     # occurrence wins, like header()): one dict probe on the exact key
     # (headers are canonical-cased in practice), a lowered retry only
     # for oddly-cased writers
     vals = [None] * 6
+    slots_get = _FIELD_SLOTS.get
+    lower_get = _FIELD_SLOTS_LOWER.get
     for k, v in headers:
-        s = _FIELD_SLOTS.get(k)
+        s = slots_get(k)
         if s is None:
-            s = _FIELD_SLOTS_LOWER.get(k.lower())
+            s = lower_get(k.lower())
             if s is None:
                 continue
         if s >= 0 and vals[s] is None:
@@ -392,17 +420,37 @@ def parse_record_at(
     rec.target_uri = h_uri
     rec.concurrent_to = h_conc
     next_pos = body_end
-    # consume the record-separating blank lines (\r\n\r\n);
+    # consume the record-separating blank lines: one startswith probe
+    # for the canonical \r\n\r\n separator, per-byte scan as fallback;
     # int indexing avoids a bytes allocation per separator byte
-    while next_pos < n and data[next_pos] in (13, 10):
-        next_pos += 1
+    if data.startswith(b"\r\n\r\n", next_pos) and not data.startswith(
+        b"\r", next_pos + 4
+    ) and not data.startswith(b"\n", next_pos + 4):
+        next_pos += 4
+    else:
+        while next_pos < n and data[next_pos] in (13, 10):
+            next_pos += 1
     rec.record_length = next_pos - idx
     return rec, next_pos
 
 
+def _filter_args(filter_opts: dict) -> tuple:
+    """Normalize the keyword filter options into _postprocess's
+    positional order ONCE per stream — the per-record ``**kwargs``
+    expansion was measurable at 150k records/partition."""
+    return (
+        filter_opts.get("record_types"),
+        filter_opts.get("min_content_length", -1),
+        filter_opts.get("max_content_length", -1),
+        filter_opts.get("parse_http", True),
+        filter_opts.get("verify_digests", False),
+        filter_opts.get("func_filter"),
+        filter_opts.get("keep_meta_on_strip", False),
+    )
+
+
 def _postprocess(
     rec: WarcRecord,
-    *,
     record_types: frozenset[str] | None = None,
     min_content_length: int = -1,
     max_content_length: int = -1,
@@ -447,12 +495,13 @@ def iter_warc_bytes(
     """Iterate records from an UNCOMPRESSED byte buffer with the
     reference's cheap-first filter cascade (warc.pyx:1238-1248)."""
     pos = 0
+    args = _filter_args(filter_opts)
     while True:
         rec, pos = parse_record_at(data, pos, strict=strict)
         if rec is None:
             return
         rec.stream_pos += stream_pos_base
-        rec = _postprocess(rec, **filter_opts)
+        rec = _postprocess(rec, *args)
         if rec is not None:
             yield rec
 
@@ -488,6 +537,7 @@ def iter_warc_range(
         return
     # opener lets remote filesystems (resilispark.io.fs) supply ranged
     # readers; reads here are few and large (range + slack slabs)
+    args = _filter_args(filter_opts)
     with (opener or (lambda p: open(p, "rb")))(path) as f:
         f.seek(start)
         buf = f.read(min(end - start + slack, size - start))
@@ -519,7 +569,7 @@ def iter_warc_range(
                 return  # true end of file / no record starts in range
             rec.stream_pos += base
             pos = nxt
-            rec = _postprocess(rec, **filter_opts)
+            rec = _postprocess(rec, *args)
             if rec is not None:
                 yield rec
 

@@ -55,3 +55,55 @@ def test_member_offsets_monotone(parts):
     assert [c for _, c in out] == parts
     offs = [o for o, _ in out]
     assert offs == sorted(offs) and offs[0] == 0
+
+
+@settings(max_examples=150, deadline=None)
+@given(payloads)
+def test_pure_decoder_matches_native(data):
+    """Cross-validation: the pure-Python decoder and the liblz4 binding
+    must return identical bytes for the same frame (the native path is
+    the default; the pure path is the documented fallback)."""
+    import pytest
+
+    from resilispark.io import lz4_ctypes
+    from resilispark.io.lz4f import _decompress_one
+
+    if not lz4_ctypes.available():
+        pytest.skip("liblz4 absent")
+    fr = compress(data) + b"trailer-junk"
+    pure_content, pure_next = _decompress_one(fr, 0)
+    nat_content, nat_next = lz4_ctypes.decompress_frame(fr, 0)
+    assert pure_content == nat_content == data
+    assert pure_next == nat_next
+
+
+def test_pure_env_pin(monkeypatch):
+    """RESILISPARK_PURE_LZ4=1 forces the fallback decoder."""
+    from resilispark.io import lz4f
+
+    monkeypatch.setenv("RESILISPARK_PURE_LZ4", "1")
+    assert lz4f._native() is None
+    data = b"pinned pure path " * 40
+    assert lz4f.decompress(lz4f.compress(data)) == data
+    monkeypatch.delenv("RESILISPARK_PURE_LZ4")
+
+
+def test_native_member_walk_matches_pure():
+    from resilispark.io import lz4_ctypes
+    import pytest
+
+    if not lz4_ctypes.available():
+        pytest.skip("liblz4 absent")
+    parts = [b"alpha" * 50, b"", b"\x00" * 1000, bytes(range(256)) * 7]
+    blob = b"".join(compress(p) for p in parts)
+    nat = list(lz4_ctypes.decompress_members(blob))
+    import os
+
+    os.environ["RESILISPARK_PURE_LZ4"] = "1"
+    try:
+        from resilispark.io.lz4f import decompress_members as dm
+
+        pure = list(dm(blob))
+    finally:
+        del os.environ["RESILISPARK_PURE_LZ4"]
+    assert nat == pure
