@@ -1,10 +1,13 @@
 """``python -m resilispark`` — CLI parity with the reference's
-``fastwarc`` commands (fastwarc-py/fastwarc/cli.py), expressed over the
-Spark engine: every command is a DataFrame job on the ``warc`` data
-source, so the same invocations scale from one laptop file to a
-cluster glob.
+``fastwarc`` commands (fastwarc-py/fastwarc/cli.py) AND the
+``resiliparse`` tool groups (resiliparse-py/resiliparse/cli.py),
+expressed over the Spark engine: every command is a DataFrame job on
+the ``warc`` data source or the parallel text reader, so the same
+invocations scale from one laptop file to a cluster glob.
 
-Commands: check, recompress, index, extract, benchmark.
+Commands: check, recompress, index, extract, extract-text, benchmark,
+plus the groups ``html benchmark`` and
+``lang evaluate | train-vectors | create-dataset``.
 """
 
 from __future__ import annotations
@@ -68,14 +71,35 @@ def cmd_recompress(args) -> int:
 
 
 def cmd_index(args) -> int:
+    from pyspark.sql import functions as F
+
     from resilispark.operators.warctools import cdxj_index
 
     spark = _spark(args.cpus)
     fields = tuple(args.fields.split(",")) if args.fields else (
         "offset", "length", "filename", "http:status",
     )
-    for r in cdxj_index(spark, args.file, fields=fields).collect():
-        print(f"{r.surt_key} {r.ts} {r.record}")
+    # concat_ws silently DROPS nulls (shifting fields); records without
+    # a target URI / date must keep their placeholder like the
+    # f-string output did
+    lines = cdxj_index(spark, args.file, fields=fields).select(
+        F.concat_ws(
+            " ",
+            F.coalesce(F.col("surt_key"), F.lit("None")),
+            F.coalesce(F.col("ts"), F.lit("None")),
+            F.coalesce(F.col("record"), F.lit("None")),
+        ).alias("value")
+    )
+    if args.output:
+        # distributed write: no driver collect, any corpus size
+        lines.write.mode("overwrite").text(args.output)
+        print(f"wrote {args.output}")
+        return 0
+    # stdout parity with `fastwarc index`: stream partitions through
+    # the driver one at a time instead of materializing the whole
+    # index (collect() here was a scale bug)
+    for r in lines.toLocalIterator():
+        print(r.value)
     return 0
 
 
@@ -119,7 +143,11 @@ def cmd_extract_text(args) -> int:
         docs.write.mode("overwrite").format(fmt).save(args.output)
         print(f"wrote {args.output}")
         return 0
-    for line in docs.select(F.to_json(F.struct(*docs.columns)).alias("j")).collect():
+    # stream partitions through the driver instead of collect(): stdout
+    # mode stays usable on inputs far larger than driver memory
+    for line in docs.select(
+        F.to_json(F.struct(*docs.columns)).alias("j")
+    ).toLocalIterator():
         print(line.j)
     return 0
 
@@ -135,6 +163,242 @@ def cmd_benchmark(args) -> int:
     n = df.count()
     dt = time.perf_counter() - t0
     print(f"{n} records in {dt:.2f}s = {n / dt:,.0f} records/s")
+    return 0
+
+
+def cmd_html_benchmark(args) -> int:
+    """Parse + <title> throughput over a WARC's response records —
+    the loop shape of `resiliparse html benchmark`
+    (resiliparse-py/resiliparse/cli.py:106-134): single-threaded,
+    in-process, so docs/s compares directly with the published
+    1,149.56 docs/s Lexbor number (docs/man/parse/html.rst:485-489)."""
+    from resilispark.functions.encoding import bytes_to_str, detect_encoding
+    from resilispark.functions.html import html_title, parse_html
+    from resilispark.io.warc import iter_warc_bytes
+
+    print("HTML parser benchmark <title> extraction:")
+    print("=========================================")
+    with open(args.file, "rb") as f:
+        data = f.read()
+    start = time.monotonic()
+    i = 0
+    for record in iter_warc_bytes(
+        data, record_types=frozenset(["response"]), parse_http=True
+    ):
+        content = record.payload
+        html_title(parse_html(bytes_to_str(content, detect_encoding(content))))
+        i += 1
+    t = time.monotonic() - start
+    print(
+        f"resilispark (pure-Python): {i} documents in {t:.2f}s "
+        f"({i / max(t, 1e-9):.2f} documents/s)"
+    )
+    return 0
+
+
+def cmd_lang_evaluate(args) -> int:
+    """Language-ID evaluation over a labeled split directory — the A4
+    confusion-matrix shape of `resiliparse lang evaluate`
+    (resiliparse-py/resiliparse/cli.py:436-526), run as a Spark job:
+    one text scan per language, detect_fast as a pandas UDF, precision/
+    recall/F1 aggregated distributed.  Output format matches the
+    reference: `Lang, Precision, Recall, F1, Num Examples` sorted by F1
+    (or language with --sort-lang), then overall accuracy."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    spark = _spark(args.cpus)
+    langs = (
+        {x.strip() for x in args.langs.split(",")} if args.langs else None
+    )
+    lang_list = sorted(langs) if langs else None
+    cutoff = args.cutoff
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's hint resolver rejects in this module
+    @pandas_udf("string")
+    def predict(texts):
+        from resilispark.functions.lang import detect_fast
+
+        out = []
+        for t in texts:
+            if not t:
+                out.append("-")
+                continue
+            # reference loop shape (cli.py:483): restrict candidates to
+            # --langs and apply the prediction cutoff
+            plang, _ = detect_fast(t, cutoff=cutoff, langs=lang_list)
+            out.append(plang)
+        return pd.Series(out)
+    in_langs = sorted(
+        d
+        for d in os.listdir(args.indir)
+        if os.path.isdir(os.path.join(args.indir, d))
+        and (langs is None or d in langs)
+    )
+    if not in_langs:
+        print("no language directories found", file=sys.stderr)
+        return 1
+    labeled = None
+    for lang in in_langs:
+        path = os.path.join(args.indir, lang, args.split + ".txt")
+        if not os.path.exists(path):
+            continue
+        part = spark.read.text(path).select(
+            F.lit(lang).alias("lang"), F.col("value").alias("text")
+        )
+        labeled = part if labeled is None else labeled.unionAll(part)
+    if labeled is None:
+        print(f"no {args.split}.txt files found", file=sys.stderr)
+        return 1
+    if args.truncate:
+        labeled = labeled.withColumn(
+            "text", F.substring("text", 1, args.truncate)
+        )
+    pred = labeled.select("lang", predict("text").alias("plang")).withColumn(
+        "plang",
+        F.when(
+            F.col("plang").isNull() | (F.col("plang") == "unknown"), F.lit("-")
+        ).otherwise(F.col("plang")),
+    )
+    # one distributed pass: per-(truth, prediction) counts are the
+    # sufficient statistics for precision/recall/F1 AND the matrix
+    cm = pred.groupBy("lang", "plang").agg(F.count(F.lit(1)).alias("n")).collect()
+    by_truth: dict = {}
+    by_pred: dict = {}
+    for r in cm:
+        by_truth[r.lang] = by_truth.get(r.lang, 0) + r.n
+        by_pred[r.plang] = by_pred.get(r.plang, 0) + r.n
+    tp = {r.lang: r.n for r in cm if r.lang == r.plang}
+    results = []
+    correct = 0
+    total = 0
+    for lang in in_langs:
+        n_ex = by_truth.get(lang, 0)
+        t = tp.get(lang, 0)
+        precision = t / max(1, by_pred.get(lang, 0))
+        recall = t / max(1, n_ex)
+        f1 = (
+            2.0 * precision * recall / (precision + recall)
+            if precision + recall
+            else 0.0
+        )
+        results.append((lang, precision, recall, f1, n_ex))
+        correct += t
+        total += n_ex
+    print("Lang, Precision, Recall, F1, Num Examples")
+    if not args.sort_lang:
+        results.sort(key=lambda x: x[3], reverse=True)
+    for lang, p, rcl, f1, n_ex in results:
+        print(f"{lang}, {p:.2f}, {rcl:.2f}, {f1:.2f}, {n_ex}")
+    print(f"\nAccuracy: {correct / max(1, total):.2f}")
+    if args.print_cm:
+        counts = {(r.lang, r.plang): r.n for r in cm}
+        width = max(max(len(x) for x in in_langs), 6) + 2
+        print("\nConfusion matrix:\n" + " " * width, end="")
+        print("".join(f"{l2:>{width}}" for l2 in in_langs))
+        for l1 in in_langs:
+            row = "".join(
+                f"{counts.get((l1, l2), 0):>{width}}" for l2 in in_langs
+            )
+            print(f"{l1:<{width}}{row}")
+    return 0
+
+
+def cmd_lang_train_vectors(args) -> int:
+    """Train and print per-language n-gram vectors (F8) — the shape of
+    `resiliparse lang train-vectors`
+    (resiliparse-py/resiliparse/cli.py:361-432); 'python' prints
+    (lang, vec) tuples, 'c' the reference's C header layout."""
+    import os
+
+    from resilispark.functions.lang import train_language_examples
+
+    langs = sorted(
+        d
+        for d in os.listdir(args.indir)
+        if os.path.isdir(os.path.join(args.indir, d))
+    )
+    if args.out_format == "c":
+        print("/* resilispark language profiles — generated, do not modify */")
+        print(f"#define LANG_VEC_SIZE {args.vector_size}")
+        print("static const lang_t LANGS[] = {", end="")
+    else:
+        print("# (lang, vec)")
+    first = True
+    for lang in langs:
+        path = os.path.join(args.indir, lang, args.split + ".txt")
+        if not os.path.exists(path):
+            continue
+        with open(path, encoding="utf-8") as f:
+            examples = [line for line in f if line.strip()]
+        vec = train_language_examples(examples, args.vector_size)
+        if args.out_format == "c":
+            if not first:
+                print(",", end="")
+            print(
+                f'\n    {{"{lang}", {{{", ".join(str(int(v)) for v in vec)}}}}}',
+                end="",
+            )
+            first = False
+        else:
+            print((lang, [int(v) for v in vec]))
+    if args.out_format == "c":
+        print("\n};")
+    return 0
+
+
+def cmd_lang_create_dataset(args) -> int:
+    """Build a train/val/test language-ID dataset from per-language
+    plaintext directories — `resiliparse lang create-dataset`
+    (resiliparse-py/resiliparse/cli.py:239-276) as a Spark job:
+    parallel text read, <doc>-tag/empty-line strip, exact line dedup
+    (the reference's line_hashes set becomes a distinct()), seeded
+    shuffle, fraction split, one output file per split."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark = _spark(args.cpus)
+    langdirs = sorted(
+        d
+        for d in os.listdir(args.indir)
+        if os.path.isdir(os.path.join(args.indir, d))
+    )
+    val_frac = args.val_size / 100.0
+    test_frac = args.test_size / 100.0
+    for d in langdirs:
+        lang = d.replace("wiki", "")
+        outdir = os.path.join(args.outdir, lang)
+        lines = (
+            spark.read.text(os.path.join(args.indir, d))
+            .filter(F.length(F.trim("value")) > 0)
+            .filter(~F.col("value").startswith("<doc"))
+            .filter(~F.col("value").startswith("</doc"))
+            .distinct()
+        )
+        n = lines.count()
+        if n < args.min_examples:
+            print(f"skipping {lang}: {n} < {args.min_examples} examples",
+                  file=sys.stderr)
+            continue
+        shuffled = lines.orderBy(F.xxhash64("value", F.lit(args.seed)))
+        train, val, test = shuffled.randomSplit(
+            [1.0 - val_frac - test_frac, val_frac, test_frac], seed=args.seed
+        )
+        os.makedirs(outdir, exist_ok=True)
+        for name, split in (("train", train), ("val", val), ("test", test)):
+            # reference parity: one plain text file per split (these
+            # splits are profile-training inputs, small by design)
+            rows = split.collect()
+            with open(os.path.join(outdir, name + ".txt"), "w",
+                      encoding="utf-8") as f:
+                for r in rows:
+                    f.write(r.value + "\n")
+        print(f"{lang}: {n} examples -> {outdir}")
     return 0
 
 
@@ -161,6 +425,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("index", help="emit a CDXJ index")
     p.add_argument("file")
     p.add_argument("-f", "--fields", default=None, help="comma-separated fields")
+    p.add_argument(
+        "-o", "--output", default=None,
+        help="output dir (distributed text write; omit for stdout)",
+    )
     p.set_defaults(fn=cmd_index)
 
     p = sub.add_parser("extract", help="extract one record by byte offset")
@@ -184,6 +452,45 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("file")
     p.add_argument("--split-bytes", type=int, default=None)
     p.set_defaults(fn=cmd_benchmark)
+
+    # resiliparse-parity groups (resiliparse-py/resiliparse/cli.py)
+    g = sub.add_parser("html", help="HTML module tools")
+    gsub = g.add_subparsers(dest="subcmd", required=True)
+    p = gsub.add_parser("benchmark", help="parse + <title> docs/s over a WARC")
+    p.add_argument("file")
+    p.set_defaults(fn=cmd_html_benchmark)
+
+    g = sub.add_parser("lang", help="language module tools")
+    gsub = g.add_subparsers(dest="subcmd", required=True)
+    p = gsub.add_parser("evaluate", help="precision/recall/F1 over a labeled split")
+    p.add_argument("indir")
+    p.add_argument("-s", "--split", default="val", choices=["val", "test"])
+    p.add_argument("-l", "--langs", default=None,
+                   help="restrict to this comma-separated list")
+    p.add_argument("-t", "--truncate", type=int, default=None)
+    p.add_argument("-c", "--cutoff", type=int, default=700,
+                   help="prediction cutoff rank (unknown above it)")
+    p.add_argument("--sort-lang", action="store_true",
+                   help="sort by language instead of F1")
+    p.add_argument("--print-cm", action="store_true")
+    p.set_defaults(fn=cmd_lang_evaluate)
+    p = gsub.add_parser("train-vectors", help="train per-language n-gram vectors")
+    p.add_argument("indir")
+    p.add_argument("-s", "--split", default="train",
+                   choices=["train", "val", "test"])
+    p.add_argument("-f", "--out-format", default="python", choices=["python", "c"])
+    p.add_argument("--vector-size", type=int, default=256)
+    p.set_defaults(fn=cmd_lang_train_vectors)
+    p = gsub.add_parser(
+        "create-dataset", help="plaintext dirs -> train/val/test splits"
+    )
+    p.add_argument("indir")
+    p.add_argument("outdir")
+    p.add_argument("--val-size", type=int, default=5, help="validation %%")
+    p.add_argument("--test-size", type=int, default=5, help="test %%")
+    p.add_argument("--min-examples", type=int, default=10000)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_lang_create_dataset)
 
     args = ap.parse_args(argv)
     return args.fn(args)

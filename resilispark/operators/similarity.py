@@ -105,6 +105,7 @@ def embedding_neardup_pairs(
     bits: int = 16,
     rotations: int = 2,
     seed: int = 42,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Near-duplicate embedding pairs above a cosine threshold —
     the d06 operator at corpus scale.
@@ -115,32 +116,45 @@ def embedding_neardup_pairs(
     collide in every rotation); exact cosine confirms. Blocked recall
     is still < exhaustive for pairs near the threshold — the standard
     LSH tradeoff; raise ``rotations`` for recall, ``bits`` for bucket
-    size. Each rotation is one shuffle on its bucket key; no O(n²)
-    stage anywhere."""
+    size.
+
+    Skew safety: each rotation is one band of the SAME bounded-bucket
+    candidate generator MinHash-LSH uses (``dedup.lsh_bucket_pairs``:
+    per-bucket chunking by a deterministic id hash, ``collect_set``
+    arrays capped at ~``max_bucket``, chunk-grained join for hot
+    buckets) — a degenerate corpus where millions of identical
+    embeddings land in one bucket splits across
+    ceil(m / max_bucket) tasks instead of melting one reducer.
+    Candidate id pairs are deduped across rotations BEFORE vectors are
+    joined back, so the exact-cosine arithmetic runs once per distinct
+    pair.  No O(n²) stage, no unbounded per-task state anywhere."""
+    from resilispark.operators.dedup import lsh_bucket_pairs
+
     dim_probe = df.select(F.size(vec_col).alias("d")).first()
     dim = dim_probe.d if dim_probe else 0
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    cand = None
+    bands = None
     for r in range(rotations):
-        b = base.withColumn(
-            "_bucket",
-            hyperplane_lsh_bucket("_v", dim=dim, bits=bits, seed=seed + r),
+        band_r = base.select(
+            F.lit(r).alias("band_idx"),
+            hyperplane_lsh_bucket("_v", dim=dim, bits=bits, seed=seed + r)
+            .cast("string")
+            .alias("val"),
+            "_id",
         )
-        a2, b2 = b.alias("a"), b.alias("b")
-        pairs_r = a2.join(
-            b2,
-            (F.col("a._bucket") == F.col("b._bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        ).select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            _cos("a._v", "b._v").alias("cosine"),
-        )
-        cand = pairs_r if cand is None else cand.unionAll(pairs_r)
+        bands = band_r if bands is None else bands.unionAll(band_r)
+    cand = lsh_bucket_pairs(bands, "_id", max_bucket=max_bucket)
+    a2 = base.select(F.col("_id").alias("doc_a"), F.col("_v").alias("_va"))
+    b2 = base.select(F.col("_id").alias("doc_b"), F.col("_v").alias("_vb"))
     return (
-        cand.filter(F.col("cosine") >= threshold)
-        .groupBy("id_a", "id_b")
-        .agg(F.max("cosine").alias("cosine"))
+        cand.join(a2, "doc_a")
+        .join(b2, "doc_b")
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            _cos("_va", "_vb").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
     )
 
 

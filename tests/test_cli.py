@@ -110,3 +110,100 @@ def test_extract_text_parquet(capsys, tmp_path, golden_gz, spark):
     df = spark.read.parquet(out_dir)
     assert df.count() == 16
     assert "plain_text" in df.columns
+
+
+def test_index_output_distributed(capsys, tmp_path, golden_gz, spark):
+    """index --output writes the CDXJ lines via a distributed text
+    write (no driver collect in the plan)."""
+    out_dir = str(tmp_path / "cdxj")
+    rc, out = _run(capsys, ["index", golden_gz, "-o", out_dir])
+    assert rc == 0 and out_dir in out
+    import glob
+
+    parts = glob.glob(f"{out_dir}/part-*")
+    assert parts
+    lines = [l for p in parts for l in open(p).read().splitlines()]
+    assert len(lines) == 50
+    # same content as the stdout path
+    rc, out = _run(capsys, ["index", golden_gz])
+    assert sorted(lines) == sorted(out.strip().splitlines())
+
+
+def test_html_benchmark(capsys, tmp_path, spark):
+    from resilispark.io.fixtures import build_golden_records
+    from resilispark.io.warc import write_warc
+
+    path = str(tmp_path / "bench.warc")
+    write_warc(build_golden_records(), path, compression="none")
+    rc, out = _run(capsys, ["html", "benchmark", path])
+    assert rc == 0
+    assert "documents/s" in out
+
+
+def _write_lang_split(root, lang, split, lines):
+    import os
+
+    d = os.path.join(str(root), lang)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, split + ".txt"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_lang_evaluate(capsys, tmp_path, spark):
+    en = [
+        "The quick brown fox jumps over the lazy dog and runs away into the woods.",
+        "This is a plain English sentence with many common English words in it.",
+    ] * 3
+    de = [
+        "Der schnelle braune Fuchs springt über den faulen Hund und läuft weg.",
+        "Dies ist ein einfacher deutscher Satz mit vielen häufigen Wörtern darin.",
+    ] * 3
+    _write_lang_split(tmp_path, "en", "val", en)
+    _write_lang_split(tmp_path, "de", "val", de)
+    rc, out = _run(
+        capsys,
+        ["lang", "evaluate", str(tmp_path), "-l", "en,de", "--sort-lang", "--print-cm"],
+    )
+    assert rc == 0
+    assert out.startswith("Lang, Precision, Recall, F1, Num Examples")
+    assert "Accuracy:" in out and "Confusion matrix:" in out
+    # perfect separation expected on these clean examples
+    rows = [l for l in out.splitlines() if l.startswith(("en,", "de,"))]
+    assert len(rows) == 2
+    for r in rows:
+        assert ", 1.00, 1.00, 1.00," in r
+
+
+def test_lang_train_vectors(capsys, tmp_path, spark):
+    _write_lang_split(tmp_path, "en", "train", ["hello world"] * 4)
+    rc, out = _run(capsys, ["lang", "train-vectors", str(tmp_path), "--vector-size", "16"])
+    assert rc == 0
+    assert out.startswith("# (lang, vec)")
+    assert "('en', [" in out
+    rc, out = _run(capsys, ["lang", "train-vectors", str(tmp_path), "-f", "c", "--vector-size", "8"])
+    assert rc == 0
+    assert '{"en", {' in out and "LANG_VEC_SIZE 8" in out
+
+
+def test_lang_create_dataset(capsys, tmp_path, spark):
+    import os
+
+    raw = tmp_path / "raw" / "enwiki"
+    os.makedirs(raw)
+    lines = [f"unique english sentence number {i} for the dataset" for i in range(50)]
+    with open(raw / "wiki_00", "w") as f:
+        f.write("<doc id=1>\n" + "\n".join(lines) + "\n</doc>\n\n")
+    out_root = str(tmp_path / "ds")
+    rc, out = _run(
+        capsys,
+        ["lang", "create-dataset", str(tmp_path / "raw"), out_root,
+         "--min-examples", "10", "--val-size", "10", "--test-size", "10"],
+    )
+    assert rc == 0 and "en: 50 examples" in out
+    got = []
+    for split in ("train", "val", "test"):
+        p = os.path.join(out_root, "en", split + ".txt")
+        assert os.path.exists(p)
+        got.extend(open(p).read().splitlines())
+    # every unique line lands in exactly one split; doc tags stripped
+    assert sorted(got) == sorted(lines)

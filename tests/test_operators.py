@@ -987,3 +987,22 @@ class TestResilienceGuards:
                     f"{fixture_dir}/golden-50.warc", fs=AlwaysFail(), retry_count=2
                 )
             )
+
+
+class TestEmbeddingNeardupSkew:
+    def test_degenerate_one_bucket_corpus_bounded(self, spark):
+        """A corpus of identical embeddings lands in ONE LSH bucket in
+        every rotation; the bounded-bucket candidate generator must
+        still emit the complete pair set with per-task arrays capped at
+        max_bucket (the d04 chunking pattern), not one O(m²) reducer."""
+        from resilispark.operators.similarity import embedding_neardup_pairs
+
+        n = 60
+        rows = [(i, [1.0, 2.0, -1.0, 0.5] * 4) for i in range(n)]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        pairs = embedding_neardup_pairs(
+            vecs, threshold=0.999, bits=8, rotations=2, max_bucket=16
+        )
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        want = {(a, b) for a in range(n) for b in range(a + 1, n)}
+        assert got == want
