@@ -128,12 +128,20 @@ def main() -> None:
         # pin the compressed rows silently auto-split (and speed up 3x)
         # as soon as a .cdxj sidecar exists from the split rows below
         # apples-to-apples with `fastwarc benchmark`: its --parse-http
-        # flag is OPT-IN (fastwarc-py/fastwarc/cli.py:362), so the
-        # published 108.5k/10.4k/49.8k rec/s rows decompress + parse
-        # WARC headers but NOT HTTP — the one_part rows here match that;
-        # the *_http row measures the full default-scan cost (HTTP
-        # header split + typed accessors) on the same fixture
-        one_part = {"split_bytes": str(1 << 40), "parse_http": "false"}
+        # flag is OPT-IN (fastwarc-py/fastwarc/cli.py:362) and its loop
+        # never consumes record payloads (lazy readers, cli.py:434-447),
+        # so the published 108.5k/10.4k/49.8k rec/s rows decompress +
+        # parse WARC headers but neither split HTTP nor materialize
+        # payload bytes — the one_part rows here match BOTH (payload
+        # column off, so Arrow doesn't ship bytes the reference never
+        # touches); the *_http row measures the engine's full default
+        # scan (HTTP header split + typed accessors + payload column)
+        # on the same fixture
+        one_part = {
+            "split_bytes": str(1 << 40),
+            "parse_http": "false",
+            "payload": "false",
+        }
         for label, path, opts in (
             (f"warc_scan_gz_{n_records}_recs", f"{bdir}/bench-{groups}.warc.gz", one_part),
             (f"warc_scan_plain_{n_records}_recs", f"{bdir}/bench-{groups}.warc", one_part),

@@ -5,8 +5,10 @@ surface (resiliparse-py/resiliparse/parse/html.pyx — lexbor-backed DOM
 with query_selector et al. — and resiliparse/extract/html2text.pyx —
 the DOM-walk plain-text serializer with main-content heuristics).
 
-The tokenizer is Python's ``html.parser`` with an HTML5 tree-builder
-layer on top: implied end tags (unclosed ``<p>``, ``<li>``,
+The tokenizer is a regex scanner (``_fast_feed``) with
+``html.parser``-compatible semantics (the stdlib loop remains as the
+resilience fallback), driving an HTML5 tree-builder layer:
+implied end tags (unclosed ``<p>``, ``<li>``,
 ``<dd>/<dt>``, table rows/cells, ``<option>`` auto-close per the HTML5
 in-body rules), foster parenting of table-misnested content, the
 adoption-agency algorithm for misnested formatting elements
@@ -366,10 +368,11 @@ class _TreeBuilder(HTMLParser):
             self._autoclose(*rule)
         if self.fmt and tag not in _NO_RECONSTRUCT:
             self._reconstruct()
-        node = Node(
-            tag,
-            {k: (v if v is not None else "") for k, v in attrs} if attrs else None,
-        )
+        # the fast tokenizer hands a ready dict; the stdlib-fallback
+        # feed() path hands html.parser's list of (name, value) pairs
+        if attrs and type(attrs) is not dict:
+            attrs = {k: (v if v is not None else "") for k, v in attrs}
+        node = Node(tag, attrs or None)
         if tag in _FORMATTING:
             # Noah's Ark clause: at most 3 identical active entries —
             # bounds reconstruction cost on pathological <b><b><b>… runs
@@ -392,12 +395,21 @@ class _TreeBuilder(HTMLParser):
             self.fmt.append(node)
         elif tag in _MARKER_OPEN:
             self.fmt.append(_FMT_MARKER)
-        self._insert(node)
+        # inline the overwhelmingly common non-table insertion (the
+        # foster-parent probe only matters inside table scope)
+        top = self.stack[-1]
+        if top.tag not in _TABLE_ALLOWED:
+            node.parent = top
+            top.children.append(node)
+        else:
+            self._insert(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs})
+        if attrs and type(attrs) is not dict:
+            attrs = {k: (v if v is not None else "") for k, v in attrs}
+        node = Node(tag, attrs or None)
         if not self._foster_parent(node):
             node.parent = self.stack[-1]
             self.stack[-1].children.append(node)
@@ -423,7 +435,7 @@ class _TreeBuilder(HTMLParser):
         if not data.isspace():
             if self.fmt:
                 self._reconstruct()
-            if self._foster_parent(node):
+            if self.stack[-1].tag in _TABLE_ALLOWED and self._foster_parent(node):
                 return
         top = self.stack[-1]
         node.parent = top
@@ -490,11 +502,18 @@ def _fast_feed(b: "_TreeBuilder", src: str) -> None:
             buf = []
             buf_append = buf.append
         pos = m.end()
-        stag = m.group("stag")
-        if stag is not None:
+        # dispatch on lastgroup (ONE attribute read) instead of probing
+        # each named group; start tags always end on the attrs group
+        lg = m.lastgroup
+        if lg == "attrs":
+            stag = m.group(2)
             tag = stag if stag.islower() else stag.lower()
-            astr = m.group("attrs")
-            attrs: list = []
+            astr = m.group(3)
+            # attrs as a dict built inline (handlers take dicts
+            # verbatim — skips the per-tag normalization dictcomp);
+            # duplicate keys: last occurrence wins, matching the
+            # previous list->dict normalization
+            attrs: dict = {}
             selfclose = astr.endswith("/") and (
                 len(astr) == 1 or astr[-2] in " \t\n\r\f\"'"
             )
@@ -510,7 +529,7 @@ def _fast_feed(b: "_TreeBuilder", src: str) -> None:
                             v = v[1:-1]
                         if "&" in v:
                             v = unescape(v)
-                    attrs.append((k if k.islower() else k.lower(), v))
+                    attrs[k if k.islower() else k.lower()] = v if v is not None else ""
             if selfclose:
                 b.handle_startendtag(tag, attrs)
             elif tag in _RAWTEXT_ELEMENTS:
@@ -536,11 +555,10 @@ def _fast_feed(b: "_TreeBuilder", src: str) -> None:
                 b.handle_endtag(tag)
             else:
                 b.handle_starttag(tag, attrs)
-        else:
-            etag = m.group("etag")
-            if etag is not None:
-                b.handle_endtag(etag if etag.islower() else etag.lower())
-            # comments / declarations / PIs: dropped (builder ignores)
+        elif lg == "etag":
+            etag = m.group(1)
+            b.handle_endtag(etag if etag.islower() else etag.lower())
+        # comments / declarations / PIs: dropped (builder ignores)
     if buf:
         text = buf[0] if len(buf) == 1 else "".join(buf)
         data(unescape(text) if "&" in text else text)
