@@ -33,14 +33,28 @@ from resilispark.io.fs import get_fs, has_magic
 
 
 class WarcStreamReader(DataSourceStreamReader):
-    """Micro-batch reader: offset = sorted list of files already seen.
+    """Micro-batch reader: offset = the set of files already ingested.
 
     ``partitions(start, end)`` reuses the batch reader's split planner
     per new file, so a single dropped 10 GiB uncompressed WARC fans out
-    across executors instead of serializing through one task. The
-    offset dict grows with the total file count — at millions of files
-    move to a compacted manifest, noted in the class docstring rather
-    than hidden."""
+    across executors instead of serializing through one task.
+
+    Offset representations (the checkpointed JSON):
+
+    - exact (default): ``{"files": [every file ever seen]}`` — grows
+      with the total file count; exactly-once for ANY arrival pattern
+      (old mtimes, renames, clock skew).
+    - compacted (``offset_compaction=mtime``): ``{"wm": max_mtime,
+      "recent": [files with mtime >= wm - slack]}`` — the offset stays
+      bounded by the arrival rate x slack window instead of stream
+      lifetime (the production answer at millions of files; directory
+      LISTing is O(n) either way — compaction bounds checkpoint size
+      and offset diffing, not the glob). Contract, same as Spark's own
+      FileStreamSource maxFileAge: a file whose mtime is already older
+      than ``wm - slack`` when it first appears (e.g. mv with a
+      preserved old timestamp) is treated as already processed; size
+      the slack (``mtime_slack_sec``, default 300) above the worst
+      writer lag + clock skew."""
 
     def __init__(self, options: dict):
         self.options = dict(options)
@@ -48,8 +62,13 @@ class WarcStreamReader(DataSourceStreamReader):
         self.pattern = (
             path if has_magic(path) else posixpath.join(path, "*.warc*")
         )
+        self.compaction = self.options.get("offset_compaction", "none")
+        self.slack = float(self.options.get("mtime_slack_sec", "300"))
+        self._wm = 0.0  # monotone mtime watermark (driver-side state)
 
     def initialOffset(self) -> dict:
+        if self.compaction == "mtime":
+            return {"wm": 0.0, "recent": []}
         return {"files": []}
 
     def _list(self) -> list[str]:
@@ -59,11 +78,25 @@ class WarcStreamReader(DataSourceStreamReader):
         )
 
     def latestOffset(self) -> dict:
+        if self.compaction == "mtime":
+            fs = get_fs(self.pattern)
+            mts = {f: fs.mtime(f) for f in self._list()}
+            # monotone: deletions must not move the watermark backward
+            self._wm = max(self._wm, max(mts.values(), default=0.0))
+            horizon = self._wm - self.slack
+            return {
+                "wm": self._wm,
+                "recent": sorted(f for f, m in mts.items() if m >= horizon),
+            }
         return {"files": self._list()}
 
+    @staticmethod
+    def _offset_files(offset: dict) -> list[str]:
+        return offset.get("files") or offset.get("recent") or []
+
     def partitions(self, start: dict, end: dict):
-        seen = set(start.get("files", []))
-        new_files = [f for f in end.get("files", []) if f not in seen]
+        seen = set(self._offset_files(start))
+        new_files = [f for f in self._offset_files(end) if f not in seen]
         parts = []
         for f in new_files:
             # one batch-reader per file reuses CDXJ/byte-range split
@@ -83,8 +116,12 @@ class WarcStreamReader(DataSourceStreamReader):
         pass
 
 
-def read_warc_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
-    """``spark.readStream.format("warc-stream").load(drop_dir)``."""
+def read_warc_stream(spark: SparkSession, drop_dir: str, **options) -> DataFrame:
+    """``spark.readStream.format("warc-stream").load(drop_dir)``.
+
+    ``options`` pass through to the source (e.g.
+    ``offset_compaction="mtime"``, ``mtime_slack_sec=600`` for bounded
+    checkpoint offsets on long-lived million-file streams)."""
     from resilispark.session import ensure_workers_can_import
 
     ensure_workers_can_import(spark)
@@ -108,7 +145,10 @@ def read_warc_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
     except Exception:
         pass  # older cloudpickle: fall back to by-reference + addPyFile
     spark.dataSource.register(WarcStreamDataSource)
-    return spark.readStream.format("warc-stream").load(drop_dir)
+    reader = spark.readStream.format("warc-stream")
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load(drop_dir)
 
 
 class WarcStreamDataSource(DataSource):
@@ -196,6 +236,14 @@ def stateful_first_seen(
     processing time (ProcessingTimeTimeout).  With a TTL the dedup
     becomes approximate: a key re-appearing after its state expired is
     re-emitted as first-seen.
+
+    Trigger caveat (Spark semantics, not this operator's): with
+    ProcessingTimeTimeout the engine always has another micro-batch to
+    run — processing time keeps advancing — so under the default
+    as-fast-as-possible trigger the query busy-loops empty batches and
+    ``processAllAvailable()`` NEVER returns.  Run TTL'd queries with a
+    real trigger interval (``processingTime='...'``) or step them with
+    ``trigger(availableNow=True)`` over a checkpoint.
     """
     import pandas as pd
 

@@ -123,26 +123,45 @@ def test_stateful_first_seen_dedup(spark, fixture_dir, drop_dir):
     assert all(r.n_duplicates == 0 for r in rows)  # first batch had no dupes
 
 
-def test_stateful_first_seen_ttl_evicts_idle_keys(spark, fixture_dir, drop_dir):
+def test_stateful_first_seen_ttl_evicts_idle_keys(
+    spark, fixture_dir, drop_dir, tmp_path
+):
     """With state_ttl_ms, an idle key's state is evicted and a later
     re-appearance is re-emitted as first-seen (documented approximate
-    contract for unbounded streams)."""
+    contract for unbounded streams).
+
+    Driven as sequential availableNow runs over one checkpoint:
+    with ProcessingTimeTimeout Spark ALWAYS has another micro-batch to
+    run (processing time advances forever), so ``processAllAvailable``
+    under the default trigger never returns — the availableNow pattern
+    is the supported way to step a TTL'd stateful query in tests."""
     import time
 
     from resilispark.streaming import read_warc_stream, stateful_first_seen
 
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        # file sink (memory sink cannot recover from a checkpoint);
+        # returns the CUMULATIVE row count across runs
+        deduped = stateful_first_seen(
+            read_warc_stream(spark, drop_dir), state_ttl_ms=200
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.read.parquet(out).count()
+
     shutil.copy(f"{fixture_dir}/golden-50.warc.gz", f"{drop_dir}/a.warc.gz")
-    deduped = stateful_first_seen(read_warc_stream(spark, drop_dir), state_ttl_ms=200)
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("warc_dedup_ttl")
-        .start()
-    )
-    q.processAllAvailable()
-    n1 = spark.sql("SELECT count(*) c FROM warc_dedup_ttl").collect()[0].c
-    assert n1 == 50
-    # let the TTL lapse, then tick a batch with an UNRELATED key so the
+    assert run_once() == 50
+    # let the TTL lapse, then tick a run with an UNRELATED key so the
     # idle keys' processing-time timeouts fire and their state is
     # removed (timeouts only fire for keys absent from the batch)
     time.sleep(1.0)
@@ -157,10 +176,63 @@ def test_stateful_first_seen_ttl_evicts_idle_keys(spark, fixture_dir, drop_dir):
         payload=b"tick",
     )
     write_warc([tick], f"{drop_dir}/tick.warc")
-    q.processAllAvailable()
+    assert run_once() == 51  # + the tick
     # replay the SAME 50 keys: their state was evicted -> re-emitted
     shutil.copy(f"{fixture_dir}/golden-50.warc", f"{drop_dir}/b.warc")
+    assert run_once() == 101  # + 50 re-emitted after eviction
+
+
+def test_offset_compaction_unit(tmp_path, fixture_dir):
+    """mtime offset compaction: the checkpointed offset holds only the
+    recent mtime window, yet files are planned exactly once."""
+    import os
+    import time
+
+    from resilispark.streaming.warc_stream import WarcStreamReader
+
+    d = str(tmp_path / "drop")
+    os.makedirs(d)
+    rdr = WarcStreamReader(
+        {"path": d, "offset_compaction": "mtime", "mtime_slack_sec": "3600"}
+    )
+    o0 = rdr.initialOffset()
+    assert o0 == {"wm": 0.0, "recent": []}
+    now = time.time()
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", f"{d}/a.warc.gz")
+    os.utime(f"{d}/a.warc.gz", (now, now))
+    o1 = rdr.latestOffset()
+    assert [p.split("/")[-1] for p in o1["recent"]] == ["a.warc.gz"]
+    assert len(rdr.partitions(o0, o1)) >= 1
+    # second drop: only the delta is planned
+    shutil.copy(f"{fixture_dir}/golden-50.warc", f"{d}/b.warc")
+    os.utime(f"{d}/b.warc", (now + 1, now + 1))
+    o2 = rdr.latestOffset()
+    new = rdr.partitions(o1, o2)
+    assert {p.path.split("/")[-1] for p in new} == {"b.warc"}
+    assert rdr.partitions(o2, rdr.latestOffset()) == []
+    # a file older than the slack window at first sight is OUTSIDE the
+    # compacted offset (the documented maxFileAge-style contract)
+    shutil.copy(f"{fixture_dir}/golden-50.warc", f"{d}/old.warc")
+    os.utime(f"{d}/old.warc", (now - 7200, now - 7200))
+    o3 = rdr.latestOffset()
+    assert "old.warc" not in {p.split("/")[-1] for p in o3["recent"]}
+    # offset size tracks the recent window, not stream lifetime
+    assert len(o3["recent"]) == 2
+
+
+def test_offset_compaction_stream_end_to_end(spark, fixture_dir, drop_dir):
+    from resilispark.streaming import read_warc_stream
+
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", f"{drop_dir}/a.warc.gz")
+    stream = read_warc_stream(
+        spark, drop_dir, offset_compaction="mtime", mtime_slack_sec=3600
+    )
+    q = _start(spark, stream.select("record_id"), "warc_compact")
     q.processAllAvailable()
-    n2 = spark.sql("SELECT count(*) c FROM warc_dedup_ttl").collect()[0].c
+    n1 = spark.sql("SELECT count(*) c FROM warc_compact").collect()[0].c
+    assert n1 == 50
+    shutil.copy(f"{fixture_dir}/golden-50.warc", f"{drop_dir}/b.warc")
+    q.processAllAvailable()
+    n2 = spark.sql("SELECT count(*) c FROM warc_compact").collect()[0].c
     q.stop()
-    assert n2 == 101  # 50 + tick + 50 re-emitted after eviction
+    assert n2 == 100
