@@ -279,6 +279,29 @@ def main() -> None:
     big_labels.add(f"html_parse_title_{n_html}_docs")
     big_labels.add(f"html_extract_main_{n_html}_docs")
 
+    # detect_fast SINGLE-CORE row comparable to BASELINE's `resiliparse
+    # lang benchmark` ~5,900 detections/s on avg-webpage-size input
+    # (docs/man/parse/lang.rst:64-67): in-process loop over ~4 KB texts.
+    from resilispark.functions.lang import detect_fast
+
+    lang_texts = [
+        (t or "x") * max(1, 4000 // max(1, len(t or "x")))
+        for t in (
+            r.text
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("text").limit(1000).collect()
+        )
+    ]
+    lang_texts = [t[:4000] for t in lang_texts]
+    detect_fast(lang_texts[0])  # warm profile matrix
+
+    def lang_run():
+        for t in lang_texts:
+            detect_fast(t)
+
+    timings[f"lang_detect_1core_{len(lang_texts)}_docs"] = timed_median(lang_run)
+    big_labels.add(f"lang_detect_1core_{len(lang_texts)}_docs")
+
     sf = None
     base = os.path.basename(sf_dir.rstrip("/"))
     if base.startswith("sf"):

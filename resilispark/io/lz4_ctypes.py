@@ -100,7 +100,9 @@ class _Decoder:
             raise MemoryError("LZ4F_createDecompressionContext failed")
         self._ctx = ctx
         self._n = len(data)
-        if isinstance(data, (bytearray, memoryview)):
+        if isinstance(data, bytearray) or (
+            isinstance(data, memoryview) and not data.readonly
+        ):
             # writable buffers can be pinned zero-copy
             self._src = (ctypes.c_char * self._n).from_buffer(data)
         else:
