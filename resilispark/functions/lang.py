@@ -47,25 +47,36 @@ def vectorize(text: str, vec_len: int = VEC_LEN, max_chars: int = 4096) -> np.nd
     the kernel stays per-core comparable with the reference's C loop).
     """
     t = " ".join(text[:max_chars].lower().split())
-    counts = np.zeros(vec_len, dtype=np.float64)
-    data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint32)
     n = len(data)
-    mask = np.uint64(0xFFFFFFFF)
-    prime = np.uint64(_FNV_PRIME)
+    # uint32 arithmetic wraps mod 2**32 natively, so the explicit
+    # `& 0xFFFFFFFF` pass of the uint64 variant disappears; power-of-two
+    # vec_len (both public defaults) folds with a bitwise and
+    prime = np.uint32(_FNV_PRIME)
+    pow2 = vec_len > 0 and (vec_len & (vec_len - 1)) == 0
+    vmask = np.uint32(vec_len - 1)
     # incremental fold: the glen-g hash at position i extends the
     # glen-(g-1) hash with byte i+g-1, so each n-gram length is ONE
     # xor-multiply pass over the previous state instead of g passes
     # from scratch (5 array passes total, not 15)
     h = None
+    idxs = []
     for glen in (1, 2, 3, 4, 5):
         if n < glen:
             break
         m = n - glen + 1
         if h is None:
-            h = ((np.full(m, _FNV_OFFSET, dtype=np.uint64) ^ data) * prime) & mask
+            h = (np.full(m, _FNV_OFFSET, dtype=np.uint32) ^ data) * prime
         else:
-            h = ((h[:m] ^ data[glen - 1 :]) * prime) & mask
-        counts += np.bincount((h % np.uint64(vec_len)).astype(np.int64), minlength=vec_len)
+            h = (h[:m] ^ data[glen - 1 :]) * prime
+        idxs.append(h & vmask if pow2 else h % np.uint32(vec_len))
+    if idxs:
+        # ONE bincount over the concatenated n-gram indices == the sum
+        # of five per-length bincounts (exact; integer counts)
+        flat = np.concatenate(idxs) if len(idxs) > 1 else idxs[0]
+        counts = np.bincount(flat.astype(np.intp), minlength=vec_len).astype(np.float64)
+    else:
+        counts = np.zeros(vec_len, dtype=np.float64)
     mx = counts.max() if n else 0
     if mx > 0:
         counts = counts * (255.0 / mx)
@@ -309,10 +320,15 @@ def detect_fast(
         vec /= norm
     cos = mat @ vec  # one matvec scores every candidate profile
     ranks = ((1.0 - cos) * 1000.0).astype(np.int64)
-    scored = sorted(zip(ranks.tolist(), all_langs))
     penalty = 200 if len(text or "") < 150 else 0
-    top = [
+    if n_results == 1:
+        # argmin on the INT ranks picks the alphabetically-first among
+        # equal ranks (all_langs is sorted), identical to sorted()[0]
+        i = int(ranks.argmin())
+        r = int(ranks[i]) + penalty
+        return (all_langs[i] if r <= cutoff else "unknown", r)
+    scored = sorted(zip(ranks.tolist(), all_langs))
+    return [
         (lg if r + penalty <= cutoff else "unknown", r + penalty)
         for r, lg in scored[:n_results]
     ]
-    return top[0] if n_results == 1 else top
