@@ -796,16 +796,75 @@ def _link_density(n: Node) -> float:
     return min(1.0, link / total)
 
 
+def _build_main_tables():
+    """Fold the candidate vocabulary into direct-lookup tables: every
+    candidate is a single simple selector (tag / [attr=val] / .class /
+    #id), so the per-element test collapses to a handful of dict gets
+    instead of 10 compiled-matcher closures. Candidates that outgrow
+    the simple form fall back to their compiled matcher."""
+    tag_t: dict[str, list[int]] = {}
+    id_t: dict[str, list[int]] = {}
+    cls_t: dict[str, list[int]] = {}
+    attr_t: dict[tuple[str, str], list[int]] = {}
+    generic: list[tuple[int, tuple]] = []
+    for i, sel in enumerate(_MAIN_CANDIDATES):
+        s = sel.strip()
+        if re.fullmatch(r"[a-zA-Z][\w-]*", s):
+            tag_t.setdefault(s.lower(), []).append(i)
+        elif re.fullmatch(r"#[\w-]+", s):
+            id_t.setdefault(s[1:], []).append(i)
+        elif re.fullmatch(r"\.[\w-]+", s):
+            cls_t.setdefault(s[1:], []).append(i)
+        elif m := re.fullmatch(r"\[([\w-]+)=\"?([\w-]*)\"?\]", s):
+            attr_t.setdefault((m.group(1).lower(), m.group(2)), []).append(i)
+        else:
+            generic.append((i, _compiled_selector_list(s)))
+    attr_names = sorted({a for a, _ in attr_t})
+    return tag_t, id_t, cls_t, attr_t, attr_names, generic
+
+
+_MAIN_TABLES = _build_main_tables()
+
+
 def _find_main_root(root: Node) -> Node:
     """First candidate selector with EXACTLY one match wins
     (html2text.pyx:877-890).  All candidates are evaluated in a single
-    tree walk instead of one walk per selector — candidate priority is
+    tree walk via the precompiled lookup tables — candidate priority is
     preserved by picking afterwards."""
-    matcher_groups = [_compiled_selector_list(s) for s in _MAIN_CANDIDATES]
-    counts = [0] * len(matcher_groups)
-    firsts: list[Node | None] = [None] * len(matcher_groups)
+    tag_t, id_t, cls_t, attr_t, attr_names, generic = _MAIN_TABLES
+    counts = [0] * len(_MAIN_CANDIDATES)
+    firsts: list[Node | None] = [None] * len(_MAIN_CANDIDATES)
+
+    def hit(groups: list[int], n: Node) -> None:
+        for i in groups:
+            counts[i] += 1
+            if firsts[i] is None:
+                firsts[i] = n
+
     for n in root.iter_elements():
-        for i, ms in enumerate(matcher_groups):
+        attrs = n.attrs
+        g = tag_t.get(n.tag)
+        if g is not None:
+            hit(g, n)
+        if attrs:
+            ident = attrs.get("id")
+            if ident is not None and (g := id_t.get(ident)) is not None:
+                hit(g, n)
+            cls = attrs.get("class")
+            if cls:
+                seen: set[int] = set()
+                for c in cls.split():
+                    for i in cls_t.get(c, ()):
+                        if i not in seen:
+                            seen.add(i)
+                            counts[i] += 1
+                            if firsts[i] is None:
+                                firsts[i] = n
+            for a in attr_names:
+                v = attrs.get(a)
+                if v is not None and (g := attr_t.get((a, v))) is not None:
+                    hit(g, n)
+        for i, ms in generic:
             if any(m(n) for m in ms):
                 counts[i] += 1
                 if firsts[i] is None:
@@ -916,18 +975,21 @@ class _Renderer:
     def text(self, t: str):
         if not t:
             return
-        collapsed = _WS.sub(" ", t)
+        # raw append: flush() collapses the joined line once, so the
+        # per-chunk _WS.sub of earlier revisions was redundant work.
+        # strip(ASCII ws) == "" iff the chunk collapses to " "
+        ws_only = not t.strip(" \t\r\n\f\v")
         if self.swallow_ws:
-            if collapsed == " ":
+            if ws_only:
                 return
             self.swallow_ws = False
-        if collapsed == " " and self.cur_prefix is None:
+        if ws_only and self.cur_prefix is None:
             # inter-element whitespace doesn't open a line
             if self.cur:
                 self.cur.append(" ")
             return
         self._open_line()
-        self.cur.append(collapsed)
+        self.cur.append(t)
 
     def raw_lines(self, t: str):
         """Preformatted content: first line joins the current line
@@ -1041,21 +1103,24 @@ def extract_plain_text(
             # hidden/aria-hidden ATTRIBUTES always prune (pyx:588-604);
             # class/inline-CSS hiding is gated by hidden_elements
             # (pyx:626-629 keep_hidden).
-            if _is_hidden_attr(n):
-                return
-            if not hidden_elements and _is_hidden_css(n):
-                return
-            ident = (n.attr("class") or "") + " " + (n.attr("id") or "")
             if tag in ("nav", "aside", "footer", "header") and n is not base:
                 return
-            if (n.attr("role") or "").lower() in ("navigation", "banner", "contentinfo"):
-                return
-            if _BOILERPLATE.search(ident):
-                return
-            if not comments and _COMMENTS_CLS.search(ident):
-                return
-            if not post_meta and _POST_META_CLS.search(ident):
-                return
+            # every remaining prune keys off attributes — attribute-less
+            # elements (the common case) skip the whole cascade
+            if n.attrs:
+                if _is_hidden_attr(n):
+                    return
+                if not hidden_elements and _is_hidden_css(n):
+                    return
+                ident = (n.attr("class") or "") + " " + (n.attr("id") or "")
+                if (n.attr("role") or "").lower() in ("navigation", "banner", "contentinfo"):
+                    return
+                if _BOILERPLATE.search(ident):
+                    return
+                if not comments and _COMMENTS_CLS.search(ident):
+                    return
+                if not post_meta and _POST_META_CLS.search(ident):
+                    return
             if tag in ("div", "section", "ul", "table") and len(n.full_text()) > 20 and _link_density(n) > 0.75:
                 return
         if tag == "br":
