@@ -477,30 +477,23 @@ def _fast_feed(b: "_TreeBuilder", src: str) -> None:
     n = len(src)
     pos = 0
     find = src.find
-    tok_match = _TOKEN_RE.match
+    tok_search = _TOKEN_RE.search
     data = b.handle_data
-    buf: list[str] = []
-    buf_append = buf.append
     lsrc = None  # lazily lowered copy for rawtext close-tag search
     while pos < n:
-        i = find("<", pos)
-        if i < 0:
-            buf_append(src[pos:])
-            break
-        if i > pos:
-            buf_append(src[pos:i])
-        m = tok_match(src, i)
+        # ONE search per token: the C engine's literal-'<' scan skips
+        # stray '<'s itself, so the text run up to the next real token
+        # (strays included — convert_charrefs buffering semantics) is a
+        # single slice instead of a Python-side buffer
+        m = tok_search(src, pos)
         if m is None:
-            # stray '<' merges into the text run (convert_charrefs
-            # buffering semantics)
-            buf_append("<")
-            pos = i + 1
-            continue
-        if buf:
-            text = buf[0] if len(buf) == 1 else "".join(buf)
+            text = src[pos:]
             data(unescape(text) if "&" in text else text)
-            buf = []
-            buf_append = buf.append
+            break
+        i = m.start()
+        if i > pos:
+            text = src[pos:i]
+            data(unescape(text) if "&" in text else text)
         pos = m.end()
         # dispatch on lastgroup (ONE attribute read) instead of probing
         # each named group; start tags always end on the attrs group
@@ -559,9 +552,6 @@ def _fast_feed(b: "_TreeBuilder", src: str) -> None:
             etag = m.group(1)
             b.handle_endtag(etag if etag.islower() else etag.lower())
         # comments / declarations / PIs: dropped (builder ignores)
-    if buf:
-        text = buf[0] if len(buf) == 1 else "".join(buf)
-        data(unescape(text) if "&" in text else text)
 
 
 def parse_html(html: str) -> Node:
