@@ -88,17 +88,16 @@ def main() -> None:
     # BASELINE.md-comparable throughput runs (names carry the record
     # count; e.g. records/s = 15002 / warc_scan_gz_15002_recs).
     # Per-core floor analysis on the 150k-record fixture (plain scan):
-    # the parse kernel runs at ~64k rec/s in-process (within 1.7x of
-    # the reference's 108.5k native single-core rate) and the data
-    # source (kernel + Arrow batches) at ~38k; the pinned wall rows
-    # additionally carry the Spark worker/transport overhead. gzip
-    # single-core (~25k rec/s) BEATS the reference's 10.4k.
-    # LZ4 floor: the fixture carries REALLY-compressed frames
-    # (lz4f.compress greedy matcher, ~0.66 ratio on the synthetic
-    # records); pure-Python member decode measures ~25k members/s
-    # single-core on this fixture (reference native: 49.8k rec/s) and
-    # the full single-core scan ~19k rec/s — the CDXJ-split rows fan
-    # the same scan across all cores (~110k rec/s wall).
+    # the parse kernel runs at ~90k rec/s in-process (within 1.2x of
+    # the reference's 108.5k native single-core rate); the pinned wall
+    # row (~59k rec/s, 1.8x) additionally carries the Arrow batch
+    # assembly (headers map column) + Spark worker transport. gzip
+    # single-core (~33k rec/s) BEATS the reference's 10.4k ~3x.
+    # LZ4: frame decode binds the system liblz4 via ctypes
+    # (io/lz4_ctypes.py; pure-Python lz4f is the fallback), putting the
+    # single-core kernel at ~49k members/s — at parity with the
+    # reference's native 49.8k rec/s — and the wall row ~41k (1.2x).
+    # The CDXJ-split rows fan the same scans across all cores.
     # Two fixture sizes: the 15k-record (12 MiB) fixture keeps the
     # historical row names comparable across rounds, and the 150k-record
     # (~120 MiB) fixture makes the per-core numbers load-bearing — at
