@@ -24,6 +24,13 @@ The engine therefore maps the semantics down a level:
    read failure the source is re-opened with a ranged read from the
    last good record offset and already-yielded records are skipped,
    so each record is delivered exactly once.
+ - ``progress_guard / progress / progress_loop``: progress-resettable
+   time guard with optional stderr heartbeat (R3,
+   process_guard.pyx:200-377) — a watchdog thread raises a typed
+   async exception in the guarded thread when no progress() arrives
+   within the timeout, escalating to interrupt_main after a grace
+   period; report_every prints per-partition liveness lines into the
+   executor's task stderr log.
  - task-level hard limits stay with Spark itself
    (``spark.task.reaper.enabled``, executor memory caps).
 """
@@ -31,6 +38,9 @@ The engine therefore maps the semantics down a level:
 from __future__ import annotations
 
 import concurrent.futures
+import sys
+import threading
+import time
 from typing import Any, Callable, Iterable, Iterator
 
 _POOL: concurrent.futures.ThreadPoolExecutor | None = None
@@ -173,3 +183,158 @@ def iter_warc_retry(
             retries += 1
             if retry_count and retries > retry_count:
                 raise
+
+
+# ---------------------------------------------------------------------
+# R3: progress heartbeat (process_guard.pyx:200-377)
+# ---------------------------------------------------------------------
+
+
+class TimeGuardExpired(RuntimeError):
+    """Raised inside a guarded context when no progress() arrived
+    within the timeout (the reference's ExecutionTimeout)."""
+
+
+_CTX = threading.local()
+
+
+class ProgressGuard:
+    """Progress-resettable time guard (R3 + the epoch half of R1).
+
+    Mirrors the reference's TimeGuard watchdog (process_guard.pyx:
+    200-252): a daemon thread polls every ``check_interval`` seconds;
+    each ``progress()`` call stores a new epoch, resetting the clock.
+    When no progress arrives within ``timeout`` seconds the watchdog
+    raises :class:`TimeGuardExpired` asynchronously in the guarded
+    thread (the reference's InterruptType.exception mechanism); if the
+    thread still hasn't reacted after ``grace_period`` more seconds it
+    escalates to ``_thread.interrupt_main()`` (the signal escalation —
+    only reaches the interpreter main thread, which is where Spark's
+    Python worker runs UDF kernels).
+
+    ``report_every`` > 0 additionally prints a heartbeat line to stderr
+    every N items — on an executor this lands in the task's stderr log,
+    giving per-partition liveness visibility for multi-hour scans.
+
+    Like the reference's exception interrupt, delivery needs the target
+    to be executing Python bytecode: a kernel stuck inside one long C
+    call is only interrupted when it returns to the interpreter.
+    """
+
+    def __init__(
+        self,
+        timeout: float = 60.0,
+        *,
+        grace_period: float = 15.0,
+        check_interval: float = 0.05,
+        report_every: int = 0,
+        label: str = "",
+    ):
+        self.timeout = timeout
+        self.grace_period = grace_period
+        self.check_interval = check_interval
+        self.report_every = report_every
+        self.label = label
+        self.count = 0
+        self._epoch = 0.0
+        self._ended = threading.Event()
+        self._expired = False
+        self._tid: int | None = None
+        self._watchdog: threading.Thread | None = None
+
+    # -- context management (reference: decorator/context manager) ----
+    def __enter__(self) -> "ProgressGuard":
+        stack = getattr(_CTX, "stack", None)
+        if stack is None:
+            stack = _CTX.stack = []
+        stack.append(self)
+        self._epoch = time.monotonic()
+        self._tid = threading.get_ident()
+        self._ended.clear()
+        self._watchdog = threading.Thread(target=self._watch, daemon=True)
+        self._watchdog.start()
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        self._ended.set()
+        _CTX.stack.pop()
+        if self._watchdog is not None:
+            self._watchdog.join(timeout=1.0)
+        # the escalation path delivers KeyboardInterrupt; surface it as
+        # the typed timeout so callers see ONE exception type
+        if self._expired and exc_type is KeyboardInterrupt:
+            raise TimeGuardExpired(
+                f"no progress within {self.timeout}s"
+                + (f" ({self.label})" if self.label else "")
+            ) from exc
+        return False
+
+    # -- heartbeat -----------------------------------------------------
+    def progress(self) -> None:
+        """Store a new epoch, resetting the watchdog clock (thread-safe
+        — a float store is atomic under the GIL)."""
+        self.count += 1
+        self._epoch = time.monotonic()
+        if self.report_every and self.count % self.report_every == 0:
+            print(
+                f"resilispark progress{' ' + self.label if self.label else ''}: "
+                f"{self.count} items",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    # -- watchdog ------------------------------------------------------
+    def _watch(self) -> None:
+        import ctypes
+
+        raised = False
+        while not self._ended.wait(self.check_interval):
+            idle = time.monotonic() - self._epoch
+            if idle >= self.timeout and not raised:
+                raised = True
+                self._expired = True
+                ctypes.pythonapi.PyThreadState_SetAsyncExc(
+                    ctypes.c_ulong(self._tid),
+                    ctypes.py_object(TimeGuardExpired),
+                )
+            elif idle >= self.timeout + self.grace_period and raised:
+                # still stuck (blocked outside the interpreter):
+                # escalate like the reference's signal pass
+                import _thread
+
+                _thread.interrupt_main()
+                return
+
+
+def progress_guard(timeout: float = 60.0, **kwargs) -> ProgressGuard:
+    """Factory mirroring the reference's ``time_guard(...)`` context
+    entry point (process_guard.pyx:255-321) for the progress-resettable
+    flavor."""
+    return ProgressGuard(timeout, **kwargs)
+
+
+def progress(ctx: ProgressGuard | None = None) -> None:
+    """Report progress to ``ctx`` or the innermost active guard
+    (process_guard.pyx:324-357)."""
+    if ctx is None:
+        stack = getattr(_CTX, "stack", None)
+        if not stack:
+            raise RuntimeError("progress() called outside a progress_guard context")
+        ctx = stack[-1]
+    ctx.progress()
+
+
+def progress_loop(it: Iterable[Any], ctx: ProgressGuard | None = None) -> Iterator[Any]:
+    """Pass-through iterator reporting progress after each item
+    (process_guard.pyx:360-375)."""
+    if ctx is None:
+        stack = getattr(_CTX, "stack", None)
+        if not stack:
+            raise RuntimeError(
+                "progress_loop() called outside a progress_guard context"
+            )
+        ctx = stack[-1]
+    prog = ctx.progress
+    for item in it:
+        yield item
+        prog()

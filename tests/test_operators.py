@@ -192,6 +192,54 @@ class TestGuards:
         ok, err = exc_loop(int)("nope")
         assert ok is None and err.startswith("ValueError")
 
+    def test_progress_loop_keeps_guard_alive(self):
+        import time as _t
+
+        from resilispark.operators.guards import progress_guard, progress_loop
+
+        # total runtime (1s) far exceeds the timeout (0.3s), but each
+        # item reports progress, so the guard never fires
+        with progress_guard(timeout=0.3, check_interval=0.02) as g:
+            n = 0
+            for _ in progress_loop(range(10)):
+                _t.sleep(0.1)
+                n += 1
+        assert n == 10 and g.count == 10
+
+    def test_progress_guard_expires_on_stall(self):
+        import time as _t
+
+        import pytest as _pt
+
+        from resilispark.operators.guards import (
+            TimeGuardExpired,
+            progress,
+            progress_guard,
+        )
+
+        with _pt.raises(TimeGuardExpired):
+            with progress_guard(timeout=0.2, check_interval=0.02):
+                progress()  # one heartbeat, then stall
+                for _ in range(200):
+                    _t.sleep(0.05)  # interpreter-visible sleep slices
+
+    def test_progress_heartbeat_lines(self, capsys):
+        from resilispark.operators.guards import progress_guard, progress_loop
+
+        with progress_guard(timeout=60.0, report_every=5, label="p7") as g:
+            for _ in progress_loop(range(12), g):
+                pass
+        err = capsys.readouterr().err
+        assert err.count("resilispark progress p7:") == 2  # items 5 and 10
+
+    def test_progress_outside_context_raises(self):
+        import pytest as _pt
+
+        from resilispark.operators.guards import progress
+
+        with _pt.raises(RuntimeError):
+            progress()
+
 
 class TestDedupApi:
     @pytest.fixture(scope="class")
