@@ -88,6 +88,31 @@ def _fused_extract(main_content: bool):
     return run
 
 
+def extract_html_docs(
+    records: DataFrame,
+    *,
+    main_content: bool = True,
+    repartition: int | None = None,
+) -> DataFrame:
+    """Source-agnostic fused extract stage: HTML-response filter ->
+    one-Arrow-hop decode→DOM→main-content→lang kernel.
+
+    Works on BATCH scans (``spark.read.format("warc")``) and on the
+    ``warc-stream`` STREAMING source alike — the kernel is stateless
+    mapInPandas, so on a streaming frame it composes with downstream
+    watermarks / windowed aggregations (T2: the streaming analog of the
+    reference's Beam ReadWarcs >> Map(extract) chain, docs/man/
+    beam.rst). ``repartition`` inserts the fusion break (Beam's
+    Reshuffle) — leave None on streams whose micro-batches already fan
+    out across member-split partitions."""
+    out = records.filter(F.col("http_content_type") == "text/html")
+    if repartition:
+        out = out.repartition(repartition)
+    return out.select(
+        "target_uri", "warc_date", "payload", "http_headers", "http_charset"
+    ).mapInPandas(_fused_extract(main_content), schema=_DOCS_SCHEMA)
+
+
 def warc_to_html_docs(
     spark: SparkSession,
     path: str,
@@ -115,19 +140,19 @@ def warc_to_html_docs(
     reader = spark.read.format("warc").option("record_types", "response")
     for k, v in (scan_options or {}).items():
         reader = reader.option(k, str(v))
+    if fused:
+        # fusion break inside extract_html_docs: a single compressed
+        # WARC scans as one partition; spread records across cores
+        # before the kernel runs — the exact Reshuffle the reference's
+        # Beam source inserts (beam/fileio.py:42-44)
+        return extract_html_docs(
+            reader.load(path), main_content=main_content, repartition=n_cores
+        )
     records = (
         reader.load(path)
         .filter(F.col("http_content_type") == "text/html")
-        # fusion break: a single compressed WARC scans as one partition;
-        # spread records across cores before the kernel UDFs run — the
-        # exact Reshuffle the reference's Beam source inserts
-        # (beam/fileio.py:42-44)
         .repartition(n_cores)
     )
-    if fused:
-        return records.select(
-            "target_uri", "warc_date", "payload", "http_headers", "http_charset"
-        ).mapInPandas(_fused_extract(main_content), schema=_DOCS_SCHEMA)
 
     udfs = register_functions(spark)
 

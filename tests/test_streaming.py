@@ -236,3 +236,50 @@ def test_offset_compaction_stream_end_to_end(spark, fixture_dir, drop_dir):
     n2 = spark.sql("SELECT count(*) c FROM warc_compact").collect()[0].c
     q.stop()
     assert n2 == 100
+
+
+def test_streaming_extract_pipeline(spark, fixture_dir, drop_dir):
+    """Flagship-in-streaming: warc-stream source -> fused
+    decode->DOM->main-content->lang kernel -> watermarked tumbling
+    lang counts. The kernel stage is stateless mapInPandas, so it
+    composes with the stateful windowed agg downstream."""
+    from pyspark.sql import functions as F
+
+    from resilispark.operators.pipelines import extract_html_docs
+    from resilispark.streaming import read_warc_stream
+
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", f"{drop_dir}/a.warc.gz")
+    docs = extract_html_docs(read_warc_stream(spark, drop_dir))
+    assert docs.isStreaming
+
+    q = _start(spark, docs, "warc_extract_s")
+    q.processAllAvailable()
+    rows = spark.sql(
+        "SELECT url, title, plain_text, lang FROM warc_extract_s"
+    ).collect()
+    q.stop()
+    assert rows, "no documents extracted from the stream"
+    assert all(r.url for r in rows)
+    assert any(r.title for r in rows)
+    assert any(r.plain_text for r in rows)
+
+    # windowed agg over the extracted stream (event time = warc_date)
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", f"{drop_dir}/b.warc.gz")
+    docs2 = extract_html_docs(read_warc_stream(spark, drop_dir))
+    counts = (
+        docs2.withWatermark("warc_date", "10 minutes")
+        .groupBy(F.window("warc_date", "1 hour").alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q2 = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("warc_extract_counts")
+        .start()
+    )
+    q2.processAllAvailable()
+    total = spark.sql(
+        "SELECT sum(n) s FROM warc_extract_counts"
+    ).collect()[0].s
+    q2.stop()
+    assert total == 2 * len(rows)  # both dropped files counted
