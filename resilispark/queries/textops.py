@@ -887,37 +887,41 @@ def d08_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint lineage executes once — no re-join against the
     fingerprint table.
     """
+    from resilispark.operators.dedup import lsh_bucket_pairs
+
     fps = d05_simhash(spark, sf_dir)
+    # pack (doc_id, simhash16) into ONE struct used as the pair id:
+    # struct comparison is field-lexicographic and doc_id (unique)
+    # leads, so the a<b / least/greatest pair canonicalization inside
+    # lsh_bucket_pairs orders exactly by doc_id — and the fingerprint
+    # still travels WITH the bucket rows (no re-join) while the
+    # bucket-chunking caps any hot 8-bit chunk value at max_bucket
+    # members per task (a boilerplate-heavy corpus can drop millions
+    # of docs into one chunk value; collect_set over that in a single
+    # row is an executor OOM at 100 TB)
     chunks = fps.select(
-        "doc_id",
-        "simhash16",
+        F.struct("doc_id", "simhash16").alias("m"),
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright("simhash16", 8 * i).bitwiseAND(F.lit(255)).alias("cv"),
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("simhash16", 8 * i).bitwiseAND(F.lit(255)).alias("val"),
                     )
                     for i in range(2)
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash16", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
-    buckets = (
-        chunks.groupBy("ci", "cv")
-        .agg(F.collect_set(F.struct("doc_id", "simhash16")).alias("ms"))
-        .filter(F.size("ms") >= 2)
-    )
+    ).select("m", F.col("c.band_idx").alias("band_idx"), F.col("c.val").alias("val"))
     pairs = (
-        buckets.select(F.explode("ms").alias("a"), "ms")
-        .select("a", F.explode("ms").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        lsh_bucket_pairs(chunks, "m")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash16 ^ b.simhash16)").cast("int").alias("hamming"),
+            F.col("doc_a.doc_id").alias("doc_a"),
+            F.col("doc_b.doc_id").alias("doc_b"),
+            F.expr("bit_count(doc_a.simhash16 ^ doc_b.simhash16)").cast("int").alias(
+                "hamming"
+            ),
         )
-        .distinct()
     )
     return pairs.filter(F.col("hamming") <= 1).orderBy("doc_a", "doc_b")
 

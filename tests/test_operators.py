@@ -541,6 +541,26 @@ class TestLshBucketCap:
         want = sorted((r.doc_a, r.doc_b) for r in naive.collect())
         assert got == want and len(want) > 0
 
+    def test_struct_id_hot_bucket_exact(self, spark):
+        """The d08 shape: (doc_id, payload) packed into a struct id, all
+        rows in ONE bucket value — the chunked path must still emit the
+        exact all-pairs set (struct comparison orders by leading
+        doc_id) with per-chunk arrays bounded by max_bucket."""
+        from resilispark.operators.dedup import lsh_bucket_pairs
+
+        n = 400
+        rows = spark.range(n).select(
+            F.struct(F.col("id").alias("doc_id"), F.lit(7).alias("simhash16")).alias("m"),
+            F.lit(0).alias("band_idx"),
+            F.lit(7).alias("val"),
+        )
+        pairs = lsh_bucket_pairs(rows, "m", max_bucket=64)
+        assert pairs.count() == n * (n - 1) // 2
+        one = pairs.select(
+            F.col("doc_a.doc_id").alias("a"), F.col("doc_b.doc_id").alias("b")
+        ).filter("a >= b")
+        assert one.count() == 0  # canonical ordering holds for struct ids
+
 
 class TestHyperplaneLsh:
     @pytest.fixture(scope="class")
