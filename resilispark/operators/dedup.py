@@ -126,6 +126,7 @@ def lsh_bucket_pairs(
     *,
     max_bucket: int = 1024,
     checkpoint: bool = True,
+    distinct: bool = True,
 ) -> DataFrame:
     """Exact all-pairs per (band_idx, val) bucket with BOUNDED per-task
     state — the 100 TB-safe candidate generator.
@@ -152,6 +153,12 @@ def lsh_bucket_pairs(
     semantics. (The pair COUNT of a hot bucket is inherently O(m²);
     when that itself is too much, link components via
     ``connected_components`` on star edges instead of all-pairs.)
+
+    ``distinct=False`` keeps per-bucket multiplicity: each pair is
+    emitted once PER (band_idx, val) bucket it co-occurs in (assumes an
+    id appears at most once per bucket, as a distinct band/posting
+    table guarantees) — the shape posting-list intersection counts
+    need (``n_common = count per pair``).
     """
     if checkpoint:
         bands_df = bands_df.localCheckpoint(eager=True)
@@ -192,7 +199,8 @@ def lsh_bucket_pairs(
             F.greatest("ha._id", "hb._id").alias("doc_b"),
         )
     )
-    return intra.unionAll(cross).distinct()
+    combined = intra.unionAll(cross)
+    return combined.distinct() if distinct else combined
 
 
 def band_table(

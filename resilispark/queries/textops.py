@@ -125,23 +125,21 @@ def d02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets; emit pairs above 0.08. The shingle table is the
     explode; the pair table is an equi join on the shingle value.
     """
+    from resilispark.operators.dedup import lsh_bucket_pairs
+
     d = _docs(spark, sf_dir)
     sh = _shingle_df(d).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # pair generation by shingle bucket (one grouped pass over the
-    # shingle table) instead of a shingle self-join, which would
-    # re-execute the explode lineage on both join branches; posting
-    # lists per shingle are small for natural text (a stopword-like
-    # hyper-frequent shingle needs a df cap at 100 TB)
-    buckets = (
-        sh.groupBy("shingle")
-        .agg(F.collect_set("doc_id").alias("ids"))
-        .filter(F.size("ids") >= 2)
+    # pair generation through the chunked-bucket candidate generator
+    # (one grouped pass over the posting lists, hot shingles split at
+    # max_bucket — a stopword-like hyper-frequent shingle cannot build
+    # one giant array on a single reducer); distinct=False keeps one
+    # row per shared shingle, so the count IS the intersection size
+    postings = sh.select(
+        "doc_id", F.lit(0).alias("band_idx"), F.col("shingle").alias("val")
     )
     inter = (
-        buckets.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        lsh_bucket_pairs(postings, "doc_id", distinct=False)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

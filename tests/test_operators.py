@@ -561,6 +561,27 @@ class TestLshBucketCap:
         ).filter("a >= b")
         assert one.count() == 0  # canonical ordering holds for struct ids
 
+    def test_multiplicity_counts_shared_buckets(self, spark):
+        """distinct=False: a pair co-occurring in k buckets appears k
+        times — the posting-list intersection count d02 needs — and
+        chunking a hot bucket must not change the multiplicities."""
+        from resilispark.operators.dedup import lsh_bucket_pairs
+
+        # docs 0..9 all share buckets 'x' and 'y'; docs 0,1 also share 'z'
+        rows = []
+        for i in range(10):
+            rows += [(i, 0, "x"), (i, 0, "y")]
+        rows += [(0, 0, "z"), (1, 0, "z")]
+        df = spark.createDataFrame(rows, "doc_id long, band_idx int, val string")
+        co = lsh_bucket_pairs(df, "doc_id", max_bucket=3, distinct=False)
+        counts = {
+            (r.doc_a, r.doc_b): r.n
+            for r in co.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert counts[(0, 1)] == 3
+        assert counts[(2, 3)] == 2
+        assert len(counts) == 45  # all pairs of the 10 docs
+
 
 class TestHyperplaneLsh:
     @pytest.fixture(scope="class")
