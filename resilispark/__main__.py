@@ -196,6 +196,39 @@ def cmd_html_benchmark(args) -> int:
     return 0
 
 
+def cmd_lang_benchmark(args) -> int:
+    """Single-core detect_fast rounds over one input file — the loop
+    shape of `resiliparse lang benchmark` (resiliparse-py/resiliparse/
+    cli.py:529-582; published: 1.7 s / 10,000 rounds on avg-webpage-
+    size input, docs/man/parse/lang.rst:64-67). The FastText/langid
+    comparison arms are optional in the reference and skipped here
+    (neither package ships in this environment)."""
+    from resilispark.functions.encoding import bytes_to_str
+    from resilispark.functions.lang import detect_fast
+
+    with open(args.file, "rb") as f:
+        in_data = bytes_to_str(f.read().replace(b"\n", b" "))
+    print(f"Benchmarking language detectors ({args.rounds:,} rounds):")
+    start = time.monotonic()
+    for _ in range(args.rounds):
+        detect_fast(in_data)
+    print(f"resilispark: {time.monotonic() - start:.1f}s")
+    return 0
+
+
+def cmd_encoding_mapping(args) -> int:
+    """Print the engine's WHATWG label->codec mapping as a copyable
+    Python dict — the offline analog of `resiliparse encoding
+    download-whatwg-mapping` (resiliparse-py/resiliparse/cli.py:68-97),
+    which fetches encodings.json and prints the same transformed dict;
+    the engine's table (functions/encoding.py) is that transform
+    pre-baked, so this prints it without the network round trip."""
+    from resilispark.functions.encoding import whatwg_mapping
+
+    print(dict(sorted(whatwg_mapping().items())))
+    return 0
+
+
 def cmd_lang_evaluate(args) -> int:
     """Language-ID evaluation over a labeled split directory — the A4
     confusion-matrix shape of `resiliparse lang evaluate`
@@ -460,8 +493,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("file")
     p.set_defaults(fn=cmd_html_benchmark)
 
+    g = sub.add_parser("encoding", help="encoding module tools")
+    gsub = g.add_subparsers(dest="subcmd", required=True)
+    p = gsub.add_parser(
+        "mapping", help="print the WHATWG label->codec mapping dict"
+    )
+    p.set_defaults(fn=cmd_encoding_mapping)
+
     g = sub.add_parser("lang", help="language module tools")
     gsub = g.add_subparsers(dest="subcmd", required=True)
+    p = gsub.add_parser("benchmark", help="detect_fast rounds over one file")
+    p.add_argument("file")
+    p.add_argument("-r", "--rounds", type=int, default=10000)
+    p.set_defaults(fn=cmd_lang_benchmark)
     p = gsub.add_parser("evaluate", help="precision/recall/F1 over a labeled split")
     p.add_argument("indir")
     p.add_argument("-s", "--split", default="val", choices=["val", "test"])

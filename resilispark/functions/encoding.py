@@ -114,6 +114,12 @@ for _codec, _labels in _WHATWG_ENCODINGS.items():
 _WHATWG_MAP["utf-7"] = "utf-8"
 
 
+def whatwg_mapping() -> dict[str, str | None]:
+    """Copy of the label->codec WHATWG mapping (the dict `resiliparse
+    encoding download-whatwg-mapping` prints, cli.py:68-97)."""
+    return dict(_WHATWG_MAP)
+
+
 _META_CHARSET = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?\s*([\w][\w.:-]*)""", re.IGNORECASE
 )

@@ -207,3 +207,24 @@ def test_lang_create_dataset(capsys, tmp_path, spark):
         got.extend(open(p).read().splitlines())
     # every unique line lands in exactly one split; doc tags stripped
     assert sorted(got) == sorted(lines)
+
+
+def test_lang_benchmark(capsys, tmp_path):
+    from resilispark.__main__ import main
+
+    f = tmp_path / "in.txt"
+    f.write_text("the quick brown fox jumps over the lazy dog\n" * 5)
+    assert main(["lang", "benchmark", str(f), "-r", "50"]) == 0
+    out = capsys.readouterr().out
+    assert "50 rounds" in out and "resilispark:" in out
+
+
+def test_encoding_mapping(capsys):
+    from resilispark.__main__ import main
+    from resilispark.functions.encoding import whatwg_mapping
+
+    assert main(["encoding", "mapping"]) == 0
+    out = capsys.readouterr().out
+    got = eval(out)  # the command prints a copyable Python dict
+    assert got == dict(sorted(whatwg_mapping().items()))
+    assert got["ascii"] == "cp1252"  # WHATWG: ascii label -> windows-1252
