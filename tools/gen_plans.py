@@ -19,7 +19,9 @@ PICKS = {
     "q09_multiway_join": "Four-way join planned as a broadcast chain — zero join shuffles.",
     "q14_topk_per_group": "Per-group top-k via ranking window after a single hash partition.",
     "d01_exact_dedup": "One hash-partitioned exchange on the digest; window over it.",
+    "d02_ngram_jaccard": "Posting lists through the chunked bucket generator (hot shingles split at max_bucket); per-pair counts ARE the intersection sizes.",
     "d04_minhash_lsh_pairs": "Band table checkpointed once; chunked bucket pairs + chunk-pair join (bounded arrays, exact output).",
+    "d08_simhash_pairs": "SimHash chunks as struct ids through the same chunked generator — fingerprints travel with the bucket rows, hot 8-bit values bounded.",
     "d06_embedding_neardup": "Sign-LSH blocked self-join; exact cosine inside buckets only.",
     "t02_token_count": "Pure projection: three regex tokenizations in one codegen stage, no shuffle.",
     "s01_cosine_topk": "Tiny query side broadcast; candidates streamed once.",
