@@ -61,3 +61,27 @@ def test_formatting_spam_bounded(n):
     root = parse_html(html)
     count = sum(1 for _ in root.iter_elements())
     assert count < 20 * n + 200
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    body=st.text(
+        alphabet=st.sampled_from(list("ab &\t\n\r\f\v\x1c\xa0\u2009\u2028")),
+        max_size=40,
+    )
+)
+def test_flush_fast_path_equals_regex_collapse(body):
+    """The renderer's strip-first whitespace fast path must equal the
+    original sub-then-strip regex spelling on ANY text — including
+    non-ASCII whitespace (\xa0,  ,  ) and ASCII control
+    whitespace (\x1c) that str.strip() handles but _WS does not."""
+    from resilispark.functions.html import _WS
+
+    want = _WS.sub(" ", body).strip()
+    got = body.strip()
+    if (
+        "\t" in got or "\n" in got or "\r" in got
+        or "\f" in got or "\v" in got or "  " in got
+    ):
+        got = _WS.sub(" ", got)
+    assert got == want
