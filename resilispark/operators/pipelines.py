@@ -196,3 +196,33 @@ def warc_to_html_docs(
         "mime",
         F.length("plain_text").cast("bigint").alias("n_chars"),
     )
+
+
+def write_docs_partitioned(
+    docs: DataFrame,
+    path: str,
+    *,
+    partition_by: tuple[str, ...] = ("lang",),
+    max_records_per_file: int = 1_000_000,
+    sort_by: tuple[str, ...] = ("url",),
+    mode: str = "overwrite",
+) -> None:
+    """Training-corpus output layout: hive-partitioned parquet.
+
+    The 100 TB shape for extracted-document corpora: one directory per
+    partition value (default: language — downstream training jobs read
+    one language without scanning the rest, and Spark prunes partitions
+    on ``WHERE lang = ...``), files bounded by ``maxRecordsPerFile`` so
+    a skewed partition (en) still writes many parallel, splittable
+    files, and rows sorted within partitions for better parquet
+    run-length/dictionary compression on url/mime/encoding columns.
+    """
+    out = docs
+    if sort_by:
+        out = out.sortWithinPartitions(*[c for c in sort_by if c in docs.columns])
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

@@ -1095,3 +1095,30 @@ class TestEmbeddingNeardupSkew:
         got = {(r.id_a, r.id_b) for r in pairs.collect()}
         want = {(a, b) for a in range(n) for b in range(a + 1, n)}
         assert got == want
+
+
+class TestDocsPartitionedSink:
+    def test_lang_partitioned_parquet(self, spark, tmp_path):
+        import os
+
+        from resilispark.operators.pipelines import write_docs_partitioned
+
+        docs = spark.createDataFrame(
+            [
+                ("http://a/1", "t1", "hello world", "en"),
+                ("http://a/2", "t2", "bonjour le monde", "fr"),
+                ("http://a/3", "t3", "hello again", "en"),
+            ],
+            "url string, title string, plain_text string, lang string",
+        )
+        out = str(tmp_path / "docs")
+        write_docs_partitioned(docs, out, max_records_per_file=1000)
+        dirs = {d for d in os.listdir(out) if d.startswith("lang=")}
+        assert dirs == {"lang=en", "lang=fr"}
+        back = spark.read.parquet(out)
+        assert back.count() == 3
+        # partition pruning: reading one language touches one directory
+        en = back.filter("lang = 'en'")
+        assert en.count() == 2
+        plan = en._jdf.queryExecution().executedPlan().toString()
+        assert "lang=fr" not in plan
