@@ -291,15 +291,29 @@ class ProgressGuard:
         while not self._ended.wait(self.check_interval):
             idle = time.monotonic() - self._epoch
             if idle >= self.timeout and not raised:
+                # re-check ended RIGHT before delivering: an interrupt
+                # landing after the with-block exits would surface as a
+                # phantom exception in unrelated code (the same race a
+                # late signal has in the reference; this narrows the
+                # window to the C-call itself)
+                if self._ended.is_set():
+                    return
                 raised = True
                 self._expired = True
-                ctypes.pythonapi.PyThreadState_SetAsyncExc(
+                res = ctypes.pythonapi.PyThreadState_SetAsyncExc(
                     ctypes.c_ulong(self._tid),
                     ctypes.py_object(TimeGuardExpired),
                 )
+                if res > 1:  # pragma: no cover - interpreter contract
+                    # "must be undone by calling again with NULL"
+                    ctypes.pythonapi.PyThreadState_SetAsyncExc(
+                        ctypes.c_ulong(self._tid), None
+                    )
             elif idle >= self.timeout + self.grace_period and raised:
                 # still stuck (blocked outside the interpreter):
                 # escalate like the reference's signal pass
+                if self._ended.is_set():
+                    return
                 import _thread
 
                 _thread.interrupt_main()
