@@ -1122,3 +1122,46 @@ class TestDocsPartitionedSink:
         assert en.count() == 2
         plan = en._jdf.queryExecution().executedPlan().toString()
         assert "lang=fr" not in plan
+
+
+class TestGopherQuality:
+    def test_rules_and_keep(self, spark):
+        from resilispark.operators.quality import gopher_filter, gopher_quality_flags
+
+        good = (
+            "the quick brown fox jumps over the lazy dog and runs far away "
+            "to be with all of that good text which has many plain words "
+        ) * 3  # ~90 words, normal lengths, stopwords present
+        rows = [
+            (1, good),
+            (2, "short text only"),                           # word count
+            (3, ("a " * 100).strip()),                        # mean word len < 3
+            (4, " ".join(["###"] * 30 + good.split()[:60])),  # symbol ratio + alpha
+            (5, "\n".join(["- bullet point item here"] * 20)),# bullet lines
+            (6, "\n".join([good] + ["same line"] * 9)),       # dup lines
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+        assert out[1].keep
+        assert not out[2].r_word_count and not out[2].keep
+        assert not out[3].r_mean_word_len
+        assert not out[4].r_symbol_ratio or not out[4].r_alpha_words
+        assert not out[5].r_bullet_lines or not out[5].r_word_count
+        assert not out[6].r_dup_lines
+        kept = gopher_filter(df).collect()
+        assert [r.doc_id for r in kept] == [1]
+        assert "keep" not in gopher_filter(df).columns
+
+    def test_plan_stays_jvm_side(self, spark):
+        """All rules must evaluate in codegen — no BatchEvalPython /
+        ArrowEvalPython nodes, no exchange."""
+        from resilispark.operators.quality import gopher_quality_flags
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = (
+            gopher_quality_flags(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan and "Exchange" not in plan
