@@ -1165,3 +1165,49 @@ class TestGopherQuality:
             .toString()
         )
         assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+class TestResizeImages:
+    def test_box_resize_means_and_fallback(self):
+        import numpy as np
+
+        from resilispark.operators.multimodal import _box_resize
+
+        # 4x4 -> 2x2: each output pixel is the mean of its 2x2 block
+        img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+        out = _box_resize(img, 2, 2)
+        assert out.shape == (2, 2, 3)
+        blk = img[:2, :2].astype(float).mean(axis=(0, 1))
+        assert np.array_equal(out[0, 0], np.round(blk).astype(np.uint8))
+        # uniform image stays exactly uniform at any size
+        uni = np.full((10, 7, 3), 137, dtype=np.uint8)
+        assert (_box_resize(uni, 5, 3) == 137).all()
+        # upscale falls back to nearest: values still from the source
+        up = _box_resize(uni, 20, 20)
+        assert up.shape == (20, 20, 3) and (up == 137).all()
+
+    def test_resize_operator_real_png(self, spark):
+        import numpy as np
+
+        from resilispark.io.codecs import encode_png
+        from resilispark.operators.multimodal import resize_images
+
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        img[:, :8] = (200, 10, 10)   # left half red-ish
+        img[:, 8:] = (10, 10, 200)   # right half blue-ish
+        media = spark.createDataFrame(
+            [
+                ("p1", "image/png", bytearray(encode_png(img)),
+                 (None, None, None, None)),
+                ("bad", "image/png", bytearray(b"notanimage"),
+                 (None, None, None, None)),
+            ],
+            "media_id string, mime string, payload binary, "
+            "meta struct<width:int,height:int,duration_ms:long,codec:string>",
+        )
+        rows = {r.media_id: r for r in resize_images(media, width=4, height=4).collect()}
+        r = rows["p1"]
+        assert (r.src_width, r.src_height, r.width, r.height) == (16, 16, 4, 4)
+        rgb = np.frombuffer(bytes(r.rgb), dtype=np.uint8).reshape(4, 4, 3)
+        assert (rgb[:, :2, 0] == 200).all() and (rgb[:, 2:, 2] == 200).all()
+        assert rows["bad"].rgb is None  # quarantined, not a task failure
