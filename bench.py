@@ -109,9 +109,10 @@ def main() -> None:
     # assembly (headers map column) + Spark worker transport. gzip
     # single-core (~33k rec/s) BEATS the reference's 10.4k ~3x.
     # LZ4: frame decode binds the system liblz4 via ctypes
-    # (io/lz4_ctypes.py; pure-Python lz4f is the fallback), putting the
-    # single-core kernel at ~49k members/s — at parity with the
-    # reference's native 49.8k rec/s — and the wall row ~41k (1.2x).
+    # (io/lz4_ctypes.py; pure-Python lz4f is the fallback): member
+    # decode alone ~250k members/s, decode+parse kernel ~62k rec/s —
+    # BEATS the reference's native 49.8k rec/s — and the wall row ~40k
+    # (1.2x, columnization+transport like the plain row).
     # The CDXJ-split rows fan the same scans across all cores.
     # Two fixture sizes: the 15k-record (12 MiB) fixture keeps the
     # historical row names comparable across rounds, and the 150k-record
