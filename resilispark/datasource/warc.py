@@ -80,7 +80,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from resilispark.io.fs import expand_source, get_fs, split_scheme
+from resilispark.io.fs import expand_source_stat, get_fs, split_scheme
 from resilispark.io.warc import (
     GZIP_MAGIC,
     LZ4_MAGIC,
@@ -226,9 +226,16 @@ class WarcDataSourceReader(DataSourceReader):
         path = self.options.get("path") or self.options.get("paths")
         if not path:
             raise ValueError("warc data source requires a path")
-        # expand_source handles local paths/globs/dirs, comma-separated
-        # file lists, and remote schemes (memory://, http(s)://, s3://)
-        matches = [m for m in expand_source(path) if not m.endswith(".cdxj")]
+        # expand_source_stat handles local paths/globs/dirs, comma-
+        # separated file lists, and remote schemes (memory://,
+        # http(s)://, s3://) — and carries sizes + sidecar names out of
+        # the SAME listing pass, so planning a million-object corpus
+        # issues one LIST per prefix, not a HEAD/exists per file
+        entries, listed, authoritative = expand_source_stat(path)
+        self._sizes = {p: sz for p, sz in entries}
+        self._listed = listed
+        self._listing_authoritative = authoritative
+        matches = [p for p, _ in entries if not p.endswith(".cdxj")]
         if not matches:
             raise FileNotFoundError(f"no WARC files match {path!r}")
         # filesystem handles are captured at plan time (driver-side) so
@@ -264,7 +271,14 @@ class WarcDataSourceReader(DataSourceReader):
 
         fs = self._fs(path)
         side = path + ".cdxj"
-        if not fs.exists(side):
+        # the expansion listing already swept sidecar names up (the
+        # default suffix glob matches *.warc*.cdxj): when that listing
+        # is authoritative, absence in it proves absence — no exists()
+        # round trip per compressed file on the driver
+        if getattr(self, "_listing_authoritative", False):
+            if side not in self._listed:
+                return None
+        elif not fs.exists(side):
             return None
         if fs.mtime(side) < fs.mtime(path):
             # stale index (WARC rewritten after indexing): offsets may
@@ -286,6 +300,23 @@ class WarcDataSourceReader(DataSourceReader):
         offs.sort()
         return offs or None
 
+    @staticmethod
+    def _infer_compressed(path: str, fs) -> bool:
+        """Codec for SPLIT PLANNING from the file extension, head-sniff
+        only for unrecognized names — the driver must not issue a
+        ranged GET per file across a million-object corpus. A
+        mislabeled file stays correct: the executor-side read()
+        re-sniffs the actual magic, so a compressed file planned as
+        plain fails LOUDLY at the member-boundary check and a plain
+        file planned as compressed merely scans unsplit."""
+        low = path.lower()
+        if low.endswith((".gz", ".gzip", ".lz4")):
+            return True
+        if low.endswith((".warc", ".arc", ".txt")):
+            return False
+        head = fs.read_head(path, 8)
+        return head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC)
+
     def partitions(self) -> list[_WarcPartition]:
         parts: list[_WarcPartition] = []
         if self.offset is not None:
@@ -295,9 +326,10 @@ class WarcDataSourceReader(DataSourceReader):
             return [_WarcPartition(p, self.offset, self.offset + 1) for p in self.paths]
         for p in self.paths:
             fs = self._fs(p)
-            size = fs.size(p)
-            head = fs.read_head(p, 8)
-            if head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC):
+            size = getattr(self, "_sizes", {}).get(p)
+            if size is None:
+                size = fs.size(p)
+            if self._infer_compressed(p, fs):
                 offs = self._sidecar_offsets(p)  # gzip AND lz4 members split at indexed offsets
                 if offs and size > self.split_bytes:
                     # split at member boundaries listed by the index:

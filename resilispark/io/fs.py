@@ -60,6 +60,13 @@ class FileSystem:
     def glob(self, pattern: str) -> list[str]:
         raise NotImplementedError
 
+    def glob_stat(self, pattern: str) -> list[tuple[str, int]]:
+        """Like ``glob`` but returns (path, size) pairs from ONE listing
+        pass where the backend supports it (S3 LIST pages carry sizes) —
+        the driver-side planner over a million-object corpus must not
+        issue one HEAD per file on top of the listing."""
+        return [(p, self.size(p)) for p in self.glob(pattern)]
+
     def size(self, path: str) -> int:
         raise NotImplementedError
 
@@ -414,18 +421,22 @@ class S3FS(FileSystem):
         return RangeFile(self, path)
 
     def glob(self, pattern: str) -> list[str]:
+        return [p for p, _ in self.glob_stat(pattern)]
+
+    def glob_stat(self, pattern: str) -> list[tuple[str, int]]:
         bucket, key = self._bk(pattern)
         if not has_magic(key):
-            return [pattern] if self.exists(pattern) else []
+            return [(pattern, self.size(pattern))] if self.exists(pattern) else []
         # LIST from the longest literal prefix, client-side fnmatch —
-        # one paginated LIST per glob, driver-side only
+        # one paginated LIST per glob, driver-side only; sizes come
+        # from the same pages, so planning needs ZERO per-object HEADs
         prefix = re.split(r"[*?\[]", key, 1)[0]
         out = []
         paginator = self._cli().get_paginator("list_objects_v2")
         for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
             for obj in page.get("Contents", []):
                 if fnmatch.fnmatchcase(obj["Key"], key):
-                    out.append(f"s3://{bucket}/{obj['Key']}")
+                    out.append((f"s3://{bucket}/{obj['Key']}", int(obj["Size"])))
         return sorted(out)
 
     def size(self, path: str) -> int:
@@ -492,22 +503,56 @@ def expand_source(path: str, default_suffix_glob: str = "*.warc*") -> list[str]:
     list of any of those (the reference's file-list source,
     beam/warcio.py:43-67 reading N explicit paths). Local bare paths
     keep their bare spelling."""
-    out: list[str] = []
+    return [p for p, _ in expand_source_stat(path, default_suffix_glob)[0]]
+
+
+def expand_source_stat(
+    path: str, default_suffix_glob: str = "*.warc*"
+) -> tuple[list[tuple[str, int | None]], set[str], bool]:
+    """``expand_source`` plus planner-grade metadata from the SAME
+    listing pass: returns (entries, listed, authoritative) where
+
+     - ``entries`` = sorted, deduped [(path, size-or-None)] — size is
+       filled from the listing where the backend provides it (one S3
+       LIST instead of a HEAD per object; a million-file plan must not
+       issue per-file metadata round trips from the driver);
+     - ``listed`` = EVERY name the listings returned (including .cdxj
+       sidecars the suffix glob swept up);
+     - ``authoritative`` = True when every piece came from a directory
+       listing under our own suffix glob, so ``p + '.cdxj' not in
+       listed`` proves the sidecar doesn't exist — no exists() probe
+       needed per compressed file.
+    """
+    out: list[tuple[str, int | None]] = []
+    listed: set[str] = set()
+    authoritative = True
     for piece in (p.strip() for p in path.split(",")):
         if not piece:
             continue
         fs = get_fs(piece)
         if has_magic(piece):
-            out.extend(fs.glob(piece))
+            stats = fs.glob_stat(piece)
+            out.extend(stats)
+            listed.update(p for p, _ in stats)
+            # a user glob need not match sidecar names, so its listing
+            # cannot prove sidecar absence
+            authoritative = False
         elif fs.isdir(piece):
-            out.extend(
-                fs.glob(posixpath.join(piece, "**", default_suffix_glob))
-            )
+            stats = fs.glob_stat(posixpath.join(piece, "**", default_suffix_glob))
+            out.extend(stats)
+            listed.update(p for p, _ in stats)
         elif fs.exists(piece):
-            out.append(piece)
+            out.append((piece, None))
+            authoritative = False
         elif isinstance(fs, (HTTPFS,)):
-            out.append(piece)  # trust explicit URLs; opened lazily
+            out.append((piece, None))  # trust explicit URLs; opened lazily
+            authoritative = False
         else:
             raise FileNotFoundError(piece)
-    # stable planning order; dedupe a path listed twice
-    return sorted(dict.fromkeys(out))
+    # stable planning order; dedupe a path listed twice (keep a known
+    # size over None if the same path appears in both forms)
+    best: dict[str, int | None] = {}
+    for p, sz in out:
+        if p not in best or (best[p] is None and sz is not None):
+            best[p] = sz
+    return sorted(best.items()), listed, authoritative

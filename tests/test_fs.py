@@ -297,3 +297,82 @@ def test_writer_http_rejected(spark, fixture_dir):
     df = _load(spark, f"{fixture_dir}/golden-50.warc.gz", parse_http="false")
     with pytest.raises(Exception, match="read-only"):
         df.write.format("warc").mode("append").save("http://example.org/out")
+
+
+def test_expand_source_stat_metadata(fixture_dir, tmp_path):
+    """One listing pass carries sizes + sidecar names + authority."""
+    import os
+    import shutil
+
+    from resilispark.io.fs import expand_source_stat
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    shutil.copy(f"{fixture_dir}/golden-50.warc", d / "a.warc")
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", d / "b.warc.gz")
+    (d / "b.warc.gz.cdxj").write_text('{"offset": 0}\n')
+
+    entries, listed, authoritative = expand_source_stat(str(d))
+    sizes = dict(entries)
+    assert authoritative  # pure directory expansion
+    assert sizes[str(d / "a.warc")] == os.path.getsize(d / "a.warc")
+    # the suffix glob sweeps the sidecar into the listing
+    assert str(d / "b.warc.gz.cdxj") in listed
+
+    # an explicit file is not an authoritative listing
+    _, _, auth2 = expand_source_stat(str(d / "a.warc"))
+    assert not auth2
+
+
+class _CountingFS:
+    """Wrap a FileSystem, counting metadata round trips."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.calls = {"size": 0, "read_head": 0, "exists": 0}
+
+    def __getattr__(self, name):
+        attr = getattr(self._inner, name)
+        if name in ("size", "read_head", "exists"):
+            def counted(*a, _n=name, _f=attr, **kw):
+                self.calls[_n] += 1
+                return _f(*a, **kw)
+            return counted
+        return attr
+
+
+def test_partition_planning_no_per_file_round_trips(fixture_dir, tmp_path):
+    """Planning a listed directory must issue ZERO per-file size /
+    read_head / exists calls from the driver — sizes come from the
+    listing and the codec from the extension (SURVEY §4 at 1M files)."""
+    import shutil
+
+    from resilispark.datasource.warc import WarcDataSourceReader
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i in range(4):
+        shutil.copy(f"{fixture_dir}/golden-50.warc", d / f"f{i}.warc")
+        shutil.copy(f"{fixture_dir}/golden-50.warc.gz", d / f"f{i}.warc.gz")
+
+    rdr = WarcDataSourceReader({"path": str(d)})
+    counter = _CountingFS(rdr._fss["file"])
+    rdr._fss["file"] = counter
+    parts = rdr.partitions()
+    assert len(parts) >= 8
+    assert counter.calls == {"size": 0, "read_head": 0, "exists": 0}
+
+
+def test_extension_inference_sniffs_unknown_names(fixture_dir, tmp_path):
+    import shutil
+
+    from resilispark.datasource.warc import WarcDataSourceReader
+    from resilispark.io.fs import LocalFS
+
+    # unknown extension -> falls back to the head sniff
+    odd = tmp_path / "mystery.bin"
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", odd)
+    assert WarcDataSourceReader._infer_compressed(str(odd), LocalFS())
+    plain = tmp_path / "mystery2.dat"
+    shutil.copy(f"{fixture_dir}/golden-50.warc", plain)
+    assert not WarcDataSourceReader._infer_compressed(str(plain), LocalFS())
