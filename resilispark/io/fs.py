@@ -67,6 +67,12 @@ class FileSystem:
         issue one HEAD per file on top of the listing."""
         return [(p, self.size(p)) for p in self.glob(pattern)]
 
+    def glob_mtimes(self, pattern: str) -> dict[str, float]:
+        """(path -> mtime) from one listing pass where the backend
+        supports it — the streaming source's mtime-compaction offsets
+        poll this every micro-batch."""
+        return {p: self.mtime(p) for p in self.glob(pattern)}
+
     def size(self, path: str) -> int:
         raise NotImplementedError
 
@@ -438,6 +444,21 @@ class S3FS(FileSystem):
                 if fnmatch.fnmatchcase(obj["Key"], key):
                     out.append((f"s3://{bucket}/{obj['Key']}", int(obj["Size"])))
         return sorted(out)
+
+    def glob_mtimes(self, pattern: str) -> dict[str, float]:
+        bucket, key = self._bk(pattern)
+        if not has_magic(key):
+            return {pattern: self.mtime(pattern)} if self.exists(pattern) else {}
+        prefix = re.split(r"[*?\[]", key, 1)[0]
+        out: dict[str, float] = {}
+        paginator = self._cli().get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
+            for obj in page.get("Contents", []):
+                if fnmatch.fnmatchcase(obj["Key"], key):
+                    out[f"s3://{bucket}/{obj['Key']}"] = obj[
+                        "LastModified"
+                    ].timestamp()
+        return out
 
     def size(self, path: str) -> int:
         bucket, key = self._bk(path)

@@ -80,7 +80,14 @@ class WarcStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         if self.compaction == "mtime":
             fs = get_fs(self.pattern)
-            mts = {f: fs.mtime(f) for f in self._list()}
+            # one listing pass (sizes/mtimes off the LIST pages where
+            # the backend has them) — this polls every micro-batch, so
+            # per-file mtime round trips would melt a million-file dir
+            mts = {
+                f: m
+                for f, m in fs.glob_mtimes(self.pattern).items()
+                if not f.endswith(".cdxj")
+            }
             # monotone: deletions must not move the watermark backward
             self._wm = max(self._wm, max(mts.values(), default=0.0))
             horizon = self._wm - self.slack
