@@ -327,3 +327,63 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the C4/CCNet repetition
+    removal step): every paragraph is kept only in the FIRST document
+    (by ``id_col``, then position) it appears in; later occurrences are
+    dropped and the surviving paragraphs are reassembled in their
+    original order.
+
+    Plan shape at 100 TB: explode paragraphs (no shuffle) -> ONE hash
+    partition on the paragraph digest (window keep-first; paragraph
+    hashes distribute uniformly, no skew) -> ONE hash partition on the
+    doc id to reassemble. Short paragraphs below ``min_chars`` pass
+    through untouched (they are structure, not content — and hashing
+    "" everywhere would make one hot key).
+
+    Returns (id, text, n_paragraphs, n_dropped).
+    """
+    paras = df.select(
+        F.col(id_col).alias("_pid"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    )
+    eligible = F.length("_para") >= min_chars
+    hashed = paras.withColumn(
+        "_h", F.when(eligible, F.md5(F.encode("_para", "UTF-8")))
+    )
+    w = W.partitionBy("_h").orderBy("_pid", "_pos")
+    keep = hashed.withColumn(
+        "_keep",
+        F.col("_h").isNull() | (F.row_number().over(w) == 1),
+    )
+    rebuilt = (
+        keep.filter("_keep")
+        .groupBy("_pid")
+        .agg(
+            F.concat_ws(
+                sep, F.transform(F.array_sort(F.collect_list(F.struct("_pos", "_para"))), lambda s: s["_para"])
+            ).alias("text"),
+            F.count(F.lit(1)).alias("_kept"),
+        )
+    )
+    totals = paras.groupBy("_pid").agg(F.count(F.lit(1)).alias("n_paragraphs"))
+    return (
+        totals.join(rebuilt, "_pid", "left")
+        .select(
+            F.col("_pid").alias(id_col),
+            F.coalesce("text", F.lit("")).alias(text_col),
+            F.col("n_paragraphs").cast("bigint").alias("n_paragraphs"),
+            (F.col("n_paragraphs") - F.coalesce("_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )

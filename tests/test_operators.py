@@ -1211,3 +1211,37 @@ class TestResizeImages:
         rgb = np.frombuffer(bytes(r.rgb), dtype=np.uint8).reshape(4, 4, 3)
         assert (rgb[:, :2, 0] == 200).all() and (rgb[:, 2:, 2] == 200).all()
         assert rows["bad"].rgb is None  # quarantined, not a task failure
+
+
+class TestParagraphDedup:
+    def test_keep_first_and_reassemble(self, spark):
+        from resilispark.operators.dedup import paragraph_dedup
+
+        rows = [
+            (1, "alpha paragraph\nshared paragraph\nbeta paragraph"),
+            (2, "shared paragraph\ngamma paragraph"),
+            (3, "gamma paragraph\nshared paragraph\ndelta paragraph"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in paragraph_dedup(df, "text", "doc_id").collect()}
+        # doc 1 is first everywhere: untouched, order preserved
+        assert out[1].text == rows[0][1]
+        assert out[1].n_dropped == 0
+        # doc 2 loses the shared paragraph (doc 1 had it first)
+        assert out[2].text == "gamma paragraph"
+        assert out[2].n_dropped == 1
+        # doc 3 loses both repeats, keeps its unique paragraph
+        assert out[3].text == "delta paragraph"
+        assert out[3].n_dropped == 2
+        assert out[3].n_paragraphs == 3
+
+    def test_short_paragraphs_pass_through(self, spark):
+        from resilispark.operators.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(1, "x\nlong enough paragraph"), (2, "x\nother paragraph")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in paragraph_dedup(df, "text", "doc_id", min_chars=5).collect()}
+        # the 1-char paragraph survives in BOTH docs (structure, not content)
+        assert out[1].text.startswith("x\n") and out[2].text.startswith("x\n")
