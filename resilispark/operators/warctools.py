@@ -49,39 +49,100 @@ def recompress(
     return n
 
 
+def surt_key(url) -> F.Column:
+    """Sort-friendly URI Reordering Transform of a URL column — the
+    canonical CDXJ searchable key (the public SURT form webrecorder's
+    cdxj-indexer emits): lowercase, scheme dropped, host labels
+    reversed and comma-joined, non-default port kept, then
+    ``)`` + path [+ ``?query``]. Pure JVM expressions (parse_url +
+    string ops), no UDF. NULL urls stay NULL."""
+    u = F.lower(url)
+    host = F.parse_url(u, F.lit("HOST"))
+    auth = F.parse_url(u, F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    query = F.parse_url(u, F.lit("QUERY"))
+    host_rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    return F.when(
+        host.isNotNull(),
+        F.concat(
+            host_rev,
+            F.when(
+                (port != "") & ~port.isin("80", "443"), F.concat(F.lit(":"), port)
+            ).otherwise(F.lit("")),
+            F.lit(")"),
+            path,
+            F.when(query.isNotNull(), F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+        ),
+    ).otherwise(u)
+
+
+def _header_lookup(headers_col: str, name: str, *, multi: bool = False) -> F.Column:
+    """Case-insensitive lookup in an array<struct<key,value>> header
+    column: first match, or ALL matches as a list when ``multi``
+    (the reference's --preserve-multi-header, cli.py:239-248)."""
+    matches = F.filter(
+        F.coalesce(F.col(headers_col), F.array()),
+        lambda h: F.lower(h["key"]) == F.lit(name.lower()),
+    )
+    vals = F.transform(matches, lambda h: h["value"])
+    if multi:
+        return F.when(F.size(vals) >= 1, vals.cast("array<string>"))
+    return F.get(vals, 0)
+
+
 def cdxj_index(
     spark: SparkSession,
     src: str,
     *,
     fields: tuple[str, ...] = ("offset", "length", "filename", "http:status"),
+    preserve_multi_header: bool = False,
 ) -> DataFrame:
     """CDXJ index records: one JSON line per record with the configured
     fields (fastwarc index, cli.py:225-283). ``length`` uses the
-    lead-offset window (cli.py:276-283)."""
+    lead-offset window (cli.py:276-283).
+
+    Field model matches the reference CLI: ``offset``, ``length``,
+    ``filename``, ``http:status``, any ``http:<header>`` (first match,
+    or a JSON list of all matches under ``preserve_multi_header`` —
+    cli.py:239-248), and any ``<warc-record-header>`` name looked up in
+    the record's WARC header multimap. The searchable key is the SURT
+    canonical form of the target URI."""
     _prep(spark)
     df = spark.read.format("warc").option("payload", "false").load(src)
     w = W.partitionBy("filename").orderBy("stream_pos")
-    enriched = df.select(
-        "filename",
-        "target_uri",
-        "warc_date",
-        "http_status",
-        F.col("stream_pos").alias("offset"),
+    enriched = df.withColumn("offset", F.col("stream_pos")).withColumn(
+        "length",
         F.coalesce(
             F.lead("stream_pos").over(w) - F.col("stream_pos"), F.col("record_length")
-        ).alias("length"),
+        ),
     )
-    field_cols = {
-        "offset": F.col("offset"),
-        "length": F.col("length"),
-        "filename": F.col("filename"),
-        "http:status": F.col("http_status").alias("status"),
-    }
-    json_struct = F.struct(*[field_cols[f] for f in fields if f in field_cols])
+    cols = []
+    for f in fields:
+        f = f.strip().lower()
+        if f in ("offset", "length", "filename"):
+            cols.append(F.col(f).alias(f))
+        elif f == "http:status":
+            cols.append(F.col("http_status").alias("status"))
+        elif f.startswith("http:"):
+            name = f[5:]
+            if preserve_multi_header:
+                # documented delta vs the reference: repeated headers
+                # come out as a JSON list like cli.py:239-248, but
+                # singletons are ALSO a (one-element) list — a typed
+                # struct column cannot switch between scalar and list
+                # per row, and a uniform type is kinder to consumers
+                cols.append(_header_lookup("http_headers", name, multi=True).alias(f))
+            else:
+                cols.append(_header_lookup("http_headers", name).alias(f))
+        else:
+            cols.append(_header_lookup("headers", f).alias(f))
+    json_struct = F.struct(*cols)
+    record = F.to_json(json_struct)
     return enriched.select(
-        F.col("target_uri").alias("surt_key"),
+        surt_key(F.col("target_uri")).alias("surt_key"),
         F.date_format("warc_date", "yyyyMMddHHmmss").alias("ts"),
-        F.to_json(json_struct).alias("record"),
+        record.alias("record"),
     )
 
 

@@ -102,3 +102,75 @@ def test_writer_overwrite_mode_replaces(spark, fixture_dir, tmp_path):
         src.write.format("warc").mode("overwrite").save(out)
     rescan = spark.read.format("warc").option("parse_http", "false").load(out)
     assert rescan.count() == 50  # not 100: second write replaced the first
+
+
+def test_cdxj_extended_fields_and_surt(spark, fixture_dir):
+    import json
+
+    from resilispark.operators.warctools import cdxj_index
+
+    idx = cdxj_index(
+        spark,
+        f"{fixture_dir}/golden-50.warc",
+        fields=("offset", "http:status", "http:content-type", "warc-type"),
+    ).collect()
+    recs = [json.loads(r.record) for r in idx]
+    responses = [r for r in recs if r.get("warc-type") == "response"]
+    assert responses, "warc-type header field not indexed"
+    assert any(
+        r.get("http:content-type", "").startswith("text/html") for r in responses
+    )
+    assert all("status" in r for r in responses)
+    # SURT keys: host labels reversed, comma-joined, ')' + path
+    keys = [r.surt_key for r in idx if r.surt_key and ")" in r.surt_key]
+    assert keys, "no SURT keys emitted"
+    assert all(k == k.lower() for k in keys)
+    host_rev = keys[0].split(")")[0]
+    assert "," in host_rev or "." not in host_rev
+
+
+def test_surt_key_forms(spark):
+    from resilispark.operators.warctools import surt_key
+
+    rows = [
+        ("http://www.Example.COM:80/Path/File?q=1",),
+        ("https://sub.domain.org:8443/x",),
+        ("https://host.net/",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = [r.k for r in df.select(surt_key(F.col("url")).alias("k")).collect()]
+    assert got[0] == "com,example,www)/path/file?q=1"  # default port dropped
+    assert got[1] == "org,domain,sub:8443)/x"          # explicit port kept
+    assert got[2] == "net,host)/"
+    assert got[3] is None
+
+
+def test_cdxj_multi_header_list(spark, fixture_dir, tmp_path):
+    import json
+
+    from resilispark.io.warc import WarcRecord, write_warc
+    from resilispark.operators.warctools import cdxj_index
+
+    payload = (
+        b"HTTP/1.1 200 OK\r\nSet-Cookie: a=1\r\nSet-Cookie: b=2\r\n"
+        b"Content-Length: 2\r\n\r\nhi"
+    )
+    rec = WarcRecord(
+        0, 0, "WARC/1.1",
+        [("WARC-Type", "response"),
+         ("WARC-Record-ID", "<urn:uuid:m1>"),
+         ("WARC-Date", "2024-06-01T09:00:00Z"),
+         ("WARC-Target-URI", "http://multi.example/x"),
+         ("Content-Type", "application/http; msgtype=response"),
+         ("Content-Length", str(len(payload)))],
+        payload=payload,
+    )
+    path = str(tmp_path / "multi.warc")
+    write_warc([rec], path, compression="none", checksum_data=True)
+    idx = cdxj_index(
+        spark, path, fields=("offset", "http:set-cookie"),
+        preserve_multi_header=True,
+    ).collect()
+    r = json.loads(idx[0].record)
+    assert r["http:set-cookie"] == ["a=1", "b=2"]
