@@ -82,7 +82,10 @@ def cmd_index(args) -> int:
     # concat_ws silently DROPS nulls (shifting fields); records without
     # a target URI / date must keep their placeholder like the
     # f-string output did
-    lines = cdxj_index(spark, args.file, fields=fields).select(
+    lines = cdxj_index(
+        spark, args.file, fields=fields,
+        preserve_multi_header=args.preserve_multi_header,
+    ).select(
         F.concat_ws(
             " ",
             F.coalesce(F.col("surt_key"), F.lit("None")),
@@ -462,6 +465,8 @@ def main(argv: list[str] | None = None) -> int:
         "-o", "--output", default=None,
         help="output dir (distributed text write; omit for stdout)",
     )
+    p.add_argument("--preserve-multi-header", action="store_true",
+                   help="repeated HTTP headers as a JSON list")
     p.set_defaults(fn=cmd_index)
 
     p = sub.add_parser("extract", help="extract one record by byte offset")
