@@ -106,3 +106,50 @@ def gopher_filter(docs: DataFrame, text_col: str = "text", **thresholds) -> Data
     flagged = gopher_quality_flags(docs, text_col, **thresholds)
     rule_cols = [c for c in flagged.columns if c.startswith("r_")] + ["keep"]
     return flagged.filter(F.col("keep")).drop(*rule_cols)
+
+
+def top_ngram_fraction(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 2,
+) -> DataFrame:
+    """Per-document repetition ratio: the fraction of n-gram slots
+    taken by the single most common word n-gram (the Gopher paper's
+    duplicated-n-gram family at word granularity).
+
+    Needs real aggregation, so unlike the flag rules this one shuffles:
+    explode n-grams -> count per (doc, gram) -> max per doc. Both
+    shuffles key on (doc, gram) / doc — uniform, no hot keys.
+
+    Returns (id, n_ngrams, top_ngram_frac); documents with fewer than
+    ``n`` words get n_ngrams=0 and a NULL fraction.
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + off) for off in range(n)]
+            ),
+        ),
+    ).otherwise(F.array())
+    exploded = docs.select(F.col(id_col), F.explode_outer(grams).alias("_gram"))
+    per_gram = exploded.groupBy(id_col, "_gram").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum(F.when(F.col("_gram").isNotNull(), F.col("_c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_ngrams"),
+        F.max(F.when(F.col("_gram").isNotNull(), F.col("_c"))).alias("_top"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_ngrams",
+        F.when(
+            F.col("n_ngrams") > 0, F.col("_top") / F.col("n_ngrams")
+        ).alias("top_ngram_frac"),
+    )

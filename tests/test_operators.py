@@ -1245,3 +1245,17 @@ class TestParagraphDedup:
         out = {r.doc_id: r for r in paragraph_dedup(df, "text", "doc_id", min_chars=5).collect()}
         # the 1-char paragraph survives in BOTH docs (structure, not content)
         assert out[1].text.startswith("x\n") and out[2].text.startswith("x\n")
+
+    def test_top_ngram_fraction(self, spark):
+        from resilispark.operators.quality import top_ngram_fraction
+
+        rows = [
+            (1, "spam spam spam spam spam spam"),       # one bigram repeated
+            (2, "all these words differ from others"),  # every bigram unique
+            (3, "x"),                                   # too short for bigrams
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in top_ngram_fraction(df, n=2).collect()}
+        assert out[1].top_ngram_frac == 1.0 and out[1].n_ngrams == 5
+        assert abs(out[2].top_ngram_frac - 1 / 5) < 1e-9
+        assert out[3].n_ngrams == 0 and out[3].top_ngram_frac is None
