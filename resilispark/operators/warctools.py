@@ -123,7 +123,7 @@ def cdxj_index(
         if f in ("offset", "length", "filename"):
             cols.append(F.col(f).alias(f))
         elif f == "http:status":
-            cols.append(F.col("http_status").alias("status"))
+            cols.append(F.col("http_status").alias("http:status"))
         elif f.startswith("http:"):
             name = f[5:]
             if preserve_multi_header:

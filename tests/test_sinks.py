@@ -120,7 +120,7 @@ def test_cdxj_extended_fields_and_surt(spark, fixture_dir):
     assert any(
         r.get("http:content-type", "").startswith("text/html") for r in responses
     )
-    assert all("status" in r for r in responses)
+    assert all("http:status" in r for r in responses)
     # SURT keys: host labels reversed, comma-joined, ')' + path
     keys = [r.surt_key for r in idx if r.surt_key and ")" in r.surt_key]
     assert keys, "no SURT keys emitted"
