@@ -657,3 +657,33 @@ def test_dom_lookups_and_mutation():
     z.append_child(main.create_text("zero"))
     main.insert_before(z, first)
     assert extract_plain_text(root, preserve_formatting=False) == "zero one four three"
+
+
+def test_sql_function_registry(spark):
+    """Every kernel is callable from Spark SQL under the
+    resilispark_<name> alias (the 'usable from SQL' contract)."""
+    from resilispark.functions.registry import register_functions
+
+    udfs = register_functions(spark)
+    assert udfs  # DataFrame-side dict comes back too
+    spark.createDataFrame(
+        [("<html><head><title>T1</title></head><body>hello world</body></html>",)],
+        "html string",
+    ).createOrReplaceTempView("sqlreg_docs")
+    row = spark.sql(
+        """
+        SELECT resilispark_html_title(html) AS title,
+               resilispark_extract_text(html) AS text,
+               resilispark_detect_lang(resilispark_extract_text(html)).lang AS lang
+        FROM sqlreg_docs
+        """
+    ).collect()[0]
+    assert row.title == "T1"
+    assert "hello world" in row.text
+    assert row.lang is not None
+    registered = {
+        r.function.split(".")[-1]
+        for r in spark.sql("SHOW USER FUNCTIONS").collect()
+    }
+    missing = {f"resilispark_{n}" for n in udfs} - registered
+    assert not missing, f"not SQL-registered: {missing}"
