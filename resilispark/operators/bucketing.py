@@ -1,0 +1,54 @@
+"""Bucketed-table helpers: shuffle-free co-located joins.
+
+The 100 TB join strategy the one-shot ``repartition`` can't give you:
+persist both sides bucketed (and sorted) on the join key ONCE, and
+every later equi-join or aggregation on that key plans with ZERO
+exchanges — Spark's bucketed scan feeds the sort-merge join directly.
+For a corpus that is joined repeatedly on the same key (doc_id,
+url_host, record digest), the single write-time shuffle amortizes
+across every downstream query.
+
+Spark-native feature (``DataFrameWriter.bucketBy`` + table catalog);
+these helpers just package the invariants that make it actually work:
+matching bucket counts on both sides, sorted buckets for merge joins,
+and a plan probe that PROVES the exchange disappeared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    *,
+    buckets: int = 64,
+    sort: bool = True,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) catalog table.
+
+    Both sides of a future co-located join must use the SAME ``key``
+    and ``buckets`` — size ``buckets`` so one bucket of the LARGER
+    table fits an executor core's memory at full scale."""
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = df.write.mode(mode).format(fmt).bucketBy(buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)
+
+
+def join_is_shuffle_free(
+    spark: SparkSession, left: str, right: str, key: str | list[str]
+) -> bool:
+    """Plan probe: does an equi-join of the two catalog tables on
+    ``key`` plan WITHOUT any Exchange? True = the bucketing is doing
+    its job (use it in pipeline smoke checks before launching the real
+    100 TB job)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    joined = spark.table(left).join(spark.table(right), on=keys)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    return "Exchange" not in plan

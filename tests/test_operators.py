@@ -1259,3 +1259,34 @@ class TestParagraphDedup:
         assert out[1].top_ngram_frac == 1.0 and out[1].n_ngrams == 5
         assert abs(out[2].top_ngram_frac - 1 / 5) < 1e-9
         assert out[3].n_ngrams == 0 and out[3].top_ngram_frac is None
+
+
+class TestBucketedJoins:
+    def test_coloc_join_has_no_exchange(self, spark, tmp_path):
+        from resilispark.operators.bucketing import join_is_shuffle_free, write_bucketed
+
+        docs = spark.range(2000).selectExpr(
+            "id AS doc_id", "concat('text ', id) AS text"
+        )
+        feats = spark.range(2000).selectExpr(
+            "id AS doc_id", "id * 2 AS feat"
+        )
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            write_bucketed(docs, "b_docs", "doc_id", buckets=4)
+            write_bucketed(feats, "b_feats", "doc_id", buckets=4)
+            # the whole point: the bucketed join plans with ZERO shuffles
+            assert join_is_shuffle_free(spark, "b_docs", "b_feats", "doc_id")
+            joined = spark.table("b_docs").join(spark.table("b_feats"), "doc_id")
+            assert joined.count() == 2000
+            # control: the same join on unbucketed frames DOES shuffle
+            plan = (
+                docs.join(feats, "doc_id")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+            spark.sql("DROP TABLE IF EXISTS b_docs")
+            spark.sql("DROP TABLE IF EXISTS b_feats")
