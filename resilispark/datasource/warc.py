@@ -527,6 +527,9 @@ class WarcDataSourceWriter(DataSourceWriter):
                 "use gzip, lz4, or none"
             )
         self.cdxj = str(self.options.get("cdxj", "")).lower() in ("1", "true", "yes")
+        # gzip level 1-9 (reference default Z_BEST_COMPRESSION,
+        # stream_io.pyx:379)
+        self.compression_level = int(self.options.get("compression_level", 9))
         self.overwrite = overwrite
         if overwrite:
             # mode("overwrite") replaces prior output (runs on the
@@ -588,6 +591,7 @@ class WarcDataSourceWriter(DataSourceWriter):
             to_records(),
             out,
             compression=self.compression,
+            compression_level=self.compression_level,
             checksum_data=True,
             cdxj_sidecar=self.cdxj,
         )

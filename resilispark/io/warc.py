@@ -687,11 +687,16 @@ def write_warc(
     path: str,
     *,
     compression: str = "none",
+    compression_level: int = 9,
     checksum_data: bool = True,
     cdxj_sidecar: bool = False,
 ) -> int:
     """Write records to a WARC file; gzip = one member per record so the
     output is splittable (S9). Returns the number of records written.
+
+    ``compression_level`` maps to gzip levels 1-9 (the reference's
+    GZipStream default is Z_BEST_COMPRESSION=9, stream_io.pyx:379);
+    LZ4 ignores it (one frame format).
 
     ``cdxj_sidecar`` also writes ``<path>.cdxj`` (offset/length per
     record, fastwarc index format) alongside, so the output is
@@ -703,7 +708,7 @@ def write_warc(
         for rec in records:
             blob = serialize_record(rec, checksum_data=checksum_data)
             if compression == "gzip":
-                out = gzip.compress(blob, mtime=0)
+                out = gzip.compress(blob, compresslevel=compression_level, mtime=0)
             elif compression == "lz4":
                 if _lz4frame is not None:
                     out = _lz4frame.compress(blob)

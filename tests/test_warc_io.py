@@ -261,3 +261,22 @@ class TestLz4:
         assert Counter(r.record_type for r in got) == {
             "response": 16, "request": 16, "metadata": 16, "warcinfo": 2
         }
+
+
+def test_write_warc_compression_levels(tmp_path, fixture_dir):
+    """compression_level reaches the gzip encoder: level 1 output is
+    larger than level 9 on compressible records, and both re-scan to
+    the identical record set."""
+    from resilispark.io.warc import iter_warc, write_warc
+
+    recs = list(iter_warc(f"{fixture_dir}/golden-50.warc"))
+    fast = str(tmp_path / "l1.warc.gz")
+    best = str(tmp_path / "l9.warc.gz")
+    write_warc(iter(recs), fast, compression="gzip", compression_level=1)
+    write_warc(iter(recs), best, compression="gzip", compression_level=9)
+    import os
+
+    assert os.path.getsize(fast) > os.path.getsize(best)
+    ids = [r.record_id for r in recs]
+    assert [r.record_id for r in iter_warc(fast)] == ids
+    assert [r.record_id for r in iter_warc(best)] == ids
