@@ -45,10 +45,13 @@ Scale design (100 TB):
  - **Remote input.** Paths resolve through ``resilispark.io.fs``
    (local, ``memory://``, ``http(s)://`` Range reads, ``s3://`` boto3
    ranged GetObject — the reference's fsspec/boto3 surface,
-   warc.pyx:1118-1126, beam/warcio.py:183-217). Split planning does one
-   LIST + one HEAD per file on the driver; each executor fetches only
-   its partition's byte range. Comma-separated path lists are accepted
-   (the Beam file-list source, beam/warcio.py:43-67).
+   warc.pyx:1118-1126, beam/warcio.py:183-217). Split planning is ONE
+   listing pass on the driver: sizes, sidecar names, and the codec
+   (by extension, head-sniff only for unrecognized names) all come
+   from the LIST pages — zero per-file round trips over a listed
+   corpus; each executor fetches only its partition's byte range.
+   Comma-separated path lists are accepted (the Beam file-list
+   source, beam/warcio.py:43-67).
 """
 
 from __future__ import annotations
