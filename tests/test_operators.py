@@ -1290,3 +1290,67 @@ class TestBucketedJoins:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
             spark.sql("DROP TABLE IF EXISTS b_docs")
             spark.sql("DROP TABLE IF EXISTS b_feats")
+
+
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from resilispark.operators.asof import asof_join
+
+        rng = np.random.RandomState(11)
+        lpd = pd.DataFrame({
+            "key": rng.randint(0, 4, 60),
+            "ts": rng.randint(0, 1000, 60).astype("int64"),
+            "lval": np.arange(60),
+        }).sort_values("ts").reset_index(drop=True)
+        rpd = pd.DataFrame({
+            "key": rng.randint(0, 4, 40),
+            "ts": rng.randint(0, 1000, 40).astype("int64"),
+            "quote": rng.rand(40).round(4),
+        }).sort_values("ts").reset_index(drop=True)
+        want = pd.merge_asof(lpd, rpd, on="ts", by="key", direction="backward")
+
+        got = (
+            asof_join(
+                spark.createDataFrame(lpd), spark.createDataFrame(rpd), "key"
+            )
+            .select("key", "ts", "lval", "quote")
+            .toPandas()
+            .sort_values(["ts", "lval"])
+            .reset_index(drop=True)
+        )
+        want = want[["key", "ts", "lval", "quote"]].sort_values(
+            ["ts", "lval"]
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_tolerance_and_equal_ts(self, spark):
+        from resilispark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 100, "a"), (1, 200, "b"), (1, 500, "c")],
+            "key int, ts long, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, 100, 10.0), (1, 150, 15.0)], "key int, ts long, quote double"
+        )
+        out = {r.tag: r for r in asof_join(left, right, "key", tolerance=60).collect()}
+        assert out["a"].quote == 10.0      # equal timestamp matches
+        assert out["b"].quote == 15.0      # within tolerance (200-150=50)
+        assert out["c"].quote is None      # 500-150 > 60: nulled out
+        assert out["c"].ts_matched is None
+
+    def test_plan_is_one_shuffle_window(self, spark):
+        from resilispark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 10, "x")], "key int, ts long, v string")
+        right = spark.createDataFrame([(1, 5, 1.0)], "key int, ts long, q double")
+        plan = (
+            asof_join(left, right, "key")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # union + single windowed pass: no join operator at all
+        assert "Join" not in plan
+        assert plan.count("Window") >= 1
