@@ -85,3 +85,56 @@ def asof_join(
     return out.withColumn(f"{right_time}_matched", F.col("_rt")).drop(
         "_t", "_side", "_rt"
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    on: str | list[str] | None = None,
+    bucket_width: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join (``start <= point <= end``) via bucketed
+    equi-join — the distributed range-join spelling.
+
+    A raw theta-join on the range predicate is a per-key cartesian
+    product; instead both sides are binned into fixed-width buckets:
+    every interval is exploded across the buckets it covers, points
+    land in exactly one bucket, and the bucket equi-join + exact range
+    filter reproduces the theta-join. The blowup is bounded by
+    ``interval_span / bucket_width`` rows per interval — pick
+    ``bucket_width`` near the TYPICAL interval length so most intervals
+    land in 1-2 buckets.
+
+    ``on``: optional additional equi-keys (both sides). Output: all
+    point columns plus the matched interval's columns (collisions get
+    ``_iv`` suffixes). Inner-join semantics: unmatched points drop.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    p_bucket = F.floor(F.col(point_col) / bucket_width)
+    iv_buckets = F.sequence(
+        F.floor(F.col(start_col) / bucket_width),
+        F.floor(F.col(end_col) / bucket_width),
+    )
+    renames = {
+        c: (c + "_iv" if c in points.columns else c)
+        for c in intervals.columns
+        if c not in keys
+    }
+    iv = intervals.select(
+        *keys,
+        *[F.col(c).alias(renames[c]) for c in renames],
+        F.explode(iv_buckets).alias("_bucket"),
+    )
+    pt = points.withColumn("_bucket", p_bucket)
+    cond = [pt["_bucket"] == iv["_bucket"]] + [pt[k] == iv[k] for k in keys]
+    joined = pt.join(iv, cond).filter(
+        (F.col(renames[start_col]) <= F.col(point_col))
+        & (F.col(point_col) <= F.col(renames[end_col]))
+    )
+    return joined.drop(pt["_bucket"]).drop(iv["_bucket"]).drop(
+        *[iv[k] for k in keys]
+    )

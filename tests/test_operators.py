@@ -1354,3 +1354,35 @@ class TestAsofJoin:
         # union + single windowed pass: no join operator at all
         assert "Join" not in plan
         assert plan.count("Window") >= 1
+
+
+class TestRangeJoin:
+    def test_matches_naive_theta_join(self, spark):
+        import numpy as np
+
+        from resilispark.operators.asof import range_join
+
+        rng = np.random.RandomState(5)
+        pts = [(int(k), int(t)) for k, t in zip(rng.randint(0, 3, 80), rng.randint(0, 5000, 80))]
+        ivs = []
+        for i in range(30):
+            s = int(rng.randint(0, 4800))
+            ivs.append((int(rng.randint(0, 3)), s, s + int(rng.randint(1, 900)), i))
+        p = spark.createDataFrame(pts, "key int, ts long")
+        iv = spark.createDataFrame(ivs, "key int, t_start long, t_end long, iv_id int")
+
+        got = sorted(
+            (r.key, r.ts, r.iv_id)
+            for r in range_join(
+                p, iv, point_col="ts", start_col="t_start", end_col="t_end",
+                on="key", bucket_width=500,
+            ).collect()
+        )
+        naive = sorted(
+            (r.key, r.ts, r.iv_id)
+            for r in p.join(
+                iv,
+                (p.key == iv.key) & (iv.t_start <= p.ts) & (p.ts <= iv.t_end),
+            ).collect()
+        )
+        assert got == naive and len(naive) > 0
