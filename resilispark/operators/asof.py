@@ -1,4 +1,6 @@
-"""As-of (point-in-time) join as a pure DataFrame composition.
+"""Temporal operators: as-of join, range join, time rollup.
+
+As-of (point-in-time) join as a pure DataFrame composition.
 
 Spark has no native ``merge_asof``; the classic distributed spelling
 is union + ordered window instead of a range self-join: tag both
@@ -138,3 +140,47 @@ def range_join(
     return joined.drop(pt["_bucket"]).drop(iv["_bucket"]).drop(
         *[iv[k] for k in keys]
     )
+
+
+def time_rollup(
+    df: DataFrame,
+    time_col: str,
+    aggs: dict[str, F.Column],
+    *,
+    granularities: tuple[str, ...] = ("hour", "day", "month"),
+    keys: str | list[str] | None = None,
+) -> DataFrame:
+    """Multi-granularity time-bucketed aggregates in ONE pass — the
+    hypertable/continuous-aggregate rollup shape.
+
+    Instead of one groupBy per granularity (one shuffle each), every
+    granularity becomes a truncated-timestamp column and a single
+    GROUPING SETS aggregation computes them all in one shuffle; the
+    ``granularity`` output column names which bucket a row belongs to.
+    Partial (map-side) aggregation applies as usual, so at 100 TB the
+    shuffle carries pre-combined partials, not raw events.
+
+    ``aggs``: output name -> aggregate Column expression.
+    """
+    ks = [] if keys is None else ([keys] if isinstance(keys, str) else list(keys))
+    buckets = {g: F.date_trunc(g, F.col(time_col)).alias(f"_b_{g}") for g in granularities}
+    base = df.select("*", *buckets.values())
+    bucket_names = [f"_b_{g}" for g in granularities]
+    sets = ", ".join(f"({', '.join(ks + [b])})" for b in bucket_names)
+    base.createOrReplaceTempView("_rollup_in")
+    agg_sql = ", ".join(
+        f"{c._jc.toString()} AS {name}" for name, c in aggs.items()
+    )
+    gran_case = " ".join(
+        f"WHEN _b_{g} IS NOT NULL THEN '{g}'" for g in granularities
+    )
+    key_sel = (", ".join(ks) + ", ") if ks else ""
+    sql = f"""
+        SELECT {key_sel}
+               CASE {gran_case} END AS granularity,
+               coalesce({', '.join(bucket_names)}) AS bucket_start,
+               {agg_sql}
+        FROM _rollup_in
+        GROUP BY GROUPING SETS ({sets})
+    """
+    return base.sparkSession.sql(sql)

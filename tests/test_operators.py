@@ -1386,3 +1386,33 @@ class TestRangeJoin:
             ).collect()
         )
         assert got == naive and len(naive) > 0
+
+
+class TestTimeRollup:
+    def test_one_pass_multi_granularity(self, spark):
+        from resilispark.operators.asof import time_rollup
+
+        df = spark.createDataFrame(
+            [
+                ("2024-06-01 10:15:00", 1.0),
+                ("2024-06-01 10:45:00", 2.0),
+                ("2024-06-01 11:15:00", 4.0),
+                ("2024-06-02 09:00:00", 8.0),
+            ],
+            "ts string, v double",
+        ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "v")
+        out = time_rollup(
+            df, "ts", {"total": F.sum("v"), "n": F.count(F.lit(1))},
+            granularities=("hour", "day"),
+        ).collect()
+        by = {(r.granularity, str(r.bucket_start)): (r.total, r.n) for r in out}
+        assert by[("hour", "2024-06-01 10:00:00")] == (3.0, 2)
+        assert by[("hour", "2024-06-01 11:00:00")] == (4.0, 1)
+        assert by[("day", "2024-06-01 00:00:00")] == (7.0, 3)
+        assert by[("day", "2024-06-02 00:00:00")] == (8.0, 1)
+        # one pass: exactly one shuffle for BOTH granularities
+        plan = (
+            time_rollup(df, "ts", {"n": F.count(F.lit(1))})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") <= 2  # expand+agg (plus AQE read)
