@@ -218,8 +218,9 @@ def write_docs_partitioned(
     run-length/dictionary compression on url/mime/encoding columns.
     """
     out = docs
-    if sort_by:
-        out = out.sortWithinPartitions(*[c for c in sort_by if c in docs.columns])
+    sort_cols = [c for c in (sort_by or ()) if c in docs.columns]
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
     (
         out.write.mode(mode)
         .option("maxRecordsPerFile", max_records_per_file)
