@@ -163,24 +163,27 @@ def time_rollup(
     ``aggs``: output name -> aggregate Column expression.
     """
     ks = [] if keys is None else ([keys] if isinstance(keys, str) else list(keys))
-    buckets = {g: F.date_trunc(g, F.col(time_col)).alias(f"_b_{g}") for g in granularities}
-    base = df.select("*", *buckets.values())
     bucket_names = [f"_b_{g}" for g in granularities]
-    sets = ", ".join(f"({', '.join(ks + [b])})" for b in bucket_names)
-    base.createOrReplaceTempView("_rollup_in")
-    agg_sql = ", ".join(
-        f"{c._jc.toString()} AS {name}" for name, c in aggs.items()
+    base = df.select(
+        "*",
+        *[
+            F.date_trunc(g, F.col(time_col)).alias(b)
+            for g, b in zip(granularities, bucket_names)
+        ],
     )
-    gran_case = " ".join(
-        f"WHEN _b_{g} IS NOT NULL THEN '{g}'" for g in granularities
+    grouped = base.groupingSets(
+        [[*ks, b] for b in bucket_names],
+        *[F.col(c) for c in (*ks, *bucket_names)],
+    ).agg(*[c.alias(name) for name, c in aggs.items()])
+    granularity = None
+    for g, b in zip(granularities, bucket_names):
+        case = F.when(F.col(b).isNotNull(), F.lit(g))
+        granularity = case if granularity is None else granularity.when(
+            F.col(b).isNotNull(), F.lit(g)
+        )
+    return grouped.select(
+        *ks,
+        granularity.alias("granularity"),
+        F.coalesce(*bucket_names).alias("bucket_start"),
+        *aggs.keys(),
     )
-    key_sel = (", ".join(ks) + ", ") if ks else ""
-    sql = f"""
-        SELECT {key_sel}
-               CASE {gran_case} END AS granularity,
-               coalesce({', '.join(bucket_names)}) AS bucket_start,
-               {agg_sql}
-        FROM _rollup_in
-        GROUP BY GROUPING SETS ({sets})
-    """
-    return base.sparkSession.sql(sql)
