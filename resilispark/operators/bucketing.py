@@ -48,7 +48,12 @@ def join_is_shuffle_free(
     ``key`` plan WITHOUT any Exchange? True = the bucketing is doing
     its job (use it in pipeline smoke checks before launching the real
     100 TB job)."""
+    import contextlib
+    import io
+
     keys = [key] if isinstance(key, str) else list(key)
     joined = spark.table(left).join(spark.table(right), on=keys)
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    return "Exchange" not in plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    return "Exchange" not in buf.getvalue()
