@@ -82,6 +82,26 @@ def exc_loop(kernel: Callable[..., Any]):
     return wrapped
 
 
+def exc_iter(items: Iterable[Any]) -> Iterator[tuple[Any, Exception | None]]:
+    """The reference's ITERATOR-shaped exc_loop (resiliparse/
+    itertools.pyx:37-63 and docs/man/itertools.rst): yields
+    ``(value, None)`` per item; on an exception while advancing the
+    source, yields one final ``(None, exception)`` and stops — a
+    generator cannot be resumed after it throws, exactly as the
+    reference documents. ``exc_loop`` above is the callable-shaped
+    analog used inside UDF kernels."""
+    it = iter(items)
+    while True:
+        try:
+            v = next(it)
+        except StopIteration:
+            return
+        except Exception as exc:  # noqa: BLE001 — quarantine by design
+            yield None, exc
+            return
+        yield v, None
+
+
 class MemGuardExceeded(MemoryError):
     """Raised by mem_guard when the RSS watermark passes the limit."""
 

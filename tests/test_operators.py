@@ -1416,3 +1416,18 @@ class TestTimeRollup:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("Exchange") <= 2  # expand+agg (plus AQE read)
+
+
+def test_exc_iter_reference_shape():
+    from resilispark.operators.guards import exc_iter
+
+    def gen():
+        yield 1
+        yield 2
+        raise ValueError("boom")
+
+    got = list(exc_iter(gen()))
+    assert got[:2] == [(1, None), (2, None)]
+    assert got[2][0] is None and isinstance(got[2][1], ValueError)
+    assert len(got) == 3
+    assert list(exc_iter([7])) == [(7, None)]
