@@ -153,3 +153,51 @@ def top_ngram_fraction(
             F.col("n_ngrams") > 0, F.col("_top") / F.col("n_ngrams")
         ).alias("top_ngram_frac"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    training-data chunking step between extraction and tokenization.
+
+    Whitespace tokens (the t02 baseline tokenizer); windows start every
+    ``chunk_tokens - overlap`` tokens, the last window is the remainder
+    (never empty, never duplicated when the doc is shorter than one
+    chunk). All pure JVM expressions: split -> sequence of starts ->
+    slice per start -> explode — no UDF, no shuffle; at 100 TB this is
+    a flat map over the scan.
+
+    Returns (id, chunk_idx, chunk_text, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    words = F.split(F.col(text_col), r"\s+")
+    n = F.size(words)
+    # window starts: 0, step, 2*step, ... while start < n; a doc
+    # shorter than one chunk gets exactly one start (0)
+    n_starts = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int"), F.lit(1)
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_starts - 1), lambda i: i * step
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(words, s + 1, chunk_tokens)
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_toks"),
+    )
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", "_toks").alias("chunk_text"),
+        F.size("_toks").alias("n_tokens"),
+    )

@@ -1431,3 +1431,44 @@ def test_exc_iter_reference_shape():
     assert got[2][0] is None and isinstance(got[2][1], ValueError)
     assert len(got) == 3
     assert list(exc_iter([7])) == [(7, None)]
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        from resilispark.operators.quality import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(25))
+        df = spark.createDataFrame([(1, text), (2, "short doc only")],
+                                   "doc_id long, text string")
+        out = chunk_documents(df, chunk_tokens=10, overlap=2).collect()
+        by = {(r.doc_id, r.chunk_idx): r for r in out}
+        # doc 1 (25 tokens): starts at 0, 8, 16 — the window at 16
+        # already covers the tail, so no redundant 4th chunk
+        assert max(i for d, i in by if d == 1) == 2
+        c0, c1 = by[(1, 0)], by[(1, 1)]
+        assert c0.n_tokens == 10 and c0.chunk_text.startswith("w0 ")
+        # overlap: chunk 1 starts 2 tokens before chunk 0 ended
+        assert c1.chunk_text.split()[0] == "w8"
+        assert by[(1, 2)].chunk_text.split() == [f"w{i}" for i in range(16, 25)]
+        # every token appears in at least one chunk
+        covered = set()
+        for (d, i), r in by.items():
+            if d == 1:
+                covered.update(r.chunk_text.split())
+        assert covered == {f"w{i}" for i in range(25)}
+        # short doc: exactly one chunk, no padding
+        assert by[(2, 0)].chunk_text == "short doc only"
+        assert max(i for d, i in by if d == 2) == 0
+
+    def test_no_python_eval_in_plan(self, spark):
+        import contextlib
+        import io
+
+        from resilispark.operators.quality import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            chunk_documents(df).explain("formatted")
+        plan = buf.getvalue()
+        assert "EvalPython" not in plan and "Exchange" not in plan
