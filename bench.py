@@ -108,6 +108,10 @@ def main() -> None:
     # row (~59k rec/s, 1.8x) additionally carries the Arrow batch
     # assembly (headers map column) + Spark worker transport. gzip
     # single-core (~33k rec/s) BEATS the reference's 10.4k ~3x.
+    # The *_http row's floor: the kernel WITH HTTP header split runs
+    # ~65k rec/s in-process (vs ~96k without), and the row additionally
+    # ships every payload byte through Arrow — work the reference's
+    # lazy readers never do; no comparable published number exists.
     # LZ4: frame decode binds the system liblz4 via ctypes
     # (io/lz4_ctypes.py; pure-Python lz4f is the fallback): member
     # decode alone ~250k members/s, decode+parse kernel ~62k rec/s —
