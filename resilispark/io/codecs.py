@@ -369,6 +369,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
     frame 0 — use gif_frame_count for the animation length."""
     if not payload.startswith((b"GIF87a", b"GIF89a")):
         raise UnsupportedMediaError("not a GIF")
+    if len(payload) < 13:
+        raise UnsupportedMediaError("truncated GIF header")
     sw, sh, flags, bg, _ = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
