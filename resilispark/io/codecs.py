@@ -865,17 +865,22 @@ def _jpeg_decode_scan(planes, comps, scan, huff, segments, restart,
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch by magic; HxWx3 uint8 RGB or UnsupportedMediaError."""
     fmt = detect_media_format(payload)
-    if fmt == "png":
-        return decode_png(payload)
-    if fmt == "bmp":
-        return decode_bmp(payload)
-    if fmt == "pnm":
-        return decode_pnm(payload)
-    if fmt == "gif":
-        return decode_gif(payload)
-    if fmt == "jpeg":
-        return decode_jpeg(payload)
-    raise UnsupportedMediaError(f"no pure-Python decoder for format {fmt!r}")
+    decoders = {
+        "png": decode_png,
+        "bmp": decode_bmp,
+        "pnm": decode_pnm,
+        "gif": decode_gif,
+        "jpeg": decode_jpeg,
+    }
+    dec = decoders.get(fmt)
+    if dec is None:
+        raise UnsupportedMediaError(f"no pure-Python decoder for format {fmt!r}")
+    try:
+        return dec(payload)
+    except (struct.error, IndexError) as exc:
+        # normalize low-level truncation faults at the typed boundary:
+        # callers get ONE exception type for any malformed payload
+        raise UnsupportedMediaError(f"truncated/corrupt {fmt}: {exc}") from exc
 
 
 # ---------------------------------------------------------------------------
