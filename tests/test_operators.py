@@ -1417,6 +1417,26 @@ class TestTimeRollup:
         )
         assert plan.count("Exchange") <= 2  # expand+agg (plus AQE read)
 
+    def test_rollup_with_keys(self, spark):
+        from resilispark.operators.asof import time_rollup
+
+        df = spark.createDataFrame(
+            [
+                ("a", "2024-06-01 10:15:00", 1.0),
+                ("a", "2024-06-01 10:45:00", 2.0),
+                ("b", "2024-06-01 10:50:00", 5.0),
+            ],
+            "k string, ts string, v double",
+        ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+        out = time_rollup(
+            df, "ts", {"total": F.sum("v")}, granularities=("hour",), keys="k"
+        ).collect()
+        by = {(r.k, r.granularity, str(r.bucket_start)): r.total for r in out}
+        assert by[("a", "hour", "2024-06-01 10:00:00")] == 3.0
+        assert by[("b", "hour", "2024-06-01 10:00:00")] == 5.0
+        assert len(by) == 2
+
+
 
 def test_exc_iter_reference_shape():
     from resilispark.operators.guards import exc_iter
@@ -1472,3 +1492,4 @@ class TestChunkDocuments:
             chunk_documents(df).explain("formatted")
         plan = buf.getvalue()
         assert "EvalPython" not in plan and "Exchange" not in plan
+
