@@ -156,9 +156,18 @@ def cmd_extract_text(args) -> int:
 
 
 def cmd_benchmark(args) -> int:
-    """Scan throughput (fastwarc benchmark, cli.py:351-447)."""
+    """Scan throughput (fastwarc benchmark, cli.py:351-447): local,
+    http(s)://, or s3:// sources; --parse-http / --verify-digests /
+    --filter-type mirror the reference flags (HTTP parse is opt-in
+    there too, cli.py:362)."""
     spark = _spark(args.cpus)
-    reader = spark.read.format("warc")
+    reader = spark.read.format("warc").option(
+        "parse_http", "true" if args.parse_http else "false"
+    )
+    if args.verify_digests:
+        reader = reader.option("verify_digests", "true")
+    if args.filter_type:
+        reader = reader.option("record_types", args.filter_type)
     if args.split_bytes:
         reader = reader.option("split_bytes", str(args.split_bytes))
     df = reader.load(args.file)
@@ -489,6 +498,11 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("benchmark", help="measure scan throughput")
     p.add_argument("file")
     p.add_argument("--split-bytes", type=int, default=None)
+    p.add_argument("-H", "--parse-http", action="store_true",
+                   help="parse HTTP headers (opt-in like the reference)")
+    p.add_argument("-v", "--verify-digests", action="store_true")
+    p.add_argument("-f", "--filter-type", default=None,
+                   help="comma-separated record types")
     p.set_defaults(fn=cmd_benchmark)
 
     # resiliparse-parity groups (resiliparse-py/resiliparse/cli.py)
