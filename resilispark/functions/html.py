@@ -483,6 +483,9 @@ _TOKEN_RE = re.compile(
 _ATTR_RE = re.compile(r"([^\s/=>]+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^>\s]*))?")
 # memo: raw attr string -> parsed dict (bounded; see _fast_feed)
 _ATTR_CACHE: dict[str, dict] = {}
+# memo: pruning-relevant attrs + mode flags -> main-content prune
+# verdict (bounded; see extract_plain_text.walk)
+_PRUNE_CACHE: dict[tuple, bool] = {}
 
 
 def _fast_feed(b: "_TreeBuilder", src: str) -> None:
@@ -1134,20 +1137,35 @@ def extract_plain_text(
             if tag in ("nav", "aside", "footer", "header") and n is not base:
                 return
             # every remaining prune keys off attributes — attribute-less
-            # elements (the common case) skip the whole cascade
+            # elements (the common case) skip the whole cascade. The
+            # verdict depends only on a handful of attr strings (which
+            # repeat heavily — the tokenizer memoizes whole attr dicts),
+            # so it is memoized per (attrs..., mode flags)
             if n.attrs:
-                if _is_hidden_attr(n):
-                    return
-                if not hidden_elements and _is_hidden_css(n):
-                    return
-                ident = (n.attr("class") or "") + " " + (n.attr("id") or "")
-                if (n.attr("role") or "").lower() in ("navigation", "banner", "contentinfo"):
-                    return
-                if _BOILERPLATE.search(ident):
-                    return
-                if not comments and _COMMENTS_CLS.search(ident):
-                    return
-                if not post_meta and _POST_META_CLS.search(ident):
+                a = n.attrs.get
+                key = (
+                    a("class"), a("id"), a("role"), a("style"),
+                    a("hidden"), a("aria-hidden"),
+                    hidden_elements, comments, post_meta,
+                )
+                prune = _PRUNE_CACHE.get(key)
+                if prune is None:
+                    prune = bool(
+                        _is_hidden_attr(n)
+                        or (not hidden_elements and _is_hidden_css(n))
+                        or (a("role") or "").lower()
+                        in ("navigation", "banner", "contentinfo")
+                    )
+                    if not prune:
+                        ident = (a("class") or "") + " " + (a("id") or "")
+                        prune = bool(
+                            _BOILERPLATE.search(ident)
+                            or (not comments and _COMMENTS_CLS.search(ident))
+                            or (not post_meta and _POST_META_CLS.search(ident))
+                        )
+                    if len(_PRUNE_CACHE) < 8192:
+                        _PRUNE_CACHE[key] = prune
+                if prune:
                     return
             if tag in ("div", "section", "ul", "table") and len(n.full_text()) > 20 and _link_density(n) > 0.75:
                 return
