@@ -85,3 +85,43 @@ def test_flush_fast_path_equals_regex_collapse(body):
     ):
         got = _WS.sub(" ", got)
     assert got == want
+
+
+def test_attr_cache_isolated_from_dom_mutation():
+    """The tokenizer's attr-dict memo must hand each parse an
+    independent dict: mutating one document's node.attrs cannot leak
+    into a later parse of the same markup."""
+    from resilispark.functions.html import parse_html
+
+    html = '<div class="nav menu" id="x">a</div>'
+    t1 = parse_html(html)
+    d1 = t1.get_element_by_id("x")
+    d1.attrs["class"] = "MUTATED"
+    d1.attrs["injected"] = "1"
+    t2 = parse_html(html)
+    d2 = t2.get_element_by_id("x")
+    assert d2.attrs["class"] == "nav menu"
+    assert "injected" not in d2.attrs
+
+
+def test_prune_cache_respects_mode_flags():
+    """The prune-verdict memo keys on the mode flags: the same class
+    string must prune under comments=False but survive under the
+    default comments=True."""
+    from resilispark.functions.html import extract_plain_text
+
+    html = (
+        "<body><main><p>kept text</p>"
+        '<div class="comments-section"><p>comment text</p></div></main></body>'
+    )
+    with_comments = extract_plain_text(html, main_content=True, comments=True)
+    without = extract_plain_text(html, main_content=True, comments=False)
+    assert "comment text" in with_comments
+    assert "comment text" not in without
+    # and again in the other order (cache warm both ways)
+    assert "comment text" not in extract_plain_text(
+        html, main_content=True, comments=False
+    )
+    assert "comment text" in extract_plain_text(
+        html, main_content=True, comments=True
+    )
