@@ -1512,7 +1512,6 @@ class TestEndToEndTrainingPipeline:
             write_docs_partitioned,
         )
         from resilispark.operators.quality import chunk_documents, gopher_filter
-        from resilispark.queries.warcops import _warc  # registered session
 
         docs = warc_to_html_docs(spark, f"{fixture_dir}/golden-50.warc.gz")
         # golden payloads are small; loosen the word-count gate so the
