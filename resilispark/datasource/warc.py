@@ -87,7 +87,6 @@ from resilispark.io.fs import expand_source_stat, get_fs, split_scheme
 from resilispark.io.warc import (
     GZIP_MAGIC,
     LZ4_MAGIC,
-    WARC_MAGIC,
     _iter_gzip_members,
     decode_warc_stream,
     iter_warc_bytes,
