@@ -289,6 +289,21 @@ class ProgressGuard:
             ) from exc
         return False
 
+    def __call__(self, fn):
+        """Decorator form, like the reference's guards
+        (process_guard.pyx: ``@time_guard(timeout=...)``). Each call
+        re-enters the guard (fresh epoch + watchdog); one decorated
+        function must not run concurrently with itself in one
+        interpreter — use separate guard instances for that."""
+        import functools
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            with self:
+                return fn(*args, **kwargs)
+
+        return wrapper
+
     # -- heartbeat -----------------------------------------------------
     def progress(self) -> None:
         """Store a new epoch, resetting the watchdog clock (thread-safe

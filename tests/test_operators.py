@@ -1543,3 +1543,21 @@ class TestEndToEndTrainingPipeline:
         # paragraph dedup is corpus-wide: no chunk text repeats a full
         # duplicated paragraph from another document
         assert back.select("url").distinct().count() > 1
+
+
+def test_progress_guard_decorator_form():
+    import time as _t
+
+    from resilispark.operators.guards import progress, progress_guard
+
+    g = progress_guard(timeout=0.5, check_interval=0.02)
+
+    @g
+    def work():
+        for _ in range(6):
+            _t.sleep(0.05)
+            progress()
+        return "done"
+
+    assert work() == "done"
+    assert work() == "done"  # guard re-enters cleanly
