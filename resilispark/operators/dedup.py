@@ -45,12 +45,16 @@ def connected_components(
 
     The dedup endgame: d04-style candidate pairs only say "these two
     match"; keep-one-per-cluster needs the transitive closure. Iterative
-    DataFrame algorithm (small-star style label propagation): per round,
-    every vertex takes min(own label, neighbors' labels); converges in
-    O(cluster diameter) rounds — near-dup clusters are shallow. Each
-    round is one shuffle on vertex id; the loop is driver-side but the
-    data never leaves the cluster (only the convergence COUNT comes
-    back, an aggregate).
+    DataFrame algorithm: per round every vertex takes min(own label,
+    neighbors' labels) and then POINTER-JUMPS (adopts its label's
+    label), halving chain depth each round — convergence in
+    O(log diameter) rounds, so ``max_iterations=20`` covers any graph
+    with diameter up to ~2^20 (plain min-propagation is O(diameter) and
+    silently mislabeled long chains). Each round is a bounded number of
+    shuffles on vertex id; the loop is driver-side but the data never
+    leaves the cluster (only the convergence COUNT comes back). Raises
+    if the budget is exhausted before the fixpoint, never returns wrong
+    labels silently.
 
     Returns (vertex, cluster_id). Oracle-expressible as a recursive CTE,
     so this stays inside the hash-checked gate.
@@ -75,24 +79,38 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(msgs, labels.vertex == msgs.src, "left")
-            .select(
-                "vertex",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (F.coalesce("nbr_min", F.col("cluster_id")) < F.col("cluster_id")).alias(
-                    "_changed"
-                ),
-            )
+        stepped = labels.join(msgs, labels.vertex == msgs.src, "left").select(
+            "vertex",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # pointer jumping: adopt the label's own label — this is what
+        # turns O(diameter) propagation into O(log diameter)
+        lab2 = stepped.select(
+            F.col("vertex").alias("_lv"), F.col("cluster_id").alias("_lc")
+        )
+        jumped = stepped.join(
+            lab2, stepped.cluster_id == lab2._lv, "left"
+        ).select(
+            "vertex",
+            F.least(
+                F.col("cluster_id"), F.coalesce("_lc", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        prev = labels.select("vertex", F.col("cluster_id").alias("_prev"))
+        new_labels = jumped.join(prev, "vertex").withColumn(
+            "_changed", F.col("cluster_id") < F.col("_prev")
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
         changed = new_labels.filter("_changed").limit(1).count()
-        labels = new_labels.drop("_changed")
+        labels = new_labels.select("vertex", "cluster_id")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds "
+        "(graph diameter beyond ~2^iterations — raise max_iterations)"
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

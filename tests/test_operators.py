@@ -1561,3 +1561,16 @@ def test_progress_guard_decorator_form():
 
     assert work() == "done"
     assert work() == "done"  # guard re-enters cleanly
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer jumping: a path graph whose diameter far exceeds the
+    round budget still converges (plain min-propagation is O(diameter)
+    and silently mislabels — this was a real bug)."""
+    from resilispark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    labels = {r.vertex: r.cluster_id for r in connected_components(pairs).collect()}
+    assert set(labels.values()) == {0} and len(labels) == 61
