@@ -42,6 +42,10 @@ def asof_join(
     Right-side value columns keep their names; collisions with left
     columns get a ``_right`` suffix. The matched right timestamp is
     exposed as ``<right_time>_matched``.
+
+    Determinism caveat: two RIGHT rows with the identical (key, time)
+    resolve arbitrarily (same as any distributed sort tie) — de-dup the
+    right side first when that matters.
     """
     keys = [on] if isinstance(on, str) else list(on)
     val_cols = [c for c in right.columns if c not in keys and c != right_time]
