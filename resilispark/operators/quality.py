@@ -52,7 +52,7 @@ def gopher_quality_flags(
      - ``r_stopwords``: >= 2 distinct common function words present
     """
     text = F.col(text_col)
-    words = F.split(text, r"\s+")
+    words = F.split(F.trim(text), r"\s+")
     n_words = F.size(words)
     nw = F.greatest(n_words, F.lit(1)).cast("double")
     mean_wl = (
@@ -126,7 +126,7 @@ def top_ngram_fraction(
     Returns (id, n_ngrams, top_ngram_frac); documents with fewer than
     ``n`` words get n_ngrams=0 and a NULL fraction.
     """
-    words = F.split(F.col(text_col), r"\s+")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.when(
         F.size(words) >= n,
         F.transform(
@@ -178,7 +178,7 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
-    words = F.split(F.col(text_col), r"\s+")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(words)
     # window starts: 0, step, 2*step, ... while start < n; a doc
     # shorter than one chunk gets exactly one start (0)
