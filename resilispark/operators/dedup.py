@@ -378,10 +378,20 @@ def paragraph_dedup(
     hashed = paras.withColumn(
         "_h", F.when(eligible, F.md5(F.encode("_para", "UTF-8")))
     )
-    w = W.partitionBy("_h").orderBy("_pid", "_pos")
-    keep = hashed.withColumn(
+    # keep-first via partial-aggregated min, NOT a row_number window: a
+    # hyper-common paragraph ("© 2024 ...") would put millions of rows
+    # into one window partition's sort; groupBy+min collapses the hot
+    # key map-side before the shuffle, and the join probe against the
+    # one-row-per-hash firsts table is skew-immune
+    firsts = (
+        hashed.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.min(F.struct("_pid", "_pos")).alias("_first"))
+    )
+    keep = hashed.join(firsts, "_h", "left").withColumn(
         "_keep",
-        F.col("_h").isNull() | (F.row_number().over(w) == 1),
+        F.col("_h").isNull()
+        | (F.struct("_pid", "_pos") == F.col("_first")),
     )
     rebuilt = (
         keep.filter("_keep")
