@@ -115,12 +115,22 @@ def connected_components(
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep-first exact dedup by content digest; adds is_duplicate +
-    copies columns. One shuffle on the digest."""
+    copies columns.
+
+    Shape: groupBy(digest) partial-aggregated min/count + an equi join
+    back — NOT an unordered window, whose per-digest partition would
+    put every copy of a hyper-duplicated document into one task's sort
+    at 100 TB; the aggregation collapses hot digests map-side."""
     hashed = df.withColumn("content_hash", F.md5(F.encode(text_col, "UTF-8")))
-    w = W.partitionBy("content_hash")
-    return hashed.withColumn(
-        "is_duplicate", F.col(id_col) != F.min(id_col).over(w)
-    ).withColumn("copies", F.count(F.lit(1)).over(w).cast("bigint"))
+    stats = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("_first_id"),
+        F.count(F.lit(1)).cast("bigint").alias("copies"),
+    )
+    return (
+        hashed.join(stats, "content_hash")
+        .withColumn("is_duplicate", F.col(id_col) != F.col("_first_id"))
+        .drop("_first_id")
+    )
 
 
 def minhash_signatures(
