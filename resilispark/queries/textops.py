@@ -91,19 +91,18 @@ ELSE [] END
 def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content digest: mark every doc keep/drop.
 
-    Plan: md5 over the text, min(doc_id) per digest via a window — one
-    hash-partitioned shuffle on the digest, no skew (digests uniform).
+    Plan: md5 over the text, then partial-aggregated min/count per
+    digest + equi join back (operators/dedup.py exact_dedup) — the
+    map-side combine collapses a hyper-duplicated document's digest
+    BEFORE the shuffle, where a per-digest window would sort all its
+    copies in one task.
     """
+    from resilispark.operators.dedup import exact_dedup
+
     d = _docs(spark, sf_dir)
-    hashed = d.withColumn("content_hash", F.md5(F.encode("text", "UTF-8")))
-    w = W.partitionBy("content_hash")
     return (
-        hashed.select(
-            "doc_id",
-            "content_hash",
-            (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
-            F.count(F.lit(1)).over(w).cast("bigint").alias("copies"),
-        )
+        exact_dedup(d, "text", "doc_id")
+        .select("doc_id", "content_hash", "is_duplicate", "copies")
         .orderBy("doc_id")
     )
 
