@@ -18,7 +18,7 @@ PICKS = {
     "q05_join_customer_orders": "Broadcast hash join (orders side streamed), no sort-merge shuffle.",
     "q09_multiway_join": "Four-way join planned as a broadcast chain — zero join shuffles.",
     "q14_topk_per_group": "Per-group top-k via ranking window after a single hash partition.",
-    "d01_exact_dedup": "One hash-partitioned exchange on the digest; window over it.",
+    "d01_exact_dedup": "Partial-aggregated min/count per digest + equi join back — hot digests collapse map-side, no per-digest window sort.",
     "d02_ngram_jaccard": "Posting lists through the chunked bucket generator (hot shingles split at max_bucket); per-pair counts ARE the intersection sizes.",
     "d04_minhash_lsh_pairs": "Band table checkpointed once; chunked bucket pairs + chunk-pair join (bounded arrays, exact output).",
     "d08_simhash_pairs": "SimHash chunks as struct ids through the same chunked generator — fingerprints travel with the bucket rows, hot 8-bit values bounded.",
