@@ -235,8 +235,12 @@ def build_html_bench_records(n_docs: int = 1000, target_bytes: int = 25000) -> l
             p = f'<p class="para p{j}">{_sentence(rng, 40)}</p>'
             parts.append(p)
             if j % 5 == 0:
+                # hrefs unique PER DOCUMENT like real crawled pages
+                # (absolute URLs): keeps the tokenizer's attr-string
+                # memo honest — class attrs repeat corpus-wide (real),
+                # link targets do not
                 parts.append(
-                    f'<div class="related"><a href="/l{j}">{_sentence(rng, 3)}</a>'
+                    f'<div class="related"><a href="/d{i}/l{j}">{_sentence(rng, 3)}</a>'
                     f"<span>meta {j}</span></div>"
                 )
             size += len(p)
