@@ -132,6 +132,11 @@ def main() -> None:
     # to measure the codec floor, so adding their ~25 s to the suite
     # wall would make the headline metric incomparable across rounds
     big_labels: set[str] = set()
+    # big pinned rows get a SECOND min-of-n sample near the end of the
+    # suite (several minutes later): host CPU drifts in multi-minute
+    # slow phases that a single min-of-5 cannot escape, and these rows
+    # gate against BASELINE per-core numbers
+    pinned_dfs: dict = {}
     for groups in dict.fromkeys((n_groups, big_groups)):
         if groups <= 0:
             continue
@@ -190,6 +195,8 @@ def main() -> None:
             timings[label] = timer(
                 lambda: df.write.mode("overwrite").format("noop").save()
             )
+            if groups != n_groups and opts.get("split_bytes") == str(1 << 40):
+                pinned_dfs[label] = df
             if groups != n_groups:
                 big_labels.add(label)
 
@@ -273,6 +280,12 @@ def main() -> None:
     # one_part scan rows). The extract row additionally runs the full
     # main-content plain-text serializer — strictly more work than the
     # reference's parse+title; no published baseline row exists for it.
+    for label, df in pinned_dfs.items():
+        second = timed_min(
+            lambda df=df: df.write.mode("overwrite").format("noop").save()
+        )
+        timings[label] = min(timings[label], second)
+
     import subprocess
 
     # stop the session FIRST: even an idle 32-thread JVM (GC of the
