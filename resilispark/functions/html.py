@@ -99,6 +99,90 @@ class Node:
     def full_text(self) -> str:
         return "".join(n.text or "" for n in self.iter() if n.is_text)
 
+    # -- navigation (F13, html.pyx DOMNode first_child/next/prev) ---------
+    @property
+    def first_child(self) -> "Node | None":
+        return self.children[0] if self.children else None
+
+    @property
+    def last_child(self) -> "Node | None":
+        return self.children[-1] if self.children else None
+
+    @property
+    def first_element_child(self) -> "Node | None":
+        return next((c for c in self.children if not c.is_text), None)
+
+    @property
+    def next_sibling(self) -> "Node | None":
+        p = self.parent
+        if p is None:
+            return None
+        sibs = p.children
+        i = sibs.index(self)
+        return sibs[i + 1] if i + 1 < len(sibs) else None
+
+    @property
+    def previous_sibling(self) -> "Node | None":
+        p = self.parent
+        if p is None:
+            return None
+        sibs = p.children
+        i = sibs.index(self)
+        return sibs[i - 1] if i > 0 else None
+
+    @property
+    def value(self) -> "str | None":
+        """node_value (html.pyx DOMNode.value): the payload for text
+        nodes, None for elements."""
+        return self.text if self.is_text else None
+
+    # -- serialization (F15, html.pyx DOMNode.html get/set) ---------------
+    @property
+    def html(self) -> str:
+        """Outer-HTML serialization: void elements self-close, rawtext
+        (script/style) bodies stay verbatim, text nodes and attribute
+        values entity-escape &/</>/\"."""
+        out: list[str] = []
+        self._serialize(out)
+        return "".join(out)
+
+    @html.setter
+    def html(self, fragment: str) -> None:
+        """Replace this element's CHILDREN with the parsed fragment
+        (the reference's ``element.html = '<p>..</p>'`` inner-HTML
+        assignment, tests/resiliparse/parse/test_html.py:495-503)."""
+        tree = parse_html(fragment)
+        body = next(
+            (n for n in tree.iter_elements() if n.tag == "body"), tree
+        )
+        self.children = []
+        for c in list(body.children):
+            self.append_child(c)
+
+    def _serialize(self, out: list) -> None:
+        if self.is_text:
+            out.append(_html_escape(self.text or ""))
+            return
+        tag = self.tag
+        out.append(f"<{tag}")
+        for k, v in self.attrs.items():
+            out.append(f' {k}="{_attr_escape(v or "")}"')
+        out.append(">")
+        if tag in VOID_ELEMENTS:
+            return
+        if tag in _RAWTEXT_ELEMENTS:
+            out.append("".join(c.text or "" for c in self.children if c.is_text))
+        else:
+            for c in self.children:
+                c._serialize(out)
+        out.append(f"</{tag}>")
+
+    def __repr__(self) -> str:
+        return f"<{self.tag}>" if not self.is_text else repr(self.text)
+
+    def __str__(self) -> str:
+        return self.html if not self.is_text else (self.text or "")
+
     # -- classic DOM lookups (F12, html.pyx get_element(s)_by_*) ----------
     def get_element_by_id(self, ident: str) -> "Node | None":
         for n in self.iter_elements():
@@ -750,6 +834,10 @@ _MINIMAL_TAGS = frozenset(
 
 def _html_escape(t: str) -> str:
     return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _attr_escape(t: str) -> str:
+    return _html_escape(t).replace('"', "&quot;")
 # class/id boilerplate blacklist — same rule class as html2text.pyx:469-489
 _BOILERPLATE = re.compile(
     r"(?:^|[-_ ])(?:sidebar|sidenav|breadcrumbs?|social(?:-media)?|share|sharing|"

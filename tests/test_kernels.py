@@ -687,3 +687,44 @@ def test_sql_function_registry(spark):
     }
     missing = {f"resilispark_{n}" for n in udfs} - registered
     assert not missing, f"not SQL-registered: {missing}"
+
+
+def test_dom_navigation_serialization_parity():
+    """DOMNode surface from the reference's test_html.py: sibling/child
+    navigation (test_siblings), node value (test_node_value), and
+    outer/inner HTML serialization incl. assignment
+    (test_serialization / test_inner_html_and_text)."""
+    from resilispark.functions.html import Node, parse_html
+
+    tree = parse_html(
+        '<html><body><main id="foo">'
+        '<p id="a">Hello <span class="bar">world</span>!</p>'
+        '<p id="b">Second</p></main></body></html>'
+    )
+    main = tree.get_element_by_id("foo")
+    el1 = main.first_element_child
+    assert not el1.is_text and el1.attrs["id"] == "a"
+    assert el1.next_sibling.attrs["id"] == "b"
+    assert el1.next_sibling.previous_sibling is el1
+    assert main.last_child.attrs["id"] == "b"
+    assert main.parent.tag == "body"
+
+    # node value: text payload for text nodes, None for elements
+    txt = el1.first_child
+    assert txt.is_text and txt.value == "Hello "
+    assert el1.value is None
+
+    # serialization: round-trips structure, escapes attrs/text
+    assert el1.html == '<p id="a">Hello <span class="bar">world</span>!</p>'
+    assert str(el1) == el1.html and repr(el1) == "<p>"
+    img = parse_html('<body><img src="x?a=1&b=2"></body>')
+    body = next(n for n in img.iter_elements() if n.tag == "img")
+    assert body.html == '<img src="x?a=1&amp;b=2">'  # void: no close tag
+
+    # inner-HTML assignment replaces children (reference :495-503)
+    div = Node("div")
+    assert div.html == "<div></div>"
+    div.html = "<p>New inner content</p>"
+    assert div.html == "<div><p>New inner content</p></div>"
+    assert div.first_element_child.tag == "p"
+    assert div.first_element_child.parent is div
