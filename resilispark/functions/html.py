@@ -50,7 +50,12 @@ DOUBLE_MARGIN = frozenset(
 
 
 class Node:
-    """Minimal DOM node: element or text."""
+    """Minimal DOM node: element or text.
+
+    Documented divergence from the reference DOMNode: ``.text`` here is
+    the raw payload of a TEXT node (None on elements) — the reference's
+    element-level ``.text`` (subtree text) is ``full_text()``; its
+    ``.next``/``.prev`` are ``next_sibling``/``previous_sibling``."""
 
     __slots__ = ("tag", "attrs", "children", "parent", "text")
 
