@@ -169,6 +169,10 @@ class Node:
             out.append(_html_escape(self.text or ""))
             return
         tag = self.tag
+        if tag.startswith("#"):  # synthetic (#document/#skipped): children only
+            for c in self.children:
+                c._serialize(out)
+            return
         out.append(f"<{tag}")
         for k, v in self.attrs.items():
             out.append(f' {k}="{_attr_escape(v or "")}"')

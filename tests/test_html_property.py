@@ -125,3 +125,30 @@ def test_prune_cache_respects_mode_flags():
     assert "comment text" in extract_plain_text(
         html, main_content=True, comments=True
     )
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_serialize_parse_fixpoint(data):
+    """parse -> .html -> parse -> .html is a fixpoint for documents
+    whose tag names are well-formed (tag names CONTAINING '<' are legal
+    HTML5 but cannot round-trip, in lexbor either)."""
+    from resilispark.functions.html import parse_html
+
+    tags = ["div", "p", "span", "b", "i", "ul", "li", "img", "br"]
+
+    def frag(depth):
+        if depth > 2 or data.draw(st.booleans()):
+            return data.draw(
+                st.sampled_from(["text & more", 'x"y', "plain", ""])
+            )
+        t = data.draw(st.sampled_from(tags))
+        inner = "".join(
+            frag(depth + 1) for _ in range(data.draw(st.integers(0, 2)))
+        )
+        return f'<{t} class="c{depth}">{inner}</{t}>'
+
+    doc = "<html><body>" + frag(0) + "</body></html>"
+    s1 = parse_html(doc).html
+    s2 = parse_html(s1).html
+    assert s1 == s2
