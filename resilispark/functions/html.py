@@ -78,6 +78,20 @@ class Node:
     def class_list(self) -> list[str]:
         return (self.attrs.get("class") or "").split()
 
+    @property
+    def id(self) -> str:
+        """DOMNode.id (html.pyx): the id attribute, '' when absent."""
+        return self.attrs.get("id") or ""
+
+    @property
+    def class_name(self) -> str:
+        """DOMNode.class_name: the raw class attribute string."""
+        return self.attrs.get("class") or ""
+
+    @property
+    def child_nodes(self) -> "list[Node]":
+        return list(self.children)
+
     def iter(self):
         """Pre-order traversal (traverse_dom, html.pyx:1885-1935).
 

@@ -728,3 +728,13 @@ def test_dom_navigation_serialization_parity():
     assert div.html == "<div><p>New inner content</p></div>"
     assert div.first_element_child.tag == "p"
     assert div.first_element_child.parent is div
+
+
+def test_dom_id_classname_childnodes():
+    from resilispark.functions.html import parse_html
+
+    t = parse_html('<body><div id="d1" class="a b"><p>x</p></div></body>')
+    d = t.get_element_by_id("d1")
+    assert d.id == "d1" and d.class_name == "a b"
+    assert [c.tag for c in d.child_nodes] == ["p"]
+    assert t.get_elements_by_tag_name("p")[0].id == ""
