@@ -714,9 +714,79 @@ def parse_html(html: str) -> Node:
 
 _SEL_PART = re.compile(
     r"(?P<tag>[a-zA-Z][\w-]*|\*)?"
-    r"(?P<quals>(?:[.#][\w-]+|\[[^\]]+\])*)"
+    r"(?P<quals>(?:[.#][\w-]+|\[[^\]]+\]|:[\w-]+(?:\([^)]*\))?)*)"
 )
-_QUAL = re.compile(r"([.#])([\w-]+)|\[([^\]=~|^$*]+)(?:([~|^$*]?=)\"?([^\]\"]*)\"?)?\]")
+_QUAL = re.compile(
+    r"([.#])([\w-]+)"
+    r"|\[([^\]=~|^$*]+)(?:([~|^$*]?=)\"?([^\]\"]*)\"?)?\]"
+    r"|:([\w-]+)(?:\(([^)]*)\))?"
+)
+
+
+def _elem_siblings(n: Node) -> list:
+    p = n.parent
+    if p is None:
+        return [n]
+    return [c for c in p.children if not c.is_text]
+
+
+def _parse_nth(arg: str):
+    """CSS An+B micro-grammar: odd/even/B/An/An+B/An-B -> (A, B)."""
+    a = arg.strip().lower().replace(" ", "")
+    if a == "odd":
+        return 2, 1
+    if a == "even":
+        return 2, 0
+    m = re.fullmatch(r"([+-]?\d*)n([+-]\d+)?", a)
+    if m:
+        astr = m.group(1)
+        A = int(astr) if astr not in ("", "+", "-") else (-1 if astr == "-" else 1)
+        return A, int(m.group(2) or 0)
+    return 0, int(a)  # plain integer
+
+
+def _nth_matches(pos: int, A: int, B: int) -> bool:
+    if A == 0:
+        return pos == B
+    k, r = divmod(pos - B, A)
+    return r == 0 and k >= 0
+
+
+def _compile_pseudo(name: str, arg: str | None):
+    """Structural pseudo-classes (the subset the reference's own tests
+    exercise — lexbor supports full CSS; unknown pseudos raise like the
+    reference's invalid-selector ValueError)."""
+    if name == "first-child":
+        return lambda n: _elem_siblings(n)[0] is n
+    if name == "last-child":
+        return lambda n: _elem_siblings(n)[-1] is n
+    if name == "only-child":
+        return lambda n: len(_elem_siblings(n)) == 1
+    if name == "first-of-type":
+        return lambda n: next(
+            (s for s in _elem_siblings(n) if s.tag == n.tag), None
+        ) is n
+    if name == "last-of-type":
+        return lambda n: next(
+            (s for s in reversed(_elem_siblings(n)) if s.tag == n.tag), None
+        ) is n
+    if name == "empty":
+        return lambda n: not n.children
+    if name == "nth-child" and arg is not None:
+        A, B = _parse_nth(arg)
+        return lambda n: _nth_matches(_elem_siblings(n).index(n) + 1, A, B)
+    if name == "nth-of-type" and arg is not None:
+        A, B = _parse_nth(arg)
+
+        def of_type_pos(n):
+            same = [s for s in _elem_siblings(n) if s.tag == n.tag]
+            return same.index(n) + 1
+
+        return lambda n: _nth_matches(of_type_pos(n), A, B)
+    if name == "not" and arg is not None:
+        inner = _compile_simple(arg)
+        return lambda n: not inner(n)
+    raise ValueError(f"unsupported pseudo-class: :{name}")
 
 
 @_lru_cache(maxsize=512)
@@ -734,7 +804,7 @@ def _compile_simple(sel: str):
         elif qm.group(1) == "#":
             ident = qm.group(2)
             checks.append(lambda n, i=ident: n.attr("id") == i)
-        else:
+        elif qm.group(3) is not None:
             attr, op, val = qm.group(3), qm.group(4), qm.group(5)
             attr = attr.strip().lower()
             if op is None:
@@ -749,6 +819,8 @@ def _compile_simple(sel: str):
                 checks.append(lambda n, a=attr, v=val: (n.attr(a) or "").endswith(v))
             elif op == "*=":
                 checks.append(lambda n, a=attr, v=val: v in (n.attr(a) or ""))
+        elif qm.group(6):
+            checks.append(_compile_pseudo(qm.group(6), qm.group(7)))
 
     def match(n: Node) -> bool:
         if n.is_text:

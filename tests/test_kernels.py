@@ -738,3 +738,37 @@ def test_dom_id_classname_childnodes():
     assert d.id == "d1" and d.class_name == "a b"
     assert [c.tag for c in d.child_nodes] == ["p"]
     assert t.get_elements_by_tag_name("p")[0].id == ""
+
+
+def test_structural_pseudo_classes():
+    """Structural pseudo-class subset of the reference's lexbor selector
+    engine; the reference's own test_selection uses `p:last-child`
+    (tests/resiliparse/parse/test_html.py:162)."""
+    import pytest
+
+    from resilispark.functions.html import parse_html, query_selector_all
+
+    t = parse_html(
+        '<html lang="en"><head><title>T</title><meta charset="utf-8"></head>'
+        '<body><main id="foo"><p id="a">Hello <span class="bar">x</span>!</p>'
+        '<p id="b">Second <a class="bar baz" href="#">link</a></p></main></body></html>'
+    )
+
+    def ids(sel):
+        return [n.attrs.get("id", n.tag) for n in query_selector_all(t, sel)]
+
+    # the reference's exact selector
+    assert ids("body > main p:last-child") == ["b"]
+    assert ids("main p:first-child") == ["a"]
+    assert ids("main p:nth-child(2)") == ["b"]
+    assert ids("main p:nth-child(odd)") == ["a"]
+    assert ids("main p:nth-child(2n)") == ["b"]
+    assert ids("main p:nth-of-type(even)") == ["b"]
+    assert ids("main :only-child") == ["span", "a"]
+    assert ids("main p:not(#a)") == ["b"]
+    assert ids(":empty") == ["meta"]
+    assert ids("main p:first-of-type") == ["a"]
+    assert ids("main p:last-of-type") == ["b"]
+    # unsupported pseudo raises like the reference's invalid-selector error
+    with pytest.raises(ValueError):
+        query_selector_all(t, "p:hover")
