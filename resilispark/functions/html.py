@@ -183,9 +183,14 @@ class Node:
             out.append(_html_escape(self.text or ""))
             return
         tag = self.tag
-        if tag.startswith("#"):  # synthetic (#document/#skipped): children only
-            for c in self.children:
-                c._serialize(out)
+        if tag.startswith("#"):
+            if tag == "#comment":
+                out.append(f"<!--{self.text or ''}-->")
+            elif tag == "#doctype":
+                out.append(f"<!DOCTYPE {self.text or 'html'}>")
+            else:  # synthetic (#document/#skipped): children only
+                for c in self.children:
+                    c._serialize(out)
             return
         out.append(f"<{tag}")
         for k, v in self.attrs.items():
@@ -323,12 +328,32 @@ _TABLE_ALLOWED = {
 
 
 class _TreeBuilder(HTMLParser):
-    def __init__(self):
+    def __init__(self, keep_metadata: bool = False):
         super().__init__(convert_charrefs=True)
         self.root = Node("#document")
         self.stack = [self.root]
         # list of active formatting elements (Node or _FMT_MARKER)
         self.fmt: list = []
+        # keep_metadata: record comment/doctype nodes (the DOM facade
+        # needs them; the extraction hot path leaves them dropped)
+        self.keep_metadata = keep_metadata
+
+    def handle_comment(self, data):
+        if self.keep_metadata:
+            node = Node("#comment", text=data)
+            top = self.stack[-1]
+            node.parent = top
+            top.children.append(node)
+
+    def handle_decl(self, decl):
+        # document-level doctype only (mid-document doctypes are
+        # ignored, matching browser behavior)
+        if self.keep_metadata and len(self.stack) == 1:
+            d = decl.strip()
+            if d.lower().startswith("doctype"):
+                node = Node("#doctype", text=d[7:].strip())
+                node.parent = self.root
+                self.root.children.append(node)
 
     def _foster_parent(self, node: Node) -> bool:
         """If the insertion point is a table section that cannot contain
@@ -687,19 +712,30 @@ def _fast_feed(b: "_TreeBuilder", src: str) -> None:
         elif lg == "etag":
             etag = m.group(1)
             b.handle_endtag(etag if etag.islower() else etag.lower())
-        # comments / declarations / PIs: dropped (builder ignores)
+        elif b.keep_metadata:
+            # comments / doctype surface only in keep_metadata mode
+            # (DOM facade); otherwise dropped with zero dispatch cost
+            if lg == "comment":
+                b.handle_comment(m.group("comment"))
+            elif lg == "decl":
+                b.handle_decl(m.group("decl"))
 
 
-def parse_html(html: str) -> Node:
+def parse_html(html: str, keep_metadata: bool = False) -> Node:
     """Parse an HTML string into a Node tree (HTMLTree.parse,
     html.pyx:1734-1747).  Tokenized by the fast regex scanner above;
     any scanner error falls back to the stdlib html.parser loop over a
-    fresh builder (resilient-parse contract: never raise)."""
-    b = _TreeBuilder()
+    fresh builder (resilient-parse contract: never raise).
+
+    ``keep_metadata=True`` records comment and doctype nodes
+    (``#comment`` / ``#doctype`` synthetic tags) for the DOM facade in
+    :mod:`resilispark.parse.html`; the extraction hot path keeps the
+    default and never pays for them."""
+    b = _TreeBuilder(keep_metadata)
     try:
         _fast_feed(b, html or "")
     except Exception:
-        b = _TreeBuilder()
+        b = _TreeBuilder(keep_metadata)
         try:
             b.feed(html or "")
             b.close()
@@ -727,7 +763,7 @@ def _elem_siblings(n: Node) -> list:
     p = n.parent
     if p is None:
         return [n]
-    return [c for c in p.children if not c.is_text]
+    return [c for c in p.children if c.tag is not None and c.tag[0] != "#"]
 
 
 def _parse_nth(arg: str):
@@ -771,7 +807,8 @@ def _compile_pseudo(name: str, arg: str | None):
             (s for s in reversed(_elem_siblings(n)) if s.tag == n.tag), None
         ) is n
     if name == "empty":
-        return lambda n: not n.children
+        # comments do not prevent :empty (CSS Selectors Level 4)
+        return lambda n: all(c.tag == "#comment" for c in n.children)
     if name == "nth-child" and arg is not None:
         A, B = _parse_nth(arg)
         return lambda n: _nth_matches(_elem_siblings(n).index(n) + 1, A, B)
@@ -823,9 +860,10 @@ def _compile_simple(sel: str):
             checks.append(_compile_pseudo(qm.group(6), qm.group(7)))
 
     def match(n: Node) -> bool:
-        if n.is_text:
+        t = n.tag
+        if t is None or t[0] == "#":  # text/comment/doctype: not elements
             return False
-        if tag is not None and n.tag != tag:
+        if tag is not None and t != tag:
             return False
         return all(c(n) for c in checks)
 
@@ -1275,7 +1313,8 @@ def extract_plain_text(
     basic mode extracts hidden elements, as the reference's goldens
     require)."""
     root = html if isinstance(html, Node) else parse_html(html)
-    skip = set(SKIP_ELEMENTS)
+    # metadata nodes only exist on keep_metadata-parsed facade trees
+    skip = set(SKIP_ELEMENTS) | {"#comment", "#doctype"}
     if noscript:
         skip.discard("noscript")
     if alt_texts:

@@ -1,0 +1,12 @@
+"""Drop-in compatibility package mirroring the reference's
+``resiliparse.parse`` module layout (resiliparse-py/resiliparse/parse).
+
+A reference user switches with a package rename::
+
+    from resiliparse.parse.html import HTMLTree      # before
+    from resilispark.parse.html import HTMLTree      # after
+
+Each submodule re-exposes the engine kernels in
+:mod:`resilispark.functions` under the reference's exact class and
+function names and signatures.
+"""

@@ -1,0 +1,702 @@
+"""Reference-compatible DOM facade over the engine HTML kernels.
+
+Mirrors the public API of the reference's ``resiliparse.parse.html``
+(resiliparse-py/resiliparse/parse/html.pyx: HTMLTree :1698, DOMNode
+:522, DOMCollection :1380, DOMElementClassList :400, NodeType /
+traverse_dom :1885) on top of :mod:`resilispark.functions.html`'s pure
+Python ``Node`` tree.  Wrappers are identity-cached per tree so
+repeated selections return the *same* ``DOMNode`` object, matching the
+reference's ``a1 is a2`` contract
+(tests/resiliparse/parse/test_html.py test_node_equality).
+"""
+
+from __future__ import annotations
+
+import enum
+
+from resilispark.functions.encoding import bytes_to_str
+from resilispark.functions.html import (
+    Node,
+    _attr_escape,
+    parse_html,
+    query_selector_all as _engine_select,
+)
+
+__all__ = [
+    "DOMCollection",
+    "DOMContext",
+    "DOMElementClassList",
+    "DOMNode",
+    "HTMLTree",
+    "traverse_dom",
+    "NodeType",
+    "ELEMENT",
+    "ATTRIBUTE",
+    "TEXT",
+    "CDATA_SECTION",
+    "ENTITY_REFERENCE",
+    "ENTITY",
+    "PROCESSING_INSTRUCTION",
+    "COMMENT",
+    "DOCUMENT",
+    "DOCUMENT_TYPE",
+    "DOCUMENT_FRAGMENT",
+    "NOTATION",
+]
+
+
+class NodeType(enum.IntEnum):
+    """W3C DOM node types (the reference re-exports lexbor's enum,
+    which uses the standard DOM numbering)."""
+
+    ELEMENT = 1
+    ATTRIBUTE = 2
+    TEXT = 3
+    CDATA_SECTION = 4
+    ENTITY_REFERENCE = 5
+    ENTITY = 6
+    PROCESSING_INSTRUCTION = 7
+    COMMENT = 8
+    DOCUMENT = 9
+    DOCUMENT_TYPE = 10
+    DOCUMENT_FRAGMENT = 11
+    NOTATION = 12
+
+
+globals().update(NodeType.__members__)
+
+
+def _is_element(n: Node) -> bool:
+    t = n.tag
+    return t is not None and t[0] != "#"
+
+
+_HEAD_CONTENT = frozenset("title meta link base style script noscript template".split())
+
+
+class DOMElementClassList:
+    """Live view of an element's ``class`` attribute
+    (html.pyx:400-518)."""
+
+    __slots__ = ("_node",)
+
+    def __init__(self, node: "DOMNode"):
+        self._node = node
+
+    def _list(self) -> list[str]:
+        return (self._node._node.attrs.get("class") or "").split()
+
+    def _store(self, classes: list[str]) -> None:
+        self._node._node.attrs["class"] = " ".join(classes)
+
+    def add(self, class_name: str) -> None:
+        classes = self._list()
+        if class_name not in classes:
+            classes.append(class_name)
+            self._store(classes)
+
+    def remove(self, class_name: str) -> None:
+        classes = [c for c in self._list() if c != class_name]
+        self._store(classes)
+
+    def __contains__(self, item) -> bool:
+        return item in self._list()
+
+    def __getitem__(self, item):
+        return self._list()[item]
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, DOMElementClassList):
+            other = other._list()
+        return self._list() == other
+
+    def __len__(self) -> int:
+        return len(self._list())
+
+    def __iter__(self):
+        return iter(self._list())
+
+    def __repr__(self) -> str:
+        return repr(self._list())
+
+    def __str__(self) -> str:
+        return str(self._list())
+
+
+class DOMNode:
+    """Wrapper exposing the reference DOMNode API (html.pyx:522-1378)
+    over an engine :class:`~resilispark.functions.html.Node`."""
+
+    __slots__ = ("_tree", "_node", "_dead")
+
+    def __init__(self, tree: "HTMLTree", node: Node):
+        self._tree = tree
+        self._node = node
+        self._dead = False
+
+    # -- identity ------------------------------------------------------
+    def __eq__(self, other) -> bool:
+        return isinstance(other, DOMNode) and self._node is other._node
+
+    def __hash__(self) -> int:
+        return id(self._node)
+
+    def __iter__(self):
+        for n in self._node.iter():
+            yield self._tree._wrap(n)
+
+    # -- classification ------------------------------------------------
+    @property
+    def type(self) -> NodeType:
+        t = self._node.tag
+        if t is None:
+            return NodeType.TEXT
+        if t == "#document":
+            return NodeType.DOCUMENT
+        if t == "#comment":
+            return NodeType.COMMENT
+        if t == "#doctype":
+            return NodeType.DOCUMENT_TYPE
+        return NodeType.ELEMENT
+
+    @property
+    def tag(self) -> str:
+        t = self._node.tag
+        if t is None:
+            return "#text"
+        if t == "#comment":
+            return "#comment"
+        if t == "#doctype":
+            return "!doctype"
+        return t
+
+    # -- navigation ----------------------------------------------------
+    @property
+    def first_child(self) -> "DOMNode | None":
+        return self._tree._wrap(self._node.first_child)
+
+    @property
+    def last_child(self) -> "DOMNode | None":
+        return self._tree._wrap(self._node.last_child)
+
+    @property
+    def first_element_child(self) -> "DOMNode | None":
+        return self._tree._wrap(
+            next((c for c in self._node.children if _is_element(c)), None)
+        )
+
+    @property
+    def last_element_child(self) -> "DOMNode | None":
+        return self._tree._wrap(
+            next((c for c in reversed(self._node.children) if _is_element(c)), None)
+        )
+
+    @property
+    def child_nodes(self) -> "list[DOMNode]":
+        return [self._tree._wrap(c) for c in self._node.children]
+
+    @property
+    def parent(self) -> "DOMNode | None":
+        return self._tree._wrap(self._node.parent)
+
+    @property
+    def next(self) -> "DOMNode | None":
+        return self._tree._wrap(self._node.next_sibling)
+
+    @property
+    def prev(self) -> "DOMNode | None":
+        return self._tree._wrap(self._node.previous_sibling)
+
+    @property
+    def next_element(self) -> "DOMNode | None":
+        n = self._node.next_sibling
+        while n is not None and not _is_element(n):
+            n = n.next_sibling
+        return self._tree._wrap(n)
+
+    @property
+    def prev_element(self) -> "DOMNode | None":
+        n = self._node.previous_sibling
+        while n is not None and not _is_element(n):
+            n = n.previous_sibling
+        return self._tree._wrap(n)
+
+    # -- content -------------------------------------------------------
+    @property
+    def value(self) -> str | None:
+        t = self._node.tag
+        if t is None or t == "#comment":
+            return self._node.text
+        return None
+
+    @property
+    def text(self) -> str | None:
+        t = self._node.tag
+        if t is None or t == "#comment":
+            return self._node.text
+        return self._node.full_text()
+
+    @text.setter
+    def text(self, text: str) -> None:
+        t = self._node.tag
+        if t is None or t == "#comment":
+            self._node.text = text
+        else:
+            self._node.children = []
+            self._node.append_child(Node(None, text=text))
+
+    @property
+    def html(self) -> str:
+        return self._node.html
+
+    @html.setter
+    def html(self, fragment: str) -> None:
+        self._node.html = fragment
+
+    # -- attributes ----------------------------------------------------
+    @property
+    def id(self) -> str:
+        return self._node.attrs.get("id") or ""
+
+    @id.setter
+    def id(self, value: str) -> None:
+        self._node.attrs["id"] = value
+
+    @property
+    def class_name(self) -> str:
+        return self._node.attrs.get("class") or ""
+
+    @class_name.setter
+    def class_name(self, value: str) -> None:
+        self._node.attrs["class"] = value
+
+    @property
+    def class_list(self) -> DOMElementClassList:
+        return DOMElementClassList(self)
+
+    @property
+    def attrs(self) -> list[str]:
+        """Attribute NAMES, as a list — the reference's ``attrs``
+        returns names, not a mapping (html.pyx:854-874)."""
+        return list(self._node.attrs.keys())
+
+    def hasattr(self, attr_name: str) -> bool:
+        return attr_name in self._node.attrs
+
+    def getattr(self, attr_name: str, default_value: str | None = None) -> str | None:
+        return self._node.attrs.get(attr_name, default_value)
+
+    def setattr(self, attr_name: str, attr_value: str) -> None:
+        self._node.attrs[attr_name] = attr_value
+
+    def delattr(self, attr_name: str) -> None:
+        self._node.attrs.pop(attr_name, None)
+
+    def __getitem__(self, attr_name: str) -> str:
+        return self._node.attrs[attr_name]
+
+    def __setitem__(self, attr_name: str, attr_value: str) -> None:
+        self._node.attrs[attr_name] = attr_value
+
+    def __delitem__(self, attr_name: str) -> None:
+        del self._node.attrs[attr_name]
+
+    # -- selection -----------------------------------------------------
+    def query_selector(self, selector: str) -> "DOMNode | None":
+        found = _engine_select(self._node, selector, first_only=True)
+        return self._tree._wrap(found[0]) if found else None
+
+    def query_selector_all(self, selector: str) -> "DOMCollection":
+        return DOMCollection(
+            self._tree,
+            [self._tree._wrap(n) for n in _engine_select(self._node, selector)],
+        )
+
+    def matches(self, selector: str) -> bool:
+        """True if ANY element in this subtree matches (the reference's
+        subtree-match semantics, html.pyx:1109-1123)."""
+        return bool(_engine_select(self._node, selector, first_only=True))
+
+    def get_element_by_id(
+        self, element_id: str, case_insensitive: bool = False
+    ) -> "DOMNode | None":
+        if case_insensitive:
+            element_id = element_id.lower()
+        for n in self._node.iter_elements():
+            v = n.attrs.get("id")
+            if v is not None and (v.lower() if case_insensitive else v) == element_id:
+                return self._tree._wrap(n)
+        return None
+
+    def get_elements_by_attr(
+        self, attr_name: str, attr_value: str, case_insensitive: bool = False
+    ) -> "DOMCollection":
+        if case_insensitive:
+            attr_value = attr_value.lower()
+        out = []
+        for n in self._node.iter_elements():
+            v = n.attrs.get(attr_name)
+            if v is not None and (v.lower() if case_insensitive else v) == attr_value:
+                out.append(self._tree._wrap(n))
+        return DOMCollection(self._tree, out)
+
+    def get_elements_by_class_name(
+        self, class_name: str, case_insensitive: bool = False
+    ) -> "DOMCollection":
+        if case_insensitive:
+            class_name = class_name.lower()
+        out = []
+        for n in self._node.iter_elements():
+            classes = n.class_list
+            if case_insensitive:
+                classes = [c.lower() for c in classes]
+            if class_name and class_name in classes:
+                out.append(self._tree._wrap(n))
+        return DOMCollection(self._tree, out)
+
+    def get_elements_by_tag_name(self, tag_name: str) -> "DOMCollection":
+        tag_name = tag_name.lower()
+        return DOMCollection(
+            self._tree,
+            [
+                self._tree._wrap(n)
+                for n in self._node.iter_elements()
+                if n.tag == tag_name
+            ],
+        )
+
+    # -- mutation ------------------------------------------------------
+    def append_child(self, node: "DOMNode") -> "DOMNode":
+        self._node.append_child(node._node)
+        return node
+
+    def insert_before(self, node: "DOMNode", reference: "DOMNode") -> "DOMNode":
+        self._node.insert_before(node._node, reference._node)
+        return node
+
+    def replace_child(self, new_child: "DOMNode", old_child: "DOMNode") -> "DOMNode":
+        self._node.insert_before(new_child._node, old_child._node)
+        old_child._node.remove()
+        return old_child
+
+    def remove_child(self, node: "DOMNode") -> "DOMNode":
+        if node._node.parent is not self._node:
+            raise ValueError("node is not a child of this node")
+        node._node.remove()
+        return node
+
+    def decompose(self) -> None:
+        self._node.remove()
+        self._node.children = []
+        self._dead = True
+
+    # -- serialization -------------------------------------------------
+    def __repr__(self) -> str:
+        if self._dead:
+            return "<INVALID ELEMENT>"
+        t = self._node.tag
+        if t is None or t == "#comment":
+            return self._node.text or ""
+        if t == "#document":
+            return "[HTML Document]"
+        if t == "#doctype":
+            return f"<!DOCTYPE {self._node.text or 'html'}>"
+        attrs = "".join(
+            f' {k}="{_attr_escape(v or "")}"' for k, v in self._node.attrs.items()
+        )
+        return f"<{t}{attrs}>"
+
+    def __str__(self) -> str:
+        t = self._node.tag
+        if t is None or t == "#comment":
+            return self._node.text or ""
+        return self._node.html
+
+
+class DOMCollection:
+    """Query-result collection forwarding lookups into each member's
+    subtree (html.pyx:1380-1695)."""
+
+    __slots__ = ("_tree", "_nodes")
+
+    def __init__(self, tree: "HTMLTree", nodes: list[DOMNode]):
+        self._tree = tree
+        self._nodes = nodes
+
+    def __len__(self) -> int:
+        return len(self._nodes)
+
+    def __iter__(self):
+        return iter(self._nodes)
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            return DOMCollection(self._tree, self._nodes[key])
+        return self._nodes[key]
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, DOMCollection):
+            other = other._nodes
+        return self._nodes == other
+
+    def __repr__(self) -> str:
+        return "{" + ", ".join(repr(n) for n in self._nodes) + "}"
+
+    __str__ = __repr__
+
+    # -- forwarded lookups --------------------------------------------
+    def get_element_by_id(
+        self, element_id: str, case_insensitive: bool = False
+    ) -> DOMNode | None:
+        for n in self._nodes:
+            hit = n.get_element_by_id(element_id, case_insensitive)
+            if hit is not None:
+                return hit
+        return None
+
+    def _concat(self, fn) -> "DOMCollection":
+        out: list[DOMNode] = []
+        seen: set[int] = set()
+        for n in self._nodes:
+            for hit in fn(n):
+                key = id(hit._node)
+                if key not in seen:
+                    seen.add(key)
+                    out.append(hit)
+        return DOMCollection(self._tree, out)
+
+    def get_elements_by_attr(
+        self, attr_name: str, attr_value: str, case_insensitive: bool = False
+    ) -> "DOMCollection":
+        return self._concat(
+            lambda n: n.get_elements_by_attr(attr_name, attr_value, case_insensitive)
+        )
+
+    def get_elements_by_class_name(
+        self, class_name: str, case_insensitive: bool = False
+    ) -> "DOMCollection":
+        return self._concat(
+            lambda n: n.get_elements_by_class_name(class_name, case_insensitive)
+        )
+
+    def get_elements_by_tag_name(self, tag_name: str) -> "DOMCollection":
+        return self._concat(lambda n: n.get_elements_by_tag_name(tag_name))
+
+    def query_selector(self, selector: str) -> DOMNode | None:
+        for n in self._nodes:
+            hit = n.query_selector(selector)
+            if hit is not None:
+                return hit
+        return None
+
+    def query_selector_all(self, selector: str) -> "DOMCollection":
+        return self._concat(lambda n: n.query_selector_all(selector))
+
+    def matches(self, selector: str) -> bool:
+        return any(n.matches(selector) for n in self._nodes)
+
+
+class DOMContext:
+    """Mutable traversal context (html.pyx:1864-1883): ``node`` and
+    ``depth`` are maintained by :func:`traverse_dom`; arbitrary extra
+    attributes may be attached by callbacks."""
+
+    def __init__(self):
+        self.node: DOMNode | None = None
+        self.depth = 0
+
+
+def traverse_dom(
+    base_node: DOMNode,
+    start_callback,
+    end_callback=None,
+    context: DOMContext | None = None,
+    elements_only: bool = False,
+) -> None:
+    """Pre-order DOM traversal with optional element end-tag callbacks
+    (html.pyx:1885-1936)."""
+    if elements_only and base_node.type != NodeType.ELEMENT:
+        return
+    context = context or DOMContext()
+    tree = base_node._tree
+    want_end = end_callback is not None
+    stack: list[tuple[Node, int, bool]] = [(base_node._node, 0, False)]
+    while stack:
+        n, depth, is_end = stack.pop()
+        if is_end:
+            context.node = tree._wrap(n)
+            context.depth = depth
+            end_callback(context)
+            continue
+        is_elem = _is_element(n)
+        if elements_only and not is_elem and n is not base_node._node:
+            continue
+        context.node = tree._wrap(n)
+        context.depth = depth
+        start_callback(context)
+        if is_elem or n.tag is not None:
+            if want_end and is_elem:
+                stack.append((n, depth, True))
+            for c in reversed(n.children):
+                if elements_only and not _is_element(c):
+                    continue
+                stack.append((c, depth + 1, False))
+
+
+class HTMLTree:
+    """Reference-compatible parse tree (html.pyx:1698-1861).
+
+    Normalizes the engine tree to the HTML5 document shape the
+    reference's lexbor parser guarantees: ``document > [doctype,]
+    html > head + body``, with stray head content routed into head and
+    everything else into body (tests/resiliparse/parse/test_html.py
+    test_parse_quirks)."""
+
+    def __init__(self):
+        root = Node("#document")
+        html = Node("html")
+        root.append_child(html)
+        html.append_child(Node("head"))
+        html.append_child(Node("body"))
+        self._root = root
+        self._wrappers: dict[int, DOMNode] = {}
+
+    # -- construction --------------------------------------------------
+    @classmethod
+    def parse(cls, document: str) -> "HTMLTree":
+        tree = cls.__new__(cls)
+        tree._wrappers = {}
+        tree._root = _normalize_document(parse_html(document or "", keep_metadata=True))
+        return tree
+
+    @classmethod
+    def parse_from_bytes(
+        cls, document: bytes, encoding: str = "utf-8", errors: str = "ignore"
+    ) -> "HTMLTree":
+        return cls.parse(bytes_to_str(document or b"", encoding, errors))
+
+    def _wrap(self, node: Node | None) -> DOMNode | None:
+        if node is None:
+            return None
+        w = self._wrappers.get(id(node))
+        if w is None or w._node is not node:
+            w = DOMNode(self, node)
+            self._wrappers[id(node)] = w
+        return w
+
+    # -- accessors -----------------------------------------------------
+    @property
+    def document(self) -> DOMNode:
+        return self._wrap(self._root)
+
+    @property
+    def head(self) -> DOMNode | None:
+        html = next((c for c in self._root.children if c.tag == "html"), None)
+        if html is None:
+            return None
+        return self._wrap(next((c for c in html.children if c.tag == "head"), None))
+
+    @property
+    def body(self) -> DOMNode | None:
+        html = next((c for c in self._root.children if c.tag == "html"), None)
+        if html is None:
+            return None
+        return self._wrap(next((c for c in html.children if c.tag == "body"), None))
+
+    @property
+    def title(self) -> str:
+        head = self.head
+        if head is None:
+            return ""
+        title = next(
+            (n for n in head._node.iter_elements() if n.tag == "title"), None
+        )
+        return title.full_text() if title is not None else ""
+
+    def create_element(self, tag_name: str) -> DOMNode:
+        return self._wrap(Node(tag_name.lower()))
+
+    def create_text_node(self, text: str) -> DOMNode:
+        return self._wrap(Node(None, text=text))
+
+    def __str__(self) -> str:
+        return self._root.html
+
+    def __repr__(self) -> str:
+        return f"<HTMLTree title={self.title!r}>"
+
+
+def _normalize_document(root: Node) -> Node:
+    """Impose the html > head + body skeleton lexbor guarantees."""
+    # document level: keep doctype/comments/html, drop whitespace text
+    doc_children = []
+    for c in root.children:
+        if c.tag is None:
+            if (c.text or "").isspace():
+                continue
+        doc_children.append(c)
+    root.children = doc_children
+    for c in doc_children:
+        c.parent = root
+
+    html = next((c for c in root.children if c.tag == "html"), None)
+    if html is None:
+        html = Node("html")
+        strays = [c for c in root.children if c.tag != "#doctype"]
+        root.children = [c for c in root.children if c.tag == "#doctype"]
+        root.append_child(html)
+        for c in strays:
+            c.parent = None
+            html.append_child(c)
+
+    head = next((c for c in html.children if c.tag == "head"), None)
+    body = next((c for c in html.children if c.tag == "body"), None)
+    strays = [c for c in html.children if c.tag not in ("head", "body")]
+    if head is None:
+        head = Node("head")
+    if body is None:
+        body = Node("body")
+
+    # route stray html-level children: leading head content to head,
+    # everything else (first non-head-content onward) to body
+    in_head_phase = True
+    body_front: list[Node] = []
+    for c in strays:
+        c.parent = None
+        if c.tag is None and (c.text or "").isspace():
+            continue  # inter-element whitespace at html level drops
+        if c.tag == "#comment":
+            (head if in_head_phase else body).append_child(c)
+        elif in_head_phase and c.tag in _HEAD_CONTENT:
+            head.append_child(c)
+        else:
+            in_head_phase = False
+            body_front.append(c)
+
+    # non-head-content inside head migrates to body (HTML5 "anything
+    # else" in-head rule: reprocess in body)
+    kept = []
+    for c in head.children:
+        if c.tag is not None and c.tag[0] != "#" and c.tag not in _HEAD_CONTENT:
+            c.parent = None
+            body_front.append(c)
+        elif c.tag is None and not (c.text or "").isspace() and (c.text or ""):
+            c.parent = None
+            body_front.append(c)
+        else:
+            kept.append(c)
+    head.children = kept
+
+    if body_front:
+        existing = body.children
+        body.children = []
+        for c in body_front + existing:
+            c.parent = None
+            body.append_child(c)
+
+    html.children = []
+    head.parent = None
+    body.parent = None
+    html.append_child(head)
+    html.append_child(body)
+    return root

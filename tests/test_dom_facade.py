@@ -1,0 +1,376 @@
+"""Reference-parity tests for the resilispark.parse.html DOM facade.
+
+Exercises the same API contract as the reference's
+tests/resiliparse/parse/test_html.py (530 lines) with an original
+document and condensed assertions: document shape, quirks-mode
+skeleton synthesis, node equality/identity, selection, collection
+forwarding, attributes, serialization, traversal, manipulation, and
+inner html/text assignment.
+"""
+
+import html as pyhtml
+
+import pytest
+
+from resilispark.parse.html import (
+    COMMENT,
+    DOCUMENT,
+    DOCUMENT_TYPE,
+    ELEMENT,
+    TEXT,
+    DOMCollection,
+    DOMContext,
+    DOMNode,
+    HTMLTree,
+    NodeType,
+    traverse_dom,
+)
+
+DOC = """<!doctype html>
+<html lang="en">
+  <head>
+    <meta charset="utf-8">
+    <title>Facade page</title>
+  </head>
+  <body>
+    <main id="foo">
+      <p id="a">Hi <span class="bar">dom</span>!</p>
+      <p id="b" class="dom">Hi <a href="https://example.com/x" class="bar baz">link</a>!</p>
+     </main>
+     <!-- note -->
+  </body>
+</html>"""
+
+
+def test_document_shape():
+    tree = HTMLTree.parse(DOC)
+    assert type(tree.document) is DOMNode
+    assert tree.document.type == DOCUMENT
+    assert tree.document.tag == "#document"
+    assert repr(tree.document) == "[HTML Document]"
+    assert tree.document.first_child.type == DOCUMENT_TYPE
+    assert repr(tree.document.first_child) == "<!DOCTYPE html>"
+    assert str(tree) == tree.document.html
+
+    assert tree.head.type == ELEMENT and tree.head.tag == "head"
+    assert repr(tree.head) == "<head>"
+    assert str(tree.head).startswith("<head>") and str(tree.head).endswith("</head>")
+    assert tree.body.type == ELEMENT and tree.body.tag == "body"
+    assert tree.title == "Facade page"
+
+
+def test_parse_from_bytes():
+    tree = HTMLTree.parse_from_bytes(DOC.encode("utf-16"), "utf-16")
+    assert tree.title == "Facade page"
+    assert tree.body is not None
+
+
+def test_quirks_skeleton():
+    t = HTMLTree.parse("<!doctype html><body><span></span></body>")
+    assert t.head is not None and len(t.head.child_nodes) == 0
+    assert t.body is not None and len(t.body.child_nodes) == 1
+
+    t = HTMLTree.parse("<!doctype html><head><title>Title</title></head>")
+    assert len(t.head.child_nodes) == 1
+    assert t.title == "Title"
+    assert len(t.body.child_nodes) == 0
+
+    t = HTMLTree.parse("<!doctype html><head></head></body>")
+    assert t.head is not None and len(t.head.child_nodes) == 0
+    assert t.title == ""
+    assert t.body is not None and len(t.body.child_nodes) == 0
+
+    # SVG titles are not document titles
+    t = HTMLTree.parse(
+        '<!doctype html><svg xmlns="http://www.w3.org/2000/svg">'
+        "<title>SVG Title</title></svg>"
+    )
+    assert t.title == ""
+    assert t.body is not None
+
+    # non-head content force-closes an unclosed head
+    t = HTMLTree.parse("<!doctype html><head><title>Title</title><span></span>")
+    assert len(t.head.child_nodes) == 1
+    assert t.title == "Title"
+    assert len(t.body.child_nodes) == 1
+
+
+def test_node_equality_and_identity():
+    tree = HTMLTree.parse(DOC)
+    assert tree.body is not tree.head
+    assert tree.body != tree.head
+    assert tree.body is tree.body and tree.body == tree.body
+
+    a1 = tree.body.query_selector("#a")
+    a2 = tree.body.query_selector("#a")
+    b1 = tree.body.query_selector("#b")
+    assert a1 is a2 and a1 == a2 and hash(a1) == hash(a2)
+    assert a1 is not b1 and a1 != b1
+
+
+def test_selection():
+    tree = HTMLTree.parse(DOC)
+    assert tree.body.get_element_by_id("foo").tag == "main"
+
+    meta = tree.head.get_elements_by_tag_name("meta")
+    assert type(meta) is DOMCollection and len(meta) == 1
+
+    bar = tree.body.get_elements_by_class_name("bar")
+    assert [n.tag for n in bar] == ["span", "a"]
+
+    lang_en = tree.document.get_elements_by_attr("lang", "en")
+    assert len(lang_en) == 1 and lang_en[0].tag == "html"
+    assert lang_en[0].hasattr("lang")
+
+    match = tree.document.query_selector("body > main p:last-child")
+    assert type(match) is DOMNode and match.tag == "p" and match.id == "b"
+
+    allm = tree.body.query_selector_all("main *")
+    assert [n.tag for n in allm] == ["p", "span", "p", "a"]
+
+    assert tree.body.matches(".bar")
+    assert not tree.body.matches(".nosuchclass")
+
+    with pytest.raises(ValueError):
+        tree.body.query_selector("..abc")
+
+    # case-insensitive variants
+    assert tree.body.get_element_by_id("FOO", case_insensitive=True).tag == "main"
+    assert len(tree.body.get_elements_by_class_name("BAR", case_insensitive=True)) == 2
+
+
+def test_collection():
+    tree = HTMLTree.parse(DOC)
+    coll = tree.body.query_selector_all("main *")
+    assert coll[0].id == "a"
+    assert coll[-1].class_name == "bar baz"
+    assert len(coll[:2]) == 2 and coll[:2][0].id == "a"
+    assert coll[-1] is coll[len(coll) - 1]
+
+    ps = tree.body.query_selector_all("p")
+    assert ps.get_element_by_id("zzz") is None
+    assert ps.get_elements_by_class_name("bar")[0] is ps.query_selector(".bar")
+    assert ps.get_elements_by_class_name("bar")[-1] is ps.query_selector(".bar.baz")
+    assert len(ps.get_elements_by_attr("href", "https://example.com/x")) == 1
+    assert len(ps.get_elements_by_tag_name("span")) == 1
+    assert ps.query_selector(".bar").tag == "span"
+    assert len(ps.query_selector_all("span, a")) == 2
+    assert ps.matches(".bar.baz")
+    assert not ps.matches(".nope.bar.baz")
+
+
+def test_attributes():
+    tree = HTMLTree.parse(DOC)
+    a = tree.body.query_selector("#b a")
+    assert a.hasattr("class")
+    assert a.class_name == "bar baz"
+    assert a.class_list == ["bar", "baz"]
+
+    a.class_list.add("abc")
+    assert a.class_list == ["bar", "baz", "abc"]
+    assert a.class_name == "bar baz abc"
+    a.class_list.remove("baz")
+    assert a.class_list == ["bar", "abc"]
+
+    assert a.getattr("id") is None
+    assert a.getattr("id", "dflt") == "dflt"
+    assert a.id == ""
+    a.id = "abc"
+    assert a.id == "abc" and a["id"] == "abc" and a.getattr("id") == "abc"
+
+    with pytest.raises(KeyError):
+        a["lang"]
+    a["lang"] = "en"
+    assert a["lang"] == "en"
+    assert a.attrs == ["href", "class", "id", "lang"]
+    del a["lang"]
+    assert a.getattr("lang") is None
+
+
+def test_empty_attributes():
+    t = HTMLTree.parse(
+        '<div><input type="checkbox" checked>\n<div class="foo"></div>'
+        "<div class></div><div class=\"\"></div>"
+        '<div id="foo"></div><div id></div><div id=""></div>'
+        '<div foo></div><div foo=""></div></div>'
+    )
+    inp = t.body.query_selector("input")
+    assert inp.hasattr("type") and inp["type"] == "checkbox"
+    assert inp.hasattr("checked") and inp["checked"] == ""
+    assert not inp.hasattr("checkedx")
+    with pytest.raises(KeyError):
+        inp["checkedx"]
+
+    assert len(t.body.query_selector_all(".foo")) == 1
+    assert len(t.body.query_selector_all("#foo")) == 1
+    assert len(t.body.query_selector_all("[class]")) == 3
+    assert len(t.body.query_selector_all("[id]")) == 3
+    assert t.body.get_element_by_id("foo") is not None
+    assert t.body.get_element_by_id("foox") is None
+    assert len(t.body.get_elements_by_class_name("foo")) == 1
+    assert len(t.body.get_elements_by_class_name("")) == 0
+    assert len(t.body.get_elements_by_attr("class", "foo")) == 1
+    assert len(t.body.get_elements_by_attr("class", "")) == 2
+    assert len(t.body.get_elements_by_attr("id", "")) == 2
+    assert len(t.body.get_elements_by_attr("foo", "")) == 2
+
+
+def test_serialization():
+    tree = HTMLTree.parse(DOC)
+    assert tree.body.get_element_by_id("a").text == "Hi dom!"
+    assert (
+        tree.body.get_element_by_id("a").html
+        == '<p id="a">Hi <span class="bar">dom</span>!</p>'
+    )
+    assert repr(tree.head.query_selector("title")) == "<title>"
+    assert str(tree.head.query_selector("title")) == "<title>Facade page</title>"
+    assert repr(tree.body.query_selector("main")) == '<main id="foo">'
+
+    text = tree.body.query_selector("#b").first_child
+    assert text.type == TEXT
+    assert repr(text) == str(text) == text.text
+
+
+def test_traversal():
+    tree = HTMLTree.parse(DOC)
+    root = tree.body.get_element_by_id("a")
+    assert [e.tag for e in root] == ["p", "#text", "span", "#text", "#text"]
+    assert [e.tag for e in root if e.type == ELEMENT] == ["p", "span"]
+
+    kids = tree.body.get_element_by_id("foo").child_nodes
+    assert [e.tag for e in kids] == ["#text", "p", "#text", "p", "#text"]
+    assert [e.type for e in kids] == [TEXT, ELEMENT, TEXT, ELEMENT, TEXT]
+
+
+def test_callback_traversal():
+    def start_cb(ctx: DOMContext):
+        if ctx.node.type == NodeType.ELEMENT:
+            t = (ctx.node.tag, [])
+            ctx.cur[-1].append(t)
+            ctx.cur.append(t[1])
+        elif ctx.node.type == NodeType.TEXT:
+            txt = ctx.node.value.strip()
+            if txt:
+                ctx.cur[-1].append(txt)
+
+    def end_cb(ctx: DOMContext):
+        if ctx.node.type == NodeType.ELEMENT:
+            ctx.cur.pop()
+
+    ctx = DOMContext()
+    ctx.out = []
+    ctx.cur = [ctx.out]
+    traverse_dom(HTMLTree.parse(DOC).body, start_cb, end_cb, ctx)
+    assert ctx.out == [
+        (
+            "body",
+            [
+                (
+                    "main",
+                    [
+                        ("p", ["Hi", ("span", ["dom"]), "!"]),
+                        ("p", ["Hi", ("a", ["link"]), "!"]),
+                    ],
+                )
+            ],
+        )
+    ]
+
+    ctx = DOMContext()
+    ctx.out = []
+    ctx.cur = [ctx.out]
+    traverse_dom(HTMLTree.parse(DOC).body, start_cb, end_cb, ctx, elements_only=True)
+    assert ctx.out == [
+        ("body", [("main", [("p", [("span", [])]), ("p", [("a", [])])])])
+    ]
+
+
+def test_children_and_siblings():
+    tree = HTMLTree.parse(DOC)
+    el = tree.body.get_element_by_id("a")
+
+    assert el.first_child.parent is el
+    assert el.last_child.parent is el
+    assert el.first_child.next is el.last_child.prev
+    assert el.first_child.type == TEXT and el.first_child.text == "Hi "
+    assert el.first_child.first_child is None
+    assert el.first_element_child.type == ELEMENT
+    assert el.first_element_child.text == "dom"
+    assert el.last_child.text == "!"
+    assert el.last_element_child is el.first_element_child
+
+    e1 = tree.body.get_element_by_id("foo").first_element_child
+    e2 = tree.body.get_element_by_id("foo").last_element_child
+    assert e1.id == "a" and e2.id == "b"
+    assert e1.next.type == TEXT and e1.next.text.strip() == ""
+    assert e1.next_element is e2 and e2.prev_element is e1
+    assert e1.prev_element is None and e2.next_element is None
+    assert e2.prev_element.text == "Hi dom!"
+
+
+def test_dom_manipulation():
+    tree = HTMLTree.parse(DOC)
+    new_el = tree.create_element("p")
+    assert new_el.type == ELEMENT and new_el.tag == "p"
+    assert new_el.parent is None and len(new_el.child_nodes) == 0
+
+    new_text = tree.create_text_node("Hello facade!")
+    assert new_text.type == TEXT and new_text.text == "Hello facade!"
+
+    new_el.append_child(new_text)
+    assert len(new_el.child_nodes) == 1
+    assert new_el.text == new_text.text
+    assert new_el.last_child is new_text
+
+    main = tree.body.query_selector("main")
+    assert len(tree.body.query_selector_all("main > *")) == 2
+    main.append_child(new_el)
+    assert new_el.parent is main
+    assert len(tree.body.query_selector_all("main > *")) == 3
+    assert main.remove_child(new_el) is new_el
+    assert new_el.parent is None
+
+    other = tree.create_element("div")
+    main.append_child(new_el)
+    main.replace_child(other, new_el)
+    assert main.last_child is other
+    main.insert_before(new_el, other)
+    assert main.last_child is other and main.last_child.prev is new_el
+    assert main.remove_child(main.last_child) is other
+    assert main.remove_child(main.last_child) is new_el
+
+    new_el.decompose()
+    assert repr(new_el) == "<INVALID ELEMENT>"
+
+    with pytest.raises(ValueError):
+        main.remove_child(tree.create_element("span"))
+
+
+def test_node_value_and_comments():
+    tree = HTMLTree.parse(DOC)
+    types_seen = set()
+    for node in tree.document:
+        types_seen.add(node.type)
+        if node.type in (NodeType.TEXT, NodeType.COMMENT):
+            assert node.value == node.text
+        else:
+            assert node.value is None
+    assert COMMENT in types_seen  # the <!-- note --> survived parsing
+
+
+def test_inner_html_and_text():
+    tree = HTMLTree.parse(DOC)
+    el = tree.create_element("div")
+    assert el.html == "<div></div>"
+
+    content = "<p>New inner content</p>"
+    el.html = content
+    assert el.html == f"<div>{content}</div>"
+
+    el.text = content
+    assert el.text == content
+    assert el.html == f"<div>{pyhtml.escape(content)}</div>"
+
+    text = tree.create_text_node("xyz")
+    text.text = "abc"
+    assert text.text == "abc"
