@@ -1,0 +1,2 @@
+"""Drop-in compatibility package mirroring the reference's
+``resiliparse.extract`` module layout."""

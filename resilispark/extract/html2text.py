@@ -1,0 +1,48 @@
+"""Drop-in mirror of the reference's ``resiliparse.extract.html2text``
+(resiliparse-py/resiliparse/extract/html2text.pyx:736): the
+``extract_plain_text`` entry point with the reference's positional
+signature, accepting raw HTML strings, engine ``Node`` trees, facade
+``DOMNode``s, or whole ``HTMLTree``s.
+"""
+
+from __future__ import annotations
+
+from resilispark.functions.html import Node
+from resilispark.functions.html import extract_plain_text as _extract
+
+__all__ = ["extract_plain_text"]
+
+
+def extract_plain_text(
+    html,
+    preserve_formatting: bool | str = True,
+    main_content: bool = False,
+    list_bullets: bool = True,
+    alt_texts: bool = True,
+    links: bool = False,
+    form_fields: bool = False,
+    noscript: bool = False,
+    comments: bool = True,
+    post_meta: bool = True,
+    hidden_elements: bool = False,
+    skip_elements=None,
+) -> str:
+    # unwrap facade objects down to the engine Node the kernel walks
+    if hasattr(html, "document") and not isinstance(html, (str, Node)):
+        html = html.document  # HTMLTree
+    if hasattr(html, "_node") and not isinstance(html, (str, Node)):
+        html = html._node  # DOMNode
+    return _extract(
+        html,
+        preserve_formatting=preserve_formatting,
+        main_content=main_content,
+        list_bullets=list_bullets,
+        alt_texts=alt_texts,
+        links=links,
+        form_fields=form_fields,
+        noscript=noscript,
+        comments=comments,
+        post_meta=post_meta,
+        hidden_elements=hidden_elements,
+        skip_elements=skip_elements,
+    )

@@ -1,0 +1,32 @@
+"""Drop-in compatibility package mirroring the reference's ``fastwarc``
+module layout (fastwarc-py/fastwarc/__init__.py): a reference user
+switches with ``from resilispark.fastwarc.warc import ArchiveIterator``.
+
+The Spark engine's scale path stays :mod:`resilispark.datasource.warc`
+(split-ranged distributed scans); this package is the single-stream
+iterator API for driver-side or per-executor imperative use.
+"""
+
+from resilispark.fastwarc.stream_io import (  # noqa: F401
+    FastWARCError,
+    FileStream,
+    GZipStream,
+    LZ4Stream,
+    StreamError,
+)
+from resilispark.fastwarc.warc import (  # noqa: F401
+    ArchiveIterator,
+    WarcRecord,
+    WarcRecordType,
+)
+
+__all__ = [
+    "FileStream",
+    "GZipStream",
+    "LZ4Stream",
+    "FastWARCError",
+    "StreamError",
+    "ArchiveIterator",
+    "WarcRecord",
+    "WarcRecordType",
+]

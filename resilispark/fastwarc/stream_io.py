@@ -1,0 +1,427 @@
+"""Drop-in mirror of the reference's ``fastwarc.stream_io``
+(fastwarc-py/fastwarc/stream_io.pyx): IOStream hierarchy, compressing
+wrappers with member framing, and ``wrap_stream`` negotiation — backed
+by the codec layer in :mod:`resilispark.io`.
+
+Read-side compression is INCREMENTAL (constant memory per member /
+frame): :meth:`CompressingStream._members` yields
+``(compressed_offset, plain_bytes)`` per gzip member or LZ4 frame,
+which is also what gives ``WarcRecord.stream_pos`` its
+compressed-offset semantics in :class:`~resilispark.fastwarc.warc.
+ArchiveIterator`.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import zlib
+
+__all__ = [
+    "FastWARCError",
+    "StreamError",
+    "ReaderStaleError",
+    "IOStream",
+    "BytesIOStream",
+    "FileStream",
+    "PythonIOStreamAdapter",
+    "CompressingStream",
+    "GZipStream",
+    "LZ4Stream",
+    "BrotliStream",
+    "BufferedReader",
+    "wrap_stream",
+]
+
+_CHUNK = 1 << 20
+
+
+class FastWARCError(Exception):
+    """Generic base exception (stream_io.pyx:45)."""
+
+
+class StreamError(FastWARCError):
+    """Raised on stream failures (stream_io.pyx:49)."""
+
+
+class ReaderStaleError(FastWARCError):
+    """Raised on reads from an invalidated reader (stream_io.pyx:53).
+
+    Facade records materialize their payloads, so their readers never
+    go stale; the type exists for except-clause compatibility."""
+
+
+class IOStream:
+    """Base stream interface (stream_io.pyx:58-130)."""
+
+    def read(self, size: int = -1) -> bytes:
+        raise NotImplementedError
+
+    def write(self, data: bytes) -> int:
+        raise NotImplementedError
+
+    def seek(self, offset: int) -> None:
+        raise NotImplementedError
+
+    def tell(self) -> int:
+        raise NotImplementedError
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self) -> "IOStream":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.close()
+
+
+class BytesIOStream(IOStream):
+    """In-memory stream (stream_io.pyx:166-225)."""
+
+    def __init__(self, initial_data: bytes = b""):
+        self._buf = io.BytesIO(initial_data)
+
+    def getvalue(self) -> bytes:
+        return self._buf.getvalue()
+
+    def read(self, size: int = -1) -> bytes:
+        return self._buf.read(size)
+
+    def write(self, data: bytes) -> int:
+        return self._buf.write(data)
+
+    def seek(self, offset: int) -> None:
+        self._buf.seek(offset)
+
+    def tell(self) -> int:
+        return self._buf.tell()
+
+
+class FileStream(IOStream):
+    """Fast file stream (stream_io.pyx:227-295)."""
+
+    def __init__(self, filename: str, mode: str = "rb"):
+        if "b" not in mode:
+            mode += "b"
+        self._fh = open(filename, mode)
+
+    def read(self, size: int = -1) -> bytes:
+        return self._fh.read(size)
+
+    def write(self, data: bytes) -> int:
+        return self._fh.write(data)
+
+    def seek(self, offset: int) -> None:
+        self._fh.seek(offset)
+
+    def tell(self) -> int:
+        return self._fh.tell()
+
+    def flush(self) -> None:
+        self._fh.flush()
+
+    def close(self) -> None:
+        self._fh.close()
+
+
+class PythonIOStreamAdapter(IOStream):
+    """Adapter for arbitrary file-like Python objects
+    (stream_io.pyx:297-337)."""
+
+    def __init__(self, py_stream):
+        self._py = py_stream
+
+    def read(self, size: int = -1) -> bytes:
+        return self._py.read(size if size >= 0 else None) or b""
+
+    def write(self, data: bytes) -> int:
+        return self._py.write(data)
+
+    def seek(self, offset: int) -> None:
+        self._py.seek(offset)
+
+    def tell(self) -> int:
+        return self._py.tell()
+
+    def flush(self) -> None:
+        if hasattr(self._py, "flush"):
+            self._py.flush()
+
+    def close(self) -> None:
+        if hasattr(self._py, "close"):
+            self._py.close()
+
+
+def wrap_stream(raw_stream, mode: str = "rb", fsspec_args=None) -> IOStream:
+    """Coerce a path / IOStream / file-like into an IOStream
+    (stream_io.pyx:133-163; the fsspec branch maps onto the engine's fs
+    abstraction for remote schemes)."""
+    if isinstance(raw_stream, IOStream):
+        return raw_stream
+    if isinstance(raw_stream, (str, os.PathLike)):
+        path = str(raw_stream)
+        if "://" in path and not path.startswith("file://"):
+            from resilispark.io.fs import get_fs
+
+            return PythonIOStreamAdapter(get_fs(path).open(path))
+        return FileStream(path.removeprefix("file://"), mode)
+    return PythonIOStreamAdapter(raw_stream)
+
+
+class CompressingStream(IOStream):
+    """Base for member-framed compression wrappers
+    (stream_io.pyx:339-361).
+
+    Read side: decompressed ``read()`` plus the ``_members()``
+    iterator.  Write side: ``write()`` buffers into the current
+    member; ``end_member()`` (or ``flush``/``close``) compresses and
+    emits one independently decodable member, which is what makes the
+    output splittable record-per-member WARC."""
+
+    def __init__(self, raw_stream: IOStream):
+        self.raw = wrap_stream(raw_stream)
+        self._member_buf = bytearray()
+        self._plain = bytearray()
+        self._member_iter = None
+        self._eof = False
+        # compressed offset where reading starts: honored in member
+        # offsets so stream_pos stays ABSOLUTE after an initial seek
+        try:
+            self._start_offset = self.raw.tell()
+        except Exception:
+            self._start_offset = 0
+
+    # -- write side ----------------------------------------------------
+    def _compress_member(self, data: bytes) -> bytes:
+        raise NotImplementedError
+
+    def begin_member(self) -> int:
+        return 0
+
+    def end_member(self) -> int:
+        if not self._member_buf:
+            return 0
+        comp = self._compress_member(bytes(self._member_buf))
+        self._member_buf.clear()
+        return self.raw.write(comp)
+
+    def write(self, data: bytes) -> int:
+        self._member_buf += data
+        return len(data)
+
+    def flush(self) -> None:
+        self.end_member()
+        self.raw.flush()
+
+    def close(self) -> None:
+        self.end_member()
+        self.raw.close()
+
+    def tell(self) -> int:
+        return self.raw.tell()
+
+    # -- read side -----------------------------------------------------
+    def _members(self):
+        """Yield (compressed_offset, plain_bytes) per member/frame."""
+        raise NotImplementedError
+
+    def read(self, size: int = -1) -> bytes:
+        if self._member_iter is None:
+            self._member_iter = self._members()
+        while not self._eof and (size < 0 or len(self._plain) < size):
+            try:
+                _, chunk = next(self._member_iter)
+                self._plain += chunk
+            except StopIteration:
+                self._eof = True
+        if size < 0:
+            out = bytes(self._plain)
+            self._plain.clear()
+        else:
+            out = bytes(self._plain[:size])
+            del self._plain[:size]
+        return out
+
+
+class GZipStream(CompressingStream):
+    """Gzip member stream (stream_io.pyx:363-602)."""
+
+    def __init__(self, raw_stream, compression_level: int = 9):
+        super().__init__(raw_stream)
+        self.compression_level = compression_level
+
+    def _compress_member(self, data: bytes) -> bytes:
+        c = zlib.compressobj(self.compression_level, wbits=zlib.MAX_WBITS | 16)
+        return c.compress(data) + c.flush()
+
+    def _members(self):
+        pending = b""
+        coff = self._start_offset  # compressed offset of pending[0]
+        d = None
+        member_start = 0
+        while True:
+            if not pending:
+                pending = self.raw.read(_CHUNK)
+                if not pending:
+                    return  # clean EOF (truncated member tolerated)
+            if d is None:
+                member_start = coff
+                d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+            try:
+                out = d.decompress(pending)
+            except zlib.error as e:
+                raise StreamError(f"gzip stream error: {e}") from e
+            if d.eof:
+                consumed = len(pending) - len(d.unused_data)
+                pending = d.unused_data
+                coff += consumed
+                d = None
+            else:
+                coff += len(pending)
+                pending = b""
+            if out:
+                yield member_start, out
+
+
+class LZ4Stream(CompressingStream):
+    """LZ4 frame stream (stream_io.pyx:604-769), frame-per-member."""
+
+    def __init__(self, raw_stream, compression_level: int = 12, favor_dec_speed: bool = True):
+        super().__init__(raw_stream)
+        self.compression_level = compression_level
+
+    def _compress_member(self, data: bytes) -> bytes:
+        from resilispark.io import lz4f
+
+        return lz4f.compress(data)
+
+    @staticmethod
+    def _frame_extent(buf: bytes, pos: int) -> int | None:
+        """End offset of the LZ4 frame starting at ``pos``, or None if
+        ``buf`` does not yet hold the whole frame.  Walks the block
+        length prefixes (LZ4 frame format v1.6.1 — same layout the
+        engine codec in io/lz4f.py parses)."""
+        if len(buf) - pos < 7:
+            return None
+        flg = buf[pos + 4]
+        content_size = (flg >> 3) & 1
+        content_checksum = (flg >> 2) & 1
+        dict_id = flg & 1
+        # magic + FLG + BD [+ content size] [+ dict id] + HC
+        p = pos + 6 + (8 if content_size else 0) + (4 if dict_id else 0) + 1
+        while True:
+            if len(buf) - p < 4:
+                return None
+            bsize = int.from_bytes(buf[p : p + 4], "little")
+            p += 4
+            if bsize == 0:  # EndMark
+                return p + (4 if content_checksum else 0)
+            bsize &= 0x7FFFFFFF
+            block_checksum = (flg >> 4) & 1
+            p += bsize + (4 if block_checksum else 0)
+
+    def _members(self):
+        from resilispark.io import lz4_ctypes, lz4f
+
+        decode = (
+            lz4_ctypes.decompress_frame if lz4_ctypes.available() else lz4f._decompress_one
+        )
+        buf = b""
+        coff = self._start_offset  # compressed offset of buf[0]
+        eof = False
+        while True:
+            end = self._frame_extent(buf, 0) if buf else None
+            if end is None or end > len(buf):
+                if eof:
+                    if buf:
+                        # trailing truncated frame: best-effort decode
+                        try:
+                            plain, _ = decode(buf, 0)
+                            yield coff, plain
+                        except Exception:
+                            pass
+                    return
+                chunk = self.raw.read(_CHUNK)
+                if not chunk:
+                    eof = True
+                else:
+                    buf += chunk
+                continue
+            try:
+                plain, consumed = decode(buf[:end], 0)
+            except Exception as e:
+                raise StreamError(f"lz4 stream error: {e}") from e
+            yield coff, plain
+            buf = buf[end:]
+            coff += end
+
+
+class BrotliStream(CompressingStream):
+    """Brotli stream (stream_io.pyx:771-858).  Brotli has no frame
+    magic or member framing, so the whole stream is ONE member."""
+
+    def __init__(self, raw_stream, quality: int = 11, lgwin: int = 22, lgblock: int = 0):
+        super().__init__(raw_stream)
+        self.quality = quality
+        self.lgwin = lgwin
+
+    def _compress_member(self, data: bytes) -> bytes:
+        from resilispark.io import brotli_ctypes
+
+        if not brotli_ctypes.encoder_available():
+            raise StreamError("no brotli encoder available (libbrotlienc not found)")
+        return brotli_ctypes.compress(data, quality=self.quality, lgwin=self.lgwin)
+
+    def _members(self):
+        from resilispark.io import brotli_ctypes
+
+        data = b""
+        while True:
+            chunk = self.raw.read(_CHUNK)
+            if not chunk:
+                break
+            data += chunk
+        if data:
+            yield 0, brotli_ctypes.decompress(data)
+
+
+class BufferedReader:
+    """Bounded reader over in-memory payload bytes (the slice of
+    stream_io.pyx:861-1126's BufferedReader that record consumers use:
+    ``read``/``consume``/``tell``).  Facade records are materialized,
+    so limits and staleness do not apply."""
+
+    __slots__ = ("_data", "_pos")
+
+    def __init__(self, data: bytes):
+        self._data = data
+        self._pos = 0
+
+    def read(self, size: int = -1) -> bytes:
+        if size < 0:
+            out = self._data[self._pos :]
+            self._pos = len(self._data)
+            return out
+        out = self._data[self._pos : self._pos + size]
+        self._pos += len(out)
+        return out
+
+    def readline(self, crlf: bool = True, max_line_len: int = 8192) -> bytes:
+        idx = self._data.find(b"\n", self._pos)
+        end = len(self._data) if idx < 0 else idx + 1
+        end = min(end, self._pos + max_line_len)
+        out = self._data[self._pos : end]
+        self._pos = end
+        return out
+
+    def consume(self, size: int = -1) -> int:
+        n = len(self._data) - self._pos if size < 0 else min(size, len(self._data) - self._pos)
+        self._pos += n
+        return n
+
+    def tell(self) -> int:
+        return self._pos

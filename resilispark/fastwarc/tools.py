@@ -1,0 +1,135 @@
+"""Drop-in mirror of the reference's ``fastwarc.tools``
+(fastwarc-py/fastwarc/tools.pyx): compression negotiation helpers,
+recompression, and digest verification over the facade iterator.
+"""
+
+from __future__ import annotations
+
+import enum
+
+from resilispark.fastwarc.stream_io import (
+    FileStream,
+    GZipStream,
+    IOStream,
+    LZ4Stream,
+    wrap_stream,
+)
+from resilispark.fastwarc.warc import ArchiveIterator, WarcRecordType
+
+__all__ = [
+    "CompressionAlg",
+    "detect_compression_algorithm",
+    "wrap_warc_stream",
+    "recompress_warc",
+    "recompress_warc_interactive",
+    "verify_digests",
+]
+
+
+class CompressionAlg(enum.IntEnum):
+    """tools.pyx:31-35."""
+
+    gzip = 0
+    lz4 = 1
+    uncompressed = 2
+    auto = 3
+
+
+def detect_compression_algorithm(infile_name) -> CompressionAlg:
+    """By filename extension; ``auto`` when unknown (tools.pyx:38-59)."""
+    filename = None
+    if isinstance(infile_name, str):
+        filename = infile_name
+    elif hasattr(infile_name, "name"):
+        filename = infile_name.name
+    if isinstance(filename, str) and filename.endswith(".gz"):
+        return CompressionAlg.gzip
+    if isinstance(filename, str) and filename.endswith(".lz4"):
+        return CompressionAlg.lz4
+    if isinstance(filename, str) and filename.endswith(".warc"):
+        return CompressionAlg.uncompressed
+    return CompressionAlg.auto
+
+
+def wrap_warc_stream(
+    warc_in, mode: str = "rb", comp_alg: CompressionAlg = CompressionAlg.auto, **comp_args
+) -> IOStream:
+    """Open/wrap a WARC file or stream with the right compression
+    wrapper (tools.pyx:62-88)."""
+    if comp_alg == CompressionAlg.auto:
+        comp_alg = detect_compression_algorithm(warc_in)
+    if isinstance(warc_in, str):
+        stream: IOStream = FileStream(warc_in, mode)
+    else:
+        stream = wrap_stream(warc_in, mode)
+    if comp_alg == CompressionAlg.gzip:
+        return GZipStream(stream, **comp_args)
+    if comp_alg == CompressionAlg.lz4:
+        return LZ4Stream(stream, **comp_args)
+    return stream
+
+
+def recompress_warc_interactive(
+    warc_in,
+    warc_out,
+    comp_alg_in: CompressionAlg = CompressionAlg.auto,
+    comp_alg_out: CompressionAlg = CompressionAlg.auto,
+    **comp_args,
+):
+    """Generator of (record, bytes_written) while recompressing
+    (tools.pyx:91-128)."""
+    in_stream = wrap_warc_stream(warc_in, "rb", comp_alg_in)
+    out_stream = wrap_warc_stream(warc_out, "wb", comp_alg_out, **comp_args)
+    try:
+        for record in ArchiveIterator(in_stream, parse_http=False):
+            n = record.write(out_stream, checksum_data=False)
+            yield record, n
+    finally:
+        out_stream.flush()
+        if isinstance(warc_out, str):
+            out_stream.close()
+
+
+def recompress_warc(
+    warc_in,
+    warc_out,
+    comp_alg_in: CompressionAlg = CompressionAlg.auto,
+    comp_alg_out: CompressionAlg = CompressionAlg.auto,
+    **comp_args,
+) -> tuple[int, int]:
+    """Recompress a WARC; returns (records, bytes_written)
+    (tools.pyx:131-153)."""
+    total = 0
+    num = 0
+    for _, n in recompress_warc_interactive(
+        warc_in, warc_out, comp_alg_in, comp_alg_out, **comp_args
+    ):
+        total += n
+        num += 1
+    return num, total
+
+
+def verify_digests(
+    warc_in, verify_payloads: bool = False, comp_alg: CompressionAlg = CompressionAlg.auto
+):
+    """Generator of per-record digest verification dicts
+    (tools.pyx:155-199)."""
+    in_stream = wrap_warc_stream(warc_in, "rb", comp_alg)
+    for record in ArchiveIterator(
+        in_stream, parse_http=verify_payloads, record_types=WarcRecordType.any_type
+    ):
+        res = {
+            "record_id": record.record_id,
+            "block_digest_ok": (
+                record.verify_block_digest()
+                if record.headers.get("WARC-Block-Digest")
+                else None
+            ),
+        }
+        if verify_payloads:
+            res["payload_digest_ok"] = (
+                record.verify_payload_digest()
+                if record.headers.get("WARC-Payload-Digest") and record.is_http
+                else None
+            )
+        yield res

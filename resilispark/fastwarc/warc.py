@@ -1,0 +1,680 @@
+"""Drop-in mirror of the reference's ``fastwarc.warc``
+(fastwarc-py/fastwarc/warc.pyx): ``ArchiveIterator`` /  ``WarcRecord``
+/ ``WarcHeaderMap`` / ``WarcRecordType`` over the engine parser in
+:mod:`resilispark.io.warc`.
+
+The iterator streams INCREMENTALLY — raw streams chunk-buffered,
+gzip/LZ4 streams decoded member-by-member via the
+:class:`~resilispark.fastwarc.stream_io.CompressingStream` wrappers —
+so memory stays bounded by one member + one record.  ``stream_pos``
+carries the reference's semantics: raw byte offset on plain streams,
+compressed member offset on gzip/LZ4 streams (warc.pyx:712-719).
+
+Documented delta: record payloads are fully materialized at parse
+time, so ``record.reader`` never goes stale when the iterator advances
+(the reference invalidates it; this facade is strictly more
+permissive) and skipped records are not cheaper than read ones.
+"""
+
+from __future__ import annotations
+
+import enum
+import re
+from datetime import datetime, timezone
+
+from resilispark.fastwarc.stream_io import (
+    BufferedReader,
+    BytesIOStream,
+    CompressingStream,
+    GZipStream,
+    IOStream,
+    LZ4Stream,
+    wrap_stream,
+)
+from resilispark.io.warc import (
+    GZIP_MAGIC,
+    LZ4_MAGIC,
+    WarcRecord as _EngineRecord,
+    _verify_digest,
+    parse_record_at,
+    serialize_record,
+)
+
+__all__ = [
+    "CaseInsensitiveStr",
+    "CaseInsensitiveStrDict",
+    "WarcRecordType",
+    "WarcHeaderMap",
+    "WarcRecord",
+    "ArchiveIterator",
+    "is_warc_10",
+    "is_warc_11",
+    "has_block_digest",
+    "has_payload_digest",
+    "is_http",
+    "is_concurrent",
+]
+
+
+class CaseInsensitiveStr(str):
+    """str comparing case-insensitively (warc.pyx:118-126)."""
+
+    def __hash__(self):
+        return hash(self.lower())
+
+    def __eq__(self, other):
+        return isinstance(other, str) and self.lower() == other.lower()
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+
+class CaseInsensitiveStrDict(dict):
+    """dict with case-insensitive string keys (warc.pyx:128-168)."""
+
+    @staticmethod
+    def _k(key):
+        return CaseInsensitiveStr(key) if isinstance(key, str) else key
+
+    def __getitem__(self, key):
+        return super().__getitem__(self._k(key))
+
+    def __setitem__(self, key, value):
+        super().__setitem__(self._k(key), value)
+
+    def __contains__(self, key):
+        return super().__contains__(self._k(key))
+
+    def get(self, key, default=None):
+        return super().get(self._k(key), default)
+
+    def setdefault(self, key, default=None):
+        return super().setdefault(self._k(key), default)
+
+
+class WarcRecordType(enum.IntFlag):
+    """Bitmask record types (warc.pxd:22-33)."""
+
+    warcinfo = 2
+    response = 4
+    resource = 8
+    request = 16
+    metadata = 32
+    revisit = 64
+    conversion = 128
+    continuation = 256
+    unknown = 512
+    any_type = 65535
+    no_type = 0
+
+
+_TYPE_BY_NAME = {
+    "warcinfo": WarcRecordType.warcinfo,
+    "response": WarcRecordType.response,
+    "resource": WarcRecordType.resource,
+    "request": WarcRecordType.request,
+    "metadata": WarcRecordType.metadata,
+    "revisit": WarcRecordType.revisit,
+    "conversion": WarcRecordType.conversion,
+    "continuation": WarcRecordType.continuation,
+}
+
+
+class WarcHeaderMap:
+    """Ordered, case-insensitive header multimap with a status line
+    (warc.pyx:181-446).  ``get``/``asdict`` are last-occurrence-wins,
+    like the reference's dict cache."""
+
+    __slots__ = ("_status_line", "_headers", "_enc")
+
+    def __init__(self, encoding: str = "utf-8"):
+        self._enc = encoding
+        self._status_line = ""
+        self._headers: list[tuple[str, str]] = []
+
+    @classmethod
+    def _from_pairs(cls, status_line: str, pairs, encoding: str = "utf-8"):
+        m = cls(encoding)
+        m._status_line = status_line or ""
+        m._headers = [(k, v) for k, v in (pairs or [])]
+        return m
+
+    @property
+    def status_line(self) -> str:
+        return self._status_line
+
+    @status_line.setter
+    def status_line(self, status_line: str) -> None:
+        self._status_line = status_line
+
+    @property
+    def status_code(self) -> int | None:
+        if not self._status_line.startswith("HTTP/"):
+            return None
+        s = self._status_line.split(" ", 2)
+        if len(s) < 2 or not s[1].isdigit():
+            return None
+        return int(s[1])
+
+    @property
+    def reason_phrase(self) -> str | None:
+        if not self._status_line.startswith("HTTP/"):
+            return None
+        s = self._status_line.split(" ", 2)
+        if len(s) < 3 or not s[1].isdigit():
+            return None
+        return s[2]
+
+    def append(self, key: str, value: str) -> None:
+        key = key.strip()
+        value = value.replace("\r\n", " ").replace("\n", " ").strip()
+        self._headers.append((key, value))
+
+    def asdict(self) -> CaseInsensitiveStrDict:
+        d = CaseInsensitiveStrDict()
+        for k, v in self._headers:
+            d[k] = v
+        return d
+
+    def astuples(self) -> tuple:
+        return tuple((CaseInsensitiveStr(k), v) for k, v in self._headers)
+
+    def get(self, key: str, default=None):
+        return self.asdict().get(key, default)
+
+    def items(self):
+        return self.asdict().items()
+
+    def keys(self):
+        return self.asdict().keys()
+
+    def values(self):
+        return self.asdict().values()
+
+    def clear(self) -> None:
+        self._headers = []
+        self._status_line = ""
+
+    def write(self, stream) -> int:
+        out = []
+        if self._status_line:
+            out.append(self._status_line.encode(self._enc, "ignore") + b"\r\n")
+        for k, v in self._headers:
+            out.append(
+                k.encode(self._enc, "ignore") + b": " + v.encode(self._enc, "ignore") + b"\r\n"
+            )
+        return stream.write(b"".join(out))
+
+    def __getitem__(self, key):
+        return self.asdict()[key]
+
+    def __setitem__(self, key, value):
+        key = key.strip()
+        value = value.replace("\r\n", " ").replace("\n", " ").strip()
+        lk = key.lower()
+        for i, (k, _) in enumerate(self._headers):
+            if k.lower() == lk:
+                self._headers[i] = (k, value)
+                return
+        self._headers.append((key, value))
+
+    def __contains__(self, key):
+        return key in self.asdict()
+
+    def __iter__(self):
+        yield from ((CaseInsensitiveStr(k), v) for k, v in self._headers)
+
+    def __len__(self):
+        return len(self._headers)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, WarcHeaderMap)
+            and self._status_line == other._status_line
+            and self.astuples() == other.astuples()
+        )
+
+    def __repr__(self):
+        return repr(self.astuples())
+
+    def __str__(self):
+        return str(self.astuples())
+
+
+class WarcRecord:
+    """Reference-API record (warc.pyx:466-1089) wrapping an engine
+    record."""
+
+    __slots__ = ("_rec", "_headers", "_http_headers", "_reader", "_block")
+
+    def __init__(self, engine_record: _EngineRecord | None = None):
+        self._rec = engine_record if engine_record is not None else _EngineRecord()
+        self._headers: WarcHeaderMap | None = None
+        self._http_headers: WarcHeaderMap | None = None
+        self._reader: BufferedReader | None = None
+        # original record block: parse_http narrows payload to the HTTP
+        # body, but the block digest covers the WHOLE block
+        self._block: bytes | None = None
+
+    @property
+    def record_id(self) -> str:
+        return self._rec.record_id or ""
+
+    @property
+    def record_type(self) -> WarcRecordType:
+        return _TYPE_BY_NAME.get(self._rec.record_type, WarcRecordType.unknown)
+
+    @record_type.setter
+    def record_type(self, record_type: WarcRecordType) -> None:
+        self._rec.record_type = record_type.name
+        self.headers["WARC-Type"] = record_type.name
+
+    @property
+    def record_date(self) -> datetime | None:
+        return self._rec.warc_date
+
+    @record_date.setter
+    def record_date(self, date: datetime) -> None:
+        self._rec.warc_date = date
+        self.headers["WARC-Date"] = date.astimezone(timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+
+    @property
+    def headers(self) -> WarcHeaderMap:
+        if self._headers is None:
+            self._headers = WarcHeaderMap._from_pairs(
+                self._rec.warc_version, self._rec.headers
+            )
+        return self._headers
+
+    @property
+    def is_http(self) -> bool:
+        return self._rec.is_http
+
+    @property
+    def is_http_parsed(self) -> bool:
+        return self._rec.is_http and self._rec.http_headers is not None
+
+    @property
+    def http_headers(self) -> WarcHeaderMap | None:
+        if not self.is_http_parsed:
+            return None
+        if self._http_headers is None:
+            self._http_headers = WarcHeaderMap._from_pairs(
+                self._rec.http_status_line or "", self._rec.http_headers
+            )
+        return self._http_headers
+
+    @property
+    def http_content_type(self) -> str | None:
+        return self._rec.http_content_type
+
+    @property
+    def http_charset(self) -> str | None:
+        return self._rec.http_charset
+
+    @property
+    def http_date(self) -> datetime | None:
+        return self._rec.http_date
+
+    @property
+    def http_last_modified(self) -> datetime | None:
+        h = self.http_headers
+        if h is None:
+            return None
+        from resilispark.io.warc import _parse_http_date
+
+        return _parse_http_date(h.get("Last-Modified"))
+
+    @property
+    def content_length(self) -> int:
+        return self._rec.content_length
+
+    @property
+    def stream_pos(self) -> int:
+        return self._rec.stream_pos
+
+    @property
+    def reader(self) -> BufferedReader:
+        if self._reader is None:
+            self._reader = BufferedReader(self._rec.payload)
+        return self._reader
+
+    def init_headers(
+        self,
+        content_length: int = 0,
+        record_type: WarcRecordType = WarcRecordType.no_type,
+        record_urn: bytes | None = None,
+    ) -> None:
+        """Initialize mandatory headers for a fresh record
+        (warc.pyx:721-746)."""
+        import uuid
+
+        if record_urn is None:
+            record_urn = f"<urn:uuid:{uuid.uuid4()}>".encode()
+        if record_type == WarcRecordType.any_type:
+            record_type = WarcRecordType.no_type
+        self._rec.warc_version = "WARC/1.1"
+        self._headers = WarcHeaderMap._from_pairs(
+            "WARC/1.1",
+            [
+                ("WARC-Record-ID", record_urn.decode()),
+                ("WARC-Type", record_type.name if record_type else "unknown"),
+                (
+                    "WARC-Date",
+                    datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
+                ),
+                ("Content-Length", str(content_length)),
+            ],
+        )
+        self._rec.record_id = record_urn.decode()
+        self._rec.record_type = record_type.name if record_type else "unknown"
+        self._rec.content_length = content_length
+
+    def set_bytes_content(self, b: bytes) -> None:
+        self._rec.payload = b
+        self._rec.content_length = len(b)
+        self.headers["Content-Length"] = str(len(b))
+        self._reader = None
+
+    def parse_http(self, strict_mode: bool = True, auto_decode: str = "none") -> bool:
+        from resilispark.io.warc import _parse_http_payload
+
+        if self._block is None:
+            self._block = self._rec.payload
+        _parse_http_payload(self._rec, self._rec.payload)
+        self._http_headers = None
+        self._reader = None
+        if auto_decode != "none" and self._rec.is_http:
+            from resilispark.functions.http import decode_http_body_from_headers
+
+            self._rec.payload = decode_http_body_from_headers(
+                self._rec.payload, self._rec.http_headers or []
+            )
+            self._rec.content_length = len(self._rec.payload)
+        return True
+
+    def verify_block_digest(self, consume: bool = False) -> bool:
+        block = self._block if self._block is not None else self._rec.payload
+        return bool(_verify_digest(self.headers.get("WARC-Block-Digest"), block))
+
+    def verify_payload_digest(self, consume: bool = False) -> bool:
+        """Payload digest covers the HTTP body; parse_http already
+        narrowed ``payload`` to it (warc.pyx:1012-1034)."""
+        if not self.is_http_parsed:
+            return False
+        return bool(
+            _verify_digest(self.headers.get("WARC-Payload-Digest"), self._rec.payload)
+        )
+
+    def write(
+        self,
+        stream,
+        checksum_data: bool = False,
+        payload_digest: bytes | None = None,
+        chunk_size: int = 16384,
+    ) -> int:
+        # rebuild the engine record from the (possibly edited) header map
+        self._rec.headers = [(k, v) for k, v in self.headers]
+        data = serialize_record(self._rec, checksum_data=checksum_data)
+        if isinstance(stream, CompressingStream):
+            stream.begin_member()
+            n = stream.write(data)
+            stream.end_member()
+            return n
+        return stream.write(data)
+
+    def freeze(self) -> bool:
+        return True  # facade records are always materialized
+
+
+# -- module-level predicates (warc.pyx:1276-1348) -------------------------
+
+
+def is_warc_10(record: WarcRecord) -> bool:
+    return record._rec.warc_version == "WARC/1.0"
+
+
+def is_warc_11(record: WarcRecord) -> bool:
+    return record._rec.warc_version == "WARC/1.1"
+
+
+def has_block_digest(record: WarcRecord) -> bool:
+    return bool(record.headers.get("WARC-Block-Digest"))
+
+
+def has_payload_digest(record: WarcRecord) -> bool:
+    return bool(record.headers.get("WARC-Payload-Digest"))
+
+
+def is_http(record: WarcRecord) -> bool:
+    return record.is_http
+
+
+def is_concurrent(record: WarcRecord) -> bool:
+    return bool(record.headers.get("WARC-Concurrent-To"))
+
+
+_WARC_MAGIC = b"WARC/"
+_CLEN_RE = re.compile(rb"\r?\ncontent-length\s*:[ \t]*(\d+)", re.I)
+_STRNPOS = -1
+
+
+class ArchiveIterator:
+    """Incremental WARC record iterator (warc.pyx:1092-1274).
+
+    Accepts an IOStream, file-like object, or path/URL string; detects
+    gzip / LZ4 / uncompressed by magic bytes unless the stream is
+    already a :class:`CompressingStream`."""
+
+    def __init__(
+        self,
+        stream,
+        record_types: int = WarcRecordType.any_type,
+        parse_http: bool = True,
+        min_content_length: int = _STRNPOS,
+        max_content_length: int = _STRNPOS,
+        func_filter=None,
+        verify_digests: bool = False,
+        strict_mode: bool = True,
+        auto_decode: str = "none",
+        fsspec_args=None,
+    ):
+        self.parse_http = parse_http
+        self.record_types = record_types
+        self.min_content_length = min_content_length
+        self.max_content_length = max_content_length
+        self.func_filter = func_filter
+        self.verify_digests = verify_digests
+        self.strict_mode = strict_mode
+        self.auto_decode = auto_decode
+        self.fsspec_args = fsspec_args
+        self.record: WarcRecord | None = None
+        self.iter = None
+        self._set_stream(stream)
+
+    # warc_retry (itertools facade) calls this to swap in a fresh stream
+    def _set_stream(self, stream) -> None:
+        self.stream = wrap_stream(stream)
+        self.reader = _PosTracker(self)
+        self._next_pos = 0
+        self._identity_pos = False
+        self.iter = None
+
+    def __iter__(self):
+        return self._records()
+
+    def __next__(self) -> WarcRecord:
+        if self.iter is None:
+            self.iter = self._records()
+        return next(self.iter)
+
+    # -- chunk source --------------------------------------------------
+    def _chunks(self):
+        """Yield (stream_pos_anchor, plain_bytes) chunks."""
+        stream = self.stream
+        if isinstance(stream, CompressingStream):
+            yield from stream._members()
+            return
+        try:
+            start = stream.tell()
+        except Exception:
+            start = 0
+        head = stream.read(4)
+        if head.startswith(GZIP_MAGIC):
+            yield from GZipStream(_Prepend(head, stream, start))._members()
+        elif head.startswith(LZ4_MAGIC):
+            yield from LZ4Stream(_Prepend(head, stream, start))._members()
+        else:
+            # plain stream: stream offsets ARE plain offsets
+            self._identity_pos = True
+            pos = start
+            chunk = head
+            while chunk:
+                yield pos, chunk
+                pos += len(chunk)
+                chunk = stream.read(1 << 20)
+
+    def _records(self):
+        buf = bytearray()
+        anchors: list[tuple[int, int]] = []  # (plain_abs_of_chunk, stream_anchor)
+        base = 0  # absolute plain offset of buf[0]
+        src = self._chunks()
+        eof = False
+
+        def fill() -> bool:
+            nonlocal eof
+            if eof:
+                return False
+            try:
+                anchor, chunk = next(src)
+                anchors.append((base + len(buf), anchor))
+                buf.extend(chunk)
+                return True
+            except StopIteration:
+                eof = True
+                return False
+
+        while True:
+            # locate the next record start
+            idx = buf.find(_WARC_MAGIC)
+            while idx < 0:
+                # keep a small tail (magic may straddle chunks)
+                if len(buf) > len(_WARC_MAGIC):
+                    drop = len(buf) - len(_WARC_MAGIC)
+                    del buf[:drop]
+                    base += drop
+                if not fill():
+                    return
+                idx = buf.find(_WARC_MAGIC)
+            # ensure the whole record (headers + block) is buffered
+            while True:
+                hdr_end = buf.find(b"\r\n\r\n", idx)
+                sep = 4
+                alt = buf.find(b"\n\n", idx)
+                if alt >= 0 and (hdr_end < 0 or alt + 1 < hdr_end):
+                    hdr_end, sep = alt, 2
+                if hdr_end >= 0:
+                    m = _CLEN_RE.search(buf, idx, hdr_end + 1)
+                    clen = int(m.group(1)) if m else 0
+                    # +4 slack for the record-separating CRLFCRLF
+                    if len(buf) - (hdr_end + sep) >= clen + 4 or (
+                        eof and not fill()
+                    ):
+                        break
+                if not fill():
+                    break
+            rec, nxt = parse_record_at(bytes(buf), idx)
+            if rec is None:
+                return
+            # map the record's plain offset to its stream anchor: the
+            # exact byte offset on plain streams, the containing
+            # member's compressed offset on gzip/LZ4 (warc.pyx:712-719)
+            abs_start = base + idx
+            a_plain, a_stream = 0, 0
+            for ap, ast in anchors:
+                if ap <= abs_start:
+                    a_plain, a_stream = ap, ast
+                else:
+                    break
+            if self._identity_pos:
+                anchor = a_stream + (abs_start - a_plain)
+            else:
+                anchor = a_stream
+            rec.stream_pos = anchor
+            self._next_pos = anchor
+            # compact consumed bytes
+            del buf[:nxt]
+            newbase = base + nxt
+            # drop anchors that can no longer be the floor for any
+            # future record start (the next anchor already covers them);
+            # the remaining front anchor may lie before newbase — its
+            # (plain, stream) pair still maps identity offsets exactly
+            while len(anchors) > 1 and anchors[1][0] <= newbase:
+                anchors.pop(0)
+            base = newbase
+
+            wrapped = self._postprocess(rec)
+            if wrapped is not None:
+                self.record = wrapped
+                yield wrapped
+
+    def _postprocess(self, rec) -> WarcRecord | None:
+        if not (self.record_types & int(_TYPE_BY_NAME.get(rec.record_type, WarcRecordType.unknown))):
+            return None
+        if (
+            self.min_content_length != _STRNPOS
+            and rec.content_length < self.min_content_length
+        ):
+            return None
+        if (
+            self.max_content_length != _STRNPOS
+            and rec.content_length > self.max_content_length
+        ):
+            return None
+        wrapped = WarcRecord(rec)
+        if self.verify_digests and not wrapped.verify_block_digest():
+            return None
+        if self.func_filter is not None and not self.func_filter(wrapped):
+            return None
+        if self.parse_http and rec.record_type in ("response", "request", "revisit"):
+            wrapped.parse_http(self.strict_mode, self.auto_decode)
+        return wrapped
+
+
+class _Prepend(IOStream):
+    """Replays peeked head bytes before delegating to the stream."""
+
+    def __init__(self, head: bytes, stream: IOStream, start: int = 0):
+        self._head = head
+        self._stream = stream
+        self._start = start
+
+    def tell(self) -> int:
+        if self._head:
+            return self._start
+        return self._stream.tell()
+
+    def read(self, size: int = -1) -> bytes:
+        if self._head:
+            if size < 0 or size >= len(self._head):
+                out, self._head = self._head, b""
+                rest = self._stream.read(size - len(out) if size > 0 else size)
+                return out + rest
+            out, self._head = self._head[:size], self._head[size:]
+            return out
+        return self._stream.read(size)
+
+
+class _PosTracker:
+    """Minimal ``.reader`` surface for warc_retry: ``tell()`` returns
+    the stream position of the NEXT record to be read."""
+
+    __slots__ = ("_it",)
+
+    def __init__(self, it: ArchiveIterator):
+        self._it = it
+
+    def tell(self) -> int:
+        return self._it._next_pos

@@ -108,6 +108,7 @@ class WarcRecord:
     content_length: int = 0
     is_http: bool = False
     http_status: int | None = None
+    http_status_line: str | None = None
     http_headers: list[tuple[str, str]] | None = None
     http_content_type: str | None = None
     http_charset: str | None = None
@@ -328,7 +329,8 @@ def _parse_http_payload(rec: WarcRecord, raw: bytes) -> None:
         head, (first_eol + 1) if first_eol > 0 else len(head), end=len(head)
     )
     rec.http_headers = http_headers
-    parts = status_line.decode("ascii", "replace").split(None, 2)
+    rec.http_status_line = status_line.decode("ascii", "replace")
+    parts = rec.http_status_line.split(None, 2)
     if status_line.startswith(b"HTTP/") and len(parts) >= 2:
         try:
             rec.http_status = int(parts[1])

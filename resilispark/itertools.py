@@ -1,0 +1,97 @@
+"""Drop-in mirror of the reference's ``resiliparse.itertools``
+(resiliparse-py/resiliparse/itertools.pyx): ``exc_loop``,
+``warc_retry``, and the deprecated ``progress_loop`` forwarder.
+"""
+
+from __future__ import annotations
+
+__all__ = ["progress_loop", "exc_loop", "warc_retry"]
+
+
+def progress_loop(it, ctx=None):
+    """Deprecated forwarder (itertools.pyx:26-35)."""
+    import warnings
+
+    from resilispark.process_guard import progress_loop as pl
+
+    warnings.warn(
+        "progress_loop() has moved to resilispark.process_guard.",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    yield from pl(it, ctx)
+
+
+def exc_loop(it):
+    """Wrap an iterator, yielding ``(item, None)`` or ``(None, exc)``
+    instead of raising (itertools.pyx:37-63).  The input generator ends
+    after its first exception — resumable sources need a fresh
+    instance, which :func:`warc_retry` automates for WARC streams."""
+    i = iter(it)
+    while True:
+        try:
+            yield next(i), None
+        except StopIteration:
+            return
+        except BaseException as e:  # noqa: BLE001 - the reference catches all
+            yield None, e
+
+
+def warc_retry(archive_iterator, stream_factory, retry_count: int = 3, seek=True):
+    """Resume a :class:`resilispark.fastwarc.warc.ArchiveIterator`
+    after stream failures (itertools.pyx:66-154).
+
+    ``seek=True``: ``stream_factory()`` returns a seekable stream,
+    repositioned to the last good record.  ``seek=False``: the factory
+    receives the byte position and must return a stream already
+    starting there (S3 range-request flavor).  ``seek=None``: the
+    factory's stream is consumed up to the position (most expensive).
+    Factory exceptions count toward ``retry_count``.
+    """
+    retries = 0
+    pos = archive_iterator.reader.tell()
+    first_pos = pos
+    skip_next = False
+    it = iter(archive_iterator)
+
+    while True:
+        try:
+            if skip_next:
+                next(it)
+                skip_next = False
+            next_rec = next(it)
+            yield next_rec
+            pos = next_rec.stream_pos
+        except StopIteration:
+            return
+        except BaseException as e:  # noqa: BLE001 - parity with the reference
+            retries += 1
+            if retry_count and retries > retry_count:
+                raise e
+
+            while True:
+                try:
+                    if seek is True:
+                        stream = stream_factory()
+                        stream.seek(pos)
+                        break
+                    elif seek is False:
+                        stream = stream_factory(pos)
+                        break
+                    else:  # seek is None: consume up to pos
+                        consumed = 0
+                        stream = stream_factory()
+                        while consumed < pos:
+                            n = len(stream.read(min(16384, pos - consumed)))
+                            if n == 0:
+                                return  # unexpected EOF
+                            consumed += n
+                        break
+                except BaseException as e2:  # noqa: BLE001
+                    retries += 1
+                    if retry_count and retries > retry_count:
+                        raise e2
+
+            archive_iterator._set_stream(stream)
+            it = iter(archive_iterator)
+            skip_next = pos > first_pos

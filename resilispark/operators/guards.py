@@ -241,6 +241,8 @@ class ProgressGuard:
     call is only interrupted when it returns to the interpreter.
     """
 
+    default_exc = TimeGuardExpired
+
     def __init__(
         self,
         timeout: float = 60.0,
@@ -253,6 +255,9 @@ class ProgressGuard:
         self.timeout = timeout
         self.grace_period = grace_period
         self.check_interval = check_interval
+        # exception type delivered on expiry; subclasses (the mem-guard
+        # facade) swap in their own typed error
+        self.exc = type(self).default_exc
         self.report_every = report_every
         self.label = label
         self.count = 0
@@ -283,7 +288,7 @@ class ProgressGuard:
         # the escalation path delivers KeyboardInterrupt; surface it as
         # the typed timeout so callers see ONE exception type
         if self._expired and exc_type is KeyboardInterrupt:
-            raise TimeGuardExpired(
+            raise self.exc(
                 f"no progress within {self.timeout}s"
                 + (f" ({self.label})" if self.label else "")
             ) from exc
@@ -319,12 +324,19 @@ class ProgressGuard:
             )
 
     # -- watchdog ------------------------------------------------------
+    def _idle(self) -> float:
+        """Seconds the guarded condition has been breached; the time
+        guard's condition is 'no progress since epoch'.  Subclasses
+        override to guard other resources (RSS in the mem-guard
+        facade)."""
+        return time.monotonic() - self._epoch
+
     def _watch(self) -> None:
         import ctypes
 
         raised = False
         while not self._ended.wait(self.check_interval):
-            idle = time.monotonic() - self._epoch
+            idle = self._idle()
             if idle >= self.timeout and not raised:
                 # re-check ended RIGHT before delivering: an interrupt
                 # landing after the with-block exits would surface as a
@@ -337,7 +349,7 @@ class ProgressGuard:
                 self._expired = True
                 res = ctypes.pythonapi.PyThreadState_SetAsyncExc(
                     ctypes.c_ulong(self._tid),
-                    ctypes.py_object(TimeGuardExpired),
+                    ctypes.py_object(self.exc),
                 )
                 if res > 1:  # pragma: no cover - interpreter contract
                     # "must be undone by calling again with NULL"

@@ -1,0 +1,20 @@
+"""Drop-in mirror of the reference's ``resiliparse.parse.encoding``
+(resiliparse-py/resiliparse/parse/encoding.pyx): same names, same
+signatures, backed by :mod:`resilispark.functions.encoding`.
+"""
+
+from resilispark.functions.encoding import (  # noqa: F401
+    EncodingDetector,
+    bytes_to_str,
+    detect_encoding,
+    detect_mime,
+    map_encoding_to_html5,
+)
+
+__all__ = [
+    "EncodingDetector",
+    "bytes_to_str",
+    "detect_encoding",
+    "detect_mime",
+    "map_encoding_to_html5",
+]

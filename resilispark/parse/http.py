@@ -1,0 +1,31 @@
+"""Drop-in mirror of the reference's ``resiliparse.parse.http``
+(resiliparse-py/resiliparse/parse/http.pyx): chunked transfer-encoding
+helpers operating on a reader (e.g.
+:class:`resilispark.fastwarc.stream_io.BufferedReader` or any object
+with ``readline``/``read``).
+"""
+
+from __future__ import annotations
+
+__all__ = ["read_http_chunk", "iterate_http_chunks"]
+
+
+def read_http_chunk(reader) -> bytes:
+    """Read the next chunk of a chunked HTTP payload; empty bytes on
+    error or EOF (http.pyx:28-44)."""
+    header_line = reader.readline()
+    try:
+        chunk_size = int(header_line.split(b";")[0].strip() or b"0", 16)
+    except ValueError:
+        return b""
+    # chunk data plus trailing CRLF, clipped back to the chunk
+    return reader.read(chunk_size + 2)[:chunk_size]
+
+
+def iterate_http_chunks(reader):
+    """Generator fully consuming a chunked payload (http.pyx:47-60)."""
+    while True:
+        chunk = read_http_chunk(reader)
+        if not chunk:
+            return
+        yield chunk

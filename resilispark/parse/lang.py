@@ -1,0 +1,17 @@
+"""Drop-in mirror of the reference's ``resiliparse.parse.lang``
+(resiliparse-py/resiliparse/parse/lang.pyx): same names and
+signatures, backed by :mod:`resilispark.functions.lang`.
+
+Documented delta: ``detect_fast``'s ``cutoff`` operates on this
+engine's angular-distance rank scale (default 700) rather than the
+reference's out-of-place rank scale (default 1200) — the decision
+contract (rank above cutoff -> ``'unknown'``) is the same.
+"""
+
+from resilispark.functions.lang import (  # noqa: F401
+    detect_fast,
+    supported_langs,
+    train_language_examples,
+)
+
+__all__ = ["detect_fast", "supported_langs", "train_language_examples"]

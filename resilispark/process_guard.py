@@ -1,0 +1,160 @@
+"""Drop-in mirror of the reference's ``resiliparse.process_guard``
+(resiliparse-py/resiliparse/process_guard.pyx): ``time_guard`` /
+``mem_guard`` decorator-or-context guards, ``progress`` /
+``progress_loop`` reporting, and the typed guard exceptions — backed
+by the watchdog machinery in :mod:`resilispark.operators.guards`.
+
+Documented deltas from the reference:
+
+- The guard exceptions here derive from ``RuntimeError`` /
+  ``MemoryError`` instead of ``BaseException``, so a broad
+  ``except Exception`` in guarded code CAN swallow them; the
+  reference deliberately derives from ``BaseException``.
+  ``ResiliparseGuardException`` is provided as an exception TUPLE
+  usable in ``except`` clauses.
+- ``interrupt_type`` is accepted for signature parity but the
+  escalation is always the reference's default
+  ``exception_then_signal`` (async exception, then
+  ``interrupt_main``); ``send_kill`` is accepted and ignored.
+- ``mem_guard`` polls current RSS from ``/proc/self/statm`` —
+  Linux-only, like the reference's MemGuard.
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+import time
+
+from resilispark.operators.guards import (
+    MemGuardExceeded,
+    ProgressGuard,
+    TimeGuardExpired,
+    progress,
+    progress_loop,
+)
+
+__all__ = [
+    "InterruptType",
+    "ExecutionTimeout",
+    "MemoryLimitExceeded",
+    "ResiliparseGuardException",
+    "TimeGuard",
+    "MemGuard",
+    "time_guard",
+    "mem_guard",
+    "progress",
+    "progress_loop",
+]
+
+
+class InterruptType(enum.IntEnum):
+    """process_guard.pxd:24-27."""
+
+    exception = 0
+    signal = 1
+    exception_then_signal = 2
+
+
+exception = InterruptType.exception
+signal = InterruptType.signal
+exception_then_signal = InterruptType.exception_then_signal
+
+ExecutionTimeout = TimeGuardExpired
+MemoryLimitExceeded = MemGuardExceeded
+# usable directly in `except ResiliparseGuardException:` clauses
+ResiliparseGuardException = (TimeGuardExpired, MemGuardExceeded)
+
+TimeGuard = ProgressGuard
+
+
+def time_guard(
+    timeout=60,
+    timeout_ms=None,
+    grace_period=15,
+    grace_period_ms=None,
+    interrupt_type: InterruptType = exception_then_signal,
+    send_kill: bool = False,
+    check_interval: int = 500,
+) -> ProgressGuard:
+    """process_guard.pyx:254-321 — progress-resettable execution-time
+    guard, usable as decorator or context manager."""
+    t = (timeout_ms / 1000.0) if timeout_ms is not None else float(timeout)
+    g = (grace_period_ms / 1000.0) if grace_period_ms is not None else float(grace_period)
+    return ProgressGuard(t, grace_period=g, check_interval=check_interval / 1000.0)
+
+
+def _proc_rss_kib() -> int:
+    """Current (not peak) resident set size in KiB via /proc."""
+    with open("/proc/self/statm", "rb") as fh:
+        resident_pages = int(fh.read().split()[1])
+    return resident_pages * (os.sysconf("SC_PAGESIZE") // 1024)
+
+
+class MemGuard(ProgressGuard):
+    """RSS watermark guard (process_guard.pyx:379-485): once current
+    RSS stays over ``max_memory`` KiB for ``grace_period`` seconds,
+    raises :class:`MemoryLimitExceeded` in the guarded thread, with the
+    same escalation ladder as :class:`TimeGuard`."""
+
+    default_exc = MemGuardExceeded
+
+    def __init__(
+        self,
+        max_memory: int,
+        absolute: bool = True,
+        grace_period: float = 0.0,
+        secondary_grace_period: float = 5.0,
+        check_interval: float = 0.5,
+    ):
+        super().__init__(
+            timeout=float(grace_period),
+            grace_period=float(secondary_grace_period),
+            check_interval=check_interval,
+        )
+        self._max_memory_kib = int(max_memory)
+        self._absolute = absolute
+        self._limit_kib: int | None = int(max_memory) if absolute else None
+        self._over_since: float | None = None
+
+    def __enter__(self):
+        if not self._absolute:
+            self._limit_kib = self._max_memory_kib + _proc_rss_kib()
+        self._over_since = None
+        return super().__enter__()
+
+    def _idle(self) -> float:
+        if _proc_rss_kib() > self._limit_kib:
+            if self._over_since is None:
+                self._over_since = time.monotonic()
+            return time.monotonic() - self._over_since
+        self._over_since = None  # dipped back under: reset grace timer
+        return -1.0
+
+
+def mem_guard(
+    max_memory: int,
+    absolute: bool = True,
+    grace_period=0,
+    grace_period_ms=None,
+    secondary_grace_period=5,
+    secondary_grace_period_ms=None,
+    interrupt_type: InterruptType = exception_then_signal,
+    send_kill: bool = False,
+    check_interval: int = 500,
+) -> MemGuard:
+    """process_guard.pyx:487-560 — ``max_memory`` is in KiB, absolute
+    or growth-relative to RSS at context entry."""
+    g = (grace_period_ms / 1000.0) if grace_period_ms is not None else float(grace_period)
+    sg = (
+        secondary_grace_period_ms / 1000.0
+        if secondary_grace_period_ms is not None
+        else float(secondary_grace_period)
+    )
+    return MemGuard(
+        max_memory,
+        absolute=absolute,
+        grace_period=g,
+        secondary_grace_period=sg,
+        check_interval=check_interval / 1000.0,
+    )

@@ -1,0 +1,370 @@
+"""Tests for the reference-layout compatibility facades:
+resilispark.fastwarc (warc/stream_io/tools), resilispark.itertools,
+resilispark.process_guard, resilispark.parse.{encoding,lang,http}, and
+resilispark.extract.html2text.
+
+Mirrors the contracts of the reference's tests/fastwarc/test_warc.py
+(offsets, stream negotiation, filters, digests) and
+tests/resiliparse/* against our own and the reference's fixtures.
+"""
+
+import io
+import os
+import tempfile
+
+import pytest
+
+from resilispark.fastwarc.stream_io import (
+    BufferedReader,
+    BytesIOStream,
+    FileStream,
+    GZipStream,
+    LZ4Stream,
+)
+from resilispark.fastwarc.warc import ArchiveIterator, WarcRecordType
+from resilispark.io.warc import write_warc
+from resilispark.io.warc import WarcRecord as EngineRecord
+
+REF_DATA = "/root/reference/tests/data"
+_has_ref = os.path.isdir(REF_DATA)
+
+
+def _fixture_warc(tmpdir: str, compression: str) -> str:
+    """Write a small WARC with our own writer (10 responses + 2
+    requests + warcinfo)."""
+    recs = []
+    info = EngineRecord()
+    info.headers = [
+        ("WARC-Record-ID", "<urn:uuid:info-1>"),
+        ("WARC-Type", "warcinfo"),
+        ("WARC-Date", "2024-01-01T00:00:00Z"),
+    ]
+    info.payload = b"software: resilispark"
+    recs.append(info)
+    for i in range(10):
+        r = EngineRecord()
+        body = f"<html><body>doc {i}</body></html>".encode()
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        r.headers = [
+            ("WARC-Record-ID", f"<urn:uuid:resp-{i}>"),
+            ("WARC-Type", "response"),
+            ("WARC-Date", "2024-01-01T00:00:00Z"),
+            ("WARC-Target-URI", f"https://example.org/{i}"),
+            ("Content-Type", "application/http; msgtype=response"),
+        ]
+        r.payload = payload
+        recs.append(r)
+    for i in range(2):
+        r = EngineRecord()
+        r.headers = [
+            ("WARC-Record-ID", f"<urn:uuid:req-{i}>"),
+            ("WARC-Type", "request"),
+            ("WARC-Date", "2024-01-01T00:00:00Z"),
+            ("WARC-Target-URI", f"https://example.org/{i}"),
+        ]
+        r.payload = b"GET / HTTP/1.1\r\nHost: example.org\r\n\r\n"
+        recs.append(r)
+    ext = {"gzip": ".warc.gz", "lz4": ".warc.lz4", "none": ".warc"}[compression]
+    path = os.path.join(tmpdir, "fixture" + ext)
+    write_warc(recs, path, compression=compression)
+    return path
+
+
+@pytest.mark.parametrize("compression", ["none", "gzip", "lz4"])
+def test_archive_iterator_roundtrip(compression):
+    with tempfile.TemporaryDirectory() as td:
+        path = _fixture_warc(td, compression)
+        ids = set()
+        offsets = []
+        for rec in ArchiveIterator(FileStream(path), parse_http=False):
+            assert rec.record_id.startswith("<urn:")
+            assert rec.record_id not in ids
+            ids.add(rec.record_id)
+            offsets.append(rec.stream_pos)
+        assert len(ids) == 13
+        assert offsets[0] == 0
+        assert all(b > a for a, b in zip(offsets, offsets[1:]))
+
+        # seek back to a mid-file record and resume
+        mid = offsets[5]
+        fh = open(path, "rb")
+        fh.seek(mid)
+        it = ArchiveIterator(fh, parse_http=False)
+        assert next(it).stream_pos == mid
+        assert next(it).stream_pos == offsets[6]
+
+
+def test_record_type_and_length_filters():
+    with tempfile.TemporaryDirectory() as td:
+        path = _fixture_warc(td, "gzip")
+        n = len(list(ArchiveIterator(FileStream(path), record_types=WarcRecordType.response)))
+        assert n == 10
+        n = len(
+            list(
+                ArchiveIterator(
+                    FileStream(path),
+                    record_types=WarcRecordType.request | WarcRecordType.warcinfo,
+                )
+            )
+        )
+        assert n == 3
+        n = len(list(ArchiveIterator(FileStream(path), min_content_length=100)))
+        assert n == 10  # http responses only
+        n = len(
+            list(
+                ArchiveIterator(
+                    FileStream(path),
+                    func_filter=lambda r: r.headers.get("WARC-Target-URI") == "https://example.org/1",
+                )
+            )
+        )
+        assert n == 2  # response + request
+
+
+def test_http_parsing_and_reader():
+    with tempfile.TemporaryDirectory() as td:
+        path = _fixture_warc(td, "lz4")
+        recs = list(ArchiveIterator(FileStream(path), record_types=WarcRecordType.response))
+        r = recs[3]
+        assert r.is_http and r.is_http_parsed
+        assert r.http_content_type == "text/html"
+        assert r.http_charset == "utf-8"
+        assert r.http_headers.status_code == 200
+        assert r.http_headers.reason_phrase == "OK"
+        assert r.http_headers["Content-Type"].startswith("text/html")
+        body = r.reader.read()
+        assert body == b"<html><body>doc 3</body></html>"
+        # digests: our writer checksums blocks
+        assert r.verify_block_digest()
+
+
+def test_header_map_semantics():
+    with tempfile.TemporaryDirectory() as td:
+        path = _fixture_warc(td, "none")
+        rec = next(iter(ArchiveIterator(FileStream(path))))
+        h = rec.headers
+        assert h.status_line.startswith("WARC/")
+        assert "warc-type" in h  # case-insensitive
+        assert h["WARC-TYPE"] == "warcinfo"
+        h["X-Custom"] = "1"
+        assert h.get("x-custom") == "1"
+        h.append("X-Custom", "2")
+        assert h.get("X-Custom") == "2"  # last occurrence wins
+        assert len([k for k, _ in h if k == "X-Custom"]) == 2
+
+        out = BytesIOStream()
+        h.write(out)
+        assert b"X-Custom: 2" in out.getvalue()
+
+
+def test_warc_record_write_roundtrip():
+    with tempfile.TemporaryDirectory() as td:
+        path = _fixture_warc(td, "none")
+        rec = next(iter(ArchiveIterator(FileStream(path), record_types=WarcRecordType.response)))
+        out = BytesIOStream()
+        rec.write(out, checksum_data=True)
+        back = next(iter(ArchiveIterator(BytesIOStream(out.getvalue()))))
+        assert back.record_id == rec.record_id
+        assert back.verify_block_digest()
+
+        # member-per-record compressed write
+        gz_out = GZipStream(BytesIOStream())
+        rec.write(gz_out, checksum_data=True)
+        gz_out.flush()
+        raw = gz_out.raw.getvalue()
+        assert raw[:2] == b"\x1f\x8b"
+        back = next(iter(ArchiveIterator(BytesIOStream(raw))))
+        assert back.record_id == rec.record_id
+
+
+def test_tools_recompress_and_verify():
+    from resilispark.fastwarc.tools import (
+        CompressionAlg,
+        detect_compression_algorithm,
+        recompress_warc,
+        verify_digests,
+    )
+
+    assert detect_compression_algorithm("x.warc.gz") == CompressionAlg.gzip
+    assert detect_compression_algorithm("x.warc.lz4") == CompressionAlg.lz4
+    assert detect_compression_algorithm("x.warc") == CompressionAlg.uncompressed
+    with tempfile.TemporaryDirectory() as td:
+        src = _fixture_warc(td, "gzip")
+        dst = os.path.join(td, "out.warc.lz4")
+        num, nbytes = recompress_warc(src, dst)
+        assert num == 13 and nbytes > 0
+        assert len(list(ArchiveIterator(FileStream(dst)))) == 13
+        res = list(verify_digests(src, verify_payloads=True))
+        assert len(res) == 13
+        assert all(r["block_digest_ok"] for r in res)
+
+
+def test_warc_retry_resumes_without_duplicates():
+    from resilispark.itertools import warc_retry
+
+    class Flaky:
+        def __init__(self, path, fail_after):
+            self.f = open(path, "rb")
+            self.fail_after = fail_after
+
+        def read(self, n=-1):
+            if self.fail_after and self.f.tell() > self.fail_after:
+                self.fail_after = 0
+                raise IOError("transient stream failure")
+            return self.f.read(n)
+
+        def seek(self, p):
+            self.f.seek(p)
+
+        def tell(self):
+            return self.f.tell()
+
+    with tempfile.TemporaryDirectory() as td:
+        path = _fixture_warc(td, "none")
+        it = ArchiveIterator(Flaky(path, 2000), parse_http=False)
+        recs = list(warc_retry(it, lambda: open(path, "rb"), retry_count=3))
+        assert len(recs) == 13
+        assert len({r.record_id for r in recs}) == 13
+
+        # retry budget exhausted -> the failure propagates
+        class AlwaysBroken:
+            def read(self, n=-1):
+                raise IOError("down")
+
+            def seek(self, p):
+                pass
+
+            def tell(self):
+                return 0
+
+        it = ArchiveIterator(AlwaysBroken(), parse_http=False)
+        with pytest.raises(IOError):
+            list(warc_retry(it, AlwaysBroken, retry_count=2))
+
+
+def test_exc_loop():
+    from resilispark.itertools import exc_loop
+
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    out = list(exc_loop(gen()))
+    assert out[0] == (1, None)
+    assert out[1][0] is None and isinstance(out[1][1], ValueError)
+
+
+def test_process_guard_facade():
+    from resilispark.process_guard import (
+        ExecutionTimeout,
+        MemoryLimitExceeded,
+        ResiliparseGuardException,
+        mem_guard,
+        progress,
+        time_guard,
+    )
+
+    # timeout fires
+    with pytest.raises(ExecutionTimeout):
+        with time_guard(timeout_ms=150, grace_period=1, check_interval=20):
+            import time as _t
+
+            for _ in range(100):
+                _t.sleep(0.05)
+
+    # progress resets the clock
+    with time_guard(timeout_ms=300, grace_period=1, check_interval=20):
+        import time as _t
+
+        for _ in range(8):
+            _t.sleep(0.08)
+            progress()
+
+    assert issubclass(ExecutionTimeout, ResiliparseGuardException)
+    assert issubclass(MemoryLimitExceeded, ResiliparseGuardException)
+
+    # mem_guard: relative growth limit of 0 KiB over current trips on
+    # any allocation within the grace window
+    with pytest.raises(MemoryLimitExceeded):
+        with mem_guard(max_memory=1, absolute=False, check_interval=20):
+            blocks = [bytearray(1 << 20) for _ in range(64)]
+            import time as _t
+
+            _t.sleep(0.5)
+            del blocks
+
+    # decorator form
+    @time_guard(timeout_ms=150, grace_period=1, check_interval=20)
+    def stuck():
+        import time as _t
+
+        for _ in range(100):
+            _t.sleep(0.05)
+
+    with pytest.raises(ExecutionTimeout):
+        stuck()
+
+
+def test_parse_http_chunk_facade():
+    from resilispark.parse.http import iterate_http_chunks, read_http_chunk
+
+    chunked = b"4\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n"
+    r = BufferedReader(chunked)
+    assert read_http_chunk(r) == b"Wiki"
+    assert read_http_chunk(r) == b"pedia"
+    assert read_http_chunk(r) == b""
+    assert b"".join(iterate_http_chunks(BufferedReader(chunked))) == b"Wikipedia"
+
+
+def test_parse_encoding_lang_extract_facades():
+    from resilispark.extract.html2text import extract_plain_text
+    from resilispark.parse.encoding import bytes_to_str, detect_encoding
+    from resilispark.parse.html import HTMLTree
+    from resilispark.parse.lang import detect_fast, supported_langs
+
+    assert detect_encoding("héllo wörld".encode()) == "utf-8"
+    assert bytes_to_str(b"caf\xc3\xa9") == "café"
+    assert detect_fast("the quick brown fox jumps over the lazy dog")[0] == "en"
+    assert "en" in supported_langs()
+
+    tree = HTMLTree.parse("<body><p>Hello</p><script>x()</script></body>")
+    # positional args like the reference; accepts an HTMLTree directly
+    assert extract_plain_text(tree, False) == "Hello"
+    assert extract_plain_text("<body><p>Hello</p></body>", False) == "Hello"
+
+
+@pytest.mark.skipif(not _has_ref, reason="reference fixtures not present")
+def test_reference_fixture_parity():
+    """The reference's own test expectations on its own data files
+    (tests/fastwarc/test_warc.py:145-181 offsets;
+    tests/resiliparse/parse/test_html.py:515-530 real-world count)."""
+    expected = {"": [0, 16386, 32772], ".gz": [0, 204, 409], ".lz4": [0, 240, 480]}
+    for ext, offs in expected.items():
+        with open(os.path.join(REF_DATA, f"block-sized-records.warc{ext}"), "rb") as fh:
+            it = ArchiveIterator(fh, parse_http=False)
+            assert [next(it).stream_pos for _ in range(3)] == offs
+
+    for name in ("warcfile.warc", "warcfile.warc.gz", "warcfile.warc.lz4"):
+        assert len(list(ArchiveIterator(FileStream(os.path.join(REF_DATA, name))))) == 50
+
+    from resilispark.parse.encoding import detect_encoding
+    from resilispark.parse.html import HTMLTree
+
+    count = 0
+    for rec in ArchiveIterator(
+        FileStream(os.path.join(REF_DATA, "warcfile.warc")),
+        parse_http=True,
+        record_types=WarcRecordType.response,
+    ):
+        content = rec.reader.read()
+        tree = HTMLTree.parse_from_bytes(
+            content, rec.http_charset or detect_encoding(content)
+        )
+        assert tree.document and tree.head and tree.body and tree.title
+        assert tree.head.query_selector("style, link")
+        assert tree.body.query_selector("div")
+        count += 1
+    assert count == 16
