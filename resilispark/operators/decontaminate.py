@@ -1,0 +1,96 @@
+"""Benchmark decontamination: flag/drop corpus documents that share
+verbatim word n-grams with an evaluation/benchmark set.
+
+The standard training-data hygiene step (GPT-3 appendix C / PaLM-style
+13-gram overlap): any document containing a verbatim n-gram from the
+benchmark is contaminated and must not be trained on.
+
+Spark-first shape for 100 TB:
+
+- the benchmark side is SMALL by construction (eval sets are MBs), so
+  its distinct n-gram table is **broadcast** — the corpus-side probe is
+  a map-side hash join with no shuffle of the corpus;
+- corpus n-grams are produced by ``explode`` over a ``transform``
+  expression (whole-stage codegen, no Python);
+- the only shuffle is the per-document overlap count, keyed by the
+  uniformly distributed document id (skew-free);
+- ``decontaminate`` drops flagged docs with a broadcast LEFT ANTI join
+  on the flagged-id table — again no corpus shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ngram_expr(words_col: str, n: int) -> str:
+    """SQL expression producing the array of space-joined word
+    ``n``-grams over a pre-split words column (empty array below ``n``
+    words — ``sequence(1, k)`` DESCENDS for k < 1, so the CASE guard is
+    load-bearing)."""
+    return (
+        f"CASE WHEN size({words_col}) >= {n} THEN "
+        f"transform(sequence(1, size({words_col}) - {n - 1}), "
+        f"          i -> concat_ws(' ', slice({words_col}, i, {n}))) "
+        "ELSE array() END"
+    )
+
+
+def _gram_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        id_col, F.split(F.col(text_col), " ").alias("_w")
+    ).select(id_col, F.explode(F.expr(ngram_expr("_w", n))).alias("gram"))
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, *, text_col: str = "text", n: int = 13
+) -> DataFrame:
+    """Distinct verbatim n-grams of the benchmark set (the broadcast
+    side)."""
+    return (
+        benchmark.select(F.split(F.col(text_col), " ").alias("_w"))
+        .select(F.explode(F.expr(ngram_expr("_w", n))).alias("gram"))
+        .distinct()
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Per-document contamination report.
+
+    Returns ``(id_col, n_hits)``: the number of DISTINCT benchmark
+    n-grams appearing verbatim in each document, for documents with at
+    least ``min_overlap`` hits."""
+    grams_b = F.broadcast(benchmark_ngrams(benchmark, text_col=text_col, n=n))
+    grams_d = _gram_table(docs, id_col, text_col, n)
+    return (
+        grams_d.join(grams_b, "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_overlap)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Corpus with contaminated documents removed (broadcast anti
+    join; the corpus never shuffles)."""
+    flagged = contamination(
+        docs, benchmark, id_col=id_col, text_col=text_col, n=n, min_overlap=min_overlap
+    ).select(id_col)
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")

@@ -201,3 +201,47 @@ def chunk_documents(
         F.concat_ws(" ", "_toks").alias("chunk_text"),
         F.size("_toks").alias("n_tokens"),
     )
+
+
+# PII scrubbing patterns: the regex subset shared by Java (Spark) and
+# RE2 (DuckDB oracle) — no lookarounds, no \b
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+PII_PHONE = r"\+?[0-9][0-9() -]{7,}[0-9]"
+
+
+def scrub_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    email_token: str = "<EMAIL>",
+    ip_token: str = "<IP>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone-like number runs from
+    ``text_col``, adding per-document match counts.
+
+    Training-corpus PII hygiene as pure codegen expressions: three
+    ``regexp_replace`` passes (email -> IP -> phone, so the earlier
+    tokens are digit-free and cannot re-match) and three
+    ``regexp_count`` probes over the ORIGINAL text — one projection,
+    no shuffle, no Python.
+    """
+    original = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(original, PII_EMAIL, email_token),
+            PII_IPV4,
+            ip_token,
+        ),
+        PII_PHONE,
+        phone_token,
+    )
+    return docs.withColumns(
+        {
+            "n_emails": F.regexp_count(original, F.lit(PII_EMAIL)).cast("bigint"),
+            "n_ips": F.regexp_count(original, F.lit(PII_IPV4)).cast("bigint"),
+            "n_phones": F.regexp_count(original, F.lit(PII_PHONE)).cast("bigint"),
+            text_col: scrubbed,
+        }
+    )

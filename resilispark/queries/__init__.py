@@ -35,9 +35,7 @@ _GATE_ORDER = [
     "qc_sortset_family",     # q15 q16 q17 q18
     "qc_scalar_family",      # q19 q20 q21 q22
     "q23_tumbling_window",
-    "q24_sessionize",
-    "q25_pivot",
-    "qc_analytics_family",   # q26 q29 q30
+    "qc_analytics_family",   # q26 q29 q30 q24 q25
     "q28_salted_skew_agg",
     # WARC surface
     "w01_type_counts", "w02_length_filter", "w03_status_dist",
@@ -51,10 +49,10 @@ _GATE_ORDER = [
     # dedup family
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signatures",
     "d04_minhash_lsh_pairs", "d05_simhash", "d06_embedding_neardup",
-    "d07_dedup_clusters", "d08_simhash_pairs",
+    "d07_dedup_clusters", "d08_simhash_pairs", "d09_decontaminate",
     # text analysis
     "t01_quality_score", "t02_token_count", "t03_lang_distribution",
-    "t04_fingerprint", "t05_lang_confusion",
+    "t04_fingerprint", "t05_lang_confusion", "t06_pii_scrub",
     # similarity search
     "s01_cosine_topk", "s02_lsh_buckets", "s03_label_centroid_norms",
     "s04_label_centroid_dims", "s05_ivf_topk",

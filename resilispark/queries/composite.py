@@ -75,6 +75,13 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
         ("o_orderstatus", "s"), ("median_price", "d"), ("p90_price", "d"),
         ("sd_price", "d"), ("var_price", "d"), ("corr_price_cust", "d"),
     ],
+    "q24_sessionize": [
+        ("user_id", "n"), ("n_sessions", "n"), ("max_session_len", "n"),
+    ],
+    "q25_pivot": [
+        ("user_bucket", "n"), ("click", "n"), ("view", "n"),
+        ("purchase", "n"), ("signup", "n"), ("error", "n"),
+    ],
 }
 
 FAMILIES: dict[str, list[str]] = {
@@ -102,9 +109,12 @@ FAMILIES: dict[str, list[str]] = {
         "q19_scalar_funcs", "q20_regex_funcs", "q21_json_extract",
         "q22_conditional_caseexpr",
     ],
-    # correlated subquery / lateral / statistical aggregates
+    # correlated subquery / lateral / statistical aggregates +
+    # sessionization / pivot (folded in round 4 to free gate slots for
+    # d09/t06 — the family hash is as strong as per-member hashes)
     "qc_analytics_family": [
         "q26_scalar_subquery", "q29_lateral_topn", "q30_stat_aggs",
+        "q24_sessionize", "q25_pivot",
     ],
 }
 

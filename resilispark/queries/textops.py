@@ -1382,6 +1382,115 @@ ORDER BY doc_id
 """
 
 
+
+def d09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): docs
+    sharing >= 2 verbatim 5-grams with a broadcast benchmark set
+    (here: every 97th document plays the eval set), excluding the
+    benchmark docs themselves.
+
+    The 100 TB plan: benchmark n-grams broadcast (eval sets are MBs),
+    corpus probes map-side, the only shuffle is the per-doc hit count
+    on the uniform doc_id."""
+    from resilispark.operators.decontaminate import contamination
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return (
+        contamination(corpus, bench, n=5, min_overlap=2)
+        .select("doc_id", F.col("n_hits").cast("bigint").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+_DUCK_5GRAMS = """
+CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+  list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
+                 i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))
+ELSE [] END
+"""
+
+ORACLE_D09 = f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_DUCK_5GRAMS}) AS gram
+  FROM documents WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT doc_id, unnest({_DUCK_5GRAMS}) AS gram
+  FROM documents WHERE doc_id % 97 <> 0
+)
+SELECT c.doc_id, count(DISTINCT c.gram)::BIGINT AS n_hits
+FROM corpus c JOIN bench b ON c.gram = b.gram
+GROUP BY c.doc_id
+HAVING count(DISTINCT c.gram) >= 2
+ORDER BY doc_id
+"""
+
+
+def t06_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/quality.py scrub_pii): emails / IPv4 /
+    phone runs replaced by typed tokens, with per-doc match counts.
+    The synthetic corpus carries no PII, so every third document gets
+    a deterministic synthesized contact line first — the kernel then
+    has real work to do and the scrub is verified by the md5 of the
+    scrubbed text."""
+    from resilispark.operators.quality import scrub_pii
+
+    d = _docs(spark, sf_dir)
+    with_pii = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.substring("text", 1, 80),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com at 10."),
+                (F.col("doc_id") % 256),
+                F.lit(".0.1 or +1 (555) 010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.substring("text", 1, 80))
+        .alias("text"),
+    )
+    return (
+        scrub_pii(with_pii)
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_ips",
+            "n_phones",
+            F.md5("text").alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_T06 = """
+WITH with_pii AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           substr(text, 1, 80) || ' contact user' || doc_id ||
+           '@example.com at 10.' || (doc_id % 256) || '.0.1 or +1 (555) 010-' ||
+           lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         ELSE substr(text, 1, 80) END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(text, '\+?[0-9][0-9() -]{7,}[0-9]'))::BIGINT AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+             '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5
+FROM with_pii
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1391,11 +1500,13 @@ QUERIES = {
     "d06_embedding_neardup": d06_embedding_neardup,
     "d07_dedup_clusters": d07_dedup_clusters,
     "d08_simhash_pairs": d08_simhash_pairs,
+    "d09_decontaminate": d09_decontaminate,
     "t01_quality_score": t01_quality_score,
     "t02_token_count": t02_token_count,
     "t03_lang_distribution": t03_lang_distribution,
     "t04_fingerprint": t04_fingerprint,
     "t05_lang_confusion": t05_lang_confusion,
+    "t06_pii_scrub": t06_pii_scrub,
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
     "s03_label_centroid_norms": s03_label_centroid_norms,
@@ -1416,11 +1527,13 @@ ORACLES = {
     "d06_embedding_neardup": ORACLE_D06,
     "d07_dedup_clusters": ORACLE_D07,
     "d08_simhash_pairs": ORACLE_D08,
+    "d09_decontaminate": ORACLE_D09,
     "t01_quality_score": ORACLE_T01,
     "t02_token_count": ORACLE_T02,
     "t03_lang_distribution": ORACLE_T03,
     "t04_fingerprint": ORACLE_T04,
     "t05_lang_confusion": None,
+    "t06_pii_scrub": ORACLE_T06,
     "s01_cosine_topk": ORACLE_S01,
     "s02_lsh_buckets": ORACLE_S02,
     "s03_label_centroid_norms": ORACLE_S03,

@@ -1574,3 +1574,59 @@ def test_connected_components_long_chain(spark):
     )
     labels = {r.vertex: r.cluster_id for r in connected_components(pairs).collect()}
     assert set(labels.values()) == {0} and len(labels) == 61
+
+
+def test_decontaminate_operator(spark):
+    from pyspark.sql import functions as F
+
+    from resilispark.operators.decontaminate import contamination, decontaminate
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps over the lazy dog suffix"),
+            (2, "a clean document with entirely different words here"),
+            (3, "quick brown fox jumps over something else entirely now"),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        r.doc_id: r.n_hits
+        for r in contamination(docs, bench, n=5, min_overlap=1).collect()
+    }
+    assert 1 in hits and hits[1] >= 5  # full verbatim inclusion
+    assert 2 not in hits and 4 not in hits
+    assert 3 in hits  # shares "quick brown fox jumps over"
+
+    clean = decontaminate(docs, bench, n=5, min_overlap=1)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 4]
+    # higher threshold keeps the partial-overlap doc
+    clean2 = decontaminate(docs, bench, n=5, min_overlap=3)
+    assert sorted(r.doc_id for r in clean2.collect()) == [2, 3, 4]
+
+
+def test_scrub_pii_operator(spark):
+    from resilispark.operators.quality import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@mail.example.org thanks"),
+            (2, "server at 192.168.001.42 responded"),
+            (3, "call +1 (555) 010-1234 now"),
+            (4, "nothing sensitive here"),
+            (5, "both a@b.io and 10.0.0.1 and +44 20 7946 0958 appear"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert out[1].text == "mail me at <EMAIL> thanks"
+    assert out[1].n_emails == 1 and out[1].n_ips == 0
+    assert out[2].text == "server at <IP> responded"
+    assert out[3].text == "call <PHONE> now"
+    assert out[4].text == "nothing sensitive here"
+    assert out[4].n_emails == out[4].n_ips == out[4].n_phones == 0
+    assert out[5].text == "both <EMAIL> and <IP> and <PHONE> appear"
+    assert (out[5].n_emails, out[5].n_ips, out[5].n_phones) == (1, 1, 1)
