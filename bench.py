@@ -57,7 +57,9 @@ HEADLINE = [
     "d05_simhash",
     "d06_embedding_neardup",
     "d08_simhash_pairs",
+    "d09_decontaminate",
     "t01_quality_score",
+    "t06_pii_scrub",
     "s01_cosine_topk",
     "s02_lsh_buckets",
     "s05_ivf_topk",
