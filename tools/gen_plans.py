@@ -23,6 +23,8 @@ PICKS = {
     "d04_minhash_lsh_pairs": "Band table checkpointed once; chunked bucket pairs + chunk-pair join (bounded arrays, exact output).",
     "d08_simhash_pairs": "SimHash chunks as struct ids through the same chunked generator — fingerprints travel with the bucket rows, hot 8-bit values bounded.",
     "d06_embedding_neardup": "Sign-LSH blocked self-join; exact cosine inside buckets only.",
+    "d09_decontaminate": "Benchmark n-grams broadcast (BuildRight); the corpus probes map-side — its only shuffle is the per-doc hit count on the uniform doc_id.",
+    "t06_pii_scrub": "Three regexp_replace + three regexp_count passes in ONE codegen projection; sort only at output.",
     "t02_token_count": "Pure projection: three regex tokenizations in one codegen stage, no shuffle.",
     "s01_cosine_topk": "Tiny query side broadcast; candidates streamed once.",
     "q28_salted_skew_agg": "Two-phase salted aggregation: hot key spread over 16 partitions.",
