@@ -120,12 +120,28 @@ _TYPE_BY_NAME = {
 }
 
 
+def _rebuild_warc_header_map(encoding, status_line, headers):
+    """Unpickle hook (warc.pyx:171-178)."""
+    return WarcHeaderMap._from_pairs(status_line, headers, encoding)
+
+
+def _rebuild_warc_record(engine_record, block):
+    """Unpickle hook (warc.pyx:449-463); the engine record is a plain
+    dataclass and pickles directly."""
+    rec = WarcRecord(engine_record)
+    rec._block = block
+    return rec
+
+
 class WarcHeaderMap:
     """Ordered, case-insensitive header multimap with a status line
     (warc.pyx:181-446).  ``get``/``asdict`` are last-occurrence-wins,
     like the reference's dict cache."""
 
     __slots__ = ("_status_line", "_headers", "_enc")
+
+    def __reduce__(self):
+        return _rebuild_warc_header_map, (self._enc, self._status_line, self._headers)
 
     def __init__(self, encoding: str = "utf-8"):
         self._enc = encoding
@@ -256,6 +272,14 @@ class WarcRecord:
         # body, but the block digest covers the WHOLE block
         self._block: bytes | None = None
 
+    def __reduce__(self):
+        # edited headers survive pickling: fold the map back first
+        if self._headers is not None:
+            self._rec.headers = [(k, v) for k, v in self._headers]
+        if self._http_headers is not None:
+            self._rec.http_headers = [(k, v) for k, v in self._http_headers]
+        return _rebuild_warc_record, (self._rec, self._block)
+
     @property
     def record_id(self) -> str:
         return self._rec.record_id or ""
@@ -291,6 +315,10 @@ class WarcRecord:
     @property
     def is_http(self) -> bool:
         return self._rec.is_http
+
+    @is_http.setter
+    def is_http(self, value: bool) -> None:
+        self._rec.is_http = bool(value)
 
     @property
     def is_http_parsed(self) -> bool:
@@ -379,6 +407,10 @@ class WarcRecord:
         self._reader = None
 
     def parse_http(self, strict_mode: bool = True, auto_decode: str = "none") -> bool:
+        """Split HTTP headers off the payload; ``auto_decode`` selects
+        which encoding chains to undo: ``'transfer'`` (chunked/gzip
+        Transfer-Encoding), ``'content'`` (gzip/deflate/brotli
+        Content-Encoding), or ``'all'`` (warc.pyx:760-838)."""
         from resilispark.io.warc import _parse_http_payload
 
         if self._block is None:
@@ -387,11 +419,20 @@ class WarcRecord:
         self._http_headers = None
         self._reader = None
         if auto_decode != "none" and self._rec.is_http:
-            from resilispark.functions.http import decode_http_body_from_headers
+            from resilispark.functions.http import decode_http_body
 
-            self._rec.payload = decode_http_body_from_headers(
-                self._rec.payload, self._rec.http_headers or []
-            )
+            ce = te = None
+            for k, v in self._rec.http_headers or ():
+                lk = (k or "").lower()
+                if lk == "content-encoding" and ce is None:
+                    ce = v
+                elif lk == "transfer-encoding" and te is None:
+                    te = v
+            if auto_decode == "content":
+                te = None
+            elif auto_decode == "transfer":
+                ce = None
+            self._rec.payload = decode_http_body(self._rec.payload, ce, te)
             self._rec.content_length = len(self._rec.payload)
         return True
 

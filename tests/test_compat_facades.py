@@ -368,3 +368,76 @@ def test_reference_fixture_parity():
         assert tree.body.query_selector("div")
         count += 1
     assert count == 16
+
+
+def test_transfer_content_encoding_matrix():
+    """The reference's auto_decode matrix (tests/fastwarc/test_warc.py:
+    63-101): synthesize every Transfer-/Content-Encoding combination
+    and verify parse_http(auto_decode=...) restores the original body."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from resilispark.fastwarc.warc import WarcRecord
+    from resilispark.io import brotli_ctypes
+
+    body0 = b"<html><body>" + b"hello encodings " * 50 + b"</body></html>"
+    head0 = b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+    br_ok = brotli_ctypes.encoder_available()
+
+    def chunk(data):
+        out = []
+        for i in range(0, len(data), 100):
+            piece = data[i : i + 100]
+            out.append(f"{len(piece):x}".encode() + b"\r\n" + piece + b"\r\n")
+        out.append(b"0\r\n\r\n")
+        return b"".join(out)
+
+    for t_enc in (None, b"chunked", b"gzip", b"deflate"):
+        for c_enc in (None, b"gzip", b"br", b"gzip, br"):
+            if not br_ok and c_enc in (b"br", b"gzip, br"):
+                continue
+            head, body = head0, body0
+            if t_enc:
+                head += b"\r\nTransfer-Encoding: " + t_enc
+            if c_enc:
+                head += b"\r\nContent-Encoding: " + c_enc
+            if c_enc == b"gzip":
+                body = _gzip.compress(body)
+            elif c_enc == b"br":
+                body = brotli_ctypes.compress(body)
+            elif c_enc == b"gzip, br":
+                body = brotli_ctypes.compress(_gzip.compress(body))
+            if t_enc == b"chunked":
+                body = chunk(body)
+            elif t_enc == b"gzip":
+                body = _gzip.compress(body)
+            elif t_enc == b"deflate":
+                body = _zlib.compress(body)
+
+            rec = WarcRecord()
+            rec.set_bytes_content(head + b"\r\n\r\n" + body)
+            rec.parse_http(auto_decode="all")
+            assert rec.reader.read() == body0, (t_enc, c_enc)
+
+
+def test_pickle_warc_record_and_header_map():
+    """Pickle round-trips (tests/fastwarc/test_warc.py:482-517) — Spark
+    closures and Beam coders both need records to serialize."""
+    import pickle
+
+    with tempfile.TemporaryDirectory() as td:
+        path = _fixture_warc(td, "gzip")
+        rec = next(
+            iter(ArchiveIterator(FileStream(path), record_types=WarcRecordType.response))
+        )
+        rec.headers["X-Marker"] = "kept"
+        clone = pickle.loads(pickle.dumps(rec))
+        assert clone.record_id == rec.record_id
+        assert clone.headers["X-Marker"] == "kept"
+        assert clone.http_headers.status_code == 200
+        assert clone.reader.read() == b"<html><body>doc 0</body></html>"
+        assert clone.verify_block_digest()
+
+        h = rec.headers
+        h2 = pickle.loads(pickle.dumps(h))
+        assert h2 == h and h2.status_line == h.status_line
