@@ -32,6 +32,8 @@ def extract_plain_text(
         html = html.document  # HTMLTree
     if hasattr(html, "_node") and not isinstance(html, (str, Node)):
         html = html._node  # DOMNode
+    if not isinstance(html, (str, Node)):
+        raise TypeError(f"invalid input type {type(html).__name__!r}")
     return _extract(
         html,
         preserve_formatting=preserve_formatting,

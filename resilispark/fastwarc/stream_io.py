@@ -33,7 +33,9 @@ __all__ = [
     "wrap_stream",
 ]
 
-_CHUNK = 1 << 20
+# 16 KiB: the reference BufferedReader's buffer size — also what makes
+# retry wrappers see stream failures at the same read granularity
+_CHUNK = 16384
 
 
 class FastWARCError(Exception):
@@ -80,7 +82,8 @@ class IOStream:
 
 
 class BytesIOStream(IOStream):
-    """In-memory stream (stream_io.pyx:166-225)."""
+    """In-memory stream (stream_io.pyx:166-225); operations after
+    ``close()`` raise ValueError like the reference."""
 
     def __init__(self, initial_data: bytes = b""):
         self._buf = io.BytesIO(initial_data)
@@ -99,6 +102,9 @@ class BytesIOStream(IOStream):
 
     def tell(self) -> int:
         return self._buf.tell()
+
+    def close(self) -> None:
+        self._buf.close()
 
 
 class FileStream(IOStream):
@@ -218,8 +224,11 @@ class CompressingStream(IOStream):
         self.raw.flush()
 
     def close(self) -> None:
+        """Flush pending member data; the UNDERLYING stream stays open
+        (the reference's compressing wrappers leave ownership with the
+        caller — its own tests keep using the raw stream after)."""
         self.end_member()
-        self.raw.close()
+        self.raw.flush()
 
     def tell(self) -> int:
         return self.raw.tell()
@@ -248,15 +257,28 @@ class CompressingStream(IOStream):
 
 
 class GZipStream(CompressingStream):
-    """Gzip member stream (stream_io.pyx:363-602)."""
+    """Gzip member stream (stream_io.pyx:363-602).  ``zlib=True``
+    reads/writes bare zlib/deflate streams instead of gzip members."""
 
-    def __init__(self, raw_stream, compression_level: int = 9):
+    def __init__(self, raw_stream, compression_level: int = 9, zlib: bool = False):
         super().__init__(raw_stream)
         self.compression_level = compression_level
+        self.zlib = zlib
 
     def _compress_member(self, data: bytes) -> bytes:
-        c = zlib.compressobj(self.compression_level, wbits=zlib.MAX_WBITS | 16)
+        wbits = zlib.MAX_WBITS if self.zlib else zlib.MAX_WBITS | 16
+        c = zlib.compressobj(self.compression_level, zlib.DEFLATED, wbits)
         return c.compress(data) + c.flush()
+
+    def _new_decompressor(self, head: bytes):
+        """Pick window bits: gzip members, or (zlib mode) zlib-header
+        vs raw deflate sniffed from the first byte."""
+        if not self.zlib:
+            return zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        # zlib header: CMF byte low nibble 8 (deflate), checksum valid
+        if head and head[0] & 0x0F == 8 and len(head) >= 2 and (head[0] * 256 + head[1]) % 31 == 0:
+            return zlib.decompressobj(wbits=zlib.MAX_WBITS)
+        return zlib.decompressobj(wbits=-zlib.MAX_WBITS)
 
     def _members(self):
         pending = b""
@@ -270,7 +292,7 @@ class GZipStream(CompressingStream):
                     return  # clean EOF (truncated member tolerated)
             if d is None:
                 member_start = coff
-                d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+                d = self._new_decompressor(pending)
             try:
                 out = d.decompress(pending)
             except zlib.error as e:
@@ -330,13 +352,18 @@ class LZ4Stream(CompressingStream):
         decode = (
             lz4_ctypes.decompress_frame if lz4_ctypes.available() else lz4f._decompress_one
         )
+        LZ4_MAGIC = b"\x04\x22\x4d\x18"
         buf = b""
         coff = self._start_offset  # compressed offset of buf[0]
         eof = False
         while True:
+            if len(buf) >= 4 and not buf.startswith(LZ4_MAGIC):
+                raise StreamError("not an LZ4 frame stream")
             end = self._frame_extent(buf, 0) if buf else None
             if end is None or end > len(buf):
                 if eof:
+                    if len(buf) >= 4 and not buf.startswith(LZ4_MAGIC):
+                        raise StreamError("not an LZ4 frame stream")
                     if buf:
                         # trailing truncated frame: best-effort decode
                         try:
@@ -389,39 +416,171 @@ class BrotliStream(CompressingStream):
             yield 0, brotli_ctypes.decompress(data)
 
 
+class _PrependStream(IOStream):
+    """Replays peeked head bytes before delegating to the stream."""
+
+    def __init__(self, head: bytes, stream: IOStream, start: int = 0):
+        self._head = head
+        self._stream = stream
+        self._start = start
+
+    def tell(self) -> int:
+        if self._head:
+            return self._start
+        return self._stream.tell()
+
+    def read(self, size: int = -1) -> bytes:
+        if self._head:
+            if size < 0 or size >= len(self._head):
+                out, self._head = self._head, b""
+                rest = self._stream.read(size - len(out) if size > 0 else size)
+                return out + rest
+            out, self._head = self._head[:size], self._head[size:]
+            return out
+        return self._stream.read(size)
+
+
+_GZ_MAGIC = b"\x1f\x8b"
+_LZ4_MAGIC = b"\x04\x22\x4d\x18"
+
+
 class BufferedReader:
-    """Bounded reader over in-memory payload bytes (the slice of
-    stream_io.pyx:861-1126's BufferedReader that record consumers use:
-    ``read``/``consume``/``tell``).  Facade records are materialized,
-    so limits and staleness do not apply."""
+    """Buffered (optionally decompressing) reader over an IOStream or
+    in-memory bytes (stream_io.pyx:861-1126): ``read``/``readline``/
+    ``consume``/``tell``, stream-type negotiation via
+    :meth:`detect_stream_type`, and a read limit (used by the
+    reference's record readers; exposed here through the same
+    ``_buf_reader_py_test_*`` hooks its test suite uses)."""
 
-    __slots__ = ("_data", "_pos")
+    __slots__ = ("_source", "_buf", "_consumed", "_limit", "_detected", "_eof")
 
-    def __init__(self, data: bytes):
-        self._data = data
-        self._pos = 0
+    def __init__(self, source):
+        if isinstance(source, (bytes, bytearray, memoryview)):
+            stream: IOStream = BytesIOStream(bytes(source))
+        else:
+            stream = wrap_stream(source)
+        self._source = self._raw_chunks(stream)
+        self._buf = bytearray()
+        self._consumed = 0  # decoded bytes consumed so far (tell)
+        self._limit: int | None = None
+        self._detected = False
+        self._eof = False
+
+    @staticmethod
+    def _raw_chunks(stream: IOStream):
+        while True:
+            chunk = stream.read(_CHUNK)
+            if not chunk:
+                return
+            yield chunk
+
+    def detect_stream_type(self) -> None:
+        """Negotiate gzip/LZ4/uncompressed from the head bytes; junk
+        that is neither compressed nor WARC raises StreamError
+        (stream_io.pyx:890-917)."""
+        if self._detected:
+            return
+        self._detected = True
+        self._fill(8)
+        head = bytes(self._buf[:8])
+        if head.startswith(_GZ_MAGIC) or head.startswith(_LZ4_MAGIC):
+            # re-source from a decompressing member iterator, replaying
+            # the buffered head
+            pending = bytes(self._buf)
+            self._buf.clear()
+            raw = self._source
+            inner = _PrependStream(pending, _GeneratorStream(raw))
+            cls = GZipStream if head.startswith(_GZ_MAGIC) else LZ4Stream
+            members = cls(inner)._members()
+            self._source = (chunk for _, chunk in members)
+        elif not head.startswith(b"WARC/"):
+            raise StreamError("unknown stream format (not gzip, LZ4, or WARC)")
+
+    def _fill(self, n: int) -> None:
+        while not self._eof and len(self._buf) < n:
+            try:
+                self._buf += next(self._source)
+            except StopIteration:
+                self._eof = True
+
+    def _take(self, n: int) -> bytes:
+        if self._limit is not None:
+            n = min(n, self._limit)
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        self._consumed += len(out)
+        if self._limit is not None:
+            self._limit -= len(out)
+        return out
 
     def read(self, size: int = -1) -> bytes:
         if size < 0:
-            out = self._data[self._pos :]
-            self._pos = len(self._data)
-            return out
-        out = self._data[self._pos : self._pos + size]
-        self._pos += len(out)
-        return out
+            size = (1 << 62) if self._limit is None else self._limit
+        self._fill(size)
+        return self._take(min(size, len(self._buf)))
 
     def readline(self, crlf: bool = True, max_line_len: int = 8192) -> bytes:
-        idx = self._data.find(b"\n", self._pos)
-        end = len(self._data) if idx < 0 else idx + 1
-        end = min(end, self._pos + max_line_len)
-        out = self._data[self._pos : end]
-        self._pos = end
-        return out
+        while True:
+            idx = self._buf.find(b"\n")
+            if idx >= 0 or self._eof or len(self._buf) >= max_line_len:
+                break
+            self._fill(len(self._buf) + _CHUNK)
+        end = len(self._buf) if idx < 0 else idx + 1
+        return self._take(min(end, max_line_len))
 
     def consume(self, size: int = -1) -> int:
-        n = len(self._data) - self._pos if size < 0 else min(size, len(self._data) - self._pos)
-        self._pos += n
-        return n
+        total = 0
+        while size != 0:
+            step = _CHUNK if size < 0 else min(size, _CHUNK)
+            got = len(self.read(step))
+            total += got
+            if got == 0:
+                break
+            if size > 0:
+                size -= got
+        return total
 
     def tell(self) -> int:
-        return self._pos
+        return self._consumed
+
+    def close(self) -> None:
+        self._source = iter(())
+        self._buf.clear()
+        self._eof = True
+
+
+class _GeneratorStream(IOStream):
+    """IOStream view over a chunk generator (detect_stream_type
+    re-sources through the compressing wrappers)."""
+
+    def __init__(self, gen):
+        self._gen = gen
+        self._pending = b""
+
+    def read(self, size: int = -1) -> bytes:
+        out = bytearray(self._pending)
+        self._pending = b""
+        while size < 0 or len(out) < size:
+            try:
+                out += next(self._gen)
+            except StopIteration:
+                break
+        if size >= 0 and len(out) > size:
+            self._pending = bytes(out[size:])
+            del out[size:]
+        return bytes(out)
+
+    def tell(self) -> int:
+        return 0
+
+
+def _buf_reader_py_test_detect_stream_type(buf: BufferedReader) -> None:
+    buf.detect_stream_type()
+
+
+def _buf_reader_py_test_set_limit(buf: BufferedReader, limit: int) -> None:
+    buf._limit = limit
+
+
+def _buf_reader_py_test_reset_limit(buf: BufferedReader) -> None:
+    buf._limit = None

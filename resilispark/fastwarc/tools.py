@@ -87,7 +87,13 @@ def recompress_warc_interactive(
     finally:
         out_stream.flush()
         if isinstance(warc_out, str):
+            # compressing wrappers leave raw-stream ownership with the
+            # caller; we opened the file, so we close it
+            from resilispark.fastwarc.stream_io import CompressingStream
+
             out_stream.close()
+            if isinstance(out_stream, CompressingStream):
+                out_stream.raw.close()
 
 
 def recompress_warc(
@@ -115,8 +121,10 @@ def verify_digests(
     """Generator of per-record digest verification dicts
     (tools.pyx:155-199)."""
     in_stream = wrap_warc_stream(warc_in, "rb", comp_alg)
+    # block digests verify over the WHOLE block, so parse_http must
+    # wait until after the block check (tools.pyx:155-199)
     for record in ArchiveIterator(
-        in_stream, parse_http=verify_payloads, record_types=WarcRecordType.any_type
+        in_stream, parse_http=False, record_types=WarcRecordType.any_type
     ):
         res = {
             "record_id": record.record_id,
@@ -127,9 +135,9 @@ def verify_digests(
             ),
         }
         if verify_payloads:
-            res["payload_digest_ok"] = (
-                record.verify_payload_digest()
-                if record.headers.get("WARC-Payload-Digest") and record.is_http
-                else None
-            )
+            if record.headers.get("WARC-Payload-Digest") and record.is_http:
+                record.parse_http()
+                res["payload_digest_ok"] = record.verify_payload_digest()
+            else:
+                res["payload_digest_ok"] = None
         yield res

@@ -29,6 +29,7 @@ from resilispark.fastwarc.stream_io import (
     GZipStream,
     IOStream,
     LZ4Stream,
+    _PrependStream,
     wrap_stream,
 )
 from resilispark.io.warc import (
@@ -108,6 +109,11 @@ class WarcRecordType(enum.IntFlag):
     no_type = 0
 
 
+# the reference's Cython cpdef enum exports members at module level
+# (`from fastwarc.warc import response`); mirror that
+globals().update(WarcRecordType.__members__)
+__all__ += list(WarcRecordType.__members__)
+
 _TYPE_BY_NAME = {
     "warcinfo": WarcRecordType.warcinfo,
     "response": WarcRecordType.response,
@@ -133,12 +139,54 @@ def _rebuild_warc_record(engine_record, block):
     return rec
 
 
+class _LiveHeaderDict(CaseInsensitiveStrDict):
+    """The ``asdict()`` view: one persistent dict per map whose
+    mutations write through to the owning multimap — the reference's
+    dict-cache contract (tests/fastwarc/test_warc.py test_warc_headers
+    mutates the returned dict directly)."""
+
+    _owner = None  # set by WarcHeaderMap
+
+    def __setitem__(self, key, value):
+        dict.__setitem__(self, self._k(key), value)
+        if self._owner is not None:
+            self._owner._set_from_dict(key, value)
+
+    def update(self, other=(), **kwargs):
+        items = other.items() if hasattr(other, "items") else other
+        for k, v in items:
+            self[k] = v
+        for k, v in kwargs.items():
+            self[k] = v
+
+    def __delitem__(self, key):
+        dict.__delitem__(self, self._k(key))
+        if self._owner is not None:
+            self._owner._del_from_dict(key)
+
+    def pop(self, key, *default):
+        try:
+            v = self[key]
+        except KeyError:
+            if default:
+                return default[0]
+            raise
+        del self[key]
+        return v
+
+    def clear(self):
+        dict.clear(self)
+        if self._owner is not None:
+            self._owner._clear_from_dict()
+
+
 class WarcHeaderMap:
     """Ordered, case-insensitive header multimap with a status line
-    (warc.pyx:181-446).  ``get``/``asdict`` are last-occurrence-wins,
-    like the reference's dict cache."""
+    (warc.pyx:181-446).  ``get``/``asdict`` are last-occurrence-wins;
+    the dict returned by ``asdict()`` is LIVE both ways, like the
+    reference's dict cache."""
 
-    __slots__ = ("_status_line", "_headers", "_enc")
+    __slots__ = ("_status_line", "_headers", "_enc", "_dict")
 
     def __reduce__(self):
         return _rebuild_warc_header_map, (self._enc, self._status_line, self._headers)
@@ -147,13 +195,40 @@ class WarcHeaderMap:
         self._enc = encoding
         self._status_line = ""
         self._headers: list[tuple[str, str]] = []
+        self._dict = _LiveHeaderDict()
+        self._dict._owner = self
 
     @classmethod
     def _from_pairs(cls, status_line: str, pairs, encoding: str = "utf-8"):
         m = cls(encoding)
         m._status_line = status_line or ""
         m._headers = [(k, v) for k, v in (pairs or [])]
+        m._resync_dict()
         return m
+
+    # -- dual-structure maintenance ------------------------------------
+    def _resync_dict(self) -> None:
+        dict.clear(self._dict)
+        for k, v in self._headers:
+            dict.__setitem__(self._dict, CaseInsensitiveStr(k), v)
+
+    def _set_from_dict(self, key, value) -> None:
+        """Write-through from the live dict: replace first occurrence
+        or append (no dict touch — the dict already has it)."""
+        lk = key.lower()
+        for i, (k, _) in enumerate(self._headers):
+            if k.lower() == lk:
+                self._headers[i] = (k, value)
+                return
+        self._headers.append((key, value))
+
+    def _del_from_dict(self, key) -> None:
+        lk = key.lower()
+        self._headers = [(k, v) for k, v in self._headers if k.lower() != lk]
+
+    def _clear_from_dict(self) -> None:
+        self._headers = []
+        self._status_line = ""
 
     @property
     def status_line(self) -> str:
@@ -185,12 +260,10 @@ class WarcHeaderMap:
         key = key.strip()
         value = value.replace("\r\n", " ").replace("\n", " ").strip()
         self._headers.append((key, value))
+        dict.__setitem__(self._dict, CaseInsensitiveStr(key), value)
 
     def asdict(self) -> CaseInsensitiveStrDict:
-        d = CaseInsensitiveStrDict()
-        for k, v in self._headers:
-            d[k] = v
-        return d
+        return self._dict
 
     def astuples(self) -> tuple:
         return tuple((CaseInsensitiveStr(k), v) for k, v in self._headers)
@@ -210,6 +283,7 @@ class WarcHeaderMap:
     def clear(self) -> None:
         self._headers = []
         self._status_line = ""
+        dict.clear(self._dict)
 
     def write(self, stream) -> int:
         out = []
@@ -227,12 +301,8 @@ class WarcHeaderMap:
     def __setitem__(self, key, value):
         key = key.strip()
         value = value.replace("\r\n", " ").replace("\n", " ").strip()
-        lk = key.lower()
-        for i, (k, _) in enumerate(self._headers):
-            if k.lower() == lk:
-                self._headers[i] = (k, value)
-                return
-        self._headers.append((key, value))
+        self._set_from_dict(key, value)
+        dict.__setitem__(self._dict, CaseInsensitiveStr(key), value)
 
     def __contains__(self, key):
         return key in self.asdict()
@@ -261,7 +331,7 @@ class WarcRecord:
     """Reference-API record (warc.pyx:466-1089) wrapping an engine
     record."""
 
-    __slots__ = ("_rec", "_headers", "_http_headers", "_reader", "_block")
+    __slots__ = ("_rec", "_headers", "_http_headers", "_reader", "_block", "_stale", "_frozen")
 
     def __init__(self, engine_record: _EngineRecord | None = None):
         self._rec = engine_record if engine_record is not None else _EngineRecord()
@@ -269,8 +339,21 @@ class WarcRecord:
         self._http_headers: WarcHeaderMap | None = None
         self._reader: BufferedReader | None = None
         # original record block: parse_http narrows payload to the HTTP
-        # body, but the block digest covers the WHOLE block
+        # body, but the block digest and write() cover the WHOLE block
         self._block: bytes | None = None
+        # reference staleness contract: once the ArchiveIterator
+        # advances, the previous record's reader/digests raise unless
+        # freeze() was called (warc.pyx:498-501, stream_io ReaderStale)
+        self._stale = False
+        self._frozen = False
+
+    def _assert_not_stale(self) -> None:
+        if self._stale and not self._frozen:
+            from resilispark.fastwarc.stream_io import ReaderStaleError
+
+            raise ReaderStaleError(
+                "record reader is stale (iterator advanced; call freeze() to keep records)"
+            )
 
     def __reduce__(self):
         # edited headers survive pickling: fold the map back first
@@ -282,11 +365,14 @@ class WarcRecord:
 
     @property
     def record_id(self) -> str:
-        return self._rec.record_id or ""
+        """KeyError on a record without WARC-Record-ID (the reference
+        reads the header directly, warc.pyx:503-510)."""
+        return self.headers["WARC-Record-ID"]
 
     @property
     def record_type(self) -> WarcRecordType:
-        return _TYPE_BY_NAME.get(self._rec.record_type, WarcRecordType.unknown)
+        name = self.headers.get("WARC-Type") or self._rec.record_type or ""
+        return _TYPE_BY_NAME.get(name.lower(), WarcRecordType.unknown)
 
     @record_type.setter
     def record_type(self, record_type: WarcRecordType) -> None:
@@ -295,14 +381,22 @@ class WarcRecord:
 
     @property
     def record_date(self) -> datetime | None:
-        return self._rec.warc_date
+        d = self._rec.warc_date
+        if d is not None and d.tzinfo is None:
+            d = d.replace(tzinfo=timezone.utc)
+        return d
 
     @record_date.setter
     def record_date(self, date: datetime) -> None:
+        """Keeps the datetime's own zone; the header carries the full
+        isoformat with UTC spelled ``Z``.  Rejects non-datetimes and
+        naive datetimes like the reference (warc.pyx:546-559)."""
+        if not isinstance(date, datetime):
+            raise TypeError("record_date must be a datetime")
+        if date.tzinfo is None:
+            raise ValueError("record_date must be timezone-aware")
         self._rec.warc_date = date
-        self.headers["WARC-Date"] = date.astimezone(timezone.utc).strftime(
-            "%Y-%m-%dT%H:%M:%SZ"
-        )
+        self.headers["WARC-Date"] = date.isoformat().replace("+00:00", "Z")
 
     @property
     def headers(self) -> WarcHeaderMap:
@@ -314,11 +408,22 @@ class WarcRecord:
 
     @property
     def is_http(self) -> bool:
-        return self._rec.is_http
+        """Derived from the WARC Content-Type, like the reference's
+        record parse (warc.pyx:570-580) — true BEFORE any HTTP parse."""
+        if self._rec.is_http:
+            return True
+        ct = self.headers.get("Content-Type") or ""
+        return ct.startswith("application/http")
 
     @is_http.setter
     def is_http(self, value: bool) -> None:
         self._rec.is_http = bool(value)
+        if value:
+            ct = "application/http"
+            rt = self.record_type
+            if rt in (WarcRecordType.request, WarcRecordType.response):
+                ct += f"; msgtype={rt.name}"
+            self.headers["Content-Type"] = ct
 
     @property
     def is_http_parsed(self) -> bool:
@@ -340,11 +445,32 @@ class WarcRecord:
 
     @property
     def http_charset(self) -> str | None:
-        return self._rec.http_charset
+        """None for charsets Python has no codec for
+        (warc.pyx:627-661)."""
+        cs = self._rec.http_charset
+        if cs is None:
+            return None
+        import codecs as _codecs
+
+        try:
+            _codecs.lookup(cs)
+        except LookupError:
+            return None
+        return cs
+
+    @staticmethod
+    def _aware(d: datetime | None) -> datetime | None:
+        return d.replace(tzinfo=timezone.utc) if d is not None and d.tzinfo is None else d
 
     @property
     def http_date(self) -> datetime | None:
-        return self._rec.http_date
+        """LIVE against http_headers edits (warc.pyx:663-677)."""
+        h = self.http_headers
+        if h is None:
+            return None
+        from resilispark.io.warc import _parse_http_date
+
+        return self._aware(_parse_http_date(h.get("Date")))
 
     @property
     def http_last_modified(self) -> datetime | None:
@@ -353,7 +479,7 @@ class WarcRecord:
             return None
         from resilispark.io.warc import _parse_http_date
 
-        return _parse_http_date(h.get("Last-Modified"))
+        return self._aware(_parse_http_date(h.get("Last-Modified")))
 
     @property
     def content_length(self) -> int:
@@ -365,6 +491,7 @@ class WarcRecord:
 
     @property
     def reader(self) -> BufferedReader:
+        self._assert_not_stale()
         if self._reader is None:
             self._reader = BufferedReader(self._rec.payload)
         return self._reader
@@ -383,28 +510,31 @@ class WarcRecord:
             record_urn = f"<urn:uuid:{uuid.uuid4()}>".encode()
         if record_type == WarcRecordType.any_type:
             record_type = WarcRecordType.no_type
+        now = datetime.now(timezone.utc)
         self._rec.warc_version = "WARC/1.1"
         self._headers = WarcHeaderMap._from_pairs(
             "WARC/1.1",
             [
                 ("WARC-Record-ID", record_urn.decode()),
                 ("WARC-Type", record_type.name if record_type else "unknown"),
-                (
-                    "WARC-Date",
-                    datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
-                ),
+                ("WARC-Date", now.strftime("%Y-%m-%dT%H:%M:%SZ")),
                 ("Content-Length", str(content_length)),
             ],
         )
         self._rec.record_id = record_urn.decode()
         self._rec.record_type = record_type.name if record_type else "unknown"
-        self._rec.content_length = content_length
+        self._rec.warc_date = now
+        # content_length tracks the ACTUAL payload (0 until
+        # set_bytes_content), not the header value (warc.pyx:694-701)
 
     def set_bytes_content(self, b: bytes) -> None:
         self._rec.payload = b
         self._rec.content_length = len(b)
         self.headers["Content-Length"] = str(len(b))
         self._reader = None
+        self._block = None
+        self._rec.is_http = False
+        self._rec.http_headers = None
 
     def parse_http(self, strict_mode: bool = True, auto_decode: str = "none") -> bool:
         """Split HTTP headers off the payload; ``auto_decode`` selects
@@ -415,7 +545,26 @@ class WarcRecord:
 
         if self._block is None:
             self._block = self._rec.payload
+        # strict mode requires CRLF header blocks: ClueWeb-style
+        # LF-only HTTP headers stay unparsed unless strict_mode=False
+        # (warc.pyx:760-783 + ArchiveIterator strict_mode quirk)
+        if strict_mode:
+            p = self._rec.payload
+            p_crlf = p.find(b"\r\n\r\n")
+            p_lf = p.find(b"\n\n")
+            if p_lf >= 0 and (p_crlf < 0 or p_lf + 1 < p_crlf):
+                return True
+        declared = self._rec.content_length  # WARC Content-Length
+        block_actual = len(self._rec.payload)
         _parse_http_payload(self._rec, self._rec.payload)
+        if self._rec.is_http:
+            # content_length = DECLARED body length: declared block
+            # minus the consumed HTTP header bytes.  On clipped
+            # streams this stays larger than the recoverable body,
+            # like the reference's reader-limit accounting
+            # (warc.pyx:694-701 + test_clipped_warc_gz)
+            http_header_bytes = block_actual - len(self._rec.payload)
+            self._rec.content_length = max(declared - http_header_bytes, 0)
         self._http_headers = None
         self._reader = None
         if auto_decode != "none" and self._rec.is_http:
@@ -437,12 +586,20 @@ class WarcRecord:
         return True
 
     def verify_block_digest(self, consume: bool = False) -> bool:
-        block = self._block if self._block is not None else self._rec.payload
-        return bool(_verify_digest(self.headers.get("WARC-Block-Digest"), block))
+        """False once parse_http has consumed the HTTP header part —
+        the reference verifies over the REMAINING reader content
+        (warc.pyx:1000-1010)."""
+        self._assert_not_stale()
+        if self.is_http_parsed:
+            return False
+        return bool(
+            _verify_digest(self.headers.get("WARC-Block-Digest"), self._rec.payload)
+        )
 
     def verify_payload_digest(self, consume: bool = False) -> bool:
         """Payload digest covers the HTTP body; parse_http already
         narrowed ``payload`` to it (warc.pyx:1012-1034)."""
+        self._assert_not_stale()
         if not self.is_http_parsed:
             return False
         return bool(
@@ -456,18 +613,45 @@ class WarcRecord:
         payload_digest: bytes | None = None,
         chunk_size: int = 16384,
     ) -> int:
+        """Serialize the FULL original block (parse_http narrows the
+        in-memory payload, but writing must emit the record verbatim);
+        returns the bytes that reached the UNDERLYING stream —
+        compressed size for CompressingStreams (warc.pyx:840-938)."""
+        import base64 as _b64
+
+        block = self._block if self._block is not None else self._rec.payload
+        if checksum_data:
+            # checksums land in THIS record's header map (replace in
+            # place, append if new) so the written bytes and the
+            # in-memory record agree — the reference mutates the
+            # record's headers the same way (warc.pyx:866-902)
+            from resilispark.io.warc import _b32_sha1
+
+            self.headers["Content-Length"] = str(len(block))
+            self.headers["WARC-Block-Digest"] = _b32_sha1(block)
+            if payload_digest is not None:
+                self.headers["WARC-Payload-Digest"] = (
+                    "sha1:" + _b64.b32encode(payload_digest).decode("ascii")
+                )
         # rebuild the engine record from the (possibly edited) header map
         self._rec.headers = [(k, v) for k, v in self.headers]
-        data = serialize_record(self._rec, checksum_data=checksum_data)
+        orig_payload = self._rec.payload
+        self._rec.payload = block
+        try:
+            data = serialize_record(self._rec, checksum_data=False)
+        finally:
+            self._rec.payload = orig_payload
         if isinstance(stream, CompressingStream):
             stream.begin_member()
-            n = stream.write(data)
-            stream.end_member()
-            return n
+            stream.write(data)
+            return stream.end_member()
         return stream.write(data)
 
     def freeze(self) -> bool:
-        return True  # facade records are always materialized
+        """Keep this record valid after the iterator advances
+        (warc.pyx:1036-1056)."""
+        self._frozen = True
+        return True
 
 
 # -- module-level predicates (warc.pyx:1276-1348) -------------------------
@@ -564,9 +748,9 @@ class ArchiveIterator:
             start = 0
         head = stream.read(4)
         if head.startswith(GZIP_MAGIC):
-            yield from GZipStream(_Prepend(head, stream, start))._members()
+            yield from GZipStream(_PrependStream(head, stream, start))._members()
         elif head.startswith(LZ4_MAGIC):
-            yield from LZ4Stream(_Prepend(head, stream, start))._members()
+            yield from LZ4Stream(_PrependStream(head, stream, start))._members()
         else:
             # plain stream: stream offsets ARE plain offsets
             self._identity_pos = True
@@ -575,7 +759,7 @@ class ArchiveIterator:
             while chunk:
                 yield pos, chunk
                 pos += len(chunk)
-                chunk = stream.read(1 << 20)
+                chunk = stream.read(16384)
 
     def _records(self):
         buf = bytearray()
@@ -658,6 +842,10 @@ class ArchiveIterator:
 
             wrapped = self._postprocess(rec)
             if wrapped is not None:
+                # reference staleness: advancing invalidates the
+                # previous record unless frozen (warc.pyx:1176-1180)
+                if self.record is not None:
+                    self.record._stale = True
                 self.record = wrapped
                 yield wrapped
 
@@ -679,33 +867,9 @@ class ArchiveIterator:
             return None
         if self.func_filter is not None and not self.func_filter(wrapped):
             return None
-        if self.parse_http and rec.record_type in ("response", "request", "revisit"):
+        if self.parse_http and wrapped.is_http:
             wrapped.parse_http(self.strict_mode, self.auto_decode)
         return wrapped
-
-
-class _Prepend(IOStream):
-    """Replays peeked head bytes before delegating to the stream."""
-
-    def __init__(self, head: bytes, stream: IOStream, start: int = 0):
-        self._head = head
-        self._stream = stream
-        self._start = start
-
-    def tell(self) -> int:
-        if self._head:
-            return self._start
-        return self._stream.tell()
-
-    def read(self, size: int = -1) -> bytes:
-        if self._head:
-            if size < 0 or size >= len(self._head):
-                out, self._head = self._head, b""
-                rest = self._stream.read(size - len(out) if size > 0 else size)
-                return out + rest
-            out, self._head = self._head[:size], self._head[size:]
-            return out
-        return self._stream.read(size)
 
 
 class _PosTracker:

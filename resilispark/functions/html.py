@@ -1394,8 +1394,21 @@ def extract_plain_text(
         if tag == "br":
             if preserve:
                 if minimal:
-                    r.cur.append("<br>")
-                r.hard_break()
+                    if r.cur_prefix is not None:
+                        r.cur.append("<br>")
+                        r.hard_break()
+                    elif r.lines:
+                        # a br RUN continues the just-closed line:
+                        # "World<br><br><br>" stays one line, no blank
+                        # lines in minimal mode (reference
+                        # test_margin_collapsing golden)
+                        r.lines[-1] += "<br>"
+                    else:
+                        r._open_line()
+                        r.cur.append("<br>")
+                        r.hard_break()
+                else:
+                    r.hard_break()
             else:
                 r.text(" ")
             return
@@ -1411,7 +1424,7 @@ def extract_plain_text(
             return
         if tag == "textarea":
             if form_fields:
-                content = n.full_text()
+                content = esc(n.full_text())
                 if preserve:
                     # no extra pad when the content already ends in
                     # whitespace (reference golden "[ K\n ... \n    ]")
@@ -1542,7 +1555,26 @@ def extract_plain_text(
                 else:
                     walk(c, True)
             if minimal:
+                elems = [c for c in n.children if not c.is_text]
+                ended_with_block = bool(
+                    elems
+                    and n.children
+                    and n.children[-1] is elems[-1]
+                    and elems[-1].tag in BLOCK_ELEMENTS
+                ) or bool(
+                    elems
+                    and elems[-1].tag in BLOCK_ELEMENTS
+                    and all(
+                        c.is_text and not (c.text or "").strip()
+                        for c in n.children[n.children.index(elems[-1]) + 1 :]
+                    )
+                )
                 if r.cur_prefix is not None:
+                    r.cur.append("</pre>")
+                elif ended_with_block:
+                    # content ended at a block break: </pre> opens its
+                    # own line (reference test_html_escaping golden)
+                    r.cur_prefix = ""
                     r.cur.append("</pre>")
                 elif r.lines:
                     r.lines[-1] += "</pre>"
@@ -1552,11 +1584,12 @@ def extract_plain_text(
         is_block = tag in BLOCK_ELEMENTS
         margin2 = tag in _MARGIN_BLOCKS
         if is_block and preserve and in_pre:
-            # inside <pre>: a block start still forces a blank line,
-            # but its end is only a line break (reference golden:
-            # "<html>&\n\nfoo\n<html>")
+            # inside <pre>: a block start still forces a blank line in
+            # plain mode (reference golden: "<html>&\n\nfoo\n<html>"),
+            # but minimal_html keeps the tag and only breaks the line
+            # (reference test_html_escaping: no blank before "<p>foo")
             r.flush()
-            if margin2:
+            if margin2 and not minimal:
                 r.margin = max(r.margin, 2)
         elif is_block and preserve:
             r.block(margin2)

@@ -260,6 +260,16 @@ def _script_vote(text: str) -> str | frozenset[str] | None:
     # the sorted range starts replaces the per-char Python scan (the
     # old loop was the single hottest line of detect_fast)
     cps = np.frombuffer(text[:2000].encode("utf-32-le"), dtype=np.uint32)
+    # Latin letters count toward the majority too: a Latin-script text
+    # quoting a few Greek/Cyrillic words (names, etymologies) must NOT
+    # be routed to the quoted script's candidate set
+    latin = int(
+        (
+            ((cps >= 0x41) & (cps <= 0x5A))
+            | ((cps >= 0x61) & (cps <= 0x7A))
+            | ((cps >= 0xC0) & (cps <= 0x2AF))
+        ).sum()
+    )
     cps = cps[cps >= 0x0370]
     if cps.size == 0:
         return None
@@ -278,7 +288,9 @@ def _script_vote(text: str) -> str | frozenset[str] | None:
         return "ja"
     if "hangul" in counts:
         return "ko"
-    dominant = max(counts.items(), key=lambda kv: kv[1])[0]
+    dominant, dom_hits = max(counts.items(), key=lambda kv: kv[1])
+    if latin > dom_hits:
+        return None  # Latin-dominant text: rank against everything
     voted = _SCRIPT_LANGS.get(dominant)
     if dominant == "cyrillic" and isinstance(voted, frozenset):
         voted = _refine_cyrillic(text, voted)
@@ -312,6 +324,8 @@ def detect_fast(
             keep = cands
     if keep is not None:
         idx = [i for i, lg in enumerate(all_langs) if lg in keep]
+        if not idx:  # no supported candidate left (e.g. langs=['xx'])
+            return ("unknown", 10**6) if n_results == 1 else [("unknown", 10**6)]
         all_langs = [all_langs[i] for i in idx]
         mat = mat[idx]
     vec = vectorize(text or "", PROFILE_VEC_LEN).astype(np.float32)

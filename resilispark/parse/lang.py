@@ -11,7 +11,13 @@ contract (rank above cutoff -> ``'unknown'``) is the same.
 from resilispark.functions.lang import (  # noqa: F401
     detect_fast,
     supported_langs,
-    train_language_examples,
 )
+from resilispark.functions.lang import train_language_examples as _train
 
 __all__ = ["detect_fast", "supported_langs", "train_language_examples"]
+
+
+def train_language_examples(examples, vec_len: int = 256) -> list[int]:
+    """Reference signature returns a plain list of ints
+    (lang.pyx:196-226); the engine keeps the numpy form internally."""
+    return [int(x) for x in _train(list(examples), vec_len)]

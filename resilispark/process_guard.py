@@ -65,7 +65,81 @@ MemoryLimitExceeded = MemGuardExceeded
 # usable directly in `except ResiliparseGuardException:` clauses
 ResiliparseGuardException = (TimeGuardExpired, MemGuardExceeded)
 
-TimeGuard = ProgressGuard
+
+class _EscalatingGuard(ProgressGuard):
+    """The reference's three-level interrupt ladder
+    (process_guard.pyx:148-181): level 0 fires at ``timeout``, each
+    further level ``grace_period`` later.
+
+    - ``exception``: async exception at every level
+    - ``signal``: SIGINT, then SIGTERM, then SIGTERM/SIGKILL
+    - ``exception_then_signal``: exception, then SIGINT, then
+      SIGTERM/SIGKILL
+
+    Signals raised by the watchdog are handled by the interpreter main
+    thread (Python's signal contract), same as the reference's
+    ``pthread_kill`` targeting the guarded thread."""
+
+    def __init__(
+        self,
+        *args,
+        interrupt_type: InterruptType = exception_then_signal,
+        send_kill: bool = False,
+        **kwargs,
+    ):
+        super().__init__(*args, **kwargs)
+        self.interrupt_type = interrupt_type
+        self.send_kill = send_kill
+
+    def _watch(self) -> None:
+        import ctypes
+        import signal as _signal
+        import warnings
+
+        level = 0
+        while not self._ended.wait(self.check_interval):
+            idle = self._idle()
+            if idle < self.timeout + level * self.grace_period:
+                continue
+            if self._ended.is_set():
+                return
+            self._expired = True
+            it = self.interrupt_type
+            if level == 0:
+                if it in (exception, exception_then_signal):
+                    ctypes.pythonapi.PyThreadState_SetAsyncExc(
+                        ctypes.c_ulong(self._tid), ctypes.py_object(self.exc)
+                    )
+                else:
+                    _signal.raise_signal(_signal.SIGINT)
+            elif level == 1:
+                if it == signal:
+                    _signal.raise_signal(_signal.SIGTERM)
+                elif it == exception_then_signal:
+                    _signal.raise_signal(_signal.SIGINT)
+                else:
+                    ctypes.pythonapi.PyThreadState_SetAsyncExc(
+                        ctypes.c_ulong(self._tid), ctypes.py_object(self.exc)
+                    )
+            else:
+                if it != exception:
+                    _signal.raise_signal(
+                        _signal.SIGKILL if self.send_kill else _signal.SIGTERM
+                    )
+                else:
+                    ctypes.pythonapi.PyThreadState_SetAsyncExc(
+                        ctypes.c_ulong(self._tid), ctypes.py_object(self.exc)
+                    )
+                warnings.warn(
+                    "ERROR: Guarded thread did not respond to TERM signal.",
+                    RuntimeWarning,
+                )
+                return
+            level += 1
+
+
+class TimeGuard(_EscalatingGuard):
+    default_exc = TimeGuardExpired
 
 
 def time_guard(
@@ -76,12 +150,18 @@ def time_guard(
     interrupt_type: InterruptType = exception_then_signal,
     send_kill: bool = False,
     check_interval: int = 500,
-) -> ProgressGuard:
+) -> TimeGuard:
     """process_guard.pyx:254-321 — progress-resettable execution-time
     guard, usable as decorator or context manager."""
     t = (timeout_ms / 1000.0) if timeout_ms is not None else float(timeout)
     g = (grace_period_ms / 1000.0) if grace_period_ms is not None else float(grace_period)
-    return ProgressGuard(t, grace_period=g, check_interval=check_interval / 1000.0)
+    return TimeGuard(
+        t,
+        grace_period=g,
+        check_interval=check_interval / 1000.0,
+        interrupt_type=interrupt_type,
+        send_kill=send_kill,
+    )
 
 
 def _proc_rss_kib() -> int:
@@ -91,7 +171,7 @@ def _proc_rss_kib() -> int:
     return resident_pages * (os.sysconf("SC_PAGESIZE") // 1024)
 
 
-class MemGuard(ProgressGuard):
+class MemGuard(_EscalatingGuard):
     """RSS watermark guard (process_guard.pyx:379-485): once current
     RSS stays over ``max_memory`` KiB for ``grace_period`` seconds,
     raises :class:`MemoryLimitExceeded` in the guarded thread, with the
@@ -106,11 +186,15 @@ class MemGuard(ProgressGuard):
         grace_period: float = 0.0,
         secondary_grace_period: float = 5.0,
         check_interval: float = 0.5,
+        interrupt_type: InterruptType = exception_then_signal,
+        send_kill: bool = False,
     ):
         super().__init__(
             timeout=float(grace_period),
             grace_period=float(secondary_grace_period),
             check_interval=check_interval,
+            interrupt_type=interrupt_type,
+            send_kill=send_kill,
         )
         self._max_memory_kib = int(max_memory)
         self._absolute = absolute
@@ -157,4 +241,6 @@ def mem_guard(
         grace_period=g,
         secondary_grace_period=sg,
         check_interval=check_interval / 1000.0,
+        interrupt_type=interrupt_type,
+        send_kill=send_kill,
     )

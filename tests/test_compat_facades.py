@@ -125,20 +125,39 @@ def test_record_type_and_length_filters():
 
 
 def test_http_parsing_and_reader():
+    import pytest as _pytest
+
+    from resilispark.fastwarc.stream_io import ReaderStaleError
+
     with tempfile.TemporaryDirectory() as td:
         path = _fixture_warc(td, "lz4")
-        recs = list(ArchiveIterator(FileStream(path), record_types=WarcRecordType.response))
-        r = recs[3]
-        assert r.is_http and r.is_http_parsed
-        assert r.http_content_type == "text/html"
-        assert r.http_charset == "utf-8"
-        assert r.http_headers.status_code == 200
-        assert r.http_headers.reason_phrase == "OK"
-        assert r.http_headers["Content-Type"].startswith("text/html")
-        body = r.reader.read()
-        assert body == b"<html><body>doc 3</body></html>"
-        # digests: our writer checksums blocks
-        assert r.verify_block_digest()
+        checked = 0
+        stale_rec = None
+        for i, r in enumerate(
+            ArchiveIterator(FileStream(path), record_types=WarcRecordType.response)
+        ):
+            if i == 0:
+                stale_rec = r
+            if i != 3:
+                continue
+            assert r.is_http and r.is_http_parsed
+            assert r.http_content_type == "text/html"
+            assert r.http_charset == "utf-8"
+            assert r.http_headers.status_code == 200
+            assert r.http_headers.reason_phrase == "OK"
+            assert r.http_headers["Content-Type"].startswith("text/html")
+            assert r.reader.read() == b"<html><body>doc 3</body></html>"
+            checked += 1
+        assert checked == 1
+        # the reference's staleness contract: earlier records'
+        # readers are invalid once the iterator advanced
+        with _pytest.raises(ReaderStaleError):
+            stale_rec.reader.read()
+
+        # block digests verify on UNPARSED records (parse_http
+        # consumes the header part, so parity returns False after)
+        for r in ArchiveIterator(FileStream(path), parse_http=False):
+            assert r.verify_block_digest()
 
 
 def test_header_map_semantics():
@@ -166,7 +185,9 @@ def test_warc_record_write_roundtrip():
         rec = next(iter(ArchiveIterator(FileStream(path), record_types=WarcRecordType.response)))
         out = BytesIOStream()
         rec.write(out, checksum_data=True)
-        back = next(iter(ArchiveIterator(BytesIOStream(out.getvalue()))))
+        back = next(
+            iter(ArchiveIterator(BytesIOStream(out.getvalue()), parse_http=False))
+        )
         assert back.record_id == rec.record_id
         assert back.verify_block_digest()
 
@@ -436,7 +457,10 @@ def test_pickle_warc_record_and_header_map():
         assert clone.headers["X-Marker"] == "kept"
         assert clone.http_headers.status_code == 200
         assert clone.reader.read() == b"<html><body>doc 0</body></html>"
-        assert clone.verify_block_digest()
+        # parsed records no longer block-verify (parity); the block
+        # still round-trips through the pickle for write()
+        assert not clone.verify_block_digest()
+        assert clone._block is not None and clone._block == rec._block
 
         h = rec.headers
         h2 = pickle.loads(pickle.dumps(h))

@@ -1,0 +1,50 @@
+"""Run the REFERENCE's own test suite against the resilispark facades.
+
+The strongest parity proof available: the reference repo's unmodified
+pytest files (tests/fastwarc/*, tests/resiliparse/*) execute in a
+subprocess where ``fastwarc`` / ``resiliparse`` / ``brotli`` /
+``lz4.frame`` resolve to the resilispark facade modules via the
+pytest plugin in ``tests/refsuite/refshim.py``.  Nothing is copied
+from the reference — its tests run in place and are skipped wholesale
+if the checkout is absent.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REF_TESTS = "/root/reference/tests"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SHIM_DIR = os.path.join(REPO, "tests", "refsuite")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TESTS), reason="reference checkout absent")
+def test_reference_suite_passes():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = SHIM_DIR + os.pathsep + REPO
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "pytest",
+            os.path.join(REF_TESTS, "fastwarc"),
+            os.path.join(REF_TESTS, "resiliparse"),
+            "--ignore",
+            os.path.join(REF_TESTS, "resiliparse", "beam"),
+            "-p",
+            "refshim",
+            "-p",
+            "no:cacheprovider",
+            "-q",
+        ],
+        env=env,
+        cwd=SHIM_DIR,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-15:])
+    assert proc.returncode == 0, f"reference suite failed:\n{tail}\n{proc.stderr[-2000:]}"
+    assert " passed" in proc.stdout and "failed" not in proc.stdout, tail
