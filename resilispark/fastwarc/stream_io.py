@@ -47,10 +47,9 @@ class StreamError(FastWARCError):
 
 
 class ReaderStaleError(FastWARCError):
-    """Raised on reads from an invalidated reader (stream_io.pyx:53).
-
-    Facade records materialize their payloads, so their readers never
-    go stale; the type exists for except-clause compatibility."""
+    """Raised on reads from an invalidated reader (stream_io.pyx:53):
+    once the ArchiveIterator advances, the previous record's reader is
+    stale unless the record was frozen."""
 
 
 class IOStream:

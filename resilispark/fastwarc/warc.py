@@ -10,10 +10,12 @@ so memory stays bounded by one member + one record.  ``stream_pos``
 carries the reference's semantics: raw byte offset on plain streams,
 compressed member offset on gzip/LZ4 streams (warc.pyx:712-719).
 
-Documented delta: record payloads are fully materialized at parse
-time, so ``record.reader`` never goes stale when the iterator advances
-(the reference invalidates it; this facade is strictly more
-permissive) and skipped records are not cheaper than read ones.
+Record payloads are materialized at parse time, but the reference's
+staleness contract is enforced for parity: once the iterator advances,
+the previous record's reader and digest methods raise
+``ReaderStaleError`` unless ``freeze()`` was called.  The one
+remaining delta: skipped records are not cheaper than read ones (the
+reference's lazy reader skips payload bytes entirely).
 """
 
 from __future__ import annotations
