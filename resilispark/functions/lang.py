@@ -259,18 +259,8 @@ def _script_vote(text: str) -> str | frozenset[str] | None:
     # vectorized range lookup: one utf-32 decode + searchsorted over
     # the sorted range starts replaces the per-char Python scan (the
     # old loop was the single hottest line of detect_fast)
-    cps = np.frombuffer(text[:2000].encode("utf-32-le"), dtype=np.uint32)
-    # Latin letters count toward the majority too: a Latin-script text
-    # quoting a few Greek/Cyrillic words (names, etymologies) must NOT
-    # be routed to the quoted script's candidate set
-    latin = int(
-        (
-            ((cps >= 0x41) & (cps <= 0x5A))
-            | ((cps >= 0x61) & (cps <= 0x7A))
-            | ((cps >= 0xC0) & (cps <= 0x2AF))
-        ).sum()
-    )
-    cps = cps[cps >= 0x0370]
+    cps_all = np.frombuffer(text[:2000].encode("utf-32-le"), dtype=np.uint32)
+    cps = cps_all[cps_all >= 0x0370]
     if cps.size == 0:
         return None
     idx = np.searchsorted(_RANGE_LOS, cps, side="right") - 1
@@ -289,6 +279,17 @@ def _script_vote(text: str) -> str | frozenset[str] | None:
     if "hangul" in counts:
         return "ko"
     dominant, dom_hits = max(counts.items(), key=lambda kv: kv[1])
+    # Latin letters count toward the majority too: a Latin-script text
+    # quoting a few Greek/Cyrillic words (names, etymologies) must NOT
+    # be routed to the quoted script's candidate set.  Computed lazily —
+    # pure-Latin texts (the common case) early-return above
+    latin = int(
+        (
+            ((cps_all >= 0x41) & (cps_all <= 0x5A))
+            | ((cps_all >= 0x61) & (cps_all <= 0x7A))
+            | ((cps_all >= 0xC0) & (cps_all <= 0x2AF))
+        ).sum()
+    )
     if latin > dom_hits:
         return None  # Latin-dominant text: rank against everything
     voted = _SCRIPT_LANGS.get(dominant)
