@@ -1,0 +1,121 @@
+"""Corpus curation operators: URL/domain blocklist filtering and
+deterministic token-mixture sampling.
+
+The two standard steps between a raw crawl and a training mix that the
+reference leaves to ad-hoc user code; here they are first-class,
+Spark-planned, and deterministic.
+
+Scale shape:
+
+- blocklists are small (MBs of domains) -> broadcast; the corpus side
+  derives hosts and suffix candidates with built-in expressions
+  (``parse_url`` runs in codegen) and anti-joins without shuffling;
+- mixture sampling collects ONE row per source (bounded driver state),
+  then filters with a hash of the document id — no ``rand()``, so the
+  sample is reproducible across retries and executors, which Spark
+  task re-execution requires for exactly-once semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def url_host(url) -> F.Column:
+    """Lower-cased host of a URL (codegen ``parse_url``)."""
+    return F.lower(F.parse_url(F.col(url) if isinstance(url, str) else url, F.lit("HOST")))
+
+
+def _suffix_candidates(host: F.Column, max_labels: int = 6) -> F.Column:
+    """All registrable-suffix candidates of a host: ``a.b.c`` ->
+    ``[a.b.c, b.c, c]`` (capped at ``max_labels`` labels, bounding the
+    explode for pathological hosts)."""
+    parts = F.split(host, r"\.")
+    n = F.least(F.size(parts), F.lit(max_labels))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, F.size(parts) - n + i, n), "."),
+    )
+
+
+def filter_url_blocklist(
+    docs: DataFrame,
+    blocked_domains: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    domain_col: str = "domain",
+    keep: bool = False,
+) -> DataFrame:
+    """Drop documents whose URL host falls under any blocked domain
+    (subdomains included: ``ads.example.com`` matches a blocklist entry
+    ``example.com``); ``keep=True`` inverts to allowlist semantics.
+
+    The blocklist is broadcast; only ``id_col`` travels through the
+    suffix explode, and the wide rows semi/anti-join on the id."""
+    bl = F.broadcast(
+        blocked_domains.select(F.lower(F.col(domain_col)).alias("_bl_domain")).distinct()
+    )
+    hit_ids = (
+        docs.select(id_col, F.explode_outer(_suffix_candidates(url_host(url_col))).alias("_sfx"))
+        .join(bl, F.col("_sfx") == F.col("_bl_domain"), "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(hit_ids, id_col, "left_semi" if keep else "left_anti")
+
+
+def mixture_fractions(
+    per_source_tokens: dict[str, int],
+    target_weights: dict[str, float],
+    total_tokens: int,
+) -> dict[str, float]:
+    """Per-source KEEP fractions hitting ``total_tokens`` at the target
+    mixture.  A source too small for its target share is taken whole
+    (fraction capped at 1.0 — no oversampling), like mixture builders
+    do before falling back to epoch repetition."""
+    wsum = sum(target_weights.values())
+    fracs = {}
+    for src, have in per_source_tokens.items():
+        w = target_weights.get(src, 0.0) / wsum
+        want = w * total_tokens
+        fracs[src] = min(want / have, 1.0) if have > 0 else 0.0
+    return fracs
+
+
+def sample_token_mixture(
+    docs: DataFrame,
+    target_weights: dict[str, float],
+    total_tokens: int,
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sample approximating a target
+    per-source token mixture.
+
+    Token counts come from ``token_count_col`` or a whitespace split of
+    ``text_col``.  The per-source totals are ONE aggregated row per
+    source (bounded collect); document selection hashes ``id_col`` —
+    same inputs, same sample, on any cluster, under any task retry."""
+    if token_count_col is None:
+        docs = docs.withColumn("_toks", F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        token_count_col = "_toks"
+    totals = {
+        r["src"]: r["toks"]
+        for r in docs.groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum(token_count_col).alias("toks"))
+        .collect()
+    }
+    fracs = mixture_fractions(totals, target_weights, total_tokens)
+    frac_map = F.create_map(
+        *[x for src, fr in sorted(fracs.items()) for x in (F.lit(src), F.lit(fr))]
+    )
+    # uniform per-doc hash in [0, 1): keep iff below the source fraction
+    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000)) + 0.5) / 1_000_000.0
+    out = docs.filter(u < frac_map[F.col(source_col)])
+    return out.drop("_toks") if "_toks" in out.columns else out

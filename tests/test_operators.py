@@ -1630,3 +1630,63 @@ def test_scrub_pii_operator(spark):
     assert out[4].n_emails == out[4].n_ips == out[4].n_phones == 0
     assert out[5].text == "both <EMAIL> and <IP> and <PHONE> appear"
     assert (out[5].n_emails, out[5].n_ips, out[5].n_phones) == (1, 1, 1)
+
+
+def test_url_blocklist_filter(spark):
+    from resilispark.operators.corpus import filter_url_blocklist
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://ads.example.com/page", "a"),
+            (2, "https://example.com/x", "a"),
+            (3, "https://good.org/y", "b"),
+            (4, "http://sub.deep.spam.net/z?q=1", "b"),
+            (5, None, "b"),  # URL-less docs survive a blocklist
+            (6, "https://notexample.com/ok", "a"),  # suffix, not substring
+        ],
+        "doc_id long, url string, source string",
+    )
+    bl = spark.createDataFrame([("EXAMPLE.com",), ("spam.net",)], "domain string")
+    kept = sorted(r.doc_id for r in filter_url_blocklist(docs, bl).collect())
+    assert kept == [3, 5, 6]
+    blocked = sorted(r.doc_id for r in filter_url_blocklist(docs, bl, keep=True).collect())
+    assert blocked == [1, 2, 4]
+    # plan: blocklist broadcast, no corpus shuffle before the probe
+    plan = filter_url_blocklist(docs, bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sample_token_mixture(spark):
+    from pyspark.sql import functions as F
+
+    from resilispark.operators.corpus import mixture_fractions, sample_token_mixture
+
+    assert mixture_fractions({"a": 1000, "b": 1000}, {"a": 3, "b": 1}, 800) == {
+        "a": 0.6,
+        "b": 0.2,
+    }
+    # undersized source is taken whole, never oversampled
+    assert mixture_fractions({"a": 100, "b": 1000}, {"a": 0.5, "b": 0.5}, 800)["a"] == 1.0
+
+    rows = [(i, f"src{i % 3}", "w " * (10 + i % 5)) for i in range(3000)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    samp = sample_token_mixture(d, weights, total_tokens=12000)
+    got = {
+        r.source: r.toks
+        for r in samp.withColumn("t", F.size(F.split(F.trim("text"), r"\s+")))
+        .groupBy("source")
+        .agg(F.sum("t").alias("toks"))
+        .collect()
+    }
+    # within 15% of each source's token target
+    for src, w in weights.items():
+        assert abs(got[src] - w * 12000) / (w * 12000) < 0.15, (src, got)
+    # deterministic: the exact same document set on a second run
+    ids1 = sorted(r.doc_id for r in samp.collect())
+    ids2 = sorted(
+        r.doc_id for r in sample_token_mixture(d, weights, total_tokens=12000).collect()
+    )
+    assert ids1 == ids2
+    # "_toks" helper column does not leak into the output
+    assert samp.columns == d.columns
