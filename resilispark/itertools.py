@@ -1,6 +1,8 @@
 """Drop-in mirror of the reference's ``resiliparse.itertools``
 (resiliparse-py/resiliparse/itertools.pyx): ``exc_loop``,
 ``warc_retry``, and the deprecated ``progress_loop`` forwarder.
+Behavioral contracts verified by the reference's own
+tests/resiliparse/test_itertools.py via tests/test_reference_suite.py.
 """
 
 from __future__ import annotations
@@ -23,75 +25,85 @@ def progress_loop(it, ctx=None):
 
 
 def exc_loop(it):
-    """Wrap an iterator, yielding ``(item, None)`` or ``(None, exc)``
-    instead of raising (itertools.pyx:37-63).  The input generator ends
-    after its first exception — resumable sources need a fresh
-    instance, which :func:`warc_retry` automates for WARC streams."""
-    i = iter(it)
+    """Wrap an iterator, yielding ``(item, None)`` normally and
+    ``(None, exception)`` instead of raising (itertools.pyx:37-63).
+    A generator input ends after its first exception — resumable
+    sources need a fresh instance, which :func:`warc_retry` automates
+    for WARC streams."""
+    source = iter(it)
     while True:
+        item = exc = None
         try:
-            yield next(i), None
+            item = next(source)
         except StopIteration:
             return
         except BaseException as e:  # noqa: BLE001 - the reference catches all
-            yield None, e
+            exc = e
+        yield item, exc
 
 
 def warc_retry(archive_iterator, stream_factory, retry_count: int = 3, seek=True):
     """Resume a :class:`resilispark.fastwarc.warc.ArchiveIterator`
     after stream failures (itertools.pyx:66-154).
 
-    ``seek=True``: ``stream_factory()`` returns a seekable stream,
-    repositioned to the last good record.  ``seek=False``: the factory
-    receives the byte position and must return a stream already
-    starting there (S3 range-request flavor).  ``seek=None``: the
-    factory's stream is consumed up to the position (most expensive).
-    Factory exceptions count toward ``retry_count``.
+    Three reopen flavors: ``seek=True`` — ``stream_factory()`` returns
+    a seekable stream that gets repositioned to the last good record;
+    ``seek=False`` — the factory receives the byte position and must
+    return a stream already starting there (S3 range-request flavor);
+    ``seek=None`` — the factory's stream is read forward to the
+    position (most expensive).  Factory failures count toward
+    ``retry_count`` too.
     """
-    retries = 0
-    pos = archive_iterator.reader.tell()
-    first_pos = pos
-    skip_next = False
-    it = iter(archive_iterator)
+    budget = [0]  # shared failure counter (factory + stream errors)
+
+    def charge(err):
+        budget[0] += 1
+        if retry_count and budget[0] > retry_count:
+            raise err
+
+    def reopen(position):
+        """New stream positioned at ``position``, or None on EOF while
+        consuming forward (seek=None flavor)."""
+        while True:
+            try:
+                if seek is True:
+                    fresh = stream_factory()
+                    fresh.seek(position)
+                    return fresh
+                if seek is False:
+                    return stream_factory(position)
+                fresh = stream_factory()
+                behind = position
+                while behind > 0:
+                    chunk = fresh.read(min(16384, behind))
+                    if not chunk:
+                        return None
+                    behind -= len(chunk)
+                return fresh
+            except BaseException as factory_err:  # noqa: BLE001
+                charge(factory_err)
+
+    start_pos = archive_iterator.reader.tell()
+    last_pos = start_pos
+    drop_next = False  # next record is a replay of the last delivered one
+    records = iter(archive_iterator)
 
     while True:
         try:
-            if skip_next:
-                next(it)
-                skip_next = False
-            next_rec = next(it)
-            yield next_rec
-            pos = next_rec.stream_pos
+            rec = next(records)
         except StopIteration:
             return
-        except BaseException as e:  # noqa: BLE001 - parity with the reference
-            retries += 1
-            if retry_count and retries > retry_count:
-                raise e
-
-            while True:
-                try:
-                    if seek is True:
-                        stream = stream_factory()
-                        stream.seek(pos)
-                        break
-                    elif seek is False:
-                        stream = stream_factory(pos)
-                        break
-                    else:  # seek is None: consume up to pos
-                        consumed = 0
-                        stream = stream_factory()
-                        while consumed < pos:
-                            n = len(stream.read(min(16384, pos - consumed)))
-                            if n == 0:
-                                return  # unexpected EOF
-                            consumed += n
-                        break
-                except BaseException as e2:  # noqa: BLE001
-                    retries += 1
-                    if retry_count and retries > retry_count:
-                        raise e2
-
-            archive_iterator._set_stream(stream)
-            it = iter(archive_iterator)
-            skip_next = pos > first_pos
+        except BaseException as stream_err:  # noqa: BLE001
+            charge(stream_err)
+            fresh = reopen(last_pos)
+            if fresh is None:
+                return  # unexpected EOF
+            archive_iterator._set_stream(fresh)
+            records = iter(archive_iterator)
+            drop_next = last_pos > start_pos
+            continue
+        if drop_next:
+            drop_next = False
+            continue
+        yield rec
+        last_pos = rec.stream_pos
