@@ -465,3 +465,58 @@ def test_pickle_warc_record_and_header_map():
         h = rec.headers
         h2 = pickle.loads(pickle.dumps(h))
         assert h2 == h and h2.status_line == h.status_line
+
+
+def test_stream_roundtrip_property():
+    """Property: member-framed compress -> incremental decompress is
+    identity for random payload shapes across all three wrappers, and
+    BufferedReader negotiation + limits behave on each."""
+    import random
+
+    from resilispark.fastwarc.stream_io import BrotliStream, BufferedReader
+    from resilispark.io import brotli_ctypes
+
+    rng = random.Random(0xC0FFEE)
+    wrappers = [GZipStream, LZ4Stream]
+    if brotli_ctypes.encoder_available():
+        wrappers.append(BrotliStream)
+    for trial in range(8):
+        members = [
+            bytes(rng.randrange(256) for _ in range(rng.choice([0, 1, 7, 300, 70000])))
+            for _ in range(rng.randrange(1, 5))
+        ]
+        for cls in wrappers:
+            if cls is BrotliStream and len([m for m in members if m]) > 1:
+                continue  # brotli has no member framing
+            raw = BytesIOStream()
+            w = cls(raw)
+            for m in members:
+                w.begin_member()
+                w.write(m)
+                w.end_member()
+            w.flush()
+            blob = raw.getvalue()
+            r = cls(BytesIOStream(blob))
+            assert r.read(-1) == b"".join(members), (cls.__name__, trial)
+
+    # BufferedReader: negotiation + limit + consume on a gzip stream
+    payload = b"WARC/1.1\r\n" + bytes(rng.randrange(256) for _ in range(50000))
+    raw = BytesIOStream()
+    w = GZipStream(raw)
+    w.write(payload)
+    w.flush()
+    br = BufferedReader(BytesIOStream(raw.getvalue()))
+    br.detect_stream_type()
+    assert br.readline() == b"WARC/1.1\r\n"
+    from resilispark.fastwarc.stream_io import (
+        _buf_reader_py_test_reset_limit,
+        _buf_reader_py_test_set_limit,
+    )
+
+    _buf_reader_py_test_set_limit(br, 100)
+    assert len(br.read(1000)) == 100
+    assert br.read(10) == b""
+    _buf_reader_py_test_reset_limit(br)
+    rest = br.read(-1)
+    assert len(rest) == len(payload) - 10 - 100
+    assert br.read(1) == b""
