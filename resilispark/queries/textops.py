@@ -1385,9 +1385,10 @@ ORDER BY doc_id
 
 def d09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontaminate.py): docs
-    sharing >= 2 verbatim 5-grams with a broadcast benchmark set
-    (here: every 97th document plays the eval set), excluding the
-    benchmark docs themselves.
+    sharing a verbatim 4-gram with a broadcast benchmark set (here:
+    every 97th document plays the eval set), excluding the benchmark
+    docs themselves.  4/1 sizes the gate non-trivially at both sf0.01
+    (8 rows) and sf0.1 (727).
 
     The 100 TB plan: benchmark n-grams broadcast (eval sets are MBs),
     corpus probes map-side, the only shuffle is the per-doc hit count
@@ -1398,31 +1399,31 @@ def d09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 97 == 0)
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     return (
-        contamination(corpus, bench, n=5, min_overlap=2)
+        contamination(corpus, bench, n=4, min_overlap=1)
         .select("doc_id", F.col("n_hits").cast("bigint").alias("n_hits"))
         .orderBy("doc_id")
     )
 
 
-_DUCK_5GRAMS = """
-CASE WHEN len(string_split(text, ' ')) >= 5 THEN
-  list_transform(generate_series(1, len(string_split(text, ' ')) - 4),
-                 i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))
+_DUCK_4GRAMS = """
+CASE WHEN len(string_split(text, ' ')) >= 4 THEN
+  list_transform(generate_series(1, len(string_split(text, ' ')) - 3),
+                 i -> array_to_string(string_split(text, ' ')[i:i+3], ' '))
 ELSE [] END
 """
 
 ORACLE_D09 = f"""
 WITH bench AS (
-  SELECT DISTINCT unnest({_DUCK_5GRAMS}) AS gram
+  SELECT DISTINCT unnest({_DUCK_4GRAMS}) AS gram
   FROM documents WHERE doc_id % 97 = 0
 ), corpus AS (
-  SELECT doc_id, unnest({_DUCK_5GRAMS}) AS gram
+  SELECT doc_id, unnest({_DUCK_4GRAMS}) AS gram
   FROM documents WHERE doc_id % 97 <> 0
 )
 SELECT c.doc_id, count(DISTINCT c.gram)::BIGINT AS n_hits
 FROM corpus c JOIN bench b ON c.gram = b.gram
 GROUP BY c.doc_id
-HAVING count(DISTINCT c.gram) >= 2
+HAVING count(DISTINCT c.gram) >= 1
 ORDER BY doc_id
 """
 
