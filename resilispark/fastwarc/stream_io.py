@@ -348,42 +348,67 @@ class LZ4Stream(CompressingStream):
     def _members(self):
         from resilispark.io import lz4_ctypes, lz4f
 
-        decode = (
-            lz4_ctypes.decompress_frame if lz4_ctypes.available() else lz4f._decompress_one
-        )
+        native = lz4_ctypes.available()
         LZ4_MAGIC = b"\x04\x22\x4d\x18"
         buf = b""
         coff = self._start_offset  # compressed offset of buf[0]
         eof = False
         while True:
+            # batch-refill: one native decompression context then
+            # serves EVERY complete frame in the batch (a context per
+            # tiny member-frame dominated decode time otherwise)
+            while not eof and len(buf) < (1 << 20):
+                chunk = self.raw.read(1 << 20)
+                if not chunk:
+                    eof = True
+                else:
+                    buf += chunk
             if len(buf) >= 4 and not buf.startswith(LZ4_MAGIC):
                 raise StreamError("not an LZ4 frame stream")
-            end = self._frame_extent(buf, 0) if buf else None
-            if end is None or end > len(buf):
-                if eof:
-                    if len(buf) >= 4 and not buf.startswith(LZ4_MAGIC):
-                        raise StreamError("not an LZ4 frame stream")
-                    if buf:
-                        # trailing truncated frame: best-effort decode
-                        try:
-                            plain, _ = decode(buf, 0)
-                            yield coff, plain
-                        except Exception:
-                            pass
-                    return
-                chunk = self.raw.read(_CHUNK)
+            # extents of all complete frames in the batch
+            frames = []
+            p = 0
+            while True:
+                e = self._frame_extent(buf, p)
+                if e is None or e > len(buf):
+                    break
+                frames.append((p, e))
+                p = e
+            if frames:
+                try:
+                    if native:
+                        dec = lz4_ctypes._Decoder(buf)
+                        for s, _e in frames:
+                            plain, _ = dec.decompress_frame(s)
+                            yield coff + s, plain
+                    else:
+                        for s, e in frames:
+                            plain, _ = lz4f._decompress_one(buf[:e], s)
+                            yield coff + s, plain
+                except Exception as e:
+                    raise StreamError(f"lz4 stream error: {e}") from e
+                buf = buf[p:]
+                coff += p
+                continue
+            if not eof:
+                # a frame larger than the batch window: keep growing
+                chunk = self.raw.read(1 << 20)
                 if not chunk:
                     eof = True
                 else:
                     buf += chunk
                 continue
-            try:
-                plain, consumed = decode(buf[:end], 0)
-            except Exception as e:
-                raise StreamError(f"lz4 stream error: {e}") from e
-            yield coff, plain
-            buf = buf[end:]
-            coff += end
+            if buf:
+                # trailing truncated frame: best-effort decode
+                try:
+                    if native:
+                        plain, _ = lz4_ctypes.decompress_frame(buf, 0)
+                    else:
+                        plain, _ = lz4f._decompress_one(buf, 0)
+                    yield coff, plain
+                except Exception:
+                    pass
+            return
 
 
 class BrotliStream(CompressingStream):

@@ -414,6 +414,14 @@ class WarcRecord:
         record parse (warc.pyx:570-580) — true BEFORE any HTTP parse."""
         if self._rec.is_http:
             return True
+        if self._headers is None:
+            # fast path: probe the engine header list without building
+            # the full header map (this runs once per record in the
+            # iterator's postprocess)
+            for k, v in self._rec.headers:
+                if k.lower() == "content-type":
+                    return (v or "").startswith("application/http")
+            return False
         ct = self.headers.get("Content-Type") or ""
         return ct.startswith("application/http")
 
@@ -764,83 +772,96 @@ class ArchiveIterator:
                 chunk = stream.read(16384)
 
     def _records(self):
-        buf = bytearray()
+        # IMMUTABLE window + cursor: parse_record_at works directly on
+        # `data` (no per-record bytes() copy of the buffer); compaction
+        # happens once per refill, not once per record
+        data = b""
+        pos = 0  # parse cursor within data
+        base = 0  # absolute plain offset of data[0]
         anchors: list[tuple[int, int]] = []  # (plain_abs_of_chunk, stream_anchor)
-        base = 0  # absolute plain offset of buf[0]
         src = self._chunks()
         eof = False
 
-        def fill() -> bool:
-            nonlocal eof
+        def refill() -> bool:
+            nonlocal data, pos, base, eof
             if eof:
                 return False
             try:
                 anchor, chunk = next(src)
-                anchors.append((base + len(buf), anchor))
-                buf.extend(chunk)
-                return True
             except StopIteration:
                 eof = True
                 return False
+            if pos:
+                base += pos
+                data = data[pos:] + chunk
+                pos = 0
+            else:
+                data = data + chunk
+            anchors.append((base + len(data) - len(chunk), anchor))
+            return True
 
         while True:
             # locate the next record start
-            idx = buf.find(_WARC_MAGIC)
+            idx = data.find(_WARC_MAGIC, pos)
             while idx < 0:
                 # keep a small tail (magic may straddle chunks)
-                if len(buf) > len(_WARC_MAGIC):
-                    drop = len(buf) - len(_WARC_MAGIC)
-                    del buf[:drop]
-                    base += drop
-                if not fill():
+                pos = max(len(data) - len(_WARC_MAGIC), pos)
+                if not refill():
                     return
-                idx = buf.find(_WARC_MAGIC)
-            # ensure the whole record (headers + block) is buffered
+                idx = data.find(_WARC_MAGIC, pos)
+            # ensure the whole record (headers + block) is buffered;
+            # refill() compacts, so track the record start ABSOLUTELY
+            abs_idx = base + idx
             while True:
-                hdr_end = buf.find(b"\r\n\r\n", idx)
+                idx = abs_idx - base
+                hdr_end = data.find(b"\r\n\r\n", idx)
                 sep = 4
-                alt = buf.find(b"\n\n", idx)
+                # the LF-only probe only matters if it lands BEFORE the
+                # CRLF terminator: bound it there, or the search walks
+                # the whole payload on every CRLF record
+                alt = (
+                    data.find(b"\n\n", idx, hdr_end)
+                    if hdr_end >= 0
+                    else data.find(b"\n\n", idx)
+                )
                 if alt >= 0 and (hdr_end < 0 or alt + 1 < hdr_end):
                     hdr_end, sep = alt, 2
                 if hdr_end >= 0:
-                    m = _CLEN_RE.search(buf, idx, hdr_end + 1)
+                    m = _CLEN_RE.search(data, idx, hdr_end + 1)
                     clen = int(m.group(1)) if m else 0
                     # +4 slack for the record-separating CRLFCRLF
-                    if len(buf) - (hdr_end + sep) >= clen + 4 or (
-                        eof and not fill()
+                    if len(data) - (hdr_end + sep) >= clen + 4 or (
+                        eof and not refill()
                     ):
                         break
-                if not fill():
+                if not refill():
                     break
-            rec, nxt = parse_record_at(bytes(buf), idx)
+            idx = abs_idx - base
+            rec, nxt = parse_record_at(data, idx)
             if rec is None:
                 return
             # map the record's plain offset to its stream anchor: the
             # exact byte offset on plain streams, the containing
             # member's compressed offset on gzip/LZ4 (warc.pyx:712-719)
-            abs_start = base + idx
             a_plain, a_stream = 0, 0
             for ap, ast in anchors:
-                if ap <= abs_start:
+                if ap <= abs_idx:
                     a_plain, a_stream = ap, ast
                 else:
                     break
             if self._identity_pos:
-                anchor = a_stream + (abs_start - a_plain)
+                anchor = a_stream + (abs_idx - a_plain)
             else:
                 anchor = a_stream
             rec.stream_pos = anchor
             self._next_pos = anchor
-            # compact consumed bytes
-            del buf[:nxt]
-            newbase = base + nxt
+            pos = nxt
             # drop anchors that can no longer be the floor for any
             # future record start (the next anchor already covers them);
-            # the remaining front anchor may lie before newbase — its
+            # the remaining front anchor may lie before the cursor — its
             # (plain, stream) pair still maps identity offsets exactly
-            while len(anchors) > 1 and anchors[1][0] <= newbase:
+            while len(anchors) > 1 and anchors[1][0] <= base + pos:
                 anchors.pop(0)
-            base = newbase
 
             wrapped = self._postprocess(rec)
             if wrapped is not None:
