@@ -718,6 +718,15 @@ class ArchiveIterator:
     ):
         self.parse_http = parse_http
         self.record_types = record_types
+        # per-type pass verdicts precomputed once (the IntFlag & in the
+        # per-record loop was measurable); None = no filtering
+        if int(record_types) == int(WarcRecordType.any_type):
+            self._type_pass = None
+        else:
+            self._type_pass = {
+                name: bool(record_types & t) for name, t in _TYPE_BY_NAME.items()
+            }
+            self._type_pass["unknown"] = bool(record_types & WarcRecordType.unknown)
         self.min_content_length = min_content_length
         self.max_content_length = max_content_length
         self.func_filter = func_filter
@@ -827,8 +836,18 @@ class ArchiveIterator:
                 if alt >= 0 and (hdr_end < 0 or alt + 1 < hdr_end):
                     hdr_end, sep = alt, 2
                 if hdr_end >= 0:
-                    m = _CLEN_RE.search(data, idx, hdr_end + 1)
-                    clen = int(m.group(1)) if m else 0
+                    # canonical-case literal probe first; the
+                    # case-insensitive regex only for odd writers
+                    j = data.find(b"\nContent-Length:", idx, hdr_end + 1)
+                    if j >= 0:
+                        k = data.find(b"\n", j + 16, hdr_end + 2)
+                        try:
+                            clen = int(data[j + 16 : k if k >= 0 else hdr_end])
+                        except ValueError:
+                            clen = 0
+                    else:
+                        m = _CLEN_RE.search(data, idx, hdr_end + 1)
+                        clen = int(m.group(1)) if m else 0
                     # +4 slack for the record-separating CRLFCRLF
                     if len(data) - (hdr_end + sep) >= clen + 4 or (
                         eof and not refill()
@@ -873,7 +892,8 @@ class ArchiveIterator:
                 yield wrapped
 
     def _postprocess(self, rec) -> WarcRecord | None:
-        if not (self.record_types & int(_TYPE_BY_NAME.get(rec.record_type, WarcRecordType.unknown))):
+        passes = self._type_pass
+        if passes is not None and not passes.get(rec.record_type, passes["unknown"]):
             return None
         if (
             self.min_content_length != _STRNPOS
