@@ -119,3 +119,37 @@ def sample_token_mixture(
     u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000)) + 0.5) / 1_000_000.0
     out = docs.filter(u < frac_map[F.col(source_col)])
     return out.drop("_toks") if "_toks" in out.columns else out
+
+
+def corpus_datasheet(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str | None = "lang",
+    short_doc_tokens: int = 50,
+) -> DataFrame:
+    """Corpus-level statistics ("datasheet") in ONE aggregation pass.
+
+    GROUPING SETS emits per-(source, lang), per-source, and corpus
+    totals from a single shuffle with map-side partials: document and
+    token counts, char volume, token-length distribution
+    (mean/p50/p90 via approx percentiles), and the short-document
+    rate.  ``grouping_id`` disambiguates the rollup levels."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    d = docs.withColumn("_t", toks)
+    group_cols = [source_col] + ([lang_col] if lang_col else [])
+    sets = [tuple(group_cols), (source_col,), ()]
+    gs = d.groupingSets(sets, *[F.col(c) for c in group_cols])
+    return gs.agg(
+        F.grouping_id().alias("grouping_level"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_t").alias("n_tokens"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+        F.avg("_t").alias("mean_tokens"),
+        F.percentile_approx("_t", 0.5).alias("p50_tokens"),
+        F.percentile_approx("_t", 0.9).alias("p90_tokens"),
+        (F.sum((F.col("_t") < short_doc_tokens).cast("bigint")) / F.count(F.lit(1))).alias(
+            "short_doc_rate"
+        ),
+    )

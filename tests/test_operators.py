@@ -1690,3 +1690,32 @@ def test_sample_token_mixture(spark):
     assert ids1 == ids2
     # "_toks" helper column does not leak into the output
     assert samp.columns == d.columns
+
+
+def test_corpus_datasheet(spark):
+    import duckdb
+
+    from resilispark.operators.corpus import corpus_datasheet
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = corpus_datasheet(d).collect()
+    # one total row, one row per source, one per (source, lang)
+    totals = [r for r in out if r.source is None and r.lang is None]
+    assert len(totals) == 1
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    exp_docs, exp_chars = con.execute(
+        "SELECT count(*), sum(length(text)) FROM documents"
+    ).fetchone()
+    assert totals[0].n_docs == exp_docs
+    assert totals[0].n_chars == exp_chars
+    per_source = [r for r in out if r.source is not None and r.lang is None]
+    exp_sources = con.execute("SELECT count(DISTINCT source) FROM documents").fetchone()[0]
+    assert len(per_source) == exp_sources
+    assert sum(r.n_docs for r in per_source) == exp_docs
+    # one shuffle: a single Exchange pair (partial+final agg), no join
+    plan = corpus_datasheet(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
