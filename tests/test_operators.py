@@ -1719,3 +1719,48 @@ def test_corpus_datasheet(spark):
     # one shuffle: a single Exchange pair (partial+final agg), no join
     plan = corpus_datasheet(d)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_full_curation_pipeline(spark, fixture_dir, tmp_path):
+    """Round-4 additions composed into the end-to-end lineage: WARC
+    scan -> fused extract -> PII scrub -> URL blocklist -> Gopher
+    filter -> benchmark decontamination -> deterministic mixture
+    sample -> datasheet.  One driver program, single lineage, the only
+    collects are the two bounded ones (per-source totals, datasheet)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from resilispark.operators.corpus import (
+        corpus_datasheet,
+        filter_url_blocklist,
+        sample_token_mixture,
+    )
+    from resilispark.operators.decontaminate import decontaminate
+    from resilispark.operators.pipelines import warc_to_html_docs
+    from resilispark.operators.quality import gopher_filter, scrub_pii
+
+    docs = (
+        warc_to_html_docs(spark, f"{fixture_dir}/golden-50.warc.gz")
+        .withColumn("doc_id", F.xxhash64("url"))
+        .withColumnRenamed("plain_text", "text")
+    )
+    n0 = docs.count()
+    assert n0 > 0
+
+    scrubbed = scrub_pii(docs)
+    bl = spark.createDataFrame([("invalid-domain.test",)], "domain string")
+    allowed = filter_url_blocklist(scrubbed, bl, url_col="url")
+    kept = gopher_filter(allowed, "text", min_words=5, min_stopwords=0)
+    bench = kept.limit(2).select("text")
+    clean = decontaminate(kept, bench, n=50, min_overlap=1)
+    sampled = sample_token_mixture(
+        clean.withColumn("source", F.lit("web")), {"web": 1.0}, total_tokens=10**9
+    )
+    n_final = sampled.count()
+    assert 0 < n_final <= n0
+    sheet = corpus_datasheet(
+        sampled.select("source", "text").withColumn("lang", F.lit("en"))
+    ).collect()
+    total = [r for r in sheet if r.source is None][0]
+    assert total.n_docs == n_final
