@@ -211,3 +211,150 @@ def label_centroids(
     return df.groupBy(label_col).applyInPandas(
         mean_vec, schema=f"{label_col} int, centroid array<double>, n_vecs long"
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (the 100 TB ANN memory story): d-dim float32
+# vectors compress to m uint8 codes (d*4 -> m bytes, 32x at d=64/m=8),
+# and query scoring becomes m table lookups per candidate instead of a
+# d-term dot product.  Training samples a BOUNDED set to the driver
+# (production PQ trains on samples anyway); everything per-row runs as
+# Arrow-vectorized numpy.
+# --------------------------------------------------------------------------
+
+
+def train_pq(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 4,
+    sample: int = 20_000,
+    iters: int = 10,
+    seed: int = 7,
+):
+    """Train per-subspace codebooks: k-means with 2**nbits centroids in
+    each of the ``m`` subspaces, over at most ``sample`` vectors pulled
+    to the driver (deterministic hash-ordered sample).  Returns a
+    numpy array of shape (m, 2**nbits, d//m)."""
+    import numpy as np
+
+    k = 1 << nbits
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<string>"), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    x = np.asarray([r.v for r in rows], dtype=np.float32)
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, sub), dtype=np.float32)
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        cent = xs[rng.choice(n, size=min(k, n), replace=n < k)]
+        if len(cent) < k:  # degenerate tiny sample: pad with jitter
+            cent = np.concatenate([cent, cent[: k - len(cent)] + 1e-3])
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``pq_code`` array<smallint> column: per-subspace nearest
+    centroid ids (one Arrow batch at a time, numpy argmin — no Python
+    per row)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m, k, sub = codebooks.shape
+    books = codebooks  # captured in the closure, shipped once per task
+
+    @pandas_udf("array<smallint>")
+    def encode(vs: pd.Series) -> pd.Series:
+        x = np.asarray(list(vs), dtype=np.float32)  # (batch, d)
+        out = np.empty((len(x), m), dtype=np.int16)
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            # ||x-c||^2 = ||x||^2 - 2xc + ||c||^2; only the last two
+            # terms depend on c
+            d2 = -2.0 * xs @ books[j].T + (books[j] ** 2).sum(1)[None, :]
+            out[:, j] = d2.argmin(1)
+        return pd.Series(list(out))
+
+    return df.withColumn("pq_code", encode(F.col(vec_col)))
+
+
+def pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    refine: int = 0,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance: per query, an (m, K)
+    lookup table of subspace dot products against the codebooks; each
+    candidate scores as m table gathers over its codes.  Queries are
+    broadcast; candidates stream once; the only shuffle is the final
+    per-query top-k window.
+
+    ``refine > 0`` adds the standard two-stage search: an ADC shortlist
+    of ``refine * k`` candidates per query is re-ranked by EXACT cosine
+    against the true vectors (the shortlist is tiny, so the re-rank
+    join is bounded) — recall approaches exact search while the full
+    corpus is still scanned compressed."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m, kk, sub = codebooks.shape
+    books = codebooks
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = encoded.select(F.col(id_col).alias("cid"), F.col("pq_code").alias("code"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("qid") != F.col("cid"))
+
+    @pandas_udf("double")
+    def adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        qx = np.asarray(list(qvs), dtype=np.float32)  # (batch, d)
+        cx = np.asarray(list(codes), dtype=np.int64)  # (batch, m)
+        # per-row lookup tables: t[i, j, c] = <q_i[j], book[j][c]>
+        t = np.einsum(
+            "bjs,jks->bjk", qx.reshape(len(qx), m, sub), books
+        )  # (batch, m, K)
+        rows = np.arange(len(qx))[:, None]
+        cols = np.arange(m)[None, :]
+        return pd.Series(t[rows, cols, cx].sum(1).astype(np.float64))
+
+    scored = pairs.select("qid", "cid", adc("qv", "code").alias("score"))
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+    if not refine:
+        return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= refine * k)
+        .drop("rn", "score")
+    )
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    cv = encoded.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    exact = (
+        shortlist.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .select("qid", "cid", _cos("qv", "cv").alias("score"))
+    )
+    return exact.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -1764,3 +1764,54 @@ def test_full_curation_pipeline(spark, fixture_dir, tmp_path):
     ).collect()
     total = [r for r in sheet if r.source is None][0]
     assert total.n_docs == n_final
+
+
+def test_product_quantization_ann(spark):
+    """PQ compresses d*4 float bytes to m codes (here 64*4 -> 16 bytes,
+    16x) and still recalls: >= 0.3 raw ADC recall@10 and >= 0.8 with
+    the exact re-rank stage, on RANDOM vectors (the structureless
+    worst case — real embeddings cluster and do better)."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from resilispark.operators.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_topk,
+        train_pq,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    # ADC scores dot products: normalize so dot == cosine
+    unit = embs.withColumn(
+        "embedding",
+        F.expr(
+            "transform(embedding, x -> cast(x / sqrt(aggregate("
+            "transform(embedding, y -> cast(y as double)*y), "
+            "cast(0.0 as double), (a,v)->a+v)) as float))"
+        ),
+    )
+    books = train_pq(unit, m=16, nbits=6, sample=500, iters=10)
+    assert books.shape == (16, 64, 4)
+    enc = pq_encode(unit, books).cache()
+    row = enc.select("pq_code").first()
+    assert len(row.pq_code) == 16 and all(0 <= c < 64 for c in row.pq_code)
+
+    queries = unit.limit(5)
+    exact = defaultdict(set)
+    for r in cosine_topk(queries, embs, k=10).collect():
+        exact[r.qid].add(r.cid)
+
+    def recall(rows):
+        got = defaultdict(set)
+        for r in rows:
+            got[r.qid].add(r.cid)
+        return sum(len(got[q] & exact[q]) / 10 for q in exact) / len(exact)
+
+    raw = recall(pq_topk(queries, enc, books, k=10).collect())
+    refined = recall(pq_topk(queries, enc, books, k=10, refine=4).collect())
+    assert raw >= 0.3, raw
+    assert refined >= 0.8, refined
+    assert refined >= raw
+    enc.unpersist()
