@@ -1,0 +1,70 @@
+"""Module-alias installer: run existing ``fastwarc`` / ``resiliparse``
+code against resilispark without touching its imports.
+
+    import resilispark.compat
+    resilispark.compat.install_aliases()
+
+    from fastwarc.warc import ArchiveIterator      # -> resilispark.fastwarc.warc
+    from resiliparse.parse.html import HTMLTree    # -> resilispark.parse.html
+
+This is exactly how ``tests/test_reference_suite.py`` runs the
+reference's own unmodified test suite (73 tests) against this engine.
+Aliases are only installed for names not already importable, so a real
+``fastwarc`` install always wins.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+_ALIASES = {
+    "fastwarc": "resilispark.fastwarc",
+    "fastwarc.warc": "resilispark.fastwarc.warc",
+    "fastwarc.stream_io": "resilispark.fastwarc.stream_io",
+    "fastwarc.tools": "resilispark.fastwarc.tools",
+    "resiliparse": "resilispark",
+    "resiliparse.parse": "resilispark.parse",
+    "resiliparse.parse.html": "resilispark.parse.html",
+    "resiliparse.parse.encoding": "resilispark.parse.encoding",
+    "resiliparse.parse.lang": "resilispark.parse.lang",
+    "resiliparse.parse.http": "resilispark.parse.http",
+    "resiliparse.extract": "resilispark.extract",
+    "resiliparse.extract.html2text": "resilispark.extract.html2text",
+    "resiliparse.process_guard": "resilispark.process_guard",
+    "resiliparse.itertools": "resilispark.itertools",
+}
+
+
+def install_aliases(overwrite: bool = False) -> list[str]:
+    """Register the reference's module names in ``sys.modules``;
+    returns the names installed.  Existing real installs (or prior
+    imports) are left alone unless ``overwrite=True``."""
+    # decide per TOP-LEVEL package first: once "fastwarc" is aliased,
+    # find_spec("fastwarc.warc") would resolve through the alias and
+    # wrongly mark the child as "genuinely installed"
+    def genuinely_installed(top: str) -> bool:
+        if top in sys.modules:
+            return True
+        try:
+            return importlib.util.find_spec(top) is not None
+        except (ImportError, ValueError):
+            return False
+
+    tops = {a.split(".")[0] for a in _ALIASES}
+    skip_top = {} if overwrite else {t: genuinely_installed(t) for t in tops}
+    installed = []
+    for alias, target in _ALIASES.items():
+        if skip_top.get(alias.split(".")[0]):
+            continue
+        sys.modules[alias] = importlib.import_module(target)
+        installed.append(alias)
+    return installed
+
+
+def uninstall_aliases() -> None:
+    """Remove any aliases pointing at resilispark modules."""
+    for alias, target in _ALIASES.items():
+        mod = sys.modules.get(alias)
+        if mod is not None and getattr(mod, "__name__", "") == target:
+            del sys.modules[alias]

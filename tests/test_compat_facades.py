@@ -520,3 +520,38 @@ def test_stream_roundtrip_property():
     rest = br.read(-1)
     assert len(rest) == len(payload) - 10 - 100
     assert br.read(1) == b""
+
+
+def test_install_aliases(tmp_path):
+    """resilispark.compat.install_aliases() lets unmodified reference
+    imports resolve — in a SUBPROCESS so this process's module table
+    stays clean."""
+    import subprocess
+    import sys as _sys
+
+    code = """
+import resilispark.compat as compat
+names = compat.install_aliases()
+assert "fastwarc.warc" in names, names
+from fastwarc.warc import ArchiveIterator, WarcRecordType, response
+from fastwarc.stream_io import GZipStream
+from resiliparse.parse.html import HTMLTree
+from resiliparse.extract.html2text import extract_plain_text
+from resiliparse.process_guard import time_guard
+assert extract_plain_text("<p>ok</p>", False) == "ok"
+assert HTMLTree.parse("<title>t</title>").title == "t"
+assert response == WarcRecordType.response
+compat.uninstall_aliases()
+import sys
+assert "fastwarc.warc" not in sys.modules
+print("ALIASES-OK")
+"""
+    out = subprocess.run(
+        [_sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "ALIASES-OK" in out.stdout
