@@ -1,48 +1,40 @@
+"""pytest plugin: run the REFERENCE's unmodified test suite against
+the resilispark facades.
+
+Loads before collection (``-p refshim``): the reference's module names
+alias to resilispark via :func:`resilispark.compat.install_aliases`,
+and the native ``brotli`` / ``lz4.frame`` packages its tests import are
+shimmed onto the engine's ctypes codec bindings.
+"""
+
 import sys
-import resilispark.fastwarc as _fw
-import resilispark.fastwarc.warc as _fww
-import resilispark.fastwarc.stream_io as _fws
-import resilispark.fastwarc.tools as _fwt
-import resilispark.parse as _p
-import resilispark.parse.html as _ph
-import resilispark.parse.encoding as _pe
-import resilispark.parse.lang as _pl
-import resilispark.parse.http as _phttp
-import resilispark.extract as _ex
-import resilispark.extract.html2text as _eh
-import resilispark.process_guard as _pg
-import resilispark.itertools as _it
-import resilispark
-
-sys.modules['fastwarc'] = _fw
-sys.modules['fastwarc.warc'] = _fww
-sys.modules['fastwarc.stream_io'] = _fws
-sys.modules['fastwarc.tools'] = _fwt
-sys.modules['resiliparse'] = resilispark
-sys.modules['resiliparse.parse'] = _p
-sys.modules['resiliparse.parse.html'] = _ph
-sys.modules['resiliparse.parse.encoding'] = _pe
-sys.modules['resiliparse.parse.lang'] = _pl
-sys.modules['resiliparse.parse.http'] = _phttp
-sys.modules['resiliparse.extract'] = _ex
-sys.modules['resiliparse.extract.html2text'] = _eh
-sys.modules['resiliparse.process_guard'] = _pg
-sys.modules['resiliparse.itertools'] = _it
-
 import types
-from resilispark.io import brotli_ctypes, lz4f
-_brotli = types.ModuleType('brotli')
-_brotli.compress = lambda data, quality=11, **kw: brotli_ctypes.compress(data, quality=quality)
+
+import resilispark.compat
+
+resilispark.compat.install_aliases(overwrite=True)
+
+from resilispark.io import brotli_ctypes, lz4f  # noqa: E402
+
+_brotli = types.ModuleType("brotli")
+_brotli.compress = lambda data, quality=11, **kw: brotli_ctypes.compress(
+    data, quality=quality
+)
 _brotli.decompress = brotli_ctypes.decompress
-sys.modules.setdefault('brotli', _brotli)
-_lz4 = types.ModuleType('lz4')
-_lz4f = types.ModuleType('lz4.frame')
+sys.modules.setdefault("brotli", _brotli)
+
+_lz4 = types.ModuleType("lz4")
+_lz4f = types.ModuleType("lz4.frame")
 _lz4f.compress = lambda data, **kw: lz4f.compress(data)
+
+
 def _lz4_decompress(data, return_bytearray=False, return_bytes_read=False, **kw):
     plain, n = lz4f._decompress_one(data, 0)
     out = bytearray(plain) if return_bytearray else plain
     return (out, n) if return_bytes_read else out
+
+
 _lz4f.decompress = _lz4_decompress
 _lz4.frame = _lz4f
-sys.modules.setdefault('lz4', _lz4)
-sys.modules.setdefault('lz4.frame', _lz4f)
+sys.modules.setdefault("lz4", _lz4)
+sys.modules.setdefault("lz4.frame", _lz4f)
