@@ -157,4 +157,30 @@ def register_functions(spark: SparkSession) -> dict:
     udfs = make_udfs()
     for name, udf in udfs.items():
         spark.udf.register(f"resilispark_{name}", udf)
+    _register_sql_functions(spark)
     return udfs
+
+
+def _register_sql_functions(spark: SparkSession) -> None:
+    """Pure-SQL scalar functions (codegen end to end, no Python): the
+    PII scrubber and its match counters from operators/quality.py,
+    usable straight from ``spark.sql``."""
+    from resilispark.operators.quality import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    def lit(pattern: str) -> str:
+        # Spark SQL single-quoted literals process backslash escapes
+        return "'" + pattern.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    e, i, p = lit(PII_EMAIL), lit(PII_IPV4), lit(PII_PHONE)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION resilispark_scrub_pii(t STRING) "
+        "RETURNS STRING RETURN regexp_replace(regexp_replace(regexp_replace("
+        f"t, {e}, '<EMAIL>'), {i}, '<IP>'), {p}, '<PHONE>')"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION resilispark_count_pii(t STRING) "
+        "RETURNS STRUCT<n_emails: BIGINT, n_ips: BIGINT, n_phones: BIGINT> "
+        f"RETURN struct(CAST(regexp_count(t, {e}) AS BIGINT) AS n_emails, "
+        f"CAST(regexp_count(t, {i}) AS BIGINT) AS n_ips, "
+        f"CAST(regexp_count(t, {p}) AS BIGINT) AS n_phones)"
+    )

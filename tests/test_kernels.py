@@ -688,6 +688,14 @@ def test_sql_function_registry(spark):
     missing = {f"resilispark_{n}" for n in udfs} - registered
     assert not missing, f"not SQL-registered: {missing}"
 
+    # pure-SQL codegen functions (no Python boundary)
+    row = spark.sql(
+        "SELECT resilispark_scrub_pii('mail a@b.io at 10.0.0.1 ok') AS s, "
+        "resilispark_count_pii('a@b.io and c@d.org').n_emails AS n"
+    ).first()
+    assert row.s == "mail <EMAIL> at <IP> ok"
+    assert row.n == 2
+
 
 def test_dom_navigation_serialization_parity():
     """DOMNode surface from the reference's test_html.py: sibling/child
