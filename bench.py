@@ -254,6 +254,31 @@ def main() -> None:
         lambda: pipe.write.mode("overwrite").format("noop").save()
     )
 
+    # PQ ANN over the embeddings table: encode (16x compression) and
+    # the refined two-stage search (ADC scan -> exact re-rank)
+    from pyspark.sql import functions as _F
+
+    from resilispark.operators.similarity import pq_encode, pq_topk, train_pq
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    unit = embs.withColumn(
+        "embedding",
+        _F.expr(
+            "transform(embedding, x -> cast(x / sqrt(aggregate("
+            "transform(embedding, y -> cast(y as double)*y), "
+            "cast(0.0 as double), (a,v)->a+v)) as float))"
+        ),
+    )
+    books = train_pq(unit, m=16, nbits=6, sample=2000, iters=8)
+    enc = pq_encode(unit, books).persist()
+    n_vecs = enc.count()
+    pq_q = pq_topk(unit.limit(20), enc, books, k=10, refine=4)
+    pq_q.write.mode("overwrite").format("noop").save()
+    timings[f"pq_ann_topk_{n_vecs}_vecs"] = timed_median(
+        lambda: pq_q.write.mode("overwrite").format("noop").save()
+    )
+    enc.unpersist()
+
     from resilispark.functions.registry import register_functions
 
     udfs = register_functions(spark)
