@@ -52,8 +52,28 @@ def filter_url_blocklist(
     (subdomains included: ``ads.example.com`` matches a blocklist entry
     ``example.com``); ``keep=True`` inverts to allowlist semantics.
 
-    The blocklist is broadcast; only ``id_col`` travels through the
-    suffix explode, and the wide rows semi/anti-join on the id."""
+    Batch: the blocklist is broadcast; only ``id_col`` travels through
+    the suffix explode, and the wide rows semi/anti-join on the id.
+    Streaming input: stream-stream anti joins are unsupported, so the
+    blocklist (bounded by construction) folds into a pure
+    ``arrays_overlap`` filter expression instead — same semantics, one
+    stateless stage."""
+    if docs.isStreaming:
+        domains = [
+            r[0]
+            for r in blocked_domains.select(
+                F.lower(F.col(domain_col))
+            ).distinct().collect()
+        ]
+        if not domains:
+            hit = F.lit(False)
+        else:
+            arr = F.array(*[F.lit(d) for d in domains])
+            hit = F.coalesce(
+                F.arrays_overlap(_suffix_candidates(url_host(url_col)), arr),
+                F.lit(False),
+            )
+        return docs.filter(hit if keep else ~hit)
     bl = F.broadcast(
         blocked_domains.select(F.lower(F.col(domain_col)).alias("_bl_domain")).distinct()
     )

@@ -283,3 +283,35 @@ def test_streaming_extract_pipeline(spark, fixture_dir, drop_dir):
     ).collect()[0].s
     q2.stop()
     assert total == 2 * len(rows)  # both dropped files counted
+
+
+def test_streaming_curation_stages(spark, fixture_dir, drop_dir):
+    """The round-4 curation stages are stateless column transforms, so
+    they compose directly with the streaming source: warc-stream ->
+    fused extract -> PII scrub -> URL blocklist -> Gopher quality
+    flags, all in ONE streaming lineage."""
+    from pyspark.sql import functions as F
+
+    from resilispark.operators.corpus import filter_url_blocklist
+    from resilispark.operators.pipelines import extract_html_docs
+    from resilispark.operators.quality import gopher_quality_flags, scrub_pii
+    from resilispark.streaming import read_warc_stream
+
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", f"{drop_dir}/cur.warc.gz")
+    docs = extract_html_docs(read_warc_stream(spark, drop_dir)).withColumnRenamed(
+        "plain_text", "text"
+    )
+    scrubbed = scrub_pii(docs)
+    bl = spark.createDataFrame([("blocked.example",)], "domain string")
+    allowed = filter_url_blocklist(scrubbed, bl, id_col="url", url_col="url")
+    flagged = gopher_quality_flags(allowed, "text")
+    assert flagged.isStreaming
+
+    q = _start(spark, flagged, "curation_s")
+    q.processAllAvailable()
+    rows = spark.sql(
+        "SELECT url, text, n_emails, n_ips, n_phones FROM curation_s"
+    ).collect()
+    q.stop()
+    assert rows, "no curated documents from the stream"
+    assert all(r.n_emails is not None for r in rows)
