@@ -358,3 +358,132 @@ def pq_topk(
         .select("qid", "cid", _cos("qv", "cv").alias("score"))
     )
     return exact.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def train_ivf(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    sample: int = 20_000,
+    iters: int = 10,
+    seed: int = 3,
+):
+    """Coarse k-means centroids (the IVF cell table), trained like
+    :func:`train_pq` on a bounded driver sample.  Returns
+    (n_cells, d) float32."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<string>"), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    x = np.asarray([r.v for r in rows], dtype=np.float32)
+    n = len(x)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(n, size=min(n_cells, n), replace=n < n_cells)].copy()
+    for _ in range(iters):
+        d2 = -2.0 * x @ cent.T + (cent**2).sum(1)[None, :]
+        assign = d2.argmin(1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                cent[c] = x[mask].mean(0)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add an ``ivf_cell`` int column: nearest coarse centroid per
+    vector (Arrow-batched numpy argmin)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cent = centroids
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        x = np.asarray(list(vs), dtype=np.float32)
+        d2 = -2.0 * x @ cent.T + (cent**2).sum(1)[None, :]
+        return pd.Series(d2.argmin(1).astype("int32"))
+
+    return df.withColumn("ivf_cell", assign(F.col(vec_col)))
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    centroids,
+    codebooks,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 8,
+    refine: int = 0,
+) -> DataFrame:
+    """FAISS-style IVF-PQ: prune to each query's ``nprobe`` nearest
+    cells, then PQ-ADC score only those candidates (optionally exact
+    re-rank).  At scale the candidate set per query is
+    ~n * nprobe / n_cells, scanned COMPRESSED — the two orthogonal
+    savings composed."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cent = centroids
+    m, kk, sub = codebooks.shape
+    books = codebooks
+
+    @pandas_udf("array<int>")
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        x = np.asarray(list(vs), dtype=np.float32)
+        d2 = -2.0 * x @ cent.T + (cent**2).sum(1)[None, :]
+        order = np.argsort(d2, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        probe_cells(F.col(vec_col)).alias("cells"),
+    )
+    c = encoded.select(
+        F.col(id_col).alias("cid"), F.col("pq_code").alias("code"), "ivf_cell"
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.array_contains(F.col("cells"), F.col("ivf_cell")), "inner")
+        .filter(F.col("qid") != F.col("cid"))
+    )
+
+    @pandas_udf("double")
+    def adc(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        qx = np.asarray(list(qvs), dtype=np.float32)
+        cx = np.asarray(list(codes), dtype=np.int64)
+        t = np.einsum("bjs,jks->bjk", qx.reshape(len(qx), m, sub), books)
+        rows = np.arange(len(qx))[:, None]
+        cols = np.arange(m)[None, :]
+        return pd.Series(t[rows, cols, cx].sum(1).astype(np.float64))
+
+    scored = pairs.select("qid", "cid", adc("qv", "code").alias("score"))
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), "cid")
+    if not refine:
+        return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= refine * k)
+        .drop("rn", "score")
+    )
+    qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    cv = encoded.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    exact = (
+        shortlist.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .select("qid", "cid", _cos("qv", "cv").alias("score"))
+    )
+    return exact.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

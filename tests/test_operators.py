@@ -1815,3 +1815,56 @@ def test_product_quantization_ann(spark):
     assert refined >= 0.8, refined
     assert refined >= raw
     enc.unpersist()
+
+
+def test_ivf_pq_ann(spark):
+    """IVF cell pruning composes with PQ compression: scanning ~half
+    the cells compressed still recalls >= 0.5 on random worst-case
+    vectors, and recall is monotone in nprobe."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from resilispark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_pq_topk,
+        pq_encode,
+        train_ivf,
+        train_pq,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    unit = embs.withColumn(
+        "embedding",
+        F.expr(
+            "transform(embedding, x -> cast(x / sqrt(aggregate("
+            "transform(embedding, y -> cast(y as double)*y), "
+            "cast(0.0 as double), (a,v)->a+v)) as float))"
+        ),
+    )
+    books = train_pq(unit, m=16, nbits=6, sample=500, iters=10)
+    cents = train_ivf(unit, n_cells=16, sample=500, iters=10)
+    enc = ivf_assign(pq_encode(unit, books), cents).cache()
+    # every vector lands in a valid cell
+    cells = enc.select("ivf_cell").distinct().collect()
+    assert all(0 <= r.ivf_cell < 16 for r in cells)
+
+    queries = unit.limit(5)
+    exact = defaultdict(set)
+    for r in cosine_topk(queries, embs, k=10).collect():
+        exact[r.qid].add(r.cid)
+
+    def recall(nprobe):
+        got = defaultdict(set)
+        for r in ivf_pq_topk(
+            queries, enc, cents, books, k=10, nprobe=nprobe, refine=4
+        ).collect():
+            got[r.qid].add(r.cid)
+        return sum(len(got[q] & exact[q]) / 10 for q in exact) / len(exact)
+
+    r8 = recall(8)
+    r16 = recall(16)  # all cells probed: equals plain refined PQ
+    assert r8 >= 0.5, r8
+    assert r16 >= r8
+    enc.unpersist()
