@@ -555,3 +555,59 @@ print("ALIASES-OK")
     )
     assert out.returncode == 0, out.stderr[-1500:]
     assert "ALIASES-OK" in out.stdout
+
+
+def test_iterator_garbage_resilience_property():
+    """Records interleaved with random garbage (and a truncated tail)
+    still all surface, in order, across all three codecs — the
+    magic-scan recovery contract of the incremental record loop."""
+    import random
+
+    from resilispark.io.warc import serialize_record
+
+    rng = random.Random(0xBAD5EED)
+    recs = []
+    for i in range(30):
+        r = EngineRecord()
+        r.headers = [
+            ("WARC-Record-ID", f"<urn:uuid:g-{i}>"),
+            ("WARC-Type", "resource"),
+            ("WARC-Date", "2024-01-01T00:00:00Z"),
+        ]
+        r.payload = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+        recs.append(r)
+
+    blob = bytearray()
+    for i, r in enumerate(recs):
+        if i % 3 == 1:  # garbage BETWEEN records (no WARC/ magic inside)
+            blob += bytes(
+                b for b in (rng.randrange(256) for _ in range(rng.randrange(1, 64)))
+            ).replace(b"WARC/", b"WARCX")
+        blob += serialize_record(r)
+    ids = [f"<urn:uuid:g-{i}>" for i in range(30)]
+
+    got = [
+        r.record_id
+        for r in ArchiveIterator(BytesIOStream(bytes(blob)), parse_http=False)
+    ]
+    assert got == ids
+
+    # truncated tail: drop the last 100 bytes — every complete record
+    # still arrives, the clipped last one tolerantly (maybe) partial
+    got2 = [
+        r.record_id
+        for r in ArchiveIterator(BytesIOStream(bytes(blob[:-100])), parse_http=False)
+    ]
+    assert got2[:29] == ids[:29]
+
+    # compressed variants round-trip the same id sequence
+    for cls in (GZipStream, LZ4Stream):
+        raw = BytesIOStream()
+        w = cls(raw)
+        w.write(bytes(blob))
+        w.flush()
+        got3 = [
+            r.record_id
+            for r in ArchiveIterator(BytesIOStream(raw.getvalue()), parse_http=False)
+        ]
+        assert got3 == ids, cls.__name__
