@@ -155,6 +155,84 @@ def cmd_extract_text(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """The training-data curation pipeline as ONE command: WARC (or
+    parquet docs) -> extract -> PII scrub -> optional URL blocklist ->
+    Gopher quality filter -> optional benchmark decontamination ->
+    optional deterministic mixture sample -> hive-partitioned parquet
+    corpus + a datasheet printed to stdout."""
+    from pyspark.sql import functions as F
+
+    from resilispark.operators.corpus import (
+        corpus_datasheet,
+        filter_url_blocklist,
+        sample_token_mixture,
+    )
+    from resilispark.operators.decontaminate import decontaminate
+    from resilispark.operators.pipelines import (
+        warc_to_html_docs,
+        write_docs_partitioned,
+    )
+    from resilispark.operators.quality import gopher_filter, scrub_pii
+
+    spark = _spark(args.cpus)
+    if args.input.endswith(".parquet") or args.input_format == "parquet":
+        docs = spark.read.parquet(args.input)
+        if "text" not in docs.columns and "plain_text" in docs.columns:
+            docs = docs.withColumnRenamed("plain_text", "text")
+    else:
+        docs = warc_to_html_docs(spark, args.input, main_content=True)
+        docs = docs.withColumnRenamed("plain_text", "text")
+    if "doc_id" not in docs.columns:
+        key = "url" if "url" in docs.columns else docs.columns[0]
+        docs = docs.withColumn("doc_id", F.xxhash64(key))
+    if "source" not in docs.columns:
+        docs = docs.withColumn("source", F.lit("default"))
+
+    if not args.keep_pii:
+        docs = scrub_pii(docs)
+    if args.blocklist:
+        bl = spark.read.text(args.blocklist).withColumnRenamed("value", "domain")
+        url_col = "url" if "url" in docs.columns else None
+        if url_col:
+            docs = filter_url_blocklist(docs, bl, url_col=url_col)
+    if not args.no_quality:
+        docs = gopher_filter(docs, "text", min_stopwords=args.min_stopwords)
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        bcol = "text" if "text" in bench.columns else bench.columns[0]
+        docs = decontaminate(
+            docs, bench.withColumnRenamed(bcol, "text"), n=args.ngram
+        )
+    if args.mixture:
+        weights = {}
+        for part in args.mixture.split(","):
+            src, _, w = part.partition("=")
+            weights[src] = float(w)
+        docs = sample_token_mixture(docs, weights, args.total_tokens)
+
+    part_col = "lang" if "lang" in docs.columns else None
+    if part_col:
+        write_docs_partitioned(docs, args.output)
+    else:
+        docs.write.mode("overwrite").parquet(args.output)
+    lang_kw = {"lang_col": part_col} if part_col else {"lang_col": None}
+    sheet = corpus_datasheet(
+        spark.read.parquet(args.output)
+        if part_col
+        else docs,
+        **lang_kw,
+    )
+    for row in sheet.orderBy("grouping_level", "source").collect():
+        print(
+            f"level={row.grouping_level} source={row.source} "
+            f"docs={row.n_docs} tokens={row.n_tokens} "
+            f"short_rate={row.short_doc_rate:.3f}"
+        )
+    print(f"wrote {args.output}")
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """Scan throughput (fastwarc benchmark, cli.py:351-447): local,
     http(s)://, or s3:// sources; --parse-http / --verify-digests /
@@ -494,6 +572,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--format", default="parquet", choices=["parquet", "json"])
     p.add_argument("--main-content", action="store_true")
     p.set_defaults(fn=cmd_extract_text)
+
+    p = sub.add_parser(
+        "curate", help="WARC/parquet -> curated training corpus (one pipeline)"
+    )
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--input-format", default="auto", choices=["auto", "warc", "parquet"])
+    p.add_argument("--blocklist", default=None, help="text file, one domain per line")
+    p.add_argument("--benchmark", default=None, help="parquet eval set to decontaminate against")
+    p.add_argument("--ngram", type=int, default=13, help="decontamination n-gram size")
+    p.add_argument("--mixture", default=None, help="src=weight,src=weight")
+    p.add_argument("--total-tokens", type=int, default=10**9)
+    p.add_argument("--keep-pii", action="store_true")
+    p.add_argument("--no-quality", action="store_true")
+    p.add_argument("--min-stopwords", type=int, default=0)
+    p.set_defaults(fn=cmd_curate)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")
     p.add_argument("file")

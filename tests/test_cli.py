@@ -228,3 +228,28 @@ def test_encoding_mapping(capsys):
     got = eval(out)  # the command prints a copyable Python dict
     assert got == dict(sorted(whatwg_mapping().items()))
     assert got["ascii"] == "cp1252"  # WHATWG: ascii label -> windows-1252
+
+
+def test_cli_curate(tmp_path):
+    from resilispark.__main__ import main
+
+    from resilispark.io.fixtures import ensure_fixture_dir
+
+    fdir = ensure_fixture_dir()
+    out = str(tmp_path / "corpus")
+    rc = main(
+        [
+            "--cpus",
+            "4",
+            "curate",
+            f"{fdir}/golden-50.warc.gz",
+            "-o",
+            out,
+            "--mixture",
+            "default=1.0",
+        ]
+    )
+    assert rc == 0
+    import os
+
+    assert any(d.startswith("lang=") for d in os.listdir(out))
