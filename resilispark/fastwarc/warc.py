@@ -26,7 +26,6 @@ from datetime import datetime, timezone
 
 from resilispark.fastwarc.stream_io import (
     BufferedReader,
-    BytesIOStream,
     CompressingStream,
     GZipStream,
     IOStream,
