@@ -119,6 +119,10 @@ def cmd_extract(args) -> int:
         print(f"no record at offset {args.offset}", file=sys.stderr)
         return 1
     rec = rows[0]
+    if getattr(args, "payload", False):
+        args.output = "payload"
+    elif getattr(args, "headers", False):
+        args.output = "headers"
     if args.output == "headers" or args.output == "all":
         for k, v in rec.headers:
             print(f"{k}: {v}")
@@ -562,6 +566,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--output", default="all", choices=["headers", "payload", "all"],
     )
+    # the reference CLI's flag spellings (fastwarc extract --payload /
+    # --headers, cli.py:190-192) map onto --output
+    p.add_argument("--payload", action="store_true", help="alias for --output payload")
+    p.add_argument("--headers", action="store_true", help="alias for --output headers")
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser(
