@@ -425,3 +425,126 @@ def paragraph_dedup(
             .alias("n_dropped"),
         )
     )
+
+
+def _token_grams(words: Column, n: int) -> Column:
+    """0-based (position, md5-of-n-gram) structs; empty when the doc has
+    fewer than ``n`` tokens."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda p: F.struct(
+                p.alias("pos"),
+                F.md5(
+                    F.encode(F.concat_ws(" ", F.slice(words, p + 1, n)), "UTF-8")
+                ).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    span_tokens: int = 5,
+) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, the fraction of its token positions covered by some
+    ``span_tokens``-token span that also occurs in an EARLIER document
+    (smaller ``id_col``).
+
+    The paper builds a corpus-wide suffix array; the distributed
+    spelling is a gram join: explode every n-token span to an md5 key
+    (O(tokens) rows, no quadratic stage), find each gram's first
+    document with a partial-aggregated ``min`` (skew-immune: a gram
+    repeated across millions of docs collapses map-side before the
+    shuffle), join back, and count the distinct token positions the
+    duplicated spans cover. Two hash shuffles total — gram key, then
+    doc id — both on uniform md5/64-bit keys.
+
+    Returns (id, n_tokens, dup_tokens, coverage) for every doc with at
+    least one duplicated span; coverage is rounded to 4 places.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.explode(_token_grams(words, span_tokens)).alias("g"),
+    ).select(id_col, "n_tokens", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    firsts = base.groupBy("gram").agg(F.min(id_col).alias("_first"))
+    dup = base.join(firsts, "gram").filter(F.col(id_col) > F.col("_first"))
+    covered = dup.select(
+        id_col,
+        "n_tokens",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (span_tokens - 1))).alias(
+            "tok"
+        ),
+    ).distinct()
+    return (
+        covered.groupBy(id_col, "n_tokens")
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+        .withColumn(
+            "coverage",
+            F.floor(F.col("dup_tokens") / F.col("n_tokens") * 1e4 + F.lit(0.5)) / 1e4,
+        )
+        .orderBy(id_col)
+    )
+
+
+def mask_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    span_tokens: int = 5,
+) -> DataFrame:
+    """Cut duplicated spans out of the text (the destructive half of
+    exact-substring dedup): tokens covered by a span already seen in an
+    earlier document are removed; the first occurrence is kept intact.
+
+    Same two-shuffle plan as :func:`duplicate_span_coverage` plus one
+    reassembly shuffle on the doc id; the per-doc covered-position set
+    is bounded by the doc's own token count, so ``collect_set`` here
+    cannot exceed one document's size.
+
+    Returns (id, text, n_tokens, dup_tokens) for EVERY input doc.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = df.select(
+        F.col(id_col),
+        words.alias("_w"),
+        F.explode(_token_grams(words, span_tokens)).alias("g"),
+    ).select(id_col, "_w", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    firsts = toks.groupBy("gram").agg(F.min(id_col).alias("_first"))
+    covered = (
+        toks.join(firsts, "gram")
+        .filter(F.col(id_col) > F.col("_first"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (span_tokens - 1))
+            ).alias("tok"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("tok").alias("_cut"))
+    )
+    src = df.select(F.col(id_col), words.alias("_w"))
+    joined = src.join(covered, id_col, "left").withColumn(
+        "_cut", F.coalesce("_cut", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("_w"), lambda x, i: F.struct(x.alias("t"), i.alias("i"))
+        ),
+        lambda s: ~F.array_contains(F.col("_cut"), s["i"]),
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias(text_col),
+        F.size("_w").cast("bigint").alias("n_tokens"),
+        F.size("_cut").cast("bigint").alias("dup_tokens"),
+    )

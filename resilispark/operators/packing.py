@@ -1,0 +1,133 @@
+"""Sequence packing: lay documents end-to-end into fixed-length token
+sequences — the concat-and-chunk step every LLM training pipeline runs
+between curation and tokenized-shard writing.
+
+The classic single-node spelling is a serial fold (keep appending
+tokens, cut every ``seq_len``); the distributed spelling here shards
+the corpus into ``n_buckets`` independent streams (bucket =
+``pmod(doc_id, n_buckets)``) and runs the fold as a running-sum window
+*per bucket* — one shuffle, every bucket packed in parallel, and the
+layout is a pure function of (doc_id, seq_len, n_buckets) so retries
+and re-runs are deterministic.  At 100 TB pick ``n_buckets`` ≈ a few ×
+executor count: each bucket's window is a sort within one partition,
+and packs never cross buckets so no stage ever needs a global order.
+
+No reference-parity citation: the reference engine (chatnoir-resiliparse)
+stops at extraction; packing is part of the training-data extension
+surface (SURVEY §2 "beyond the reference" block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def assign_packs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    seq_len: int = 2048,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Assign every document a contiguous token span in its bucket's
+    concatenated stream.
+
+    Documents are laid out in ``id_col`` order within each bucket; the
+    stream is cut every ``seq_len`` tokens.  Token counts come from
+    ``token_count_col`` if given, else whitespace tokens of
+    ``text_col`` (the t02 baseline tokenizer).
+
+    Returns one row per input doc:
+    (bucket, id, n_tokens, start_tok, end_tok,  -- [start, end) in the stream
+     first_seq, last_seq,                       -- seq indexes the doc touches
+     is_split)                                  -- doc straddles a cut point
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if token_count_col is not None:
+        n_tok = F.col(token_count_col).cast("bigint")
+    else:
+        n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("bigint")
+    base = docs.select(
+        bucket.alias("bucket"), F.col(id_col), n_tok.alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    end = F.sum("n_tokens").over(w)
+    return (
+        base.withColumn("end_tok", end)
+        .withColumn("start_tok", F.col("end_tok") - F.col("n_tokens"))
+        .withColumn("first_seq", F.floor(F.col("start_tok") / seq_len))
+        .withColumn(
+            "last_seq",
+            F.floor((F.col("end_tok") - 1) / seq_len),
+        )
+        .withColumn("is_split", F.col("first_seq") != F.col("last_seq"))
+        .select(
+            "bucket",
+            id_col,
+            "n_tokens",
+            "start_tok",
+            "end_tok",
+            "first_seq",
+            "last_seq",
+            "is_split",
+        )
+    )
+
+
+def pack_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    seq_len: int = 2048,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Per-bucket packing summary: how many fixed-length sequences the
+    bucket yields, how full the last one is, and how many docs straddle
+    a sequence boundary (the docs a loss-masking loader must handle).
+
+    Returns (bucket, n_docs, total_tokens, n_seqs, n_split_docs,
+    fill_ratio) sorted by bucket; ``fill_ratio`` is
+    total_tokens / (n_seqs * seq_len) rounded to 4 places.
+    """
+    spans = assign_packs(
+        docs,
+        id_col=id_col,
+        token_count_col=token_count_col,
+        text_col=text_col,
+        seq_len=seq_len,
+        n_buckets=n_buckets,
+    )
+    total = F.sum("n_tokens")
+    n_seqs = F.ceil(total / F.lit(seq_len)).cast("bigint")
+    return (
+        spans.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            total.cast("bigint").alias("total_tokens"),
+            n_seqs.alias("n_seqs"),
+            F.sum(F.col("is_split").cast("bigint")).alias("n_split_docs"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.floor(
+                F.col("total_tokens")
+                / (F.col("n_seqs") * F.lit(seq_len))
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4,
+        )
+        .orderBy("bucket")
+    )

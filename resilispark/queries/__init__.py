@@ -36,7 +36,9 @@ _GATE_ORDER = [
     "qc_scalar_family",      # q19 q20 q21 q22
     "q23_tumbling_window",
     "qc_analytics_family",   # q26 q29 q30 q24 q25
+    "qc_curation_family",    # t02 t04 t07 d10
     "q28_salted_skew_agg",
+    "q31_asof_join",
     # WARC surface
     "w01_type_counts", "w02_length_filter", "w03_status_dist",
     "w04_concurrent_join", "w05_cdxj_offsets", "w06_digest_summary",
@@ -50,9 +52,9 @@ _GATE_ORDER = [
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signatures",
     "d04_minhash_lsh_pairs", "d05_simhash", "d06_embedding_neardup",
     "d07_dedup_clusters", "d08_simhash_pairs", "d09_decontaminate",
-    # text analysis
-    "t01_quality_score", "t02_token_count", "t03_lang_distribution",
-    "t04_fingerprint", "t05_lang_confusion", "t06_pii_scrub",
+    # text analysis (t02/t04 live in qc_curation_family)
+    "t01_quality_score", "t03_lang_distribution",
+    "t05_lang_confusion", "t06_pii_scrub",
     # similarity search
     "s01_cosine_topk", "s02_lsh_buckets", "s03_label_centroid_norms",
     "s04_label_centroid_dims", "s05_ivf_topk",

@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from resilispark.queries import relational
+from resilispark.queries import relational, textops
 
 # slot classes: s = string, n = bigint (any integral), d = double
 _SPECS: dict[str, list[tuple[str, str]]] = {
@@ -82,7 +82,25 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
         ("user_bucket", "n"), ("click", "n"), ("view", "n"),
         ("purchase", "n"), ("signup", "n"), ("error", "n"),
     ],
+    "t02_token_count": [
+        ("doc_id", "n"), ("ws_tokens", "n"), ("re_tokens", "n"),
+        ("bpe_tokens", "n"), ("n_chars", "n"),
+    ],
+    "t04_fingerprint": [("doc_id", "n"), ("fingerprint", "s")],
+    "t07_pack_stats": [
+        ("bucket", "n"), ("n_docs", "n"), ("total_tokens", "n"),
+        ("n_seqs", "n"), ("n_split_docs", "n"), ("fill_ratio", "d"),
+    ],
+    "d10_duplicate_spans": [
+        ("doc_id", "n"), ("n_tokens", "n"), ("dup_tokens", "n"),
+        ("coverage", "d"),
+    ],
 }
+
+# members may live in either query module; merged lookup keeps the
+# family machinery module-agnostic
+_MEMBER_QUERIES = {**relational.QUERIES, **textops.QUERIES}
+_MEMBER_ORACLES = {**relational.ORACLES, **textops.ORACLES}
 
 FAMILIES: dict[str, list[str]] = {
     # rollup/cube/grouping-sets/distinct-count (SURVEY §2.4)
@@ -115,6 +133,14 @@ FAMILIES: dict[str, list[str]] = {
     "qc_analytics_family": [
         "q26_scalar_subquery", "q29_lateral_topn", "q30_stat_aggs",
         "q24_sessionize", "q25_pivot",
+    ],
+    # training-data curation extensions: tokenization stats, winnowing
+    # fingerprint, sequence packing, exact-substring dup coverage
+    # (t02/t04 folded in round 4 to free gate slots for t07/d10 while
+    # holding the 50-entry cap)
+    "qc_curation_family": [
+        "t02_token_count", "t04_fingerprint", "t07_pack_stats",
+        "d10_duplicate_spans",
     ],
 }
 
@@ -163,7 +189,7 @@ def make_family_query(
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = None
         for m in members:
-            part = _slot_frame(relational.QUERIES[m](spark, sf_dir), m, width)
+            part = _slot_frame(_MEMBER_QUERIES[m](spark, sf_dir), m, width)
             out = part if out is None else out.unionByName(part)
         return out
 
@@ -187,7 +213,7 @@ def make_family_oracle(members: list[str]) -> str:
                     slots.get(f"{k}{i}", f"CAST(NULL AS {_SQL_TYPE[k]})")
                     + f" AS {k}{i}"
                 )
-        inner = relational.ORACLES[m].strip().rstrip(";")
+        inner = _MEMBER_ORACLES[m].strip().rstrip(";")
         parts.append("SELECT " + ", ".join(cols) + " FROM (\n" + inner + "\n)")
     return "\nUNION ALL\n".join(parts)
 

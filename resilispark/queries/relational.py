@@ -908,6 +908,54 @@ ORDER BY o_orderstatus
 """
 
 
+def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join (operators/asof.py): every click
+    event attached to the user's LATEST purchase at or before it —
+    verified against DuckDB's native ASOF JOIN.
+
+    Spark has no asof operator; the distributed spelling is union +
+    last(ignorenulls) over a (key, time)-ordered window — ONE shuffle
+    on user_id, no per-row range probe.  The right side is aggregated
+    to unique (user_id, ts) first so ties resolve deterministically in
+    both engines."""
+    from resilispark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = asof_join(clicks, purchases, on="user_id", left_time="ts", right_time="ts")
+    return out.select(
+        "user_id",
+        "event_id",
+        "purchase_id",
+        _epoch_us(out, "ts").alias("click_us"),
+        _epoch_us(out, "ts_matched").alias("purchase_us"),
+    ).orderBy("user_id", "event_id")
+
+
+ORACLE_Q31 = """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT c.user_id, c.event_id, p.purchase_id,
+       epoch_us(c.ts) AS click_us,
+       epoch_us(p.ts) AS purchase_us
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.user_id, c.event_id
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_distinct_agg": q02_distinct_agg,
@@ -939,6 +987,7 @@ QUERIES = {
     "q28_salted_skew_agg": q28_salted_skew_agg,
     "q29_lateral_topn": q29_lateral_topn,
     "q30_stat_aggs": q30_stat_aggs,
+    "q31_asof_join": q31_asof_join,
 }
 
 ORACLES = {
@@ -972,4 +1021,5 @@ ORACLES = {
     "q28_salted_skew_agg": ORACLE_Q28,
     "q29_lateral_topn": ORACLE_Q29,
     "q30_stat_aggs": ORACLE_Q30,
+    "q31_asof_join": ORACLE_Q31,
 }

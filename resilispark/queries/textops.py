@@ -1492,6 +1492,87 @@ ORDER BY doc_id
 """
 
 
+def t07_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): documents laid
+    end-to-end into 512-token sequences across 8 independent bucket
+    streams — the concat-and-chunk step between curation and tokenized
+    shards.  Per bucket: docs, tokens, sequences produced, docs
+    straddling a cut point, and the fill ratio.
+
+    The 100 TB plan: ONE shuffle on the bucket key; each bucket's
+    running-sum window sorts within its own partition, and the layout
+    is a pure function of (doc_id, seq_len, n_buckets) so retries
+    reproduce it."""
+    from resilispark.operators.packing import pack_stats
+
+    d = _docs(spark, sf_dir)
+    return pack_stats(d, seq_len=512, n_buckets=8)
+
+
+ORACLE_T07 = """
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS bucket,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+  FROM documents
+), s AS (
+  SELECT bucket, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS end_tok
+  FROM t
+)
+SELECT bucket,
+       count(*)::BIGINT AS n_docs,
+       SUM(n_tokens)::BIGINT AS total_tokens,
+       CAST(ceil(SUM(n_tokens) / 512.0) AS BIGINT) AS n_seqs,
+       SUM(CASE WHEN (end_tok - n_tokens) // 512 <> (end_tok - 1) // 512
+                THEN 1 ELSE 0 END)::BIGINT AS n_split_docs,
+       floor(SUM(n_tokens)
+             / (CAST(ceil(SUM(n_tokens) / 512.0) AS BIGINT) * 512.0)
+             * 1e4 + 0.5) / 1e4 AS fill_ratio
+FROM s
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def d10_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (operators/dedup.py
+    duplicate_span_coverage; Lee et al. 2021): per doc, the fraction
+    of token positions covered by a 5-token span already present in an
+    earlier document.  The suffix-array build of the paper becomes a
+    gram join: two hash shuffles on uniform md5 / doc-id keys, no
+    quadratic stage."""
+    from resilispark.operators.dedup import duplicate_span_coverage
+
+    d = _docs(spark, sf_dir)
+    return duplicate_span_coverage(d, span_tokens=5)
+
+
+ORACLE_D10 = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id, len(w)::BIGINT AS n_tokens, p,
+         md5(array_to_string(w[p+1:p+5], ' ')) AS g
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(w) - 4, 0))) AS p)
+), firsts AS (
+  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+), dup AS (
+  SELECT grams.doc_id, grams.n_tokens, grams.p
+  FROM grams JOIN firsts USING (g)
+  WHERE grams.doc_id > firsts.first_doc
+), covered AS (
+  SELECT DISTINCT doc_id, n_tokens, unnest(range(p, p + 5)) AS tok FROM dup
+)
+SELECT doc_id, n_tokens, count(*)::BIGINT AS dup_tokens,
+       floor(count(*) / (n_tokens * 1.0) * 1e4 + 0.5) / 1e4 AS coverage
+FROM covered
+GROUP BY doc_id, n_tokens
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1502,12 +1583,14 @@ QUERIES = {
     "d07_dedup_clusters": d07_dedup_clusters,
     "d08_simhash_pairs": d08_simhash_pairs,
     "d09_decontaminate": d09_decontaminate,
+    "d10_duplicate_spans": d10_duplicate_spans,
     "t01_quality_score": t01_quality_score,
     "t02_token_count": t02_token_count,
     "t03_lang_distribution": t03_lang_distribution,
     "t04_fingerprint": t04_fingerprint,
     "t05_lang_confusion": t05_lang_confusion,
     "t06_pii_scrub": t06_pii_scrub,
+    "t07_pack_stats": t07_pack_stats,
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
     "s03_label_centroid_norms": s03_label_centroid_norms,
@@ -1529,12 +1612,14 @@ ORACLES = {
     "d07_dedup_clusters": ORACLE_D07,
     "d08_simhash_pairs": ORACLE_D08,
     "d09_decontaminate": ORACLE_D09,
+    "d10_duplicate_spans": ORACLE_D10,
     "t01_quality_score": ORACLE_T01,
     "t02_token_count": ORACLE_T02,
     "t03_lang_distribution": ORACLE_T03,
     "t04_fingerprint": ORACLE_T04,
     "t05_lang_confusion": None,
     "t06_pii_scrub": ORACLE_T06,
+    "t07_pack_stats": ORACLE_T07,
     "s01_cosine_topk": ORACLE_S01,
     "s02_lsh_buckets": ORACLE_S02,
     "s03_label_centroid_norms": ORACLE_S03,

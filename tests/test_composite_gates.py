@@ -8,7 +8,7 @@ can't silently skew the family frame.
 import duckdb
 import pytest
 
-from resilispark.queries import composite, relational
+from resilispark.queries import composite
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = (
@@ -18,7 +18,7 @@ TABLES = (
 
 def test_every_spec_matches_member_schema(spark):
     for name, spec in composite._SPECS.items():
-        df = relational.QUERIES[name](spark, SF_DIR)
+        df = composite._MEMBER_QUERIES[name](spark, SF_DIR)
         assert df.columns == [c for c, _ in spec], name
         for (col, k), (_, dtype) in zip(spec, df.dtypes):
             if k == "s":
@@ -47,7 +47,7 @@ def test_every_member_query_is_covered_by_a_gate():
 def test_family_rowcount_equals_member_sum(spark, family):
     members = composite.FAMILIES[family]
     fam_n = composite.QUERIES[family](spark, SF_DIR).count()
-    member_n = sum(relational.QUERIES[m](spark, SF_DIR).count() for m in members)
+    member_n = sum(composite._MEMBER_QUERIES[m](spark, SF_DIR).count() for m in members)
     assert fam_n == member_n
 
 

@@ -1868,3 +1868,125 @@ def test_ivf_pq_ann(spark):
     assert r8 >= 0.5, r8
     assert r16 >= r8
     enc.unpersist()
+
+
+class TestSequencePacking:
+    def test_assign_packs_serial_equivalence(self, spark):
+        """The distributed layout must equal a serial concat-and-chunk
+        fold over each bucket's docs in id order."""
+        from resilispark.operators.packing import assign_packs
+
+        docs = [(i, " ".join(["w"] * (3 + (i * 7) % 11))) for i in range(40)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in assign_packs(df, seq_len=16, n_buckets=4).collect()
+        }
+        streams = {}
+        for i, text in docs:
+            b = i % 4
+            n = len(text.split())
+            start = streams.get(b, 0)
+            streams[b] = start + n
+            r = out[i]
+            assert r["bucket"] == b
+            assert (r["start_tok"], r["end_tok"]) == (start, start + n)
+            assert r["first_seq"] == start // 16
+            assert r["last_seq"] == (start + n - 1) // 16
+            assert r["is_split"] == (start // 16 != (start + n - 1) // 16)
+
+    def test_pack_stats_totals(self, spark):
+        from resilispark.operators.packing import pack_stats
+
+        docs = [(i, " ".join(["w"] * 10)) for i in range(20)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = pack_stats(df, seq_len=32, n_buckets=2).collect()
+        assert [r["bucket"] for r in rows] == [0, 1]
+        for r in rows:
+            assert r["n_docs"] == 10
+            assert r["total_tokens"] == 100
+            assert r["n_seqs"] == 4  # ceil(100/32)
+            import math
+
+            half_up = math.floor(100 / 128 * 1e4 + 0.5) / 1e4
+            assert abs(r["fill_ratio"] - half_up) < 1e-9
+
+    def test_token_count_col_passthrough(self, spark):
+        from resilispark.operators.packing import pack_stats
+
+        df = spark.createDataFrame(
+            [(0, 5), (1, 7), (2, 9)], "doc_id long, n_tok long"
+        )
+        rows = pack_stats(
+            df, token_count_col="n_tok", seq_len=10, n_buckets=1
+        ).collect()
+        assert rows[0]["total_tokens"] == 21 and rows[0]["n_seqs"] == 3
+
+
+class TestDuplicateSpans:
+    DOCS = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "a completely different document with no shared spans here"),
+        # doc 2 repeats doc 0's first 6 tokens -> spans at pos 0 and 1
+        (2, "the quick brown fox jumps over something else entirely now"),
+        # doc 3 shorter than the span width
+        (3, "tiny doc"),
+    ]
+
+    def test_coverage_matches_bruteforce(self, spark):
+        from resilispark.operators.dedup import duplicate_span_coverage
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        rows = {
+            r["doc_id"]: r
+            for r in duplicate_span_coverage(df, span_tokens=5).collect()
+        }
+        # brute force
+        n = 5
+        seen = {}
+        expect = {}
+        for did, text in self.DOCS:
+            w = text.split()
+            covered = set()
+            for p in range(max(len(w) - n + 1, 0)):
+                g = " ".join(w[p : p + n])
+                if g in seen and seen[g] < did:
+                    covered.update(range(p, p + n))
+                seen.setdefault(g, did)
+            if covered:
+                expect[did] = (len(w), len(covered))
+        assert set(rows) == set(expect)
+        for did, (n_tok, dup) in expect.items():
+            assert rows[did]["n_tokens"] == n_tok
+            assert rows[did]["dup_tokens"] == dup
+            assert rows[did]["coverage"] == round(dup / n_tok, 4)
+
+    def test_mask_removes_only_duplicated_spans(self, spark):
+        from resilispark.operators.dedup import mask_duplicate_spans
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        rows = {
+            r["doc_id"]: r for r in mask_duplicate_spans(df, span_tokens=5).collect()
+        }
+        assert len(rows) == 4
+        # first occurrence stays intact
+        assert rows[0]["text"] == self.DOCS[0][1]
+        assert rows[1]["text"] == self.DOCS[1][1]
+        assert rows[3]["text"] == "tiny doc" and rows[3]["dup_tokens"] == 0
+        # doc 2: positions 0..5 cut ("the quick brown fox jumps over")
+        assert rows[2]["text"] == "something else entirely now"
+        assert rows[2]["dup_tokens"] == 6
+        assert rows[2]["n_tokens"] == 10
+
+    def test_identical_docs_fully_covered(self, spark):
+        from resilispark.operators.dedup import duplicate_span_coverage
+
+        df = spark.createDataFrame(
+            [(0, "one two three four five six seven"),
+             (1, "one two three four five six seven")],
+            "doc_id long, text string",
+        )
+        rows = duplicate_span_coverage(df, span_tokens=5).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["doc_id"] == 1 and r["dup_tokens"] == 7 and r["coverage"] == 1.0
