@@ -58,8 +58,11 @@ HEADLINE = [
     "d06_embedding_neardup",
     "d08_simhash_pairs",
     "d09_decontaminate",
+    "d10_duplicate_spans",
     "t01_quality_score",
     "t06_pii_scrub",
+    "t07_pack_stats",
+    "q31_asof_join",
     "s01_cosine_topk",
     "s02_lsh_buckets",
     "s05_ivf_topk",

@@ -429,7 +429,12 @@ def paragraph_dedup(
 
 def _token_grams(words: Column, n: int) -> Column:
     """0-based (position, md5-of-n-gram) structs; empty when the doc has
-    fewer than ``n`` tokens."""
+    fewer than ``n`` tokens.
+
+    ``words`` MUST be a materialized column reference, not the split
+    expression itself: lambda bodies sit outside common-subexpression
+    elimination, so an inline ``split(...)`` here re-tokenizes the doc
+    once per gram (measured 3.5x slower at sf0.1)."""
     return F.when(
         F.size(words) >= n,
         F.transform(
@@ -469,24 +474,37 @@ def duplicate_span_coverage(
     Returns (id, n_tokens, dup_tokens, coverage) for every doc with at
     least one duplicated span; coverage is rounded to 4 places.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(
+    pre = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_w")
+    )
+    base = pre.select(
         F.col(id_col),
-        F.size(words).cast("bigint").alias("n_tokens"),
-        F.explode(_token_grams(words, span_tokens)).alias("g"),
+        F.size("_w").cast("bigint").alias("n_tokens"),
+        F.explode(_token_grams(F.col("_w"), span_tokens)).alias("g"),
     ).select(id_col, "n_tokens", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
     firsts = base.groupBy("gram").agg(F.min(id_col).alias("_first"))
     dup = base.join(firsts, "gram").filter(F.col(id_col) > F.col("_first"))
-    covered = dup.select(
-        id_col,
-        "n_tokens",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + (span_tokens - 1))).alias(
-            "tok"
+    # union of the fixed-length spans via sorted interval merge: with
+    # sorted start positions p_1..p_k each covering [p_i, p_i+n), the
+    # union size is Σ min(n, p_{i+1}-p_i) + n — pure codegen over the
+    # per-doc position list (bounded by the doc's own token count), no
+    # position explode and no corpus-wide distinct
+    ps = F.array_sort(F.collect_list("pos"))
+    gaps = F.transform(
+        ps,
+        lambda p, i: F.least(
+            F.lit(span_tokens),
+            # next-start minus this-start; F.get is 0-based and yields
+            # NULL (not an ANSI error) past the end -> last span counts n
+            F.coalesce(F.get(ps, i + 1) - p, F.lit(span_tokens)),
         ),
-    ).distinct()
+    )
+    dup_tokens = F.aggregate(
+        gaps, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
     return (
-        covered.groupBy(id_col, "n_tokens")
-        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+        dup.groupBy(id_col, "n_tokens")
+        .agg(dup_tokens.alias("dup_tokens"))
         .withColumn(
             "coverage",
             F.floor(F.col("dup_tokens") / F.col("n_tokens") * 1e4 + F.lit(0.5)) / 1e4,
@@ -514,10 +532,10 @@ def mask_duplicate_spans(
     Returns (id, text, n_tokens, dup_tokens) for EVERY input doc.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    toks = df.select(
+    toks = df.select(F.col(id_col), words.alias("_w")).select(
         F.col(id_col),
-        words.alias("_w"),
-        F.explode(_token_grams(words, span_tokens)).alias("g"),
+        "_w",
+        F.explode(_token_grams(F.col("_w"), span_tokens)).alias("g"),
     ).select(id_col, "_w", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
     firsts = toks.groupBy("gram").agg(F.min(id_col).alias("_first"))
     covered = (

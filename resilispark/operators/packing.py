@@ -32,6 +32,7 @@ def assign_packs(
     text_col: str = "text",
     seq_len: int = 2048,
     n_buckets: int = 8,
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """Assign every document a contiguous token span in its bucket's
     concatenated stream.
@@ -40,6 +41,11 @@ def assign_packs(
     stream is cut every ``seq_len`` tokens.  Token counts come from
     ``token_count_col`` if given, else whitespace tokens of
     ``text_col`` (the t02 baseline tokenizer).
+
+    ``shuffle_seed``: when set, documents are globally shuffled first —
+    bucket AND order become ``xxhash64(id, seed)`` instead of the raw
+    id, the deterministic spelling of the pre-training corpus shuffle
+    (no ``rand()``: task retries must reproduce the same layout).
 
     Returns one row per input doc:
     (bucket, id, n_tokens, start_tok, end_tok,  -- [start, end) in the stream
@@ -52,13 +58,21 @@ def assign_packs(
         n_tok = F.col(token_count_col).cast("bigint")
     else:
         n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
-    bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("bigint")
+    if shuffle_seed is None:
+        order_key = F.col(id_col)
+        bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("bigint")
+    else:
+        order_key = F.xxhash64(F.col(id_col), F.lit(shuffle_seed))
+        bucket = F.pmod(order_key, F.lit(n_buckets)).cast("bigint")
     base = docs.select(
-        bucket.alias("bucket"), F.col(id_col), n_tok.alias("n_tokens")
+        bucket.alias("bucket"),
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        order_key.alias("_ord"),
     )
     w = (
         W.partitionBy("bucket")
-        .orderBy(id_col)
+        .orderBy("_ord", id_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     end = F.sum("n_tokens").over(w)
@@ -92,6 +106,7 @@ def pack_stats(
     text_col: str = "text",
     seq_len: int = 2048,
     n_buckets: int = 8,
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """Per-bucket packing summary: how many fixed-length sequences the
     bucket yields, how full the last one is, and how many docs straddle
@@ -108,6 +123,7 @@ def pack_stats(
         text_col=text_col,
         seq_len=seq_len,
         n_buckets=n_buckets,
+        shuffle_seed=shuffle_seed,
     )
     total = F.sum("n_tokens")
     n_seqs = F.ceil(total / F.lit(seq_len)).cast("bigint")

@@ -1990,3 +1990,31 @@ class TestDuplicateSpans:
         assert len(rows) == 1
         r = rows[0]
         assert r["doc_id"] == 1 and r["dup_tokens"] == 7 and r["coverage"] == 1.0
+
+def test_pack_shuffle_seed_permutes_deterministically(spark):
+    """A shuffle seed must (a) reproduce the identical layout on
+    re-run, (b) actually change the order, (c) keep per-bucket
+    stream contiguity: spans within a bucket tile [0, total)."""
+    from resilispark.operators.packing import assign_packs
+
+    docs = [(i, " ".join(["w"] * (3 + (i * 5) % 9))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(
+        assign_packs(df, seq_len=16, n_buckets=4, shuffle_seed=7).collect()
+    )
+    b = sorted(
+        assign_packs(df, seq_len=16, n_buckets=4, shuffle_seed=7).collect()
+    )
+    assert a == b
+    plain = sorted(assign_packs(df, seq_len=16, n_buckets=4).collect())
+    assert a != plain
+    by_bucket = {}
+    for r in a:
+        by_bucket.setdefault(r["bucket"], []).append(
+            (r["start_tok"], r["end_tok"])
+        )
+    for spans in by_bucket.values():
+        spans.sort()
+        assert spans[0][0] == 0
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 == s2

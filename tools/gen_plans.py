@@ -31,6 +31,9 @@ PICKS = {
     "qc_windows_family": "Composite gate: union of four window queries — each member keeps its own single hash-partition window, the union adds NO extra shuffle.",
     "m01_image_features": "Real PNG decode path: two chained Arrow Python kernels over the parquet scan, no shuffle.",
     "m02_video_frames": "Real AVI decode + stub sampling unioned; sort only at the final output.",
+    "t07_pack_stats": "Sequence packing: ONE data shuffle on the bucket key, per-bucket running-sum window, then the stats aggregate.",
+    "d10_duplicate_spans": "Exact-substring dedup: gram join (AQE broadcasts the firsts side at this SF; sort-merge at scale) + covered-position aggregate — no quadratic stage.",
+    "q31_asof_join": "As-of join: pushed event_type filters, one hash shuffle on user_id for the union+window carry, no per-row range probe.",
 }
 
 _KEEP = re.compile(
