@@ -20,8 +20,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
-def _shingles(text: Column, k: int = 3) -> Column:
-    words = F.split(text, " ")
+def _shingles(words: Column, k: int = 3) -> Column:
+    """``words`` MUST be a materialized column, not the split expression:
+    subexpression elimination does not reach inside the transform lambda,
+    so an inline split re-tokenizes the doc once per shingle."""
     return F.when(
         F.size(words) >= k,
         F.transform(
@@ -138,9 +140,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature columns h0..h{n-1} (md5-hex min per
     seeded hash family — engine-portable and deterministic)."""
-    sh = df.select(
-        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_k)).alias("shingle")
-    ).distinct()
+    sh = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+        .select(
+            F.col(id_col),
+            F.explode(_shingles(F.col("_w"), shingle_k)).alias("shingle"),
+        )
+        .distinct()
+    )
     aggs = [
         F.min(F.md5(F.encode(F.concat(F.lit(f"{s}|"), F.col("shingle")), "UTF-8"))).alias(f"h{s}")
         for s in range(num_hashes)
@@ -274,9 +281,14 @@ def minhash_lsh_pairs(
     pairs = lsh_bucket_pairs(bands_df, id_col, max_bucket=max_bucket)
     if jaccard_threshold is None:
         return pairs
-    sh = df.select(
-        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_k)).alias("shingle")
-    ).distinct()
+    sh = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+        .select(
+            F.col(id_col),
+            F.explode(_shingles(F.col("_w"), shingle_k)).alias("shingle"),
+        )
+        .distinct()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -329,9 +341,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard above threshold (the correctness
     baseline; use minhash_lsh_pairs at scale)."""
-    sh = df.select(
-        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_k)).alias("shingle")
-    ).distinct()
+    sh = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+        .select(
+            F.col(id_col),
+            F.explode(_shingles(F.col("_w"), shingle_k)).alias("shingle"),
+        )
+        .distinct()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
