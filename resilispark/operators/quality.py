@@ -52,7 +52,14 @@ def gopher_quality_flags(
      - ``r_stopwords``: >= 2 distinct common function words present
     """
     text = F.col(text_col)
-    words = F.split(F.trim(text), r"\s+")
+    # materialize the split/lines columns BEFORE any lambda uses them:
+    # subexpression elimination does not reach inside transform/filter/
+    # aggregate lambda bodies, so an inline split would re-tokenize the
+    # document once per word/line
+    docs = docs.withColumn("_gq_w", F.split(F.trim(text), r"\s+")).withColumn(
+        "_gq_lines", F.split(text, "\n")
+    )
+    words = F.col("_gq_w")
     n_words = F.size(words)
     nw = F.greatest(n_words, F.lit(1)).cast("double")
     mean_wl = (
@@ -67,7 +74,7 @@ def gopher_quality_flags(
         + F.size(F.split(text, "…")) - 1
     )
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    lines = F.split(text, "\n")
+    lines = F.col("_gq_lines")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet_lines = F.size(
         F.filter(lines, lambda l: l.rlike(r"^\s*([-*•‣▪])"))
@@ -97,7 +104,7 @@ def gopher_quality_flags(
     for name, col in flags.items():
         out = out.withColumn(name, col)
         keep = col if keep is None else (keep & col)
-    return out.withColumn("keep", keep)
+    return out.withColumn("keep", keep).drop("_gq_w", "_gq_lines")
 
 
 def gopher_filter(docs: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
@@ -126,17 +133,18 @@ def top_ngram_fraction(
     Returns (id, n_ngrams, top_ngram_frac); documents with fewer than
     ``n`` words get n_ngrams=0 and a NULL fraction.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.col("_w")
     grams = F.when(
         F.size(words) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + off) for off in range(n)]
-            ),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         ),
     ).otherwise(F.array())
-    exploded = docs.select(F.col(id_col), F.explode_outer(grams).alias("_gram"))
+    # pre-split: lambdas are outside common-subexpression elimination
+    exploded = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_w")
+    ).select(F.col(id_col), F.explode_outer(grams).alias("_gram"))
     per_gram = exploded.groupBy(id_col, "_gram").agg(
         F.count(F.lit(1)).alias("_c")
     )
@@ -178,7 +186,9 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # pre-split (lambda bodies are outside common-subexpression
+    # elimination; the slice lambda below must not re-split per chunk)
+    words = F.col("_w")
     n = F.size(words)
     # window starts: 0, step, 2*step, ... while start < n; a doc
     # shorter than one chunk gets exactly one start (0)
@@ -192,6 +202,8 @@ def chunk_documents(
         starts, lambda s: F.slice(words, s + 1, chunk_tokens)
     )
     exploded = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_w")
+    ).select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "_toks"),
     )
