@@ -147,3 +147,97 @@ def pack_stats(
         )
         .orderBy("bucket")
     )
+
+
+def emit_sequences(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    n_buckets: int = 8,
+    shuffle_seed: int | None = None,
+) -> DataFrame:
+    """Materialize the packed sequences themselves: every fixed-length
+    training sequence as a row of space-joined tokens — the shard
+    content a tokenizer/loader consumes downstream of
+    :func:`assign_packs` (same layout, same parameters).
+
+    Plan: the per-bucket running-sum window lays out the stream, each
+    document explodes into the (few) sequences it touches with the
+    token slice it contributes, and one groupBy(bucket, seq) reassembles
+    fragments in stream order.  Per-task state is bounded by
+    ``seq_len`` tokens per output sequence — a document larger than
+    ``seq_len`` contributes at most one full slice per sequence, never
+    its whole body to one row.  The final sequence of each bucket is
+    the remainder (shorter than ``seq_len``).
+
+    Returns (bucket, seq_idx, n_tokens, seq_text).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    # split ONCE, outside every lambda (CSE does not reach lambda bodies)
+    if shuffle_seed is None:
+        order_key = F.col(id_col)
+        bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("bigint")
+    else:
+        order_key = F.xxhash64(F.col(id_col), F.lit(shuffle_seed))
+        bucket = F.pmod(order_key, F.lit(n_buckets)).cast("bigint")
+    base = docs.select(
+        bucket.alias("bucket"),
+        F.col(id_col),
+        order_key.alias("_ord"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("_ord", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    spans = (
+        base.withColumn("end_tok", F.sum(F.size("_w").cast("bigint")).over(w))
+        .withColumn("start_tok", F.col("end_tok") - F.size("_w"))
+        .withColumn("first_seq", F.floor(F.col("start_tok") / seq_len))
+        .withColumn("last_seq", F.floor((F.col("end_tok") - 1) / seq_len))
+    )
+    # one row per (doc, sequence it touches), carrying the contributed
+    # token slice: doc-local range [seq*L, (seq+1)*L) ∩ [start, end)
+    frag_start = F.greatest(F.col("seq_idx") * seq_len, F.col("start_tok"))
+    frag_end = F.least((F.col("seq_idx") + 1) * seq_len, F.col("end_tok"))
+    frags = spans.select(
+        "bucket",
+        "start_tok",
+        "end_tok",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_idx"),
+        "_w",
+    ).select(
+        "bucket",
+        "seq_idx",
+        (frag_start - F.col("start_tok")).alias("_off"),
+        F.slice(
+            "_w",
+            (frag_start - F.col("start_tok") + 1).cast("int"),
+            (frag_end - frag_start).cast("int"),
+        ).alias("_toks"),
+        frag_start.alias("_pos"),
+    )
+    return (
+        frags.groupBy("bucket", "seq_idx")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_pos", "_toks"))).alias("_parts")
+        )
+        .select(
+            "bucket",
+            "seq_idx",
+            F.aggregate(
+                "_parts",
+                F.lit(0).cast("bigint"),
+                lambda acc, p: acc + F.size(p["_toks"]),
+            ).alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.flatten(F.transform("_parts", lambda p: p["_toks"])),
+            ).alias("seq_text"),
+        )
+        .orderBy("bucket", "seq_idx")
+    )

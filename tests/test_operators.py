@@ -2018,3 +2018,66 @@ def test_pack_shuffle_seed_permutes_deterministically(spark):
         assert spans[0][0] == 0
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
             assert e1 == s2
+
+
+class TestEmitSequences:
+    def test_serial_equivalence(self, spark):
+        """Materialized sequences must equal the serial concat-and-chunk
+        fold over each bucket's docs in id order."""
+        from resilispark.operators.packing import emit_sequences
+
+        docs = [
+            (i, " ".join(f"w{i}_{j}" for j in range(3 + (i * 7) % 11)))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = emit_sequences(df, seq_len=16, n_buckets=4).collect()
+        streams = {}
+        for i, text in docs:
+            streams.setdefault(i % 4, []).extend(text.split())
+        by = {(r["bucket"], r["seq_idx"]): r for r in rows}
+        n_expected = 0
+        for b, toks in streams.items():
+            nseq = (len(toks) + 15) // 16
+            n_expected += nseq
+            for s in range(nseq):
+                want = toks[s * 16 : (s + 1) * 16]
+                got = by[(b, s)]
+                assert got["seq_text"] == " ".join(want)
+                assert got["n_tokens"] == len(want)
+        assert len(rows) == n_expected
+
+    def test_giant_doc_spans_many_sequences(self, spark):
+        """A document much larger than seq_len must tile cleanly across
+        sequences — one bounded fragment per sequence, never its whole
+        body in one row."""
+        from resilispark.operators.packing import emit_sequences
+
+        big = " ".join(f"t{j}" for j in range(100))
+        df = spark.createDataFrame(
+            [(0, "a b c"), (8, big), (16, "x y")], "doc_id long, text string"
+        )
+        rows = emit_sequences(df, seq_len=10, n_buckets=1).collect()
+        toks = "a b c".split() + big.split() + "x y".split()
+        assert len(rows) == (len(toks) + 9) // 10
+        for r in rows:
+            s = r["seq_idx"]
+            assert r["seq_text"] == " ".join(toks[s * 10 : (s + 1) * 10])
+
+    def test_layout_matches_assign_packs(self, spark):
+        """emit_sequences and assign_packs must agree on the sequence
+        count per bucket for the same (seq_len, n_buckets, seed)."""
+        from resilispark.operators.packing import emit_sequences, pack_stats
+
+        docs = [(i, " ".join(["w"] * (5 + i % 7))) for i in range(30)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        seqs = emit_sequences(df, seq_len=16, n_buckets=4, shuffle_seed=3)
+        got = {
+            r["bucket"]: r["n"]
+            for r in seqs.groupBy("bucket").count().withColumnRenamed("count", "n").collect()
+        }
+        want = {
+            r["bucket"]: r["n_seqs"]
+            for r in pack_stats(df, seq_len=16, n_buckets=4, shuffle_seed=3).collect()
+        }
+        assert got == want
