@@ -202,6 +202,22 @@ def cmd_curate(args) -> int:
             docs = filter_url_blocklist(docs, bl, url_col=url_col)
     if not args.no_quality:
         docs = gopher_filter(docs, "text", min_stopwords=args.min_stopwords)
+    if args.dedup:
+        from resilispark.operators.dedup import exact_dedup
+
+        docs = (
+            exact_dedup(docs, "text", "doc_id")
+            .filter(~F.col("is_duplicate"))
+            .drop("content_hash", "is_duplicate", "copies")
+        )
+    if args.span_dedup:
+        from resilispark.operators.dedup import mask_duplicate_spans
+
+        keep = [c for c in docs.columns if c not in ("text",)]
+        masked = mask_duplicate_spans(
+            docs, "text", "doc_id", span_tokens=args.span_dedup
+        ).select("doc_id", "text")
+        docs = docs.drop("text").join(masked, "doc_id")
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
         bcol = "text" if "text" in bench.columns else bench.columns[0]
@@ -233,6 +249,17 @@ def cmd_curate(args) -> int:
             f"docs={row.n_docs} tokens={row.n_tokens} "
             f"short_rate={row.short_doc_rate:.3f}"
         )
+    if args.pack:
+        from resilispark.operators.packing import emit_sequences
+
+        seqs = emit_sequences(
+            spark.read.parquet(args.output),
+            seq_len=args.pack,
+            n_buckets=args.pack_buckets,
+            shuffle_seed=args.pack_seed,
+        )
+        seqs.write.mode("overwrite").parquet(args.output + ".packed")
+        print(f"wrote {args.output}.packed")
     print(f"wrote {args.output}")
     return 0
 
@@ -595,6 +622,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keep-pii", action="store_true")
     p.add_argument("--no-quality", action="store_true")
     p.add_argument("--min-stopwords", type=int, default=0)
+    p.add_argument("--dedup", action="store_true",
+                   help="exact keep-first dedup by content digest")
+    p.add_argument("--span-dedup", type=int, default=None, metavar="N",
+                   help="cut N-token spans already seen in earlier docs")
+    p.add_argument("--pack", type=int, default=None, metavar="SEQ_LEN",
+                   help="also write packed training sequences to OUTPUT.packed")
+    p.add_argument("--pack-buckets", type=int, default=32)
+    p.add_argument("--pack-seed", type=int, default=None,
+                   help="deterministic corpus shuffle before packing")
     p.set_defaults(fn=cmd_curate)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")

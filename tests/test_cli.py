@@ -253,3 +253,56 @@ def test_cli_curate(tmp_path):
     import os
 
     assert any(d.startswith("lang=") for d in os.listdir(out))
+
+
+def test_cli_curate_dedup_and_pack(tmp_path, spark):
+    """curate --dedup --span-dedup --pack runs the full chain and the
+    packed shards reconstruct every surviving token exactly once."""
+    from resilispark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "en", "web"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "web"),  # exact dup
+        (2, "unique words only in this document right here now", "en", "web"),
+        (3, "alpha beta gamma delta epsilon other tail words here", "en", "web"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "corpus")
+    rc = main(
+        [
+            "--cpus",
+            "4",
+            "curate",
+            src,
+            "-o",
+            out,
+            "--no-quality",
+            "--keep-pii",
+            "--dedup",
+            "--span-dedup",
+            "5",
+            "--pack",
+            "8",
+            "--pack-buckets",
+            "1",
+        ]
+    )
+    assert rc == 0
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out).select("doc_id", "text").collect()
+    }
+    assert 1 not in kept  # exact duplicate dropped
+    assert kept[0] == rows[0][1]  # first occurrence intact
+    # doc 3 loses its 5-token prefix span shared with doc 0
+    assert kept[3] == "other tail words here"
+    packed = spark.read.parquet(out + ".packed")
+    seqs = sorted(
+        packed.select("seq_idx", "seq_text").collect(), key=lambda r: r["seq_idx"]
+    )
+    stream = " ".join(t for t in (" ".join(kept[i] for i in sorted(kept))).split())
+    assert " ".join(r["seq_text"] for r in seqs).split() == stream.split()
+    assert all(len(r["seq_text"].split()) <= 8 for r in seqs)
