@@ -95,6 +95,13 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "n"), ("n_tokens", "n"), ("dup_tokens", "n"),
         ("coverage", "d"),
     ],
+    "t08_emit_sequences": [
+        ("bucket", "n"), ("seq_idx", "n"), ("n_tokens", "n"), ("seq_md5", "s"),
+    ],
+    "d11_mask_spans": [
+        ("doc_id", "n"), ("n_tokens", "n"), ("dup_tokens", "n"),
+        ("masked_md5", "s"),
+    ],
 }
 
 # members may live in either query module; merged lookup keeps the
@@ -140,7 +147,7 @@ FAMILIES: dict[str, list[str]] = {
     # holding the 50-entry cap)
     "qc_curation_family": [
         "t02_token_count", "t04_fingerprint", "t07_pack_stats",
-        "d10_duplicate_spans",
+        "d10_duplicate_spans", "t08_emit_sequences", "d11_mask_spans",
     ],
 }
 

@@ -1573,6 +1573,95 @@ ORDER BY doc_id
 """
 
 
+def t08_emit_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized sequence packing (operators/packing.py
+    emit_sequences): the 256-token training sequences themselves over 4
+    bucket streams, hashed per sequence — verifying fragment slicing
+    and stream-order reassembly, not just the t07 layout arithmetic."""
+    from resilispark.operators.packing import emit_sequences
+
+    d = _docs(spark, sf_dir)
+    return emit_sequences(d, seq_len=256, n_buckets=4).select(
+        "bucket",
+        "seq_idx",
+        "n_tokens",
+        F.md5(F.encode("seq_text", "UTF-8")).alias("seq_md5"),
+    )
+
+
+ORACLE_T08 = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 4 AS bucket,
+         regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), streams AS (
+  SELECT bucket, flatten(list(w ORDER BY doc_id)) AS s
+  FROM toks GROUP BY bucket
+), seqs AS (
+  SELECT bucket, i AS seq_idx,
+         s[i*256 + 1 : least((i+1)*256, len(s))] AS st
+  FROM streams,
+       LATERAL (SELECT unnest(range(0, CAST(ceil(len(s) / 256.0) AS BIGINT))) AS i)
+)
+SELECT bucket, seq_idx, len(st)::BIGINT AS n_tokens,
+       md5(array_to_string(st, ' ')) AS seq_md5
+FROM seqs
+ORDER BY bucket, seq_idx
+"""
+
+
+def d11_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destructive exact-substring dedup (operators/dedup.py
+    mask_duplicate_spans): duplicated 5-token spans cut out of the
+    text, verified by the md5 of every reassembled document."""
+    from resilispark.operators.dedup import mask_duplicate_spans
+
+    d = _docs(spark, sf_dir)
+    return (
+        mask_duplicate_spans(d, span_tokens=5)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_tokens",
+            F.md5(F.encode("text", "UTF-8")).alias("masked_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_D11 = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id, p, md5(array_to_string(w[p+1:p+5], ' ')) AS g
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(w) - 4, 0))) AS p)
+), firsts AS (
+  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+), cut AS (
+  SELECT doc_id, list(DISTINCT tok) AS cuts
+  FROM (
+    SELECT grams.doc_id, unnest(range(p, p + 5)) AS tok
+    FROM grams JOIN firsts USING (g)
+    WHERE grams.doc_id > firsts.first_doc
+  )
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(w)::BIGINT AS n_tokens,
+       coalesce(len(cuts), 0)::BIGINT AS dup_tokens,
+       md5(coalesce(array_to_string(
+         list_filter(
+           list_transform(range(1, len(w) + 1),
+                          i -> CASE WHEN cuts IS NOT NULL
+                                     AND list_contains(cuts, i - 1)
+                               THEN NULL ELSE w[i] END),
+           x -> x IS NOT NULL),
+         ' '), '')) AS masked_md5
+FROM toks t LEFT JOIN cut USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1584,6 +1673,7 @@ QUERIES = {
     "d08_simhash_pairs": d08_simhash_pairs,
     "d09_decontaminate": d09_decontaminate,
     "d10_duplicate_spans": d10_duplicate_spans,
+    "d11_mask_spans": d11_mask_spans,
     "t01_quality_score": t01_quality_score,
     "t02_token_count": t02_token_count,
     "t03_lang_distribution": t03_lang_distribution,
@@ -1591,6 +1681,7 @@ QUERIES = {
     "t05_lang_confusion": t05_lang_confusion,
     "t06_pii_scrub": t06_pii_scrub,
     "t07_pack_stats": t07_pack_stats,
+    "t08_emit_sequences": t08_emit_sequences,
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
     "s03_label_centroid_norms": s03_label_centroid_norms,
@@ -1613,6 +1704,7 @@ ORACLES = {
     "d08_simhash_pairs": ORACLE_D08,
     "d09_decontaminate": ORACLE_D09,
     "d10_duplicate_spans": ORACLE_D10,
+    "d11_mask_spans": ORACLE_D11,
     "t01_quality_score": ORACLE_T01,
     "t02_token_count": ORACLE_T02,
     "t03_lang_distribution": ORACLE_T03,
@@ -1620,6 +1712,7 @@ ORACLES = {
     "t05_lang_confusion": None,
     "t06_pii_scrub": ORACLE_T06,
     "t07_pack_stats": ORACLE_T07,
+    "t08_emit_sequences": ORACLE_T08,
     "s01_cosine_topk": ORACLE_S01,
     "s02_lsh_buckets": ORACLE_S02,
     "s03_label_centroid_norms": ORACLE_S03,
