@@ -1,0 +1,151 @@
+"""Linear text-quality classifier: the CCNet/GPT-3-style curation step
+that scores every document against a small labeled seed set (e.g.
+wiki-like = positive, random crawl = negative) and keeps the high end.
+
+Shape at 100 TB: training runs on the DRIVER over the labeled seed set
+(these are thousands of rows — collect is bounded and documented, like
+the IVF centroid table); scoring is one Arrow-batched pandas UDF over
+the corpus scan — the ~1 MB weight vector ships in the UDF closure, no
+shuffle, no join.  The hashing trick (crc32 mod n_features) keeps the
+model a dense float32 vector with no vocabulary table to broadcast.
+
+Everything is deterministic: fixed-seed numpy shuffles, crc32 hashing —
+task retries and re-runs score identically.
+
+No reference-parity citation: the reference engine stops at extraction;
+this is part of the training-data extension surface (SURVEY §2
+"beyond the reference" block).
+"""
+
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class TextClassifierModel:
+    """Hashed bag-of-words logistic model: ``score = sigmoid(mean of
+    weights[h(token)] + bias)``."""
+
+    weights: np.ndarray  # float32[n_features]
+    bias: float
+    n_features: int
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.weights, self.bias, self.n_features))
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "TextClassifierModel":
+        import pickle
+
+        w, b, n = pickle.loads(blob)
+        return cls(weights=w, bias=b, n_features=n)
+
+
+def _token_ids(text: str, n_features: int) -> np.ndarray:
+    toks = text.split()
+    if not toks:
+        return np.zeros(0, dtype=np.int64)
+    return np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) % n_features for t in toks),
+        dtype=np.int64,
+        count=len(toks),
+    )
+
+
+def train_text_classifier(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    *,
+    n_features: int = 1 << 16,
+    epochs: int = 10,
+    lr: float = 0.5,
+    l2: float = 1e-6,
+    seed: int = 0,
+    max_rows: int = 200_000,
+) -> TextClassifierModel:
+    """Fit the logistic model on a labeled seed DataFrame (label 0/1).
+
+    The seed set is collected to the driver — BOUNDED at ``max_rows``
+    (quality seed sets are thousands of docs; raising past ~10^6 rows
+    is the wrong tool, train off-cluster instead).  SGD with a fixed
+    shuffle seed, mean-pooled hashed features, L2 on the weights.
+    """
+    rows = labeled.select(
+        F.col(text_col).alias("t"), F.col(label_col).cast("int").alias("y")
+    ).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"labeled seed set exceeds max_rows={max_rows}; "
+            "train off-cluster for sets this large"
+        )
+    docs = [(_token_ids(r["t"] or "", n_features), r["y"]) for r in rows]
+    docs = [(ids, y) for ids, y in docs if len(ids)]
+    if not docs:
+        raise ValueError("no non-empty labeled documents")
+    w = np.zeros(n_features, dtype=np.float64)
+    b = 0.0
+    rng = np.random.default_rng(seed)
+    order = np.arange(len(docs))
+    for _ in range(epochs):
+        rng.shuffle(order)
+        for i in order:
+            ids, y = docs[i]
+            z = w[ids].sum() / len(ids) + b
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = p - y
+            np.add.at(w, ids, -lr * g / len(ids))
+            b -= lr * g
+        w *= 1.0 - lr * l2
+    return TextClassifierModel(
+        weights=w.astype(np.float32), bias=float(b), n_features=n_features
+    )
+
+
+def score_text_classifier(
+    docs: DataFrame,
+    model: TextClassifierModel,
+    text_col: str = "text",
+    *,
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Append ``score_col`` (the sigmoid probability, double) to every
+    row — one Arrow-batched pandas UDF over the scan, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    weights = model.weights
+    bias = model.bias
+    n_features = model.n_features
+
+    @pandas_udf("double")
+    def _score(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            ids = _token_ids(t or "", n_features)
+            z = bias if len(ids) == 0 else weights[ids].sum() / len(ids) + bias
+            out[i] = 1.0 / (1.0 + np.exp(-z))
+        return pd.Series(out)
+
+    return docs.withColumn(score_col, _score(F.col(text_col)))
+
+
+def quality_classifier_filter(
+    docs: DataFrame,
+    model: TextClassifierModel,
+    text_col: str = "text",
+    *,
+    threshold: float = 0.5,
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Keep documents the classifier scores at or above ``threshold``
+    (the CCNet head/middle/tail split reduced to one cut)."""
+    return score_text_classifier(
+        docs, model, text_col, score_col=score_col
+    ).filter(F.col(score_col) >= threshold)

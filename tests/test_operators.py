@@ -2081,3 +2081,78 @@ class TestEmitSequences:
             for r in pack_stats(df, seq_len=16, n_buckets=4, shuffle_seed=3).collect()
         }
         assert got == want
+
+
+class TestQualityClassifier:
+    @staticmethod
+    def _corpus(spark, n, seed):
+        import random
+
+        rng = random.Random(seed)
+        good_vocab = [f"good{i}" for i in range(50)]
+        spam_vocab = [f"spam{i}" for i in range(50)]
+        shared = [f"common{i}" for i in range(30)]
+        rows = []
+        for i in range(n):
+            y = i % 2
+            vocab = good_vocab if y else spam_vocab
+            words = [rng.choice(vocab) for _ in range(15)] + [
+                rng.choice(shared) for _ in range(5)
+            ]
+            rng.shuffle(words)
+            rows.append((i, " ".join(words), y))
+        return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    def test_learns_separable_vocab(self, spark):
+        from resilispark.operators.classifier import (
+            score_text_classifier,
+            train_text_classifier,
+        )
+
+        train = self._corpus(spark, 200, seed=1)
+        test = self._corpus(spark, 100, seed=2)
+        model = train_text_classifier(train)
+        scored = score_text_classifier(test, model).collect()
+        acc = sum(
+            1 for r in scored if (r["quality_score"] >= 0.5) == (r["label"] == 1)
+        ) / len(scored)
+        assert acc >= 0.95, acc
+
+    def test_training_is_deterministic(self, spark):
+        import numpy as np
+
+        from resilispark.operators.classifier import train_text_classifier
+
+        train = self._corpus(spark, 100, seed=3)
+        m1 = train_text_classifier(train, epochs=3)
+        m2 = train_text_classifier(train, epochs=3)
+        assert np.array_equal(m1.weights, m2.weights) and m1.bias == m2.bias
+
+    def test_model_roundtrip_and_filter(self, spark):
+        from resilispark.operators.classifier import (
+            TextClassifierModel,
+            quality_classifier_filter,
+            train_text_classifier,
+        )
+
+        train = self._corpus(spark, 200, seed=4)
+        model = TextClassifierModel.from_bytes(
+            train_text_classifier(train).to_bytes()
+        )
+        kept = quality_classifier_filter(
+            self._corpus(spark, 100, seed=5), model, threshold=0.5
+        )
+        rows = kept.collect()
+        assert rows and all(r["quality_score"] >= 0.5 for r in rows)
+        # mostly the positive class survives
+        frac_pos = sum(r["label"] for r in rows) / len(rows)
+        assert frac_pos >= 0.9
+
+    def test_seed_set_cap(self, spark):
+        import pytest as _pytest
+
+        from resilispark.operators.classifier import train_text_classifier
+
+        df = self._corpus(spark, 50, seed=6)
+        with _pytest.raises(ValueError, match="max_rows"):
+            train_text_classifier(df, max_rows=10)
