@@ -213,11 +213,21 @@ def cmd_curate(args) -> int:
     if args.span_dedup:
         from resilispark.operators.dedup import mask_duplicate_spans
 
-        keep = [c for c in docs.columns if c not in ("text",)]
         masked = mask_duplicate_spans(
             docs, "text", "doc_id", span_tokens=args.span_dedup
         ).select("doc_id", "text")
         docs = docs.drop("text").join(masked, "doc_id")
+    if args.classifier_seed:
+        from resilispark.operators.classifier import (
+            quality_classifier_filter,
+            train_text_classifier,
+        )
+
+        seed_df = spark.read.parquet(args.classifier_seed)
+        model = train_text_classifier(seed_df)
+        docs = quality_classifier_filter(
+            docs, model, threshold=args.classifier_threshold
+        )
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
         bcol = "text" if "text" in bench.columns else bench.columns[0]
@@ -631,6 +641,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pack-buckets", type=int, default=32)
     p.add_argument("--pack-seed", type=int, default=None,
                    help="deterministic corpus shuffle before packing")
+    p.add_argument("--classifier-seed", default=None, metavar="PARQUET",
+                   help="labeled (text,label) parquet: train a quality "
+                        "classifier and filter by it")
+    p.add_argument("--classifier-threshold", type=float, default=0.5)
     p.set_defaults(fn=cmd_curate)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")

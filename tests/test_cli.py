@@ -306,3 +306,42 @@ def test_cli_curate_dedup_and_pack(tmp_path, spark):
     stream = " ".join(t for t in (" ".join(kept[i] for i in sorted(kept))).split())
     assert " ".join(r["seq_text"] for r in seqs).split() == stream.split()
     assert all(len(r["seq_text"].split()) <= 8 for r in seqs)
+
+
+def test_cli_curate_classifier_filter(tmp_path, spark):
+    """curate --classifier-seed trains on the labeled parquet and drops
+    the low-scoring class."""
+    import random
+
+    from resilispark.__main__ import main
+
+    rng = random.Random(9)
+    good = [f"good{i}" for i in range(40)]
+    spam = [f"spam{i}" for i in range(40)]
+
+    def doc(vocab):
+        return " ".join(rng.choice(vocab) for _ in range(20))
+
+    seed = str(tmp_path / "seed.parquet")
+    spark.createDataFrame(
+        [(doc(good), 1) for _ in range(80)] + [(doc(spam), 0) for _ in range(80)],
+        "text string, label int",
+    ).write.mode("overwrite").parquet(seed)
+
+    src = str(tmp_path / "docs.parquet")
+    rows = [(i, doc(good if i % 2 else spam), "en", "web") for i in range(40)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "corpus")
+    rc = main(
+        [
+            "--cpus", "4", "curate", src, "-o", out,
+            "--no-quality", "--keep-pii",
+            "--classifier-seed", seed,
+        ]
+    )
+    assert rc == 0
+    kept = [r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()]
+    assert kept and all(i % 2 == 1 for i in kept), sorted(kept)[:10]
