@@ -1,0 +1,170 @@
+"""Character n-gram language-model perplexity scoring — the CCNet-style
+"does this read like the seed corpus" filter that complements the
+linear quality classifier (operators/classifier.py).
+
+CCNet scores Common Crawl against a Wikipedia KenLM; without native
+KenLM this is the same idea at character granularity: a stupid-backoff
+n-gram model over hashed context counts.  Training runs on the DRIVER
+over a bounded seed sample (count arrays, ~8 MB at the default table
+size); scoring is one Arrow-batched pandas UDF over the corpus scan —
+the count tables ship in the closure, no shuffle, no join.  Hash
+collisions (crc32 mod table size) only smooth counts slightly — this
+is a ranking signal, not a calibrated LM.
+
+Deterministic end to end: crc32 hashing, pure counting — retries and
+re-runs score identically.
+
+No reference-parity citation: the reference engine stops at
+extraction; this is part of the training-data extension surface
+(SURVEY §2 "beyond the reference" block).
+"""
+
+import math
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007)
+
+
+def _h(s: str, m: int) -> int:
+    return zlib.crc32(s.encode("utf-8")) % m
+
+
+@dataclass
+class CharLmModel:
+    """Hashed count tables for orders 1..n; ``counts[k]`` holds
+    (k+1)-gram counts, ``totals`` the unigram normalizer."""
+
+    counts: list  # list[np.ndarray uint64], index k = (k+1)-gram table
+    total_chars: int
+    order: int
+    table_size: int
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps(
+            (self.counts, self.total_chars, self.order, self.table_size)
+        )
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CharLmModel":
+        import pickle
+
+        c, t, o, m = pickle.loads(blob)
+        return cls(counts=c, total_chars=t, order=o, table_size=m)
+
+
+def _count_doc(text: str, counts: list, order: int, m: int) -> int:
+    t = " " + text.lower() + " "
+    n = len(t)
+    for k in range(order):
+        tab = counts[k]
+        w = k + 1
+        for i in range(n - w + 1):
+            tab[_h(t[i : i + w], m)] += 1
+    return n
+
+
+def train_char_lm(
+    seed: DataFrame,
+    text_col: str = "text",
+    *,
+    order: int = 3,
+    table_size: int = 1 << 20,
+    max_rows: int = 100_000,
+) -> CharLmModel:
+    """Count hashed character n-grams (orders 1..``order``) over the
+    seed corpus — the bounded driver-side collect mirrors
+    ``train_text_classifier``'s contract."""
+    rows = seed.select(F.col(text_col).alias("t")).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"seed corpus exceeds max_rows={max_rows}; sample it first"
+        )
+    counts = [np.zeros(table_size, dtype=np.uint64) for _ in range(order)]
+    total = 0
+    for r in rows:
+        if r["t"]:
+            total += _count_doc(r["t"], counts, order, table_size)
+    if total == 0:
+        raise ValueError("no non-empty seed documents")
+    return CharLmModel(
+        counts=counts, total_chars=total, order=order, table_size=table_size
+    )
+
+
+def _doc_log_perplexity(text: str, model: CharLmModel) -> float:
+    t = " " + text.lower() + " "
+    n = len(t)
+    order, m = model.order, model.table_size
+    counts, total = model.counts, model.total_chars
+    if n < 2:
+        return float("nan")
+    lp = 0.0
+    scored = 0
+    for i in range(1, n):
+        # longest available context, stupid backoff down to unigram
+        penalty = 1.0
+        p = None
+        for k in range(min(order - 1, i), -1, -1):
+            gram = t[i - k : i + 1]
+            c = counts[k][_h(gram, m)]
+            if c > 0:
+                denom = (
+                    counts[k - 1][_h(gram[:-1], m)] if k > 0 else total
+                )
+                if denom > 0:
+                    p = penalty * float(c) / float(denom)
+                    break
+            penalty *= _BACKOFF
+        if p is None or p <= 0:
+            p = penalty / m  # unseen even as unigram: hash-floor prob
+        lp += math.log(min(p, 1.0))
+        scored += 1
+    return -lp / scored
+
+
+def perplexity_score(
+    docs: DataFrame,
+    model: CharLmModel,
+    text_col: str = "text",
+    *,
+    score_col: str = "log_ppl",
+) -> DataFrame:
+    """Append the per-character negative mean log-probability (natural
+    log; lower = more seed-like).  One Arrow-batched pandas UDF, no
+    shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    blob = model.to_bytes()
+
+    @pandas_udf("double")
+    def _score(texts: pd.Series) -> pd.Series:
+        mdl = CharLmModel.from_bytes(blob)
+        return pd.Series(
+            [_doc_log_perplexity(t or "", mdl) for t in texts],
+            dtype="float64",
+        )
+
+    return docs.withColumn(score_col, _score(F.col(text_col)))
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    model: CharLmModel,
+    text_col: str = "text",
+    *,
+    max_log_ppl: float,
+    score_col: str = "log_ppl",
+) -> DataFrame:
+    """Keep documents at or below ``max_log_ppl`` (CCNet keeps the
+    low-perplexity head of the distribution)."""
+    return perplexity_score(docs, model, text_col, score_col=score_col).filter(
+        F.col(score_col) <= max_log_ppl
+    )

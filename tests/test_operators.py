@@ -2156,3 +2156,85 @@ class TestQualityClassifier:
         df = self._corpus(spark, 50, seed=6)
         with _pytest.raises(ValueError, match="max_rows"):
             train_text_classifier(df, max_rows=10)
+
+
+class TestCharLmPerplexity:
+    WORDS = (
+        "the quick brown fox jumps over a lazy dog while many other "
+        "animals watch from the green field near the old stone bridge"
+    ).split()
+
+    @classmethod
+    def _english_like(cls, rng, n=25):
+        return " ".join(rng.choice(cls.WORDS) for _ in range(n))
+
+    @staticmethod
+    def _gibberish(rng, n=25):
+        import string
+
+        return " ".join(
+            "".join(rng.choice(string.ascii_lowercase) for _ in range(5))
+            for _ in range(n)
+        )
+
+    def test_seed_like_text_scores_lower(self, spark):
+        import random
+
+        from resilispark.operators.ngram_lm import perplexity_score, train_char_lm
+
+        rng = random.Random(11)
+        seed = spark.createDataFrame(
+            [(self._english_like(rng),) for _ in range(120)], "text string"
+        )
+        model = train_char_lm(seed, table_size=1 << 16)
+        test = spark.createDataFrame(
+            [(i, self._english_like(rng) if i % 2 else self._gibberish(rng))
+             for i in range(40)],
+            "doc_id long, text string",
+        )
+        rows = perplexity_score(test, model).collect()
+        eng = [r["log_ppl"] for r in rows if r["doc_id"] % 2 == 1]
+        gib = [r["log_ppl"] for r in rows if r["doc_id"] % 2 == 0]
+        assert max(eng) < min(gib), (max(eng), min(gib))
+
+    def test_filter_and_determinism(self, spark):
+        import random
+
+        from resilispark.operators.ngram_lm import (
+            CharLmModel,
+            perplexity_filter,
+            train_char_lm,
+        )
+
+        rng = random.Random(12)
+        seed = spark.createDataFrame(
+            [(self._english_like(rng),) for _ in range(60)], "text string"
+        )
+        m1 = train_char_lm(seed, table_size=1 << 16)
+        m2 = CharLmModel.from_bytes(m1.to_bytes())
+        import numpy as np
+
+        assert all(np.array_equal(a, b) for a, b in zip(m1.counts, m2.counts))
+        test = spark.createDataFrame(
+            [(i, self._english_like(rng) if i % 2 else self._gibberish(rng))
+             for i in range(20)],
+            "doc_id long, text string",
+        )
+        # threshold between the two clusters: median of all scores
+        from resilispark.operators.ngram_lm import perplexity_score
+
+        scores = sorted(
+            r["log_ppl"] for r in perplexity_score(test, m1).collect()
+        )
+        cut = scores[len(scores) // 2 - 1]
+        kept = perplexity_filter(test, m2, max_log_ppl=cut).collect()
+        assert kept and all(r["doc_id"] % 2 == 1 for r in kept)
+
+    def test_seed_cap(self, spark):
+        import pytest as _pytest
+
+        from resilispark.operators.ngram_lm import train_char_lm
+
+        df = spark.createDataFrame([("abc",)] * 20, "text string")
+        with _pytest.raises(ValueError, match="max_rows"):
+            train_char_lm(df, max_rows=5)
