@@ -228,6 +228,14 @@ def cmd_curate(args) -> int:
         docs = quality_classifier_filter(
             docs, model, threshold=args.classifier_threshold
         )
+    if args.perplexity_seed:
+        from resilispark.operators.ngram_lm import (
+            perplexity_filter,
+            train_char_lm,
+        )
+
+        lm = train_char_lm(spark.read.parquet(args.perplexity_seed))
+        docs = perplexity_filter(docs, lm, max_log_ppl=args.max_log_ppl)
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
         bcol = "text" if "text" in bench.columns else bench.columns[0]
@@ -645,6 +653,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="labeled (text,label) parquet: train a quality "
                         "classifier and filter by it")
     p.add_argument("--classifier-threshold", type=float, default=0.5)
+    p.add_argument("--perplexity-seed", default=None, metavar="PARQUET",
+                   help="seed-corpus parquet: filter by char-LM perplexity")
+    p.add_argument("--max-log-ppl", type=float, default=3.0,
+                   help="keep docs at or below this mean -log p per char")
     p.set_defaults(fn=cmd_curate)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")

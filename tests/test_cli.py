@@ -345,3 +345,47 @@ def test_cli_curate_classifier_filter(tmp_path, spark):
     assert rc == 0
     kept = [r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()]
     assert kept and all(i % 2 == 1 for i in kept), sorted(kept)[:10]
+
+
+def test_cli_curate_perplexity_filter(tmp_path, spark):
+    """curate --perplexity-seed keeps seed-like docs, drops gibberish."""
+    import random
+    import string
+
+    from resilispark.__main__ import main
+
+    rng = random.Random(13)
+    words = ("the quick brown fox jumps over a lazy dog near the old "
+             "stone bridge by the green field").split()
+
+    def eng():
+        return " ".join(rng.choice(words) for _ in range(25))
+
+    def gib():
+        return " ".join(
+            "".join(rng.choice(string.ascii_lowercase) for _ in range(5))
+            for _ in range(25)
+        )
+
+    seed = str(tmp_path / "seed.parquet")
+    spark.createDataFrame(
+        [(eng(),) for _ in range(80)], "text string"
+    ).write.mode("overwrite").parquet(seed)
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, eng() if i % 2 else gib(), "en", "web") for i in range(30)],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "corpus")
+    rc = main(
+        [
+            "--cpus", "4", "curate", src, "-o", out,
+            "--no-quality", "--keep-pii",
+            "--perplexity-seed", seed, "--max-log-ppl", "2.0",
+        ]
+    )
+    assert rc == 0
+    kept = [r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()]
+    assert kept and all(i % 2 == 1 for i in kept), sorted(kept)[:10]
