@@ -5,8 +5,7 @@ linear quality classifier (operators/classifier.py).
 CCNet scores Common Crawl against a Wikipedia KenLM; without native
 KenLM this is the same idea at character granularity: a stupid-backoff
 n-gram model over hashed context counts.  Training runs on the DRIVER
-over a bounded seed sample (count arrays, ~8 MB at the default table
-size); scoring is one Arrow-batched pandas UDF over the corpus scan —
+over a bounded seed sample (count arrays, ~12 MB total at the default table size); scoring is one Arrow-batched pandas UDF over the corpus scan —
 the count tables ship in the closure, no shuffle, no join.  Hash
 collisions (crc32 mod table size) only smooth counts slightly — this
 is a ranking signal, not a calibrated LM.
@@ -40,7 +39,7 @@ class CharLmModel:
     """Hashed count tables for orders 1..n; ``counts[k]`` holds
     (k+1)-gram counts, ``totals`` the unigram normalizer."""
 
-    counts: list  # list[np.ndarray uint64], index k = (k+1)-gram table
+    counts: list  # list[np.ndarray uint32], index k = (k+1)-gram table
     total_chars: int
     order: int
     table_size: int
@@ -87,7 +86,7 @@ def train_char_lm(
         raise ValueError(
             f"seed corpus exceeds max_rows={max_rows}; sample it first"
         )
-    counts = [np.zeros(table_size, dtype=np.uint64) for _ in range(order)]
+    counts = [np.zeros(table_size, dtype=np.uint32) for _ in range(order)]
     total = 0
     for r in rows:
         if r["t"]:
