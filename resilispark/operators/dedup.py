@@ -583,3 +583,61 @@ def mask_duplicate_spans(
         F.size("_w").cast("bigint").alias("n_tokens"),
         F.size("_cut").cast("bigint").alias("dup_tokens"),
     )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    *,
+    prefer: str | None = None,
+) -> DataFrame:
+    """Keep one document per canonical URL (the SURT key from
+    operators/warctools.py — scheme/case/port/session-param
+    normalized), the first-pass dedup every crawl pipeline runs before
+    any content hashing.
+
+    Winner per key: the row minimizing (``-prefer`` DESC if given, then
+    ``id_col``) — e.g. ``prefer="n_chars"`` keeps the longest capture.
+    Same skew-immune shape as :func:`exact_dedup`: partial-aggregated
+    ``min(struct)`` per key + equi join back, no unordered window.
+
+    Returns the input rows plus ``surt`` and ``url_copies``; losers are
+    dropped.
+    """
+    from resilispark.operators.warctools import surt_key
+
+    # the CDXJ surt_key deliberately preserves the query verbatim (index
+    # parity); dedup additionally drops tracking params and sorts the
+    # rest so param order / utm noise don't split a key
+    keyed = df.withColumn("_surt_raw", surt_key(F.col(url_col)))
+    params = F.array_sort(
+        F.filter(
+            F.split(F.substring_index("_surt_raw", "?", -1), "&"),
+            lambda p: ~p.rlike(
+                "^(utm_[a-z]+|fbclid|gclid|msclkid|mc_[a-z]+|ref|sessionid|phpsessid|jsessionid|sid)="
+            ),
+        )
+    )
+    norm_q = F.concat_ws("&", params)
+    keyed = keyed.withColumn(
+        "surt",
+        F.when(
+            (F.instr("_surt_raw", "?") > 0) & (norm_q != ""),
+            F.concat(F.substring_index("_surt_raw", "?", 1), F.lit("?"), norm_q),
+        ).otherwise(F.substring_index("_surt_raw", "?", 1)),
+    ).drop("_surt_raw")
+    rank = (
+        F.struct((-F.col(prefer)).alias("p"), F.col(id_col).alias("i"))
+        if prefer
+        else F.struct(F.col(id_col).alias("i"))
+    )
+    winners = keyed.groupBy("surt").agg(
+        F.min(rank).alias("_win"),
+        F.count(F.lit(1)).cast("bigint").alias("url_copies"),
+    )
+    return (
+        keyed.join(winners, "surt")
+        .filter(rank == F.col("_win"))
+        .drop("_win")
+    )

@@ -2238,3 +2238,22 @@ class TestCharLmPerplexity:
         df = spark.createDataFrame([("abc",)] * 20, "text string")
         with _pytest.raises(ValueError, match="max_rows"):
             train_char_lm(df, max_rows=5)
+
+
+def test_url_dedup(spark):
+    from resilispark.operators.dedup import url_dedup
+
+    rows = [
+        (0, "http://Example.com:80/page?utm_source=x&id=1", 100),
+        (1, "https://example.com/page?id=1", 300),  # same canonical URL
+        (2, "https://example.com/other", 50),
+        (3, "HTTPS://EXAMPLE.COM/page?id=1&utm_campaign=y", 200),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    kept = {r["doc_id"]: r for r in url_dedup(df).collect()}
+    assert set(kept) == {0, 2}  # first occurrence wins by default
+    assert kept[0]["url_copies"] == 3
+    assert kept[2]["url_copies"] == 1
+    # prefer the longest capture instead
+    by_len = {r["doc_id"]: r for r in url_dedup(df, prefer="n_chars").collect()}
+    assert set(by_len) == {1, 2}
