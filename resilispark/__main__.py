@@ -202,6 +202,10 @@ def cmd_curate(args) -> int:
             docs = filter_url_blocklist(docs, bl, url_col=url_col)
     if not args.no_quality:
         docs = gopher_filter(docs, "text", min_stopwords=args.min_stopwords)
+    if args.url_dedup and "url" in docs.columns:
+        from resilispark.operators.dedup import url_dedup
+
+        docs = url_dedup(docs, "url", "doc_id").drop("surt", "url_copies")
     if args.dedup:
         from resilispark.operators.dedup import exact_dedup
 
@@ -640,6 +644,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--keep-pii", action="store_true")
     p.add_argument("--no-quality", action="store_true")
     p.add_argument("--min-stopwords", type=int, default=0)
+    p.add_argument("--url-dedup", action="store_true",
+                   help="keep one doc per canonical (SURT) URL first")
     p.add_argument("--dedup", action="store_true",
                    help="exact keep-first dedup by content digest")
     p.add_argument("--span-dedup", type=int, default=None, metavar="N",

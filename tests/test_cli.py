@@ -389,3 +389,71 @@ def test_cli_curate_perplexity_filter(tmp_path, spark):
     assert rc == 0
     kept = [r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()]
     assert kept and all(i % 2 == 1 for i in kept), sorted(kept)[:10]
+
+
+def test_cli_curate_every_stage(tmp_path, spark):
+    """All curation stages composed in one run: URL dedup -> PII scrub
+    -> quality flags -> exact dedup -> span dedup -> classifier ->
+    perplexity -> mixture sample -> pack."""
+    import random
+
+    from resilispark.__main__ import main
+
+    rng = random.Random(21)
+    words = ("the quick brown fox jumps over a lazy dog while many other "
+             "animals watch from the green field near the old stone "
+             "bridge and the river runs past tall trees every day").split()
+
+    def eng(n=60):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    seed = str(tmp_path / "seed.parquet")
+    spark.createDataFrame(
+        [(eng(), 1) for _ in range(60)]
+        + [(" ".join("zzq%d" % rng.randrange(999) for _ in range(60)), 0)
+           for _ in range(60)],
+        "text string, label int",
+    ).write.mode("overwrite").parquet(seed)
+
+    src = str(tmp_path / "docs.parquet")
+    base_text = eng()
+    rows = []
+    for i in range(24):
+        rows.append(
+            (
+                i,
+                base_text if i == 13 else eng(),
+                f"https://site{i % 12}.example/page?id={i % 12}&utm_source=x",
+                "en",
+                "web",
+            )
+        )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, url string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "corpus")
+    rc = main(
+        [
+            "--cpus", "4", "curate", src, "-o", out,
+            "--keep-pii",
+            "--min-stopwords", "0",
+            "--url-dedup", "--dedup", "--span-dedup", "8",
+            "--classifier-seed", seed, "--classifier-threshold", "0.3",
+            "--perplexity-seed", seed, "--max-log-ppl", "3.5",
+            "--mixture", "web=1.0", "--total-tokens", "100000",
+            "--pack", "64", "--pack-buckets", "2",
+        ]
+    )
+    assert rc == 0
+    kept = spark.read.parquet(out)
+    ids = [r["doc_id"] for r in kept.select("doc_id").collect()]
+    assert ids and len(ids) <= 12  # url dedup halves, later stages only drop
+    packed = spark.read.parquet(out + ".packed")
+    n_kept_tokens = sum(
+        len(r["text"].split()) for r in kept.select("text").collect()
+    )
+    assert packed.count() > 0
+    assert (
+        packed.groupBy().sum("n_tokens").collect()[0][0] == n_kept_tokens
+    )
