@@ -315,3 +315,44 @@ def test_streaming_curation_stages(spark, fixture_dir, drop_dir):
     q.stop()
     assert rows, "no curated documents from the stream"
     assert all(r.n_emails is not None for r in rows)
+
+
+def test_streaming_learned_filters(spark, fixture_dir, drop_dir):
+    """The learned curation filters (hashed-linear classifier + char-LM
+    perplexity) are closure-carried pandas UDFs, so they score a
+    STREAMING extract chain too — no state, no join, one lineage."""
+    import random
+
+    from resilispark.operators.classifier import (
+        score_text_classifier,
+        train_text_classifier,
+    )
+    from resilispark.operators.ngram_lm import perplexity_score, train_char_lm
+    from resilispark.operators.pipelines import extract_html_docs
+    from resilispark.streaming import read_warc_stream
+
+    rng = random.Random(5)
+    vocab_pos = [f"good{i}" for i in range(30)]
+    vocab_neg = [f"spam{i}" for i in range(30)]
+    labeled = spark.createDataFrame(
+        [(" ".join(rng.choice(vocab_pos) for _ in range(15)), 1) for _ in range(40)]
+        + [(" ".join(rng.choice(vocab_neg) for _ in range(15)), 0) for _ in range(40)],
+        "text string, label int",
+    )
+    clf = train_text_classifier(labeled)
+    lm = train_char_lm(labeled.filter("label = 1"), table_size=1 << 16)
+
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", f"{drop_dir}/lf.warc.gz")
+    docs = extract_html_docs(read_warc_stream(spark, drop_dir)).withColumnRenamed(
+        "plain_text", "text"
+    )
+    scored = perplexity_score(score_text_classifier(docs, clf), lm)
+    assert scored.isStreaming
+
+    q = _start(spark, scored, "learned_s")
+    q.processAllAvailable()
+    rows = spark.sql("SELECT quality_score, log_ppl FROM learned_s").collect()
+    q.stop()
+    assert rows
+    assert all(r.quality_score is not None and 0.0 <= r.quality_score <= 1.0 for r in rows)
+    assert all(r.log_ppl is not None and r.log_ppl > 0 for r in rows)
