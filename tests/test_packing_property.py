@@ -1,0 +1,74 @@
+"""Property-based sequence-packing invariants (hypothesis).
+
+For ANY corpus and (seq_len, n_buckets, seed), the distributed layout
+must equal the serial concat-and-chunk fold: spans tile each bucket's
+stream exactly, emit_sequences reproduces the fold token-for-token,
+and no token is lost or duplicated.  Spark round-trips are slow, so
+hypothesis drives a small number of adversarial examples through one
+shared session.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+doc_texts = st.lists(
+    st.integers(min_value=1, max_value=40),  # token counts per doc
+    min_size=1,
+    max_size=25,
+)
+
+
+@st.composite
+def corpora(draw):
+    counts = draw(doc_texts)
+    seq_len = draw(st.integers(min_value=1, max_value=32))
+    n_buckets = draw(st.integers(min_value=1, max_value=4))
+    seed = draw(st.one_of(st.none(), st.integers(min_value=0, max_value=9)))
+    return counts, seq_len, n_buckets, seed
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=corpora())
+def test_emit_sequences_equals_serial_fold(spark, case):
+    from pyspark.sql import functions as F
+
+    from resilispark.operators.packing import assign_packs, emit_sequences
+
+    counts, seq_len, n_buckets, seed = case
+    docs = [(i, " ".join(f"d{i}t{j}" for j in range(c))) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    spans = assign_packs(
+        df, seq_len=seq_len, n_buckets=n_buckets, shuffle_seed=seed
+    ).collect()
+    # rebuild the serial stream per bucket in layout order
+    order = sorted(spans, key=lambda r: (r["bucket"], r["start_tok"]))
+    streams = {}
+    for r in order:
+        toks = docs[r["doc_id"]][1].split()
+        assert r["n_tokens"] == len(toks)
+        s = streams.setdefault(r["bucket"], [])
+        assert r["start_tok"] == len(s)  # spans tile with no gap/overlap
+        s.extend(toks)
+        assert r["end_tok"] == len(s)
+        assert r["first_seq"] == r["start_tok"] // seq_len
+        assert r["last_seq"] == (r["end_tok"] - 1) // seq_len
+
+    seqs = emit_sequences(
+        df, seq_len=seq_len, n_buckets=n_buckets, shuffle_seed=seed
+    ).collect()
+    by = {(r["bucket"], r["seq_idx"]): r for r in seqs}
+    n_expected = 0
+    for b, toks in streams.items():
+        nseq = (len(toks) + seq_len - 1) // seq_len
+        n_expected += nseq
+        for s in range(nseq):
+            want = toks[s * seq_len : (s + 1) * seq_len]
+            got = by[(b, s)]
+            assert got["seq_text"] == " ".join(want)
+            assert got["n_tokens"] == len(want)
+    assert len(seqs) == n_expected
