@@ -519,6 +519,8 @@ def duplicate_span_coverage(
     dup_tokens = F.aggregate(
         gaps, F.lit(0).cast("bigint"), lambda acc, v: acc + v
     )
+    # no trailing sort: a global orderBy is a full range-partition
+    # exchange at corpus scale — gate wrappers sort when they need to
     return (
         dup.groupBy(id_col, "n_tokens")
         .agg(dup_tokens.alias("dup_tokens"))
@@ -526,7 +528,6 @@ def duplicate_span_coverage(
             "coverage",
             F.floor(F.col("dup_tokens") / F.col("n_tokens") * 1e4 + F.lit(0.5)) / 1e4,
         )
-        .orderBy(id_col)
     )
 
 

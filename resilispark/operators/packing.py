@@ -239,5 +239,6 @@ def emit_sequences(
                 F.flatten(F.transform("_parts", lambda p: p["_toks"])),
             ).alias("seq_text"),
         )
-        .orderBy("bucket", "seq_idx")
+        # no trailing sort (a corpus-wide range exchange); seq_idx
+        # carries the order, loaders sort shards locally
     )

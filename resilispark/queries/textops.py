@@ -1546,7 +1546,7 @@ def d10_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from resilispark.operators.dedup import duplicate_span_coverage
 
     d = _docs(spark, sf_dir)
-    return duplicate_span_coverage(d, span_tokens=5)
+    return duplicate_span_coverage(d, span_tokens=5).orderBy("doc_id")
 
 
 ORACLE_D10 = """
