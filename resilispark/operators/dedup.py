@@ -628,6 +628,15 @@ def url_dedup(
             F.concat(F.substring_index("_surt_raw", "?", 1), F.lit("?"), norm_q),
         ).otherwise(F.substring_index("_surt_raw", "?", 1)),
     ).drop("_surt_raw")
+    # a NULL url must keep its row: the equi join below never matches
+    # NULL keys, so docs without a URL would silently vanish — give each
+    # one a unique synthetic key instead
+    keyed = keyed.withColumn(
+        "surt",
+        F.coalesce(
+            "surt", F.concat(F.lit("\x00nourl\x00"), F.col(id_col).cast("string"))
+        ),
+    )
     rank = (
         F.struct((-F.col(prefer)).alias("p"), F.col(id_col).alias("i"))
         if prefer

@@ -2257,3 +2257,14 @@ def test_url_dedup(spark):
     # prefer the longest capture instead
     by_len = {r["doc_id"]: r for r in url_dedup(df, prefer="n_chars").collect()}
     assert set(by_len) == {1, 2}
+
+
+def test_url_dedup_null_urls_survive(spark):
+    from resilispark.operators.dedup import url_dedup
+
+    df = spark.createDataFrame(
+        [(0, "https://example.com/a", 10), (1, None, 20), (2, None, 30)],
+        "doc_id long, url string, n_chars long",
+    )
+    kept = sorted(r["doc_id"] for r in url_dedup(df).collect())
+    assert kept == [0, 1, 2]
