@@ -572,15 +572,18 @@ def mask_duplicate_spans(
     joined = src.join(covered, id_col, "left").withColumn(
         "_cut", F.coalesce("_cut", F.array().cast("array<int>"))
     )
-    kept = F.filter(
-        F.transform(
-            F.col("_w"), lambda x, i: F.struct(x.alias("t"), i.alias("i"))
-        ),
-        lambda s: ~F.array_contains(F.col("_cut"), s["i"]),
+    # surviving positions via hash-based array_except (preserves the
+    # left array's order) — O(L + cut) per doc, not the O(L * cut) an
+    # array_contains-per-token filter would cost on a long
+    # heavily-duplicated document
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("_w") - 1), F.col("_cut")
     )
     return joined.select(
         id_col,
-        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias(text_col),
+        F.concat_ws(
+            " ", F.transform(kept_pos, lambda i: F.get(F.col("_w"), i))
+        ).alias(text_col),
         F.size("_w").cast("bigint").alias("n_tokens"),
         F.size("_cut").cast("bigint").alias("dup_tokens"),
     )
