@@ -173,3 +173,39 @@ def corpus_datasheet(
             "short_doc_rate"
         ),
     )
+
+
+def cap_per_host(
+    docs: DataFrame,
+    url_col: str = "url",
+    *,
+    max_docs: int = 1000,
+    order_by: str | None = None,
+) -> DataFrame:
+    """Keep at most ``max_docs`` documents per registrable host — the
+    anti-spam cap that stops one link-farm domain from dominating a
+    crawl-derived corpus.
+
+    Ranking: ``order_by`` descending (e.g. a quality score) with the
+    doc's first column as tiebreak; plain row order by the first
+    column when omitted.  The rank<=N filter compiles to Spark's
+    WindowGroupLimit, which discards rows past N map-side BEFORE the
+    shuffle — a hot domain with millions of pages ships only its top N
+    rows per input partition, not the whole domain, so no reducer
+    melts.  Adds ``host``; drops rows past the cap.
+    """
+    from pyspark.sql import Window as W
+
+    tiebreak = docs.columns[0]
+    order = (
+        [F.col(order_by).desc(), F.col(tiebreak)]
+        if order_by
+        else [F.col(tiebreak)]
+    )
+    w = W.partitionBy("host").orderBy(*order)
+    return (
+        docs.withColumn("host", url_host(F.col(url_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_docs)
+        .drop("_rn")
+    )

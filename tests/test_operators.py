@@ -2268,3 +2268,23 @@ def test_url_dedup_null_urls_survive(spark):
     )
     kept = sorted(r["doc_id"] for r in url_dedup(df).collect())
     assert kept == [0, 1, 2]
+
+
+def test_cap_per_host(spark):
+    from resilispark.operators.corpus import cap_per_host
+
+    rows = [
+        (i, f"https://spam.example/p{i}", float(i)) for i in range(20)
+    ] + [(100, "https://ok.example/a", 5.0), (101, "https://ok.example/b", 9.0)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, score double")
+    # cap 3, best-score-first
+    kept = cap_per_host(df, max_docs=3, order_by="score").collect()
+    by_host = {}
+    for r in kept:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host["spam.example"]) == 3
+    assert sorted(r["doc_id"] for r in by_host["spam.example"]) == [17, 18, 19]
+    assert len(by_host["ok.example"]) == 2
+    # the plan must carry WindowGroupLimit (map-side top-N pushdown)
+    plan = cap_per_host(df, max_docs=3, order_by="score")._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:500]
