@@ -206,6 +206,10 @@ def cmd_curate(args) -> int:
         from resilispark.operators.dedup import url_dedup
 
         docs = url_dedup(docs, "url", "doc_id").drop("surt", "url_copies")
+    if args.max_per_host and "url" in docs.columns:
+        from resilispark.operators.corpus import cap_per_host
+
+        docs = cap_per_host(docs, "url", max_docs=args.max_per_host).drop("host")
     if args.dedup:
         from resilispark.operators.dedup import exact_dedup
 
@@ -646,6 +650,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-stopwords", type=int, default=0)
     p.add_argument("--url-dedup", action="store_true",
                    help="keep one doc per canonical (SURT) URL first")
+    p.add_argument("--max-per-host", type=int, default=None, metavar="N",
+                   help="keep at most N docs per host (anti-spam cap)")
     p.add_argument("--dedup", action="store_true",
                    help="exact keep-first dedup by content digest")
     p.add_argument("--span-dedup", type=int, default=None, metavar="N",

@@ -457,3 +457,28 @@ def test_cli_curate_every_stage(tmp_path, spark):
     assert (
         packed.groupBy().sum("n_tokens").collect()[0][0] == n_kept_tokens
     )
+
+
+def test_cli_curate_max_per_host(tmp_path, spark):
+    from resilispark.__main__ import main
+
+    rows = [
+        (i, "some words repeated here for the test body", f"https://farm.example/p{i}", "en", "web")
+        for i in range(10)
+    ] + [(50, "another body of words for the single page", "https://solo.example/x", "en", "web")]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, url string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "corpus")
+    rc = main(
+        ["--cpus", "4", "curate", src, "-o", out,
+         "--no-quality", "--keep-pii", "--max-per-host", "2"]
+    )
+    assert rc == 0
+    kept = spark.read.parquet(out).select("doc_id", "url").collect()
+    hosts = {}
+    for r in kept:
+        hosts.setdefault(r["url"].split("/")[2], []).append(r["doc_id"])
+    assert len(hosts["farm.example"]) == 2
+    assert hosts["solo.example"] == [50]
