@@ -290,6 +290,40 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Pack an existing parquet corpus into fixed-length training
+    sequences (operators/packing.py emit_sequences) without re-running
+    curation."""
+    spark = _spark(args.cpus)
+    from resilispark.operators.packing import emit_sequences, pack_stats
+
+    docs = spark.read.parquet(args.input)
+    seqs = emit_sequences(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        seq_len=args.seq_len,
+        n_buckets=args.buckets,
+        shuffle_seed=args.seed,
+    )
+    seqs.write.mode("overwrite").parquet(args.output)
+    stats = pack_stats(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        seq_len=args.seq_len,
+        n_buckets=args.buckets,
+        shuffle_seed=args.seed,
+    )
+    for r in stats.collect():
+        print(
+            f"bucket={r.bucket} docs={r.n_docs} tokens={r.total_tokens} "
+            f"seqs={r.n_seqs} split_docs={r.n_split_docs} fill={r.fill_ratio}"
+        )
+    print(f"wrote {args.output}")
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """Scan throughput (fastwarc benchmark, cli.py:351-447): local,
     http(s)://, or s3:// sources; --parse-http / --verify-digests /
@@ -670,6 +704,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-log-ppl", type=float, default=3.0,
                    help="keep docs at or below this mean -log p per char")
     p.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser("pack", help="parquet corpus -> packed training sequences")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--seq-len", type=int, default=2048)
+    p.add_argument("--buckets", type=int, default=32)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.set_defaults(fn=cmd_pack)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")
     p.add_argument("file")

@@ -482,3 +482,19 @@ def test_cli_curate_max_per_host(tmp_path, spark):
         hosts.setdefault(r["url"].split("/")[2], []).append(r["doc_id"])
     assert len(hosts["farm.example"]) == 2
     assert hosts["solo.example"] == [50]
+
+
+def test_cli_pack_standalone(tmp_path, spark):
+    from resilispark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(8)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "packed")
+    rc = main(["--cpus", "4", "pack", src, "-o", out,
+               "--seq-len", "16", "--buckets", "2"])
+    assert rc == 0
+    packed = spark.read.parquet(out)
+    assert packed.groupBy().sum("n_tokens").collect()[0][0] == 80
+    assert packed.count() == 6  # ceil(40/16) * 2 buckets
