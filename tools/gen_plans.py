@@ -34,6 +34,7 @@ PICKS = {
     "t07_pack_stats": "Sequence packing: ONE data shuffle on the bucket key, per-bucket running-sum window, then the stats aggregate.",
     "d10_duplicate_spans": "Exact-substring dedup: gram join (AQE broadcasts the firsts side at this SF; sort-merge at scale) + covered-position aggregate — no quadratic stage.",
     "q31_asof_join": "As-of join: pushed event_type filters, one hash shuffle on user_id for the union+window carry, no per-row range probe.",
+    "t08_emit_sequences": "Materialized packing: bucket window -> per-sequence fragment explode -> one reassembly aggregate; per-task state bounded by one sequence.",
 }
 
 _KEEP = re.compile(
