@@ -487,3 +487,92 @@ def ivf_pq_topk(
         .select("qid", "cid", _cos("qv", "cv").alias("score"))
     )
     return exact.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def ivf_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Corpus-to-corpus approximate k-NN join: for EVERY left vector,
+    its top-``k`` cosine neighbors among the right vectors — the
+    retrieval-augmentation shape where BOTH sides are large, so neither
+    can be broadcast (unlike :func:`ivf_pq_topk`'s query-set pattern).
+
+    Plan: right vectors hash-shuffle once on their IVF cell; left
+    vectors explode to their ``nprobe`` nearest cells and shuffle on
+    the same key; a cogrouped ``applyInPandas`` computes exact cosine
+    top-k per cell with one numpy matmul; a final per-left-id window
+    merges the ``nprobe`` partial top-k lists (each left id carries at
+    most ``nprobe * k`` candidate rows into that window — bounded).
+    Per-task memory is one cell's vectors from each side; recall is
+    exact when ``nprobe = n_cells``.
+
+    Returns (query_id, neighbor_id, cos, rank).
+    """
+    import numpy as np
+    from pyspark.sql import Window as W
+    from pyspark.sql.functions import pandas_udf
+
+    cent = centroids
+
+    @pandas_udf("array<int>")
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        x = np.asarray(list(vs), dtype=np.float32)
+        d2 = -2.0 * x @ cent.T + (cent**2).sum(1)[None, :]
+        order = np.argsort(d2, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    l = left.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    r = ivf_assign(right, cent, vec_col=vec_col).select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        F.col("ivf_cell").alias("cell"),
+    )
+
+    out_schema = "qid long, nid long, cos double"
+
+    def per_cell(lpdf, rpdf):
+        import pandas as _pd
+
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return _pd.DataFrame(columns=["qid", "nid", "cos"])
+        ql = np.asarray(list(lpdf["qv"]), dtype=np.float32)
+        nr = np.asarray(list(rpdf["nv"]), dtype=np.float32)
+        qn = ql / np.maximum(np.linalg.norm(ql, axis=1, keepdims=True), 1e-30)
+        nn = nr / np.maximum(np.linalg.norm(nr, axis=1, keepdims=True), 1e-30)
+        sims = qn @ nn.T  # (nl, nr)
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = {
+            "qid": np.repeat(lpdf["qid"].to_numpy(), kk),
+            "nid": rpdf["nid"].to_numpy()[top].ravel(),
+            "cos": np.take_along_axis(sims, top, axis=1).ravel().astype("float64"),
+        }
+        return _pd.DataFrame(rows)
+
+    partial = (
+        l.groupBy("cell")
+        .cogroup(r.groupBy("cell"))
+        .applyInPandas(per_cell, out_schema)
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("cos"),
+            F.col("rank"),
+        )
+    )

@@ -2288,3 +2288,61 @@ def test_cap_per_host(spark):
     # the plan must carry WindowGroupLimit (map-side top-N pushdown)
     plan = cap_per_host(df, max_docs=3, order_by="score")._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:500]
+
+
+class TestIvfKnnJoin:
+    @staticmethod
+    def _vecs(spark, n, d, seed, start_id=0):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        x = rng.randn(n, d).astype("float32")
+        rows = [(start_id + i, [float(v) for v in x[i]]) for i in range(n)]
+        return (
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+            x,
+        )
+
+    def test_exact_when_probing_all_cells(self, spark):
+        import numpy as np
+
+        from resilispark.operators.similarity import ivf_knn_join, train_ivf
+
+        left, ql = self._vecs(spark, 40, 16, seed=1)
+        right, nr = self._vecs(spark, 200, 16, seed=2, start_id=1000)
+        cent = train_ivf(right, n_cells=8, sample=200, iters=5)
+        out = ivf_knn_join(
+            left, right, cent, k=3, nprobe=8
+        ).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+        qn = ql / np.linalg.norm(ql, axis=1, keepdims=True)
+        nn = nr / np.linalg.norm(nr, axis=1, keepdims=True)
+        sims = qn @ nn.T
+        for qi in range(40):
+            want = [1000 + int(j) for j in np.argsort(-sims[qi])[:3]]
+            have = [nid for _, nid in sorted(got[qi])]
+            assert have == want, (qi, have, want)
+
+    def test_recall_with_partial_probing(self, spark):
+        import numpy as np
+
+        from resilispark.operators.similarity import ivf_knn_join, train_ivf
+
+        left, ql = self._vecs(spark, 30, 16, seed=3)
+        right, nr = self._vecs(spark, 400, 16, seed=4, start_id=5000)
+        cent = train_ivf(right, n_cells=16, sample=400, iters=5)
+        out = ivf_knn_join(left, right, cent, k=5, nprobe=6).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        qn = ql / np.linalg.norm(ql, axis=1, keepdims=True)
+        nn = nr / np.linalg.norm(nr, axis=1, keepdims=True)
+        sims = qn @ nn.T
+        hits = total = 0
+        for qi in range(30):
+            want = {5000 + int(j) for j in np.argsort(-sims[qi])[:5]}
+            hits += len(want & got.get(qi, set()))
+            total += 5
+        assert hits / total >= 0.5, hits / total
