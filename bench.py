@@ -282,6 +282,17 @@ def main() -> None:
     )
     enc.unpersist()
 
+    # corpus-to-corpus ANN join: every vector against the whole table
+    # (cogrouped per-cell matmuls, no broadcast of either side)
+    from resilispark.operators.similarity import ivf_knn_join, train_ivf
+
+    cent = train_ivf(unit, n_cells=16, sample=2000, iters=5)
+    knn = ivf_knn_join(unit, unit, cent, k=5, nprobe=4)
+    knn.write.mode("overwrite").format("noop").save()
+    timings[f"ivf_knn_join_{n_vecs}x{n_vecs}"] = timed_median(
+        lambda: knn.write.mode("overwrite").format("noop").save()
+    )
+
     from resilispark.functions.registry import register_functions
 
     udfs = register_functions(spark)
