@@ -90,17 +90,21 @@ def mixture_fractions(
     per_source_tokens: dict[str, int],
     target_weights: dict[str, float],
     total_tokens: int,
+    *,
+    max_epochs: int = 1,
 ) -> dict[str, float]:
     """Per-source KEEP fractions hitting ``total_tokens`` at the target
-    mixture.  A source too small for its target share is taken whole
-    (fraction capped at 1.0 — no oversampling), like mixture builders
-    do before falling back to epoch repetition."""
+    mixture.  With the default ``max_epochs=1`` a source too small for
+    its target share is taken whole (fraction capped at 1.0 — no
+    oversampling); a larger cap allows epoch repetition up to that many
+    passes (fractions above 1 mean "every doc appears floor(f) times
+    plus a (f - floor(f)) sample")."""
     wsum = sum(target_weights.values())
     fracs = {}
     for src, have in per_source_tokens.items():
         w = target_weights.get(src, 0.0) / wsum
         want = w * total_tokens
-        fracs[src] = min(want / have, 1.0) if have > 0 else 0.0
+        fracs[src] = min(want / have, float(max_epochs)) if have > 0 else 0.0
     return fracs
 
 
@@ -114,6 +118,7 @@ def sample_token_mixture(
     token_count_col: str | None = None,
     text_col: str = "text",
     seed: int = 0,
+    max_epochs: int = 1,
 ) -> DataFrame:
     """Deterministic stratified sample approximating a target
     per-source token mixture.
@@ -121,7 +126,14 @@ def sample_token_mixture(
     Token counts come from ``token_count_col`` or a whitespace split of
     ``text_col``.  The per-source totals are ONE aggregated row per
     source (bounded collect); document selection hashes ``id_col`` —
-    same inputs, same sample, on any cluster, under any task retry."""
+    same inputs, same sample, on any cluster, under any task retry.
+
+    ``max_epochs > 1`` enables UP-sampling for undersized sources
+    (the epoch-repetition fallback real mixture builders use): each doc
+    of such a source appears once per full epoch plus a hash-selected
+    partial epoch, and the output gains an ``epoch`` column (0-based)
+    so downstream packing treats repeats as distinct documents.  With
+    the default ``max_epochs=1`` the output schema is unchanged."""
     if token_count_col is None:
         docs = docs.withColumn("_toks", F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
         token_count_col = "_toks"
@@ -131,13 +143,36 @@ def sample_token_mixture(
         .agg(F.sum(token_count_col).alias("toks"))
         .collect()
     }
-    fracs = mixture_fractions(totals, target_weights, total_tokens)
+    fracs = mixture_fractions(
+        totals, target_weights, total_tokens, max_epochs=max_epochs
+    )
     frac_map = F.create_map(
         *[x for src, fr in sorted(fracs.items()) for x in (F.lit(src), F.lit(fr))]
     )
-    # uniform per-doc hash in [0, 1): keep iff below the source fraction
-    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000)) + 0.5) / 1_000_000.0
-    out = docs.filter(u < frac_map[F.col(source_col)])
+    f = frac_map[F.col(source_col)]
+    if max_epochs <= 1:
+        # uniform per-doc hash in [0, 1): keep iff below the source fraction
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000)) + 0.5
+        ) / 1_000_000.0
+        out = docs.filter(u < f)
+        return out.drop("_toks") if "_toks" in out.columns else out
+    # epoch repetition: doc kept in epoch e iff e < floor(f) (full pass)
+    # or its per-epoch hash falls under the fractional remainder — the
+    # hash salts with the epoch so partial epochs pick different docs
+    n_epochs = F.ceil(f).cast("int")
+    out = docs.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.greatest(n_epochs, F.lit(1)) - 1))
+    )
+    u = (
+        F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(seed), F.col("epoch")), F.lit(1_000_000)
+        )
+        + 0.5
+    ) / 1_000_000.0
+    out = out.filter(
+        (F.col("epoch") < F.floor(f)) | (u < (f - F.floor(f)))
+    )
     return out.drop("_toks") if "_toks" in out.columns else out
 
 

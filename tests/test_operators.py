@@ -2346,3 +2346,40 @@ class TestIvfKnnJoin:
             hits += len(want & got.get(qi, set()))
             total += 5
         assert hits / total >= 0.5, hits / total
+
+
+def test_sample_token_mixture_epoch_upsampling(spark):
+    """max_epochs>1 repeats undersized sources: a source needing 2.5x
+    its tokens appears in 2 full epochs plus a ~half partial epoch,
+    deterministically."""
+    from resilispark.operators.corpus import sample_token_mixture
+
+    rows = [(i, " ".join(["w"] * 10), "small") for i in range(100)] + [
+        (1000 + i, " ".join(["w"] * 10), "big") for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # small has 1000 tokens, big 10000; ask 50/50 of 5000 tokens total:
+    # small wants 2500 -> f=2.5; big wants 2500 -> f=0.25
+    out = sample_token_mixture(
+        df, {"small": 0.5, "big": 0.5}, 5000, max_epochs=4
+    )
+    assert "epoch" in out.columns
+    rows_out = out.collect()
+    small = [r for r in rows_out if r["source"] == "small"]
+    big = [r for r in rows_out if r["source"] == "big"]
+    # 2 full epochs = 200 rows, plus ~50 partial-epoch picks
+    assert 220 <= len(small) <= 280, len(small)
+    assert all(r["epoch"] < 3 for r in small)
+    full = [r for r in small if r["epoch"] < 2]
+    assert len(full) == 200
+    # big stays downsampled around 25%
+    assert 180 <= len(big) <= 320, len(big)
+    assert all(r["epoch"] == 0 for r in big)
+    # deterministic
+    again = sample_token_mixture(
+        df, {"small": 0.5, "big": 0.5}, 5000, max_epochs=4
+    ).collect()
+    assert sorted(map(tuple, rows_out)) == sorted(map(tuple, again))
+    # default path unchanged: no epoch column
+    plain = sample_token_mixture(df, {"small": 0.5, "big": 0.5}, 5000)
+    assert "epoch" not in plain.columns
