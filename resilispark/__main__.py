@@ -255,7 +255,9 @@ def cmd_curate(args) -> int:
         for part in args.mixture.split(","):
             src, _, w = part.partition("=")
             weights[src] = float(w)
-        docs = sample_token_mixture(docs, weights, args.total_tokens)
+        docs = sample_token_mixture(
+            docs, weights, args.total_tokens, max_epochs=args.mixture_epochs
+        )
 
     part_col = "lang" if "lang" in docs.columns else None
     if part_col:
@@ -679,6 +681,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ngram", type=int, default=13, help="decontamination n-gram size")
     p.add_argument("--mixture", default=None, help="src=weight,src=weight")
     p.add_argument("--total-tokens", type=int, default=10**9)
+    p.add_argument("--mixture-epochs", type=int, default=1,
+                   help="allow undersized sources up to N repetition epochs")
     p.add_argument("--keep-pii", action="store_true")
     p.add_argument("--no-quality", action="store_true")
     p.add_argument("--min-stopwords", type=int, default=0)
