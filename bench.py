@@ -348,14 +348,18 @@ def main() -> None:
         except ValueError:
             pass
 
+    headline = {k: v for k, v in timings.items() if k not in big_labels}
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall",
-                "value": round(
-                    sum(v for k, v in timings.items() if k not in big_labels), 3
-                ),
+                # NOTE: the wall SUMS every headline row, so it grows
+                # when coverage grows (r4 added d10/t07/q31/knn-join ≈
+                # +5.5s of NEW queries over r3's row set) — compare
+                # per-row, or n_headline-normalized, across rounds
+                "value": round(sum(headline.values()), 3),
                 "unit": "sec",
+                "n_headline": len(headline),
                 "queries": timings,
                 "sf": sf,
             }
