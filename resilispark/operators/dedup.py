@@ -654,3 +654,76 @@ def url_dedup(
         .filter(rank == F.col("_win"))
         .drop("_win")
     )
+
+
+def drop_common_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n",
+    max_doc_frac: float = 0.05,
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Remove boilerplate lines that occur in many DOCUMENTS — the
+    navigation/footer junk pass (CCNet drops lines shared across pages;
+    :func:`paragraph_dedup` keeps the first occurrence, this drops
+    EVERY occurrence once a line crosses the frequency threshold).
+
+    A line is boilerplate when it appears in at least ``min_docs``
+    distinct documents AND at least ``max_doc_frac`` of the corpus.
+    Lines shorter than ``min_chars`` pass through (structure, not
+    content).  Shape: explode lines -> per-line distinct-doc count
+    (partial-aggregated, uniform md5 keys) -> threshold filter ->
+    reassembly groupBy on the doc id.  The corpus size is ONE scalar
+    ``count()`` to the driver.
+
+    Returns (id, text, n_lines, n_dropped) for every input doc.
+    """
+    n_docs = df.count()
+    threshold = max(min_docs, int(max_doc_frac * n_docs))
+    lines = df.select(
+        F.col(id_col).alias("_pid"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    )
+    eligible = F.length("_line") >= min_chars
+    hashed = lines.withColumn(
+        "_h", F.when(eligible, F.md5(F.encode("_line", "UTF-8")))
+    )
+    common = (
+        hashed.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.countDistinct("_pid").alias("_nd"))
+        .filter(F.col("_nd") >= threshold)
+        .select("_h", F.lit(True).alias("_common"))
+    )
+    keep = hashed.join(common, "_h", "left").withColumn(
+        "_keep", F.col("_common").isNull()
+    )
+    rebuilt = (
+        keep.filter("_keep")
+        .groupBy("_pid")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+            ).alias("text"),
+            F.count(F.lit(1)).alias("_kept"),
+        )
+    )
+    totals = lines.groupBy("_pid").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, "_pid", "left")
+        .select(
+            F.col("_pid").alias(id_col),
+            F.coalesce("text", F.lit("")).alias(text_col),
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )

@@ -2383,3 +2383,24 @@ def test_sample_token_mixture_epoch_upsampling(spark):
     # default path unchanged: no epoch column
     plain = sample_token_mixture(df, {"small": 0.5, "big": 0.5}, 5000)
     assert "epoch" not in plain.columns
+
+
+def test_drop_common_lines(spark):
+    from resilispark.operators.dedup import drop_common_lines
+
+    footer = "copyright example corp all rights reserved"
+    rows = [
+        (i, f"unique content line {i}\n{footer}\nmore text {i}") for i in range(10)
+    ] + [(99, "totally unique document\nwith its own lines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in drop_common_lines(df, max_doc_frac=0.5).collect()}
+    assert len(out) == 11
+    for i in range(10):
+        # the footer (10/11 docs) is dropped from EVERY doc incl. the first
+        assert out[i]["text"] == f"unique content line {i}\nmore text {i}"
+        assert out[i]["n_dropped"] == 1 and out[i]["n_lines"] == 3
+    assert out[99]["text"] == "totally unique document\nwith its own lines"
+    assert out[99]["n_dropped"] == 0
+    # threshold not met -> nothing dropped
+    loose = {r["doc_id"]: r for r in drop_common_lines(df, max_doc_frac=2.0, min_docs=100).collect()}
+    assert all(r["n_dropped"] == 0 for r in loose.values())
