@@ -218,6 +218,13 @@ def cmd_curate(args) -> int:
             .filter(~F.col("is_duplicate"))
             .drop("content_hash", "is_duplicate", "copies")
         )
+    if args.drop_common_lines:
+        from resilispark.operators.dedup import drop_common_lines
+
+        cleaned = drop_common_lines(
+            docs, "text", "doc_id", max_doc_frac=args.drop_common_lines
+        ).select("doc_id", "text")
+        docs = docs.drop("text").join(cleaned, "doc_id")
     if args.span_dedup:
         from resilispark.operators.dedup import mask_duplicate_spans
 
@@ -694,6 +701,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="exact keep-first dedup by content digest")
     p.add_argument("--span-dedup", type=int, default=None, metavar="N",
                    help="cut N-token spans already seen in earlier docs")
+    p.add_argument("--drop-common-lines", type=float, default=None,
+                   metavar="FRAC",
+                   help="remove lines present in at least FRAC of docs")
     p.add_argument("--pack", type=int, default=None, metavar="SEQ_LEN",
                    help="also write packed training sequences to OUTPUT.packed")
     p.add_argument("--pack-buckets", type=int, default=32)

@@ -498,3 +498,22 @@ def test_cli_pack_standalone(tmp_path, spark):
     packed = spark.read.parquet(out)
     assert packed.groupBy().sum("n_tokens").collect()[0][0] == 80
     assert packed.count() == 6  # ceil(40/16) * 2 buckets
+
+
+def test_cli_curate_drop_common_lines(tmp_path, spark):
+    from resilispark.__main__ import main
+
+    footer = "subscribe to our newsletter today"
+    rows = [
+        (i, f"real content number {i}\n{footer}", "en", "web") for i in range(8)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "corpus")
+    rc = main(["--cpus", "4", "curate", src, "-o", out,
+               "--no-quality", "--keep-pii", "--drop-common-lines", "0.5"])
+    assert rc == 0
+    kept = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert all(t == f"real content number {i}" for i, t in kept.items())
