@@ -1,0 +1,79 @@
+"""Property-based exact-substring dedup invariants (hypothesis).
+
+duplicate_span_coverage and mask_duplicate_spans must match a
+brute-force reference on ANY corpus: coverage counts the union of
+duplicated spans, masking cuts exactly those positions, and the first
+occurrence of every span survives.  Small vocabularies force heavy
+span sharing.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def corpora(draw):
+    vocab_size = draw(st.integers(min_value=2, max_value=6))
+    n_docs = draw(st.integers(min_value=2, max_value=8))
+    docs = []
+    for _ in range(n_docs):
+        n = draw(st.integers(min_value=1, max_value=18))
+        toks = [f"w{draw(st.integers(min_value=0, max_value=vocab_size - 1))}"
+                for _ in range(n)]
+        docs.append(" ".join(toks))
+    span = draw(st.integers(min_value=2, max_value=4))
+    return docs, span
+
+
+def _brute(docs, n):
+    seen = {}
+    cover = {}
+    for did, text in enumerate(docs):
+        w = text.split()
+        covered = set()
+        for p in range(max(len(w) - n + 1, 0)):
+            g = " ".join(w[p : p + n])
+            if g in seen and seen[g] < did:
+                covered.update(range(p, p + n))
+            seen.setdefault(g, did)
+        cover[did] = covered
+    return cover
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=corpora())
+def test_span_dedup_matches_bruteforce(spark, case):
+    from resilispark.operators.dedup import (
+        duplicate_span_coverage,
+        mask_duplicate_spans,
+    )
+
+    docs, span = case
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    cover = _brute(docs, span)
+
+    got_cov = {
+        r["doc_id"]: r
+        for r in duplicate_span_coverage(df, span_tokens=span).collect()
+    }
+    for did, covered in cover.items():
+        if covered:
+            assert got_cov[did]["dup_tokens"] == len(covered), (did, docs)
+        else:
+            assert did not in got_cov
+
+    got_mask = {
+        r["doc_id"]: r for r in mask_duplicate_spans(df, span_tokens=span).collect()
+    }
+    assert set(got_mask) == set(range(len(docs)))
+    for did, text in enumerate(docs):
+        w = text.split()
+        want = " ".join(t for i, t in enumerate(w) if i not in cover[did])
+        assert got_mask[did]["text"] == want, (did, docs, span)
+        assert got_mask[did]["dup_tokens"] == len(cover[did])
