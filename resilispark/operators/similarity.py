@@ -576,3 +576,47 @@ def ivf_knn_join(
             F.col("rank"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 16,
+    rotations: int = 2,
+    seed: int = 42,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop every document whose
+    embedding is a near-duplicate (cosine >= ``threshold``) of another,
+    keeping ONE representative per semantic cluster (the minimum id).
+
+    Composition of the corpus-scale pieces: LSH-blocked near-dup pairs
+    (:func:`embedding_neardup_pairs`) -> pointer-jumping connected
+    components (dedup.connected_components, O(log diameter) rounds) ->
+    anti-join the non-representative members out.  Every stage is the
+    bounded-bucket / bounded-rounds shape documented on its operator;
+    the only driver traffic is the components' convergence count.
+
+    Returns the kept rows unchanged (cluster representatives plus all
+    unclustered singletons).
+    """
+    from resilispark.operators.dedup import connected_components
+
+    pairs = embedding_neardup_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        bits=bits,
+        rotations=rotations,
+        seed=seed,
+        max_bucket=max_bucket,
+    )
+    clusters = connected_components(pairs, "id_a", "id_b")
+    losers = clusters.filter(F.col("vertex") != F.col("cluster_id")).select(
+        F.col("vertex").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

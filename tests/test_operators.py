@@ -2404,3 +2404,26 @@ def test_drop_common_lines(spark):
     # threshold not met -> nothing dropped
     loose = {r["doc_id"]: r for r in drop_common_lines(df, max_doc_frac=2.0, min_docs=100).collect()}
     assert all(r["n_dropped"] == 0 for r in loose.values())
+
+
+def test_semantic_dedup(spark):
+    import numpy as np
+
+    from resilispark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(10, 16).astype("float32")
+    rows = []
+    # 10 distinct directions; ids 0-9 originals, 100+ near-copies
+    for i in range(10):
+        v = base[i] / np.linalg.norm(base[i])
+        rows.append((i, [float(x) for x in v]))
+        if i < 4:  # first four get two near-duplicates each
+            for j in range(2):
+                nudged = v + 0.001 * rng.randn(16).astype("float32")
+                nudged = nudged / np.linalg.norm(nudged)
+                rows.append((100 + i * 10 + j, [float(x) for x in nudged]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = sorted(r["vec_id"] for r in semantic_dedup(df, threshold=0.99).collect())
+    # one representative per cluster: the 10 originals (min ids) survive
+    assert kept == list(range(10)), kept
