@@ -268,7 +268,7 @@ def cmd_curate(args) -> int:
 
     part_col = "lang" if "lang" in docs.columns else None
     if part_col:
-        write_docs_partitioned(docs, args.output)
+        write_docs_partitioned(docs, args.output, manifest=True)
     else:
         docs.write.mode("overwrite").parquet(args.output)
     lang_kw = {"lang_col": part_col} if part_col else {"lang_col": None}

@@ -206,6 +206,7 @@ def write_docs_partitioned(
     max_records_per_file: int = 1_000_000,
     sort_by: tuple[str, ...] = ("url",),
     mode: str = "overwrite",
+    manifest: bool = False,
 ) -> None:
     """Training-corpus output layout: hive-partitioned parquet.
 
@@ -227,3 +228,51 @@ def write_docs_partitioned(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+    if manifest:
+        write_corpus_manifest(docs, path, partition_by=partition_by)
+
+
+def write_corpus_manifest(
+    docs: DataFrame,
+    path: str,
+    *,
+    partition_by: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+) -> dict:
+    """Write ``<path>/_MANIFEST.json``: per-partition document counts,
+    token totals, and an order-insensitive corpus checksum (the SUM of
+    per-document ``xxhash64(text)`` — commutative, so any partitioning
+    or task order reproduces the same value).  One aggregation pass; a
+    few rows to the driver.  Returns the manifest dict."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    keys = [c for c in partition_by if c in docs.columns]
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    agg = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("n_tokens"),
+        # decimal accumulator: ANSI mode makes a long SUM of xxhash64
+        # values overflow-error; decimal(38,0) holds the exact total and
+        # the driver folds it mod 2^64
+        F.sum(F.xxhash64(F.col(text_col)).cast("decimal(38,0)")).alias("checksum"),
+    ]
+    parts = [
+        {**{k: r[k] for k in keys}, "n_docs": r["n_docs"],
+         "n_tokens": r["n_tokens"],
+         "checksum": int(r["checksum"] or 0) % (1 << 64)}
+        for r in (docs.groupBy(*keys).agg(*agg) if keys else docs.agg(*agg)).collect()
+    ]
+    total = {
+        "n_docs": sum(p["n_docs"] for p in parts),
+        "n_tokens": sum(p["n_tokens"] or 0 for p in parts),
+        "checksum": sum(p["checksum"] for p in parts) % (1 << 64),
+    }
+    man = {"partitions": sorted(parts, key=lambda p: [str(p.get(k)) for k in keys]),
+           "total": total, "partition_by": keys}
+    import os as _os
+
+    with open(_os.path.join(path, "_MANIFEST.json"), "w") as f:
+        _json.dump(man, f, indent=1, sort_keys=True)
+    return man

@@ -2427,3 +2427,28 @@ def test_semantic_dedup(spark):
     kept = sorted(r["vec_id"] for r in semantic_dedup(df, threshold=0.99).collect())
     # one representative per cluster: the 10 originals (min ids) survive
     assert kept == list(range(10)), kept
+
+
+def test_corpus_manifest(spark, tmp_path):
+    import json
+
+    from resilispark.operators.pipelines import write_docs_partitioned
+
+    rows = [
+        (0, "hello world one", "en", "https://a/0"),
+        (1, "bonjour le monde", "fr", "https://a/1"),
+        (2, "more english text here", "en", "https://a/2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, url string")
+    out = str(tmp_path / "corpus")
+    write_docs_partitioned(df, out, manifest=True)
+    man = json.load(open(f"{out}/_MANIFEST.json"))
+    assert man["total"]["n_docs"] == 3
+    assert man["total"]["n_tokens"] == 3 + 3 + 4
+    by_lang = {p["lang"]: p for p in man["partitions"]}
+    assert by_lang["en"]["n_docs"] == 2 and by_lang["fr"]["n_docs"] == 1
+    # checksum is order-insensitive: a reshuffled frame reproduces it
+    from resilispark.operators.pipelines import write_corpus_manifest
+
+    man2 = write_corpus_manifest(df.repartition(7), out)
+    assert man2["total"]["checksum"] == man["total"]["checksum"]
