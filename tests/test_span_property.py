@@ -77,3 +77,51 @@ def test_span_dedup_matches_bruteforce(spark, case):
         want = " ".join(t for i, t in enumerate(w) if i not in cover[did])
         assert got_mask[did]["text"] == want, (did, docs, span)
         assert got_mask[did]["dup_tokens"] == len(cover[did])
+
+
+@st.composite
+def line_corpora(draw):
+    vocab = draw(st.integers(min_value=1, max_value=4))
+    n_docs = draw(st.integers(min_value=2, max_value=7))
+    docs = []
+    for _ in range(n_docs):
+        n = draw(st.integers(min_value=1, max_value=8))
+        lines = [f"line{draw(st.integers(min_value=0, max_value=vocab - 1))}"
+                 for _ in range(n)]
+        docs.append("\n".join(lines))
+    frac = draw(st.sampled_from([0.3, 0.5, 0.8]))
+    return docs, frac
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=line_corpora())
+def test_drop_common_lines_matches_bruteforce(spark, case):
+    from resilispark.operators.dedup import drop_common_lines
+
+    docs, frac = case
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    n_docs = len(docs)
+    threshold = max(2, int(frac * n_docs))
+    doc_count = {}
+    for text in docs:
+        for line in set(text.split("\n")):
+            doc_count[line] = doc_count.get(line, 0) + 1
+    common = {l for l, c in doc_count.items() if c >= threshold}
+
+    out = {
+        r["doc_id"]: r
+        for r in drop_common_lines(df, max_doc_frac=frac).collect()
+    }
+    assert set(out) == set(range(n_docs))
+    for did, text in enumerate(docs):
+        lines = text.split("\n")
+        want = "\n".join(l for l in lines if l not in common)
+        assert out[did]["text"] == want, (did, docs, frac)
+        assert out[did]["n_lines"] == len(lines)
+        assert out[did]["n_dropped"] == sum(1 for l in lines if l in common)
