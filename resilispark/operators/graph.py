@@ -1,0 +1,119 @@
+"""Link-graph analytics over crawl corpora: PageRank-style authority
+scoring and degree statistics — the "rank hosts by link authority"
+signal some curation pipelines blend with content quality.
+
+Scale shape mirrors ``dedup.connected_components``: a driver-side loop
+of bounded per-round shuffles on the vertex id, ``localCheckpoint`` to
+cut lineage growth, and only scalar convergence numbers returned to
+the driver.  Dangling mass (vertices with no out-links) redistributes
+uniformly each round, so ranks stay a probability distribution.
+
+No reference-parity citation: the reference engine stops at
+extraction; this is part of the training-data extension surface
+(SURVEY §2 "beyond the reference" block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_stats(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-vertex in/out degree in one pass: union the two endpoint
+    projections tagged with a direction flag, then a single aggregate.
+
+    Returns (vertex, out_degree, in_degree); vertices appearing only
+    as a source (or only as a target) get 0 for the other side.
+    """
+    tagged = edges.select(
+        F.col(src_col).alias("vertex"), F.lit(1).alias("_out")
+    ).unionAll(
+        edges.select(F.col(dst_col).alias("vertex"), F.lit(0).alias("_out"))
+    )
+    return tagged.groupBy("vertex").agg(
+        F.sum("_out").cast("bigint").alias("out_degree"),
+        F.sum(1 - F.col("_out")).cast("bigint").alias("in_degree"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Standard damped PageRank to a tolerance — (vertex, rank) summing
+    to 1 over all vertices.
+
+    Per round: ONE shuffle joining ranks onto out-edges, one aggregate
+    of contributions per target, plus two scalar aggregates to the
+    driver (dangling mass and L1 delta).  Duplicate edges count once
+    (the classic adjacency-matrix semantics).  Stops when the L1 change
+    drops under ``tol``; raises if ``max_iterations`` rounds don't get
+    there — never returns unconverged ranks silently.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        e.select(F.col("src").alias("vertex"))
+        .unionAll(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = vertices.count()
+    if n == 0:
+        return vertices.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = vertices.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(max_iterations):
+        with_deg = ranks.join(
+            out_deg, ranks.vertex == out_deg.src, "left"
+        ).select("vertex", "rank", F.coalesce("_deg", F.lit(0)).alias("_deg"))
+        dangling = (
+            with_deg.filter(F.col("_deg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            e.join(with_deg.filter(F.col("_deg") > 0), e.src == F.col("vertex"))
+            .select(F.col("dst").alias("vertex"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("vertex")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        spread = damping * dangling / n
+        new_ranks = (
+            vertices.join(contrib, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(base)
+                    + F.lit(spread)
+                    + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.join(
+                ranks.select("vertex", F.col("rank").alias("_old")), "vertex"
+            )
+            .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))))
+            .first()[0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            return ranks
+    raise RuntimeError(
+        f"pagerank did not converge in {max_iterations} rounds "
+        f"(last L1 delta {delta:.2e}; raise max_iterations or tol)"
+    )

@@ -2452,3 +2452,65 @@ def test_corpus_manifest(spark, tmp_path):
 
     man2 = write_corpus_manifest(df.repartition(7), out)
     assert man2["total"]["checksum"] == man["total"]["checksum"]
+
+
+class TestLinkGraph:
+    def test_degree_stats(self, spark):
+        from resilispark.operators.graph import degree_stats
+
+        e = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+        )
+        d = {r["vertex"]: r for r in degree_stats(e).collect()}
+        assert (d[1]["out_degree"], d[1]["in_degree"]) == (2, 1)
+        assert (d[2]["out_degree"], d[2]["in_degree"]) == (1, 1)
+        assert (d[3]["out_degree"], d[3]["in_degree"]) == (1, 2)
+
+    def test_pagerank_matches_power_iteration(self, spark):
+        import numpy as np
+
+        from resilispark.operators.graph import pagerank
+
+        rng = np.random.RandomState(3)
+        n = 12
+        edges = set()
+        while len(edges) < 30:
+            a, b = rng.randint(0, n, 2)
+            if a != b:
+                edges.add((int(a), int(b)))
+        # vertex 11 dangling: remove its out-edges
+        edges = {(a, b) for a, b in edges if a != 11} | {(0, 11)}
+        e = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got = {r["vertex"]: r["rank"] for r in pagerank(e, tol=1e-10, max_iterations=100).collect()}
+
+        # numpy reference power iteration with dangling redistribution
+        verts = sorted({v for p in edges for v in p})
+        idx = {v: i for i, v in enumerate(verts)}
+        m = len(verts)
+        out = {v: 0 for v in verts}
+        for a, _ in edges:
+            out[a] += 1
+        r = np.full(m, 1.0 / m)
+        d = 0.85
+        for _ in range(200):
+            nxt = np.full(m, (1 - d) / m)
+            dangling = sum(r[idx[v]] for v in verts if out[v] == 0)
+            nxt += d * dangling / m
+            for a, b in edges:
+                nxt[idx[b]] += d * r[idx[a]] / out[a]
+            r = nxt
+        for v in verts:
+            assert abs(got[v] - r[idx[v]]) < 1e-6, (v, got[v], r[idx[v]])
+        assert abs(sum(got.values()) - 1.0) < 1e-6
+
+    def test_pagerank_raises_without_convergence(self, spark):
+        import pytest as _pytest
+
+        from resilispark.operators.graph import pagerank
+
+        # asymmetric: the uniform start is NOT the fixed point
+        e = spark.createDataFrame(
+            [(1, 2), (1, 3), (3, 2)], "src long, dst long"
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            pagerank(e, max_iterations=1, tol=1e-15)
