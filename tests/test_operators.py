@@ -2514,3 +2514,38 @@ class TestLinkGraph:
         )
         with _pytest.raises(RuntimeError, match="did not converge"):
             pagerank(e, max_iterations=1, tol=1e-15)
+
+
+def test_extract_links_and_rank_hosts(spark):
+    """End-to-end link analytics: HTML -> base-resolved host edges ->
+    PageRank; the most-linked host ranks highest."""
+    from resilispark.operators.graph import extract_links, pagerank
+
+    pages = [
+        ("https://a.example/p1",
+         '<a href="https://hub.example/x">h</a><a href="/local">l</a>'
+         '<a href="#frag">f</a><a href="mailto:x@y">m</a>'),
+        ("https://b.example/p1", '<a href="https://hub.example/y">h</a>'),
+        ("https://c.example/p1",
+         '<a href="https://hub.example/z">h</a><a href="https://a.example/q">a</a>'),
+        ("https://hub.example/home", '<a href="https://a.example/q">a</a>'),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    edges = extract_links(df, "html", "url")
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    # fragment/mailto dropped; /local resolves same-host -> self-loop dropped
+    assert got == {
+        ("a.example", "hub.example"),
+        ("b.example", "hub.example"),
+        ("c.example", "hub.example"),
+        ("c.example", "a.example"),
+        ("hub.example", "a.example"),
+    }, got
+    ranks = {r["vertex"]: r["rank"] for r in pagerank(edges, tol=1e-7, max_iterations=150).collect()}
+    assert max(ranks, key=ranks.get) == "hub.example"
+    # page-level graph keeps full URLs and the same-host link
+    page_edges = {
+        (r["src"], r["dst"])
+        for r in extract_links(df, "html", "url", host_graph=False).collect()
+    }
+    assert ("https://a.example/p1", "https://a.example/local") in page_edges
