@@ -276,3 +276,48 @@ def write_corpus_manifest(
     with open(_os.path.join(path, "_MANIFEST.json"), "w") as f:
         _json.dump(man, f, indent=1, sort_keys=True)
     return man
+
+
+def wet_to_docs(
+    spark: SparkSession,
+    path: str,
+    *,
+    scan_options: dict | None = None,
+) -> DataFrame:
+    """Common Crawl WET files -> docs(url, text, lang, n_chars).
+
+    WET archives are WARC files whose ``conversion`` records carry the
+    already-extracted plain text, so the pipeline is just the scan plus
+    a UTF-8 decode and language ID — no HTML kernel.  Same splittable
+    scan (gzip members / CDXJ sidecars) and the same fusion break as
+    :func:`warc_to_html_docs`.
+    """
+    from resilispark.datasource import register
+    from resilispark.functions.registry import register_functions
+    from resilispark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    register(spark)
+    udfs = register_functions(spark)
+
+    n_cores = spark.sparkContext.defaultParallelism
+    reader = (
+        spark.read.format("warc")
+        .option("record_types", "conversion")
+        .option("parse_http", "false")
+    )
+    for k, v in (scan_options or {}).items():
+        reader = reader.option(k, str(v))
+    recs = reader.load(path).repartition(n_cores)
+    decoded = recs.select(
+        F.col("target_uri").alias("url"),
+        udfs["to_str"](
+            F.col("payload"), udfs["detect_encoding"](F.col("payload"))
+        ).alias("text"),
+    )
+    return decoded.select(
+        "url",
+        "text",
+        udfs["detect_lang"](F.col("text")).getField("lang").alias("lang"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )

@@ -2549,3 +2549,39 @@ def test_extract_links_and_rank_hosts(spark):
         for r in extract_links(df, "html", "url", host_graph=False).collect()
     }
     assert ("https://a.example/p1", "https://a.example/local") in page_edges
+
+
+def test_wet_to_docs(spark, tmp_path):
+    """WET (conversion-record) archives read straight into the docs
+    shape: url, decoded text, language, char count."""
+    from resilispark.io.warc import WarcRecord, write_warc
+    from resilispark.operators.pipelines import wet_to_docs
+
+    recs = []
+    for i in range(6):
+        text = f"the quick brown fox number {i} jumps over the lazy dog again and again"
+        recs.append(
+            WarcRecord(
+                headers=[
+                    ("WARC-Type", "conversion"),
+                    ("WARC-Record-ID", f"<urn:uuid:wet-{i}>"),
+                    ("WARC-Date", "2024-01-01T00:00:00Z"),
+                    ("WARC-Target-URI", f"https://site{i}.example/page"),
+                    ("Content-Type", "text/plain"),
+                ],
+                payload=text.encode(),
+                record_type="conversion",
+                target_uri=f"https://site{i}.example/page",
+            )
+        )
+    path = str(tmp_path / "crawl.warc.gz")
+    write_warc(recs, path, compression="gzip")
+    docs = wet_to_docs(spark, path)
+    rows = sorted(docs.collect(), key=lambda r: r["url"])
+    assert len(rows) == 6
+    for i, r in enumerate(rows):
+        assert r["url"] == f"https://site{i}.example/page"
+        assert f"number {i}" in r["text"]
+        # short synthetic text: just check the detector ran and typed
+        assert r["lang"] is not None and len(r["lang"]) == 2
+        assert r["n_chars"] == len(r["text"])
