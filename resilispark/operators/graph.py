@@ -180,3 +180,58 @@ def extract_links(
             & (F.col("src") != F.col("dst"))
         )
     return edges.distinct()
+
+
+def wat_to_links(
+    spark,
+    path: str,
+    *,
+    host_graph: bool = True,
+    scan_options: dict | None = None,
+) -> DataFrame:
+    """Common Crawl WAT archives -> link-graph edges WITHOUT parsing
+    HTML: WAT ``metadata`` records carry the crawler's own extraction
+    as JSON, so the whole pipeline is the splittable WARC scan plus
+    JVM-side JSON functions (``get_json_object`` + ``from_json`` —
+    whole-stage codegen, no Python worker at all).  This is the scale
+    path for corpus-wide link graphs; :func:`extract_links` is the
+    from-raw-HTML fallback.
+
+    Returns distinct (src, dst) edges, host-collapsed by default like
+    :func:`extract_links`.
+    """
+    from resilispark.datasource import register
+    from resilispark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    register(spark)
+
+    reader = (
+        spark.read.format("warc")
+        .option("record_types", "metadata")
+        .option("parse_http", "false")
+    )
+    for k, v in (scan_options or {}).items():
+        reader = reader.option(k, str(v))
+    recs = reader.load(path)
+    links_json = F.get_json_object(
+        F.col("payload").cast("string"),
+        "$.Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.Links",
+    )
+    links = F.from_json(links_json, "array<struct<url string, href string>>")
+    edges = recs.select(
+        F.col("target_uri").alias("src"),
+        F.explode(links).alias("l"),
+    ).select(
+        "src", F.coalesce(F.col("l.url"), F.col("l.href")).alias("dst")
+    ).filter(F.col("dst").isNotNull() & F.col("dst").startswith("http"))
+    if host_graph:
+        edges = edges.select(
+            F.lower(F.parse_url("src", F.lit("HOST"))).alias("src"),
+            F.lower(F.parse_url("dst", F.lit("HOST"))).alias("dst"),
+        ).filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+    return edges.distinct()

@@ -2585,3 +2585,51 @@ def test_wet_to_docs(spark, tmp_path):
         # short synthetic text: just check the detector ran and typed
         assert r["lang"] is not None and len(r["lang"]) == 2
         assert r["n_chars"] == len(r["text"])
+
+
+def test_wat_to_links(spark, tmp_path):
+    """WAT metadata records -> link edges via pure JVM JSON functions."""
+    import json
+
+    from resilispark.io.warc import WarcRecord, write_warc
+    from resilispark.operators.graph import wat_to_links
+
+    def wat_payload(links):
+        return json.dumps(
+            {
+                "Envelope": {
+                    "Payload-Metadata": {
+                        "HTTP-Response-Metadata": {
+                            "HTML-Metadata": {
+                                "Links": [{"url": u, "path": "A@/href"} for u in links]
+                            }
+                        }
+                    }
+                }
+            }
+        ).encode()
+
+    recs = [
+        WarcRecord(
+            headers=[
+                ("WARC-Type", "metadata"),
+                ("WARC-Record-ID", f"<urn:uuid:wat-{i}>"),
+                ("WARC-Date", "2024-01-01T00:00:00Z"),
+                ("WARC-Target-URI", f"https://s{i}.example/p"),
+                ("Content-Type", "application/json"),
+            ],
+            payload=wat_payload(
+                ["https://hub.example/x", f"https://s{i}.example/self", "ftp://no"]
+            ),
+            record_type="metadata",
+            target_uri=f"https://s{i}.example/p",
+        )
+        for i in range(3)
+    ]
+    path = str(tmp_path / "crawl.wat.gz")
+    write_warc(recs, path, compression="gzip")
+    got = {(r["src"], r["dst"]) for r in wat_to_links(spark, path).collect()}
+    assert got == {(f"s{i}.example", "hub.example") for i in range(3)}, got
+    # the plan is pure JVM: no Python eval nodes
+    plan = wat_to_links(spark, path)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
