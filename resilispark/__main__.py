@@ -333,6 +333,54 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_linkgraph(args) -> int:
+    """WARC/WAT -> host link graph -> PageRank authority table."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args.cpus)
+    from resilispark.operators.graph import (
+        degree_stats,
+        extract_links,
+        pagerank,
+        wat_to_links,
+    )
+
+    if args.wat:
+        edges = wat_to_links(spark, args.input)
+    else:
+        from resilispark.operators.pipelines import warc_to_html_docs
+
+        docs = warc_to_html_docs(spark, args.input, main_content=False)
+        # re-scan with raw payloads for hrefs: the extract pipeline
+        # returns text, the link kernel wants HTML
+        from resilispark.datasource import register
+        from resilispark.functions.registry import register_functions
+        from resilispark.session import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
+        register(spark)
+        udfs = register_functions(spark)
+        recs = (
+            spark.read.format("warc")
+            .option("record_types", "response")
+            .load(args.input)
+        )
+        html = recs.select(
+            F.col("target_uri").alias("url"),
+            udfs["to_str"](
+                F.col("payload"), udfs["detect_encoding"](F.col("payload"))
+            ).alias("html"),
+        )
+        edges = extract_links(html, "html", "url")
+    ranks = pagerank(
+        edges, max_iterations=args.max_iterations, tol=args.tol
+    ).join(degree_stats(edges), "vertex", "left")
+    ranks.orderBy(F.col("rank").desc()).write.mode("overwrite").parquet(args.output)
+    for r in ranks.orderBy(F.col("rank").desc()).limit(args.top).collect():
+        print(f"{r.vertex}	{r.rank:.6f}	in={r.in_degree or 0} out={r.out_degree or 0}")
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """Scan throughput (fastwarc benchmark, cli.py:351-447): local,
     http(s)://, or s3:// sources; --parse-http / --verify-digests /
@@ -728,6 +776,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
     p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser("linkgraph", help="WARC/WAT -> PageRank host authority")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--wat", action="store_true",
+                   help="input is WAT metadata (pure-JVM JSON path)")
+    p.add_argument("--max-iterations", type=int, default=50)
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--top", type=int, default=20)
+    p.set_defaults(fn=cmd_linkgraph)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")
     p.add_argument("file")

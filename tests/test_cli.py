@@ -517,3 +517,41 @@ def test_cli_curate_drop_common_lines(tmp_path, spark):
     assert rc == 0
     kept = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
     assert all(t == f"real content number {i}" for i, t in kept.items())
+
+
+def test_cli_linkgraph_wat(tmp_path, spark):
+    import json
+
+    from resilispark.__main__ import main
+    from resilispark.io.warc import WarcRecord, write_warc
+
+    def wat(links):
+        return json.dumps(
+            {"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": {
+                "HTML-Metadata": {"Links": [{"url": u} for u in links]}}}}}
+        ).encode()
+
+    recs = [
+        WarcRecord(
+            headers=[
+                ("WARC-Type", "metadata"),
+                ("WARC-Record-ID", f"<urn:uuid:lg-{i}>"),
+                ("WARC-Date", "2024-01-01T00:00:00Z"),
+                ("WARC-Target-URI", f"https://s{i}.example/p"),
+                ("Content-Type", "application/json"),
+            ],
+            payload=wat(["https://hub.example/x"]),
+            record_type="metadata",
+            target_uri=f"https://s{i}.example/p",
+        )
+        for i in range(4)
+    ]
+    src = str(tmp_path / "c.wat.gz")
+    write_warc(recs, src, compression="gzip")
+    out = str(tmp_path / "ranks")
+    rc = main(["--cpus", "4", "linkgraph", src, "-o", out, "--wat",
+               "--max-iterations", "100", "--tol", "1e-8"])
+    assert rc == 0
+    ranks = {r["vertex"]: r for r in spark.read.parquet(out).collect()}
+    assert max(ranks, key=lambda v: ranks[v]["rank"]) == "hub.example"
+    assert ranks["hub.example"]["in_degree"] == 4
