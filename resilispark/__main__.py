@@ -184,6 +184,10 @@ def cmd_curate(args) -> int:
         docs = spark.read.parquet(args.input)
         if "text" not in docs.columns and "plain_text" in docs.columns:
             docs = docs.withColumnRenamed("plain_text", "text")
+    elif args.input_format == "wet" or ".wet." in args.input:
+        from resilispark.operators.pipelines import wet_to_docs
+
+        docs = wet_to_docs(spark, args.input)
     else:
         docs = warc_to_html_docs(spark, args.input, main_content=True)
         docs = docs.withColumnRenamed("plain_text", "text")
@@ -730,7 +734,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("input")
     p.add_argument("-o", "--output", required=True)
-    p.add_argument("--input-format", default="auto", choices=["auto", "warc", "parquet"])
+    p.add_argument("--input-format", default="auto",
+                   choices=["auto", "warc", "wet", "parquet"])
     p.add_argument("--blocklist", default=None, help="text file, one domain per line")
     p.add_argument("--benchmark", default=None, help="parquet eval set to decontaminate against")
     p.add_argument("--ngram", type=int, default=13, help="decontamination n-gram size")

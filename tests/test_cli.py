@@ -555,3 +555,33 @@ def test_cli_linkgraph_wat(tmp_path, spark):
     ranks = {r["vertex"]: r for r in spark.read.parquet(out).collect()}
     assert max(ranks, key=lambda v: ranks[v]["rank"]) == "hub.example"
     assert ranks["hub.example"]["in_degree"] == 4
+
+
+def test_cli_curate_wet_input(tmp_path, spark):
+    from resilispark.__main__ import main
+    from resilispark.io.warc import WarcRecord, write_warc
+
+    recs = [
+        WarcRecord(
+            headers=[
+                ("WARC-Type", "conversion"),
+                ("WARC-Record-ID", f"<urn:uuid:wc-{i}>"),
+                ("WARC-Date", "2024-01-01T00:00:00Z"),
+                ("WARC-Target-URI", f"https://w{i}.example/p"),
+                ("Content-Type", "text/plain"),
+            ],
+            payload=(" ".join(f"token{i}w{j}" for j in range(30))).encode(),
+            record_type="conversion",
+            target_uri=f"https://w{i}.example/p",
+        )
+        for i in range(5)
+    ]
+    src = str(tmp_path / "c.warc.gz")
+    write_warc(recs, src, compression="gzip")
+    out = str(tmp_path / "corpus")
+    rc = main(["--cpus", "4", "curate", src, "-o", out,
+               "--input-format", "wet", "--no-quality", "--keep-pii"])
+    assert rc == 0
+    kept = spark.read.parquet(out)
+    assert kept.count() == 5
+    assert "text" in kept.columns and "url" in kept.columns
