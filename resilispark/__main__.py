@@ -310,7 +310,9 @@ def cmd_pack(args) -> int:
     spark = _spark(args.cpus)
     from resilispark.operators.packing import emit_sequences, pack_stats
 
-    docs = spark.read.parquet(args.input)
+    # persist: the write and the stats collect are two actions over the
+    # same scan/window-heavy plan
+    docs = spark.read.parquet(args.input).persist()
     seqs = emit_sequences(
         docs,
         id_col=args.id_col,
@@ -352,11 +354,8 @@ def cmd_linkgraph(args) -> int:
     if args.wat:
         edges = wat_to_links(spark, args.input)
     else:
-        from resilispark.operators.pipelines import warc_to_html_docs
-
-        docs = warc_to_html_docs(spark, args.input, main_content=False)
-        # re-scan with raw payloads for hrefs: the extract pipeline
-        # returns text, the link kernel wants HTML
+        # the link kernel wants raw HTML (the extract pipeline returns
+        # plain text), so scan payloads directly
         from resilispark.datasource import register
         from resilispark.functions.registry import register_functions
         from resilispark.session import ensure_workers_can_import

@@ -135,6 +135,10 @@ def _doc_log_perplexity(text: str, model: CharLmModel) -> float:
     penalty = 1.0
     idx = np.arange(1, n)
     for k in range(order - 1, -1, -1):
+        if len(hashes[k]) == 0:
+            # doc shorter than this order: no (k+1)-gram exists at all
+            penalty *= _BACKOFF
+            continue
         start = idx - k  # gram b[i-k .. i] begins here
         valid = start >= 0
         pos = np.where(valid, start, 0)

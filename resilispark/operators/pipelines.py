@@ -229,7 +229,12 @@ def write_docs_partitioned(
         .parquet(path)
     )
     if manifest:
-        write_corpus_manifest(docs, path, partition_by=partition_by)
+        # aggregate from the just-written parquet, not the input lineage:
+        # re-running the full curation plan (WARC scan -> extract ->
+        # dedup -> filters) for three aggregates would double wall time
+        write_corpus_manifest(
+            docs.sparkSession.read.parquet(path), path, partition_by=partition_by
+        )
 
 
 def write_corpus_manifest(
@@ -271,10 +276,22 @@ def write_corpus_manifest(
     }
     man = {"partitions": sorted(parts, key=lambda p: [str(p.get(k)) for k in keys]),
            "total": total, "partition_by": keys}
-    import os as _os
+    blob = _json.dumps(man, indent=1, sort_keys=True).encode()
+    dest = path.rstrip("/") + "/_MANIFEST.json"
+    if "://" in dest and not dest.startswith("file://"):
+        # remote corpus (s3:// etc.): route through the fs layer instead
+        # of a local open() that would fail after the parquet write
+        import tempfile
 
-    with open(_os.path.join(path, "_MANIFEST.json"), "w") as f:
-        _json.dump(man, f, indent=1, sort_keys=True)
+        from resilispark.io.fs import get_fs
+
+        with tempfile.NamedTemporaryFile(suffix=".json") as tf:
+            tf.write(blob)
+            tf.flush()
+            get_fs(dest).put_file(tf.name, dest)
+    else:
+        with open(dest.removeprefix("file://"), "wb") as f:
+            f.write(blob)
     return man
 
 

@@ -539,7 +539,10 @@ def ivf_knn_join(
         F.col("ivf_cell").alias("cell"),
     )
 
-    out_schema = "qid long, nid long, cos double"
+    # id columns keep their actual types (string URLs, structs, ...)
+    l_type = dict(left.dtypes)[id_col]
+    r_type = dict(right.dtypes)[id_col]
+    out_schema = f"qid {l_type}, nid {r_type}, cos double"
 
     def per_cell(lpdf, rpdf):
         import pandas as _pd

@@ -2633,3 +2633,20 @@ def test_wat_to_links(spark, tmp_path):
     # the plan is pure JVM: no Python eval nodes
     plan = wat_to_links(spark, path)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_ivf_knn_join_string_ids(spark):
+    import numpy as np
+
+    from resilispark.operators.similarity import ivf_knn_join, train_ivf
+
+    rng = np.random.RandomState(11)
+    mk = lambda n, pre: [
+        (f"{pre}{i}", [float(v) for v in rng.randn(8)]) for i in range(n)
+    ]
+    left = spark.createDataFrame(mk(10, "q"), "vec_id string, embedding array<float>")
+    right = spark.createDataFrame(mk(50, "d"), "vec_id string, embedding array<float>")
+    cent = train_ivf(right, n_cells=4, sample=50, iters=3)
+    out = ivf_knn_join(left, right, cent, k=2, nprobe=4).collect()
+    assert len(out) == 20
+    assert all(r["query_id"].startswith("q") and r["neighbor_id"].startswith("d") for r in out)
