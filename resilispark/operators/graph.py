@@ -154,6 +154,14 @@ def extract_links(
             if html:
                 try:
                     root = parse_html(html)
+                    # <base href> overrides the document URL for
+                    # relative-link resolution (first one wins, as in
+                    # browsers)
+                    for b in query_selector_all(root, "base[href]"):
+                        declared = (b.attrs.get("href") or "").strip()
+                        if declared:
+                            base = urljoin(base or "", declared)
+                            break
                     for a in query_selector_all(root, "a[href]"):
                         href = (a.attrs.get("href") or "").strip()
                         if not href or href.startswith(("#", "javascript:", "mailto:")):

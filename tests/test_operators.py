@@ -2650,3 +2650,18 @@ def test_ivf_knn_join_string_ids(spark):
     out = ivf_knn_join(left, right, cent, k=2, nprobe=4).collect()
     assert len(out) == 20
     assert all(r["query_id"].startswith("q") and r["neighbor_id"].startswith("d") for r in out)
+
+
+def test_extract_links_honors_base_href(spark):
+    from resilispark.operators.graph import extract_links
+
+    df = spark.createDataFrame(
+        [("https://orig.example/dir/page",
+          '<base href="https://cdn.example/assets/"><a href="x.html">x</a>')],
+        "url string, html string",
+    )
+    got = {
+        (r["src"], r["dst"])
+        for r in extract_links(df, "html", "url", host_graph=False).collect()
+    }
+    assert got == {("https://orig.example/dir/page", "https://cdn.example/assets/x.html")}
