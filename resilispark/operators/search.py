@@ -1,0 +1,120 @@
+"""Corpus keyword search: BM25 ranking as plain DataFrame lineage —
+the retrieval primitive for inspecting a curated corpus (and the
+classic lexical baseline next to the embedding ANN operators).
+
+Scale shape: the query's term set broadcasts (a handful of literals),
+so the corpus scan filters to matching tokens map-side BEFORE any
+shuffle; document frequencies and term frequencies are two aggregates
+over that already-tiny filtered stream, and the final score is one
+per-doc sum + top-k.  No inverted index is materialized — at 100 TB
+this is a scan-and-aggregate query, not an index build; for repeated
+querying, cache ``doc_lengths``.
+
+No reference-parity citation: the reference engine stops at
+extraction; this is part of the training-data extension surface
+(SURVEY §2 "beyond the reference" block).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_lengths(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, dl) whitespace token counts — cache this when issuing many
+    queries against the same corpus."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("double").alias("dl"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-``k`` documents for a free-text query under Okapi BM25.
+
+    IDF uses the standard ``ln(1 + (N - df + 0.5) / (df + 0.5))``
+    (always positive); term frequency saturates with ``k1`` and length-
+    normalizes with ``b`` against the corpus mean document length.
+    Returns (id, score, n_hits) ordered by score descending, id
+    ascending — ties resolve deterministically.
+    """
+    terms = list(dict.fromkeys(
+        (query.lower() if lowercase else query).split()
+    ))
+    if not terms:
+        raise ValueError("empty query")
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    lengths = docs.select(
+        F.col(id_col),
+        F.size(words).cast("double").alias("dl"),
+        words.alias("_w"),
+    )
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = stats["n"], stats["avgdl"]
+    if not n_docs:
+        raise ValueError("empty corpus")
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    # map-side shrink: only query-term tokens survive the explode
+    hits = lengths.select(
+        id_col,
+        "dl",
+        F.explode(
+            F.filter(F.col("_w"), lambda w: F.array_contains(term_arr, w))
+        ).alias("term"),
+    )
+    tf = hits.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_counts = {
+        r["term"]: r["df"]
+        for r in tf.groupBy("term").agg(F.countDistinct(id_col).alias("df")).collect()
+    }
+    idf_map = F.create_map(
+        *[
+            x
+            for t in terms
+            for x in (
+                F.lit(t),
+                F.lit(
+                    math.log(
+                        1.0
+                        + (n_docs - df_counts.get(t, 0) + 0.5)
+                        / (df_counts.get(t, 0) + 0.5)
+                    )
+                ),
+            )
+        ]
+    )
+    score_term = idf_map[F.col("term")] * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        tf.withColumn("_s", score_term)
+        .groupBy(id_col)
+        .agg(
+            F.sum("_s").alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

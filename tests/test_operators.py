@@ -2665,3 +2665,48 @@ def test_extract_links_honors_base_href(spark):
         for r in extract_links(df, "html", "url", host_graph=False).collect()
     }
     assert got == {("https://orig.example/dir/page", "https://cdn.example/assets/x.html")}
+
+
+def test_bm25_matches_reference_impl(spark):
+    import math
+
+    from resilispark.operators.search import bm25_topk
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog chased the cat around the yard"),
+        (2, "a completely unrelated document about spark"),
+        (3, "cat cat cat everywhere cats"),
+        (4, "dogs and cats living together"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    query = "cat dog"
+    got = [(r["doc_id"], r["score"]) for r in bm25_topk(df, query, k=5).collect()]
+
+    # reference BM25
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    k1, b = 1.2, 0.75
+    terms = query.split()
+    dfreq = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    want = []
+    for i, w in toks.items():
+        s = 0.0
+        hits = 0
+        for t in terms:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+        if hits:
+            want.append((i, s))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (gi, gs), (wi, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9, (gi, gs, ws)
+    # doc 3 (heavy cat tf) must outrank doc 0 (single cat)
+    order = [i for i, _ in got]
+    assert order.index(3) < order.index(0)
