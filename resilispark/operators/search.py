@@ -118,3 +118,42 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    k: int = 60,
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of several ranked result lists (e.g.
+    :func:`bm25_topk` + an embedding ANN top-k): each list contributes
+    ``1 / (k + rank)`` per document, summed — the standard hybrid
+    retrieval combiner, robust to incomparable score scales.
+
+    Each input must already be ordered best-first; its row order
+    defines the rank (1-based).  One union + one aggregate; every list
+    is a top-k so the whole thing is driver-scale regardless of corpus
+    size.  Returns (id, rrf_score, n_lists) ordered by score desc, id.
+    """
+    from pyspark.sql import Window as W
+
+    if not ranked:
+        raise ValueError("no ranked lists")
+    tagged = None
+    for li, df in enumerate(ranked):
+        w = W.partitionBy(F.lit(li)).orderBy(F.monotonically_increasing_id())
+        part = df.select(F.col(id_col)).withColumn(
+            "_rrf", 1.0 / (F.lit(k) + F.row_number().over(w))
+        )
+        tagged = part if tagged is None else tagged.unionAll(part)
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.sum("_rrf").alias("rrf_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(top or (1 << 30))
+    )

@@ -2710,3 +2710,19 @@ def test_bm25_matches_reference_impl(spark):
     # doc 3 (heavy cat tf) must outrank doc 0 (single cat)
     order = [i for i, _ in got]
     assert order.index(3) < order.index(0)
+
+
+def test_rrf_fuse(spark):
+    from resilispark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame([(3,), (1,), (2,)], "doc_id long")
+    vec = spark.createDataFrame([(1,), (4,), (3,)], "doc_id long")
+    out = rrf_fuse([lex, vec], k=60).collect()
+    got = {r["doc_id"]: (r["rrf_score"], r["n_lists"]) for r in out}
+    # doc1: rank2+rank1, doc3: rank1+rank3, doc2: rank3 only, doc4: rank2 only
+    assert abs(got[1][0] - (1 / 62 + 1 / 61)) < 1e-12 and got[1][1] == 2
+    assert abs(got[3][0] - (1 / 61 + 1 / 63)) < 1e-12
+    assert abs(got[2][0] - 1 / 63) < 1e-12 and got[2][1] == 1
+    assert abs(got[4][0] - 1 / 62) < 1e-12
+    order = [r["doc_id"] for r in out]
+    assert order[0] == 1 and order[1] == 3
