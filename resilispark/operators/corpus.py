@@ -244,3 +244,48 @@ def cap_per_host(
         .filter(F.col("_rn") <= max_docs)
         .drop("_rn")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-level diff between two corpus versions: one summary row
+    per change class — the observability step between curation
+    iterations ("what did tightening that threshold actually drop?").
+
+    Documents pair by content digest (md5 of text), not id, so re-keyed
+    but identical corpora diff as unchanged.  Change classes:
+    ``unchanged`` (digest in both), ``added`` (only new), ``removed``
+    (only old).  One anti/semi-join pass per class on the uniform
+    digest key — no full-text shuffle, the text column reduces to its
+    hash before any join.
+
+    Returns (change, n_docs, n_tokens) ordered by change.
+    """
+    def digests(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.md5(F.encode(F.col(text_col), "UTF-8")).alias("_h"),
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+            .cast("bigint")
+            .alias("_t"),
+        ).dropDuplicates(["_h"])
+
+    o, n = digests(old), digests(new)
+    classes = [
+        ("unchanged", n.join(o.select("_h"), "_h", "left_semi")),
+        ("added", n.join(o.select("_h"), "_h", "left_anti")),
+        ("removed", o.join(n.select("_h"), "_h", "left_anti")),
+    ]
+    out = None
+    for name, df in classes:
+        part = df.agg(
+            F.lit(name).alias("change"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("change")

@@ -2726,3 +2726,21 @@ def test_rrf_fuse(spark):
     assert abs(got[4][0] - 1 / 62) < 1e-12
     order = [r["doc_id"] for r in out]
     assert order[0] == 1 and order[1] == 3
+
+
+def test_corpus_diff(spark):
+    from resilispark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(0, "shared doc one"), (1, "dropped doc"), (2, "another shared")],
+        "doc_id long, text string",
+    )
+    # re-keyed ids; one doc dropped, one added
+    new = spark.createDataFrame(
+        [(10, "shared doc one"), (11, "another shared"), (12, "brand new doc here")],
+        "doc_id long, text string",
+    )
+    got = {r["change"]: r for r in corpus_diff(old, new).collect()}
+    assert got["unchanged"]["n_docs"] == 2
+    assert got["added"]["n_docs"] == 1 and got["added"]["n_tokens"] == 4
+    assert got["removed"]["n_docs"] == 1 and got["removed"]["n_tokens"] == 2
