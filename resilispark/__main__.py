@@ -180,11 +180,20 @@ def cmd_curate(args) -> int:
     from resilispark.operators.quality import gopher_filter, scrub_pii
 
     spark = _spark(args.cpus)
-    if args.input.endswith(".parquet") or args.input_format == "parquet":
+    fmt = args.input_format
+    if fmt == "auto":
+        # sniff ONLY when the user didn't say — an explicit flag wins
+        if args.input.endswith(".parquet"):
+            fmt = "parquet"
+        elif ".wet." in args.input:
+            fmt = "wet"
+        else:
+            fmt = "warc"
+    if fmt == "parquet":
         docs = spark.read.parquet(args.input)
         if "text" not in docs.columns and "plain_text" in docs.columns:
             docs = docs.withColumnRenamed("plain_text", "text")
-    elif args.input_format == "wet" or ".wet." in args.input:
+    elif fmt == "wet":
         from resilispark.operators.pipelines import wet_to_docs
 
         docs = wet_to_docs(spark, args.input)

@@ -260,19 +260,29 @@ def corpus_diff(
     Documents pair by content digest (md5 of text), not id, so re-keyed
     but identical corpora diff as unchanged.  Change classes:
     ``unchanged`` (digest in both), ``added`` (only new), ``removed``
-    (only old).  One anti/semi-join pass per class on the uniform
-    digest key — no full-text shuffle, the text column reduces to its
-    hash before any join.
+    (only old).  Duplicate documents count with their multiplicity
+    (per-digest count/token totals aggregate BEFORE the joins), so the
+    per-class numbers reconcile with the corpora's actual sizes.  One
+    semi/anti join per class on the uniform digest key — no full-text
+    shuffle.
 
-    Returns (change, n_docs, n_tokens) ordered by change.
+    Returns (change, n_docs, n_tokens) ordered by change; counts for
+    unchanged/added come from the NEW corpus, removed from the old.
     """
     def digests(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.md5(F.encode(F.col(text_col), "UTF-8")).alias("_h"),
-            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-            .cast("bigint")
-            .alias("_t"),
-        ).dropDuplicates(["_h"])
+        return (
+            df.select(
+                F.md5(F.encode(F.col(text_col), "UTF-8")).alias("_h"),
+                F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+                .cast("bigint")
+                .alias("_tok"),
+            )
+            .groupBy("_h")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum("_tok").cast("bigint").alias("_t"),
+            )
+        )
 
     o, n = digests(old), digests(new)
     classes = [
@@ -284,7 +294,7 @@ def corpus_diff(
     for name, df in classes:
         part = df.agg(
             F.lit(name).alias("change"),
-            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_docs"),
             F.coalesce(F.sum("_t"), F.lit(0)).cast("bigint").alias("n_tokens"),
         )
         out = part if out is None else out.unionByName(part)

@@ -77,9 +77,11 @@ def pagerank(
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(max_iterations):
+        # persist for the round: the dangling aggregate and the contrib
+        # join are two actions over this same V-sized join
         with_deg = ranks.join(
             out_deg, ranks.vertex == out_deg.src, "left"
-        ).select("vertex", "rank", F.coalesce("_deg", F.lit(0)).alias("_deg"))
+        ).select("vertex", "rank", F.coalesce("_deg", F.lit(0)).alias("_deg")).persist()
         dangling = (
             with_deg.filter(F.col("_deg") == 0)
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
@@ -111,6 +113,7 @@ def pagerank(
             .agg(F.sum(F.abs(F.col("rank") - F.col("_old"))))
             .first()[0]
         )
+        with_deg.unpersist()
         ranks = new_ranks
         if delta is not None and delta < tol:
             return ranks

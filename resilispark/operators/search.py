@@ -23,17 +23,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def doc_lengths(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, dl) whitespace token counts — cache this when issuing many
-    queries against the same corpus."""
-    return docs.select(
-        F.col(id_col),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("double").alias("dl"),
-    )
-
-
 def bm25_topk(
     docs: DataFrame,
     query: str,
@@ -50,8 +39,9 @@ def bm25_topk(
     IDF uses the standard ``ln(1 + (N - df + 0.5) / (df + 0.5))``
     (always positive); term frequency saturates with ``k1`` and length-
     normalizes with ``b`` against the corpus mean document length.
-    Returns (id, score, n_hits) ordered by score descending, id
-    ascending — ties resolve deterministically.
+    Returns (id, score, n_hits, rank) ordered by rank — ties resolve
+    deterministically (score desc, id asc); the explicit rank column is
+    what :func:`rrf_fuse` consumes, immune to physical row order.
     """
     terms = list(dict.fromkeys(
         (query.lower() if lowercase else query).split()
@@ -108,15 +98,21 @@ def bm25_topk(
         * (k1 + 1.0)
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
     )
-    return (
+    from pyspark.sql import Window as W
+
+    scored = (
         tf.withColumn("_s", score_term)
         .groupBy(id_col)
         .agg(
             F.sum("_s").alias("score"),
             F.count(F.lit(1)).cast("bigint").alias("n_hits"),
         )
-        .orderBy(F.col("score").desc(), F.col(id_col))
-        .limit(k)
+    )
+    w = W.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("rank")
     )
 
 
@@ -126,16 +122,22 @@ def rrf_fuse(
     id_col: str = "doc_id",
     k: int = 60,
     top: int | None = None,
+    rank_col: str = "rank",
+    order_col: str | None = "score",
 ) -> DataFrame:
     """Reciprocal-rank fusion of several ranked result lists (e.g.
     :func:`bm25_topk` + an embedding ANN top-k): each list contributes
     ``1 / (k + rank)`` per document, summed — the standard hybrid
     retrieval combiner, robust to incomparable score scales.
 
-    Each input must already be ordered best-first; its row order
-    defines the rank (1-based).  One union + one aggregate; every list
-    is a top-k so the whole thing is driver-scale regardless of corpus
-    size.  Returns (id, rrf_score, n_lists) ordered by score desc, id.
+    Rank comes from each list's explicit ``rank_col`` when present
+    (what :func:`bm25_topk` and ``ivf_knn_join`` emit) — physical row
+    order is NOT trusted: a parquet round-trip or repartition scrambles
+    it silently.  Lists without the column must carry ``order_col`` (a
+    score, ranked descending) instead; otherwise this raises.  One
+    union + one aggregate; every list is a top-k so the whole thing is
+    driver-scale.  Returns (id, rrf_score, n_lists) ordered by score
+    desc, id.
     """
     from pyspark.sql import Window as W
 
@@ -143,10 +145,19 @@ def rrf_fuse(
         raise ValueError("no ranked lists")
     tagged = None
     for li, df in enumerate(ranked):
-        w = W.partitionBy(F.lit(li)).orderBy(F.monotonically_increasing_id())
-        part = df.select(F.col(id_col)).withColumn(
-            "_rrf", 1.0 / (F.lit(k) + F.row_number().over(w))
-        )
+        if rank_col in df.columns:
+            rank = F.col(rank_col)
+        elif order_col is not None and order_col in df.columns:
+            rank = F.row_number().over(
+                W.orderBy(F.col(order_col).desc(), F.col(id_col))
+            )
+        else:
+            raise ValueError(
+                f"ranked list {li} has neither a '{rank_col}' column nor "
+                f"the order_col fallback — physical row order is not a "
+                "safe rank source"
+            )
+        part = df.select(F.col(id_col), (1.0 / (F.lit(k) + rank)).alias("_rrf"))
         tagged = part if tagged is None else tagged.unionAll(part)
     return (
         tagged.groupBy(id_col)

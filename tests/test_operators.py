@@ -2713,10 +2713,20 @@ def test_bm25_matches_reference_impl(spark):
 
 
 def test_rrf_fuse(spark):
+    import pytest as _pytest
+
     from resilispark.operators.search import rrf_fuse
 
-    lex = spark.createDataFrame([(3,), (1,), (2,)], "doc_id long")
-    vec = spark.createDataFrame([(1,), (4,), (3,)], "doc_id long")
+    lex = spark.createDataFrame(
+        [(3, 1), (1, 2), (2, 3)], "doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(1, 1), (4, 2), (3, 3)], "doc_id long, rank int"
+    )
+    # lists without rank or score must be rejected, not silently
+    # ranked by physical row order
+    with _pytest.raises(ValueError, match="rank"):
+        rrf_fuse([spark.createDataFrame([(1,)], "doc_id long")])
     out = rrf_fuse([lex, vec], k=60).collect()
     got = {r["doc_id"]: (r["rrf_score"], r["n_lists"]) for r in out}
     # doc1: rank2+rank1, doc3: rank1+rank3, doc2: rank3 only, doc4: rank2 only
