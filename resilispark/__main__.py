@@ -393,6 +393,26 @@ def cmd_linkgraph(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """BM25 keyword search over a parquet corpus."""
+    spark = _spark(args.cpus)
+    from resilispark.operators.search import bm25_topk
+
+    docs = spark.read.parquet(args.input)
+    hits = bm25_topk(
+        docs,
+        args.query,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        k=args.k,
+    ).collect()
+    for r in hits:
+        print(f"{r['rank']:3d}  {r['score']:8.4f}  {r[args.id_col]}")
+    if not hits:
+        print("no matches")
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """Scan throughput (fastwarc benchmark, cli.py:351-447): local,
     http(s)://, or s3:// sources; --parse-http / --verify-digests /
@@ -799,6 +819,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--top", type=int, default=20)
     p.set_defaults(fn=cmd_linkgraph)
+
+    p = sub.add_parser("search", help="BM25 keyword search over a corpus")
+    p.add_argument("input")
+    p.add_argument("query")
+    p.add_argument("-k", type=int, default=10)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")
     p.add_argument("file")

@@ -585,3 +585,20 @@ def test_cli_curate_wet_input(tmp_path, spark):
     kept = spark.read.parquet(out)
     assert kept.count() == 5
     assert "text" in kept.columns and "url" in kept.columns
+
+
+def test_cli_search(tmp_path, spark, capsys):
+    from resilispark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(0, "spark engine for corpus analytics"),
+         (1, "cats and dogs"),
+         (2, "the spark spark spark document")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+    rc = main(["--cpus", "4", "search", src, "spark corpus", "-k", "2"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    assert lines[0].split()[0] == "1" or lines[0].startswith("  1")
