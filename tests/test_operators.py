@@ -2754,3 +2754,36 @@ def test_corpus_diff(spark):
     assert got["unchanged"]["n_docs"] == 2
     assert got["added"]["n_docs"] == 1 and got["added"]["n_tokens"] == 4
     assert got["removed"]["n_docs"] == 1 and got["removed"]["n_tokens"] == 2
+
+
+def test_hybrid_retrieval_fusion(spark):
+    """BM25, the ANN join, and RRF compose into hybrid retrieval: a doc
+    strong in both channels outranks docs strong in only one."""
+    import numpy as np
+
+    from resilispark.operators.search import bm25_topk, rrf_fuse
+    from resilispark.operators.similarity import ivf_knn_join, train_ivf
+
+    # doc 0: lexical+vector match; doc 1: lexical only; doc 2: vector only
+    texts = [
+        (0, "spark corpus analytics engine"),
+        (1, "spark corpus spark corpus spark"),
+        (2, "completely different words here"),
+        (3, "noise noise noise noise"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    base = np.eye(4, 8, dtype="float32")
+    vecs = [(i, [float(v) for v in base[i]]) for i in range(4)]
+    corpus_vecs = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    qv = (base[0] + 0.05 * base[2]) / np.linalg.norm(base[0] + 0.05 * base[2])
+    query_vec = spark.createDataFrame(
+        [(99, [float(v) for v in qv])], "vec_id long, embedding array<float>"
+    )
+    cent = train_ivf(corpus_vecs, n_cells=1, sample=10, iters=2)
+    ann = (
+        ivf_knn_join(query_vec, corpus_vecs, cent, k=3, nprobe=1)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    lex = bm25_topk(docs, "spark corpus", k=3)
+    fused = rrf_fuse([lex, ann], k=60).collect()
+    assert fused[0]["doc_id"] == 0 and fused[0]["n_lists"] == 2
