@@ -166,5 +166,5 @@ def rrf_fuse(
             F.count(F.lit(1)).cast("bigint").alias("n_lists"),
         )
         .orderBy(F.col("rrf_score").desc(), F.col(id_col))
-        .limit(top or (1 << 30))
+        .limit((1 << 30) if top is None else top)
     )
