@@ -299,3 +299,54 @@ def corpus_diff(
         )
         out = part if out is None else out.unionByName(part)
     return out.orderBy("change")
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fractions: dict[str, float] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/validation split that cannot leak through
+    duplicates: near-duplicate documents are grouped into clusters
+    first (connected components over ``pairs`` — MinHash-LSH pairs by
+    default) and the WHOLE cluster lands on one side, decided by a hash
+    of the cluster representative.  A plain per-doc random split puts
+    one copy of a duplicated document in train and another in val,
+    silently inflating eval scores; this cannot.
+
+    ``fractions`` maps split name -> weight (default
+    ``{"train": 0.99, "val": 0.01}``).  Deterministic under retries and
+    re-runs (xxhash64, no rand()).  Returns the input plus ``split``.
+    """
+    from resilispark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    fractions = fractions or {"train": 0.99, "val": 0.01}
+    total = sum(fractions.values())
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, text_col, id_col)
+    clusters = connected_components(pairs, "doc_a", "doc_b")
+    keyed = docs.join(
+        clusters.select(
+            F.col("vertex").alias(id_col), F.col("cluster_id").alias("_cl")
+        ),
+        id_col,
+        "left",
+    ).withColumn("_cl", F.coalesce("_cl", F.col(id_col)))
+    u = (
+        F.pmod(F.xxhash64(F.col("_cl"), F.lit(seed)), F.lit(1_000_000)) + 0.5
+    ) / 1_000_000.0
+    expr = None
+    acc = 0.0
+    names = sorted(fractions)
+    for name in names[:-1]:
+        acc += fractions[name] / total
+        cond = u < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = (
+        expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    )
+    return keyed.withColumn("split", split).drop("_cl")

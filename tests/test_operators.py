@@ -2787,3 +2787,38 @@ def test_hybrid_retrieval_fusion(spark):
     lex = bm25_topk(docs, "spark corpus", k=3)
     fused = rrf_fuse([lex, ann], k=60).collect()
     assert fused[0]["doc_id"] == 0 and fused[0]["n_lists"] == 2
+
+
+def test_leakage_safe_split(spark):
+    from resilispark.operators.corpus import leakage_safe_split
+
+    # 30 duplicate groups of 3 + 110 unique docs
+    rows = []
+    did = 0
+    groups = []
+    for g in range(30):
+        text = f"duplicated group {g} body " + " ".join(f"g{g}w{j}" for j in range(20))
+        members = []
+        for _ in range(3):
+            rows.append((did, text))
+            members.append(did)
+            did += 1
+        groups.append(members)
+    for u in range(110):
+        rows.append((did, f"unique doc {u} " + " ".join(f"u{u}w{j}" for j in range(20))))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df, fractions={"train": 0.8, "val": 0.2}, seed=3)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == len(rows)
+    # every duplicate group lands entirely on one side
+    for members in groups:
+        sides = {got[m] for m in members}
+        assert len(sides) == 1, (members, sides)
+    # both sides non-empty and roughly proportioned
+    n_val = sum(1 for s in got.values() if s == "val")
+    assert 0.05 * len(rows) < n_val < 0.45 * len(rows), n_val
+    # deterministic
+    again = {r["doc_id"]: r["split"] for r in
+             leakage_safe_split(df, fractions={"train": 0.8, "val": 0.2}, seed=3).collect()}
+    assert got == again
