@@ -308,6 +308,33 @@ def main() -> None:
         lambda: lang_df.write.mode("overwrite").format("noop").save()
     )
 
+    # learned quality filters: score the whole corpus through the
+    # hashed-linear classifier and the byte-LM perplexity kernel
+    # (training on a 400-doc seed is driver-side and excluded)
+    from pyspark.sql import functions as _F2
+
+    from resilispark.operators.classifier import (
+        score_text_classifier,
+        train_text_classifier,
+    )
+    from resilispark.operators.ngram_lm import perplexity_score, train_char_lm
+
+    seed_docs = docs.limit(400)
+    clf = train_text_classifier(
+        seed_docs.withColumn("label", (_F2.col("doc_id") % 2).cast("int"))
+    )
+    clf_df = score_text_classifier(docs, clf).select("quality_score")
+    clf_df.write.mode("overwrite").format("noop").save()
+    timings[f"classifier_score_{n_docs}_docs"] = timed_median(
+        lambda: clf_df.write.mode("overwrite").format("noop").save()
+    )
+    lm = train_char_lm(seed_docs, table_size=1 << 18)
+    lm_df = perplexity_score(docs, lm).select("log_ppl")
+    lm_df.write.mode("overwrite").format("noop").save()
+    timings[f"lm_perplexity_{n_docs}_docs"] = timed_median(
+        lambda: lm_df.write.mode("overwrite").format("noop").save()
+    )
+
     # HTML parse + <title> and detect_fast SINGLE-CORE rows, directly
     # comparable to BASELINE's `resiliparse html benchmark` (1,149.56
     # docs/s, docs/man/parse/html.rst:485-489) and `resiliparse lang
