@@ -300,8 +300,15 @@ def cmd_curate(args) -> int:
     if args.pack:
         from resilispark.operators.packing import emit_sequences
 
+        pack_src = spark.read.parquet(args.output)
+        if "epoch" in pack_src.columns:
+            # mixture epoch repetition duplicates doc_ids; packing needs
+            # a unique deterministic id per row for a reproducible layout
+            pack_src = pack_src.withColumn(
+                "doc_id", F.xxhash64("doc_id", "epoch")
+            )
         seqs = emit_sequences(
-            spark.read.parquet(args.output),
+            pack_src,
             seq_len=args.pack,
             n_buckets=args.pack_buckets,
             shuffle_seed=args.pack_seed,

@@ -602,3 +602,29 @@ def test_cli_search(tmp_path, spark, capsys):
     lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
     assert len(lines) == 2
     assert lines[0].split()[0] == "1" or lines[0].startswith("  1")
+
+
+def test_cli_curate_epochs_then_pack(tmp_path, spark):
+    """Mixture epoch repetition composes with packing: repeated docs
+    get unique pack ids and every surviving token packs exactly once."""
+    from resilispark.__main__ import main
+
+    rows = [(i, " ".join(["w"] * 10), "en", "small") for i in range(10)] + [
+        (100 + i, " ".join(["w"] * 10), "en", "big") for i in range(100)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "corpus")
+    rc = main(
+        ["--cpus", "4", "curate", src, "-o", out,
+         "--no-quality", "--keep-pii",
+         "--mixture", "small=0.5,big=0.5", "--total-tokens", "500",
+         "--mixture-epochs", "4", "--pack", "16", "--pack-buckets", "1"]
+    )
+    assert rc == 0
+    kept = spark.read.parquet(out)
+    n_tokens = kept.selectExpr("sum(size(split(text, ' ')))").collect()[0][0]
+    packed = spark.read.parquet(out + ".packed")
+    assert packed.groupBy().sum("n_tokens").collect()[0][0] == n_tokens
