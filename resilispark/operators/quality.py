@@ -257,3 +257,30 @@ def scrub_pii(
             text_col: scrubbed,
         }
     )
+
+
+def split_sentences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Rule-based sentence segmentation: split after ``.!?`` followed by
+    whitespace (Java-regex lookbehind — stays in whole-stage codegen,
+    no UDF, no shuffle: a flat map over the scan).
+
+    A heuristic, not a model: abbreviations ("e.g. ") split too — fine
+    for sentence-granular dedup/stats, not for linguistics.  Sentences
+    shorter than ``min_chars`` after trimming are dropped.
+
+    Returns (id, sent_idx, sentence).
+    """
+    parts = F.split(F.col(text_col), r"(?<=[.!?])\s+")
+    return (
+        docs.select(
+            F.col(id_col), F.posexplode(parts).alias("sent_idx", "sentence")
+        )
+        .withColumn("sentence", F.trim("sentence"))
+        .filter(F.length("sentence") >= min_chars)
+    )

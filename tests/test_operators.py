@@ -2822,3 +2822,24 @@ def test_leakage_safe_split(spark):
     again = {r["doc_id"]: r["split"] for r in
              leakage_safe_split(df, fractions={"train": 0.8, "val": 0.2}, seed=3).collect()}
     assert got == again
+
+
+def test_split_sentences(spark):
+    from resilispark.operators.quality import split_sentences
+
+    df = spark.createDataFrame(
+        [(0, "First sentence. Second one! Third? Trailing bit"),
+         (1, "No terminators at all")],
+        "doc_id long, text string",
+    )
+    out = split_sentences(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["sent_idx"], r["sentence"]))
+    assert [s for _, s in sorted(by_doc[0])] == [
+        "First sentence.", "Second one!", "Third?", "Trailing bit",
+    ]
+    assert [s for _, s in sorted(by_doc[1])] == ["No terminators at all"]
+    # codegen-only: no Python eval in the plan
+    plan = split_sentences(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
