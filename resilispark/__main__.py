@@ -279,9 +279,19 @@ def cmd_curate(args) -> int:
             docs, weights, args.total_tokens, max_epochs=args.mixture_epochs
         )
 
+    if args.val_fraction:
+        from resilispark.operators.corpus import leakage_safe_split
+
+        docs = leakage_safe_split(
+            docs,
+            fractions={"train": 1.0 - args.val_fraction, "val": args.val_fraction},
+        )
     part_col = "lang" if "lang" in docs.columns else None
     if part_col:
-        write_docs_partitioned(docs, args.output, manifest=True)
+        parts = (("split", "lang") if args.val_fraction else ("lang",))
+        write_docs_partitioned(
+            docs, args.output, partition_by=parts, manifest=True
+        )
     else:
         docs.write.mode("overwrite").parquet(args.output)
     lang_kw = {"lang_col": part_col} if part_col else {"lang_col": None}
@@ -778,6 +788,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--total-tokens", type=int, default=10**9)
     p.add_argument("--mixture-epochs", type=int, default=1,
                    help="allow undersized sources up to N repetition epochs")
+    p.add_argument("--val-fraction", type=float, default=None,
+                   help="carve a leakage-safe validation split (near-dup "
+                        "clusters land whole on one side)")
     p.add_argument("--keep-pii", action="store_true")
     p.add_argument("--no-quality", action="store_true")
     p.add_argument("--min-stopwords", type=int, default=0)

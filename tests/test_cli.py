@@ -628,3 +628,29 @@ def test_cli_curate_epochs_then_pack(tmp_path, spark):
     n_tokens = kept.selectExpr("sum(size(split(text, ' ')))").collect()[0][0]
     packed = spark.read.parquet(out + ".packed")
     assert packed.groupBy().sum("n_tokens").collect()[0][0] == n_tokens
+
+
+def test_cli_curate_val_split(tmp_path, spark):
+    from resilispark.__main__ import main
+
+    rows = []
+    did = 0
+    for g in range(20):
+        text = f"group {g} " + " ".join(f"g{g}w{j}" for j in range(25))
+        for _ in range(2):  # near-dup pairs must not straddle the split
+            rows.append((did, text, "en", "web"))
+            did += 1
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "corpus")
+    rc = main(["--cpus", "4", "curate", src, "-o", out,
+               "--no-quality", "--keep-pii", "--val-fraction", "0.3"])
+    assert rc == 0
+    kept = spark.read.parquet(out)
+    assert "split" in kept.columns
+    splits = {r["doc_id"]: r["split"] for r in kept.collect()}
+    assert set(splits.values()) == {"train", "val"}
+    for g in range(20):
+        assert splits[2 * g] == splits[2 * g + 1], g
