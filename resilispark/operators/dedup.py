@@ -727,3 +727,71 @@ def drop_common_lines(
             .alias("n_dropped"),
         )
     )
+
+
+def sentence_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_chars: int = 20,
+) -> DataFrame:
+    """Corpus-wide keep-first SENTENCE dedup: a sentence appearing in an
+    earlier document (by id, then position) is removed from every later
+    one — :func:`paragraph_dedup` at sentence granularity, using the
+    same codegen lookbehind boundaries as
+    ``quality.split_sentences``.
+
+    Same skew-immune plan: explode (no shuffle) -> partial-aggregated
+    ``min(struct)`` per sentence digest -> reassembly groupBy on the
+    doc id.  Sentences shorter than ``min_chars`` pass through
+    untouched (fragments and headings are structure, not content).
+    Reassembly joins surviving sentences with single spaces.
+
+    Returns (id, text, n_sentences, n_dropped) for every input doc.
+    """
+    sents = df.select(
+        F.col(id_col).alias("_pid"),
+        F.posexplode(
+            F.split(F.col(text_col), r"(?<=[.!?])\s+")
+        ).alias("_pos", "_s"),
+    ).withColumn("_s", F.trim("_s"))
+    eligible = F.length("_s") >= min_chars
+    hashed = sents.withColumn(
+        "_h", F.when(eligible, F.md5(F.encode("_s", "UTF-8")))
+    )
+    firsts = (
+        hashed.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.min(F.struct("_pid", "_pos")).alias("_first"))
+    )
+    keep = hashed.join(firsts, "_h", "left").withColumn(
+        "_keep",
+        F.col("_h").isNull() | (F.struct("_pid", "_pos") == F.col("_first")),
+    )
+    rebuilt = (
+        keep.filter("_keep")
+        .groupBy("_pid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_s"))),
+                    lambda s: s["_s"],
+                ),
+            ).alias("text"),
+            F.count(F.lit(1)).alias("_kept"),
+        )
+    )
+    totals = sents.groupBy("_pid").agg(F.count(F.lit(1)).alias("n_sentences"))
+    return (
+        totals.join(rebuilt, "_pid", "left")
+        .select(
+            F.col("_pid").alias(id_col),
+            F.coalesce("text", F.lit("")).alias(text_col),
+            F.col("n_sentences").cast("bigint").alias("n_sentences"),
+            (F.col("n_sentences") - F.coalesce("_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )

@@ -2843,3 +2843,23 @@ def test_split_sentences(spark):
     # codegen-only: no Python eval in the plan
     plan = split_sentences(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_sentence_dedup(spark):
+    from resilispark.operators.dedup import sentence_dedup
+
+    shared = "This exact sentence appears in many documents today."
+    rows = [
+        (0, f"{shared} Unique zero content sentence here."),
+        (1, f"Opening words for doc one. {shared} Closing thought for one."),
+        (2, f"{shared}"),
+        (3, "Short. Tiny! Ok?"),  # all under min_chars -> untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in sentence_dedup(df, min_chars=20).collect()}
+    assert out[0]["text"] == rows[0][1].replace(".  ", ". ")
+    assert out[0]["n_dropped"] == 0
+    assert out[1]["text"] == "Opening words for doc one. Closing thought for one."
+    assert out[1]["n_dropped"] == 1
+    assert out[2]["text"] == "" and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "Short. Tiny! Ok?" and out[3]["n_dropped"] == 0
