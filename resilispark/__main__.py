@@ -201,8 +201,24 @@ def cmd_curate(args) -> int:
         docs = warc_to_html_docs(spark, args.input, main_content=True)
         docs = docs.withColumnRenamed("plain_text", "text")
     if "doc_id" not in docs.columns:
-        key = "url" if "url" in docs.columns else docs.columns[0]
-        docs = docs.withColumn("doc_id", F.xxhash64(key))
+        # identity must be per-CAPTURE, not per-URL: repeated captures
+        # of one URL (and all NULL-url docs) would otherwise share an
+        # id, and every downstream groupBy-reassembly join (span dedup,
+        # drop-common-lines) multiplies/merges rows sharing an id.
+        # Hash every identity-ish column available, NULLs coalesced to
+        # distinct sentinels so (NULL, x) never collides with (x, NULL).
+        parts = []
+        if "url" in docs.columns:
+            parts.append(F.coalesce(F.col("url"), F.lit("\x00no-url")))
+        if "warc_date" in docs.columns:
+            parts.append(
+                F.coalesce(F.col("warc_date").cast("string"), F.lit("\x00no-date"))
+            )
+        if "text" in docs.columns:
+            parts.append(F.coalesce(F.md5(F.col("text")), F.lit("\x00no-text")))
+        if not parts:
+            parts = [F.coalesce(F.col(docs.columns[0]).cast("string"), F.lit(""))]
+        docs = docs.withColumn("doc_id", F.xxhash64(*parts))
     if "source" not in docs.columns:
         docs = docs.withColumn("source", F.lit("default"))
 

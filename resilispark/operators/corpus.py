@@ -23,8 +23,13 @@ from pyspark.sql import functions as F
 
 
 def url_host(url) -> F.Column:
-    """Lower-cased host of a URL (codegen ``parse_url``)."""
-    return F.lower(F.parse_url(F.col(url) if isinstance(url, str) else url, F.lit("HOST")))
+    """Lower-cased host of a URL (codegen ``try_parse_url``): NULL for
+    unparseable URLs instead of an ANSI INVALID_URL failure — crawl
+    corpora always contain garbage URLs, and one bad row must not kill
+    a 100 TB job."""
+    return F.lower(
+        F.try_parse_url(F.col(url) if isinstance(url, str) else url, F.lit("HOST"))
+    )
 
 
 def _suffix_candidates(host: F.Column, max_labels: int = 6) -> F.Column:
@@ -216,28 +221,39 @@ def cap_per_host(
     *,
     max_docs: int = 1000,
     order_by: str | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Keep at most ``max_docs`` documents per registrable host — the
     anti-spam cap that stops one link-farm domain from dominating a
     crawl-derived corpus.
 
-    Ranking: ``order_by`` descending (e.g. a quality score) with the
-    doc's first column as tiebreak; plain row order by the first
-    column when omitted.  The rank<=N filter compiles to Spark's
+    Ranking: ``order_by`` descending (e.g. a quality score) with
+    ``tiebreak`` ascending (the doc's first column when omitted — pass
+    an orderable id column explicitly if the first column is a map or
+    other non-orderable type).  The rank<=N filter compiles to Spark's
     WindowGroupLimit, which discards rows past N map-side BEFORE the
     shuffle — a hot domain with millions of pages ships only its top N
     rows per input partition, not the whole domain, so no reducer
     melts.  Adds ``host``; drops rows past the cap.
+
+    Rows whose URL fails host parsing are EXEMPT from the cap: the
+    window keys them by their own tiebreak value instead of a shared
+    NULL partition, so unrelated unparseable-URL docs never compete
+    for (and silently fall past) one cap — and the hot NULL key never
+    lands on a single reducer.  Their ``host`` column stays NULL.
     """
     from pyspark.sql import Window as W
 
-    tiebreak = docs.columns[0]
+    tiebreak = tiebreak or docs.columns[0]
     order = (
         [F.col(order_by).desc(), F.col(tiebreak)]
         if order_by
         else [F.col(tiebreak)]
     )
-    w = W.partitionBy("host").orderBy(*order)
+    host_key = F.coalesce(
+        F.col("host"), F.concat(F.lit("\x00"), F.col(tiebreak).cast("string"))
+    )
+    w = W.partitionBy(host_key).orderBy(*order)
     return (
         docs.withColumn("host", url_host(F.col(url_col)))
         .withColumn("_rn", F.row_number().over(w))

@@ -122,8 +122,19 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Shape: groupBy(digest) partial-aggregated min/count + an equi join
     back — NOT an unordered window, whose per-digest partition would
     put every copy of a hyper-duplicated document into one task's sort
-    at 100 TB; the aggregation collapses hot digests map-side."""
-    hashed = df.withColumn("content_hash", F.md5(F.encode(text_col, "UTF-8")))
+    at 100 TB; the aggregation collapses hot digests map-side.
+
+    NULL text gets a per-id synthetic digest (md5 of NULL is NULL and
+    an equi join never matches NULL keys — the row would silently
+    vanish); each NULL-text row is its own singleton, never a
+    duplicate, mirroring url_dedup's NULL-key handling."""
+    hashed = df.withColumn(
+        "content_hash",
+        F.coalesce(
+            F.md5(F.encode(text_col, "UTF-8")),
+            F.concat(F.lit("\x00null\x00"), F.col(id_col).cast("string")),
+        ),
+    )
     stats = hashed.groupBy("content_hash").agg(
         F.min(id_col).alias("_first_id"),
         F.count(F.lit(1)).cast("bigint").alias("copies"),

@@ -183,8 +183,8 @@ def extract_links(
     )
     if host_graph:
         edges = edges.select(
-            F.lower(F.parse_url("src", F.lit("HOST"))).alias("src"),
-            F.lower(F.parse_url("dst", F.lit("HOST"))).alias("dst"),
+            F.lower(F.try_parse_url("src", F.lit("HOST"))).alias("src"),
+            F.lower(F.try_parse_url("dst", F.lit("HOST"))).alias("dst"),
         ).filter(
             F.col("src").isNotNull()
             & F.col("dst").isNotNull()
@@ -238,8 +238,8 @@ def wat_to_links(
     ).filter(F.col("dst").isNotNull() & F.col("dst").startswith("http"))
     if host_graph:
         edges = edges.select(
-            F.lower(F.parse_url("src", F.lit("HOST"))).alias("src"),
-            F.lower(F.parse_url("dst", F.lit("HOST"))).alias("dst"),
+            F.lower(F.try_parse_url("src", F.lit("HOST"))).alias("src"),
+            F.lower(F.try_parse_url("dst", F.lit("HOST"))).alias("dst"),
         ).filter(
             F.col("src").isNotNull()
             & F.col("dst").isNotNull()

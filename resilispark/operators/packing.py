@@ -4,13 +4,27 @@ between curation and tokenized-shard writing.
 
 The classic single-node spelling is a serial fold (keep appending
 tokens, cut every ``seq_len``); the distributed spelling here shards
-the corpus into ``n_buckets`` independent streams (bucket =
-``pmod(doc_id, n_buckets)``) and runs the fold as a running-sum window
-*per bucket* — one shuffle, every bucket packed in parallel, and the
-layout is a pure function of (doc_id, seq_len, n_buckets) so retries
-and re-runs are deterministic.  At 100 TB pick ``n_buckets`` ≈ a few ×
-executor count: each bucket's window is a sort within one partition,
-and packs never cross buckets so no stage ever needs a global order.
+the corpus into ``n_buckets`` independent streams and lays each
+stream out with a TWO-PHASE PREFIX SUM:
+
+1. range-partition the light (bucket, id, n_tokens, order) frame on
+   the layout order and pin it (``localCheckpoint``);
+2. one tiny aggregation collects per-(partition, bucket) token sums to
+   the driver — O(num_partitions + n_buckets) rows regardless of
+   corpus size — where cumulative offsets are computed and broadcast
+   back;
+3. a running-sum window per (partition, bucket) finishes the layout.
+
+Parallelism therefore scales with ``num_partitions`` (defaults to
+``spark.sql.shuffle.partitions``), NOT with ``n_buckets``: no task
+ever sorts more than one range-partition's rows.  (The previous
+spelling windowed per bucket, capping the whole layout at
+``n_buckets`` tasks — one task per 1/n_buckets of the corpus at
+100 TB.)  The layout itself is a pure function of
+(doc_id, seq_len, n_buckets, shuffle_seed): partition boundaries only
+decide WHERE the prefix sum is split, never what it sums to, so the
+checkpoint pins partitioning between the offset-collect job and the
+main job without affecting the result.
 
 No reference-parity citation: the reference engine (chatnoir-resiliparse)
 stops at extraction; packing is part of the training-data extension
@@ -23,6 +37,95 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+_NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _bucket_and_order(
+    docs: DataFrame, id_col: str, n_buckets: int, shuffle_seed: int | None
+) -> tuple[F.Column, F.Column]:
+    """(order_key, bucket) for the layout.  Unseeded keeps the raw id
+    as both order and (for numeric ids) bucket source — the
+    oracle-checkable spelling; non-numeric ids bucket on xxhash64(id)
+    (``pmod`` needs a number) while still ordering by the raw id.
+    Seeded hashes id+seed for both: the deterministic corpus shuffle
+    (no ``rand()`` — task retries must reproduce the same layout)."""
+    if shuffle_seed is None:
+        order_key = F.col(id_col)
+        id_type = dict(docs.dtypes).get(id_col, "")
+        if id_type in _NUMERIC_TYPES:
+            bucket_src = F.col(id_col)
+        else:
+            bucket_src = F.xxhash64(F.col(id_col))
+        bucket = F.pmod(bucket_src, F.lit(n_buckets)).cast("bigint")
+    else:
+        order_key = F.xxhash64(F.col(id_col), F.lit(shuffle_seed))
+        bucket = F.pmod(order_key, F.lit(n_buckets)).cast("bigint")
+    return order_key, bucket
+
+
+def _layout(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    n_tok: F.Column,
+    n_buckets: int,
+    shuffle_seed: int | None,
+    num_partitions: int | None,
+) -> DataFrame:
+    """The two-phase prefix sum.  Returns
+    (bucket, <id_col>, n_tokens, end_tok) where ``end_tok`` is the
+    exclusive end of the doc's token span in its bucket's stream.
+
+    Only light columns (bucket, id, n_tokens, order key) flow through
+    the checkpoint — text never does; callers needing the text join it
+    back by id.
+    """
+    spark = docs.sparkSession
+    order_key, bucket = _bucket_and_order(docs, id_col, n_buckets, shuffle_seed)
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = docs.select(
+        bucket.alias("bucket"),
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        order_key.alias("_ord"),
+    )
+    # Phase 0: range-partition on the layout order so partition index
+    # IS global order, then pin (range bounds come from sampling; the
+    # offset-collect job and the final job must see identical pids).
+    parts = (
+        base.repartitionByRange(num_partitions, "bucket", "_ord", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # Phase 1: per-(partition, bucket) token sums — tiny (each bucket
+    # spans a contiguous pid range, so ≤ num_partitions + n_buckets
+    # rows total reach the driver).
+    psums = parts.groupBy("_pid", "bucket").agg(F.sum("n_tokens").alias("_s")).collect()
+    offsets: list[tuple[int, int, int]] = []
+    run, cur_bucket = 0, None
+    for r in sorted(psums, key=lambda r: (r["bucket"], r["_pid"])):
+        if r["bucket"] != cur_bucket:
+            run, cur_bucket = 0, r["bucket"]
+        offsets.append((r["_pid"], r["bucket"], run))
+        run += r["_s"] or 0
+    off_df = spark.createDataFrame(
+        offsets, "_pid int, bucket bigint, _off bigint"
+    )
+    # Phase 2: broadcast offsets back; the running-sum window now
+    # partitions by (pid, bucket) — every task sorts at most one range
+    # partition's rows, so parallelism tracks num_partitions.
+    w = (
+        W.partitionBy("_pid", "bucket")
+        .orderBy("_ord", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        parts.join(F.broadcast(off_df), ["_pid", "bucket"])
+        .withColumn("end_tok", F.sum("n_tokens").over(w) + F.col("_off"))
+        .select("bucket", id_col, "n_tokens", "end_tok")
+    )
+
 
 def assign_packs(
     docs: DataFrame,
@@ -33,14 +136,16 @@ def assign_packs(
     seq_len: int = 2048,
     n_buckets: int = 8,
     shuffle_seed: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Assign every document a contiguous token span in its bucket's
     concatenated stream.
 
     Documents are laid out in ``id_col`` order within each bucket; the
     stream is cut every ``seq_len`` tokens.  Token counts come from
-    ``token_count_col`` if given, else whitespace tokens of
-    ``text_col`` (the t02 baseline tokenizer).
+    ``token_count_col`` if given (e.g. a real BPE count from
+    :func:`resilispark.operators.bpe.bpe_encode_col`), else whitespace
+    tokens of ``text_col`` (the t02 baseline tokenizer).
 
     ``shuffle_seed``: when set, documents are globally shuffled first —
     bucket AND order become ``xxhash64(id, seed)`` instead of the raw
@@ -58,27 +163,16 @@ def assign_packs(
         n_tok = F.col(token_count_col).cast("bigint")
     else:
         n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
-    if shuffle_seed is None:
-        order_key = F.col(id_col)
-        bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("bigint")
-    else:
-        order_key = F.xxhash64(F.col(id_col), F.lit(shuffle_seed))
-        bucket = F.pmod(order_key, F.lit(n_buckets)).cast("bigint")
-    base = docs.select(
-        bucket.alias("bucket"),
-        F.col(id_col),
-        n_tok.alias("n_tokens"),
-        order_key.alias("_ord"),
+    spans = _layout(
+        docs,
+        id_col=id_col,
+        n_tok=n_tok,
+        n_buckets=n_buckets,
+        shuffle_seed=shuffle_seed,
+        num_partitions=num_partitions,
     )
-    w = (
-        W.partitionBy("bucket")
-        .orderBy("_ord", id_col)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    end = F.sum("n_tokens").over(w)
     return (
-        base.withColumn("end_tok", end)
-        .withColumn("start_tok", F.col("end_tok") - F.col("n_tokens"))
+        spans.withColumn("start_tok", F.col("end_tok") - F.col("n_tokens"))
         .withColumn("first_seq", F.floor(F.col("start_tok") / seq_len))
         .withColumn(
             "last_seq",
@@ -107,6 +201,7 @@ def pack_stats(
     seq_len: int = 2048,
     n_buckets: int = 8,
     shuffle_seed: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Per-bucket packing summary: how many fixed-length sequences the
     bucket yields, how full the last one is, and how many docs straddle
@@ -124,6 +219,7 @@ def pack_stats(
         seq_len=seq_len,
         n_buckets=n_buckets,
         shuffle_seed=shuffle_seed,
+        num_partitions=num_partitions,
     )
     total = F.sum("n_tokens")
     n_seqs = F.ceil(total / F.lit(seq_len)).cast("bigint")
@@ -157,17 +253,19 @@ def emit_sequences(
     seq_len: int = 2048,
     n_buckets: int = 8,
     shuffle_seed: int | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Materialize the packed sequences themselves: every fixed-length
     training sequence as a row of space-joined tokens — the shard
     content a tokenizer/loader consumes downstream of
     :func:`assign_packs` (same layout, same parameters).
 
-    Plan: the per-bucket running-sum window lays out the stream, each
-    document explodes into the (few) sequences it touches with the
-    token slice it contributes, and one groupBy(bucket, seq) reassembles
-    fragments in stream order.  Per-task state is bounded by
-    ``seq_len`` tokens per output sequence — a document larger than
+    Plan: the two-phase prefix sum lays out the light span frame (text
+    never flows through the checkpoint), the text joins back by id,
+    each document explodes into the (few) sequences it touches with
+    the token slice it contributes, and one groupBy(bucket, seq)
+    reassembles fragments in stream order.  Per-task state is bounded
+    by ``seq_len`` tokens per output sequence — a document larger than
     ``seq_len`` contributes at most one full slice per sequence, never
     its whole body to one row.  The final sequence of each bucket is
     the remainder (shorter than ``seq_len``).
@@ -177,26 +275,18 @@ def emit_sequences(
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     # split ONCE, outside every lambda (CSE does not reach lambda bodies)
-    if shuffle_seed is None:
-        order_key = F.col(id_col)
-        bucket = F.pmod(F.col(id_col), F.lit(n_buckets)).cast("bigint")
-    else:
-        order_key = F.xxhash64(F.col(id_col), F.lit(shuffle_seed))
-        bucket = F.pmod(order_key, F.lit(n_buckets)).cast("bigint")
-    base = docs.select(
-        bucket.alias("bucket"),
-        F.col(id_col),
-        order_key.alias("_ord"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
-    )
-    w = (
-        W.partitionBy("bucket")
-        .orderBy("_ord", id_col)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    layout = _layout(
+        docs,
+        id_col=id_col,
+        n_tok=F.size(words).cast("bigint"),
+        n_buckets=n_buckets,
+        shuffle_seed=shuffle_seed,
+        num_partitions=num_partitions,
     )
     spans = (
-        base.withColumn("end_tok", F.sum(F.size("_w").cast("bigint")).over(w))
-        .withColumn("start_tok", F.col("end_tok") - F.size("_w"))
+        layout.join(docs.select(F.col(id_col), words.alias("_w")), id_col)
+        .withColumn("start_tok", F.col("end_tok") - F.col("n_tokens"))
         .withColumn("first_seq", F.floor(F.col("start_tok") / seq_len))
         .withColumn("last_seq", F.floor((F.col("end_tok") - 1) / seq_len))
     )

@@ -57,18 +57,24 @@ def surt_key(url) -> F.Column:
     ``)`` + path [+ ``?query``]. Pure JVM expressions (parse_url +
     string ops), no UDF. NULL urls stay NULL."""
     u = F.lower(url)
-    host = F.parse_url(u, F.lit("HOST"))
-    auth = F.parse_url(u, F.lit("AUTHORITY"))
+    host = F.try_parse_url(u, F.lit("HOST"))
+    auth = F.try_parse_url(u, F.lit("AUTHORITY"))
     port = F.regexp_extract(auth, r":(\d+)$", 1)
-    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
-    query = F.parse_url(u, F.lit("QUERY"))
+    scheme = F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*):", 1)
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
+    query = F.try_parse_url(u, F.lit("QUERY"))
     host_rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    # drop ONLY the scheme-default port (http:80 / https:443); an
+    # explicit https://host:80 is a distinct origin and must keep :80
+    is_default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
     return F.when(
         host.isNotNull(),
         F.concat(
             host_rev,
             F.when(
-                (port != "") & ~port.isin("80", "443"), F.concat(F.lit(":"), port)
+                (port != "") & ~is_default, F.concat(F.lit(":"), port)
             ).otherwise(F.lit("")),
             F.lit(")"),
             path,

@@ -1468,7 +1468,7 @@ def t06_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_T06 = """
+ORACLE_T06 = r"""
 WITH with_pii AS (
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN

@@ -259,6 +259,22 @@ class TestDedupApi:
         assert not out[1].is_duplicate and out[2].is_duplicate
         assert out[1].copies == 2 and out[4].copies == 1
 
+    def test_exact_dedup_null_text_rows_survive(self, spark):
+        """md5(NULL) is NULL; the equi join must not silently drop
+        NULL-text rows — each is its own never-duplicate singleton."""
+        from resilispark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(1, "same"), (2, "same"), (3, None), (4, None)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in exact_dedup(df, "text", "doc_id").collect()}
+        assert set(out) == {1, 2, 3, 4}
+        assert out[2].is_duplicate and not out[1].is_duplicate
+        assert not out[3].is_duplicate and not out[4].is_duplicate
+        assert out[3].copies == 1 and out[4].copies == 1
+        assert out[3].content_hash != out[4].content_hash
+
     def test_ngram_jaccard(self, docs):
         from resilispark.operators.dedup import ngram_jaccard_pairs
 
@@ -1922,6 +1938,46 @@ class TestSequencePacking:
         ).collect()
         assert rows[0]["total_tokens"] == 21 and rows[0]["n_seqs"] == 3
 
+    def test_string_ids_unseeded(self, spark):
+        """Unseeded packing must accept non-numeric ids (bucket hashes
+        the id; order stays the raw id) — a parquet corpus with string
+        doc ids fed to the standalone `pack` command."""
+        from resilispark.operators.packing import assign_packs
+
+        docs = [("doc-%03d" % i, " ".join(["w"] * (2 + i % 5))) for i in range(30)]
+        df = spark.createDataFrame(docs, "doc_id string, text string")
+        out = assign_packs(df, seq_len=8, n_buckets=4).collect()
+        assert len(out) == 30
+        # layout within each bucket is a serial fold in id order
+        streams: dict[int, int] = {}
+        for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+            start = streams.get(r["bucket"], 0)
+            assert r["start_tok"] == start
+            streams[r["bucket"]] = r["end_tok"]
+
+    def test_layout_parallelism_not_capped_by_n_buckets(self, spark):
+        """100 TB criterion: the running-sum window must partition by
+        (range-partition, bucket), never by bucket alone — otherwise
+        layout parallelism is hard-capped at n_buckets tasks."""
+        from resilispark.operators.packing import assign_packs
+
+        docs = [(i, "a b c") for i in range(200)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = assign_packs(df, seq_len=8, n_buckets=2, num_partitions=16)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the window spec must include the synthetic partition id
+        assert "windowspecdefinition" in plan.lower()
+        import re
+
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs and all("_pid" in s for s in specs), plan[:2000]
+        # and the layout is still the exact serial fold
+        streams: dict[int, int] = {}
+        for r in sorted(out.collect(), key=lambda r: (r["bucket"], r["doc_id"])):
+            start = streams.get(r["bucket"], 0)
+            assert r["start_tok"] == start, (r, start)
+            streams[r["bucket"]] = r["end_tok"]
+
 
 class TestDuplicateSpans:
     DOCS = [
@@ -2288,6 +2344,27 @@ def test_cap_per_host(spark):
     # the plan must carry WindowGroupLimit (map-side top-N pushdown)
     plan = cap_per_host(df, max_docs=3, order_by="score")._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:500]
+
+
+def test_cap_per_host_null_host_exempt(spark):
+    """Unparseable-URL docs must not compete for one shared NULL-host
+    cap (they are unrelated documents); every one survives, host stays
+    NULL, and the explicit tiebreak parameter is honored."""
+    from resilispark.operators.corpus import cap_per_host
+
+    rows = [(i, "not a url %d" % i, 1.0) for i in range(10)] + [
+        (100, "https://real.example/a", 5.0),
+        (101, "https://real.example/b", 3.0),
+        (102, "https://real.example/c", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, score double")
+    kept = cap_per_host(
+        df, max_docs=2, order_by="score", tiebreak="doc_id"
+    ).collect()
+    null_host = [r for r in kept if r["host"] is None]
+    real = sorted(r["doc_id"] for r in kept if r["host"] == "real.example")
+    assert len(null_host) == 10  # all exempt, none silently dropped
+    assert real == [100, 101]  # capped at 2, best score first
 
 
 class TestIvfKnnJoin:

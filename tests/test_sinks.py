@@ -137,6 +137,9 @@ def test_surt_key_forms(spark):
         ("https://sub.domain.org:8443/x",),
         ("https://host.net/",),
         (None,),
+        ("https://odd.example:80/x",),   # NOT https default -> distinct origin
+        ("http://odd.example:443/x",),   # NOT http default -> distinct origin
+        ("https://tls.example:443/x",),  # scheme default -> dropped
     ]
     df = spark.createDataFrame(rows, "url string")
     got = [r.k for r in df.select(surt_key(F.col("url")).alias("k")).collect()]
@@ -144,6 +147,10 @@ def test_surt_key_forms(spark):
     assert got[1] == "org,domain,sub:8443)/x"          # explicit port kept
     assert got[2] == "net,host)/"
     assert got[3] is None
+    # only the SCHEME-default port drops: https:80 / http:443 are kept
+    assert got[4] == "example,odd:80)/x"
+    assert got[5] == "example,odd:443)/x"
+    assert got[6] == "example,tls)/x"
 
 
 def test_cdxj_multi_header_list(spark, fixture_dir, tmp_path):
