@@ -4,11 +4,13 @@ classic lexical baseline next to the embedding ANN operators).
 
 Scale shape: the query's term set broadcasts (a handful of literals),
 so the corpus scan filters to matching tokens map-side BEFORE any
-shuffle; document frequencies and term frequencies are two aggregates
-over that already-tiny filtered stream, and the final score is one
-per-doc sum + top-k.  No inverted index is materialized — at 100 TB
-this is a scan-and-aggregate query, not an index build; for repeated
-querying, cache ``doc_lengths``.
+shuffle; corpus size, mean doc length, and every term's document
+frequency come from ONE fused aggregation pass, and the final score is
+one per-doc sum + ``orderBy().limit(k)`` — which Spark plans as
+TakeOrderedAndProject (per-partition top-k heaps merged on the driver),
+never a single-task global sort.  Two corpus scans total.  No inverted
+index is materialized — at 100 TB this is a scan-and-aggregate query,
+not an index build; for repeated querying, cache the tokenized frame.
 
 No reference-parity citation: the reference engine stops at
 extraction; this is part of the training-data extension surface
@@ -55,12 +57,20 @@ def bm25_topk(
         F.size(words).cast("double").alias("dl"),
         words.alias("_w"),
     )
+    # ONE fused pass for n, avgdl, and every term's df (array_contains
+    # per term is map-side; nothing shuffles but the partial sums)
     stats = lengths.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.array_contains("_w", F.lit(t)).cast("bigint")).alias(f"_df{i}")
+            for i, t in enumerate(terms)
+        ],
     ).first()
     n_docs, avgdl = stats["n"], stats["avgdl"]
     if not n_docs:
         raise ValueError("empty corpus")
+    df_counts = {t: stats[f"_df{i}"] or 0 for i, t in enumerate(terms)}
     term_arr = F.array(*[F.lit(t) for t in terms])
     # map-side shrink: only query-term tokens survive the explode
     hits = lengths.select(
@@ -73,10 +83,6 @@ def bm25_topk(
     tf = hits.groupBy(id_col, "dl", "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
-    df_counts = {
-        r["term"]: r["df"]
-        for r in tf.groupBy("term").agg(F.countDistinct(id_col).alias("df")).collect()
-    }
     idf_map = F.create_map(
         *[
             x
@@ -108,12 +114,13 @@ def bm25_topk(
             F.count(F.lit(1)).cast("bigint").alias("n_hits"),
         )
     )
+    # top-k FIRST (TakeOrderedAndProject: per-partition heaps, no
+    # single-task corpus sort — a common query term scores a large
+    # fraction of the corpus), then rank the now-k-row result; the
+    # un-partitioned window only ever sees <= k rows.
+    topk = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
     w = W.orderBy(F.col("score").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("rank")
-    )
+    return topk.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
 def rrf_fuse(
@@ -124,6 +131,7 @@ def rrf_fuse(
     top: int | None = None,
     rank_col: str = "rank",
     order_col: str | None = "score",
+    max_list_size: int = 10_000,
 ) -> DataFrame:
     """Reciprocal-rank fusion of several ranked result lists (e.g.
     :func:`bm25_topk` + an embedding ANN top-k): each list contributes
@@ -134,10 +142,14 @@ def rrf_fuse(
     (what :func:`bm25_topk` and ``ivf_knn_join`` emit) — physical row
     order is NOT trusted: a parquet round-trip or repartition scrambles
     it silently.  Lists without the column must carry ``order_col`` (a
-    score, ranked descending) instead; otherwise this raises.  One
-    union + one aggregate; every list is a top-k so the whole thing is
-    driver-scale.  Returns (id, rrf_score, n_lists) ordered by score
-    desc, id.
+    score, ranked descending) instead; the fallback first takes the
+    list's top ``max_list_size`` rows via ``orderBy().limit()``
+    (TakeOrderedAndProject) so the rank window never sees more than
+    that — a "ranked list" that is secretly a whole scored corpus
+    cannot pull everything into one task.  Lists with neither column
+    raise.  One union + one aggregate; every list is a top-k so the
+    whole thing is driver-scale.  Returns (id, rrf_score, n_lists)
+    ordered by score desc, id.
     """
     from pyspark.sql import Window as W
 
@@ -148,6 +160,9 @@ def rrf_fuse(
         if rank_col in df.columns:
             rank = F.col(rank_col)
         elif order_col is not None and order_col in df.columns:
+            df = df.orderBy(F.col(order_col).desc(), F.col(id_col)).limit(
+                max_list_size
+            )
             rank = F.row_number().over(
                 W.orderBy(F.col(order_col).desc(), F.col(id_col))
             )

@@ -2789,6 +2789,29 @@ def test_bm25_matches_reference_impl(spark):
     assert order.index(3) < order.index(0)
 
 
+def test_bm25_plan_has_no_global_sort(spark):
+    """100 TB criterion: the top-k must compile to
+    TakeOrderedAndProject (per-partition heaps), and the only
+    un-partitioned window must sit ABOVE the k-row limit — a common
+    query term scores a large fraction of the corpus, and a global
+    rank window would pull it all into one task."""
+    from resilispark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, "common words here %d" % i) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, "common words", k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    # the rank window's child must be the limit, not the scored corpus:
+    # in the plan string the Window operator appears above (before)
+    # TakeOrderedAndProject
+    win = plan.find("Window")
+    tol = plan.find("TakeOrderedAndProject")
+    assert win != -1 and win < tol, plan[:2000]
+
+
 def test_rrf_fuse(spark):
     import pytest as _pytest
 
