@@ -354,7 +354,20 @@ def cmd_pack(args) -> int:
 
     # persist: the write and the stats collect are two actions over the
     # same scan/window-heavy plan
-    docs = spark.read.parquet(args.input).persist()
+    docs = spark.read.parquet(args.input)
+    tokens_col = None
+    token_count_col = None
+    if getattr(args, "tokenizer", "ws") == "bpe":
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.bpe import BpeTokenizer, bpe_tokens_col
+        from resilispark.operators.bpe_vocab import DEFAULT_MERGES
+
+        docs = bpe_tokens_col(
+            docs, BpeTokenizer(DEFAULT_MERGES), args.text_col
+        ).withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("bigint"))
+        tokens_col, token_count_col = "bpe_tokens", "n_bpe_tokens"
+    docs = docs.persist()
     seqs = emit_sequences(
         docs,
         id_col=args.id_col,
@@ -362,6 +375,7 @@ def cmd_pack(args) -> int:
         seq_len=args.seq_len,
         n_buckets=args.buckets,
         shuffle_seed=args.seed,
+        tokens_col=tokens_col,
     )
     seqs.write.mode("overwrite").parquet(args.output)
     stats = pack_stats(
@@ -371,6 +385,7 @@ def cmd_pack(args) -> int:
         seq_len=args.seq_len,
         n_buckets=args.buckets,
         shuffle_seed=args.seed,
+        token_count_col=token_count_col,
     )
     for r in stats.collect():
         print(
@@ -844,6 +859,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
+    p.add_argument(
+        "--tokenizer",
+        choices=("ws", "bpe"),
+        default="ws",
+        help="ws: whitespace tokens; bpe: the frozen learned-BPE "
+        "tokenizer (operators/bpe_vocab.py) — spans and sequence "
+        "content become real tokenizer output",
+    )
     p.set_defaults(fn=cmd_pack)
 
     p = sub.add_parser("linkgraph", help="WARC/WAT -> PageRank host authority")

@@ -1,0 +1,290 @@
+"""Learned byte-pair-encoding tokenizer: driver-trained merges,
+broadcast to executors, Arrow-batched encoding — the step that turns
+every "token count" in the curation pipeline (packing spans, mixture
+sampling, datasheet totals, chunking windows) from a whitespace
+approximation into real tokenizer output.
+
+Design follows the repo's driver-side-train + broadcast pattern
+(``classifier.py`` / ``ngram_lm.py``): merges are learned on a BOUNDED
+seed collected to the driver (`limit(max_rows+1)` + cap guard), the
+tiny merge table ships in the UDF closure, and encoding runs as a
+vectorized Arrow batch pass — no shuffle, no per-row Python UDF.
+
+Tokenization model (deliberately engine-portable so a SQL oracle can
+replay it exactly):
+
+* normalize: lowercase, every non-``[a-z0-9]`` run becomes one space,
+  trim — ASCII-only by construction, so Spark, Python and DuckDB
+  agree on "character".
+* each word becomes the symbol sequence ``['_', c1, c2, ...]`` — the
+  ``_`` word marker is a symbol of its own (SentencePiece-style), so
+  merges may fuse it with word prefixes (``_t`` ``_th`` ...).
+* merges apply in training order; within one merge every adjacent
+  occurrence fuses left-to-right.  Because no merge's RIGHT side ever
+  begins with ``_`` (the marker only occurs word-initially during
+  training), merges can never cross a word boundary — per-word and
+  whole-stream encoding are identical, which is what makes the
+  flat-string SQL replay (see ``queries/textops.py`` t09) exact.
+
+No reference-parity citation: the reference engine stops at
+extraction; tokenization is part of the training-data extension
+surface (SURVEY §2 "beyond the reference" block).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NORM_RE = re.compile(r"[^a-z0-9]+")
+
+WORD_MARKER = "_"
+
+
+def normalize(text: str | None) -> str:
+    """The shared normalization: lowercase, non-alnum runs -> one
+    space, trimmed.  '' for NULL."""
+    if not text:
+        return ""
+    return _NORM_RE.sub(" ", text.lower()).strip()
+
+
+def _word_symbols(word: str) -> tuple[str, ...]:
+    return (WORD_MARKER, *word)
+
+
+@dataclass(frozen=True)
+class BpeTokenizer:
+    """An ordered merge list plus the derived vocabulary.
+
+    ``merges[i]`` is the pair fused at priority ``i``; the vocab is
+    every base symbol (``_``, a-z, 0-9) plus every merge product, ids
+    assigned in that order — a pure function of the merge list, so
+    shipping just the merges reproduces the tokenizer bit-for-bit.
+    """
+
+    merges: tuple[tuple[str, str], ...]
+
+    def __post_init__(self) -> None:
+        vocab = [WORD_MARKER] + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+        vocab += [str(d) for d in range(10)]
+        for a, b in self.merges:
+            vocab.append(a + b)
+        object.__setattr__(self, "_vocab", {t: i for i, t in enumerate(vocab)})
+        object.__setattr__(
+            self, "_ranks", {p: i for i, p in enumerate(self.merges)}
+        )
+
+    @property
+    def vocab(self) -> dict[str, int]:
+        return dict(self._vocab)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self._vocab)
+
+    def encode_word(self, word: str) -> list[str]:
+        """Symbols of one normalized word after all merges."""
+        syms = list(_word_symbols(word))
+        ranks = self._ranks
+        while len(syms) > 1:
+            best = None
+            best_rank = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best_rank is None:
+                break
+            # fuse EVERY adjacent occurrence of the winning pair,
+            # left to right (matches the flat-string replace replay)
+            pair = (syms[best], syms[best + 1])
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == pair[0]
+                    and syms[i + 1] == pair[1]
+                ):
+                    out.append(pair[0] + pair[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def encode_tokens(self, text: str | None) -> list[str]:
+        """Token strings of a whole (raw) text."""
+        out: list[str] = []
+        for w in normalize(text).split():
+            out.extend(self.encode_word(w))
+        return out
+
+    def encode(self, text: str | None) -> list[int]:
+        """Token ids of a whole (raw) text."""
+        v = self._vocab
+        return [v[t] for t in self.encode_tokens(text)]
+
+    def decode(self, ids: list[int]) -> str:
+        """Normalized text back from ids (word markers -> spaces)."""
+        inv = {i: t for t, i in self._vocab.items()}
+        return "".join(inv[i] for i in ids).replace(WORD_MARKER, " ").strip()
+
+
+def train_bpe_from_texts(
+    texts, *, n_merges: int = 160
+) -> BpeTokenizer:
+    """Classic BPE training over an in-memory iterable of texts.
+
+    Pair counts are over word TYPES weighted by frequency (the
+    standard corpus-level formulation); ties break on the
+    lexicographically smallest pair, so training is fully
+    deterministic for a given corpus.
+    """
+    word_freq = Counter()
+    for t in texts:
+        word_freq.update(normalize(t).split())
+    seqs: dict[tuple[str, ...], int] = {
+        _word_symbols(w): c for w, c in word_freq.items()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, c in seqs.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break  # nothing left worth fusing
+        merges.append(best)
+        fused = best[0] + best[1]
+        new_seqs: dict[tuple[str, ...], int] = {}
+        for syms, c in seqs.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_seqs[key] = new_seqs.get(key, 0) + c
+        seqs = new_seqs
+    return BpeTokenizer(tuple(merges))
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 160,
+    max_rows: int = 200_000,
+) -> BpeTokenizer:
+    """Learn merges from a DataFrame seed — BOUNDED at ``max_rows``
+    rows collected to the driver (tokenizer training corpora are
+    samples; for bigger seeds, sample upstream or train off-cluster).
+    """
+    rows = docs.select(F.col(text_col).alias("t")).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"tokenizer seed exceeds max_rows={max_rows}; "
+            "sample the corpus (df.limit / TABLESAMPLE) before training"
+        )
+    return train_bpe_from_texts((r["t"] for r in rows), n_merges=n_merges)
+
+
+def bpe_encode_col(
+    docs: DataFrame,
+    tokenizer: BpeTokenizer,
+    text_col: str = "text",
+    *,
+    ids_col: str | None = "token_ids",
+    count_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Add real-tokenizer columns: ``token_ids`` (array<int>) and
+    ``n_bpe_tokens`` (bigint).  ``ids_col=None`` skips materializing
+    the ids (counting for packing/mixtures only — far less Arrow
+    traffic).
+
+    One vectorized Arrow pass; the merge table (a few KB) rides in the
+    closure, so nothing shuffles and no broadcast round-trip is needed.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    merges = tokenizer.merges
+
+    if ids_col is not None:
+
+        @pandas_udf("array<int>")
+        def _ids(s: pd.Series) -> pd.Series:
+            tok = BpeTokenizer(merges)
+            return s.map(tok.encode)
+
+        docs = docs.withColumn(ids_col, _ids(F.col(text_col)))
+        return docs.withColumn(count_col, F.size(ids_col).cast("bigint"))
+
+    @pandas_udf("long")
+    def _count(s: pd.Series) -> pd.Series:
+        tok = BpeTokenizer(merges)
+        return s.map(lambda t: len(tok.encode_tokens(t)))
+
+    return docs.withColumn(count_col, _count(F.col(text_col)))
+
+
+def bpe_tokens_col(
+    docs: DataFrame,
+    tokenizer: BpeTokenizer,
+    text_col: str = "text",
+    *,
+    tokens_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Add the token STRINGS as an ``array<string>`` column — the form
+    :func:`resilispark.operators.packing.emit_sequences` packs via its
+    ``tokens_col`` option (empty array, not [''], for empty text)."""
+    from pyspark.sql.functions import pandas_udf
+
+    merges = tokenizer.merges
+
+    @pandas_udf("array<string>")
+    def _toks(s: pd.Series) -> pd.Series:
+        tok = BpeTokenizer(merges)
+        return s.map(tok.encode_tokens)
+
+    return docs.withColumn(tokens_col, _toks(F.col(text_col)))
+
+
+def bpe_token_stream_col(
+    docs: DataFrame,
+    tokenizer: BpeTokenizer,
+    text_col: str = "text",
+    *,
+    stream_col: str = "bpe_stream",
+) -> DataFrame:
+    """Add the space-joined token-string stream — the form the t09
+    correctness gate hashes (and the SQL oracle reproduces with a
+    flat-string merge replay)."""
+    from pyspark.sql.functions import pandas_udf
+
+    merges = tokenizer.merges
+
+    @pandas_udf("string")
+    def _stream(s: pd.Series) -> pd.Series:
+        tok = BpeTokenizer(merges)
+        return s.map(lambda t: " ".join(tok.encode_tokens(t)))
+
+    return docs.withColumn(stream_col, _stream(F.col(text_col)))

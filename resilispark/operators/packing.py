@@ -254,11 +254,17 @@ def emit_sequences(
     n_buckets: int = 8,
     shuffle_seed: int | None = None,
     num_partitions: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Materialize the packed sequences themselves: every fixed-length
     training sequence as a row of space-joined tokens — the shard
     content a tokenizer/loader consumes downstream of
     :func:`assign_packs` (same layout, same parameters).
+
+    ``tokens_col``: an existing ``array<string>`` column to pack
+    instead of whitespace-splitting ``text_col`` — how real-tokenizer
+    output (:func:`resilispark.operators.bpe.bpe_tokens_col`) flows
+    into the packed shards.
 
     Plan: the two-phase prefix sum lays out the light span frame (text
     never flows through the checkpoint), the text joins back by id,
@@ -275,7 +281,10 @@ def emit_sequences(
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     # split ONCE, outside every lambda (CSE does not reach lambda bodies)
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    if tokens_col is not None:
+        words = F.col(tokens_col)
+    else:
+        words = F.split(F.trim(F.col(text_col)), r"\s+")
     layout = _layout(
         docs,
         id_col=id_col,

@@ -102,6 +102,9 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "n"), ("n_tokens", "n"), ("dup_tokens", "n"),
         ("masked_md5", "s"),
     ],
+    "t09_bpe_tokens": [
+        ("doc_id", "n"), ("n_bpe_tokens", "n"), ("bpe_md5", "s"),
+    ],
 }
 
 # members may live in either query module; merged lookup keeps the
@@ -142,12 +145,15 @@ FAMILIES: dict[str, list[str]] = {
         "q24_sessionize", "q25_pivot",
     ],
     # training-data curation extensions: tokenization stats, winnowing
-    # fingerprint, sequence packing, exact-substring dup coverage
+    # fingerprint, sequence packing, exact-substring dup coverage,
+    # real learned-BPE tokenization (t09 joined in round 5 — new
+    # members fold into the family, never a 51st gate row)
     # (t02/t04 folded in round 4 to free gate slots for t07/d10 while
     # holding the 50-entry cap)
     "qc_curation_family": [
         "t02_token_count", "t04_fingerprint", "t07_pack_stats",
         "d10_duplicate_spans", "t08_emit_sequences", "d11_mask_spans",
+        "t09_bpe_tokens",
     ],
 }
 

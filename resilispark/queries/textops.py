@@ -1610,6 +1610,86 @@ ORDER BY bucket, seq_idx
 """
 
 
+def t09_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real learned-BPE tokenization (operators/bpe.py): every doc
+    encoded with the frozen default merge table (trained by
+    tools/train_bpe_vocab.py, shipped in operators/bpe_vocab.py the
+    way production tokenizers ship as fixed artifacts), verified by
+    token count + md5 of the token-string stream.
+
+    The oracle replays the SAME merges in pure SQL: the normalized
+    text becomes a space-separated symbol string ('_ t h e ...') and a
+    recursive CTE applies each merge as a flat-string replace until no
+    occurrence is left, in training order — exactly equivalent to
+    token-level BPE because no merge's right side starts with the word
+    marker (so boundaries are never crossed) and per-merge leftmost
+    fusion is confluent (tests/test_bpe.py proves both directions)."""
+    from resilispark.operators.bpe import BpeTokenizer, bpe_token_stream_col
+    from resilispark.operators.bpe_vocab import DEFAULT_MERGES
+    from resilispark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    d = _docs(spark, sf_dir)
+    tok = BpeTokenizer(DEFAULT_MERGES)
+    out = bpe_token_stream_col(d.select("doc_id", "text"), tok)
+    return out.select(
+        "doc_id",
+        F.when(F.col("bpe_stream") == "", F.lit(0))
+        .otherwise(F.size(F.split("bpe_stream", " ")))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.md5(F.encode("bpe_stream", "UTF-8")).alias("bpe_md5"),
+    ).orderBy("doc_id")
+
+
+def _oracle_t09() -> str:
+    """The merge-replay oracle is generated from the frozen merge
+    table so the two sides can never drift apart."""
+    from resilispark.operators.bpe_vocab import DEFAULT_MERGES
+
+    vals = ",\n    ".join(
+        f"({i + 1}, ' {a} {b} ', ' {a}{b} ')"
+        for i, (a, b) in enumerate(DEFAULT_MERGES)
+    )
+    n = len(DEFAULT_MERGES)
+    return rf"""
+WITH RECURSIVE merges(i, pat, rep) AS (
+  SELECT * FROM (VALUES
+    {vals}
+  ) m(i, pat, rep)
+), base AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), init AS (
+  SELECT doc_id,
+         CASE WHEN norm = '' THEN ''
+              ELSE ' ' || trim(regexp_replace(
+                     '_' || replace(norm, ' ', '_'), '(.)', '\1 ', 'g')) || ' '
+         END AS s,
+         1 AS i
+  FROM base
+), enc AS (
+  SELECT doc_id, s, i FROM init
+  UNION ALL
+  SELECT e.doc_id,
+         replace(e.s, m.pat, m.rep) AS s,
+         CASE WHEN contains(replace(e.s, m.pat, m.rep), m.pat)
+              THEN e.i ELSE e.i + 1 END AS i
+  FROM enc e JOIN merges m ON m.i = e.i
+)
+SELECT doc_id,
+       CASE WHEN trim(s) = '' THEN 0
+            ELSE len(string_split(trim(s), ' ')) END::BIGINT AS n_bpe_tokens,
+       md5(trim(s)) AS bpe_md5
+FROM enc WHERE i = {n} + 1
+ORDER BY doc_id
+"""
+
+
+ORACLE_T09 = _oracle_t09()
+
+
 def d11_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Destructive exact-substring dedup (operators/dedup.py
     mask_duplicate_spans): duplicated 5-token spans cut out of the
@@ -1682,6 +1762,7 @@ QUERIES = {
     "t06_pii_scrub": t06_pii_scrub,
     "t07_pack_stats": t07_pack_stats,
     "t08_emit_sequences": t08_emit_sequences,
+    "t09_bpe_tokens": t09_bpe_tokens,
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
     "s03_label_centroid_norms": s03_label_centroid_norms,
@@ -1713,6 +1794,7 @@ ORACLES = {
     "t06_pii_scrub": ORACLE_T06,
     "t07_pack_stats": ORACLE_T07,
     "t08_emit_sequences": ORACLE_T08,
+    "t09_bpe_tokens": ORACLE_T09,
     "s01_cosine_topk": ORACLE_S01,
     "s02_lsh_buckets": ORACLE_S02,
     "s03_label_centroid_norms": ORACLE_S03,

@@ -500,6 +500,39 @@ def test_cli_pack_standalone(tmp_path, spark):
     assert packed.count() == 6  # ceil(40/16) * 2 buckets
 
 
+def test_cli_pack_bpe_tokenizer(tmp_path, spark):
+    """pack --tokenizer bpe lays out and materializes REAL tokenizer
+    output: sequence content reconstructs each doc's BPE token stream,
+    and counts are BPE counts, not whitespace counts."""
+    from resilispark.__main__ import main
+    from resilispark.operators.bpe import BpeTokenizer
+    from resilispark.operators.bpe_vocab import DEFAULT_MERGES
+
+    tok = BpeTokenizer(DEFAULT_MERGES)
+    rows = [(i, "the quick zzqq fox %d" % i) for i in range(6)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    out = str(tmp_path / "packed")
+    rc = main(["--cpus", "4", "pack", src, "-o", out,
+               "--seq-len", "32", "--buckets", "1", "--tokenizer", "bpe"])
+    assert rc == 0
+    packed = spark.read.parquet(out)
+    total_want = sum(len(tok.encode_tokens(t)) for _, t in rows)
+    assert packed.groupBy().sum("n_tokens").collect()[0][0] == total_want
+    # stream reconstruction: concatenating sequences in order gives the
+    # per-doc token streams laid end to end in doc_id order
+    stream = " ".join(
+        r["seq_text"]
+        for r in sorted(packed.collect(), key=lambda r: r["seq_idx"])
+    )
+    want = " ".join(
+        " ".join(tok.encode_tokens(t)) for _, t in sorted(rows)
+    )
+    assert stream == want
+
+
 def test_cli_curate_drop_common_lines(tmp_path, spark):
     from resilispark.__main__ import main
 
