@@ -163,12 +163,25 @@ class PythonIOStreamAdapter(IOStream):
 
 def wrap_stream(raw_stream, mode: str = "rb", fsspec_args=None) -> IOStream:
     """Coerce a path / IOStream / file-like into an IOStream
-    (stream_io.pyx:133-163; the fsspec branch maps onto the engine's fs
-    abstraction for remote schemes)."""
+    (stream_io.pyx:133-163).  Exactly like the reference: when
+    ``fsspec`` is importable and ``fsspec_args`` is not ``False``,
+    strings open through ``fsspec.open(...).open()`` wrapped in a
+    :class:`PythonIOStreamAdapter`; otherwise remote schemes fall back
+    to the engine's own fs abstraction and local paths to
+    :class:`FileStream`."""
     if isinstance(raw_stream, IOStream):
         return raw_stream
     if isinstance(raw_stream, (str, os.PathLike)):
         path = str(raw_stream)
+        if fsspec_args is not False:
+            try:
+                import fsspec
+            except ModuleNotFoundError:
+                pass
+            else:
+                return PythonIOStreamAdapter(
+                    fsspec.open(path, mode, **(fsspec_args or {})).open()
+                )
         if "://" in path and not path.startswith("file://"):
             from resilispark.io.fs import get_fs
 

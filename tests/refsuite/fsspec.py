@@ -1,0 +1,54 @@
+"""Minimal fsspec-compatible shim for the reference suite run.
+
+The reference's ``wrap_stream`` (stream_io.pyx:133-163) and its
+``test_stream_io.py`` URL tests use only this slice of the fsspec API:
+``fsspec.open(path_or_url, mode, **kw)`` returning an object whose
+``.open()`` yields a file-like.  This shim backs that slice with the
+engine's own filesystem layer (``resilispark.io.fs``) — local paths
+and ``file://`` URLs open directly; ``memory://``/``http(s)://``/
+``s3://`` route through ``get_fs``; unknown schemes raise ValueError
+exactly like fsspec's unknown-protocol error.
+
+Lives on the suite subprocess's PYTHONPATH only (tests/refsuite), so
+``import fsspec`` resolves here without shadowing a real install
+anywhere else.
+"""
+
+from __future__ import annotations
+
+import builtins
+
+
+class _OpenFile:
+    def __init__(self, path: str, mode: str, kw: dict):
+        self.path = path
+        self.mode = mode
+        self.kw = kw
+        # eager scheme validation, matching fsspec's unknown-protocol
+        # ValueError at open() time
+        p = path[7:] if path.startswith("file://") else path
+        if "://" in p:
+            from resilispark.io.fs import get_fs
+
+            self._fs = get_fs(p)
+        else:
+            self._fs = None
+        self._local = p
+
+    def open(self):
+        if self._fs is not None:
+            return self._fs.open(self._local, self.mode)
+        # module-level ``open`` shadows the builtin here
+        return builtins.open(self._local, self.mode)
+
+    # fsspec.core.OpenFile is also a context manager
+    def __enter__(self):
+        self._f = self.open()
+        return self._f
+
+    def __exit__(self, *exc):
+        self._f.close()
+
+
+def open(path: str, mode: str = "rb", **kw) -> _OpenFile:  # noqa: A001
+    return _OpenFile(path, mode, kw)

@@ -3,10 +3,27 @@
 The strongest parity proof available: the reference repo's unmodified
 pytest files (tests/fastwarc/*, tests/resiliparse/*) execute in a
 subprocess where ``fastwarc`` / ``resiliparse`` / ``brotli`` /
-``lz4.frame`` resolve to the resilispark facade modules via the
-pytest plugin in ``tests/refsuite/refshim.py``.  Nothing is copied
-from the reference — its tests run in place and are skipped wholesale
-if the checkout is absent.
+``lz4.frame`` / ``fsspec`` resolve to the resilispark facade modules
+via the pytest plugin in ``tests/refsuite/refshim.py`` (plus the
+fsspec shim module beside it, which backs fsspec's ``open()`` slice
+with the engine's ``io/fs.py``).  Nothing is copied from the
+reference — its tests run in place and are skipped wholesale if the
+checkout is absent.
+
+EXCLUDED: ``tests/resiliparse/beam`` only.  Those tests exercise the
+reference's Apache Beam *runner glue* (PTransforms, TestPipeline,
+``apache_beam.testing.util`` assertions, a mocked elasticsearch bulk
+client) — they import and drive ``apache_beam`` itself, which is not
+in this image, and faking the Beam SDK's pipeline/runner surface would
+test the fake, not the engine.  The beam package's SEMANTICS are
+covered: WARC reading/fusion-break (w01-w12 gates mirror
+beam/warcio.py + fileio.py Reshuffle), text IO (w10), and the
+elasticsearch bulk sink's buffer/sort/chunk/backoff behavior
+(tests/test_sinks.py against operators/elasticsearch.py, the Spark
+counterpart of beam/elasticsearch.py).  Without the --ignore the
+directory module-level-skips anyway (its __init__ skips when
+apache_beam is absent); ignoring keeps the suite's skip count at the
+honest figure for surfaces we claim: zero.
 """
 
 import os
@@ -48,3 +65,6 @@ def test_reference_suite_passes():
     tail = "\n".join(proc.stdout.splitlines()[-15:])
     assert proc.returncode == 0, f"reference suite failed:\n{tail}\n{proc.stderr[-2000:]}"
     assert " passed" in proc.stdout and "failed" not in proc.stdout, tail
+    # the fsspec shim closes the suite's last skip (URL stream tests);
+    # every collected reference test must RUN
+    assert "skipped" not in proc.stdout, tail
