@@ -257,6 +257,51 @@ def main() -> None:
         lambda: pipe.write.mode("overwrite").format("noop").save()
     )
 
+    # END-TO-END curate pipeline: the composed CLI chain (WARC scan ->
+    # extract -> PII scrub -> quality -> url-dedup -> host cap -> exact
+    # dedup -> leakage-safe val split -> partitioned write + manifest +
+    # datasheet -> packed shards), where fused kernels, manifest writes
+    # and the split interact — individual operators are benched above,
+    # this row catches cross-stage regressions.  One timed run (it IS
+    # the steady state: every stage's warm path was exercised above),
+    # excluded from the headline sum like the other composite floors.
+    import contextlib
+    import io as _io
+    import shutil
+    import tempfile
+
+    from resilispark.__main__ import main as _cli_main
+
+    _cur_out = tempfile.mkdtemp(prefix="resilispark-bench-curate-")
+    try:
+        _t0 = time.perf_counter()
+        with contextlib.redirect_stdout(_io.StringIO()):
+            rc = _cli_main(
+                [
+                    "curate",
+                    f"{bdir}/bench-{n_groups}.warc.gz",
+                    "-o",
+                    os.path.join(_cur_out, "corpus"),
+                    "--url-dedup",
+                    "--max-per-host",
+                    "2000",
+                    "--dedup",
+                    "--val-fraction",
+                    "0.05",
+                    "--pack",
+                    "2048",
+                    "--pack-buckets",
+                    "8",
+                ]
+            )
+        assert rc == 0, "curate pipeline failed"
+        timings[f"curate_e2e_{n_groups}_warc_groups"] = round(
+            time.perf_counter() - _t0, 3
+        )
+    finally:
+        shutil.rmtree(_cur_out, ignore_errors=True)
+    big_labels.add(f"curate_e2e_{n_groups}_warc_groups")
+
     # PQ ANN over the embeddings table: encode (16x compression) and
     # the refined two-stage search (ADC scan -> exact re-rank)
     from pyspark.sql import functions as _F

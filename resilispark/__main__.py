@@ -286,13 +286,26 @@ def cmd_curate(args) -> int:
         docs = decontaminate(
             docs, bench.withColumnRenamed(bcol, "text"), n=args.ngram
         )
+    token_count_col = None
+    if getattr(args, "tokenizer", "ws") == "bpe":
+        # real tokenizer counts for everything downstream (mixture
+        # sampling, datasheet totals) — computed AFTER every
+        # text-mutating stage so counts describe the text that ships
+        from resilispark.operators.bpe import bpe_encode_col
+
+        docs = bpe_encode_col(docs, _tokenizer_from(args), ids_col=None)
+        token_count_col = "n_bpe_tokens"
     if args.mixture:
         weights = {}
         for part in args.mixture.split(","):
             src, _, w = part.partition("=")
             weights[src] = float(w)
         docs = sample_token_mixture(
-            docs, weights, args.total_tokens, max_epochs=args.mixture_epochs
+            docs,
+            weights,
+            args.total_tokens,
+            max_epochs=args.mixture_epochs,
+            token_count_col=token_count_col,
         )
 
     if args.val_fraction:
@@ -315,6 +328,7 @@ def cmd_curate(args) -> int:
         spark.read.parquet(args.output)
         if part_col
         else docs,
+        token_count_col=token_count_col,
         **lang_kw,
     )
     for row in sheet.orderBy("grouping_level", "source").collect():
@@ -333,11 +347,20 @@ def cmd_curate(args) -> int:
             pack_src = pack_src.withColumn(
                 "doc_id", F.xxhash64("doc_id", "epoch")
             )
+        pack_tokens_col = None
+        if token_count_col is not None:
+            # the packed shards carry REAL tokenizer output, not
+            # whitespace tokens, when the bpe tokenizer is selected
+            from resilispark.operators.bpe import bpe_tokens_col
+
+            pack_src = bpe_tokens_col(pack_src, _tokenizer_from(args))
+            pack_tokens_col = "bpe_tokens"
         seqs = emit_sequences(
             pack_src,
             seq_len=args.pack,
             n_buckets=args.pack_buckets,
             shuffle_seed=args.pack_seed,
+            tokens_col=pack_tokens_col,
         )
         seqs.write.mode("overwrite").parquet(args.output + ".packed")
         print(f"wrote {args.output}.packed")
@@ -360,11 +383,10 @@ def cmd_pack(args) -> int:
     if getattr(args, "tokenizer", "ws") == "bpe":
         from pyspark.sql import functions as F
 
-        from resilispark.operators.bpe import BpeTokenizer, bpe_tokens_col
-        from resilispark.operators.bpe_vocab import DEFAULT_MERGES
+        from resilispark.operators.bpe import bpe_tokens_col
 
         docs = bpe_tokens_col(
-            docs, BpeTokenizer(DEFAULT_MERGES), args.text_col
+            docs, _tokenizer_from(args), args.text_col
         ).withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("bigint"))
         tokens_col, token_count_col = "bpe_tokens", "n_bpe_tokens"
     docs = docs.persist()
@@ -377,6 +399,10 @@ def cmd_pack(args) -> int:
         shuffle_seed=args.seed,
         tokens_col=tokens_col,
     )
+    if tokens_col is not None and getattr(args, "emit_ids", False):
+        from resilispark.operators.bpe import sequences_to_ids
+
+        seqs = sequences_to_ids(seqs, _tokenizer_from(args))
     seqs.write.mode("overwrite").parquet(args.output)
     stats = pack_stats(
         docs,
@@ -392,6 +418,38 @@ def cmd_pack(args) -> int:
             f"bucket={r.bucket} docs={r.n_docs} tokens={r.total_tokens} "
             f"seqs={r.n_seqs} split_docs={r.n_split_docs} fill={r.fill_ratio}"
         )
+    print(f"wrote {args.output}")
+    return 0
+
+
+def _tokenizer_from(args):
+    """The frozen default merges, or a trained artifact via --merges."""
+    from resilispark.operators.bpe import BpeTokenizer
+
+    if getattr(args, "merges", None):
+        return BpeTokenizer.load(args.merges)
+    from resilispark.operators.bpe_vocab import DEFAULT_MERGES
+
+    return BpeTokenizer(DEFAULT_MERGES)
+
+
+def cmd_bpe_train(args) -> int:
+    """Train a BPE merge table on a parquet corpus and save it as a
+    JSON artifact for `pack --tokenizer bpe --merges ...`."""
+    spark = _spark(args.cpus)
+    from resilispark.operators.bpe import train_bpe
+
+    docs = spark.read.parquet(args.input)
+    if args.sample:
+        docs = docs.limit(args.sample)
+    tok = train_bpe(
+        docs,
+        args.text_col,
+        n_merges=args.n_merges,
+        max_rows=args.max_rows,
+    )
+    tok.save(args.output)
+    print(f"trained {len(tok.merges)} merges, vocab={tok.vocab_size}")
     print(f"wrote {args.output}")
     return 0
 
@@ -838,6 +896,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="remove lines present in at least FRAC of docs")
     p.add_argument("--pack", type=int, default=None, metavar="SEQ_LEN",
                    help="also write packed training sequences to OUTPUT.packed")
+    p.add_argument("--tokenizer", choices=("ws", "bpe"), default="ws",
+                   help="ws: whitespace token counts; bpe: the frozen "
+                        "learned-BPE tokenizer for mixture sampling, "
+                        "datasheet totals, and packed shard content")
+    p.add_argument("--merges", default=None, metavar="JSON",
+                   help="trained merge artifact (bpe-train) to use "
+                        "instead of the frozen default table")
     p.add_argument("--pack-buckets", type=int, default=32)
     p.add_argument("--pack-seed", type=int, default=None,
                    help="deterministic corpus shuffle before packing")
@@ -867,7 +932,27 @@ def main(argv: list[str] | None = None) -> int:
         "tokenizer (operators/bpe_vocab.py) — spans and sequence "
         "content become real tokenizer output",
     )
+    p.add_argument("--merges", default=None, metavar="JSON",
+                   help="trained merge artifact (bpe-train) to use "
+                        "instead of the frozen default table")
+    p.add_argument("--emit-ids", action="store_true",
+                   help="with --tokenizer bpe: also write seq_ids "
+                        "(array<int>) per sequence — the loader-ready form")
     p.set_defaults(fn=cmd_pack)
+
+    p = sub.add_parser(
+        "bpe-train",
+        help="train a BPE merge table on a parquet corpus -> JSON artifact",
+    )
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--n-merges", type=int, default=4096)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--sample", type=int, default=None,
+                   help="train on the first N rows only")
+    p.add_argument("--max-rows", type=int, default=200_000,
+                   help="hard cap on rows collected to the driver")
+    p.set_defaults(fn=cmd_bpe_train)
 
     p = sub.add_parser("linkgraph", help="WARC/WAT -> PageRank host authority")
     p.add_argument("input")

@@ -137,6 +137,22 @@ class BpeTokenizer:
         inv = {i: t for t, i in self._vocab.items()}
         return "".join(inv[i] for i in ids).replace(WORD_MARKER, " ").strip()
 
+    def save(self, path: str) -> None:
+        """Persist as a JSON artifact (just the merges — the vocab is
+        derived, so the artifact is tiny and unambiguous)."""
+        import json
+
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump({"merges": [list(m) for m in self.merges]}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "BpeTokenizer":
+        import json
+
+        with open(path, encoding="utf-8") as f:
+            data = json.load(f)
+        return cls(tuple((a, b) for a, b in data["merges"]))
+
 
 def train_bpe_from_texts(
     texts, *, n_merges: int = 160
@@ -266,6 +282,34 @@ def bpe_tokens_col(
         return s.map(tok.encode_tokens)
 
     return docs.withColumn(tokens_col, _toks(F.col(text_col)))
+
+
+def sequences_to_ids(
+    seqs: DataFrame,
+    tokenizer: BpeTokenizer,
+    *,
+    text_col: str = "seq_text",
+    ids_col: str = "seq_ids",
+) -> DataFrame:
+    """Turn packed sequence rows (``emit_sequences`` output whose
+    ``seq_text`` holds BPE token strings) into token-ID arrays — the
+    form a training loader memory-maps.  Pure codegen: the tiny vocab
+    ships as a literal map and every token looks up JVM-side; no UDF,
+    no shuffle.  Unknown tokens (text packed with a different
+    tokenizer) surface as NULL ids rather than silently wrong ones."""
+    vocab = tokenizer.vocab
+    kv: list = []
+    for t, i in vocab.items():
+        kv.append(F.lit(t))
+        kv.append(F.lit(i))
+    vmap = F.create_map(*kv)
+    toks = F.split(F.col(text_col), " ")
+    return seqs.withColumn(
+        ids_col,
+        F.when(F.col(text_col) == "", F.array().cast("array<int>")).otherwise(
+            F.transform(toks, lambda t: vmap[t].cast("int"))
+        ),
+    )
 
 
 def bpe_token_stream_col(

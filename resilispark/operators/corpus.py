@@ -188,6 +188,7 @@ def corpus_datasheet(
     source_col: str = "source",
     lang_col: str | None = "lang",
     short_doc_tokens: int = 50,
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Corpus-level statistics ("datasheet") in ONE aggregation pass.
 
@@ -195,8 +196,14 @@ def corpus_datasheet(
     totals from a single shuffle with map-side partials: document and
     token counts, char volume, token-length distribution
     (mean/p50/p90 via approx percentiles), and the short-document
-    rate.  ``grouping_id`` disambiguates the rollup levels."""
-    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    rate.  ``grouping_id`` disambiguates the rollup levels.
+
+    ``token_count_col``: use a precomputed count (e.g. real BPE counts
+    from ``bpe_encode_col``) instead of the whitespace split."""
+    if token_count_col is not None:
+        toks = F.col(token_count_col).cast("bigint")
+    else:
+        toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     d = docs.withColumn("_t", toks)
     group_cols = [source_col] + ([lang_col] if lang_col else [])
     sets = [tuple(group_cols), (source_col,), ()]

@@ -154,6 +154,61 @@ class TestSparkEncode:
             assert by_id[i]["n_tokens"] == len(tok.encode_tokens(t))
 
 
+def test_save_load_roundtrip(tmp_path):
+    tok = BpeTokenizer(DEFAULT_MERGES)
+    p = str(tmp_path / "merges.json")
+    tok.save(p)
+    tok2 = BpeTokenizer.load(p)
+    assert tok2.merges == tok.merges
+    assert tok2.encode("the quick fox") == tok.encode("the quick fox")
+
+
+def test_sequences_to_ids(spark):
+    """Packed shard text -> loader-ready id arrays, codegen-only, with
+    unknown tokens surfacing as NULL instead of silently-wrong ids."""
+    from resilispark.operators.bpe import sequences_to_ids
+
+    tok = BpeTokenizer(DEFAULT_MERGES)
+    stream = " ".join(tok.encode_tokens("the quick fox"))
+    df = spark.createDataFrame(
+        [(0, stream), (1, ""), (2, "NOT_A_TOKEN")],
+        "seq_idx long, seq_text string",
+    )
+    out = sequences_to_ids(df, tok)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan[:800]  # no Python in the plan
+    got = {r["seq_idx"]: r["seq_ids"] for r in out.collect()}
+    assert list(got[0]) == tok.encode("the quick fox")
+    assert list(got[1]) == []
+    assert got[2][0] is None  # unknown token -> NULL, loud not wrong
+
+
+def test_cli_bpe_train_and_pack_with_artifact(spark, tmp_path):
+    """bpe-train writes a merge artifact; pack --merges uses it (and
+    --emit-ids adds the id arrays)."""
+    from resilispark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    rows = [(i, "alpha beta gamma alpha beta %d" % i) for i in range(30)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    merges = str(tmp_path / "merges.json")
+    rc = main(["--cpus", "4", "bpe-train", src, "-o", merges, "--n-merges", "20"])
+    assert rc == 0
+    tok = BpeTokenizer.load(merges)
+    assert 0 < len(tok.merges) <= 20
+    out = str(tmp_path / "packed")
+    rc = main(["--cpus", "4", "pack", src, "-o", out, "--seq-len", "32",
+               "--buckets", "1", "--tokenizer", "bpe", "--merges", merges,
+               "--emit-ids"])
+    assert rc == 0
+    packed = spark.read.parquet(out).orderBy("seq_idx").collect()
+    want_total = sum(len(tok.encode_tokens(t)) for _, t in rows)
+    assert sum(r["n_tokens"] for r in packed) == want_total
+    flat = [i for r in packed for i in r["seq_ids"]]
+    want = [i for _, t in sorted(rows) for i in tok.encode(t)]
+    assert flat == want
+
+
 def test_oracle_matches_spark_side_via_duckdb(spark, tmp_path):
     """End-to-end replica of the driver's t09 comparison on a tiny
     ad-hoc corpus (not the shipped testdata): Spark UDF stream vs the

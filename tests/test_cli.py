@@ -533,6 +533,36 @@ def test_cli_pack_bpe_tokenizer(tmp_path, spark):
     assert stream == want
 
 
+def test_cli_curate_bpe_tokenizer(tmp_path, spark):
+    """curate --tokenizer bpe: corpus rows carry real BPE counts, the
+    datasheet totals them, and packed shards hold BPE token streams."""
+    from resilispark.__main__ import main
+    from resilispark.operators.bpe import BpeTokenizer
+    from resilispark.operators.bpe_vocab import DEFAULT_MERGES
+
+    tok = BpeTokenizer(DEFAULT_MERGES)
+    rows = [
+        (i, "curated content item %d with words" % i, "en", "web")
+        for i in range(6)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "corpus")
+    rc = main(["--cpus", "4", "curate", src, "-o", out,
+               "--no-quality", "--keep-pii", "--tokenizer", "bpe",
+               "--pack", "64", "--pack-buckets", "1"])
+    assert rc == 0
+    kept = spark.read.parquet(out).collect()
+    assert kept and all(
+        r["n_bpe_tokens"] == len(tok.encode_tokens(r["text"])) for r in kept
+    )
+    packed = spark.read.parquet(out + ".packed")
+    total = packed.groupBy().sum("n_tokens").collect()[0][0]
+    assert total == sum(len(tok.encode_tokens(t)) for _, t, _, _ in rows)
+
+
 def test_cli_curate_drop_common_lines(tmp_path, spark):
     from resilispark.__main__ import main
 

@@ -31,10 +31,11 @@ PICKS = {
     "qc_windows_family": "Composite gate: union of four window queries — each member keeps its own single hash-partition window, the union adds NO extra shuffle.",
     "m01_image_features": "Real PNG decode path: two chained Arrow Python kernels over the parquet scan, no shuffle.",
     "m02_video_frames": "Real AVI decode + stub sampling unioned; sort only at the final output.",
-    "t07_pack_stats": "Sequence packing: ONE data shuffle on the bucket key, per-bucket running-sum window, then the stats aggregate.",
+    "t07_pack_stats": "Sequence packing: two-phase prefix sum — range partition on the layout order (pinned by localCheckpoint), tiny per-(partition,bucket) sums collected and broadcast back as offsets, running-sum window per (partition,bucket); layout parallelism tracks num_partitions, never capped at n_buckets.",
     "d10_duplicate_spans": "Exact-substring dedup: gram join (AQE broadcasts the firsts side at this SF; sort-merge at scale) + covered-position aggregate — no quadratic stage.",
     "q31_asof_join": "As-of join: pushed event_type filters, one hash shuffle on user_id for the union+window carry, no per-row range probe.",
-    "t08_emit_sequences": "Materialized packing: bucket window -> per-sequence fragment explode -> one reassembly aggregate; per-task state bounded by one sequence.",
+    "t08_emit_sequences": "Materialized packing: two-phase prefix-sum layout (light columns only through the checkpoint) -> text joined back by id -> per-sequence fragment explode -> one reassembly aggregate; per-task state bounded by one sequence.",
+    "t09_bpe_tokens": "Learned-BPE encode: ONE Arrow-batched projection with the frozen merge table riding in the UDF closure; count + md5 are codegen above it; no shuffle, sort only at output.",
 }
 
 _KEEP = re.compile(
