@@ -287,7 +287,7 @@ def cmd_curate(args) -> int:
             docs, bench.withColumnRenamed(bcol, "text"), n=args.ngram
         )
     token_count_col = None
-    if getattr(args, "tokenizer", "ws") == "bpe":
+    if getattr(args, "tokenizer", "ws") in ("bpe", "byte"):
         # real tokenizer counts for everything downstream (mixture
         # sampling, datasheet totals) — computed AFTER every
         # text-mutating stage so counts describe the text that ships
@@ -347,20 +347,24 @@ def cmd_curate(args) -> int:
             pack_src = pack_src.withColumn(
                 "doc_id", F.xxhash64("doc_id", "epoch")
             )
-        pack_tokens_col = None
+        pack_tokens_col = pack_count_col = None
         if token_count_col is not None:
             # the packed shards carry REAL tokenizer output, not
-            # whitespace tokens, when the bpe tokenizer is selected
+            # whitespace tokens, when the bpe tokenizer is selected;
+            # the layout reuses the n_bpe_tokens column already in the
+            # written corpus so the expensive encode runs ONCE (join
+            # side), not once per _layout branch
             from resilispark.operators.bpe import bpe_tokens_col
 
             pack_src = bpe_tokens_col(pack_src, _tokenizer_from(args))
-            pack_tokens_col = "bpe_tokens"
+            pack_tokens_col, pack_count_col = "bpe_tokens", token_count_col
         seqs = emit_sequences(
             pack_src,
             seq_len=args.pack,
             n_buckets=args.pack_buckets,
             shuffle_seed=args.pack_seed,
             tokens_col=pack_tokens_col,
+            token_count_col=pack_count_col,
         )
         seqs.write.mode("overwrite").parquet(args.output + ".packed")
         print(f"wrote {args.output}.packed")
@@ -380,7 +384,7 @@ def cmd_pack(args) -> int:
     docs = spark.read.parquet(args.input)
     tokens_col = None
     token_count_col = None
-    if getattr(args, "tokenizer", "ws") == "bpe":
+    if getattr(args, "tokenizer", "ws") in ("bpe", "byte"):
         from pyspark.sql import functions as F
 
         from resilispark.operators.bpe import bpe_tokens_col
@@ -423,11 +427,20 @@ def cmd_pack(args) -> int:
 
 
 def _tokenizer_from(args):
-    """The frozen default merges, or a trained artifact via --merges."""
-    from resilispark.operators.bpe import BpeTokenizer
-
+    """The frozen default merges, or a trained artifact via --merges.
+    ``--tokenizer byte`` selects the byte-level (GPT-2-style) model —
+    lossless over arbitrary UTF-8, for CJK/emoji/mixed-script corpora
+    where the ASCII normalization is lossy."""
     if getattr(args, "merges", None):
-        return BpeTokenizer.load(args.merges)
+        from resilispark.operators.bpe import load_tokenizer
+
+        return load_tokenizer(args.merges)
+    if getattr(args, "tokenizer", "ws") == "byte":
+        from resilispark.operators.bpe import ByteBpeTokenizer
+        from resilispark.operators.bpe_vocab import DEFAULT_BYTE_MERGES
+
+        return ByteBpeTokenizer(DEFAULT_BYTE_MERGES)
+    from resilispark.operators.bpe import BpeTokenizer
     from resilispark.operators.bpe_vocab import DEFAULT_MERGES
 
     return BpeTokenizer(DEFAULT_MERGES)
@@ -442,7 +455,11 @@ def cmd_bpe_train(args) -> int:
     docs = spark.read.parquet(args.input)
     if args.sample:
         docs = docs.limit(args.sample)
-    tok = train_bpe(
+    if args.byte_level:
+        from resilispark.operators.bpe import train_byte_bpe as _train
+    else:
+        _train = train_bpe
+    tok = _train(
         docs,
         args.text_col,
         n_merges=args.n_merges,
@@ -896,10 +913,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="remove lines present in at least FRAC of docs")
     p.add_argument("--pack", type=int, default=None, metavar="SEQ_LEN",
                    help="also write packed training sequences to OUTPUT.packed")
-    p.add_argument("--tokenizer", choices=("ws", "bpe"), default="ws",
+    p.add_argument("--tokenizer", choices=("ws", "bpe", "byte"),
+                   default="ws",
                    help="ws: whitespace token counts; bpe: the frozen "
                         "learned-BPE tokenizer for mixture sampling, "
-                        "datasheet totals, and packed shard content")
+                        "datasheet totals, and packed shard content; "
+                        "byte: the byte-level (GPT-2-style) model, "
+                        "lossless over arbitrary UTF-8")
     p.add_argument("--merges", default=None, metavar="JSON",
                    help="trained merge artifact (bpe-train) to use "
                         "instead of the frozen default table")
@@ -926,11 +946,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--text-col", default="text")
     p.add_argument(
         "--tokenizer",
-        choices=("ws", "bpe"),
+        choices=("ws", "bpe", "byte"),
         default="ws",
         help="ws: whitespace tokens; bpe: the frozen learned-BPE "
         "tokenizer (operators/bpe_vocab.py) — spans and sequence "
-        "content become real tokenizer output",
+        "content become real tokenizer output; byte: the byte-level "
+        "(GPT-2-style) model, lossless over arbitrary UTF-8",
     )
     p.add_argument("--merges", default=None, metavar="JSON",
                    help="trained merge artifact (bpe-train) to use "
@@ -952,6 +973,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="train on the first N rows only")
     p.add_argument("--max-rows", type=int, default=200_000,
                    help="hard cap on rows collected to the driver")
+    p.add_argument("--byte-level", action="store_true",
+                   help="train the byte-level (GPT-2-style) model "
+                        "instead of the ASCII oracle-exact one")
     p.set_defaults(fn=cmd_bpe_train)
 
     p = sub.add_parser("linkgraph", help="WARC/WAT -> PageRank host authority")

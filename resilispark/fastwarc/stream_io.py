@@ -173,6 +173,13 @@ def wrap_stream(raw_stream, mode: str = "rb", fsspec_args=None) -> IOStream:
         return raw_stream
     if isinstance(raw_stream, (str, os.PathLike)):
         path = str(raw_stream)
+        # memory:// is the ENGINE's scheme (io/fs.py MemoryFS, spill-
+        # dir-backed); a real fsspec registers its own unrelated
+        # 'memory' protocol, so that scheme must never route there
+        if path.startswith("memory://"):
+            from resilispark.io.fs import get_fs
+
+            return PythonIOStreamAdapter(get_fs(path).open(path))
         if fsspec_args is not False:
             try:
                 import fsspec

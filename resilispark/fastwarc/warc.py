@@ -739,7 +739,10 @@ class ArchiveIterator:
 
     # warc_retry (itertools facade) calls this to swap in a fresh stream
     def _set_stream(self, stream) -> None:
-        self.stream = wrap_stream(stream)
+        # forward fsspec options (credentials, anon, ...) — or the
+        # fsspec_args=False opt-out — to the path opener, matching the
+        # reference's fsspec.open(**fsspec_args) (warc.pyx:1118-1126)
+        self.stream = wrap_stream(stream, fsspec_args=self.fsspec_args)
         self.reader = _PosTracker(self)
         self._next_pos = 0
         self._identity_pos = False

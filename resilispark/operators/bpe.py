@@ -1,4 +1,4 @@
-"""Learned byte-pair-encoding tokenizer: driver-trained merges,
+"""Learned byte-pair-encoding tokenizers: driver-trained merges,
 broadcast to executors, Arrow-batched encoding — the step that turns
 every "token count" in the curation pipeline (packing spans, mixture
 sampling, datasheet totals, chunking windows) from a whitespace
@@ -10,8 +10,10 @@ seed collected to the driver (`limit(max_rows+1)` + cap guard), the
 tiny merge table ships in the UDF closure, and encoding runs as a
 vectorized Arrow batch pass — no shuffle, no per-row Python UDF.
 
-Tokenization model (deliberately engine-portable so a SQL oracle can
-replay it exactly):
+Two tokenizer classes, one merge algorithm:
+
+:class:`BpeTokenizer` — the oracle-exact ASCII model (deliberately
+engine-portable so a SQL oracle can replay it, see the t09 gate):
 
 * normalize: lowercase, every non-``[a-z0-9]`` run becomes one space,
   trim — ASCII-only by construction, so Spark, Python and DuckDB
@@ -25,6 +27,21 @@ replay it exactly):
   training), merges can never cross a word boundary — per-word and
   whole-stream encoding are identical, which is what makes the
   flat-string SQL replay (see ``queries/textops.py`` t09) exact.
+
+:class:`ByteBpeTokenizer` — the GPT-2-style byte-level model for full
+UTF-8 fidelity (CJK, emoji, mixed scripts — where the ASCII
+normalization is lossy and whitespace counts are off by far more than
+the 1.3-1.5x English gap):
+
+* a Unicode pre-tokenizer splits the RAW text into contraction
+  suffixes, letter runs, digit runs, punctuation runs and whitespace
+  runs; their concatenation is the original string, so encoding is
+  LOSSLESS (``decode(encode(s)) == s`` for arbitrary Unicode).
+* each pre-token's UTF-8 bytes map through the standard printable
+  byte<->char table, merges fuse within pre-tokens only.
+* too irregular for a SQL replay, so it is test-verified
+  (property-tested round-trip) rather than driver-gated; the gated
+  ASCII model remains the oracle anchor.
 
 No reference-parity citation: the reference engine stops at
 extraction; tokenization is part of the training-data extension
@@ -58,6 +75,72 @@ def _word_symbols(word: str) -> tuple[str, ...]:
     return (WORD_MARKER, *word)
 
 
+def _fuse_all(syms: list[str], ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges by rank until none fit: pick the lowest-rank
+    adjacent pair, fuse EVERY adjacent occurrence left-to-right (the
+    flat-string replace semantics both tokenizers share), repeat."""
+    while len(syms) > 1:
+        best_rank = None
+        pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, pair = r, (syms[i], syms[i + 1])
+        if best_rank is None:
+            break
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == pair[0] and syms[i + 1] == pair[1]:
+                out.append(pair[0] + pair[1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _learn_merges(
+    seq_freq: dict[tuple[str, ...], int], n_merges: int
+) -> tuple[tuple[str, str], ...]:
+    """The corpus-level BPE training loop over symbol-sequence TYPES
+    weighted by frequency; ties break on the lexicographically
+    smallest pair, so training is fully deterministic."""
+    merges: list[tuple[str, str]] = []
+    seqs = dict(seq_freq)
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, c in seqs.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break  # nothing left worth fusing
+        merges.append(best)
+        new_seqs: dict[tuple[str, ...], int] = {}
+        for syms, c in seqs.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_seqs[key] = new_seqs.get(key, 0) + c
+        seqs = new_seqs
+    return tuple(merges)
+
+
 @dataclass(frozen=True)
 class BpeTokenizer:
     """An ordered merge list plus the derived vocabulary.
@@ -79,6 +162,10 @@ class BpeTokenizer:
         object.__setattr__(
             self, "_ranks", {p: i for i, p in enumerate(self.merges)}
         )
+        # word -> encoded symbols memo: natural text is Zipf-shaped, so
+        # the hot few thousand words dominate — caching turns the
+        # per-word merge loop into a dict hit for most of the corpus
+        object.__setattr__(self, "_cache", {})
 
     @property
     def vocab(self) -> dict[str, int]:
@@ -90,35 +177,11 @@ class BpeTokenizer:
 
     def encode_word(self, word: str) -> list[str]:
         """Symbols of one normalized word after all merges."""
-        syms = list(_word_symbols(word))
-        ranks = self._ranks
-        while len(syms) > 1:
-            best = None
-            best_rank = None
-            for i in range(len(syms) - 1):
-                r = ranks.get((syms[i], syms[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best, best_rank = i, r
-            if best_rank is None:
-                break
-            # fuse EVERY adjacent occurrence of the winning pair,
-            # left to right (matches the flat-string replace replay)
-            pair = (syms[best], syms[best + 1])
-            out: list[str] = []
-            i = 0
-            while i < len(syms):
-                if (
-                    i + 1 < len(syms)
-                    and syms[i] == pair[0]
-                    and syms[i + 1] == pair[1]
-                ):
-                    out.append(pair[0] + pair[1])
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            syms = out
-        return syms
+        hit = self._cache.get(word)
+        if hit is None:
+            hit = _fuse_all(list(_word_symbols(word)), self._ranks)
+            self._cache[word] = hit
+        return hit
 
     def encode_tokens(self, text: str | None) -> list[str]:
         """Token strings of a whole (raw) text."""
@@ -143,7 +206,9 @@ class BpeTokenizer:
         import json
 
         with open(path, "w", encoding="utf-8") as f:
-            json.dump({"merges": [list(m) for m in self.merges]}, f)
+            json.dump(
+                {"kind": "ascii", "merges": [list(m) for m in self.merges]}, f
+            )
 
     @classmethod
     def load(cls, path: str) -> "BpeTokenizer":
@@ -151,6 +216,12 @@ class BpeTokenizer:
 
         with open(path, encoding="utf-8") as f:
             data = json.load(f)
+        kind = data.get("kind", "ascii")
+        if kind != "ascii":
+            raise ValueError(
+                f"{path!r} holds a {kind!r} tokenizer; "
+                "use load_tokenizer() to dispatch on kind"
+            )
         return cls(tuple((a, b) for a, b in data["merges"]))
 
 
@@ -170,38 +241,7 @@ def train_bpe_from_texts(
     seqs: dict[tuple[str, ...], int] = {
         _word_symbols(w): c for w, c in word_freq.items()
     }
-    merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs = Counter()
-        for syms, c in seqs.items():
-            for i in range(len(syms) - 1):
-                pairs[(syms[i], syms[i + 1])] += c
-        if not pairs:
-            break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pairs[best] < 2:
-            break  # nothing left worth fusing
-        merges.append(best)
-        fused = best[0] + best[1]
-        new_seqs: dict[tuple[str, ...], int] = {}
-        for syms, c in seqs.items():
-            out: list[str] = []
-            i = 0
-            while i < len(syms):
-                if (
-                    i + 1 < len(syms)
-                    and syms[i] == best[0]
-                    and syms[i + 1] == best[1]
-                ):
-                    out.append(fused)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            key = tuple(out)
-            new_seqs[key] = new_seqs.get(key, 0) + c
-        seqs = new_seqs
-    return BpeTokenizer(tuple(merges))
+    return BpeTokenizer(_learn_merges(seqs, n_merges))
 
 
 def train_bpe(
@@ -224,6 +264,169 @@ def train_bpe(
     return train_bpe_from_texts((r["t"] for r in rows), n_merges=n_merges)
 
 
+# -- byte-level (GPT-2 style) -------------------------------------------
+
+def _byte_char_tables() -> tuple[dict[int, str], dict[str, int]]:
+    """The standard printable byte<->char bijection: bytes that are
+    already printable non-space characters map to themselves, the rest
+    shift into the 256+ codepoint range — so merge symbols are plain
+    strings and the JSON artifact stays human-readable."""
+    keep = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAD))
+        + list(range(0xAE, 0x100))
+    )
+    chars = [chr(b) for b in keep]
+    n = 0
+    for b in range(256):
+        if b not in keep:
+            keep.append(b)
+            chars.append(chr(256 + n))
+            n += 1
+    b2c = dict(zip(keep, chars))
+    return b2c, {c: b for b, c in b2c.items()}
+
+
+_B2C, _C2B = _byte_char_tables()
+
+# GPT-2-style pre-tokenizer, full Unicode: contraction suffixes,
+# optionally-space-prefixed letter/digit/punctuation runs, whitespace
+# runs.  Every character is matched by exactly one alternative, so the
+# concatenation of all pre-tokens is the original string — the
+# property that makes byte-level encoding lossless.  (Python re:
+# [^\W\d_] is "Unicode letter", \s+(?!\S) peels trailing whitespace so
+# a single space before a word stays attached to the word.)
+_PRETOK_RE = re.compile(
+    r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
+)
+
+
+@dataclass(frozen=True)
+class ByteBpeTokenizer:
+    """Byte-level BPE: lossless over arbitrary UTF-8 (CJK, emoji,
+    mixed scripts).  Same ordered-merge model as :class:`BpeTokenizer`
+    but symbols start as mapped UTF-8 bytes of Unicode pre-tokens, so
+    nothing is lowercased, stripped, or replaced.
+
+    The vocab is the 256 byte symbols (in byte order) plus every merge
+    product — a pure function of the merge list, like the ASCII class.
+    """
+
+    merges: tuple[tuple[str, str], ...]
+
+    def __post_init__(self) -> None:
+        vocab = [_B2C[b] for b in range(256)]
+        for a, b in self.merges:
+            vocab.append(a + b)
+        object.__setattr__(self, "_vocab", {t: i for i, t in enumerate(vocab)})
+        object.__setattr__(
+            self, "_ranks", {p: i for i, p in enumerate(self.merges)}
+        )
+        object.__setattr__(self, "_cache", {})
+
+    @property
+    def vocab(self) -> dict[str, int]:
+        return dict(self._vocab)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self._vocab)
+
+    def encode_word(self, pretok: str) -> list[str]:
+        """Symbols of one pre-token after all merges."""
+        hit = self._cache.get(pretok)
+        if hit is None:
+            mapped = [_B2C[b] for b in pretok.encode("utf-8")]
+            hit = _fuse_all(mapped, self._ranks)
+            self._cache[pretok] = hit
+        return hit
+
+    def encode_tokens(self, text: str | None) -> list[str]:
+        """Token strings of a whole raw text (lossless)."""
+        if not text:
+            return []
+        out: list[str] = []
+        for m in _PRETOK_RE.finditer(text):
+            out.extend(self.encode_word(m.group()))
+        return out
+
+    def encode(self, text: str | None) -> list[int]:
+        v = self._vocab
+        return [v[t] for t in self.encode_tokens(text)]
+
+    def decode(self, ids: list[int]) -> str:
+        """EXACT original text back from ids."""
+        inv = {i: t for t, i in self._vocab.items()}
+        chars = "".join(inv[i] for i in ids)
+        return bytes(_C2B[c] for c in chars).decode("utf-8", errors="replace")
+
+    def save(self, path: str) -> None:
+        import json
+
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(
+                {"kind": "byte", "merges": [list(m) for m in self.merges]}, f
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "ByteBpeTokenizer":
+        import json
+
+        with open(path, encoding="utf-8") as f:
+            data = json.load(f)
+        kind = data.get("kind", "ascii")
+        if kind != "byte":
+            raise ValueError(
+                f"{path!r} holds a {kind!r} tokenizer; "
+                "use load_tokenizer() to dispatch on kind"
+            )
+        return cls(tuple((a, b) for a, b in data["merges"]))
+
+
+def load_tokenizer(path: str) -> "BpeTokenizer | ByteBpeTokenizer":
+    """Load a saved merge artifact, dispatching on its ``kind``
+    (missing kind = the original ASCII artifacts)."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        kind = json.load(f).get("kind", "ascii")
+    cls = ByteBpeTokenizer if kind == "byte" else BpeTokenizer
+    return cls.load(path)
+
+
+def train_byte_bpe_from_texts(texts, *, n_merges: int = 4096) -> ByteBpeTokenizer:
+    """Byte-level BPE training over an in-memory iterable of texts —
+    same deterministic type-weighted loop as the ASCII trainer, over
+    Unicode pre-token types."""
+    pretok_freq = Counter()
+    for t in texts:
+        if t:
+            pretok_freq.update(m.group() for m in _PRETOK_RE.finditer(t))
+    seqs: dict[tuple[str, ...], int] = {}
+    for p, c in pretok_freq.items():
+        key = tuple(_B2C[b] for b in p.encode("utf-8"))
+        seqs[key] = seqs.get(key, 0) + c
+    return ByteBpeTokenizer(_learn_merges(seqs, n_merges))
+
+
+def train_byte_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 4096,
+    max_rows: int = 200_000,
+) -> ByteBpeTokenizer:
+    """Learn byte-level merges from a DataFrame seed — bounded exactly
+    like :func:`train_bpe`."""
+    rows = docs.select(F.col(text_col).alias("t")).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"tokenizer seed exceeds max_rows={max_rows}; "
+            "sample the corpus (df.limit / TABLESAMPLE) before training"
+        )
+    return train_byte_bpe_from_texts((r["t"] for r in rows), n_merges=n_merges)
+
+
 def bpe_encode_col(
     docs: DataFrame,
     tokenizer: BpeTokenizer,
@@ -242,13 +445,13 @@ def bpe_encode_col(
     """
     from pyspark.sql.functions import pandas_udf
 
-    merges = tokenizer.merges
+    cls, merges = type(tokenizer), tokenizer.merges
 
     if ids_col is not None:
 
         @pandas_udf("array<int>")
         def _ids(s: pd.Series) -> pd.Series:
-            tok = BpeTokenizer(merges)
+            tok = cls(merges)
             return s.map(tok.encode)
 
         docs = docs.withColumn(ids_col, _ids(F.col(text_col)))
@@ -256,7 +459,7 @@ def bpe_encode_col(
 
     @pandas_udf("long")
     def _count(s: pd.Series) -> pd.Series:
-        tok = BpeTokenizer(merges)
+        tok = cls(merges)
         return s.map(lambda t: len(tok.encode_tokens(t)))
 
     return docs.withColumn(count_col, _count(F.col(text_col)))
@@ -274,11 +477,11 @@ def bpe_tokens_col(
     ``tokens_col`` option (empty array, not [''], for empty text)."""
     from pyspark.sql.functions import pandas_udf
 
-    merges = tokenizer.merges
+    cls, merges = type(tokenizer), tokenizer.merges
 
     @pandas_udf("array<string>")
     def _toks(s: pd.Series) -> pd.Series:
-        tok = BpeTokenizer(merges)
+        tok = cls(merges)
         return s.map(tok.encode_tokens)
 
     return docs.withColumn(tokens_col, _toks(F.col(text_col)))
@@ -324,11 +527,11 @@ def bpe_token_stream_col(
     flat-string merge replay)."""
     from pyspark.sql.functions import pandas_udf
 
-    merges = tokenizer.merges
+    cls, merges = type(tokenizer), tokenizer.merges
 
     @pandas_udf("string")
     def _stream(s: pd.Series) -> pd.Series:
-        tok = BpeTokenizer(merges)
+        tok = cls(merges)
         return s.map(lambda t: " ".join(tok.encode_tokens(t)))
 
     return docs.withColumn(stream_col, _stream(F.col(text_col)))

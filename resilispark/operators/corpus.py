@@ -257,15 +257,29 @@ def cap_per_host(
         if order_by
         else [F.col(tiebreak)]
     )
+    # \x00 cannot occur in a parsed host, so synthetic keys never
+    # collide with real ones.  The last arm catches NULL host AND NULL
+    # tiebreak (concat propagates NULL): a per-row unique key so those
+    # docs are still each exempt rather than silently competing for
+    # one shared cap.  monotonically_increasing_id is retry-
+    # nondeterministic, but every singleton partition ranks 1 and is
+    # kept whatever value it draws, so the OUTCOME is deterministic.
     host_key = F.coalesce(
-        F.col("host"), F.concat(F.lit("\x00"), F.col(tiebreak).cast("string"))
+        F.col("host"),
+        F.concat(F.lit("\x00"), F.col(tiebreak).cast("string")),
+        F.concat(
+            F.lit("\x01"), F.monotonically_increasing_id().cast("string")
+        ),
     )
-    w = W.partitionBy(host_key).orderBy(*order)
+    # materialize the key first: a nondeterministic expression is
+    # legal in a projection but not directly inside a window key
+    w = W.partitionBy("_hk").orderBy(*order)
     return (
         docs.withColumn("host", url_host(F.col(url_col)))
+        .withColumn("_hk", host_key)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_docs)
-        .drop("_rn")
+        .drop("_rn", "_hk")
     )
 
 

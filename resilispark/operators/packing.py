@@ -100,8 +100,26 @@ def _layout(
     )
     # Phase 1: per-(partition, bucket) token sums — tiny (each bucket
     # spans a contiguous pid range, so ≤ num_partitions + n_buckets
-    # rows total reach the driver).
-    psums = parts.groupBy("_pid", "bucket").agg(F.sum("n_tokens").alias("_s")).collect()
+    # rows total reach the driver).  NULL-id detection rides the same
+    # aggregation for free: a NULL id has no deterministic order (ties
+    # on a NULL key cannot be broken) and silently vanishes in the
+    # text join-back, so it must fail loudly here, not corrupt layout.
+    psums = (
+        parts.groupBy("_pid", "bucket")
+        .agg(
+            F.sum("n_tokens").alias("_s"),
+            F.sum(F.col(id_col).isNull().cast("bigint")).alias("_nulls"),
+        )
+        .collect()
+    )
+    n_null_ids = sum(r["_nulls"] or 0 for r in psums)
+    if n_null_ids:
+        raise ValueError(
+            f"sequence packing requires non-NULL '{id_col}' values "
+            f"(found {n_null_ids} NULL-id rows): a NULL id has no "
+            "deterministic layout position and drops out of the text "
+            "join — filter those rows or assign ids first"
+        )
     offsets: list[tuple[int, int, int]] = []
     run, cur_bucket = 0, None
     for r in sorted(psums, key=lambda r: (r["bucket"], r["_pid"])):
@@ -171,14 +189,28 @@ def assign_packs(
         shuffle_seed=shuffle_seed,
         num_partitions=num_partitions,
     )
+    # a zero-token doc (real tokenizers CAN emit none — empty text,
+    # whitespace-only, punctuation-only under some vocabularies)
+    # occupies the empty span [start, start) and touches NO sequence:
+    # its seq indexes are NULL, not the inverted first>last pair the
+    # unguarded floor arithmetic would produce
+    has_toks = F.col("n_tokens") > 0
     return (
         spans.withColumn("start_tok", F.col("end_tok") - F.col("n_tokens"))
-        .withColumn("first_seq", F.floor(F.col("start_tok") / seq_len))
+        .withColumn(
+            "first_seq",
+            F.when(has_toks, F.floor(F.col("start_tok") / seq_len)),
+        )
         .withColumn(
             "last_seq",
-            F.floor((F.col("end_tok") - 1) / seq_len),
+            F.when(has_toks, F.floor((F.col("end_tok") - 1) / seq_len)),
         )
-        .withColumn("is_split", F.col("first_seq") != F.col("last_seq"))
+        .withColumn(
+            "is_split",
+            F.when(has_toks, F.col("first_seq") != F.col("last_seq")).otherwise(
+                F.lit(False)
+            ),
+        )
         .select(
             "bucket",
             id_col,
@@ -255,6 +287,7 @@ def emit_sequences(
     shuffle_seed: int | None = None,
     num_partitions: int | None = None,
     tokens_col: str | None = None,
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """Materialize the packed sequences themselves: every fixed-length
     training sequence as a row of space-joined tokens — the shard
@@ -265,6 +298,14 @@ def emit_sequences(
     instead of whitespace-splitting ``text_col`` — how real-tokenizer
     output (:func:`resilispark.operators.bpe.bpe_tokens_col`) flows
     into the packed shards.
+
+    ``token_count_col``: a precomputed per-doc token count to drive
+    the layout with, instead of evaluating ``size(tokens)``.  When the
+    tokens expression is expensive (a full BPE encode), this halves
+    the work: the layout side reads only the stored count (plus the
+    pruned light columns) and the tokens evaluate ONCE, on the join
+    side.  MUST equal ``size()`` of the packed tokens row-for-row —
+    a mismatch corrupts the slice arithmetic.
 
     Plan: the two-phase prefix sum lays out the light span frame (text
     never flows through the checkpoint), the text joins back by id,
@@ -285,16 +326,25 @@ def emit_sequences(
         words = F.col(tokens_col)
     else:
         words = F.split(F.trim(F.col(text_col)), r"\s+")
+    if token_count_col is not None:
+        n_tok = F.col(token_count_col).cast("bigint")
+    else:
+        n_tok = F.size(words).cast("bigint")
     layout = _layout(
         docs,
         id_col=id_col,
-        n_tok=F.size(words).cast("bigint"),
+        n_tok=n_tok,
         n_buckets=n_buckets,
         shuffle_seed=shuffle_seed,
         num_partitions=num_partitions,
     )
     spans = (
         layout.join(docs.select(F.col(id_col), words.alias("_w")), id_col)
+        # zero-token docs contribute nothing to any shard; dropping
+        # them here also keeps F.sequence(first_seq, last_seq) from
+        # running BACKWARD (its implicit -1 step on first>last would
+        # emit phantom sequence rows)
+        .where(F.col("n_tokens") > 0)
         .withColumn("start_tok", F.col("end_tok") - F.col("n_tokens"))
         .withColumn("first_seq", F.floor(F.col("start_tok") / seq_len))
         .withColumn("last_seq", F.floor((F.col("end_tok") - 1) / seq_len))

@@ -243,3 +243,174 @@ def test_oracle_matches_spark_side_via_duckdb(spark, tmp_path):
             hashlib.md5(stream.encode()).hexdigest(),
         )
         assert oracle[i] == want, (i, oracle[i], want)
+
+
+class TestByteLevelBpe:
+    """The GPT-2-style byte-level model: lossless over arbitrary UTF-8."""
+
+    def _tok(self, extra_texts=()):
+        from resilispark.operators.bpe import train_byte_bpe_from_texts
+
+        base = [
+            "The quick brown fox jumps over the lazy dog!",
+            "don't can't we'll it's",
+            "日本語のテキストです。形態素解析は不要。",
+            "Ωμέγα mix 🎉 of scripts",
+        ] * 10
+        return train_byte_bpe_from_texts(list(base) + list(extra_texts), n_merges=200)
+
+    def test_lossless_roundtrip_basics(self):
+        tok = self._tok()
+        for t in [
+            "Hello, World!",
+            "  leading and   irregular \t whitespace\n\nnewlines ",
+            "日本語テキスト混じりの English sentence。",
+            "🎉🎊 emoji + ASCII + ½ fractions + Ωμέγα",
+            "",
+            "'s 't contraction edges'll",
+        ]:
+            assert tok.decode(tok.encode(t)) == t, t
+
+    def test_lossless_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        tok = self._tok()
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(max_size=120))
+        def check(t):
+            assert tok.decode(tok.encode(t)) == t
+
+        check()
+
+    def test_training_is_deterministic_and_merge_driven(self):
+        from resilispark.operators.bpe import ByteBpeTokenizer
+
+        a, b = self._tok(), self._tok()
+        assert a.merges == b.merges and len(a.merges) > 0
+        # rebuilding from merges alone reproduces the tokenizer
+        c = ByteBpeTokenizer(a.merges)
+        s = "The quick 日本語 test"
+        assert c.encode(s) == a.encode(s)
+        # merges actually compress vs raw bytes
+        raw_len = len("the quick brown fox".encode())
+        assert len(a.encode("the quick brown fox")) < raw_len
+
+    def test_cjk_counts_beat_whitespace(self):
+        """The motivating case: whitespace counts see ONE token in an
+        unsegmented CJK sentence; byte-level sees the real granularity."""
+        tok = self._tok()
+        # UNSEEN sentence (training memorizes repeated strings whole,
+        # which is correct BPE behavior — the point here is granularity
+        # on novel CJK input, where whitespace sees one "token")
+        s = "明日は雨が降るでしょうか、それとも晴れますか。"
+        assert len(s.split()) == 1
+        n = len(tok.encode_tokens(s))
+        assert n >= 5, n
+
+    def test_save_load_dispatch(self, tmp_path):
+        from resilispark.operators.bpe import (
+            BpeTokenizer,
+            ByteBpeTokenizer,
+            load_tokenizer,
+        )
+        from resilispark.operators.bpe_vocab import DEFAULT_BYTE_MERGES, DEFAULT_MERGES
+
+        bt = ByteBpeTokenizer(DEFAULT_BYTE_MERGES)
+        at = BpeTokenizer(DEFAULT_MERGES)
+        pb, pa = str(tmp_path / "b.json"), str(tmp_path / "a.json")
+        bt.save(pb)
+        at.save(pa)
+        assert isinstance(load_tokenizer(pb), ByteBpeTokenizer)
+        assert isinstance(load_tokenizer(pa), BpeTokenizer)
+        assert load_tokenizer(pb).merges == bt.merges
+        # wrong-kind class loads fail loudly, not silently wrong
+        import pytest
+
+        with pytest.raises(ValueError, match="byte"):
+            BpeTokenizer.load(pb)
+        with pytest.raises(ValueError, match="ascii"):
+            ByteBpeTokenizer.load(pa)
+
+    def test_spark_column_paths(self, spark):
+        """The shared Arrow helpers accept the byte tokenizer: counts,
+        token arrays, and loader-ready ids all line up with the
+        driver-side encode."""
+        from resilispark.operators.bpe import (
+            ByteBpeTokenizer,
+            bpe_encode_col,
+            bpe_tokens_col,
+        )
+        from resilispark.operators.bpe_vocab import DEFAULT_BYTE_MERGES
+
+        tok = ByteBpeTokenizer(DEFAULT_BYTE_MERGES)
+        rows = [
+            (0, "Plain English text."),
+            (1, "日本語テキスト mixed in."),
+            (2, ""),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in bpe_tokens_col(
+                bpe_encode_col(df, tok), tok
+            ).collect()
+        }
+        for i, t in rows:
+            want = tok.encode_tokens(t)
+            assert list(got[i]["bpe_tokens"]) == want, i
+            assert got[i]["n_bpe_tokens"] == len(want)
+            assert list(got[i]["token_ids"]) == tok.encode(t)
+
+    def test_packing_and_ids_with_byte_tokens(self, spark):
+        """Byte tokens flow through emit_sequences + sequences_to_ids:
+        byte tokens never contain a literal space (the space byte maps
+        to a shifted char), so the space-joined shard text splits back
+        exactly."""
+        from resilispark.operators.bpe import (
+            ByteBpeTokenizer,
+            bpe_tokens_col,
+            sequences_to_ids,
+        )
+        from resilispark.operators.bpe_vocab import DEFAULT_BYTE_MERGES
+        from resilispark.operators.packing import emit_sequences
+
+        tok = ByteBpeTokenizer(DEFAULT_BYTE_MERGES)
+        rows = [(i, f"Doc {i}: mixed 日本語 and English text.") for i in range(12)]
+        df = bpe_tokens_col(
+            spark.createDataFrame(rows, "doc_id long, text string"), tok
+        )
+        seqs = sequences_to_ids(
+            emit_sequences(df, seq_len=16, n_buckets=1, tokens_col="bpe_tokens"),
+            tok,
+        ).orderBy("seq_idx").collect()
+        flat_ids = [i for r in seqs for i in r["seq_ids"]]
+        want = [i for _, t in rows for i in tok.encode(t)]
+        assert flat_ids == want
+        assert all(i is not None for i in flat_ids)
+
+    def test_cli_byte_train_and_pack(self, spark, tmp_path):
+        from resilispark.__main__ import main
+        from resilispark.operators.bpe import ByteBpeTokenizer, load_tokenizer
+
+        src = str(tmp_path / "docs.parquet")
+        rows = [(i, "alpha beta 日本語 gamma %d" % i) for i in range(30)]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+        merges = str(tmp_path / "bm.json")
+        rc = main(["--cpus", "4", "bpe-train", src, "-o", merges,
+                   "--n-merges", "30", "--byte-level"])
+        assert rc == 0
+        tok = load_tokenizer(merges)
+        assert isinstance(tok, ByteBpeTokenizer)
+        out = str(tmp_path / "packed")
+        rc = main(["--cpus", "4", "pack", src, "-o", out, "--seq-len", "32",
+                   "--buckets", "1", "--tokenizer", "byte", "--merges", merges,
+                   "--emit-ids"])
+        assert rc == 0
+        packed = spark.read.parquet(out).orderBy("seq_idx").collect()
+        want_total = sum(len(tok.encode_tokens(t)) for _, t in rows)
+        assert sum(r["n_tokens"] for r in packed) == want_total
+        flat = [i for r in packed for i in r["seq_ids"]]
+        assert flat == [i for _, t in sorted(rows) for i in tok.encode(t)]

@@ -611,3 +611,60 @@ def test_iterator_garbage_resilience_property():
             for r in ArchiveIterator(BytesIOStream(raw.getvalue()), parse_http=False)
         ]
         assert got3 == ids, cls.__name__
+
+
+def test_fsspec_args_forwarded_and_memory_scheme_engine_routed(tmp_path, monkeypatch):
+    """When fsspec is importable, ArchiveIterator must forward its
+    fsspec_args (credentials etc.) to fsspec.open — the reference
+    forwards them at warc.pyx:1270 — and fsspec_args=False must bypass
+    fsspec entirely.  memory:// is the ENGINE's scheme (io/fs.py
+    MemoryFS); a real fsspec registers its own unrelated 'memory'
+    protocol, so that scheme must never route to fsspec."""
+    import sys
+    import types
+
+    from resilispark.fastwarc.stream_io import wrap_stream
+    from resilispark.io.fs import get_fs
+
+    path = _fixture_warc(str(tmp_path), "none")
+    seen = {}
+
+    class _Opened:
+        def __init__(self, p, m):
+            self._f = open(p, m)
+
+        def open(self):
+            return self._f
+
+    fake = types.ModuleType("fsspec")
+
+    def _open(p, mode="rb", **kw):
+        seen["path"], seen["mode"], seen["kw"] = p, mode, kw
+        return _Opened(p, mode)
+
+    fake.open = _open
+    monkeypatch.setitem(sys.modules, "fsspec", fake)
+
+    # dict forwarded through the iterator to fsspec.open
+    it = ArchiveIterator(path, parse_http=False, fsspec_args={"anon": True})
+    n = sum(1 for _ in it)
+    assert n == 13
+    assert seen == {"path": path, "mode": "rb", "kw": {"anon": True}}
+
+    # False opts out: no fsspec call, FileStream route still works
+    seen.clear()
+    it = ArchiveIterator(path, parse_http=False, fsspec_args=False)
+    assert sum(1 for _ in it) == 13
+    assert seen == {}
+
+    # memory:// bypasses the fake fsspec even though it is importable
+    mem = "memory://facade-fsspec-test/x.warc"
+    fs = get_fs(mem)
+    with open(path, "rb") as f:
+        fs.put(mem, f.read())
+    try:
+        it = ArchiveIterator(mem, parse_http=False)
+        assert sum(1 for _ in it) == 13
+        assert seen == {}
+    finally:
+        fs.delete(mem)

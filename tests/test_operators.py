@@ -2138,6 +2138,76 @@ class TestEmitSequences:
         }
         assert got == want
 
+    def test_zero_token_docs_emit_no_phantom_sequences(self, spark):
+        """A real tokenizer can emit ZERO tokens (empty/whitespace-only
+        text); such a doc must contribute nothing — the unguarded
+        F.sequence(first_seq, last_seq) would run BACKWARD (implicit -1
+        step) and emit phantom shard rows like seq_idx=-1."""
+        from resilispark.operators.packing import assign_packs, emit_sequences
+
+        df = spark.createDataFrame(
+            [(0, []), (1, ["a", "b", "c"]), (2, ["d", "e"]), (3, [])],
+            "doc_id long, toks array<string>",
+        )
+        rows = emit_sequences(
+            df, seq_len=4, n_buckets=1, tokens_col="toks"
+        ).collect()
+        assert {(r["bucket"], r["seq_idx"]) for r in rows} == {(0, 0), (0, 1)}
+        by = {r["seq_idx"]: r for r in rows}
+        assert by[0]["seq_text"] == "a b c d" and by[1]["seq_text"] == "e"
+        # span metadata: zero-token docs occupy the empty span
+        # [start, start) and touch NO sequence — NULL indexes, not an
+        # inverted first>last pair
+        df2 = df.withColumn("n", F.size("toks"))
+        spans = {
+            r["doc_id"]: r
+            for r in assign_packs(
+                df2, seq_len=4, n_buckets=1, token_count_col="n"
+            ).collect()
+        }
+        for d in (0, 3):
+            assert spans[d]["n_tokens"] == 0
+            assert spans[d]["first_seq"] is None
+            assert spans[d]["last_seq"] is None
+            assert spans[d]["is_split"] is False
+        assert spans[1]["first_seq"] == 0 and spans[2]["last_seq"] == 1
+
+    def test_precomputed_token_count_col_drives_layout(self, spark):
+        """token_count_col must yield the identical layout to computing
+        size(tokens) — the contract that lets curate reuse the stored
+        n_bpe_tokens and run the expensive encode once."""
+        from resilispark.operators.packing import emit_sequences
+
+        rows = [(i, [f"w{i}_{j}" for j in range(1 + (i * 3) % 5)]) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, toks array<string>").withColumn(
+            "n", F.size("toks").cast("bigint")
+        )
+        a = emit_sequences(df, seq_len=6, n_buckets=2, tokens_col="toks").collect()
+        b = emit_sequences(
+            df, seq_len=6, n_buckets=2, tokens_col="toks", token_count_col="n"
+        ).collect()
+        assert sorted(
+            (r["bucket"], r["seq_idx"], r["n_tokens"], r["seq_text"]) for r in a
+        ) == sorted((r["bucket"], r["seq_idx"], r["n_tokens"], r["seq_text"]) for r in b)
+
+    def test_null_doc_id_fails_loudly(self, spark):
+        """A NULL id has no deterministic layout position and silently
+        vanishes in the text join-back — it must raise, not corrupt."""
+        import pytest
+
+        from resilispark.operators.packing import assign_packs
+
+        df = spark.createDataFrame(
+            [(None, "a b c"), (1, "d e f"), (2, "g h")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(ValueError, match="non-NULL 'doc_id'"):
+            assign_packs(df, seq_len=4, n_buckets=2).collect()
+        # seeded path hits the same guard (xxhash64(NULL) is non-NULL,
+        # so the bucket alone would not catch it)
+        with pytest.raises(ValueError, match="NULL-id rows"):
+            assign_packs(df, seq_len=4, n_buckets=2, shuffle_seed=7).collect()
+
 
 class TestQualityClassifier:
     @staticmethod
@@ -2365,6 +2435,28 @@ def test_cap_per_host_null_host_exempt(spark):
     real = sorted(r["doc_id"] for r in kept if r["host"] == "real.example")
     assert len(null_host) == 10  # all exempt, none silently dropped
     assert real == [100, 101]  # capped at 2, best score first
+
+
+def test_cap_per_host_null_host_and_null_tiebreak_exempt(spark):
+    """NULL url AND NULL tiebreak (the cmd_curate default, where the
+    tiebreak IS the url column): exempt docs must each get a unique
+    synthetic key — not collapse into one shared partition that
+    silently caps unrelated documents together."""
+    from resilispark.operators.corpus import cap_per_host
+
+    rows = [(i, None, 1.0) for i in range(5)] + [
+        (100, "https://real.example/a", 5.0),
+        (101, "https://real.example/b", 3.0),
+        (102, "https://real.example/c", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, score double")
+    # tiebreak defaults to docs.columns[0] == 'doc_id' here; force the
+    # worst case by tiebreaking on the NULL url itself
+    kept = cap_per_host(df, max_docs=2, order_by="score", tiebreak="url").collect()
+    assert len([r for r in kept if r["host"] is None]) == 5  # all kept
+    real = sorted(r["doc_id"] for r in kept if r["host"] == "real.example")
+    assert real == [100, 101]
+    assert "_hk" not in cap_per_host(df, max_docs=2).columns
 
 
 class TestIvfKnnJoin:
@@ -2963,3 +3055,129 @@ def test_sentence_dedup(spark):
     assert out[1]["n_dropped"] == 1
     assert out[2]["text"] == "" and out[2]["n_dropped"] == 1
     assert out[3]["text"] == "Short. Tiny! Ok?" and out[3]["n_dropped"] == 0
+
+
+class TestIncrementalDedup:
+    """Dedup a new snapshot against a persisted corpus state — the
+    store holds digests + LSH band keys only, the probe is semi joins
+    sized by the snapshot (operators/incremental.py)."""
+
+    @staticmethod
+    def _doc(i, words):
+        return (i, " ".join(words))
+
+    def _corpus(self, spark):
+        long_a = [f"alpha{j}" for j in range(30)]
+        long_b = [f"beta{j}" for j in range(30)]
+        rows = [
+            self._doc(0, long_a),
+            self._doc(2, long_b),
+            self._doc(4, ["tiny", "doc"]),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_probe_flags(self, spark, tmp_path):
+        from resilispark.operators.incremental import (
+            dedup_against,
+            write_dedup_store,
+        )
+
+        store = str(tmp_path / "store")
+        write_dedup_store(self._corpus(spark), store)
+        long_a = [f"alpha{j}" for j in range(30)]
+        probe = spark.createDataFrame(
+            [
+                self._doc(1, long_a),                       # exact copy of 0
+                self._doc(3, long_a[:-1] + ["CHANGED"]),    # near-dup of 0
+                self._doc(5, [f"nov{j}" for j in range(30)]),  # novel
+                self._doc(7, ["tiny", "doc"]),              # exact short copy
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in dedup_against(probe, store).collect()}
+        assert got[1]["known_exact"] and not got[1]["is_novel"]
+        assert not got[3]["known_exact"]
+        assert got[3]["known_bands"] >= 1 and not got[3]["is_novel"]
+        assert not got[5]["known_exact"] and got[5]["known_bands"] == 0
+        assert got[5]["is_novel"]
+        assert got[7]["known_exact"] and not got[7]["is_novel"]
+
+    def test_update_drains_novelty(self, spark, tmp_path):
+        """After folding the kept snapshot back in, re-probing the same
+        snapshot finds everything known — the crawl-over-crawl loop."""
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.incremental import (
+            dedup_against,
+            update_dedup_store,
+            write_dedup_store,
+        )
+
+        store = str(tmp_path / "store")
+        write_dedup_store(self._corpus(spark), store)
+        snap = spark.createDataFrame(
+            [self._doc(11, [f"s{j}" for j in range(25)]),
+             self._doc(13, [f"t{j}" for j in range(25)])],
+            "doc_id long, text string",
+        )
+        first = dedup_against(snap, store)
+        assert all(r["is_novel"] for r in first.collect())
+        update_dedup_store(first.filter(F.col("is_novel")), store)
+        again = dedup_against(snap, store).collect()
+        assert all(r["known_exact"] and not r["is_novel"] for r in again)
+
+    def test_probe_derives_params_from_meta(self, spark, tmp_path):
+        from resilispark.operators.incremental import (
+            dedup_against,
+            write_dedup_store,
+        )
+
+        store = str(tmp_path / "store")
+        write_dedup_store(self._corpus(spark), store, bands=2, shingle_k=2)
+        long_a = [f"alpha{j}" for j in range(30)]
+        probe = spark.createDataFrame(
+            [self._doc(1, long_a)], "doc_id long, text string"
+        )
+        r = dedup_against(probe, store).collect()[0]
+        assert r["known_bands"] == 2  # identical doc collides on ALL bands
+
+    def test_compact_preserves_probe(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.incremental import (
+            compact_dedup_store,
+            dedup_against,
+            update_dedup_store,
+            write_dedup_store,
+        )
+
+        store = str(tmp_path / "store")
+        write_dedup_store(self._corpus(spark), store)
+        # fold the SAME corpus in again: pure key overlap
+        update_dedup_store(self._corpus(spark), store)
+        dup_rows = spark.read.parquet(f"{store}/digests").count()
+        compact = str(tmp_path / "compact")
+        compact_dedup_store(spark, store, compact)
+        assert spark.read.parquet(f"{compact}/digests").count() == dup_rows / 2
+        probe = spark.createDataFrame(
+            [self._doc(1, [f"alpha{j}" for j in range(30)])],
+            "doc_id long, text string",
+        )
+        a = dedup_against(probe, store).select("known_exact", "known_bands").collect()
+        b = dedup_against(probe, compact).select("known_exact", "known_bands").collect()
+        assert a == b
+
+    def test_null_text_is_novel_not_crash(self, spark, tmp_path):
+        from resilispark.operators.incremental import (
+            dedup_against,
+            write_dedup_store,
+        )
+
+        store = str(tmp_path / "store")
+        write_dedup_store(self._corpus(spark), store)
+        probe = spark.createDataFrame(
+            [(1, None), (3, "")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in dedup_against(probe, store).collect()}
+        assert not got[1]["known_exact"] and got[1]["is_novel"]
+        assert 3 in got  # empty text probes fine
