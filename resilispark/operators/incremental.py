@@ -1,0 +1,253 @@
+"""Incremental dedup against a persisted corpus state — the
+operational pattern at 100 TB: each new crawl snapshot dedups against
+the EXISTING corpus without recomputing (or even reading) the corpus
+text.  The store holds only digests and LSH band keys, ~50 bytes/doc
+vs the corpus' tens of KB/doc, so probing a 1 TB snapshot against a
+100 TB corpus state touches ~0.05% of the corpus bytes.
+
+Store layout (parquet under one root):
+
+* ``digests/``  — distinct ``content_hash`` (md5 of text): the exact-
+  duplicate membership set.
+* ``bands/``    — distinct ``(band_idx, val)`` LSH band keys from the
+  d03-style split-md5 MinHash (8 hashes, ``bands`` bands), hive-
+  partitioned by ``band_idx`` so each band's probe join prunes to its
+  own directory.
+* ``meta/``     — one row of the signature parameters; the probe side
+  reads it and derives the SAME construction, so a store written with
+  different params fails loudly instead of silently matching nothing.
+
+Probe semantics (``dedup_against``): a new document is
+
+* ``known_exact`` if its digest is in ``digests/`` — an equality
+  LEFT SEMI join on a uniform 32-hex key;
+* near-known with ``known_bands = k`` if ``k`` of its band keys are in
+  ``bands/`` — the standard LSH OR-construction (P[flag] =
+  1-(1-s^r)^b for Jaccard s).  Membership, not candidate PAIRS: the
+  probe never materializes (new x stored) pairs, so a boilerplate
+  band value shared by millions of stored docs costs one semi-join
+  row, not millions — the property that makes the probe shape safe
+  at any store size.
+
+``update_dedup_store`` appends the kept snapshot's digests/bands
+(appends may duplicate keys across snapshots — harmless for semi
+joins); ``compact_dedup_store`` rewrites a store distinct.
+
+No reference-parity citation: the reference engine stops at
+extraction; incremental corpus state is part of the training-data
+extension surface (SURVEY §2 "beyond the reference" block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NUM_HASHES = 8  # one md5 split into eight 16-bit slices (d03 family)
+
+
+def _digests(docs: DataFrame, text_col: str) -> DataFrame:
+    """Distinct md5 content digests; NULL text contributes nothing
+    (a NULL can never equal a probe digest, and exact_dedup already
+    treats NULL-text rows as singletons)."""
+    return (
+        docs.select(F.md5(F.encode(F.col(text_col), "UTF-8")).alias("content_hash"))
+        .where(F.col("content_hash").isNotNull())
+        .distinct()
+    )
+
+
+def _band_keys(
+    docs: DataFrame, text_col: str, id_col: str, *, bands: int, shingle_k: int
+) -> DataFrame:
+    """(id, band_idx, val) from the split-md5 MinHash construction
+    (queries/textops.py d03: ONE md5 per shingle, eight 16-bit slices,
+    adjacent slices concatenated per band) — engine-portable, so the
+    d12 oracle replays it exactly in SQL."""
+    if _NUM_HASHES % bands:
+        raise ValueError(f"bands={bands} must divide {_NUM_HASHES}")
+    r = _NUM_HASHES // bands
+    # split materialized into a column BEFORE the lambda — CSE does not
+    # reach inside transform() bodies, so an inline split would
+    # re-evaluate once per shingle (measured 3.5x on the d03 lineage)
+    base = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_w"),
+        F.col(text_col).alias("_t"),
+    )
+    n = F.size("_w")
+    # docs shorter than the shingle size fall back to ONE whole-text
+    # shingle (so short boilerplate is still near-dup-able) — the
+    # fallback is the raw text itself, which keeps the construction
+    # SQL-replayable for the d12 oracle
+    sh = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= shingle_k,
+                F.transform(
+                    F.sequence(F.lit(0), n - shingle_k),
+                    lambda i: F.array_join(F.slice("_w", i + 1, shingle_k), " "),
+                ),
+            ).otherwise(F.array("_t")),
+        ).alias("shingle"),
+    ).select(id_col, F.md5(F.encode("shingle", "UTF-8")).alias("mh"))
+    aggs = [
+        F.min(F.substring("mh", 1 + 4 * s, 4)).alias(f"h{s}")
+        for s in range(_NUM_HASHES)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.encode(
+                    F.concat(*[F.col(f"h{b * r + j}") for j in range(r)]), "UTF-8"
+                )
+            ).alias("val"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*structs)).alias("bd")
+    ).select(id_col, "bd.band_idx", "bd.val")
+
+
+def write_dedup_store(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> None:
+    """Materialize the dedup state of a corpus: distinct digests +
+    distinct band keys + the parameter row.  One shuffle each
+    (distinct on a uniform hash key); text never leaves the
+    executors."""
+    spark = docs.sparkSession
+    _digests(docs, text_col).write.mode("overwrite").parquet(f"{path}/digests")
+    (
+        _band_keys(docs, text_col, id_col, bands=bands, shingle_k=shingle_k)
+        .select("band_idx", "val")
+        .distinct()
+        .write.mode("overwrite")
+        .partitionBy("band_idx")
+        .parquet(f"{path}/bands")
+    )
+    spark.createDataFrame(
+        [(_NUM_HASHES, bands, shingle_k, 1)],
+        "num_hashes int, bands int, shingle_k int, version int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _read_meta(spark: SparkSession, path: str):
+    m = spark.read.parquet(f"{path}/meta").collect()
+    if len(m) != 1:
+        raise ValueError(f"corrupt dedup store meta at {path}/meta: {m}")
+    return m[0]
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    store_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_bands: int = 1,
+) -> DataFrame:
+    """Annotate a new snapshot against a persisted store: adds
+    ``known_exact`` (digest already in the corpus), ``known_bands``
+    (how many of the doc's LSH bands the corpus has seen) and
+    ``is_novel`` (not exact-known and fewer than ``min_bands``
+    colliding bands).  Keep ``is_novel`` rows, then
+    :func:`update_dedup_store` them.
+
+    Plan shape: the digest probe is one LEFT SEMI join; the band probe
+    joins the new snapshot's band rows (``bands`` per doc) to the
+    store's distinct keys and counts collisions per doc — both on
+    uniform md5 keys, both sized by the SNAPSHOT, never the corpus.
+    """
+    spark = new_docs.sparkSession
+    meta = _read_meta(spark, store_path)
+    digest = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    hashed = new_docs.withColumn("_dg", digest)
+
+    store_dg = spark.read.parquet(f"{store_path}/digests")
+    exact_ids = (
+        hashed.select(F.col(id_col), F.col("_dg").alias("content_hash"))
+        .join(store_dg, "content_hash", "left_semi")
+        .select(F.col(id_col).alias("_xid"))
+        .withColumn("_exact", F.lit(True))
+    )
+
+    new_bands = _band_keys(
+        new_docs,
+        text_col,
+        id_col,
+        bands=meta["bands"],
+        shingle_k=meta["shingle_k"],
+    )
+    store_bands = spark.read.parquet(f"{store_path}/bands")
+    band_hits = (
+        new_bands.join(store_bands, ["band_idx", "val"], "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("_kb"))
+        .withColumnRenamed(id_col, "_bid")
+    )
+
+    out = (
+        hashed.join(exact_ids, hashed[id_col] == F.col("_xid"), "left")
+        .join(band_hits, hashed[id_col] == F.col("_bid"), "left")
+        .withColumn("known_exact", F.coalesce(F.col("_exact"), F.lit(False)))
+        .withColumn("known_bands", F.coalesce(F.col("_kb"), F.lit(0)))
+        .withColumn(
+            "is_novel",
+            ~F.col("known_exact") & (F.col("known_bands") < min_bands),
+        )
+        .drop("_dg", "_xid", "_exact", "_bid", "_kb")
+    )
+    return out
+
+
+def update_dedup_store(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold a kept snapshot into the store (parquet append).  Appended
+    keys may duplicate existing ones across snapshots; semi-join
+    probes are insensitive to that — run :func:`compact_dedup_store`
+    when the accumulated overlap is worth reclaiming."""
+    spark = docs.sparkSession
+    meta = _read_meta(spark, path)
+    _digests(docs, text_col).write.mode("append").parquet(f"{path}/digests")
+    (
+        _band_keys(
+            docs, text_col, id_col, bands=meta["bands"], shingle_k=meta["shingle_k"]
+        )
+        .select("band_idx", "val")
+        .distinct()
+        .write.mode("append")
+        .partitionBy("band_idx")
+        .parquet(f"{path}/bands")
+    )
+
+
+def compact_dedup_store(spark: SparkSession, src_path: str, dest_path: str) -> None:
+    """Rewrite a store distinct into ``dest_path`` (a NEW root — parquet
+    cannot be overwritten while being read; swap paths afterwards)."""
+    spark.read.parquet(f"{src_path}/digests").distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{dest_path}/digests")
+    spark.read.parquet(f"{src_path}/bands").select(
+        "band_idx", "val"
+    ).distinct().write.mode("overwrite").partitionBy("band_idx").parquet(
+        f"{dest_path}/bands"
+    )
+    spark.read.parquet(f"{src_path}/meta").write.mode("overwrite").parquet(
+        f"{dest_path}/meta"
+    )
