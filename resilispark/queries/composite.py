@@ -105,6 +105,10 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
     "t09_bpe_tokens": [
         ("doc_id", "n"), ("n_bpe_tokens", "n"), ("bpe_md5", "s"),
     ],
+    "d12_incremental_dedup": [
+        ("doc_id", "n"), ("known_exact", "n"), ("known_bands", "n"),
+        ("is_novel", "n"),
+    ],
 }
 
 # members may live in either query module; merged lookup keeps the
@@ -150,10 +154,12 @@ FAMILIES: dict[str, list[str]] = {
     # members fold into the family, never a 51st gate row)
     # (t02/t04 folded in round 4 to free gate slots for t07/d10 while
     # holding the 50-entry cap)
+    # (d12 joined in round 5: incremental dedup against a persisted
+    # corpus state — store write + meta + both semi-join probes)
     "qc_curation_family": [
         "t02_token_count", "t04_fingerprint", "t07_pack_stats",
         "d10_duplicate_spans", "t08_emit_sequences", "d11_mask_spans",
-        "t09_bpe_tokens",
+        "t09_bpe_tokens", "d12_incremental_dedup",
     ],
 }
 

@@ -1690,6 +1690,85 @@ ORDER BY doc_id
 ORACLE_T09 = _oracle_t09()
 
 
+def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted corpus state
+    (operators/incremental.py): the even-id half of documents is
+    written out as the store (distinct digests + distinct LSH band
+    keys), then the odd-id half probes it as a "new snapshot" — each
+    probe doc reports exact membership, LSH band collisions, and
+    novelty.  This gate exercises the full round trip: store write,
+    meta-derived parameters, and both semi-join probes."""
+    import tempfile
+
+    from resilispark.operators.incremental import (
+        dedup_against,
+        write_dedup_store,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # leaked on purpose: the returned DataFrame reads the store lazily,
+    # so the directory must outlive this call (OS tmp cleanup owns it)
+    store = tempfile.mkdtemp(prefix="resilispark-d12-store-")
+    write_dedup_store(d.filter(F.col("doc_id") % 2 == 0), store)
+    out = dedup_against(d.filter(F.col("doc_id") % 2 == 1), store)
+    return out.select(
+        "doc_id",
+        F.col("known_exact").cast("bigint").alias("known_exact"),
+        F.col("known_bands").cast("bigint").alias("known_bands"),
+        F.col("is_novel").cast("bigint").alias("is_novel"),
+    ).orderBy("doc_id")
+
+
+# the same split-md5 signature as d03 but with the short-doc fallback
+# to ONE whole-text shingle (operators/incremental.py keeps short
+# boilerplate near-dup-able)
+_DUCK_SHINGLES_FB = """
+CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+  list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                 i -> concat(string_split(text, ' ')[i], ' ',
+                             string_split(text, ' ')[i + 1], ' ',
+                             string_split(text, ' ')[i + 2]))
+ELSE [text] END
+"""
+
+ORACLE_D12 = f"""
+WITH sh AS (
+  SELECT doc_id, md5(unnest({_DUCK_SHINGLES_FB})) AS mh
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+       {_h}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS val FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+), store_dg AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents
+  WHERE doc_id % 2 = 0 AND text IS NOT NULL
+), store_bands AS (
+  SELECT DISTINCT band_idx, val FROM bands WHERE doc_id % 2 = 0
+), probe AS (
+  SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id % 2 = 1
+), hits AS (
+  SELECT b.doc_id, count(*) AS kb
+  FROM bands b JOIN store_bands s
+    ON b.band_idx = s.band_idx AND b.val = s.val
+  WHERE b.doc_id % 2 = 1
+  GROUP BY b.doc_id
+)
+SELECT p.doc_id,
+       coalesce(p.dg IN (SELECT content_hash FROM store_dg), FALSE)::BIGINT
+         AS known_exact,
+       coalesce(h.kb, 0)::BIGINT AS known_bands,
+       (NOT coalesce(p.dg IN (SELECT content_hash FROM store_dg), FALSE)
+        AND coalesce(h.kb, 0) < 1)::BIGINT AS is_novel
+FROM probe p LEFT JOIN hits h ON h.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 def d11_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Destructive exact-substring dedup (operators/dedup.py
     mask_duplicate_spans): duplicated 5-token spans cut out of the
@@ -1763,6 +1842,7 @@ QUERIES = {
     "t07_pack_stats": t07_pack_stats,
     "t08_emit_sequences": t08_emit_sequences,
     "t09_bpe_tokens": t09_bpe_tokens,
+    "d12_incremental_dedup": d12_incremental_dedup,
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
     "s03_label_centroid_norms": s03_label_centroid_norms,
@@ -1795,6 +1875,7 @@ ORACLES = {
     "t07_pack_stats": ORACLE_T07,
     "t08_emit_sequences": ORACLE_T08,
     "t09_bpe_tokens": ORACLE_T09,
+    "d12_incremental_dedup": ORACLE_D12,
     "s01_cosine_topk": ORACLE_S01,
     "s02_lsh_buckets": ORACLE_S02,
     "s03_label_centroid_norms": ORACLE_S03,
