@@ -380,6 +380,41 @@ def main() -> None:
         lambda: lm_df.write.mode("overwrite").format("noop").save()
     )
 
+    # real-tokenizer throughput: Arrow-batched BPE count pass over the
+    # whole corpus — the hot stage of `curate --tokenizer bpe`
+    from resilispark.operators.bpe import BpeTokenizer, bpe_encode_col
+    from resilispark.operators.bpe_vocab import DEFAULT_MERGES
+
+    bpe_df = bpe_encode_col(
+        docs, BpeTokenizer(DEFAULT_MERGES), ids_col=None
+    ).select("n_bpe_tokens")
+    bpe_df.write.mode("overwrite").format("noop").save()
+    timings[f"bpe_count_{n_docs}_docs"] = timed_median(
+        lambda: bpe_df.write.mode("overwrite").format("noop").save()
+    )
+
+    # incremental dedup probe: even half = persisted store, odd half =
+    # new snapshot (store WRITE is one-time setup, excluded; the PROBE
+    # is the per-snapshot recurring cost)
+    import tempfile as _tf
+
+    from pyspark.sql import functions as _F3
+
+    from resilispark.operators.incremental import (
+        dedup_against,
+        write_dedup_store,
+    )
+
+    _store = _tf.mkdtemp(prefix="resilispark-bench-dedupstore-")
+    write_dedup_store(docs.filter(_F3.col("doc_id") % 2 == 0), _store)
+    probe_df = dedup_against(
+        docs.filter(_F3.col("doc_id") % 2 == 1), _store
+    ).select("known_exact", "known_bands", "is_novel")
+    probe_df.write.mode("overwrite").format("noop").save()
+    timings[f"dedup_store_probe_{n_docs // 2}_docs"] = timed_median(
+        lambda: probe_df.write.mode("overwrite").format("noop").save()
+    )
+
     # HTML parse + <title> and detect_fast SINGLE-CORE rows, directly
     # comparable to BASELINE's `resiliparse html benchmark` (1,149.56
     # docs/s, docs/man/parse/html.rst:485-489) and `resiliparse lang

@@ -222,6 +222,21 @@ def cmd_curate(args) -> int:
     if "source" not in docs.columns:
         docs = docs.withColumn("source", F.lit("default"))
 
+    store_exists = False
+    if getattr(args, "dedup_store", None):
+        from resilispark.operators.incremental import dedup_against
+
+        store_exists = _dedup_store_exists(spark, args.dedup_store)
+        if store_exists:
+            # drop already-known docs FIRST: everything downstream
+            # (PII scrub, quality, dedup ladder) only runs on the
+            # novel part of the snapshot
+            docs = (
+                dedup_against(docs, args.dedup_store)
+                .filter(F.col("is_novel"))
+                .drop("known_exact", "known_bands", "is_novel")
+            )
+
     if not args.keep_pii:
         docs = scrub_pii(docs)
     if args.blocklist:
@@ -319,13 +334,20 @@ def cmd_curate(args) -> int:
     if part_col:
         parts = (("split", "lang") if args.val_fraction else ("lang",))
         write_docs_partitioned(
-            docs, args.output, partition_by=parts, manifest=True
+            docs, args.output, partition_by=parts, manifest=True,
+            token_count_col=token_count_col,
         )
     else:
         docs.write.mode("overwrite").parquet(args.output)
+    def _read_output():
+        # an all-filtered snapshot (e.g. nothing novel vs --dedup-store)
+        # writes an EMPTY parquet dir, where schema inference fails —
+        # the pipeline's own schema makes the read-back total
+        return spark.read.schema(docs.schema).parquet(args.output)
+
     lang_kw = {"lang_col": part_col} if part_col else {"lang_col": None}
     sheet = corpus_datasheet(
-        spark.read.parquet(args.output)
+        _read_output()
         if part_col
         else docs,
         token_count_col=token_count_col,
@@ -337,10 +359,26 @@ def cmd_curate(args) -> int:
             f"docs={row.n_docs} tokens={row.n_tokens} "
             f"short_rate={row.short_doc_rate:.3f}"
         )
+    if getattr(args, "dedup_store", None):
+        # the store mirrors the SHIPPED corpus: only docs that survived
+        # every filter enter it, so a doc dropped for quality today can
+        # still make it in from a later crawl
+        from resilispark.operators.incremental import (
+            update_dedup_store,
+            write_dedup_store,
+        )
+
+        kept = _read_output()
+        if store_exists:
+            update_dedup_store(kept, args.dedup_store)
+        else:
+            write_dedup_store(kept, args.dedup_store)
+        print(f"{'updated' if store_exists else 'initialized'} dedup store "
+              f"{args.dedup_store}")
     if args.pack:
         from resilispark.operators.packing import emit_sequences
 
-        pack_src = spark.read.parquet(args.output)
+        pack_src = _read_output()
         if "epoch" in pack_src.columns:
             # mixture epoch repetition duplicates doc_ids; packing needs
             # a unique deterministic id per row for a reproducible layout
@@ -424,6 +462,16 @@ def cmd_pack(args) -> int:
         )
     print(f"wrote {args.output}")
     return 0
+
+
+def _dedup_store_exists(spark, path: str) -> bool:
+    """A store exists iff its meta table reads — works for any
+    filesystem Spark can read (os.path would lie for remote URLs)."""
+    try:
+        spark.read.parquet(f"{path}/meta").head(1)
+        return True
+    except Exception:
+        return False
 
 
 def _tokenizer_from(args):
@@ -926,6 +974,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pack-buckets", type=int, default=32)
     p.add_argument("--pack-seed", type=int, default=None,
                    help="deterministic corpus shuffle before packing")
+    p.add_argument("--dedup-store", default=None, metavar="PATH",
+                   help="persisted dedup state (operators/incremental.py): "
+                        "drop docs already known to it BEFORE any other "
+                        "stage, then fold the shipped corpus back in — "
+                        "the crawl-over-crawl incremental loop; "
+                        "initialized on first use")
     p.add_argument("--classifier-seed", default=None, metavar="PARQUET",
                    help="labeled (text,label) parquet: train a quality "
                         "classifier and filter by it")

@@ -207,6 +207,7 @@ def write_docs_partitioned(
     sort_by: tuple[str, ...] = ("url",),
     mode: str = "overwrite",
     manifest: bool = False,
+    token_count_col: str | None = None,
 ) -> None:
     """Training-corpus output layout: hive-partitioned parquet.
 
@@ -231,9 +232,15 @@ def write_docs_partitioned(
     if manifest:
         # aggregate from the just-written parquet, not the input lineage:
         # re-running the full curation plan (WARC scan -> extract ->
-        # dedup -> filters) for three aggregates would double wall time
+        # dedup -> filters) for three aggregates would double wall time.
+        # Schema pinned from the input: an EMPTY corpus (a fully-known
+        # incremental snapshot) writes no data files, and inference
+        # would fail where the manifest should just record zeros.
         write_corpus_manifest(
-            docs.sparkSession.read.parquet(path), path, partition_by=partition_by
+            docs.sparkSession.read.schema(docs.schema).parquet(path),
+            path,
+            partition_by=partition_by,
+            token_count_col=token_count_col,
         )
 
 
@@ -243,6 +250,7 @@ def write_corpus_manifest(
     *,
     partition_by: tuple[str, ...] = ("lang",),
     text_col: str = "text",
+    token_count_col: str | None = None,
 ) -> dict:
     """Write ``<path>/_MANIFEST.json``: per-partition document counts,
     token totals, and an order-insensitive corpus checksum (the SUM of
@@ -254,7 +262,12 @@ def write_corpus_manifest(
     from pyspark.sql import functions as F
 
     keys = [c for c in partition_by if c in docs.columns]
-    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    if token_count_col is not None and token_count_col in docs.columns:
+        # real tokenizer counts (curate --tokenizer bpe/byte) instead of
+        # the whitespace approximation
+        toks = F.col(token_count_col).cast("bigint")
+    else:
+        toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     agg = [
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(toks).cast("bigint").alias("n_tokens"),

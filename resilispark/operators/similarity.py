@@ -623,3 +623,37 @@ def semantic_dedup(
         F.col("vertex").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def save_ann_model(
+    path: str,
+    *,
+    pq_codebooks=None,
+    ivf_centroids=None,
+) -> None:
+    """Persist trained ANN artifacts (PQ codebooks and/or IVF coarse
+    centroids) as one ``.npz`` file — indexes are trained ONCE on a
+    corpus sample and reused across snapshots/queries, exactly like the
+    BPE merge artifact; retraining per run would silently change every
+    code and cell assignment, invalidating stored ``pq_code`` /
+    ``ivf_cell`` columns."""
+    import numpy as np
+
+    arrays = {}
+    if pq_codebooks is not None:
+        arrays["pq_codebooks"] = np.asarray(pq_codebooks, dtype=np.float32)
+    if ivf_centroids is not None:
+        arrays["ivf_centroids"] = np.asarray(ivf_centroids, dtype=np.float32)
+    if not arrays:
+        raise ValueError("nothing to save: pass pq_codebooks and/or ivf_centroids")
+    with open(path, "wb") as f:
+        np.savez(f, **arrays)
+
+
+def load_ann_model(path: str) -> dict:
+    """Load :func:`save_ann_model` artifacts; returns a dict with the
+    keys that were saved (``pq_codebooks``, ``ivf_centroids``)."""
+    import numpy as np
+
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}

@@ -560,7 +560,15 @@ def test_cli_curate_bpe_tokenizer(tmp_path, spark):
     )
     packed = spark.read.parquet(out + ".packed")
     total = packed.groupBy().sum("n_tokens").collect()[0][0]
-    assert total == sum(len(tok.encode_tokens(t)) for _, t, _, _ in rows)
+    want_total = sum(len(tok.encode_tokens(t)) for _, t, _, _ in rows)
+    assert total == want_total
+    # the corpus manifest totals REAL tokenizer counts too
+    import json
+    import os
+
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        man = json.load(f)
+    assert man["total"]["n_tokens"] == want_total
 
 
 def test_cli_curate_drop_common_lines(tmp_path, spark):
@@ -717,3 +725,49 @@ def test_cli_curate_val_split(tmp_path, spark):
     assert set(splits.values()) == {"train", "val"}
     for g in range(20):
         assert splits[2 * g] == splits[2 * g + 1], g
+
+
+def test_cli_curate_dedup_store_incremental_loop(tmp_path, spark):
+    """curate --dedup-store: first run initializes the store from the
+    shipped corpus; a second run over an overlapping snapshot keeps
+    only the genuinely new docs."""
+    from resilispark.__main__ import main
+
+    def snap(path, ids):
+        rows = [
+            (i, " ".join(f"w{i}_{j}" for j in range(40)), "en", "web")
+            for i in ids
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).write.mode("overwrite").parquet(path)
+
+    store = str(tmp_path / "store")
+    src1, out1 = str(tmp_path / "s1.parquet"), str(tmp_path / "c1")
+    snap(src1, range(10))
+    rc = main(["--cpus", "4", "curate", src1, "-o", out1,
+               "--no-quality", "--keep-pii", "--dedup-store", store])
+    assert rc == 0
+    assert spark.read.parquet(out1).count() == 10
+    assert spark.read.parquet(f"{store}/meta").count() == 1
+
+    # second snapshot: 10 overlapping docs + 5 new ones
+    src2, out2 = str(tmp_path / "s2.parquet"), str(tmp_path / "c2")
+    snap(src2, range(5, 20))
+    rc = main(["--cpus", "4", "curate", src2, "-o", out2,
+               "--no-quality", "--keep-pii", "--dedup-store", store])
+    assert rc == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    assert kept == list(range(10, 20))
+
+    # third run over snapshot 2 again: nothing novel survives the probe
+    out3 = str(tmp_path / "c3")
+    rc = main(["--cpus", "4", "curate", src2, "-o", out3,
+               "--no-quality", "--keep-pii", "--dedup-store", store])
+    assert rc == 0
+    # empty corpus: the write leaves no data files (schema inference on
+    # the dir fails by design, so assert on the files themselves)
+    import glob
+    import os
+
+    assert not glob.glob(os.path.join(out3, "**", "*.parquet"), recursive=True)

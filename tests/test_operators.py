@@ -3181,3 +3181,43 @@ class TestIncrementalDedup:
         got = {r["doc_id"]: r for r in dedup_against(probe, store).collect()}
         assert not got[1]["known_exact"] and got[1]["is_novel"]
         assert 3 in got  # empty text probes fine
+
+
+def test_ann_model_persistence_roundtrip(spark, tmp_path):
+    """Trained PQ/IVF artifacts survive save/load bit-for-bit, and the
+    reloaded model reproduces identical codes and cell assignments —
+    the train-once/reuse-per-snapshot contract."""
+    import numpy as np
+
+    from resilispark.operators.similarity import (
+        ivf_assign,
+        load_ann_model,
+        pq_encode,
+        save_ann_model,
+        train_ivf,
+        train_pq,
+    )
+
+    rng = np.random.RandomState(0)
+    rows = [(i, [float(v) for v in rng.randn(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = train_pq(df, m=4, nbits=4, sample=200)
+    cents = train_ivf(df, n_cells=8, sample=200)
+    p = str(tmp_path / "ann.npz")
+    save_ann_model(p, pq_codebooks=books, ivf_centroids=cents)
+    loaded = load_ann_model(p)
+    assert np.array_equal(loaded["pq_codebooks"], books)
+    assert np.array_equal(loaded["ivf_centroids"], cents)
+    a = pq_encode(df, books).select("vec_id", "pq_code").collect()
+    b = pq_encode(df, loaded["pq_codebooks"]).select("vec_id", "pq_code").collect()
+    assert sorted(map(tuple, ((r[0], tuple(r[1])) for r in a))) == sorted(
+        map(tuple, ((r[0], tuple(r[1])) for r in b))
+    )
+    ca = ivf_assign(df, cents).select("vec_id", "ivf_cell").collect()
+    cb = ivf_assign(df, loaded["ivf_centroids"]).select("vec_id", "ivf_cell").collect()
+    assert sorted(map(tuple, ca)) == sorted(map(tuple, cb))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="nothing to save"):
+        save_ann_model(str(tmp_path / "empty.npz"))

@@ -36,6 +36,7 @@ PICKS = {
     "q31_asof_join": "As-of join: pushed event_type filters, one hash shuffle on user_id for the union+window carry, no per-row range probe.",
     "t08_emit_sequences": "Materialized packing: two-phase prefix-sum layout (light columns only through the checkpoint) -> text joined back by id -> per-sequence fragment explode -> one reassembly aggregate; per-task state bounded by one sequence.",
     "t09_bpe_tokens": "Learned-BPE encode: ONE Arrow-batched projection with the frozen merge table riding in the UDF closure; count + md5 are codegen above it; no shuffle, sort only at output.",
+    "d12_incremental_dedup": "Incremental dedup probe: digest LEFT SEMI join + band-key LEFT SEMI join + per-doc collision count — every join sized by the snapshot side, store reads pruned by the band_idx partition key.",
 }
 
 _KEEP = re.compile(
