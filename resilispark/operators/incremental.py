@@ -251,3 +251,127 @@ def compact_dedup_store(spark: SparkSession, src_path: str, dest_path: str) -> N
     spark.read.parquet(f"{src_path}/meta").write.mode("overwrite").parquet(
         f"{dest_path}/meta"
     )
+
+
+# -- embedding (semantic) membership ------------------------------------
+
+def write_embedding_store(
+    df: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    bits: int = 24,
+    rotations: int = 2,
+    seed: int = 42,
+) -> None:
+    """Persist the SEMANTIC membership state of a corpus: distinct
+    hyperplane-sign buckets from ``rotations`` independent rotations
+    (similarity.hyperplane_lsh_bucket — deterministic planes from the
+    seed, so probes reproduce the exact same buckets from the meta
+    row alone; no vectors are stored).
+
+    Sizing rule: a bucket flags membership for ANY stored vector
+    sharing it, so random collisions scale with corpus density —
+    pick ``bits >= log2(n_vectors) + 6`` to keep the per-rotation
+    false-flag rate under ~2%, and probe with
+    ``min_bands=rotations`` (all rotations must collide) to square it
+    away.  Near-identical embeddings share all sign bits with high
+    probability; raise ``rotations`` for recall on looser near-dups.
+    """
+    from resilispark.operators.similarity import hyperplane_lsh_bucket
+
+    spark = df.sparkSession
+    dim_probe = df.select(F.size(vec_col).alias("d")).first()
+    dim = dim_probe.d if dim_probe else 0
+    out = None
+    for r in range(rotations):
+        b = df.select(
+            F.lit(r).alias("band_idx"),
+            hyperplane_lsh_bucket(vec_col, dim=dim, bits=bits, seed=seed + r)
+            .alias("val"),
+        )
+        out = b if out is None else out.unionAll(b)
+    (
+        out.distinct()
+        .write.mode("overwrite")
+        .partitionBy("band_idx")
+        .parquet(f"{path}/buckets")
+    )
+    spark.createDataFrame(
+        [(dim, bits, rotations, seed, 1)],
+        "dim int, bits int, rotations int, seed int, version int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def embedding_against(
+    new_df: DataFrame,
+    store_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_bands: int | None = None,
+) -> DataFrame:
+    """Annotate new embeddings against a persisted semantic store:
+    ``known_bands`` = how many rotations' buckets the corpus has seen,
+    ``is_novel`` = fewer than ``min_bands`` (default: ALL rotations
+    must collide — the precision-first setting; see the sizing rule on
+    :func:`write_embedding_store`).  Same shape as the text probe:
+    LEFT SEMI joins sized by the snapshot, membership not pairs."""
+    from resilispark.operators.similarity import hyperplane_lsh_bucket
+
+    spark = new_df.sparkSession
+    m = spark.read.parquet(f"{store_path}/meta").collect()
+    if len(m) != 1:
+        raise ValueError(f"corrupt embedding store meta at {store_path}/meta")
+    meta = m[0]
+    if min_bands is None:
+        min_bands = meta["rotations"]
+    bands = None
+    for r in range(meta["rotations"]):
+        b = new_df.select(
+            F.col(id_col),
+            F.lit(r).alias("band_idx"),
+            hyperplane_lsh_bucket(
+                vec_col, dim=meta["dim"], bits=meta["bits"], seed=meta["seed"] + r
+            ).alias("val"),
+        )
+        bands = b if bands is None else bands.unionAll(b)
+    store = spark.read.parquet(f"{store_path}/buckets")
+    hits = (
+        bands.join(store, ["band_idx", "val"], "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("_kb"))
+        .withColumnRenamed(id_col, "_bid")
+    )
+    return (
+        new_df.join(hits, new_df[id_col] == F.col("_bid"), "left")
+        .withColumn("known_bands", F.coalesce(F.col("_kb"), F.lit(0)))
+        .withColumn("is_novel", F.col("known_bands") < min_bands)
+        .drop("_bid", "_kb")
+    )
+
+
+def update_embedding_store(
+    df: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+) -> None:
+    """Fold kept embeddings into the store (append; duplicate buckets
+    across snapshots are harmless for semi-join probes)."""
+    from resilispark.operators.similarity import hyperplane_lsh_bucket
+
+    spark = df.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    out = None
+    for r in range(meta["rotations"]):
+        b = df.select(
+            F.lit(r).alias("band_idx"),
+            hyperplane_lsh_bucket(
+                vec_col, dim=meta["dim"], bits=meta["bits"], seed=meta["seed"] + r
+            ).alias("val"),
+        )
+        out = b if out is None else out.unionAll(b)
+    out.distinct().write.mode("append").partitionBy("band_idx").parquet(
+        f"{path}/buckets"
+    )

@@ -3221,3 +3221,84 @@ def test_ann_model_persistence_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="nothing to save"):
         save_ann_model(str(tmp_path / "empty.npz"))
+
+
+class TestEmbeddingStore:
+    """Semantic membership against a persisted embedding store —
+    hyperplane-sign buckets only, no vectors stored."""
+
+    @staticmethod
+    def _vecs(spark, n, seed, start_id=0):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        x = rng.randn(n, 16).astype("float64")
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        rows = [(start_id + i, [float(v) for v in x[i]]) for i in range(n)]
+        return (
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+            x,
+        )
+
+    def test_membership_flags(self, spark, tmp_path):
+        import numpy as np
+
+        from resilispark.operators.incremental import (
+            embedding_against,
+            write_embedding_store,
+        )
+
+        corpus, x = self._vecs(spark, 50, seed=1)
+        store = str(tmp_path / "estore")
+        write_embedding_store(corpus, store, bits=24, rotations=2)
+        # probe: 5 exact copies of stored vectors + 5 fresh random ones
+        probe_rows = [(100 + i, [float(v) for v in x[i]]) for i in range(5)]
+        fresh, _ = self._vecs(spark, 5, seed=9, start_id=200)
+        probe = spark.createDataFrame(
+            probe_rows, "vec_id long, embedding array<float>"
+        ).unionAll(fresh)
+        got = {r["vec_id"]: r for r in embedding_against(probe, store).collect()}
+        for i in range(5):
+            assert got[100 + i]["known_bands"] == 2, got[100 + i]
+            assert not got[100 + i]["is_novel"]
+        # 24-bit buckets over 50 vectors: random collision ~0 — fresh
+        # vectors are novel
+        for i in range(5):
+            assert got[200 + i]["is_novel"], got[200 + i]
+
+    def test_update_drains_novelty(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.incremental import (
+            embedding_against,
+            update_embedding_store,
+            write_embedding_store,
+        )
+
+        corpus, _ = self._vecs(spark, 30, seed=2)
+        store = str(tmp_path / "estore")
+        write_embedding_store(corpus, store, bits=24, rotations=2)
+        snap, _ = self._vecs(spark, 10, seed=7, start_id=500)
+        first = embedding_against(snap, store)
+        assert all(r["is_novel"] for r in first.collect())
+        update_embedding_store(first.filter(F.col("is_novel")), store)
+        again = embedding_against(snap, store).collect()
+        assert all(not r["is_novel"] and r["known_bands"] == 2 for r in again)
+
+    def test_probe_params_come_from_meta(self, spark, tmp_path):
+        """A store written with different bits/seed still matches its
+        own probes — parameters ride in meta, not in call sites."""
+        from resilispark.operators.incremental import (
+            embedding_against,
+            write_embedding_store,
+        )
+
+        corpus, x = self._vecs(spark, 20, seed=3)
+        store = str(tmp_path / "estore")
+        write_embedding_store(corpus, store, bits=12, rotations=3, seed=99)
+        probe = spark.createDataFrame(
+            [(1000, [float(v) for v in x[0]])],
+            "vec_id long, embedding array<float>",
+        )
+        r = embedding_against(probe, store).collect()[0]
+        assert r["known_bands"] == 3 and not r["is_novel"]
