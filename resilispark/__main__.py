@@ -222,23 +222,35 @@ def cmd_curate(args) -> int:
     if "source" not in docs.columns:
         docs = docs.withColumn("source", F.lit("default"))
 
+    if not args.keep_pii:
+        docs = scrub_pii(docs)
+
     store_exists = False
     if getattr(args, "dedup_store", None):
-        from resilispark.operators.incremental import dedup_against
+        from resilispark.operators.incremental import (
+            attach_identity,
+            dedup_against,
+            dedup_store_exists,
+        )
 
-        store_exists = _dedup_store_exists(spark, args.dedup_store)
+        store_exists = dedup_store_exists(spark, args.dedup_store)
         if store_exists:
-            # drop already-known docs FIRST: everything downstream
-            # (PII scrub, quality, dedup ladder) only runs on the
-            # novel part of the snapshot
+            # drop already-known docs EARLY (right after the scrub —
+            # the identity point): the quality/dedup ladder only runs
+            # on the novel part of the snapshot
             docs = (
                 dedup_against(docs, args.dedup_store)
                 .filter(F.col("is_novel"))
                 .drop("known_exact", "known_bands", "is_novel")
             )
-
-    if not args.keep_pii:
-        docs = scrub_pii(docs)
+        # pin each doc's dedup identity HERE: later stages
+        # (drop-common-lines, span dedup) mutate text, and hashing the
+        # final corpus text would drift between crawls — a re-crawled
+        # doc would never match the store and re-ship forever.  The
+        # probe above hashes ITS text at this same stage, so probe and
+        # store agree by construction; the two identity columns ride
+        # into the shipped corpus as provenance.
+        docs = attach_identity(docs)
     if args.blocklist:
         bl = spark.read.text(args.blocklist).withColumnRenamed("value", "domain")
         url_col = "url" if "url" in docs.columns else None
@@ -370,9 +382,15 @@ def cmd_curate(args) -> int:
 
         kept = _read_output()
         if store_exists:
-            update_dedup_store(kept, args.dedup_store)
+            update_dedup_store(
+                kept, args.dedup_store,
+                digest_col="store_digest", bands_col="store_bands",
+            )
         else:
-            write_dedup_store(kept, args.dedup_store)
+            write_dedup_store(
+                kept, args.dedup_store,
+                digest_col="store_digest", bands_col="store_bands",
+            )
         print(f"{'updated' if store_exists else 'initialized'} dedup store "
               f"{args.dedup_store}")
     if args.pack:
@@ -462,16 +480,6 @@ def cmd_pack(args) -> int:
         )
     print(f"wrote {args.output}")
     return 0
-
-
-def _dedup_store_exists(spark, path: str) -> bool:
-    """A store exists iff its meta table reads — works for any
-    filesystem Spark can read (os.path would lie for remote URLs)."""
-    try:
-        spark.read.parquet(f"{path}/meta").head(1)
-        return True
-    except Exception:
-        return False
 
 
 def _tokenizer_from(args):

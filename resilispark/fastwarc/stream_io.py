@@ -179,7 +179,7 @@ def wrap_stream(raw_stream, mode: str = "rb", fsspec_args=None) -> IOStream:
         if path.startswith("memory://"):
             from resilispark.io.fs import get_fs
 
-            return PythonIOStreamAdapter(get_fs(path).open(path))
+            return PythonIOStreamAdapter(get_fs(path).open(path, mode))
         if fsspec_args is not False:
             try:
                 import fsspec

@@ -164,8 +164,11 @@ class BpeTokenizer:
         )
         # word -> encoded symbols memo: natural text is Zipf-shaped, so
         # the hot few thousand words dominate — caching turns the
-        # per-word merge loop into a dict hit for most of the corpus
+        # per-word merge loop into a dict hit for most of the corpus.
+        # Entries are TUPLES: a cached mutable list handed to a caller
+        # would let one append poison every later encoding of the word.
         object.__setattr__(self, "_cache", {})
+        object.__setattr__(self, "_inv", {i: t for t, i in self._vocab.items()})
 
     @property
     def vocab(self) -> dict[str, int]:
@@ -175,19 +178,23 @@ class BpeTokenizer:
     def vocab_size(self) -> int:
         return len(self._vocab)
 
-    def encode_word(self, word: str) -> list[str]:
-        """Symbols of one normalized word after all merges."""
+    def _encoded(self, word: str) -> tuple[str, ...]:
         hit = self._cache.get(word)
         if hit is None:
-            hit = _fuse_all(list(_word_symbols(word)), self._ranks)
+            hit = tuple(_fuse_all(list(_word_symbols(word)), self._ranks))
             self._cache[word] = hit
         return hit
+
+    def encode_word(self, word: str) -> list[str]:
+        """Symbols of one normalized word after all merges (a fresh
+        list — safe to mutate)."""
+        return list(self._encoded(word))
 
     def encode_tokens(self, text: str | None) -> list[str]:
         """Token strings of a whole (raw) text."""
         out: list[str] = []
         for w in normalize(text).split():
-            out.extend(self.encode_word(w))
+            out.extend(self._encoded(w))
         return out
 
     def encode(self, text: str | None) -> list[int]:
@@ -197,7 +204,7 @@ class BpeTokenizer:
 
     def decode(self, ids: list[int]) -> str:
         """Normalized text back from ids (word markers -> spaces)."""
-        inv = {i: t for t, i in self._vocab.items()}
+        inv = self._inv
         return "".join(inv[i] for i in ids).replace(WORD_MARKER, " ").strip()
 
     def save(self, path: str) -> None:
@@ -323,6 +330,7 @@ class ByteBpeTokenizer:
             self, "_ranks", {p: i for i, p in enumerate(self.merges)}
         )
         object.__setattr__(self, "_cache", {})
+        object.__setattr__(self, "_inv", {i: t for t, i in self._vocab.items()})
 
     @property
     def vocab(self) -> dict[str, int]:
@@ -332,14 +340,18 @@ class ByteBpeTokenizer:
     def vocab_size(self) -> int:
         return len(self._vocab)
 
-    def encode_word(self, pretok: str) -> list[str]:
-        """Symbols of one pre-token after all merges."""
+    def _encoded(self, pretok: str) -> tuple[str, ...]:
         hit = self._cache.get(pretok)
         if hit is None:
             mapped = [_B2C[b] for b in pretok.encode("utf-8")]
-            hit = _fuse_all(mapped, self._ranks)
+            hit = tuple(_fuse_all(mapped, self._ranks))
             self._cache[pretok] = hit
         return hit
+
+    def encode_word(self, pretok: str) -> list[str]:
+        """Symbols of one pre-token after all merges (a fresh list —
+        safe to mutate)."""
+        return list(self._encoded(pretok))
 
     def encode_tokens(self, text: str | None) -> list[str]:
         """Token strings of a whole raw text (lossless)."""
@@ -347,7 +359,7 @@ class ByteBpeTokenizer:
             return []
         out: list[str] = []
         for m in _PRETOK_RE.finditer(text):
-            out.extend(self.encode_word(m.group()))
+            out.extend(self._encoded(m.group()))
         return out
 
     def encode(self, text: str | None) -> list[int]:
@@ -356,8 +368,7 @@ class ByteBpeTokenizer:
 
     def decode(self, ids: list[int]) -> str:
         """EXACT original text back from ids."""
-        inv = {i: t for t, i in self._vocab.items()}
-        chars = "".join(inv[i] for i in ids)
+        chars = "".join(self._inv[i] for i in ids)
         return bytes(_C2B[c] for c in chars).decode("utf-8", errors="replace")
 
     def save(self, path: str) -> None:

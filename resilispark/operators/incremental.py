@@ -113,6 +113,59 @@ def _band_keys(
     ).select(id_col, "bd.band_idx", "bd.val")
 
 
+def attach_identity(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    shingle_k: int = 3,
+    digest_col: str = "store_digest",
+    bands_col: str = "store_bands",
+) -> DataFrame:
+    """Pin each document's dedup IDENTITY as columns, computed at THIS
+    point of a pipeline: ``digest_col`` (md5 of the current text) and
+    ``bands_col`` (the per-doc array of LSH band values).
+
+    Why: later pipeline stages may MUTATE text (PII scrub already ran;
+    drop-common-lines / span dedup run downstream), so hashing the
+    final corpus text gives an identity that drifts between crawls —
+    a re-crawled document would never match the store and would
+    re-ship forever.  Computing the identity once, at a fixed stage,
+    and carrying it to the store write makes probe and store agree by
+    construction (the probe hashes ITS text at the same stage)."""
+    keys = _band_keys(docs, text_col, id_col, bands=bands, shingle_k=shingle_k)
+    per_doc = keys.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("band_idx", "val"))
+        ).alias("_bv")
+    ).select(
+        F.col(id_col),
+        F.transform("_bv", lambda s: s["val"]).alias(bands_col),
+    )
+    return docs.withColumn(
+        digest_col, F.md5(F.encode(F.col(text_col), "UTF-8"))
+    ).join(per_doc, id_col, "left")
+
+
+def dedup_store_exists(spark: SparkSession, path: str) -> bool:
+    """True iff the store's meta table reads.  ONLY a missing path
+    reports False — any other failure (throttle, credentials, network)
+    re-raises, because treating a transient error as "no store" would
+    make a caller skip the probe and then overwrite-destroy the
+    accumulated state."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(f"{path}/meta").head(1)
+        return True
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return False
+        raise
+
+
 def write_dedup_store(
     docs: DataFrame,
     path: str,
@@ -121,20 +174,33 @@ def write_dedup_store(
     id_col: str = "doc_id",
     bands: int = 4,
     shingle_k: int = 3,
+    digest_col: str | None = None,
+    bands_col: str | None = None,
+    overwrite: bool = False,
 ) -> None:
     """Materialize the dedup state of a corpus: distinct digests +
     distinct band keys + the parameter row.  One shuffle each
     (distinct on a uniform hash key); text never leaves the
-    executors."""
+    executors.
+
+    ``digest_col``/``bands_col``: consume :func:`attach_identity`
+    columns instead of recomputing from ``text_col`` — the pinned-
+    identity path pipelines use when text mutates after the identity
+    point.
+
+    Refuses to clobber an existing store unless ``overwrite=True``
+    (an accumulated multi-crawl state is expensive to lose)."""
     spark = docs.sparkSession
-    _digests(docs, text_col).write.mode("overwrite").parquet(f"{path}/digests")
-    (
-        _band_keys(docs, text_col, id_col, bands=bands, shingle_k=shingle_k)
-        .select("band_idx", "val")
-        .distinct()
-        .write.mode("overwrite")
-        .partitionBy("band_idx")
-        .parquet(f"{path}/bands")
+    if not overwrite and dedup_store_exists(spark, path):
+        raise ValueError(
+            f"dedup store already exists at {path!r}; pass overwrite=True "
+            "to replace it or use update_dedup_store to fold into it"
+        )
+    _store_frames(
+        docs, text_col, id_col,
+        bands=bands, shingle_k=shingle_k,
+        digest_col=digest_col, bands_col=bands_col,
+        path=path, mode="overwrite",
     )
     spark.createDataFrame(
         [(_NUM_HASHES, bands, shingle_k, 1)],
@@ -142,11 +208,59 @@ def write_dedup_store(
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
+def _store_frames(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    bands: int,
+    shingle_k: int,
+    digest_col: str | None,
+    bands_col: str | None,
+    path: str,
+    mode: str,
+) -> None:
+    """Write the digests/ and bands/ tables (shared by init + update)."""
+    if digest_col is not None:
+        dg = (
+            docs.select(F.col(digest_col).alias("content_hash"))
+            .where(F.col("content_hash").isNotNull())
+            .distinct()
+        )
+    else:
+        dg = _digests(docs, text_col)
+    dg.write.mode(mode).parquet(f"{path}/digests")
+    if bands_col is not None:
+        bd = docs.select(
+            F.posexplode(bands_col).alias("band_idx", "val")
+        ).where(F.col("val").isNotNull())
+    else:
+        bd = _band_keys(
+            docs, text_col, id_col, bands=bands, shingle_k=shingle_k
+        ).select("band_idx", "val")
+    (
+        bd.distinct()
+        .write.mode(mode)
+        .partitionBy("band_idx")
+        .parquet(f"{path}/bands")
+    )
+
+
 def _read_meta(spark: SparkSession, path: str):
     m = spark.read.parquet(f"{path}/meta").collect()
     if len(m) != 1:
         raise ValueError(f"corrupt dedup store meta at {path}/meta: {m}")
-    return m[0]
+    meta = m[0]
+    # the docstring promise: parameter drift fails LOUDLY instead of
+    # silently matching nothing
+    if meta["num_hashes"] != _NUM_HASHES or meta["version"] != 1:
+        raise ValueError(
+            f"dedup store at {path!r} was written with "
+            f"num_hashes={meta['num_hashes']}, version={meta['version']}; "
+            f"this build probes with num_hashes={_NUM_HASHES}, version=1 — "
+            "recompute the store or probe with a matching build"
+        )
+    return meta
 
 
 def dedup_against(
@@ -217,23 +331,23 @@ def update_dedup_store(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    digest_col: str | None = None,
+    bands_col: str | None = None,
 ) -> None:
     """Fold a kept snapshot into the store (parquet append).  Appended
     keys may duplicate existing ones across snapshots; semi-join
     probes are insensitive to that — run :func:`compact_dedup_store`
-    when the accumulated overlap is worth reclaiming."""
+    when the accumulated overlap is worth reclaiming.
+
+    ``digest_col``/``bands_col``: consume :func:`attach_identity`
+    columns (see :func:`write_dedup_store`)."""
     spark = docs.sparkSession
     meta = _read_meta(spark, path)
-    _digests(docs, text_col).write.mode("append").parquet(f"{path}/digests")
-    (
-        _band_keys(
-            docs, text_col, id_col, bands=meta["bands"], shingle_k=meta["shingle_k"]
-        )
-        .select("band_idx", "val")
-        .distinct()
-        .write.mode("append")
-        .partitionBy("band_idx")
-        .parquet(f"{path}/bands")
+    _store_frames(
+        docs, text_col, id_col,
+        bands=meta["bands"], shingle_k=meta["shingle_k"],
+        digest_col=digest_col, bands_col=bands_col,
+        path=path, mode="append",
     )
 
 
@@ -282,7 +396,15 @@ def write_embedding_store(
 
     spark = df.sparkSession
     dim_probe = df.select(F.size(vec_col).alias("d")).first()
-    dim = dim_probe.d if dim_probe else 0
+    dim = dim_probe.d if dim_probe is not None else None
+    if not dim or dim < 1:
+        # an empty (or NULL-first-vector) frame would bake dim=0 into
+        # PERSISTENT meta and poison every later probe — fail here,
+        # where the caller can still decide to skip initialization
+        raise ValueError(
+            "cannot initialize an embedding store from an empty frame "
+            f"(or NULL {vec_col!r} values): no vector dimensionality"
+        )
     out = None
     for r in range(rotations):
         b = df.select(

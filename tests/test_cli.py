@@ -771,3 +771,42 @@ def test_cli_curate_dedup_store_incremental_loop(tmp_path, spark):
     import os
 
     assert not glob.glob(os.path.join(out3, "**", "*.parquet"), recursive=True)
+
+
+def test_cli_curate_dedup_store_survives_text_mutation(tmp_path, spark):
+    """The identity-drift case: PII scrub (on by default) rewrites the
+    text, so the store must key on the PINNED identity (post-scrub),
+    not on the final corpus text — a re-crawled doc is known on the
+    second pass even though the pipeline mutated what it shipped."""
+    from resilispark.__main__ import main
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(40))
+            + f" contact admin{i}@example.com now", "en", "web")
+        for i in range(8)
+    ]
+    src = str(tmp_path / "s.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+    store = str(tmp_path / "store")
+    out1 = str(tmp_path / "c1")
+    rc = main(["--cpus", "4", "curate", src, "-o", out1,
+               "--no-quality", "--dedup-store", store])
+    assert rc == 0
+    shipped = spark.read.parquet(out1)
+    assert shipped.count() == 8
+    # the scrub really mutated the text (emails gone)
+    assert shipped.filter(shipped.text.contains("example.com")).count() == 0
+    # identity provenance rides in the corpus
+    assert "store_digest" in shipped.columns and "store_bands" in shipped.columns
+
+    # identical re-crawl: every doc must be recognized as known
+    out2 = str(tmp_path / "c2")
+    rc = main(["--cpus", "4", "curate", src, "-o", out2,
+               "--no-quality", "--dedup-store", store])
+    assert rc == 0
+    import glob
+    import os
+
+    assert not glob.glob(os.path.join(out2, "**", "*.parquet"), recursive=True)

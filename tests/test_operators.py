@@ -3302,3 +3302,86 @@ class TestEmbeddingStore:
         )
         r = embedding_against(probe, store).collect()[0]
         assert r["known_bands"] == 3 and not r["is_novel"]
+
+
+class TestIncrementalDedupGuards:
+    def test_write_refuses_to_clobber(self, spark, tmp_path):
+        import pytest
+
+        from resilispark.operators.incremental import write_dedup_store
+
+        df = spark.createDataFrame(
+            [(0, "a b c d e"), (1, "f g h i j")], "doc_id long, text string"
+        )
+        store = str(tmp_path / "store")
+        write_dedup_store(df, store)
+        with pytest.raises(ValueError, match="already exists"):
+            write_dedup_store(df, store)
+        write_dedup_store(df, store, overwrite=True)  # explicit is fine
+
+    def test_meta_version_mismatch_fails_loudly(self, spark, tmp_path):
+        import pytest
+
+        from resilispark.operators.incremental import (
+            dedup_against,
+            write_dedup_store,
+        )
+
+        df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+        store = str(tmp_path / "store")
+        write_dedup_store(df, store)
+        # simulate a store written by a different build
+        spark.createDataFrame(
+            [(16, 4, 3, 1)], "num_hashes int, bands int, shingle_k int, version int"
+        ).write.mode("overwrite").parquet(f"{store}/meta")
+        with pytest.raises(ValueError, match="num_hashes=16"):
+            dedup_against(df, store).collect()
+
+    def test_store_exists_only_swallows_missing_path(self, spark, tmp_path):
+        from resilispark.operators.incremental import dedup_store_exists
+
+        assert not dedup_store_exists(spark, str(tmp_path / "nope"))
+        # a CORRUPT store (meta dir exists, unreadable content) must
+        # raise, not report "absent" — absence triggers overwrite-init
+        bad = tmp_path / "bad" / "meta"
+        bad.mkdir(parents=True)
+        (bad / "part-00000.parquet").write_text("this is not parquet")
+        import pytest
+
+        with pytest.raises(Exception):
+            dedup_store_exists(spark, str(tmp_path / "bad"))
+
+    def test_identity_columns_round_trip(self, spark, tmp_path):
+        """attach_identity + write/update(digest_col, bands_col) probe
+        identically to the direct-from-text store."""
+        from resilispark.operators.incremental import (
+            attach_identity,
+            dedup_against,
+            write_dedup_store,
+        )
+
+        rows = [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        withid = attach_identity(df)
+        s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        write_dedup_store(df, s1)
+        write_dedup_store(
+            withid, s2, digest_col="store_digest", bands_col="store_bands"
+        )
+        a = dedup_against(df, s1).select(
+            "doc_id", "known_exact", "known_bands"
+        ).collect()
+        b = dedup_against(df, s2).select(
+            "doc_id", "known_exact", "known_bands"
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert all(r["known_exact"] and r["known_bands"] == 4 for r in a)
+
+    def test_empty_embedding_store_rejected(self, spark, tmp_path):
+        import pytest
+
+        from resilispark.operators.incremental import write_embedding_store
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="empty frame"):
+            write_embedding_store(empty, str(tmp_path / "estore"))
