@@ -393,6 +393,32 @@ def main() -> None:
         lambda: bpe_df.write.mode("overwrite").format("noop").save()
     )
 
+    # lexical retrieval, both physical paths: the scan-and-aggregate
+    # query and the persisted-index query (index BUILD is one-time
+    # setup, excluded — the per-query latency is what repeats)
+    import tempfile as _tfx
+
+    from resilispark.operators.search import (
+        bm25_search,
+        bm25_topk,
+        build_text_index,
+    )
+
+    _q = "data analysis results"
+    scan_hits = bm25_topk(docs, _q, k=10)
+    scan_hits.write.mode("overwrite").format("noop").save()
+    timings[f"bm25_scan_{n_docs}_docs"] = timed_median(
+        lambda: bm25_topk(docs, _q, k=10)
+        .write.mode("overwrite").format("noop").save()
+    )
+    _idx = _tfx.mkdtemp(prefix="resilispark-bench-textidx-")
+    build_text_index(docs, _idx, n_shards=64)
+    bm25_search(spark, _idx, _q, k=10).write.mode("overwrite").format("noop").save()
+    timings[f"bm25_index_{n_docs}_docs"] = timed_median(
+        lambda: bm25_search(spark, _idx, _q, k=10)
+        .write.mode("overwrite").format("noop").save()
+    )
+
     # incremental dedup probe: even half = persisted store, odd half =
     # new snapshot (store WRITE is one-time setup, excluded; the PROBE
     # is the per-snapshot recurring cost)

@@ -371,6 +371,13 @@ def cmd_curate(args) -> int:
             f"docs={row.n_docs} tokens={row.n_tokens} "
             f"short_rate={row.short_doc_rate:.3f}"
         )
+    if getattr(args, "search_index", None):
+        # index-once-at-curation: every later `search --index` query
+        # reads term shards instead of rescanning the corpus
+        from resilispark.operators.search import build_text_index
+
+        build_text_index(_read_output(), args.search_index)
+        print(f"wrote search index {args.search_index}")
     if getattr(args, "dedup_store", None):
         # the store mirrors the SHIPPED corpus: only docs that survived
         # every filter enter it, so a doc dropped for quality today can
@@ -573,22 +580,48 @@ def cmd_linkgraph(args) -> int:
 
 
 def cmd_search(args) -> int:
-    """BM25 keyword search over a parquet corpus."""
+    """BM25 keyword search over a parquet corpus, or over a persisted
+    index (build once with `search-index`, then every query reads only
+    the shard directories its terms hash into)."""
     spark = _spark(args.cpus)
-    from resilispark.operators.search import bm25_topk
 
-    docs = spark.read.parquet(args.input)
-    hits = bm25_topk(
-        docs,
-        args.query,
-        text_col=args.text_col,
-        id_col=args.id_col,
-        k=args.k,
-    ).collect()
+    if getattr(args, "index", False):
+        from resilispark.operators.search import bm25_search
+
+        hits = bm25_search(spark, args.input, args.query, k=args.k).collect()
+        id_col = "doc_id"
+    else:
+        from resilispark.operators.search import bm25_topk
+
+        docs = spark.read.parquet(args.input)
+        hits = bm25_topk(
+            docs,
+            args.query,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            k=args.k,
+        ).collect()
+        id_col = args.id_col
     for r in hits:
-        print(f"{r['rank']:3d}  {r['score']:8.4f}  {r[args.id_col]}")
+        print(f"{r['rank']:3d}  {r['score']:8.4f}  {r[id_col]}")
     if not hits:
         print("no matches")
+    return 0
+
+
+def cmd_search_index(args) -> int:
+    """Build the persisted BM25 index for `search --index`."""
+    spark = _spark(args.cpus)
+    from resilispark.operators.search import build_text_index
+
+    build_text_index(
+        spark.read.parquet(args.input),
+        args.output,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        n_shards=args.shards,
+    )
+    print(f"wrote {args.output}")
     return 0
 
 
@@ -988,6 +1021,9 @@ def main(argv: list[str] | None = None) -> int:
                         "stage, then fold the shipped corpus back in — "
                         "the crawl-over-crawl incremental loop; "
                         "initialized on first use")
+    p.add_argument("--search-index", default=None, metavar="PATH",
+                   help="also build the persisted BM25 index over the "
+                        "shipped corpus (search --index PATH)")
     p.add_argument("--classifier-seed", default=None, metavar="PARQUET",
                    help="labeled (text,label) parquet: train a quality "
                         "classifier and filter by it")
@@ -1051,12 +1087,25 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_linkgraph)
 
     p = sub.add_parser("search", help="BM25 keyword search over a corpus")
-    p.add_argument("input")
+    p.add_argument("input", help="parquet corpus, or an index with --index")
     p.add_argument("query")
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--index", action="store_true",
+                   help="INPUT is a search-index build: query reads only "
+                        "the term shards, not the corpus")
     p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser(
+        "search-index", help="build a persisted BM25 index for search --index"
+    )
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--shards", type=int, default=64)
+    p.set_defaults(fn=cmd_search_index)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")
     p.add_argument("file")

@@ -183,3 +183,138 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col))
         .limit((1 << 30) if top is None else top)
     )
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    lowercase: bool = True,
+) -> None:
+    """Materialize a persisted BM25 index — the index-once/query-many
+    counterpart to :func:`bm25_topk`'s scan-and-aggregate (and the
+    engine-native sibling of the reference's Elasticsearch indexing
+    path, elasticsearch.py S8).
+
+    Layout under ``path``:
+
+    * ``postings/`` — (term, doc_id, tf), hive-partitioned by
+      ``shard = pmod(xxhash64(term), n_shards)``: a query only reads
+      the <= ``len(terms)`` shard directories its terms hash into —
+      partition pruning does the posting-list lookup, no custom file
+      format needed.
+    * ``lengths/``  — (doc_id, dl) for length normalization.
+    * ``stats/``    — one row: corpus size, mean doc length, and the
+      build parameters (validated at query time so an index built
+      with different sharding/casing fails loudly).
+
+    Build cost: one scan + one (id, term) aggregation — the same
+    shuffle a single :func:`bm25_topk` query pays, amortized over
+    every query after it."""
+    spark = docs.sparkSession
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).cast("double").alias("dl"),
+        words.alias("_w"),
+    )
+    base.select("doc_id", "dl").write.mode("overwrite").parquet(
+        f"{path}/lengths"
+    )
+    (
+        base.select("doc_id", F.explode("_w").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int")
+        )
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{path}/postings")
+    )
+    n_docs, avgdl = docs.sparkSession.read.parquet(f"{path}/lengths").agg(
+        F.count(F.lit(1)), F.avg("dl")
+    ).first()
+    spark.createDataFrame(
+        [(int(n_docs), float(avgdl or 0.0), n_shards, lowercase, 1)],
+        "n_docs bigint, avgdl double, n_shards int, lowercase boolean, version int",
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_search(
+    spark,
+    index_path: str,
+    query: str,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Query a :func:`build_text_index` index: reads ONLY the shard
+    directories the query terms hash into (partition pruning), joins
+    the (tiny, broadcast) per-term document frequencies and the hit
+    docs' lengths, scores, and takes top-k via TakeOrderedAndProject.
+    Same arithmetic as :func:`bm25_topk`, so the two agree exactly on
+    the same corpus.  Returns (doc_id, score, n_hits, rank)."""
+    stats = spark.read.parquet(f"{index_path}/stats").collect()
+    if len(stats) != 1 or stats[0]["version"] != 1:
+        raise ValueError(f"corrupt or incompatible index stats at {index_path}")
+    st = stats[0]
+    terms = list(dict.fromkeys(
+        (query.lower() if st["lowercase"] else query).split()
+    ))
+    if not terms:
+        raise ValueError("empty query")
+    if not st["n_docs"]:
+        raise ValueError("empty index")
+    shards = _term_shards(spark, terms, st["n_shards"])
+    postings = (
+        spark.read.parquet(f"{index_path}/postings")
+        # shard filter FIRST: prunes to <= len(terms) directories
+        .filter(F.col("shard").isin(shards))
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term", "tf")
+    )
+    dfc = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    idf = F.log(
+        1.0 + (F.lit(float(st["n_docs"])) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    lengths = spark.read.parquet(f"{index_path}/lengths")
+    score_term = F.col("_idf") * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(st["avgdl"])))
+    )
+    scored = (
+        postings.join(F.broadcast(dfc.withColumn("_idf", idf)), "term")
+        .join(lengths, "doc_id")
+        .withColumn("_s", score_term)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_s").alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+def _term_shards(spark, terms: list[str], n_shards: int) -> list[int]:
+    """The shard ids the query terms hash into — computed with Spark's
+    OWN xxhash64 (one tiny local job for ALL terms), so driver and
+    index can never disagree on the hash function."""
+    rows = spark.createDataFrame(
+        [(t,) for t in terms], "term string"
+    ).select(
+        F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int").alias("s")
+    ).collect()
+    return sorted({r["s"] for r in rows})

@@ -810,3 +810,42 @@ def test_cli_curate_dedup_store_survives_text_mutation(tmp_path, spark):
     import os
 
     assert not glob.glob(os.path.join(out2, "**", "*.parquet"), recursive=True)
+
+
+def test_cli_search_index_roundtrip(tmp_path, spark, capsys):
+    """search-index + search --index returns the same ranking as the
+    scan-based search."""
+    from resilispark.__main__ import main
+
+    rows = [(i, "common words " + f"special{i} " * (i % 3 + 1)) for i in range(20)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert main(["--cpus", "4", "search-index", src, "-o", idx, "--shards", "8"]) == 0
+    capsys.readouterr()
+    assert main(["--cpus", "4", "search", src, "special7 common", "-k", "5"]) == 0
+    scan_out = capsys.readouterr().out
+    assert main(["--cpus", "4", "search", idx, "special7 common", "-k", "5",
+                 "--index"]) == 0
+    idx_out = capsys.readouterr().out
+    assert scan_out == idx_out
+    assert scan_out.strip().splitlines()[0].split()[-1] == "7"
+
+
+def test_cli_curate_builds_search_index(tmp_path, spark, capsys):
+    from resilispark.__main__ import main
+
+    rows = [(i, "term%d appears here with shared words" % i, "en", "web")
+            for i in range(10)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+    out, idx = str(tmp_path / "c"), str(tmp_path / "idx")
+    rc = main(["--cpus", "4", "curate", src, "-o", out,
+               "--no-quality", "--keep-pii", "--search-index", idx])
+    assert rc == 0
+    capsys.readouterr()
+    assert main(["--cpus", "4", "search", idx, "term3", "--index"]) == 0
+    outp = capsys.readouterr().out
+    assert outp.strip().splitlines()[0].split()[-1] == "3"

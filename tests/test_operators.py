@@ -3385,3 +3385,77 @@ class TestIncrementalDedupGuards:
         empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
         with pytest.raises(ValueError, match="empty frame"):
             write_embedding_store(empty, str(tmp_path / "estore"))
+
+
+class TestPersistedTextIndex:
+    @staticmethod
+    def _corpus(spark):
+        rows = [
+            (i, " ".join(
+                ["common"] * (1 + i % 3)
+                + [f"rare{i}"]
+                + [f"filler{j}" for j in range(5 + i % 7)]
+            ))
+            for i in range(60)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_search_matches_scan_and_aggregate(self, spark, tmp_path):
+        """bm25_search over the persisted index returns the same docs,
+        scores, and ranks as the scan-based bm25_topk — same
+        arithmetic, different physical path."""
+        from resilispark.operators.search import (
+            bm25_search,
+            bm25_topk,
+            build_text_index,
+        )
+
+        df = self._corpus(spark)
+        idx = str(tmp_path / "idx")
+        build_text_index(df, idx, n_shards=16)
+        for q in ("common rare7", "filler3", "common common filler1 nosuchterm"):
+            want = [
+                (r["doc_id"], round(r["score"], 9), r["n_hits"], r["rank"])
+                for r in bm25_topk(df, q, k=7).collect()
+            ]
+            got = [
+                (r["doc_id"], round(r["score"], 9), r["n_hits"], r["rank"])
+                for r in bm25_search(spark, idx, q, k=7).collect()
+            ]
+            assert got == want, q
+
+    def test_query_prunes_to_term_shards(self, spark, tmp_path):
+        """The scan must read only the shard directories the query
+        terms hash into — partition pruning IS the posting lookup."""
+        from resilispark.operators.search import bm25_search, build_text_index
+
+        df = self._corpus(spark)
+        idx = str(tmp_path / "idx")
+        build_text_index(df, idx, n_shards=16)
+        plan = (
+            bm25_search(spark, idx, "rare5")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters" in plan
+        import re
+
+        m = re.search(r"PartitionFilters: \[[^\]]*shard[^\]]*\]", plan)
+        assert m, plan[:1500]
+
+    def test_stats_guard(self, spark, tmp_path):
+        import pytest
+
+        from resilispark.operators.search import bm25_search, build_text_index
+
+        df = self._corpus(spark)
+        idx = str(tmp_path / "idx")
+        build_text_index(df, idx, n_shards=8)
+        with pytest.raises(ValueError, match="empty query"):
+            bm25_search(spark, idx, "   ")
+        # incompatible version fails loudly
+        spark.createDataFrame(
+            [(60, 10.0, 8, True, 99)],
+            "n_docs bigint, avgdl double, n_shards int, lowercase boolean, version int",
+        ).write.mode("overwrite").parquet(f"{idx}/stats")
+        with pytest.raises(ValueError, match="incompatible"):
+            bm25_search(spark, idx, "common")
