@@ -428,6 +428,7 @@ def cmd_curate(args) -> int:
             shuffle_seed=args.pack_seed,
             tokens_col=pack_tokens_col,
             token_count_col=pack_count_col,
+            separator=args.pack_separator,
         )
         seqs.write.mode("overwrite").parquet(args.output + ".packed")
         print(f"wrote {args.output}.packed")
@@ -465,14 +466,21 @@ def cmd_pack(args) -> int:
         n_buckets=args.buckets,
         shuffle_seed=args.seed,
         tokens_col=tokens_col,
+        separator=args.separator,
+        with_boundaries=args.boundaries,
     )
     if tokens_col is not None and getattr(args, "emit_ids", False):
         from resilispark.operators.bpe import sequences_to_ids
 
-        seqs = sequences_to_ids(seqs, _tokenizer_from(args))
+        tok = _tokenizer_from(args)
+        extra = (
+            {args.separator: tok.vocab_size} if args.separator else None
+        )
+        seqs = sequences_to_ids(seqs, tok, extra_vocab=extra)
     seqs.write.mode("overwrite").parquet(args.output)
     stats = pack_stats(
         docs,
+        separator=args.separator,
         id_col=args.id_col,
         text_col=args.text_col,
         seq_len=args.seq_len,
@@ -1015,6 +1023,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pack-buckets", type=int, default=32)
     p.add_argument("--pack-seed", type=int, default=None,
                    help="deterministic corpus shuffle before packing")
+    p.add_argument("--pack-separator", default=None, metavar="TOKEN",
+                   help="document-separator token appended after every "
+                        "doc in the packed shards")
     p.add_argument("--dedup-store", default=None, metavar="PATH",
                    help="persisted dedup state (operators/incremental.py): "
                         "drop docs already known to it BEFORE any other "
@@ -1056,7 +1067,15 @@ def main(argv: list[str] | None = None) -> int:
                         "instead of the frozen default table")
     p.add_argument("--emit-ids", action="store_true",
                    help="with --tokenizer bpe: also write seq_ids "
-                        "(array<int>) per sequence — the loader-ready form")
+                        "(array<int>) per sequence — the loader-ready form; "
+                        "a --separator token gets id vocab_size")
+    p.add_argument("--separator", default=None, metavar="TOKEN",
+                   help="document-separator token appended after every "
+                        "doc (GPT-style <|endoftext|>)")
+    p.add_argument("--boundaries", action="store_true",
+                   help="also write doc_spans — per-sequence "
+                        "(doc_id, start, end) token spans for "
+                        "attention-masking loaders")
     p.set_defaults(fn=cmd_pack)
 
     p = sub.add_parser(

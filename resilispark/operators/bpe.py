@@ -500,18 +500,25 @@ def bpe_tokens_col(
 
 def sequences_to_ids(
     seqs: DataFrame,
-    tokenizer: BpeTokenizer,
+    tokenizer,
     *,
     text_col: str = "seq_text",
     ids_col: str = "seq_ids",
+    extra_vocab: dict[str, int] | None = None,
 ) -> DataFrame:
     """Turn packed sequence rows (``emit_sequences`` output whose
     ``seq_text`` holds BPE token strings) into token-ID arrays — the
     form a training loader memory-maps.  Pure codegen: the tiny vocab
     ships as a literal map and every token looks up JVM-side; no UDF,
     no shuffle.  Unknown tokens (text packed with a different
-    tokenizer) surface as NULL ids rather than silently wrong ones."""
+    tokenizer) surface as NULL ids rather than silently wrong ones.
+
+    ``extra_vocab``: extra token -> id entries appended to the lookup
+    (e.g. a packing separator token, conventionally assigned
+    ``vocab_size``)."""
     vocab = tokenizer.vocab
+    if extra_vocab:
+        vocab = {**vocab, **extra_vocab}
     kv: list = []
     for t, i in vocab.items():
         kv.append(F.lit(t))

@@ -155,6 +155,7 @@ def assign_packs(
     n_buckets: int = 8,
     shuffle_seed: int | None = None,
     num_partitions: int | None = None,
+    separator: str | None = None,
 ) -> DataFrame:
     """Assign every document a contiguous token span in its bucket's
     concatenated stream.
@@ -170,6 +171,12 @@ def assign_packs(
     id, the deterministic spelling of the pre-training corpus shuffle
     (no ``rand()``: task retries must reproduce the same layout).
 
+    ``separator``: a document-separator token (GPT-style
+    ``<|endoftext|>``) appended AFTER every document; each doc's span
+    grows by one and empty docs still occupy one separator slot —
+    must match :func:`emit_sequences`' setting for the layouts to
+    agree.
+
     Returns one row per input doc:
     (bucket, id, n_tokens, start_tok, end_tok,  -- [start, end) in the stream
      first_seq, last_seq,                       -- seq indexes the doc touches
@@ -181,6 +188,10 @@ def assign_packs(
         n_tok = F.col(token_count_col).cast("bigint")
     else:
         n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    if separator is not None:
+        # the document-separator token (GPT-style <|endoftext|> after
+        # every doc) is part of the doc's span in the stream
+        n_tok = n_tok + F.lit(1)
     spans = _layout(
         docs,
         id_col=id_col,
@@ -234,6 +245,7 @@ def pack_stats(
     n_buckets: int = 8,
     shuffle_seed: int | None = None,
     num_partitions: int | None = None,
+    separator: str | None = None,
 ) -> DataFrame:
     """Per-bucket packing summary: how many fixed-length sequences the
     bucket yields, how full the last one is, and how many docs straddle
@@ -252,6 +264,7 @@ def pack_stats(
         n_buckets=n_buckets,
         shuffle_seed=shuffle_seed,
         num_partitions=num_partitions,
+        separator=separator,
     )
     total = F.sum("n_tokens")
     n_seqs = F.ceil(total / F.lit(seq_len)).cast("bigint")
@@ -288,6 +301,8 @@ def emit_sequences(
     num_partitions: int | None = None,
     tokens_col: str | None = None,
     token_count_col: str | None = None,
+    separator: str | None = None,
+    with_boundaries: bool = False,
 ) -> DataFrame:
     """Materialize the packed sequences themselves: every fixed-length
     training sequence as a row of space-joined tokens — the shard
@@ -304,8 +319,20 @@ def emit_sequences(
     tokens expression is expensive (a full BPE encode), this halves
     the work: the layout side reads only the stored count (plus the
     pruned light columns) and the tokens evaluate ONCE, on the join
-    side.  MUST equal ``size()`` of the packed tokens row-for-row —
-    a mismatch corrupts the slice arithmetic.
+    side.  MUST equal ``size()`` of the packed tokens row-for-row
+    (WITHOUT the separator — that is added on both sides here) — a
+    mismatch corrupts the slice arithmetic.
+
+    ``separator``: a document-separator token (GPT-style
+    ``<|endoftext|>``) appended after EVERY document — what lets a
+    trained model learn document boundaries; empty docs still emit
+    their separator.  The layout grows by one token per doc
+    (:func:`assign_packs` with the same ``separator`` agrees).
+
+    ``with_boundaries``: also emit ``doc_spans`` — per sequence, the
+    array of (doc_id, start, end) sequence-LOCAL token spans, in
+    stream order — the metadata an attention-masking loader needs to
+    stop cross-document attention without re-deriving the layout.
 
     Plan: the two-phase prefix sum lays out the light span frame (text
     never flows through the checkpoint), the text joins back by id,
@@ -330,6 +357,12 @@ def emit_sequences(
         n_tok = F.col(token_count_col).cast("bigint")
     else:
         n_tok = F.size(words).cast("bigint")
+    if separator is not None:
+        words = F.concat(
+            F.coalesce(words, F.array().cast("array<string>")),
+            F.array(F.lit(separator)),
+        )
+        n_tok = n_tok + F.lit(1)
     layout = _layout(
         docs,
         id_col=id_col,
@@ -357,12 +390,13 @@ def emit_sequences(
         "bucket",
         "start_tok",
         "end_tok",
+        F.col(id_col).alias("_id"),
         F.explode(F.sequence("first_seq", "last_seq")).alias("seq_idx"),
         "_w",
     ).select(
         "bucket",
         "seq_idx",
-        (frag_start - F.col("start_tok")).alias("_off"),
+        "_id",
         F.slice(
             "_w",
             (frag_start - F.col("start_tok") + 1).cast("int"),
@@ -370,10 +404,12 @@ def emit_sequences(
         ).alias("_toks"),
         frag_start.alias("_pos"),
     )
-    return (
+    out = (
         frags.groupBy("bucket", "seq_idx")
         .agg(
-            F.array_sort(F.collect_list(F.struct("_pos", "_toks"))).alias("_parts")
+            F.array_sort(
+                F.collect_list(F.struct("_pos", "_toks", "_id"))
+            ).alias("_parts")
         )
         .select(
             "bucket",
@@ -387,7 +423,32 @@ def emit_sequences(
                 " ",
                 F.flatten(F.transform("_parts", lambda p: p["_toks"])),
             ).alias("seq_text"),
+            *(
+                [
+                    # sequence-LOCAL [start, end) per contributing doc,
+                    # already in stream order from the array_sort
+                    F.transform(
+                        "_parts",
+                        lambda p: F.struct(
+                            p["_id"].alias("doc_id"),
+                            (p["_pos"] - F.col("seq_idx") * seq_len)
+                            .cast("int")
+                            .alias("start"),
+                            (
+                                p["_pos"]
+                                - F.col("seq_idx") * seq_len
+                                + F.size(p["_toks"])
+                            )
+                            .cast("int")
+                            .alias("end"),
+                        ),
+                    ).alias("doc_spans")
+                ]
+                if with_boundaries
+                else []
+            ),
         )
         # no trailing sort (a corpus-wide range exchange); seq_idx
         # carries the order, loaders sort shards locally
     )
+    return out

@@ -849,3 +849,40 @@ def test_cli_curate_builds_search_index(tmp_path, spark, capsys):
     assert main(["--cpus", "4", "search", idx, "term3", "--index"]) == 0
     outp = capsys.readouterr().out
     assert outp.strip().splitlines()[0].split()[-1] == "3"
+
+
+def test_cli_pack_separator_boundaries_and_ids(tmp_path, spark):
+    """pack --separator --boundaries --emit-ids: shards carry EOS
+    between docs, span metadata tiles each sequence, and the separator
+    gets the first free id (vocab_size)."""
+    from resilispark.__main__ import main
+    from resilispark.operators.bpe import BpeTokenizer
+    from resilispark.operators.bpe_vocab import DEFAULT_MERGES
+
+    tok = BpeTokenizer(DEFAULT_MERGES)
+    rows = [(i, "alpha beta gamma %d" % i) for i in range(10)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "packed")
+    rc = main(["--cpus", "4", "pack", src, "-o", out, "--seq-len", "16",
+               "--buckets", "1", "--tokenizer", "bpe", "--emit-ids",
+               "--separator", "<eos>", "--boundaries"])
+    assert rc == 0
+    packed = spark.read.parquet(out).orderBy("seq_idx").collect()
+    flat_txt = " ".join(r["seq_text"] for r in packed).split()
+    want = []
+    for _, t in rows:
+        want.extend(tok.encode_tokens(t) + ["<eos>"])
+    assert flat_txt == want
+    # separator id = vocab_size; no NULL ids anywhere
+    sep_id = tok.vocab_size
+    flat_ids = [i for r in packed for i in r["seq_ids"]]
+    assert None not in flat_ids
+    assert flat_ids.count(sep_id) == len(rows)
+    # spans tile each sequence
+    for r in packed:
+        pos = 0
+        for sp in r["doc_spans"]:
+            assert sp["start"] == pos
+            pos = sp["end"]
+        assert pos == r["n_tokens"]

@@ -3459,3 +3459,88 @@ class TestPersistedTextIndex:
         ).write.mode("overwrite").parquet(f"{idx}/stats")
         with pytest.raises(ValueError, match="incompatible"):
             bm25_search(spark, idx, "common")
+
+
+class TestPackingSeparatorAndBoundaries:
+    def test_separator_serial_equivalence(self, spark):
+        """EOS after every doc: the packed stream equals the serial
+        fold over (tokens + [sep]) per doc, and pack_stats agrees on
+        the sequence count."""
+        from resilispark.operators.packing import emit_sequences, pack_stats
+
+        docs = [(i, " ".join(f"w{i}_{j}" for j in range(3 + (i * 5) % 7)))
+                for i in range(20)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = emit_sequences(
+            df, seq_len=8, n_buckets=2, separator="<eos>"
+        ).collect()
+        streams = {}
+        for i, text in docs:
+            streams.setdefault(i % 2, []).extend(text.split() + ["<eos>"])
+        by = {(r["bucket"], r["seq_idx"]): r for r in rows}
+        n_expected = 0
+        for b, toks in streams.items():
+            nseq = (len(toks) + 7) // 8
+            n_expected += nseq
+            for sq in range(nseq):
+                want = toks[sq * 8 : (sq + 1) * 8]
+                assert by[(b, sq)]["seq_text"] == " ".join(want), (b, sq)
+        assert len(rows) == n_expected
+        stats = pack_stats(df, seq_len=8, n_buckets=2, separator="<eos>").collect()
+        assert sum(r["n_seqs"] for r in stats) == n_expected
+
+    def test_empty_doc_emits_bare_separator(self, spark):
+        from resilispark.operators.packing import emit_sequences
+
+        df = spark.createDataFrame(
+            [(0, ["a", "b"]), (1, []), (2, ["c"])],
+            "doc_id long, toks array<string>",
+        )
+        rows = emit_sequences(
+            df, seq_len=16, n_buckets=1, tokens_col="toks", separator="<eos>"
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["seq_text"] == "a b <eos> <eos> c <eos>"
+
+    def test_boundaries_cover_each_sequence_exactly(self, spark):
+        """doc_spans tile every sequence: contiguous, in order, ends
+        at n_tokens, and a giant doc's fragments carry its id across
+        sequences."""
+        from resilispark.operators.packing import emit_sequences
+
+        big = " ".join(f"t{j}" for j in range(30))
+        df = spark.createDataFrame(
+            [(0, "a b c"), (8, big), (16, "x y")], "doc_id long, text string"
+        )
+        rows = (
+            emit_sequences(df, seq_len=10, n_buckets=1, with_boundaries=True)
+            .orderBy("seq_idx")
+            .collect()
+        )
+        all_spans = []
+        for r in rows:
+            pos = 0
+            for sp in r["doc_spans"]:
+                assert sp["start"] == pos, (r["seq_idx"], sp)
+                assert sp["end"] > sp["start"]
+                pos = sp["end"]
+                all_spans.append((r["seq_idx"], sp["doc_id"], sp["start"], sp["end"]))
+            assert pos == r["n_tokens"]
+        # doc 8's 30 tokens span sequences 0..3 (offset 3..33)
+        doc8 = [(s, a, b) for s, d, a, b in all_spans if d == 8]
+        assert [(s, b - a) for s, a, b in doc8] == [(0, 7), (1, 10), (2, 10), (3, 3)]
+
+    def test_defaults_unchanged_without_new_options(self, spark):
+        """No separator, no boundaries: byte-identical output schema
+        and content to the pre-feature behavior (t08 gate safety)."""
+        from resilispark.operators.packing import emit_sequences
+
+        docs = [(i, " ".join(["w"] * (4 + i % 3))) for i in range(12)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = emit_sequences(df, seq_len=8, n_buckets=2)
+        assert out.columns == ["bucket", "seq_idx", "n_tokens", "seq_text"]
+        toks = {}
+        for i, t in docs:
+            toks.setdefault(i % 2, []).extend(t.split())
+        got_total = sum(r["n_tokens"] for r in out.collect())
+        assert got_total == sum(len(v) for v in toks.values())
