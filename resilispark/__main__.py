@@ -5,9 +5,17 @@ expressed over the Spark engine: every command is a DataFrame job on
 the ``warc`` data source or the parallel text reader, so the same
 invocations scale from one laptop file to a cluster glob.
 
-Commands: check, recompress, index, extract, extract-text, benchmark,
-plus the groups ``html benchmark`` and
+Reference-parity commands: check, recompress, index, extract,
+extract-text, benchmark, plus the groups ``html benchmark`` and
 ``lang evaluate | train-vectors | create-dataset``.
+
+Training-data extension commands (SURVEY §2 "beyond the reference"):
+``curate`` (the 12-stage pipeline incl. --dedup-store incremental
+loop, --tokenizer bpe/byte, --pack/--pack-separator, --search-index),
+``pack`` (sequence packing with separators/boundaries/loader ids),
+``bpe-train`` (merge-table artifacts), ``search`` / ``search-index``
+(BM25 scan or persisted term-sharded index), ``linkgraph``
+(WARC/WAT -> PageRank).
 """
 
 from __future__ import annotations
@@ -373,11 +381,26 @@ def cmd_curate(args) -> int:
         )
     if getattr(args, "search_index", None):
         # index-once-at-curation: every later `search --index` query
-        # reads term shards instead of rescanning the corpus
-        from resilispark.operators.search import build_text_index
+        # reads term shards instead of rescanning the corpus.  With an
+        # existing index AND --dedup-store, the shipped docs are
+        # guaranteed novel, so the index grows by append; without the
+        # novelty guarantee a rebuild is the only safe move.
+        from resilispark.operators.search import (
+            build_text_index,
+            update_text_index,
+        )
 
-        build_text_index(_read_output(), args.search_index)
-        print(f"wrote search index {args.search_index}")
+        try:
+            spark.read.parquet(f"{args.search_index}/stats").head(1)
+            idx_exists = True
+        except Exception:
+            idx_exists = False
+        if idx_exists and getattr(args, "dedup_store", None):
+            update_text_index(_read_output(), args.search_index)
+            print(f"updated search index {args.search_index}")
+        else:
+            build_text_index(_read_output(), args.search_index)
+            print(f"wrote search index {args.search_index}")
     if getattr(args, "dedup_store", None):
         # the store mirrors the SHIPPED corpus: only docs that survived
         # every filter enter it, so a doc dropped for quality today can

@@ -318,3 +318,54 @@ def _term_shards(spark, terms: list[str], n_shards: int) -> list[int]:
         F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int").alias("s")
     ).collect()
     return sorted({r["s"] for r in rows})
+
+
+def update_text_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold NEW documents into a :func:`build_text_index` index
+    (parquet append for postings/lengths, stats recomputed from the
+    tiny lengths table).
+
+    The doc ids MUST be new to the index: re-indexing an existing id
+    appends duplicate posting rows, and duplicated (doc, term) rows
+    inflate that doc's score (each row contributes its own saturated
+    tf term).  The incremental curation flow guarantees this —
+    ``curate --dedup-store`` ships only novel docs — so this is the
+    index-maintenance half of the crawl-over-crawl loop."""
+    spark = docs.sparkSession
+    stats = spark.read.parquet(f"{path}/stats").collect()
+    if len(stats) != 1 or stats[0]["version"] != 1:
+        raise ValueError(f"corrupt or incompatible index stats at {path}")
+    st = stats[0]
+    text = F.lower(F.col(text_col)) if st["lowercase"] else F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).cast("double").alias("dl"),
+        words.alias("_w"),
+    )
+    base.select("doc_id", "dl").write.mode("append").parquet(f"{path}/lengths")
+    (
+        base.select("doc_id", F.explode("_w").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .withColumn(
+            "shard",
+            F.pmod(F.xxhash64("term"), F.lit(st["n_shards"])).cast("int"),
+        )
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(f"{path}/postings")
+    )
+    n_docs, avgdl = spark.read.parquet(f"{path}/lengths").agg(
+        F.count(F.lit(1)), F.avg("dl")
+    ).first()
+    spark.createDataFrame(
+        [(int(n_docs), float(avgdl or 0.0), st["n_shards"], st["lowercase"], 1)],
+        "n_docs bigint, avgdl double, n_shards int, lowercase boolean, version int",
+    ).write.mode("overwrite").parquet(f"{path}/stats")

@@ -886,3 +886,35 @@ def test_cli_pack_separator_boundaries_and_ids(tmp_path, spark):
             assert sp["start"] == pos
             pos = sp["end"]
         assert pos == r["n_tokens"]
+
+
+def test_cli_curate_dedup_store_grows_search_index(tmp_path, spark, capsys):
+    """--dedup-store + --search-index across two crawls: the second
+    run appends only the novel docs to the index, and a query finds a
+    doc that only existed in crawl 2."""
+    from resilispark.__main__ import main
+
+    def snap(path, ids):
+        rows = [(i, "common stuff uniq%d here" % i, "en", "web") for i in ids]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).write.mode("overwrite").parquet(path)
+
+    store, idx = str(tmp_path / "store"), str(tmp_path / "idx")
+    s1, s2 = str(tmp_path / "s1.parquet"), str(tmp_path / "s2.parquet")
+    snap(s1, range(6))
+    assert main(["--cpus", "4", "curate", s1, "-o", str(tmp_path / "c1"),
+                 "--no-quality", "--keep-pii", "--dedup-store", store,
+                 "--search-index", idx]) == 0
+    snap(s2, range(3, 10))
+    out = capsys.readouterr()
+    assert main(["--cpus", "4", "curate", s2, "-o", str(tmp_path / "c2"),
+                 "--no-quality", "--keep-pii", "--dedup-store", store,
+                 "--search-index", idx]) == 0
+    assert "updated search index" in capsys.readouterr().out
+    capsys.readouterr()
+    assert main(["--cpus", "4", "search", idx, "uniq8", "--index"]) == 0
+    hits = capsys.readouterr().out.strip().splitlines()
+    assert hits[0].split()[-1] == "8"
+    # index stats reflect the union (6 + 4 novel docs)
+    assert spark.read.parquet(f"{idx}/stats").collect()[0]["n_docs"] == 10

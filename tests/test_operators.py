@@ -3544,3 +3544,27 @@ class TestPackingSeparatorAndBoundaries:
             toks.setdefault(i % 2, []).extend(t.split())
         got_total = sum(r["n_tokens"] for r in out.collect())
         assert got_total == sum(len(v) for v in toks.values())
+
+
+def test_update_text_index_matches_full_build(spark, tmp_path):
+    """Index built on half the corpus then updated with the other half
+    searches identically to a one-shot full build."""
+    from resilispark.operators.search import (
+        bm25_search,
+        build_text_index,
+        update_text_index,
+    )
+
+    rows = [(i, " ".join(["shared"] * (1 + i % 2) + [f"uniq{i}", "filler"]))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full, incr = str(tmp_path / "full"), str(tmp_path / "incr")
+    build_text_index(df, full, n_shards=8)
+    build_text_index(df.filter("doc_id % 2 = 0"), incr, n_shards=8)
+    update_text_index(df.filter("doc_id % 2 = 1"), incr)
+    for q in ("shared uniq7", "uniq12 filler"):
+        a = [(r["doc_id"], round(r["score"], 9), r["rank"])
+             for r in bm25_search(spark, full, q, k=8).collect()]
+        b = [(r["doc_id"], round(r["score"], 9), r["rank"])
+             for r in bm25_search(spark, incr, q, k=8).collect()]
+        assert a == b, q
