@@ -396,8 +396,6 @@ def main() -> None:
     # lexical retrieval, both physical paths: the scan-and-aggregate
     # query and the persisted-index query (index BUILD is one-time
     # setup, excluded — the per-query latency is what repeats)
-    import tempfile as _tfx
-
     from resilispark.operators.search import (
         bm25_search,
         bm25_topk,
@@ -411,19 +409,20 @@ def main() -> None:
         lambda: bm25_topk(docs, _q, k=10)
         .write.mode("overwrite").format("noop").save()
     )
-    _idx = _tfx.mkdtemp(prefix="resilispark-bench-textidx-")
-    build_text_index(docs, _idx, n_shards=64)
-    bm25_search(spark, _idx, _q, k=10).write.mode("overwrite").format("noop").save()
-    timings[f"bm25_index_{n_docs}_docs"] = timed_median(
-        lambda: bm25_search(spark, _idx, _q, k=10)
-        .write.mode("overwrite").format("noop").save()
-    )
+    _idx = tempfile.mkdtemp(prefix="resilispark-bench-textidx-")
+    try:
+        build_text_index(docs, _idx, n_shards=64)
+        bm25_search(spark, _idx, _q, k=10).write.mode("overwrite").format("noop").save()
+        timings[f"bm25_index_{n_docs}_docs"] = timed_median(
+            lambda: bm25_search(spark, _idx, _q, k=10)
+            .write.mode("overwrite").format("noop").save()
+        )
+    finally:
+        shutil.rmtree(_idx, ignore_errors=True)
 
     # incremental dedup probe: even half = persisted store, odd half =
     # new snapshot (store WRITE is one-time setup, excluded; the PROBE
     # is the per-snapshot recurring cost)
-    import tempfile as _tf
-
     from pyspark.sql import functions as _F3
 
     from resilispark.operators.incremental import (
@@ -431,15 +430,18 @@ def main() -> None:
         write_dedup_store,
     )
 
-    _store = _tf.mkdtemp(prefix="resilispark-bench-dedupstore-")
-    write_dedup_store(docs.filter(_F3.col("doc_id") % 2 == 0), _store)
-    probe_df = dedup_against(
-        docs.filter(_F3.col("doc_id") % 2 == 1), _store
-    ).select("known_exact", "known_bands", "is_novel")
-    probe_df.write.mode("overwrite").format("noop").save()
-    timings[f"dedup_store_probe_{n_docs // 2}_docs"] = timed_median(
-        lambda: probe_df.write.mode("overwrite").format("noop").save()
-    )
+    _store = tempfile.mkdtemp(prefix="resilispark-bench-dedupstore-")
+    try:
+        write_dedup_store(docs.filter(_F3.col("doc_id") % 2 == 0), _store)
+        probe_df = dedup_against(
+            docs.filter(_F3.col("doc_id") % 2 == 1), _store
+        ).select("known_exact", "known_bands", "is_novel")
+        probe_df.write.mode("overwrite").format("noop").save()
+        timings[f"dedup_store_probe_{n_docs // 2}_docs"] = timed_median(
+            lambda: probe_df.write.mode("overwrite").format("noop").save()
+        )
+    finally:
+        shutil.rmtree(_store, ignore_errors=True)
 
     # HTML parse + <title> and detect_fast SINGLE-CORE rows, directly
     # comparable to BASELINE's `resiliparse html benchmark` (1,149.56

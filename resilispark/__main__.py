@@ -382,24 +382,37 @@ def cmd_curate(args) -> int:
     if getattr(args, "search_index", None):
         # index-once-at-curation: every later `search --index` query
         # reads term shards instead of rescanning the corpus.  With an
-        # existing index AND --dedup-store, the shipped docs are
-        # guaranteed novel, so the index grows by append; without the
-        # novelty guarantee a rebuild is the only safe move.
+        # existing index AND a PRE-EXISTING dedup store, the shipped
+        # docs were novelty-probed, so the index grows by append; an
+        # existing index without that guarantee is refused rather than
+        # silently rebuilt (which would drop every prior crawl) or
+        # appended (which would double-count overlapping docs).
         from resilispark.operators.search import (
             build_text_index,
+            text_index_exists,
             update_text_index,
         )
 
-        try:
-            spark.read.parquet(f"{args.search_index}/stats").head(1)
-            idx_exists = True
-        except Exception:
-            idx_exists = False
-        if idx_exists and getattr(args, "dedup_store", None):
-            update_text_index(_read_output(), args.search_index)
+        # epoch-upsampled mixtures ship the same doc_id several times;
+        # the index holds each document once
+        index_docs = _read_output().dropDuplicates(["doc_id"])
+        idx_exists = text_index_exists(spark, args.search_index)
+        if idx_exists and store_exists:
+            update_text_index(index_docs, args.search_index)
             print(f"updated search index {args.search_index}")
+        elif idx_exists:
+            print(
+                f"error: search index {args.search_index} already exists "
+                "but this run has no novelty guarantee (no pre-existing "
+                "--dedup-store): appending could double-count docs and "
+                "rebuilding would drop prior crawls. Run with a dedup "
+                "store, or rebuild explicitly via `search-index "
+                "--overwrite`.",
+                file=sys.stderr,
+            )
+            return 1
         else:
-            build_text_index(_read_output(), args.search_index)
+            build_text_index(index_docs, args.search_index)
             print(f"wrote search index {args.search_index}")
     if getattr(args, "dedup_store", None):
         # the store mirrors the SHIPPED corpus: only docs that survived
@@ -651,6 +664,7 @@ def cmd_search_index(args) -> int:
         text_col=args.text_col,
         id_col=args.id_col,
         n_shards=args.shards,
+        overwrite=args.overwrite,
     )
     print(f"wrote {args.output}")
     return 0
@@ -1147,6 +1161,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--shards", type=int, default=64)
+    p.add_argument("--overwrite", action="store_true",
+                   help="replace an existing index at OUTPUT (refused "
+                        "otherwise — update_text_index grows one in place)")
     p.set_defaults(fn=cmd_search_index)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")

@@ -518,6 +518,14 @@ def sequences_to_ids(
     ``vocab_size``)."""
     vocab = tokenizer.vocab
     if extra_vocab:
+        clash = sorted(set(extra_vocab) & set(vocab))
+        if clash:
+            raise ValueError(
+                f"extra_vocab tokens {clash} already exist in the "
+                "tokenizer vocab — overriding them would remap every "
+                "in-document occurrence to the extra id; pick a "
+                "separator outside the vocab"
+            )
         vocab = {**vocab, **extra_vocab}
     kv: list = []
     for t, i in vocab.items():

@@ -185,6 +185,24 @@ def rrf_fuse(
     )
 
 
+def text_index_exists(spark, path: str) -> bool:
+    """True iff the index's stats table reads.  ONLY a missing path
+    reports False — any other failure (throttle, credentials, corrupt
+    footer) re-raises, because treating a transient error as "no
+    index" would make a caller rebuild-destroy a multi-crawl index
+    (same contract as ``incremental.dedup_store_exists``)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(f"{path}/stats").head(1)
+        return True
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return False
+        raise
+
+
 def build_text_index(
     docs: DataFrame,
     path: str,
@@ -193,6 +211,7 @@ def build_text_index(
     id_col: str = "doc_id",
     n_shards: int = 64,
     lowercase: bool = True,
+    overwrite: bool = False,
 ) -> None:
     """Materialize a persisted BM25 index — the index-once/query-many
     counterpart to :func:`bm25_topk`'s scan-and-aggregate (and the
@@ -215,6 +234,11 @@ def build_text_index(
     shuffle a single :func:`bm25_topk` query pays, amortized over
     every query after it."""
     spark = docs.sparkSession
+    if not overwrite and text_index_exists(spark, path):
+        raise ValueError(
+            f"text index already exists at {path} — pass overwrite=True "
+            "to rebuild (update_text_index grows it in place)"
+        )
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     words = F.split(F.trim(text), r"\s+")
     base = docs.select(
@@ -236,7 +260,12 @@ def build_text_index(
         .partitionBy("shard")
         .parquet(f"{path}/postings")
     )
-    n_docs, avgdl = docs.sparkSession.read.parquet(f"{path}/lengths").agg(
+    # schema pinned: an empty corpus writes a data-less lengths dir
+    # where inference would fail AFTER lengths/postings landed,
+    # stranding a stats-less (corrupt) index
+    n_docs, avgdl = spark.read.schema(
+        base.select("doc_id", "dl").schema
+    ).parquet(f"{path}/lengths").agg(
         F.count(F.lit(1)), F.avg("dl")
     ).first()
     spark.createDataFrame(
@@ -334,9 +363,15 @@ def update_text_index(
     The doc ids MUST be new to the index: re-indexing an existing id
     appends duplicate posting rows, and duplicated (doc, term) rows
     inflate that doc's score (each row contributes its own saturated
-    tf term).  The incremental curation flow guarantees this —
-    ``curate --dedup-store`` ships only novel docs — so this is the
-    index-maintenance half of the crawl-over-crawl loop."""
+    tf term).  The precondition is ENFORCED — an anti-probe of the
+    incoming ids against the lengths table raises before any write,
+    so a retried partial append (lengths landed, postings didn't) or
+    a caller shipping non-novel docs fails loudly instead of silently
+    double-counting.  The incremental curation flow satisfies it by
+    construction — ``curate --dedup-store`` ships only novel docs —
+    so this is the index-maintenance half of the crawl-over-crawl
+    loop.  The lengths append runs FIRST, so any crash mid-update is
+    caught by this probe on the retry."""
     spark = docs.sparkSession
     stats = spark.read.parquet(f"{path}/stats").collect()
     if len(stats) != 1 or stats[0]["version"] != 1:
@@ -349,6 +384,20 @@ def update_text_index(
         F.size(words).cast("double").alias("dl"),
         words.alias("_w"),
     )
+    lengths_schema = base.select("doc_id", "dl").schema
+    clash = (
+        spark.read.schema(lengths_schema).parquet(f"{path}/lengths")
+        .join(base.select("doc_id"), "doc_id", "left_semi")
+        .limit(1)
+        .count()
+    )
+    if clash:
+        raise ValueError(
+            f"update_text_index: incoming doc ids overlap the index at "
+            f"{path} — appending them would silently inflate BM25 scores. "
+            "Probe novelty first (curate --dedup-store does) or rebuild "
+            "with build_text_index(overwrite=True)."
+        )
     base.select("doc_id", "dl").write.mode("append").parquet(f"{path}/lengths")
     (
         base.select("doc_id", F.explode("_w").alias("term"))
@@ -362,7 +411,9 @@ def update_text_index(
         .partitionBy("shard")
         .parquet(f"{path}/postings")
     )
-    n_docs, avgdl = spark.read.parquet(f"{path}/lengths").agg(
+    n_docs, avgdl = spark.read.schema(lengths_schema).parquet(
+        f"{path}/lengths"
+    ).agg(
         F.count(F.lit(1)), F.avg("dl")
     ).first()
     spark.createDataFrame(

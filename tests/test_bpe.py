@@ -183,6 +183,25 @@ def test_sequences_to_ids(spark):
     assert got[2][0] is None  # unknown token -> NULL, loud not wrong
 
 
+def test_sequences_to_ids_rejects_vocab_colliding_separator(spark):
+    """An extra_vocab entry that shadows a real vocab token would remap
+    every in-document occurrence to the separator id — refuse it."""
+    import pytest
+
+    from resilispark.operators.bpe import sequences_to_ids
+
+    tok = BpeTokenizer(DEFAULT_MERGES)
+    real_token = next(iter(tok.vocab))
+    df = spark.createDataFrame([(0, real_token)], "seq_idx long, seq_text string")
+    with pytest.raises(ValueError, match="already exist"):
+        sequences_to_ids(df, tok, extra_vocab={real_token: len(tok.vocab)})
+    # a genuinely-new separator is fine
+    out = sequences_to_ids(
+        df, tok, extra_vocab={"<|eos|>": len(tok.vocab)}
+    ).collect()
+    assert list(out[0]["seq_ids"]) == [tok.vocab[real_token]]
+
+
 def test_cli_bpe_train_and_pack_with_artifact(spark, tmp_path):
     """bpe-train writes a merge artifact; pack --merges uses it (and
     --emit-ids adds the id arrays)."""

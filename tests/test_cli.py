@@ -851,6 +851,47 @@ def test_cli_curate_builds_search_index(tmp_path, spark, capsys):
     assert outp.strip().splitlines()[0].split()[-1] == "3"
 
 
+def test_cli_curate_refuses_existing_index_without_store(tmp_path, spark, capsys):
+    """An existing index with no novelty guarantee must be refused:
+    appending would double-count, rebuilding would drop prior crawls."""
+    from resilispark.__main__ import main
+
+    rows = [(i, "term%d appears here with shared words" % i, "en", "web")
+            for i in range(10)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+    out, out2, idx = (str(tmp_path / p) for p in ("c1", "c2", "idx"))
+    assert main(["--cpus", "4", "curate", src, "-o", out,
+                 "--no-quality", "--keep-pii", "--search-index", idx]) == 0
+    rc = main(["--cpus", "4", "curate", src, "-o", out2,
+               "--no-quality", "--keep-pii", "--search-index", idx])
+    assert rc == 1
+    # the refused run left the index intact
+    capsys.readouterr()
+    assert main(["--cpus", "4", "search", idx, "term3", "--index"]) == 0
+
+
+def test_cli_curate_mixture_epochs_index_one_row_per_doc(tmp_path, spark):
+    """Epoch-upsampled mixtures ship duplicate doc_ids to the output;
+    the search index must still hold each document exactly once."""
+    from resilispark.__main__ import main
+
+    rows = [(i, "alpha beta gamma doc%d" % i, "en", "web") for i in range(6)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+    out, idx = str(tmp_path / "c"), str(tmp_path / "idx")
+    assert main(["--cpus", "4", "curate", src, "-o", out,
+                 "--no-quality", "--keep-pii",
+                 "--mixture", "web=1.0", "--total-tokens", "1000000",
+                 "--mixture-epochs", "3", "--search-index", idx]) == 0
+    lengths = spark.read.parquet(f"{idx}/lengths")
+    assert lengths.count() == lengths.select("doc_id").distinct().count()
+
+
 def test_cli_pack_separator_boundaries_and_ids(tmp_path, spark):
     """pack --separator --boundaries --emit-ids: shards carry EOS
     between docs, span metadata tiles each sequence, and the separator

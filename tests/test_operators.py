@@ -3460,6 +3460,71 @@ class TestPersistedTextIndex:
         with pytest.raises(ValueError, match="incompatible"):
             bm25_search(spark, idx, "common")
 
+    def test_build_refuses_existing_index(self, spark, tmp_path):
+        """Silent clobber of a (possibly multi-crawl) index is refused;
+        overwrite=True is the explicit rebuild path."""
+        import pytest
+
+        from resilispark.operators.search import bm25_search, build_text_index
+
+        df = self._corpus(spark)
+        idx = str(tmp_path / "idx")
+        build_text_index(df, idx, n_shards=8)
+        with pytest.raises(ValueError, match="already exists"):
+            build_text_index(df.limit(5), idx, n_shards=8)
+        # the refused build must not have touched the index
+        assert len(bm25_search(spark, idx, "rare30", k=3).collect()) == 1
+        build_text_index(df.limit(5), idx, n_shards=8, overwrite=True)
+        assert bm25_search(spark, idx, "rare30", k=3).collect() == []
+
+    def test_update_rejects_overlapping_ids(self, spark, tmp_path):
+        """Re-appending an indexed doc id would silently inflate BM25
+        scores — the update must raise before writing anything."""
+        import pytest
+
+        from resilispark.operators.search import (
+            bm25_search,
+            bm25_topk,
+            build_text_index,
+            update_text_index,
+        )
+
+        df = self._corpus(spark)
+        idx = str(tmp_path / "idx")
+        build_text_index(df.filter("doc_id < 30"), idx, n_shards=8)
+        with pytest.raises(ValueError, match="overlap"):
+            update_text_index(df.filter("doc_id >= 20"), idx)
+        # nothing was appended by the refused update: scores still
+        # match a scan over exactly the first half
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk(df.filter("doc_id < 30"), "common", k=5).collect()
+        ]
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_search(spark, idx, "common", k=5).collect()
+        ]
+        assert got == want
+
+    def test_empty_corpus_builds_valid_index(self, spark, tmp_path):
+        """An all-filtered snapshot must still produce a stats-complete
+        (queryable, growable) index, not a schema-inference crash."""
+        from resilispark.operators.search import (
+            bm25_search,
+            build_text_index,
+            update_text_index,
+        )
+
+        import pytest
+
+        df = self._corpus(spark)
+        idx = str(tmp_path / "idx")
+        build_text_index(df.filter("doc_id < 0"), idx, n_shards=8)
+        with pytest.raises(ValueError, match="empty index"):
+            bm25_search(spark, idx, "common", k=3)
+        update_text_index(df.filter("doc_id < 4"), idx)
+        assert len(bm25_search(spark, idx, "common", k=10).collect()) == 4
+
 
 class TestPackingSeparatorAndBoundaries:
     def test_separator_serial_equivalence(self, spark):
