@@ -11,11 +11,13 @@ extract-text, benchmark, plus the groups ``html benchmark`` and
 
 Training-data extension commands (SURVEY §2 "beyond the reference"):
 ``curate`` (the 12-stage pipeline incl. --dedup-store incremental
-loop, --tokenizer bpe/byte, --pack/--pack-separator, --search-index),
+loop, --tokenizer bpe/byte, --pack/--pack-separator, --search-index,
+--funnel stage-retention metrics, --cardinality-sketch),
 ``pack`` (sequence packing with separators/boundaries/loader ids),
 ``bpe-train`` (merge-table artifacts), ``search`` / ``search-index``
-(BM25 scan or persisted term-sharded index), ``linkgraph``
-(WARC/WAT -> PageRank).
+(BM25 scan or persisted term-sharded index), ``sketch-report``
+(corpus-wide distinct/overlap estimates from stored HLL sketches),
+``linkgraph`` (WARC/WAT -> PageRank).
 """
 
 from __future__ import annotations
@@ -230,8 +232,23 @@ def cmd_curate(args) -> int:
     if "source" not in docs.columns:
         docs = docs.withColumn("source", F.lit("default"))
 
+    if getattr(args, "funnel", False):
+        # per-stage retention metrics that ride the final write action
+        # (CollectMetrics accumulators) — no extra scan per stage
+        from resilispark.operators.observe import PipelineFunnel
+
+        funnel = PipelineFunnel(token_count_col="n_bpe_tokens")
+        _fn = funnel.stage
+    else:
+        funnel = None
+
+        def _fn(df, name):
+            return df
+
+    docs = _fn(docs, "input")
+
     if not args.keep_pii:
-        docs = scrub_pii(docs)
+        docs = _fn(scrub_pii(docs), "pii_scrub")
 
     store_exists = False
     if getattr(args, "dedup_store", None):
@@ -246,10 +263,11 @@ def cmd_curate(args) -> int:
             # drop already-known docs EARLY (right after the scrub —
             # the identity point): the quality/dedup ladder only runs
             # on the novel part of the snapshot
-            docs = (
+            docs = _fn(
                 dedup_against(docs, args.dedup_store)
                 .filter(F.col("is_novel"))
-                .drop("known_exact", "known_bands", "is_novel")
+                .drop("known_exact", "known_bands", "is_novel"),
+                "novel_vs_store",
             )
         # pin each doc's dedup identity HERE: later stages
         # (drop-common-lines, span dedup) mutate text, and hashing the
@@ -263,24 +281,43 @@ def cmd_curate(args) -> int:
         bl = spark.read.text(args.blocklist).withColumnRenamed("value", "domain")
         url_col = "url" if "url" in docs.columns else None
         if url_col:
-            docs = filter_url_blocklist(docs, bl, url_col=url_col)
+            docs = _fn(filter_url_blocklist(docs, bl, url_col=url_col),
+                       "blocklist")
     if not args.no_quality:
-        docs = gopher_filter(docs, "text", min_stopwords=args.min_stopwords)
+        docs = _fn(
+            gopher_filter(docs, "text", min_stopwords=args.min_stopwords),
+            "quality",
+        )
     if args.url_dedup and "url" in docs.columns:
         from resilispark.operators.dedup import url_dedup
 
-        docs = url_dedup(docs, "url", "doc_id").drop("surt", "url_copies")
+        docs = _fn(url_dedup(docs, "url", "doc_id").drop("surt", "url_copies"),
+                   "url_dedup")
     if args.max_per_host and "url" in docs.columns:
         from resilispark.operators.corpus import cap_per_host
 
-        docs = cap_per_host(docs, "url", max_docs=args.max_per_host).drop("host")
+        docs = _fn(
+            cap_per_host(docs, "url", max_docs=args.max_per_host).drop("host"),
+            "host_cap",
+        )
     if args.dedup:
         from resilispark.operators.dedup import exact_dedup
 
-        docs = (
+        docs = _fn(
             exact_dedup(docs, "text", "doc_id")
             .filter(~F.col("is_duplicate"))
-            .drop("content_hash", "is_duplicate", "copies")
+            .drop("content_hash", "is_duplicate", "copies"),
+            "exact_dedup",
+        )
+    if getattr(args, "fuzzy_dedup", False):
+        from resilispark.operators.dedup import fuzzy_dedup
+
+        docs = _fn(
+            fuzzy_dedup(
+                docs, "text", "doc_id",
+                jaccard_threshold=args.fuzzy_jaccard,
+            ),
+            "fuzzy_dedup",
         )
     if args.drop_common_lines:
         from resilispark.operators.dedup import drop_common_lines
@@ -288,14 +325,15 @@ def cmd_curate(args) -> int:
         cleaned = drop_common_lines(
             docs, "text", "doc_id", max_doc_frac=args.drop_common_lines
         ).select("doc_id", "text")
-        docs = docs.drop("text").join(cleaned, "doc_id")
+        docs = _fn(docs.drop("text").join(cleaned, "doc_id"),
+                   "drop_common_lines")
     if args.span_dedup:
         from resilispark.operators.dedup import mask_duplicate_spans
 
         masked = mask_duplicate_spans(
             docs, "text", "doc_id", span_tokens=args.span_dedup
         ).select("doc_id", "text")
-        docs = docs.drop("text").join(masked, "doc_id")
+        docs = _fn(docs.drop("text").join(masked, "doc_id"), "span_dedup")
     if args.classifier_seed:
         from resilispark.operators.classifier import (
             quality_classifier_filter,
@@ -304,8 +342,11 @@ def cmd_curate(args) -> int:
 
         seed_df = spark.read.parquet(args.classifier_seed)
         model = train_text_classifier(seed_df)
-        docs = quality_classifier_filter(
-            docs, model, threshold=args.classifier_threshold
+        docs = _fn(
+            quality_classifier_filter(
+                docs, model, threshold=args.classifier_threshold
+            ),
+            "classifier",
         )
     if args.perplexity_seed:
         from resilispark.operators.ngram_lm import (
@@ -314,12 +355,18 @@ def cmd_curate(args) -> int:
         )
 
         lm = train_char_lm(spark.read.parquet(args.perplexity_seed))
-        docs = perplexity_filter(docs, lm, max_log_ppl=args.max_log_ppl)
+        docs = _fn(
+            perplexity_filter(docs, lm, max_log_ppl=args.max_log_ppl),
+            "perplexity",
+        )
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
         bcol = "text" if "text" in bench.columns else bench.columns[0]
-        docs = decontaminate(
-            docs, bench.withColumnRenamed(bcol, "text"), n=args.ngram
+        docs = _fn(
+            decontaminate(
+                docs, bench.withColumnRenamed(bcol, "text"), n=args.ngram
+            ),
+            "decontaminate",
         )
     token_count_col = None
     if getattr(args, "tokenizer", "ws") in ("bpe", "byte"):
@@ -330,17 +377,36 @@ def cmd_curate(args) -> int:
 
         docs = bpe_encode_col(docs, _tokenizer_from(args), ids_col=None)
         token_count_col = "n_bpe_tokens"
-    if args.mixture:
-        weights = {}
-        for part in args.mixture.split(","):
-            src, _, w = part.partition("=")
-            weights[src] = float(w)
-        docs = sample_token_mixture(
-            docs,
-            weights,
-            args.total_tokens,
-            max_epochs=args.mixture_epochs,
-            token_count_col=token_count_col,
+    if args.mixture and getattr(args, "mixture_alpha", None) is not None:
+        print(
+            "error: --mixture and --mixture-alpha are exclusive "
+            "(explicit weights vs size-temperature weights)",
+            file=sys.stderr,
+        )
+        return 1
+    if args.mixture or getattr(args, "mixture_alpha", None) is not None:
+        if args.mixture:
+            weights = {}
+            for part in args.mixture.split(","):
+                src, _, w = part.partition("=")
+                weights[src] = float(w)
+        else:
+            from resilispark.operators.corpus import temperature_weights
+
+            weights = temperature_weights(
+                docs,
+                alpha=args.mixture_alpha,
+                token_count_col=token_count_col,
+            )
+        docs = _fn(
+            sample_token_mixture(
+                docs,
+                weights,
+                args.total_tokens,
+                max_epochs=args.mixture_epochs,
+                token_count_col=token_count_col,
+            ),
+            "mixture",
         )
 
     if args.val_fraction:
@@ -379,6 +445,25 @@ def cmd_curate(args) -> int:
             f"docs={row.n_docs} tokens={row.n_tokens} "
             f"short_rate={row.short_doc_rate:.3f}"
         )
+    if funnel is not None:
+        # resolved by the output write above — zero extra jobs
+        print(funnel.report())
+    if getattr(args, "cardinality_sketch", None):
+        # persist this snapshot's HLL sketches (few KB): corpus-wide
+        # distinct counts and crawl-over-crawl overlap later come from
+        # unioning the stored rows, never from rescanning old crawls
+        from resilispark.operators.sketches import write_snapshot_sketch
+
+        shipped = _read_output()
+        sketch_cols = {"content_digest": F.md5(F.col("text"))}
+        if "url" in shipped.columns:
+            sketch_cols["url"] = F.col("url")
+            sketch_cols["host"] = F.parse_url(F.col("url"), F.lit("HOST"))
+        write_snapshot_sketch(
+            shipped, args.cardinality_sketch,
+            snapshot=args.output, cols=sketch_cols,
+        )
+        print(f"appended cardinality sketch to {args.cardinality_sketch}")
     if getattr(args, "search_index", None):
         # index-once-at-curation: every later `search --index` query
         # reads term shards instead of rescanning the corpus.  With an
@@ -667,6 +752,24 @@ def cmd_search_index(args) -> int:
         overwrite=args.overwrite,
     )
     print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_sketch_report(args) -> int:
+    """Corpus-wide distinct counts + cross-snapshot overlap from a
+    `curate --cardinality-sketch` store — unions the stored KB-sized
+    sketch rows; never touches the corpora themselves."""
+    spark = _spark(args.cpus)
+    from resilispark.operators.sketches import sketch_store_estimates
+
+    rows = sketch_store_estimates(spark, args.store).orderBy("column").collect()
+    for r in rows:
+        print(
+            f"column={r.column} snapshots={r.n_snapshots} "
+            f"union_distinct={r.union_distinct} "
+            f"sum_snapshot_distinct={r.sum_snapshot_distinct} "
+            f"cross_snapshot_overlap={r.cross_snapshot_overlap}"
+        )
     return 0
 
 
@@ -1025,6 +1128,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--benchmark", default=None, help="parquet eval set to decontaminate against")
     p.add_argument("--ngram", type=int, default=13, help="decontamination n-gram size")
     p.add_argument("--mixture", default=None, help="src=weight,src=weight")
+    p.add_argument("--mixture-alpha", type=float, default=None,
+                   help="size-temperature mixture instead of explicit "
+                        "weights: w_s ∝ tokens_s^alpha (1=natural "
+                        "proportions, 0=uniform)")
     p.add_argument("--total-tokens", type=int, default=10**9)
     p.add_argument("--mixture-epochs", type=int, default=1,
                    help="allow undersized sources up to N repetition epochs")
@@ -1033,6 +1140,15 @@ def main(argv: list[str] | None = None) -> int:
                         "clusters land whole on one side)")
     p.add_argument("--keep-pii", action="store_true")
     p.add_argument("--no-quality", action="store_true")
+    p.add_argument("--funnel", action="store_true",
+                   help="print per-stage doc/char/token retention "
+                        "(observed metrics riding the write — no extra "
+                        "scan per stage)")
+    p.add_argument("--cardinality-sketch", default=None, metavar="PATH",
+                   help="append this snapshot's HLL distinct-count "
+                        "sketches (content digest / url / host) to a "
+                        "sketch store; `sketch-report PATH` reads the "
+                        "corpus-wide estimates")
     p.add_argument("--min-stopwords", type=int, default=0)
     p.add_argument("--url-dedup", action="store_true",
                    help="keep one doc per canonical (SURT) URL first")
@@ -1040,6 +1156,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="keep at most N docs per host (anti-spam cap)")
     p.add_argument("--dedup", action="store_true",
                    help="exact keep-first dedup by content digest")
+    p.add_argument("--fuzzy-dedup", action="store_true",
+                   help="MinHash-LSH near-dup removal: keep one "
+                        "representative per near-duplicate cluster")
+    p.add_argument("--fuzzy-jaccard", type=float, default=None,
+                   metavar="J",
+                   help="verify fuzzy-dedup candidates with exact "
+                        "shingle Jaccard >= J (default: band match only)")
     p.add_argument("--span-dedup", type=int, default=None, metavar="N",
                    help="cut N-token spans already seen in earlier docs")
     p.add_argument("--drop-common-lines", type=float, default=None,
@@ -1165,6 +1288,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="replace an existing index at OUTPUT (refused "
                         "otherwise — update_text_index grows one in place)")
     p.set_defaults(fn=cmd_search_index)
+
+    p = sub.add_parser(
+        "sketch-report",
+        help="distinct-count / overlap estimates from a "
+             "curate --cardinality-sketch store",
+    )
+    p.add_argument("store")
+    p.set_defaults(fn=cmd_sketch_report)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")
     p.add_argument("file")

@@ -113,6 +113,42 @@ def mixture_fractions(
     return fracs
 
 
+def temperature_weights(
+    docs: DataFrame,
+    *,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+) -> dict[str, float]:
+    """Size-temperature source weights: ``w_s ∝ (tokens_s)^alpha``,
+    normalized to sum 1 — the multilingual sampling rule (XLM-R / mT5
+    style).  ``alpha=1`` reproduces the corpus's natural proportions,
+    ``alpha=0`` weights every source equally, and values in between
+    up-weight small sources without letting one giant crawl drown the
+    mixture.  One aggregated row per source comes back to the driver
+    (the same bounded collect :func:`sample_token_mixture` performs);
+    feed the result straight to it as ``target_weights``."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if token_count_col is None:
+        docs = docs.withColumn(
+            "_toks", F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        )
+        token_count_col = "_toks"
+    totals = {
+        r["src"]: r["toks"]
+        for r in docs.groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum(token_count_col).alias("toks"))
+        .collect()
+    }
+    raw = {s: float(t) ** alpha for s, t in totals.items() if t and t > 0}
+    z = sum(raw.values())
+    if not z:
+        raise ValueError("no source has any tokens")
+    return {s: w / z for s, w in sorted(raw.items())}
+
+
 def sample_token_mixture(
     docs: DataFrame,
     target_weights: dict[str, float],

@@ -806,3 +806,85 @@ def sentence_dedup(
             .alias("n_dropped"),
         )
     )
+
+
+def keep_cluster_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    *,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Drop every clustered row except one representative per cluster.
+
+    ``clusters`` is :func:`connected_components` output
+    (vertex, cluster_id); rows of ``df`` absent from it are untouched
+    singletons.  Default representative is the cluster's minimum id
+    (= ``cluster_id`` itself, by the components' min-label
+    construction — no extra aggregation needed).  With ``score_col``
+    the representative is the member with the HIGHEST score (id as
+    deterministic tiebreak, NULL scores rank lowest): real curation
+    keeps the best-quality copy of a near-duplicate group, not an
+    arbitrary one.  Selection is one partial-aggregated max(struct)
+    per cluster — map-side combine, no window, skew-immune.
+    """
+    if score_col is None:
+        losers = clusters.filter(F.col("vertex") != F.col("cluster_id")).select(
+            F.col("vertex").alias(id_col)
+        )
+    else:
+        members = df.select(
+            F.col(id_col).alias("vertex"),
+            F.coalesce(
+                F.col(score_col).cast("double"), F.lit(float("-inf"))
+            ).alias("_s"),
+        ).join(clusters, "vertex")
+        winners = members.groupBy("cluster_id").agg(
+            F.max(F.struct(F.col("_s"), F.col("vertex"))).alias("_w")
+        )
+        losers = (
+            members.join(winners, "cluster_id")
+            .filter(F.col("vertex") != F.col("_w")["vertex"])
+            .select(F.col("vertex").alias(id_col))
+        )
+    return df.join(losers, id_col, "left_anti")
+
+
+def fuzzy_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    score_col: str | None = None,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float | None = None,
+    shingle_k: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Document-level near-duplicate removal: keep ONE representative
+    per MinHash-LSH near-dup cluster (the fuzzy sibling of
+    :func:`exact_dedup`, and the text-side sibling of
+    ``similarity.semantic_dedup``).
+
+    Composition of the corpus-scale pieces: banded MinHash candidates
+    (:func:`minhash_lsh_pairs`, bucket-chunked — a boilerplate-heavy
+    band value cannot melt one reducer; optional exact-Jaccard
+    verification via ``jaccard_threshold``) -> pointer-jumping
+    connected components (O(log diameter) rounds) ->
+    :func:`keep_cluster_representatives` (min-id, or best
+    ``score_col`` — keep the highest-quality copy).  Returns the kept
+    rows unchanged.
+    """
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        shingle_k=shingle_k,
+        max_bucket=max_bucket,
+    ).select("doc_a", "doc_b")
+    clusters = connected_components(pairs)
+    return keep_cluster_representatives(df, clusters, id_col, score_col=score_col)

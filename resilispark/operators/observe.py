@@ -1,0 +1,110 @@
+"""Zero-extra-scan pipeline observability.
+
+A multi-stage curation run (scan -> scrub -> quality -> dedup ladder ->
+mixture -> write) is a funnel: every stage drops documents, and the
+FIRST question a 100 TB run's operator asks is "which stage ate my
+corpus?".  The naive answer — ``df.count()`` after each stage — costs
+one full evaluation of the lineage PER STAGE; at scale that turns a
+12-stage pipeline into 12 corpus scans.
+
+:class:`PipelineFunnel` instead attaches a Spark ``Observation``
+(`CollectMetrics` plan node) at each stage boundary.  The metrics ride
+the ONE action the pipeline already performs (the final write): each
+observed node's aggregates are accumulated task-side while the rows
+stream through, so per-stage doc/char/token counts cost nothing beyond
+the arithmetic.  Spark collects each named observation exactly once
+even when a downstream self-join or union makes the observed subtree
+appear in several plan branches (verified in
+``tests/test_operators.py::TestPipelineFunnel``), so the counts stay
+per-stage-truthful under the dedup ladder's join-back shapes.
+
+No analog in the reference (its Beam layer relies on runner counters);
+this is the Spark-native spelling of that telemetry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+class PipelineFunnel:
+    """Collect per-stage retention metrics on a DataFrame pipeline.
+
+    Usage::
+
+        funnel = PipelineFunnel()
+        docs = funnel.stage(docs, "input")
+        docs = funnel.stage(scrub_pii(docs), "pii_scrub")
+        docs = funnel.stage(gopher_filter(docs), "quality")
+        docs.write.parquet(out)          # the ONE action
+        for r in funnel.rows():          # resolved, no extra jobs
+            print(r)
+
+    ``rows()`` blocks until an action has run over the observed
+    lineage; call it only after the pipeline's terminal action.
+    """
+
+    def __init__(self, *, text_col: str = "text",
+                 token_count_col: str | None = None) -> None:
+        self._text_col = text_col
+        self._token_count_col = token_count_col
+        self._stages: list[tuple[str, Observation, bool, bool]] = []
+
+    def stage(self, df: DataFrame, name: str) -> DataFrame:
+        """Attach an observation point named ``name`` and return the
+        (plan-identical, metric-instrumented) DataFrame."""
+        has_text = self._text_col in df.columns
+        tok = self._token_count_col
+        has_tok = bool(tok) and tok in df.columns
+        metrics = [F.count(F.lit(1)).alias("docs")]
+        if has_text:
+            metrics.append(
+                F.coalesce(
+                    F.sum(F.length(F.col(self._text_col))), F.lit(0)
+                ).alias("chars")
+            )
+        if has_tok:
+            metrics.append(
+                F.coalesce(F.sum(F.col(tok)), F.lit(0)).alias("tokens")
+            )
+        # observation names must be unique per query; prefix with the
+        # stage index so two funnels/stages can share a human name
+        obs = Observation(f"funnel_{len(self._stages)}_{name}")
+        self._stages.append((name, obs, has_text, has_tok))
+        return df.observe(obs, *metrics)
+
+    def rows(self) -> list[dict]:
+        """The resolved funnel: one dict per stage, in pipeline order,
+        with ``retention`` = docs / previous stage's docs."""
+        out: list[dict] = []
+        prev_docs = None
+        for name, obs, has_text, has_tok in self._stages:
+            got = obs.get  # blocks until the action ran
+            row = {
+                "stage": name,
+                "docs": int(got["docs"]),
+                "chars": int(got["chars"]) if has_text else None,
+                "tokens": int(got["tokens"]) if has_tok else None,
+                "retention": (
+                    None if prev_docs in (None, 0)
+                    else round(int(got["docs"]) / prev_docs, 4)
+                ),
+            }
+            prev_docs = int(got["docs"])
+            out.append(row)
+        return out
+
+    def report(self) -> str:
+        """Human-readable funnel, one line per stage."""
+        lines = []
+        for r in self.rows():
+            bits = [f"stage={r['stage']}", f"docs={r['docs']}"]
+            if r["retention"] is not None:
+                bits.append(f"retention={r['retention'] * 100:.1f}%")
+            if r["chars"] is not None:
+                bits.append(f"chars={r['chars']}")
+            if r["tokens"] is not None:
+                bits.append(f"tokens={r['tokens']}")
+            lines.append("funnel " + " ".join(bits))
+        return "\n".join(lines)

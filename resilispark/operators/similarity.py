@@ -591,10 +591,13 @@ def semantic_dedup(
     rotations: int = 2,
     seed: int = 42,
     max_bucket: int = 1024,
+    score_col: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: drop every document whose
     embedding is a near-duplicate (cosine >= ``threshold``) of another,
-    keeping ONE representative per semantic cluster (the minimum id).
+    keeping ONE representative per semantic cluster (the minimum id, or
+    the member with the highest ``score_col`` — keep the best-quality
+    copy, not an arbitrary one).
 
     Composition of the corpus-scale pieces: LSH-blocked near-dup pairs
     (:func:`embedding_neardup_pairs`) -> pointer-jumping connected
@@ -619,10 +622,9 @@ def semantic_dedup(
         max_bucket=max_bucket,
     )
     clusters = connected_components(pairs, "id_a", "id_b")
-    losers = clusters.filter(F.col("vertex") != F.col("cluster_id")).select(
-        F.col("vertex").alias(id_col)
-    )
-    return df.join(losers, id_col, "left_anti")
+    from resilispark.operators.dedup import keep_cluster_representatives
+
+    return keep_cluster_representatives(df, clusters, id_col, score_col=score_col)
 
 
 def save_ann_model(

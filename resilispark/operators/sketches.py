@@ -1,0 +1,149 @@
+"""Mergeable cardinality sketches for crawl-over-crawl telemetry.
+
+A growing corpus needs distinct-count answers that do NOT require
+rescanning every prior crawl: how many unique documents / hosts /
+content digests does the whole corpus hold, and how much does this
+month's crawl overlap what we already have?  Exact answers need a
+corpus-wide ``count(distinct)`` — a full shuffle of every crawl ever
+ingested, repeated per question.
+
+HyperLogLog sketches make this incremental: each snapshot pays ONE
+aggregation pass over itself (`hll_sketch_agg`, map-side partials —
+no extra shuffle beyond the final single-row combine) and persists a
+few-KB binary sketch per column.  Sketches are MERGEABLE
+(`hll_union_agg`): the corpus-wide distinct count across N crawls is
+a union over N tiny stored rows — driver-scale work, zero corpus
+reads.  Standard ~2% relative error at the default ``lg_k=12``
+(Apache DataSketches HLL, built into Spark — no Python worker in the
+plan).
+
+The overlap readout: ``sum(per-snapshot distinct) - union distinct``
+estimates how many values recur across snapshots — the dup-rate
+signal an incremental ingest (``curate --dedup-store``) wants to
+watch drift over time, computed without ever joining two crawls.
+
+No analog in the reference (single-stream model); this is engine
+extension surface alongside the dedup/incremental operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _named_cols(docs: DataFrame, cols) -> dict[str, Column]:
+    if isinstance(cols, dict):
+        return dict(cols)
+    return {c: F.col(c) for c in cols}
+
+
+def column_sketches(
+    docs: DataFrame,
+    cols,
+    *,
+    lg_k: int = 12,
+) -> DataFrame:
+    """One HLL sketch per requested column, computed in a SINGLE
+    aggregation pass over ``docs`` (one job, map-side partial
+    sketches, one combined row — not one scan per column).
+
+    ``cols``: list of column names, or a dict name -> Column for
+    derived keys (e.g. ``{"host": F.parse_url(...)}``).
+
+    Returns (column, lg_k, sketch BINARY, estimate BIGINT); an empty
+    input yields a NULL sketch and estimate 0.
+    """
+    named = _named_cols(docs, cols)
+    if not named:
+        raise ValueError("no columns to sketch")
+    one = docs.agg(
+        *[F.hll_sketch_agg(c, F.lit(lg_k)).alias(f"_sk_{i}")
+          for i, c in enumerate(named.values())]
+    )
+    # long form: one row per column (stack over the single agg row)
+    pairs = []
+    for i, name in enumerate(named):
+        pairs.append(F.lit(name))
+        pairs.append(F.col(f"_sk_{i}"))
+    return (
+        one.select(
+            F.stack(F.lit(len(named)), *pairs).alias("column", "sketch")
+        )
+        .select(
+            "column",
+            F.lit(lg_k).alias("lg_k"),
+            "sketch",
+            F.coalesce(
+                F.hll_sketch_estimate("sketch"), F.lit(0)
+            ).cast("bigint").alias("estimate"),
+        )
+    )
+
+
+def write_snapshot_sketch(
+    docs: DataFrame,
+    path: str,
+    *,
+    snapshot: str,
+    cols,
+    lg_k: int = 12,
+) -> None:
+    """Append this snapshot's per-column sketches (a handful of KB-
+    sized rows) to the sketch store at ``path``.  ``snapshot`` labels
+    the rows (e.g. the crawl id); re-appending an existing label is
+    refused — it would double-weight that snapshot's contribution to
+    ``sum(per-snapshot distinct)`` in the overlap readout (the union
+    itself is idempotent, the sum is not)."""
+    spark = docs.sparkSession
+    sk = column_sketches(docs, cols, lg_k=lg_k).select(
+        F.lit(snapshot).alias("snapshot"), "column", "lg_k", "sketch",
+        "estimate",
+    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = spark.read.schema(sk.schema).parquet(path)
+        if existing.filter(F.col("snapshot") == snapshot).limit(1).count():
+            raise ValueError(
+                f"snapshot {snapshot!r} already present in sketch store "
+                f"{path} — each snapshot contributes exactly once"
+            )
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+            raise
+    sk.write.mode("append").parquet(path)
+
+
+def sketch_store_estimates(spark, path: str) -> DataFrame:
+    """Corpus-wide distinct counts from a sketch store: per column,
+    union every snapshot's sketch (`hll_union_agg` over the tiny
+    stored rows — no corpus access) and report
+
+    * ``union_distinct`` — distinct values across ALL snapshots,
+    * ``sum_snapshot_distinct`` — what the snapshots claim summed,
+    * ``cross_snapshot_overlap`` — their difference: how many values
+      recur in more than one snapshot (the crawl-over-crawl dup-rate
+      numerator),
+    * ``n_snapshots``.
+    """
+    sk = spark.read.parquet(path)
+    return (
+        sk.groupBy("column")
+        .agg(
+            F.hll_union_agg("sketch", F.lit(True)).alias("_u"),
+            F.sum("estimate").alias("sum_snapshot_distinct"),
+            F.count(F.lit(1)).alias("n_snapshots"),
+        )
+        .select(
+            "column",
+            "n_snapshots",
+            F.coalesce(F.hll_sketch_estimate("_u"), F.lit(0))
+            .cast("bigint").alias("union_distinct"),
+            "sum_snapshot_distinct",
+            (F.col("sum_snapshot_distinct")
+             - F.coalesce(F.hll_sketch_estimate("_u"), F.lit(0)))
+            .cast("bigint").alias("cross_snapshot_overlap"),
+        )
+    )

@@ -109,6 +109,7 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "n"), ("known_exact", "n"), ("known_bands", "n"),
         ("is_novel", "n"),
     ],
+    "d13_fuzzy_dedup": [("doc_id", "n"), ("n_chars", "n")],
 }
 
 # members may live in either query module; merged lookup keeps the
@@ -156,10 +157,12 @@ FAMILIES: dict[str, list[str]] = {
     # holding the 50-entry cap)
     # (d12 joined in round 5: incremental dedup against a persisted
     # corpus state — store write + meta + both semi-join probes)
+    # (d13 joined in round 5: keep-best-copy fuzzy dedup — components
+    # over the d04 pairs + score-ranked representative selection)
     "qc_curation_family": [
         "t02_token_count", "t04_fingerprint", "t07_pack_stats",
         "d10_duplicate_spans", "t08_emit_sequences", "d11_mask_spans",
-        "t09_bpe_tokens", "d12_incremental_dedup",
+        "t09_bpe_tokens", "d12_incremental_dedup", "d13_fuzzy_dedup",
     ],
 }
 

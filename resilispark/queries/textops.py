@@ -1821,6 +1821,76 @@ ORDER BY t.doc_id
 """
 
 
+def d13_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST-copy fuzzy document dedup over the d04 LSH pair graph
+    (the `curate --fuzzy-dedup` operator path, gate-composed from the
+    oracle-parity d04 pairs): pointer-jumping components, then
+    ``keep_cluster_representatives`` keeps each cluster's highest-
+    ``n_chars`` member (doc_id-desc tiebreak) via one partial-
+    aggregated max(struct) — no window, skew-immune.  Output is every
+    surviving doc (cluster representatives + untouched singletons)."""
+    from resilispark.operators.dedup import (
+        connected_components,
+        keep_cluster_representatives,
+    )
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+    pairs = d04_minhash_lsh_pairs(spark, sf_dir)
+    clusters = connected_components(pairs)
+    kept = keep_cluster_representatives(
+        base, clusters, "doc_id", score_col="n_chars"
+    )
+    return kept.orderBy("doc_id")
+
+
+ORACLE_D13 = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, md5(unnest({_DUCK_SHINGLES})) AS mh
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+       {_h}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS val FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.val = b.val AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), labels AS (
+  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+), scored AS (
+  SELECT l.doc_id, l.cluster_id, length(d.text) AS n_chars
+  FROM labels l JOIN documents d USING (doc_id)
+), losers AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (
+             PARTITION BY cluster_id
+             ORDER BY n_chars DESC, doc_id DESC
+           ) AS rn
+    FROM scored
+  ) WHERE rn > 1
+)
+SELECT doc_id, length(text)::BIGINT AS n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1843,6 +1913,7 @@ QUERIES = {
     "t08_emit_sequences": t08_emit_sequences,
     "t09_bpe_tokens": t09_bpe_tokens,
     "d12_incremental_dedup": d12_incremental_dedup,
+    "d13_fuzzy_dedup": d13_fuzzy_dedup,
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
     "s03_label_centroid_norms": s03_label_centroid_norms,
@@ -1876,6 +1947,7 @@ ORACLES = {
     "t08_emit_sequences": ORACLE_T08,
     "t09_bpe_tokens": ORACLE_T09,
     "d12_incremental_dedup": ORACLE_D12,
+    "d13_fuzzy_dedup": ORACLE_D13,
     "s01_cosine_topk": ORACLE_S01,
     "s02_lsh_buckets": ORACLE_S02,
     "s03_label_centroid_norms": ORACLE_S03,

@@ -24,6 +24,11 @@ def get_spark(app_name: str = "resilispark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime-injected bloom filters prune the probe side of large
+        # shuffle joins before the exchange — the store-probe semi
+        # joins (incremental dedup, decontamination) benefit most at
+        # the 100 TB shape; free when inapplicable
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

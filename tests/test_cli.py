@@ -873,6 +873,92 @@ def test_cli_curate_refuses_existing_index_without_store(tmp_path, spark, capsys
     assert main(["--cpus", "4", "search", idx, "term3", "--index"]) == 0
 
 
+def test_cli_curate_funnel_reports_stage_retention(tmp_path, spark, capsys):
+    """--funnel prints one line per active stage with doc counts that
+    mirror the pipeline's actual drops — and costs no extra scan (the
+    metrics ride the output write)."""
+    from resilispark.__main__ import main
+
+    # 8 docs: 2 exact-duplicate texts, the rest unique
+    rows = [(i, "shared duplicate body of text here", "en", "web")
+            for i in range(2)]
+    rows += [(i, f"unique body number {i} with several plain words", "en", "web")
+             for i in range(2, 8)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+    out = str(tmp_path / "c")
+    assert main(["--cpus", "4", "curate", src, "-o", out,
+                 "--no-quality", "--keep-pii", "--dedup", "--funnel"]) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("funnel ")]
+    assert any("stage=input docs=8" in ln for ln in lines)
+    dedup_line = next(ln for ln in lines if "stage=exact_dedup" in ln)
+    assert "docs=7" in dedup_line and "retention=87.5%" in dedup_line
+
+
+def test_cli_curate_fuzzy_dedup_and_mixture_alpha(tmp_path, spark, capsys):
+    """--fuzzy-dedup keeps one representative per near-dup cluster;
+    --mixture-alpha replaces explicit weights with size-temperature
+    ones (and is exclusive with --mixture)."""
+    from resilispark.__main__ import main
+
+    base = "the quick brown fox jumps over the lazy dog once more today"
+    rows = [(0, base, "en", "web"), (1, base + " extra", "en", "web"),
+            (2, "entirely different text about query planning", "en", "books")]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+    out = str(tmp_path / "c")
+    assert main(["--cpus", "4", "curate", src, "-o", out,
+                 "--no-quality", "--keep-pii", "--fuzzy-dedup",
+                 "--mixture-alpha", "0.5", "--total-tokens", "1000000",
+                 "--funnel"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    fuzzy = next(ln for ln in lines if "stage=fuzzy_dedup" in ln)
+    assert "docs=2" in fuzzy  # 0/1 collapsed to one representative
+    shipped = spark.read.parquet(out)
+    assert shipped.count() == 2
+    # exclusivity
+    rc = main(["--cpus", "4", "curate", src, "-o", str(tmp_path / "c2"),
+               "--no-quality", "--keep-pii",
+               "--mixture", "web=1.0", "--mixture-alpha", "0.5"])
+    assert rc == 1
+
+
+def test_cli_curate_cardinality_sketch_and_report(tmp_path, spark, capsys):
+    """Two curate snapshots append to one sketch store; sketch-report
+    unions the stored rows into corpus-wide distinct/overlap counts."""
+    from resilispark.__main__ import main
+
+    def _src(name, lo, hi):
+        rows = [(i, f"document body number {i} words", "en", "web")
+                for i in range(lo, hi)]
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).write.parquet(p)
+        return p
+
+    store = str(tmp_path / "sk")
+    assert main(["--cpus", "4", "curate", _src("a.parquet", 0, 10),
+                 "-o", str(tmp_path / "c1"), "--no-quality", "--keep-pii",
+                 "--cardinality-sketch", store]) == 0
+    assert main(["--cpus", "4", "curate", _src("b.parquet", 5, 15),
+                 "-o", str(tmp_path / "c2"), "--no-quality", "--keep-pii",
+                 "--cardinality-sketch", store]) == 0
+    capsys.readouterr()
+    assert main(["--cpus", "4", "sketch-report", store]) == 0
+    out = capsys.readouterr().out
+    line = next(ln for ln in out.splitlines()
+                if ln.startswith("column=content_digest"))
+    assert "snapshots=2" in line
+    assert "union_distinct=15" in line
+    assert "cross_snapshot_overlap=5" in line
+
+
 def test_cli_curate_mixture_epochs_index_one_row_per_doc(tmp_path, spark):
     """Epoch-upsampled mixtures ship duplicate doc_ids to the output;
     the search index must still hold each document exactly once."""

@@ -3526,6 +3526,248 @@ class TestPersistedTextIndex:
         assert len(bm25_search(spark, idx, "common", k=10).collect()) == 4
 
 
+class TestPipelineFunnel:
+    def test_counts_ride_one_action(self, spark):
+        """Stage metrics resolve from the single terminal write; the
+        values match what per-stage count()s would have reported."""
+        from resilispark.operators.observe import PipelineFunnel
+
+        docs = spark.createDataFrame(
+            [(i, "word " * (i + 1)) for i in range(20)],
+            "doc_id long, text string",
+        )
+        funnel = PipelineFunnel()
+        d = funnel.stage(docs, "input")
+        d = funnel.stage(d.filter("doc_id % 2 = 0"), "evens")
+        d = funnel.stage(d.filter("doc_id < 10"), "small")
+        d.write.mode("overwrite").format("noop").save()
+        rows = funnel.rows()
+        assert [(r["stage"], r["docs"]) for r in rows] == [
+            ("input", 20), ("evens", 10), ("small", 5)
+        ]
+        assert rows[0]["retention"] is None
+        assert rows[1]["retention"] == 0.5
+        assert rows[2]["retention"] == 0.5
+        # chars track the text column exactly: 5 chars per "word "
+        assert rows[0]["chars"] == sum(5 * (i + 1) for i in range(20))
+        report = funnel.report()
+        assert "stage=evens" in report and "retention=50.0%" in report
+
+    def test_no_double_count_under_branchy_downstream(self, spark):
+        """The dedup ladder's join-back shapes evaluate an observed
+        subtree in two plan branches; each stage must still count
+        every row exactly once."""
+        from resilispark.operators.observe import PipelineFunnel
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i % 7}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        funnel = PipelineFunnel()
+        d = funnel.stage(docs, "input")
+        # exact_dedup shape: groupBy on a digest, join back
+        counts = d.groupBy("text").agg(F.count(F.lit(1)).alias("copies"))
+        d = funnel.stage(d.join(counts, "text"), "joined")
+        # union duplication on top
+        (d.union(d)).write.mode("overwrite").format("noop").save()
+        rows = funnel.rows()
+        assert [(r["stage"], r["docs"]) for r in rows] == [
+            ("input", 50), ("joined", 50)
+        ]
+
+    def test_token_column_appears_when_present(self, spark):
+        from resilispark.operators.observe import PipelineFunnel
+
+        docs = spark.createDataFrame(
+            [(1, "a b", 2), (2, "c", 1)], "doc_id long, text string, n_tok long"
+        )
+        funnel = PipelineFunnel(token_count_col="n_tok")
+        d = funnel.stage(docs.drop("n_tok"), "before")
+        d = funnel.stage(d.join(docs.select("doc_id", "n_tok"), "doc_id"),
+                         "with_tokens")
+        d.write.mode("overwrite").format("noop").save()
+        rows = funnel.rows()
+        assert rows[0]["tokens"] is None
+        assert rows[1]["tokens"] == 3
+
+
+class TestFuzzyDedup:
+    @staticmethod
+    def _near_dup_corpus(spark):
+        base_a = "the quick brown fox jumps over the lazy dog again and again"
+        base_b = "completely different content about spark query planning at scale"
+        rows = [
+            (0, base_a, 0.2),
+            (1, base_a + " extra", 0.9),   # near-dup of 0
+            (2, base_a + " more", 0.5),    # near-dup of 0
+            (3, base_b, 0.7),
+            (4, base_b + " tail", 0.1),    # near-dup of 3
+            (5, "a unique little document with its own words entirely", 0.3),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, score double")
+
+    def test_keeps_one_per_cluster_min_id(self, spark):
+        from resilispark.operators.dedup import fuzzy_dedup
+
+        docs = self._near_dup_corpus(spark)
+        kept = sorted(
+            r["doc_id"]
+            for r in fuzzy_dedup(docs, "text", "doc_id",
+                                 num_hashes=16, bands=8).collect()
+        )
+        assert kept == [0, 3, 5]
+
+    def test_score_col_keeps_best_copy(self, spark):
+        """Curation keeps the highest-quality member of a near-dup
+        cluster, not an arbitrary one."""
+        from resilispark.operators.dedup import fuzzy_dedup
+
+        docs = self._near_dup_corpus(spark)
+        kept = sorted(
+            r["doc_id"]
+            for r in fuzzy_dedup(docs, "text", "doc_id", score_col="score",
+                                 num_hashes=16, bands=8).collect()
+        )
+        assert kept == [1, 3, 5]  # 1 beats 0/2 on score; 3 beats 4
+
+    def test_null_scores_rank_lowest(self, spark):
+        from resilispark.operators.dedup import fuzzy_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (0, "same words in every single one of these documents", None),
+                (1, "same words in every single one of these documents x", 0.1),
+            ],
+            "doc_id long, text string, score double",
+        )
+        kept = [r["doc_id"] for r in
+                fuzzy_dedup(docs, "text", "doc_id", score_col="score",
+                            num_hashes=16, bands=8).collect()]
+        assert kept == [1]
+
+    def test_no_pairs_is_identity(self, spark):
+        from resilispark.operators.dedup import fuzzy_dedup
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta"),
+             (1, "one two three four five six seven")],
+            "doc_id long, text string",
+        )
+        assert fuzzy_dedup(docs, "text", "doc_id").count() == 2
+
+    def test_semantic_dedup_score_col(self, spark):
+        """The embedding-side sibling honors score_col the same way."""
+        from resilispark.operators.similarity import semantic_dedup
+
+        vecs = [
+            (0, [1.0, 0.0, 0.0], 0.2),
+            (1, [0.999, 0.01, 0.0], 0.9),   # near-dup of 0, better score
+            (2, [0.0, 1.0, 0.0], 0.5),
+        ]
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>, score double"
+        )
+        kept = sorted(
+            r["vec_id"]
+            for r in semantic_dedup(df, threshold=0.99, bits=4,
+                                    score_col="score").collect()
+        )
+        assert kept == [1, 2]
+
+
+class TestTemperatureWeights:
+    def test_alpha_endpoints(self, spark):
+        from resilispark.operators.corpus import temperature_weights
+
+        docs = spark.createDataFrame(
+            [("big", "w " * 90), ("small", "w " * 10)],
+            "source string, text string",
+        )
+        natural = temperature_weights(docs, alpha=1.0)
+        assert abs(natural["big"] - 0.9) < 1e-9
+        uniform = temperature_weights(docs, alpha=0.0)
+        assert abs(uniform["big"] - 0.5) < 1e-9
+        mid = temperature_weights(docs, alpha=0.5)
+        assert 0.5 < mid["big"] < 0.9  # between uniform and natural
+
+    def test_bad_alpha_and_empty(self, spark):
+        import pytest
+
+        from resilispark.operators.corpus import temperature_weights
+
+        docs = spark.createDataFrame(
+            [("a", "w w")], "source string, text string"
+        )
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_weights(docs, alpha=1.5)
+        with pytest.raises(ValueError, match="no source"):
+            temperature_weights(docs.filter("source = 'nope'"))
+
+
+class TestCardinalitySketches:
+    def test_column_sketches_one_pass_exact_at_small_n(self, spark):
+        """Below ~1k distincts an lg_k=12 HLL is exact; all columns
+        sketch in ONE aggregation job (a single agg row, stacked)."""
+        from resilispark.operators.sketches import column_sketches
+
+        docs = spark.createDataFrame(
+            [(i % 40, f"host{i % 7}") for i in range(500)],
+            "digest long, host string",
+        )
+        out = {r["column"]: r for r in
+               column_sketches(docs, ["digest", "host"]).collect()}
+        assert out["digest"]["estimate"] == 40
+        assert out["host"]["estimate"] == 7
+        plan = (
+            column_sketches(docs, ["digest", "host"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "EvalPython" not in plan  # JVM DataSketches, no UDF
+
+    def test_derived_columns_and_empty_input(self, spark):
+        from resilispark.operators.sketches import column_sketches
+
+        docs = spark.createDataFrame(
+            [("a b",), ("a b",), ("c",)], "text string"
+        )
+        got = column_sketches(docs, {"digest": F.md5("text")}).collect()
+        assert got[0]["estimate"] == 2
+        empty = column_sketches(docs.filter("text = 'nope'"),
+                                ["text"]).collect()
+        assert empty[0]["estimate"] == 0
+
+    def test_store_union_and_overlap(self, spark, tmp_path):
+        """Two snapshots sharing half their values: the union over the
+        stored sketches reports global distincts and the recurring
+        count — without reading either corpus again."""
+        from resilispark.operators.sketches import (
+            sketch_store_estimates,
+            write_snapshot_sketch,
+        )
+
+        store = str(tmp_path / "sk")
+        crawl1 = spark.range(0, 100).selectExpr("id as v")
+        crawl2 = spark.range(50, 150).selectExpr("id as v")
+        write_snapshot_sketch(crawl1, store, snapshot="c1", cols=["v"])
+        write_snapshot_sketch(crawl2, store, snapshot="c2", cols=["v"])
+        r = sketch_store_estimates(spark, store).collect()[0]
+        assert r["n_snapshots"] == 2
+        assert r["union_distinct"] == 150
+        assert r["sum_snapshot_distinct"] == 200
+        assert r["cross_snapshot_overlap"] == 50
+
+    def test_store_refuses_duplicate_snapshot(self, spark, tmp_path):
+        import pytest
+
+        from resilispark.operators.sketches import write_snapshot_sketch
+
+        store = str(tmp_path / "sk")
+        df = spark.range(10).selectExpr("id as v")
+        write_snapshot_sketch(df, store, snapshot="c1", cols=["v"])
+        with pytest.raises(ValueError, match="already present"):
+            write_snapshot_sketch(df, store, snapshot="c1", cols=["v"])
+
+
 class TestPackingSeparatorAndBoundaries:
     def test_separator_serial_equivalence(self, spark):
         """EOS after every doc: the packed stream equals the serial

@@ -37,6 +37,7 @@ PICKS = {
     "t08_emit_sequences": "Materialized packing: two-phase prefix-sum layout (light columns only through the checkpoint) -> text joined back by id -> per-sequence fragment explode -> one reassembly aggregate; per-task state bounded by one sequence.",
     "t09_bpe_tokens": "Learned-BPE encode: ONE Arrow-batched projection with the frozen merge table riding in the UDF closure; count + md5 are codegen above it; no shuffle, sort only at output.",
     "d12_incremental_dedup": "Incremental dedup probe: digest LEFT SEMI join + band-key LEFT SEMI join + per-doc collision count — every join sized by the snapshot side, store reads pruned by the band_idx partition key.",
+    "d13_fuzzy_dedup": "Keep-best fuzzy dedup: checkpointed pair graph -> pointer-jump component rounds -> ONE partial-aggregated max(struct) per cluster for the representative (no window) -> LEFT ANTI drop of the losers.",
 }
 
 _KEEP = re.compile(
