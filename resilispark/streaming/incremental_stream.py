@@ -1,0 +1,105 @@
+"""Streaming crawl-over-crawl: the incremental dedup-store loop as a
+Structured Streaming sink.
+
+The batch loop (``curate --dedup-store``, operators/incremental.py)
+probes a persisted corpus state per SNAPSHOT.  This module runs the
+same loop per MICRO-BATCH: a continuously-watched drop directory of
+crawl output streams through `foreachBatch`, each batch ships only the
+docs the corpus has never seen, and the store grows in place — a
+standing ingest service instead of a scheduled job.
+
+Failure contract (foreachBatch is at-least-once; the work inside must
+make that exactly-once-where-it-counts):
+
+* Per-batch output goes to ``{output}/batch_id=N`` with overwrite —
+  a retried batch REPLACES its own directory, so the sink never
+  duplicates rows.
+* A retry AFTER the directory committed (``_SUCCESS`` present) must
+  not re-probe the store — the first attempt may already have folded
+  the batch in, and a re-probe would find nothing novel and overwrite
+  the directory EMPTY (silent output loss).  Instead the committed
+  directory is re-read and only the store fold is redone.
+* The store fold is itself retry-safe because the dedup store is
+  duplicate-TOLERANT by contract (membership semi-joins; appended keys
+  may duplicate existing ones — operators/incremental.py
+  ``update_dedup_store``), so folding the same batch twice changes
+  nothing observable.  ``compact_dedup_store`` reclaims the overlap.
+
+Ordering inside one attempt: probe -> write output dir -> fold store.
+Every crash point replays to a correct state; none loses shipped docs
+or double-ships them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from resilispark.io.fs import get_fs
+
+
+def incremental_dedup_sink(
+    docs_stream: DataFrame,
+    store_path: str,
+    output_path: str,
+    *,
+    checkpoint_dir: str,
+    bands: int = 4,
+    shingle_k: int = 3,
+    min_bands: int = 1,
+    query_name: str = "incremental_curation",
+    trigger: dict | None = None,
+):
+    """Start the streaming incremental-curation query.
+
+    ``docs_stream`` is any streaming DataFrame with (doc_id, text)
+    columns (e.g. the warc-stream source through the extract chain).
+    Returns the started ``StreamingQuery``; pass ``trigger`` kwargs
+    (e.g. ``{"availableNow": True}``) to control batching.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from resilispark.operators.incremental import (
+            dedup_against,
+            dedup_store_exists,
+            update_dedup_store,
+            write_dedup_store,
+        )
+
+        spark = batch_df.sparkSession
+        batch_dir = f"{output_path}/batch_id={batch_id}"
+        committed = get_fs(batch_dir).exists(f"{batch_dir}/_SUCCESS")
+        if committed:
+            # replayed batch whose output already shipped: recover the
+            # docs from the committed directory (the probe would now
+            # report them known and wrongly empty this batch's output)
+            novel = spark.read.schema(batch_df.schema).parquet(batch_dir)
+        else:
+            if dedup_store_exists(spark, store_path):
+                novel = (
+                    dedup_against(batch_df, store_path, min_bands=min_bands)
+                    .filter("is_novel")
+                    .drop("known_exact", "known_bands", "is_novel")
+                )
+            else:
+                novel = batch_df
+            novel.write.mode("overwrite").parquet(batch_dir)
+            # read the committed files back: the store fold below must
+            # see EXACTLY what shipped, and must not re-run the probe
+            # lineage (one probe per batch, not two)
+            novel = spark.read.schema(batch_df.schema).parquet(batch_dir)
+        if dedup_store_exists(spark, store_path):
+            update_dedup_store(novel, store_path)
+        else:
+            write_dedup_store(
+                novel, store_path, bands=bands, shingle_k=shingle_k
+            )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -356,3 +356,60 @@ def test_streaming_learned_filters(spark, fixture_dir, drop_dir):
     assert rows
     assert all(r.quality_score is not None and 0.0 <= r.quality_score <= 1.0 for r in rows)
     assert all(r.log_ppl is not None and r.log_ppl > 0 for r in rows)
+
+
+def test_streaming_incremental_dedup_sink(spark, tmp_path):
+    """The crawl-over-crawl loop as a stream: each micro-batch ships
+    only docs the persisted store has never seen, across SEPARATE query
+    runs (the store is the cross-run memory, the checkpoint the
+    cross-run progress)."""
+    from pyspark.sql import functions as F
+
+    from resilispark.streaming.incremental_stream import incremental_dedup_sink
+
+    drop = tmp_path / "docs_drop"
+    drop.mkdir()
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def _run():
+        stream = spark.readStream.schema(schema).parquet(str(drop))
+        q = incremental_dedup_sink(
+            stream, store, out, checkpoint_dir=ckpt,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    def _drop_file(rows, name):
+        # the file stream source lists FILES, not nested dirs: write to
+        # a staging dir and move the single part file into the drop
+        import glob as _g
+
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        (part,) = _g.glob(str(stage / "part-*.parquet"))
+        shutil.copy(part, str(drop / name))
+
+    docs1 = [(i, f"unique document body number {i} with words") for i in range(10)]
+    _drop_file(docs1, "crawl1.parquet")
+    _run()
+    shipped1 = spark.read.schema(schema).parquet(f"{out}/batch_id=*")
+    assert shipped1.count() == 10
+
+    # crawl 2: 5 repeats (same text, new ids) + 5 genuinely new docs
+    docs2 = [(100 + i, f"unique document body number {i} with words") for i in range(5)]
+    docs2 += [(200 + i, f"fresh never seen content {i} entirely") for i in range(5)]
+    _drop_file(docs2, "crawl2.parquet")
+    _run()
+    shipped = spark.read.schema(schema).parquet(f"{out}/batch_id=*")
+    assert shipped.count() == 15  # only the 5 novel docs joined
+    texts = {r["text"] for r in shipped.collect()}
+    assert len(texts) == 15  # no text shipped twice
+    # the store grew to cover everything shipped
+    digests = spark.read.parquet(f"{store}/digests").distinct().count()
+    assert digests == 15
