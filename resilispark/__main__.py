@@ -714,6 +714,27 @@ def cmd_search(args) -> int:
     the shard directories its terms hash into)."""
     spark = _spark(args.cpus)
 
+    if getattr(args, "queries", None):
+        if not args.index:
+            print("error: --queries batch mode requires --index",
+                  file=sys.stderr)
+            return 1
+        from resilispark.operators.search import bm25_search_many
+
+        with open(args.queries) as f:
+            qs = [(i, ln.strip()) for i, ln in enumerate(f) if ln.strip()]
+        if not qs:
+            print("error: --queries file has no queries", file=sys.stderr)
+            return 1
+        for r in bm25_search_many(spark, args.input, qs, k=args.k).collect():
+            print(
+                f"{r['query_id']:4d}  {r['rank']:3d}  "
+                f"{r['score']:8.4f}  {r['doc_id']}"
+            )
+        return 0
+    if args.query is None:
+        print("error: provide a query or --queries FILE", file=sys.stderr)
+        return 1
     if getattr(args, "index", False):
         from resilispark.operators.search import bm25_search
 
@@ -1267,13 +1288,17 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("search", help="BM25 keyword search over a corpus")
     p.add_argument("input", help="parquet corpus, or an index with --index")
-    p.add_argument("query")
+    p.add_argument("query", nargs="?", default=None)
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--index", action="store_true",
                    help="INPUT is a search-index build: query reads only "
                         "the term shards, not the corpus")
+    p.add_argument("--queries", default=None, metavar="FILE",
+                   help="batch mode (requires --index): one query per "
+                        "line, all scored in ONE pruned pass "
+                        "(bm25_search_many)")
     p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser(

@@ -420,3 +420,99 @@ def update_text_index(
         [(int(n_docs), float(avgdl or 0.0), st["n_shards"], st["lowercase"], 1)],
         "n_docs bigint, avgdl double, n_shards int, lowercase boolean, version int",
     ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_search_many(
+    spark,
+    index_path: str,
+    queries,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Score MANY queries against a :func:`build_text_index` index in
+    ONE pass — the bulk-retrieval shape (an eval set, a RAG batch, a
+    decontamination probe list) where looping :func:`bm25_search` would
+    re-open the index per query.
+
+    ``queries``: a DataFrame with (query_id, query) columns, or a list
+    of ``(id, text)`` tuples.  The union of all queries' terms prunes
+    the postings read to its shard set (one tiny local job computes
+    the shards, exactly like the single-query path); the query->term
+    table is broadcast, so the postings side is touched ONCE no matter
+    how many queries ride along.  Per-query top-k runs as a window
+    partitioned BY QUERY — parallelism scales with the number of
+    queries, no global single-task rank.
+
+    Exactness: for any single query the (doc_id, score, rank) rows
+    equal :func:`bm25_search`'s.  Returns (query_id, doc_id, score,
+    n_hits, rank) with rank 1..k per query.
+    """
+    stats = spark.read.parquet(f"{index_path}/stats").collect()
+    if len(stats) != 1 or stats[0]["version"] != 1:
+        raise ValueError(f"corrupt or incompatible index stats at {index_path}")
+    st = stats[0]
+    if not st["n_docs"]:
+        raise ValueError("empty index")
+    if not isinstance(queries, DataFrame):
+        queries = spark.createDataFrame(
+            list(queries), f"{query_id_col} long, {query_col} string"
+        )
+    qtext = (
+        F.lower(F.col(query_col)) if st["lowercase"] else F.col(query_col)
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.split(F.trim(qtext), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    # driver-side term list for shard pruning (queries are driver-scale
+    # by definition — they arrive as a list or a small table)
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    if not terms:
+        raise ValueError("no non-empty query")
+    shards = _term_shards(spark, terms, st["n_shards"])
+    postings = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("shard").isin(shards))
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term", "tf")
+    )
+    dfc = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    idf = F.log(
+        1.0
+        + (F.lit(float(st["n_docs"])) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    lengths = spark.read.parquet(f"{index_path}/lengths")
+    score_term = F.col("_idf") * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(st["avgdl"])))
+    )
+    scored = (
+        postings.join(F.broadcast(dfc.withColumn("_idf", idf)), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(lengths, "doc_id")
+        .withColumn("_s", score_term)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("_s").alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

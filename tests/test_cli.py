@@ -851,6 +851,33 @@ def test_cli_curate_builds_search_index(tmp_path, spark, capsys):
     assert outp.strip().splitlines()[0].split()[-1] == "3"
 
 
+def test_cli_search_batch_queries(tmp_path, spark, capsys):
+    """search --index --queries FILE scores every line in one pass."""
+    from resilispark.__main__ import main
+
+    rows = [(i, "term%d appears here with shared words" % i, "en", "web")
+            for i in range(10)]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert main(["--cpus", "4", "search-index", src, "-o", idx]) == 0
+    qf = tmp_path / "queries.txt"
+    qf.write_text("term3\nterm7 shared\n\n")
+    capsys.readouterr()
+    assert main(["--cpus", "4", "search", idx, "--index",
+                 "--queries", str(qf)]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    # query 0 ("term3"): rank-1 hit is doc 3; query 1 leads with doc 7
+    q0 = [ln for ln in out if ln.split()[0] == "0"]
+    q1 = [ln for ln in out if ln.split()[0] == "1"]
+    assert q0[0].split()[-1] == "3"
+    assert q1[0].split()[-1] == "7"
+    # batch mode without --index is refused
+    assert main(["--cpus", "4", "search", src, "--queries", str(qf)]) == 1
+
+
 def test_cli_curate_refuses_existing_index_without_store(tmp_path, spark, capsys):
     """An existing index with no novelty guarantee must be refused:
     appending would double-count, rebuilding would drop prior crawls."""

@@ -3506,6 +3506,48 @@ class TestPersistedTextIndex:
         ]
         assert got == want
 
+    def test_search_many_matches_per_query_search(self, spark, tmp_path):
+        """bm25_search_many scores a batch of queries in one pruned
+        pass; per query the (doc, score, rank) rows are exactly the
+        single-query path's."""
+        from resilispark.operators.search import (
+            bm25_search,
+            bm25_search_many,
+            build_text_index,
+        )
+
+        df = self._corpus(spark)
+        idx = str(tmp_path / "idx")
+        build_text_index(df, idx, n_shards=16)
+        qs = [(0, "common rare7"), (1, "filler3"), (2, "nosuchterm"),
+              (3, "common common filler1")]
+        many = bm25_search_many(spark, idx, qs, k=5).collect()
+        got = {}
+        for r in many:
+            got.setdefault(r["query_id"], []).append(
+                (r["doc_id"], round(r["score"], 9), r["n_hits"], r["rank"])
+            )
+        for qid, qtext in qs:
+            want = [
+                (r["doc_id"], round(r["score"], 9), r["n_hits"], r["rank"])
+                for r in bm25_search(spark, idx, qtext, k=5).collect()
+            ]
+            assert got.get(qid, []) == want, qtext
+
+    def test_search_many_validates_input(self, spark, tmp_path):
+        import pytest
+
+        from resilispark.operators.search import (
+            bm25_search_many,
+            build_text_index,
+        )
+
+        df = self._corpus(spark)
+        idx = str(tmp_path / "idx")
+        build_text_index(df, idx, n_shards=8)
+        with pytest.raises(ValueError, match="no non-empty query"):
+            bm25_search_many(spark, idx, [(0, "   ")])
+
     def test_empty_corpus_builds_valid_index(self, spark, tmp_path):
         """An all-filtered snapshot must still produce a stats-complete
         (queryable, growable) index, not a schema-inference crash."""
