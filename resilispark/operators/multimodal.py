@@ -317,3 +317,117 @@ def resize_images(
             )
 
     return media.mapInPandas(op, schema=RESIZED_IMAGE_SCHEMA)
+
+
+PHASH_SCHEMA = "media_id string, mime string, phash bigint"
+
+
+def _phash64(rgb) -> int:
+    """64-bit perceptual hash of an RGB array: luma -> 32x32
+    area-average downscale -> 2D DCT-II (explicit cosine matmul; no
+    scipy) -> the 8x8 low-frequency block thresholded at the median of
+    its non-DC coefficients.  Deterministic across platforms (pure
+    float64 numpy); robust to re-encode/resize/small edits, which is
+    what makes Hamming distance on it a near-duplicate signal."""
+    import numpy as np
+
+    small = _box_resize(rgb, 32, 32).astype("float64")
+    gray = (
+        small[..., 0] * 0.299 + small[..., 1] * 0.587 + small[..., 2] * 0.114
+    )
+    n = 32
+    x = np.arange(n)
+    u = np.arange(n)
+    cosm = np.cos(np.pi * (2 * x[None, :] + 1) * u[:, None] / (2 * n))
+    dct = cosm @ gray @ cosm.T
+    block = dct[:8, :8].ravel()
+    med = float(np.median(block[1:]))
+    val = 0
+    for coef in block:
+        val = (val << 1) | (1 if coef > med else 0)
+    if val >= 1 << 63:  # LongType is signed
+        val -= 1 << 64
+    return val
+
+
+def image_phash(media: DataFrame, *, fake: bool = False) -> DataFrame:
+    """media(MEDIA_SCHEMA) -> (media_id, mime, phash BIGINT) via
+    mapInPandas — same Arrow-batched, shuffle-free plumbing as the
+    other media kernels; a corrupt payload yields a NULL phash (R4
+    quarantine policy), never a failed task."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                if fake or _fake_enabled():
+                    dg = hashlib.sha256(payload).digest()
+                    val = int.from_bytes(dg[:8], "big", signed=True)
+                    rows.append((mid, mime, val))
+                    continue
+                try:
+                    from resilispark.io.codecs import decode_image
+
+                    rows.append((mid, mime, _phash64(decode_image(payload))))
+                except Exception:
+                    rows.append((mid, mime, None))
+            yield pd.DataFrame(rows, columns=["media_id", "mime", "phash"])
+
+    return media.mapInPandas(op, schema=PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame,
+    *,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_distance: int = 6,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Image near-duplicate candidate pairs by pHash Hamming distance —
+    the multimodal sibling of the d08 SimHash pair generator, built on
+    the same chunked-bucket machinery.
+
+    The 64-bit hash bands into four 16-bit chunks; by pigeonhole every
+    pair within Hamming distance 3 shares at least one exact chunk
+    (guaranteed recall there), and pairs up to ``max_distance`` are
+    found whenever their differing bits leave one chunk intact — the
+    standard banding/recall trade, stated rather than hidden.  Chunk
+    buckets are capped at ``max_bucket`` (a hot chunk value spreads
+    over chunk-pairs instead of melting one reducer); candidates are
+    verified with exact ``bit_count(xor)``.  Returns (id_a, id_b,
+    hamming), NULL hashes excluded.
+    """
+    from resilispark.operators.dedup import lsh_bucket_pairs
+
+    fps = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("_pid"), F.col(hash_col).alias("_ph")
+    )
+    chunks = fps.select(
+        F.struct("_pid", "_ph").alias("m"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned("_ph", 16 * i)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("m", F.col("c.band_idx").alias("band_idx"), F.col("c.val").alias("val"))
+    return (
+        lsh_bucket_pairs(chunks, "m", max_bucket=max_bucket)
+        .select(
+            F.col("doc_a._pid").alias("id_a"),
+            F.col("doc_b._pid").alias("id_b"),
+            F.expr("bit_count(doc_a._ph ^ doc_b._ph)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )

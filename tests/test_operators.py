@@ -1229,6 +1229,89 @@ class TestResizeImages:
         assert rows["bad"].rgb is None  # quarantined, not a task failure
 
 
+class TestImagePhash:
+    @staticmethod
+    def _media_df(spark, items):
+        return spark.createDataFrame(
+            [(mid, "image/png", bytearray(payload), (None, None, None, None))
+             for mid, payload in items],
+            "media_id string, mime string, payload binary, "
+            "meta struct<width:int,height:int,duration_ms:long,codec:string>",
+        )
+
+    def test_phash_is_perceptual(self, spark):
+        """Noise-perturbed and rescaled copies land within a few bits;
+        unrelated images land tens of bits away; corrupt payloads
+        quarantine to NULL."""
+        import numpy as np
+
+        from resilispark.io.codecs import encode_png
+        from resilispark.operators.multimodal import image_phash
+
+        rng = np.random.RandomState(0)
+        base = rng.randint(0, 256, (64, 64, 3)).astype("uint8")
+        near = np.clip(
+            base.astype(int) + rng.randint(-3, 4, base.shape), 0, 255
+        ).astype("uint8")
+        diff = np.random.RandomState(1).randint(0, 256, (64, 64, 3)).astype("uint8")
+        upscaled = base.repeat(2, axis=0).repeat(2, axis=1)
+        media = self._media_df(spark, [
+            ("base", encode_png(base)), ("near", encode_png(near)),
+            ("diff", encode_png(diff)), ("up", encode_png(upscaled)),
+            ("bad", b"notanimage"),
+        ])
+        got = {r.media_id: r.phash for r in image_phash(media).collect()}
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        assert got["bad"] is None
+        assert ham(got["base"], got["near"]) <= 6
+        assert ham(got["base"], got["up"]) <= 6
+        assert ham(got["base"], got["diff"]) > 12
+
+    def test_neardup_pairs(self, spark):
+        """Banded Hamming pairs: near-dup copies pair up, unrelated
+        images don't, NULL hashes are excluded."""
+        import numpy as np
+
+        from resilispark.io.codecs import encode_png
+        from resilispark.operators.multimodal import (
+            image_phash,
+            phash_neardup_pairs,
+        )
+
+        rng = np.random.RandomState(0)
+        base = rng.randint(0, 256, (48, 48, 3)).astype("uint8")
+        near = np.clip(
+            base.astype(int) + rng.randint(-2, 3, base.shape), 0, 255
+        ).astype("uint8")
+        diff = np.random.RandomState(7).randint(0, 256, (48, 48, 3)).astype("uint8")
+        media = self._media_df(spark, [
+            ("a", encode_png(base)), ("b", encode_png(near)),
+            ("c", encode_png(diff)), ("bad", b"x"),
+        ])
+        pairs = phash_neardup_pairs(image_phash(media), max_distance=6).collect()
+        got = {tuple(sorted((r.id_a, r.id_b))) for r in pairs}
+        assert ("a", "b") in got
+        assert all("c" not in p and "bad" not in p for p in got)
+
+    def test_exact_duplicates_distance_zero(self, spark):
+        import numpy as np
+
+        from resilispark.io.codecs import encode_png
+        from resilispark.operators.multimodal import (
+            image_phash,
+            phash_neardup_pairs,
+        )
+
+        img = np.random.RandomState(3).randint(0, 256, (32, 32, 3)).astype("uint8")
+        media = self._media_df(spark, [("x", encode_png(img)),
+                                       ("y", encode_png(img))])
+        (pair,) = phash_neardup_pairs(image_phash(media)).collect()
+        assert pair.hamming == 0
+
+
 class TestParagraphDedup:
     def test_keep_first_and_reassemble(self, spark):
         from resilispark.operators.dedup import paragraph_dedup
