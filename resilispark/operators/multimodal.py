@@ -431,3 +431,149 @@ def phash_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+AUDIO_FP_SCHEMA = "media_id string, mime string, afp bigint"
+
+
+def _audio_fingerprint64(samples) -> int:
+    """64-bit audio fingerprint: mono mix -> 65 equal frames -> per-
+    frame RMS -> bit i = rms[i+1] > rms[i] (the energy-TREND signs, a
+    Shazam-style envelope signature).  Comparisons of RMS values are
+    invariant under volume scaling, so a gain-adjusted copy fingerprints
+    identically; small additive noise flips only bits whose neighboring
+    frames are near-equal.  Deterministic pure numpy."""
+    import numpy as np
+
+    mono = samples.mean(axis=1) if samples.ndim > 1 else samples
+    n = mono.shape[0]
+    if n < 65:
+        mono = np.pad(mono, (0, 65 - n))
+        n = 65
+    edges = (np.arange(66) * n) // 65
+    sq = np.concatenate(([0.0], np.cumsum(mono.astype("float64") ** 2)))
+    frames = sq[edges[1:]] - sq[edges[:-1]]
+    widths = np.maximum(edges[1:] - edges[:-1], 1)
+    rms = np.sqrt(frames / widths)
+    val = 0
+    for i in range(64):
+        val = (val << 1) | (1 if rms[i + 1] > rms[i] else 0)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def audio_fingerprint(media: DataFrame, *, fake: bool = False) -> DataFrame:
+    """media(MEDIA_SCHEMA) -> (media_id, mime, afp BIGINT) via
+    mapInPandas — the audio sibling of :func:`image_phash`; pair
+    near-duplicates with :func:`phash_neardup_pairs`
+    (``hash_col="afp"``), which is generic over any 64-bit hash.
+    Corrupt payloads yield NULL (R4 quarantine), never a failed task."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                if fake or _fake_enabled():
+                    dg = hashlib.sha256(payload).digest()
+                    rows.append(
+                        (mid, mime, int.from_bytes(dg[8:16], "big", signed=True))
+                    )
+                    continue
+                try:
+                    from resilispark.io.codecs import decode_wav
+
+                    _, _, samples = decode_wav(payload)
+                    rows.append((mid, mime, _audio_fingerprint64(samples)))
+                except Exception:
+                    rows.append((mid, mime, None))
+            yield pd.DataFrame(rows, columns=["media_id", "mime", "afp"])
+
+    return media.mapInPandas(op, schema=AUDIO_FP_SCHEMA)
+
+
+VIDEO_PHASH_SCHEMA = "media_id string, frame_idx int, frame_ts_ms long, phash bigint"
+
+
+def video_phash(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """REAL per-frame perceptual hashes: decode each payload as a
+    RIFF/AVI container (the same pure-Python path as
+    :func:`extract_video_frames`), sample one frame per ``every_ms``
+    tick, and :func:`_phash64` it.  One row per sampled frame —
+    (media_id, frame_idx, frame_ts_ms, phash); undecodable payloads
+    yield a single NULL row (R4 quarantine)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from resilispark.io.codecs import decode_avi_frames
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    fps, frames = decode_avi_frames(payload)
+                except Exception:
+                    rows.append((mid, None, None, None))
+                    continue
+                if not frames:
+                    rows.append((mid, None, None, None))
+                    continue
+                duration_ms = len(frames) / fps * 1000.0
+                seen = set()
+                ts = 0
+                while ts < duration_ms:
+                    idx = min(int(ts * fps / 1000.0), len(frames) - 1)
+                    if idx not in seen:  # repeated ticks on one frame
+                        seen.add(idx)
+                        rows.append(
+                            (mid, idx, ts, _phash64(frames[idx]))
+                        )
+                    ts += every_ms
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "frame_ts_ms", "phash"],
+            )
+
+    return media.mapInPandas(op, schema=VIDEO_PHASH_SCHEMA)
+
+
+def video_neardup_pairs(
+    frame_hashes: DataFrame,
+    *,
+    min_matching_frames: int = 2,
+    max_distance: int = 6,
+    id_col: str = "media_id",
+    frame_col: str = "frame_idx",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Video-level near-duplicate pairs from :func:`video_phash` rows:
+    two videos pair when at least ``min_matching_frames`` of their
+    sampled frames are within ``max_distance`` pHash bits — re-encoded
+    or trimmed copies share most frame hashes, unrelated footage
+    shares none.  Frame-level candidates go through the SAME banded
+    Hamming machinery (ids are (media_id, frame_idx) structs); the
+    video-level rollup is one partial-aggregated count per pair.
+    Returns (video_a, video_b, n_frame_matches, min_hamming)."""
+    fh = frame_hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.struct(
+            F.col(id_col).alias("vid"), F.col(frame_col).alias("fi")
+        ).alias("_fid"),
+        F.col(hash_col).alias("_fh"),
+    )
+    pairs = phash_neardup_pairs(
+        fh, id_col="_fid", hash_col="_fh", max_distance=max_distance
+    )
+    cross = pairs.filter(F.col("id_a.vid") != F.col("id_b.vid"))
+    va = F.least(F.col("id_a.vid"), F.col("id_b.vid"))
+    vb = F.greatest(F.col("id_a.vid"), F.col("id_b.vid"))
+    return (
+        cross.groupBy(va.alias("video_a"), vb.alias("video_b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frame_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("n_frame_matches") >= min_matching_frames)
+    )
