@@ -175,6 +175,15 @@ def cmd_curate(args) -> int:
     Gopher quality filter -> optional benchmark decontamination ->
     optional deterministic mixture sample -> hive-partitioned parquet
     corpus + a datasheet printed to stdout."""
+    # pure flag-combination errors fail BEFORE any Spark work (a usage
+    # mistake must not cost a half-run pipeline)
+    if args.mixture and getattr(args, "mixture_alpha", None) is not None:
+        print(
+            "error: --mixture and --mixture-alpha are exclusive "
+            "(explicit weights vs size-temperature weights)",
+            file=sys.stderr,
+        )
+        return 1
     from pyspark.sql import functions as F
 
     from resilispark.operators.corpus import (
@@ -377,26 +386,24 @@ def cmd_curate(args) -> int:
 
         docs = bpe_encode_col(docs, _tokenizer_from(args), ids_col=None)
         token_count_col = "n_bpe_tokens"
-    if args.mixture and getattr(args, "mixture_alpha", None) is not None:
-        print(
-            "error: --mixture and --mixture-alpha are exclusive "
-            "(explicit weights vs size-temperature weights)",
-            file=sys.stderr,
-        )
-        return 1
     if args.mixture or getattr(args, "mixture_alpha", None) is not None:
+        totals = None
         if args.mixture:
             weights = {}
             for part in args.mixture.split(","):
                 src, _, w = part.partition("=")
                 weights[src] = float(w)
         else:
-            from resilispark.operators.corpus import temperature_weights
+            from resilispark.operators.corpus import (
+                source_token_totals,
+                temperature_weights_from_totals,
+            )
 
-            weights = temperature_weights(
-                docs,
-                alpha=args.mixture_alpha,
-                token_count_col=token_count_col,
+            # ONE aggregation feeds both the weights and the sampler —
+            # a second pass would re-execute the whole upstream ladder
+            totals = source_token_totals(docs, token_count_col=token_count_col)
+            weights = temperature_weights_from_totals(
+                totals, alpha=args.mixture_alpha
             )
         docs = _fn(
             sample_token_mixture(
@@ -405,6 +412,7 @@ def cmd_curate(args) -> int:
                 args.total_tokens,
                 max_epochs=args.mixture_epochs,
                 token_count_col=token_count_col,
+                per_source_tokens=totals,
             ),
             "mixture",
         )
@@ -448,22 +456,6 @@ def cmd_curate(args) -> int:
     if funnel is not None:
         # resolved by the output write above — zero extra jobs
         print(funnel.report())
-    if getattr(args, "cardinality_sketch", None):
-        # persist this snapshot's HLL sketches (few KB): corpus-wide
-        # distinct counts and crawl-over-crawl overlap later come from
-        # unioning the stored rows, never from rescanning old crawls
-        from resilispark.operators.sketches import write_snapshot_sketch
-
-        shipped = _read_output()
-        sketch_cols = {"content_digest": F.md5(F.col("text"))}
-        if "url" in shipped.columns:
-            sketch_cols["url"] = F.col("url")
-            sketch_cols["host"] = F.parse_url(F.col("url"), F.lit("HOST"))
-        write_snapshot_sketch(
-            shipped, args.cardinality_sketch,
-            snapshot=args.output, cols=sketch_cols,
-        )
-        print(f"appended cardinality sketch to {args.cardinality_sketch}")
     if getattr(args, "search_index", None):
         # index-once-at-curation: every later `search --index` query
         # reads term shards instead of rescanning the corpus.  With an
@@ -521,6 +513,28 @@ def cmd_curate(args) -> int:
             )
         print(f"{'updated' if store_exists else 'initialized'} dedup store "
               f"{args.dedup_store}")
+    if getattr(args, "cardinality_sketch", None):
+        # persist this snapshot's HLL sketches (few KB): corpus-wide
+        # distinct counts and crawl-over-crawl overlap later come from
+        # unioning the stored rows, never from rescanning old crawls.
+        # Runs AFTER the index/store updates with skip_existing so a
+        # retried run (sketch already recorded) still re-establishes
+        # the store/index instead of dying on the duplicate label.
+        from resilispark.operators.sketches import write_snapshot_sketch
+
+        shipped = _read_output()
+        sketch_cols = {"content_digest": F.md5(F.col("text"))}
+        if "url" in shipped.columns:
+            sketch_cols["url"] = F.col("url")
+            sketch_cols["host"] = F.parse_url(F.col("url"), F.lit("HOST"))
+        appended = write_snapshot_sketch(
+            shipped, args.cardinality_sketch,
+            snapshot=args.output, cols=sketch_cols, skip_existing=True,
+        )
+        print(
+            f"{'appended cardinality sketch to' if appended else 'cardinality sketch already recorded in'} "
+            f"{args.cardinality_sketch}"
+        )
     if args.pack:
         from resilispark.operators.packing import emit_sequences
 
@@ -715,6 +729,14 @@ def cmd_search(args) -> int:
     spark = _spark(args.cpus)
 
     if getattr(args, "queries", None):
+        if args.query is not None:
+            print(
+                "error: give either a positional QUERY or --queries FILE, "
+                "not both (the positional query would be silently "
+                "ignored)",
+                file=sys.stderr,
+            )
+            return 1
         if not args.index:
             print("error: --queries batch mode requires --index",
                   file=sys.stderr)

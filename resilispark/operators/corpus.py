@@ -113,6 +113,51 @@ def mixture_fractions(
     return fracs
 
 
+def source_token_totals(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+) -> dict[str, int]:
+    """Per-source token totals — ONE aggregated row per source back to
+    the driver.  This is the single corpus pass both
+    :func:`temperature_weights_from_totals` and
+    :func:`sample_token_mixture` consume; compute it once and share it
+    (re-running it per consumer re-executes the whole upstream
+    lineage)."""
+    if token_count_col is None:
+        docs = docs.withColumn(
+            "_toks", F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        )
+        token_count_col = "_toks"
+    return {
+        r["src"]: r["toks"]
+        for r in docs.groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum(token_count_col).alias("toks"))
+        .collect()
+    }
+
+
+def temperature_weights_from_totals(
+    per_source_tokens: dict[str, int], *, alpha: float = 0.5
+) -> dict[str, float]:
+    """Size-temperature weights from precomputed totals:
+    ``w_s ∝ (tokens_s)^alpha``, normalized to sum 1.  Pure driver
+    arithmetic — pair with :func:`source_token_totals`."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    raw = {
+        s: float(t) ** alpha
+        for s, t in per_source_tokens.items()
+        if t and t > 0
+    }
+    z = sum(raw.values())
+    if not z:
+        raise ValueError("no source has any tokens")
+    return {s: w / z for s, w in sorted(raw.items())}
+
+
 def temperature_weights(
     docs: DataFrame,
     *,
@@ -126,27 +171,17 @@ def temperature_weights(
     style).  ``alpha=1`` reproduces the corpus's natural proportions,
     ``alpha=0`` weights every source equally, and values in between
     up-weight small sources without letting one giant crawl drown the
-    mixture.  One aggregated row per source comes back to the driver
-    (the same bounded collect :func:`sample_token_mixture` performs);
-    feed the result straight to it as ``target_weights``."""
+    mixture.  Convenience over :func:`source_token_totals` +
+    :func:`temperature_weights_from_totals`; when the totals also feed
+    :func:`sample_token_mixture`, compute them once and use the split
+    functions instead (this wrapper's pass would be a duplicate)."""
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    if token_count_col is None:
-        docs = docs.withColumn(
-            "_toks", F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-        )
-        token_count_col = "_toks"
-    totals = {
-        r["src"]: r["toks"]
-        for r in docs.groupBy(F.col(source_col).alias("src"))
-        .agg(F.sum(token_count_col).alias("toks"))
-        .collect()
-    }
-    raw = {s: float(t) ** alpha for s, t in totals.items() if t and t > 0}
-    z = sum(raw.values())
-    if not z:
-        raise ValueError("no source has any tokens")
-    return {s: w / z for s, w in sorted(raw.items())}
+    totals = source_token_totals(
+        docs, source_col=source_col, token_count_col=token_count_col,
+        text_col=text_col,
+    )
+    return temperature_weights_from_totals(totals, alpha=alpha)
 
 
 def sample_token_mixture(
@@ -160,6 +195,7 @@ def sample_token_mixture(
     text_col: str = "text",
     seed: int = 0,
     max_epochs: int = 1,
+    per_source_tokens: dict[str, int] | None = None,
 ) -> DataFrame:
     """Deterministic stratified sample approximating a target
     per-source token mixture.
@@ -168,6 +204,9 @@ def sample_token_mixture(
     ``text_col``.  The per-source totals are ONE aggregated row per
     source (bounded collect); document selection hashes ``id_col`` —
     same inputs, same sample, on any cluster, under any task retry.
+    Pass ``per_source_tokens`` (a :func:`source_token_totals` result)
+    to skip the aggregation when the caller already paid for it — e.g.
+    when the same totals derived the temperature weights.
 
     ``max_epochs > 1`` enables UP-sampling for undersized sources
     (the epoch-repetition fallback real mixture builders use): each doc
@@ -178,7 +217,7 @@ def sample_token_mixture(
     if token_count_col is None:
         docs = docs.withColumn("_toks", F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
         token_count_col = "_toks"
-    totals = {
+    totals = per_source_tokens if per_source_tokens is not None else {
         r["src"]: r["toks"]
         for r in docs.groupBy(F.col(source_col).alias("src"))
         .agg(F.sum(token_count_col).alias("toks"))

@@ -833,10 +833,15 @@ def keep_cluster_representatives(
             F.col("vertex").alias(id_col)
         )
     else:
+        # NULL *and* NaN scores rank lowest: Spark orders NaN above
+        # +Inf, so an unguarded NaN (e.g. a 0/0 from a quality scorer)
+        # would win every cluster it is in — the opposite of
+        # "keep the best copy"
         members = df.select(
             F.col(id_col).alias("vertex"),
             F.coalesce(
-                F.col(score_col).cast("double"), F.lit(float("-inf"))
+                F.nanvl(F.col(score_col).cast("double"), F.lit(float("-inf"))),
+                F.lit(float("-inf")),
             ).alias("_s"),
         ).join(clusters, "vertex")
         winners = members.groupBy("cluster_id").agg(

@@ -472,6 +472,22 @@ def bm25_search_many(
         .filter(F.col("term") != "")
         .distinct()
     )
+    # a blank query would silently vanish from the output (its terms
+    # explode to nothing) and break the documented per-query parity
+    # with bm25_search, which raises — so raise here too, listing ids
+    blank = [
+        r["query_id"]
+        for r in queries.select(F.col(query_id_col).alias("query_id"))
+        .join(qterms.select("query_id").distinct(), "query_id", "left_anti")
+        .collect()
+    ]
+    if blank:
+        raise ValueError(
+            f"empty query for query_id(s) {sorted(blank)} — every query "
+            "must contain at least one term (bm25_search raises on an "
+            "empty query; the batch path refuses the whole batch rather "
+            "than silently dropping rows)"
+        )
     # driver-side term list for shard pruning (queries are driver-scale
     # by definition — they arrive as a list or a small table)
     terms = [r["term"] for r in qterms.select("term").distinct().collect()]

@@ -88,13 +88,18 @@ def write_snapshot_sketch(
     snapshot: str,
     cols,
     lg_k: int = 12,
-) -> None:
+    skip_existing: bool = False,
+) -> bool:
     """Append this snapshot's per-column sketches (a handful of KB-
     sized rows) to the sketch store at ``path``.  ``snapshot`` labels
     the rows (e.g. the crawl id); re-appending an existing label is
     refused — it would double-weight that snapshot's contribution to
     ``sum(per-snapshot distinct)`` in the overlap readout (the union
-    itself is idempotent, the sum is not)."""
+    itself is idempotent, the sum is not).  With
+    ``skip_existing=True`` an existing label is SKIPPED instead (the
+    idempotent-retry spelling a pipeline rerun needs: same snapshot,
+    already recorded, nothing to do).  Returns True iff rows were
+    appended."""
     spark = docs.sparkSession
     sk = column_sketches(docs, cols, lg_k=lg_k).select(
         F.lit(snapshot).alias("snapshot"), "column", "lg_k", "sketch",
@@ -105,6 +110,8 @@ def write_snapshot_sketch(
     try:
         existing = spark.read.schema(sk.schema).parquet(path)
         if existing.filter(F.col("snapshot") == snapshot).limit(1).count():
+            if skip_existing:
+                return False
             raise ValueError(
                 f"snapshot {snapshot!r} already present in sketch store "
                 f"{path} — each snapshot contributes exactly once"
@@ -114,6 +121,7 @@ def write_snapshot_sketch(
         if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
             raise
     sk.write.mode("append").parquet(path)
+    return True
 
 
 def sketch_store_estimates(spark, path: str) -> DataFrame:
@@ -142,8 +150,13 @@ def sketch_store_estimates(spark, path: str) -> DataFrame:
             F.coalesce(F.hll_sketch_estimate("_u"), F.lit(0))
             .cast("bigint").alias("union_distinct"),
             "sum_snapshot_distinct",
-            (F.col("sum_snapshot_distinct")
-             - F.coalesce(F.hll_sketch_estimate("_u"), F.lit(0)))
-            .cast("bigint").alias("cross_snapshot_overlap"),
+            # clamped at 0: HLL estimation error can push the union a
+            # hair above the sum on near-disjoint snapshots, and a
+            # NEGATIVE recurrence count reads as nonsense
+            F.greatest(
+                F.lit(0),
+                F.col("sum_snapshot_distinct")
+                - F.coalesce(F.hll_sketch_estimate("_u"), F.lit(0)),
+            ).cast("bigint").alias("cross_snapshot_overlap"),
         )
     )

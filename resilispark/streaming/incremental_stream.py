@@ -55,7 +55,27 @@ def incremental_dedup_sink(
     columns (e.g. the warc-stream source through the extract chain).
     Returns the started ``StreamingQuery``; pass ``trigger`` kwargs
     (e.g. ``{"availableNow": True}``) to control batching.
+
+    The output directory is BOUND to the checkpoint: batch ids restart
+    at 0 under a fresh checkpoint, and a retained ``batch_id=N`` dir
+    from a previous run would then read as "already committed" — the
+    replay guard would re-fold the OLD rows and silently discard the
+    new batch.  Starting with a fresh checkpoint over a non-empty
+    output path is therefore refused loudly; continue the original
+    checkpoint, or point at a fresh output path.
     """
+    ckpt_fs = get_fs(checkpoint_dir)
+    fresh_checkpoint = not ckpt_fs.exists(f"{checkpoint_dir}/offsets")
+    if fresh_checkpoint and get_fs(output_path).glob(
+        f"{output_path}/batch_id=*/_SUCCESS"
+    ):
+        raise ValueError(
+            f"fresh checkpoint {checkpoint_dir} over a non-empty output "
+            f"{output_path}: batch ids would restart at 0 and collide "
+            "with a previous run's committed directories (the replay "
+            "guard would silently drop new batches). Reuse the original "
+            "checkpoint or choose a fresh output path."
+        )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         from resilispark.operators.incremental import (

@@ -876,6 +876,9 @@ def test_cli_search_batch_queries(tmp_path, spark, capsys):
     assert q1[0].split()[-1] == "7"
     # batch mode without --index is refused
     assert main(["--cpus", "4", "search", src, "--queries", str(qf)]) == 1
+    # positional query + --queries is ambiguous -> refused, not ignored
+    assert main(["--cpus", "4", "search", idx, "term1", "--index",
+                 "--queries", str(qf)]) == 1
 
 
 def test_cli_curate_refuses_existing_index_without_store(tmp_path, spark, capsys):
@@ -984,6 +987,16 @@ def test_cli_curate_cardinality_sketch_and_report(tmp_path, spark, capsys):
     assert "snapshots=2" in line
     assert "union_distinct=15" in line
     assert "cross_snapshot_overlap=5" in line
+    # a retried run (same output -> same snapshot label) is idempotent:
+    # the sketch is skipped, the command still succeeds
+    assert main(["--cpus", "4", "curate", _src("b2.parquet", 5, 15),
+                 "-o", str(tmp_path / "c2"), "--no-quality", "--keep-pii",
+                 "--cardinality-sketch", store]) == 0
+    assert main(["--cpus", "4", "sketch-report", store]) == 0
+    out2 = capsys.readouterr().out
+    line2 = next(ln for ln in out2.splitlines()
+                 if ln.startswith("column=content_digest"))
+    assert "snapshots=2" in line2  # unchanged — no double-weighting
 
 
 def test_cli_curate_mixture_epochs_index_one_row_per_doc(tmp_path, spark):

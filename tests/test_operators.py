@@ -1311,6 +1311,86 @@ class TestImagePhash:
         (pair,) = phash_neardup_pairs(image_phash(media)).collect()
         assert pair.hamming == 0
 
+    def test_video_phash_and_neardup(self, spark):
+        """Per-frame pHash over real AVI decode; a re-encoded/noised
+        copy matches on most frames, unrelated footage on none."""
+        import numpy as np
+
+        from resilispark.io.codecs import encode_avi
+        from resilispark.operators.multimodal import (
+            video_neardup_pairs,
+            video_phash,
+        )
+
+        rng = np.random.RandomState(0)
+        base_frames = [
+            rng.randint(0, 256, (24, 32, 3)).astype("uint8") for _ in range(4)
+        ]
+        noisy_frames = [
+            np.clip(f.astype(int) + rng.randint(-2, 3, f.shape), 0, 255)
+            .astype("uint8")
+            for f in base_frames
+        ]
+        other_frames = [
+            np.random.RandomState(9).randint(0, 256, (24, 32, 3)).astype("uint8")
+            for _ in range(4)
+        ]
+        media = self._media_df(spark, [
+            ("v1", encode_avi(base_frames, fps=4, codec="DIB")),
+            ("v2", encode_avi(noisy_frames, fps=4, codec="DIB")),
+            ("v3", encode_avi(other_frames, fps=4, codec="DIB")),
+            ("bad", b"notavideo"),
+        ])
+        fh = video_phash(media, every_ms=250)
+        rows = fh.collect()
+        assert {r.media_id for r in rows if r.phash is not None} == {"v1", "v2", "v3"}
+        assert sum(1 for r in rows if r.media_id == "v1" and r.phash is not None) == 4
+        (pair,) = video_neardup_pairs(fh, min_matching_frames=3).collect()
+        assert (pair.video_a, pair.video_b) == ("v1", "v2")
+        assert pair.n_frame_matches >= 3
+
+    def test_audio_fingerprint_volume_invariant(self, spark):
+        """The audio sibling: a gain-adjusted copy fingerprints within
+        a few bits (RMS-trend comparisons are scale-invariant), a
+        different clip lands tens of bits away, and the SAME banded
+        pair machinery finds the near-dups (hash_col is generic)."""
+        import numpy as np
+
+        from resilispark.io.codecs import encode_wav
+        from resilispark.operators.multimodal import (
+            audio_fingerprint,
+            phash_neardup_pairs,
+        )
+
+        rng = np.random.RandomState(0)
+        t = np.arange(16000) / 16000.0
+        base = (0.4 * np.sin(2 * np.pi * 440 * t)
+                * (0.5 + 0.5 * np.sin(2 * np.pi * 2 * t))
+                + 0.02 * rng.randn(16000))
+        diff = (0.3 * np.sin(2 * np.pi * 330 * t)
+                * (0.5 + 0.5 * np.cos(2 * np.pi * 5 * t + 1))
+                + 0.02 * np.random.RandomState(3).randn(16000))
+        media = self._media_df(spark, [
+            ("a", encode_wav(base)), ("b", encode_wav(base * 0.5)),
+            ("c", encode_wav(diff)), ("bad", b"notawav"),
+        ])
+        fps = audio_fingerprint(media)
+        got = {r.media_id: r.afp for r in fps.collect()}
+        assert got["bad"] is None
+
+        def ham(x, y):
+            return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+        assert ham(got["a"], got["b"]) <= 6
+        assert ham(got["a"], got["c"]) > 12
+        pairs = {
+            tuple(sorted((r.id_a, r.id_b)))
+            for r in phash_neardup_pairs(fps, hash_col="afp",
+                                         max_distance=6).collect()
+        }
+        assert ("a", "b") in pairs
+        assert all("c" not in p for p in pairs)
+
 
 class TestParagraphDedup:
     def test_keep_first_and_reassemble(self, spark):
@@ -3618,6 +3698,9 @@ class TestPersistedTextIndex:
             assert got.get(qid, []) == want, qtext
 
     def test_search_many_validates_input(self, spark, tmp_path):
+        """A blank query anywhere in the batch raises (naming the ids)
+        instead of silently vanishing from the output — parity with
+        bm25_search's empty-query ValueError."""
         import pytest
 
         from resilispark.operators.search import (
@@ -3628,8 +3711,12 @@ class TestPersistedTextIndex:
         df = self._corpus(spark)
         idx = str(tmp_path / "idx")
         build_text_index(df, idx, n_shards=8)
-        with pytest.raises(ValueError, match="no non-empty query"):
+        with pytest.raises(ValueError, match="empty query"):
             bm25_search_many(spark, idx, [(0, "   ")])
+        with pytest.raises(ValueError, match=r"\[1, 2\]"):
+            bm25_search_many(
+                spark, idx, [(0, "common"), (1, ""), (2, "  ")]
+            )
 
     def test_empty_corpus_builds_valid_index(self, spark, tmp_path):
         """An all-filtered snapshot must still produce a stats-complete
@@ -3770,6 +3857,25 @@ class TestFuzzyDedup:
                             num_hashes=16, bands=8).collect()]
         assert kept == [1]
 
+    def test_nan_scores_rank_lowest(self, spark):
+        """Spark orders NaN above +Inf; an unguarded NaN score would
+        win every cluster — it must lose instead."""
+        from resilispark.operators.dedup import fuzzy_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (0, "same words in every single one of these documents",
+                 float("nan")),
+                (1, "same words in every single one of these documents x",
+                 0.1),
+            ],
+            "doc_id long, text string, score double",
+        )
+        kept = [r["doc_id"] for r in
+                fuzzy_dedup(docs, "text", "doc_id", score_col="score",
+                            num_hashes=16, bands=8).collect()]
+        assert kept == [1]
+
     def test_no_pairs_is_identity(self, spark):
         from resilispark.operators.dedup import fuzzy_dedup
 
@@ -3827,6 +3933,33 @@ class TestTemperatureWeights:
             temperature_weights(docs, alpha=1.5)
         with pytest.raises(ValueError, match="no source"):
             temperature_weights(docs.filter("source = 'nope'"))
+
+    def test_shared_totals_skip_reaggregation(self, spark):
+        """source_token_totals computed once feeds both the weights
+        and the sampler — and matches what each would compute alone."""
+        from resilispark.operators.corpus import (
+            sample_token_mixture,
+            source_token_totals,
+            temperature_weights,
+            temperature_weights_from_totals,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "big" if i < 30 else "small", "w " * (10 if i < 30 else 5))
+             for i in range(40)],
+            "doc_id long, source string, text string",
+        )
+        totals = source_token_totals(docs)
+        assert totals == {"big": 300, "small": 50}
+        w_from_totals = temperature_weights_from_totals(totals, alpha=0.5)
+        assert w_from_totals == temperature_weights(docs, alpha=0.5)
+        with_totals = sample_token_mixture(
+            docs, w_from_totals, 200, per_source_tokens=totals
+        )
+        without = sample_token_mixture(docs, w_from_totals, 200)
+        assert sorted(r["doc_id"] for r in with_totals.collect()) == sorted(
+            r["doc_id"] for r in without.collect()
+        )
 
 
 class TestCardinalitySketches:

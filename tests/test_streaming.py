@@ -413,3 +413,28 @@ def test_streaming_incremental_dedup_sink(spark, tmp_path):
     # the store grew to cover everything shipped
     digests = spark.read.parquet(f"{store}/digests").distinct().count()
     assert digests == 15
+
+
+def test_streaming_incremental_sink_refuses_stale_output(spark, tmp_path):
+    """A fresh checkpoint over a retained output dir would restart
+    batch ids at 0 and silently drop new batches via the replay guard
+    — refused loudly at start instead."""
+    import pytest
+
+    from resilispark.streaming.incremental_stream import incremental_dedup_sink
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = tmp_path / "out"
+    stale = out / "batch_id=0"
+    stale.mkdir(parents=True)
+    (stale / "_SUCCESS").write_text("")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(drop)
+    )
+    with pytest.raises(ValueError, match="fresh checkpoint"):
+        incremental_dedup_sink(
+            stream, str(tmp_path / "store"), str(out),
+            checkpoint_dir=str(tmp_path / "ckpt_new"),
+            trigger={"availableNow": True},
+        )
