@@ -15,9 +15,11 @@ loop, --tokenizer bpe/byte, --pack/--pack-separator, --search-index,
 --funnel stage-retention metrics, --cardinality-sketch),
 ``pack`` (sequence packing with separators/boundaries/loader ids),
 ``bpe-train`` (merge-table artifacts), ``search`` / ``search-index``
-(BM25 scan or persisted term-sharded index), ``sketch-report``
-(corpus-wide distinct/overlap estimates from stored HLL sketches),
-``linkgraph`` (WARC/WAT -> PageRank).
+(BM25 scan or persisted term-sharded index; ``--queries`` batch
+mode), ``sketch-report`` (corpus-wide distinct/overlap estimates from
+stored HLL sketches), ``media-dedup`` (image/audio/video near-dup
+removal via perceptual fingerprints), ``linkgraph`` (WARC/WAT ->
+PageRank).
 """
 
 from __future__ import annotations
@@ -798,6 +800,54 @@ def cmd_search_index(args) -> int:
     return 0
 
 
+def cmd_media_dedup(args) -> int:
+    """Near-duplicate removal for media corpora: fingerprint every
+    payload (image pHash / audio RMS-trend / per-frame video pHash),
+    pair by banded Hamming distance, cluster with pointer-jumping
+    components, keep one representative per cluster, write the
+    survivors — the multimodal sibling of `curate --fuzzy-dedup`."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args.cpus)
+    from resilispark.operators.dedup import (
+        connected_components,
+        keep_cluster_representatives,
+    )
+    from resilispark.operators.multimodal import (
+        audio_fingerprint,
+        image_phash,
+        phash_neardup_pairs,
+        video_neardup_pairs,
+        video_phash,
+    )
+
+    media = spark.read.parquet(args.input)
+    if args.modality == "image":
+        pairs = phash_neardup_pairs(
+            image_phash(media), max_distance=args.max_distance
+        ).select("id_a", "id_b")
+    elif args.modality == "audio":
+        pairs = phash_neardup_pairs(
+            audio_fingerprint(media),
+            hash_col="afp",
+            max_distance=args.max_distance,
+        ).select("id_a", "id_b")
+    else:  # video
+        pairs = video_neardup_pairs(
+            video_phash(media, every_ms=args.frame_every_ms),
+            min_matching_frames=args.min_frames,
+            max_distance=args.max_distance,
+        ).select(
+            F.col("video_a").alias("id_a"), F.col("video_b").alias("id_b")
+        )
+    clusters = connected_components(pairs, "id_a", "id_b")
+    kept = keep_cluster_representatives(media, clusters, "media_id")
+    kept.write.mode("overwrite").parquet(args.output)
+    n_in, n_out = media.count(), spark.read.parquet(args.output).count()
+    print(f"kept {n_out} of {n_in} ({n_in - n_out} near-duplicates removed)")
+    return 0
+
+
 def cmd_sketch_report(args) -> int:
     """Corpus-wide distinct counts + cross-snapshot overlap from a
     `curate --cardinality-sketch` store — unions the stored KB-sized
@@ -1335,6 +1385,23 @@ def main(argv: list[str] | None = None) -> int:
                    help="replace an existing index at OUTPUT (refused "
                         "otherwise — update_text_index grows one in place)")
     p.set_defaults(fn=cmd_search_index)
+
+    p = sub.add_parser(
+        "media-dedup",
+        help="near-dup removal for media parquet (image/audio/video "
+             "fingerprints + banded Hamming clustering)",
+    )
+    p.add_argument("input", help="parquet with media_id/mime/payload/meta")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--modality", choices=("image", "audio", "video"),
+                   default="image")
+    p.add_argument("--max-distance", type=int, default=6,
+                   help="max Hamming bits for a near-dup pair")
+    p.add_argument("--min-frames", type=int, default=2,
+                   help="video: min matching sampled frames per pair")
+    p.add_argument("--frame-every-ms", type=int, default=1000,
+                   help="video: frame sampling tick")
+    p.set_defaults(fn=cmd_media_dedup)
 
     p = sub.add_parser(
         "sketch-report",

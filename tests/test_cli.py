@@ -881,6 +881,33 @@ def test_cli_search_batch_queries(tmp_path, spark, capsys):
                  "--queries", str(qf)]) == 1
 
 
+def test_cli_media_dedup_image(tmp_path, spark, capsys):
+    """media-dedup keeps one representative per pHash cluster."""
+    import numpy as np
+
+    from resilispark.__main__ import main
+    from resilispark.io.codecs import encode_png
+
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 256, (32, 32, 3)).astype("uint8")
+    near = np.clip(base.astype(int) + rng.randint(-2, 3, base.shape),
+                   0, 255).astype("uint8")
+    other = np.random.RandomState(5).randint(0, 256, (32, 32, 3)).astype("uint8")
+    src = str(tmp_path / "media.parquet")
+    spark.createDataFrame(
+        [(mid, "image/png", bytearray(encode_png(img)),
+          (None, None, None, None))
+         for mid, img in (("a", base), ("b", near), ("c", other))],
+        "media_id string, mime string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:long,codec:string>",
+    ).write.parquet(src)
+    out = str(tmp_path / "kept")
+    assert main(["--cpus", "4", "media-dedup", src, "-o", out]) == 0
+    assert "kept 2 of 3" in capsys.readouterr().out
+    kept = {r.media_id for r in spark.read.parquet(out).collect()}
+    assert "c" in kept and len(kept) == 2
+
+
 def test_cli_curate_refuses_existing_index_without_store(tmp_path, spark, capsys):
     """An existing index with no novelty guarantee must be refused:
     appending would double-count, rebuilding would drop prior crawls."""
@@ -1085,3 +1112,48 @@ def test_cli_curate_dedup_store_grows_search_index(tmp_path, spark, capsys):
     assert hits[0].split()[-1] == "8"
     # index stats reflect the union (6 + 4 novel docs)
     assert spark.read.parquet(f"{idx}/stats").collect()[0]["n_docs"] == 10
+
+
+def test_cli_curate_full_composition_two_crawls(tmp_path, spark, capsys):
+    """The README's crawl-over-crawl loop with every round-5 flag at
+    once: dedup store + search index + cardinality sketches + fuzzy
+    dedup + funnel + packing compose in one run, and the second crawl
+    grows every persistent artifact consistently."""
+    from resilispark.__main__ import main
+
+    def snap(path, ids):
+        # per-doc DISJOINT vocabularies: near-dup probes (minhash bands,
+        # fuzzy dedup) must only collapse genuine re-crawls, so no two
+        # docs may share shingles
+        rows = [(i, " ".join(f"w{i}x{j}" for j in range(10)) + f" uniq{i}",
+                 "en", "web") for i in ids]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).write.mode("overwrite").parquet(path)
+
+    store, idx, sk = (str(tmp_path / p) for p in ("store", "idx", "sk"))
+    s1, s2 = str(tmp_path / "s1.parquet"), str(tmp_path / "s2.parquet")
+    args = ["--no-quality", "--keep-pii", "--dedup-store", store,
+            "--search-index", idx, "--cardinality-sketch", sk,
+            "--fuzzy-dedup", "--funnel", "--pack", "64"]
+    snap(s1, range(8))
+    assert main(["--cpus", "4", "curate", s1, "-o", str(tmp_path / "c1")]
+                + args) == 0
+    out1 = capsys.readouterr().out
+    assert any(ln.startswith("funnel stage=input docs=8") for ln in out1.splitlines())
+    snap(s2, range(4, 12))  # 4 re-crawled, 4 novel
+    assert main(["--cpus", "4", "curate", s2, "-o", str(tmp_path / "c2")]
+                + args) == 0
+    out2 = capsys.readouterr().out
+    # the store probe dropped the re-crawls before every later stage
+    assert any("stage=novel_vs_store docs=4" in ln for ln in out2.splitlines())
+    # every persistent artifact agrees on the union size
+    assert spark.read.parquet(f"{idx}/stats").collect()[0]["n_docs"] == 12
+    assert spark.read.parquet(f"{store}/digests").distinct().count() == 12
+    sk_rows = spark.read.parquet(sk)
+    assert sk_rows.select("snapshot").distinct().count() == 2
+    # packed shards exist for both crawls
+    assert spark.read.parquet(str(tmp_path / "c2") + ".packed").count() > 0
+    capsys.readouterr()
+    assert main(["--cpus", "4", "search", idx, "uniq11", "--index"]) == 0
+    assert capsys.readouterr().out.strip().splitlines()[0].split()[-1] == "11"
