@@ -369,12 +369,37 @@ class WarcDataSourceReader(DataSourceReader):
         cols: list[list] = [[] for _ in _ARROW_SCHEMA]
         n_buf = 0
 
+        # columns whose value is CONSTANT for this scan configuration
+        # never pay a per-record append: filename repeats per partition,
+        # and payload / http_* / digest columns are all-NULL when their
+        # feature is off — the metadata-only scan (parse_http=false,
+        # payload=false) that CDXJ indexing and record counting run
+        # builds 10 of the 20 columns as O(1) pa.nulls per batch
+        const_vals: dict[int, object] = {0: filename}
+        if not self.parse_http:
+            const_vals.update(
+                {10: False, 11: None, 12: None, 13: None, 14: None, 15: None}
+            )
+        if not self.keep_payload:
+            const_vals[17] = None
+        if not self.verify_digests:
+            const_vals[18] = None
+            const_vals[19] = None
+
         def flush():
             nonlocal cols, n_buf
             if n_buf:
-                arrays = [
-                    pa.array(c, type=f.type) for c, f in zip(cols, _ARROW_SCHEMA)
-                ]
+                arrays = []
+                for i, f in enumerate(_ARROW_SCHEMA):
+                    if i in const_vals:
+                        v = const_vals[i]
+                        arrays.append(
+                            pa.nulls(n_buf, type=f.type)
+                            if v is None
+                            else pa.array([v] * n_buf, type=f.type)
+                        )
+                    else:
+                        arrays.append(pa.array(cols[i], type=f.type))
                 yield pa.RecordBatch.from_arrays(arrays, schema=_ARROW_SCHEMA)
                 cols = [[] for _ in _ARROW_SCHEMA]
                 n_buf = 0
@@ -456,13 +481,39 @@ class WarcDataSourceReader(DataSourceReader):
             )
 
         keep_payload = self.keep_payload
-        # bind the 20 column lists ONCE per batch, not per record (the
+        # bind the column lists ONCE per batch, not per record (the
         # per-record unpack was ~8% of the scan loop); flush() swaps in
         # fresh lists, so re-bind right after each flush below
+        if not self.parse_http and not keep_payload and not self.verify_digests:
+            # metadata-only fast path: 10 varying columns instead of 20
+            (c_sp, c_rl, c_rid, c_rt, c_wv, c_wd, c_tu, c_ct, c_h, c_cl) = (
+                cols[1], cols[2], cols[3], cols[4], cols[5], cols[6],
+                cols[7], cols[8], cols[9], cols[16],
+            )
+            for rec in record_iter:
+                c_sp.append(rec.stream_pos)
+                c_rl.append(rec.record_length)
+                c_rid.append(rec.record_id)
+                c_rt.append(rec.record_type)
+                c_wv.append(rec.warc_version)
+                c_wd.append(rec.warc_date)
+                c_tu.append(rec.target_uri)
+                c_ct.append(rec.concurrent_to)
+                c_h.append(rec.headers)
+                c_cl.append(rec.content_length)
+                n_buf += 1
+                if n_buf >= _BATCH_ROWS:
+                    yield from flush()
+                    (c_sp, c_rl, c_rid, c_rt, c_wv, c_wd, c_tu, c_ct,
+                     c_h, c_cl) = (
+                        cols[1], cols[2], cols[3], cols[4], cols[5],
+                        cols[6], cols[7], cols[8], cols[9], cols[16],
+                    )
+            yield from flush()
+            return
         (c_fn, c_sp, c_rl, c_rid, c_rt, c_wv, c_wd, c_tu, c_ct, c_h,
          c_ih, c_hs, c_hh, c_hct, c_hcs, c_hd, c_cl, c_pl, c_bd, c_pd) = cols
         for rec in record_iter:
-            c_fn.append(filename)
             c_sp.append(rec.stream_pos)
             c_rl.append(rec.record_length)
             c_rid.append(rec.record_id)
