@@ -368,12 +368,21 @@ def train_ivf(
     sample: int = 20_000,
     iters: int = 10,
     seed: int = 3,
+    distributed: bool = False,
 ):
     """Coarse k-means centroids (the IVF cell table), trained like
-    :func:`train_pq` on a bounded driver sample.  Returns
-    (n_cells, d) float32."""
+    :func:`train_pq` on a bounded driver sample — or, with
+    ``distributed=True``, on the FULL corpus via :func:`kmeans_fit`
+    (no sample cap: the right choice when the corpus distribution has
+    a long tail a 20k sample would miss).  Returns (n_cells, d)
+    float32."""
     import numpy as np
 
+    if distributed:
+        cent, _, _ = kmeans_fit(
+            df, vec_col=vec_col, k=n_cells, iters=iters, seed=seed
+        )
+        return cent.astype(np.float32)
     rows = (
         df.select(F.col(vec_col).alias("v"))
         .orderBy(F.xxhash64(F.col("v").cast("array<string>"), F.lit(seed)))
@@ -392,6 +401,146 @@ def train_ivf(
             if mask.any():
                 cent[c] = x[mask].mean(0)
     return cent
+
+
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 10,
+    id_col: str | None = None,
+    seed: int = 3,
+):
+    """Distributed Lloyd's k-means over the FULL corpus (no sampling).
+
+    Each iteration is one pass: an Arrow-batched ``mapInPandas`` stage
+    computes per-partition partial statistics — member count, vector
+    sum, and squared-distance sum per cell — so only
+    ``n_partitions * k`` tiny rows shuffle into the per-cell combine
+    (``applyInPandas`` over ≤ n_partitions rows/cell); the full vectors
+    never shuffle.  The k combined rows collect to the driver (k×d
+    doubles), centroids update, and the next iteration broadcasts them
+    through the UDF closure.  This is the map-side-combine shape MLlib
+    uses internally, spelled in DataFrame ops — it scales with
+    partitions, not with ``k`` or corpus size.  For multi-iteration
+    runs over a remote source, persist ``df`` first: each iteration
+    re-reads the input otherwise.
+
+    Seeding is deterministic: the ``k`` rows with the smallest
+    ``md5(id)`` (when ``id_col`` is given — cross-engine reproducible,
+    so SQL oracles can replay it) or smallest seeded ``xxhash64`` of
+    the vector text otherwise, fetched via ``orderBy().limit(k)``
+    (TakeOrderedAndProject: per-partition heaps, no global sort).
+
+    All arithmetic is float64 (this is the trainer; scoring paths stay
+    float32).  Empty cells keep their previous centroid and report
+    size 0.  Returns ``(centroids (k,d) float64, sizes (k,) int64,
+    inertia list[float])`` where ``sizes``/``inertia`` describe the
+    final iteration's assignment against the second-to-last centroids
+    (the standard Lloyd's bookkeeping).
+    """
+    import numpy as np
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    vecs = df.select(F.col(vec_col).alias("v"))
+    if id_col is not None:
+        order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    else:
+        order = [F.xxhash64(F.col(vec_col).cast("array<string>"), F.lit(seed))]
+    seed_rows = df.orderBy(*order).select(F.col(vec_col).alias("v")).limit(k).collect()
+    if not seed_rows:
+        raise ValueError("kmeans_fit: empty input")
+    cent = np.asarray([r.v for r in seed_rows], dtype=np.float64)
+    kk, d = cent.shape
+    schema = "cell int, n bigint, vsum array<double>, d2sum double"
+
+    sizes = np.zeros(kk, dtype=np.int64)
+    inertia: list[float] = []
+    for _ in range(iters):
+        bc = cent  # rebind so each closure captures THIS iteration's table
+
+        def partials(batches, _c=bc):
+            counts = np.zeros(kk, dtype=np.int64)
+            sums = np.zeros((kk, d), dtype=np.float64)
+            d2s = np.zeros(kk, dtype=np.float64)
+            c2 = (_c * _c).sum(1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.asarray(list(pdf["v"]), dtype=np.float64)
+                d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ _c.T) + c2[None, :]
+                a = d2.argmin(1)
+                counts += np.bincount(a, minlength=kk)
+                d2s += np.bincount(
+                    a, weights=d2[np.arange(len(x)), a], minlength=kk
+                )
+                np.add.at(sums, a, x)
+            live = np.nonzero(counts)[0]
+            if len(live):
+                yield pd.DataFrame(
+                    {
+                        "cell": live.astype("int32"),
+                        "n": counts[live],
+                        "vsum": [sums[c].tolist() for c in live],
+                        "d2sum": d2s[live],
+                    }
+                )
+
+        def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+            vs = np.zeros(d, dtype=np.float64)
+            for v in pdf["vsum"]:
+                vs += np.asarray(v, dtype=np.float64)
+            return pd.DataFrame(
+                {
+                    "cell": [int(pdf["cell"].iloc[0])],
+                    "n": [int(pdf["n"].sum())],
+                    "vsum": [vs.tolist()],
+                    "d2sum": [float(pdf["d2sum"].sum())],
+                }
+            )
+
+        rows = (
+            vecs.mapInPandas(partials, schema)
+            .groupBy("cell")
+            .applyInPandas(combine, schema)
+            .collect()
+        )
+        sizes = np.zeros(kk, dtype=np.int64)
+        step = 0.0
+        new_cent = cent.copy()
+        for r in rows:
+            sizes[r.cell] = r.n
+            new_cent[r.cell] = np.asarray(r.vsum, dtype=np.float64) / r.n
+            step += r.d2sum
+        inertia.append(step)
+        cent = new_cent
+    return cent, sizes, inertia
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "kmeans_cell",
+) -> DataFrame:
+    """Nearest-centroid cell id per row (Arrow-batched, float64 to
+    match :func:`kmeans_fit`'s training arithmetic; no shuffle)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    c2 = (cent * cent).sum(1)
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        x = np.asarray(list(vs), dtype=np.float64)
+        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ cent.T) + c2[None, :]
+        return pd.Series(d2.argmin(1).astype("int32"))
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
 
 
 def ivf_assign(

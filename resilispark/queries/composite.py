@@ -110,6 +110,9 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
         ("is_novel", "n"),
     ],
     "d13_fuzzy_dedup": [("doc_id", "n"), ("n_chars", "n")],
+    "s06_kmeans": [
+        ("cell", "n"), ("pos", "n"), ("cent_val", "d"), ("cluster_size", "n"),
+    ],
 }
 
 # members may live in either query module; merged lookup keeps the
@@ -159,10 +162,13 @@ FAMILIES: dict[str, list[str]] = {
     # corpus state — store write + meta + both semi-join probes)
     # (d13 joined in round 5: keep-best-copy fuzzy dedup — components
     # over the d04 pairs + score-ranked representative selection)
+    # (s06 joined in round 5: distributed full-corpus Lloyd's k-means,
+    # 2-iteration SQL replay with md5(vec_id) seeding)
     "qc_curation_family": [
         "t02_token_count", "t04_fingerprint", "t07_pack_stats",
         "d10_duplicate_spans", "t08_emit_sequences", "d11_mask_spans",
         "t09_bpe_tokens", "d12_incremental_dedup", "d13_fuzzy_dedup",
+        "s06_kmeans",
     ],
 }
 

@@ -1891,6 +1891,104 @@ ORDER BY doc_id
 """
 
 
+def s06_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (``operators/similarity.py:
+    kmeans_fit``) on the embeddings table: k=4, two full iterations,
+    deterministic md5(vec_id) seeding so DuckDB can replay the exact
+    run.  The operator trains on the FULL corpus via per-partition
+    partial sums (vectors never shuffle; only n_partitions*k stat rows
+    do).  Output: one row per (cell, 1-based dim) with the final
+    centroid value rounded cross-engine (dround) plus the cell's final
+    assignment count — hash-compared against a 2-iteration SQL replay."""
+    from resilispark.operators.similarity import kmeans_fit
+
+    emb = _embs(spark, sf_dir)
+    cent, sizes, _ = kmeans_fit(
+        emb, vec_col="embedding", k=4, iters=2, id_col="vec_id"
+    )
+    rows = [
+        (c, p + 1, float(cent[c, p]), int(sizes[c]))
+        for c in range(cent.shape[0])
+        for p in range(cent.shape[1])
+    ]
+    out = spark.createDataFrame(
+        rows, "cell int, pos int, cent_val double, cluster_size int"
+    )
+    return out.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("pos").cast("bigint").alias("pos"),
+        dround("cent_val", 6).alias("cent_val"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    ).orderBy("cell", "pos")
+
+
+# 2-iteration Lloyd's replayed in SQL: same md5(vec_id) seeding, same
+# assign -> mean -> assign -> mean schedule, empty cells coalescing to
+# the previous centroid with size 0.  Distances here are the direct
+# sum((x-c)^2) form vs the operator's expanded |x|^2-2xc+|c|^2 — the
+# numeric gap is ~1e-13 while the smallest assignment margin in this
+# data is >3e-5 at sf0.01 AND sf0.1 (measured), so cells can't flip.
+ORACLE_S06 = """
+WITH ev AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+), init AS (
+  SELECT row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) - 1 AS cell,
+         vec_id
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 4
+), c0 AS (
+  SELECT i.cell, e.pos, e.val FROM init i JOIN ev e USING (vec_id)
+), d1 AS (
+  SELECT e.vec_id, c.cell, sum((e.val - c.val) * (e.val - c.val)) AS d2
+  FROM ev e JOIN c0 c USING (pos)
+  GROUP BY e.vec_id, c.cell
+), a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM d1
+  ) WHERE rn = 1
+), m1 AS (
+  SELECT a.cell, e.pos, avg(e.val) AS val
+  FROM ev e JOIN a1 a USING (vec_id)
+  GROUP BY a.cell, e.pos
+), c1 AS (
+  SELECT c0.cell, c0.pos, coalesce(m1.val, c0.val) AS val
+  FROM c0 LEFT JOIN m1 ON m1.cell = c0.cell AND m1.pos = c0.pos
+), d2_ AS (
+  SELECT e.vec_id, c.cell, sum((e.val - c.val) * (e.val - c.val)) AS d2
+  FROM ev e JOIN c1 c USING (pos)
+  GROUP BY e.vec_id, c.cell
+), a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM d2_
+  ) WHERE rn = 1
+), s2 AS (
+  SELECT cell, count(*) AS n FROM a2 GROUP BY cell
+), m2 AS (
+  SELECT a.cell, e.pos, avg(e.val) AS val
+  FROM ev e JOIN a2 a USING (vec_id)
+  GROUP BY a.cell, e.pos
+), c2 AS (
+  SELECT c1.cell, c1.pos, coalesce(m2.val, c1.val) AS val
+  FROM c1 LEFT JOIN m2 ON m2.cell = c1.cell AND m2.pos = c1.pos
+)
+SELECT CAST(c2.cell AS BIGINT) AS cell,
+       CAST(c2.pos AS BIGINT) AS pos,
+       floor(c2.val * 1000000 + 0.5) / 1000000 AS cent_val,
+       CAST(coalesce(s2.n, 0) AS BIGINT) AS cluster_size
+FROM c2 LEFT JOIN s2 ON s2.cell = c2.cell
+ORDER BY cell, pos
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -1914,6 +2012,7 @@ QUERIES = {
     "t09_bpe_tokens": t09_bpe_tokens,
     "d12_incremental_dedup": d12_incremental_dedup,
     "d13_fuzzy_dedup": d13_fuzzy_dedup,
+    "s06_kmeans": s06_kmeans,
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
     "s03_label_centroid_norms": s03_label_centroid_norms,
@@ -1948,6 +2047,7 @@ ORACLES = {
     "t09_bpe_tokens": ORACLE_T09,
     "d12_incremental_dedup": ORACLE_D12,
     "d13_fuzzy_dedup": ORACLE_D13,
+    "s06_kmeans": ORACLE_S06,
     "s01_cosine_topk": ORACLE_S01,
     "s02_lsh_buckets": ORACLE_S02,
     "s03_label_centroid_norms": ORACLE_S03,

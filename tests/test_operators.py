@@ -4133,3 +4133,141 @@ def test_update_text_index_matches_full_build(spark, tmp_path):
         b = [(r["doc_id"], round(r["score"], 9), r["rank"])
              for r in bm25_search(spark, incr, q, k=8).collect()]
         assert a == b, q
+
+
+class TestDistributedKmeans:
+    """kmeans_fit runs Lloyd's over the full corpus with per-partition
+    partial statistics; parity is checked against a serial numpy
+    implementation with the identical deterministic seeding."""
+
+    K, D, ITERS = 3, 8, 4
+
+    @staticmethod
+    def _blobs(spark, n_per=40, d=8, seed=7):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        centers = np.array(
+            [[5.0] * d, [-5.0] * d, [5.0] * (d // 2) + [-5.0] * (d - d // 2)]
+        )
+        rows = []
+        vid = 0
+        for c in centers:
+            for _ in range(n_per):
+                rows.append((vid, (c + rng.randn(d)).tolist()))
+                vid += 1
+        return (
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+            .repartition(5)  # >1 partition so partial-sum combine is exercised
+        )
+
+    @staticmethod
+    def _serial(rows, k, iters):
+        import hashlib
+
+        import numpy as np
+
+        ordered = sorted(
+            rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+        )
+        cent = np.asarray([r[1] for r in ordered[:k]], dtype=np.float64)
+        X = np.asarray([r[1] for r in rows], dtype=np.float64)
+        sizes = np.zeros(k, dtype=np.int64)
+        inertia = []
+        for _ in range(iters):
+            d2 = (X * X).sum(1)[:, None] - 2 * X @ cent.T + (cent * cent).sum(1)[None, :]
+            a = d2.argmin(1)
+            inertia.append(float(d2[np.arange(len(X)), a].sum()))
+            nc = cent.copy()
+            sizes = np.zeros(k, dtype=np.int64)
+            for c in range(k):
+                m = a == c
+                sizes[c] = m.sum()
+                if m.any():
+                    nc[c] = X[m].mean(0)
+            cent = nc
+        return cent, sizes, inertia
+
+    def test_matches_serial_lloyds(self, spark):
+        import numpy as np
+
+        from resilispark.operators.similarity import kmeans_fit
+
+        df = self._blobs(spark)
+        cent, sizes, inertia = kmeans_fit(
+            df, vec_col="embedding", k=self.K, iters=self.ITERS, id_col="vec_id"
+        )
+        rows = [(r.vec_id, r.embedding) for r in df.collect()]
+        rcent, rsizes, rinertia = self._serial(rows, self.K, self.ITERS)
+        assert (sizes == rsizes).all()
+        assert np.allclose(cent, rcent, rtol=1e-9, atol=1e-12)
+        assert np.allclose(inertia, rinertia, rtol=1e-9)
+        # blobs are separable: every cluster recovered, inertia fell
+        assert (sizes > 0).all()
+        assert inertia[-1] < inertia[0]
+
+    def test_empty_cell_keeps_previous_centroid(self, spark):
+        import numpy as np
+
+        from resilispark.operators.similarity import kmeans_fit
+
+        # two distinct points, k=3: at least one cell never gets members
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [9.0, 9.0])],
+            "vec_id long, embedding array<double>",
+        )
+        cent, sizes, _ = kmeans_fit(
+            df, vec_col="embedding", k=3, iters=2, id_col="vec_id"
+        )
+        assert sizes.sum() == 3
+        assert (sizes == 0).any()
+        # the empty cell's centroid is one of the seed vectors, unchanged
+        seeds = {(0.0, 0.0), (9.0, 9.0)}
+        for c in np.where(sizes == 0)[0]:
+            assert tuple(cent[c]) in seeds
+
+    def test_assign_matches_training_assignment(self, spark):
+        import numpy as np
+
+        from resilispark.operators.similarity import kmeans_assign, kmeans_fit
+
+        df = self._blobs(spark)
+        cent, sizes, _ = kmeans_fit(
+            df, vec_col="embedding", k=self.K, iters=self.ITERS, id_col="vec_id"
+        )
+        counts = (
+            kmeans_assign(df, cent, vec_col="embedding")
+            .groupBy("kmeans_cell")
+            .count()
+            .collect()
+        )
+        got = {r.kmeans_cell: r["count"] for r in counts}
+        # blobs are far apart: the post-fit assignment equals the final
+        # training sizes (no boundary points to flip)
+        assert got == {c: int(n) for c, n in enumerate(sizes) if n}
+
+    def test_train_ivf_distributed_path(self, spark):
+        import numpy as np
+
+        from resilispark.operators.similarity import train_ivf
+
+        df = self._blobs(spark)
+        cent = train_ivf(
+            df, vec_col="embedding", n_cells=self.K, iters=3, distributed=True
+        )
+        assert cent.shape == (self.K, self.D)
+        assert cent.dtype == np.float32
+
+    def test_deterministic_across_runs(self, spark):
+        import numpy as np
+
+        from resilispark.operators.similarity import kmeans_fit
+
+        df = self._blobs(spark)
+        a, sa, _ = kmeans_fit(df, vec_col="embedding", k=self.K, iters=2,
+                              id_col="vec_id")
+        b, sb, _ = kmeans_fit(df, vec_col="embedding", k=self.K, iters=2,
+                              id_col="vec_id")
+        assert (sa == sb).all()
+        # identical modulo float summation order across shuffled partials
+        assert np.allclose(a, b, rtol=1e-12, atol=1e-14)
