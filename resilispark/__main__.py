@@ -294,6 +294,28 @@ def cmd_curate(args) -> int:
         if url_col:
             docs = _fn(filter_url_blocklist(docs, bl, url_col=url_col),
                        "blocklist")
+    if getattr(args, "robots", None) and "url" in docs.columns:
+        # publisher opt-outs: build the per-host rule table from
+        # robots.txt captures — "crawl" reuses the input WARCs (the
+        # captures are ordinary response records in the same crawl),
+        # any other value is a separate WARC/parquet of captures
+        from resilispark.operators.robots import robots_filter, robots_rules
+
+        src = args.input if args.robots == "crawl" else args.robots
+        if args.robots == "crawl" and fmt not in ("warc", "wet"):
+            print("error: --robots crawl requires WARC input", file=sys.stderr)
+            return 1
+        if src.endswith(".parquet"):
+            caps = spark.read.parquet(src)
+        else:
+            caps = (
+                spark.read.format("warc")
+                .option("record_types", "response")
+                .load(src)
+            )
+        caps = caps.where(F.col("target_uri").rlike(r"://[^/]+/robots\.txt$"))
+        rules = robots_rules(caps, agent=args.robots_agent)
+        docs = _fn(robots_filter(docs, rules), "robots")
     if not args.no_quality:
         docs = _fn(
             gopher_filter(docs, "text", min_stopwords=args.min_stopwords),
@@ -1218,6 +1240,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input-format", default="auto",
                    choices=["auto", "warc", "wet", "parquet"])
     p.add_argument("--blocklist", default=None, help="text file, one domain per line")
+    p.add_argument(
+        "--robots",
+        default=None,
+        help="honor robots.txt opt-outs: 'crawl' derives rules from the "
+        "input WARCs' own robots.txt captures, else a WARC/parquet path "
+        "of captures",
+    )
+    p.add_argument(
+        "--robots-agent",
+        default="*",
+        help="user-agent token for robots group selection (RFC 9309)",
+    )
     p.add_argument("--benchmark", default=None, help="parquet eval set to decontaminate against")
     p.add_argument("--ngram", type=int, default=13, help="decontamination n-gram size")
     p.add_argument("--mixture", default=None, help="src=weight,src=weight")

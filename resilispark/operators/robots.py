@@ -1,0 +1,217 @@
+"""Robots-exclusion (RFC 9309) opt-out filtering for crawl curation.
+
+Training-data pipelines built on web crawls honor publisher opt-outs;
+the crawl itself carries the evidence — ``/robots.txt`` captures are
+ordinary WARC response records.  This module turns those captures into
+a per-host rule table and applies it to the document corpus:
+
+ - :func:`parse_robots` / :func:`robots_verdict`: the pure-Python REP
+   kernel — group selection by most-specific user-agent, then
+   longest-match-wins between Allow and Disallow with ``*`` wildcards
+   and ``$`` end anchors (Allow wins length ties, per RFC 9309 §2.2.2).
+ - :func:`robots_rules`: DataFrame of ``(host, rules)`` from robots.txt
+   captures — latest capture per host via one partial-aggregated
+   ``max(struct)`` (no window), parse in an Arrow-batched UDF.
+ - :func:`robots_filter`: apply the table to a corpus.  The rule table
+   is per-HOST (tiny next to the corpus) so the join broadcasts;
+   verdict evaluation is map-side Arrow batches.  Unlisted hosts are
+   kept by default (no robots.txt == no objection).
+
+Scale shape at 100 TB: one shuffle-free scan of the robots captures
+into a per-host aggregate, a broadcast join, and a map-side verdict —
+the corpus itself never shuffles.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from resilispark.operators.corpus import url_host
+
+_RULE_KEYS = {"allow": True, "disallow": False}
+
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """Parse one robots.txt body into the rule list for ``agent``.
+
+    Group selection per RFC 9309 §2.2.1: the group(s) whose user-agent
+    product token is the LONGEST case-insensitive substring of
+    ``agent`` win; all groups sharing that token merge; the ``*``
+    group applies only when no named group matches.  Returns
+    ``[(allow, pattern), ...]`` with original-case path patterns.
+    """
+    agent_l = agent.lower()
+    # groups[token] -> list of rules; consecutive UA lines share a group
+    groups: dict[str, list[tuple[bool, str]]] = {}
+    current: list[str] = []
+    in_header = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            token = val.lower()
+            if not in_header:
+                current = []
+                in_header = True
+            current.append(token)
+            groups.setdefault(token, [])
+        elif key in _RULE_KEYS:
+            in_header = False
+            if not current:
+                continue  # rules before any user-agent line are ignored
+            if not val:
+                continue  # empty pattern = no rule (Disallow: == allow all)
+            for token in current:
+                groups[token].append((_RULE_KEYS[key], val))
+        else:
+            # sitemap/crawl-delay/etc neither open nor close a group
+            # header, but a non-rule line after rules ends the header
+            # state like a rule does
+            if key != "sitemap":
+                in_header = False
+    best: str | None = None
+    for token in groups:
+        if token != "*" and token in agent_l:
+            if best is None or len(token) > len(best):
+                best = token
+    if best is not None:
+        return groups[best]
+    return groups.get("*", [])
+
+
+@lru_cache(maxsize=4096)
+def _pattern_re(pattern: str) -> re.Pattern:
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = [re.escape(p) for p in pattern.split("*")]
+    return re.compile("^" + ".*".join(parts) + ("$" if anchored else ""))
+
+
+def robots_verdict(rules: Iterable[tuple[bool, str]], path: str) -> bool:
+    """True = fetchable.  Longest matching pattern wins; on equal
+    length Allow beats Disallow (RFC 9309 §2.2.2); no match = allow."""
+    best_len = -1
+    best_allow = True
+    for allow, pattern in rules:
+        if _pattern_re(pattern).match(path):
+            plen = len(pattern)
+            if plen > best_len or (plen == best_len and allow and not best_allow):
+                best_len = plen
+                best_allow = allow
+    return best_allow
+
+
+def url_path(col) -> F.Column:
+    """Path+query of a URL column (the REP match target): everything
+    from the first ``/`` after the authority; '/' when absent."""
+    c = F.col(col) if isinstance(col, str) else col
+    rest = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    return F.when(rest.startswith("/"), rest).otherwise(F.lit("/"))
+
+
+def robots_rules(
+    robots: DataFrame,
+    *,
+    url_col: str = "target_uri",
+    payload_col: str = "payload",
+    order_col: str | None = "warc_date",
+    agent: str = "*",
+) -> DataFrame:
+    """``(host, rules array<struct<allow,pattern>>)`` from robots.txt
+    captures.  One capture wins per host — the latest by ``order_col``
+    (payload as deterministic tiebreak) through a partial-aggregated
+    ``max(struct)``, the skew-immune keep-one spelling.  Parsing is an
+    Arrow-batched UDF over the winners only (one per host)."""
+    from pyspark.sql.functions import pandas_udf
+
+    host = url_host(F.col(url_col)).alias("host")
+    body = F.col(payload_col).cast("binary").alias("body")
+    if order_col is not None and order_col in robots.columns:
+        ranked = robots.select(
+            host, F.col(order_col).alias("_ord"), body
+        ).where(F.col("host").isNotNull())
+        winner = ranked.groupBy("host").agg(
+            F.max(F.struct("_ord", "body")).alias("w")
+        ).select("host", F.col("w.body").alias("body"))
+    else:
+        ranked = robots.select(host, body).where(F.col("host").isNotNull())
+        winner = ranked.groupBy("host").agg(F.max("body").alias("body"))
+
+    @pandas_udf("array<struct<allow boolean, pattern string>>")
+    def parse(bodies: pd.Series) -> pd.Series:
+        out = []
+        for b in bodies:
+            if b is None:
+                out.append([])
+                continue
+            text = bytes(b).decode("utf-8", "replace")
+            out.append([
+                {"allow": a, "pattern": p} for a, p in parse_robots(text, agent)
+            ])
+        return pd.Series(out)
+
+    return winner.select("host", parse(F.col("body")).alias("rules"))
+
+
+def robots_filter(
+    docs: DataFrame,
+    rules: DataFrame,
+    *,
+    url_col: str = "url",
+    keep_unlisted: bool = True,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Drop corpus rows whose URL the host's robots rules disallow.
+
+    ``rules`` is the :func:`robots_rules` output — per-host, so it is
+    small next to the corpus and broadcasts (set ``broadcast=False``
+    for a pathological host count); the verdict runs map-side in Arrow
+    batches.  Hosts with no rule row are kept when ``keep_unlisted``
+    (absence of robots.txt is not an opt-out), dropped otherwise;
+    NULL/unparseable URLs are always kept (nothing to match against).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    r = F.broadcast(rules) if broadcast else rules
+
+    @pandas_udf("boolean")
+    def allowed(paths: pd.Series, rule_lists: pd.Series) -> pd.Series:
+        out = []
+        for path, rl in zip(paths, rule_lists):
+            if rl is None or len(rl) == 0:
+                out.append(True)
+                continue
+            out.append(
+                robots_verdict(
+                    [(d["allow"], d["pattern"]) for d in rl], path or "/"
+                )
+            )
+        return pd.Series(out)
+
+    joined = docs.withColumn("_host", url_host(F.col(url_col))).join(
+        r.withColumnRenamed("host", "_host").withColumnRenamed(
+            "rules", "_rules"
+        ),
+        on="_host",
+        how="left",
+    )
+    listed = F.col("_rules").isNotNull()
+    verdict = allowed(url_path(F.col(url_col)), F.col("_rules"))
+    keep = (
+        F.col(url_col).isNull()
+        | F.col("_host").isNull()
+        | F.when(listed, verdict).otherwise(F.lit(bool(keep_unlisted)))
+    )
+    return joined.where(keep).drop("_host", "_rules")

@@ -1157,3 +1157,62 @@ def test_cli_curate_full_composition_two_crawls(tmp_path, spark, capsys):
     capsys.readouterr()
     assert main(["--cpus", "4", "search", idx, "uniq11", "--index"]) == 0
     assert capsys.readouterr().out.strip().splitlines()[0].split()[-1] == "11"
+
+
+def test_cli_curate_robots_from_crawl(tmp_path, spark):
+    """curate --robots crawl derives opt-out rules from the input
+    WARC's own robots.txt captures and drops disallowed URLs."""
+    from resilispark.__main__ import main
+    from resilispark.io.warc import WarcRecord, write_warc
+
+    def resp(url, body, ctype=b"text/html; charset=utf-8"):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype +
+            b"\r\nContent-Length: " + str(len(body)).encode() +
+            b"\r\n\r\n" + body
+        )
+        return WarcRecord(
+            headers=[
+                ("WARC-Type", "response"),
+                ("WARC-Record-ID", f"<urn:uuid:robots-{abs(hash(url)) % 10**8:08d}>"),
+                ("WARC-Date", "2024-05-01T12:00:00Z"),
+                ("WARC-Target-URI", url),
+                ("Content-Type", "application/http; msgtype=response"),
+            ],
+            payload=payload,
+        )
+
+    def page(text):
+        return (
+            "<html><head><title>t</title></head><body><p>"
+            + (text + " ") * 30
+            + "</p></body></html>"
+        ).encode()
+
+    recs = [
+        resp(
+            "https://a.example/robots.txt",
+            b"User-agent: *\nDisallow: /private/\n",
+            ctype=b"text/plain",
+        ),
+        resp("https://a.example/public/1", page("the quick brown fox is here and about")),
+        resp("https://a.example/private/2", page("you should never train on this text")),
+        resp("https://b.example/anything/3", page("no robots file on this host at all")),
+    ]
+    src = str(tmp_path / "crawl.warc.gz")
+    write_warc(recs, src, compression="gzip", checksum_data=True)
+    out = str(tmp_path / "corpus")
+    rc = main(
+        [
+            "--cpus", "4", "curate", src, "-o", out,
+            "--no-quality", "--keep-pii", "--robots", "crawl",
+        ]
+    )
+    assert rc == 0
+    urls = sorted(
+        r.url for r in spark.read.parquet(out).select("url").collect()
+    )
+    assert urls == [
+        "https://a.example/public/1",
+        "https://b.example/anything/3",
+    ]

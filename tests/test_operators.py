@@ -4271,3 +4271,132 @@ class TestDistributedKmeans:
         assert (sa == sb).all()
         # identical modulo float summation order across shuffled partials
         assert np.allclose(a, b, rtol=1e-12, atol=1e-14)
+
+
+class TestRobotsFilter:
+    """RFC 9309 robots-exclusion kernel + the crawl-scale filter."""
+
+    ROBOTS = b"""
+# example per RFC 9309
+User-agent: FooBot
+Disallow: /private/
+Disallow: /fish
+Allow: /fish/
+
+User-agent: *
+Disallow: /
+"""
+
+    def test_group_selection_specific_agent(self):
+        from resilispark.operators.robots import parse_robots
+
+        rules = parse_robots(self.ROBOTS.decode(), agent="FooBot/1.2")
+        assert (False, "/private/") in rules
+        assert (True, "/fish/") in rules
+        # the * group's Disallow:/ must NOT leak into FooBot's rules
+        assert (False, "/") not in rules
+
+    def test_group_selection_fallback_star(self):
+        from resilispark.operators.robots import parse_robots, robots_verdict
+
+        rules = parse_robots(self.ROBOTS.decode(), agent="BarBot/9.1")
+        assert rules == [(False, "/")]
+        assert not robots_verdict(rules, "/anything")
+
+    def test_longest_match_wins(self):
+        from resilispark.operators.robots import parse_robots, robots_verdict
+
+        rules = parse_robots(self.ROBOTS.decode(), agent="foobot")
+        assert robots_verdict(rules, "/fish/salmon")     # Allow /fish/ longer
+        assert not robots_verdict(rules, "/fishy")       # Disallow /fish prefix
+        assert robots_verdict(rules, "/")                # no match = allow
+
+    def test_wildcard_and_anchor(self):
+        from resilispark.operators.robots import robots_verdict
+
+        rules = [(False, "/*.php$")]
+        assert not robots_verdict(rules, "/index.php")
+        assert robots_verdict(rules, "/index.php5")
+        assert robots_verdict(rules, "/index.html")
+
+    def test_allow_wins_length_tie(self):
+        from resilispark.operators.robots import robots_verdict
+
+        rules = [(False, "/page"), (True, "/page")]
+        assert robots_verdict(rules, "/page")
+
+    def test_empty_disallow_is_no_rule(self):
+        from resilispark.operators.robots import parse_robots, robots_verdict
+
+        rules = parse_robots("User-agent: *\nDisallow:\n", agent="any")
+        assert rules == []
+        assert robots_verdict(rules, "/whatever")
+
+    def test_merged_groups_same_token(self):
+        from resilispark.operators.robots import parse_robots
+
+        text = (
+            "User-agent: FooBot\nDisallow: /a\n\n"
+            "User-agent: FooBot\nDisallow: /b\n"
+        )
+        rules = parse_robots(text, agent="foobot")
+        assert set(rules) == {(False, "/a"), (False, "/b")}
+
+    def test_rules_table_latest_capture_wins(self, spark):
+        from datetime import datetime
+
+        from resilispark.operators.robots import robots_rules
+
+        captures = spark.createDataFrame(
+            [
+                ("http://a.example/robots.txt", datetime(2024, 1, 1),
+                 b"User-agent: *\nDisallow: /old\n"),
+                ("http://a.example/robots.txt", datetime(2024, 6, 1),
+                 b"User-agent: *\nDisallow: /new\n"),
+            ],
+            "target_uri string, warc_date timestamp, payload binary",
+        )
+        rows = robots_rules(captures, agent="anybot").collect()
+        assert len(rows) == 1
+        assert [r["pattern"] for r in rows[0].rules] == ["/new"]
+
+    def test_filter_end_to_end(self, spark):
+        from resilispark.operators.robots import robots_filter, robots_rules
+
+        captures = spark.createDataFrame(
+            [("http://a.example/robots.txt",
+              b"User-agent: *\nDisallow: /private/\n")],
+            "target_uri string, payload binary",
+        )
+        rules = robots_rules(captures, order_col=None)
+        docs = spark.createDataFrame(
+            [
+                (0, "http://a.example/public/page"),
+                (1, "http://a.example/private/secret"),
+                (2, "http://b.example/anything"),   # unlisted host
+                (3, None),                          # NULL url always kept
+            ],
+            "doc_id long, url string",
+        )
+        kept = sorted(r.doc_id for r in robots_filter(docs, rules).collect())
+        assert kept == [0, 2, 3]
+        kept_strict = sorted(
+            r.doc_id
+            for r in robots_filter(docs, rules, keep_unlisted=False).collect()
+        )
+        assert kept_strict == [0, 3]
+
+    def test_filter_join_broadcasts(self, spark):
+        from resilispark.operators.robots import robots_filter, robots_rules
+
+        captures = spark.createDataFrame(
+            [("http://a.example/robots.txt", b"User-agent: *\nDisallow: /x\n")],
+            "target_uri string, payload binary",
+        )
+        docs = spark.createDataFrame(
+            [(0, "http://a.example/ok")], "doc_id long, url string"
+        )
+        plan = robots_filter(
+            docs, robots_rules(captures, order_col=None)
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
