@@ -38,6 +38,7 @@ PICKS = {
     "t09_bpe_tokens": "Learned-BPE encode: ONE Arrow-batched projection with the frozen merge table riding in the UDF closure; count + md5 are codegen above it; no shuffle, sort only at output.",
     "d12_incremental_dedup": "Incremental dedup probe: digest LEFT SEMI join + band-key LEFT SEMI join + per-doc collision count — every join sized by the snapshot side, store reads pruned by the band_idx partition key.",
     "d13_fuzzy_dedup": "Keep-best fuzzy dedup: checkpointed pair graph -> pointer-jump component rounds -> ONE partial-aggregated max(struct) per cluster for the representative (no window) -> LEFT ANTI drop of the losers.",
+    "s06_kmeans": "Distributed Lloyd's: each iteration is ONE mapInPandas pass emitting <= partitions*k stat rows, a per-cell combine that shuffles only those, and a k*d driver collect; the returned frame is the final centroid table (LocalTableScan) — the corpus vectors never shuffle, so the plan to audit is the iteration's map-side partial aggregation.",
 }
 
 _KEEP = re.compile(
