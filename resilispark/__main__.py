@@ -210,6 +210,13 @@ def cmd_curate(args) -> int:
             fmt = "wet"
         else:
             fmt = "warc"
+    if getattr(args, "meta_robots", False) and fmt != "warc":
+        print(
+            "error: --meta-robots needs WARC input (directives come from "
+            "HTTP headers + the parsed DOM)",
+            file=sys.stderr,
+        )
+        return 1
     if fmt == "parquet":
         docs = spark.read.parquet(args.input)
         if "text" not in docs.columns and "plain_text" in docs.columns:
@@ -219,8 +226,22 @@ def cmd_curate(args) -> int:
 
         docs = wet_to_docs(spark, args.input)
     else:
-        docs = warc_to_html_docs(spark, args.input, main_content=True)
+        meta_robots = bool(getattr(args, "meta_robots", False))
+        docs = warc_to_html_docs(
+            spark, args.input, main_content=True, robots_meta=meta_robots
+        )
         docs = docs.withColumnRenamed("plain_text", "text")
+        if meta_robots:
+            # per-page publisher opt-outs (X-Robots-Tag header and
+            # <meta name=robots>) extracted in the same DOM pass as
+            # the text — drop opted-out captures before anything else
+            from resilispark.operators.robots import filter_directive_optouts
+
+            docs = filter_directive_optouts(
+                docs,
+                directives=tuple(args.meta_robots_directives.split(",")),
+                drop_col=True,
+            )
     if "doc_id" not in docs.columns:
         # identity must be per-CAPTURE, not per-URL: repeated captures
         # of one URL (and all NULL-url docs) would otherwise share an
@@ -1251,6 +1272,18 @@ def main(argv: list[str] | None = None) -> int:
         "--robots-agent",
         default="*",
         help="user-agent token for robots group selection (RFC 9309)",
+    )
+    p.add_argument(
+        "--meta-robots",
+        action="store_true",
+        help="drop captures opting out via X-Robots-Tag or "
+        "<meta name=robots> (WARC input only; same DOM pass as "
+        "extraction)",
+    )
+    p.add_argument(
+        "--meta-robots-directives",
+        default="noindex,noai",
+        help="comma-separated directive tokens that trigger the drop",
     )
     p.add_argument("--benchmark", default=None, help="parquet eval set to decontaminate against")
     p.add_argument("--ngram", type=int, default=13, help="decontamination n-gram size")

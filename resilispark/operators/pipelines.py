@@ -30,12 +30,57 @@ _DOCS_SCHEMA = T.StructType(
 )
 
 
-def _fused_extract(main_content: bool):
+def _docs_schema(robots_meta: bool = False) -> T.StructType:
+    if not robots_meta:
+        return _DOCS_SCHEMA
+    return T.StructType(
+        list(_DOCS_SCHEMA.fields)
+        + [T.StructField("robots_directives", T.ArrayType(T.StringType()))]
+    )
+
+
+# directive tokens that may legitimately contain a colon — anything
+# else before ':' in the FIRST X-Robots-Tag token is an agent scope
+# ("googlebot: noindex") and is stripped
+_COLON_DIRECTIVES = {"unavailable_after"}
+
+
+def _robots_directives(headers, tree) -> list[str]:
+    """Opt-out directives for one capture: X-Robots-Tag response
+    headers plus ``<meta name="robots" content="...">`` from the
+    already-parsed DOM (same parse the extraction uses — no second
+    pass).  Lowercased, order-preserving deduped."""
+    out: list[str] = []
+    if headers is None:
+        headers = ()
+    for h in headers:
+        k, v = (h["key"], h["value"]) if isinstance(h, dict) else (h[0], h[1])
+        if (k or "").lower() != "x-robots-tag" or not v:
+            continue
+        toks = [t.strip().lower() for t in v.split(",") if t.strip()]
+        if toks and ":" in toks[0]:
+            pre, _, rest = toks[0].partition(":")
+            if pre.strip() not in _COLON_DIRECTIVES:
+                toks[0] = rest.strip()  # agent-scoped form
+        out.extend(t for t in toks if t)
+    if tree is not None:
+        for m in tree.get_elements_by_tag_name("meta"):
+            if (m.attrs.get("name") or "").strip().lower() == "robots":
+                out.extend(
+                    t.strip().lower()
+                    for t in (m.attrs.get("content") or "").split(",")
+                    if t.strip()
+                )
+    return list(dict.fromkeys(out))
+
+
+def _fused_extract(main_content: bool, robots_meta: bool = False):
     """One-pass Arrow-batched kernel for the whole decode→parse→extract
     chain — the Spark analog of the reference's fused ParDo chain (Beam
     fuses ReadWarcs >> Map(extract) into one worker stage,
     docs/man/beam.rst). Fusing into a single mapInPandas node crosses
     the JVM↔Python Arrow boundary once instead of once per kernel."""
+    fields = _docs_schema(robots_meta).fieldNames()
 
     def run(batches):
         import pandas as pd
@@ -46,7 +91,7 @@ def _fused_extract(main_content: bool):
         from resilispark.functions.http import decode_http_body_from_headers
 
         for pdf in batches:
-            rows = {k: [] for k in _DOCS_SCHEMA.fieldNames()}
+            rows = {k: [] for k in fields}
             for url, date, payload, headers, charset in zip(
                 pdf["target_uri"],
                 pdf["warc_date"],
@@ -56,6 +101,7 @@ def _fused_extract(main_content: bool):
             ):
                 title = text = lg = encoding = mime = None
                 rank = n_chars = None
+                tree = None
                 try:
                     body = decode_http_body_from_headers(bytes(payload), headers)
                     encoding = charset or enc.detect_encoding(body, from_html_meta=True)
@@ -80,6 +126,12 @@ def _fused_extract(main_content: bool):
                 rows["encoding"].append(encoding)
                 rows["mime"].append(mime)
                 rows["n_chars"].append(n_chars)
+                if robots_meta:
+                    # header directives survive even when the parse
+                    # failed; the DOM side rides the successful parse
+                    rows["robots_directives"].append(
+                        _robots_directives(headers, tree)
+                    )
             out = pd.DataFrame(rows)
             out["lang_rank"] = pd.array(out["lang_rank"], dtype="Int32")
             out["n_chars"] = pd.array(out["n_chars"], dtype="Int64")
@@ -93,6 +145,7 @@ def extract_html_docs(
     *,
     main_content: bool = True,
     repartition: int | None = None,
+    robots_meta: bool = False,
 ) -> DataFrame:
     """Source-agnostic fused extract stage: HTML-response filter ->
     one-Arrow-hop decode→DOM→main-content→lang kernel.
@@ -110,7 +163,10 @@ def extract_html_docs(
         out = out.repartition(repartition)
     return out.select(
         "target_uri", "warc_date", "payload", "http_headers", "http_charset"
-    ).mapInPandas(_fused_extract(main_content), schema=_DOCS_SCHEMA)
+    ).mapInPandas(
+        _fused_extract(main_content, robots_meta),
+        schema=_docs_schema(robots_meta),
+    )
 
 
 def warc_to_html_docs(
@@ -120,6 +176,7 @@ def warc_to_html_docs(
     main_content: bool = True,
     fused: bool = True,
     scan_options: dict | None = None,
+    robots_meta: bool = False,
 ) -> DataFrame:
     """WARC -> html_docs(url, title, plain_text, lang, lang_rank,
     encoding, mime, n_chars) — SURVEY §1.2's downstream derived table.
@@ -136,6 +193,11 @@ def warc_to_html_docs(
     ensure_workers_can_import(spark)
     register(spark)
 
+    if robots_meta and not fused:
+        raise ValueError(
+            "robots_meta rides the fused kernel's single DOM pass; "
+            "use fused=True"
+        )
     n_cores = spark.sparkContext.defaultParallelism
     reader = spark.read.format("warc").option("record_types", "response")
     for k, v in (scan_options or {}).items():
@@ -146,7 +208,10 @@ def warc_to_html_docs(
         # before the kernel runs — the exact Reshuffle the reference's
         # Beam source inserts (beam/fileio.py:42-44)
         return extract_html_docs(
-            reader.load(path), main_content=main_content, repartition=n_cores
+            reader.load(path),
+            main_content=main_content,
+            repartition=n_cores,
+            robots_meta=robots_meta,
         )
     records = (
         reader.load(path)

@@ -215,3 +215,22 @@ def robots_filter(
         | F.when(listed, verdict).otherwise(F.lit(bool(keep_unlisted)))
     )
     return joined.where(keep).drop("_host", "_rules")
+
+
+def filter_directive_optouts(
+    docs: DataFrame,
+    *,
+    col: str = "robots_directives",
+    directives: tuple[str, ...] = ("noindex", "noai"),
+    drop_col: bool = False,
+) -> DataFrame:
+    """Drop rows carrying any of ``directives`` in their per-capture
+    directive list (X-Robots-Tag headers + ``<meta name=robots>``, as
+    emitted by ``extract_html_docs(robots_meta=True)``).  Pure codegen
+    ``arrays_overlap`` — no UDF, no shuffle; rows with a NULL list are
+    kept (nothing was declared)."""
+    wanted = F.array(*[F.lit(d.lower()) for d in directives])
+    out = docs.where(
+        ~F.coalesce(F.arrays_overlap(F.col(col), wanted), F.lit(False))
+    )
+    return out.drop(col) if drop_col else out

@@ -1216,3 +1216,66 @@ def test_cli_curate_robots_from_crawl(tmp_path, spark):
         "https://a.example/public/1",
         "https://b.example/anything/3",
     ]
+
+
+def test_cli_curate_meta_robots(tmp_path, spark):
+    """curate --meta-robots drops captures opting out via X-Robots-Tag
+    or <meta name=robots> (directives ride the extraction DOM pass)."""
+    from resilispark.__main__ import main
+    from resilispark.io.warc import WarcRecord, write_warc
+
+    def resp(url, body, extra=b""):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" + extra +
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        return WarcRecord(
+            headers=[
+                ("WARC-Type", "response"),
+                ("WARC-Record-ID", f"<urn:uuid:mr-{abs(hash(url)) % 10**8:08d}>"),
+                ("WARC-Date", "2024-05-01T12:00:00Z"),
+                ("WARC-Target-URI", url),
+                ("Content-Type", "application/http; msgtype=response"),
+            ],
+            payload=payload,
+        )
+
+    def page(text, meta=""):
+        return (
+            "<html><head><title>t</title>" + meta + "</head><body><p>"
+            + (text + " ") * 30
+            + "</p></body></html>"
+        ).encode()
+
+    recs = [
+        resp("https://a.example/keep", page("ordinary page anyone may train on")),
+        resp(
+            "https://a.example/meta-optout",
+            page("opted out via meta tag", '<meta name="robots" content="noai">'),
+        ),
+        resp(
+            "https://a.example/header-optout",
+            page("opted out via response header"),
+            extra=b"X-Robots-Tag: noindex\r\n",
+        ),
+    ]
+    src = str(tmp_path / "crawl.warc.gz")
+    write_warc(recs, src, compression="gzip", checksum_data=True)
+    out = str(tmp_path / "corpus")
+    rc = main(
+        [
+            "--cpus", "4", "curate", src, "-o", out,
+            "--no-quality", "--keep-pii", "--meta-robots",
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert "robots_directives" not in got.columns
+    assert [r.url for r in got.select("url").collect()] == [
+        "https://a.example/keep"
+    ]
+    # flag without WARC input is a usage error, not a silent no-op
+    rc = main(
+        ["curate", str(tmp_path / "nope.parquet"), "-o", out, "--meta-robots"]
+    )
+    assert rc == 1

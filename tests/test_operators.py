@@ -4400,3 +4400,89 @@ Disallow: /
             docs, robots_rules(captures, order_col=None)
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+class TestMetaRobotsOptouts:
+    """Per-capture opt-out directives: X-Robots-Tag headers + <meta
+    name=robots>, extracted in the extraction kernel's single DOM pass."""
+
+    def test_directive_extraction(self):
+        from resilispark.functions.html import parse_html
+        from resilispark.operators.pipelines import _robots_directives
+
+        tree = parse_html(
+            "<html><head>"
+            '<meta name="robots" content="NoIndex, nofollow">'
+            '<meta name="viewport" content="width=device-width">'
+            "</head><body>x</body></html>"
+        )
+        headers = [
+            {"key": "Content-Type", "value": "text/html"},
+            {"key": "X-Robots-Tag", "value": "noai, noimageai"},
+            {"key": "x-robots-tag", "value": "googlebot: nosnippet"},
+            {"key": "X-Robots-Tag",
+             "value": "unavailable_after: 25 Jun 2030 15:00:00 PST"},
+        ]
+        got = _robots_directives(headers, tree)
+        assert got == [
+            "noai", "noimageai", "nosnippet",
+            "unavailable_after: 25 jun 2030 15:00:00 pst",
+            "noindex", "nofollow",
+        ]
+
+    def test_header_directives_survive_parse_failure(self):
+        from resilispark.operators.pipelines import _robots_directives
+
+        got = _robots_directives(
+            [("X-Robots-Tag", "noindex")], None  # tuple form + no DOM
+        )
+        assert got == ["noindex"]
+
+    def test_filter_directive_optouts(self, spark):
+        from resilispark.operators.robots import filter_directive_optouts
+
+        docs = spark.createDataFrame(
+            [
+                (0, ["noindex"]),
+                (1, ["nofollow"]),       # not in the drop set
+                (2, ["noai"]),
+                (3, []),
+                (4, None),               # nothing declared -> kept
+            ],
+            "doc_id long, robots_directives array<string>",
+        )
+        kept = sorted(r.doc_id for r in filter_directive_optouts(docs).collect())
+        assert kept == [1, 3, 4]
+        out = filter_directive_optouts(docs, drop_col=True)
+        assert "robots_directives" not in out.columns
+
+    def test_extract_kernel_emits_directives(self, spark, tmp_path):
+        from resilispark.io.warc import WarcRecord, write_warc
+        from resilispark.operators.pipelines import warc_to_html_docs
+
+        body = (
+            b"<html><head><title>t</title>"
+            b'<meta name="robots" content="noai">'
+            b"</head><body><p>hello world text</p></body></html>"
+        )
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"X-Robots-Tag: noindex\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        rec = WarcRecord(
+            headers=[
+                ("WARC-Type", "response"),
+                ("WARC-Record-ID", "<urn:uuid:meta-robots-1>"),
+                ("WARC-Date", "2024-05-01T12:00:00Z"),
+                ("WARC-Target-URI", "https://a.example/p"),
+                ("Content-Type", "application/http; msgtype=response"),
+            ],
+            payload=payload,
+        )
+        path = str(tmp_path / "one.warc")
+        write_warc([rec], path, compression="none", checksum_data=True)
+        rows = warc_to_html_docs(spark, path, robots_meta=True).collect()
+        assert rows[0].robots_directives == ["noindex", "noai"]
+        # default schema unchanged without the flag
+        assert "robots_directives" not in warc_to_html_docs(spark, path).columns
