@@ -730,6 +730,71 @@ def ivf_knn_join(
     )
 
 
+def kmeans_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 64,
+    iters: int = 4,
+    seed: int = 3,
+    block: int = 2048,
+) -> DataFrame:
+    """SemDeDup's original blocking: coarse k-means cells
+    (:func:`kmeans_fit`, trained on the full corpus), then EXACT
+    pairwise cosine within each cell — near-duplicate pairs
+    ``(id_a < id_b, cosine >= threshold)``.
+
+    One shuffle groups each cell's vectors together; inside a cell the
+    similarity matrix is computed block-by-block (``block`` rows per
+    matmul, float32) so peak memory is ``block**2`` scores, not
+    ``cell_size**2``.  Compute IS quadratic within a cell — the
+    paper's accepted cost; size ``n_clusters`` so ``n / n_clusters``
+    stays in the ten-thousands (cells hold the whole group in one
+    Arrow batch).  The LSH path (:func:`embedding_neardup_pairs`)
+    remains the bounded-bucket alternative for adversarial
+    distributions.
+    """
+    import numpy as np
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    cent, _, _ = kmeans_fit(
+        df, vec_col=vec_col, k=n_clusters, iters=iters, seed=seed
+    )
+    assigned = kmeans_assign(
+        df.select(id_col, vec_col), cent, vec_col=vec_col, out_col="_cell"
+    )
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        X = np.asarray(list(pdf[vec_col]), dtype=np.float32)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0] = 1.0
+        Xn = X / norms[:, None]
+        n = len(ids)
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        for i0 in range(0, n, block):
+            a = Xn[i0 : i0 + block]
+            for j0 in range(i0, n, block):
+                sims = a @ Xn[j0 : j0 + block].T
+                if i0 == j0:
+                    ii, jj = np.triu_indices_from(sims, k=1)
+                else:
+                    ii, jj = np.nonzero(np.ones_like(sims, dtype=bool))
+                keep = sims[ii, jj] >= threshold
+                out_a.extend(ids[i0 + ii[keep]])
+                out_b.extend(ids[j0 + jj[keep]])
+                out_c.extend(float(s) for s in sims[ii, jj][keep])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    return assigned.groupBy("_cell").applyInPandas(pairs_fn, schema)
+
+
 def semantic_dedup(
     df: DataFrame,
     *,
@@ -741,6 +806,9 @@ def semantic_dedup(
     seed: int = 42,
     max_bucket: int = 1024,
     score_col: str | None = None,
+    method: str = "lsh",
+    n_clusters: int = 64,
+    kmeans_iters: int = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: drop every document whose
     embedding is a near-duplicate (cosine >= ``threshold``) of another,
@@ -748,10 +816,14 @@ def semantic_dedup(
     the member with the highest ``score_col`` — keep the best-quality
     copy, not an arbitrary one).
 
-    Composition of the corpus-scale pieces: LSH-blocked near-dup pairs
-    (:func:`embedding_neardup_pairs`) -> pointer-jumping connected
-    components (dedup.connected_components, O(log diameter) rounds) ->
-    anti-join the non-representative members out.  Every stage is the
+    Composition of the corpus-scale pieces: blocked near-dup pairs ->
+    pointer-jumping connected components (dedup.connected_components,
+    O(log diameter) rounds) -> anti-join the non-representative members
+    out.  ``method`` picks the pair generator: ``"lsh"`` (default) is
+    the bounded-bucket sign-LSH join (:func:`embedding_neardup_pairs`);
+    ``"kmeans"`` is the paper's original coarse-k-means blocking with
+    EXACT within-cell cosine (:func:`kmeans_neardup_pairs` — no LSH
+    recall loss, quadratic within cells).  Every stage is the
     bounded-bucket / bounded-rounds shape documented on its operator;
     the only driver traffic is the components' convergence count.
 
@@ -760,16 +832,29 @@ def semantic_dedup(
     """
     from resilispark.operators.dedup import connected_components
 
-    pairs = embedding_neardup_pairs(
-        df,
-        id_col=id_col,
-        vec_col=vec_col,
-        threshold=threshold,
-        bits=bits,
-        rotations=rotations,
-        seed=seed,
-        max_bucket=max_bucket,
-    )
+    if method == "kmeans":
+        pairs = kmeans_neardup_pairs(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            n_clusters=n_clusters,
+            iters=kmeans_iters,
+            seed=seed,
+        )
+    elif method == "lsh":
+        pairs = embedding_neardup_pairs(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            bits=bits,
+            rotations=rotations,
+            seed=seed,
+            max_bucket=max_bucket,
+        )
+    else:
+        raise ValueError(f"unknown semantic_dedup method {method!r}")
     clusters = connected_components(pairs, "id_a", "id_b")
     from resilispark.operators.dedup import keep_cluster_representatives
 

@@ -4486,3 +4486,85 @@ class TestMetaRobotsOptouts:
         assert rows[0].robots_directives == ["noindex", "noai"]
         # default schema unchanged without the flag
         assert "robots_directives" not in warc_to_html_docs(spark, path).columns
+
+
+class TestKmeansSemanticDedup:
+    """kmeans_neardup_pairs: SemDeDup's coarse-cluster blocking with
+    exact within-cell cosine; block-wise matmul correctness."""
+
+    @staticmethod
+    def _near_dup_embeddings(spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        centers = [np.full(6, 4.0), np.full(6, -4.0)]
+        rows = []
+        vid = 0
+        dup_groups = []
+        for c in centers:
+            for g in range(3):
+                base = c + rng.randn(6)
+                group = []
+                for copy in range(2 if g == 0 else 1):
+                    # copies: tiny perturbation -> cosine ~0.9999
+                    v = base + rng.randn(6) * 1e-3
+                    rows.append((vid, v.tolist()))
+                    group.append(vid)
+                    vid += 1
+                if len(group) > 1:
+                    dup_groups.append(group)
+        return (
+            spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+            .repartition(3),
+            dup_groups,
+        )
+
+    def test_finds_within_cluster_duplicates(self, spark):
+        from resilispark.operators.similarity import kmeans_neardup_pairs
+
+        df, dup_groups = self._near_dup_embeddings(spark)
+        pairs = kmeans_neardup_pairs(
+            df, threshold=0.999, n_clusters=2, iters=3
+        ).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        want = {(a, b) for g in dup_groups for a in g for b in g if a < b}
+        assert got == want
+        assert all(r.cosine >= 0.999 for r in pairs)
+
+    def test_blockwise_matches_single_block(self, spark):
+        from resilispark.operators.similarity import kmeans_neardup_pairs
+
+        df, _ = self._near_dup_embeddings(spark)
+        big = kmeans_neardup_pairs(df, threshold=0.9, n_clusters=1, iters=1,
+                                   block=4096).collect()
+        small = kmeans_neardup_pairs(df, threshold=0.9, n_clusters=1, iters=1,
+                                     block=3).collect()
+        key = lambda r: (r.id_a, r.id_b)
+        assert sorted(map(key, big)) == sorted(map(key, small))
+        a = {key(r): r.cosine for r in big}
+        b = {key(r): r.cosine for r in small}
+        assert all(abs(a[k] - b[k]) < 1e-6 for k in a)
+
+    def test_semantic_dedup_kmeans_method(self, spark):
+        from resilispark.operators.similarity import semantic_dedup
+
+        df, dup_groups = self._near_dup_embeddings(spark)
+        kept = sorted(
+            r.vec_id
+            for r in semantic_dedup(
+                df, threshold=0.999, method="kmeans", n_clusters=2,
+                kmeans_iters=3
+            ).collect()
+        )
+        # one representative (min id) per dup group, all singletons kept
+        dropped = {vid for g in dup_groups for vid in g[1:]}
+        assert kept == sorted(set(range(8)) - dropped)
+
+    def test_unknown_method_raises(self, spark):
+        import pytest as _pytest
+
+        from resilispark.operators.similarity import semantic_dedup
+
+        df, _ = self._near_dup_embeddings(spark)
+        with _pytest.raises(ValueError, match="unknown semantic_dedup"):
+            semantic_dedup(df, method="nope")
