@@ -580,6 +580,24 @@ def cmd_curate(args) -> int:
             f"{'appended cardinality sketch to' if appended else 'cardinality sketch already recorded in'} "
             f"{args.cardinality_sketch}"
         )
+    if getattr(args, "histogram_sketch", None):
+        # persist mergeable log2 histograms of doc length (and token
+        # counts when present): `sketch-report --histogram` later reads
+        # distribution drift across crawls from the stored bin rows
+        from resilispark.operators.sketches import write_snapshot_histogram
+
+        shipped = _read_output()
+        hist_cols = {"n_chars": F.length("text")}
+        if "n_bpe_tokens" in shipped.columns:
+            hist_cols["n_bpe_tokens"] = F.col("n_bpe_tokens")
+        appended = write_snapshot_histogram(
+            shipped, args.histogram_sketch,
+            snapshot=args.output, cols=hist_cols, skip_existing=True,
+        )
+        print(
+            f"{'appended histogram sketch to' if appended else 'histogram sketch already recorded in'} "
+            f"{args.histogram_sketch}"
+        )
     if args.pack:
         from resilispark.operators.packing import emit_sequences
 
@@ -896,6 +914,20 @@ def cmd_sketch_report(args) -> int:
     `curate --cardinality-sketch` store — unions the stored KB-sized
     sketch rows; never touches the corpora themselves."""
     spark = _spark(args.cpus)
+    if getattr(args, "histogram", False):
+        from resilispark.operators.sketches import histogram_store_drift
+
+        rows = (
+            histogram_store_drift(spark, args.store)
+            .orderBy("column", "snapshot")
+            .collect()
+        )
+        for r in rows:
+            tv = "n/a" if r.tv_distance is None else f"{r.tv_distance:.4f}"
+            print(
+                f"column={r.column} snapshot={r.snapshot} tv_distance={tv}"
+            )
+        return 0
     from resilispark.operators.sketches import sketch_store_estimates
 
     rows = sketch_store_estimates(spark, args.store).orderBy("column").collect()
@@ -1304,6 +1336,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="print per-stage doc/char/token retention "
                         "(observed metrics riding the write — no extra "
                         "scan per stage)")
+    p.add_argument("--histogram-sketch", default=None, metavar="PATH",
+                   help="append this snapshot's log2 doc-length/token "
+                        "histograms to a mergeable store; "
+                        "`sketch-report --histogram PATH` reads "
+                        "cross-crawl distribution drift from it")
     p.add_argument("--cardinality-sketch", default=None, metavar="PATH",
                    help="append this snapshot's HLL distinct-count "
                         "sketches (content digest / url / host) to a "
@@ -1473,9 +1510,13 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser(
         "sketch-report",
         help="distinct-count / overlap estimates from a "
-             "curate --cardinality-sketch store",
+             "curate --cardinality-sketch store (or, with --histogram, "
+             "distribution drift from a --histogram-sketch store)",
     )
     p.add_argument("store")
+    p.add_argument("--histogram", action="store_true",
+                   help="treat the store as a histogram store and "
+                        "report per-snapshot total-variation drift")
     p.set_defaults(fn=cmd_sketch_report)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")

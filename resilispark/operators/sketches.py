@@ -160,3 +160,131 @@ def sketch_store_estimates(spark, path: str) -> DataFrame:
             ).cast("bigint").alias("cross_snapshot_overlap"),
         )
     )
+
+
+def column_histograms(docs: DataFrame, cols) -> DataFrame:
+    """Log2-binned histogram per numeric column, ONE aggregation pass
+    for all columns (stack -> partial-aggregated groupBy: the shuffle
+    carries at most partitions * columns * 97 bin rows, never data).
+
+    Bins are value-independent so histograms MERGE across snapshots by
+    summing counts: bin ``b`` covers ``[2^b, 2^(b+1))`` for positive
+    values (clamped to [-32, 63]), bin -33 holds zeros/negatives, NULLs
+    are skipped.  Returns (column, bin, lo, hi, n).
+    """
+    named = _named_cols(docs, cols)
+    if not named:
+        raise ValueError("no columns to histogram")
+    pairs = []
+    for name, c in named.items():
+        pairs.append(F.lit(name))
+        pairs.append(c.cast("double"))
+    long = docs.select(
+        F.stack(F.lit(len(named)), *pairs).alias("column", "_v")
+    ).where(F.col("_v").isNotNull())
+    bin_ = (
+        F.when(F.col("_v") <= 0, F.lit(-33))
+        .otherwise(
+            F.greatest(
+                F.lit(-32), F.least(F.lit(63), F.floor(F.log2("_v")))
+            )
+        )
+        .cast("int")
+    )
+    return (
+        long.withColumn("bin", bin_)
+        .groupBy("column", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "column",
+            "bin",
+            F.when(F.col("bin") == -33, F.lit(None))
+            .otherwise(F.pow(F.lit(2.0), F.col("bin"))).alias("lo"),
+            F.when(F.col("bin") == -33, F.lit(None))
+            .otherwise(F.pow(F.lit(2.0), F.col("bin") + 1)).alias("hi"),
+            "n",
+        )
+    )
+
+
+def write_snapshot_histogram(
+    docs: DataFrame,
+    path: str,
+    *,
+    snapshot: str,
+    cols,
+    skip_existing: bool = False,
+) -> bool:
+    """Append this snapshot's per-column histograms (≤ 97 tiny rows per
+    column) to the store at ``path`` — the same safety contract as the
+    sketch store: a duplicate ``snapshot`` label is refused (it would
+    double-weight that crawl in every merged distribution), or skipped
+    with ``skip_existing=True`` for idempotent retries.  Returns True
+    iff rows were appended."""
+    spark = docs.sparkSession
+    h = column_histograms(docs, cols).select(
+        F.lit(snapshot).alias("snapshot"), "column", "bin", "lo", "hi", "n"
+    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = spark.read.schema(h.schema).parquet(path)
+        if existing.filter(F.col("snapshot") == snapshot).limit(1).count():
+            if skip_existing:
+                return False
+            raise ValueError(
+                f"snapshot {snapshot!r} already present in histogram store "
+                f"{path} — each snapshot contributes exactly once"
+            )
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+            raise
+    h.write.mode("append").parquet(path)
+    return True
+
+
+def histogram_store_drift(spark, path: str) -> DataFrame:
+    """Distribution-drift readout over the histogram store: per
+    (column, snapshot), the total-variation distance between that
+    snapshot's distribution and the distribution of all OTHER
+    snapshots merged — ``0.5 * sum_bins |p_b - q_b|`` in [0, 1].
+
+    A new crawl whose doc-length / quality-score distribution suddenly
+    sits far from the corpus (tv_distance near 1) is the early-warning
+    signal for an extraction regression or a source shift — computed
+    from the tiny stored rows alone, zero corpus reads.  Snapshots
+    with no complement (the only snapshot) report NULL.
+    """
+    h = spark.read.parquet(path)
+    totals = h.groupBy("column", "bin").agg(F.sum("n").alias("n_all"))
+    snap_tot = h.groupBy("snapshot", "column").agg(F.sum("n").alias("snap_n"))
+    col_tot = h.groupBy("column").agg(F.sum("n").alias("all_n"))
+    j = (
+        h.join(totals, ["column", "bin"])
+        .join(snap_tot, ["snapshot", "column"])
+        .join(col_tot, ["column"])
+        .withColumn("rest_n", F.col("all_n") - F.col("snap_n"))
+    )
+    p = F.col("n") / F.col("snap_n")
+    q = (F.col("n_all") - F.col("n")) / F.col("rest_n")
+    # bins the snapshot never saw still contribute |0 - q_b|: total TV
+    # = 0.5 * (sum_present |p-q| + (1 - sum_present q)) — the second
+    # term folds the absent-bin mass in without materializing absent
+    # bins per snapshot
+    per_bin = (
+        j.groupBy("snapshot", "column")
+        .agg(
+            F.sum(F.abs(p - F.when(F.col("rest_n") > 0, q))).alias("_present"),
+            F.sum(F.when(F.col("rest_n") > 0, q)).alias("_q_seen"),
+            F.first("rest_n").alias("_rest"),
+        )
+    )
+    return per_bin.select(
+        "snapshot",
+        "column",
+        F.when(
+            F.col("_rest") > 0,
+            (F.col("_present") + (F.lit(1.0) - F.col("_q_seen"))) / 2.0,
+        ).alias("tv_distance"),
+    )

@@ -1279,3 +1279,36 @@ def test_cli_curate_meta_robots(tmp_path, spark):
         ["curate", str(tmp_path / "nope.parquet"), "-o", out, "--meta-robots"]
     )
     assert rc == 1
+
+
+def test_cli_curate_histogram_sketch_and_drift(tmp_path, spark):
+    """curate --histogram-sketch persists mergeable length histograms;
+    sketch-report --histogram reads cross-crawl drift from the store."""
+    import io
+    from contextlib import redirect_stdout
+
+    from resilispark.__main__ import main
+
+    store = str(tmp_path / "hists")
+    for tag, text in (("c1", "short words"), ("c2", "short texts")):
+        src = str(tmp_path / f"{tag}.parquet")
+        spark.createDataFrame(
+            [(i, text + f" number {i}", "en", "web") for i in range(6)],
+            "doc_id long, text string, lang string, source string",
+        ).write.mode("overwrite").parquet(src)
+        rc = main(
+            [
+                "--cpus", "4", "curate", src,
+                "-o", str(tmp_path / f"out-{tag}"),
+                "--no-quality", "--keep-pii",
+                "--histogram-sketch", store,
+            ]
+        )
+        assert rc == 0
+    assert spark.read.parquet(store).count() > 0
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--cpus", "4", "sketch-report", store, "--histogram"])
+    assert rc == 0
+    out = buf.getvalue()
+    assert "tv_distance" in out and "column=n_chars" in out

@@ -4568,3 +4568,96 @@ class TestKmeansSemanticDedup:
         df, _ = self._near_dup_embeddings(spark)
         with _pytest.raises(ValueError, match="unknown semantic_dedup"):
             semantic_dedup(df, method="nope")
+
+
+class TestHistogramSketches:
+    """Mergeable log2-binned histograms + the TV-distance drift readout."""
+
+    def test_binning(self, spark):
+        from resilispark.operators.sketches import column_histograms
+
+        df = spark.createDataFrame(
+            [(0.5,), (1.0,), (3.0,), (1024.0,), (0.0,), (-2.0,), (None,)],
+            "x double",
+        )
+        rows = {r.bin: r for r in column_histograms(df, ["x"]).collect()}
+        assert rows[-1].n == 1 and rows[-1].lo == 0.5 and rows[-1].hi == 1.0
+        assert rows[0].n == 1 and rows[0].lo == 1.0
+        assert rows[1].n == 1       # 3.0 in [2, 4)
+        assert rows[10].n == 1      # 1024 in [1024, 2048)
+        assert rows[-33].n == 2 and rows[-33].lo is None  # zero + negative
+        assert sum(r.n for r in rows.values()) == 6       # NULL skipped
+
+    def test_single_pass_multi_column(self, spark):
+        from resilispark.operators.sketches import column_histograms
+
+        df = spark.createDataFrame([(4.0, 100)], "a double, b long")
+        got = {(r.column, r.bin): r.n
+               for r in column_histograms(df, ["a", "b"]).collect()}
+        assert got == {("a", 2): 1, ("b", 6): 1}
+
+    def test_store_merge_equals_union(self, spark, tmp_path):
+        from resilispark.operators.sketches import (
+            column_histograms,
+            write_snapshot_histogram,
+        )
+
+        a = spark.createDataFrame([(float(i),) for i in range(1, 9)], "x double")
+        b = spark.createDataFrame([(float(i),) for i in range(4, 20)], "x double")
+        path = str(tmp_path / "hists")
+        assert write_snapshot_histogram(a, path, snapshot="a", cols=["x"])
+        assert write_snapshot_histogram(b, path, snapshot="b", cols=["x"])
+        merged = {
+            r.bin: r.total
+            for r in spark.read.parquet(path)
+            .groupBy("bin").agg(F.sum("n").alias("total")).collect()
+        }
+        union = {
+            r.bin: r.n for r in column_histograms(a.union(b), ["x"]).collect()
+        }
+        assert merged == union
+
+    def test_store_duplicate_snapshot_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from resilispark.operators.sketches import write_snapshot_histogram
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        path = str(tmp_path / "hists")
+        assert write_snapshot_histogram(df, path, snapshot="s1", cols=["x"])
+        with _pytest.raises(ValueError, match="already present"):
+            write_snapshot_histogram(df, path, snapshot="s1", cols=["x"])
+        assert not write_snapshot_histogram(
+            df, path, snapshot="s1", cols=["x"], skip_existing=True
+        )
+
+    def test_drift_readout(self, spark, tmp_path):
+        from resilispark.operators.sketches import (
+            histogram_store_drift,
+            write_snapshot_histogram,
+        )
+
+        same1 = spark.createDataFrame([(2.5,)] * 10, "x double")
+        same2 = spark.createDataFrame([(3.5,)] * 10, "x double")  # same bin [2,4)
+        far = spark.createDataFrame([(5000.0,)] * 10, "x double")
+        path = str(tmp_path / "hists")
+        write_snapshot_histogram(same1, path, snapshot="s1", cols=["x"])
+        write_snapshot_histogram(same2, path, snapshot="s2", cols=["x"])
+        write_snapshot_histogram(far, path, snapshot="s3", cols=["x"])
+        tv = {r.snapshot: r.tv_distance
+              for r in histogram_store_drift(spark, path).collect()}
+        assert tv["s3"] == 1.0                # disjoint from everything else
+        assert abs(tv["s1"] - 0.5) < 1e-9     # half the complement is s3's bin
+        assert abs(tv["s2"] - 0.5) < 1e-9
+
+    def test_drift_single_snapshot_is_null(self, spark, tmp_path):
+        from resilispark.operators.sketches import (
+            histogram_store_drift,
+            write_snapshot_histogram,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        path = str(tmp_path / "hists")
+        write_snapshot_histogram(df, path, snapshot="only", cols=["x"])
+        rows = histogram_store_drift(spark, path).collect()
+        assert rows[0].tv_distance is None
