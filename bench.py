@@ -66,6 +66,7 @@ HEADLINE = [
     "s01_cosine_topk",
     "s02_lsh_buckets",
     "s05_ivf_topk",
+    "s06_kmeans",
     "m02_video_frames",
 ]
 

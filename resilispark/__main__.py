@@ -315,15 +315,24 @@ def cmd_curate(args) -> int:
         if url_col:
             docs = _fn(filter_url_blocklist(docs, bl, url_col=url_col),
                        "blocklist")
-    if getattr(args, "robots", None) and "url" in docs.columns:
+    if getattr(args, "robots", None):
         # publisher opt-outs: build the per-host rule table from
         # robots.txt captures — "crawl" reuses the input WARCs (the
         # captures are ordinary response records in the same crawl),
         # any other value is a separate WARC/parquet of captures
         from resilispark.operators.robots import robots_filter, robots_rules
 
+        if "url" not in docs.columns:
+            # a silent no-op here would read as "robots compliance ran"
+            print(
+                "error: --robots needs a 'url' column on the corpus",
+                file=sys.stderr,
+            )
+            return 1
         src = args.input if args.robots == "crawl" else args.robots
-        if args.robots == "crawl" and fmt not in ("warc", "wet"):
+        if args.robots == "crawl" and fmt != "warc":
+            # WET files hold only conversion records: the response-record
+            # robots scan would find zero captures and filter nothing
             print("error: --robots crawl requires WARC input", file=sys.stderr)
             return 1
         if src.endswith(".parquet"):

@@ -24,7 +24,6 @@ the corpus itself never shuffles.
 
 from __future__ import annotations
 
-import re
 from functools import lru_cache
 from typing import Iterable
 
@@ -48,6 +47,10 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
     ``[(allow, pattern), ...]`` with original-case path patterns.
     """
     agent_l = agent.lower()
+    if text.startswith("﻿"):
+        # BOM-prefixed robots.txt would otherwise parse its first line
+        # as key '﻿user-agent' and silently drop every rule
+        text = text[1:]
     # groups[token] -> list of rules; consecutive UA lines share a group
     groups: dict[str, list[tuple[bool, str]]] = {}
     current: list[str] = []
@@ -91,12 +94,38 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
 
 
 @lru_cache(maxsize=4096)
-def _pattern_re(pattern: str) -> re.Pattern:
+def _pattern_parts(pattern: str) -> tuple[tuple[str, ...], bool]:
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]
-    parts = [re.escape(p) for p in pattern.split("*")]
-    return re.compile("^" + ".*".join(parts) + ("$" if anchored else ""))
+    return tuple(pattern.split("*")), anchored
+
+
+def _pattern_match(pattern: str, path: str) -> bool:
+    """Linear-time '*'-wildcard match (greedy earliest-segment search —
+    the classic glob algorithm).  robots.txt bodies come off the open
+    web; a regex translation backtracks exponentially on adversarial
+    patterns like ``/a*a*a*...b$`` and would stall an executor task."""
+    parts, anchored = _pattern_parts(pattern)
+    first = parts[0]
+    if not path.startswith(first):
+        return False
+    if len(parts) == 1:
+        return path == first if anchored else True
+    i = len(first)
+    for seg in parts[1:-1]:
+        if not seg:
+            continue
+        j = path.find(seg, i)
+        if j < 0:
+            return False
+        i = j + len(seg)
+    last = parts[-1]
+    if not last:
+        return True  # pattern ends with '*'
+    if anchored:
+        return path.endswith(last) and len(path) - len(last) >= i
+    return path.find(last, i) >= 0
 
 
 def robots_verdict(rules: Iterable[tuple[bool, str]], path: str) -> bool:
@@ -105,7 +134,7 @@ def robots_verdict(rules: Iterable[tuple[bool, str]], path: str) -> bool:
     best_len = -1
     best_allow = True
     for allow, pattern in rules:
-        if _pattern_re(pattern).match(path):
+        if _pattern_match(pattern, path):
             plen = len(pattern)
             if plen > best_len or (plen == best_len and allow and not best_allow):
                 best_len = plen
@@ -126,43 +155,75 @@ def robots_rules(
     *,
     url_col: str = "target_uri",
     payload_col: str = "payload",
+    headers_col: str | None = "http_headers",
     order_col: str | None = "warc_date",
     agent: str = "*",
 ) -> DataFrame:
     """``(host, rules array<struct<allow,pattern>>)`` from robots.txt
-    captures.  One capture wins per host — the latest by ``order_col``
-    (payload as deterministic tiebreak) through a partial-aggregated
-    ``max(struct)``, the skew-immune keep-one spelling.  Parsing is an
-    Arrow-batched UDF over the winners only (one per host)."""
+    captures.  Bodies are HTTP-decoded against ``headers_col`` first
+    (a gzip-served robots.txt must not parse as binary garbage and
+    silently yield zero rules), then one capture wins per host — the
+    latest by ``order_col`` (body text as deterministic tiebreak)
+    through a partial-aggregated ``max(struct)``, the skew-immune
+    keep-one spelling — and the winners parse in an Arrow-batched UDF
+    (one body per host)."""
     from pyspark.sql.functions import pandas_udf
 
+    from resilispark.functions.http import decode_http_body_from_headers
+
     host = url_host(F.col(url_col)).alias("host")
-    body = F.col(payload_col).cast("binary").alias("body")
-    if order_col is not None and order_col in robots.columns:
-        ranked = robots.select(
-            host, F.col(order_col).alias("_ord"), body
-        ).where(F.col("host").isNotNull())
-        winner = ranked.groupBy("host").agg(
-            F.max(F.struct("_ord", "body")).alias("w")
-        ).select("host", F.col("w.body").alias("body"))
+    body = F.col(payload_col).cast("binary")
+    if headers_col is not None and headers_col in robots.columns:
+        hdrs = F.col(headers_col)
     else:
-        ranked = robots.select(host, body).where(F.col("host").isNotNull())
-        winner = ranked.groupBy("host").agg(F.max("body").alias("body"))
+        hdrs = F.lit(None).cast("array<struct<key string, value string>>")
+
+    @pandas_udf("string")
+    def decode(bodies: pd.Series, headers: pd.Series) -> pd.Series:
+        out = []
+        for b, h in zip(bodies, headers):
+            if b is None:
+                out.append(None)
+                continue
+            raw = bytes(b)
+            try:
+                raw = decode_http_body_from_headers(raw, h)
+            except Exception:
+                pass  # undecodable body: parse the raw bytes' text
+            out.append(raw.decode("utf-8", "replace"))
+        return pd.Series(out)
+
+    decoded = robots.select(
+        host,
+        *(
+            [F.col(order_col).alias("_ord")]
+            if order_col is not None and order_col in robots.columns
+            else []
+        ),
+        decode(body, hdrs).alias("body_text"),
+    ).where(F.col("host").isNotNull())
+    if "_ord" in decoded.columns:
+        winner = decoded.groupBy("host").agg(
+            F.max(F.struct("_ord", "body_text")).alias("w")
+        ).select("host", F.col("w.body_text").alias("body_text"))
+    else:
+        winner = decoded.groupBy("host").agg(
+            F.max("body_text").alias("body_text")
+        )
 
     @pandas_udf("array<struct<allow boolean, pattern string>>")
-    def parse(bodies: pd.Series) -> pd.Series:
+    def parse(texts: pd.Series) -> pd.Series:
         out = []
-        for b in bodies:
-            if b is None:
+        for text in texts:
+            if text is None:
                 out.append([])
                 continue
-            text = bytes(b).decode("utf-8", "replace")
             out.append([
                 {"allow": a, "pattern": p} for a, p in parse_robots(text, agent)
             ])
         return pd.Series(out)
 
-    return winner.select("host", parse(F.col("body")).alias("rules"))
+    return winner.select("host", parse(F.col("body_text")).alias("rules"))
 
 
 def robots_filter(
@@ -229,7 +290,10 @@ def filter_directive_optouts(
     emitted by ``extract_html_docs(robots_meta=True)``).  Pure codegen
     ``arrays_overlap`` — no UDF, no shuffle; rows with a NULL list are
     kept (nothing was declared)."""
-    wanted = F.array(*[F.lit(d.lower()) for d in directives])
+    toks = [d.strip().lower() for d in directives if d.strip()]
+    if not toks:
+        raise ValueError("no directive tokens given")
+    wanted = F.array(*[F.lit(d) for d in toks])
     out = docs.where(
         ~F.coalesce(F.arrays_overlap(F.col(col), wanted), F.lit(False))
     )

@@ -759,12 +759,15 @@ def kmeans_neardup_pairs(
     import numpy as np
 
     id_type = df.schema[id_col].dataType.simpleString()
+    # the trainer runs one job per iteration plus seeding and the final
+    # assignment: checkpoint the two needed columns ONCE so the input
+    # lineage (potentially a whole extraction pipeline) isn't
+    # re-executed iters+2 times
+    vecs = df.select(id_col, vec_col).localCheckpoint()
     cent, _, _ = kmeans_fit(
-        df, vec_col=vec_col, k=n_clusters, iters=iters, seed=seed
+        vecs, vec_col=vec_col, k=n_clusters, iters=iters, seed=seed
     )
-    assigned = kmeans_assign(
-        df.select(id_col, vec_col), cent, vec_col=vec_col, out_col="_cell"
-    )
+    assigned = kmeans_assign(vecs, cent, vec_col=vec_col, out_col="_cell")
     schema = f"id_a {id_type}, id_b {id_type}, cosine double"
 
     def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -782,14 +785,13 @@ def kmeans_neardup_pairs(
             a = Xn[i0 : i0 + block]
             for j0 in range(i0, n, block):
                 sims = a @ Xn[j0 : j0 + block].T
+                m = sims >= threshold
                 if i0 == j0:
-                    ii, jj = np.triu_indices_from(sims, k=1)
-                else:
-                    ii, jj = np.nonzero(np.ones_like(sims, dtype=bool))
-                keep = sims[ii, jj] >= threshold
-                out_a.extend(ids[i0 + ii[keep]])
-                out_b.extend(ids[j0 + jj[keep]])
-                out_c.extend(float(s) for s in sims[ii, jj][keep])
+                    m = np.triu(m, k=1)
+                ii, jj = np.nonzero(m)  # only the kept pairs materialize
+                out_a.extend(ids[i0 + ii])
+                out_b.extend(ids[j0 + jj])
+                out_c.extend(float(s) for s in sims[ii, jj])
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
 
     return assigned.groupBy("_cell").applyInPandas(pairs_fn, schema)

@@ -179,9 +179,11 @@ def column_histograms(docs: DataFrame, cols) -> DataFrame:
     for name, c in named.items():
         pairs.append(F.lit(name))
         pairs.append(c.cast("double"))
+    # NaN would otherwise land in the TOP bin (Spark's least/greatest
+    # order NaN above every number) and distort every drift readout
     long = docs.select(
         F.stack(F.lit(len(named)), *pairs).alias("column", "_v")
-    ).where(F.col("_v").isNotNull())
+    ).where(F.col("_v").isNotNull() & ~F.isnan("_v"))
     bin_ = (
         F.when(F.col("_v") <= 0, F.lit(-33))
         .otherwise(

@@ -1216,6 +1216,12 @@ def test_cli_curate_robots_from_crawl(tmp_path, spark):
         "https://a.example/public/1",
         "https://b.example/anything/3",
     ]
+    # WET input has no response records to scan for robots.txt: the
+    # flag must be a usage error, not a silently empty rule table
+    rc = main(
+        ["curate", str(tmp_path / "x.wet.gz"), "-o", out, "--robots", "crawl"]
+    )
+    assert rc == 1
 
 
 def test_cli_curate_meta_robots(tmp_path, spark):

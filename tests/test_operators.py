@@ -4399,7 +4399,7 @@ Disallow: /
         plan = robots_filter(
             docs, robots_rules(captures, order_col=None)
         )._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+        assert "BroadcastHashJoin" in plan
 
 
 class TestMetaRobotsOptouts:
@@ -4661,3 +4661,86 @@ class TestHistogramSketches:
         write_snapshot_histogram(df, path, snapshot="only", cols=["x"])
         rows = histogram_store_drift(spark, path).collect()
         assert rows[0].tv_distance is None
+
+
+class TestRobotsReviewFixes:
+    """Regression tests for review findings on the robots module."""
+
+    def test_bom_prefixed_robots(self):
+        from resilispark.operators.robots import parse_robots
+
+        rules = parse_robots(
+            "﻿User-agent: *\nDisallow: /private/\n", agent="any"
+        )
+        assert rules == [(False, "/private/")]
+
+    def test_adversarial_wildcard_is_linear(self):
+        import time
+
+        from resilispark.operators.robots import robots_verdict
+
+        pattern = "/" + "a*" * 25 + "b$"
+        path = "/" + "a" * 60 + "c"
+        t0 = time.perf_counter()
+        # no match -> fetchable; the point is it RETURNS (the regex
+        # translation backtracked exponentially here)
+        assert robots_verdict([(False, pattern)], path)
+        assert time.perf_counter() - t0 < 0.5
+
+    def test_wildcard_semantics_preserved(self):
+        from resilispark.operators.robots import robots_verdict
+
+        cases = [
+            ("/fish*", "/fishheads/yummy.html", True),
+            ("/fish*", "/Fish.asp", False),
+            ("/*.php", "/folder/filename.php", True),
+            ("/*.php", "/windows.PHP", False),
+            ("/*.php$", "/filename.php", True),
+            ("/*.php$", "/filename.php?parameters", False),
+            ("/fish*.php", "/fishheads/catfish.php?parameters", True),
+            ("/p", "/page", True),
+            ("/p$", "/page", False),
+            ("/p$", "/p", True),
+        ]
+        for pattern, path, disallowed_matches in cases:
+            got = not robots_verdict([(False, pattern)], path)
+            assert got == disallowed_matches, (pattern, path)
+
+    def test_gzip_encoded_robots_body(self, spark):
+        import gzip
+
+        from resilispark.operators.robots import robots_rules
+
+        body = gzip.compress(b"User-agent: *\nDisallow: /hidden/\n")
+        captures = spark.createDataFrame(
+            [(
+                "http://a.example/robots.txt",
+                body,
+                [{"key": "Content-Encoding", "value": "gzip"}],
+            )],
+            "target_uri string, payload binary, "
+            "http_headers array<struct<key string, value string>>",
+        )
+        rows = robots_rules(captures, order_col=None).collect()
+        assert [r["pattern"] for r in rows[0].rules] == ["/hidden/"]
+
+    def test_directive_tokens_are_stripped(self, spark):
+        from resilispark.operators.robots import filter_directive_optouts
+
+        docs = spark.createDataFrame(
+            [(0, ["noai"]), (1, ["nofollow"])],
+            "doc_id long, robots_directives array<string>",
+        )
+        kept = [r.doc_id for r in filter_directive_optouts(
+            docs, directives=("noindex", " noai ")
+        ).collect()]
+        assert kept == [1]
+
+    def test_histogram_skips_nan(self, spark):
+        from resilispark.operators.sketches import column_histograms
+
+        df = spark.createDataFrame(
+            [(1.0,), (float("nan"),), (None,)], "x double"
+        )
+        rows = column_histograms(df, ["x"]).collect()
+        assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n == 1
