@@ -351,6 +351,27 @@ def cmd_curate(args) -> int:
             gopher_filter(docs, "text", min_stopwords=args.min_stopwords),
             "quality",
         )
+    if getattr(args, "dsir_target", None):
+        # DSIR importance resampling toward a target domain: runs on
+        # the quality-filtered pool (garbage docs would otherwise win
+        # weight through sheer gram volume), before dedup so repeated
+        # near-dups still compete as one distribution
+        from resilispark.operators.dsir import dsir_select
+
+        tgt = spark.read.parquet(args.dsir_target)
+        if "text" not in tgt.columns and "plain_text" in tgt.columns:
+            tgt = tgt.withColumnRenamed("plain_text", "text")
+        docs = _fn(
+            dsir_select(
+                docs.select("*"),
+                tgt,
+                n=args.dsir_n,
+                id_col="doc_id",
+                text_col="text",
+                temperature=args.dsir_temperature,
+            ).drop("dsir_logweight"),
+            "dsir",
+        )
     if args.url_dedup and "url" in docs.columns:
         from resilispark.operators.dedup import url_dedup
 
@@ -1339,6 +1360,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--val-fraction", type=float, default=None,
                    help="carve a leakage-safe validation split (near-dup "
                         "clusters land whole on one side)")
+    p.add_argument("--dsir-target", default=None, metavar="PATH",
+                   help="parquet target corpus: DSIR-importance-resample "
+                        "the pool toward its hashed-ngram distribution")
+    p.add_argument("--dsir-n", type=int, default=100_000,
+                   help="documents to keep in the DSIR resample")
+    p.add_argument("--dsir-temperature", type=float, default=1.0,
+                   help="Gumbel sampling temperature (lower = greedier)")
     p.add_argument("--keep-pii", action="store_true")
     p.add_argument("--no-quality", action="store_true")
     p.add_argument("--funnel", action="store_true",

@@ -1,0 +1,197 @@
+"""DSIR-style data selection: importance resampling on hashed n-grams.
+
+Data Selection via Importance Resampling (Xie et al., 2023,
+arXiv:2302.03169) picks raw-corpus documents whose n-gram distribution
+matches a small TARGET corpus (the domain you want more of): estimate
+two bag-of-hashed-ngram distributions, weight every raw document by
+its log importance ratio, and Gumbel-top-k sample proportionally.
+
+Spark shape, end to end:
+ - Feature extraction is pure codegen (split/transform/md5) — word
+   unigrams + bigrams hashed into ``buckets`` ids, no Python worker.
+ - The two bucket distributions are one partial-aggregated groupBy
+   each over ≤ ``buckets`` keys; the log-ratio table is ``buckets``
+   rows (KBs) and BROADCASTS onto the corpus.
+ - Per-document weights are explode → broadcast join → one uniform
+   groupBy(id) sum; selection is a seeded Gumbel key + ``orderBy().
+   limit(n)`` (TakeOrderedAndProject: per-partition heaps, no global
+   sort).  The corpus shuffles once, on the uniform doc id.
+
+Every step is deterministic (md5-derived hashing and noise), so the
+whole chain — distribution, ratios, weights, the sampled set itself —
+replays exactly in SQL; the t10 gate hash-compares it against DuckDB.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gram_buckets(text_col, *, buckets: int = 10_000) -> F.Column:
+    """``array<bigint>`` of hashed word unigram+bigram buckets for one
+    document — lowercased whitespace words, md5-bucketed (the first 8
+    hex chars mod ``buckets``), pure codegen so DuckDB can replay it
+    token for token."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")
+    # sequence(1, n) goes DESCENDING when n < 1: guard short docs
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(words, bigrams)
+    return F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+        % F.lit(buckets),
+    )
+
+
+def bucket_distribution(
+    df: DataFrame, text_col: str = "text", *, buckets: int = 10_000
+) -> DataFrame:
+    """``(bucket, n)`` hashed-ngram counts — explode + ONE
+    partial-aggregated groupBy over ≤ ``buckets`` keys (the map-side
+    combine collapses each partition to ≤ ``buckets`` rows before the
+    shuffle, so the shuffle never scales with the corpus)."""
+    return (
+        df.select(
+            F.explode(gram_buckets(text_col, buckets=buckets)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dsir_logratios(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    *,
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-bucket ``log(p_target / p_raw)`` with add-``smoothing``
+    estimates, for ALL ``buckets`` ids (unseen buckets get the smoothed
+    floor on both sides — the ratio a never-seen gram deserves).  The
+    result is ``buckets`` tiny rows, meant to broadcast."""
+    spark = raw.sparkSession
+    r = bucket_distribution(raw, text_col, buckets=buckets)
+    t = bucket_distribution(target, text_col, buckets=buckets)
+    allb = spark.range(buckets).select(F.col("id").cast("bigint").alias("bucket"))
+    joined = (
+        allb.join(r.withColumnRenamed("n", "n_raw"), "bucket", "left")
+        .join(t.withColumnRenamed("n", "n_tgt"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_raw", F.lit(0)).alias("n_raw"),
+            F.coalesce("n_tgt", F.lit(0)).alias("n_tgt"),
+        )
+    )
+    # the table is <= buckets tiny rows: collect ONCE so downstream
+    # broadcasts reuse it without re-scanning both corpora per action
+    rows = joined.collect()
+    s = float(smoothing)
+    denom_r = sum(x.n_raw for x in rows) + s * buckets
+    denom_t = sum(x.n_tgt for x in rows) + s * buckets
+    data = [
+        (
+            x.bucket,
+            math.log((x.n_tgt + s) / denom_t) - math.log((x.n_raw + s) / denom_r),
+        )
+        for x in rows
+    ]
+    return spark.createDataFrame(data, "bucket bigint, logratio double")
+
+
+def dsir_weights(
+    df: DataFrame,
+    logratios: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Per-document log importance weight: sum of the broadcast bucket
+    log-ratios over the document's grams.  One shuffle, on the uniform
+    ``id_col``; documents with no grams weigh 0."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode_outer(gram_buckets(text_col, buckets=buckets)).alias("bucket"),
+    )
+    return (
+        exploded.join(F.broadcast(logratios), "bucket", "left")
+        .groupBy(id_col)
+        .agg(F.coalesce(F.sum("logratio"), F.lit(0.0)).alias("dsir_logweight"))
+    )
+
+
+def dsir_sample(
+    weights: DataFrame,
+    *,
+    n: int,
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_logweight",
+    seed: int = 7,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Sample ``n`` ids WITHOUT replacement, proportionally to
+    ``exp(weight / temperature)`` — the Gumbel-top-k trick with
+    deterministic md5-derived noise (same id + seed → same pick, so a
+    retried job selects the identical set, and SQL replays it).
+    Selection is ``orderBy(key desc).limit(n)``: per-partition heaps,
+    no single-task global sort."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    # uniform in (0,1): 13 hex chars = 52 bits, +1 to dodge exact 0
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col), F.lit(str(seed)))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**13) + 2.0)
+    key = F.col(weight_col) / F.lit(float(temperature)) - F.log(-F.log(u))
+    return (
+        weights.withColumn("_gumbel_key", key)
+        .orderBy(F.desc("_gumbel_key"), F.col(id_col))
+        .limit(n)
+        .drop("_gumbel_key")
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    smoothing: float = 1.0,
+    seed: int = 7,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """The full DSIR chain: estimate → weigh → resample.  Returns the
+    selected rows of ``raw`` with their ``dsir_logweight`` attached."""
+    lr = dsir_logratios(
+        raw, target, text_col, buckets=buckets, smoothing=smoothing
+    )
+    w = dsir_weights(
+        raw, lr, id_col=id_col, text_col=text_col, buckets=buckets
+    )
+    picked = dsir_sample(
+        w, n=n, id_col=id_col, seed=seed, temperature=temperature
+    )
+    return raw.join(picked, id_col)

@@ -113,6 +113,7 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
     "s06_kmeans": [
         ("cell", "n"), ("pos", "n"), ("cent_val", "d"), ("cluster_size", "n"),
     ],
+    "t10_dsir": [("doc_id", "n"), ("logweight", "d")],
 }
 
 # members may live in either query module; merged lookup keeps the
@@ -164,11 +165,14 @@ FAMILIES: dict[str, list[str]] = {
     # over the d04 pairs + score-ranked representative selection)
     # (s06 joined in round 5: distributed full-corpus Lloyd's k-means,
     # 2-iteration SQL replay with md5(vec_id) seeding)
+    # (t10 joined in round 5: DSIR importance resampling — md5-hashed
+    # ngram distributions, smoothed log-ratios, Gumbel-top-k replayed
+    # end to end in SQL)
     "qc_curation_family": [
         "t02_token_count", "t04_fingerprint", "t07_pack_stats",
         "d10_duplicate_spans", "t08_emit_sequences", "d11_mask_spans",
         "t09_bpe_tokens", "d12_incremental_dedup", "d13_fuzzy_dedup",
-        "s06_kmeans",
+        "s06_kmeans", "t10_dsir",
     ],
 }
 

@@ -1989,6 +1989,85 @@ ORDER BY cell, pos
 """
 
 
+def t10_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (``operators/dsir.py``, Xie et al.
+    2023): hashed unigram+bigram distributions for the corpus vs a
+    pseudo-target (every 5th doc), per-doc log importance weights via
+    a broadcast bucket join, deterministic Gumbel-top-50 selection.
+    Every hash and noise term is md5-derived, so the ENTIRE chain —
+    distributions, smoothing, weights, the sampled set — replays
+    exactly in DuckDB."""
+    from resilispark.operators.dsir import dsir_select
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    target = docs.where(F.col("doc_id") % 5 == 0)
+    sel = dsir_select(
+        docs, target, n=50, id_col="doc_id", text_col="text",
+        buckets=256, smoothing=1.0, seed=11,
+    )
+    return sel.select(
+        "doc_id", dround("dsir_logweight", 6).alias("logweight")
+    ).orderBy("doc_id")
+
+
+ORACLE_T10 = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), uni AS (
+  SELECT doc_id, unnest(ws) AS g FROM w
+), bi AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= 2 THEN
+      list_transform(generate_series(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i + 1])
+    ELSE [] END) AS g
+  FROM w
+), grams AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+), rawc AS (
+  SELECT bucket, count(*) AS n FROM grams GROUP BY bucket
+), tgtc AS (
+  SELECT bucket, count(*) AS n FROM grams WHERE doc_id % 5 = 0
+  GROUP BY bucket
+), totals AS (
+  SELECT (SELECT count(*) FROM grams) AS tr,
+         (SELECT count(*) FROM grams WHERE doc_id % 5 = 0) AS tt
+), allb AS (
+  SELECT unnest(generate_series(0, 255))::BIGINT AS bucket
+), lr AS (
+  SELECT a.bucket,
+         ln((coalesce(t.n, 0) + 1.0) / (tot.tt + 256.0))
+         - ln((coalesce(r.n, 0) + 1.0) / (tot.tr + 256.0)) AS logratio
+  FROM allb a
+  LEFT JOIN rawc r USING (bucket)
+  LEFT JOIN tgtc t USING (bucket)
+  CROSS JOIN totals tot
+), wts AS (
+  SELECT d.doc_id, coalesce(sum(lr.logratio), 0.0) AS lw
+  FROM documents d
+  LEFT JOIN grams g ON g.doc_id = d.doc_id
+  LEFT JOIN lr ON lr.bucket = g.bucket
+  GROUP BY d.doc_id
+), keyed AS (
+  SELECT doc_id, lw,
+         lw - ln(-ln(
+           (('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 13))::BIGINT
+            + 1.0) / (16.0 ^ 13 + 2.0)
+         )) AS k
+  FROM wts
+), top AS (
+  SELECT doc_id, lw FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+)
+SELECT doc_id, floor(lw * 1000000 + 0.5) / 1000000 AS logweight
+FROM top
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2013,6 +2092,7 @@ QUERIES = {
     "d12_incremental_dedup": d12_incremental_dedup,
     "d13_fuzzy_dedup": d13_fuzzy_dedup,
     "s06_kmeans": s06_kmeans,
+    "t10_dsir": t10_dsir,
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
     "s03_label_centroid_norms": s03_label_centroid_norms,
@@ -2048,6 +2128,7 @@ ORACLES = {
     "d12_incremental_dedup": ORACLE_D12,
     "d13_fuzzy_dedup": ORACLE_D13,
     "s06_kmeans": ORACLE_S06,
+    "t10_dsir": ORACLE_T10,
     "s01_cosine_topk": ORACLE_S01,
     "s02_lsh_buckets": ORACLE_S02,
     "s03_label_centroid_norms": ORACLE_S03,

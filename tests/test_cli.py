@@ -1318,3 +1318,34 @@ def test_cli_curate_histogram_sketch_and_drift(tmp_path, spark):
     assert rc == 0
     out = buf.getvalue()
     assert "tv_distance" in out and "column=n_chars" in out
+
+
+def test_cli_curate_dsir_resample(tmp_path, spark):
+    """curate --dsir-target resamples the pool toward the target's
+    hashed-ngram distribution."""
+    from resilispark.__main__ import main
+
+    rows = [(i, "finance stocks bonds markets yields trading today " * 2,
+             "en", "web") for i in range(30)]
+    rows += [(i, "recipes cooking baking flour butter sugar dinner " * 2,
+              "en", "web") for i in range(30, 60)]
+    src = str(tmp_path / "pool.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+    tgt = str(tmp_path / "target.parquet")
+    spark.createDataFrame(
+        [(0, "finance markets trading returns stocks")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(tgt)
+    out = str(tmp_path / "corpus")
+    rc = main(
+        [
+            "--cpus", "4", "curate", src, "-o", out,
+            "--no-quality", "--keep-pii",
+            "--dsir-target", tgt, "--dsir-n", "10",
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(out).select("doc_id").collect()
+    assert len(got) == 10
+    assert all(r.doc_id < 30 for r in got)  # all from the finance half

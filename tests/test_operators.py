@@ -4744,3 +4744,93 @@ class TestRobotsReviewFixes:
         )
         rows = column_histograms(df, ["x"]).collect()
         assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n == 1
+
+
+class TestDsir:
+    """DSIR importance resampling: hashed-ngram features, smoothed
+    log-ratios, deterministic Gumbel-top-k selection."""
+
+    def test_gram_buckets_match_python_md5(self, spark):
+        import hashlib
+
+        from resilispark.operators.dsir import gram_buckets
+
+        text = "The quick  Brown fox"
+        got = (
+            spark.createDataFrame([(text,)], "text string")
+            .select(gram_buckets("text", buckets=97).alias("b"))
+            .first()
+            .b
+        )
+        words = [w for w in text.lower().split() if w]
+        grams = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+        exp = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 97
+            for g in grams
+        ]
+        assert got == exp
+
+    def test_short_docs_no_bigrams(self, spark):
+        from resilispark.operators.dsir import gram_buckets
+
+        rows = (
+            spark.createDataFrame([("word",), ("",)], "text string")
+            .select(F.size(gram_buckets("text", buckets=7)).alias("n"))
+            .collect()
+        )
+        assert [r.n for r in rows] == [1, 0]  # no descending-sequence blowup
+
+    def test_selection_prefers_target_domain(self, spark):
+        from resilispark.operators.dsir import dsir_select
+
+        rows = [(i, "finance stocks bonds yields markets " * 3) for i in range(50)]
+        rows += [(i, "recipes cooking baking flour sugar " * 3) for i in range(50, 100)]
+        raw = spark.createDataFrame(rows, "doc_id long, text string")
+        target = spark.createDataFrame(
+            [(0, "finance stocks markets returns")], "doc_id long, text string"
+        )
+        sel = dsir_select(raw, target, n=20, buckets=512, seed=3)
+        ids = [r.doc_id for r in sel.collect()]
+        assert len(ids) == 20
+        assert all(i < 50 for i in ids)  # perfectly separable vocab
+        assert "dsir_logweight" in sel.columns
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from resilispark.operators.dsir import dsir_select
+
+        rows = [(i, f"common words plus token{i % 7} here") for i in range(60)]
+        raw = spark.createDataFrame(rows, "doc_id long, text string")
+        target = raw.where(F.col("doc_id") % 3 == 0)
+        a = sorted(r.doc_id for r in dsir_select(raw, target, n=10, buckets=128,
+                                                 seed=1).collect())
+        b = sorted(r.doc_id for r in dsir_select(raw, target, n=10, buckets=128,
+                                                 seed=1).collect())
+        c = sorted(r.doc_id for r in dsir_select(raw, target, n=10, buckets=128,
+                                                 seed=2).collect())
+        assert a == b
+        assert a != c  # the noise actually depends on the seed
+
+    def test_docs_without_grams_weigh_zero(self, spark):
+        from resilispark.operators.dsir import dsir_logratios, dsir_weights
+
+        raw = spark.createDataFrame(
+            [(0, "some words"), (1, "")], "doc_id long, text string"
+        )
+        lr = dsir_logratios(raw, raw, buckets=64)
+        w = {r.doc_id: r.dsir_logweight
+             for r in dsir_weights(raw, lr, buckets=64).collect()}
+        assert w[1] == 0.0
+        # raw == target: every seen bucket has logratio ~ln(Tt/Tr)=0
+        assert abs(w[0]) < 1e-9
+
+    def test_sample_is_takeordered_not_global_sort(self, spark):
+        from resilispark.operators.dsir import dsir_sample
+
+        w = spark.createDataFrame(
+            [(i, float(i % 5)) for i in range(100)],
+            "doc_id long, dsir_logweight double",
+        )
+        df = dsir_sample(w, n=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert df.count() == 5
