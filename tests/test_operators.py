@@ -4834,3 +4834,35 @@ class TestDsir:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
         assert df.count() == 5
+
+
+class TestRobotsMatcherProperty:
+    """The linear wildcard matcher must agree with a (safe-input) regex
+    translation on arbitrary patterns/paths."""
+
+    def test_matches_regex_reference(self):
+        import re
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from resilispark.operators.robots import _pattern_match
+
+        alphabet = "ab/*.$"
+
+        def regex_ref(pattern: str, path: str) -> bool:
+            anchored = pattern.endswith("$")
+            body = pattern[:-1] if anchored else pattern
+            parts = [re.escape(p) for p in body.split("*")]
+            rx = "^" + ".*".join(parts) + ("$" if anchored else "")
+            return re.match(rx, path) is not None
+
+        @given(
+            st.text(alphabet=alphabet, min_size=0, max_size=12),
+            st.text(alphabet="ab/.$", min_size=0, max_size=20),
+        )
+        @settings(max_examples=500, deadline=None)
+        def check(pattern, path):
+            assert _pattern_match(pattern, path) == regex_ref(pattern, path)
+
+        check()
