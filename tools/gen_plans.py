@@ -39,6 +39,7 @@ PICKS = {
     "d12_incremental_dedup": "Incremental dedup probe: digest LEFT SEMI join + band-key LEFT SEMI join + per-doc collision count — every join sized by the snapshot side, store reads pruned by the band_idx partition key.",
     "d13_fuzzy_dedup": "Keep-best fuzzy dedup: checkpointed pair graph -> pointer-jump component rounds -> ONE partial-aggregated max(struct) per cluster for the representative (no window) -> LEFT ANTI drop of the losers.",
     "s06_kmeans": "Distributed Lloyd's: each iteration is ONE mapInPandas pass emitting <= partitions*k stat rows, a per-cell combine that shuffles only those, and a k*d driver collect; the returned frame is the final centroid table (LocalTableScan) — the corpus vectors never shuffle, so the plan to audit is the iteration's map-side partial aggregation.",
+    "t10_dsir": "DSIR selection: codegen gram hashing (no EvalPython), bucket distributions partial-aggregated to <= buckets keys, the KB log-ratio table broadcast (BuildRight), ONE uniform doc_id shuffle for the weight sums, TakeOrderedAndProject for the Gumbel top-k — no global sort, no corpus-sized shuffle.",
 }
 
 _KEEP = re.compile(
