@@ -346,6 +346,13 @@ def cmd_curate(args) -> int:
         caps = caps.where(F.col("target_uri").rlike(r"://[^/]+/robots\.txt$"))
         rules = robots_rules(caps, agent=args.robots_agent)
         docs = _fn(robots_filter(docs, rules), "robots")
+    if getattr(args, "c4", False):
+        # C4 line cleanup BEFORE the Gopher document rules: the
+        # standard C4 -> Gopher ladder (boilerplate lines out first so
+        # document statistics measure real prose)
+        from resilispark.operators.quality import c4_filter
+
+        docs = _fn(c4_filter(docs, "text"), "c4")
     if not args.no_quality:
         docs = _fn(
             gopher_filter(docs, "text", min_stopwords=args.min_stopwords),
@@ -1367,6 +1374,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="documents to keep in the DSIR resample")
     p.add_argument("--dsir-temperature", type=float, default=1.0,
                    help="Gumbel sampling temperature (lower = greedier)")
+    p.add_argument("--c4", action="store_true",
+                   help="C4-style line cleanup (short/unterminated/"
+                        "javascript/policy lines out, lorem-ipsum and "
+                        "code-brace docs dropped) before the quality rules")
     p.add_argument("--keep-pii", action="store_true")
     p.add_argument("--no-quality", action="store_true")
     p.add_argument("--funnel", action="store_true",

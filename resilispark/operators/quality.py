@@ -284,3 +284,86 @@ def split_sentences(
         .withColumn("sentence", F.trim("sentence"))
         .filter(F.length("sentence") >= min_chars)
     )
+
+
+# C4's boilerplate-line blocklist (Raffel et al. 2020, §2.2 — public
+# paper): lines carrying these phrases are navigation/policy chrome
+_C4_POLICY_PHRASES = (
+    "terms of use", "privacy policy", "cookie policy", "uses cookies",
+)
+
+
+def c4_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    cleaned_col: str = "c4_text",
+    keep_col: str = "c4_keep",
+) -> DataFrame:
+    """C4-style cleanup (Raffel et al., "Exploring the Limits of
+    Transfer Learning...", 2020 §2.2) as pure column expressions —
+    line-level pruning plus document-level flags, no Python worker:
+
+    line KEPT iff it has >= ``min_words_per_line`` words, ends in a
+    terminal punctuation mark (. ! ? or a closing quote), and carries
+    neither the word "javascript" nor a policy-boilerplate phrase;
+    document KEPT (``keep_col``) iff the cleaned text still has >=
+    ``min_sentences`` sentences, and the ORIGINAL text contains
+    neither "lorem ipsum" nor a ``{`` (code).
+
+    Adds ``cleaned_col`` (the surviving lines rejoined) and
+    ``keep_col``; composition with :func:`gopher_filter` reproduces
+    the common C4→Gopher ladder.
+    """
+    text = F.col(text_col)
+
+    def keep_line(line: Column) -> Column:
+        low = F.lower(line)
+        words = F.filter(F.split(F.trim(line), r"\s+"), lambda w: w != "")
+        cond = F.size(words) >= min_words_per_line
+        cond = cond & line.rlike(r'[.!?"”]\s*$')
+        cond = cond & ~low.contains("javascript")
+        for phrase in _C4_POLICY_PHRASES:
+            cond = cond & ~low.contains(phrase)
+        return cond
+
+    cleaned = F.array_join(F.filter(F.split(text, "\n"), keep_line), "\n")
+    out = docs.withColumn(cleaned_col, cleaned)
+    n_sentences = F.size(
+        F.filter(
+            F.split(F.col(cleaned_col), r"[.!?]"),
+            lambda s: F.trim(s) != "",
+        )
+    )
+    low_all = F.lower(text)
+    keep = (
+        ~low_all.contains("lorem ipsum")
+        & ~text.contains("{")
+        & (n_sentences >= min_sentences)
+    )
+    return out.withColumn(keep_col, keep)
+
+
+def c4_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """Apply :func:`c4_clean` destructively: keep passing documents
+    with ``text_col`` REPLACED by the line-cleaned text (the C4
+    pipeline's actual output), original schema preserved."""
+    cleaned = c4_clean(
+        docs,
+        text_col,
+        min_words_per_line=min_words_per_line,
+        min_sentences=min_sentences,
+    )
+    return (
+        cleaned.where(F.col("c4_keep"))
+        .withColumn(text_col, F.col("c4_text"))
+        .drop("c4_text", "c4_keep")
+    )

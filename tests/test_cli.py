@@ -1349,3 +1349,33 @@ def test_cli_curate_dsir_resample(tmp_path, spark):
     got = spark.read.parquet(out).select("doc_id").collect()
     assert len(got) == 10
     assert all(r.doc_id < 30 for r in got)  # all from the finance half
+
+
+def test_cli_curate_c4(tmp_path, spark):
+    """curate --c4 prunes boilerplate lines and drops code/lorem docs
+    before the quality rules."""
+    from resilispark.__main__ import main
+
+    good = (
+        "A first proper sentence with plenty of words today.\n"
+        "Read our privacy policy before continuing to browse.\n"
+        "A second proper sentence with plenty of words today.\n"
+        "A third proper sentence with plenty of words today."
+    )
+    code = "function f() { return 1; } with words and sentences. More. And more."
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(0, good, "en", "web"), (1, code, "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "corpus")
+    rc = main(
+        ["--cpus", "4", "curate", src, "-o", out,
+         "--no-quality", "--keep-pii", "--c4"]
+    )
+    assert rc == 0
+    rows = {r.doc_id: r.text for r in
+            spark.read.parquet(out).select("doc_id", "text").collect()}
+    assert set(rows) == {0}
+    assert "privacy policy" not in rows[0]
+    assert rows[0].count("proper sentence") == 3

@@ -4866,3 +4866,67 @@ class TestRobotsMatcherProperty:
             assert _pattern_match(pattern, path) == regex_ref(pattern, path)
 
         check()
+
+
+class TestC4Clean:
+    """C4-style line pruning + document flags (Raffel et al. 2020)."""
+
+    def test_line_rules(self, spark):
+        from resilispark.operators.quality import c4_clean
+
+        text = "\n".join([
+            "This line has enough words and ends with a period.",
+            "Too short line.",                                   # < 5 words
+            "This line has plenty of words but no terminal punct",
+            "Please enable JavaScript to view the comments today.",
+            "Read our privacy policy before continuing to browse.",
+            'A quoted ending line with plenty of words here."',
+        ])
+        row = c4_clean(
+            spark.createDataFrame([(text,)], "text string"), min_sentences=1
+        ).first()
+        kept = row.c4_text.split("\n")
+        assert kept == [
+            "This line has enough words and ends with a period.",
+            'A quoted ending line with plenty of words here."',
+        ]
+        assert row.c4_keep
+
+    def test_document_flags(self, spark):
+        from resilispark.operators.quality import c4_clean
+
+        ok = "One good sentence right here today. Another fine one follows now. And a third one closes it."
+        rows = spark.createDataFrame(
+            [
+                (0, ok),
+                (1, ok + " lorem ipsum dolor sit."),
+                (2, ok + " if (x) { return; }"),
+                (3, "Only one sentence lives in this document today."),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.c4_keep for r in c4_clean(rows).collect()}
+        assert got == {0: True, 1: False, 2: False, 3: False}
+
+    def test_filter_replaces_text(self, spark):
+        from resilispark.operators.quality import c4_filter
+
+        text = (
+            "First solid sentence with enough words in it.\n"
+            "nav link\n"
+            "Second solid sentence with enough words in it.\n"
+            "Third solid sentence with enough words in it."
+        )
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        out = c4_filter(df).collect()
+        assert len(out) == 1
+        assert "nav link" not in out[0].text
+        assert out[0].text.count("solid sentence") == 3
+        assert set(out[0].asDict()) == {"doc_id", "text"}
+
+    def test_pure_codegen(self, spark):
+        from resilispark.operators.quality import c4_clean
+
+        df = spark.createDataFrame([("x.",)], "text string")
+        plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "mapInPandas" not in plan
