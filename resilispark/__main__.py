@@ -667,6 +667,18 @@ def cmd_curate(args) -> int:
         )
         seqs.write.mode("overwrite").parquet(args.output + ".packed")
         print(f"wrote {args.output}.packed")
+    if getattr(args, "export_jsonl", None):
+        # additional export for training stacks that ingest JSONL;
+        # the parquet corpus stays the canonical output (every internal
+        # read-back — dedup-store fold-in, sketches, packing — reads it)
+        (
+            _read_output()
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .option("maxRecordsPerFile", 1_000_000)
+            .json(args.export_jsonl)
+        )
+        print(f"wrote {args.export_jsonl} (jsonl.gz)")
     print(f"wrote {args.output}")
     return 0
 
@@ -1374,6 +1386,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="documents to keep in the DSIR resample")
     p.add_argument("--dsir-temperature", type=float, default=1.0,
                    help="Gumbel sampling temperature (lower = greedier)")
+    p.add_argument("--export-jsonl", default=None, metavar="PATH",
+                   help="additionally export the final corpus as "
+                        "gzipped JSONL (training-stack ingestion); the "
+                        "parquet output remains canonical")
     p.add_argument("--c4", action="store_true",
                    help="C4-style line cleanup (short/unterminated/"
                         "javascript/policy lines out, lorem-ipsum and "

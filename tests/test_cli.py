@@ -1379,3 +1379,36 @@ def test_cli_curate_c4(tmp_path, spark):
     assert set(rows) == {0}
     assert "privacy policy" not in rows[0]
     assert rows[0].count("proper sentence") == 3
+
+
+def test_cli_curate_export_jsonl(tmp_path, spark):
+    """curate --export-jsonl writes a gzipped JSONL copy alongside the
+    canonical parquet corpus."""
+    import glob
+    import gzip
+    import json
+
+    from resilispark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"document number {i} with several words", "en", "web")
+         for i in range(5)],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "corpus")
+    jl = str(tmp_path / "corpus-jsonl")
+    rc = main(
+        ["--cpus", "4", "curate", src, "-o", out,
+         "--no-quality", "--keep-pii", "--export-jsonl", jl]
+    )
+    assert rc == 0
+    rows = []
+    for p in glob.glob(jl + "/part-*.json.gz"):
+        with gzip.open(p, "rt") as f:
+            rows.extend(json.loads(l) for l in f)
+    assert len(rows) == 5
+    assert {r["doc_id"] for r in rows} == set(range(5))
+    assert all("text" in r for r in rows)
+    # canonical parquet output still written
+    assert spark.read.parquet(out).count() == 5
