@@ -226,6 +226,13 @@ def sample_token_mixture(
     fracs = mixture_fractions(
         totals, target_weights, total_tokens, max_epochs=max_epochs
     )
+    if not fracs:
+        # empty corpus / no source named in the weights: an empty
+        # sample, not an AnalysisException from a zero-entry map()
+        out = docs.limit(0)
+        if max_epochs > 1:
+            out = out.withColumn("epoch", F.lit(0))
+        return out.drop("_toks") if "_toks" in out.columns else out
     frac_map = F.create_map(
         *[x for src, fr in sorted(fracs.items()) for x in (F.lit(src), F.lit(fr))]
     )

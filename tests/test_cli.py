@@ -405,7 +405,13 @@ def test_cli_curate_every_stage(tmp_path, spark):
              "bridge and the river runs past tall trees every day").split()
 
     def eng(n=60):
-        return " ".join(rng.choice(words) for _ in range(n))
+        # three .-terminated sentences so --c4 keeps the line AND the
+        # document (its rule wants >= 3 sentences)
+        ws = [rng.choice(words) for _ in range(n)]
+        third = max(1, n // 3)
+        ws[third - 1] += "."
+        ws[2 * third - 1] += "."
+        return " ".join(ws) + "."
 
     seed = str(tmp_path / "seed.parquet")
     spark.createDataFrame(
@@ -433,16 +439,23 @@ def test_cli_curate_every_stage(tmp_path, spark):
     ).write.mode("overwrite").parquet(src)
 
     out = str(tmp_path / "corpus")
+    jl = str(tmp_path / "jsonl")
+    hists = str(tmp_path / "hists")
     rc = main(
         [
             "--cpus", "4", "curate", src, "-o", out,
             "--keep-pii",
             "--min-stopwords", "0",
+            "--c4",
             "--url-dedup", "--dedup", "--span-dedup", "8",
             "--classifier-seed", seed, "--classifier-threshold", "0.3",
             "--perplexity-seed", seed, "--max-log-ppl", "3.5",
+            # n larger than the pool: DSIR machinery runs, keeps all
+            "--dsir-target", seed, "--dsir-n", "50",
             "--mixture", "web=1.0", "--total-tokens", "100000",
             "--pack", "64", "--pack-buckets", "2",
+            "--histogram-sketch", hists,
+            "--export-jsonl", jl,
         ]
     )
     assert rc == 0
@@ -457,6 +470,10 @@ def test_cli_curate_every_stage(tmp_path, spark):
     assert (
         packed.groupBy().sum("n_tokens").collect()[0][0] == n_kept_tokens
     )
+    import glob
+
+    assert glob.glob(jl + "/part-*.json.gz")
+    assert spark.read.parquet(hists).filter("column = 'n_chars'").count() > 0
 
 
 def test_cli_curate_max_per_host(tmp_path, spark):

@@ -4930,3 +4930,21 @@ class TestC4Clean:
         df = spark.createDataFrame([("x.",)], "text string")
         plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan and "mapInPandas" not in plan
+
+
+def test_sample_token_mixture_empty_corpus(spark):
+    """An empty pool (or weights naming no present source) yields an
+    empty sample — not an AnalysisException from a zero-entry map()."""
+    from resilispark.operators.corpus import sample_token_mixture
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+    out = sample_token_mixture(empty, {"web": 1.0}, 1000)
+    assert out.count() == 0
+    assert "_toks" not in out.columns
+    # non-empty corpus, weights naming only an absent source
+    docs = spark.createDataFrame(
+        [(0, "some words here", "books")], "doc_id long, text string, source string"
+    )
+    assert sample_token_mixture(docs, {"web": 1.0}, 1000).count() == 0
