@@ -281,6 +281,12 @@ def cmd_curate(args) -> int:
 
     if not args.keep_pii:
         docs = _fn(scrub_pii(docs), "pii_scrub")
+    if getattr(args, "scrub_secrets", False):
+        from resilispark.operators.quality import scrub_secrets
+
+        docs = _fn(
+            scrub_secrets(docs).drop("n_secrets", "n_cards"), "secret_scrub"
+        )
 
     store_exists = False
     if getattr(args, "dedup_store", None):
@@ -1394,6 +1400,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="C4-style line cleanup (short/unterminated/"
                         "javascript/policy lines out, lorem-ipsum and "
                         "code-brace docs dropped) before the quality rules")
+    p.add_argument("--scrub-secrets", action="store_true",
+                   help="redact leaked credentials (AWS/GitHub/Slack "
+                        "tokens, JWTs, private-key blocks, key=value "
+                        "assignments) and Luhn-valid card numbers")
     p.add_argument("--keep-pii", action="store_true")
     p.add_argument("--no-quality", action="store_true")
     p.add_argument("--funnel", action="store_true",

@@ -367,3 +367,100 @@ def c4_filter(
         .withColumn(text_col, F.col("c4_text"))
         .drop("c4_text", "c4_keep")
     )
+
+
+# Credential formats are PUBLIC knowledge (vendor documentation and
+# the secret-scanning literature); leaking keys into a training corpus
+# is both a user harm and a memorization liability
+SECRET_PATTERNS: dict[str, str] = {
+    "aws_key": r"AKIA[0-9A-Z]{16}",
+    "github_token": r"gh[pousr]_[A-Za-z0-9]{36,255}",
+    "slack_token": r"xox[baprs]-[A-Za-z0-9-]{10,}",
+    "jwt": r"eyJ[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{10,}\.[A-Za-z0-9_-]{5,}",
+    "private_key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----"
+                   r"(?s:.{0,8000}?)-----END [A-Z ]*PRIVATE KEY-----",
+    "key_assignment": r"(?i)(api[_-]?key|secret|token|passwd|password)"
+                      r"(\s*[:=]\s*)[\"']?[A-Za-z0-9_\-/+]{16,}[\"']?",
+}
+
+_CARD_CANDIDATE = r"[0-9](?:[0-9 -]{11,17})[0-9]"
+
+
+def _luhn_ok(digits: Column) -> Column:
+    """Luhn checksum over an array<int> of digits (most significant
+    first) — pure codegen: double every second digit from the RIGHT,
+    subtract 9 above 9, sum divisible by 10."""
+    n = F.size(digits)
+    doubled = F.transform(
+        digits,
+        lambda d, i: F.when(
+            (n - i - 1) % 2 == 1,
+            F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2),
+        ).otherwise(d),
+    )
+    total = F.aggregate(doubled, F.lit(0), lambda acc, d: acc + d)
+    return (total % 10 == 0) & (n >= 13) & (n <= 19)
+
+
+def scrub_secrets(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    token: str = "<SECRET>",
+    card_token: str = "<CARD>",
+) -> DataFrame:
+    """Redact leaked credentials and payment-card numbers — the secret
+    classes that make a crawl corpus a liability: AWS/GitHub/Slack
+    tokens, JWTs, PEM private-key blocks, ``key=value`` credential
+    assignments, and card-number runs that pass the LUHN CHECK (the
+    checksum kills the long-number false positives a bare regex
+    keeps).
+
+    All pure codegen: one ``regexp_replace`` per secret class, and the
+    Luhn filter as transform/aggregate column algebra over the
+    extracted candidates — valid cards are replaced string-by-string
+    via ``aggregate(...)`` + ``replace``, so an invalid number (e.g. an
+    order id) survives untouched.  Adds ``n_secrets`` / ``n_cards``
+    counts from the ORIGINAL text.
+    """
+    original = F.col(text_col)
+    scrubbed = original
+    n_secrets = F.lit(0).cast("bigint")
+    for pattern in SECRET_PATTERNS.values():
+        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+        n_secrets = n_secrets + F.regexp_count(original, F.lit(pattern))
+    # card candidates from the ALREADY-scrubbed text (a card inside a
+    # JWT would be double-counted otherwise), Luhn-checked in codegen
+    candidates = F.array_distinct(
+        F.regexp_extract_all(scrubbed, F.lit(_CARD_CANDIDATE), F.lit(0))
+    )
+    valid = F.filter(
+        candidates,
+        lambda c: _luhn_ok(
+            F.transform(
+                F.split(F.regexp_replace(c, r"[ -]", ""), ""),
+                lambda ch: ch.cast("int"),
+            )
+        ),
+    )
+    n_cards = F.size(F.filter(
+        F.array_distinct(
+            F.regexp_extract_all(original, F.lit(_CARD_CANDIDATE), F.lit(0))
+        ),
+        lambda c: _luhn_ok(
+            F.transform(
+                F.split(F.regexp_replace(c, r"[ -]", ""), ""),
+                lambda ch: ch.cast("int"),
+            )
+        ),
+    )).cast("bigint")
+    scrubbed = F.aggregate(
+        valid, scrubbed, lambda acc, c: F.replace(acc, c, F.lit(card_token))
+    )
+    return docs.withColumns(
+        {
+            "n_secrets": n_secrets,
+            "n_cards": n_cards,
+            text_col: scrubbed,
+        }
+    )
