@@ -20,6 +20,8 @@ Spark-first shape for 100 TB:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -92,5 +94,78 @@ def decontaminate(
     join; the corpus never shuffles)."""
     flagged = contamination(
         docs, benchmark, id_col=id_col, text_col=text_col, n=n, min_overlap=min_overlap
+    ).select(id_col)
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def semantic_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_bench: int = 200_000,
+) -> DataFrame:
+    """Embedding-level contamination: corpus documents whose embedding
+    is near-parallel (cosine >= ``threshold``) to ANY benchmark
+    embedding — catches paraphrased/reformatted eval leakage the
+    verbatim n-gram probe misses.
+
+    The benchmark side is small by construction: its (bounded,
+    cap-guarded) normalized matrix rides the UDF closure and every
+    corpus partition takes one Arrow-batched matmul against it — no
+    shuffle, no join, the corpus is scanned once.  Returns
+    ``(id_col, max_bench_cos)`` for flagged documents.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows = bench.select(F.col(vec_col).alias("v")).limit(max_bench + 1).collect()
+    if len(rows) > max_bench:
+        raise ValueError(
+            f"benchmark exceeds max_bench={max_bench} embeddings; a "
+            "benchmark set should be small — raise the cap only if it "
+            "still fits executor memory as a broadcast matrix"
+        )
+    if not rows:
+        return docs.select(F.col(id_col)).limit(0).withColumn(
+            "max_bench_cos", F.lit(0.0)
+        )
+    b = np.asarray([r.v for r in rows], dtype=np.float32)
+    norms = np.linalg.norm(b, axis=1)
+    norms[norms == 0] = 1.0
+    bn = (b / norms[:, None]).T  # (d, n_bench)
+
+    @pandas_udf("double")
+    def max_cos(vs: pd.Series) -> pd.Series:
+        x = np.asarray(list(vs), dtype=np.float32)
+        xn = np.linalg.norm(x, axis=1)
+        xn[xn == 0] = 1.0
+        sims = (x / xn[:, None]) @ bn
+        return pd.Series(sims.max(axis=1).astype("float64"))
+
+    return (
+        docs.select(id_col, F.col(vec_col).alias("_v"))
+        .withColumn("max_bench_cos", max_cos(F.col("_v")))
+        .where(F.col("max_bench_cos") >= threshold)
+        .select(id_col, "max_bench_cos")
+    )
+
+
+def semantic_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_bench: int = 200_000,
+) -> DataFrame:
+    """Drop semantically contaminated documents (broadcast anti join on
+    the flagged ids; the corpus never shuffles)."""
+    flagged = semantic_contamination(
+        docs, bench, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, max_bench=max_bench,
     ).select(id_col)
     return docs.join(F.broadcast(flagged), id_col, "left_anti")

@@ -5009,3 +5009,65 @@ class TestScrubSecrets:
         df = spark.createDataFrame([("x",)], "text string")
         plan = scrub_secrets(df)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan and "mapInPandas" not in plan
+
+
+class TestSemanticDecontamination:
+    """Embedding-level benchmark leakage: near-parallel vectors flag
+    and drop, verbatim-ngram-free paraphrases included."""
+
+    @staticmethod
+    def _frames(spark):
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        bench_vec = rng.randn(8)
+        corpus = [
+            (0, (bench_vec * 3.0 + rng.randn(8) * 1e-3).tolist()),  # paraphrase
+            (1, rng.randn(8).tolist()),
+            (2, (-bench_vec).tolist()),                             # opposite
+            (3, (bench_vec * 0.5).tolist()),                        # same dir
+        ]
+        docs = spark.createDataFrame(corpus, "doc_id long, embedding array<double>")
+        bench = spark.createDataFrame(
+            [(100, bench_vec.tolist())], "vec_id long, embedding array<double>"
+        )
+        return docs, bench
+
+    def test_flags_scaled_and_noisy_copies(self, spark):
+        from resilispark.operators.decontaminate import semantic_contamination
+
+        docs, bench = self._frames(spark)
+        got = {r.doc_id: r.max_bench_cos
+               for r in semantic_contamination(docs, bench,
+                                               threshold=0.99).collect()}
+        assert set(got) == {0, 3}          # cosine ignores scale
+        assert all(c >= 0.99 for c in got.values())
+
+    def test_decontaminate_drops_flagged(self, spark):
+        from resilispark.operators.decontaminate import semantic_decontaminate
+
+        docs, bench = self._frames(spark)
+        kept = sorted(r.doc_id for r in
+                      semantic_decontaminate(docs, bench, threshold=0.99).collect())
+        assert kept == [1, 2]
+
+    def test_empty_benchmark_flags_nothing(self, spark):
+        from resilispark.operators.decontaminate import (
+            semantic_contamination,
+            semantic_decontaminate,
+        )
+
+        docs, bench = self._frames(spark)
+        empty = bench.limit(0)
+        assert semantic_contamination(docs, empty).count() == 0
+        assert semantic_decontaminate(docs, empty).count() == 4
+
+    def test_bench_cap_guard(self, spark):
+        import pytest as _pytest
+
+        from resilispark.operators.decontaminate import semantic_contamination
+
+        docs, bench = self._frames(spark)
+        with _pytest.raises(ValueError, match="max_bench"):
+            semantic_contamination(docs, docs.withColumnRenamed(
+                "doc_id", "vec_id"), max_bench=2)
