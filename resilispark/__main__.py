@@ -376,7 +376,7 @@ def cmd_curate(args) -> int:
             tgt = tgt.withColumnRenamed("plain_text", "text")
         docs = _fn(
             dsir_select(
-                docs.select("*"),
+                docs,
                 tgt,
                 n=args.dsir_n,
                 id_col="doc_id",

@@ -121,7 +121,12 @@ def semantic_contamination(
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    rows = bench.select(F.col(vec_col).alias("v")).limit(max_bench + 1).collect()
+    rows = (
+        bench.select(F.col(vec_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .limit(max_bench + 1)
+        .collect()
+    )
     if len(rows) > max_bench:
         raise ValueError(
             f"benchmark exceeds max_bench={max_bench} embeddings; a "
@@ -132,6 +137,13 @@ def semantic_contamination(
         return docs.select(F.col(id_col)).limit(0).withColumn(
             "max_bench_cos", F.lit(0.0)
         )
+    dims = {len(r.v) for r in rows}
+    if len(dims) > 1:
+        raise ValueError(
+            f"benchmark embeddings are ragged (dims {sorted(dims)}); a "
+            "benchmark set must share one embedding dimension"
+        )
+    dim = dims.pop()
     b = np.asarray([r.v for r in rows], dtype=np.float32)
     norms = np.linalg.norm(b, axis=1)
     norms[norms == 0] = 1.0
@@ -145,8 +157,13 @@ def semantic_contamination(
         sims = (x / xn[:, None]) @ bn
         return pd.Series(sims.max(axis=1).astype("float64"))
 
+    # NULL or wrong-dimension corpus embeddings have no defined cosine
+    # against the benchmark; they cannot be flagged (keep, like sibling
+    # operators' NULL handling) and the JVM-side filter keeps them from
+    # ever reaching — and crashing — the Arrow batch.
     return (
         docs.select(id_col, F.col(vec_col).alias("_v"))
+        .where(F.col("_v").isNotNull() & (F.size("_v") == F.lit(dim)))
         .withColumn("max_bench_cos", max_cos(F.col("_v")))
         .where(F.col("max_bench_cos") >= threshold)
         .select(id_col, "max_bench_cos")

@@ -182,9 +182,23 @@ def dsir_select(
     smoothing: float = 1.0,
     seed: int = 7,
     temperature: float = 1.0,
+    persist: bool = True,
 ) -> DataFrame:
     """The full DSIR chain: estimate → weigh → resample.  Returns the
-    selected rows of ``raw`` with their ``dsir_logweight`` attached."""
+    selected rows of ``raw`` with their ``dsir_logweight`` attached.
+
+    ``raw`` is consumed three times (the log-ratio estimate's eager
+    collect, the weight branch, and the final join back), so by default
+    it is persisted MEMORY_AND_DISK for the chain — without it an
+    expensive upstream (WARC extraction, scrubbing) would re-execute
+    per scan.  Pass ``persist=False`` if the input is already cached or
+    is a cheap parquet scan; the cache is keyed on ``raw``'s plan, so
+    callers can release it later with ``raw.unpersist()``.
+    """
+    if persist:
+        from pyspark import StorageLevel
+
+        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
     lr = dsir_logratios(
         raw, target, text_col, buckets=buckets, smoothing=smoothing
     )

@@ -331,10 +331,13 @@ def c4_clean(
 
     cleaned = F.array_join(F.filter(F.split(text, "\n"), keep_line), "\n")
     out = docs.withColumn(cleaned_col, cleaned)
+    # A segment must contain a word character to count as a sentence —
+    # the stray closing quote after `."` would otherwise count as one
+    # and let quote-terminated documents pass the floor a sentence early.
     n_sentences = F.size(
         F.filter(
             F.split(F.col(cleaned_col), r"[.!?]"),
-            lambda s: F.trim(s) != "",
+            lambda s: s.rlike(r"\w"),
         )
     )
     low_all = F.lower(text)
@@ -424,11 +427,15 @@ def scrub_secrets(
     counts from the ORIGINAL text.
     """
     original = F.col(text_col)
+    # Counts run over the NULL-coalesced text so a NULL document reports
+    # 0 (the documented contract) instead of poisoning sums/filters with
+    # NULL; the scrubbed text itself stays NULL for NULL input.
+    counted = F.coalesce(original, F.lit(""))
     scrubbed = original
     n_secrets = F.lit(0).cast("bigint")
     for pattern in SECRET_PATTERNS.values():
         scrubbed = F.regexp_replace(scrubbed, pattern, token)
-        n_secrets = n_secrets + F.regexp_count(original, F.lit(pattern))
+        n_secrets = n_secrets + F.regexp_count(counted, F.lit(pattern))
     # card candidates from the ALREADY-scrubbed text (a card inside a
     # JWT would be double-counted otherwise), Luhn-checked in codegen
     candidates = F.array_distinct(
@@ -445,7 +452,7 @@ def scrub_secrets(
     )
     n_cards = F.size(F.filter(
         F.array_distinct(
-            F.regexp_extract_all(original, F.lit(_CARD_CANDIDATE), F.lit(0))
+            F.regexp_extract_all(counted, F.lit(_CARD_CANDIDATE), F.lit(0))
         ),
         lambda c: _luhn_ok(
             F.transform(

@@ -4835,6 +4835,28 @@ class TestDsir:
         assert "TakeOrderedAndProject" in plan
         assert df.count() == 5
 
+    def test_select_persists_raw_by_default(self, spark):
+        from pyspark import StorageLevel
+
+        from resilispark.operators.dsir import dsir_select
+
+        raw = spark.createDataFrame(
+            [(i, f"words token{i % 5} here") for i in range(30)],
+            "doc_id long, text string",
+        )
+        target = raw.limit(5)
+        try:
+            sel = dsir_select(raw, target, n=5, buckets=64)
+            assert sel.count() == 5
+            # the chain scans raw three times; the default persist means
+            # those scans hit the cache instead of re-running upstream
+            assert raw.storageLevel != StorageLevel.NONE
+        finally:
+            raw.unpersist()
+        sel2 = dsir_select(raw, target, n=5, buckets=64, persist=False)
+        assert sel2.count() == 5
+        assert raw.storageLevel == StorageLevel.NONE
+
 
 class TestRobotsMatcherProperty:
     """The linear wildcard matcher must agree with a (safe-input) regex
@@ -4907,6 +4929,16 @@ class TestC4Clean:
         )
         got = {r.doc_id: r.c4_keep for r in c4_clean(rows).collect()}
         assert got == {0: True, 1: False, 2: False, 3: False}
+
+    def test_stray_closing_quote_is_not_a_sentence(self, spark):
+        from resilispark.operators.quality import c4_clean
+
+        text = ('This first sentence has enough words in it.\n'
+                'He then said the words "all done."')
+        row = c4_clean(
+            spark.createDataFrame([(text,)], "text string"), min_sentences=3
+        ).first()
+        assert not row.c4_keep  # the lone `"` after `."` is not a 3rd sentence
 
     def test_filter_replaces_text(self, spark):
         from resilispark.operators.quality import c4_filter
@@ -4994,6 +5026,15 @@ class TestScrubSecrets:
         assert got[3].n_cards == 0
         assert got[4].n_cards == 1 and "<CARD>" in got[4].text
 
+    def test_null_text_counts_zero(self, spark):
+        from resilispark.operators.quality import scrub_secrets
+
+        row = scrub_secrets(
+            spark.createDataFrame([(0, None)], "doc_id long, text string")
+        ).first()
+        assert row.n_secrets == 0 and row.n_cards == 0  # not NULL
+        assert row.text is None  # the text itself stays NULL
+
     def test_clean_text_untouched(self, spark):
         from resilispark.operators.quality import scrub_secrets
 
@@ -5071,3 +5112,37 @@ class TestSemanticDecontamination:
         with _pytest.raises(ValueError, match="max_bench"):
             semantic_contamination(docs, docs.withColumnRenamed(
                 "doc_id", "vec_id"), max_bench=2)
+
+    def test_null_and_wrong_dim_corpus_rows_kept_not_crashed(self, spark):
+        from resilispark.operators.decontaminate import (
+            semantic_contamination,
+            semantic_decontaminate,
+        )
+
+        docs, bench = self._frames(spark)
+        dirty = docs.union(spark.createDataFrame(
+            [(4, None), (5, [1.0, 2.0])],
+            "doc_id long, embedding array<double>",
+        ))
+        flagged = sorted(r.doc_id for r in semantic_contamination(
+            dirty, bench, threshold=0.99).collect())
+        assert flagged == [0, 3]  # undefined-cosine rows: keep, don't crash
+        kept = sorted(r.doc_id for r in semantic_decontaminate(
+            dirty, bench, threshold=0.99).collect())
+        assert kept == [1, 2, 4, 5]
+
+    def test_null_bench_rows_ignored_ragged_bench_raises(self, spark):
+        import pytest as _pytest
+
+        from resilispark.operators.decontaminate import semantic_contamination
+
+        docs, bench = self._frames(spark)
+        with_null = bench.union(spark.createDataFrame(
+            [(101, None)], "vec_id long, embedding array<double>"))
+        got = sorted(r.doc_id for r in semantic_contamination(
+            docs, with_null, threshold=0.99).collect())
+        assert got == [0, 3]
+        ragged = bench.union(spark.createDataFrame(
+            [(102, [1.0, 2.0])], "vec_id long, embedding array<double>"))
+        with _pytest.raises(ValueError, match="ragged"):
+            semantic_contamination(docs, ragged)
