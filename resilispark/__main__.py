@@ -685,6 +685,19 @@ def cmd_curate(args) -> int:
             .json(args.export_jsonl)
         )
         print(f"wrote {args.export_jsonl} (jsonl.gz)")
+    if getattr(args, "export_webdataset", None):
+        from resilispark.operators.webdataset import write_webdataset
+
+        man = write_webdataset(
+            _read_output(),
+            args.export_webdataset,
+            key_col="doc_id",
+            docs_per_shard=args.wds_docs_per_shard,
+            overwrite=True,
+        )
+        print(f"wrote {args.export_webdataset} "
+              f"({man['n_shards']} shards, "
+              f"{man['total']['n_samples']} samples)")
     print(f"wrote {args.output}")
     return 0
 
@@ -1396,6 +1409,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="additionally export the final corpus as "
                         "gzipped JSONL (training-stack ingestion); the "
                         "parquet output remains canonical")
+    p.add_argument("--export-webdataset", default=None, metavar="DIR",
+                   help="additionally export the final corpus as "
+                        "WebDataset tar shards (<key>.txt members, "
+                        "_SHARDS.json index)")
+    p.add_argument("--wds-docs-per-shard", type=int, default=10_000,
+                   help="documents per WebDataset tar shard")
     p.add_argument("--c4", action="store_true",
                    help="C4-style line cleanup (short/unterminated/"
                         "javascript/policy lines out, lorem-ipsum and "

@@ -1,0 +1,329 @@
+"""WebDataset tar-shard sink and source.
+
+Training loaders (the public ``webdataset`` convention used by
+OpenCLIP, LAION, and most large multimodal training stacks) consume a
+corpus as numbered ``.tar`` shards where each sample is a group of
+member files sharing a basename key: ``00042.txt``, ``00042.json``,
+``00042.jpg``.  The loader streams shards sequentially, so shard
+assignment — not row order — is the unit of I/O parallelism.
+
+Spark-first shape (the 100 TB story):
+
+* shard membership is ``pmod(xxhash64(key), n_shards)`` — a pure
+  column expression, deterministic under retries and independent of
+  the input partitioning, so a re-run reproduces byte-identical
+  shards;
+* ONE shuffle (``repartition(n_shards, shard)``) co-locates each
+  shard's rows, ``sortWithinPartitions(shard, key)`` makes shards
+  arrive contiguous and internally ordered;
+* the tar writer is a ``mapInPandas`` pass that streams each
+  contiguous shard run to disk across Arrow batches (never holding a
+  shard in memory) and emits ONE summary row per shard — the only
+  thing the driver ever collects;
+* tar member metadata is pinned (mtime 0, uid/gid 0, mode 0644,
+  USTAR) so shard bytes are reproducible and the ``_SHARDS.json``
+  index checksums are stable across clusters and task retries.
+
+The reference engine has no training-shard sink; this extends the
+curation surface the same way ``operators/packing.py`` does for
+token-stream delivery.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import math
+import os
+import tarfile
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["write_webdataset", "read_webdataset"]
+
+_SUMMARY_SCHEMA = T.StructType([
+    T.StructField("shard", T.LongType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+def _encode_component(value) -> bytes:
+    """Bytes pass through raw, strings as UTF-8, anything else (maps,
+    structs, arrays, numbers) as canonical JSON — so a ``.json``
+    component can be a real struct column, not a pre-serialized
+    string."""
+    if value is None:
+        return b""
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    return json.dumps(value, sort_keys=True, default=str).encode("utf-8")
+
+
+def _tar_add(tar: tarfile.TarFile, name: str, data: bytes) -> int:
+    info = tarfile.TarInfo(name=name)
+    info.size = len(data)
+    # pinned metadata: reproducible shard bytes under retries
+    info.mtime = 0
+    info.uid = info.gid = 0
+    info.uname = info.gname = ""
+    info.mode = 0o644
+    tar.addfile(info, io.BytesIO(data))
+    # header block + payload rounded up to the 512-byte tar block
+    return 512 + ((len(data) + 511) // 512) * 512
+
+
+def write_webdataset(
+    docs: DataFrame,
+    path: str,
+    *,
+    key_col: str = "doc_id",
+    components: dict[str, str] | None = None,
+    docs_per_shard: int = 10_000,
+    n_shards: int | None = None,
+    shard_prefix: str = "shard",
+    overwrite: bool = False,
+    index: bool = True,
+) -> dict:
+    """Write ``docs`` as WebDataset tar shards under ``path``.
+
+    ``components`` maps column name -> member extension, default
+    ``{text_or_payload: "txt"}``.  Each row becomes one sample: member
+    files ``<key>.<ext>`` for every component column, where ``<key>``
+    is the stringified ``key_col`` value.  Shards are named
+    ``<shard_prefix>-NNNNNN.tar``.
+
+    If ``n_shards`` is not given it is derived from ONE count scan as
+    ``ceil(count / docs_per_shard)`` — pass it explicitly to skip the
+    scan when the corpus size is already known (e.g. from a manifest).
+
+    Returns the index dict (also written to ``<path>/_SHARDS.json``
+    unless ``index=False``): per-shard sample and byte counts plus
+    totals.  Refuses a ``path`` that already contains shards unless
+    ``overwrite=True`` — the persistent-store safety contract.
+    """
+    from resilispark.io.fs import get_fs
+
+    if components is None:
+        col = "text" if "text" in docs.columns else docs.columns[-1]
+        components = {col: "txt"}
+    missing = [c for c in components if c not in docs.columns]
+    if missing:
+        raise ValueError(f"component columns not in docs: {missing}")
+    if key_col not in docs.columns:
+        raise ValueError(f"key column {key_col!r} not in docs")
+
+    dest = path.rstrip("/")
+    remote = "://" in dest and not dest.startswith("file://")
+    fs = get_fs(dest) if remote else None
+    if remote:
+        existing = fs.glob(f"{dest}/{shard_prefix}-*.tar")
+    else:
+        import glob as _glob
+
+        existing = _glob.glob(os.path.join(
+            dest.removeprefix("file://"), f"{shard_prefix}-*.tar"))
+    if existing and not overwrite:
+        raise FileExistsError(
+            f"{dest} already holds {len(existing)} shard(s); pass "
+            "overwrite=True to replace them"
+        )
+    for old in existing:
+        (fs.delete(old) if remote else os.unlink(old))
+    if not remote:
+        os.makedirs(dest.removeprefix("file://"), exist_ok=True)
+
+    if n_shards is None:
+        n = docs.count()
+        n_shards = max(1, math.ceil(n / docs_per_shard))
+
+    comp_items = sorted(components.items())
+    key_s = F.col(key_col).cast("string")
+    cols = [key_s.alias("_wds_key")] + [F.col(c) for c, _ in comp_items]
+    staged = (
+        docs.select(
+            F.pmod(F.xxhash64(key_s), F.lit(n_shards))
+            .cast("int").alias("_wds_shard"),
+            *cols,
+        )
+        # ONE shuffle; each shard lands whole in one partition (several
+        # shards may share a partition — the writer handles runs)
+        .repartition(n_shards, "_wds_shard")
+        .sortWithinPartitions("_wds_shard", "_wds_key")
+    )
+
+    prefix, dest_b, remote_b = shard_prefix, dest, remote
+
+    def write_partition(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        import tempfile
+
+        from resilispark.io.fs import get_fs as _get_fs
+
+        out: list[dict] = []
+        cur = {"shard": None, "tar": None, "tmp": None,
+               "n": 0, "bytes": 0}
+
+        def close_shard():
+            if cur["tar"] is None:
+                return
+            cur["tar"].close()
+            name = f"{prefix}-{cur['shard']:06d}.tar"
+            final = f"{dest_b}/{name}"
+            if remote_b:
+                _get_fs(final).put_file(cur["tmp"], final)
+                os.unlink(cur["tmp"])
+            else:
+                # atomic publish: a concurrent speculative attempt can
+                # only replace the file with identical bytes
+                os.replace(cur["tmp"],
+                           os.path.join(dest_b.removeprefix("file://"),
+                                        name))
+            out.append({"shard": cur["shard"], "path": final,
+                        "n_samples": cur["n"], "n_bytes": cur["bytes"]})
+            cur.update(shard=None, tar=None, tmp=None, n=0, bytes=0)
+
+        for pdf in batches:
+            # name=None: plain tuples in column order — itertuples would
+            # mangle the underscore-prefixed staging column names.
+            # Order is fixed by the staged select: shard, key, then
+            # components sorted by column name (== comp_items order).
+            for row in pdf.itertuples(index=False, name=None):
+                shard = int(row[0])
+                if shard != cur["shard"]:
+                    close_shard()
+                    fd, tmp = tempfile.mkstemp(suffix=".tar")
+                    os.close(fd)
+                    cur.update(
+                        shard=shard, tmp=tmp, n=0, bytes=0,
+                        tar=tarfile.open(tmp, "w",
+                                         format=tarfile.USTAR_FORMAT),
+                    )
+                key = row[1]
+                for i, (_, ext) in enumerate(comp_items):
+                    data = _encode_component(row[2 + i])
+                    cur["bytes"] += _tar_add(
+                        cur["tar"], f"{key}.{ext}", data)
+                cur["n"] += 1
+        close_shard()
+        yield pd.DataFrame(
+            out, columns=[f.name for f in _SUMMARY_SCHEMA.fields])
+
+    summaries = sorted(
+        (r.asDict() for r in
+         staged.mapInPandas(write_partition, _SUMMARY_SCHEMA).collect()),
+        key=lambda r: r["shard"],
+    )
+    man = {
+        "format": "webdataset",
+        "shard_prefix": shard_prefix,
+        "n_shards": n_shards,
+        "components": dict(comp_items),
+        "key_col": key_col,
+        "shards": summaries,
+        "total": {
+            "n_samples": sum(s["n_samples"] for s in summaries),
+            "n_bytes": sum(s["n_bytes"] for s in summaries),
+        },
+    }
+    if index:
+        blob = json.dumps(man, indent=1, sort_keys=True).encode()
+        idx = f"{dest}/_SHARDS.json"
+        if remote:
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".json") as tf:
+                tf.write(blob)
+                tf.flush()
+                fs.put_file(tf.name, idx)
+        else:
+            with open(os.path.join(dest.removeprefix("file://"),
+                                   "_SHARDS.json"), "wb") as f:
+                f.write(blob)
+    return man
+
+
+def read_webdataset(
+    spark: SparkSession,
+    path: str,
+    *,
+    components: dict[str, str] | None = None,
+    key_col: str = "key",
+    binary: tuple[str, ...] = (),
+) -> DataFrame:
+    """Load WebDataset tar shards back into a DataFrame — one row per
+    sample, one column per component extension (default: inferred from
+    ``_SHARDS.json`` if present, else every extension in the first
+    shard is required via ``components``).
+
+    Shards are the parallelism unit: ``binaryFile`` lists them, each
+    is untarred inside ``mapInPandas`` on the executor that read it —
+    no shuffle.  A shard must fit in executor memory (WebDataset
+    convention keeps shards ~100 MB–1 GB, sized for exactly this).
+    Components named in ``binary`` stay ``binary``; the rest decode as
+    UTF-8 strings.
+    """
+    dest = path.rstrip("/")
+    if components is None:
+        from resilispark.io.fs import get_fs
+
+        idx = f"{dest}/_SHARDS.json"
+        fs = get_fs(idx)
+        if not fs.exists(idx):
+            raise ValueError(
+                "no _SHARDS.json index found; pass components= "
+                "(column -> extension) explicitly"
+            )
+        with fs.open(idx) as f:
+            components = json.load(f)["components"]
+
+    comp_items = sorted(components.items())
+    fields = [T.StructField(key_col, T.StringType())]
+    for col, _ in comp_items:
+        fields.append(T.StructField(
+            col, T.BinaryType() if col in binary else T.StringType()))
+    schema = T.StructType(fields)
+    binset = set(binary)
+
+    def untar(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                samples: dict[str, dict] = {}
+                with tarfile.open(
+                        fileobj=io.BytesIO(bytes(content))) as tar:
+                    for m in tar:
+                        if not m.isfile():
+                            continue
+                        stem, _, ext = m.name.rpartition(".")
+                        data = tar.extractfile(m).read()
+                        samples.setdefault(stem, {})[ext] = data
+                rows = []
+                for key in sorted(samples):
+                    row = {key_col: key}
+                    for col, ext in comp_items:
+                        raw = samples[key].get(ext)
+                        if col in binset:
+                            row[col] = raw
+                        else:
+                            row[col] = (None if raw is None
+                                        else raw.decode("utf-8"))
+                    rows.append(row)
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in schema.fields])
+
+    shards = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(dest)
+        .select("content")
+    )
+    return shards.mapInPandas(untar, schema)

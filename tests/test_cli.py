@@ -1449,3 +1449,33 @@ def test_cli_curate_scrub_secrets(tmp_path, spark):
     text = spark.read.parquet(out).first().text
     assert "<SECRET>" in text and "<CARD>" in text
     assert "AKIA" not in text and "4111" not in text
+
+
+def test_cli_curate_export_webdataset(tmp_path, spark):
+    """curate --export-webdataset writes tar shards + _SHARDS.json
+    alongside the canonical parquet corpus."""
+    import json
+
+    from resilispark.__main__ import main
+    from resilispark.operators.webdataset import read_webdataset
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"document number {i} with several words", "en", "web")
+         for i in range(5)],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "corpus")
+    wds = str(tmp_path / "corpus-wds")
+    rc = main(
+        ["--cpus", "4", "curate", src, "-o", out,
+         "--no-quality", "--keep-pii", "--export-webdataset", wds,
+         "--wds-docs-per-shard", "2"]
+    )
+    assert rc == 0
+    man = json.loads((tmp_path / "corpus-wds" / "_SHARDS.json").read_text())
+    assert man["total"]["n_samples"] == 5
+    back = read_webdataset(spark, wds).collect()
+    assert len(back) == 5
+    assert all("document number" in r.text for r in back)
+    assert spark.read.parquet(out).count() == 5

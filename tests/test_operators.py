@@ -5146,3 +5146,93 @@ class TestSemanticDecontamination:
             [(102, [1.0, 2.0])], "vec_id long, embedding array<double>"))
         with _pytest.raises(ValueError, match="ragged"):
             semantic_contamination(docs, ragged)
+
+
+class TestWebdataset:
+    def _docs(self, spark):
+        rows = [(i, f"document body {i}", {"lang": "en", "i": str(i)})
+                for i in range(40)]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, meta map<string,string>")
+
+    def test_round_trip_and_index(self, spark, tmp_path):
+        import json
+        import tarfile
+
+        from resilispark.operators.webdataset import (
+            read_webdataset,
+            write_webdataset,
+        )
+
+        out = str(tmp_path / "wds")
+        man = write_webdataset(
+            self._docs(spark), out,
+            components={"text": "txt", "meta": "json"},
+            docs_per_shard=10,
+        )
+        assert man["n_shards"] == 4
+        assert man["total"]["n_samples"] == 40
+        on_disk = json.loads((tmp_path / "wds" / "_SHARDS.json").read_text())
+        assert on_disk["total"] == man["total"]
+        # members inside a shard are key-sorted, pinned metadata
+        shard0 = tmp_path / "wds" / man["shards"][0]["path"].rsplit("/", 1)[1]
+        with tarfile.open(shard0) as tar:
+            names = tar.getnames()
+            stems = [n.rsplit(".", 1)[0] for n in names[::2]]
+            assert stems == sorted(stems)
+            assert all(m.mtime == 0 and m.uid == 0 for m in tar)
+        back = read_webdataset(spark, out).collect()
+        assert len(back) == 40
+        by_key = {r.key: r for r in back}
+        assert by_key["7"].text == "document body 7"
+        assert json.loads(by_key["7"].meta) == {"lang": "en", "i": "7"}
+
+    def test_deterministic_bytes_and_overwrite_contract(self, spark, tmp_path):
+        import hashlib
+        import pytest as _pytest
+
+        from resilispark.operators.webdataset import write_webdataset
+
+        docs = self._docs(spark)
+        out = str(tmp_path / "wds")
+
+        def digests():
+            return {
+                p.name: hashlib.sha256(p.read_bytes()).hexdigest()
+                for p in (tmp_path / "wds").glob("shard-*.tar")
+            }
+
+        write_webdataset(docs, out, docs_per_shard=10)
+        first = digests()
+        with _pytest.raises(FileExistsError, match="overwrite"):
+            write_webdataset(docs, out, docs_per_shard=10)
+        # shuffled input, different partitioning -> identical shard bytes
+        write_webdataset(
+            docs.repartition(7).sortWithinPartitions(F.rand(1)),
+            out, docs_per_shard=10, overwrite=True)
+        assert digests() == first
+
+    def test_binary_component_round_trip(self, spark, tmp_path):
+        from resilispark.operators.webdataset import (
+            read_webdataset,
+            write_webdataset,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, bytes([i, 255 - i, 0, 10])) for i in range(6)],
+            "doc_id long, payload binary")
+        out = str(tmp_path / "wds")
+        write_webdataset(docs, out, components={"payload": "bin"},
+                         n_shards=2)
+        back = read_webdataset(spark, out, binary=("payload",)).collect()
+        assert {bytes(r.payload) for r in back} == {
+            bytes([i, 255 - i, 0, 10]) for i in range(6)}
+
+    def test_missing_component_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from resilispark.operators.webdataset import write_webdataset
+
+        with _pytest.raises(ValueError, match="component columns"):
+            write_webdataset(self._docs(spark), str(tmp_path / "w"),
+                             components={"nope": "txt"})
