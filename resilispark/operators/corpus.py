@@ -469,3 +469,132 @@ def leakage_safe_split(
         expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
     )
     return keyed.withColumn("split", split).drop("_cl")
+
+
+def _balanced_quotas(
+    sizes: dict[int, int], n: int, alpha: float
+) -> dict[int, int]:
+    """Water-filling apportionment of ``n`` picks across clusters with
+    weight ``size**alpha``, each capped at its cluster size.  Pure
+    driver arithmetic over one row per cluster; deterministic (ties
+    break on cluster id)."""
+    quota = {c: 0 for c in sizes}
+    active = {c for c, s in sizes.items() if s > 0}
+    remaining = min(n, sum(sizes.values()))
+    while remaining > 0 and active:
+        w = {c: float(sizes[c]) ** alpha for c in active}
+        tw = sum(w.values())
+        frac = {c: remaining * w[c] / tw for c in active}
+        took = 0
+        for c in sorted(active):
+            t = min(sizes[c] - quota[c], int(frac[c]))
+            quota[c] += t
+            took += t
+        if took == 0:
+            # rounding left everyone at 0 ideal-integer share: hand out
+            # singles by largest fractional remainder
+            for c in sorted(
+                active, key=lambda c: (-(frac[c] % 1.0), c)
+            ):
+                if remaining == 0:
+                    break
+                if sizes[c] > quota[c]:
+                    quota[c] += 1
+                    remaining -= 1
+        else:
+            remaining -= took
+        active = {c for c in active if sizes[c] > quota[c]}
+    return quota
+
+
+def cluster_balanced_sample(
+    docs: DataFrame,
+    n: int,
+    *,
+    cell_col: str = "kmeans_cell",
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    alpha: float = 0.5,
+    seed: int = 7,
+    centroids=None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pick ``n`` documents balanced across embedding clusters — the
+    diversity-sampling step (SemDeDup / DataComp style) that stops a
+    head cluster (boilerplate, templates, one mega-domain) from
+    dominating a size-``n`` training subset the way a uniform sample
+    would.
+
+    Per-cluster quotas are ``size**alpha``-proportional (``alpha=0``:
+    equal per cluster; ``alpha=1``: plain proportional — i.e. uniform
+    sampling), capped at cluster size with the surplus water-filled
+    into the rest.  Within a cluster, rows rank by ``score_col``
+    descending (NaN ranks last, not first — Spark orders NaN above
+    +Inf) falling back to a deterministic ``xxhash64(id, seed)``
+    shuffle, so the pick is reproducible under task retries.
+
+    Scale shape: cluster sizes are ONE aggregation collecting one row
+    per cluster; quotas are driver arithmetic; the quota table joins
+    back broadcast; the per-cluster rank filters first against the
+    constant ``max(quota)`` — which compiles to WindowGroupLimit and
+    prunes each cluster map-side BEFORE the shuffle — then against the
+    cluster's own quota.  If ``cell_col`` is absent and ``centroids``
+    given, cells are assigned first (no extra shuffle).
+    """
+    if cell_col not in docs.columns:
+        if centroids is None:
+            raise ValueError(
+                f"docs has no {cell_col!r} column; pass centroids= to "
+                "assign cells, or run kmeans_assign first"
+            )
+        from resilispark.operators.similarity import kmeans_assign
+
+        docs = kmeans_assign(
+            docs, centroids, vec_col=vec_col, out_col=cell_col
+        )
+
+    from pyspark.sql import Window as W
+
+    sizes = {
+        r["c"]: r["s"]
+        for r in docs.groupBy(F.col(cell_col).alias("c"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .collect()
+    }
+    quotas = _balanced_quotas(sizes, n, alpha)
+    max_q = max(quotas.values(), default=0)
+    if max_q == 0:
+        return docs.limit(0)
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(c, q) for c, q in quotas.items()], ["_cbs_cell", "_cbs_quota"]
+    )
+    tiebreak = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    order = (
+        [
+            F.nanvl(
+                F.col(score_col).cast("double"),
+                F.lit(float("-inf")),
+            ).desc_nulls_last(),
+            tiebreak,
+        ]
+        if score_col
+        else [tiebreak]
+    )
+    w = W.partitionBy(cell_col).orderBy(*order)
+    return (
+        docs.join(
+            F.broadcast(qdf),
+            docs[cell_col] == qdf["_cbs_cell"],
+            "inner",
+        )
+        .withColumn("_cbs_rn", F.row_number().over(w))
+        # constant bound first: compiles to WindowGroupLimit (map-side
+        # per-cluster top-maxq before the shuffle); the per-cluster
+        # quota then trims the rest
+        .filter(
+            (F.col("_cbs_rn") <= F.lit(max_q))
+            & (F.col("_cbs_rn") <= F.col("_cbs_quota"))
+        )
+        .drop("_cbs_rn", "_cbs_cell", "_cbs_quota")
+    )

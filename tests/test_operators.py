@@ -5236,3 +5236,81 @@ class TestWebdataset:
         with _pytest.raises(ValueError, match="component columns"):
             write_webdataset(self._docs(spark), str(tmp_path / "w"),
                              components={"nope": "txt"})
+
+
+class TestClusterBalancedSample:
+    def test_quota_water_filling(self):
+        from resilispark.operators.corpus import _balanced_quotas
+
+        q = _balanced_quotas({0: 100, 1: 10, 2: 1}, 12, alpha=0.0)
+        assert q == {0: 6, 1: 5, 2: 1}
+        # n past total capacity -> take everything
+        assert _balanced_quotas({0: 3, 1: 2}, 99, alpha=0.5) == {0: 3, 1: 2}
+        # alpha=1 is plain proportional
+        assert _balanced_quotas({0: 80, 1: 20}, 10, alpha=1.0) == {0: 8, 1: 2}
+
+    def _docs(self, spark):
+        # cluster 0: 60 docs, cluster 1: 30, cluster 2: 2 (skewed head)
+        rows = [(i, 0 if i < 60 else (1 if i < 90 else 2), float(i % 7))
+                for i in range(92)]
+        return spark.createDataFrame(
+            rows, "doc_id long, kmeans_cell int, score double")
+
+    def test_balanced_vs_uniform(self, spark):
+        from resilispark.operators.corpus import cluster_balanced_sample
+
+        got = cluster_balanced_sample(self._docs(spark), 20, alpha=0.0)
+        per = {r.kmeans_cell: r["count"] for r in
+               got.groupBy("kmeans_cell").count().collect()}
+        # equal-per-cluster with the tiny cluster capped at its size
+        assert got.count() == 20
+        assert per[2] == 2 and abs(per[0] - per[1]) <= 1
+
+    def test_deterministic_and_score_ranked(self, spark):
+        from resilispark.operators.corpus import cluster_balanced_sample
+
+        docs = self._docs(spark)
+        a = sorted(r.doc_id for r in
+                   cluster_balanced_sample(docs, 15, seed=3).collect())
+        b = sorted(r.doc_id for r in cluster_balanced_sample(
+            docs.repartition(5), 15, seed=3).collect())
+        assert a == b
+        ranked = cluster_balanced_sample(
+            docs, 6, alpha=0.0, score_col="score")
+        # quota 2 per cluster: clusters 0/1 yield their top score (6.0)
+        # twice; the 2-doc cluster contributes both its docs (6.0, 0.0)
+        assert sorted(r.score for r in ranked.collect()) == [
+            0.0, 6.0, 6.0, 6.0, 6.0, 6.0]
+
+    def test_nan_score_ranks_last(self, spark):
+        from resilispark.operators.corpus import cluster_balanced_sample
+
+        docs = spark.createDataFrame(
+            [(0, 0, float("nan")), (1, 0, 1.0), (2, 0, None), (3, 0, 2.0)],
+            "doc_id long, kmeans_cell int, score double")
+        got = sorted(r.doc_id for r in cluster_balanced_sample(
+            docs, 2, score_col="score").collect())
+        assert got == [1, 3]
+
+    def test_plan_has_window_group_limit(self, spark):
+        from resilispark.operators.corpus import cluster_balanced_sample
+
+        plan = cluster_balanced_sample(
+            self._docs(spark), 10)._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+    def test_missing_cell_requires_centroids(self, spark):
+        import pytest as _pytest
+
+        from resilispark.operators.corpus import cluster_balanced_sample
+
+        docs = spark.createDataFrame(
+            [(i, [float(i % 2), 1.0]) for i in range(8)],
+            "doc_id long, embedding array<double>")
+        with _pytest.raises(ValueError, match="centroids"):
+            cluster_balanced_sample(docs, 4)
+        got = cluster_balanced_sample(
+            docs, 4, alpha=0.0, centroids=[[0.0, 1.0], [1.0, 1.0]])
+        per = {r.kmeans_cell: r["count"] for r in
+               got.groupBy("kmeans_cell").count().collect()}
+        assert per == {0: 2, 1: 2}
