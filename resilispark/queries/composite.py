@@ -114,6 +114,9 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
         ("cell", "n"), ("pos", "n"), ("cent_val", "d"), ("cluster_size", "n"),
     ],
     "t10_dsir": [("doc_id", "n"), ("logweight", "d")],
+    "s07_cluster_sample": [
+        ("vec_id", "n"), ("cell", "n"), ("score_key", "n"),
+    ],
 }
 
 # members may live in either query module; merged lookup keeps the
@@ -168,11 +171,13 @@ FAMILIES: dict[str, list[str]] = {
     # (t10 joined in round 5: DSIR importance resampling — md5-hashed
     # ngram distributions, smoothed log-ratios, Gumbel-top-k replayed
     # end to end in SQL)
+    # (s07 joined in round 5: cluster-balanced diversity sampling —
+    # water-filled quotas + per-cell ranked picks replayed in SQL)
     "qc_curation_family": [
         "t02_token_count", "t04_fingerprint", "t07_pack_stats",
         "d10_duplicate_spans", "t08_emit_sequences", "d11_mask_spans",
         "t09_bpe_tokens", "d12_incremental_dedup", "d13_fuzzy_dedup",
-        "s06_kmeans", "t10_dsir",
+        "s06_kmeans", "t10_dsir", "s07_cluster_sample",
     ],
 }
 

@@ -2068,6 +2068,82 @@ ORDER BY doc_id
 """
 
 
+def s07_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling
+    (``operators/corpus.py:cluster_balanced_sample``): pick n=120 rows
+    across 7 cells with size-proportional (alpha=1) water-filled
+    quotas, ranked within each cell by an md5-derived score key so the
+    selection — quota apportionment included — replays exactly in
+    DuckDB.  alpha=1 keeps every weight an exact integer-in-double, so
+    the floor() boundaries of the apportionment are ulp-safe
+    cross-engine; the alpha!=1 and saturation paths are pytest-covered
+    (`TestClusterBalancedSample`)."""
+    from resilispark.operators.corpus import cluster_balanced_sample
+
+    docs = _embs(spark, sf_dir).select(
+        "vec_id",
+        F.pmod(F.col("vec_id"), F.lit(7)).cast("int").alias("cell"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"),
+                               F.lit(":s7"))),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("bigint").alias("score_key"),
+    )
+    sel = cluster_balanced_sample(
+        docs, 120, cell_col="cell", id_col="vec_id",
+        score_col="score_key", alpha=1.0, seed=5,
+    )
+    return sel.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("score_key"),
+    ).orderBy("vec_id")
+
+
+# Water-filling replay under the gate's no-saturation regime (uniform
+# pmod cells, n << corpus): round 1 takes floor(n*s/S) per cell, the
+# <k leftover singles go to cells by (size DESC, cell) — the exact
+# order the operator's largest-remainder pass uses when every round-2
+# fractional share is r*s/S < 1.  All arithmetic is integer-in-double,
+# so floor() agrees bit-for-bit with the driver-side Python.
+ORACLE_S07 = """
+WITH cells AS (
+  SELECT vec_id, vec_id % 7 AS cell,
+         ('0x' || substr(md5(vec_id::VARCHAR || ':s7'), 1, 12))::BIGINT
+           AS score_key
+  FROM embeddings
+), sizes AS (
+  SELECT cell, count(*) AS s FROM cells GROUP BY cell
+), tot AS (
+  SELECT sum(s)::DOUBLE AS total FROM sizes
+), base AS (
+  SELECT cell, s,
+         CAST(floor(120.0 * s / tot.total) AS BIGINT) AS q0
+  FROM sizes CROSS JOIN tot
+), leftover AS (
+  SELECT 120 - sum(q0) AS rem FROM base
+), quota AS (
+  SELECT cell,
+         q0 + CASE WHEN row_number() OVER (ORDER BY s DESC, cell)
+                        <= (SELECT rem FROM leftover)
+              THEN 1 ELSE 0 END AS q
+  FROM base
+), ranked AS (
+  SELECT vec_id, cell, score_key,
+         row_number() OVER (PARTITION BY cell ORDER BY score_key DESC)
+           AS rn
+  FROM cells
+)
+SELECT r.vec_id, r.cell, r.score_key
+FROM ranked r JOIN quota USING (cell)
+WHERE r.rn <= quota.q
+ORDER BY r.vec_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2093,6 +2169,7 @@ QUERIES = {
     "d13_fuzzy_dedup": d13_fuzzy_dedup,
     "s06_kmeans": s06_kmeans,
     "t10_dsir": t10_dsir,
+    "s07_cluster_sample": s07_cluster_sample,
     "s01_cosine_topk": s01_cosine_topk,
     "s02_lsh_buckets": s02_lsh_buckets,
     "s03_label_centroid_norms": s03_label_centroid_norms,
@@ -2129,6 +2206,7 @@ ORACLES = {
     "d13_fuzzy_dedup": ORACLE_D13,
     "s06_kmeans": ORACLE_S06,
     "t10_dsir": ORACLE_T10,
+    "s07_cluster_sample": ORACLE_S07,
     "s01_cosine_topk": ORACLE_S01,
     "s02_lsh_buckets": ORACLE_S02,
     "s03_label_centroid_norms": ORACLE_S03,
