@@ -40,6 +40,7 @@ PICKS = {
     "d13_fuzzy_dedup": "Keep-best fuzzy dedup: checkpointed pair graph -> pointer-jump component rounds -> ONE partial-aggregated max(struct) per cluster for the representative (no window) -> LEFT ANTI drop of the losers.",
     "s06_kmeans": "Distributed Lloyd's: each iteration is ONE mapInPandas pass emitting <= partitions*k stat rows, a per-cell combine that shuffles only those, and a k*d driver collect; the returned frame is the final centroid table (LocalTableScan) — the corpus vectors never shuffle, so the plan to audit is the iteration's map-side partial aggregation.",
     "t10_dsir": "DSIR selection: codegen gram hashing (no EvalPython), bucket distributions partial-aggregated to <= buckets keys, the KB log-ratio table broadcast (BuildRight), ONE uniform doc_id shuffle for the weight sums, TakeOrderedAndProject for the Gumbel top-k — no global sort, no corpus-sized shuffle.",
+    "s07_cluster_sample": "Cluster-balanced sampling: cell sizes are ONE partial-aggregated groupBy (rows shuffled <= n_cells), quotas driver arithmetic joined back as a BroadcastHashJoin, and the rank filter's constant max-quota bound compiles to WindowGroupLimit — each cell is pruned to its top rows map-side BEFORE the one cell-keyed shuffle, so a head cluster never ships its tail.",
 }
 
 _KEEP = re.compile(
