@@ -977,6 +977,43 @@ def cmd_media_dedup(args) -> int:
     return 0
 
 
+def cmd_sample(args) -> int:
+    """Cluster-balanced diversity sampling over a parquet corpus with
+    an embedding column: distributed k-means over the full corpus,
+    then keep n docs with size**alpha per-cluster quotas ranked by an
+    optional quality score (operators/corpus.py
+    cluster_balanced_sample) — the SemDeDup/DataComp selection step."""
+    from pyspark import StorageLevel
+
+    spark = _spark(args.cpus)
+    from resilispark.operators.corpus import cluster_balanced_sample
+
+    docs = spark.read.parquet(args.input)
+    if args.cell_col in docs.columns:
+        cells, cent = docs, None
+    else:
+        from resilispark.operators.similarity import kmeans_fit
+
+        # k-means scans the corpus once per iteration + the sample
+        # selection twice more — persist for the whole chain
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        cent, _, _ = kmeans_fit(
+            docs, vec_col=args.vec_col, k=args.clusters,
+            iters=args.iters, id_col=args.id_col,
+        )
+        cells = docs
+    kept = cluster_balanced_sample(
+        cells, args.n,
+        cell_col=args.cell_col, id_col=args.id_col,
+        score_col=args.score_col, alpha=args.alpha, seed=args.seed,
+        centroids=cent, vec_col=args.vec_col,
+    )
+    kept.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+    print(f"sampled {n_out} docs -> {args.output}")
+    return 0
+
+
 def cmd_sketch_report(args) -> int:
     """Corpus-wide distinct counts + cross-snapshot overlap from a
     `curate --cardinality-sketch` store — unions the stored KB-sized
@@ -1599,6 +1636,33 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--frame-every-ms", type=int, default=1000,
                    help="video: frame sampling tick")
     p.set_defaults(fn=cmd_media_dedup)
+
+    p = sub.add_parser(
+        "sample",
+        help="cluster-balanced diversity sample of a parquet corpus "
+             "(k-means cells + size**alpha quotas)",
+    )
+    p.add_argument("input", help="parquet corpus with an embedding column")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-n", type=int, required=True,
+                   help="documents to keep")
+    p.add_argument("--clusters", type=int, default=64,
+                   help="k-means cells to balance across")
+    p.add_argument("--iters", type=int, default=4,
+                   help="k-means Lloyd iterations")
+    p.add_argument("--alpha", type=float, default=0.5,
+                   help="quota ~ cluster_size**alpha (0=equal per "
+                        "cluster, 1=uniform sampling)")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--cell-col", default="kmeans_cell",
+                   help="use this precomputed cell column if present "
+                        "instead of fitting k-means")
+    p.add_argument("--score-col", default=None,
+                   help="rank within a cluster by this column "
+                        "descending (default: deterministic hash)")
+    p.add_argument("--seed", type=int, default=7)
+    p.set_defaults(fn=cmd_sample)
 
     p = sub.add_parser(
         "sketch-report",

@@ -1479,3 +1479,31 @@ def test_cli_curate_export_webdataset(tmp_path, spark):
     assert len(back) == 5
     assert all("document number" in r.text for r in back)
     assert spark.read.parquet(out).count() == 5
+
+
+def test_cli_sample_cluster_balanced(tmp_path, spark):
+    """sample: k-means cells + balanced quotas end to end."""
+    import numpy as np
+
+    from resilispark.__main__ import main
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # two tight clusters, 40 vs 8 docs (skewed head)
+    for i in range(48):
+        center = [0.0, 5.0] if i < 40 else [5.0, 0.0]
+        rows.append((i, [float(v) for v in rng.normal(center, 0.1)]))
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "sampled")
+    rc = main(["--cpus", "4", "sample", src, "-o", out, "-n", "12",
+               "--clusters", "2", "--alpha", "0"])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 12
+    per = {r.kmeans_cell: r["count"] for r in
+           got.groupBy("kmeans_cell").count().collect()}
+    # alpha=0: equal per cluster despite the 40/8 skew
+    assert sorted(per.values()) == [6, 6]
