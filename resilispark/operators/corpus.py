@@ -540,6 +540,11 @@ def cluster_balanced_sample(
     prunes each cluster map-side BEFORE the shuffle — then against the
     cluster's own quota.  If ``cell_col`` is absent and ``centroids``
     given, cells are assigned first (no extra shuffle).
+
+    Rows whose ``cell_col`` is NULL (e.g. the embedding was NULL
+    upstream so no cell could be assigned) are excluded from the pool
+    before sizing: they belong to no cluster, so they can neither
+    consume quota nor be balanced against anything.
     """
     if cell_col not in docs.columns:
         if centroids is None:
@@ -555,6 +560,7 @@ def cluster_balanced_sample(
 
     from pyspark.sql import Window as W
 
+    docs = docs.where(F.col(cell_col).isNotNull())
     sizes = {
         r["c"]: r["s"]
         for r in docs.groupBy(F.col(cell_col).alias("c"))

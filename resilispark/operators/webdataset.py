@@ -52,13 +52,15 @@ _SUMMARY_SCHEMA = T.StructType([
 ])
 
 
-def _encode_component(value) -> bytes:
+def _encode_component(value) -> bytes | None:
     """Bytes pass through raw, strings as UTF-8, anything else (maps,
     structs, arrays, numbers) as canonical JSON — so a ``.json``
     component can be a real struct column, not a pre-serialized
-    string."""
+    string.  NULL returns ``None``: the member is simply not written
+    (the WebDataset convention for an absent component), so NULL
+    round-trips as NULL instead of silently becoming empty-string."""
     if value is None:
-        return b""
+        return None
     if isinstance(value, (bytes, bytearray)):
         return bytes(value)
     if isinstance(value, str):
@@ -106,13 +108,27 @@ def write_webdataset(
     Returns the index dict (also written to ``<path>/_SHARDS.json``
     unless ``index=False``): per-shard sample and byte counts plus
     totals.  Refuses a ``path`` that already contains shards unless
-    ``overwrite=True`` — the persistent-store safety contract.
+    ``overwrite=True`` — the persistent-store safety contract.  An
+    overwrite keeps the old shards and index in place until the NEW
+    write job has finished (same-named shards are replaced atomically
+    file-by-file; leftovers and the stale index are removed only after
+    success), so a mid-job failure never destroys the previous corpus.
+
+    ``key_col`` values must be unique: two rows sharing a key would
+    collide on member names and silently overwrite each other at read
+    time, so the writer raises on the first duplicate it sees (free —
+    duplicate keys always hash to the same shard and arrive adjacent
+    in its sorted run).
     """
-    from resilispark.io.fs import get_fs
+    from resilispark.io.fs import LocalFS, get_fs
 
     if components is None:
-        col = "text" if "text" in docs.columns else docs.columns[-1]
-        components = {col: "txt"}
+        if "text" not in docs.columns:
+            raise ValueError(
+                "docs has no 'text' column; pass components= "
+                "(column -> member extension) explicitly"
+            )
+        components = {"text": "txt"}
     missing = [c for c in components if c not in docs.columns]
     if missing:
         raise ValueError(f"component columns not in docs: {missing}")
@@ -122,22 +138,21 @@ def write_webdataset(
     dest = path.rstrip("/")
     remote = "://" in dest and not dest.startswith("file://")
     fs = get_fs(dest) if remote else None
+    local_root = None if remote else LocalFS._strip(dest)
     if remote:
         existing = fs.glob(f"{dest}/{shard_prefix}-*.tar")
     else:
         import glob as _glob
 
-        existing = _glob.glob(os.path.join(
-            dest.removeprefix("file://"), f"{shard_prefix}-*.tar"))
+        existing = _glob.glob(
+            os.path.join(local_root, f"{shard_prefix}-*.tar"))
     if existing and not overwrite:
         raise FileExistsError(
             f"{dest} already holds {len(existing)} shard(s); pass "
             "overwrite=True to replace them"
         )
-    for old in existing:
-        (fs.delete(old) if remote else os.unlink(old))
     if not remote:
-        os.makedirs(dest.removeprefix("file://"), exist_ok=True)
+        os.makedirs(local_root, exist_ok=True)
 
     if n_shards is None:
         n = docs.count()
@@ -158,7 +173,7 @@ def write_webdataset(
         .sortWithinPartitions("_wds_shard", "_wds_key")
     )
 
-    prefix, dest_b, remote_b = shard_prefix, dest, remote
+    prefix, dest_b, remote_b, root_b = shard_prefix, dest, remote, local_root
 
     def write_partition(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -169,12 +184,15 @@ def write_webdataset(
 
         out: list[dict] = []
         cur = {"shard": None, "tar": None, "tmp": None,
-               "n": 0, "bytes": 0}
+               "n": 0, "prev_key": None}
 
         def close_shard():
             if cur["tar"] is None:
                 return
             cur["tar"].close()
+            # actual file size (includes the end-of-archive trailer and
+            # record padding) so the index matches what lands on disk
+            n_bytes = os.path.getsize(cur["tmp"])
             name = f"{prefix}-{cur['shard']:06d}.tar"
             final = f"{dest_b}/{name}"
             if remote_b:
@@ -183,12 +201,11 @@ def write_webdataset(
             else:
                 # atomic publish: a concurrent speculative attempt can
                 # only replace the file with identical bytes
-                os.replace(cur["tmp"],
-                           os.path.join(dest_b.removeprefix("file://"),
-                                        name))
+                os.replace(cur["tmp"], os.path.join(root_b, name))
             out.append({"shard": cur["shard"], "path": final,
-                        "n_samples": cur["n"], "n_bytes": cur["bytes"]})
-            cur.update(shard=None, tar=None, tmp=None, n=0, bytes=0)
+                        "n_samples": cur["n"], "n_bytes": n_bytes})
+            cur.update(shard=None, tar=None, tmp=None, n=0,
+                       prev_key=None)
 
         for pdf in batches:
             # name=None: plain tuples in column order — itertuples would
@@ -202,15 +219,34 @@ def write_webdataset(
                     fd, tmp = tempfile.mkstemp(suffix=".tar")
                     os.close(fd)
                     cur.update(
-                        shard=shard, tmp=tmp, n=0, bytes=0,
+                        shard=shard, tmp=tmp, n=0, prev_key=None,
                         tar=tarfile.open(tmp, "w",
                                          format=tarfile.USTAR_FORMAT),
                     )
                 key = row[1]
+                # duplicate keys hash to the same shard and arrive
+                # adjacent in its key-sorted run, so this catches every
+                # collision before it corrupts the read-back
+                if key == cur["prev_key"]:
+                    raise ValueError(
+                        f"duplicate key {key!r}: WebDataset member "
+                        "names must be unique — deduplicate or derive "
+                        "a unique key_col first"
+                    )
+                cur["prev_key"] = key
+                wrote_any = False
                 for i, (_, ext) in enumerate(comp_items):
                     data = _encode_component(row[2 + i])
-                    cur["bytes"] += _tar_add(
-                        cur["tar"], f"{key}.{ext}", data)
+                    if data is not None:
+                        _tar_add(cur["tar"], f"{key}.{ext}", data)
+                        wrote_any = True
+                if not wrote_any:
+                    # every component NULL: a memberless sample would
+                    # vanish from the tar entirely (and the manifest
+                    # count would disagree with the read-back) — a
+                    # zero-byte marker keeps the key alive; the reader
+                    # registers the stem and reads each component NULL
+                    _tar_add(cur["tar"], f"{key}.__null__", b"")
                 cur["n"] += 1
         close_shard()
         yield pd.DataFrame(
@@ -221,6 +257,12 @@ def write_webdataset(
          staged.mapInPandas(write_partition, _SUMMARY_SCHEMA).collect()),
         key=lambda r: r["shard"],
     )
+    # the write job succeeded: NOW remove old shards the new layout
+    # didn't overwrite (e.g. the previous run had more shards)
+    new_names = {f"{shard_prefix}-{s['shard']:06d}.tar" for s in summaries}
+    for old in existing:
+        if os.path.basename(old) not in new_names:
+            (fs.delete(old) if remote else os.unlink(old))
     man = {
         "format": "webdataset",
         "shard_prefix": shard_prefix,
@@ -233,9 +275,9 @@ def write_webdataset(
             "n_bytes": sum(s["n_bytes"] for s in summaries),
         },
     }
+    idx = f"{dest}/_SHARDS.json"
     if index:
         blob = json.dumps(man, indent=1, sort_keys=True).encode()
-        idx = f"{dest}/_SHARDS.json"
         if remote:
             import tempfile
 
@@ -244,9 +286,19 @@ def write_webdataset(
                 tf.flush()
                 fs.put_file(tf.name, idx)
         else:
-            with open(os.path.join(dest.removeprefix("file://"),
-                                   "_SHARDS.json"), "wb") as f:
+            with open(os.path.join(local_root, "_SHARDS.json"),
+                      "wb") as f:
                 f.write(blob)
+    elif existing:
+        # overwrite with index=False: a previous run's index would
+        # describe shards that no longer exist
+        if remote:
+            if fs.exists(idx):
+                fs.delete(idx)
+        else:
+            stale = os.path.join(local_root, "_SHARDS.json")
+            if os.path.exists(stale):
+                os.unlink(stale)
     return man
 
 

@@ -5238,6 +5238,75 @@ class TestWebdataset:
                              components={"nope": "txt"})
 
 
+    def test_duplicate_keys_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from resilispark.operators.webdataset import write_webdataset
+
+        dup = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c")], "doc_id long, text string")
+        with _pytest.raises(Exception, match="duplicate key"):
+            write_webdataset(dup, str(tmp_path / "w"), n_shards=1)
+
+    def test_null_component_round_trips_as_null(self, spark, tmp_path):
+        from resilispark.operators.webdataset import (
+            read_webdataset,
+            write_webdataset,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "present"), (1, None)], "doc_id long, text string")
+        out = str(tmp_path / "wds")
+        write_webdataset(docs, out, n_shards=1)
+        got = {r.key: r.text for r in read_webdataset(spark, out).collect()}
+        assert got == {"0": "present", "1": None}
+
+    def test_n_bytes_matches_file_size(self, spark, tmp_path):
+        import os
+
+        from resilispark.operators.webdataset import write_webdataset
+
+        man = write_webdataset(
+            self._docs(spark), str(tmp_path / "wds"), docs_per_shard=10)
+        for s in man["shards"]:
+            assert s["n_bytes"] == os.path.getsize(
+                tmp_path / "wds" / s["path"].rsplit("/", 1)[1])
+
+    def test_overwrite_removes_leftover_shards_and_refreshes_index(
+            self, spark, tmp_path):
+        import json
+
+        from resilispark.operators.webdataset import write_webdataset
+
+        docs = self._docs(spark)
+        out = str(tmp_path / "wds")
+        write_webdataset(docs, out, docs_per_shard=5)      # 8 shards
+        write_webdataset(docs, out, docs_per_shard=20,      # 2 shards
+                         overwrite=True)
+        on_disk = sorted(p.name for p in (tmp_path / "wds").glob("*.tar"))
+        assert on_disk == ["shard-000000.tar", "shard-000001.tar"]
+        man = json.loads((tmp_path / "wds" / "_SHARDS.json").read_text())
+        assert man["n_shards"] == 2
+        assert man["total"]["n_samples"] == 40
+
+    def test_single_slash_file_scheme(self, spark, tmp_path):
+        from resilispark.operators.webdataset import write_webdataset
+
+        out = "file:" + str(tmp_path / "wds")
+        write_webdataset(self._docs(spark), out, n_shards=2)
+        assert len(list((tmp_path / "wds").glob("shard-*.tar"))) == 2
+
+    def test_no_text_column_requires_components(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from resilispark.operators.webdataset import write_webdataset
+
+        docs = spark.createDataFrame(
+            [(0, b"xy")], "doc_id long, payload binary")
+        with _pytest.raises(ValueError, match="components"):
+            write_webdataset(docs, str(tmp_path / "w"))
+
+
 class TestClusterBalancedSample:
     def test_quota_water_filling(self):
         from resilispark.operators.corpus import _balanced_quotas
@@ -5314,3 +5383,16 @@ class TestClusterBalancedSample:
         per = {r.kmeans_cell: r["count"] for r in
                got.groupBy("kmeans_cell").count().collect()}
         assert per == {0: 2, 1: 2}
+
+
+def test_cluster_sample_null_cells_excluded(spark):
+    from resilispark.operators.corpus import cluster_balanced_sample
+
+    docs = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1), (4, None), (5, None)],
+        "doc_id long, kmeans_cell int",
+    )
+    got = cluster_balanced_sample(docs, 4, alpha=0.0)
+    rows = got.collect()
+    assert len(rows) == 4
+    assert all(r.kmeans_cell is not None for r in rows)
