@@ -49,6 +49,7 @@ _SUMMARY_SCHEMA = T.StructType([
     T.StructField("path", T.StringType()),
     T.StructField("n_samples", T.LongType()),
     T.StructField("n_bytes", T.LongType()),
+    T.StructField("sha256", T.StringType()),
 ])
 
 
@@ -191,7 +192,16 @@ def write_webdataset(
                 return
             cur["tar"].close()
             # actual file size (includes the end-of-archive trailer and
-            # record padding) so the index matches what lands on disk
+            # record padding) so the index matches what lands on disk;
+            # sha256 lets a consumer verify a transferred shard against
+            # the index — shard bytes are deterministic, so the digest
+            # is stable across re-runs too
+            import hashlib
+
+            h = hashlib.sha256()
+            with open(cur["tmp"], "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
             n_bytes = os.path.getsize(cur["tmp"])
             name = f"{prefix}-{cur['shard']:06d}.tar"
             final = f"{dest_b}/{name}"
@@ -203,7 +213,8 @@ def write_webdataset(
                 # only replace the file with identical bytes
                 os.replace(cur["tmp"], os.path.join(root_b, name))
             out.append({"shard": cur["shard"], "path": final,
-                        "n_samples": cur["n"], "n_bytes": n_bytes})
+                        "n_samples": cur["n"], "n_bytes": n_bytes,
+                        "sha256": h.hexdigest()})
             cur.update(shard=None, tar=None, tmp=None, n=0,
                        prev_key=None)
 

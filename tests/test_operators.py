@@ -5261,7 +5261,8 @@ class TestWebdataset:
         got = {r.key: r.text for r in read_webdataset(spark, out).collect()}
         assert got == {"0": "present", "1": None}
 
-    def test_n_bytes_matches_file_size(self, spark, tmp_path):
+    def test_n_bytes_and_sha256_match_file(self, spark, tmp_path):
+        import hashlib
         import os
 
         from resilispark.operators.webdataset import write_webdataset
@@ -5269,8 +5270,10 @@ class TestWebdataset:
         man = write_webdataset(
             self._docs(spark), str(tmp_path / "wds"), docs_per_shard=10)
         for s in man["shards"]:
-            assert s["n_bytes"] == os.path.getsize(
-                tmp_path / "wds" / s["path"].rsplit("/", 1)[1])
+            p = tmp_path / "wds" / s["path"].rsplit("/", 1)[1]
+            assert s["n_bytes"] == os.path.getsize(p)
+            assert s["sha256"] == hashlib.sha256(
+                p.read_bytes()).hexdigest()
 
     def test_overwrite_removes_leftover_shards_and_refreshes_index(
             self, spark, tmp_path):
