@@ -1014,6 +1014,83 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_verify_shards(args) -> int:
+    """Check a WebDataset store against its _SHARDS.json index: every
+    listed shard exists with the recorded byte size and sha256, no
+    unlisted shards linger, and (with --deep) per-shard sample counts
+    match a real untar.  Shards verify in parallel on executors — the
+    driver sees one row per shard."""
+    import hashlib
+    import json as _json
+
+    spark = _spark(args.cpus)
+    from resilispark.io.fs import get_fs
+
+    dest = args.store.rstrip("/")
+    idx = f"{dest}/_SHARDS.json"
+    fs = get_fs(idx)
+    if not fs.exists(idx):
+        print(f"no _SHARDS.json under {dest}")
+        return 1
+    with fs.open(idx) as f:
+        man = _json.load(f)
+    listed = {s["path"].rsplit("/", 1)[1]: s for s in man["shards"]}
+    on_disk = {p.rsplit("/", 1)[1]
+               for p in fs.glob(f"{dest}/{man['shard_prefix']}-*.tar")}
+    bad = 0
+    for name in sorted(on_disk - set(listed)):
+        print(f"UNLISTED {name}")
+        bad += 1
+    for name in sorted(set(listed) - on_disk):
+        print(f"MISSING  {name}")
+        bad += 1
+    rows = [(s["path"], s["n_bytes"], s["sha256"], s["n_samples"])
+            for n, s in listed.items() if n in on_disk]
+    deep = bool(args.deep)
+
+    def check(it):
+        import io as _io
+        import tarfile as _tarfile
+
+        import pandas as pd
+
+        from resilispark.io.fs import get_fs as _get_fs
+
+        for pdf in it:
+            out = []
+            for path, n_bytes, sha, n_samples in pdf.itertuples(
+                    index=False, name=None):
+                h = hashlib.sha256()
+                with _get_fs(path).open(path) as f:
+                    data = f.read()
+                h.update(data)
+                errs = []
+                if len(data) != n_bytes:
+                    errs.append(f"size {len(data)} != {n_bytes}")
+                if h.hexdigest() != sha:
+                    errs.append("sha256 mismatch")
+                if deep and not errs:
+                    with _tarfile.open(fileobj=_io.BytesIO(data)) as tar:
+                        stems = {m.name.rsplit(".", 1)[0] for m in tar
+                                 if m.isfile()}
+                    if len(stems) != n_samples:
+                        errs.append(
+                            f"samples {len(stems)} != {n_samples}")
+                out.append((path, "; ".join(errs)))
+            yield pd.DataFrame(out, columns=["path", "errors"])
+
+    sdf = spark.createDataFrame(
+        rows, "path string, n_bytes long, sha256 string, n_samples long"
+    ).repartition(max(1, min(len(rows), args.cpus or 8)))
+    for r in sdf.mapInPandas(
+            check, "path string, errors string").collect():
+        if r.errors:
+            print(f"CORRUPT  {r.path}: {r.errors}")
+            bad += 1
+    print(f"{len(rows)} shard(s) checked, {bad} problem(s)")
+    return 1 if bad else 0
+
+
 def cmd_sketch_report(args) -> int:
     """Corpus-wide distinct counts + cross-snapshot overlap from a
     `curate --cardinality-sketch` store — unions the stored KB-sized
@@ -1663,6 +1740,16 @@ def main(argv: list[str] | None = None) -> int:
                         "descending (default: deterministic hash)")
     p.add_argument("--seed", type=int, default=7)
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser(
+        "verify-shards",
+        help="check a WebDataset store against its _SHARDS.json "
+             "(sizes, sha256, unlisted/missing shards)",
+    )
+    p.add_argument("store")
+    p.add_argument("--deep", action="store_true",
+                   help="also untar each shard and compare sample counts")
+    p.set_defaults(fn=cmd_verify_shards)
 
     p = sub.add_parser(
         "sketch-report",

@@ -1507,3 +1507,23 @@ def test_cli_sample_cluster_balanced(tmp_path, spark):
            got.groupBy("kmeans_cell").count().collect()}
     # alpha=0: equal per cluster despite the 40/8 skew
     assert sorted(per.values()) == [6, 6]
+
+
+def test_cli_verify_shards(tmp_path, spark, capsys):
+    """verify-shards: green on an intact store, flags corruption and
+    unlisted files."""
+    from resilispark.__main__ import main
+    from resilispark.operators.webdataset import write_webdataset
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string")
+    out = str(tmp_path / "wds")
+    write_webdataset(docs, out, docs_per_shard=5)
+    assert main(["--cpus", "4", "verify-shards", out, "--deep"]) == 0
+    # corrupt one shard + drop an unlisted file
+    shard = next((tmp_path / "wds").glob("shard-*.tar"))
+    shard.write_bytes(shard.read_bytes()[:-1] + b"X")
+    (tmp_path / "wds" / "shard-999999.tar").write_bytes(b"junk")
+    assert main(["--cpus", "4", "verify-shards", out]) == 1
+    got = capsys.readouterr().out
+    assert "sha256 mismatch" in got and "UNLISTED shard-999999.tar" in got
