@@ -5310,6 +5310,29 @@ class TestWebdataset:
             write_webdataset(docs, str(tmp_path / "w"))
 
 
+    def test_remote_store_roundtrip_memory_fs(self, spark):
+        """The remote branch (put_file staging, fs glob/delete, index
+        upload) against the engine's memory:// store."""
+        import json
+
+        from resilispark.io.fs import get_fs
+        from resilispark.operators.webdataset import write_webdataset
+
+        dest = "memory://wds-remote-test"
+        fs = get_fs(dest)
+        for old in fs.glob(f"{dest}/*"):
+            fs.delete(old)
+        docs = self._docs(spark)
+        man = write_webdataset(docs, dest, docs_per_shard=20)
+        assert man["total"]["n_samples"] == 40
+        with fs.open(f"{dest}/_SHARDS.json") as f:
+            assert json.load(f)["total"]["n_samples"] == 40
+        # shrink the layout under overwrite: leftovers must vanish
+        write_webdataset(docs, dest, n_shards=1, overwrite=True)
+        tars = fs.glob(f"{dest}/shard-*.tar")
+        assert [t.rsplit("/", 1)[1] for t in tars] == ["shard-000000.tar"]
+
+
 class TestClusterBalancedSample:
     def test_quota_water_filling(self):
         from resilispark.operators.corpus import _balanced_quotas
