@@ -641,6 +641,28 @@ def cmd_curate(args) -> int:
             f"{'appended histogram sketch to' if appended else 'histogram sketch already recorded in'} "
             f"{args.histogram_sketch}"
         )
+    if getattr(args, "frequency_sketch", None):
+        # persist a mergeable count-min sketch of per-host doc counts:
+        # cms_estimate later answers "how many docs has host X shipped
+        # across all crawls" from the stored cells alone — the hot-host
+        # watchlist for cap_per_host tuning, zero corpus reads
+        from resilispark.operators.sketches import write_snapshot_cms
+
+        shipped = _read_output()
+        if "url" not in shipped.columns:
+            print("frequency sketch skipped: corpus has no url column")
+        else:
+            appended = write_snapshot_cms(
+                shipped.withColumn(
+                    "host", F.parse_url(F.col("url"), F.lit("HOST"))
+                ),
+                args.frequency_sketch,
+                snapshot=args.output, col="host", skip_existing=True,
+            )
+            print(
+                f"{'appended frequency sketch to' if appended else 'frequency sketch already recorded in'} "
+                f"{args.frequency_sketch}"
+            )
     if args.pack:
         from resilispark.operators.packing import emit_sequences
 
@@ -1548,6 +1570,10 @@ def main(argv: list[str] | None = None) -> int:
                         "histograms to a mergeable store; "
                         "`sketch-report --histogram PATH` reads "
                         "cross-crawl distribution drift from it")
+    p.add_argument("--frequency-sketch", default=None, metavar="PATH",
+                   help="append a count-min sketch of per-host doc "
+                        "counts to a mergeable store (cross-crawl "
+                        "hot-host estimates, zero corpus reads)")
     p.add_argument("--cardinality-sketch", default=None, metavar="PATH",
                    help="append this snapshot's HLL distinct-count "
                         "sketches (content digest / url / host) to a "

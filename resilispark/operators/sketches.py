@@ -290,3 +290,148 @@ def histogram_store_drift(spark, path: str) -> DataFrame:
             (F.col("_present") + (F.lit(1.0) - F.col("_q_seen"))) / 2.0,
         ).alias("tv_distance"),
     )
+
+
+def count_min_sketch(
+    docs: DataFrame,
+    col,
+    *,
+    depth: int = 5,
+    width: int = 16384,
+    seed: int = 41,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Mergeable count-min frequency sketch of a column: ``(d, pos, n)``
+    rows, at most ``depth * width`` of them.
+
+    Each value increments one cell per hash row (``pmod(xxhash64(value,
+    seed+d), width)``); the estimate for a value is the MIN over rows of
+    its cells — an upper bound that overshoots by at most ``e/width *
+    total`` with probability ``1 - e^-depth`` (Cormode & Muthukrishnan
+    2005).  Cells are value-independent, so sketches MERGE across
+    snapshots by summing ``n`` per ``(d, pos)`` — the frequency sibling
+    of the HLL and histogram stores.
+
+    Scale shape: the explode emits ``depth`` tiny structs per row but
+    the groupBy partial-aggregates map-side, so the shuffle carries at
+    most ``partitions * depth * width`` rows — never the data.  With
+    ``weight_col`` the sketch counts that weight (e.g. token totals per
+    host) instead of occurrences.
+    """
+    c = F.col(col).cast("string")
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    cells = F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            F.pmod(F.xxhash64(c, F.lit(seed + d)), F.lit(width))
+            .cast("int").alias("pos"),
+        )
+        for d in range(depth)
+    ])
+    return (
+        docs.where(c.isNotNull())
+        .select(F.explode(cells).alias("r"), w.alias("_w"))
+        .groupBy(F.col("r.d").alias("d"), F.col("r.pos").alias("pos"))
+        .agg(F.sum("_w").alias("n"))
+    )
+
+
+def write_snapshot_cms(
+    docs: DataFrame,
+    path: str,
+    *,
+    snapshot: str,
+    col,
+    depth: int = 5,
+    width: int = 16384,
+    seed: int = 41,
+    weight_col: str | None = None,
+    skip_existing: bool = False,
+) -> bool:
+    """Append this snapshot's count-min rows to the store at ``path`` —
+    the sketch-store safety contract: duplicate ``snapshot`` labels are
+    refused (they would double-count that crawl in every merged
+    estimate) or skipped with ``skip_existing=True``; the hash
+    parameters ride every (RLE-compressed) row and are validated at
+    probe time, so stores built with different depth/width/seed can
+    never silently merge.  Returns True iff rows were appended."""
+    spark = docs.sparkSession
+    s = count_min_sketch(
+        docs, col, depth=depth, width=width, seed=seed,
+        weight_col=weight_col,
+    ).select(
+        F.lit(snapshot).alias("snapshot"),
+        F.lit(str(col)).alias("column"),
+        "d", "pos", "n",
+        F.lit(depth).alias("depth"),
+        F.lit(width).alias("width"),
+        F.lit(seed).alias("seed"),
+    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = spark.read.schema(s.schema).parquet(path)
+        if existing.filter(F.col("snapshot") == snapshot).limit(1).count():
+            if skip_existing:
+                return False
+            raise ValueError(
+                f"snapshot {snapshot!r} already present in count-min "
+                f"store {path} — each snapshot contributes exactly once"
+            )
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+            raise
+    s.write.mode("append").parquet(path)
+    return True
+
+
+def cms_estimate(
+    spark,
+    path: str,
+    values,
+    *,
+    snapshot: str | None = None,
+) -> DataFrame:
+    """Frequency estimates for candidate ``values`` from the count-min
+    store alone — zero corpus reads.  Merges all snapshots (or just
+    ``snapshot``) by summing cells, then takes each candidate's min
+    cell.  Returns ``(value, est_n)``; estimates are UPPER bounds
+    (hash collisions only inflate), and a value the store never saw can
+    still read small-positive.  Candidates are a driver-side list
+    (bounded, broadcast) — count-min cannot enumerate its contents.
+    """
+    store = spark.read.parquet(path)
+    if snapshot is not None:
+        store = store.where(F.col("snapshot") == snapshot)
+    params = store.select("depth", "width", "seed").distinct().collect()
+    if len(params) != 1:
+        raise ValueError(
+            f"count-min store {path} mixes hash parameters "
+            f"{[tuple(p) for p in params]}; sketches only merge when "
+            "depth/width/seed match"
+        )
+    depth, width, seed = params[0]
+    merged = store.groupBy("d", "pos").agg(F.sum("n").alias("n"))
+    vals = spark.createDataFrame([(str(v),) for v in values], ["value"])
+    probes = vals.select(
+        "value",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(F.col("value"), F.lit(seed + d)),
+                       F.lit(width)).cast("int").alias("pos"),
+            )
+            for d in range(depth)
+        ])).alias("r"),
+    ).select("value", "r.d", "r.pos")
+    return (
+        F.broadcast(probes)
+        .join(merged, ["d", "pos"], "left")
+        .groupBy("value")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
+    )

@@ -1527,3 +1527,26 @@ def test_cli_verify_shards(tmp_path, spark, capsys):
     assert main(["--cpus", "4", "verify-shards", out]) == 1
     got = capsys.readouterr().out
     assert "sha256 mismatch" in got and "UNLISTED shard-999999.tar" in got
+
+
+def test_cli_curate_frequency_sketch(tmp_path, spark):
+    """curate --frequency-sketch appends a count-min host sketch;
+    estimates come back from the store alone."""
+    from resilispark.__main__ import main
+    from resilispark.operators.sketches import cms_estimate
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"doc number {i} with words", "en", "web",
+          f"https://{'hot' if i < 8 else 'cold'}.example/p{i}")
+         for i in range(10)],
+        "doc_id long, text string, lang string, source string, url string",
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "corpus")
+    store = str(tmp_path / "cms")
+    rc = main(["--cpus", "4", "curate", src, "-o", out,
+               "--no-quality", "--keep-pii", "--frequency-sketch", store])
+    assert rc == 0
+    got = {r.value: r.est_n for r in cms_estimate(
+        spark, store, ["hot.example", "cold.example"]).collect()}
+    assert got == {"hot.example": 8, "cold.example": 2}

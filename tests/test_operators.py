@@ -5422,3 +5422,101 @@ def test_cluster_sample_null_cells_excluded(spark):
     rows = got.collect()
     assert len(rows) == 4
     assert all(r.kmeans_cell is not None for r in rows)
+
+
+class TestCountMinSketch:
+    def test_exact_when_no_collisions(self, spark, tmp_path):
+        from resilispark.operators.sketches import (
+            cms_estimate,
+            write_snapshot_cms,
+        )
+
+        docs = spark.createDataFrame(
+            [(f"host{i % 4}.example",) for i in range(40)], ["host"])
+        store = str(tmp_path / "cms")
+        assert write_snapshot_cms(docs, store, snapshot="c1", col="host")
+        got = {r.value: r.est_n for r in cms_estimate(
+            spark, store, ["host0.example", "host1.example", "never.seen"]
+        ).collect()}
+        # wide sketch, 4 distinct values: estimates are exact
+        assert got["host0.example"] == 10
+        assert got["host1.example"] == 10
+        assert got["never.seen"] == 0
+
+    def test_snapshots_merge_by_summing(self, spark, tmp_path):
+        from resilispark.operators.sketches import (
+            cms_estimate,
+            write_snapshot_cms,
+        )
+
+        a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 2, ["v"])
+        b = spark.createDataFrame([("x",)] * 4, ["v"])
+        store = str(tmp_path / "cms")
+        write_snapshot_cms(a, store, snapshot="a", col="v")
+        write_snapshot_cms(b, store, snapshot="b", col="v")
+        got = {r.value: r.est_n for r in
+               cms_estimate(spark, store, ["x", "y"]).collect()}
+        assert got == {"x": 7, "y": 2}
+        only_b = {r.value: r.est_n for r in cms_estimate(
+            spark, store, ["x", "y"], snapshot="b").collect()}
+        assert only_b == {"x": 4, "y": 0}
+
+    def test_weight_col_counts_tokens(self, spark, tmp_path):
+        from resilispark.operators.sketches import (
+            cms_estimate,
+            write_snapshot_cms,
+        )
+
+        docs = spark.createDataFrame(
+            [("a.com", 100), ("a.com", 50), ("b.com", 7)],
+            "host string, n_tokens long")
+        store = str(tmp_path / "cms")
+        write_snapshot_cms(docs, store, snapshot="t", col="host",
+                           weight_col="n_tokens")
+        got = {r.value: r.est_n for r in
+               cms_estimate(spark, store, ["a.com", "b.com"]).collect()}
+        assert got == {"a.com": 150, "b.com": 7}
+
+    def test_estimate_is_upper_bound_under_collisions(self, spark, tmp_path):
+        from resilispark.operators.sketches import (
+            cms_estimate,
+            write_snapshot_cms,
+        )
+
+        docs = spark.createDataFrame(
+            [(f"v{i}",) for i in range(500)], ["v"])
+        store = str(tmp_path / "cms")
+        # tiny width forces collisions: every estimate must still be >= 1
+        write_snapshot_cms(docs, store, snapshot="c", col="v",
+                           depth=4, width=64)
+        ests = cms_estimate(
+            spark, store, [f"v{i}" for i in range(0, 500, 50)]).collect()
+        assert all(r.est_n >= 1 for r in ests)
+
+    def test_store_contract(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from resilispark.operators.sketches import (
+            cms_estimate,
+            write_snapshot_cms,
+        )
+
+        docs = spark.createDataFrame([("x",)], ["v"])
+        store = str(tmp_path / "cms")
+        write_snapshot_cms(docs, store, snapshot="s1", col="v")
+        with _pytest.raises(ValueError, match="already present"):
+            write_snapshot_cms(docs, store, snapshot="s1", col="v")
+        assert not write_snapshot_cms(
+            docs, store, snapshot="s1", col="v", skip_existing=True)
+        # mismatched hash params are refused at probe time
+        write_snapshot_cms(docs, store, snapshot="s2", col="v", width=8192)
+        with _pytest.raises(ValueError, match="hash parameters"):
+            cms_estimate(spark, store, ["x"]).collect()
+
+    def test_plan_is_jvm_only(self, spark):
+        from resilispark.operators.sketches import count_min_sketch
+
+        docs = spark.createDataFrame([("x",)], ["v"])
+        plan = count_min_sketch(
+            docs, "v")._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
