@@ -1118,6 +1118,20 @@ def cmd_sketch_report(args) -> int:
     `curate --cardinality-sketch` store — unions the stored KB-sized
     sketch rows; never touches the corpora themselves."""
     spark = _spark(args.cpus)
+    if getattr(args, "values", None):
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.sketches import cms_estimate
+
+        rows = (
+            cms_estimate(spark, args.store,
+                         [v for v in args.values.split(",") if v])
+            .orderBy(F.desc("est_n"), "value")
+            .collect()
+        )
+        for r in rows:
+            print(f"value={r.value} est_n={r.est_n}")
+        return 0
     if getattr(args, "histogram", False):
         from resilispark.operators.sketches import histogram_store_drift
 
@@ -1787,6 +1801,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--histogram", action="store_true",
                    help="treat the store as a histogram store and "
                         "report per-snapshot total-variation drift")
+    p.add_argument("--values", default=None, metavar="V1,V2,...",
+                   help="treat the store as a count-min store "
+                        "(curate --frequency-sketch) and print the "
+                        "merged frequency estimate for each value")
     p.set_defaults(fn=cmd_sketch_report)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")

@@ -1550,3 +1550,19 @@ def test_cli_curate_frequency_sketch(tmp_path, spark):
     got = {r.value: r.est_n for r in cms_estimate(
         spark, store, ["hot.example", "cold.example"]).collect()}
     assert got == {"hot.example": 8, "cold.example": 2}
+
+
+def test_cli_sketch_report_cms_values(tmp_path, spark, capsys):
+    from resilispark.__main__ import main
+    from resilispark.operators.sketches import write_snapshot_cms
+
+    docs = spark.createDataFrame(
+        [("a.com",)] * 5 + [("b.com",)] * 2, ["host"])
+    store = str(tmp_path / "cms")
+    write_snapshot_cms(docs, store, snapshot="c1", col="host")
+    rc = main(["--cpus", "4", "sketch-report", store,
+               "--values", "a.com,b.com,zzz"])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[:3] == ["value=a.com est_n=5", "value=b.com est_n=2",
+                       "value=zzz est_n=0"]
