@@ -408,14 +408,17 @@ def cms_estimate(
     store = spark.read.parquet(path)
     if snapshot is not None:
         store = store.where(F.col("snapshot") == snapshot)
-    params = store.select("depth", "width", "seed").distinct().collect()
+    params = store.select(
+        "column", "depth", "width", "seed").distinct().collect()
     if len(params) != 1:
+        # mixing sketched COLUMNS is as corrupting as mixing hash
+        # params — host cells summed into lang cells inflate both
         raise ValueError(
-            f"count-min store {path} mixes hash parameters "
-            f"{[tuple(p) for p in params]}; sketches only merge when "
-            "depth/width/seed match"
+            f"count-min store {path} mixes sketched columns or hash "
+            f"parameters {[tuple(p) for p in params]}; cells only "
+            "merge when column/depth/width/seed all match"
         )
-    depth, width, seed = params[0]
+    _, depth, width, seed = params[0]
     merged = store.groupBy("d", "pos").agg(F.sum("n").alias("n"))
     vals = spark.createDataFrame([(str(v),) for v in values], ["value"])
     probes = vals.select(

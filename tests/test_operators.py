@@ -5510,8 +5510,26 @@ class TestCountMinSketch:
             docs, store, snapshot="s1", col="v", skip_existing=True)
         # mismatched hash params are refused at probe time
         write_snapshot_cms(docs, store, snapshot="s2", col="v", width=8192)
-        with _pytest.raises(ValueError, match="hash parameters"):
+        with _pytest.raises(ValueError, match="hash"):
             cms_estimate(spark, store, ["x"]).collect()
+
+    def test_mixed_column_stores_refuse_to_merge(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from resilispark.operators.sketches import (
+            cms_estimate,
+            write_snapshot_cms,
+        )
+
+        docs = spark.createDataFrame([("x", "en")], "v string, lang string")
+        store = str(tmp_path / "cms")
+        write_snapshot_cms(docs, store, snapshot="s1", col="v")
+        write_snapshot_cms(docs, store, snapshot="s2", col="lang")
+        with _pytest.raises(ValueError, match="mixes sketched columns"):
+            cms_estimate(spark, store, ["x"]).collect()
+        # restricting to one snapshot makes the store coherent again
+        got = cms_estimate(spark, store, ["x"], snapshot="s1").collect()
+        assert got[0].est_n == 1
 
     def test_plan_is_jvm_only(self, spark):
         from resilispark.operators.sketches import count_min_sketch
