@@ -144,10 +144,26 @@ def robots_verdict(rules: Iterable[tuple[bool, str]], path: str) -> bool:
 
 def url_path(col) -> F.Column:
     """Path+query of a URL column (the REP match target): everything
-    from the first ``/`` after the authority; '/' when absent."""
+    from the first ``/`` after the authority; '/' when absent.
+    Scheme-less URLs (``example.com/private``) drop their host-like
+    prefix too — collapsing them to '/' would make host Disallow rules
+    silently never match and keep opted-out pages."""
     c = F.col(col) if isinstance(col, str) else col
     rest = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
-    return F.when(rest.startswith("/"), rest).otherwise(F.lit("/"))
+    rest = F.when(rest.startswith("/"), rest).otherwise(
+        F.regexp_replace(rest, r"^[^/]*", "")
+    )
+    return F.when(rest == "", F.lit("/")).otherwise(rest)
+
+
+def _robots_host(c: F.Column) -> F.Column:
+    """Host for REP matching: like ``url_host`` but with a scheme-less
+    fallback — a corpus row whose URL reads ``example.com/private``
+    still carries that host's opt-out."""
+    fixed = F.when(c.contains("://"), c).otherwise(
+        F.concat(F.lit("http://"), c)
+    )
+    return url_host(fixed)
 
 
 def robots_rules(
@@ -232,16 +248,22 @@ def robots_filter(
     *,
     url_col: str = "url",
     keep_unlisted: bool = True,
-    broadcast: bool = True,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Drop corpus rows whose URL the host's robots rules disallow.
 
-    ``rules`` is the :func:`robots_rules` output — per-host, so it is
-    small next to the corpus and broadcasts (set ``broadcast=False``
-    for a pathological host count); the verdict runs map-side in Arrow
-    batches.  Hosts with no rule row are kept when ``keep_unlisted``
-    (absence of robots.txt is not an opt-out), dropped otherwise;
-    NULL/unparseable URLs are always kept (nothing to match against).
+    ``rules`` is the :func:`robots_rules` output — per-host.  By
+    default (``broadcast=None``) NO join hint is planted: AQE sees the
+    rule table's real size at runtime and broadcasts it when it fits,
+    which is the scale-safe choice — a Common-Crawl-sized corpus has
+    tens of millions of robots-serving hosts, and a forced broadcast
+    of that table would OOM the driver and every executor.  Pass
+    ``broadcast=True`` only when the host count is known-small and you
+    want to pin the strategy (e.g. AQE disabled); the verdict always
+    runs map-side in Arrow batches either way.  Hosts with no rule row
+    are kept when ``keep_unlisted`` (absence of robots.txt is not an
+    opt-out), dropped otherwise; NULL/unparseable URLs are always kept
+    (nothing to match against).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -261,7 +283,7 @@ def robots_filter(
             )
         return pd.Series(out)
 
-    joined = docs.withColumn("_host", url_host(F.col(url_col))).join(
+    joined = docs.withColumn("_host", _robots_host(F.col(url_col))).join(
         r.withColumnRenamed("host", "_host").withColumnRenamed(
             "rules", "_rules"
         ),

@@ -4386,20 +4386,95 @@ Disallow: /
         )
         assert kept_strict == [0, 3]
 
-    def test_filter_join_broadcasts(self, spark):
-        from resilispark.operators.robots import robots_filter, robots_rules
+    def _tiny_inputs(self, spark):
+        from resilispark.operators.robots import robots_rules
 
         captures = spark.createDataFrame(
             [("http://a.example/robots.txt", b"User-agent: *\nDisallow: /x\n")],
             "target_uri string, payload binary",
         )
         docs = spark.createDataFrame(
-            [(0, "http://a.example/ok")], "doc_id long, url string"
+            [(0, "http://a.example/ok"), (1, "http://a.example/x/no")],
+            "doc_id long, url string",
         )
-        plan = robots_filter(
-            docs, robots_rules(captures, order_col=None)
-        )._jdf.queryExecution().executedPlan().toString()
+        return docs, robots_rules(captures, order_col=None)
+
+    def test_filter_broadcasts_small_rule_table(self, spark):
+        # default plants NO hint; AQE sees the tiny rule table's real
+        # size at runtime and converts the join to broadcast itself
+        from resilispark.operators.robots import robots_filter
+
+        docs, rules = self._tiny_inputs(spark)
+        out = robots_filter(docs, rules)
+        assert sorted(r.doc_id for r in out.collect()) == [0]
+        plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+    def test_filter_no_forced_broadcast_at_scale(self, spark):
+        # simulate a 100M-host rule table (too big to broadcast) by
+        # disabling both broadcast thresholds: the default must ACCEPT
+        # a non-broadcast join — a forced hint here would OOM the
+        # driver on a real crawl's rule table
+        from resilispark.operators.robots import robots_filter
+
+        docs, rules = self._tiny_inputs(spark)
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in ("spark.sql.autoBroadcastJoinThreshold",
+                      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
+        try:
+            for k in saved:
+                spark.conf.set(k, "-1")
+            out = robots_filter(docs, rules)
+            assert sorted(r.doc_id for r in out.collect()) == [0]
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan
+
+            # broadcast=True still pins the hint for known-small tables
+            pinned = robots_filter(docs, rules, broadcast=True)
+            assert sorted(r.doc_id for r in pinned.collect()) == [0]
+            pplan = pinned._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in pplan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    def test_filter_schemeless_urls_match_host_rules(self, spark):
+        # 'example.com/private' carries the host's opt-out even with no
+        # scheme: both the host extraction and the path fall back
+        from resilispark.operators.robots import robots_filter, robots_rules
+
+        captures = spark.createDataFrame(
+            [("http://a.example/robots.txt",
+              b"User-agent: *\nDisallow: /private/\n")],
+            "target_uri string, payload binary",
+        )
+        rules = robots_rules(captures, order_col=None)
+        docs = spark.createDataFrame(
+            [
+                (0, "a.example/public/page"),
+                (1, "a.example/private/secret"),
+                (2, "a.example"),          # bare host: path '/' allowed
+            ],
+            "doc_id long, url string",
+        )
+        kept = sorted(r.doc_id for r in robots_filter(docs, rules).collect())
+        assert kept == [0, 2]
+
+    def test_url_path_schemeless(self, spark):
+        from resilispark.operators.robots import url_path
+
+        df = spark.createDataFrame(
+            [("http://h.example/a/b?q=1",), ("h.example/a/b",),
+             ("h.example",), ("/rel/path",), ("http://h.example",)],
+            "u string",
+        )
+        got = [r.p for r in df.select(url_path("u").alias("p")).collect()]
+        assert got == ["/a/b?q=1", "/a/b", "/", "/rel/path", "/"]
 
 
 class TestMetaRobotsOptouts:
