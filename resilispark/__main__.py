@@ -708,13 +708,32 @@ def cmd_curate(args) -> int:
         )
         print(f"wrote {args.export_jsonl} (jsonl.gz)")
     if getattr(args, "export_webdataset", None):
-        from resilispark.operators.webdataset import write_webdataset
+        from resilispark.operators.webdataset import (
+            parquet_num_rows,
+            write_webdataset,
+        )
 
+        wds_docs = _read_output()
+        wds_key = "doc_id"
+        if "epoch" in wds_docs.columns:
+            # epoch-upsampled mixtures ship the same doc_id once per
+            # epoch; WebDataset member names must be unique, so the
+            # key carries the epoch (the packing path derives its id
+            # the same way)
+            wds_docs = wds_docs.withColumn(
+                "_wds_doc_key",
+                F.concat_ws("-epoch", F.col("doc_id").cast("string"),
+                            F.col("epoch").cast("string")),
+            )
+            wds_key = "_wds_doc_key"
         man = write_webdataset(
-            _read_output(),
+            wds_docs,
             args.export_webdataset,
-            key_col="doc_id",
+            key_col=wds_key,
             docs_per_shard=args.wds_docs_per_shard,
+            # footer-only count of the corpus just written: sizes the
+            # shards without a second full pass over the data
+            n_docs_hint=parquet_num_rows(args.output),
             overwrite=True,
         )
         print(f"wrote {args.export_webdataset} "
@@ -1117,6 +1136,13 @@ def cmd_sketch_report(args) -> int:
     """Corpus-wide distinct counts + cross-snapshot overlap from a
     `curate --cardinality-sketch` store — unions the stored KB-sized
     sketch rows; never touches the corpora themselves."""
+    if getattr(args, "values", None) is not None:
+        candidates = [v for v in args.values.split(",") if v]
+        if not candidates:
+            # usage error — catch before any Spark work spins up
+            print("error: --values got no candidate values "
+                  f"({args.values!r})", file=sys.stderr)
+            return 2
     spark = _spark(args.cpus)
     if getattr(args, "values", None):
         from pyspark.sql import functions as F
@@ -1124,8 +1150,7 @@ def cmd_sketch_report(args) -> int:
         from resilispark.operators.sketches import cms_estimate
 
         rows = (
-            cms_estimate(spark, args.store,
-                         [v for v in args.values.split(",") if v])
+            cms_estimate(spark, args.store, candidates)
             .orderBy(F.desc("est_n"), "value")
             .collect()
         )

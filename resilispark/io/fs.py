@@ -109,6 +109,23 @@ class FileSystem:
             f"{type(self).__name__} does not support deletes"
         )
 
+    def copy(self, src: str, dest: str) -> None:
+        """Store-internal copy (the staged-publish hook: write under a
+        staging key, copy to the final name after the job succeeds).
+        Generic fallback streams through a local temp file; backends
+        with a server-side copy override it."""
+        import shutil
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp()
+        os.close(fd)
+        try:
+            with self.open(src) as f, open(tmp, "wb") as out:
+                shutil.copyfileobj(f, out)
+            self.put_file(tmp, dest)
+        finally:
+            os.unlink(tmp)
+
 
 class LocalFS(FileSystem):
     scheme = "file"
@@ -154,6 +171,13 @@ class LocalFS(FileSystem):
 
     def delete(self, path: str) -> None:
         os.remove(self._strip(path))
+
+    def copy(self, src: str, dest: str) -> None:
+        import shutil
+
+        d = self._strip(dest)
+        os.makedirs(os.path.dirname(d) or ".", exist_ok=True)
+        shutil.copyfile(self._strip(src), d)
 
 
 class MemoryFS(FileSystem):
@@ -243,6 +267,13 @@ class MemoryFS(FileSystem):
 
     def delete(self, path: str) -> None:
         os.remove(self._loc(path))
+
+    def copy(self, src: str, dest: str) -> None:
+        import shutil
+
+        loc = self._loc(dest)
+        os.makedirs(os.path.dirname(loc), exist_ok=True)
+        shutil.copyfile(self._loc(src), loc)
 
     def clear(self) -> None:
         import shutil
@@ -498,6 +529,12 @@ class S3FS(FileSystem):
     def delete(self, path: str) -> None:
         bucket, key = self._bk(path)
         self._cli().delete_object(Bucket=bucket, Key=key)
+
+    def copy(self, src: str, dest: str) -> None:
+        sb, sk = self._bk(src)
+        db, dk = self._bk(dest)
+        # server-side CopyObject: no bytes through this process
+        self._cli().copy({"Bucket": sb, "Key": sk}, db, dk)
 
 
 _LOCAL = LocalFS()

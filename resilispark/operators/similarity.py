@@ -444,7 +444,11 @@ def kmeans_fit(
 
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    vecs = df.select(F.col(vec_col).alias("v"))
+    # NULL/ragged embeddings crash np.asarray with an opaque executor
+    # error — filter them JVM-side before the Arrow boundary, like
+    # semantic_contamination does (arbitrary parquet reaches this path
+    # via the `sample` CLI)
+    df = df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
     if id_col is not None:
         order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
     else:
@@ -452,8 +456,19 @@ def kmeans_fit(
     seed_rows = df.orderBy(*order).select(F.col(vec_col).alias("v")).limit(k).collect()
     if not seed_rows:
         raise ValueError("kmeans_fit: empty input")
+    dims = {len(r.v) for r in seed_rows}
+    if len(dims) != 1:
+        raise ValueError(
+            f"kmeans_fit: mixed embedding dimensions {sorted(dims)} "
+            f"in {vec_col!r} — the corpus is not one vector space"
+        )
     cent = np.asarray([r.v for r in seed_rows], dtype=np.float64)
     kk, d = cent.shape
+    # a stray off-dimension row past the seeds would still crash the
+    # partials matmul; pin the training set to the seeds' dimension
+    vecs = df.where(F.size(F.col(vec_col)) == d).select(
+        F.col(vec_col).alias("v")
+    )
     schema = "cell int, n bigint, vsum array<double>, d2sum double"
 
     sizes = np.zeros(kk, dtype=np.int64)
@@ -527,18 +542,29 @@ def kmeans_assign(
     out_col: str = "kmeans_cell",
 ) -> DataFrame:
     """Nearest-centroid cell id per row (Arrow-batched, float64 to
-    match :func:`kmeans_fit`'s training arithmetic; no shuffle)."""
+    match :func:`kmeans_fit`'s training arithmetic; no shuffle).
+    NULL or off-dimension embeddings get a NULL cell instead of
+    crashing the executor — the row survives, unassignable."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     cent = np.asarray(centroids, dtype=np.float64)
     c2 = (cent * cent).sum(1)
+    d = cent.shape[1]
 
     @pandas_udf("int")
     def assign(vs: pd.Series) -> pd.Series:
-        x = np.asarray(list(vs), dtype=np.float64)
-        d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ cent.T) + c2[None, :]
-        return pd.Series(d2.argmin(1).astype("int32"))
+        vals = list(vs)
+        ok = [i for i, v in enumerate(vals)
+              if v is not None and len(v) == d]
+        out = np.full(len(vals), None, dtype=object)
+        if ok:
+            x = np.asarray([vals[i] for i in ok], dtype=np.float64)
+            d2 = (x * x).sum(1)[:, None] - 2.0 * (x @ cent.T) + c2[None, :]
+            cells = d2.argmin(1).astype("int32")
+            for j, i in enumerate(ok):
+                out[i] = int(cells[j])
+        return pd.Series(out)
 
     return df.withColumn(out_col, assign(F.col(vec_col)))
 

@@ -405,6 +405,12 @@ def cms_estimate(
     still read small-positive.  Candidates are a driver-side list
     (bounded, broadcast) — count-min cannot enumerate its contents.
     """
+    values = [str(v) for v in values]
+    if not values:
+        raise ValueError(
+            "cms_estimate: no candidate values given — count-min "
+            "cannot enumerate its contents, pass the values to probe"
+        )
     store = spark.read.parquet(path)
     if snapshot is not None:
         store = store.where(F.col("snapshot") == snapshot)
@@ -420,7 +426,7 @@ def cms_estimate(
         )
     _, depth, width, seed = params[0]
     merged = store.groupBy("d", "pos").agg(F.sum("n").alias("n"))
-    vals = spark.createDataFrame([(str(v),) for v in values], ["value"])
+    vals = spark.createDataFrame([(v,) for v in values], "value string")
     probes = vals.select(
         "value",
         F.explode(F.array(*[

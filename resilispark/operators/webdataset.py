@@ -42,7 +42,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["write_webdataset", "read_webdataset"]
+__all__ = ["write_webdataset", "read_webdataset", "parquet_num_rows"]
+
+
+def parquet_num_rows(path: str) -> int:
+    """Exact row count of a parquet directory from file FOOTERS only —
+    no Spark job, no data pages.  The cheap ``n_docs_hint`` source for
+    :func:`write_webdataset` when exporting an already-written corpus."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(path, format="parquet").count_rows()
 
 _SUMMARY_SCHEMA = T.StructType([
     T.StructField("shard", T.LongType()),
@@ -90,6 +99,7 @@ def write_webdataset(
     components: dict[str, str] | None = None,
     docs_per_shard: int = 10_000,
     n_shards: int | None = None,
+    n_docs_hint: int | None = None,
     shard_prefix: str = "shard",
     overwrite: bool = False,
     index: bool = True,
@@ -102,18 +112,26 @@ def write_webdataset(
     is the stringified ``key_col`` value.  Shards are named
     ``<shard_prefix>-NNNNNN.tar``.
 
-    If ``n_shards`` is not given it is derived from ONE count scan as
-    ``ceil(count / docs_per_shard)`` — pass it explicitly to skip the
-    scan when the corpus size is already known (e.g. from a manifest).
+    If ``n_shards`` is not given it is derived as
+    ``ceil(n_docs / docs_per_shard)`` from ``n_docs_hint`` when the
+    caller already knows the corpus size (parquet footers, a manifest,
+    a funnel metric — the hint only sizes shards, an off-by-some value
+    just shifts docs/shard), else from ONE ``count()`` scan.  That
+    count is footer-cheap over a parquet read-back but a FULL scan
+    over e.g. a WARC-backed plan — pass ``n_shards`` or
+    ``n_docs_hint`` there.
 
     Returns the index dict (also written to ``<path>/_SHARDS.json``
     unless ``index=False``): per-shard sample and byte counts plus
     totals.  Refuses a ``path`` that already contains shards unless
     ``overwrite=True`` — the persistent-store safety contract.  An
-    overwrite keeps the old shards and index in place until the NEW
-    write job has finished (same-named shards are replaced atomically
-    file-by-file; leftovers and the stale index are removed only after
-    success), so a mid-job failure never destroys the previous corpus.
+    overwrite is two-phase: the job writes every shard under
+    ``<path>/.staging/`` (a dot-name, invisible to Spark readers and
+    the shard globs) and only after the WHOLE job succeeds are the new
+    shards published over the old ones, leftovers removed, and the
+    index rewritten — a mid-job failure leaves the previous corpus and
+    its index fully intact, plus a staging directory the next run
+    clears.
 
     ``key_col`` values must be unique: two rows sharing a key would
     collide on member names and silently overwrite each other at read
@@ -154,9 +172,19 @@ def write_webdataset(
         )
     if not remote:
         os.makedirs(local_root, exist_ok=True)
+    # clear staging leftovers from a previous failed run
+    if remote:
+        for stale in fs.glob(f"{dest}/.staging/{shard_prefix}-*.tar"):
+            fs.delete(stale)
+    else:
+        import shutil
+
+        shutil.rmtree(os.path.join(local_root, ".staging"),
+                      ignore_errors=True)
+        os.makedirs(os.path.join(local_root, ".staging"), exist_ok=True)
 
     if n_shards is None:
-        n = docs.count()
+        n = n_docs_hint if n_docs_hint is not None else docs.count()
         n_shards = max(1, math.ceil(n / docs_per_shard))
 
     comp_items = sorted(components.items())
@@ -205,13 +233,17 @@ def write_webdataset(
             n_bytes = os.path.getsize(cur["tmp"])
             name = f"{prefix}-{cur['shard']:06d}.tar"
             final = f"{dest_b}/{name}"
+            # land in staging; the driver publishes over the old shards
+            # only after the WHOLE job succeeds.  A speculative attempt
+            # can only re-write identical bytes (shards are
+            # deterministic), so the overwrite races are benign.
             if remote_b:
-                _get_fs(final).put_file(cur["tmp"], final)
+                _get_fs(final).put_file(
+                    cur["tmp"], f"{dest_b}/.staging/{name}")
                 os.unlink(cur["tmp"])
             else:
-                # atomic publish: a concurrent speculative attempt can
-                # only replace the file with identical bytes
-                os.replace(cur["tmp"], os.path.join(root_b, name))
+                os.replace(
+                    cur["tmp"], os.path.join(root_b, ".staging", name))
             out.append({"shard": cur["shard"], "path": final,
                         "n_samples": cur["n"], "n_bytes": n_bytes,
                         "sha256": h.hexdigest()})
@@ -268,11 +300,27 @@ def write_webdataset(
          staged.mapInPandas(write_partition, _SUMMARY_SCHEMA).collect()),
         key=lambda r: r["shard"],
     )
-    # the write job succeeded: NOW remove old shards the new layout
-    # didn't overwrite (e.g. the previous run had more shards)
-    new_names = {f"{shard_prefix}-{s['shard']:06d}.tar" for s in summaries}
+    # the write job succeeded: publish staging over the old layout,
+    # then remove old shards the new layout didn't replace (e.g. the
+    # previous run had more shards)
+    new_names = [f"{shard_prefix}-{s['shard']:06d}.tar" for s in summaries]
+    if remote:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def publish(name: str) -> None:
+            fs.copy(f"{dest}/.staging/{name}", f"{dest}/{name}")
+            fs.delete(f"{dest}/.staging/{name}")
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            list(pool.map(publish, new_names))
+    else:
+        for name in new_names:
+            os.replace(os.path.join(local_root, ".staging", name),
+                       os.path.join(local_root, name))
+        os.rmdir(os.path.join(local_root, ".staging"))
+    name_set = set(new_names)
     for old in existing:
-        if os.path.basename(old) not in new_names:
+        if os.path.basename(old) not in name_set:
             (fs.delete(old) if remote else os.unlink(old))
     man = {
         "format": "webdataset",

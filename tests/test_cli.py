@@ -718,6 +718,43 @@ def test_cli_curate_epochs_then_pack(tmp_path, spark):
     assert packed.groupBy().sum("n_tokens").collect()[0][0] == n_tokens
 
 
+def test_cli_curate_epochs_then_export_webdataset(tmp_path, spark):
+    """Epoch-upsampled mixtures ship duplicate doc_ids; the WebDataset
+    export derives epoch-unique member keys instead of dying mid-job
+    on the writer's duplicate-key check."""
+    import json
+
+    from resilispark.__main__ import main
+    from resilispark.operators.webdataset import read_webdataset
+
+    rows = [(i, " ".join(["w"] * 10), "en", "small") for i in range(5)] + [
+        (100 + i, " ".join(["w"] * 10), "en", "big") for i in range(50)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "corpus")
+    wds = str(tmp_path / "corpus-wds")
+    rc = main(
+        ["--cpus", "4", "curate", src, "-o", out,
+         "--no-quality", "--keep-pii",
+         "--mixture", "small=0.5,big=0.5", "--total-tokens", "250",
+         "--mixture-epochs", "4",
+         "--export-webdataset", wds, "--wds-docs-per-shard", "20"]
+    )
+    assert rc == 0
+    shipped = spark.read.parquet(out)
+    n_shipped = shipped.count()
+    # epochs really did upsample (same doc_id shipped several times)
+    assert n_shipped > shipped.select("doc_id").distinct().count()
+    man = json.loads((tmp_path / "corpus-wds" / "_SHARDS.json").read_text())
+    assert man["total"]["n_samples"] == n_shipped
+    back = read_webdataset(spark, wds)
+    assert back.count() == n_shipped
+    assert back.select("key").distinct().count() == n_shipped
+
+
 def test_cli_curate_val_split(tmp_path, spark):
     from resilispark.__main__ import main
 
@@ -1566,3 +1603,8 @@ def test_cli_sketch_report_cms_values(tmp_path, spark, capsys):
     out = capsys.readouterr().out.splitlines()
     assert out[:3] == ["value=a.com est_n=5", "value=b.com est_n=2",
                        "value=zzz est_n=0"]
+    # usage error, not an opaque schema-inference crash (and caught
+    # before any Spark work)
+    rc = main(["--cpus", "4", "sketch-report", store, "--values", ","])
+    assert rc == 2
+    assert "no candidate values" in capsys.readouterr().err

@@ -4272,6 +4272,50 @@ class TestDistributedKmeans:
         # identical modulo float summation order across shuffled partials
         assert np.allclose(a, b, rtol=1e-12, atol=1e-14)
 
+    def test_null_and_ragged_embeddings_survive(self, spark):
+        """Arbitrary parquet reaches this path via the `sample` CLI:
+        NULL/empty/off-dimension vectors must be filtered JVM-side,
+        not crash the executor's numpy matmul."""
+        import numpy as np
+
+        from resilispark.operators.similarity import kmeans_assign, kmeans_fit
+
+        df = self._blobs(spark)
+        dirty = df.unionByName(
+            spark.createDataFrame(
+                [(9001, None), (9002, []), (9003, [1.0, 2.0])],
+                "vec_id long, embedding array<double>",
+            )
+        )
+        cent, sizes, _ = kmeans_fit(
+            dirty, vec_col="embedding", k=self.K, iters=2, id_col="vec_id"
+        )
+        clean_cent, clean_sizes, _ = kmeans_fit(
+            df, vec_col="embedding", k=self.K, iters=2, id_col="vec_id"
+        )
+        assert (sizes == clean_sizes).all()
+        assert np.allclose(cent, clean_cent, rtol=1e-12, atol=1e-14)
+        # assign: dirty rows get a NULL cell instead of dying
+        got = {
+            r.vec_id: r.kmeans_cell
+            for r in kmeans_assign(dirty, cent, vec_col="embedding")
+            .where(F.col("vec_id") >= 9000).collect()
+        }
+        assert got == {9001: None, 9002: None, 9003: None}
+
+    def test_mixed_dimension_corpus_refused(self, spark):
+        import pytest as _pytest
+
+        from resilispark.operators.similarity import kmeans_fit
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [3.0]), (2, [5.0, 6.0]), (3, [0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        with _pytest.raises(ValueError, match="mixed embedding dim"):
+            kmeans_fit(df, vec_col="embedding", k=4, iters=1,
+                       id_col="vec_id")
+
 
 class TestRobotsFilter:
     """RFC 9309 robots-exclusion kernel + the crawl-scale filter."""
@@ -5406,6 +5450,60 @@ class TestWebdataset:
         write_webdataset(docs, dest, n_shards=1, overwrite=True)
         tars = fs.glob(f"{dest}/shard-*.tar")
         assert [t.rsplit("/", 1)[1] for t in tars] == ["shard-000000.tar"]
+        # nothing lingers in staging after a successful publish
+        assert fs.glob(f"{dest}/.staging/*") == []
+
+    def test_failed_overwrite_preserves_previous_corpus(
+            self, spark, tmp_path):
+        """Two-phase publish: a job that dies mid-write (duplicate key
+        in a late shard) must leave the previous shards AND index
+        byte-identical, and a later overwrite must still succeed."""
+        import hashlib
+        import json
+
+        import pytest as _pytest
+
+        from resilispark.operators.webdataset import write_webdataset
+
+        docs = self._docs(spark)
+        out = str(tmp_path / "wds")
+        write_webdataset(docs, out, docs_per_shard=10)
+
+        def snapshot():
+            return {
+                p.name: hashlib.sha256(p.read_bytes()).hexdigest()
+                for p in (tmp_path / "wds").iterdir() if p.is_file()
+            }
+
+        before = snapshot()
+        dup = docs.union(docs.limit(3))  # duplicate keys -> job fails
+        with _pytest.raises(Exception, match="duplicate key"):
+            write_webdataset(dup, out, docs_per_shard=10, overwrite=True)
+        assert snapshot() == before
+        man = json.loads((tmp_path / "wds" / "_SHARDS.json").read_text())
+        assert man["total"]["n_samples"] == 40
+        # the failed run's staging leftovers don't poison the next one
+        write_webdataset(docs, out, docs_per_shard=20, overwrite=True)
+        assert sorted(
+            p.name for p in (tmp_path / "wds").glob("*.tar")
+        ) == ["shard-000000.tar", "shard-000001.tar"]
+        assert not (tmp_path / "wds" / ".staging").exists()
+
+    def test_n_docs_hint_sizes_shards_without_count(self, spark, tmp_path):
+        from resilispark.operators.webdataset import (
+            parquet_num_rows,
+            write_webdataset,
+        )
+
+        src = str(tmp_path / "docs.parquet")
+        self._docs(spark).write.parquet(src)
+        # footer-only count, no Spark job
+        assert parquet_num_rows(src) == 40
+        man = write_webdataset(
+            spark.read.parquet(src), str(tmp_path / "wds"),
+            docs_per_shard=10, n_docs_hint=parquet_num_rows(src))
+        assert man["n_shards"] == 4
+        assert man["total"]["n_samples"] == 40
 
 
 class TestClusterBalancedSample:
@@ -5517,6 +5615,20 @@ class TestCountMinSketch:
         assert got["host0.example"] == 10
         assert got["host1.example"] == 10
         assert got["never.seen"] == 0
+
+    def test_empty_candidate_list_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from resilispark.operators.sketches import (
+            cms_estimate,
+            write_snapshot_cms,
+        )
+
+        docs = spark.createDataFrame([("a.com",)], ["host"])
+        store = str(tmp_path / "cms")
+        write_snapshot_cms(docs, store, snapshot="c1", col="host")
+        with _pytest.raises(ValueError, match="no candidate values"):
+            cms_estimate(spark, store, [])
 
     def test_snapshots_merge_by_summing(self, spark, tmp_path):
         from resilispark.operators.sketches import (
