@@ -88,6 +88,12 @@ def cmd_index(args) -> int:
     from resilispark.operators.warctools import cdxj_index
 
     spark = _spark(args.cpus)
+    if getattr(args, "sidecars", False):
+        from resilispark.operators.warctools import write_cdxj_sidecars
+
+        sides = write_cdxj_sidecars(spark, args.file)
+        print(f"wrote {len(sides)} sidecar(s)")
+        return 0
     fields = tuple(args.fields.split(",")) if args.fields else (
         "offset", "length", "filename", "http:status",
     )
@@ -1505,6 +1511,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--preserve-multi-header", action="store_true",
                    help="repeated HTTP headers as a JSON list")
+    p.add_argument("--sidecars", action="store_true",
+                   help="write a <file>.cdxj split-planning sidecar "
+                        "next to every matched WARC (one task per "
+                        "file; ignores -f/-o)")
     p.set_defaults(fn=cmd_index)
 
     p = sub.add_parser("extract", help="extract one record by byte offset")

@@ -152,21 +152,87 @@ def cdxj_index(
     )
 
 
-def write_cdxj_sidecar(spark: SparkSession, warc_path: str) -> str:
-    """Write ``<warc_path>.cdxj`` next to a member-per-record .warc.gz
-    so the warc data source can split it at member boundaries
-    (SURVEY §4 CDXJ-assisted split planning; the scan's partitions()
-    reads the sidecar's ``offset`` fields). One driver-side pass over
-    the index DataFrame — the sidecar is tiny (one line per record).
+def write_cdxj_sidecars(spark: SparkSession, src: str) -> list[str]:
+    """Write a ``<file>.cdxj`` sidecar next to EVERY WARC file in
+    ``src`` (a path, glob, directory, or comma-list) so the warc data
+    source can split them at member boundaries (SURVEY §4
+    CDXJ-assisted split planning; the scan's partitions() reads the
+    sidecars' ``offset`` fields).
+
+    Distributed: the index scan fans out as usual, each file's lines
+    group to ONE task that writes its own sidecar through
+    ``io/fs.py:put_file`` (local or remote), and the driver collects
+    one summary row per FILE — never per record, so generating
+    sidecars for a million-file corpus is one Spark job, not a
+    sequential driver loop.  A file's index lines must fit in one
+    task's memory: ~200 B/record, i.e. tens of MB for even the
+    largest Common-Crawl segment files.  Returns the sidecar paths.
     """
+    import posixpath
+
+    import pandas as pd
+
+    from resilispark.io.fs import expand_source, split_scheme
+
     _prep(spark)
-    rows = (
-        cdxj_index(spark, warc_path, fields=("offset", "length", "filename"))
-        .orderBy(F.get_json_object("record", "$.offset").cast("bigint"))
+    # the index's filename field is the BASENAME (CDXJ portability);
+    # one driver-side listing maps it back to each file's real path so
+    # tasks know where to put the sidecar
+    paths = expand_source(src)
+    by_base: dict[str, str] = {}
+    for p in paths:
+        base = posixpath.basename(split_scheme(p)[1])
+        if base in by_base:
+            raise ValueError(
+                f"duplicate basename {base!r} in {src!r} "
+                f"({by_base[base]!r} vs {p!r}): the CDXJ filename "
+                "field cannot distinguish them — index per directory"
+            )
+        by_base[base] = p
+
+    idx = cdxj_index(spark, src, fields=("offset", "length", "filename"))
+    lines = idx.select(
+        F.get_json_object("record", "$.filename").alias("filename"),
+        F.get_json_object("record", "$.offset").cast("bigint").alias("_off"),
+        F.concat_ws(" ", "surt_key", "ts", "record").alias("line"),
+    )
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os
+        import tempfile
+
+        from resilispark.io.fs import get_fs
+
+        pdf = pdf.sort_values("_off")
+        side = by_base[pdf["filename"].iloc[0]] + ".cdxj"
+        fd, tmp = tempfile.mkstemp(suffix=".cdxj")
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                for line in pdf["line"]:
+                    f.write(line + "\n")
+            get_fs(side).put_file(tmp, side)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        return pd.DataFrame(
+            {"sidecar": [side], "n_records": [len(pdf)]})
+
+    out = (
+        lines.groupBy("filename")
+        .applyInPandas(write_group, "sidecar string, n_records bigint")
         .collect()
     )
-    side = warc_path + ".cdxj"
-    with open(side, "w", encoding="utf-8") as f:
-        for r in rows:
-            f.write(f"{r.surt_key} {r.ts} {r.record}\n")
-    return side
+    return sorted(r.sidecar for r in out)
+
+
+def write_cdxj_sidecar(spark: SparkSession, warc_path: str) -> str:
+    """Single-file convenience wrapper over
+    :func:`write_cdxj_sidecars` (the gz-split planner's entry point).
+    """
+    sides = write_cdxj_sidecars(spark, warc_path)
+    if len(sides) != 1:
+        raise ValueError(
+            f"{warc_path!r} expanded to {len(sides)} files; use "
+            "write_cdxj_sidecars for multi-file sources"
+        )
+    return sides[0]

@@ -129,6 +129,23 @@ def test_index_output_distributed(capsys, tmp_path, golden_gz, spark):
     assert sorted(lines) == sorted(out.strip().splitlines())
 
 
+def test_index_sidecars(capsys, tmp_path, golden_gz, spark):
+    """index --sidecars writes one split-planning sidecar per matched
+    file, each from its own executor task."""
+    import os
+    import shutil
+
+    for i in range(2):
+        shutil.copy(golden_gz, str(tmp_path / f"f{i}.warc.gz"))
+    rc, out = _run(
+        capsys, ["index", str(tmp_path) + "/*.warc.gz", "--sidecars"])
+    assert rc == 0 and "2 sidecar(s)" in out
+    for i in range(2):
+        side = tmp_path / f"f{i}.warc.gz.cdxj"
+        assert os.path.exists(side)
+        assert len(side.read_text().splitlines()) == 50
+
+
 def test_html_benchmark(capsys, tmp_path, spark):
     from resilispark.io.fixtures import build_golden_records
     from resilispark.io.warc import write_warc

@@ -117,6 +117,53 @@ def test_cdxj_gz_split_invariance(spark, fixture_dir, tmp_path):
     assert a == b and len(a) == 50
 
 
+def test_cdxj_sidecars_multi_file_distributed(spark, fixture_dir, tmp_path):
+    """write_cdxj_sidecars indexes a whole directory in ONE job: each
+    file's sidecar is written by its own executor task (the driver
+    only collects one summary row per FILE — the applyInPandas writer
+    is the only materialization), and the sidecars drive split scans
+    identically to the single-file path."""
+    import shutil
+
+    from resilispark.operators.warctools import write_cdxj_sidecars
+
+    for i in range(3):
+        shutil.copy(f"{fixture_dir}/golden-50.warc.gz",
+                    str(tmp_path / f"part-{i}.warc.gz"))
+    sides = write_cdxj_sidecars(spark, str(tmp_path) + "/*.warc.gz")
+    assert sides == sorted(
+        str(tmp_path / f"part-{i}.warc.gz.cdxj") for i in range(3))
+    for s in sides:
+        lines = open(s, encoding="utf-8").read().splitlines()
+        assert len(lines) == 50
+        import json
+
+        offs = [json.loads(ln[ln.index("{"):])["offset"] for ln in lines]
+        assert offs == sorted(offs)
+    split = _load_path(spark, str(tmp_path) + "/*.warc.gz",
+                       split_bytes=2048)
+    assert split.rdd.getNumPartitions() > 3
+    assert split.count() == 150
+
+
+def test_cdxj_sidecars_duplicate_basename_refused(
+        spark, fixture_dir, tmp_path):
+    import shutil
+
+    import pytest
+
+    from resilispark.operators.warctools import write_cdxj_sidecars
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    for d in ("a", "b"):
+        shutil.copy(f"{fixture_dir}/golden-50.warc.gz",
+                    str(tmp_path / d / "same.warc.gz"))
+    with pytest.raises(ValueError, match="duplicate basename"):
+        write_cdxj_sidecars(
+            spark, f"{tmp_path}/a/same.warc.gz,{tmp_path}/b/same.warc.gz")
+
+
 def test_range_read_growth(spark, fixture_dir):
     """iter_warc_range must re-read exactly when a record crosses the
     buffered range (slack smaller than a record)."""
