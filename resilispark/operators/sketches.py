@@ -292,6 +292,26 @@ def histogram_store_drift(spark, path: str) -> DataFrame:
     )
 
 
+def _cms_pos(c: F.Column, d: int, width: int, seed: int,
+             hash_fn: str) -> F.Column:
+    """Cell position of one hash row.  ``md5`` keeps only 48 bits
+    (12 hex chars) so the integer is exact in any engine — an oracle
+    replays it as ``('0x' || substr(md5((seed+d) || ':' || v), 1, 12))
+    :: BIGINT % width``."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(c, F.lit(seed + d)), F.lit(width)).cast("int")
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat_ws(":", F.lit(seed + d), c), "UTF-8")),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("bigint")
+        return F.pmod(h, F.lit(width)).cast("int")
+    raise ValueError(f"unknown cms hash_fn {hash_fn!r}")
+
+
 def count_min_sketch(
     docs: DataFrame,
     col,
@@ -300,17 +320,23 @@ def count_min_sketch(
     width: int = 16384,
     seed: int = 41,
     weight_col: str | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Mergeable count-min frequency sketch of a column: ``(d, pos, n)``
     rows, at most ``depth * width`` of them.
 
-    Each value increments one cell per hash row (``pmod(xxhash64(value,
+    Each value increments one cell per hash row (``pmod(hash(value,
     seed+d), width)``); the estimate for a value is the MIN over rows of
     its cells — an upper bound that overshoots by at most ``e/width *
     total`` with probability ``1 - e^-depth`` (Cormode & Muthukrishnan
     2005).  Cells are value-independent, so sketches MERGE across
     snapshots by summing ``n`` per ``(d, pos)`` — the frequency sibling
     of the HLL and histogram stores.
+
+    ``hash_fn``: ``xxhash64`` (default, the fast JVM path) or ``md5``
+    (48 md5 bits via the string form ``seed+d || ':' || value`` —
+    slower, but reproducible in any engine with md5, which is what the
+    cross-engine correctness oracle replays).
 
     Scale shape: the explode emits ``depth`` tiny structs per row but
     the groupBy partial-aggregates map-side, so the shuffle carries at
@@ -327,8 +353,7 @@ def count_min_sketch(
     cells = F.array(*[
         F.struct(
             F.lit(d).alias("d"),
-            F.pmod(F.xxhash64(c, F.lit(seed + d)), F.lit(width))
-            .cast("int").alias("pos"),
+            _cms_pos(c, d, width, seed, hash_fn).alias("pos"),
         )
         for d in range(depth)
     ])
@@ -350,19 +375,21 @@ def write_snapshot_cms(
     width: int = 16384,
     seed: int = 41,
     weight_col: str | None = None,
+    hash_fn: str = "xxhash64",
     skip_existing: bool = False,
 ) -> bool:
     """Append this snapshot's count-min rows to the store at ``path`` —
     the sketch-store safety contract: duplicate ``snapshot`` labels are
     refused (they would double-count that crawl in every merged
     estimate) or skipped with ``skip_existing=True``; the hash
-    parameters ride every (RLE-compressed) row and are validated at
-    probe time, so stores built with different depth/width/seed can
-    never silently merge.  Returns True iff rows were appended."""
+    parameters (including ``hash_fn``) ride every (RLE-compressed) row
+    and are validated at probe time, so stores built with different
+    depth/width/seed/hash can never silently merge.  Returns True iff
+    rows were appended."""
     spark = docs.sparkSession
     s = count_min_sketch(
         docs, col, depth=depth, width=width, seed=seed,
-        weight_col=weight_col,
+        weight_col=weight_col, hash_fn=hash_fn,
     ).select(
         F.lit(snapshot).alias("snapshot"),
         F.lit(str(col)).alias("column"),
@@ -370,6 +397,7 @@ def write_snapshot_cms(
         F.lit(depth).alias("depth"),
         F.lit(width).alias("width"),
         F.lit(seed).alias("seed"),
+        F.lit(hash_fn).alias("hash_fn"),
     )
     from pyspark.errors import AnalysisException
 
@@ -412,19 +440,23 @@ def cms_estimate(
             "cannot enumerate its contents, pass the values to probe"
         )
     store = spark.read.parquet(path)
+    if "hash_fn" not in store.columns:
+        # stores written before the hash_fn column existed are all
+        # xxhash64 (it was the only hash)
+        store = store.withColumn("hash_fn", F.lit("xxhash64"))
     if snapshot is not None:
         store = store.where(F.col("snapshot") == snapshot)
     params = store.select(
-        "column", "depth", "width", "seed").distinct().collect()
+        "column", "depth", "width", "seed", "hash_fn").distinct().collect()
     if len(params) != 1:
         # mixing sketched COLUMNS is as corrupting as mixing hash
         # params — host cells summed into lang cells inflate both
         raise ValueError(
             f"count-min store {path} mixes sketched columns or hash "
             f"parameters {[tuple(p) for p in params]}; cells only "
-            "merge when column/depth/width/seed all match"
+            "merge when column/depth/width/seed/hash_fn all match"
         )
-    _, depth, width, seed = params[0]
+    _, depth, width, seed, hash_fn = params[0]
     merged = store.groupBy("d", "pos").agg(F.sum("n").alias("n"))
     vals = spark.createDataFrame([(v,) for v in values], "value string")
     probes = vals.select(
@@ -432,15 +464,18 @@ def cms_estimate(
         F.explode(F.array(*[
             F.struct(
                 F.lit(d).alias("d"),
-                F.pmod(F.xxhash64(F.col("value"), F.lit(seed + d)),
-                       F.lit(width)).cast("int").alias("pos"),
+                _cms_pos(F.col("value"), d, width, seed, hash_fn)
+                .alias("pos"),
             )
             for d in range(depth)
         ])).alias("r"),
     ).select("value", "r.d", "r.pos")
     return (
-        F.broadcast(probes)
-        .join(merged, ["d", "pos"], "left")
+        # the LEFT side of a left join can't be the broadcast build
+        # side; the merged cell table is the bounded one anyway
+        # (≤ depth × width rows by construction)
+        probes
+        .join(F.broadcast(merged), ["d", "pos"], "left")
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
     )

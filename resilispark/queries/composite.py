@@ -117,6 +117,11 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
     "s07_cluster_sample": [
         ("vec_id", "n"), ("cell", "n"), ("score_key", "n"),
     ],
+    "t11_cms_estimate": [("value", "s"), ("est_n", "n")],
+    "t12_wds_roundtrip": [
+        ("doc_id", "n"), ("text_md5", "s"), ("n_chars", "n"), ("lang", "s"),
+    ],
+    "r01_robots_filter": [("doc_id", "n"), ("host", "s")],
 }
 
 # members may live in either query module; merged lookup keeps the
@@ -173,11 +178,17 @@ FAMILIES: dict[str, list[str]] = {
     # end to end in SQL)
     # (s07 joined in round 5: cluster-balanced diversity sampling —
     # water-filled quotas + per-cell ranked picks replayed in SQL)
+    # (t11/t12/r01 joined in round 6: count-min store probe with the
+    # cross-engine md5 hash, WebDataset tar round-trip vs the source
+    # table, and the RFC 9309 robots verdict kernel over synthesized
+    # per-host rule bodies — the round-5 pytest-only operators now
+    # carry DuckDB-replayed hash gates)
     "qc_curation_family": [
         "t02_token_count", "t04_fingerprint", "t07_pack_stats",
         "d10_duplicate_spans", "t08_emit_sequences", "d11_mask_spans",
         "t09_bpe_tokens", "d12_incremental_dedup", "d13_fuzzy_dedup",
         "s06_kmeans", "t10_dsir", "s07_cluster_sample",
+        "t11_cms_estimate", "t12_wds_roundtrip", "r01_robots_filter",
     ],
 }
 

@@ -2144,6 +2144,181 @@ ORDER BY r.vec_id
 """
 
 
+def t11_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency store (operators/sketches.py): the corpus
+    is split into two snapshots sketched separately (col=source,
+    depth=3, width=16 — 20 values in 16 cells, so collisions are
+    GUARANTEED and the min-over-rows estimate actually matters), then
+    every distinct source plus a never-seen value is probed against
+    the merged store.  hash_fn='md5' keeps the cell positions
+    reproducible in the DuckDB oracle (48 md5 bits, exact in BIGINT);
+    cells merge across snapshots by summation, so the oracle sketches
+    the whole corpus once and replays probe-min in SQL."""
+    import tempfile
+
+    from resilispark.operators.sketches import (
+        cms_estimate,
+        write_snapshot_cms,
+    )
+
+    d = _docs(spark, sf_dir)
+    # leaked on purpose (like d12's store): cms_estimate reads lazily
+    store = tempfile.mkdtemp(prefix="resilispark-t11-cms-") + "/store"
+    for name, parity in (("even", 0), ("odd", 1)):
+        write_snapshot_cms(
+            d.filter(F.col("doc_id") % 2 == parity), store,
+            snapshot=name, col="source", depth=3, width=16, seed=7,
+            hash_fn="md5",
+        )
+    cands = sorted(
+        r.source
+        for r in d.select("source").where(F.col("source").isNotNull())
+        .distinct().collect()
+    ) + ["zz-never"]
+    return cms_estimate(spark, store, cands).orderBy("value")
+
+
+ORACLE_T11 = """
+WITH vals AS (
+  SELECT source AS v, count(*)::BIGINT AS n
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+), ds AS (SELECT unnest(range(3)) AS d),
+cells AS (
+  SELECT d,
+         ('0x' || substr(md5((7 + d) || ':' || v), 1, 12))::BIGINT % 16
+           AS pos,
+         SUM(n)::BIGINT AS cn
+  FROM vals, ds GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT source AS value FROM documents WHERE source IS NOT NULL
+  UNION ALL SELECT 'zz-never'
+), probes AS (
+  SELECT value, d,
+         ('0x' || substr(md5((7 + d) || ':' || value), 1, 12))::BIGINT % 16
+           AS pos
+  FROM cand, ds
+)
+SELECT value, MIN(coalesce(cn, 0))::BIGINT AS est_n
+FROM probes LEFT JOIN cells USING (d, pos)
+GROUP BY value
+ORDER BY value
+"""
+
+
+def t12_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset delivery round-trip (operators/webdataset.py): the
+    corpus writes as 4 tar shards (staged two-phase publish, pinned
+    tar metadata), reads back through the shuffle-free binaryFile +
+    mapInPandas source, and every sample must surface byte-identical —
+    the oracle is simply the source table, so any loss, reorder,
+    truncation, or encoding slip in the tar layer hash-mismatches."""
+    import tempfile
+
+    from resilispark.operators.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    out = tempfile.mkdtemp(prefix="resilispark-t12-wds-")
+    write_webdataset(
+        d, out, key_col="doc_id",
+        components={"text": "txt", "lang": "cls"}, n_shards=4,
+    )
+    back = read_webdataset(spark, out)
+    return back.select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        "lang",
+    ).orderBy("doc_id")
+
+
+ORACLE_T12 = """
+SELECT doc_id, md5(text) AS text_md5, length(text)::BIGINT AS n_chars,
+       lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def r01_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots-exclusion filter (operators/robots.py), end to
+    end through the REAL pipeline: synthetic per-host robots.txt
+    BODIES are parsed by parse_robots (group selection, rule
+    extraction), reduced per host by robots_rules, and applied by
+    robots_filter's longest-match / Allow-wins-ties verdict kernel.
+
+    The synthesis is deterministic and cross-engine: each doc's host
+    is ``source-<doc_id%3>.example`` (the ``-2`` hosts serve NO
+    robots.txt — unlisted hosts stay), its path starts with two hex
+    chars of ``md5(text)``; each listed host disallows the 1-hex-char
+    prefix of ``md5(host)``, allows the 2-char prefix (longest match
+    wins), and — when the host's second md5 hex char is < '8' — ALSO
+    allows the 1-char prefix, an exact length tie that Allow must win
+    (§2.2.2).  The oracle replays the same prefix algebra in SQL."""
+    from resilispark.operators.robots import robots_filter, robots_rules
+
+    d = _docs(spark, sf_dir)
+    host = F.concat(
+        F.col("source"), F.lit("-"),
+        (F.col("doc_id") % 3).cast("string"), F.lit(".example"),
+    )
+    path = F.concat(
+        F.lit("/"), F.substring(F.md5(F.encode("text", "UTF-8")), 1, 2),
+        F.lit("/"), F.col("doc_id").cast("string"),
+    )
+    docs = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("http://"), host, path).alias("url"),
+    )
+    hosts = (
+        docs.where(F.col("doc_id") % 3 != 2).select("host").distinct()
+    )
+    hmd5 = F.md5(F.encode("host", "UTF-8"))
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /"), F.substring(hmd5, 1, 1),
+        F.lit("\nAllow: /"), F.substring(hmd5, 1, 2), F.lit("\n"),
+        F.when(
+            F.substring(hmd5, 2, 1) < "8",
+            F.concat(F.lit("Allow: /"), F.substring(hmd5, 1, 1),
+                     F.lit("\n")),
+        ).otherwise(F.lit("")),
+    )
+    captures = hosts.select(
+        F.concat(F.lit("http://"), F.col("host"),
+                 F.lit("/robots.txt")).alias("target_uri"),
+        F.encode(body, "UTF-8").alias("payload"),
+    )
+    rules = robots_rules(captures, order_col=None)
+    kept = robots_filter(docs, rules, url_col="url")
+    return kept.select("doc_id", "host").orderBy("doc_id")
+
+
+ORACLE_R01 = """
+WITH docs AS (
+  SELECT doc_id,
+         source || '-' || (doc_id % 3) || '.example' AS host,
+         '/' || substr(md5(text), 1, 2) || '/' || doc_id AS path
+  FROM documents
+), rules AS (
+  SELECT host,
+         substr(md5(host), 1, 1) AS hx,
+         substr(md5(host), 1, 2) AS hx2,
+         substr(md5(host), 2, 1) < '8' AS tie
+  FROM (SELECT DISTINCT host FROM docs WHERE doc_id % 3 <> 2)
+)
+SELECT d.doc_id, d.host
+FROM docs d LEFT JOIN rules r USING (host)
+WHERE r.host IS NULL
+   OR starts_with(d.path, '/' || r.hx2)
+   OR NOT starts_with(d.path, '/' || r.hx)
+   OR r.tie
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2179,6 +2354,9 @@ QUERIES = {
     "m02_video_frames": m02_video_frames,
     "m03_audio_features": m03_audio_features,
     "m04_real_codec_roundtrip": m04_real_codec_roundtrip,
+    "t11_cms_estimate": t11_cms_estimate,
+    "t12_wds_roundtrip": t12_wds_roundtrip,
+    "r01_robots_filter": r01_robots_filter,
 }
 
 ORACLES = {
@@ -2216,4 +2394,7 @@ ORACLES = {
     "m02_video_frames": ORACLE_M02,
     "m03_audio_features": ORACLE_M03,
     "m04_real_codec_roundtrip": ORACLE_M04,
+    "t11_cms_estimate": ORACLE_T11,
+    "t12_wds_roundtrip": ORACLE_T12,
+    "r01_robots_filter": ORACLE_R01,
 }

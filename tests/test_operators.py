@@ -5616,6 +5616,30 @@ class TestCountMinSketch:
         assert got["host1.example"] == 10
         assert got["never.seen"] == 0
 
+    def test_md5_hash_fn_matches_and_never_mixes(self, spark, tmp_path):
+        """hash_fn='md5' (the cross-engine oracle hash) estimates like
+        xxhash64 does, and a store can never silently merge cells
+        sketched under different hash functions."""
+        import pytest as _pytest
+
+        from resilispark.operators.sketches import (
+            cms_estimate,
+            write_snapshot_cms,
+        )
+
+        docs = spark.createDataFrame(
+            [(f"host{i % 4}.example",) for i in range(40)], ["host"])
+        store = str(tmp_path / "cms")
+        write_snapshot_cms(docs, store, snapshot="c1", col="host",
+                           hash_fn="md5")
+        got = {r.value: r.est_n for r in cms_estimate(
+            spark, store, ["host0.example", "never.seen"]).collect()}
+        assert got["host0.example"] == 10 and got["never.seen"] == 0
+        write_snapshot_cms(docs, store, snapshot="c2", col="host",
+                           hash_fn="xxhash64")
+        with _pytest.raises(ValueError, match="hash"):
+            cms_estimate(spark, store, ["host0.example"])
+
     def test_empty_candidate_list_refused(self, spark, tmp_path):
         import pytest as _pytest
 
