@@ -30,6 +30,60 @@ def timed_median(run, n: int = 3) -> float:
     return round(statistics.median(samples), 3)
 
 
+def _ensure_sf10x(spark, sf_dir: str) -> str:
+    """Synthesize a 10x replica of ``sf_dir``'s documents/embeddings
+    tables into a cached tmp dir (the scale-slope corpus).  Replicas
+    shift ids by 1e6 per copy; replica texts append a per-copy token so
+    exact dedup does not degenerate while the copies stay NEAR-dups of
+    each other — 10-doc duplicate clusters are exactly the bucket-
+    density stress a 10x crawl carries."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(
+        tempfile.gettempdir(), f"resilispark-sf10x-{os.getuid()}-{tag}"
+    )
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = spark.range(10).select(F.col("id").cast("int").alias("rep"))
+    text10 = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+        F.concat_ws(" ", "text", F.concat(F.lit("zrep"), F.col("rep")))
+    )
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep").cast("bigint") * 1_000_000)
+            .alias("doc_id"),
+            text10.alias("text"),
+            "lang",
+            "source",
+            F.length(text10).cast("bigint").alias("n_chars"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/documents.parquet")
+    )
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    (
+        embs.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep").cast("bigint") * 1_000_000)
+            .alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out
+
+
 def timed_min(run, n: int = 5) -> float:
     """Min-of-n for the single-core KERNEL rows: host-level CPU
     contention on this VM drifts pure-Python loop times 2-4x across
@@ -444,6 +498,72 @@ def main() -> None:
     finally:
         shutil.rmtree(_store, ignore_errors=True)
 
+    # sf1 SCALE-SLOPE section: the cheapest 100x proxy this sandbox can
+    # produce — rerun the heaviest gate queries over a synthesized 10x
+    # corpus and report time(10x)/time(1x) per query.  A plan that is
+    # clean at sf0.1 can still hide a super-linear constant (bucket
+    # caps, chunk sizes, component iterations); every slope should sit
+    # ≲12x (10x data plus fixed overhead), and sub-10x means the 32
+    # cores were underutilized at the small scale.  Kill switch:
+    # RESILISPARK_BENCH_NO_SF1=1 (timings are excluded from the
+    # headline wall either way).
+    sf1_slopes: dict[str, dict] = {}
+    if not os.environ.get("RESILISPARK_BENCH_NO_SF1"):
+        big_dir = _ensure_sf10x(spark, sf_dir)
+        slope_queries = (
+            "d04_minhash_lsh_pairs", "d08_simhash_pairs",
+            "d10_duplicate_spans", "s05_ivf_topk", "s06_kmeans",
+            "t07_pack_stats", "t08_emit_sequences", "t10_dsir",
+            "d12_incremental_dedup",
+        )
+        for name in slope_queries:
+            fn = QUERIES[name]
+            base_t = timings.get(name)
+            if base_t is None:
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                base_t = timed_median(
+                    lambda: fn(spark, sf_dir)
+                    .write.mode("overwrite").format("noop").save()
+                )
+            fn(spark, big_dir).write.mode("overwrite").format("noop").save()
+            big_t = timed_median(
+                lambda: fn(spark, big_dir)
+                .write.mode("overwrite").format("noop").save()
+            )
+            sf1_slopes[name] = {
+                "sf1x_sec": base_t,
+                "sf10x_sec": big_t,
+                "slope": round(big_t / base_t, 2) if base_t else None,
+            }
+        # end-to-end curate on the 10x WARC fixture (150,002 records vs
+        # 15,002 above) — the composed-pipeline slope
+        if big_groups > 0:
+            _cur_out = tempfile.mkdtemp(prefix="resilispark-bench-curate10x-")
+            try:
+                _bdir10 = ensure_bench_fixture(big_groups)
+                _t0 = time.perf_counter()
+                with contextlib.redirect_stdout(_io.StringIO()):
+                    rc = _cli_main(
+                        [
+                            "curate",
+                            f"{_bdir10}/bench-{big_groups}.warc.gz",
+                            "-o", os.path.join(_cur_out, "corpus"),
+                            "--url-dedup", "--max-per-host", "20000",
+                            "--dedup", "--val-fraction", "0.05",
+                            "--pack", "2048", "--pack-buckets", "8",
+                        ]
+                    )
+                assert rc == 0, "10x curate pipeline failed"
+                big_t = round(time.perf_counter() - _t0, 3)
+                base_t = timings[f"curate_e2e_{n_groups}_warc_groups"]
+                sf1_slopes["curate_e2e"] = {
+                    "sf1x_sec": base_t,
+                    "sf10x_sec": big_t,
+                    "slope": round(big_t / base_t, 2),
+                }
+            finally:
+                shutil.rmtree(_cur_out, ignore_errors=True)
+
     # HTML parse + <title> and detect_fast SINGLE-CORE rows, directly
     # comparable to BASELINE's `resiliparse html benchmark` (1,149.56
     # docs/s, docs/man/parse/html.rst:485-489) and `resiliparse lang
@@ -497,6 +617,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_headline": len(headline),
                 "queries": timings,
+                "sf1_slopes": sf1_slopes,
                 "sf": sf,
             }
         )
