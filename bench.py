@@ -33,16 +33,26 @@ def timed_median(run, n: int = 3) -> float:
 def _ensure_sf10x(spark, sf_dir: str) -> str:
     """Synthesize a 10x replica of ``sf_dir``'s documents/embeddings
     tables into a cached tmp dir (the scale-slope corpus).  Replicas
-    shift ids by 1e6 per copy; replica texts append a per-copy token so
+    shift ids by 1e10 per copy (no collision with any realistic
+    base fixture); replica texts append a per-copy token so
     exact dedup does not degenerate while the copies stay NEAR-dups of
     each other — 10-doc duplicate clusters are exactly the bucket-
     density stress a 10x crawl carries."""
+    import glob as _glob
     import hashlib
     import tempfile
 
     from pyspark.sql import functions as F
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # the cache tag folds in source mtimes+sizes: a regenerated fixture
+    # at the same path must not silently reuse a stale replica
+    stamp = [sf_dir]
+    for t in ("documents.parquet", "embeddings.parquet"):
+        for f in sorted(_glob.glob(f"{sf_dir}/{t}/*") + _glob.glob(f"{sf_dir}/{t}")):
+            if os.path.isfile(f):
+                st = os.stat(f)
+                stamp.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+    tag = hashlib.md5("|".join(stamp).encode()).hexdigest()[:10]
     out = os.path.join(
         tempfile.gettempdir(), f"resilispark-sf10x-{os.getuid()}-{tag}"
     )
@@ -57,7 +67,7 @@ def _ensure_sf10x(spark, sf_dir: str) -> str:
     (
         docs.crossJoin(reps)
         .select(
-            (F.col("doc_id") + F.col("rep").cast("bigint") * 1_000_000)
+            (F.col("doc_id") + F.col("rep").cast("bigint") * 10_000_000_000)
             .alias("doc_id"),
             text10.alias("text"),
             "lang",
@@ -71,7 +81,7 @@ def _ensure_sf10x(spark, sf_dir: str) -> str:
     (
         embs.crossJoin(reps)
         .select(
-            (F.col("vec_id") + F.col("rep").cast("bigint") * 1_000_000)
+            (F.col("vec_id") + F.col("rep").cast("bigint") * 10_000_000_000)
             .alias("vec_id"),
             "embedding",
             "label",

@@ -732,14 +732,20 @@ def cmd_curate(args) -> int:
                             F.col("epoch").cast("string")),
             )
             wds_key = "_wds_doc_key"
+        # footer-only count of the corpus just written sizes the
+        # shards without a second full pass — but pyarrow can't open
+        # every Spark-writable scheme (s3a://, hdfs://); fall back to
+        # the writer's own count() there
+        local_out = "://" not in args.output or args.output.startswith(
+            "file:")
         man = write_webdataset(
             wds_docs,
             args.export_webdataset,
             key_col=wds_key,
             docs_per_shard=args.wds_docs_per_shard,
-            # footer-only count of the corpus just written: sizes the
-            # shards without a second full pass over the data
-            n_docs_hint=parquet_num_rows(args.output),
+            n_docs_hint=(
+                parquet_num_rows(args.output) if local_out else None
+            ),
             overwrite=True,
         )
         print(f"wrote {args.export_webdataset} "

@@ -160,9 +160,10 @@ def _robots_host(c: F.Column) -> F.Column:
     """Host for REP matching: like ``url_host`` but with a scheme-less
     fallback — a corpus row whose URL reads ``example.com/private``
     still carries that host's opt-out."""
-    fixed = F.when(c.contains("://"), c).otherwise(
-        F.concat(F.lit("http://"), c)
-    )
+    # anchored: a scheme-less URL whose QUERY embeds an absolute URL
+    # ('a.example/x?next=http://b.com') must still take the fallback
+    has_scheme = c.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+    fixed = F.when(has_scheme, c).otherwise(F.concat(F.lit("http://"), c))
     return url_host(fixed)
 
 

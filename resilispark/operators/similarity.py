@@ -793,7 +793,12 @@ def kmeans_neardup_pairs(
     cent, _, _ = kmeans_fit(
         vecs, vec_col=vec_col, k=n_clusters, iters=iters, seed=seed
     )
-    assigned = kmeans_assign(vecs, cent, vec_col=vec_col, out_col="_cell")
+    # NULL/off-dimension embeddings get a NULL cell from kmeans_assign;
+    # the NULL-cell GROUP would otherwise reach the matmul as one junk
+    # block (or crash np.asarray) — unassignable rows pair with nothing
+    assigned = kmeans_assign(
+        vecs, cent, vec_col=vec_col, out_col="_cell"
+    ).where(F.col("_cell").isNotNull())
     schema = f"id_a {id_type}, id_b {id_type}, cosine double"
 
     def pairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -402,7 +402,29 @@ def write_snapshot_cms(
     from pyspark.errors import AnalysisException
 
     try:
-        existing = spark.read.schema(s.schema).parquet(path)
+        # mergeSchema: a legacy (pre-hash_fn) store must not have its
+        # schema inferred from one arbitrary file — appended snapshots
+        # could silently lose their hash_fn label and merge wrongly
+        existing = spark.read.option("mergeSchema", "true").parquet(path)
+        if "hash_fn" not in existing.columns:
+            existing = existing.withColumn("hash_fn", F.lit("xxhash64"))
+        # params are validated at WRITE time too, not only at probe:
+        # appending a differently-hashed/sized snapshot of the SAME
+        # column would poison every later merged estimate (different
+        # columns may coexist — probes restrict by snapshot then)
+        stored = existing.where(F.col("column") == str(col)).select(
+            "depth", "width", "seed",
+            F.coalesce("hash_fn", F.lit("xxhash64")).alias("hash_fn"),
+        ).distinct().collect()
+        mine = (depth, width, seed, hash_fn)
+        for p in stored:
+            if tuple(p) != mine:
+                raise ValueError(
+                    f"count-min store {path} holds {str(col)!r} cells "
+                    f"with params {tuple(p)} — refusing to append "
+                    f"{mine}; cells only merge when depth/width/seed/"
+                    "hash_fn all match"
+                )
         if existing.filter(F.col("snapshot") == snapshot).limit(1).count():
             if skip_existing:
                 return False
@@ -439,11 +461,18 @@ def cms_estimate(
             "cms_estimate: no candidate values given — count-min "
             "cannot enumerate its contents, pass the values to probe"
         )
-    store = spark.read.parquet(path)
+    # mergeSchema: in a store where only SOME files carry hash_fn,
+    # single-file schema inference could drop the column and mislabel
+    # md5 cells as xxhash64 (write_snapshot_cms refuses to create such
+    # stores now, but probes must not trust that)
+    store = spark.read.option("mergeSchema", "true").parquet(path)
     if "hash_fn" not in store.columns:
         # stores written before the hash_fn column existed are all
         # xxhash64 (it was the only hash)
         store = store.withColumn("hash_fn", F.lit("xxhash64"))
+    else:
+        store = store.withColumn(
+            "hash_fn", F.coalesce("hash_fn", F.lit("xxhash64")))
     if snapshot is not None:
         store = store.where(F.col("snapshot") == snapshot)
     params = store.select(

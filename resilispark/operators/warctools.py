@@ -228,11 +228,14 @@ def write_cdxj_sidecars(spark: SparkSession, src: str) -> list[str]:
 def write_cdxj_sidecar(spark: SparkSession, warc_path: str) -> str:
     """Single-file convenience wrapper over
     :func:`write_cdxj_sidecars` (the gz-split planner's entry point).
+    Multi-file sources are refused BEFORE any sidecar is written.
     """
-    sides = write_cdxj_sidecars(spark, warc_path)
-    if len(sides) != 1:
+    from resilispark.io.fs import expand_source
+
+    paths = expand_source(warc_path)
+    if len(paths) != 1:
         raise ValueError(
-            f"{warc_path!r} expanded to {len(sides)} files; use "
+            f"{warc_path!r} expanded to {len(paths)} files; use "
             "write_cdxj_sidecars for multi-file sources"
         )
-    return sides[0]
+    return write_cdxj_sidecars(spark, warc_path)[0]

@@ -46,12 +46,15 @@ __all__ = ["write_webdataset", "read_webdataset", "parquet_num_rows"]
 
 
 def parquet_num_rows(path: str) -> int:
-    """Exact row count of a parquet directory from file FOOTERS only —
-    no Spark job, no data pages.  The cheap ``n_docs_hint`` source for
-    :func:`write_webdataset` when exporting an already-written corpus."""
+    """Exact row count of a LOCAL parquet directory from file FOOTERS
+    only — no Spark job, no data pages.  The cheap ``n_docs_hint``
+    source for :func:`write_webdataset` when exporting an
+    already-written corpus (remote schemes fall back to ``count()``)."""
     import pyarrow.dataset as ds
 
-    return ds.dataset(path, format="parquet").count_rows()
+    from resilispark.io.fs import LocalFS
+
+    return ds.dataset(LocalFS._strip(path), format="parquet").count_rows()
 
 _SUMMARY_SCHEMA = T.StructType([
     T.StructField("shard", T.LongType()),
@@ -172,9 +175,11 @@ def write_webdataset(
         )
     if not remote:
         os.makedirs(local_root, exist_ok=True)
-    # clear staging leftovers from a previous failed run
+    # clear ALL staging leftovers from a previous failed run — any
+    # prefix: a crashed run with a different shard_prefix would
+    # otherwise orphan its staged objects forever
     if remote:
-        for stale in fs.glob(f"{dest}/.staging/{shard_prefix}-*.tar"):
+        for stale in fs.glob(f"{dest}/.staging/*"):
             fs.delete(stale)
     else:
         import shutil

@@ -4509,6 +4509,26 @@ Disallow: /
         kept = sorted(r.doc_id for r in robots_filter(docs, rules).collect())
         assert kept == [0, 2]
 
+    def test_schemeless_url_with_embedded_absolute_url(self, spark):
+        # 'a.example/private/x?next=http://b.com' contains '://' in its
+        # QUERY; the scheme check must stay anchored or the host
+        # fallback is skipped and the opt-out ignored
+        from resilispark.operators.robots import robots_filter, robots_rules
+
+        captures = spark.createDataFrame(
+            [("http://a.example/robots.txt",
+              b"User-agent: *\nDisallow: /private/\n")],
+            "target_uri string, payload binary",
+        )
+        rules = robots_rules(captures, order_col=None)
+        docs = spark.createDataFrame(
+            [(0, "a.example/ok?next=http://b.com"),
+             (1, "a.example/private/x?next=http://b.com")],
+            "doc_id long, url string",
+        )
+        kept = sorted(r.doc_id for r in robots_filter(docs, rules).collect())
+        assert kept == [0]
+
     def test_url_path_schemeless(self, spark):
         from resilispark.operators.robots import url_path
 
@@ -4663,6 +4683,23 @@ class TestKmeansSemanticDedup:
         a = {key(r): r.cosine for r in big}
         b = {key(r): r.cosine for r in small}
         assert all(abs(a[k] - b[k]) < 1e-6 for k in a)
+
+    def test_null_and_ragged_embeddings_pair_with_nothing(self, spark):
+        """NULL/off-dimension embeddings land in kmeans_assign's NULL
+        cell; that group must be dropped before the matmul, not crash
+        it — and two same-dimension junk vectors must not get paired
+        against each other out of the junk group."""
+        from resilispark.operators.similarity import kmeans_neardup_pairs
+
+        df, dup_groups = self._near_dup_embeddings(spark)
+        dirty = df.unionByName(spark.createDataFrame(
+            [(900, None), (901, [1.0, 2.0]), (902, [1.0, 2.0])],
+            "vec_id long, embedding array<double>"))
+        pairs = kmeans_neardup_pairs(
+            dirty, threshold=0.999, n_clusters=2, iters=3).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        want = {(a, b) for g in dup_groups for a in g for b in g if a < b}
+        assert got == want  # junk ids appear in NO pair
 
     def test_semantic_dedup_kmeans_method(self, spark):
         from resilispark.operators.similarity import semantic_dedup
@@ -5635,10 +5672,11 @@ class TestCountMinSketch:
         got = {r.value: r.est_n for r in cms_estimate(
             spark, store, ["host0.example", "never.seen"]).collect()}
         assert got["host0.example"] == 10 and got["never.seen"] == 0
-        write_snapshot_cms(docs, store, snapshot="c2", col="host",
-                           hash_fn="xxhash64")
-        with _pytest.raises(ValueError, match="hash"):
-            cms_estimate(spark, store, ["host0.example"])
+        # a differently-hashed snapshot is refused at WRITE time —
+        # waiting for the probe would already have poisoned the store
+        with _pytest.raises(ValueError, match="refusing to append"):
+            write_snapshot_cms(docs, store, snapshot="c2", col="host",
+                               hash_fn="xxhash64")
 
     def test_empty_candidate_list_refused(self, spark, tmp_path):
         import pytest as _pytest
@@ -5719,10 +5757,13 @@ class TestCountMinSketch:
             write_snapshot_cms(docs, store, snapshot="s1", col="v")
         assert not write_snapshot_cms(
             docs, store, snapshot="s1", col="v", skip_existing=True)
-        # mismatched hash params are refused at probe time
-        write_snapshot_cms(docs, store, snapshot="s2", col="v", width=8192)
-        with _pytest.raises(ValueError, match="hash"):
-            cms_estimate(spark, store, ["x"]).collect()
+        # mismatched hash params are refused at WRITE time (round 6:
+        # waiting for the probe would already have poisoned the store);
+        # the store stays probe-able afterwards
+        with _pytest.raises(ValueError, match="refusing to append"):
+            write_snapshot_cms(docs, store, snapshot="s2", col="v",
+                               width=8192)
+        assert cms_estimate(spark, store, ["x"]).collect()[0].est_n == 1
 
     def test_mixed_column_stores_refuse_to_merge(self, spark, tmp_path):
         import pytest as _pytest
