@@ -33,20 +33,24 @@ def timed_median(run, n: int = 3) -> float:
 def _ensure_sf10x(spark, sf_dir: str) -> str:
     """Synthesize a 10x replica of ``sf_dir``'s documents/embeddings
     tables into a cached tmp dir (the scale-slope corpus).  Replicas
-    shift ids by 1e10 per copy (no collision with any realistic
-    base fixture); replica texts append a per-copy token so
-    exact dedup does not degenerate while the copies stay NEAR-dups of
-    each other — 10-doc duplicate clusters are exactly the bucket-
-    density stress a 10x crawl carries."""
+    shift ids by 1e10 per copy (no collision with any realistic base
+    fixture); replica texts append a REP-SPECIFIC ~30%-length suffix so
+    copies of one doc are NOT near-dups of each other while the base
+    corpus's within-replica dup structure survives verbatim — a real
+    10x crawl grows duplicate-cluster COUNT, not cluster SIZE (a
+    same-size-clusters corpus replicated with a one-token perturbation
+    makes pair counts grow ~100x and every near-dup slope read as a
+    phantom scale bug)."""
     import glob as _glob
     import hashlib
     import tempfile
 
     from pyspark.sql import functions as F
 
-    # the cache tag folds in source mtimes+sizes: a regenerated fixture
-    # at the same path must not silently reuse a stale replica
-    stamp = [sf_dir]
+    # the cache tag folds in source mtimes+sizes AND the synthesis
+    # recipe version: a regenerated fixture at the same path, or a
+    # changed replica recipe, must not silently reuse a stale replica
+    stamp = [sf_dir, "synth-v2-token-translate"]
     for t in ("documents.parquet", "embeddings.parquet"):
         for f in sorted(_glob.glob(f"{sf_dir}/{t}/*") + _glob.glob(f"{sf_dir}/{t}")):
             if os.path.isfile(f):
@@ -61,8 +65,20 @@ def _ensure_sf10x(spark, sf_dir: str) -> str:
         return out
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     reps = spark.range(10).select(F.col("id").cast("int").alias("rep"))
+    # each replica is a DISJOINT token-space translation of the base
+    # (every token prefixed with the replica tag): replicas share zero
+    # shingles/grams/simhash features with each other or the base, so
+    # the base corpus's dup/near-dup structure replicates exactly —
+    # cluster COUNT x10, cluster SIZE unchanged, pair counts x10
     text10 = F.when(F.col("rep") == 0, F.col("text")).otherwise(
-        F.concat_ws(" ", "text", F.concat(F.lit("zrep"), F.col("rep")))
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(
+                    F.lit("r"), F.col("rep").cast("string"), w),
+            ),
+            " ",
+        )
     )
     (
         docs.crossJoin(reps)
