@@ -537,8 +537,88 @@ class S3FS(FileSystem):
         self._cli().copy({"Bucket": sb, "Key": sk}, db, dk)
 
 
+class FsspecFS(FileSystem):
+    """Adapter over an ``fsspec`` filesystem — the scheme-open escape
+    hatch mirroring the reference's fsspec path (resiliparse-py
+    stream_io's ``fsspec_args``): any protocol an installed fsspec
+    backend speaks (gs://, abfs://, hdfs://, sftp://, ...) works for
+    reads AND the writer-side hooks without a native ``FileSystem``
+    here.  Picked automatically by :func:`get_fs` for schemes with no
+    native backend when fsspec is importable; lazily constructed and
+    pickled by scheme name so executor tasks rebuild their own client.
+    """
+
+    def __init__(self, scheme: str):
+        self.scheme = scheme
+        self._fs = None
+
+    def __reduce__(self):
+        return (FsspecFS, (self.scheme,))
+
+    def _f(self):
+        if self._fs is None:
+            import fsspec
+
+            self._fs = fsspec.filesystem(self.scheme)
+        return self._fs
+
+    def _full(self, p: str) -> str:
+        return p if "://" in p else f"{self.scheme}://{p.lstrip('/')}"
+
+    def open(self, path: str, mode: str = "rb") -> BinaryIO:
+        return self._f().open(path, mode)
+
+    def glob(self, pattern: str) -> list[str]:
+        return sorted(self._full(p) for p in self._f().glob(pattern))
+
+    def size(self, path: str) -> int:
+        return int(self._f().size(path))
+
+    def mtime(self, path: str) -> float:
+        try:
+            m = self._f().modified(path)
+            return m.timestamp()
+        except Exception:
+            return 0.0
+
+    def exists(self, path: str) -> bool:
+        return bool(self._f().exists(path))
+
+    def isfile(self, path: str) -> bool:
+        return bool(self._f().isfile(path))
+
+    def isdir(self, path: str) -> bool:
+        return bool(self._f().isdir(path))
+
+    def put_file(self, local_path: str, dest_path: str) -> None:
+        self._f().put(local_path, dest_path)
+
+    def delete(self, path: str) -> None:
+        self._f().rm(path)
+
+    def copy(self, src: str, dest: str) -> None:
+        self._f().cp(src, dest)
+
+
 _LOCAL = LocalFS()
 _HTTP = HTTPFS()
+
+# deployment extension point: scheme -> FileSystem factory.  This is
+# where a real cluster plugs gs://, abfs://, hdfs://, ... with a native
+# client instead of the fsspec fallback.  Register at import time of a
+# module the workers also import (executor tasks call get_fs themselves
+# on paths they were handed).
+_EXTRA_FS: dict = {}
+
+
+def register_fs(scheme: str, factory) -> None:
+    """Register ``factory() -> FileSystem`` for a custom URL scheme.
+    Later registrations replace earlier ones; built-in schemes
+    (file/memory/http/https/s3) cannot be overridden."""
+    s = scheme.lower()
+    if s in ("file", "memory", "http", "https", "s3"):
+        raise ValueError(f"built-in scheme {s!r} cannot be overridden")
+    _EXTRA_FS[s] = factory
 
 
 def get_fs(path: str) -> FileSystem:
@@ -551,7 +631,17 @@ def get_fs(path: str) -> FileSystem:
         return _HTTP
     if scheme == "s3":
         return S3FS()
-    raise ValueError(f"unsupported filesystem scheme {scheme!r} in {path!r}")
+    if scheme in _EXTRA_FS:
+        return _EXTRA_FS[scheme]()
+    try:
+        import fsspec  # noqa: F401  (optional scheme-open fallback)
+    except ImportError:
+        raise ValueError(
+            f"unsupported filesystem scheme {scheme!r} in {path!r} — "
+            "register_fs() a backend for it, or install fsspec with a "
+            f"{scheme} protocol implementation"
+        ) from None
+    return FsspecFS(scheme)
 
 
 def expand_source(path: str, default_suffix_glob: str = "*.warc*") -> list[str]:

@@ -66,8 +66,126 @@ def test_get_fs_dispatch():
     assert get_fs("/tmp/x").scheme == "file"
     assert get_fs("memory://x").scheme == "memory"
     assert get_fs("https://example.org/x").scheme == "http"
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="register_fs"):
         get_fs("gopher://x")
+
+
+def test_register_fs_custom_scheme(tmp_path):
+    """The deployment extension point: a registered factory owns its
+    scheme; built-ins cannot be shadowed."""
+    from resilispark.io.fs import _EXTRA_FS, MemoryFS, register_fs
+
+    class _GsLike(MemoryFS):
+        scheme = "gs"
+
+    register_fs("gs", _GsLike)
+    try:
+        fs = get_fs("gs://bucket/key")
+        assert isinstance(fs, _GsLike) and fs.scheme == "gs"
+        with pytest.raises(ValueError, match="built-in"):
+            register_fs("s3", _GsLike)
+    finally:
+        _EXTRA_FS.pop("gs", None)
+
+
+def test_fsspec_fallback_adapter(tmp_path, monkeypatch):
+    """Unknown schemes fall through to an fsspec adapter when fsspec is
+    importable (the reference's scheme-open fsspec path) — faked here
+    since the image carries no fsspec."""
+    import sys
+    import types
+
+    import resilispark.io.fs as fsmod
+
+    root = tmp_path / "fakefs"
+    root.mkdir()
+
+    class _FakeLocal:
+        def _p(self, p):
+            return str(root / p.split("://", 1)[-1])
+
+        def open(self, p, mode="rb"):
+            import os
+
+            loc = self._p(p)
+            if "w" in mode:
+                os.makedirs(os.path.dirname(loc), exist_ok=True)
+            return open(loc, mode)
+
+        def glob(self, pat):
+            import glob as g
+
+            return sorted(
+                x[len(str(root)) + 1:] for x in g.glob(self._p(pat)))
+
+        def size(self, p):
+            import os
+
+            return os.path.getsize(self._p(p))
+
+        def exists(self, p):
+            import os
+
+            return os.path.exists(self._p(p))
+
+        def isfile(self, p):
+            import os
+
+            return os.path.isfile(self._p(p))
+
+        def isdir(self, p):
+            import os
+
+            return os.path.isdir(self._p(p))
+
+        def put(self, lpath, rpath):
+            import os
+            import shutil
+
+            loc = self._p(rpath)
+            os.makedirs(os.path.dirname(loc), exist_ok=True)
+            shutil.copyfile(lpath, loc)
+
+        def rm(self, p):
+            import os
+
+            os.remove(self._p(p))
+
+        def cp(self, a, b):
+            import shutil
+
+            shutil.copyfile(self._p(a), self._p(b))
+
+        def modified(self, p):
+            import datetime
+            import os
+
+            return datetime.datetime.fromtimestamp(
+                os.path.getmtime(self._p(p)))
+
+    fake = types.ModuleType("fsspec")
+    fake.filesystem = lambda scheme: _FakeLocal()
+    monkeypatch.setitem(sys.modules, "fsspec", fake)
+
+    fs = get_fs("gs://bucket/data.bin")
+    assert isinstance(fs, fsmod.FsspecFS)
+    src = tmp_path / "local.bin"
+    src.write_bytes(b"payload-123")
+    fs.put_file(str(src), "gs://bucket/data.bin")
+    assert fs.exists("gs://bucket/data.bin")
+    assert fs.size("gs://bucket/data.bin") == 11
+    assert fs.read_range("gs://bucket/data.bin", 8, 3) == b"123"
+    assert fs.glob("gs://bucket/*.bin") == ["gs://bucket/data.bin"]
+    assert fs.mtime("gs://bucket/data.bin") > 0
+    fs.copy("gs://bucket/data.bin", "gs://bucket/copy.bin")
+    assert fs.size("gs://bucket/copy.bin") == 11
+    fs.delete("gs://bucket/copy.bin")
+    assert not fs.exists("gs://bucket/copy.bin")
+    # pickles by scheme name (executor tasks rebuild their own client)
+    import pickle
+
+    fs2 = pickle.loads(pickle.dumps(fs))
+    assert fs2.scheme == "gs"
 
 
 def test_memoryfs_roundtrip_and_glob(memfs):
