@@ -31,7 +31,7 @@ def bm25_topk(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k: int = 10,
+    k: int | None = 10,
     k1: float = 1.2,
     b: float = 0.75,
     lowercase: bool = True,
@@ -44,6 +44,11 @@ def bm25_topk(
     Returns (id, score, n_hits, rank) ordered by rank — ties resolve
     deterministically (score desc, id asc); the explicit rank column is
     what :func:`rrf_fuse` consumes, immune to physical row order.
+
+    ``k=None`` returns EVERY matching doc as (id, score, n_hits),
+    unranked and unordered — the analysis/audit mode.  Do not emulate
+    it with a huge ``k``: TakeOrderedAndProject allocates
+    k-proportional heap buffers per task.
     """
     terms = list(dict.fromkeys(
         (query.lower() if lowercase else query).split()
@@ -114,6 +119,8 @@ def bm25_topk(
             F.count(F.lit(1)).cast("bigint").alias("n_hits"),
         )
     )
+    if k is None:
+        return scored
     # top-k FIRST (TakeOrderedAndProject: per-partition heaps, no
     # single-task corpus sort — a common query term scores a large
     # fraction of the corpus), then rank the now-k-row result; the
@@ -174,15 +181,19 @@ def rrf_fuse(
             )
         part = df.select(F.col(id_col), (1.0 / (F.lit(k) + rank)).alias("_rrf"))
         tagged = part if tagged is None else tagged.unionAll(part)
-    return (
+    fused = (
         tagged.groupBy(id_col)
         .agg(
             F.sum("_rrf").alias("rrf_score"),
             F.count(F.lit(1)).cast("bigint").alias("n_lists"),
         )
         .orderBy(F.col("rrf_score").desc(), F.col(id_col))
-        .limit((1 << 30) if top is None else top)
     )
+    # no sentinel huge limit when top is None: the planner can turn
+    # orderBy().limit(k) into TakeOrderedAndProject whose per-task
+    # buffers scale with k — the input is already bounded by the
+    # top-k lists, a plain sort is the safe spelling
+    return fused if top is None else fused.limit(top)
 
 
 def text_index_exists(spark, path: str) -> bool:
@@ -279,7 +290,7 @@ def bm25_search(
     index_path: str,
     query: str,
     *,
-    k: int = 10,
+    k: int | None = 10,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
@@ -330,6 +341,9 @@ def bm25_search(
             F.count(F.lit(1)).cast("bigint").alias("n_hits"),
         )
     )
+    if k is None:
+        # analysis mode: every matching doc, unranked (see bm25_topk)
+        return scored
     from pyspark.sql import Window as W
 
     topk = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)

@@ -122,6 +122,8 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
         ("doc_id", "n"), ("text_md5", "s"), ("n_chars", "n"), ("lang", "s"),
     ],
     "r01_robots_filter": [("doc_id", "n"), ("host", "s")],
+    "b01_bm25_scores": [("doc_id", "n"), ("score", "d"), ("n_hits", "n")],
+    "b02_bm25_index": [("doc_id", "n"), ("score", "d"), ("n_hits", "n")],
 }
 
 # members may live in either query module; merged lookup keeps the
@@ -189,6 +191,10 @@ FAMILIES: dict[str, list[str]] = {
         "t09_bpe_tokens", "d12_incremental_dedup", "d13_fuzzy_dedup",
         "s06_kmeans", "t10_dsir", "s07_cluster_sample",
         "t11_cms_estimate", "t12_wds_roundtrip", "r01_robots_filter",
+        # (b01/b02 joined in round 6: BM25 scan AND persisted-index
+        # paths against one shared oracle — the index round-trip
+        # provably loses nothing)
+        "b01_bm25_scores", "b02_bm25_index",
     ],
 }
 

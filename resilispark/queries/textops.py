@@ -2319,6 +2319,93 @@ ORDER BY d.doc_id
 """
 
 
+_BM25_ORACLE = """
+WITH lens AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS w,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+'))::DOUBLE AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM lens
+), terms AS (
+  SELECT unnest(['data', 'join', 'query']) AS term
+), dfs AS (
+  SELECT t.term,
+         (SELECT count(*) FROM lens WHERE list_contains(w, t.term))::BIGINT
+           AS df
+  FROM terms t
+), tf AS (
+  SELECT l.doc_id, l.dl, t.term,
+         len(list_filter(l.w, x -> x = t.term))::DOUBLE AS tf
+  FROM lens l, terms t
+  WHERE list_contains(l.w, t.term)
+), scored AS (
+  SELECT f.doc_id,
+         SUM(ln(1 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5))
+             * f.tf * (1.2 + 1.0)
+             / (f.tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * f.dl / (SELECT avgdl FROM stats))))
+           AS score,
+         count(*)::BIGINT AS n_hits
+  FROM tf f JOIN dfs d USING (term)
+  GROUP BY f.doc_id
+)
+SELECT doc_id, floor(score * 1e4 + 0.5) / 1e4 AS score, n_hits
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def b01_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scan-and-aggregate retrieval (operators/search.py
+    bm25_topk): the full scored set for a 3-term query — corpus stats
+    (N, avgdl, per-term df) from ONE fused pass, map-side term
+    filtering, per-doc score sum.  k=None returns the whole scored set
+    so membership cannot hinge on sub-rounding-precision ties; scores
+    round to 4 decimals with the cross-engine dround spelling (idf is
+    a driver-side math.log vs DuckDB ln — identical input bits, last-
+    ulp-safe after rounding)."""
+    from resilispark.operators.search import bm25_topk
+
+    from resilispark.queries._util import dround
+
+    d = _docs(spark, sf_dir)
+    out = bm25_topk(d, "data join query", k=None)
+    return out.select(
+        "doc_id",
+        dround(F.col("score"), 4).alias("score"),
+        "n_hits",
+    ).orderBy("doc_id")
+
+
+ORACLE_B01 = _BM25_ORACLE
+
+
+def b02_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index path (build_text_index -> bm25_search):
+    term-sharded postings with partition pruning at query time, same
+    arithmetic as the scan path — so the SAME DuckDB oracle gates both
+    physical plans, proving the index round-trip loses nothing."""
+    import tempfile
+
+    from resilispark.operators.search import bm25_search, build_text_index
+
+    from resilispark.queries._util import dround
+
+    d = _docs(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="resilispark-b02-idx-") + "/index"
+    build_text_index(d, idx, n_shards=16)
+    out = bm25_search(spark, idx, "data join query", k=None)
+    return out.select(
+        "doc_id",
+        dround(F.col("score"), 4).alias("score"),
+        "n_hits",
+    ).orderBy("doc_id")
+
+
+ORACLE_B02 = _BM25_ORACLE
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2357,6 +2444,8 @@ QUERIES = {
     "t11_cms_estimate": t11_cms_estimate,
     "t12_wds_roundtrip": t12_wds_roundtrip,
     "r01_robots_filter": r01_robots_filter,
+    "b01_bm25_scores": b01_bm25_scores,
+    "b02_bm25_index": b02_bm25_index,
 }
 
 ORACLES = {
@@ -2397,4 +2486,6 @@ ORACLES = {
     "t11_cms_estimate": ORACLE_T11,
     "t12_wds_roundtrip": ORACLE_T12,
     "r01_robots_filter": ORACLE_R01,
+    "b01_bm25_scores": ORACLE_B01,
+    "b02_bm25_index": ORACLE_B02,
 }
