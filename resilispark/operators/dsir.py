@@ -83,13 +83,27 @@ def dsir_logratios(
     estimates, for ALL ``buckets`` ids (unseen buckets get the smoothed
     floor on both sides — the ratio a never-seen gram deserves).  The
     result is ``buckets`` tiny rows, meant to broadcast."""
-    spark = raw.sparkSession
-    r = bucket_distribution(raw, text_col, buckets=buckets)
-    t = bucket_distribution(target, text_col, buckets=buckets)
+    return _logratios_from_dists(
+        raw.sparkSession,
+        bucket_distribution(raw, text_col, buckets=buckets),
+        bucket_distribution(target, text_col, buckets=buckets),
+        buckets=buckets,
+        smoothing=smoothing,
+    )
+
+
+def _logratios_from_dists(
+    spark,
+    r_dist: DataFrame,
+    t_dist: DataFrame,
+    *,
+    buckets: int,
+    smoothing: float,
+) -> DataFrame:
     allb = spark.range(buckets).select(F.col("id").cast("bigint").alias("bucket"))
     joined = (
-        allb.join(r.withColumnRenamed("n", "n_raw"), "bucket", "left")
-        .join(t.withColumnRenamed("n", "n_tgt"), "bucket", "left")
+        allb.join(r_dist.withColumnRenamed("n", "n_raw"), "bucket", "left")
+        .join(t_dist.withColumnRenamed("n", "n_tgt"), "bucket", "left")
         .select(
             "bucket",
             F.coalesce("n_raw", F.lit(0)).alias("n_raw"),
@@ -187,25 +201,47 @@ def dsir_select(
     """The full DSIR chain: estimate → weigh → resample.  Returns the
     selected rows of ``raw`` with their ``dsir_logweight`` attached.
 
-    ``raw`` is consumed three times (the log-ratio estimate's eager
-    collect, the weight branch, and the final join back), so by default
-    it is persisted MEMORY_AND_DISK for the chain — without it an
-    expensive upstream (WARC extraction, scrubbing) would re-execute
-    per scan.  Pass ``persist=False`` if the input is already cached or
-    is a cheap parquet scan; the cache is keyed on ``raw``'s plan, so
-    callers can release it later with ``raw.unpersist()``.
+    The raw corpus is gram-hashed ONCE: the exploded ``(id, bucket)``
+    frame is persisted and shared between the log-ratio estimate and
+    the weight branch (hashing is the chain's dominant cost — md5 per
+    unigram+bigram — and the naive spelling pays it twice).  ``raw``
+    itself is also persisted for the final join back unless
+    ``persist=False`` (already-cached input or a cheap parquet scan);
+    both caches key on the plan, so callers can release them later
+    with ``unpersist()``.
     """
-    if persist:
-        from pyspark import StorageLevel
+    from pyspark import StorageLevel
 
+    if persist:
         raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
-    lr = dsir_logratios(
-        raw, target, text_col, buckets=buckets, smoothing=smoothing
-    )
-    w = dsir_weights(
-        raw, lr, id_col=id_col, text_col=text_col, buckets=buckets
-    )
-    picked = dsir_sample(
-        w, n=n, id_col=id_col, seed=seed, temperature=temperature
-    )
-    return raw.join(picked, id_col)
+    raw_grams = raw.select(
+        F.col(id_col),
+        F.explode_outer(gram_buckets(text_col, buckets=buckets)).alias(
+            "bucket"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        r_dist = (
+            raw_grams.where(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        lr = _logratios_from_dists(
+            raw.sparkSession,
+            r_dist,
+            bucket_distribution(target, text_col, buckets=buckets),
+            buckets=buckets,
+            smoothing=smoothing,
+        )
+        w = (
+            raw_grams.join(F.broadcast(lr), "bucket", "left")
+            .groupBy(id_col)
+            .agg(F.coalesce(F.sum("logratio"), F.lit(0.0)).alias(
+                "dsir_logweight"))
+        )
+        picked = dsir_sample(
+            w, n=n, id_col=id_col, seed=seed, temperature=temperature
+        )
+        return raw.join(picked, id_col)
+    except Exception:
+        raw_grams.unpersist()
+        raise
