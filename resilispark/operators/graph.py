@@ -47,7 +47,7 @@ def pagerank(
     *,
     damping: float = 0.85,
     max_iterations: int = 20,
-    tol: float = 1e-6,
+    tol: float | None = 1e-6,
 ) -> DataFrame:
     """Standard damped PageRank to a tolerance — (vertex, rank) summing
     to 1 over all vertices.
@@ -57,7 +57,10 @@ def pagerank(
     driver (dangling mass and L1 delta).  Duplicate edges count once
     (the classic adjacency-matrix semantics).  Stops when the L1 change
     drops under ``tol``; raises if ``max_iterations`` rounds don't get
-    there — never returns unconverged ranks silently.
+    there — never returns unconverged ranks silently.  ``tol=None``
+    runs EXACTLY ``max_iterations`` rounds and returns (no delta pass —
+    one fewer join per round): the fixed-budget mode, and what the
+    cross-engine oracle replays iteration for iteration.
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -106,6 +109,10 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        if tol is None:
+            with_deg.unpersist()
+            ranks = new_ranks
+            continue
         delta = (
             new_ranks.join(
                 ranks.select("vertex", F.col("rank").alias("_old")), "vertex"
@@ -117,6 +124,8 @@ def pagerank(
         ranks = new_ranks
         if delta is not None and delta < tol:
             return ranks
+    if tol is None:
+        return ranks
     raise RuntimeError(
         f"pagerank did not converge in {max_iterations} rounds "
         f"(last L1 delta {delta:.2e}; raise max_iterations or tol)"

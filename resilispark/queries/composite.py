@@ -124,6 +124,7 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
     "r01_robots_filter": [("doc_id", "n"), ("host", "s")],
     "b01_bm25_scores": [("doc_id", "n"), ("score", "d"), ("n_hits", "n")],
     "b02_bm25_index": [("doc_id", "n"), ("score", "d"), ("n_hits", "n")],
+    "g01_pagerank": [("vertex", "n"), ("rank", "d")],
 }
 
 # members may live in either query module; merged lookup keeps the
@@ -195,6 +196,9 @@ FAMILIES: dict[str, list[str]] = {
         # paths against one shared oracle — the index round-trip
         # provably loses nothing)
         "b01_bm25_scores", "b02_bm25_index",
+        # (g01 joined in round 6: 3 fixed PageRank iterations with
+        # dangling-mass redistribution, replayed round for round)
+        "g01_pagerank",
     ],
 }
 

@@ -2406,6 +2406,102 @@ def b02_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_B02 = _BM25_ORACLE
 
 
+def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (operators/graph.py) over a deterministic
+    synthetic link graph: every doc (except the doc_id%10==0 ones,
+    which become DANGLING nodes — their mass redistributes globally)
+    links to three affine-hash targets.  Exactly 3 iterations
+    (tol=None fixed-budget mode) replayed iteration for iteration in
+    DuckDB; ranks round at 9 decimals (per-vertex contribution sums
+    differ only in summation order)."""
+    from resilispark.operators.graph import pagerank
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    src = d.where(F.col("doc_id") % 10 != 0)
+    edges = None
+    for a, b in ((7, 1), (13, 2), (29, 5)):
+        part = src.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % n).alias("dst"),
+        )
+        edges = part if edges is None else edges.unionByName(part)
+    pr = pagerank(edges, max_iterations=3, tol=None)
+    return pr.select(
+        F.col("vertex").cast("bigint").alias("vertex"),
+        dround("rank", 9).alias("rank"),
+    ).orderBy("vertex")
+
+
+ORACLE_G01 = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+    FROM documents WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 2) % (SELECT n FROM nn)
+    FROM documents WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT doc_id, (doc_id * 29 + 5) % (SELECT n FROM nn)
+    FROM documents WHERE doc_id % 10 <> 0
+  )
+),
+vertices AS (
+  SELECT DISTINCT v AS vertex FROM (
+    SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)
+),
+nv AS (SELECT count(*)::BIGINT AS nv FROM vertices),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+r0 AS (SELECT vertex, 1.0 / (SELECT nv FROM nv) AS rank FROM vertices),
+it1 AS (
+  SELECT v.vertex,
+         (1.0 - 0.85) / (SELECT nv FROM nv)
+         + 0.85 * (SELECT coalesce(sum(r.rank), 0)
+                   FROM r0 r LEFT JOIN deg d ON r.vertex = d.src
+                   WHERE d.src IS NULL) / (SELECT nv FROM nv)
+         + 0.85 * coalesce(c.contrib, 0) AS rank
+  FROM vertices v LEFT JOIN (
+    SELECT e.dst AS vertex, sum(r.rank / d.deg) AS contrib
+    FROM edges e JOIN r0 r ON e.src = r.vertex
+                 JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c USING (vertex)
+),
+it2 AS (
+  SELECT v.vertex,
+         (1.0 - 0.85) / (SELECT nv FROM nv)
+         + 0.85 * (SELECT coalesce(sum(r.rank), 0)
+                   FROM it1 r LEFT JOIN deg d ON r.vertex = d.src
+                   WHERE d.src IS NULL) / (SELECT nv FROM nv)
+         + 0.85 * coalesce(c.contrib, 0) AS rank
+  FROM vertices v LEFT JOIN (
+    SELECT e.dst AS vertex, sum(r.rank / d.deg) AS contrib
+    FROM edges e JOIN it1 r ON e.src = r.vertex
+                 JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c USING (vertex)
+),
+it3 AS (
+  SELECT v.vertex,
+         (1.0 - 0.85) / (SELECT nv FROM nv)
+         + 0.85 * (SELECT coalesce(sum(r.rank), 0)
+                   FROM it2 r LEFT JOIN deg d ON r.vertex = d.src
+                   WHERE d.src IS NULL) / (SELECT nv FROM nv)
+         + 0.85 * coalesce(c.contrib, 0) AS rank
+  FROM vertices v LEFT JOIN (
+    SELECT e.dst AS vertex, sum(r.rank / d.deg) AS contrib
+    FROM edges e JOIN it2 r ON e.src = r.vertex
+                 JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c USING (vertex)
+)
+SELECT vertex, floor(rank * 1e9 + 0.5) / 1e9 AS rank
+FROM it3
+ORDER BY vertex
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2446,6 +2542,7 @@ QUERIES = {
     "r01_robots_filter": r01_robots_filter,
     "b01_bm25_scores": b01_bm25_scores,
     "b02_bm25_index": b02_bm25_index,
+    "g01_pagerank": g01_pagerank,
 }
 
 ORACLES = {
@@ -2488,4 +2585,5 @@ ORACLES = {
     "r01_robots_filter": ORACLE_R01,
     "b01_bm25_scores": ORACLE_B01,
     "b02_bm25_index": ORACLE_B02,
+    "g01_pagerank": ORACLE_G01,
 }
