@@ -634,12 +634,22 @@ def get_fs(path: str) -> FileSystem:
     if scheme in _EXTRA_FS:
         return _EXTRA_FS[scheme]()
     try:
-        import fsspec  # noqa: F401  (optional scheme-open fallback)
+        import fsspec
+
+        # eager validation: an unknown protocol must raise ValueError
+        # HERE (fsspec's own contract), not an opaque error at first
+        # use on an executor
+        fsspec.get_filesystem_class(scheme)
     except ImportError:
         raise ValueError(
             f"unsupported filesystem scheme {scheme!r} in {path!r} — "
             "register_fs() a backend for it, or install fsspec with a "
             f"{scheme} protocol implementation"
+        ) from None
+    except Exception as e:
+        raise ValueError(
+            f"unsupported filesystem scheme {scheme!r} in {path!r} "
+            f"({e}) — register_fs() a backend for it"
         ) from None
     return FsspecFS(scheme)
 

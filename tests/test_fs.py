@@ -165,6 +165,7 @@ def test_fsspec_fallback_adapter(tmp_path, monkeypatch):
 
     fake = types.ModuleType("fsspec")
     fake.filesystem = lambda scheme: _FakeLocal()
+    fake.get_filesystem_class = lambda scheme: _FakeLocal
     monkeypatch.setitem(sys.modules, "fsspec", fake)
 
     fs = get_fs("gs://bucket/data.bin")

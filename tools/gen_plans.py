@@ -41,6 +41,12 @@ PICKS = {
     "s06_kmeans": "Distributed Lloyd's: each iteration is ONE mapInPandas pass emitting <= partitions*k stat rows, a per-cell combine that shuffles only those, and a k*d driver collect; the returned frame is the final centroid table (LocalTableScan) — the corpus vectors never shuffle, so the plan to audit is the iteration's map-side partial aggregation.",
     "t10_dsir": "DSIR selection: codegen gram hashing (no EvalPython), bucket distributions partial-aggregated to <= buckets keys, the KB log-ratio table broadcast (BuildRight), ONE uniform doc_id shuffle for the weight sums, TakeOrderedAndProject for the Gumbel top-k — no global sort, no corpus-sized shuffle.",
     "s07_cluster_sample": "Cluster-balanced sampling: cell sizes are ONE partial-aggregated groupBy (rows shuffled <= n_cells), quotas driver arithmetic joined back as a BroadcastHashJoin, and the rank filter's constant max-quota bound compiles to WindowGroupLimit — each cell is pruned to its top rows map-side BEFORE the one cell-keyed shuffle, so a head cluster never ships its tail.",
+    "t11_cms_estimate": "Count-min probe: the merged cell table (<= depth*width rows by construction) is the broadcast BUILD side of the probe's left join; candidate positions are pure codegen hash arithmetic — no corpus read at all, the store rows are the only input.",
+    "t12_wds_roundtrip": "WebDataset read-back: binaryFile lists the shards, one mapInPandas unTars each on the executor that read it — ZERO shuffles end to end; md5/length are codegen above the source.",
+    "r01_robots_filter": "Robots verdict: per-host rule table reduced by partial-aggregated max(struct), joined with NO forced hint (AQE broadcasts at this size, accepts sort-merge at crawl scale); the Arrow verdict kernel is map-side — the corpus never shuffles.",
+    "b01_bm25_scores": "BM25 scan path: N/avgdl/df in ONE fused aggregate, query-term tokens filtered map-side before the explode, per-doc score sums on the uniform doc_id — two corpus scans total, no global sort in k=None mode.",
+    "b02_bm25_index": "BM25 index path: posting reads pruned to <= len(terms) shard directories (PartitionFilters), per-term df + idf broadcast, lengths joined once — the index IS the lookup, the corpus is never touched.",
+    "g01_pagerank": "PageRank round: ranks join out-degrees once (persisted for the round's two aggregates), contributions partial-aggregate per target vertex, dangling mass is a scalar to the driver — one shuffle per iteration, lineage cut by localCheckpoint each round.",
 }
 
 _KEEP = re.compile(
