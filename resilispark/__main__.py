@@ -669,6 +669,29 @@ def cmd_curate(args) -> int:
                 f"{'appended frequency sketch to' if appended else 'frequency sketch already recorded in'} "
                 f"{args.frequency_sketch}"
             )
+    if getattr(args, "topk_sketch", None):
+        # persist a mergeable Misra-Gries heavy-hitters summary of
+        # hosts: topk_store_report later answers "which hosts DOMINATE
+        # the corpus across all crawls" from the stored counters alone
+        # — the discovery sibling of the count-min point probe
+        from resilispark.operators.sketches import write_snapshot_topk
+
+        shipped = _read_output()
+        if "url" not in shipped.columns:
+            print("top-k sketch skipped: corpus has no url column")
+        else:
+            appended = write_snapshot_topk(
+                shipped.withColumn(
+                    "host", F.parse_url(F.col("url"), F.lit("HOST"))
+                ),
+                args.topk_sketch,
+                snapshot=args.output, col="host",
+                capacity=args.topk_capacity, skip_existing=True,
+            )
+            print(
+                f"{'appended top-k sketch to' if appended else 'top-k sketch already recorded in'} "
+                f"{args.topk_sketch}"
+            )
     if args.pack:
         from resilispark.operators.packing import emit_sequences
 
@@ -1169,6 +1192,14 @@ def cmd_sketch_report(args) -> int:
         for r in rows:
             print(f"value={r.value} est_n={r.est_n}")
         return 0
+    if getattr(args, "topk", None) is not None:
+        from resilispark.operators.sketches import topk_store_report
+
+        rows = topk_store_report(spark, args.store, k=args.topk).collect()
+        for r in rows:
+            print(f"value={r.value} n_min={r.n_min} "
+                  f"err_bound={r.err_bound}")
+        return 0
     if getattr(args, "histogram", False):
         from resilispark.operators.sketches import histogram_store_drift
 
@@ -1629,6 +1660,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="append a count-min sketch of per-host doc "
                         "counts to a mergeable store (cross-crawl "
                         "hot-host estimates, zero corpus reads)")
+    p.add_argument("--topk-sketch", default=None, metavar="PATH",
+                   help="append a Misra-Gries heavy-hitters summary of "
+                        "per-host doc counts to a mergeable store; "
+                        "`sketch-report --topk K PATH` reads the "
+                        "cross-crawl dominant hosts from it")
+    p.add_argument("--topk-capacity", type=int, default=1024,
+                   help="counters kept per top-k summary (undercount "
+                        "bound = total/(capacity+1))")
     p.add_argument("--cardinality-sketch", default=None, metavar="PATH",
                    help="append this snapshot's HLL distinct-count "
                         "sketches (content digest / url / host) to a "
@@ -1846,6 +1885,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="treat the store as a count-min store "
                         "(curate --frequency-sketch) and print the "
                         "merged frequency estimate for each value")
+    p.add_argument("--topk", type=int, default=None, metavar="K",
+                   help="treat the store as a heavy-hitters store "
+                        "(curate --topk-sketch) and print the merged "
+                        "top-K values with error bounds")
     p.set_defaults(fn=cmd_sketch_report)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")

@@ -508,3 +508,194 @@ def cms_estimate(
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
     )
+
+
+def heavy_hitters_summary(
+    docs: DataFrame,
+    col,
+    *,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitters summaries — the TOP-K
+    sibling of the HLL/histogram/count-min stores (which value
+    dominates, not just how often one known value occurs).
+
+    Each partition emits at most ``capacity`` ``(value, n)`` rows plus
+    ONE ``value IS NULL`` row whose ``n`` is the partition's subtracted
+    error mass: whenever a partition's summary overflows, the
+    (capacity+1)-th largest count ``c`` is subtracted from every
+    counter (dropping the ≤0 ones) and added to the error row — the
+    mergeable-summaries trim (Agarwal et al. 2012).  Counters only
+    ever UNDERCOUNT, by at most the error mass; summaries from any
+    number of partitions/snapshots merge by summing ``n`` per value
+    (errors add).  With ``capacity`` ≥ the partition's distinct count
+    the trim never fires and the summary is EXACT (error 0) — the
+    regime the correctness oracle replays.
+
+    Scale shape: per-partition memory is bounded by ``capacity`` plus
+    one Arrow batch (NOT by the column's distinct count — the whole
+    point vs a plain groupBy at 10^10 distinct URLs); the shuffle
+    carries ≤ partitions × (capacity+1) rows.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    c = F.col(col).cast("string") if isinstance(col, str) else col.cast("string")
+    vals = docs.select(c.alias("_v")).where(F.col("_v").isNotNull())
+
+    def summarize(batches: Iterator) -> Iterator:
+        counters: dict[str, int] = {}
+        err = 0
+        for pdf in batches:
+            for v, n in pdf["_v"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(n)
+            if len(counters) > capacity:
+                # trim: subtract the (capacity+1)-th largest from all
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    v: n - cut for v, n in counters.items() if n > cut
+                }
+                err += cut
+        rows = [(v, n) for v, n in counters.items()] + [(None, err)]
+        yield pd.DataFrame(rows, columns=["value", "n"])
+
+    return vals.mapInPandas(summarize, "value string, n bigint")
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    col,
+    *,
+    k: int = 20,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Approximate top-``k`` most frequent values of ``col``:
+    ``(value, n_min, err_bound)`` ordered by count — the true count of
+    every reported value lies in ``[n_min, n_min + err_bound]``, and
+    any value whose true count exceeds ``err_bound`` is guaranteed to
+    appear in SOME summary (classic Misra-Gries).  One summary pass +
+    a merge over ≤ partitions × capacity tiny rows."""
+    s = heavy_hitters_summary(docs, col, capacity=capacity)
+    merged = (
+        s.where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.sum("n").alias("n_min"))
+    )
+    err = (
+        s.where(F.col("value").isNull())
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("e"))
+        .first()["e"]
+    )
+    return (
+        merged.orderBy(F.col("n_min").desc(), "value")
+        .limit(k)
+        .select("value", "n_min", F.lit(int(err)).alias("err_bound"))
+    )
+
+
+def write_snapshot_topk(
+    docs: DataFrame,
+    path: str,
+    *,
+    snapshot: str,
+    col,
+    capacity: int = 1024,
+    skip_existing: bool = False,
+) -> bool:
+    """Append this snapshot's merged heavy-hitters summary (≤ capacity
+    value rows + one NULL-value error row, same store contract as the
+    other sketches: duplicate snapshot labels refused / skipped, the
+    capacity rides every row and mismatched capacities refuse to
+    merge).  The per-partition summaries are re-trimmed to ``capacity``
+    before persisting, so the store grows by O(capacity) per snapshot
+    regardless of partition count."""
+    spark = docs.sparkSession
+    s = heavy_hitters_summary(docs, col, capacity=capacity)
+    merged = (
+        s.where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.sum("n").alias("n"))
+    )
+    err = (
+        s.where(F.col("value").isNull())
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("e"))
+        .first()["e"]
+    )
+    # cross-partition re-trim: the summed summary may hold up to
+    # partitions x capacity rows; keep the top `capacity` and fold the
+    # cut into the error mass (the mergeable-summaries merge step).
+    # TakeOrderedAndProject keeps this a bounded heap, never a sort.
+    kept = [
+        (r["value"], int(r["n"]))
+        for r in merged.orderBy(
+            F.col("n").desc(), "value").limit(capacity + 1).collect()
+    ]
+    cut = 0
+    if len(kept) > capacity:
+        cut = kept[capacity][1]
+        kept = [(v, n - cut) for v, n in kept[:capacity] if n > cut]
+    rows = [(snapshot, str(col), capacity, v, n) for v, n in kept]
+    rows.append((snapshot, str(col), capacity, None, int(err) + cut))
+    out = spark.createDataFrame(
+        rows, "snapshot string, column string, capacity int, "
+              "value string, n bigint",
+    )
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = spark.read.schema(out.schema).parquet(path)
+        caps = existing.select("column", "capacity").distinct().collect()
+        for p in caps:
+            if (p["column"], p["capacity"]) != (str(col), capacity):
+                raise ValueError(
+                    f"top-k store {path} holds {tuple(p)} summaries — "
+                    f"refusing to append ({str(col)!r}, {capacity}); "
+                    "summaries only merge when column/capacity match"
+                )
+        if existing.filter(F.col("snapshot") == snapshot).limit(1).count():
+            if skip_existing:
+                return False
+            raise ValueError(
+                f"snapshot {snapshot!r} already present in top-k store "
+                f"{path} — each snapshot contributes exactly once"
+            )
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+            raise
+    out.write.mode("append").parquet(path)
+    return True
+
+
+def topk_store_report(
+    spark,
+    path: str,
+    *,
+    k: int = 20,
+    snapshot: str | None = None,
+) -> DataFrame:
+    """Corpus-wide approximate top-``k`` from the store alone — zero
+    corpus reads: snapshot summaries merge by summing counters per
+    value; error masses add.  ``(value, n_min, err_bound)``, true
+    count in ``[n_min, n_min + err_bound]``."""
+    store = spark.read.parquet(path)
+    if snapshot is not None:
+        store = store.where(F.col("snapshot") == snapshot)
+    merged = (
+        store.where(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg(F.sum("n").alias("n_min"))
+    )
+    err = (
+        store.where(F.col("value").isNull())
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("e"))
+        .first()["e"]
+    )
+    return (
+        merged.orderBy(F.col("n_min").desc(), "value")
+        .limit(k)
+        .select("value", "n_min", F.lit(int(err)).alias("err_bound"))
+    )

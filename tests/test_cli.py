@@ -1606,6 +1606,33 @@ def test_cli_curate_frequency_sketch(tmp_path, spark):
     assert got == {"hot.example": 8, "cold.example": 2}
 
 
+def test_cli_curate_topk_sketch_and_report(tmp_path, spark, capsys):
+    """curate --topk-sketch appends a heavy-hitters host summary over
+    two crawls; sketch-report --topk merges them from the store alone."""
+    from resilispark.__main__ import main
+
+    store = str(tmp_path / "topk")
+    for crawl, n_hot in (("c1", 8), ("c2", 5)):
+        src = str(tmp_path / f"docs-{crawl}.parquet")
+        spark.createDataFrame(
+            [(i, f"doc number {i} with words", "en", "web",
+              f"https://{'hot' if i < n_hot else 'cold'}.example/{crawl}{i}")
+             for i in range(10)],
+            "doc_id long, text string, lang string, source string, "
+            "url string",
+        ).write.mode("overwrite").parquet(src)
+        rc = main(["--cpus", "4", "curate", src,
+                   "-o", str(tmp_path / f"corpus-{crawl}"),
+                   "--no-quality", "--keep-pii", "--topk-sketch", store])
+        assert rc == 0
+        assert "appended top-k sketch" in capsys.readouterr().out
+    rc = main(["--cpus", "4", "sketch-report", store, "--topk", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[:2] == ["value=hot.example n_min=13 err_bound=0",
+                       "value=cold.example n_min=7 err_bound=0"]
+
+
 def test_cli_sketch_report_cms_values(tmp_path, spark, capsys):
     from resilispark.__main__ import main
     from resilispark.operators.sketches import write_snapshot_cms

@@ -5678,6 +5678,61 @@ class TestCountMinSketch:
             write_snapshot_cms(docs, store, snapshot="c2", col="host",
                                hash_fn="xxhash64")
 
+    def test_heavy_hitters_exact_regime(self, spark, tmp_path):
+        """capacity >= distinct -> the trim never fires: counts exact,
+        err_bound 0, order by count desc then value."""
+        from resilispark.operators.sketches import heavy_hitters
+
+        docs = spark.createDataFrame(
+            [(f"h{i % 5}",) for i in range(50)] + [("h0",)] * 7,
+            ["host"],
+        ).repartition(4)
+        got = heavy_hitters(docs, "host", k=3, capacity=64).collect()
+        assert [(r.value, r.n_min, r.err_bound) for r in got] == [
+            ("h0", 17, 0), ("h1", 10, 0), ("h2", 10, 0)]
+
+    def test_heavy_hitters_bounds_under_trim(self, spark):
+        """capacity < distinct: reported counts undercount by at most
+        err_bound, and the dominant value always surfaces."""
+        from resilispark.operators.sketches import heavy_hitters
+
+        rows = [("big",)] * 400 + [(f"tail{i}",) for i in range(300)]
+        docs = spark.createDataFrame(rows, ["v"]).repartition(4)
+        got = {r.value: r for r in heavy_hitters(
+            docs, "v", k=5, capacity=8).collect()}
+        assert "big" in got
+        r = got["big"]
+        assert r.n_min <= 400 <= r.n_min + r.err_bound
+
+    def test_topk_store_merges_across_snapshots(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from resilispark.operators.sketches import (
+            topk_store_report,
+            write_snapshot_topk,
+        )
+
+        store = str(tmp_path / "topk")
+        a = spark.createDataFrame([("x",)] * 6 + [("y",)] * 2, ["h"])
+        b = spark.createDataFrame([("x",)] * 3 + [("z",)] * 5, ["h"])
+        assert write_snapshot_topk(a, store, snapshot="c1", col="h",
+                                   capacity=16)
+        assert write_snapshot_topk(b, store, snapshot="c2", col="h",
+                                   capacity=16)
+        got = [(r.value, r.n_min, r.err_bound) for r in
+               topk_store_report(spark, store, k=3).collect()]
+        # exact regime: x=6+3, z=5, y=2, zero error
+        assert got == [("x", 9, 0), ("z", 5, 0), ("y", 2, 0)]
+        # store contract: duplicate labels + mismatched capacity refused
+        with _pytest.raises(ValueError, match="already present"):
+            write_snapshot_topk(a, store, snapshot="c1", col="h",
+                                capacity=16)
+        assert not write_snapshot_topk(a, store, snapshot="c1", col="h",
+                                       capacity=16, skip_existing=True)
+        with _pytest.raises(ValueError, match="refusing to append"):
+            write_snapshot_topk(a, store, snapshot="c3", col="h",
+                                capacity=8)
+
     def test_empty_candidate_list_refused(self, spark, tmp_path):
         import pytest as _pytest
 
