@@ -563,13 +563,47 @@ class FsspecFS(FileSystem):
         return self._fs
 
     def _full(self, p: str) -> str:
-        return p if "://" in p else f"{self.scheme}://{p.lstrip('/')}"
+        # slash-rooted backends (hdfs, sftp) return '/data/x' — the
+        # slash must SURVIVE ('hdfs:///data/x', empty authority);
+        # stripping it would promote the first path segment to the
+        # URL authority and point every later read at the wrong host
+        return p if "://" in p else f"{self.scheme}://{p}"
 
     def open(self, path: str, mode: str = "rb") -> BinaryIO:
         return self._f().open(path, mode)
 
     def glob(self, pattern: str) -> list[str]:
         return sorted(self._full(p) for p in self._f().glob(pattern))
+
+    def glob_stat(self, pattern: str) -> list[tuple[str, int]]:
+        # sizes off the listing itself (glob detail pages) — the
+        # base-class per-file size() fallback would issue one metadata
+        # RPC per object, exactly what planning a million-file corpus
+        # must not do
+        try:
+            det = self._f().glob(pattern, detail=True)
+        except TypeError:  # fsspec too old for detail= on glob
+            return super().glob_stat(pattern)
+        return sorted(
+            (self._full(p), int(i.get("size") or 0))
+            for p, i in det.items()
+            if i.get("type") != "directory"
+        )
+
+    def glob_mtimes(self, pattern: str) -> dict[str, float]:
+        try:
+            det = self._f().glob(pattern, detail=True)
+        except TypeError:
+            return super().glob_mtimes(pattern)
+        out: dict[str, float] = {}
+        for p, i in det.items():
+            if i.get("type") == "directory":
+                continue
+            m = i.get("mtime") or i.get("LastModified")
+            if hasattr(m, "timestamp"):
+                m = m.timestamp()
+            out[self._full(p)] = float(m) if m is not None else 0.0
+        return out
 
     def size(self, path: str) -> int:
         return int(self._f().size(path))

@@ -204,11 +204,14 @@ def dsir_select(
     The raw corpus is gram-hashed ONCE: the exploded ``(id, bucket)``
     frame is persisted and shared between the log-ratio estimate and
     the weight branch (hashing is the chain's dominant cost — md5 per
-    unigram+bigram — and the naive spelling pays it twice).  ``raw``
-    itself is also persisted for the final join back unless
+    unigram+bigram — and the naive spelling pays it twice), then
+    RELEASED before returning: the picked (id, logweight) set — tiny,
+    ``n`` rows — is localCheckpoint'ed eagerly, so the returned plan
+    no longer references the corpus-sized gram cache and it cannot
+    accumulate across repeated selections in a long-lived session.
+    ``raw`` itself stays persisted for the final join back unless
     ``persist=False`` (already-cached input or a cheap parquet scan);
-    both caches key on the plan, so callers can release them later
-    with ``unpersist()``.
+    that cache keys on ``raw``'s plan, releasable with ``unpersist()``.
     """
     from pyspark import StorageLevel
 
@@ -240,8 +243,7 @@ def dsir_select(
         )
         picked = dsir_sample(
             w, n=n, id_col=id_col, seed=seed, temperature=temperature
-        )
+        ).localCheckpoint(eager=True)
         return raw.join(picked, id_col)
-    except Exception:
+    finally:
         raw_grams.unpersist()
-        raise

@@ -565,6 +565,33 @@ def heavy_hitters_summary(
     return vals.mapInPandas(summarize, "value string, n bigint")
 
 
+def _merge_summary_topk(summary: DataFrame, k: int) -> list[tuple]:
+    """Merge MG summary rows (counters sum per value, error masses
+    add) and collect the top-``k``: ``[(value, n_min, err), ...]``.
+    The summary is persisted for the two aggregates so the counters
+    and the error mass come from ONE execution — recomputing an
+    unpersisted mapInPandas summary per action could pair counters
+    with a DIFFERENT run's trims and break the bound."""
+    s = summary.persist()
+    try:
+        err = int(
+            s.where(F.col("value").isNull())
+            .agg(F.coalesce(F.sum("n"), F.lit(0)))
+            .first()[0]
+        )
+        rows = (
+            s.where(F.col("value").isNotNull())
+            .groupBy("value")
+            .agg(F.sum("n").alias("n"))
+            .orderBy(F.col("n").desc(), "value")
+            .limit(k)
+            .collect()
+        )
+    finally:
+        s.unpersist()
+    return [(r["value"], int(r["n"]), err) for r in rows]
+
+
 def heavy_hitters(
     docs: DataFrame,
     col,
@@ -576,23 +603,15 @@ def heavy_hitters(
     ``(value, n_min, err_bound)`` ordered by count — the true count of
     every reported value lies in ``[n_min, n_min + err_bound]``, and
     any value whose true count exceeds ``err_bound`` is guaranteed to
-    appear in SOME summary (classic Misra-Gries).  One summary pass +
-    a merge over ≤ partitions × capacity tiny rows."""
-    s = heavy_hitters_summary(docs, col, capacity=capacity)
-    merged = (
-        s.where(F.col("value").isNotNull())
-        .groupBy("value")
-        .agg(F.sum("n").alias("n_min"))
+    appear in SOME summary (classic Misra-Gries).  One summary pass
+    over the corpus; the merge runs over ≤ partitions × capacity tiny
+    persisted rows and the k-row report materializes eagerly (it is a
+    driver-scale readout by design)."""
+    top = _merge_summary_topk(
+        heavy_hitters_summary(docs, col, capacity=capacity), k
     )
-    err = (
-        s.where(F.col("value").isNull())
-        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("e"))
-        .first()["e"]
-    )
-    return (
-        merged.orderBy(F.col("n_min").desc(), "value")
-        .limit(k)
-        .select("value", "n_min", F.lit(int(err)).alias("err_bound"))
+    return docs.sparkSession.createDataFrame(
+        top, "value string, n_min bigint, err_bound bigint"
     )
 
 
@@ -609,44 +628,18 @@ def write_snapshot_topk(
     value rows + one NULL-value error row, same store contract as the
     other sketches: duplicate snapshot labels refused / skipped, the
     capacity rides every row and mismatched capacities refuse to
-    merge).  The per-partition summaries are re-trimmed to ``capacity``
-    before persisting, so the store grows by O(capacity) per snapshot
+    merge).  Store checks run BEFORE any corpus work, so a skipped
+    idempotent retry costs one store read, not two corpus scans.  The
+    per-partition summaries are re-trimmed to ``capacity`` before
+    persisting, so the store grows by O(capacity) per snapshot
     regardless of partition count."""
     spark = docs.sparkSession
-    s = heavy_hitters_summary(docs, col, capacity=capacity)
-    merged = (
-        s.where(F.col("value").isNotNull())
-        .groupBy("value")
-        .agg(F.sum("n").alias("n"))
-    )
-    err = (
-        s.where(F.col("value").isNull())
-        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("e"))
-        .first()["e"]
-    )
-    # cross-partition re-trim: the summed summary may hold up to
-    # partitions x capacity rows; keep the top `capacity` and fold the
-    # cut into the error mass (the mergeable-summaries merge step).
-    # TakeOrderedAndProject keeps this a bounded heap, never a sort.
-    kept = [
-        (r["value"], int(r["n"]))
-        for r in merged.orderBy(
-            F.col("n").desc(), "value").limit(capacity + 1).collect()
-    ]
-    cut = 0
-    if len(kept) > capacity:
-        cut = kept[capacity][1]
-        kept = [(v, n - cut) for v, n in kept[:capacity] if n > cut]
-    rows = [(snapshot, str(col), capacity, v, n) for v, n in kept]
-    rows.append((snapshot, str(col), capacity, None, int(err) + cut))
-    out = spark.createDataFrame(
-        rows, "snapshot string, column string, capacity int, "
-              "value string, n bigint",
-    )
+    schema = ("snapshot string, column string, capacity int, "
+              "value string, n bigint")
     from pyspark.errors import AnalysisException
 
     try:
-        existing = spark.read.schema(out.schema).parquet(path)
+        existing = spark.read.parquet(path)
         caps = existing.select("column", "capacity").distinct().collect()
         for p in caps:
             if (p["column"], p["capacity"]) != (str(col), capacity):
@@ -666,7 +659,20 @@ def write_snapshot_topk(
         msg = str(e)
         if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
             raise
-    out.write.mode("append").parquet(path)
+    # cross-partition re-trim: keep the top `capacity` counters and
+    # fold the cut into the error mass (the mergeable-summaries merge
+    # step); one extra row past capacity shows whether a cut is due
+    kept = _merge_summary_topk(
+        heavy_hitters_summary(docs, col, capacity=capacity), capacity + 1
+    )
+    err = kept[0][2] if kept else 0
+    cut = 0
+    if len(kept) > capacity:
+        cut = kept[capacity][1]
+        kept = [(v, n - cut, 0) for v, n, _ in kept[:capacity] if n > cut]
+    rows = [(snapshot, str(col), capacity, v, n) for v, n, _ in kept]
+    rows.append((snapshot, str(col), capacity, None, err + cut))
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(path)
     return True
 
 
@@ -684,18 +690,7 @@ def topk_store_report(
     store = spark.read.parquet(path)
     if snapshot is not None:
         store = store.where(F.col("snapshot") == snapshot)
-    merged = (
-        store.where(F.col("value").isNotNull())
-        .groupBy("value")
-        .agg(F.sum("n").alias("n_min"))
-    )
-    err = (
-        store.where(F.col("value").isNull())
-        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("e"))
-        .first()["e"]
-    )
-    return (
-        merged.orderBy(F.col("n_min").desc(), "value")
-        .limit(k)
-        .select("value", "n_min", F.lit(int(err)).alias("err_bound"))
+    top = _merge_summary_topk(store.select("value", "n"), k)
+    return spark.createDataFrame(
+        top, "value string, n_min bigint, err_bound bigint"
     )

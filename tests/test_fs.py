@@ -112,11 +112,20 @@ def test_fsspec_fallback_adapter(tmp_path, monkeypatch):
                 os.makedirs(os.path.dirname(loc), exist_ok=True)
             return open(loc, mode)
 
-        def glob(self, pat):
+        def glob(self, pat, detail=False):
             import glob as g
+            import os
 
-            return sorted(
+            paths = sorted(
                 x[len(str(root)) + 1:] for x in g.glob(self._p(pat)))
+            if detail:
+                return {
+                    p: {"type": "file",
+                        "size": os.path.getsize(self._p(p)),
+                        "mtime": os.path.getmtime(self._p(p))}
+                    for p in paths
+                }
+            return paths
 
         def size(self, p):
             import os
@@ -177,6 +186,12 @@ def test_fsspec_fallback_adapter(tmp_path, monkeypatch):
     assert fs.size("gs://bucket/data.bin") == 11
     assert fs.read_range("gs://bucket/data.bin", 8, 3) == b"123"
     assert fs.glob("gs://bucket/*.bin") == ["gs://bucket/data.bin"]
+    # sizes/mtimes off the listing pages, not per-file round trips
+    assert fs.glob_stat("gs://bucket/*.bin") == [("gs://bucket/data.bin", 11)]
+    assert fs.glob_mtimes("gs://bucket/*.bin")["gs://bucket/data.bin"] > 0
+    # slash-rooted backends (hdfs/sftp): the leading slash must survive
+    # or the first path segment becomes the URL authority
+    assert fs._full("/data/x.bin") == "gs:///data/x.bin"
     assert fs.mtime("gs://bucket/data.bin") > 0
     fs.copy("gs://bucket/data.bin", "gs://bucket/copy.bin")
     assert fs.size("gs://bucket/copy.bin") == 11
