@@ -800,6 +800,38 @@ def cmd_pack(args) -> int:
         ).withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("bigint"))
         tokens_col, token_count_col = "bpe_tokens", "n_bpe_tokens"
     docs = docs.persist()
+    if getattr(args, "no_split", False):
+        # SFT mode: whole docs best-fit into bins, nothing truncated
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.packing import pack_bins
+
+        bins = pack_bins(
+            docs,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            token_count_col=token_count_col,
+            seq_len=args.seq_len,
+            n_buckets=args.buckets,
+            shuffle_seed=args.seed,
+            oversize=args.oversize,
+        )
+        bins.write.mode("overwrite").parquet(args.output)
+        summary = bins.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.countDistinct("bucket", "bin").alias("bins"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum(F.col("oversize").cast("int")).alias("oversize"),
+        ).first()
+        fill = (summary["tokens"] or 0) / max(
+            1, (summary["bins"] or 0) * args.seq_len)
+        print(
+            f"docs={summary['docs']} bins={summary['bins']} "
+            f"tokens={summary['tokens']} oversize={summary['oversize']} "
+            f"fill={fill:.4f}"
+        )
+        print(f"wrote {args.output}")
+        return 0
     seqs = emit_sequences(
         docs,
         id_col=args.id_col,
@@ -1760,6 +1792,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="also write doc_spans — per-sequence "
                         "(doc_id, start, end) token spans for "
                         "attention-masking loaders")
+    p.add_argument("--no-split", action="store_true",
+                   help="SFT mode: best-fit whole docs into bins "
+                        "instead of concat-and-chunk — no document is "
+                        "ever truncated; writes (bucket, id, bin) "
+                        "assignments")
+    p.add_argument("--oversize", choices=("own_bin", "drop", "error"),
+                   default="own_bin",
+                   help="--no-split policy for docs longer than "
+                        "--seq-len")
     p.set_defaults(fn=cmd_pack)
 
     p = sub.add_parser(

@@ -452,3 +452,122 @@ def emit_sequences(
         # carries the order, loaders sort shards locally
     )
     return out
+
+
+def pack_bins(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    seq_len: int = 2048,
+    n_buckets: int = 8,
+    shuffle_seed: int | None = None,
+    oversize: str = "own_bin",
+) -> DataFrame:
+    """Best-fit-decreasing bin packing WITHOUT document splitting — the
+    SFT/instruction-tuning delivery mode.  :func:`emit_sequences`'
+    concat-and-chunk is right for pretraining, where a document cut at
+    a sequence boundary continues in the next sequence; for
+    supervised examples a truncated record is a CORRUPTED record, so
+    each doc must land whole in exactly one bin of capacity
+    ``seq_len``.
+
+    Within each bucket, docs sort by (n_tokens desc, order key) and
+    best-fit into bins: each doc goes to the fullest bin it still fits
+    in (deterministic tie-break on bin id), opening a new bin when
+    none fits.  BFD wastes at most ~22% over optimal in theory and a
+    few percent in practice.  ``oversize`` says what happens to a doc
+    longer than ``seq_len``: ``own_bin`` (default — its own flagged
+    overfull bin, the caller decides), ``drop``, or ``error``.
+
+    Scale shape: bins are INDEPENDENT across buckets, so the packing
+    shards freely — parallelism and per-task memory are set by
+    ``n_buckets``, which (unlike the chunk-stream layout, where few
+    buckets capped the r4 design) costs almost nothing to raise: the
+    fill-efficiency loss of sharding is O(seq_len / bucket_tokens).
+    Size ``n_buckets`` so a bucket holds ~10-50k docs (the in-task
+    best-fit is O(docs × bins) list arithmetic).
+
+    Returns one row per SURVIVING doc:
+    (bucket, id, n_tokens, bin, bin_tokens, oversize) — ``bin`` is
+    unique within its bucket, ``bin_tokens`` is the bin's total.
+    """
+    import bisect
+    from typing import Iterator
+
+    import pandas as pd
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if oversize not in ("own_bin", "drop", "error"):
+        raise ValueError(f"unknown oversize policy {oversize!r}")
+    if token_count_col is not None:
+        n_tok = F.col(token_count_col).cast("bigint")
+    else:
+        n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    order_key, bucket = _bucket_and_order(docs, id_col, n_buckets, shuffle_seed)
+    id_type = dict(docs.dtypes)[id_col]
+    light = docs.select(
+        bucket.alias("bucket"),
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        order_key.cast("string").alias("_ord"),
+    )
+    schema = (f"bucket bigint, {id_col} {id_type}, n_tokens bigint, "
+              "bin bigint, bin_tokens bigint, oversize boolean")
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "_ord"], ascending=[False, True],
+            kind="mergesort",
+        )
+        # sorted list of (remaining, bin_id): best fit = leftmost
+        # entry with remaining >= size (smallest viable remainder,
+        # lowest bin id on ties — fully deterministic)
+        open_bins: list[tuple[int, int]] = []
+        fills: list[int] = []          # bin_id -> tokens
+        assign: list[int] = []
+        keep: list[bool] = []
+        over: list[bool] = []
+        for size in pdf["n_tokens"]:
+            size = int(size)
+            if size > seq_len:
+                if oversize == "error":
+                    raise ValueError(
+                        f"document of {size} tokens exceeds seq_len "
+                        f"{seq_len} (oversize='error')"
+                    )
+                if oversize == "drop":
+                    assign.append(-1)
+                    keep.append(False)
+                    over.append(True)
+                    continue
+                b = len(fills)
+                fills.append(size)      # own flagged bin, never reused
+                assign.append(b)
+                keep.append(True)
+                over.append(True)
+                continue
+            i = bisect.bisect_left(open_bins, (size, -1))
+            if i < len(open_bins):
+                rem, b = open_bins.pop(i)
+                fills[b] += size
+                if rem - size > 0:
+                    bisect.insort(open_bins, (rem - size, b))
+            else:
+                b = len(fills)
+                fills.append(size)
+                if seq_len - size > 0:
+                    bisect.insort(open_bins, (seq_len - size, b))
+            assign.append(b)
+            keep.append(True)
+            over.append(False)
+        out = pdf.assign(bin=assign, oversize=over)[
+            ["bucket", pdf.columns[1], "n_tokens", "bin", "oversize"]
+        ][pd.Series(keep, index=pdf.index)]
+        out["bin_tokens"] = [fills[b] for b in out["bin"]]
+        return out[["bucket", pdf.columns[1], "n_tokens", "bin",
+                    "bin_tokens", "oversize"]]
+
+    return light.groupBy("bucket").applyInPandas(pack_group, schema)

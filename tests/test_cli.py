@@ -534,6 +534,31 @@ def test_cli_pack_standalone(tmp_path, spark):
     assert packed.count() == 6  # ceil(40/16) * 2 buckets
 
 
+def test_cli_pack_no_split(tmp_path, spark, capsys):
+    """pack --no-split: whole docs best-fit into bins, nothing cut."""
+    from resilispark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         enumerate([12, 10, 6, 4, 3, 30])],  # 30 > seq_len: oversize
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "bins")
+    rc = main(["--cpus", "4", "pack", src, "-o", out,
+               "--seq-len", "16", "--buckets", "1", "--no-split"])
+    assert rc == 0
+    assert "oversize=1" in capsys.readouterr().out
+    bins = spark.read.parquet(out)
+    assert bins.count() == 6
+    per = {}
+    for r in bins.collect():
+        per.setdefault((r.bucket, r.bin), []).append(r)
+    for rows in per.values():
+        tot = sum(r.n_tokens for r in rows)
+        assert tot <= 16 or (len(rows) == 1 and rows[0].oversize)
+
+
 def test_cli_pack_bpe_tokenizer(tmp_path, spark):
     """pack --tokenizer bpe lays out and materializes REAL tokenizer
     output: sequence content reconstructs each doc's BPE token stream,

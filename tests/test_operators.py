@@ -5845,3 +5845,78 @@ class TestCountMinSketch:
         plan = count_min_sketch(
             docs, "v")._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+
+class TestPackBins:
+    """No-split best-fit-decreasing packing (the SFT delivery mode)."""
+
+    def _docs(self, spark, sizes):
+        rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_every_doc_in_exactly_one_bin_under_capacity(self, spark):
+        from resilispark.operators.packing import pack_bins
+
+        sizes = [700, 600, 500, 400, 300, 300, 200, 100, 50, 10]
+        got = pack_bins(self._docs(spark, sizes), seq_len=1024,
+                        n_buckets=1).collect()
+        assert sorted(r.doc_id for r in got) == list(range(10))
+        per_bin = {}
+        for r in got:
+            per_bin.setdefault(r.bin, []).append(r.n_tokens)
+            assert not r.oversize
+        for b, toks in per_bin.items():
+            assert sum(toks) <= 1024
+        # bin_tokens agrees with the membership
+        for r in got:
+            assert r.bin_tokens == sum(per_bin[r.bin])
+        # BFD on these sizes fits 3160 tokens into 4 bins (optimal)
+        assert len(per_bin) == 4
+
+    def test_oversize_policies(self, spark):
+        import pytest
+
+        from resilispark.operators.packing import pack_bins
+
+        docs = self._docs(spark, [3000, 100])
+        own = pack_bins(docs, seq_len=1024, n_buckets=1).collect()
+        big = next(r for r in own if r.doc_id == 0)
+        assert big.oversize and big.bin_tokens == 3000
+        # the flagged bin is never reused
+        assert {r.bin for r in own if r.doc_id == 0} != {
+            r.bin for r in own if r.doc_id == 1}
+        dropped = pack_bins(docs, seq_len=1024, n_buckets=1,
+                            oversize="drop").collect()
+        assert [r.doc_id for r in dropped] == [1]
+        with pytest.raises(Exception, match="exceeds seq_len"):
+            pack_bins(docs, seq_len=1024, n_buckets=1,
+                      oversize="error").collect()
+
+    def test_deterministic_across_partitionings(self, spark):
+        from resilispark.operators.packing import pack_bins
+
+        sizes = [((i * 37) % 500) + 1 for i in range(200)]
+        docs = self._docs(spark, sizes)
+        a = sorted(
+            (r.doc_id, r.bucket, r.bin)
+            for r in pack_bins(docs, seq_len=512, n_buckets=4,
+                               shuffle_seed=7).collect())
+        b = sorted(
+            (r.doc_id, r.bucket, r.bin)
+            for r in pack_bins(docs.repartition(13), seq_len=512,
+                               n_buckets=4, shuffle_seed=7).collect())
+        assert a == b
+
+    def test_fill_beats_naive_sequential(self, spark):
+        """BFD fill must beat first-come-first-served packing on a
+        skewed size mix (the reason to sort decreasing at all)."""
+        from resilispark.operators.packing import pack_bins
+
+        sizes = ([900] * 5 + [500] * 5 + [124] * 5 + [100] * 5)
+        got = pack_bins(self._docs(spark, sizes), seq_len=1024,
+                        n_buckets=1).collect()
+        n_bins = len({r.bin for r in got})
+        # naive sequential opens 10 bins; BFD pairs 900+124 and
+        # 500+500+... -> 8 bins or fewer
+        assert n_bins <= 8
+        assert sum(r.n_tokens for r in got) == sum(sizes)
