@@ -571,3 +571,68 @@ def pack_bins(
                     "bin_tokens", "oversize"]]
 
     return light.groupBy("bucket").applyInPandas(pack_group, schema)
+
+
+def emit_bins(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    seq_len: int = 2048,
+    n_buckets: int = 8,
+    shuffle_seed: int | None = None,
+    oversize: str = "own_bin",
+    separator: str | None = None,
+) -> DataFrame:
+    """Materialize :func:`pack_bins` assignments into loader-ready
+    rows: one row per bin with the member docs' text joined (largest
+    doc first — the packing order — deterministic id tie-break),
+    optionally ``separator``-delimited, plus the member id list and
+    token total.  Pure JVM reassembly: ONE join back to the text and
+    ONE aggregate per bin; ``array_sort`` of (rank, id, text) structs
+    fixes member order inside the agg, so no window and no
+    per-task state beyond a bin.
+
+    Returns (bucket, bin, n_docs, bin_tokens, oversize, doc_ids, text).
+    """
+    assignments = pack_bins(
+        docs,
+        id_col=id_col,
+        token_count_col=token_count_col,
+        text_col=text_col,
+        seq_len=seq_len,
+        n_buckets=n_buckets,
+        shuffle_seed=shuffle_seed,
+        oversize=oversize,
+    )
+    sep = separator if separator is not None else " "
+    joined = assignments.join(
+        docs.select(F.col(id_col), F.col(text_col).alias("_text")), id_col
+    )
+    member = F.struct(
+        (-F.col("n_tokens")).alias("_rank"),
+        F.col(id_col).alias("_id"),
+        F.col("_text").alias("_t"),
+    )
+    return (
+        joined.groupBy("bucket", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.first("bin_tokens").alias("bin_tokens"),
+            F.max("oversize").alias("oversize"),
+            F.sort_array(F.collect_list(member)).alias("_members"),
+        )
+        .select(
+            "bucket",
+            "bin",
+            "n_docs",
+            "bin_tokens",
+            "oversize",
+            F.transform(F.col("_members"), lambda m: m["_id"]).alias(
+                "doc_ids"),
+            F.array_join(
+                F.transform(F.col("_members"), lambda m: m["_t"]), sep
+            ).alias("text"),
+        )
+    )

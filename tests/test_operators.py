@@ -5920,3 +5920,21 @@ class TestPackBins:
         # 500+500+... -> 8 bins or fewer
         assert n_bins <= 8
         assert sum(r.n_tokens for r in got) == sum(sizes)
+
+    def test_emit_bins_materializes_in_packing_order(self, spark):
+        from resilispark.operators.packing import emit_bins, pack_bins
+
+        sizes = [700, 600, 500, 400, 300, 300, 200, 100, 50, 10]
+        docs = self._docs(spark, sizes)
+        bins = emit_bins(docs, seq_len=1024, n_buckets=1,
+                         separator="<|eod|>").collect()
+        assign = pack_bins(docs, seq_len=1024, n_buckets=1).collect()
+        want = {}
+        for r in sorted(assign, key=lambda r: (-r.n_tokens, r.doc_id)):
+            want.setdefault((r.bucket, r.bin), []).append(r.doc_id)
+        got = {(r.bucket, r.bin): list(r.doc_ids) for r in bins}
+        assert got == want
+        for r in bins:
+            # text is the members' texts joined largest-first
+            assert r.text.count("<|eod|>") == r.n_docs - 1
+            assert r.bin_tokens == sum(sizes[d] for d in r.doc_ids)
