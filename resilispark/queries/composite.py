@@ -125,6 +125,9 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
     "b01_bm25_scores": [("doc_id", "n"), ("score", "d"), ("n_hits", "n")],
     "b02_bm25_index": [("doc_id", "n"), ("score", "d"), ("n_hits", "n")],
     "g01_pagerank": [("vertex", "n"), ("rank", "d")],
+    "h01_heavy_hitters": [
+        ("value", "s"), ("n_min", "n"), ("err_bound", "n"),
+    ],
 }
 
 # members may live in either query module; merged lookup keeps the
@@ -199,6 +202,10 @@ FAMILIES: dict[str, list[str]] = {
         # (g01 joined in round 6: 3 fixed PageRank iterations with
         # dangling-mass redistribution, replayed round for round)
         "g01_pagerank",
+        # (h01 joined in round 6: Misra-Gries heavy hitters in the
+        # exact regime — summary, merge, and ordering gated; the
+        # approximate regime's bound is property-tested)
+        "h01_heavy_hitters",
     ],
 }
 

@@ -2502,6 +2502,32 @@ ORDER BY vertex
 """
 
 
+def h01_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (operators/sketches.py) in the exact
+    regime: capacity 64 ≥ the 20 distinct sources, so the per-partition
+    trim never fires, counts are exact and the error bound is 0 — the
+    oracle is a plain GROUP BY count top-k.  The mapInPandas summary,
+    the cross-partition merge, and the deterministic (count desc,
+    value) ordering are all on the gated path; the approximate regime's
+    undercount bound is property-tested in pytest."""
+    from resilispark.operators.sketches import heavy_hitters
+
+    d = _docs(spark, sf_dir)
+    return heavy_hitters(d, "source", k=10, capacity=64).orderBy(
+        F.col("n_min").desc(), "value"
+    )
+
+
+ORACLE_H01 = """
+SELECT source AS value, count(*)::BIGINT AS n_min, 0::BIGINT AS err_bound
+FROM documents
+WHERE source IS NOT NULL
+GROUP BY source
+ORDER BY n_min DESC, value
+LIMIT 10
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2543,6 +2569,7 @@ QUERIES = {
     "b01_bm25_scores": b01_bm25_scores,
     "b02_bm25_index": b02_bm25_index,
     "g01_pagerank": g01_pagerank,
+    "h01_heavy_hitters": h01_heavy_hitters,
 }
 
 ORACLES = {
@@ -2586,4 +2613,5 @@ ORACLES = {
     "b01_bm25_scores": ORACLE_B01,
     "b02_bm25_index": ORACLE_B02,
     "g01_pagerank": ORACLE_G01,
+    "h01_heavy_hitters": ORACLE_H01,
 }
