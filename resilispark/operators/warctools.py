@@ -191,10 +191,18 @@ def write_cdxj_sidecars(spark: SparkSession, src: str) -> list[str]:
         by_base[base] = p
 
     idx = cdxj_index(spark, src, fields=("offset", "length", "filename"))
+    # concat_ws SKIPS NULLs: a record without a target URI / date
+    # (warcinfo) would write a malformed 2-field line that shifts every
+    # parser — placeholder like the CLI's stdout path (cmd_index)
     lines = idx.select(
         F.get_json_object("record", "$.filename").alias("filename"),
         F.get_json_object("record", "$.offset").cast("bigint").alias("_off"),
-        F.concat_ws(" ", "surt_key", "ts", "record").alias("line"),
+        F.concat_ws(
+            " ",
+            F.coalesce(F.col("surt_key"), F.lit("None")),
+            F.coalesce(F.col("ts"), F.lit("None")),
+            F.col("record"),
+        ).alias("line"),
     )
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -239,3 +247,79 @@ def write_cdxj_sidecar(spark: SparkSession, warc_path: str) -> str:
             "write_cdxj_sidecars for multi-file sources"
         )
     return write_cdxj_sidecars(spark, warc_path)[0]
+
+
+def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
+    """Load CDXJ index lines (``surt_key ts {json}``) as a DataFrame:
+    (surt_key, ts, offset, length, filename, record string) — the
+    read-side of :func:`cdxj_index`/:func:`write_cdxj_sidecars`.
+
+    ``path`` may be a single ``.cdxj`` file, a glob, or an ``index -o``
+    output directory.  Pure JVM parsing (two split points + JSON field
+    extraction), so a Common-Crawl-scale index (hundreds of GB of
+    lines) stays a plain distributed text scan with predicate pushdown
+    on the parsed columns."""
+    lines = spark.read.text(path)
+    key = F.substring_index("value", " ", 1)
+    ts = F.try_element_at(F.split(F.col("value"), " ", 3), F.lit(2))
+    rec = F.try_element_at(F.split(F.col("value"), " ", 3), F.lit(3))
+    return lines.select(
+        # 'None' placeholders (records without a target URI / date)
+        # surface as real NULLs
+        F.when(key != "None", key).alias("surt_key"),
+        F.when(ts != "None", ts).alias("ts"),
+        F.get_json_object(rec, "$.offset").cast("bigint").alias("offset"),
+        F.get_json_object(rec, "$.length").cast("bigint").alias("length"),
+        F.get_json_object(rec, "$.filename").alias("filename"),
+        rec.alias("record"),
+    )
+
+
+def lookup_captures(
+    spark: SparkSession,
+    index_path: str,
+    url_prefix: str,
+    *,
+    latest_only: bool = False,
+) -> DataFrame:
+    """All captures whose SURT key starts with the SURT form of
+    ``url_prefix`` — the CDX-server-style lookup, as one pushed-down
+    scan of the index (never the WARCs).  A full URL matches its exact
+    captures; ``http://example.com/`` matches the whole host; a bare
+    host matches host + every path.  With ``latest_only`` one row per
+    (surt_key, filename is irrelevant) — the newest ts wins via a
+    partial-aggregated max(struct), the skew-immune keep-one spelling.
+
+    Feed the result's (filename, offset) pairs to the warc reader's
+    ``offset`` option (S12 point extract) to fetch the records
+    themselves."""
+    probe = (
+        spark.range(1)
+        .select(surt_key(F.lit(url_prefix)).alias("k"))
+        .first()["k"]
+    )
+    if probe is None:
+        # no host in the prefix (e.g. a bare path) — fall back to the
+        # raw string, matching cdxj_index's NULL-host key behavior
+        probe = url_prefix.lower()
+    # a host-only prefix's SURT ends ')'; captures continue ')/...' —
+    # startswith covers both the exact key and every descendant
+    idx = read_cdxj(spark, index_path).where(
+        F.col("surt_key").startswith(probe)
+    )
+    if not latest_only:
+        return idx
+    return (
+        idx.groupBy("surt_key")
+        .agg(F.max(F.struct("ts", "record")).alias("_w"))
+        .select(
+            "surt_key",
+            F.col("_w.ts").alias("ts"),
+            F.get_json_object("_w.record", "$.offset").cast("bigint")
+            .alias("offset"),
+            F.get_json_object("_w.record", "$.length").cast("bigint")
+            .alias("length"),
+            F.get_json_object("_w.record", "$.filename").alias("filename"),
+            F.col("_w.record").alias("record"),
+        )
+    )

@@ -146,6 +146,58 @@ def test_cdxj_sidecars_multi_file_distributed(spark, fixture_dir, tmp_path):
     assert split.count() == 150
 
 
+def test_read_cdxj_and_lookup_captures(spark, fixture_dir, tmp_path):
+    """read_cdxj parses index lines back to typed columns; the
+    CDX-server-style lookup pulls a host's captures via a pushed-down
+    prefix scan, and (filename, offset) feeds the point extract."""
+    import shutil
+
+    from resilispark.operators.warctools import (
+        cdxj_index,
+        lookup_captures,
+        read_cdxj,
+        write_cdxj_sidecar,
+    )
+
+    gz = str(tmp_path / "golden-50.warc.gz")
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", gz)
+    side = write_cdxj_sidecar(spark, gz)
+    idx = read_cdxj(spark, side)
+    assert idx.count() == 50
+    rows = idx.collect()
+    assert all(r.offset >= 0 and r.length > 0 for r in rows)
+    assert all(r.filename == "golden-50.warc.gz" for r in rows)
+    # parsed columns agree with the index DataFrame that wrote the file
+    want = sorted(
+        (r.surt_key, r.ts) for r in cdxj_index(
+            spark, gz, fields=("offset", "length", "filename")).collect()
+        if r.surt_key is not None
+    )
+    got = sorted((r.surt_key, r.ts) for r in rows if r.surt_key)
+    assert got == want
+
+    # prefix lookup: one full URL from the fixture -> its capture(s)
+    first = next(r for r in rows if r.surt_key and ")" in r.surt_key)
+    host = first.surt_key.split(")", 1)[0]          # e.g. com,example
+    url = "http://" + ".".join(reversed(host.split(",")))
+    hits = lookup_captures(spark, side, url)
+    assert hits.count() >= 1
+    assert all(h.surt_key.startswith(host + ")") for h in hits.collect())
+    latest = lookup_captures(spark, side, url, latest_only=True)
+    per_key = latest.groupBy("surt_key").count().collect()
+    assert all(r["count"] == 1 for r in per_key)
+    # the lookup's (filename, offset) drives the S12 point extract
+    h = latest.orderBy("surt_key").first()
+    rec = (
+        spark.read.format("warc")
+        .option("offset", str(h.offset))
+        .load(gz)
+        .select("stream_pos", "target_uri")
+        .first()
+    )
+    assert rec.stream_pos == h.offset
+
+
 def test_cdxj_sidecars_duplicate_basename_refused(
         spark, fixture_dir, tmp_path):
     import shutil
