@@ -713,15 +713,28 @@ def cmd_curate(args) -> int:
 
             pack_src = bpe_tokens_col(pack_src, _tokenizer_from(args))
             pack_tokens_col, pack_count_col = "bpe_tokens", token_count_col
-        seqs = emit_sequences(
-            pack_src,
-            seq_len=args.pack,
-            n_buckets=args.pack_buckets,
-            shuffle_seed=args.pack_seed,
-            tokens_col=pack_tokens_col,
-            token_count_col=pack_count_col,
-            separator=args.pack_separator,
-        )
+        if getattr(args, "pack_no_split", False):
+            # SFT mode: whole docs best-fit into bins, nothing truncated
+            from resilispark.operators.packing import emit_bins
+
+            seqs = emit_bins(
+                pack_src,
+                seq_len=args.pack,
+                n_buckets=args.pack_buckets,
+                shuffle_seed=args.pack_seed,
+                token_count_col=pack_count_col,
+                separator=args.pack_separator,
+            )
+        else:
+            seqs = emit_sequences(
+                pack_src,
+                seq_len=args.pack,
+                n_buckets=args.pack_buckets,
+                shuffle_seed=args.pack_seed,
+                tokens_col=pack_tokens_col,
+                token_count_col=pack_count_col,
+                separator=args.pack_separator,
+            )
         seqs.write.mode("overwrite").parquet(args.output + ".packed")
         print(f"wrote {args.output}.packed")
     if getattr(args, "export_jsonl", None):
@@ -1647,6 +1660,9 @@ def main(argv: list[str] | None = None) -> int:
                         "weights: w_s ∝ tokens_s^alpha (1=natural "
                         "proportions, 0=uniform)")
     p.add_argument("--total-tokens", type=int, default=10**9)
+    p.add_argument("--pack-no-split", action="store_true",
+                   help="with --pack: best-fit whole docs into bins "
+                        "(SFT mode) instead of concat-and-chunk")
     p.add_argument("--mixture-epochs", type=int, default=1,
                    help="allow undersized sources up to N repetition epochs")
     p.add_argument("--val-fraction", type=float, default=None,
