@@ -815,10 +815,16 @@ def cmd_pack(args) -> int:
     docs = docs.persist()
     if getattr(args, "no_split", False):
         # SFT mode: whole docs best-fit into bins, nothing truncated
+        if args.boundaries or getattr(args, "emit_ids", False):
+            print("error: --no-split writes bin assignments; "
+                  "--boundaries/--emit-ids apply only to the "
+                  "concat-and-chunk mode", file=sys.stderr)
+            return 2
         from pyspark.sql import functions as F
 
         from resilispark.operators.packing import pack_bins
 
+        n_input = docs.count()
         bins = pack_bins(
             docs,
             id_col=args.id_col,
@@ -828,20 +834,35 @@ def cmd_pack(args) -> int:
             n_buckets=args.buckets,
             shuffle_seed=args.seed,
             oversize=args.oversize,
+            separator=args.separator,
         )
         bins.write.mode("overwrite").parquet(args.output)
-        summary = bins.agg(
+        # summarize from the read-back, not the plan: the best-fit
+        # applyInPandas (plus any BPE encode above it) must not run a
+        # second time for four aggregates
+        back = spark.read.parquet(args.output)
+        summary = back.agg(
             F.count(F.lit(1)).alias("docs"),
-            F.countDistinct("bucket", "bin").alias("bins"),
             F.sum("n_tokens").alias("tokens"),
             F.sum(F.col("oversize").cast("int")).alias("oversize"),
         ).first()
-        fill = (summary["tokens"] or 0) / max(
-            1, (summary["bins"] or 0) * args.seq_len)
+        # fill over BIN totals (bin_tokens repeats on every member row
+        # — summing it per doc would overcount)
+        bin_stats = (
+            back.groupBy("bucket", "bin")
+            .agg(F.first("bin_tokens").alias("bt"))
+            .agg(F.count(F.lit(1)).alias("bins"), F.sum("bt").alias("bt"))
+            .first()
+        )
+        fill = (bin_stats["bt"] or 0) / max(
+            1, (bin_stats["bins"] or 0) * args.seq_len)
+        # oversize='drop' removes docs from the OUTPUT — the count of
+        # what was lost must be visible, not inferred
         print(
-            f"docs={summary['docs']} bins={summary['bins']} "
-            f"tokens={summary['tokens']} oversize={summary['oversize']} "
-            f"fill={fill:.4f}"
+            f"docs={summary['docs']} "
+            f"dropped={n_input - (summary['docs'] or 0)} "
+            f"bins={bin_stats['bins']} tokens={summary['tokens']} "
+            f"oversize={summary['oversize']} fill={fill:.4f}"
         )
         print(f"wrote {args.output}")
         return 0

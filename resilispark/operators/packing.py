@@ -464,9 +464,10 @@ def pack_bins(
     n_buckets: int = 8,
     shuffle_seed: int | None = None,
     oversize: str = "own_bin",
+    separator: str | None = None,
 ) -> DataFrame:
     """Best-fit-decreasing bin packing WITHOUT document splitting — the
-    SFT/instruction-tuning delivery mode.  :func:`emit_sequences`'
+    SFT/instruction-tuning delivery mode.  :func:`emit_sequences`\'
     concat-and-chunk is right for pretraining, where a document cut at
     a sequence boundary continues in the next sequence; for
     supervised examples a truncated record is a CORRUPTED record, so
@@ -480,6 +481,14 @@ def pack_bins(
     few percent in practice.  ``oversize`` says what happens to a doc
     longer than ``seq_len``: ``own_bin`` (default — its own flagged
     overfull bin, the caller decides), ``drop``, or ``error``.
+    ``separator`` (GPT-style ``<|endoftext|>`` after every doc) grows
+    each doc\'s footprint by one token so bins never exceed capacity
+    once delimited — must match :func:`emit_bins`\' setting.
+
+    NULL ids are refused loudly (they have no deterministic order and
+    vanish in the text join-back); docs with no tokens (NULL/empty
+    text, or a NULL ``token_count_col``) are excluded — there is
+    nothing to pack and a NULL count must not corrupt bin fills.
 
     Scale shape: bins are INDEPENDENT across buckets, so the packing
     shards freely — parallelism and per-task memory are set by
@@ -491,10 +500,11 @@ def pack_bins(
 
     Returns one row per SURVIVING doc:
     (bucket, id, n_tokens, bin, bin_tokens, oversize) — ``bin`` is
-    unique within its bucket, ``bin_tokens`` is the bin's total.
+    unique within its bucket, ``bin_tokens`` is the bin\'s total
+    (separators included), ``n_tokens`` the doc\'s own count (without
+    its separator).
     """
     import bisect
-    from typing import Iterator
 
     import pandas as pd
 
@@ -514,6 +524,17 @@ def pack_bins(
         n_tok.alias("n_tokens"),
         order_key.cast("string").alias("_ord"),
     )
+    n_null_ids = light.where(F.col(id_col).isNull()).limit(1).count()
+    if n_null_ids:
+        raise ValueError(
+            f"bin packing requires non-NULL '{id_col}' values: a NULL "
+            "id has no deterministic order and drops out of the text "
+            "join — filter those rows or assign ids first"
+        )
+    # nothing to pack; NULL counts (and legacy size()=-1) must not
+    # reach the fill arithmetic
+    light = light.where(F.col("n_tokens") > 0)
+    extra = 1 if separator is not None else 0
     schema = (f"bucket bigint, {id_col} {id_type}, n_tokens bigint, "
               "bin bigint, bin_tokens bigint, oversize boolean")
 
@@ -531,12 +552,12 @@ def pack_bins(
         keep: list[bool] = []
         over: list[bool] = []
         for size in pdf["n_tokens"]:
-            size = int(size)
+            size = int(size) + extra   # the doc plus its separator
             if size > seq_len:
                 if oversize == "error":
                     raise ValueError(
-                        f"document of {size} tokens exceeds seq_len "
-                        f"{seq_len} (oversize='error')"
+                        f"document of {size - extra} tokens exceeds "
+                        f"seq_len {seq_len} (oversize='error')"
                     )
                 if oversize == "drop":
                     assign.append(-1)
@@ -586,12 +607,14 @@ def emit_bins(
     separator: str | None = None,
 ) -> DataFrame:
     """Materialize :func:`pack_bins` assignments into loader-ready
-    rows: one row per bin with the member docs' text joined (largest
-    doc first — the packing order — deterministic id tie-break),
-    optionally ``separator``-delimited, plus the member id list and
+    rows: one row per bin with the member docs\' text joined in the
+    PACKING order (largest first, then the layout order key — the
+    same comparison the packer used, so ties land identically),
+    ``separator`` appended after EVERY doc (its +1-token footprint is
+    what :func:`pack_bins` budgeted), plus the member id list and
     token total.  Pure JVM reassembly: ONE join back to the text and
-    ONE aggregate per bin; ``array_sort`` of (rank, id, text) structs
-    fixes member order inside the agg, so no window and no
+    ONE aggregate per bin; ``array_sort`` of (rank, order, text)
+    structs fixes member order inside the agg, so no window and no
     per-task state beyond a bin.
 
     Returns (bucket, bin, n_docs, bin_tokens, oversize, doc_ids, text).
@@ -605,16 +628,35 @@ def emit_bins(
         n_buckets=n_buckets,
         shuffle_seed=shuffle_seed,
         oversize=oversize,
+        separator=separator,
     )
-    sep = separator if separator is not None else " "
+    order_key, _ = _bucket_and_order(docs, id_col, n_buckets, shuffle_seed)
     joined = assignments.join(
-        docs.select(F.col(id_col), F.col(text_col).alias("_text")), id_col
+        docs.select(
+            F.col(id_col),
+            F.col(text_col).alias("_text"),
+            order_key.cast("string").alias("_ord"),
+        ),
+        id_col,
     )
     member = F.struct(
         (-F.col("n_tokens")).alias("_rank"),
+        F.col("_ord"),
         F.col(id_col).alias("_id"),
         F.col("_text").alias("_t"),
     )
+    if separator is not None:
+        text = F.concat(
+            F.array_join(
+                F.transform(F.col("_members"), lambda m: m["_t"]),
+                f" {separator} ",
+            ),
+            F.lit(f" {separator}"),
+        )
+    else:
+        text = F.array_join(
+            F.transform(F.col("_members"), lambda m: m["_t"]), " "
+        )
     return (
         joined.groupBy("bucket", "bin")
         .agg(
@@ -631,8 +673,6 @@ def emit_bins(
             "oversize",
             F.transform(F.col("_members"), lambda m: m["_id"]).alias(
                 "doc_ids"),
-            F.array_join(
-                F.transform(F.col("_members"), lambda m: m["_t"]), sep
-            ).alias("text"),
+            text.alias("text"),
         )
     )

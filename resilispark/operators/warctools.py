@@ -199,7 +199,11 @@ def write_cdxj_sidecars(spark: SparkSession, src: str) -> list[str]:
         F.get_json_object("record", "$.offset").cast("bigint").alias("_off"),
         F.concat_ws(
             " ",
-            F.coalesce(F.col("surt_key"), F.lit("None")),
+            # the NULL-host fallback key is the raw URL, which may
+            # contain literal spaces — percent-escape them or the
+            # line's field boundaries shift under every parser
+            F.regexp_replace(
+                F.coalesce(F.col("surt_key"), F.lit("None")), " ", "%20"),
             F.coalesce(F.col("ts"), F.lit("None")),
             F.col("record"),
         ).alias("line"),
@@ -293,14 +297,18 @@ def lookup_captures(
     Feed the result's (filename, offset) pairs to the warc reader's
     ``offset`` option (S12 point extract) to fetch the records
     themselves."""
+    # scheme-less prefixes ('example.com', 'example.com/docs') must
+    # still SURT — a raw-string fallback would never prefix-match the
+    # 'com,example)...' keys and silently return zero captures
+    spec = url_prefix if "://" in url_prefix else f"http://{url_prefix}"
     probe = (
         spark.range(1)
-        .select(surt_key(F.lit(url_prefix)).alias("k"))
+        .select(surt_key(F.lit(spec)).alias("k"))
         .first()["k"]
     )
     if probe is None:
-        # no host in the prefix (e.g. a bare path) — fall back to the
-        # raw string, matching cdxj_index's NULL-host key behavior
+        # still unparseable — fall back to the raw string, matching
+        # cdxj_index's NULL-host key behavior
         probe = url_prefix.lower()
     # a host-only prefix's SURT ends ')'; captures continue ')/...' —
     # startswith covers both the exact key and every descendant

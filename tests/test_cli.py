@@ -549,6 +549,19 @@ def test_cli_pack_no_split(tmp_path, spark, capsys):
                "--seq-len", "16", "--buckets", "1", "--no-split"])
     assert rc == 0
     assert "oversize=1" in capsys.readouterr().out
+    # chunk-mode-only flags are refused, not silently dropped
+    rc = main(["--cpus", "4", "pack", src, "-o", out,
+               "--seq-len", "16", "--buckets", "1", "--no-split",
+               "--boundaries"])
+    assert rc == 2
+    assert "--no-split" in capsys.readouterr().err
+    # oversize=drop reports what was lost (separate output dir: the
+    # assertions below read the own_bin layout)
+    rc = main(["--cpus", "4", "pack", src,
+               "-o", str(tmp_path / "bins-drop"), "--seq-len", "16",
+               "--buckets", "1", "--no-split", "--oversize", "drop"])
+    assert rc == 0
+    assert "dropped=1" in capsys.readouterr().out
     bins = spark.read.parquet(out)
     assert bins.count() == 6
     per = {}

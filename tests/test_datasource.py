@@ -183,6 +183,10 @@ def test_read_cdxj_and_lookup_captures(spark, fixture_dir, tmp_path):
     hits = lookup_captures(spark, side, url)
     assert hits.count() >= 1
     assert all(h.surt_key.startswith(host + ")") for h in hits.collect())
+    # a bare (scheme-less) host must match too — the documented CDX
+    # lookup shape; a raw-string fallback would silently return nothing
+    bare = lookup_captures(spark, side, url.removeprefix("http://"))
+    assert bare.count() == hits.count()
     latest = lookup_captures(spark, side, url, latest_only=True)
     per_key = latest.groupBy("surt_key").count().collect()
     assert all(r["count"] == 1 for r in per_key)

@@ -5928,13 +5928,36 @@ class TestPackBins:
         docs = self._docs(spark, sizes)
         bins = emit_bins(docs, seq_len=1024, n_buckets=1,
                          separator="<|eod|>").collect()
-        assign = pack_bins(docs, seq_len=1024, n_buckets=1).collect()
+        assign = pack_bins(docs, seq_len=1024, n_buckets=1,
+                           separator="<|eod|>").collect()
         want = {}
         for r in sorted(assign, key=lambda r: (-r.n_tokens, r.doc_id)):
             want.setdefault((r.bucket, r.bin), []).append(r.doc_id)
         got = {(r.bucket, r.bin): list(r.doc_ids) for r in bins}
         assert got == want
         for r in bins:
-            # text is the members' texts joined largest-first
-            assert r.text.count("<|eod|>") == r.n_docs - 1
-            assert r.bin_tokens == sum(sizes[d] for d in r.doc_ids)
+            # separator after EVERY doc (its +1 footprint was budgeted)
+            assert r.text.count("<|eod|>") == r.n_docs
+            # bin_tokens includes the separators and respects capacity
+            assert r.bin_tokens == sum(
+                sizes[d] for d in r.doc_ids) + r.n_docs
+            assert r.bin_tokens <= 1024
+            # the whitespace-tokenized re-count of the emitted text
+            # matches the budgeted bin total exactly
+            assert len(r.text.split()) == r.bin_tokens
+
+    def test_pack_bins_null_and_zero_token_guards(self, spark):
+        import pytest
+
+        from resilispark.operators.packing import pack_bins
+
+        docs = spark.createDataFrame(
+            [(0, "w w w"), (1, None), (2, "w")],
+            "doc_id long, text string")
+        got = pack_bins(docs, seq_len=8, n_buckets=1).collect()
+        # the NULL-text doc has nothing to pack and is excluded
+        assert sorted(r.doc_id for r in got) == [0, 2]
+        bad = spark.createDataFrame(
+            [(None, "w w")], "doc_id long, text string")
+        with pytest.raises(Exception, match="non-NULL"):
+            pack_bins(bad, seq_len=8, n_buckets=1).collect()
