@@ -47,6 +47,7 @@ PICKS = {
     "b01_bm25_scores": "BM25 scan path: N/avgdl/df in ONE fused aggregate, query-term tokens filtered map-side before the explode, per-doc score sums on the uniform doc_id — two corpus scans total, no global sort in k=None mode.",
     "b02_bm25_index": "BM25 index path: posting reads pruned to <= len(terms) shard directories (PartitionFilters), per-term df + idf broadcast, lengths joined once — the index IS the lookup, the corpus is never touched.",
     "g01_pagerank": "PageRank round: ranks join out-degrees once (persisted for the round's two aggregates), contributions partial-aggregate per target vertex, dangling mass is a scalar to the driver — one shuffle per iteration, lineage cut by localCheckpoint each round.",
+    "h01_heavy_hitters": "Misra-Gries heavy hitters: per-partition capacity-bounded summaries via ONE mapInPandas pass (memory never scales with distinct count), a merge over <= partitions*capacity tiny persisted rows, TakeOrderedAndProject for the k-row report — the corpus shuffles nothing but the summaries.",
 }
 
 _KEEP = re.compile(
