@@ -655,6 +655,30 @@ def register_fs(scheme: str, factory) -> None:
     _EXTRA_FS[s] = factory
 
 
+_PLUGINS_LOADED = False
+
+
+def _load_fs_plugins() -> None:
+    """Import the modules named in ``RESILISPARK_FS_PLUGINS`` (comma-
+    separated) so their import-time :func:`register_fs` calls run.
+
+    This is how a custom backend reaches EXECUTORS: tasks call
+    ``get_fs`` in their own process, where driver-side registration
+    never happened — the env var travels with the job
+    (``spark.executorEnv.*`` on a cluster, inherited in local mode),
+    and the first unknown scheme triggers the import everywhere."""
+    global _PLUGINS_LOADED
+    if _PLUGINS_LOADED:
+        return
+    _PLUGINS_LOADED = True
+    import importlib
+
+    for mod in os.environ.get("RESILISPARK_FS_PLUGINS", "").split(","):
+        mod = mod.strip()
+        if mod:
+            importlib.import_module(mod)
+
+
 def get_fs(path: str) -> FileSystem:
     scheme, _ = split_scheme(path)
     if scheme == "file":
@@ -665,6 +689,9 @@ def get_fs(path: str) -> FileSystem:
         return _HTTP
     if scheme == "s3":
         return S3FS()
+    if scheme in _EXTRA_FS:
+        return _EXTRA_FS[scheme]()
+    _load_fs_plugins()
     if scheme in _EXTRA_FS:
         return _EXTRA_FS[scheme]()
     try:

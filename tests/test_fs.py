@@ -88,6 +88,63 @@ def test_register_fs_custom_scheme(tmp_path):
         _EXTRA_FS.pop("gs", None)
 
 
+def test_fs_plugin_env_loads_in_fresh_processes(tmp_path, monkeypatch,
+                                                fixture_dir):
+    """RESILISPARK_FS_PLUGINS: a plugin module's import-time
+    register_fs call resolves custom schemes in ANY process that can
+    import it — which is how a native backend reaches executors (tasks
+    call get_fs in their own process, where driver-side registration
+    never happened; the env var + PYTHONPATH travel with the job)."""
+    import os
+    import subprocess
+    import sys
+
+    import resilispark.io.fs as fsmod
+
+    plug_dir = tmp_path / "plugins"
+    plug_dir.mkdir()
+    (plug_dir / "gsx_plugin.py").write_text(
+        "from resilispark.io.fs import MemoryFS, register_fs\n"
+        "class GsxFS(MemoryFS):\n"
+        "    scheme = 'gsx'\n"
+        "    def _loc(self, path):\n"
+        "        return super()._loc(path.replace('gsx://', 'memory://'))\n"
+        "register_fs('gsx', GsxFS)\n"
+    )
+    # driver-side: fresh plugin state + env -> the unknown scheme
+    # triggers the import and resolves
+    monkeypatch.syspath_prepend(str(plug_dir))
+    monkeypatch.setenv("RESILISPARK_FS_PLUGINS", "gsx_plugin")
+    monkeypatch.setattr(fsmod, "_PLUGINS_LOADED", False)
+    try:
+        fs = get_fs("gsx://plugtest/data.bin")
+        assert type(fs).__name__ == "GsxFS"
+        fs.put("gsx://plugtest/data.bin", b"plugin-bytes")
+        # a COLD process (what an executor is): same env, no prior
+        # registration — must still resolve the scheme and read back
+        env = dict(os.environ)
+        env["RESILISPARK_FS_PLUGINS"] = "gsx_plugin"
+        env["PYTHONPATH"] = (
+            str(plug_dir) + os.pathsep + "/root/repo"
+            + os.pathsep + env.get("PYTHONPATH", "")
+        )
+        got = subprocess.run(
+            [sys.executable, "-c",
+             "from resilispark.io.fs import get_fs;"
+             "print(get_fs('gsx://plugtest/data.bin')"
+             ".open('gsx://plugtest/data.bin').read().decode())"],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        assert got.stdout.strip() == "plugin-bytes"
+    finally:
+        import shutil
+
+        shutil.rmtree(fsmod.MemoryFS().root + "/plugtest",
+                      ignore_errors=True)
+        fsmod._EXTRA_FS.pop("gsx", None)
+        monkeypatch.setattr(fsmod, "_PLUGINS_LOADED", False)
+
+
 def test_fsspec_fallback_adapter(tmp_path, monkeypatch):
     """Unknown schemes fall through to an fsspec adapter when fsspec is
     importable (the reference's scheme-open fsspec path) — faked here
