@@ -655,6 +655,7 @@ def register_fs(scheme: str, factory) -> None:
     _EXTRA_FS[s] = factory
 
 
+_PLUGINS_LOCK = __import__("threading").Lock()
 _PLUGINS_LOADED = False
 
 
@@ -666,17 +667,36 @@ def _load_fs_plugins() -> None:
     ``get_fs`` in their own process, where driver-side registration
     never happened — the env var travels with the job
     (``spark.executorEnv.*`` on a cluster, inherited in local mode),
-    and the first unknown scheme triggers the import everywhere."""
-    global _PLUGINS_LOADED
-    if _PLUGINS_LOADED:
-        return
-    _PLUGINS_LOADED = True
-    import importlib
+    and the first unknown scheme triggers the import everywhere.
 
-    for mod in os.environ.get("RESILISPARK_FS_PLUGINS", "").split(","):
-        mod = mod.strip()
-        if mod:
-            importlib.import_module(mod)
+    Serialized under a lock (a concurrent caller must not observe the
+    done-flag mid-import and miss a registration); one failing plugin
+    does not stop later-listed ones — every listed module is
+    attempted, then ONE error names all the failures.  The done-flag
+    is only set on full success, so every later call re-raises the
+    same clear ImportError (import retries are sys.modules-cached)
+    instead of degrading to the generic unsupported-scheme message."""
+    global _PLUGINS_LOADED
+    with _PLUGINS_LOCK:
+        if _PLUGINS_LOADED:
+            return
+        import importlib
+
+        errors: list[str] = []
+        for mod in os.environ.get("RESILISPARK_FS_PLUGINS", "").split(","):
+            mod = mod.strip()
+            if not mod:
+                continue
+            try:
+                importlib.import_module(mod)
+            except Exception as e:
+                errors.append(f"{mod}: {e}")
+        if errors:
+            raise ImportError(
+                "failed to load RESILISPARK_FS_PLUGINS module(s): "
+                + "; ".join(errors)
+            )
+        _PLUGINS_LOADED = True
 
 
 def get_fs(path: str) -> FileSystem:

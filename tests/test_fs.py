@@ -124,8 +124,11 @@ def test_fs_plugin_env_loads_in_fresh_processes(tmp_path, monkeypatch,
         # registration — must still resolve the scheme and read back
         env = dict(os.environ)
         env["RESILISPARK_FS_PLUGINS"] = "gsx_plugin"
+        import resilispark
+
+        repo_root = os.path.dirname(os.path.dirname(resilispark.__file__))
         env["PYTHONPATH"] = (
-            str(plug_dir) + os.pathsep + "/root/repo"
+            str(plug_dir) + os.pathsep + repo_root
             + os.pathsep + env.get("PYTHONPATH", "")
         )
         got = subprocess.run(
@@ -136,6 +139,14 @@ def test_fs_plugin_env_loads_in_fresh_processes(tmp_path, monkeypatch,
             capture_output=True, text=True, env=env, check=True,
         )
         assert got.stdout.strip() == "plugin-bytes"
+        # a broken plugin list fails LOUDLY naming the module, every
+        # time (not just once, not the generic unsupported-scheme)
+        monkeypatch.setenv("RESILISPARK_FS_PLUGINS", "no_such_plugin_mod")
+        monkeypatch.setattr(fsmod, "_PLUGINS_LOADED", False)
+        fsmod._EXTRA_FS.pop("gsx", None)
+        for _ in range(2):
+            with pytest.raises(ImportError, match="no_such_plugin_mod"):
+                get_fs("gsx://plugtest/data.bin")
     finally:
         import shutil
 
