@@ -196,6 +196,7 @@ def sample_token_mixture(
     seed: int = 0,
     max_epochs: int = 1,
     per_source_tokens: dict[str, int] | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic stratified sample approximating a target
     per-source token mixture.
@@ -213,7 +214,11 @@ def sample_token_mixture(
     of such a source appears once per full epoch plus a hash-selected
     partial epoch, and the output gains an ``epoch`` column (0-based)
     so downstream packing treats repeats as distinct documents.  With
-    the default ``max_epochs=1`` the output schema is unchanged."""
+    the default ``max_epochs=1`` the output schema is unchanged.
+
+    ``hash_fn``: ``xxhash64`` (default, fast JVM) or ``md5`` (the
+    cross-engine selection hash the correctness oracle replays —
+    ``('0x'||substr(md5(seed:id[:epoch]),1,12))::BIGINT % 1e6``)."""
     if token_count_col is None:
         docs = docs.withColumn("_toks", F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
         token_count_col = "_toks"
@@ -237,11 +242,27 @@ def sample_token_mixture(
         *[x for src, fr in sorted(fracs.items()) for x in (F.lit(src), F.lit(fr))]
     )
     f = frac_map[F.col(source_col)]
+    def _sel_hash(*cols):
+        if hash_fn == "xxhash64":
+            return F.pmod(F.xxhash64(*cols), F.lit(1_000_000))
+        if hash_fn == "md5":
+            return F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.encode(
+                            F.concat_ws(":", *[c.cast("string") for c in cols]),
+                            "UTF-8")),
+                        1, 12,
+                    ),
+                    16, 10,
+                ).cast("bigint"),
+                F.lit(1_000_000),
+            )
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
     if max_epochs <= 1:
         # uniform per-doc hash in [0, 1): keep iff below the source fraction
-        u = (
-            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000)) + 0.5
-        ) / 1_000_000.0
+        u = (_sel_hash(F.lit(seed), F.col(id_col)) + 0.5) / 1_000_000.0
         out = docs.filter(u < f)
         return out.drop("_toks") if "_toks" in out.columns else out
     # epoch repetition: doc kept in epoch e iff e < floor(f) (full pass)
@@ -252,10 +273,7 @@ def sample_token_mixture(
         "epoch", F.explode(F.sequence(F.lit(0), F.greatest(n_epochs, F.lit(1)) - 1))
     )
     u = (
-        F.pmod(
-            F.xxhash64(F.col(id_col), F.lit(seed), F.col("epoch")), F.lit(1_000_000)
-        )
-        + 0.5
+        _sel_hash(F.lit(seed), F.col(id_col), F.col("epoch")) + 0.5
     ) / 1_000_000.0
     out = out.filter(
         (F.col("epoch") < F.floor(f)) | (u < (f - F.floor(f)))

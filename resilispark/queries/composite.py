@@ -128,6 +128,9 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
     "h01_heavy_hitters": [
         ("value", "s"), ("n_min", "n"), ("err_bound", "n"),
     ],
+    "t13_token_mixture": [
+        ("doc_id", "n"), ("epoch", "n"), ("source", "s"),
+    ],
 }
 
 # members may live in either query module; merged lookup keeps the
@@ -206,6 +209,10 @@ FAMILIES: dict[str, list[str]] = {
         # exact regime — summary, merge, and ordering gated; the
         # approximate regime's bound is property-tested)
         "h01_heavy_hitters",
+        # (t13 joined in round 6: temperature-weighted token-mixture
+        # sampling with epoch up-sampling, fractions and md5 selection
+        # replayed float-op for float-op)
+        "t13_token_mixture",
     ],
 }
 

@@ -2528,6 +2528,70 @@ LIMIT 10
 """
 
 
+def t13_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-temperature token-mixture sampling (operators/corpus.py):
+    per-source totals → alpha=0.5 temperature weights → keep fractions
+    at a whole-corpus token target → deterministic per-(doc, epoch)
+    hash selection with epoch up-sampling (max_epochs=2 — the
+    temperature up-weights small sources past fraction 1, so BOTH the
+    full-pass and the fractional-epoch branch run).  hash_fn='md5'
+    keeps the selection grid cross-engine; the fraction arithmetic is
+    replayed float-op for float-op in SQL (a selection only flips if a
+    hash point lands within ~1e-15 of a fraction — off the 1e-6 grid).
+    """
+    from resilispark.operators.corpus import (
+        sample_token_mixture,
+        source_token_totals,
+        temperature_weights_from_totals,
+    )
+
+    d = _docs(spark, sf_dir)
+    totals = source_token_totals(d)
+    weights = temperature_weights_from_totals(totals, alpha=0.5)
+    picked = sample_token_mixture(
+        d,
+        weights,
+        sum(totals.values()),
+        seed=0,
+        max_epochs=2,
+        per_source_tokens=totals,
+        hash_fn="md5",
+    )
+    return picked.select(
+        "doc_id", F.col("epoch").cast("bigint").alias("epoch"), "source"
+    ).orderBy("doc_id", "epoch")
+
+
+ORACLE_T13 = r"""
+WITH tot AS (
+  SELECT source,
+         SUM(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS t
+  FROM documents GROUP BY source
+), zz AS (
+  SELECT SUM(sqrt(t)) AS z, SUM(t)::BIGINT AS corpus FROM tot
+), w AS (
+  SELECT source, t, sqrt(t) / (SELECT z FROM zz) AS w FROM tot
+), ws AS (SELECT SUM(w) AS wsum FROM w),
+f AS (
+  SELECT source, t,
+         LEAST((w / (SELECT wsum FROM ws))
+               * (SELECT corpus FROM zz) / t, 2.0) AS f
+  FROM w
+), cand AS (
+  SELECT d.doc_id, d.source, f.f, e.epoch
+  FROM documents d
+  JOIN f USING (source),
+  LATERAL (SELECT unnest(range(CAST(ceil(f.f) AS BIGINT))) AS epoch) e
+)
+SELECT doc_id, epoch::BIGINT AS epoch, source
+FROM cand
+WHERE epoch < floor(f)
+   OR (('0x' || substr(md5('0:' || doc_id || ':' || epoch), 1, 12))::BIGINT
+       % 1000000 + 0.5) / 1000000.0 < f - floor(f)
+ORDER BY doc_id, epoch
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2570,6 +2634,7 @@ QUERIES = {
     "b02_bm25_index": b02_bm25_index,
     "g01_pagerank": g01_pagerank,
     "h01_heavy_hitters": h01_heavy_hitters,
+    "t13_token_mixture": t13_token_mixture,
 }
 
 ORACLES = {
@@ -2614,4 +2679,5 @@ ORACLES = {
     "b02_bm25_index": ORACLE_B02,
     "g01_pagerank": ORACLE_G01,
     "h01_heavy_hitters": ORACLE_H01,
+    "t13_token_mixture": ORACLE_T13,
 }
