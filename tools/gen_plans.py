@@ -48,6 +48,7 @@ PICKS = {
     "b02_bm25_index": "BM25 index path: posting reads pruned to <= len(terms) shard directories (PartitionFilters), per-term df + idf broadcast, lengths joined once — the index IS the lookup, the corpus is never touched.",
     "g01_pagerank": "PageRank round: ranks join out-degrees once (persisted for the round's two aggregates), contributions partial-aggregate per target vertex, dangling mass is a scalar to the driver — one shuffle per iteration, lineage cut by localCheckpoint each round.",
     "h01_heavy_hitters": "Misra-Gries heavy hitters: per-partition capacity-bounded summaries via ONE mapInPandas pass (memory never scales with distinct count), a merge over <= partitions*capacity tiny persisted rows, TakeOrderedAndProject for the k-row report — the corpus shuffles nothing but the summaries.",
+    "t13_token_mixture": "Token-mixture sampling: per-source totals are ONE aggregated row each to the driver; the keep-fraction map folds into a codegen literal lookup, selection is a pure hash filter (no rand(), retry-reproducible), epoch up-sampling a bounded sequence explode — no join, no window, no corpus shuffle.",
 }
 
 _KEEP = re.compile(
