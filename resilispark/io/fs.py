@@ -655,10 +655,6 @@ def register_fs(scheme: str, factory) -> None:
     _EXTRA_FS[s] = factory
 
 
-_PLUGINS_LOCK = __import__("threading").Lock()
-_PLUGINS_LOADED = False
-
-
 def _load_fs_plugins() -> None:
     """Import the modules named in ``RESILISPARK_FS_PLUGINS`` (comma-
     separated) so their import-time :func:`register_fs` calls run.
@@ -667,36 +663,32 @@ def _load_fs_plugins() -> None:
     ``get_fs`` in their own process, where driver-side registration
     never happened — the env var travels with the job
     (``spark.executorEnv.*`` on a cluster, inherited in local mode),
-    and the first unknown scheme triggers the import everywhere.
+    and every unknown scheme triggers the import everywhere.
 
-    Serialized under a lock (a concurrent caller must not observe the
-    done-flag mid-import and miss a registration); one failing plugin
-    does not stop later-listed ones — every listed module is
-    attempted, then ONE error names all the failures.  The done-flag
-    is only set on full success, so every later call re-raises the
-    same clear ImportError (import retries are sys.modules-cached)
-    instead of degrading to the generic unsupported-scheme message."""
-    global _PLUGINS_LOADED
-    with _PLUGINS_LOCK:
-        if _PLUGINS_LOADED:
-            return
-        import importlib
+    Deliberately STATELESS: no done-flag, no lock.  The import system
+    is already thread-safe and ``sys.modules``-cached, so re-running
+    the loop on each unknown-scheme miss costs dict lookups — while a
+    module-level flag would race concurrent first-callers and a
+    module-level Lock is unpicklable (this module ships BY VALUE into
+    the streaming source's planner worker).  One failing plugin does
+    not stop later-listed ones — every module is attempted, then ONE
+    repeatable error names all the failures."""
+    import importlib
 
-        errors: list[str] = []
-        for mod in os.environ.get("RESILISPARK_FS_PLUGINS", "").split(","):
-            mod = mod.strip()
-            if not mod:
-                continue
-            try:
-                importlib.import_module(mod)
-            except Exception as e:
-                errors.append(f"{mod}: {e}")
-        if errors:
-            raise ImportError(
-                "failed to load RESILISPARK_FS_PLUGINS module(s): "
-                + "; ".join(errors)
-            )
-        _PLUGINS_LOADED = True
+    errors: list[str] = []
+    for mod in os.environ.get("RESILISPARK_FS_PLUGINS", "").split(","):
+        mod = mod.strip()
+        if not mod:
+            continue
+        try:
+            importlib.import_module(mod)
+        except Exception as e:
+            errors.append(f"{mod}: {e}")
+    if errors:
+        raise ImportError(
+            "failed to load RESILISPARK_FS_PLUGINS module(s): "
+            + "; ".join(errors)
+        )
 
 
 def get_fs(path: str) -> FileSystem:

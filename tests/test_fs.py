@@ -111,11 +111,9 @@ def test_fs_plugin_env_loads_in_fresh_processes(tmp_path, monkeypatch,
         "        return super()._loc(path.replace('gsx://', 'memory://'))\n"
         "register_fs('gsx', GsxFS)\n"
     )
-    # driver-side: fresh plugin state + env -> the unknown scheme
-    # triggers the import and resolves
+    # driver-side: the unknown scheme triggers the import and resolves
     monkeypatch.syspath_prepend(str(plug_dir))
     monkeypatch.setenv("RESILISPARK_FS_PLUGINS", "gsx_plugin")
-    monkeypatch.setattr(fsmod, "_PLUGINS_LOADED", False)
     try:
         fs = get_fs("gsx://plugtest/data.bin")
         assert type(fs).__name__ == "GsxFS"
@@ -142,7 +140,6 @@ def test_fs_plugin_env_loads_in_fresh_processes(tmp_path, monkeypatch,
         # a broken plugin list fails LOUDLY naming the module, every
         # time (not just once, not the generic unsupported-scheme)
         monkeypatch.setenv("RESILISPARK_FS_PLUGINS", "no_such_plugin_mod")
-        monkeypatch.setattr(fsmod, "_PLUGINS_LOADED", False)
         fsmod._EXTRA_FS.pop("gsx", None)
         for _ in range(2):
             with pytest.raises(ImportError, match="no_such_plugin_mod"):
@@ -153,7 +150,6 @@ def test_fs_plugin_env_loads_in_fresh_processes(tmp_path, monkeypatch,
         shutil.rmtree(fsmod.MemoryFS().root + "/plugtest",
                       ignore_errors=True)
         fsmod._EXTRA_FS.pop("gsx", None)
-        monkeypatch.setattr(fsmod, "_PLUGINS_LOADED", False)
 
 
 def test_fsspec_fallback_adapter(tmp_path, monkeypatch):
