@@ -14,8 +14,13 @@ Spark-first shape for 100 TB:
   expression (whole-stage codegen, no Python);
 - the only shuffle is the per-document overlap count, keyed by the
   uniformly distributed document id (skew-free);
-- ``decontaminate`` drops flagged docs with a broadcast LEFT ANTI join
-  on the flagged-id table — again no corpus shuffle.
+- ``decontaminate`` drops flagged docs with a LEFT ANTI join on the
+  flagged-id table.  No join hint is planted by default: the flagged
+  set is usually tiny (AQE broadcasts it at runtime), but it is
+  corpus-proportional in principle — 1% contamination on 10^10 docs is
+  10^8 ids, which a forced broadcast would pin onto the driver and
+  every executor.  Pass ``broadcast=True`` only to pin the strategy
+  for a known-small flagged set.
 """
 
 from __future__ import annotations
@@ -89,13 +94,23 @@ def decontaminate(
     text_col: str = "text",
     n: int = 13,
     min_overlap: int = 1,
+    broadcast: bool | None = None,
 ) -> DataFrame:
-    """Corpus with contaminated documents removed (broadcast anti
-    join; the corpus never shuffles)."""
+    """Corpus with contaminated documents removed (anti join on the
+    flagged ids).
+
+    By default (``broadcast=None``) NO join hint is planted: AQE sees
+    the flagged set's real size at runtime and broadcasts it when it
+    fits — the scale-safe choice, since the flagged set grows with the
+    corpus (1% contamination on 10^10 docs is 10^8 ids).  Pass
+    ``broadcast=True`` to pin the hint for a known-small flagged set
+    (e.g. AQE disabled)."""
     flagged = contamination(
         docs, benchmark, id_col=id_col, text_col=text_col, n=n, min_overlap=min_overlap
     ).select(id_col)
-    return docs.join(F.broadcast(flagged), id_col, "left_anti")
+    if broadcast:
+        flagged = F.broadcast(flagged)
+    return docs.join(flagged, id_col, "left_anti")
 
 
 def semantic_contamination(
@@ -178,11 +193,19 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     max_bench: int = 200_000,
+    broadcast: bool | None = None,
 ) -> DataFrame:
-    """Drop semantically contaminated documents (broadcast anti join on
-    the flagged ids; the corpus never shuffles)."""
+    """Drop semantically contaminated documents (anti join on the
+    flagged ids).
+
+    Like :func:`decontaminate`, NO join hint is planted by default —
+    the flagged set is corpus-proportional in principle, so AQE sizes
+    the join at runtime; ``broadcast=True`` pins the hint for a
+    known-small flagged set."""
     flagged = semantic_contamination(
         docs, bench, id_col=id_col, vec_col=vec_col,
         threshold=threshold, max_bench=max_bench,
     ).select(id_col)
-    return docs.join(F.broadcast(flagged), id_col, "left_anti")
+    if broadcast:
+        flagged = F.broadcast(flagged)
+    return docs.join(flagged, id_col, "left_anti")

@@ -1787,6 +1787,76 @@ def test_decontaminate_operator(spark):
     assert sorted(r.doc_id for r in clean2.collect()) == [2, 3, 4]
 
 
+def test_decontaminate_no_forced_broadcast_at_scale(spark):
+    # the flagged-id set is corpus-proportional in principle (1%
+    # contamination on 10^10 docs = 10^8 ids); the default must plant
+    # NO hint and accept a non-broadcast anti join when the flagged
+    # set is too big — mirror of the robots_filter broadcast contract
+    from resilispark.operators.decontaminate import decontaminate
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps over the lazy dog suffix"),
+            (2, "a clean document with entirely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    try:
+        for k in saved:
+            spark.conf.set(k, "-1")
+        out = decontaminate(docs, bench, n=5)
+        assert sorted(r.doc_id for r in out.collect()) == [2]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # contamination() still broadcasts the (tiny-by-construction)
+        # benchmark n-gram table via its explicit hint; the flagged-id
+        # ANTI join must not be a forced broadcast
+        anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+        assert anti and all("Broadcast" not in ln for ln in anti)
+
+        # broadcast=True still pins the hint for known-small sets
+        pinned = decontaminate(docs, bench, n=5, broadcast=True)
+        assert sorted(r.doc_id for r in pinned.collect()) == [2]
+        pplan = pinned._jdf.queryExecution().executedPlan().toString()
+        panti = [ln for ln in pplan.splitlines() if "LeftAnti" in ln]
+        assert panti and any("Broadcast" in ln for ln in panti)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_decontaminate_default_broadcasts_small_flagged_set(spark):
+    # with AQE at defaults a tiny flagged set converts to broadcast at
+    # runtime with no hint planted
+    from resilispark.operators.decontaminate import decontaminate
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps over the lazy dog suffix"),
+            (2, "a clean document with entirely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate(docs, bench, n=5)
+    assert sorted(r.doc_id for r in out.collect()) == [2]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and any("Broadcast" in ln for ln in anti)
+
+
 def test_scrub_pii_operator(spark):
     from resilispark.operators.quality import scrub_pii
 
@@ -5247,6 +5317,41 @@ class TestSemanticDecontamination:
         kept = sorted(r.doc_id for r in
                       semantic_decontaminate(docs, bench, threshold=0.99).collect())
         assert kept == [1, 2]
+
+    def test_no_forced_broadcast_at_scale(self, spark):
+        # the flagged-id side is corpus-proportional; with broadcast
+        # thresholds off the default must accept a non-broadcast anti
+        # join, and broadcast=True must still pin the hint
+        from resilispark.operators.decontaminate import semantic_decontaminate
+
+        docs, bench = self._frames(spark)
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in ("spark.sql.autoBroadcastJoinThreshold",
+                      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
+        try:
+            for k in saved:
+                spark.conf.set(k, "-1")
+            out = semantic_decontaminate(docs, bench, threshold=0.99)
+            assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+            assert anti and all("Broadcast" not in ln for ln in anti)
+
+            pinned = semantic_decontaminate(
+                docs, bench, threshold=0.99, broadcast=True
+            )
+            assert sorted(r.doc_id for r in pinned.collect()) == [1, 2]
+            pplan = pinned._jdf.queryExecution().executedPlan().toString()
+            panti = [ln for ln in pplan.splitlines() if "LeftAnti" in ln]
+            assert panti and any("Broadcast" in ln for ln in panti)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
 
     def test_empty_benchmark_flags_nothing(self, spark):
         from resilispark.operators.decontaminate import (
