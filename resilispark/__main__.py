@@ -825,6 +825,19 @@ def cmd_pack(args) -> int:
         from resilispark.operators.packing import pack_bins
 
         n_input = docs.count()
+        # zero-token/empty docs are EXCLUDED by pack_bins (they cannot
+        # fill a bin), not dropped by policy — count them with the
+        # packer's own predicate so `dropped` reports only the
+        # oversize='drop' losses, never data the policy didn't touch
+        if token_count_col is not None:
+            _n_tok = F.col(token_count_col).cast("bigint")
+        else:
+            _n_tok = F.size(
+                F.split(F.trim(F.col(args.text_col)), r"\s+")
+            ).cast("bigint")
+        n_empty = docs.where(
+            _n_tok.isNull() | (_n_tok <= 0)
+        ).count()
         bins = pack_bins(
             docs,
             id_col=args.id_col,
@@ -860,7 +873,8 @@ def cmd_pack(args) -> int:
         # what was lost must be visible, not inferred
         print(
             f"docs={summary['docs']} "
-            f"dropped={n_input - (summary['docs'] or 0)} "
+            f"dropped={n_input - n_empty - (summary['docs'] or 0)} "
+            f"excluded_empty={n_empty} "
             f"bins={bin_stats['bins']} tokens={summary['tokens']} "
             f"oversize={summary['oversize']} fill={fill:.4f}"
         )

@@ -565,12 +565,18 @@ def heavy_hitters_summary(
     return vals.mapInPandas(summarize, "value string, n bigint")
 
 
-def _merge_summary_topk(summary: DataFrame, k: int) -> list[tuple]:
+def _merge_summary_topk(
+    summary: DataFrame, k: int
+) -> tuple[list[tuple], int]:
     """Merge MG summary rows (counters sum per value, error masses
-    add) and collect the top-``k``: ``[(value, n_min, err), ...]``.
-    The summary is persisted for the two aggregates so the counters
-    and the error mass come from ONE execution — recomputing an
-    unpersisted mapInPandas summary per action could pair counters
+    add) and collect the top-``k``: ``([(value, n_min), ...], err)``.
+    The error mass is returned SEPARATELY from the surviving counters
+    — when a trim removes every counter the rows are empty but the
+    error mass is not, and a caller that read it off the first row
+    would silently report err=0 (the bound violation the r6 advice
+    flagged).  The summary is persisted for the two aggregates so the
+    counters and the error mass come from ONE execution — recomputing
+    an unpersisted mapInPandas summary per action could pair counters
     with a DIFFERENT run's trims and break the bound."""
     s = summary.persist()
     try:
@@ -589,7 +595,7 @@ def _merge_summary_topk(summary: DataFrame, k: int) -> list[tuple]:
         )
     finally:
         s.unpersist()
-    return [(r["value"], int(r["n"]), err) for r in rows]
+    return [(r["value"], int(r["n"])) for r in rows], err
 
 
 def heavy_hitters(
@@ -606,10 +612,18 @@ def heavy_hitters(
     appear in SOME summary (classic Misra-Gries).  One summary pass
     over the corpus; the merge runs over ≤ partitions × capacity tiny
     persisted rows and the k-row report materializes eagerly (it is a
-    driver-scale readout by design)."""
-    top = _merge_summary_topk(
+    driver-scale readout by design).
+
+    When a trim removes EVERY counter (tiny capacity over a flat
+    distribution) the report still carries the error bound: one
+    ``(NULL, 0, err_bound)`` row, so "no survivors" is never read as
+    "every value has count 0"."""
+    rows, err = _merge_summary_topk(
         heavy_hitters_summary(docs, col, capacity=capacity), k
     )
+    top = [(v, n, err) for v, n in rows]
+    if not top and err:
+        top = [(None, 0, err)]
     return docs.sparkSession.createDataFrame(
         top, "value string, n_min bigint, err_bound bigint"
     )
@@ -662,15 +676,14 @@ def write_snapshot_topk(
     # cross-partition re-trim: keep the top `capacity` counters and
     # fold the cut into the error mass (the mergeable-summaries merge
     # step); one extra row past capacity shows whether a cut is due
-    kept = _merge_summary_topk(
+    kept, err = _merge_summary_topk(
         heavy_hitters_summary(docs, col, capacity=capacity), capacity + 1
     )
-    err = kept[0][2] if kept else 0
     cut = 0
     if len(kept) > capacity:
         cut = kept[capacity][1]
-        kept = [(v, n - cut, 0) for v, n, _ in kept[:capacity] if n > cut]
-    rows = [(snapshot, str(col), capacity, v, n) for v, n, _ in kept]
+        kept = [(v, n - cut) for v, n in kept[:capacity] if n > cut]
+    rows = [(snapshot, str(col), capacity, v, n) for v, n in kept]
     rows.append((snapshot, str(col), capacity, None, err + cut))
     spark.createDataFrame(rows, schema).write.mode("append").parquet(path)
     return True
@@ -686,11 +699,16 @@ def topk_store_report(
     """Corpus-wide approximate top-``k`` from the store alone — zero
     corpus reads: snapshot summaries merge by summing counters per
     value; error masses add.  ``(value, n_min, err_bound)``, true
-    count in ``[n_min, n_min + err_bound]``."""
+    count in ``[n_min, n_min + err_bound]``; like
+    :func:`heavy_hitters`, an all-trimmed merge still reports its
+    error bound as one ``(NULL, 0, err_bound)`` row."""
     store = spark.read.parquet(path)
     if snapshot is not None:
         store = store.where(F.col("snapshot") == snapshot)
-    top = _merge_summary_topk(store.select("value", "n"), k)
+    rows, err = _merge_summary_topk(store.select("value", "n"), k)
+    top = [(v, n, err) for v, n in rows]
+    if not top and err:
+        top = [(None, 0, err)]
     return spark.createDataFrame(
         top, "value string, n_min bigint, err_bound bigint"
     )

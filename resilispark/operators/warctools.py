@@ -9,6 +9,8 @@ JSON lines via to_json — fully JVM-side after the scan.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -234,7 +236,22 @@ def write_cdxj_sidecars(spark: SparkSession, src: str) -> list[str]:
         .applyInPandas(write_group, "sidecar string, n_records bigint")
         .collect()
     )
-    return sorted(r.sidecar for r in out)
+    # the groupBy drops files that yielded ZERO index records — those
+    # get no sidecar and silently fall back to whole-file (unsplit)
+    # scanning; that must be visible, not inferred from a shorter list
+    written = {r.sidecar for r in out}
+    skipped = sorted(
+        p for p in paths if p + ".cdxj" not in written
+    )
+    if skipped:
+        print(
+            f"write_cdxj_sidecars: {len(skipped)} file(s) yielded no "
+            "index records and got NO sidecar (they will scan "
+            f"unsplit): {', '.join(skipped[:10])}"
+            + (" ..." if len(skipped) > 10 else ""),
+            file=sys.stderr,
+        )
+    return sorted(written)
 
 
 def write_cdxj_sidecar(spark: SparkSession, warc_path: str) -> str:

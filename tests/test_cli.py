@@ -572,6 +572,29 @@ def test_cli_pack_no_split(tmp_path, spark, capsys):
         assert tot <= 16 or (len(rows) == 1 and rows[0].oversize)
 
 
+def test_cli_pack_no_split_empty_docs_not_reported_dropped(
+    tmp_path, spark, capsys
+):
+    """Zero-token docs are EXCLUDED by the packer, not dropped by the
+    oversize policy: with --oversize own_bin (nothing should drop) a
+    corpus containing NULL-text docs must report dropped=0 and count
+    the empties separately (r6 advice)."""
+    from resilispark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e"), (3, None)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(src)
+    rc = main(["--cpus", "4", "pack", src, "-o", str(tmp_path / "bins"),
+               "--seq-len", "16", "--buckets", "1", "--no-split"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "dropped=0" in out
+    assert "excluded_empty=2" in out
+    assert "docs=2" in out
+
+
 def test_cli_pack_bpe_tokenizer(tmp_path, spark):
     """pack --tokenizer bpe lays out and materializes REAL tokenizer
     output: sequence content reconstructs each doc's BPE token stream,

@@ -202,6 +202,28 @@ def test_read_cdxj_and_lookup_captures(spark, fixture_dir, tmp_path):
     assert rec.stream_pos == h.offset
 
 
+def test_cdxj_sidecars_zero_record_file_reported(
+        spark, fixture_dir, tmp_path, capsys):
+    """A matched WARC file that yields zero index records gets no
+    sidecar (the groupBy drops empty files) — the returned list must
+    be shorter AND the skipped file must be named on stderr, not
+    silently fall back to whole-file scanning (r6 advice)."""
+    import gzip
+    import shutil
+
+    from resilispark.operators.warctools import write_cdxj_sidecars
+
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz",
+                str(tmp_path / "real.warc.gz"))
+    # a valid gzip stream containing zero WARC records
+    with gzip.open(str(tmp_path / "empty.warc.gz"), "wb") as f:
+        f.write(b"")
+    sides = write_cdxj_sidecars(spark, str(tmp_path) + "/*.warc.gz")
+    assert sides == [str(tmp_path / "real.warc.gz.cdxj")]
+    err = capsys.readouterr().err
+    assert "empty.warc.gz" in err and "no index records" in err
+
+
 def test_cdxj_sidecars_duplicate_basename_refused(
         spark, fixture_dir, tmp_path):
     import shutil

@@ -5809,6 +5809,33 @@ class TestCountMinSketch:
         r = got["big"]
         assert r.n_min <= 400 <= r.n_min + r.err_bound
 
+    def test_heavy_hitters_all_trimmed_keeps_error_mass(self, spark,
+                                                        tmp_path):
+        """A trim that removes EVERY counter must still surface the
+        error mass — a (NULL, 0, err>0) row, never an empty report
+        with err 0 (r6 advice: 3 distinct values, capacity=1, one
+        partition reported err_bound=0 while every true count was 1,
+        violating the documented bound)."""
+        from resilispark.operators.sketches import (
+            heavy_hitters,
+            topk_store_report,
+            write_snapshot_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [("a",), ("b",), ("c",)], ["v"]).coalesce(1)
+        got = heavy_hitters(docs, "v", k=5, capacity=1).collect()
+        assert len(got) == 1
+        assert got[0].value is None and got[0].n_min == 0
+        assert got[0].err_bound >= 1  # true counts are 1; bound covers
+
+        store = str(tmp_path / "topk")
+        assert write_snapshot_topk(docs, store, snapshot="c1", col="v",
+                                   capacity=1)
+        rep = topk_store_report(spark, store, k=5).collect()
+        assert len(rep) == 1
+        assert rep[0].value is None and rep[0].err_bound >= 1
+
     def test_topk_store_merges_across_snapshots(self, spark, tmp_path):
         import pytest as _pytest
 
