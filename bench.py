@@ -631,6 +631,7 @@ def main() -> None:
             pass
 
     headline = {k: v for k, v in timings.items() if k not in big_labels}
+    wall = round(sum(headline.values()), 3)
     print(
         json.dumps(
             {
@@ -639,7 +640,7 @@ def main() -> None:
                 # when coverage grows (r4 added d10/t07/q31/knn-join ≈
                 # +5.5s of NEW queries over r3's row set) — compare
                 # per-row, or n_headline-normalized, across rounds
-                "value": round(sum(headline.values()), 3),
+                "value": wall,
                 "unit": "sec",
                 "n_headline": len(headline),
                 "queries": timings,
@@ -647,6 +648,37 @@ def main() -> None:
                 "sf": sf,
             }
         )
+    )
+    # SECOND, compact line (fits a 2,000-char tail capture whole: the
+    # r6 record truncated the full line's head and lost the wall).  It
+    # repeats the wall plus the rows graded against BASELINE.md — the
+    # single-core kernel rows, the pinned per-core scan rows — and the
+    # sf1 scale slopes, so a tail-only capture still carries every
+    # cross-round comparable.
+    keep = {
+        k: v for k, v in timings.items()
+        if k.startswith(("html_parse_title", "html_extract_main",
+                         "lang_detect_1core"))
+        or ("_recs" in k and "split" not in k and "http" not in k
+            and "150002" in k)
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": wall,
+                "unit": "sec",
+                "n_headline": len(headline),
+                "sf": sf,
+                "compact": True,
+                "baseline_rows": keep,
+                "sf1_slopes": {
+                    k: v.get("slope") for k, v in sf1_slopes.items()
+                },
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
 
 

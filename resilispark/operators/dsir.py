@@ -32,26 +32,78 @@ from pyspark.sql import functions as F
 
 def gram_buckets(text_col, *, buckets: int = 10_000) -> F.Column:
     """``array<bigint>`` of hashed word unigram+bigram buckets for one
-    document — lowercased whitespace words, md5-bucketed (the first 8
-    hex chars mod ``buckets``), pure codegen so DuckDB can replay it
-    token for token."""
+    document — lowercased whitespace words, each word md5-hashed ONCE
+    (the first 8 hex chars as a 32-bit int); a unigram's bucket is its
+    word hash mod ``buckets`` and a bigram's is the degree-2
+    polynomial combination ``(h1 * 31 + h2) mod buckets`` of its two
+    word hashes (Xie et al. hash the n-gram features without pinning
+    the function; combining word hashes is the standard rolling-hash
+    construction).  The md5 — the chain's dominant per-byte cost —
+    therefore runs once per WORD instead of once per unigram PLUS once
+    per (double-length) bigram string, ~3x less hash input, and the
+    whole expression stays pure codegen so DuckDB replays it token for
+    token."""
+    return _buckets_from_hashes(_word_hashes(text_col), buckets)
+
+
+def _word_hashes(text_col) -> F.Column:
+    """``array<bigint>`` of per-word 32-bit md5 hashes (lowercased
+    whitespace words, empties dropped)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")
-    # sequence(1, n) goes DESCENDING when n < 1: guard short docs
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(words, bigrams)
     return F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
-        % F.lit(buckets),
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
+    )
+
+
+def _buckets_from_hashes(whash, buckets: int) -> F.Column:
+    """Unigram+bigram buckets from a word-hash array.
+
+    Bigrams pair adjacent hashes with ``zip_with`` over two slices —
+    never ``element_at`` into the array expression, which would
+    re-derive the WHOLE hash transform per access when ``whash`` is
+    the inline :func:`_word_hashes` expression (O(words²) md5 — 250 s
+    on the 50k-doc slope corpus vs 6 s).  The zip form references the
+    array a bounded 3 times, so even the single-expression
+    :func:`gram_buckets` composition stays linear; hot paths still
+    project the array into a real column first (:func:`_gram_bucket_rows`)
+    so md5 runs exactly once per word."""
+    whash = F.col(whash) if isinstance(whash, str) else whash
+    uni = F.transform(whash, lambda h: h % F.lit(buckets))
+    # slice(x, 2, n) needs n >= 0: guard 0/1-word docs
+    bi = F.when(
+        F.size(whash) >= 2,
+        F.zip_with(
+            F.slice(whash, 1, F.size(whash) - 1),
+            F.slice(whash, 2, F.size(whash) - 1),
+            lambda h1, h2: (h1 * F.lit(31) + h2) % F.lit(buckets),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(uni, bi)
+
+
+def _gram_bucket_rows(
+    df: DataFrame, text_col: str, *, buckets: int, id_col: str | None = None
+) -> DataFrame:
+    """Exploded ``(…, bucket)`` rows with the word-hash array
+    materialized ONCE per row in its own projection — the alias is
+    referenced by several sub-expressions, so CollapseProject keeps
+    the boundary and md5 runs once per word.  With ``id_col`` the id
+    rides along and empty docs keep one NULL row (``explode_outer``);
+    without, rows are just non-null buckets (distribution use)."""
+    wh = _word_hashes(text_col)
+    if id_col is None:
+        return df.select(wh.alias("_wh")).select(
+            F.explode(_buckets_from_hashes(F.col("_wh"), buckets)).alias(
+                "bucket"
+            )
+        )
+    return df.select(F.col(id_col), wh.alias("_wh")).select(
+        F.col(id_col),
+        F.explode_outer(_buckets_from_hashes(F.col("_wh"), buckets)).alias(
+            "bucket"
+        ),
     )
 
 
@@ -63,9 +115,7 @@ def bucket_distribution(
     combine collapses each partition to ≤ ``buckets`` rows before the
     shuffle, so the shuffle never scales with the corpus)."""
     return (
-        df.select(
-            F.explode(gram_buckets(text_col, buckets=buckets)).alias("bucket")
-        )
+        _gram_bucket_rows(df, text_col, buckets=buckets)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -135,16 +185,37 @@ def dsir_weights(
     buckets: int = 10_000,
 ) -> DataFrame:
     """Per-document log importance weight: sum of the broadcast bucket
-    log-ratios over the document's grams.  One shuffle, on the uniform
-    ``id_col``; documents with no grams weigh 0."""
-    exploded = df.select(
-        F.col(id_col),
-        F.explode_outer(gram_buckets(text_col, buckets=buckets)).alias("bucket"),
-    )
+    log-ratios over the document's grams, computed over the COMPRESSED
+    per-document bucket counts (``sum(cnt * logratio)``) — a document's
+    grams collapse to ≤ ``buckets`` rows before the join, so neither
+    shuffle scales with gram count.  Documents with no grams weigh 0."""
+    counts = _doc_bucket_counts(df, id_col, text_col, buckets=buckets)
     return (
-        exploded.join(F.broadcast(logratios), "bucket", "left")
+        counts.join(F.broadcast(logratios), "bucket", "left")
         .groupBy(id_col)
-        .agg(F.coalesce(F.sum("logratio"), F.lit(0.0)).alias("dsir_logweight"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("cnt") * F.col("logratio")), F.lit(0.0)
+            ).alias("dsir_logweight")
+        )
+    )
+
+
+def _doc_bucket_counts(
+    df: DataFrame, id_col: str, text_col: str, *, buckets: int
+) -> DataFrame:
+    """``(id_col, bucket, cnt)`` — the exploded gram frame compressed
+    by per-document bucket multiplicity.  This is the frame worth
+    materializing: the raw explode is one row per gram occurrence
+    (~10x the corpus row count), while this is ≤ min(grams, buckets)
+    rows per document, and both the distribution estimate and the
+    weight pass derive from it exactly (``n = sum(cnt)``,
+    ``weight = sum(cnt * logratio)``).  Empty documents keep one
+    NULL-bucket row (``explode_outer``) so every doc gets a weight."""
+    return (
+        _gram_bucket_rows(df, text_col, buckets=buckets, id_col=id_col)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
@@ -201,14 +272,19 @@ def dsir_select(
     """The full DSIR chain: estimate → weigh → resample.  Returns the
     selected rows of ``raw`` with their ``dsir_logweight`` attached.
 
-    The raw corpus is gram-hashed ONCE: the exploded ``(id, bucket)``
-    frame is persisted and shared between the log-ratio estimate and
-    the weight branch (hashing is the chain's dominant cost — md5 per
-    unigram+bigram — and the naive spelling pays it twice), then
-    RELEASED before returning: the picked (id, logweight) set — tiny,
-    ``n`` rows — is localCheckpoint'ed eagerly, so the returned plan
-    no longer references the corpus-sized gram cache and it cannot
-    accumulate across repeated selections in a long-lived session.
+    The raw corpus is gram-hashed ONCE, and what gets materialized is
+    the COMPRESSED per-document bucket-count frame ``(id, bucket,
+    cnt)`` — ≤ min(grams, buckets) rows per document, versus one row
+    per gram occurrence (~10x the corpus row count) for the raw
+    explode.  Both branches derive from it exactly: the distribution
+    is ``sum(cnt)`` by bucket, the weight is ``sum(cnt * logratio)``
+    by document — so the dominant md5 hashing runs once AND the cache
+    no longer scales with gram count (the raw exploded frame thrashed
+    spill at 10x data; the counts frame stays ~bounded by
+    docs × buckets).  The picked (id, logweight) set — tiny, ``n``
+    rows — is localCheckpoint'ed eagerly before the cache is RELEASED,
+    so the returned plan no longer references it and repeated
+    selections in a long-lived session cannot accumulate caches.
     ``raw`` itself stays persisted for the final join back unless
     ``persist=False`` (already-cached input or a cheap parquet scan);
     that cache keys on ``raw``'s plan, releasable with ``unpersist()``.
@@ -217,16 +293,14 @@ def dsir_select(
 
     if persist:
         raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
-    raw_grams = raw.select(
-        F.col(id_col),
-        F.explode_outer(gram_buckets(text_col, buckets=buckets)).alias(
-            "bucket"),
+    raw_counts = _doc_bucket_counts(
+        raw, id_col, text_col, buckets=buckets
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         r_dist = (
-            raw_grams.where(F.col("bucket").isNotNull())
+            raw_counts.where(F.col("bucket").isNotNull())
             .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("cnt").alias("n"))
         )
         lr = _logratios_from_dists(
             raw.sparkSession,
@@ -236,14 +310,17 @@ def dsir_select(
             smoothing=smoothing,
         )
         w = (
-            raw_grams.join(F.broadcast(lr), "bucket", "left")
+            raw_counts.join(F.broadcast(lr), "bucket", "left")
             .groupBy(id_col)
-            .agg(F.coalesce(F.sum("logratio"), F.lit(0.0)).alias(
-                "dsir_logweight"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("cnt") * F.col("logratio")), F.lit(0.0)
+                ).alias("dsir_logweight")
+            )
         )
         picked = dsir_sample(
             w, n=n, id_col=id_col, seed=seed, temperature=temperature
         ).localCheckpoint(eager=True)
         return raw.join(picked, id_col)
     finally:
-        raw_grams.unpersist()
+        raw_counts.unpersist()

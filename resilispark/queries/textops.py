@@ -2016,18 +2016,23 @@ WITH w AS (
          list_filter(regexp_split_to_array(lower(text), '\s+'),
                      x -> x <> '') AS ws
   FROM documents
-), uni AS (
-  SELECT doc_id, unnest(ws) AS g FROM w
-), bi AS (
-  SELECT doc_id, unnest(
-    CASE WHEN len(ws) >= 2 THEN
-      list_transform(generate_series(1, len(ws) - 1),
-                     i -> ws[i] || ' ' || ws[i + 1])
-    ELSE [] END) AS g
+), wh AS (
+  -- one 32-bit md5 hash per WORD; unigram bucket = h % 256, bigram
+  -- bucket = (h1*31 + h2) % 256 (operators/dsir.py gram_buckets)
+  SELECT doc_id,
+         list_transform(ws, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)
+           AS hs
   FROM w
 ), grams AS (
-  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS bucket
-  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  SELECT doc_id, unnest(list_transform(hs, h -> h % 256)) AS bucket
+  FROM wh
+  UNION ALL
+  SELECT doc_id, unnest(
+    CASE WHEN len(hs) >= 2 THEN
+      list_transform(generate_series(1, len(hs) - 1),
+                     i -> (hs[i] * 31 + hs[i + 1]) % 256)
+    ELSE [] END) AS bucket
+  FROM wh
 ), rawc AS (
   SELECT bucket, count(*) AS n FROM grams GROUP BY bucket
 ), tgtc AS (
@@ -2046,11 +2051,16 @@ WITH w AS (
   LEFT JOIN rawc r USING (bucket)
   LEFT JOIN tgtc t USING (bucket)
   CROSS JOIN totals tot
+), cnts AS (
+  -- compressed per-doc bucket counts: the engine sums cnt * logratio
+  -- over <= buckets rows per doc (operators/dsir.py _doc_bucket_counts)
+  -- and the oracle must add the SAME float terms
+  SELECT doc_id, bucket, count(*) AS cnt FROM grams GROUP BY doc_id, bucket
 ), wts AS (
-  SELECT d.doc_id, coalesce(sum(lr.logratio), 0.0) AS lw
+  SELECT d.doc_id, coalesce(sum(c.cnt * lr.logratio), 0.0) AS lw
   FROM documents d
-  LEFT JOIN grams g ON g.doc_id = d.doc_id
-  LEFT JOIN lr ON lr.bucket = g.bucket
+  LEFT JOIN cnts c ON c.doc_id = d.doc_id
+  LEFT JOIN lr ON lr.bucket = c.bucket
   GROUP BY d.doc_id
 ), keyed AS (
   SELECT doc_id, lw,

@@ -4989,10 +4989,11 @@ class TestDsir:
             .b
         )
         words = [w for w in text.lower().split() if w]
-        grams = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
-        exp = [
-            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 97
-            for g in grams
+        hs = [
+            int(hashlib.md5(w.encode()).hexdigest()[:8], 16) for w in words
+        ]
+        exp = [h % 97 for h in hs] + [
+            (a * 31 + b) % 97 for a, b in zip(hs, hs[1:])
         ]
         assert got == exp
 

@@ -39,7 +39,7 @@ PICKS = {
     "d12_incremental_dedup": "Incremental dedup probe: digest LEFT SEMI join + band-key LEFT SEMI join + per-doc collision count — every join sized by the snapshot side, store reads pruned by the band_idx partition key.",
     "d13_fuzzy_dedup": "Keep-best fuzzy dedup: checkpointed pair graph -> pointer-jump component rounds -> ONE partial-aggregated max(struct) per cluster for the representative (no window) -> LEFT ANTI drop of the losers.",
     "s06_kmeans": "Distributed Lloyd's: each iteration is ONE mapInPandas pass emitting <= partitions*k stat rows, a per-cell combine that shuffles only those, and a k*d driver collect; the returned frame is the final centroid table (LocalTableScan) — the corpus vectors never shuffle, so the plan to audit is the iteration's map-side partial aggregation.",
-    "t10_dsir": "DSIR selection: codegen gram hashing (no EvalPython), bucket distributions partial-aggregated to <= buckets keys, the KB log-ratio table broadcast (BuildRight), ONE uniform doc_id shuffle for the weight sums, TakeOrderedAndProject for the Gumbel top-k — no global sort, no corpus-sized shuffle.",
+    "t10_dsir": "DSIR selection: codegen gram hashing — md5 once per WORD in its own projection (bigram buckets from word-hash arithmetic), the compressed (id, bucket, cnt) frame persisted instead of the raw explode, bucket distributions partial-aggregated to <= buckets keys, the KB log-ratio table broadcast (BuildRight), ONE uniform doc_id shuffle for the weight sums, TakeOrderedAndProject for the Gumbel top-k — no global sort, no corpus-sized shuffle; sf1 slope 3.3x on 10x data (was 8-11x).",
     "s07_cluster_sample": "Cluster-balanced sampling: cell sizes are ONE partial-aggregated groupBy (rows shuffled <= n_cells), quotas driver arithmetic joined back as a BroadcastHashJoin, and the rank filter's constant max-quota bound compiles to WindowGroupLimit — each cell is pruned to its top rows map-side BEFORE the one cell-keyed shuffle, so a head cluster never ships its tail.",
     "t11_cms_estimate": "Count-min probe: the merged cell table (<= depth*width rows by construction) is the broadcast BUILD side of the probe's left join; candidate positions are pure codegen hash arithmetic — no corpus read at all, the store rows are the only input.",
     "t12_wds_roundtrip": "WebDataset read-back: binaryFile lists the shards, one mapInPandas unTars each on the executor that read it — ZERO shuffles end to end; md5/length are codegen above the source.",
