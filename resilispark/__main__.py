@@ -769,19 +769,20 @@ def cmd_curate(args) -> int:
             )
             wds_key = "_wds_doc_key"
         # footer-only count of the corpus just written sizes the
-        # shards without a second full pass — but pyarrow can't open
-        # every Spark-writable scheme (s3a://, hdfs://); fall back to
-        # the writer's own count() there
-        local_out = "://" not in args.output or args.output.startswith(
-            "file:")
+        # shards without a second full pass — ranged footer reads
+        # through the fs layer cover remote schemes too; only a scheme
+        # the fs registry doesn't know (s3a://, hdfs://) falls back to
+        # the writer's own count()
+        try:
+            n_hint = parquet_num_rows(args.output)
+        except ValueError:
+            n_hint = None
         man = write_webdataset(
             wds_docs,
             args.export_webdataset,
             key_col=wds_key,
             docs_per_shard=args.wds_docs_per_shard,
-            n_docs_hint=(
-                parquet_num_rows(args.output) if local_out else None
-            ),
+            n_docs_hint=n_hint,
             overwrite=True,
         )
         print(f"wrote {args.export_webdataset} "

@@ -46,15 +46,100 @@ __all__ = ["write_webdataset", "read_webdataset", "parquet_num_rows"]
 
 
 def parquet_num_rows(path: str) -> int:
-    """Exact row count of a LOCAL parquet directory from file FOOTERS
-    only — no Spark job, no data pages.  The cheap ``n_docs_hint``
-    source for :func:`write_webdataset` when exporting an
-    already-written corpus (remote schemes fall back to ``count()``)."""
+    """Exact row count of a parquet directory from file FOOTERS only —
+    no Spark job, no data pages.  The cheap ``n_docs_hint`` source for
+    :func:`write_webdataset` when exporting an already-written corpus.
+
+    Local paths go through one pyarrow dataset (mmap'd footers).  Any
+    scheme the fs layer knows (s3://, http://, memory://, registered
+    plugins, fsspec fallback) reads each file's footer through RANGED
+    reads — one listing plus two-three small GETs per file, never the
+    data pages — so a remote corpus is sized without the full
+    ``count()`` scan the r6 fallback paid.  Unknown schemes raise
+    ``ValueError`` (callers that can count() may catch it)."""
     import pyarrow.dataset as ds
 
-    from resilispark.io.fs import LocalFS
+    from resilispark.io.fs import LocalFS, split_scheme
 
-    return ds.dataset(LocalFS._strip(path), format="parquet").count_rows()
+    scheme, _ = split_scheme(path)
+    if scheme == "file":
+        return ds.dataset(
+            LocalFS._strip(path), format="parquet"
+        ).count_rows()
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from resilispark.io.fs import get_fs
+
+    fs = get_fs(path)
+    pattern = path.rstrip("/") + "/*.parquet"
+    files = [
+        (p, sz)
+        for p, sz in fs.glob_stat(pattern)
+        # pyarrow's dataset discovery skips '_'/'.'-prefixed files
+        # (manifests, _SUCCESS); the remote path must count the same set
+        if not os.path.basename(split_scheme(p)[1]).startswith(("_", "."))
+    ]
+    if not files:
+        raise ValueError(f"no parquet files match {pattern!r}")
+    total = 0
+    for p, sz in files:
+        total += pq.read_metadata(
+            pa.PythonFile(_RangedFile(fs, p, sz), mode="r")
+        ).num_rows
+    return total
+
+
+class _RangedFile:
+    """Minimal seekable read-only file over ``FileSystem.read_range``
+    — just enough surface for ``pyarrow.PythonFile`` so
+    ``pq.read_metadata`` can fetch a remote footer (seek to EOF-8,
+    read the footer length, read the footer) without downloading the
+    file."""
+
+    def __init__(self, fs, path: str, size: int):
+        self._fs, self._path, self._size, self._pos = fs, path, size, 0
+
+    def size(self) -> int:
+        return self._size
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        elif whence == 2:
+            self._pos = self._size + offset
+        else:
+            raise ValueError(f"bad whence {whence}")
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        data = self._fs.read_range(self._path, self._pos, n)
+        self._pos += len(data)
+        return data
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def writable(self) -> bool:
+        return False
+
+    def close(self) -> None:
+        pass
+
+    @property
+    def closed(self) -> bool:
+        return False
 
 _SUMMARY_SCHEMA = T.StructType([
     T.StructField("shard", T.LongType()),
@@ -122,7 +207,8 @@ def write_webdataset(
     just shifts docs/shard), else from ONE ``count()`` scan.  That
     count is footer-cheap over a parquet read-back but a FULL scan
     over e.g. a WARC-backed plan — pass ``n_shards`` or
-    ``n_docs_hint`` there.
+    ``n_docs_hint`` there (:func:`parquet_num_rows` supplies it from
+    footers alone for local AND fs-layer-known remote parquet dirs).
 
     Returns the index dict (also written to ``<path>/_SHARDS.json``
     unless ``index=False``): per-shard sample and byte counts plus

@@ -5648,6 +5648,49 @@ class TestWebdataset:
         assert man["n_shards"] == 4
         assert man["total"]["n_samples"] == 40
 
+    def test_parquet_num_rows_remote_ranged_footers(self, spark, tmp_path,
+                                                    monkeypatch):
+        """A remote (memory://) parquet dir is sized from RANGED footer
+        reads through the fs layer — no full-file download, no Spark
+        count() (the r6 fallback) — and skips '_'-prefixed manifests
+        exactly like pyarrow's local dataset discovery."""
+        import pytest as _pytest
+
+        from resilispark.io.fs import get_fs
+        from resilispark.operators.webdataset import parquet_num_rows
+
+        monkeypatch.setenv(
+            "RESILISPARK_MEMFS_DIR", str(tmp_path / "memfs"))
+        src = str(tmp_path / "docs.parquet")
+        self._docs(spark).write.parquet(src)
+        fs = get_fs("memory://corpus/x.parquet")
+        n_local = 0
+        import glob as _glob
+        for i, p in enumerate(sorted(
+                _glob.glob(src + "/part-*.parquet"))):
+            fs.put_file(p, f"memory://corpus/part-{i:05d}.parquet")
+            n_local += 1
+        assert n_local >= 1
+        # a manifest next to the data must not break or count
+        (tmp_path / "_SHARDS.json").write_text("{}")
+        fs.put_file(str(tmp_path / "_SHARDS.json"),
+                    "memory://corpus/_SHARDS.json")
+
+        reads = []
+        orig = type(fs).read_range
+
+        def spy(self, path, start, length):
+            reads.append((path, start, length))
+            return orig(self, path, start, length)
+
+        monkeypatch.setattr(type(fs), "read_range", spy)
+        assert parquet_num_rows("memory://corpus") == 40
+        # footer-only: every ranged read is small, none spans the file
+        assert reads and all(ln < 1 << 20 for _, _, ln in reads)
+
+        with _pytest.raises(ValueError, match="no parquet files"):
+            parquet_num_rows("memory://corpus-empty")
+
 
 class TestClusterBalancedSample:
     def test_quota_water_filling(self):
