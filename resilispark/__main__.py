@@ -97,6 +97,19 @@ def cmd_index(args) -> int:
     fields = tuple(args.fields.split(",")) if args.fields else (
         "offset", "length", "filename", "http:status",
     )
+    if getattr(args, "parquet", False):
+        # prunable CDX: hive-partitioned by SURT prefix, sorted within
+        # files — lookup_captures prunes to one partition directory
+        if not args.output:
+            print("error: --parquet requires -o/--output",
+                  file=sys.stderr)
+            return 2
+        from resilispark.operators.warctools import write_cdxj_parquet
+
+        write_cdxj_parquet(spark, args.file, args.output, fields=fields,
+                           prefix_len=args.prefix_len)
+        print(f"wrote {args.output} (parquet cdx)")
+        return 0
     # concat_ws silently DROPS nulls (shifting fields); records without
     # a target URI / date must keep their placeholder like the
     # f-string output did
@@ -1633,6 +1646,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="write a <file>.cdxj split-planning sidecar "
                         "next to every matched WARC (one task per "
                         "file; ignores -f/-o)")
+    p.add_argument("--parquet", action="store_true",
+                   help="write a prunable parquet CDX (partitioned by "
+                        "SURT prefix, sorted within files) instead of "
+                        "text lines; requires -o")
+    p.add_argument("--prefix-len", type=int, default=4,
+                   help="SURT-prefix partition key length for --parquet")
     p.set_defaults(fn=cmd_index)
 
     p = sub.add_parser("extract", help="extract one record by byte offset")

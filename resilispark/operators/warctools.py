@@ -296,6 +296,100 @@ def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+_CDXJ_META = "_CDXJ_META.json"
+
+
+def write_cdxj_parquet(
+    spark: SparkSession,
+    src: str,
+    out: str,
+    *,
+    fields: tuple[str, ...] = ("offset", "length", "filename", "http:status"),
+    prefix_len: int = 4,
+) -> str:
+    """Index WARCs into a PRUNABLE parquet CDX: the same typed rows as
+    :func:`read_cdxj`, hive-partitioned by the first ``prefix_len``
+    characters of the SURT key and sorted by (surt_key, ts) within
+    files.
+
+    A text CDXJ index is correct but a prefix lookup must scan EVERY
+    line; over a Common-Crawl-scale index (hundreds of GB) a CDX
+    server needs pruning.  Here a lookup reads ONE partition directory
+    (PartitionFilters on ``surt_prefix``) and row groups inside it
+    skip on the sorted ``surt_key`` min/max stats — the parquet
+    restatement of the reference CLI's offset-index intent
+    (fastwarc-py/fastwarc/cli.py:225-283).  ``prefix_len`` trades
+    partition count against pruning selectivity: 4 chars of SURT
+    (``com,``, ``org,``…) is hundreds of partitions over a real crawl;
+    raise it for host-level fan-out.  NULL-key records (no target URI)
+    land in one sentinel partition so they stay retrievable.
+
+    Writes ``_CDXJ_META.json`` next to the data (underscore-prefixed:
+    parquet readers ignore it) recording ``prefix_len`` for the lookup
+    side.  Returns ``out``."""
+    import json as _json
+
+    if prefix_len < 1:
+        raise ValueError("prefix_len must be >= 1")
+    idx = cdxj_index(spark, src, fields=fields)
+    rows = idx.select(
+        "surt_key",
+        "ts",
+        F.get_json_object("record", "$.offset").cast("bigint").alias(
+            "offset"),
+        F.get_json_object("record", "$.length").cast("bigint").alias(
+            "length"),
+        F.get_json_object("record", "$.filename").alias("filename"),
+        F.col("record"),
+        F.coalesce(
+            F.substring("surt_key", 1, prefix_len), F.lit("~null~")
+        ).alias("surt_prefix"),
+    )
+    (
+        rows.repartition("surt_prefix")
+        .sortWithinPartitions("surt_key", "ts")
+        .write.mode("overwrite")
+        .partitionBy("surt_prefix")
+        .parquet(out)
+    )
+    from resilispark.io.fs import get_fs
+
+    meta = _json.dumps({"format": "cdxj-parquet", "version": 1,
+                        "prefix_len": prefix_len, "fields": list(fields)})
+    import os as _os
+    import tempfile as _tempfile
+
+    fd, tmp = _tempfile.mkstemp(suffix=".json")
+    try:
+        with _os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(meta)
+        get_fs(out).put_file(tmp, out.rstrip("/") + "/" + _CDXJ_META)
+    finally:
+        if _os.path.exists(tmp):
+            _os.unlink(tmp)
+    return out
+
+
+def _cdxj_parquet_meta(index_path: str) -> dict | None:
+    """The parquet-index marker's contents, or None for a text index
+    (absence of the marker is the dispatch signal; any OTHER failure —
+    permissions, truncated JSON — re-raises, the persistent-store
+    contract)."""
+    import json as _json
+
+    from resilispark.io.fs import get_fs
+
+    p = index_path.rstrip("/") + "/" + _CDXJ_META
+    fs = get_fs(p)
+    try:
+        if not fs.exists(p):
+            return None
+    except (FileNotFoundError, OSError):
+        return None
+    with fs.open(p) as f:
+        return _json.loads(f.read().decode("utf-8"))
+
+
 def lookup_captures(
     spark: SparkSession,
     index_path: str,
@@ -310,6 +404,13 @@ def lookup_captures(
     host matches host + every path.  With ``latest_only`` one row per
     (surt_key, filename is irrelevant) — the newest ts wins via a
     partial-aggregated max(struct), the skew-immune keep-one spelling.
+
+    Dispatches on the index layout: a :func:`write_cdxj_parquet`
+    directory (detected by its ``_CDXJ_META.json``) is read with a
+    partition filter on the SURT prefix — only the matching partition
+    directory is listed and sorted row groups skip on surt_key stats —
+    while a text CDXJ index scans all lines with the predicate pushed
+    to the parsed column.  Same output columns either way.
 
     Feed the result's (filename, offset) pairs to the warc reader's
     ``offset`` option (S12 point extract) to fetch the records
@@ -329,9 +430,26 @@ def lookup_captures(
         probe = url_prefix.lower()
     # a host-only prefix's SURT ends ')'; captures continue ')/...' —
     # startswith covers both the exact key and every descendant
-    idx = read_cdxj(spark, index_path).where(
-        F.col("surt_key").startswith(probe)
-    )
+    meta = _cdxj_parquet_meta(index_path)
+    if meta is not None:
+        plen = int(meta["prefix_len"])
+        idx = spark.read.parquet(index_path)
+        if len(probe) >= plen:
+            # the probe pins ONE partition exactly
+            part = F.col("surt_prefix") == probe[:plen]
+        else:
+            # shorter probe: a contiguous RANGE of partitions
+            part = F.col("surt_prefix").startswith(probe)
+        idx = (
+            idx.where(part)
+            .where(F.col("surt_key").startswith(probe))
+            .select("surt_key", "ts", "offset", "length", "filename",
+                    "record")
+        )
+    else:
+        idx = read_cdxj(spark, index_path).where(
+            F.col("surt_key").startswith(probe)
+        )
     if not latest_only:
         return idx
     return (

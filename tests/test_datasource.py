@@ -202,6 +202,88 @@ def test_read_cdxj_and_lookup_captures(spark, fixture_dir, tmp_path):
     assert rec.stream_pos == h.offset
 
 
+def test_cdxj_parquet_index_prunes_and_matches_text(
+        spark, fixture_dir, tmp_path):
+    """write_cdxj_parquet: the same captures as the text index, but a
+    prefix lookup PRUNES — PartitionFilters on the SURT-prefix hive
+    key pin the matching partition directory instead of scanning every
+    line (the reference CLI's offset-index intent at CDX-server
+    scale)."""
+    import shutil
+
+    from resilispark.operators.warctools import (
+        lookup_captures,
+        write_cdxj_parquet,
+        write_cdxj_sidecar,
+    )
+
+    gz = str(tmp_path / "golden-50.warc.gz")
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", gz)
+    side = write_cdxj_sidecar(spark, gz)
+    pq_idx = write_cdxj_parquet(spark, gz, str(tmp_path / "cdx-parquet"),
+                                prefix_len=4)
+
+    surt = (
+        spark.read.parquet(pq_idx)
+        .where("surt_key IS NOT NULL AND surt_key LIKE '%)%'")
+        .select("surt_key").first().surt_key
+    )
+    host = surt.split(")", 1)[0]                    # e.g. com,example
+    url = ".".join(reversed(host.split(",")))       # bare host probe
+
+    text_rows = lookup_captures(spark, side, url)
+    pq_rows = lookup_captures(spark, pq_idx, url)
+    key = lambda r: (r.surt_key, r.ts, r.offset, r.length, r.filename)  # noqa: E731
+    t = sorted(key(r) for r in text_rows.collect())
+    p = sorted(key(r) for r in pq_rows.collect())
+    assert p == t and len(p) >= 1
+
+    # the plan prunes: a probe >= prefix_len chars pins ONE partition
+    plan = pq_rows._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "surt_prefix" in plan
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "partition filter list is empty"
+
+    # a probe SHORTER than prefix_len still prunes (startswith over a
+    # contiguous partition range): same lookup against a long-prefix
+    # index
+    pq_long = write_cdxj_parquet(
+        spark, gz, str(tmp_path / "cdx-parquet-long"), prefix_len=64)
+    short = lookup_captures(spark, pq_long, url)
+    assert sorted(key(r) for r in short.collect()) == p
+    splan = short._jdf.queryExecution().executedPlan().toString()
+    sm = _re.search(r"PartitionFilters: \[([^\]]*)\]", splan)
+    assert sm and "StartsWith" in sm.group(1)
+
+    # latest_only parity across layouts
+    lt = sorted(key(r) for r in lookup_captures(
+        spark, side, url, latest_only=True).collect())
+    lp = sorted(key(r) for r in lookup_captures(
+        spark, pq_idx, url, latest_only=True).collect())
+    assert lp == lt
+
+
+def test_cli_index_parquet(tmp_path, fixture_dir, capsys):
+    from resilispark.__main__ import main
+
+    import shutil
+
+    gz = str(tmp_path / "golden-50.warc.gz")
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", gz)
+    out = str(tmp_path / "cdx")
+    rc = main(["--cpus", "4", "index", gz, "--parquet", "-o", out])
+    assert rc == 0
+    assert "parquet cdx" in capsys.readouterr().out
+    import os
+
+    assert os.path.exists(os.path.join(out, "_CDXJ_META.json"))
+    # --parquet without -o is refused, not silently printed to stdout
+    rc = main(["--cpus", "4", "index", gz, "--parquet"])
+    assert rc == 2
+
+
 def test_cdxj_sidecars_zero_record_file_reported(
         spark, fixture_dir, tmp_path, capsys):
     """A matched WARC file that yields zero index records gets no
