@@ -52,9 +52,12 @@ _GATE_ORDER = [
     "d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_signatures",
     "d04_minhash_lsh_pairs", "d05_simhash", "d06_embedding_neardup",
     "d07_dedup_clusters", "d08_simhash_pairs", "d09_decontaminate",
-    # text analysis (t02/t04 live in qc_curation_family)
+    # text analysis (t02/t04 live in qc_curation_family;
+    # t05_lang_confusion moved to pytest in round 7 — it was the one
+    # rows-only gate, no_oracle since r4 — freeing this slot for the
+    # hash-green sketch-store family)
     "t01_quality_score", "t03_lang_distribution",
-    "t05_lang_confusion", "t06_pii_scrub",
+    "qc_sketch_family", "t06_pii_scrub",
     # similarity search
     "s01_cosine_topk", "s02_lsh_buckets", "s03_label_centroid_norms",
     "s04_label_centroid_dims", "s05_ivf_topk",

@@ -131,6 +131,16 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
     "t13_token_mixture": [
         ("doc_id", "n"), ("epoch", "n"), ("source", "s"),
     ],
+    "t14_hll_union": [
+        ("column", "s"), ("n_snapshots", "n"), ("union_distinct", "n"),
+        ("sum_snapshot_distinct", "n"), ("cross_snapshot_overlap", "n"),
+    ],
+    "t15_histogram_drift": [
+        ("snapshot", "s"), ("column", "s"), ("tv_distance", "d"),
+    ],
+    "h02_heavy_hitters_trim": [
+        ("value", "s"), ("n_min", "n"), ("err_bound", "n"),
+    ],
 }
 
 # members may live in either query module; merged lookup keeps the
@@ -213,6 +223,18 @@ FAMILIES: dict[str, list[str]] = {
         # sampling with epoch up-sampling, fractions and md5 selection
         # replayed float-op for float-op)
         "t13_token_mixture",
+    ],
+    # sketch-store telemetry (round 7, in the slot t05's rows-only
+    # check freed): HLL union/overlap estimates pinned to the exact
+    # coupon regime (DuckDB replays them as count(DISTINCT)) and the
+    # histogram drift readout's total-variation arithmetic replayed
+    # bin for bin — the approximate HLL regime and log2 bin-boundary
+    # behavior are pytest-proven.  h02 gates the Misra-Gries FORCED
+    # TRIM (h01 pins the exact regime): one partition + one Arrow
+    # batch makes the subtract-and-carry-to-error-mass step
+    # deterministic, and the oracle replays the cut exactly
+    "qc_sketch_family": [
+        "t14_hll_union", "t15_histogram_drift", "h02_heavy_hitters_trim",
     ],
 }
 

@@ -2602,6 +2602,227 @@ ORDER BY doc_id, epoch
 """
 
 
+def t14_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch store union/overlap readout (operators/sketches.py):
+    the corpus splits into three snapshots, each sketches three
+    columns in one pass (lang ~5, source ~20, doc_id%64 = 64 distinct
+    values), and the store-only estimate unions the nine KB-rows with
+    zero corpus reads.
+
+    The gate PINS the sketch's exact regime: DataSketches HLL stores
+    raw coupons below a few hundred distinct values, so every
+    estimate — per-snapshot, union, and the sum-minus-union overlap —
+    equals the true distinct count and DuckDB replays them as
+    count(DISTINCT).  The approximate regime (estimates drift ~2% past
+    the coupon capacity) is property-tested in pytest, the same
+    exact-gated/approx-tested split as h01."""
+    import tempfile
+
+    from resilispark.operators.sketches import (
+        sketch_store_estimates,
+        write_snapshot_sketch,
+    )
+
+    d = _docs(spark, sf_dir)
+    # leaked on purpose (like t11's store): the readout reads lazily
+    store = tempfile.mkdtemp(prefix="resilispark-t14-hll-") + "/store"
+    cols = {
+        "lang": F.col("lang"),
+        "source": F.col("source"),
+        "bucket64": (F.col("doc_id") % 64).cast("string"),
+    }
+    for i in range(3):
+        write_snapshot_sketch(
+            d.filter(F.col("doc_id") % 3 == i), store,
+            snapshot=f"c{i}", cols=cols,
+        )
+    return sketch_store_estimates(spark, store).orderBy("column")
+
+
+ORACLE_T14 = """
+WITH src AS (
+  SELECT doc_id % 3 AS snap, lang, source,
+         (doc_id % 64)::VARCHAR AS bucket64
+  FROM documents
+), long AS (
+  SELECT snap, 'lang' AS col, lang AS v FROM src
+  UNION ALL SELECT snap, 'source', source FROM src
+  UNION ALL SELECT snap, 'bucket64', bucket64 FROM src
+), per AS (
+  SELECT col, snap, count(DISTINCT v)::BIGINT AS d
+  FROM long WHERE v IS NOT NULL GROUP BY col, snap
+), uni AS (
+  SELECT col, count(DISTINCT v)::BIGINT AS u
+  FROM long WHERE v IS NOT NULL GROUP BY col
+)
+SELECT p.col AS "column",
+       count(*)::BIGINT AS n_snapshots,
+       MIN(u.u) AS union_distinct,
+       SUM(p.d)::BIGINT AS sum_snapshot_distinct,
+       GREATEST(0, SUM(p.d) - MIN(u.u))::BIGINT AS cross_snapshot_overlap
+FROM per p JOIN uni u ON u.col = p.col
+GROUP BY p.col
+ORDER BY "column"
+"""
+
+
+def h02_heavy_hitters_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries FORCED-TRIM regime (operators/sketches.py): h01
+    gates the exact regime; this member makes the capacity overflow
+    actually fire — the thing that makes MG a sketch — and replays the
+    trim in SQL.
+
+    A skewed derived column (three heavy tiers + ~40 singleton-ish
+    tails) overflows capacity=8, so the summary subtracts the 9th
+    largest count from every counter, drops the non-positives, and
+    moves the cut into the error mass: survivors UNDERCOUNT by exactly
+    the cut and err_bound reports it.  Determinism needs one partition
+    and one Arrow batch (multi-batch trim points depend on batch
+    boundaries): the query coalesces to 1 and pins maxRecordsPerBatch
+    above the corpus size for the eager summary pass, restoring the
+    session value after."""
+    from resilispark.operators.sketches import heavy_hitters
+
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 16
+    v = (
+        F.when(m < 8, F.lit("a"))
+        .when(m < 12, F.lit("b"))
+        .when(m < 14, F.lit("c"))
+        .otherwise(
+            F.concat(F.lit("tail"), (F.col("doc_id") % 40).cast("string"))
+        )
+    )
+    docs = d.select(v.alias("v")).coalesce(1)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "100000000")
+    try:
+        # heavy_hitters materializes eagerly (the merged report is a
+        # driver-scale readout), so the conf pin is scoped to this call
+        report = heavy_hitters(docs, "v", k=8, capacity=8)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    return report.orderBy(F.desc("n_min"), "value")
+
+
+ORACLE_H02 = """
+WITH src AS (
+  SELECT CASE WHEN doc_id % 16 < 8 THEN 'a'
+              WHEN doc_id % 16 < 12 THEN 'b'
+              WHEN doc_id % 16 < 14 THEN 'c'
+              ELSE 'tail' || (doc_id % 40)::VARCHAR END AS v
+  FROM documents
+), vals AS (
+  SELECT v AS value, count(*)::BIGINT AS n FROM src GROUP BY v
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC) AS r FROM vals
+), cutv AS (
+  -- the (capacity+1)-th largest count, subtracted from every counter
+  SELECT CASE WHEN (SELECT count(*) FROM vals) > 8
+              THEN (SELECT n FROM ranked WHERE r = 9)
+              ELSE 0 END AS cut
+), kept AS (
+  SELECT value, (n - cut)::BIGINT AS n_min, cut::BIGINT AS err_bound
+  FROM vals, cutv WHERE n > cut
+  ORDER BY n_min DESC, value LIMIT 8
+)
+SELECT value, n_min, err_bound FROM kept
+UNION ALL
+SELECT NULL, 0::BIGINT, cut::BIGINT FROM cutv
+WHERE cut > 0 AND NOT EXISTS (SELECT 1 FROM kept)
+ORDER BY n_min DESC, value
+"""
+
+
+def t15_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram store drift readout (operators/sketches.py): three
+    snapshot splits write log2-binned histograms of a derived length
+    column; the total-variation distance of each snapshot against the
+    merged rest replays bin for bin in SQL.
+
+    The binned value is ``2*n_chars + 1`` — always odd, so no value
+    sits on a power-of-two bin boundary where Spark's log-ratio log2
+    and DuckDB's libm log2 could floor to different bins (an odd
+    v <= 2^20 keeps log2(v) at least ~1e-3 from an integer; the
+    engines differ by ~1 ulp).  Boundary behavior itself is
+    pytest-proven."""
+    import tempfile
+
+    from resilispark.operators.sketches import (
+        histogram_store_drift,
+        write_snapshot_histogram,
+    )
+    from resilispark.queries._util import dround
+
+    d = _docs(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="resilispark-t15-hist-") + "/store"
+    cols = {"len_odd": (F.col("n_chars") * 2 + 1)}
+    for i in range(3):
+        write_snapshot_histogram(
+            d.filter(F.col("doc_id") % 3 == i), store,
+            snapshot=f"c{i}", cols=cols,
+        )
+    return (
+        histogram_store_drift(spark, store)
+        .select(
+            "snapshot", "column", dround("tv_distance", 6).alias(
+                "tv_distance"),
+        )
+        .orderBy("snapshot", "column")
+    )
+
+
+ORACLE_T15 = """
+WITH src AS (
+  SELECT 'c' || (doc_id % 3)::VARCHAR AS snapshot,
+         (n_chars * 2 + 1)::DOUBLE AS v
+  FROM documents
+), binned AS (
+  SELECT snapshot, 'len_odd' AS col,
+         CASE WHEN v <= 0 THEN -33
+              ELSE GREATEST(-32, LEAST(63, FLOOR(LOG2(v))))::INT END AS bin
+  FROM src WHERE v IS NOT NULL AND NOT isnan(v)
+), h AS (
+  SELECT snapshot, col, bin, count(*)::BIGINT AS n
+  FROM binned GROUP BY 1, 2, 3
+), totals AS (
+  SELECT col, bin, SUM(n)::BIGINT AS n_all FROM h GROUP BY 1, 2
+), snap_tot AS (
+  SELECT snapshot, col, SUM(n)::BIGINT AS snap_n FROM h GROUP BY 1, 2
+), col_tot AS (
+  SELECT col, SUM(n)::BIGINT AS all_n FROM h GROUP BY 1
+), j AS (
+  SELECT h.snapshot, h.col, h.n, t.n_all, s.snap_n,
+         c.all_n - s.snap_n AS rest_n
+  FROM h
+  JOIN totals t ON t.col = h.col AND t.bin = h.bin
+  JOIN snap_tot s ON s.snapshot = h.snapshot AND s.col = h.col
+  JOIN col_tot c ON c.col = h.col
+), per AS (
+  SELECT snapshot, col,
+         SUM(ABS(n::DOUBLE / snap_n
+                 - CASE WHEN rest_n > 0
+                        THEN (n_all - n)::DOUBLE / rest_n END))
+           AS present,
+         SUM(CASE WHEN rest_n > 0
+                  THEN (n_all - n)::DOUBLE / rest_n END) AS q_seen,
+         MIN(rest_n) AS rest
+  FROM j GROUP BY 1, 2
+)
+SELECT snapshot, col AS "column",
+       CASE WHEN rest > 0 THEN
+         floor(((present + (1.0 - q_seen)) / 2.0) * 1000000 + 0.5)
+           / 1000000
+       END AS tv_distance
+FROM per
+ORDER BY snapshot, "column"
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2618,7 +2839,12 @@ QUERIES = {
     "t02_token_count": t02_token_count,
     "t03_lang_distribution": t03_lang_distribution,
     "t04_fingerprint": t04_fingerprint,
-    "t05_lang_confusion": t05_lang_confusion,
+    # t05_lang_confusion left the gate registry in round 7: it had
+    # carried err="no_oracle" since r4 (DuckDB cannot replay the lang
+    # kernel) and burned a driver row on a rows-only check.  The
+    # confusion matrix is asserted in pytest
+    # (tests/test_kernels.py::test_t05_lang_confusion_*); its freed
+    # slot gates qc_sketch_family (t14 + t15), both hash-green.
     "t06_pii_scrub": t06_pii_scrub,
     "t07_pack_stats": t07_pack_stats,
     "t08_emit_sequences": t08_emit_sequences,
@@ -2645,6 +2871,9 @@ QUERIES = {
     "g01_pagerank": g01_pagerank,
     "h01_heavy_hitters": h01_heavy_hitters,
     "t13_token_mixture": t13_token_mixture,
+    "t14_hll_union": t14_hll_union,
+    "t15_histogram_drift": t15_histogram_drift,
+    "h02_heavy_hitters_trim": h02_heavy_hitters_trim,
 }
 
 ORACLES = {
@@ -2663,7 +2892,6 @@ ORACLES = {
     "t02_token_count": ORACLE_T02,
     "t03_lang_distribution": ORACLE_T03,
     "t04_fingerprint": ORACLE_T04,
-    "t05_lang_confusion": None,
     "t06_pii_scrub": ORACLE_T06,
     "t07_pack_stats": ORACLE_T07,
     "t08_emit_sequences": ORACLE_T08,
@@ -2690,4 +2918,7 @@ ORACLES = {
     "g01_pagerank": ORACLE_G01,
     "h01_heavy_hitters": ORACLE_H01,
     "t13_token_mixture": ORACLE_T13,
+    "t14_hll_union": ORACLE_T14,
+    "t15_histogram_drift": ORACLE_T15,
+    "h02_heavy_hitters_trim": ORACLE_H02,
 }

@@ -4084,6 +4084,28 @@ class TestCardinalitySketches:
         assert r["sum_snapshot_distinct"] == 200
         assert r["cross_snapshot_overlap"] == 50
 
+    def test_approximate_regime_bounded_error(self, spark, tmp_path):
+        """Past the coupon capacity the HLL estimate drifts — the
+        regime the t14 gate deliberately avoids.  Standard DataSketches
+        error at lg_k=12 is ~1.6% RSE; assert estimates and the union
+        stay within 5% (3 sigma) of truth at 20k/30k distincts."""
+        from resilispark.operators.sketches import (
+            sketch_store_estimates,
+            write_snapshot_sketch,
+        )
+
+        store = str(tmp_path / "sk-approx")
+        a = spark.range(0, 20_000).selectExpr("id as v")
+        b = spark.range(10_000, 30_000).selectExpr("id as v")
+        write_snapshot_sketch(a, store, snapshot="c1", cols=["v"])
+        write_snapshot_sketch(b, store, snapshot="c2", cols=["v"])
+        r = sketch_store_estimates(spark, store).collect()[0]
+        assert abs(r["union_distinct"] - 30_000) / 30_000 < 0.05
+        assert abs(r["sum_snapshot_distinct"] - 40_000) / 40_000 < 0.05
+        # overlap inherits both errors: generous 20% band, still a
+        # usable dup-rate signal
+        assert abs(r["cross_snapshot_overlap"] - 10_000) / 10_000 < 0.2
+
     def test_store_refuses_duplicate_snapshot(self, spark, tmp_path):
         import pytest
 
