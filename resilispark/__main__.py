@@ -107,7 +107,8 @@ def cmd_index(args) -> int:
         from resilispark.operators.warctools import write_cdxj_parquet
 
         write_cdxj_parquet(spark, args.file, args.output, fields=fields,
-                           prefix_len=args.prefix_len)
+                           prefix_len=args.prefix_len,
+                           preserve_multi_header=args.preserve_multi_header)
         print(f"wrote {args.output} (parquet cdx)")
         return 0
     # concat_ws silently DROPS nulls (shifting fields); records without
@@ -783,12 +784,15 @@ def cmd_curate(args) -> int:
             wds_key = "_wds_doc_key"
         # footer-only count of the corpus just written sizes the
         # shards without a second full pass — ranged footer reads
-        # through the fs layer cover remote schemes too; only a scheme
-        # the fs registry doesn't know (s3a://, hdfs://) falls back to
-        # the writer's own count()
+        # through the fs layer cover remote schemes too.  The hint is
+        # a pure optimization: ANY failure (unknown scheme like s3a://,
+        # credentials, listing quirks) falls back to the writer's own
+        # count() rather than aborting after the expensive corpus write
         try:
             n_hint = parquet_num_rows(args.output)
-        except ValueError:
+        except Exception as e:  # noqa: BLE001 — best-effort sizing
+            print(f"footer count unavailable ({e}); falling back to "
+                  "count()", file=sys.stderr)
             n_hint = None
         man = write_webdataset(
             wds_docs,
@@ -838,20 +842,25 @@ def cmd_pack(args) -> int:
 
         from resilispark.operators.packing import pack_bins
 
-        n_input = docs.count()
         # zero-token/empty docs are EXCLUDED by pack_bins (they cannot
         # fill a bin), not dropped by policy — count them with the
         # packer's own predicate so `dropped` reports only the
-        # oversize='drop' losses, never data the policy didn't touch
+        # oversize='drop' losses, never data the policy didn't touch.
+        # ONE aggregate pass yields both counts (docs is persisted).
         if token_count_col is not None:
             _n_tok = F.col(token_count_col).cast("bigint")
         else:
             _n_tok = F.size(
                 F.split(F.trim(F.col(args.text_col)), r"\s+")
             ).cast("bigint")
-        n_empty = docs.where(
-            _n_tok.isNull() | (_n_tok <= 0)
-        ).count()
+        _in_row = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (_n_tok.isNull() | (_n_tok <= 0)).cast("bigint")
+            ).alias("empty"),
+        ).first()
+        n_input = _in_row["n"]
+        n_empty = _in_row["empty"] or 0
         bins = pack_bins(
             docs,
             id_col=args.id_col,

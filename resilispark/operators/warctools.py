@@ -306,6 +306,7 @@ def write_cdxj_parquet(
     *,
     fields: tuple[str, ...] = ("offset", "length", "filename", "http:status"),
     prefix_len: int = 4,
+    preserve_multi_header: bool = False,
 ) -> str:
     """Index WARCs into a PRUNABLE parquet CDX: the same typed rows as
     :func:`read_cdxj`, hive-partitioned by the first ``prefix_len``
@@ -331,7 +332,10 @@ def write_cdxj_parquet(
 
     if prefix_len < 1:
         raise ValueError("prefix_len must be >= 1")
-    idx = cdxj_index(spark, src, fields=fields)
+    idx = cdxj_index(
+        spark, src, fields=fields,
+        preserve_multi_header=preserve_multi_header,
+    )
     rows = idx.select(
         "surt_key",
         "ts",
@@ -345,8 +349,15 @@ def write_cdxj_parquet(
             F.substring("surt_key", 1, prefix_len), F.lit("~null~")
         ).alias("surt_prefix"),
     )
+    # range-partition on the FULL key, not hash-partition on the
+    # prefix: a real crawl's index is mostly 'com,' — hashing the
+    # prefix would funnel the majority of every Common-Crawl segment
+    # into one sort-and-write task (OOM/straggler), while ranging on
+    # (surt_key, ts) balances tasks by row count; each task still
+    # covers a contiguous key range, so a partition directory gets a
+    # handful of sorted files and pruning is unchanged
     (
-        rows.repartition("surt_prefix")
+        rows.repartitionByRange("surt_key", "ts")
         .sortWithinPartitions("surt_key", "ts")
         .write.mode("overwrite")
         .partitionBy("surt_prefix")
@@ -371,20 +382,27 @@ def write_cdxj_parquet(
 
 
 def _cdxj_parquet_meta(index_path: str) -> dict | None:
-    """The parquet-index marker's contents, or None for a text index
-    (absence of the marker is the dispatch signal; any OTHER failure —
-    permissions, truncated JSON — re-raises, the persistent-store
-    contract)."""
+    """The parquet-index marker's contents, or None for a text index.
+
+    None is returned ONLY for the two "this is not a parquet index I
+    can see" cases: the marker file is absent, or the scheme is one
+    the Python fs registry cannot build at all (hdfs://, s3a:// —
+    Spark reads the TEXT index there fine, so the lookup must not
+    crash; a PARQUET index on such a scheme needs a registered fs
+    plugin to be detected).  Anything else — permissions, transient
+    I/O, truncated JSON — re-raises, the persistent-store contract:
+    misdispatching a parquet index to the text parser would silently
+    return zero captures."""
     import json as _json
 
     from resilispark.io.fs import get_fs
 
     p = index_path.rstrip("/") + "/" + _CDXJ_META
-    fs = get_fs(p)
     try:
-        if not fs.exists(p):
-            return None
-    except (FileNotFoundError, OSError):
+        fs = get_fs(p)
+    except ValueError:
+        return None  # scheme unknown to the Python fs layer
+    if not fs.exists(p):
         return None
     with fs.open(p) as f:
         return _json.loads(f.read().decode("utf-8"))

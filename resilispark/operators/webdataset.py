@@ -51,12 +51,14 @@ def parquet_num_rows(path: str) -> int:
     :func:`write_webdataset` when exporting an already-written corpus.
 
     Local paths go through one pyarrow dataset (mmap'd footers).  Any
-    scheme the fs layer knows (s3://, http://, memory://, registered
-    plugins, fsspec fallback) reads each file's footer through RANGED
-    reads — one listing plus two-three small GETs per file, never the
-    data pages — so a remote corpus is sized without the full
-    ``count()`` scan the r6 fallback paid.  Unknown schemes raise
-    ``ValueError`` (callers that can count() may catch it)."""
+    LISTABLE scheme the fs layer knows (s3://, memory://, registered
+    plugins, fsspec fallback — not http://, which cannot glob) reads
+    each file's footer through RANGED reads — one listing plus
+    two-three small GETs per file, never the data pages — so a remote
+    corpus is sized without the full ``count()`` scan the r6 fallback
+    paid.  Flat and one/two-level hive-partitioned layouts are
+    covered; unknown schemes, unlistable backends, and deeper nesting
+    raise ``ValueError`` (callers that can count() catch it)."""
     import pyarrow.dataset as ds
 
     from resilispark.io.fs import LocalFS, split_scheme
@@ -73,16 +75,32 @@ def parquet_num_rows(path: str) -> int:
     from resilispark.io.fs import get_fs
 
     fs = get_fs(path)
-    pattern = path.rstrip("/") + "/*.parquet"
-    files = [
-        (p, sz)
-        for p, sz in fs.glob_stat(pattern)
-        # pyarrow's dataset discovery skips '_'/'.'-prefixed files
-        # (manifests, _SUCCESS); the remote path must count the same set
-        if not os.path.basename(split_scheme(p)[1]).startswith(("_", "."))
-    ]
+    base = path.rstrip("/")
+    files: list[tuple[str, int]] = []
+    # cover flat dirs AND one/two hive-partition levels (key=value/...)
+    # — the local branch's dataset discovery is recursive, and the
+    # remote one must size the same layouts; deeper nesting raises the
+    # documented ValueError and the caller falls back
+    for depth in ("", "/*", "/*/*"):
+        pattern = f"{base}{depth}/*.parquet"
+        try:
+            listed = fs.glob_stat(pattern)
+        except NotImplementedError as e:
+            # e.g. HTTPFS has no listing — same contract as an
+            # unknown scheme: signal "cannot size", don't crash
+            raise ValueError(
+                f"{type(fs).__name__} cannot list {pattern!r}: {e}"
+            ) from e
+        files.extend(
+            (p, sz)
+            for p, sz in listed
+            # pyarrow's dataset discovery skips '_'/'.'-prefixed files
+            # (manifests, _SUCCESS); the remote path counts the same set
+            if not os.path.basename(split_scheme(p)[1]).startswith(
+                ("_", "."))
+        )
     if not files:
-        raise ValueError(f"no parquet files match {pattern!r}")
+        raise ValueError(f"no parquet files under {base!r}")
     total = 0
     for p, sz in files:
         total += pq.read_metadata(
