@@ -23,7 +23,7 @@ PICKS = {
     "d04_minhash_lsh_pairs": "Band table checkpointed once; chunked bucket pairs + chunk-pair join (bounded arrays, exact output).",
     "d08_simhash_pairs": "SimHash chunks as struct ids through the same chunked generator — fingerprints travel with the bucket rows, hot 8-bit values bounded.",
     "d06_embedding_neardup": "Sign-LSH blocked self-join; exact cosine inside buckets only.",
-    "d09_decontaminate": "Benchmark n-grams broadcast (BuildRight); the corpus probes map-side — its only shuffle is the per-doc hit count on the uniform doc_id.",
+    "d09_decontaminate": "Benchmark n-grams broadcast (BuildRight); the corpus probes map-side — its only shuffle is the per-doc hit count on the uniform doc_id. The flagged-id anti join plants NO hint since r7 (AQE sizes it; the flagged set is corpus-proportional in principle).",
     "t06_pii_scrub": "Three regexp_replace + three regexp_count passes in ONE codegen projection; sort only at output.",
     "t02_token_count": "Pure projection: three regex tokenizations in one codegen stage, no shuffle.",
     "s01_cosine_topk": "Tiny query side broadcast; candidates streamed once.",
@@ -49,6 +49,9 @@ PICKS = {
     "g01_pagerank": "PageRank round: ranks join out-degrees once (persisted for the round's two aggregates), contributions partial-aggregate per target vertex, dangling mass is a scalar to the driver — one shuffle per iteration, lineage cut by localCheckpoint each round.",
     "h01_heavy_hitters": "Misra-Gries heavy hitters: per-partition capacity-bounded summaries via ONE mapInPandas pass (memory never scales with distinct count), a merge over <= partitions*capacity tiny persisted rows, TakeOrderedAndProject for the k-row report — the corpus shuffles nothing but the summaries.",
     "t13_token_mixture": "Token-mixture sampling: per-source totals are ONE aggregated row each to the driver; the keep-fraction map folds into a codegen literal lookup, selection is a pure hash filter (no rand(), retry-reproducible), epoch up-sampling a bounded sequence explode — no join, no window, no corpus shuffle.",
+    "t14_hll_union": "HLL store readout: union/overlap estimates computed from the nine stored KB-rows alone — hll_union_agg over a grouped store scan, ZERO corpus reads; the snapshot writes each sketch three columns in ONE aggregation pass (stacked single agg row).",
+    "t15_histogram_drift": "Histogram drift: every aggregate runs over <= 97 stored bin rows per column — three tiny joins (bin totals, snapshot totals, column totals) and one grouped TV sum; the corpus was read once per snapshot at WRITE time, the readout never touches it.",
+    "h02_heavy_hitters_trim": "Misra-Gries forced trim: one mapInPandas summary pass over a single coalesced partition (capacity-bounded memory), merge over the <= capacity+1 surviving rows, LocalTableScan report — the trim arithmetic happens in the sketch, the plan shuffles only summary rows.",
 }
 
 _KEEP = re.compile(
