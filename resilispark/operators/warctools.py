@@ -196,6 +196,12 @@ def write_cdxj_sidecars(spark: SparkSession, src: str) -> list[str]:
     # concat_ws SKIPS NULLs: a record without a target URI / date
     # (warcinfo) would write a malformed 2-field line that shifts every
     # parser — placeholder like the CLI's stdout path (cmd_index)
+    # a genuinely-'None' key (a NULL-host fallback whose raw URL IS the
+    # string "None") must not collide with the NULL placeholder on the
+    # read side — %-escape its first char like spaces are escaped
+    real_none_escaped = F.when(
+        F.col("surt_key") == "None", F.lit("%4Eone")
+    ).otherwise(F.col("surt_key"))
     lines = idx.select(
         F.get_json_object("record", "$.filename").alias("filename"),
         F.get_json_object("record", "$.offset").cast("bigint").alias("_off"),
@@ -205,7 +211,7 @@ def write_cdxj_sidecars(spark: SparkSession, src: str) -> list[str]:
             # contain literal spaces — percent-escape them or the
             # line's field boundaries shift under every parser
             F.regexp_replace(
-                F.coalesce(F.col("surt_key"), F.lit("None")), " ", "%20"),
+                F.coalesce(real_none_escaped, F.lit("None")), " ", "%20"),
             F.coalesce(F.col("ts"), F.lit("None")),
             F.col("record"),
         ).alias("line"),
@@ -286,7 +292,9 @@ def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
     rec = F.try_element_at(F.split(F.col("value"), " ", 3), F.lit(3))
     return lines.select(
         # 'None' placeholders (records without a target URI / date)
-        # surface as real NULLs
+        # surface as real NULLs; a key that is GENUINELY the string
+        # 'None' was %-escaped to '%4Eone' at write time (same policy
+        # as literal spaces -> %20), so it is never nulled here
         F.when(key != "None", key).alias("surt_key"),
         F.when(ts != "None", ts).alias("ts"),
         F.get_json_object(rec, "$.offset").cast("bigint").alias("offset"),
