@@ -412,6 +412,9 @@ class WarcDataSourceReader(DataSourceReader):
             verify_digests=self.verify_digests,
             keep_meta_on_strip=self.keep_meta,
             strict=self.strict,
+            # metadata-only scans (parse_http/payload/digests all off)
+            # skip the per-record payload memcpy in parse_record_at
+            keep_payload=self.keep_payload,
         )
         point = partition.end == partition.start + 1
         if self.retry_count and not point:

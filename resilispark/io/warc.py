@@ -270,9 +270,22 @@ def parse_header_block(
         and " :" not in block
         and "\t:" not in block
         and block[:1] not in (" ", "\t")
+        # every \r sits directly before a \n -> no key/value can carry
+        # a stray \r, so the split loop below needs no per-line check
+        and block.count("\r") == block.count("\r\n")
     ):
-        headers = _HDR_LINE_RE.findall(block)
-        if len(headers) == block.count("\n") + 1:
+        # split+partition is ~30% faster than the regex findall it
+        # replaced (r7 profile: header parse was a third of the plain
+        # scan); a line without ':' (incl. an empty line) falls through
+        # to the tolerant loop, same as the old findall-count check
+        headers = []
+        append = headers.append
+        for line in block.split("\n"):
+            k, sep, v = line.partition(":")
+            if not sep:
+                break
+            append((k, v.strip(" \t\r")))
+        else:
             return headers, next_pos
     headers = []
     append = headers.append
@@ -365,6 +378,7 @@ def parse_record_at(
     pos: int,
     *,
     strict: bool = False,
+    want_payload: bool = True,
 ) -> tuple[WarcRecord | None, int]:
     """Parse one record from ``data`` starting at/after ``pos``.
 
@@ -410,7 +424,12 @@ def parse_record_at(
     except ValueError:
         rec.content_length = 0
     body_end = min(body_start + rec.content_length, n)
-    rec.payload = data[body_start:body_end]
+    # metadata-only scans (CDXJ indexing, record counting: parse_http /
+    # payload / digests all off) never read the payload — skipping the
+    # slice saves a memcpy of every body byte, which dominates on real
+    # crawl pages (the r7 metadata-scan fast path in datasource.read)
+    if want_payload:
+        rec.payload = data[body_start:body_end]
     rec.record_id = h_id
     # record types are lowercase in practice: probe before lowering
     if h_type in RECORD_TYPES:
@@ -448,6 +467,18 @@ def _filter_args(filter_opts: dict) -> tuple:
         filter_opts.get("verify_digests", False),
         filter_opts.get("func_filter"),
         filter_opts.get("keep_meta_on_strip", False),
+    )
+
+
+def _want_payload(filter_opts: dict) -> bool:
+    """True unless the caller turned off every payload consumer: the
+    payload column itself (``keep_payload``), HTTP splitting, digest
+    verification, and ``func_filter`` (which may inspect payloads)."""
+    return bool(
+        filter_opts.get("keep_payload", True)
+        or filter_opts.get("parse_http", True)
+        or filter_opts.get("verify_digests", False)
+        or filter_opts.get("func_filter") is not None
     )
 
 
@@ -498,8 +529,9 @@ def iter_warc_bytes(
     reference's cheap-first filter cascade (warc.pyx:1238-1248)."""
     pos = 0
     args = _filter_args(filter_opts)
+    wp = _want_payload(filter_opts)
     while True:
-        rec, pos = parse_record_at(data, pos, strict=strict)
+        rec, pos = parse_record_at(data, pos, strict=strict, want_payload=wp)
         if rec is None:
             return
         rec.stream_pos += stream_pos_base
@@ -540,6 +572,7 @@ def iter_warc_range(
     # opener lets remote filesystems (resilispark.io.fs) supply ranged
     # readers; reads here are few and large (range + slack slabs)
     args = _filter_args(filter_opts)
+    wp = _want_payload(filter_opts)
     with (opener or (lambda p: open(p, "rb")))(path) as f:
         f.seek(start)
         buf = f.read(min(end - start + slack, size - start))
@@ -554,7 +587,7 @@ def iter_warc_range(
             abs_pos = base + pos
             if abs_pos >= end:
                 return
-            rec, nxt = parse_record_at(buf, pos, strict=strict)
+            rec, nxt = parse_record_at(buf, pos, strict=strict, want_payload=wp)
             buffer_truncated = base + len(buf) < size and (rec is None or nxt >= len(buf))
             # parse_record_at is truncation-tolerant (it clips the
             # payload at buffer end, like non-strict streaming) — so any
