@@ -232,9 +232,11 @@ def write_webdataset(
     unless ``index=False``): per-shard sample and byte counts plus
     totals.  Refuses a ``path`` that already contains shards unless
     ``overwrite=True`` — the persistent-store safety contract.  An
-    overwrite is two-phase: the job writes every shard under
-    ``<path>/.staging/`` (a dot-name, invisible to Spark readers and
-    the shard globs) and only after the WHOLE job succeeds are the new
+    overwrite is two-phase: the job writes every shard under a
+    per-run ``<path>/.staging-<token>/`` (a dot-name, invisible to
+    Spark readers and the shard globs; per-run so a cancelled
+    previous job's still-flushing zombie tasks can never race this
+    run's publish) and only after the WHOLE job succeeds are the new
     shards published over the old ones, leftovers removed, and the
     index rewritten — a mid-job failure leaves the previous corpus and
     its index fully intact, plus a staging directory the next run
@@ -279,18 +281,31 @@ def write_webdataset(
         )
     if not remote:
         os.makedirs(local_root, exist_ok=True)
-    # clear ALL staging leftovers from a previous failed run — any
-    # prefix: a crashed run with a different shard_prefix would
-    # otherwise orphan its staged objects forever
+    # each run stages under its OWN dot-dir: a cancelled previous job's
+    # zombie tasks can keep flushing shards for seconds after the
+    # driver saw the failure, and with a shared .staging they would
+    # race this run's publish (seen as a flaky rmdir ENOTEMPTY)
+    import uuid
+
+    staging = f".staging-{uuid.uuid4().hex[:8]}"
+    # clear staging leftovers from previous failed runs — any token,
+    # any shard_prefix: a crashed run would otherwise orphan its
+    # staged objects forever
     if remote:
-        for stale in fs.glob(f"{dest}/.staging/*"):
-            fs.delete(stale)
+        # S3-style fnmatch spans '/', posix-style globs don't: the
+        # union covers both backends
+        stale = set(fs.glob(f"{dest}/.staging*")) | set(
+            fs.glob(f"{dest}/.staging*/*"))
+        for p in stale:
+            if fs.isfile(p):
+                fs.delete(p)
     else:
+        import glob as _glob2
         import shutil
 
-        shutil.rmtree(os.path.join(local_root, ".staging"),
-                      ignore_errors=True)
-        os.makedirs(os.path.join(local_root, ".staging"), exist_ok=True)
+        for d in _glob2.glob(os.path.join(local_root, ".staging*")):
+            shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(os.path.join(local_root, staging), exist_ok=True)
 
     if n_shards is None:
         n = n_docs_hint if n_docs_hint is not None else docs.count()
@@ -312,6 +327,7 @@ def write_webdataset(
     )
 
     prefix, dest_b, remote_b, root_b = shard_prefix, dest, remote, local_root
+    stage_b = staging
 
     def write_partition(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -348,11 +364,11 @@ def write_webdataset(
             # deterministic), so the overwrite races are benign.
             if remote_b:
                 _get_fs(final).put_file(
-                    cur["tmp"], f"{dest_b}/.staging/{name}")
+                    cur["tmp"], f"{dest_b}/{stage_b}/{name}")
                 os.unlink(cur["tmp"])
             else:
                 os.replace(
-                    cur["tmp"], os.path.join(root_b, ".staging", name))
+                    cur["tmp"], os.path.join(root_b, stage_b, name))
             out.append({"shard": cur["shard"], "path": final,
                         "n_samples": cur["n"], "n_bytes": n_bytes,
                         "sha256": h.hexdigest()})
@@ -417,16 +433,25 @@ def write_webdataset(
         from concurrent.futures import ThreadPoolExecutor
 
         def publish(name: str) -> None:
-            fs.copy(f"{dest}/.staging/{name}", f"{dest}/{name}")
-            fs.delete(f"{dest}/.staging/{name}")
+            fs.copy(f"{dest}/{staging}/{name}", f"{dest}/{name}")
+            fs.delete(f"{dest}/{staging}/{name}")
 
         with ThreadPoolExecutor(max_workers=16) as pool:
             list(pool.map(publish, new_names))
+        # sweep zombie leftovers of killed-then-retried attempts of
+        # THIS job (one LIST; usually empty)
+        for p in fs.glob(f"{dest}/{staging}/*"):
+            fs.delete(p)
     else:
+        import shutil
+
         for name in new_names:
-            os.replace(os.path.join(local_root, ".staging", name),
+            os.replace(os.path.join(local_root, staging, name),
                        os.path.join(local_root, name))
-        os.rmdir(os.path.join(local_root, ".staging"))
+        # rmtree, not rmdir: a killed-then-retried attempt inside THIS
+        # job may have staged a shard the successful attempt re-wrote
+        shutil.rmtree(os.path.join(local_root, staging),
+                      ignore_errors=True)
     name_set = set(new_names)
     for old in existing:
         if os.path.basename(old) not in name_set:
