@@ -622,3 +622,69 @@ def cluster_balanced_sample(
         )
         .drop("_cbs_rn", "_cbs_cell", "_cbs_quota")
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile bucketing (CCNet-style head/middle/tail corpus partitioning)
+# --------------------------------------------------------------------------
+
+
+def quantile_thresholds(
+    docs: DataFrame,
+    col,
+    cuts=(1.0 / 3.0, 2.0 / 3.0),
+    *,
+    capacity: int = 65536,
+) -> list[float]:
+    """The values at quantiles ``cuts`` of ``docs[col]``, via ONE
+    mergeable-summary pass (operators/sketches.py) — the corpus is
+    never sorted.  Exact while the summary stays below ``capacity``
+    items; the default 64k gives ≤ n/65536 rank error past that."""
+    from resilispark.operators.sketches import quantiles
+
+    rows = quantiles(docs, col, tuple(cuts), capacity=capacity).collect()
+    got = {r["q"]: r["value"] for r in rows}
+    return [got[float(q)] for q in cuts]
+
+
+def bucket_by_quantiles(
+    docs: DataFrame,
+    col,
+    *,
+    cuts=(1.0 / 3.0, 2.0 / 3.0),
+    labels=("head", "middle", "tail"),
+    capacity: int = 65536,
+    thresholds: list[float] | None = None,
+) -> DataFrame:
+    """CCNet-style quality partitioning (Wenzek et al. 2020, §4.4):
+    split the corpus into ``labels`` buckets at the ``cuts`` quantiles
+    of ``col`` — classically perplexity, ascending, so lower scores
+    land in ``head``.  Two passes total: one summary pass for the
+    thresholds (skipped when ``thresholds`` is given, e.g. replayed
+    from a quantile store), then a pure-codegen CASE over literal
+    floats — no join, no shuffle, no Python in the bucketing plan.
+
+    Row goes to bucket ``i`` for the first threshold with
+    ``value <= thresholds[i]``, to the last label past all thresholds,
+    and to NULL bucket for NULL/NaN values (kept, so callers decide
+    what to do with unscored docs)."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(labels) == len(cuts)+1, got {len(labels)} labels "
+            f"for {len(cuts)} cuts"
+        )
+    if sorted(cuts) != list(cuts):
+        raise ValueError(f"cuts must be ascending, got {list(cuts)}")
+    if thresholds is None:
+        thresholds = quantile_thresholds(
+            docs, col, cuts, capacity=capacity
+        )
+    if any(t is None for t in thresholds):
+        # empty corpus (the summary had no values): nothing to rank
+        return docs.withColumn("bucket", F.lit(None).cast("string"))
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    bucket = F.when(c.isNull() | F.isnan(c), F.lit(None).cast("string"))
+    for thr, label in zip(thresholds, labels):
+        bucket = bucket.when(c <= F.lit(float(thr)), F.lit(label))
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    return docs.withColumn("bucket", bucket)

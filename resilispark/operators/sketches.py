@@ -712,3 +712,283 @@ def topk_store_report(
     return spark.createDataFrame(
         top, "value string, n_min bigint, err_bound bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile summaries (ranks/percentiles over unbounded streams)
+# --------------------------------------------------------------------------
+#
+# The quantile sibling of the HLL / histogram / count-min / Misra-Gries
+# stores: what VALUE sits at rank q·n of a numeric column, without
+# sorting the corpus.  A summary is a value-sorted list of
+# ``(value, weight)`` items whose cumulative weights are EXACT original
+# ranks; when it exceeds ``capacity`` it is compressed by keeping the
+# items at a uniform rank grid (every ~W/capacity ranks, plus the min
+# and max), each compression adding at most ``ceil(W/capacity)`` rank
+# error — the classic mergeable ε-approximate quantile summary
+# (Greenwald-Khanna-style compress over merged sorted runs, Agarwal et
+# al. 2012 mergeable-summaries framing).  Summaries from any number of
+# partitions / snapshots merge by concatenation (+ sort + coalesce),
+# errors adding; below capacity nothing compresses and every reported
+# quantile is EXACT — the regime the correctness oracle replays.
+#
+# Rank convention (pinned across engines): the q-quantile of n values
+# is the value at rank ``max(1, ceil(q*n))`` in ascending order — the
+# inverse-CDF / "lower" definition both Spark SQL and DuckDB can spell
+# with a window + limit, no interpolation.
+
+
+def _compress_quantile_items(values, weights, capacity: int):
+    """Compress a value-sorted weighted item list to ≤ capacity+1 items
+    on a uniform rank grid.  Returns ``(values, weights, added_err)``;
+    kept items preserve their EXACT cumulative rank, so only queries
+    falling between grid anchors pay error (≤ ceil(W/capacity))."""
+    import math
+
+    import numpy as np
+
+    if len(values) <= capacity:
+        return values, weights, 0
+    cum = np.cumsum(weights)
+    total = int(cum[-1])
+    step = total / capacity
+    targets = np.ceil(np.arange(1, capacity + 1) * step)
+    idx = np.searchsorted(cum, targets, side="left")
+    # keep the minimum too; the clamp keeps the max when float rounding
+    # pushes the last target a hair above the true total
+    idx = np.unique(np.concatenate(([0], np.minimum(idx, len(cum) - 1))))
+    new_cum = cum[idx]
+    new_w = np.diff(np.concatenate(([0], new_cum)))
+    return values[idx], new_w.astype(np.int64), int(math.ceil(step))
+
+
+def _coalesce_sorted(values, weights):
+    """Sum weights of equal adjacent values (arrays already sorted)."""
+    import numpy as np
+
+    if len(values) == 0:
+        return values, weights
+    keep = np.concatenate(([True], values[1:] != values[:-1]))
+    grp = np.cumsum(keep) - 1
+    out_v = values[keep]
+    out_w = np.zeros(len(out_v), dtype=np.int64)
+    np.add.at(out_w, grp, weights)
+    return out_v, out_w
+
+
+def quantile_summary(
+    docs: DataFrame,
+    col,
+    *,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Per-partition mergeable quantile summaries of a numeric column.
+
+    Each partition emits ≤ ``capacity+1`` ``(value, w)`` rows (exact
+    cumulative-rank items) plus ONE ``value IS NULL`` row whose ``w``
+    is the partition's accumulated rank-error bound (0 while the
+    partition stayed below capacity).  NULL/NaN inputs are dropped.
+
+    Scale shape: per-partition memory is bounded by ~2×capacity items
+    regardless of the column's distinct count, and the shuffle carries
+    ≤ partitions × (capacity+2) rows — never the corpus.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    if capacity < 2:
+        raise ValueError("capacity must be >= 2")
+    c = F.col(col) if isinstance(col, str) else col
+    vals = docs.select(c.cast("double").alias("_v")).where(
+        F.col("_v").isNotNull() & ~F.isnan("_v")
+    )
+
+    def summarize(batches: Iterator) -> Iterator:
+        cur_v = np.empty(0, dtype=np.float64)
+        cur_w = np.empty(0, dtype=np.int64)
+        err = 0
+        for pdf in batches:
+            x = pdf["_v"].to_numpy(dtype=np.float64)
+            if not len(x):
+                continue
+            bv, bw = np.unique(x, return_counts=True)
+            merged_v = np.concatenate((cur_v, bv))
+            order = np.argsort(merged_v, kind="mergesort")
+            merged_v = merged_v[order]
+            merged_w = np.concatenate((cur_w, bw.astype(np.int64)))[order]
+            cur_v, cur_w = _coalesce_sorted(merged_v, merged_w)
+            if len(cur_v) > 2 * capacity:
+                cur_v, cur_w, add = _compress_quantile_items(
+                    cur_v, cur_w, capacity
+                )
+                err += add
+        # the error row rides as NaN: Arrow's from_pandas maps float NaN
+        # to null, and NaN inputs were already dropped Spark-side
+        yield pd.DataFrame(
+            {
+                "value": np.concatenate((cur_v, [np.nan])),
+                "w": np.concatenate((cur_w, [err])).astype(np.int64),
+            }
+        )
+
+    return vals.mapInPandas(summarize, "value double, w bigint")
+
+
+def _merge_summary_quantiles(summary: DataFrame, capacity: int):
+    """Merge quantile summary rows into one driver-side summary:
+    ``(values ndarray, weights ndarray, n, err)``.  Like the MG merge,
+    the summary is persisted so the item rows and the error rows come
+    from ONE execution of the (stateful) mapInPandas pass."""
+    import numpy as np
+
+    s = summary.persist()
+    try:
+        err = int(
+            s.where(F.col("value").isNull())
+            .agg(F.coalesce(F.sum("w"), F.lit(0)))
+            .first()[0]
+        )
+        rows = (
+            s.where(F.col("value").isNotNull())
+            .groupBy("value")
+            .agg(F.sum("w").alias("w"))
+            .orderBy("value")
+            .collect()
+        )
+    finally:
+        s.unpersist()
+    values = np.array([r["value"] for r in rows], dtype=np.float64)
+    weights = np.array([r["w"] for r in rows], dtype=np.int64)
+    values, weights, add = _compress_quantile_items(
+        values, weights, capacity
+    )
+    return values, weights, int(weights.sum()), err + add
+
+
+def _quantile_rows(values, weights, n: int, err: int, qs) -> list[tuple]:
+    """Report rows ``(q, value, n, err_bound)`` at the pinned rank
+    convention ``rank = max(1, ceil(q*n))``."""
+    import math
+
+    import numpy as np
+
+    out = []
+    cum = np.cumsum(weights) if len(weights) else np.empty(0)
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        if n == 0:
+            out.append((float(q), None, 0, err))
+            continue
+        rank = max(1, math.ceil(q * n))
+        i = int(np.searchsorted(cum, rank, side="left"))
+        out.append((float(q), float(values[i]), n, err))
+    return out
+
+
+def quantiles(
+    docs: DataFrame,
+    col,
+    qs=(0.25, 0.5, 0.75),
+    *,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Approximate quantiles of a numeric column in one summary pass:
+    ``(q, value, n, err_bound)`` — the reported value's true rank lies
+    within ``err_bound`` of ``max(1, ceil(q*n))``, and ``err_bound`` is
+    0 (exact) while every partition and the merge stayed below
+    ``capacity`` items.  Unlike ``approx_percentile`` the summary also
+    PERSISTS (``write_snapshot_quantiles``), so a growing corpus can
+    answer corpus-wide quantiles without rescanning prior crawls."""
+    values, weights, n, err = _merge_summary_quantiles(
+        quantile_summary(docs, col, capacity=capacity), capacity
+    )
+    return docs.sparkSession.createDataFrame(
+        _quantile_rows(values, weights, n, err, qs),
+        "q double, value double, n bigint, err_bound bigint",
+    )
+
+
+def write_snapshot_quantiles(
+    docs: DataFrame,
+    path: str,
+    *,
+    snapshot: str,
+    col,
+    capacity: int = 1024,
+    skip_existing: bool = False,
+) -> bool:
+    """Append this snapshot's merged quantile summary (≤ capacity+1
+    value rows + one NULL-value error row) to the store at ``path`` —
+    same store contract as the other sketches: duplicate snapshot
+    labels refused (or skipped with ``skip_existing=True``), the
+    column/capacity ride every row and a mismatch refuses to merge,
+    and store checks run BEFORE any corpus work."""
+    spark = docs.sparkSession
+    schema = ("snapshot string, column string, capacity int, "
+              "value double, w bigint")
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = spark.read.parquet(path)
+        meta = existing.select("column", "capacity").distinct().collect()
+        for p in meta:
+            if (p["column"], p["capacity"]) != (str(col), capacity):
+                raise ValueError(
+                    f"quantile store {path} holds {tuple(p)} summaries — "
+                    f"refusing to append ({str(col)!r}, {capacity}); "
+                    "summaries only merge when column/capacity match"
+                )
+        if existing.filter(F.col("snapshot") == snapshot).limit(1).count():
+            if skip_existing:
+                return False
+            raise ValueError(
+                f"snapshot {snapshot!r} already present in quantile store "
+                f"{path} — each snapshot contributes exactly once"
+            )
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+            raise
+    values, weights, _n, err = _merge_summary_quantiles(
+        quantile_summary(docs, col, capacity=capacity), capacity
+    )
+    rows = [
+        (snapshot, str(col), capacity, float(v), int(w))
+        for v, w in zip(values, weights)
+    ]
+    rows.append((snapshot, str(col), capacity, None, err))
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(path)
+    return True
+
+
+def quantile_store_report(
+    spark,
+    path: str,
+    qs=(0.25, 0.5, 0.75),
+    *,
+    snapshot: str | None = None,
+) -> DataFrame:
+    """Corpus-wide quantiles from the store alone — zero corpus reads:
+    snapshot summaries merge by concatenation (+ coalesce + one
+    compress back to the stored capacity), error bounds adding.
+    ``(q, value, n, err_bound)``; pin ``snapshot`` for one crawl's
+    readout."""
+    store = spark.read.parquet(path)
+    caps = [int(r["capacity"]) for r in
+            store.select("capacity").distinct().collect()]
+    if len(caps) != 1:
+        raise ValueError(
+            f"quantile store {path} mixes capacities {sorted(caps)}"
+        )
+    if snapshot is not None:
+        store = store.where(F.col("snapshot") == snapshot)
+    values, weights, n, err = _merge_summary_quantiles(
+        store.select("value", "w"), caps[0]
+    )
+    return spark.createDataFrame(
+        _quantile_rows(values, weights, n, err, qs),
+        "q double, value double, n bigint, err_bound bigint",
+    )

@@ -5616,7 +5616,8 @@ class TestWebdataset:
         tars = fs.glob(f"{dest}/shard-*.tar")
         assert [t.rsplit("/", 1)[1] for t in tars] == ["shard-000000.tar"]
         # nothing lingers in staging after a successful publish
-        assert fs.glob(f"{dest}/.staging/*") == []
+        # (per-run token dirs: sweep any .staging-*)
+        assert fs.glob(f"{dest}/.staging*/*") == []
 
     def test_failed_overwrite_preserves_previous_corpus(
             self, spark, tmp_path):
@@ -5652,7 +5653,7 @@ class TestWebdataset:
         assert sorted(
             p.name for p in (tmp_path / "wds").glob("*.tar")
         ) == ["shard-000000.tar", "shard-000001.tar"]
-        assert not (tmp_path / "wds" / ".staging").exists()
+        assert list((tmp_path / "wds").glob(".staging*")) == []
 
     def test_n_docs_hint_sizes_shards_without_count(self, spark, tmp_path):
         from resilispark.operators.webdataset import (
@@ -6159,3 +6160,206 @@ class TestPackBins:
             [(None, "w w")], "doc_id long, text string")
         with pytest.raises(Exception, match="non-NULL"):
             pack_bins(bad, seq_len=8, n_buckets=1).collect()
+
+
+class TestQuantileSketches:
+    def test_exact_regime_all_quantiles(self, spark):
+        """capacity above the distinct count: every quantile is the
+        exact rank-ceil(q*n) value and err_bound is 0."""
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.sketches import quantiles
+
+        docs = spark.range(0, 1000).select(
+            (F.col("id") * 2 + 1).cast("double").alias("v")
+        ).repartition(5)
+        got = {r.q: r for r in quantiles(
+            docs, "v", (0.0, 0.25, 0.5, 0.9, 1.0), capacity=4096
+        ).collect()}
+        assert all(r.err_bound == 0 and r.n == 1000 for r in got.values())
+        # rank = max(1, ceil(q*1000)); values are 2*rank-1
+        assert got[0.0].value == 1.0
+        assert got[0.25].value == 2 * 250 - 1
+        assert got[0.5].value == 2 * 500 - 1
+        assert got[0.9].value == 2 * 900 - 1
+        assert got[1.0].value == 2 * 1000 - 1
+
+    def test_nulls_and_nans_dropped(self, spark):
+        from resilispark.operators.sketches import quantiles
+
+        docs = spark.createDataFrame(
+            [(1.0,), (None,), (float("nan"),), (3.0,), (2.0,)], ["v"]
+        )
+        got = quantiles(docs, "v", (0.5, 1.0), capacity=16).collect()
+        assert [r.value for r in got] == [2.0, 3.0]
+        assert all(r.n == 3 for r in got)
+
+    def test_empty_input_reports_n0(self, spark):
+        from resilispark.operators.sketches import quantiles
+
+        docs = spark.createDataFrame([], "v double")
+        got = quantiles(docs, "v", (0.5,), capacity=16).collect()
+        assert got[0].value is None and got[0].n == 0
+
+    def test_rank_bound_holds_under_compression(self, spark):
+        """Approximate regime: the reported value's true rank window
+        lies within err_bound of the target rank, and err_bound > 0
+        once capacity forces compressions."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.sketches import quantiles
+
+        n = 20000
+        docs = spark.range(0, n).select(
+            # non-uniform spacing so grid anchors don't trivially align
+            (F.col("id") * F.col("id") % 7919).cast("double").alias("v")
+        ).repartition(8)
+        data = sorted(float((i * i) % 7919) for i in range(n))
+        got = quantiles(
+            docs, "v", (0.1, 0.5, 0.9), capacity=64
+        ).collect()
+        assert all(r.err_bound > 0 for r in got)
+        import bisect
+
+        for r in got:
+            rank = max(1, math.ceil(r.q * n))
+            lo = bisect.bisect_left(data, r.value) + 1
+            hi = bisect.bisect_right(data, r.value)
+            assert lo - r.err_bound <= rank <= hi + r.err_bound, (
+                r.q, rank, lo, hi, r.err_bound)
+
+    def test_determinism_same_input_same_report(self, spark):
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.sketches import quantiles
+
+        docs = spark.range(0, 5000).select(
+            (F.col("id") % 613).cast("double").alias("v")
+        ).coalesce(1)
+        a = quantiles(docs, "v", (0.3, 0.7), capacity=32).collect()
+        b = quantiles(docs, "v", (0.3, 0.7), capacity=32).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_store_contract_and_merged_report(self, spark, tmp_path):
+        """Snapshot merge equals the whole-corpus answer in the exact
+        regime; duplicate labels refused/skipped; capacity mismatches
+        refuse to merge."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.sketches import (
+            quantile_store_report,
+            quantiles,
+            write_snapshot_quantiles,
+        )
+
+        docs = spark.range(0, 3000).select(
+            ((F.col("id") * 37) % 1009).cast("double").alias("v")
+        )
+        store = str(tmp_path / "qstore")
+        for i in range(3):
+            assert write_snapshot_quantiles(
+                docs.filter(F.col("id") % 3 == i), store,
+                snapshot=f"c{i}", col="v", capacity=4096,
+            )
+        with _pytest.raises(ValueError, match="already present"):
+            write_snapshot_quantiles(
+                docs, store, snapshot="c0", col="v", capacity=4096)
+        assert not write_snapshot_quantiles(
+            docs, store, snapshot="c0", col="v", capacity=4096,
+            skip_existing=True)
+        with _pytest.raises(ValueError, match="refusing to append"):
+            write_snapshot_quantiles(
+                docs, store, snapshot="c9", col="v", capacity=64)
+        merged = quantile_store_report(spark, store, (0.25, 0.5, 0.75))
+        direct = quantiles(docs, "v", (0.25, 0.5, 0.75), capacity=4096)
+        assert [tuple(r) for r in merged.collect()] == [
+            tuple(r) for r in direct.collect()]
+        one = quantile_store_report(
+            spark, store, (1.0,), snapshot="c1").collect()[0]
+        assert one.n == 1000 and one.err_bound == 0
+
+    def test_summary_rows_bounded_by_capacity(self, spark):
+        """The shuffle payload stays partitions x (capacity+2) rows no
+        matter the distinct count — the scale contract."""
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.sketches import quantile_summary
+
+        docs = spark.range(0, 50000).select(
+            F.col("id").cast("double").alias("v")
+        ).repartition(4)
+        rows = quantile_summary(docs, "v", capacity=32).collect()
+        assert len(rows) <= 4 * 34
+        total = sum(r.w for r in rows if r.value is not None)
+        assert total == 50000  # weights always preserve the count
+
+
+class TestQuantileBuckets:
+    def test_ccnet_head_middle_tail_exact(self, spark):
+        """Thirds of an ascending score: heads get the low scores, the
+        boundary value goes to the lower bucket (value <= threshold)."""
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.corpus import bucket_by_quantiles
+
+        docs = spark.range(0, 900).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") + 1).cast("double").alias("ppl"),
+        )
+        out = bucket_by_quantiles(docs, "ppl", capacity=4096)
+        counts = {r.bucket: r.n for r in
+                  out.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+        assert counts == {"head": 300, "middle": 300, "tail": 300}
+        # rank ceil(900/3)=300 -> threshold 300.0 lands in head
+        got = out.filter(F.col("ppl") == 300.0).collect()[0]
+        assert got.bucket == "head"
+
+    def test_null_and_nan_scores_get_null_bucket(self, spark):
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.corpus import bucket_by_quantiles
+
+        docs = spark.createDataFrame(
+            [(1.0,), (2.0,), (3.0,), (None,), (float("nan"),)], ["ppl"])
+        out = bucket_by_quantiles(docs, "ppl", capacity=64)
+        null_rows = out.filter(F.col("bucket").isNull()).count()
+        assert null_rows == 2
+
+    def test_pinned_thresholds_skip_the_summary_pass(self, spark):
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.corpus import bucket_by_quantiles
+
+        docs = spark.createDataFrame(
+            [(0.5,), (1.5,), (9.0,)], ["ppl"])
+        out = bucket_by_quantiles(
+            docs, "ppl", thresholds=[1.0, 2.0])
+        got = dict(out.select("ppl", "bucket").collect())
+        assert got == {0.5: "head", 1.5: "middle", 9.0: "tail"}
+
+    def test_bucket_plan_is_codegen_only(self, spark):
+        """The bucketing stage adds NO exchange and NO Python eval —
+        a literal CASE over the scan."""
+        from resilispark.operators.corpus import bucket_by_quantiles
+
+        docs = spark.range(0, 100).selectExpr(
+            "cast(id as double) as ppl")
+        out = bucket_by_quantiles(docs, "ppl", thresholds=[25.0, 50.0])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+
+    def test_label_cut_arity_validated(self, spark):
+        import pytest as _pytest
+
+        from resilispark.operators.corpus import bucket_by_quantiles
+
+        docs = spark.range(1).selectExpr("cast(id as double) as ppl")
+        with _pytest.raises(ValueError, match="labels"):
+            bucket_by_quantiles(docs, "ppl", cuts=(0.5,),
+                                labels=("a", "b", "c"))
+        with _pytest.raises(ValueError, match="ascending"):
+            bucket_by_quantiles(docs, "ppl", cuts=(0.7, 0.3))
