@@ -141,6 +141,13 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
     "h02_heavy_hitters_trim": [
         ("value", "s"), ("n_min", "n"), ("err_bound", "n"),
     ],
+    "t16_quantile_store": [
+        ("snapshot", "s"), ("q", "d"), ("value", "d"), ("n", "n"),
+        ("err_bound", "n"),
+    ],
+    "t17_ccnet_buckets": [
+        ("bucket", "s"), ("n_docs", "n"), ("threshold", "d"),
+    ],
 }
 
 # members may live in either query module; merged lookup keeps the
@@ -233,8 +240,15 @@ FAMILIES: dict[str, list[str]] = {
     # TRIM (h01 pins the exact regime): one partition + one Arrow
     # batch makes the subtract-and-carry-to-error-mass step
     # deterministic, and the oracle replays the cut exactly
+    # (t16/t17 joined in round 7: the mergeable quantile-sketch store
+    # pinned to its exact no-compression regime — per-snapshot and
+    # merged rank readouts replayed with a row_number window — and its
+    # consumer, CCNet-style head/middle/tail bucketing at 1/3 / 2/3
+    # quantile thresholds; the compressed regime's rank-error bound is
+    # property-tested in pytest)
     "qc_sketch_family": [
         "t14_hll_union", "t15_histogram_drift", "h02_heavy_hitters_trim",
+        "t16_quantile_store", "t17_ccnet_buckets",
     ],
 }
 

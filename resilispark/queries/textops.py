@@ -2823,6 +2823,145 @@ ORDER BY snapshot, "column"
 """
 
 
+def t16_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-sketch store readout (operators/sketches.py):
+    three snapshot splits persist weighted rank summaries of a derived
+    length column; the report answers per-snapshot AND merged-store
+    quantiles with zero corpus reads.
+
+    The gate PINS the exact regime (capacity above every summary's
+    item count, so no rank-grid compression fires): each reported
+    value is EXACTLY the rank-``max(1, ceil(q*n))`` value, which
+    DuckDB replays with a row_number window.  The ``q`` probes are
+    binary-exact doubles (.25/.5/.75) so ``q*n`` is the same number in
+    Python and DuckDB decimal/double arithmetic.  The compressed
+    regime's rank-error bound is property-tested in pytest, the same
+    exact-gated/approx-tested split as t14/h01."""
+    import tempfile
+
+    from resilispark.operators.sketches import (
+        quantile_store_report,
+        write_snapshot_quantiles,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("n_chars") * 2 + 1).cast("double").alias("vlen")
+    )
+    store = tempfile.mkdtemp(prefix="resilispark-t16-q-") + "/store"
+    for i in range(3):
+        write_snapshot_quantiles(
+            d.filter(F.col("doc_id") % 3 == i), store,
+            snapshot=f"c{i}", col="vlen", capacity=4096,
+        )
+    qs = (0.25, 0.5, 0.75)
+    parts = [
+        quantile_store_report(spark, store, qs, snapshot=f"c{i}")
+        .select(F.lit(f"c{i}").alias("snapshot"), "q", "value", "n",
+                "err_bound")
+        for i in range(3)
+    ]
+    merged = quantile_store_report(spark, store, qs).select(
+        F.lit("all").alias("snapshot"), "q", "value", "n", "err_bound"
+    )
+    out = parts[0]
+    for p in parts[1:] + [merged]:
+        out = out.unionAll(p)
+    return out.orderBy("snapshot", "q")
+
+
+ORACLE_T16 = """
+WITH src AS (
+  SELECT 'c' || (doc_id % 3)::VARCHAR AS snapshot,
+         (n_chars * 2 + 1)::DOUBLE AS v
+  FROM documents
+), all_src AS (
+  SELECT snapshot, v FROM src
+  UNION ALL SELECT 'all', v FROM src
+), qs(q) AS (VALUES (0.25), (0.5), (0.75)),
+nn AS (
+  SELECT snapshot, count(*)::BIGINT AS n FROM all_src GROUP BY 1
+), ranked AS (
+  SELECT snapshot, v,
+         row_number() OVER (PARTITION BY snapshot ORDER BY v) AS rn
+  FROM all_src
+)
+SELECT r.snapshot AS snapshot, q.q::DOUBLE AS q, r.v AS value, nn.n,
+       0::BIGINT AS err_bound
+FROM qs q
+CROSS JOIN nn
+JOIN ranked r ON r.snapshot = nn.snapshot
+  AND r.rn = GREATEST(1, CEIL(q.q * nn.n))::BIGINT
+ORDER BY r.snapshot, q
+"""
+
+
+def t17_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail partitioning (operators/corpus.py
+    bucket_by_quantiles, Wenzek et al. 2020 §4.4) over a derived
+    score: thresholds at the 1/3 and 2/3 quantiles from ONE summary
+    pass (exact regime), then a pure-codegen CASE buckets every doc —
+    no join, no shuffle in the bucketing stage.
+
+    Both engines compute ``ceil(q*n)`` on the same IEEE double
+    (1/3 = CAST(1 AS DOUBLE)/3), and ties at a threshold go to the
+    LOWER bucket on both sides (value <= threshold), so the per-bucket
+    counts and threshold values replay exactly."""
+    from resilispark.operators.corpus import (
+        bucket_by_quantiles,
+        quantile_thresholds,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("n_chars") * 2 + 1).cast("double").alias("score")
+    )
+    cuts = (1.0 / 3.0, 2.0 / 3.0)
+    thr = quantile_thresholds(d, "score", cuts, capacity=4096)
+    out = bucket_by_quantiles(d, "score", cuts=cuts, thresholds=thr)
+    thr_map = F.create_map(
+        F.lit("head"), F.lit(float(thr[0])),
+        F.lit("middle"), F.lit(float(thr[1])),
+    )
+    return (
+        out.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "bucket", "n_docs",
+            thr_map[F.col("bucket")].alias("threshold"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_T17 = """
+WITH src AS (
+  SELECT (n_chars * 2 + 1)::DOUBLE AS score FROM documents
+), nn AS (SELECT count(*)::BIGINT AS n FROM src),
+ranked AS (
+  SELECT score, row_number() OVER (ORDER BY score) AS rn FROM src
+), thr AS (
+  SELECT
+    (SELECT score FROM ranked, nn
+      WHERE rn = GREATEST(1, CEIL((CAST(1 AS DOUBLE)/3) * nn.n))::BIGINT)
+      AS t_head,
+    (SELECT score FROM ranked, nn
+      WHERE rn = GREATEST(1, CEIL((CAST(2 AS DOUBLE)/3) * nn.n))::BIGINT)
+      AS t_mid
+), bucketed AS (
+  SELECT CASE WHEN score <= t_head THEN 'head'
+              WHEN score <= t_mid THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM src, thr
+)
+SELECT b.bucket, count(*)::BIGINT AS n_docs,
+       CASE b.bucket WHEN 'head' THEN (SELECT t_head FROM thr)
+                     WHEN 'middle' THEN (SELECT t_mid FROM thr)
+       END AS threshold
+FROM bucketed b
+GROUP BY b.bucket
+ORDER BY b.bucket
+"""
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_ngram_jaccard": d02_ngram_jaccard,
@@ -2873,6 +3012,8 @@ QUERIES = {
     "t13_token_mixture": t13_token_mixture,
     "t14_hll_union": t14_hll_union,
     "t15_histogram_drift": t15_histogram_drift,
+    "t16_quantile_store": t16_quantile_store,
+    "t17_ccnet_buckets": t17_ccnet_buckets,
     "h02_heavy_hitters_trim": h02_heavy_hitters_trim,
 }
 
@@ -2920,5 +3061,7 @@ ORACLES = {
     "t13_token_mixture": ORACLE_T13,
     "t14_hll_union": ORACLE_T14,
     "t15_histogram_drift": ORACLE_T15,
+    "t16_quantile_store": ORACLE_T16,
+    "t17_ccnet_buckets": ORACLE_T17,
     "h02_heavy_hitters_trim": ORACLE_H02,
 }
