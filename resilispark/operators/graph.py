@@ -255,3 +255,100 @@ def wat_to_links(
             & (F.col("src") != F.col("dst"))
         )
     return edges.distinct()
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    max_iterations: int = 20,
+    tol: float | None = 1e-6,
+    norm: str = "l2",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) — (vertex, hub,
+    authority), the complementary signal to :func:`pagerank`: a hub
+    links to many good authorities, an authority is linked from many
+    good hubs (link-directory pages vs canonical content pages — a
+    curation mix wants the latter).
+
+    Per round: TWO bounded shuffles (hub mass forward over edges
+    grouped by target, authority mass back grouped by source) and two
+    scalar norms to the driver; duplicate edges count once.  ``norm``:
+    ``"l2"`` (classic) or ``"l1"``.  Stops when the L1 change of the
+    authority vector drops under ``tol``; raises if ``max_iterations``
+    rounds don't get there.  ``tol=None`` runs EXACTLY
+    ``max_iterations`` rounds (the fixed-budget mode the cross-engine
+    oracle replays round for round).  Vertices with no in-links score
+    authority 0; no out-links, hub 0.
+    """
+    if norm not in ("l1", "l2"):
+        raise ValueError(f"norm must be 'l1' or 'l2', got {norm!r}")
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        e.select(F.col("src").alias("vertex"))
+        .unionAll(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if vertices.isEmpty():
+        return vertices.withColumn("hub", F.lit(0.0)).withColumn(
+            "authority", F.lit(0.0))
+
+    def _normalize(scores: DataFrame, col: str) -> DataFrame:
+        agg = (
+            F.sum(F.col(col)) if norm == "l1"
+            else F.sqrt(F.sum(F.col(col) * F.col(col)))
+        )
+        z = scores.agg(agg).first()[0]
+        if not z:
+            return scores  # all-zero vector: nothing to scale
+        return scores.select(
+            "vertex", (F.col(col) / F.lit(float(z))).alias(col))
+
+    hubs = vertices.withColumn("hub", F.lit(1.0))
+    prev_auth = None
+    delta = float("inf")
+    for _ in range(max_iterations):
+        auth = (
+            vertices.join(
+                e.join(hubs, e.src == hubs.vertex)
+                .groupBy(F.col("dst").alias("vertex"))
+                .agg(F.sum("hub").alias("_a")),
+                "vertex", "left",
+            )
+            .select("vertex", F.coalesce("_a", F.lit(0.0)).alias("authority"))
+        )
+        auth = _normalize(auth, "authority").localCheckpoint(eager=True)
+        hubs = (
+            vertices.join(
+                e.join(auth, e.dst == auth.vertex)
+                .groupBy(F.col("src").alias("vertex"))
+                .agg(F.sum("authority").alias("_h")),
+                "vertex", "left",
+            )
+            .select("vertex", F.coalesce("_h", F.lit(0.0)).alias("hub"))
+        )
+        hubs = _normalize(hubs, "hub").localCheckpoint(eager=True)
+        if tol is not None and prev_auth is not None:
+            delta = (
+                auth.join(prev_auth.select(
+                    "vertex", F.col("authority").alias("_old")), "vertex")
+                .agg(F.sum(F.abs(F.col("authority") - F.col("_old"))))
+                .first()[0]
+            )
+            if delta is not None and delta < tol:
+                prev_auth = auth
+                break
+        prev_auth = auth
+    else:
+        if tol is not None:
+            raise RuntimeError(
+                f"hits did not converge in {max_iterations} rounds "
+                f"(last L1 delta {delta:.2e}; raise max_iterations or tol)"
+            )
+    return hubs.join(prev_auth, "vertex")

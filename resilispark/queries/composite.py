@@ -141,6 +141,9 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
     "h02_heavy_hitters_trim": [
         ("value", "s"), ("n_min", "n"), ("err_bound", "n"),
     ],
+    "g02_hits": [
+        ("vertex", "n"), ("hub", "d"), ("authority", "d"),
+    ],
     "t16_quantile_store": [
         ("snapshot", "s"), ("q", "d"), ("value", "d"), ("n", "n"),
         ("err_bound", "n"),
@@ -230,6 +233,10 @@ FAMILIES: dict[str, list[str]] = {
         # sampling with epoch up-sampling, fractions and md5 selection
         # replayed float-op for float-op)
         "t13_token_mixture",
+        # (g02 joined in round 7: HITS hubs/authorities over the g01
+        # link graph, 2 fixed L2-normalized iterations replayed
+        # half-step for half-step)
+        "g02_hits",
     ],
     # sketch-store telemetry (round 7, in the slot t05's rows-only
     # check freed): HLL union/overlap estimates pinned to the exact

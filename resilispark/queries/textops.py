@@ -2823,6 +2823,89 @@ ORDER BY snapshot, "column"
 """
 
 
+def g02_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.py) over the same
+    deterministic affine-hash link graph as g01, 2 fixed-budget
+    iterations (tol=None) with L2 normalization after every half-step,
+    replayed half-step for half-step in DuckDB.  Scores round at 9
+    decimals (per-vertex sums differ only in summation order)."""
+    from resilispark.operators.graph import hits
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    src = d.where(F.col("doc_id") % 10 != 0)
+    edges = None
+    for a, b in ((7, 1), (13, 2), (29, 5)):
+        part = src.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % n).alias("dst"),
+        )
+        edges = part if edges is None else edges.unionByName(part)
+    hh = hits(edges, max_iterations=2, tol=None, norm="l2")
+    return hh.select(
+        F.col("vertex").cast("bigint").alias("vertex"),
+        dround("hub", 9).alias("hub"),
+        dround("authority", 9).alias("authority"),
+    ).orderBy("vertex")
+
+
+ORACLE_G02 = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+    FROM documents WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 2) % (SELECT n FROM nn)
+    FROM documents WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT doc_id, (doc_id * 29 + 5) % (SELECT n FROM nn)
+    FROM documents WHERE doc_id % 10 <> 0
+  )
+),
+vertices AS (
+  SELECT DISTINCT v AS vertex FROM (
+    SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)
+),
+a1r AS (
+  SELECT v.vertex, coalesce(c.s, 0)::DOUBLE AS a
+  FROM vertices v LEFT JOIN (
+    SELECT dst AS vertex, count(*)::DOUBLE AS s FROM edges GROUP BY dst
+  ) c USING (vertex)
+),
+a1 AS (SELECT vertex, a / sqrt((SELECT sum(a * a) FROM a1r)) AS a FROM a1r),
+h1r AS (
+  SELECT v.vertex, coalesce(c.s, 0)::DOUBLE AS h
+  FROM vertices v LEFT JOIN (
+    SELECT e.src AS vertex, sum(a1.a) AS s
+    FROM edges e JOIN a1 ON a1.vertex = e.dst GROUP BY e.src
+  ) c USING (vertex)
+),
+h1 AS (SELECT vertex, h / sqrt((SELECT sum(h * h) FROM h1r)) AS h FROM h1r),
+a2r AS (
+  SELECT v.vertex, coalesce(c.s, 0)::DOUBLE AS a
+  FROM vertices v LEFT JOIN (
+    SELECT e.dst AS vertex, sum(h1.h) AS s
+    FROM edges e JOIN h1 ON h1.vertex = e.src GROUP BY e.dst
+  ) c USING (vertex)
+),
+a2 AS (SELECT vertex, a / sqrt((SELECT sum(a * a) FROM a2r)) AS a FROM a2r),
+h2r AS (
+  SELECT v.vertex, coalesce(c.s, 0)::DOUBLE AS h
+  FROM vertices v LEFT JOIN (
+    SELECT e.src AS vertex, sum(a2.a) AS s
+    FROM edges e JOIN a2 ON a2.vertex = e.dst GROUP BY e.src
+  ) c USING (vertex)
+),
+h2 AS (SELECT vertex, h / sqrt((SELECT sum(h * h) FROM h2r)) AS h FROM h2r)
+SELECT v.vertex::BIGINT AS vertex,
+       floor(h2.h * 1000000000 + 0.5) / 1000000000 AS hub,
+       floor(a2.a * 1000000000 + 0.5) / 1000000000 AS authority
+FROM vertices v JOIN h2 USING (vertex) JOIN a2 USING (vertex)
+ORDER BY vertex
+"""
+
+
 def t16_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile-sketch store readout (operators/sketches.py):
     three snapshot splits persist weighted rank summaries of a derived
@@ -3012,6 +3095,7 @@ QUERIES = {
     "t13_token_mixture": t13_token_mixture,
     "t14_hll_union": t14_hll_union,
     "t15_histogram_drift": t15_histogram_drift,
+    "g02_hits": g02_hits,
     "t16_quantile_store": t16_quantile_store,
     "t17_ccnet_buckets": t17_ccnet_buckets,
     "h02_heavy_hitters_trim": h02_heavy_hitters_trim,
@@ -3061,6 +3145,7 @@ ORACLES = {
     "t13_token_mixture": ORACLE_T13,
     "t14_hll_union": ORACLE_T14,
     "t15_histogram_drift": ORACLE_T15,
+    "g02_hits": ORACLE_G02,
     "t16_quantile_store": ORACLE_T16,
     "t17_ccnet_buckets": ORACLE_T17,
     "h02_heavy_hitters_trim": ORACLE_H02,

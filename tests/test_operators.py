@@ -6363,3 +6363,67 @@ class TestQuantileBuckets:
                                 labels=("a", "b", "c"))
         with _pytest.raises(ValueError, match="ascending"):
             bucket_by_quantiles(docs, "ppl", cuts=(0.7, 0.3))
+
+
+class TestHits:
+    def test_bipartite_hubs_vs_authorities(self, spark):
+        """Two pure hubs fanning into three pure authorities: hubs get
+        authority 0, authorities get hub 0, and symmetry makes scores
+        equal within each side."""
+        from resilispark.operators.graph import hits
+
+        e = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (2, 12)],
+            "src long, dst long",
+        )
+        got = {r["vertex"]: r for r in hits(e, max_iterations=5).collect()}
+        assert got[1]["authority"] == 0.0 and got[10]["hub"] == 0.0
+        assert abs(got[1]["hub"] - got[2]["hub"]) < 1e-12
+        assert len({round(got[v]["authority"], 12) for v in (10, 11, 12)}) == 1
+        assert got[1]["hub"] > 0 and got[10]["authority"] > 0
+
+    def test_matches_numpy_power_iteration_fixed_budget(self, spark):
+        """tol=None fixed-budget mode replays the textbook matrix
+        iteration exactly (same normalization per half-step)."""
+        import numpy as np
+
+        from resilispark.operators.graph import hits
+
+        edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1), (1, 3)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        n = 4
+        A = np.zeros((n, n))
+        for s, d in edges:
+            A[s, d] = 1.0
+        h = np.ones(n)
+        for _ in range(3):
+            a = A.T @ h
+            a = a / np.linalg.norm(a)
+            h = A @ a
+            h = h / np.linalg.norm(h)
+        got = {r["vertex"]: r for r in
+               hits(e, max_iterations=3, tol=None).collect()}
+        for v in range(n):
+            assert abs(got[v]["hub"] - h[v]) < 1e-9, (v, got[v], h[v])
+            assert abs(got[v]["authority"] - a[v]) < 1e-9
+
+    def test_l1_norm_mode_sums_to_one(self, spark):
+        from resilispark.operators.graph import hits
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long")
+        rows = hits(e, max_iterations=4, tol=None, norm="l1").collect()
+        assert abs(sum(r["authority"] for r in rows) - 1.0) < 1e-12
+        assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-12
+
+    def test_converges_and_raises_when_it_cannot(self, spark):
+        import pytest as _pytest
+
+        from resilispark.operators.graph import hits
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long")
+        rows = hits(e, max_iterations=50, tol=1e-10).collect()
+        assert len(rows) == 3
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            hits(e, max_iterations=1, tol=1e-12)
