@@ -206,6 +206,13 @@ def cmd_curate(args) -> int:
             file=sys.stderr,
         )
         return 1
+    if getattr(args, "ccnet_buckets", False) and not args.perplexity_seed:
+        print(
+            "error: --ccnet-buckets needs --perplexity-seed (the "
+            "buckets are perplexity thirds under a seed-corpus LM)",
+            file=sys.stderr,
+        )
+        return 1
     from pyspark.sql import functions as F
 
     from resilispark.operators.corpus import (
@@ -468,14 +475,28 @@ def cmd_curate(args) -> int:
     if args.perplexity_seed:
         from resilispark.operators.ngram_lm import (
             perplexity_filter,
+            perplexity_score,
             train_char_lm,
         )
 
         lm = train_char_lm(spark.read.parquet(args.perplexity_seed))
-        docs = _fn(
-            perplexity_filter(docs, lm, max_log_ppl=args.max_log_ppl),
-            "perplexity",
-        )
+        if getattr(args, "ccnet_buckets", False):
+            # the actual CCNet design (Wenzek et al. 2020 §4.4): BUCKET
+            # by perplexity thirds instead of hard-filtering — every
+            # doc ships, tagged head/middle/tail, and the consumer
+            # picks its mix.  One summary pass for the thresholds; the
+            # score recomputes at write time rather than persisting a
+            # corpus-sized cache (CPU over storage at crawl scale).
+            from resilispark.operators.corpus import bucket_by_quantiles
+
+            docs = bucket_by_quantiles(
+                perplexity_score(docs, lm), "log_ppl"
+            ).withColumnRenamed("bucket", "ppl_bucket")
+        else:
+            docs = _fn(
+                perplexity_filter(docs, lm, max_log_ppl=args.max_log_ppl),
+                "perplexity",
+            )
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
         bcol = "text" if "text" in bench.columns else bench.columns[0]
@@ -706,6 +727,22 @@ def cmd_curate(args) -> int:
                 f"{'appended top-k sketch to' if appended else 'top-k sketch already recorded in'} "
                 f"{args.topk_sketch}"
             )
+    if getattr(args, "quantile_sketch", None):
+        # persist a mergeable quantile summary of doc length:
+        # `sketch-report --quantiles` later answers corpus-wide length
+        # percentiles across all crawls from the stored items alone
+        from resilispark.operators.sketches import write_snapshot_quantiles
+
+        shipped = _read_output()
+        appended = write_snapshot_quantiles(
+            shipped.withColumn("n_chars", F.length("text").cast("double")),
+            args.quantile_sketch,
+            snapshot=args.output, col="n_chars", skip_existing=True,
+        )
+        print(
+            f"{'appended quantile sketch to' if appended else 'quantile sketch already recorded in'} "
+            f"{args.quantile_sketch}"
+        )
     if args.pack:
         from resilispark.operators.packing import emit_sequences
 
@@ -1023,6 +1060,19 @@ def cmd_linkgraph(args) -> int:
             ).alias("html"),
         )
         edges = extract_links(html, "html", "url")
+    if getattr(args, "hits", False):
+        from resilispark.operators.graph import hits
+
+        ranks = hits(
+            edges, max_iterations=args.max_iterations, tol=args.tol
+        ).join(degree_stats(edges), "vertex", "left")
+        ranks.orderBy(F.col("authority").desc()).write.mode(
+            "overwrite").parquet(args.output)
+        for r in ranks.orderBy(F.col("authority").desc()).limit(
+                args.top).collect():
+            print(f"{r.vertex}	auth={r.authority:.6f} hub={r.hub:.6f}	"
+                  f"in={r.in_degree or 0} out={r.out_degree or 0}")
+        return 0
     ranks = pagerank(
         edges, max_iterations=args.max_iterations, tol=args.tol
     ).join(degree_stats(edges), "vertex", "left")
@@ -1281,7 +1331,25 @@ def cmd_sketch_report(args) -> int:
             print("error: --values got no candidate values "
                   f"({args.values!r})", file=sys.stderr)
             return 2
+    qs = None
+    if getattr(args, "quantiles", None) is not None:
+        try:
+            qs = [float(x) for x in args.quantiles.split(",") if x]
+        except ValueError:
+            qs = []
+        if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+            print("error: --quantiles wants comma-separated values in "
+                  f"[0, 1] ({args.quantiles!r})", file=sys.stderr)
+            return 2
     spark = _spark(args.cpus)
+    if qs is not None:
+        from resilispark.operators.sketches import quantile_store_report
+
+        rows = quantile_store_report(spark, args.store, tuple(qs)).collect()
+        for r in rows:
+            v = "n/a" if r.value is None else f"{r.value:g}"
+            print(f"q={r.q:g} value={v} n={r.n} err_bound={r.err_bound}")
+        return 0
     if getattr(args, "values", None):
         from pyspark.sql import functions as F
 
@@ -1839,6 +1907,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="seed-corpus parquet: filter by char-LM perplexity")
     p.add_argument("--max-log-ppl", type=float, default=3.0,
                    help="keep docs at or below this mean -log p per char")
+    p.add_argument("--ccnet-buckets", action="store_true",
+                   help="with --perplexity-seed: BUCKET docs into "
+                        "head/middle/tail perplexity thirds "
+                        "(ppl_bucket column) instead of filtering — "
+                        "the actual CCNet shape")
+    p.add_argument("--quantile-sketch", default=None, metavar="PATH",
+                   help="also append this snapshot's doc-length "
+                        "quantile summary to the mergeable store at "
+                        "PATH: `sketch-report --quantiles Q1,Q2 PATH` "
+                        "answers corpus-wide percentiles across crawls "
+                        "with zero corpus reads")
     p.set_defaults(fn=cmd_curate)
 
     p = sub.add_parser("pack", help="parquet corpus -> packed training sequences")
@@ -1908,6 +1987,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-iterations", type=int, default=50)
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--top", type=int, default=20)
+    p.add_argument("--hits", action="store_true",
+                   help="HITS hubs/authorities instead of PageRank "
+                        "(directory pages vs canonical content)")
     p.set_defaults(fn=cmd_linkgraph)
 
     p = sub.add_parser("search", help="BM25 keyword search over a corpus")
@@ -2010,6 +2092,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="treat the store as a heavy-hitters store "
                         "(curate --topk-sketch) and print the merged "
                         "top-K values with error bounds")
+    p.add_argument("--quantiles", default=None, metavar="Q1,Q2,...",
+                   help="treat the store as a quantile store "
+                        "(curate --quantile-sketch) and print the "
+                        "merged rank values with error bounds")
     p.set_defaults(fn=cmd_sketch_report)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")

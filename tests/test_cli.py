@@ -1713,3 +1713,134 @@ def test_cli_sketch_report_cms_values(tmp_path, spark, capsys):
     rc = main(["--cpus", "4", "sketch-report", store, "--values", ","])
     assert rc == 2
     assert "no candidate values" in capsys.readouterr().err
+
+
+def test_cli_curate_quantile_sketch_and_report(tmp_path, spark, capsys):
+    """curate --quantile-sketch appends a doc-length quantile summary
+    per crawl; sketch-report --quantiles answers merged percentiles
+    from the store alone (exact regime here: err_bound 0)."""
+    from resilispark.__main__ import main
+
+    store = str(tmp_path / "qstore")
+    for crawl in ("c1", "c2"):
+        src = str(tmp_path / f"docs-{crawl}.parquet")
+        spark.createDataFrame(
+            [(i, "x" * (50 + i + (100 if crawl == "c2" else 0)),
+              "en", "web") for i in range(10)],
+            "doc_id long, text string, lang string, source string",
+        ).write.mode("overwrite").parquet(src)
+        rc = main(["--cpus", "4", "curate", src,
+                   "-o", str(tmp_path / f"corpus-{crawl}"),
+                   "--no-quality", "--keep-pii",
+                   "--quantile-sketch", store])
+        assert rc == 0
+        assert "appended quantile sketch" in capsys.readouterr().out
+    rc = main(["--cpus", "4", "sketch-report", store,
+               "--quantiles", "0.5,1.0"])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    # 20 docs, lengths 50..59 and 150..159: rank ceil(.5*20)=10 -> 59,
+    # rank 20 -> 159
+    assert out == ["q=0.5 value=59 n=20 err_bound=0",
+                   "q=1 value=159 n=20 err_bound=0"]
+    # malformed probe fails as a usage error before Spark work
+    assert main(["sketch-report", store, "--quantiles", "1.5"]) == 2
+
+
+def test_cli_curate_ccnet_buckets(tmp_path, spark):
+    """--ccnet-buckets tags every doc head/middle/tail by seed-LM
+    perplexity instead of filtering; nothing is dropped."""
+    from pyspark.sql import functions as F
+
+    from resilispark.__main__ import main
+
+    seed = str(tmp_path / "seed.parquet")
+    spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in
+         range(30)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(seed)
+    src = str(tmp_path / "docs.parquet")
+    rows = []
+    for i in range(9):
+        if i < 3:
+            text = "the quick brown fox jumps over the lazy dog " * 3
+        elif i < 6:
+            text = "the slow green frog hops over a sleepy cat " * 3
+        else:
+            text = "zzxqj vwpk qqq jjjj xxxx wwww kkkk qzqzqz " * 3
+        rows.append((i, text, "en", "web"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "corpus")
+    rc = main(["--cpus", "4", "curate", src, "-o", out,
+               "--no-quality", "--keep-pii",
+               "--perplexity-seed", seed, "--ccnet-buckets"])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert "ppl_bucket" in got.columns
+    assert got.count() == 9  # bucketing ships everything
+    by_bucket = {
+        r["ppl_bucket"]: set(r["ids"])
+        for r in got.groupBy("ppl_bucket").agg(
+            F.collect_set("doc_id").alias("ids")).collect()
+    }
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    # seed-identical docs land in the low-perplexity head; gibberish
+    # in the tail
+    assert by_bucket["head"] == {0, 1, 2}
+    assert by_bucket["tail"] == {6, 7, 8}
+
+
+def test_cli_curate_ccnet_buckets_requires_seed(tmp_path, spark, capsys):
+    from resilispark.__main__ import main
+
+    rc = main(["curate", str(tmp_path / "in.parquet"),
+               "-o", str(tmp_path / "out"), "--ccnet-buckets"])
+    assert rc == 1
+    assert "needs --perplexity-seed" in capsys.readouterr().err
+
+
+def test_cli_linkgraph_hits(tmp_path, spark):
+    """linkgraph --hits ranks the link-directory page as the hub and
+    the commonly-linked page as the authority."""
+    import json
+
+    from resilispark.__main__ import main
+    from resilispark.io.warc import WarcRecord, write_warc
+
+    def wat(links):
+        return json.dumps(
+            {"Envelope": {"Payload-Metadata": {"HTTP-Response-Metadata": {
+                "HTML-Metadata": {"Links": [{"url": u} for u in links]}}}}}
+        ).encode()
+
+    recs = [
+        WarcRecord(
+            headers=[
+                ("WARC-Type", "metadata"),
+                ("WARC-Record-ID", f"<urn:uuid:hits-{i}>"),
+                ("WARC-Date", "2024-01-01T00:00:00Z"),
+                ("WARC-Target-URI", f"https://s{i}.example/p"),
+                ("Content-Type", "application/json"),
+            ],
+            payload=wat(["https://canon.example/x",
+                         "https://extra.example/y"] if i == 0
+                        else ["https://canon.example/x"]),
+            record_type="metadata",
+            target_uri=f"https://s{i}.example/p",
+        )
+        for i in range(4)
+    ]
+    src = str(tmp_path / "c.wat.gz")
+    write_warc(recs, src, compression="gzip")
+    out = str(tmp_path / "hits")
+    rc = main(["--cpus", "4", "linkgraph", src, "-o", out, "--wat",
+               "--hits", "--max-iterations", "60", "--tol", "1e-8"])
+    assert rc == 0
+    got = {r["vertex"]: r for r in spark.read.parquet(out).collect()}
+    assert max(got, key=lambda v: got[v]["authority"]) == "canon.example"
+    # s0 links to BOTH targets -> the best hub
+    assert max(got, key=lambda v: got[v]["hub"]) == "s0.example"
+    assert got["canon.example"]["hub"] == 0.0
