@@ -524,6 +524,20 @@ def main() -> None:
     finally:
         shutil.rmtree(_store, ignore_errors=True)
 
+    # mergeable quantile summary: the bounded-summary pass over the
+    # whole corpus (per-partition memory ~2x capacity; shuffle <=
+    # partitions x (capacity+2) rows) — the recurring cost of
+    # `curate --quantile-sketch` and the threshold pass of CCNet
+    # bucketing (which adds one codegen CASE on top)
+    from resilispark.operators.sketches import quantile_summary
+
+    _qcol = _F3.length("text").cast("double")
+    qsum_df = quantile_summary(docs, _qcol, capacity=1024)
+    qsum_df.write.mode("overwrite").format("noop").save()
+    timings[f"quantile_summary_{n_docs}_docs"] = timed_median(
+        lambda: qsum_df.write.mode("overwrite").format("noop").save()
+    )
+
     # sf1 SCALE-SLOPE section: the cheapest 100x proxy this sandbox can
     # produce — rerun the heaviest gate queries over a synthesized 10x
     # corpus and report time(10x)/time(1x) per query.  A plan that is

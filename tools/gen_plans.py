@@ -52,6 +52,9 @@ PICKS = {
     "t14_hll_union": "HLL store readout: union/overlap estimates computed from the nine stored KB-rows alone — hll_union_agg over a grouped store scan, ZERO corpus reads; the snapshot writes each sketch three columns in ONE aggregation pass (stacked single agg row).",
     "t15_histogram_drift": "Histogram drift: every aggregate runs over <= 97 stored bin rows per column — three tiny joins (bin totals, snapshot totals, column totals) and one grouped TV sum; the corpus was read once per snapshot at WRITE time, the readout never touches it.",
     "h02_heavy_hitters_trim": "Misra-Gries forced trim: one mapInPandas summary pass over a single coalesced partition (capacity-bounded memory), merge over the <= capacity+1 surviving rows, LocalTableScan report — the trim arithmetic happens in the sketch, the plan shuffles only summary rows.",
+    "t16_quantile_store": "Quantile store readout: per-partition rank summaries via ONE mapInPandas pass (memory ~2x capacity regardless of distinct count), merge over <= partitions*(capacity+2) tiny persisted rows, LocalTableScan report — per-snapshot and merged probes read the stored items alone, never the corpus.",
+    "t17_ccnet_buckets": "CCNet bucketing: one summary pass for the two thresholds (same bounded shape as t16), then the bucket CASE is codegen over literal floats — the grouped count is the only exchange; no join, no Python in the bucketing stage.",
+    "g02_hits": "HITS round: hub mass forward (partial-aggregated per target) and authority mass back (per source) are the two bounded shuffles; norms are scalars to the driver, lineage cut by localCheckpoint each half-step.",
 }
 
 _KEEP = re.compile(
