@@ -270,9 +270,12 @@ def parse_header_block(
         and " :" not in block
         and "\t:" not in block
         and block[:1] not in (" ", "\t")
-        # every \r sits directly before a \n -> no key/value can carry
-        # a stray \r, so the split loop below needs no per-line check
-        and block.count("\r") == block.count("\r\n")
+        # every \r sits directly before a \n — except the block's own
+        # trailing \r (the blank-line match starts at the last line's
+        # \n, so a CRLF block keeps its final \r) — so no key can carry
+        # a stray \r and the split loop below needs no per-line check
+        and block.count("\r")
+        == block.count("\r\n") + (1 if block[-1:] == "\r" else 0)
     ):
         # split+partition is ~30% faster than the regex findall it
         # replaced (r7 profile: header parse was a third of the plain

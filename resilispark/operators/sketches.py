@@ -824,6 +824,14 @@ def quantile_summary(
                     cur_v, cur_w, capacity
                 )
                 err += add
+        if len(cur_v) > capacity:
+            # final compress: the 2x-amortized loop can end anywhere in
+            # (capacity, 2*capacity], and the emitted rows must honor
+            # the documented <= capacity+2 shuffle contract
+            cur_v, cur_w, add = _compress_quantile_items(
+                cur_v, cur_w, capacity
+            )
+            err += add
         # the error row rides as NaN: Arrow's from_pandas maps float NaN
         # to null, and NaN inputs were already dropped Spark-side
         yield pd.DataFrame(

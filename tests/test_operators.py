@@ -6427,3 +6427,29 @@ class TestHits:
         assert len(rows) == 3
         with _pytest.raises(RuntimeError, match="did not converge"):
             hits(e, max_iterations=1, tol=1e-12)
+
+
+class TestRound7ReviewFixes:
+    def test_quantile_summary_bound_holds_between_1x_and_2x_capacity(
+            self, spark):
+        """A partition whose distinct count lands in (capacity,
+        2*capacity] must still emit <= capacity+2 rows (the final
+        compress the review found missing)."""
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.sketches import quantile_summary
+
+        docs = spark.range(0, 1500).select(
+            F.col("id").cast("double").alias("v")).coalesce(1)
+        rows = quantile_summary(docs, "v", capacity=1024).collect()
+        assert len(rows) <= 1026
+        assert sum(r.w for r in rows if r.value is not None) == 1500
+
+    def test_hits_rejects_zero_iterations(self, spark):
+        import pytest as _pytest
+
+        from resilispark.operators.graph import hits
+
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with _pytest.raises(ValueError, match="max_iterations"):
+            hits(e, max_iterations=0, tol=None)

@@ -280,3 +280,20 @@ def test_write_warc_compression_levels(tmp_path, fixture_dir):
     ids = [r.record_id for r in recs]
     assert [r.record_id for r in iter_warc(fast)] == ids
     assert [r.record_id for r in iter_warc(best)] == ids
+
+
+def test_header_fast_path_fires_on_crlf_blocks():
+    """The split fast path must handle the block's own trailing \\r (a
+    CRLF block keeps the final line's \\r before the blank-line match)
+    and agree with the tolerant loop on every terminator mix."""
+    from resilispark.io.warc import parse_header_block
+
+    for blob, want in [
+        (b"WARC-Type: response\r\nContent-Length: 4\r\n\r\n",
+         [("WARC-Type", "response"), ("Content-Length", "4")]),
+        (b"A: 1\nB: 2\n\n", [("A", "1"), ("B", "2")]),
+        (b"A: 1\r\nB: 2\n\n", [("A", "1"), ("B", "2")]),  # mixed
+        (b"A: 1\r\nB:\r\n\r\n", [("A", "1"), ("B", "")]),
+    ]:
+        headers, _ = parse_header_block(blob, 0)
+        assert headers == want, (blob, headers)
