@@ -800,6 +800,26 @@ def cmd_curate(args) -> int:
             .json(args.export_jsonl)
         )
         print(f"wrote {args.export_jsonl} (jsonl.gz)")
+    if getattr(args, "export_wet", None):
+        # Common-Crawl-style WET: conversion records through the
+        # distributed warc writer (one seekable gzip-member file per
+        # partition, warcinfo lead record per file)
+        from resilispark.datasource import register as _register_ds
+        from resilispark.operators.pipelines import docs_to_wet
+        from resilispark.session import ensure_workers_can_import
+
+        ensure_workers_can_import(spark)
+        _register_ds(spark)  # parquet-input runs never registered it
+        (
+            docs_to_wet(_read_output())
+            .write.format("warc")
+            .option("warcinfo",
+                    "software: resilispark\r\n"
+                    "format: WARC file version 1.1\r\n")
+            .mode("overwrite")
+            .save(args.export_wet)
+        )
+        print(f"wrote {args.export_wet} (WET conversion records)")
     if getattr(args, "export_webdataset", None):
         from resilispark.operators.webdataset import (
             parquet_num_rows,
@@ -1815,6 +1835,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="additionally export the final corpus as "
                         "WebDataset tar shards (<key>.txt members, "
                         "_SHARDS.json index)")
+    p.add_argument("--export-wet", default=None, metavar="DIR",
+                   help="additionally export the final corpus as "
+                        "Common-Crawl-style WET archives (conversion "
+                        "records, gzip member per record, warcinfo "
+                        "lead record per file)")
     p.add_argument("--wds-docs-per-shard", type=int, default=10_000,
                    help="documents per WebDataset tar shard")
     p.add_argument("--c4", action="store_true",

@@ -583,6 +583,12 @@ class WarcDataSourceWriter(DataSourceWriter):
                 "use gzip, lz4, or none"
             )
         self.cdxj = str(self.options.get("cdxj", "")).lower() in ("1", "true", "yes")
+        # optional per-file warcinfo lead record: the option value is
+        # the application/warc-fields body (e.g. "software: ...\r\n");
+        # real WET/WARC layouts open every file with one
+        self.warcinfo = self.options.get("warcinfo")
+        self.warcinfo_date = self.options.get(
+            "warcinfo_date", "2024-01-01T00:00:00Z")
         # gzip level 1-9 (reference default Z_BEST_COMPRESSION,
         # stream_io.pyx:379)
         self.compression_level = int(self.options.get("compression_level", 9))
@@ -623,6 +629,25 @@ class WarcDataSourceWriter(DataSourceWriter):
             final = out
 
         def to_records():
+            if self.warcinfo:
+                # deterministic id from (body, filename): task retries
+                # rewrite the identical record
+                import hashlib
+
+                h = hashlib.md5(
+                    (self.warcinfo + name).encode()).hexdigest()
+                rid = (f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-"
+                       f"{h[16:20]}-{h[20:32]}>")
+                yield WarcRecord(
+                    headers=[
+                        ("WARC-Type", "warcinfo"),
+                        ("WARC-Record-ID", rid),
+                        ("WARC-Date", self.warcinfo_date),
+                        ("WARC-Filename", name),
+                        ("Content-Type", "application/warc-fields"),
+                    ],
+                    payload=self.warcinfo.encode("utf-8"),
+                )
             for row in iterator:
                 d = row.asDict(recursive=True)
                 headers = [

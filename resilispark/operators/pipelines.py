@@ -416,3 +416,70 @@ def wet_to_docs(
         udfs["detect_lang"](F.col("text")).getField("lang").alias("lang"),
         F.length("text").cast("bigint").alias("n_chars"),
     )
+
+
+def docs_to_wet(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    url_col: str | None = None,
+    id_col: str = "doc_id",
+    date: str = "2024-01-01T00:00:00Z",
+    date_col: str | None = None,
+) -> DataFrame:
+    """docs -> WET-shaped ``conversion`` records, ready for
+    ``df.write.format("warc").save(dir)`` — the WRITE complement of
+    :func:`wet_to_docs`: a curated text corpus ships back out as
+    Common-Crawl-style WET archives any WARC tooling can read.
+
+    Everything is built with JVM column expressions (no Python in the
+    plan): record ids are deterministic UUIDs derived from
+    ``md5(id_col)`` (re-running the export reproduces the same ids —
+    Spark task retries need that), ``WARC-Target-URI`` comes from
+    ``url_col`` when given (or present as ``url``), else a synthetic
+    ``https://corpus.invalid/doc/<id>``; ``WARC-Date`` from
+    ``date_col`` when given (ISO-8601 strings pass through) else the
+    pinned ``date`` literal.  Content-Length and block digests are
+    recomputed by the writer per record.  Pair with the writer's
+    ``warcinfo`` option for spec-complete files."""
+    if text_col not in docs.columns:
+        raise ValueError(f"text column {text_col!r} not in docs")
+    if id_col not in docs.columns:
+        raise ValueError(f"id column {id_col!r} not in docs")
+    if url_col is None and "url" in docs.columns:
+        url_col = "url"
+    ids = F.col(id_col).cast("string")
+    h = F.md5(ids)
+    rec_id = F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"),
+        F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12),
+        F.lit(">"),
+    )
+    uri = (
+        F.col(url_col).cast("string") if url_col is not None
+        else F.concat(F.lit("https://corpus.invalid/doc/"), ids)
+    )
+    wdate = (
+        F.col(date_col).cast("string") if date_col is not None
+        else F.lit(date)
+    )
+
+    def hdr(key, value: F.Column) -> F.Column:
+        return F.struct(
+            F.lit(key).alias("key"), value.alias("value"))
+
+    return docs.select(
+        F.lit("WARC/1.1").alias("warc_version"),
+        F.array(
+            hdr("WARC-Type", F.lit("conversion")),
+            hdr("WARC-Record-ID", rec_id),
+            hdr("WARC-Date", wdate),
+            hdr("WARC-Target-URI", uri),
+            hdr("Content-Type", F.lit("text/plain")),
+        ).alias("headers"),
+        F.encode(F.col(text_col).cast("string"), "UTF-8").alias("payload"),
+    )

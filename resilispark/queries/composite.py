@@ -144,6 +144,9 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
     "g02_hits": [
         ("vertex", "n"), ("hub", "d"), ("authority", "d"),
     ],
+    "t18_wet_roundtrip": [
+        ("doc_id", "n"), ("text_md5", "s"), ("n_chars", "n"),
+    ],
     "t16_quantile_store": [
         ("snapshot", "s"), ("q", "d"), ("value", "d"), ("n", "n"),
         ("err_bound", "n"),
@@ -237,6 +240,10 @@ FAMILIES: dict[str, list[str]] = {
         # link graph, 2 fixed L2-normalized iterations replayed
         # half-step for half-step)
         "g02_hits",
+        # (t18 joined in round 7: WET export round-trip — conversion
+        # records + per-file warcinfo through the distributed writer,
+        # read back via the warc scan's record-type pushdown)
+        "t18_wet_roundtrip",
     ],
     # sketch-store telemetry (round 7, in the slot t05's rows-only
     # check freed): HLL union/overlap estimates pinned to the exact

@@ -2906,6 +2906,58 @@ ORDER BY vertex
 """
 
 
+def t18_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET export round-trip (operators/pipelines.py docs_to_wet +
+    datasource/warc.py writer): the documents table ships out as
+    Common-Crawl-style conversion records (gzip member per record,
+    deterministic md5-derived ids, warcinfo lead record per file) and
+    reads back through the engine's own warc scan — (doc_id, text_md5,
+    n_chars) must equal the source table, which DuckDB computes
+    directly.  Exercises the FULL writer+reader path including the
+    per-file warcinfo injection (filtered back out by the record-type
+    pushdown on read)."""
+    import tempfile
+
+    from resilispark.datasource import register
+    from resilispark.operators.pipelines import docs_to_wet
+    from resilispark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    register(spark)
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = tempfile.mkdtemp(prefix="resilispark-t18-wet-") + "/wet"
+    (
+        docs_to_wet(d)
+        .write.format("warc")
+        .option("warcinfo", "software: resilispark\r\n")
+        .mode("overwrite")
+        .save(out)
+    )
+    recs = (
+        spark.read.format("warc")
+        .option("record_types", "conversion")
+        .option("parse_http", "false")
+        .load(out + "/part-*.warc.gz")
+    )
+    return (
+        recs.select(
+            F.substring_index("target_uri", "/", -1).cast("bigint")
+            .alias("doc_id"),
+            F.md5("payload").alias("text_md5"),
+            F.length(F.decode("payload", "UTF-8")).cast("bigint")
+            .alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_T18 = """
+SELECT doc_id, md5(text) AS text_md5, length(text)::BIGINT AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def t16_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile-sketch store readout (operators/sketches.py):
     three snapshot splits persist weighted rank summaries of a derived
@@ -3096,6 +3148,7 @@ QUERIES = {
     "t14_hll_union": t14_hll_union,
     "t15_histogram_drift": t15_histogram_drift,
     "g02_hits": g02_hits,
+    "t18_wet_roundtrip": t18_wet_roundtrip,
     "t16_quantile_store": t16_quantile_store,
     "t17_ccnet_buckets": t17_ccnet_buckets,
     "h02_heavy_hitters_trim": h02_heavy_hitters_trim,
@@ -3146,6 +3199,7 @@ ORACLES = {
     "t14_hll_union": ORACLE_T14,
     "t15_histogram_drift": ORACLE_T15,
     "g02_hits": ORACLE_G02,
+    "t18_wet_roundtrip": ORACLE_T18,
     "t16_quantile_store": ORACLE_T16,
     "t17_ccnet_buckets": ORACLE_T17,
     "h02_heavy_hitters_trim": ORACLE_H02,

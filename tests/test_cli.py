@@ -1844,3 +1844,40 @@ def test_cli_linkgraph_hits(tmp_path, spark):
     # s0 links to BOTH targets -> the best hub
     assert max(got, key=lambda v: got[v]["hub"]) == "s0.example"
     assert got["canon.example"]["hub"] == 0.0
+
+
+def test_cli_curate_export_wet(tmp_path, spark):
+    """--export-wet ships the corpus as WET conversion records that
+    the engine's own WET reader (and any WARC tool) round-trips."""
+    from pyspark.sql import functions as F
+
+    from resilispark.__main__ import main
+    from resilispark.operators.pipelines import wet_to_docs
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"document number {i} says café and more words", "en",
+          "web", f"https://s{i}.example/p") for i in range(12)],
+        "doc_id long, text string, lang string, source string, url string",
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "corpus")
+    wet = str(tmp_path / "wet")
+    rc = main(["--cpus", "4", "curate", src, "-o", out,
+               "--no-quality", "--keep-pii", "--export-wet", wet])
+    assert rc == 0
+    docs = wet_to_docs(spark, wet + "/part-*.warc.gz")
+    got = {r["url"]: r["text"] for r in docs.collect()}
+    assert len(got) == 12
+    assert got["https://s3.example/p"] == (
+        "document number 3 says café and more words")
+    # every file opens with a warcinfo record carrying its own name
+    recs = (
+        spark.read.format("warc")
+        .option("record_types", "warcinfo")
+        .load(wet + "/part-*.warc.gz")
+    )
+    infos = recs.select("stream_pos", "filename", "headers").collect()
+    assert infos and all(r["stream_pos"] == 0 for r in infos)
+    for r in infos:
+        hdrs = dict(r["headers"])
+        assert hdrs["WARC-Filename"] == r["filename"]

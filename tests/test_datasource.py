@@ -510,3 +510,29 @@ def test_reader_retry_option_resumes(fixture_dir):
         for row in batch.column("record_id").to_pylist()
     ]
     assert len(rows) == 50 and len(set(rows)) == 50
+
+
+def test_docs_to_wet_deterministic_ids_and_payloads(spark, tmp_path):
+    """docs_to_wet builds pure-JVM conversion records: md5-derived
+    stable record ids, utf-8 payloads, pinned dates; a re-export is
+    record-identical (task-retry safety)."""
+    from pyspark.sql import functions as F
+
+    from resilispark.operators.pipelines import docs_to_wet
+
+    docs = spark.createDataFrame(
+        [(7, "hello café"), (8, "x" * 10)], "doc_id long, text string")
+    a = docs_to_wet(docs).orderBy("payload").collect()
+    b = docs_to_wet(docs).orderBy("payload").collect()
+    assert a == b
+    rec = {dict(r["headers"])["WARC-Target-URI"]: r for r in a}
+    r7 = rec["https://corpus.invalid/doc/7"]
+    h = dict(r7["headers"])
+    assert h["WARC-Type"] == "conversion"
+    assert h["WARC-Date"] == "2024-01-01T00:00:00Z"
+    assert h["WARC-Record-ID"].startswith("<urn:uuid:") and len(
+        h["WARC-Record-ID"]) == 47
+    assert bytes(r7["payload"]) == "hello café".encode()
+    # plan stays JVM-only: no Python eval anywhere
+    plan = docs_to_wet(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
