@@ -483,3 +483,65 @@ def docs_to_wet(
         ).alias("headers"),
         F.encode(F.col(text_col).cast("string"), "UTF-8").alias("payload"),
     )
+
+
+def docs_to_wat(
+    docs: DataFrame,
+    *,
+    url_col: str = "url",
+    links_col: str = "links",
+    id_col: str | None = None,
+    date: str = "2024-01-01T00:00:00Z",
+) -> DataFrame:
+    """docs -> WAT-shaped ``metadata`` records (the crawler-extraction
+    JSON envelope ``wat_to_links`` consumes), ready for
+    ``df.write.format("warc").save(dir)`` — with :func:`docs_to_wet`
+    this completes the Common Crawl WARC/WAT/WET triple in BOTH
+    directions.
+
+    ``links_col`` is an ``array<string>`` of outgoing URLs; the JSON
+    envelope is built with nested ``struct`` + ``to_json`` (pure
+    codegen, no Python in the plan).  Record ids derive from
+    ``md5(id_col or url_col)`` so a re-export (or Spark task retry)
+    reproduces identical records."""
+    for c, what in ((url_col, "url"), (links_col, "links")):
+        if c not in docs.columns:
+            raise ValueError(f"{what} column {c!r} not in docs")
+    ids = F.col(id_col).cast("string") if id_col else F.col(url_col)
+    h = F.md5(ids)
+    rec_id = F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"),
+        F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12),
+        F.lit(">"),
+    )
+    envelope = F.struct(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.transform(
+                        F.col(links_col),
+                        lambda u: F.struct(u.alias("url")),
+                    ).alias("Links"),
+                ).alias("HTML-Metadata"),
+            ).alias("HTTP-Response-Metadata"),
+        ).alias("Payload-Metadata"),
+    ).alias("Envelope")
+
+    def hdr(key, value: F.Column) -> F.Column:
+        return F.struct(F.lit(key).alias("key"), value.alias("value"))
+
+    return docs.select(
+        F.lit("WARC/1.1").alias("warc_version"),
+        F.array(
+            hdr("WARC-Type", F.lit("metadata")),
+            hdr("WARC-Record-ID", rec_id),
+            hdr("WARC-Date", F.lit(date)),
+            hdr("WARC-Target-URI", F.col(url_col).cast("string")),
+            hdr("Content-Type", F.lit("application/json")),
+        ).alias("headers"),
+        F.encode(F.to_json(F.struct(envelope)), "UTF-8").alias("payload"),
+    )

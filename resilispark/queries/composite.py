@@ -147,6 +147,9 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
     "t18_wet_roundtrip": [
         ("doc_id", "n"), ("text_md5", "s"), ("n_chars", "n"),
     ],
+    "t19_wat_roundtrip": [
+        ("src", "s"), ("dst", "s"),
+    ],
     "t16_quantile_store": [
         ("snapshot", "s"), ("q", "d"), ("value", "d"), ("n", "n"),
         ("err_bound", "n"),
@@ -244,6 +247,10 @@ FAMILIES: dict[str, list[str]] = {
         # records + per-file warcinfo through the distributed writer,
         # read back via the warc scan's record-type pushdown)
         "t18_wet_roundtrip",
+        # (t19 joined in round 7: WAT export round-trip — crawler-
+        # extraction JSON envelopes out through the writer, host edges
+        # back via the pure-JVM JSON link path)
+        "t19_wat_roundtrip",
     ],
     # sketch-store telemetry (round 7, in the slot t05's rows-only
     # check freed): HLL union/overlap estimates pinned to the exact

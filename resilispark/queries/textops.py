@@ -2958,6 +2958,68 @@ ORDER BY doc_id
 """
 
 
+def t19_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT export round-trip (operators/pipelines.py docs_to_wat +
+    operators/graph.py wat_to_links): deterministic affine-hash out-
+    links per doc become crawler-extraction JSON envelopes through the
+    distributed writer, read back as host edges via the pure-JVM JSON
+    path — the edge set replays in SQL from the same arithmetic.
+    Completes the WARC/WAT/WET triple in both directions (t12/t18
+    cover the others)."""
+    import tempfile
+
+    from resilispark.datasource import register
+    from resilispark.operators.graph import wat_to_links
+    from resilispark.operators.pipelines import docs_to_wat
+    from resilispark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    register(spark)
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    docs = d.select(
+        "doc_id",
+        F.concat(F.lit("https://s"), F.col("doc_id").cast("string"),
+                 F.lit(".example/p")).alias("url"),
+        F.array(
+            F.concat(F.lit("https://h"),
+                     ((F.col("doc_id") * 7 + 1) % n).cast("string"),
+                     F.lit(".example/x")),
+            F.concat(F.lit("https://h"),
+                     ((F.col("doc_id") * 13 + 2) % n).cast("string"),
+                     F.lit(".example/x")),
+        ).alias("links"),
+    )
+    out = tempfile.mkdtemp(prefix="resilispark-t19-wat-") + "/wat"
+    (
+        docs_to_wat(docs, id_col="doc_id")
+        .write.format("warc").mode("overwrite").save(out)
+    )
+    return (
+        wat_to_links(spark, out + "/part-*.warc.gz")
+        .orderBy("src", "dst")
+    )
+
+
+ORACLE_T19 = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+links AS (
+  SELECT 's' || doc_id::VARCHAR || '.example' AS src,
+         'h' || ((doc_id * 7 + 1) % (SELECT n FROM nn))::VARCHAR
+           || '.example' AS dst
+  FROM documents
+  UNION ALL
+  SELECT 's' || doc_id::VARCHAR || '.example',
+         'h' || ((doc_id * 13 + 2) % (SELECT n FROM nn))::VARCHAR
+           || '.example'
+  FROM documents
+)
+SELECT DISTINCT src, dst FROM links
+WHERE src <> dst
+ORDER BY src, dst
+"""
+
+
 def t16_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile-sketch store readout (operators/sketches.py):
     three snapshot splits persist weighted rank summaries of a derived
@@ -3149,6 +3211,7 @@ QUERIES = {
     "t15_histogram_drift": t15_histogram_drift,
     "g02_hits": g02_hits,
     "t18_wet_roundtrip": t18_wet_roundtrip,
+    "t19_wat_roundtrip": t19_wat_roundtrip,
     "t16_quantile_store": t16_quantile_store,
     "t17_ccnet_buckets": t17_ccnet_buckets,
     "h02_heavy_hitters_trim": h02_heavy_hitters_trim,
@@ -3200,6 +3263,7 @@ ORACLES = {
     "t15_histogram_drift": ORACLE_T15,
     "g02_hits": ORACLE_G02,
     "t18_wet_roundtrip": ORACLE_T18,
+    "t19_wat_roundtrip": ORACLE_T19,
     "t16_quantile_store": ORACLE_T16,
     "t17_ccnet_buckets": ORACLE_T17,
     "h02_heavy_hitters_trim": ORACLE_H02,

@@ -536,3 +536,31 @@ def test_docs_to_wet_deterministic_ids_and_payloads(spark, tmp_path):
     # plan stays JVM-only: no Python eval anywhere
     plan = docs_to_wet(docs)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_docs_to_wat_roundtrips_via_wat_to_links(spark, tmp_path):
+    """The WAT writer's JSON envelope is exactly what wat_to_links
+    consumes; determinism mirrors docs_to_wet (md5-derived ids)."""
+    from resilispark.datasource import register
+    from resilispark.operators.graph import wat_to_links
+    from resilispark.operators.pipelines import docs_to_wat
+    from resilispark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    register(spark)
+    docs = spark.createDataFrame(
+        [("https://s1.example/p",
+          ["https://hub.example/x", "https://s2.example/y"]),
+         ("https://s2.example/p", ["https://hub.example/x"])],
+        "url string, links array<string>")
+    a = docs_to_wat(docs).orderBy("payload").collect()
+    assert a == docs_to_wat(docs).orderBy("payload").collect()
+    plan = docs_to_wat(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    out = str(tmp_path / "wat")
+    docs_to_wat(docs).write.format("warc").mode("overwrite").save(out)
+    edges = wat_to_links(spark, out + "/part-*.warc.gz")
+    got = sorted((e.src, e.dst) for e in edges.collect())
+    assert got == [("s1.example", "hub.example"),
+                   ("s1.example", "s2.example"),
+                   ("s2.example", "hub.example")]
