@@ -48,6 +48,8 @@ def incremental_dedup_sink(
     min_bands: int = 1,
     query_name: str = "incremental_curation",
     trigger: dict | None = None,
+    cardinality_store: str | None = None,
+    quantile_store: str | None = None,
 ):
     """Start the streaming incremental-curation query.
 
@@ -55,6 +57,17 @@ def incremental_dedup_sink(
     columns (e.g. the warc-stream source through the extract chain).
     Returns the started ``StreamingQuery``; pass ``trigger`` kwargs
     (e.g. ``{"availableNow": True}``) to control batching.
+
+    Optional telemetry: ``cardinality_store`` appends a per-batch HLL
+    sketch of the SHIPPED docs' content digests (``sketch-report``
+    answers corpus-wide distinct counts + batch-over-batch overlap),
+    ``quantile_store`` a per-batch doc-length quantile summary
+    (``sketch-report --quantiles``).  Snapshots are labeled
+    ``batch-<id>`` and appended with ``skip_existing=True``, so the
+    at-least-once replay of a batch never double-counts — the same
+    idempotence contract as the output dir and the store fold.
+    Sketches write AFTER the store fold: a crash in telemetry replays
+    the whole batch, and every earlier step is replay-safe.
 
     The output directory is BOUND to the checkpoint: batch ids restart
     at 0 under a fresh checkpoint, and a retained ``batch_id=N`` dir
@@ -112,6 +125,31 @@ def incremental_dedup_sink(
         else:
             write_dedup_store(
                 novel, store_path, bands=bands, shingle_k=shingle_k
+            )
+        if cardinality_store:
+            from pyspark.sql import functions as F
+
+            from resilispark.operators.sketches import write_snapshot_sketch
+
+            write_snapshot_sketch(
+                novel, cardinality_store,
+                snapshot=f"batch-{batch_id}",
+                cols={"content_digest": F.md5(F.col("text"))},
+                skip_existing=True,
+            )
+        if quantile_store:
+            from pyspark.sql import functions as F
+
+            from resilispark.operators.sketches import (
+                write_snapshot_quantiles,
+            )
+
+            write_snapshot_quantiles(
+                novel.withColumn(
+                    "n_chars", F.length("text").cast("double")),
+                quantile_store,
+                snapshot=f"batch-{batch_id}", col="n_chars",
+                skip_existing=True,
             )
 
     writer = (

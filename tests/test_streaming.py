@@ -438,3 +438,64 @@ def test_streaming_incremental_sink_refuses_stale_output(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ckpt_new"),
             trigger={"availableNow": True},
         )
+
+
+def test_streaming_sink_sketch_telemetry(spark, tmp_path):
+    """Per-batch sketch snapshots ride the incremental sink: one
+    cardinality + one quantile snapshot per micro-batch of SHIPPED
+    docs, replay-idempotent via skip_existing."""
+    from pyspark.sql import functions as F
+
+    from resilispark.operators.sketches import (
+        quantile_store_report,
+        sketch_store_estimates,
+    )
+    from resilispark.streaming.incremental_stream import (
+        incremental_dedup_sink,
+    )
+
+    drop = tmp_path / "docs_drop"
+    drop.mkdir()
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    qstore = str(tmp_path / "quants")
+    cstore = str(tmp_path / "cards")
+    schema = "doc_id long, text string"
+
+    def _run():
+        stream = spark.readStream.schema(schema).parquet(str(drop))
+        q = incremental_dedup_sink(
+            stream, store, out, checkpoint_dir=ckpt,
+            trigger={"availableNow": True},
+            cardinality_store=cstore, quantile_store=qstore,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    def _drop_file(rows, name):
+        import glob as _g
+
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(stage))
+        (part,) = _g.glob(str(stage / "part-*.parquet"))
+        shutil.copy(part, str(drop / name))
+
+    _drop_file([(i, "a" * (10 + i)) for i in range(10)], "c1.parquet")
+    _run()
+    _drop_file(
+        [(100, "a" * 10)]  # known text -> not shipped, not sketched
+        + [(200 + i, "b" * (100 + i)) for i in range(5)],
+        "c2.parquet",
+    )
+    _run()
+    snaps = {r["snapshot"] for r in
+             spark.read.parquet(qstore).select("snapshot").collect()}
+    assert snaps == {"batch-0", "batch-1"}
+    rep = quantile_store_report(spark, qstore, (1.0,)).collect()[0]
+    # 15 shipped docs total; max length is the second batch's 104
+    assert rep.n == 15 and rep.value == 104.0 and rep.err_bound == 0
+    est = sketch_store_estimates(spark, cstore).collect()[0]
+    assert est.n_snapshots == 2
+    assert est.union_distinct == 15  # the known repeat never sketched
