@@ -471,3 +471,195 @@ def scrub_secrets(
             text_col: scrubbed,
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition suite (Rae et al. 2021, Table A1 — the full family)
+# --------------------------------------------------------------------------
+
+#: Table A1 thresholds: max fraction per signal (TRUE = passes).
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "dup_5gram_frac": 0.15,
+    "dup_6gram_frac": 0.14,
+    "dup_7gram_frac": 0.13,
+    "dup_8gram_frac": 0.12,
+    "dup_9gram_frac": 0.11,
+    "dup_10gram_frac": 0.10,
+}
+
+
+def gopher_repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The complete Gopher repetition family per document
+    (``gopher_quality_flags`` carries only the duplicate-LINE fraction;
+    this adds the other nine Table A1 signals):
+
+    * ``dup_line_frac`` / ``dup_para_frac`` — fraction of line /
+      paragraph occurrences beyond each unit's first,
+    * ``dup_line_char_frac`` / ``dup_para_char_frac`` — fraction of
+      unit characters those repeats carry,
+    * ``dup_{5..10}gram_frac`` — fraction of TOKEN positions covered by
+      some word n-gram that occurs more than once in the document
+      (overlapping spans counted once, the d10 sorted-interval union).
+      The paper states this family over characters; token positions
+      are the distributed spelling (uniform md5 gram keys, no prefix
+      sums), and the thresholds transfer since mean word length is
+      itself Gopher-gated to [3, 10].
+
+    Returns long form ``(id_col, metric, frac)`` — every doc gets all
+    10 rows (0.0 where nothing repeats), fractions rounded at 6.
+
+    Scale shape: one explode + partial-aggregated groupBy per
+    granularity (line/para fused in a single tagged pass; all six gram
+    orders fused in one flattened explode), every shuffle keyed by
+    (doc, unit-hash) — uniform, skew-immune, never corpus-quadratic.
+    """
+    from resilispark.operators.dedup import _token_grams
+
+    text = F.col(text_col)
+    did = F.col(id_col)
+
+    # --- line/paragraph pass (one tagged explode) ---------------------
+    tagged = docs.select(
+        did.alias("_id"),
+        F.explode(
+            F.flatten(
+                F.array(
+                    F.transform(
+                        F.split(text, "\n"),
+                        lambda l: F.struct(F.lit("line").alias("kind"),
+                                           l.alias("unit")),
+                    ),
+                    F.transform(
+                        F.split(text, r"\n\n+"),
+                        lambda p: F.struct(F.lit("para").alias("kind"),
+                                           p.alias("unit")),
+                    ),
+                )
+            )
+        ).alias("u"),
+    ).select("_id", F.col("u.kind").alias("kind"),
+             F.md5(F.encode("u.unit", "UTF-8")).alias("h"),
+             F.length("u.unit").alias("len"))
+    unit_stats = (
+        tagged.groupBy("_id", "kind", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.first("len").alias("len"))
+        .groupBy("_id", "kind")
+        .agg(
+            (F.sum(F.col("cnt") - 1) / F.sum("cnt")).alias("_frac"),
+            (F.sum((F.col("cnt") - 1) * F.col("len"))
+             / F.greatest(F.sum(F.col("cnt") * F.col("len")), F.lit(1)))
+            .alias("_char_frac"),
+        )
+    )
+    unit_long = unit_stats.select(
+        "_id",
+        F.explode(
+            F.create_map(
+                F.concat(F.lit("dup_"), "kind", F.lit("_frac")), F.col("_frac"),
+                F.concat(F.lit("dup_"), "kind", F.lit("_char_frac")),
+                F.col("_char_frac"),
+            )
+        ).alias("metric", "frac"),
+    )
+
+    # --- n-gram pass (n = 5..10 fused in one explode) ------------------
+    def _tag(order: int):
+        # a 2-arg lambda would make F.transform pass the ARRAY INDEX as
+        # the second param — close over the gram order explicitly
+        return lambda g: F.struct(
+            F.lit(order).alias("n"), g["pos"].alias("pos"),
+            g["gram"].alias("gram"))
+
+    pre = docs.select(
+        did.alias("_id"),
+        F.split(F.trim(text), r"\s+").alias("_w"),
+    ).select(
+        "_id",
+        F.size("_w").cast("bigint").alias("n_tokens"),
+        F.explode_outer(
+            F.flatten(F.array(*[
+                F.transform(_token_grams(F.col("_w"), n), _tag(n))
+                for n in range(5, 11)
+            ]))
+        ).alias("g"),
+    )
+    occ = pre.select(
+        "_id", "n_tokens", F.col("g.n").alias("n"),
+        F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"),
+    ).where(F.col("n").isNotNull())
+    dup_pos = (
+        occ.groupBy("_id", "n_tokens", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.collect_list("pos").alias("ps"))
+        .where(F.col("cnt") >= 2)
+    )
+    # sorted-interval union (d10's Σ min(n, next-start − start) trick)
+    merged = dup_pos.groupBy("_id", "n_tokens", "n").agg(
+        F.array_sort(F.flatten(F.collect_list("ps"))).alias("ps")
+    )
+    ps = F.col("ps")
+    gaps = F.transform(
+        ps,
+        lambda p, i: F.least(
+            F.col("n").cast("int"),
+            F.coalesce(F.get(ps, i + 1) - p, F.col("n").cast("int")),
+        ),
+    )
+    covered = F.aggregate(gaps, F.lit(0).cast("bigint"),
+                          lambda acc, v: acc + v)
+    gram_long = merged.select(
+        "_id",
+        F.concat(F.lit("dup_"), F.col("n").cast("string"),
+                 F.lit("gram_frac")).alias("metric"),
+        (covered / F.greatest(F.col("n_tokens"), F.lit(1))).alias("frac"),
+    )
+
+    # --- assemble: every doc x every metric, absent = 0.0 --------------
+    metrics = F.array(*[F.lit(m) for m in GOPHER_REPETITION_THRESHOLDS])
+    grid = docs.select(did.alias("_id")).select(
+        "_id", F.explode(metrics).alias("metric"))
+    out = (
+        grid.join(unit_long.unionByName(gram_long), ["_id", "metric"],
+                  "left")
+        .select(
+            F.col("_id").alias(id_col), "metric",
+            (F.floor(F.coalesce("frac", F.lit(0.0)) * 1e6 + F.lit(0.5))
+             / 1e6).alias("frac"),
+        )
+    )
+    return out
+
+
+def gopher_repetition_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """Drop documents failing ANY Table A1 repetition threshold
+    (defaults = the paper's published values; override per metric,
+    e.g. ``dup_5gram_frac=0.2``). One LEFT ANTI join against the
+    per-doc offender set — the corpus never shuffles."""
+    limits = dict(GOPHER_REPETITION_THRESHOLDS)
+    unknown = set(thresholds) - set(limits)
+    if unknown:
+        raise ValueError(f"unknown repetition metrics: {sorted(unknown)}")
+    limits.update(thresholds)
+    stats = gopher_repetition_stats(docs, text_col, id_col)
+    lim = F.create_map(*[
+        x for m, v in sorted(limits.items())
+        for x in (F.lit(m), F.lit(float(v)))
+    ])
+    offenders = (
+        stats.where(F.col("frac") > lim[F.col("metric")])
+        .select(id_col).distinct()
+    )
+    return docs.join(offenders, id_col, "left_anti")

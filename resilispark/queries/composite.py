@@ -150,6 +150,9 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
     "t19_wat_roundtrip": [
         ("src", "s"), ("dst", "s"),
     ],
+    "t20_gopher_repetition": [
+        ("doc_id", "n"), ("metric", "s"), ("frac", "d"),
+    ],
     "t16_quantile_store": [
         ("snapshot", "s"), ("q", "d"), ("value", "d"), ("n", "n"),
         ("err_bound", "n"),
@@ -251,6 +254,12 @@ FAMILIES: dict[str, list[str]] = {
         # extraction JSON envelopes out through the writer, host edges
         # back via the pure-JVM JSON link path)
         "t19_wat_roundtrip",
+        # (t20 joined in round 7: the FULL Gopher Table A1 repetition
+        # family — unit dup fractions by group-by, duplicated-gram
+        # coverage by sorted-interval union, replayed metric for
+        # metric; cross-checked against an independent pure-Python
+        # implementation in pytest)
+        "t20_gopher_repetition",
     ],
     # sketch-store telemetry (round 7, in the slot t05's rows-only
     # check freed): HLL union/overlap estimates pinned to the exact

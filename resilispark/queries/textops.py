@@ -3020,6 +3020,85 @@ ORDER BY src, dst
 """
 
 
+def t20_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher repetition family (operators/quality.py
+    gopher_repetition_stats, Rae et al. 2021 Table A1): duplicate
+    line/paragraph fractions + the characters they carry + duplicated
+    5..10-gram coverage (sorted-interval union, overlaps counted
+    once), all ten metrics per document in long form, replayed in SQL
+    — unit counting via group-by, gram coverage via a lead() window
+    over the same md5 gram keys.  Fractions are integer-ratio doubles
+    rounded with the shared floor spelling, so the engines agree
+    bit-for-bit."""
+    from resilispark.operators.quality import gopher_repetition_stats
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return gopher_repetition_stats(d).orderBy("doc_id", "metric")
+
+
+ORACLE_T20 = """
+WITH units AS (
+  SELECT doc_id, 'line' AS kind, unnest(string_split(text, chr(10))) AS u
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'para', unnest(regexp_split_to_array(text, '\\n\\n+'))
+  FROM documents
+), ucnt AS (
+  SELECT doc_id, kind, u, count(*)::BIGINT AS cnt,
+         length(u)::BIGINT AS len
+  FROM units GROUP BY doc_id, kind, u
+), ustats AS (
+  SELECT doc_id, kind,
+         SUM(cnt - 1)::DOUBLE / SUM(cnt) AS frac,
+         SUM((cnt - 1) * len)::DOUBLE
+           / GREATEST(SUM(cnt * len), 1) AS char_frac
+  FROM ucnt GROUP BY doc_id, kind
+), unit_long AS (
+  SELECT doc_id, 'dup_' || kind || '_frac' AS metric, frac FROM ustats
+  UNION ALL
+  SELECT doc_id, 'dup_' || kind || '_char_frac', char_frac FROM ustats
+), words AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), positions AS (
+  SELECT doc_id, len(w)::BIGINT AS n_tokens, w, n.n AS n,
+         unnest(range(0, GREATEST(len(w) - n.n + 1, 0))) AS pos
+  FROM words, (VALUES (5),(6),(7),(8),(9),(10)) n(n)
+), grams AS (
+  SELECT doc_id, n_tokens, n, pos,
+         md5(array_to_string(w[pos + 1 : pos + n], ' ')) AS gram
+  FROM positions
+), duppos AS (
+  SELECT doc_id, n_tokens, n, pos FROM grams
+  QUALIFY count(*) OVER (PARTITION BY doc_id, n, gram) >= 2
+), gap AS (
+  SELECT doc_id, n_tokens, n,
+         LEAST(n, COALESCE(
+           lead(pos) OVER (PARTITION BY doc_id, n ORDER BY pos) - pos,
+           n)) AS covered
+  FROM duppos
+), gram_long AS (
+  SELECT doc_id, 'dup_' || n::VARCHAR || 'gram_frac' AS metric,
+         SUM(covered)::DOUBLE / GREATEST(MIN(n_tokens), 1) AS frac
+  FROM gap GROUP BY doc_id, n
+), longd AS (
+  SELECT * FROM unit_long UNION ALL SELECT * FROM gram_long
+), grid AS (
+  SELECT doc_id, m.metric
+  FROM documents, (VALUES ('dup_line_frac'), ('dup_para_frac'),
+    ('dup_line_char_frac'), ('dup_para_char_frac'),
+    ('dup_5gram_frac'), ('dup_6gram_frac'), ('dup_7gram_frac'),
+    ('dup_8gram_frac'), ('dup_9gram_frac'), ('dup_10gram_frac'))
+    m(metric)
+)
+SELECT g.doc_id, g.metric,
+       floor(COALESCE(l.frac, 0.0) * 1000000 + 0.5) / 1000000 AS frac
+FROM grid g LEFT JOIN longd l
+  ON l.doc_id = g.doc_id AND l.metric = g.metric
+ORDER BY g.doc_id, g.metric
+"""
+
+
 def t16_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile-sketch store readout (operators/sketches.py):
     three snapshot splits persist weighted rank summaries of a derived
@@ -3212,6 +3291,7 @@ QUERIES = {
     "g02_hits": g02_hits,
     "t18_wet_roundtrip": t18_wet_roundtrip,
     "t19_wat_roundtrip": t19_wat_roundtrip,
+    "t20_gopher_repetition": t20_gopher_repetition,
     "t16_quantile_store": t16_quantile_store,
     "t17_ccnet_buckets": t17_ccnet_buckets,
     "h02_heavy_hitters_trim": h02_heavy_hitters_trim,
@@ -3264,6 +3344,7 @@ ORACLES = {
     "g02_hits": ORACLE_G02,
     "t18_wet_roundtrip": ORACLE_T18,
     "t19_wat_roundtrip": ORACLE_T19,
+    "t20_gopher_repetition": ORACLE_T20,
     "t16_quantile_store": ORACLE_T16,
     "t17_ccnet_buckets": ORACLE_T17,
     "h02_heavy_hitters_trim": ORACLE_H02,

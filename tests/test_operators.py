@@ -6453,3 +6453,90 @@ class TestRound7ReviewFixes:
         e = spark.createDataFrame([(1, 2)], "src long, dst long")
         with _pytest.raises(ValueError, match="max_iterations"):
             hits(e, max_iterations=0, tol=None)
+
+
+class TestGopherRepetition:
+    """The full Table A1 repetition family (Rae et al. 2021) — checked
+    cell-for-cell against an independent pure-Python implementation."""
+
+    TEXTS = [
+        "the cat sat on the mat and then the cat sat on the mat again "
+        "today\nhello\nhello\n\npara one\n\npara one",
+        "a b c d e f g h i j k l m n o p",
+        "x y z w v x y z w v x y z w v q r s t u",
+        "one\ntwo\nthree",
+        "spam spam spam spam spam spam spam spam spam spam spam spam",
+    ]
+
+    @staticmethod
+    def _ref_stats(text):
+        import re
+        from collections import Counter
+
+        out = {}
+        for kind in ("line", "para"):
+            units = (text.split("\n") if kind == "line"
+                     else re.split(r"\n\n+", text))
+            c = Counter(units)
+            tot = sum(c.values())
+            totch = sum(len(u) * k for u, k in c.items())
+            out[f"dup_{kind}_frac"] = sum(k - 1 for k in c.values()) / tot
+            out[f"dup_{kind}_char_frac"] = (
+                sum((k - 1) * len(u) for u, k in c.items()) / max(totch, 1))
+        words = re.split(r"\s+", text.strip())
+        for n in range(5, 11):
+            grams = [tuple(words[i:i + n])
+                     for i in range(len(words) - n + 1)]
+            c = Counter(grams)
+            pos = sorted(i for i, g in enumerate(grams) if c[g] >= 2)
+            covered = 0
+            for j, p in enumerate(pos):
+                nxt = pos[j + 1] if j + 1 < len(pos) else None
+                covered += min(n, (nxt - p) if nxt is not None else n)
+            out[f"dup_{n}gram_frac"] = covered / max(len(words), 1)
+        return {k: int(v * 1e6 + 0.5) / 1e6 for k, v in out.items()}
+
+    def test_stats_match_reference_implementation(self, spark):
+        from resilispark.operators.quality import gopher_repetition_stats
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "doc_id long, text string")
+        got = {(r.doc_id, r.metric): r.frac
+               for r in gopher_repetition_stats(docs).collect()}
+        assert len(got) == len(self.TEXTS) * 10  # full grid, 0-filled
+        for i, t in enumerate(self.TEXTS):
+            for m, v in self._ref_stats(t).items():
+                assert abs(got[(i, m)] - v) <= 1e-9, (i, m, got[(i, m)], v)
+
+    def test_filter_drops_offenders_and_validates_kwargs(self, spark):
+        import pytest as _pytest
+
+        from resilispark.operators.quality import gopher_repetition_filter
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "doc_id long, text string")
+        kept = sorted(r.doc_id
+                      for r in gopher_repetition_filter(docs).collect())
+        # 0 (dup lines/paras/grams), 2 (dup grams), 4 (pure repetition)
+        # fall; the clean docs survive
+        assert kept == [1, 3]
+        loose = gopher_repetition_filter(
+            docs, **{m: 1.0 for m in (
+                "dup_line_frac", "dup_para_frac", "dup_line_char_frac",
+                "dup_para_char_frac", "dup_5gram_frac", "dup_6gram_frac",
+                "dup_7gram_frac", "dup_8gram_frac", "dup_9gram_frac",
+                "dup_10gram_frac")})
+        assert loose.count() == 5
+        with _pytest.raises(ValueError, match="unknown repetition"):
+            gopher_repetition_filter(docs, dup_42gram_frac=0.5)
+
+    def test_no_python_in_the_plan(self, spark):
+        from resilispark.operators.quality import gopher_repetition_stats
+
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string")
+        plan = gopher_repetition_stats(
+            docs)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
