@@ -391,6 +391,12 @@ def cmd_curate(args) -> int:
             gopher_filter(docs, "text", min_stopwords=args.min_stopwords),
             "quality",
         )
+    if getattr(args, "repetition", False):
+        # the FULL Gopher Table A1 repetition family (the base quality
+        # rules carry only the duplicate-line fraction)
+        from resilispark.operators.quality import gopher_repetition_filter
+
+        docs = _fn(gopher_repetition_filter(docs, "text"), "repetition")
     if getattr(args, "dsir_target", None):
         # DSIR importance resampling toward a target domain: runs on
         # the quality-filtered pool (garbage docs would otherwise win
@@ -1852,6 +1858,11 @@ def main(argv: list[str] | None = None) -> int:
                         "assignments) and Luhn-valid card numbers")
     p.add_argument("--keep-pii", action="store_true")
     p.add_argument("--no-quality", action="store_true")
+    p.add_argument("--repetition", action="store_true",
+                   help="apply the full Gopher Table A1 repetition "
+                        "family (dup line/para fractions + char mass "
+                        "+ duplicated 5..10-gram coverage) at the "
+                        "paper's thresholds")
     p.add_argument("--funnel", action="store_true",
                    help="print per-stage doc/char/token retention "
                         "(observed metrics riding the write — no extra "

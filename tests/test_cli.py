@@ -1881,3 +1881,26 @@ def test_cli_curate_export_wet(tmp_path, spark):
     for r in infos:
         hdrs = dict(r["headers"])
         assert hdrs["WARC-Filename"] == r["filename"]
+
+
+def test_cli_curate_repetition_filter(tmp_path, spark):
+    """--repetition drops documents failing any Table A1 signal while
+    clean prose ships."""
+    from resilispark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    clean = ("the committee reviewed seventeen proposals during march "
+             "and selected four finalists after extensive public "
+             "deliberation about costs and community benefits overall")
+    spam = "buy cheap pills now " * 20
+    spark.createDataFrame(
+        [(0, clean, "en", "web"), (1, spam, "en", "web"),
+         (2, clean.replace("march", "april"), "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "corpus")
+    rc = main(["--cpus", "4", "curate", src, "-o", out,
+               "--no-quality", "--keep-pii", "--repetition"])
+    assert rc == 0
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [0, 2]
