@@ -630,8 +630,9 @@ class WarcDataSourceWriter(DataSourceWriter):
 
         def to_records():
             if self.warcinfo:
-                # deterministic id from (body, filename): task retries
-                # rewrite the identical record
+                # id derived from (body, filename) — deterministic PER
+                # FILE (filenames embed a fresh uuid per attempt, so a
+                # retried task writes a new file, not this one)
                 import hashlib
 
                 h = hashlib.md5(

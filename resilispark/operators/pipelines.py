@@ -418,6 +418,27 @@ def wet_to_docs(
     )
 
 
+def _md5_urn_uuid(seed: F.Column) -> F.Column:
+    """``<urn:uuid:...>`` record id derived from ``md5(seed)`` — shared
+    by the WET/WAT exporters so the id scheme can never drift between
+    them (the writer's warcinfo records spell the same format in
+    Python)."""
+    h = F.md5(seed)
+    return F.concat(
+        F.lit("<urn:uuid:"),
+        F.substring(h, 1, 8), F.lit("-"),
+        F.substring(h, 9, 4), F.lit("-"),
+        F.substring(h, 13, 4), F.lit("-"),
+        F.substring(h, 17, 4), F.lit("-"),
+        F.substring(h, 21, 12),
+        F.lit(">"),
+    )
+
+
+def _warc_hdr(key: str, value: F.Column) -> F.Column:
+    return F.struct(F.lit(key).alias("key"), value.alias("value"))
+
+
 def docs_to_wet(
     docs: DataFrame,
     *,
@@ -448,40 +469,39 @@ def docs_to_wet(
         raise ValueError(f"id column {id_col!r} not in docs")
     if url_col is None and "url" in docs.columns:
         url_col = "url"
-    ids = F.col(id_col).cast("string")
-    h = F.md5(ids)
-    rec_id = F.concat(
-        F.lit("<urn:uuid:"),
-        F.substring(h, 1, 8), F.lit("-"),
-        F.substring(h, 9, 4), F.lit("-"),
-        F.substring(h, 13, 4), F.lit("-"),
-        F.substring(h, 17, 4), F.lit("-"),
-        F.substring(h, 21, 12),
-        F.lit(">"),
+    # NULL-safe throughout: a NULL header value would serialize as the
+    # literal string "None" (the CDX-sidecar lesson) — NULL ids fall
+    # back to hashing the payload text (content-derived, still
+    # deterministic), NULL urls to the synthetic per-id URI, NULL
+    # date-column values to the pinned literal
+    ids = F.coalesce(
+        F.col(id_col).cast("string"), F.col(text_col).cast("string"))
+    rec_id = _md5_urn_uuid(ids)
+    synthetic = F.concat(
+        F.lit("https://corpus.invalid/doc/"),
+        F.coalesce(F.col(id_col).cast("string"), F.md5(ids)),
     )
     uri = (
-        F.col(url_col).cast("string") if url_col is not None
-        else F.concat(F.lit("https://corpus.invalid/doc/"), ids)
+        F.coalesce(F.col(url_col).cast("string"), synthetic)
+        if url_col is not None else synthetic
     )
     wdate = (
-        F.col(date_col).cast("string") if date_col is not None
-        else F.lit(date)
+        F.coalesce(F.col(date_col).cast("string"), F.lit(date))
+        if date_col is not None else F.lit(date)
     )
-
-    def hdr(key, value: F.Column) -> F.Column:
-        return F.struct(
-            F.lit(key).alias("key"), value.alias("value"))
-
     return docs.select(
         F.lit("WARC/1.1").alias("warc_version"),
         F.array(
-            hdr("WARC-Type", F.lit("conversion")),
-            hdr("WARC-Record-ID", rec_id),
-            hdr("WARC-Date", wdate),
-            hdr("WARC-Target-URI", uri),
-            hdr("Content-Type", F.lit("text/plain")),
+            _warc_hdr("WARC-Type", F.lit("conversion")),
+            _warc_hdr("WARC-Record-ID", rec_id),
+            _warc_hdr("WARC-Date", wdate),
+            _warc_hdr("WARC-Target-URI", uri),
+            _warc_hdr("Content-Type", F.lit("text/plain")),
         ).alias("headers"),
-        F.encode(F.col(text_col).cast("string"), "UTF-8").alias("payload"),
+        F.encode(
+            F.coalesce(F.col(text_col).cast("string"), F.lit("")),
+            "UTF-8",
+        ).alias("payload"),
     )
 
 
@@ -507,16 +527,20 @@ def docs_to_wat(
     for c, what in ((url_col, "url"), (links_col, "links")):
         if c not in docs.columns:
             raise ValueError(f"{what} column {c!r} not in docs")
-    ids = F.col(id_col).cast("string") if id_col else F.col(url_col)
-    h = F.md5(ids)
-    rec_id = F.concat(
-        F.lit("<urn:uuid:"),
-        F.substring(h, 1, 8), F.lit("-"),
-        F.substring(h, 9, 4), F.lit("-"),
-        F.substring(h, 13, 4), F.lit("-"),
-        F.substring(h, 17, 4), F.lit("-"),
-        F.substring(h, 21, 12),
-        F.lit(">"),
+    if id_col is not None and id_col not in docs.columns:
+        raise ValueError(f"id column {id_col!r} not in docs")
+    # NULL-safe like docs_to_wet: NULL ids/urls fall back to hashing
+    # the links payload so no header ever serializes as "None"
+    links_json = F.to_json(F.col(links_col))
+    ids = F.coalesce(
+        *([F.col(id_col).cast("string")] if id_col else []),
+        F.col(url_col).cast("string"),
+        links_json,
+    )
+    rec_id = _md5_urn_uuid(ids)
+    uri = F.coalesce(
+        F.col(url_col).cast("string"),
+        F.concat(F.lit("https://corpus.invalid/doc/"), F.md5(ids)),
     )
     envelope = F.struct(
         F.struct(
@@ -531,17 +555,14 @@ def docs_to_wat(
         ).alias("Payload-Metadata"),
     ).alias("Envelope")
 
-    def hdr(key, value: F.Column) -> F.Column:
-        return F.struct(F.lit(key).alias("key"), value.alias("value"))
-
     return docs.select(
         F.lit("WARC/1.1").alias("warc_version"),
         F.array(
-            hdr("WARC-Type", F.lit("metadata")),
-            hdr("WARC-Record-ID", rec_id),
-            hdr("WARC-Date", F.lit(date)),
-            hdr("WARC-Target-URI", F.col(url_col).cast("string")),
-            hdr("Content-Type", F.lit("application/json")),
+            _warc_hdr("WARC-Type", F.lit("metadata")),
+            _warc_hdr("WARC-Record-ID", rec_id),
+            _warc_hdr("WARC-Date", F.lit(date)),
+            _warc_hdr("WARC-Target-URI", uri),
+            _warc_hdr("Content-Type", F.lit("application/json")),
         ).alias("headers"),
         F.encode(F.to_json(F.struct(envelope)), "UTF-8").alias("payload"),
     )

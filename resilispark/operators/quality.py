@@ -483,6 +483,9 @@ GOPHER_REPETITION_THRESHOLDS = {
     "dup_para_frac": 0.30,
     "dup_line_char_frac": 0.20,
     "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
     "dup_5gram_frac": 0.15,
     "dup_6gram_frac": 0.14,
     "dup_7gram_frac": 0.13,
@@ -497,32 +500,38 @@ def gopher_repetition_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """The complete Gopher repetition family per document
-    (``gopher_quality_flags`` carries only the duplicate-LINE fraction;
-    this adds the other nine Table A1 signals):
+    """The complete Gopher repetition family per document — all 13
+    Table A1 signals (``gopher_quality_flags`` carries only the
+    duplicate-LINE fraction):
 
     * ``dup_line_frac`` / ``dup_para_frac`` — fraction of line /
       paragraph occurrences beyond each unit's first,
     * ``dup_line_char_frac`` / ``dup_para_char_frac`` — fraction of
       unit characters those repeats carry,
+    * ``top_{2,3,4}gram_char_frac`` — character mass of the heaviest
+      n-gram (occurrences × gram chars over the doc's space-joined
+      chars; occurrences counted individually like the published
+      implementations, capped at 1; ties resolve to the larger mass),
     * ``dup_{5..10}gram_frac`` — fraction of TOKEN positions covered by
       some word n-gram that occurs more than once in the document
       (overlapping spans counted once, the d10 sorted-interval union).
-      The paper states this family over characters; token positions
-      are the distributed spelling (uniform md5 gram keys, no prefix
+      The paper states this one over characters; token positions are
+      the distributed spelling (uniform md5 gram keys, no prefix
       sums), and the thresholds transfer since mean word length is
       itself Gopher-gated to [3, 10].
 
+    Tokens are whitespace-split with EMPTY tokens dropped (a doc
+    starting with a newline must not grow a phantom first token).
+
     Returns long form ``(id_col, metric, frac)`` — every doc gets all
-    10 rows (0.0 where nothing repeats), fractions rounded at 6.
+    13 rows (0.0 where nothing repeats), fractions rounded at 6.
 
     Scale shape: one explode + partial-aggregated groupBy per
-    granularity (line/para fused in a single tagged pass; all six gram
-    orders fused in one flattened explode), every shuffle keyed by
-    (doc, unit-hash) — uniform, skew-immune, never corpus-quadratic.
+    granularity (line/para fused in a single tagged pass; all nine
+    gram orders fused in one flattened explode), every shuffle keyed
+    by (doc, unit-hash) — uniform, skew-immune, never
+    corpus-quadratic.
     """
-    from resilispark.operators.dedup import _token_grams
-
     text = F.col(text_col)
     did = F.col(id_col)
 
@@ -570,37 +579,70 @@ def gopher_repetition_stats(
         ).alias("metric", "frac"),
     )
 
-    # --- n-gram pass (n = 5..10 fused in one explode) ------------------
-    def _tag(order: int):
-        # a 2-arg lambda would make F.transform pass the ARRAY INDEX as
-        # the second param — close over the gram order explicitly
-        return lambda g: F.struct(
-            F.lit(order).alias("n"), g["pos"].alias("pos"),
-            g["gram"].alias("gram"))
+    # --- n-gram pass (n = 2..10 fused in one explode: top-gram char
+    # mass for 2..4, duplicated coverage for 5..10) ---------------------
+    def _grams(words, order: int):
+        # like dedup._token_grams but also carrying the gram's char
+        # length (the top-gram signals are char fractions); a 2-arg
+        # transform lambda would receive the ARRAY INDEX, so the order
+        # is closed over explicitly
+        joined = lambda p: F.concat_ws(  # noqa: E731
+            " ", F.slice(words, p + 1, order))
+        return F.when(
+            F.size(words) >= order,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - order),
+                lambda p: F.struct(
+                    F.lit(order).alias("n"),
+                    p.alias("pos"),
+                    F.md5(F.encode(joined(p), "UTF-8")).alias("gram"),
+                    F.length(joined(p)).alias("clen"),
+                ),
+            ),
+        ).otherwise(F.array().cast(
+            "array<struct<n:int,pos:int,gram:string,clen:int>>"))
 
     pre = docs.select(
         did.alias("_id"),
-        F.split(F.trim(text), r"\s+").alias("_w"),
+        F.filter(F.split(text, r"\s+"), lambda t: t != "").alias("_w"),
     ).select(
         "_id",
         F.size("_w").cast("bigint").alias("n_tokens"),
+        F.length(F.concat_ws(" ", "_w")).cast("bigint").alias("n_chars"),
         F.explode_outer(
             F.flatten(F.array(*[
-                F.transform(_token_grams(F.col("_w"), n), _tag(n))
-                for n in range(5, 11)
+                _grams(F.col("_w"), n) for n in range(2, 11)
             ]))
         ).alias("g"),
     )
     occ = pre.select(
-        "_id", "n_tokens", F.col("g.n").alias("n"),
+        "_id", "n_tokens", "n_chars", F.col("g.n").alias("n"),
         F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"),
+        F.col("g.clen").alias("clen"),
     ).where(F.col("n").isNotNull())
-    dup_pos = (
-        occ.groupBy("_id", "n_tokens", "n", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"),
-             F.collect_list("pos").alias("ps"))
-        .where(F.col("cnt") >= 2)
+    counted = occ.groupBy("_id", "n_tokens", "n_chars", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("clen").alias("clen"),
+        # positions matter only for the coverage metrics; collecting
+        # conditionally keeps the 2..4-gram state to one counter
+        F.collect_list(
+            F.when(F.col("n") >= 5, F.col("pos"))).alias("ps"),
     )
+    top_long = (
+        counted.where(F.col("n") <= 4)
+        .groupBy("_id", "n_chars", "n")
+        .agg(F.max(F.col("cnt") * F.col("clen")).alias("mass"))
+        .select(
+            "_id",
+            F.concat(F.lit("top_"), F.col("n").cast("string"),
+                     F.lit("gram_char_frac")).alias("metric"),
+            F.least(
+                F.lit(1.0),
+                F.col("mass") / F.greatest(F.col("n_chars"), F.lit(1)),
+            ).alias("frac"),
+        )
+    )
+    dup_pos = counted.where((F.col("n") >= 5) & (F.col("cnt") >= 2))
     # sorted-interval union (d10's Σ min(n, next-start − start) trick)
     merged = dup_pos.groupBy("_id", "n_tokens", "n").agg(
         F.array_sort(F.flatten(F.collect_list("ps"))).alias("ps")
@@ -627,8 +669,9 @@ def gopher_repetition_stats(
     grid = docs.select(did.alias("_id")).select(
         "_id", F.explode(metrics).alias("metric"))
     out = (
-        grid.join(unit_long.unionByName(gram_long), ["_id", "metric"],
-                  "left")
+        grid.join(
+            unit_long.unionByName(top_long).unionByName(gram_long),
+            ["_id", "metric"], "left")
         .select(
             F.col("_id").alias(id_col), "metric",
             (F.floor(F.coalesce("frac", F.lit(0.0)) * 1e6 + F.lit(0.5))

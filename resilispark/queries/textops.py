@@ -3023,13 +3023,14 @@ ORDER BY src, dst
 def t20_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Gopher repetition family (operators/quality.py
     gopher_repetition_stats, Rae et al. 2021 Table A1): duplicate
-    line/paragraph fractions + the characters they carry + duplicated
-    5..10-gram coverage (sorted-interval union, overlaps counted
-    once), all ten metrics per document in long form, replayed in SQL
-    — unit counting via group-by, gram coverage via a lead() window
-    over the same md5 gram keys.  Fractions are integer-ratio doubles
-    rounded with the shared floor spelling, so the engines agree
-    bit-for-bit."""
+    line/paragraph fractions + the characters they carry + the
+    heaviest {2,3,4}-gram's char mass + duplicated 5..10-gram coverage
+    (sorted-interval union, overlaps counted once) — all THIRTEEN
+    metrics per document in long form, replayed in SQL: unit counting
+    via group-by, top-gram mass via max(cnt*clen), gram coverage via a
+    lead() window over the same md5 gram keys.  Fractions are
+    integer-ratio doubles rounded with the shared floor spelling, so
+    the engines agree bit-for-bit."""
     from resilispark.operators.quality import gopher_repetition_stats
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -3058,19 +3059,36 @@ WITH units AS (
   UNION ALL
   SELECT doc_id, 'dup_' || kind || '_char_frac', char_frac FROM ustats
 ), words AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS w
   FROM documents
 ), positions AS (
-  SELECT doc_id, len(w)::BIGINT AS n_tokens, w, n.n AS n,
+  SELECT doc_id, len(w)::BIGINT AS n_tokens,
+         length(array_to_string(w, ' '))::BIGINT AS n_chars,
+         w, n.n AS n,
          unnest(range(0, GREATEST(len(w) - n.n + 1, 0))) AS pos
-  FROM words, (VALUES (5),(6),(7),(8),(9),(10)) n(n)
+  FROM words,
+       (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) n(n)
 ), grams AS (
-  SELECT doc_id, n_tokens, n, pos,
-         md5(array_to_string(w[pos + 1 : pos + n], ' ')) AS gram
+  SELECT doc_id, n_tokens, n_chars, n, pos,
+         md5(array_to_string(w[pos + 1 : pos + n], ' ')) AS gram,
+         length(array_to_string(w[pos + 1 : pos + n], ' ')) AS clen
   FROM positions
+), counted AS (
+  SELECT doc_id, n_tokens, n_chars, n, gram,
+         count(*)::BIGINT AS cnt, MIN(clen)::BIGINT AS clen,
+         list(pos ORDER BY pos) AS ps
+  FROM grams GROUP BY doc_id, n_tokens, n_chars, n, gram
+), top_long AS (
+  SELECT doc_id,
+         'top_' || n::VARCHAR || 'gram_char_frac' AS metric,
+         LEAST(1.0, MAX(cnt * clen)::DOUBLE
+                    / GREATEST(MIN(n_chars), 1)) AS frac
+  FROM counted WHERE n <= 4 GROUP BY doc_id, n
 ), duppos AS (
-  SELECT doc_id, n_tokens, n, pos FROM grams
-  QUALIFY count(*) OVER (PARTITION BY doc_id, n, gram) >= 2
+  SELECT doc_id, n_tokens, n, unnest(ps) AS pos
+  FROM counted WHERE n >= 5 AND cnt >= 2
 ), gap AS (
   SELECT doc_id, n_tokens, n,
          LEAST(n, COALESCE(
@@ -3082,11 +3100,15 @@ WITH units AS (
          SUM(covered)::DOUBLE / GREATEST(MIN(n_tokens), 1) AS frac
   FROM gap GROUP BY doc_id, n
 ), longd AS (
-  SELECT * FROM unit_long UNION ALL SELECT * FROM gram_long
+  SELECT * FROM unit_long
+  UNION ALL SELECT * FROM top_long
+  UNION ALL SELECT * FROM gram_long
 ), grid AS (
   SELECT doc_id, m.metric
   FROM documents, (VALUES ('dup_line_frac'), ('dup_para_frac'),
     ('dup_line_char_frac'), ('dup_para_char_frac'),
+    ('top_2gram_char_frac'), ('top_3gram_char_frac'),
+    ('top_4gram_char_frac'),
     ('dup_5gram_frac'), ('dup_6gram_frac'), ('dup_7gram_frac'),
     ('dup_8gram_frac'), ('dup_9gram_frac'), ('dup_10gram_frac'))
     m(metric)

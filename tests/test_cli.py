@@ -1889,13 +1889,14 @@ def test_cli_curate_repetition_filter(tmp_path, spark):
     from resilispark.__main__ import main
 
     src = str(tmp_path / "docs.parquet")
-    clean = ("the committee reviewed seventeen proposals during march "
-             "and selected four finalists after extensive public "
-             "deliberation about costs and community benefits overall")
-    spam = "buy cheap pills now " * 20
+    # realistic-length prose: the top-gram char signals trip trivially
+    # on short texts (Gopher pairs this family with the >=50-word rule)
+    clean = " ".join(f"sentenceword{i:04d}" for i in range(120))
+    spam = "buy cheap pills now " * 60
     spark.createDataFrame(
         [(0, clean, "en", "web"), (1, spam, "en", "web"),
-         (2, clean.replace("march", "april"), "en", "web")],
+         (2, " ".join(f"otherterm{i:04d}" for i in range(120)),
+          "en", "web")],
         "doc_id long, text string, lang string, source string",
     ).write.mode("overwrite").parquet(src)
     out = str(tmp_path / "corpus")

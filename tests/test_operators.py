@@ -6466,6 +6466,13 @@ class TestGopherRepetition:
         "x y z w v x y z w v x y z w v q r s t u",
         "one\ntwo\nthree",
         "spam spam spam spam spam spam spam spam spam spam spam spam",
+        # leading/trailing whitespace: empty tokens must be dropped,
+        # not counted as a phantom first word
+        "\n  the quick brown fox jumps over the lazy dog today \n",
+        # realistic clean prose (all-unique words): passes every
+        # threshold, incl. the top-gram char fractions that any short
+        # text trips trivially
+        " ".join(f"word{i:03d}" for i in range(80)),
     ]
 
     @staticmethod
@@ -6483,7 +6490,15 @@ class TestGopherRepetition:
             out[f"dup_{kind}_frac"] = sum(k - 1 for k in c.values()) / tot
             out[f"dup_{kind}_char_frac"] = (
                 sum((k - 1) * len(u) for u, k in c.items()) / max(totch, 1))
-        words = re.split(r"\s+", text.strip())
+        words = [w for w in re.split(r"\s+", text) if w]
+        n_chars = len(" ".join(words))
+        for n in range(2, 5):
+            c = Counter(tuple(words[i:i + n])
+                        for i in range(len(words) - n + 1))
+            mass = max(
+                (k * len(" ".join(g)) for g, k in c.items()), default=0)
+            out[f"top_{n}gram_char_frac"] = min(
+                1.0, mass / max(n_chars, 1))
         for n in range(5, 11):
             grams = [tuple(words[i:i + n])
                      for i in range(len(words) - n + 1)]
@@ -6504,7 +6519,7 @@ class TestGopherRepetition:
             "doc_id long, text string")
         got = {(r.doc_id, r.metric): r.frac
                for r in gopher_repetition_stats(docs).collect()}
-        assert len(got) == len(self.TEXTS) * 10  # full grid, 0-filled
+        assert len(got) == len(self.TEXTS) * 13  # full grid, 0-filled
         for i, t in enumerate(self.TEXTS):
             for m, v in self._ref_stats(t).items():
                 assert abs(got[(i, m)] - v) <= 1e-9, (i, m, got[(i, m)], v)
@@ -6517,18 +6532,23 @@ class TestGopherRepetition:
         docs = spark.createDataFrame(
             [(i, t) for i, t in enumerate(self.TEXTS)],
             "doc_id long, text string")
+        from resilispark.operators.quality import (
+            GOPHER_REPETITION_THRESHOLDS,
+        )
+
         kept = sorted(r.doc_id
                       for r in gopher_repetition_filter(docs).collect())
-        # 0 (dup lines/paras/grams), 2 (dup grams), 4 (pure repetition)
-        # fall; the clean docs survive
-        assert kept == [1, 3]
+        want = [
+            i for i, t in enumerate(self.TEXTS)
+            if all(v <= GOPHER_REPETITION_THRESHOLDS[m]
+                   for m, v in self._ref_stats(t).items())
+        ]
+        assert kept == want
+        # the heavy offenders are out, at least one clean doc survives
+        assert 4 not in kept and 0 not in kept and kept
         loose = gopher_repetition_filter(
-            docs, **{m: 1.0 for m in (
-                "dup_line_frac", "dup_para_frac", "dup_line_char_frac",
-                "dup_para_char_frac", "dup_5gram_frac", "dup_6gram_frac",
-                "dup_7gram_frac", "dup_8gram_frac", "dup_9gram_frac",
-                "dup_10gram_frac")})
-        assert loose.count() == 5
+            docs, **{m: 1.0 for m in GOPHER_REPETITION_THRESHOLDS})
+        assert loose.count() == len(self.TEXTS)
         with _pytest.raises(ValueError, match="unknown repetition"):
             gopher_repetition_filter(docs, dup_42gram_frac=0.5)
 
