@@ -555,6 +555,9 @@ def main() -> None:
             "d10_duplicate_spans", "s05_ivf_topk", "s06_kmeans",
             "t07_pack_stats", "t08_emit_sequences", "t10_dsir",
             "d12_incremental_dedup",
+            # r7: the 13-signal repetition family — the heaviest new
+            # per-row pass (9 gram orders through one (doc,gram) agg)
+            "t20_gopher_repetition",
         )
         for name in slope_queries:
             fn = QUERIES[name]

@@ -583,20 +583,25 @@ def gopher_repetition_stats(
     # mass for 2..4, duplicated coverage for 5..10) ---------------------
     def _grams(words, order: int):
         # like dedup._token_grams but also carrying the gram's char
-        # length (the top-gram signals are char fractions); a 2-arg
-        # transform lambda would receive the ARRAY INDEX, so the order
-        # is closed over explicitly
-        joined = lambda p: F.concat_ws(  # noqa: E731
-            " ", F.slice(words, p + 1, order))
+        # length (the top-gram signals are char fractions).  Two-level
+        # transform: build each joined gram string ONCE, then hash and
+        # measure it — CSE does not reach inside lambda bodies, so a
+        # single-level spelling would build every string twice.  The
+        # inner 2-arg lambda receives (element, ARRAY INDEX); the index
+        # is exactly the gram position.
+        joined = F.transform(
+            F.sequence(F.lit(0), F.size(words) - order),
+            lambda p: F.concat_ws(" ", F.slice(words, p + 1, order)),
+        )
         return F.when(
             F.size(words) >= order,
             F.transform(
-                F.sequence(F.lit(0), F.size(words) - order),
-                lambda p: F.struct(
+                joined,
+                lambda s, i: F.struct(
                     F.lit(order).alias("n"),
-                    p.alias("pos"),
-                    F.md5(F.encode(joined(p), "UTF-8")).alias("gram"),
-                    F.length(joined(p)).alias("clen"),
+                    i.alias("pos"),
+                    F.md5(F.encode(s, "UTF-8")).alias("gram"),
+                    F.length(s).alias("clen"),
                 ),
             ),
         ).otherwise(F.array().cast(
@@ -628,26 +633,17 @@ def gopher_repetition_stats(
         F.collect_list(
             F.when(F.col("n") >= 5, F.col("pos"))).alias("ps"),
     )
-    top_long = (
-        counted.where(F.col("n") <= 4)
-        .groupBy("_id", "n_chars", "n")
-        .agg(F.max(F.col("cnt") * F.col("clen")).alias("mass"))
-        .select(
-            "_id",
-            F.concat(F.lit("top_"), F.col("n").cast("string"),
-                     F.lit("gram_char_frac")).alias("metric"),
-            F.least(
-                F.lit(1.0),
-                F.col("mass") / F.greatest(F.col("n_chars"), F.lit(1)),
-            ).alias("frac"),
-        )
-    )
-    dup_pos = counted.where((F.col("n") >= 5) & (F.col("cnt") >= 2))
-    # sorted-interval union (d10's Σ min(n, next-start − start) trick)
-    merged = dup_pos.groupBy("_id", "n_tokens", "n").agg(
-        F.array_sort(F.flatten(F.collect_list("ps"))).alias("ps")
+    # ONE aggregation serves both gram metric kinds — a second branch
+    # over `counted` would recompute the whole explode subtree (no CSE
+    # across DataFrame branches)
+    per_n = counted.groupBy("_id", "n_tokens", "n_chars", "n").agg(
+        F.max(F.col("cnt") * F.col("clen")).alias("mass"),
+        # duplicated-gram positions only (coverage input, n>=5 rows)
+        F.array_sort(F.flatten(F.collect_list(
+            F.when(F.col("cnt") >= 2, F.col("ps"))))).alias("ps"),
     )
     ps = F.col("ps")
+    # sorted-interval union (d10's Σ min(n, next-start − start) trick)
     gaps = F.transform(
         ps,
         lambda p, i: F.least(
@@ -657,11 +653,25 @@ def gopher_repetition_stats(
     )
     covered = F.aggregate(gaps, F.lit(0).cast("bigint"),
                           lambda acc, v: acc + v)
-    gram_long = merged.select(
+    gram_long = per_n.select(
         "_id",
-        F.concat(F.lit("dup_"), F.col("n").cast("string"),
-                 F.lit("gram_frac")).alias("metric"),
-        (covered / F.greatest(F.col("n_tokens"), F.lit(1))).alias("frac"),
+        F.when(
+            F.col("n") <= 4,
+            F.concat(F.lit("top_"), F.col("n").cast("string"),
+                     F.lit("gram_char_frac")),
+        ).otherwise(
+            F.concat(F.lit("dup_"), F.col("n").cast("string"),
+                     F.lit("gram_frac")),
+        ).alias("metric"),
+        F.when(
+            F.col("n") <= 4,
+            F.least(
+                F.lit(1.0),
+                F.col("mass") / F.greatest(F.col("n_chars"), F.lit(1)),
+            ),
+        ).otherwise(
+            covered / F.greatest(F.col("n_tokens"), F.lit(1)),
+        ).alias("frac"),
     )
 
     # --- assemble: every doc x every metric, absent = 0.0 --------------
@@ -670,7 +680,7 @@ def gopher_repetition_stats(
         "_id", F.explode(metrics).alias("metric"))
     out = (
         grid.join(
-            unit_long.unionByName(top_long).unionByName(gram_long),
+            unit_long.unionByName(gram_long),
             ["_id", "metric"], "left")
         .select(
             F.col("_id").alias(id_col), "metric",
