@@ -1371,7 +1371,10 @@ def cmd_sketch_report(args) -> int:
     if qs is not None:
         from resilispark.operators.sketches import quantile_store_report
 
-        rows = quantile_store_report(spark, args.store, tuple(qs)).collect()
+        rows = quantile_store_report(
+            spark, args.store, tuple(qs),
+            snapshot=getattr(args, "snapshot", None),
+        ).collect()
         for r in rows:
             v = "n/a" if r.value is None else f"{r.value:g}"
             print(f"q={r.q:g} value={v} n={r.n} err_bound={r.err_bound}")
@@ -2132,6 +2135,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="treat the store as a quantile store "
                         "(curate --quantile-sketch) and print the "
                         "merged rank values with error bounds")
+    p.add_argument("--snapshot", default=None, metavar="NAME",
+                   help="with --quantiles: report ONE crawl's "
+                        "summary instead of the merged store")
     p.set_defaults(fn=cmd_sketch_report)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")

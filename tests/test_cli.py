@@ -1743,6 +1743,13 @@ def test_cli_curate_quantile_sketch_and_report(tmp_path, spark, capsys):
     # rank 20 -> 159
     assert out == ["q=0.5 value=59 n=20 err_bound=0",
                    "q=1 value=159 n=20 err_bound=0"]
+    # one crawl's summary instead of the merged store
+    rc = main(["--cpus", "4", "sketch-report", store,
+               "--quantiles", "1.0", "--snapshot",
+               str(tmp_path / "corpus-c1")])
+    assert rc == 0
+    assert capsys.readouterr().out.splitlines() == [
+        "q=1 value=59 n=10 err_bound=0"]
     # malformed probe fails as a usage error before Spark work
     assert main(["sketch-report", store, "--quantiles", "1.5"]) == 2
 
