@@ -907,9 +907,13 @@ def quantiles(
     ``(q, value, n, err_bound)`` — the reported value's true rank lies
     within ``err_bound`` of ``max(1, ceil(q*n))``, and ``err_bound`` is
     0 (exact) while every partition and the merge stayed below
-    ``capacity`` items.  Unlike ``approx_percentile`` the summary also
-    PERSISTS (``write_snapshot_quantiles``), so a growing corpus can
-    answer corpus-wide quantiles without rescanning prior crawls."""
+    ``capacity`` items.  Exact-regime answers are independent of the
+    input's partitioning; in the compressed regime the grid anchors
+    (and so the specific reported values, never the bound) depend on
+    partition/batch boundaries — like any mergeable summary.  Unlike
+    ``approx_percentile`` the summary also PERSISTS
+    (``write_snapshot_quantiles``), so a growing corpus can answer
+    corpus-wide quantiles without rescanning prior crawls."""
     values, weights, n, err = _merge_summary_quantiles(
         quantile_summary(docs, col, capacity=capacity), capacity
     )

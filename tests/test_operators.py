@@ -6281,6 +6281,25 @@ class TestQuantileSketches:
             spark, store, (1.0,), snapshot="c1").collect()[0]
         assert one.n == 1000 and one.err_bound == 0
 
+    def test_exact_regime_is_partitioning_independent(self, spark):
+        """Below capacity the answer must not depend on how the input
+        was split (the compressed regime's VALUES may, its BOUND may
+        not — that's the bound test above)."""
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.sketches import quantiles
+
+        docs = spark.range(0, 2000).select(
+            ((F.col("id") * 31) % 977).cast("double").alias("v"))
+        outs = [
+            [tuple(r) for r in quantiles(
+                docs.repartition(p), "v", (0.1, 0.5, 0.9),
+                capacity=4096).collect()]
+            for p in (1, 3, 17)
+        ]
+        assert outs[0] == outs[1] == outs[2]
+        assert all(r[3] == 0 for r in outs[0])  # err_bound
+
     def test_summary_rows_bounded_by_capacity(self, spark):
         """The shuffle payload stays partitions x (capacity+2) rows no
         matter the distinct count — the scale contract."""
