@@ -1357,6 +1357,16 @@ def cmd_sketch_report(args) -> int:
             print("error: --values got no candidate values "
                   f"({args.values!r})", file=sys.stderr)
             return 2
+    snap = getattr(args, "snapshot", None)
+    if snap is not None and getattr(args, "quantiles", None) is None and (
+        getattr(args, "topk", None) is None
+    ):
+        # --values/--histogram/the HLL default are merged-by-design
+        # readouts; silently returning merged numbers under a
+        # --snapshot request would misreport one crawl
+        print("error: --snapshot applies to --quantiles and --topk "
+              "reports only", file=sys.stderr)
+        return 2
     qs = None
     if getattr(args, "quantiles", None) is not None:
         try:
@@ -1395,7 +1405,8 @@ def cmd_sketch_report(args) -> int:
     if getattr(args, "topk", None) is not None:
         from resilispark.operators.sketches import topk_store_report
 
-        rows = topk_store_report(spark, args.store, k=args.topk).collect()
+        rows = topk_store_report(
+            spark, args.store, k=args.topk, snapshot=snap).collect()
         for r in rows:
             print(f"value={r.value} n_min={r.n_min} "
                   f"err_bound={r.err_bound}")
@@ -2136,8 +2147,9 @@ def main(argv: list[str] | None = None) -> int:
                         "(curate --quantile-sketch) and print the "
                         "merged rank values with error bounds")
     p.add_argument("--snapshot", default=None, metavar="NAME",
-                   help="with --quantiles: report ONE crawl's "
-                        "summary instead of the merged store")
+                   help="with --quantiles/--topk: report ONE crawl's "
+                        "summary instead of the merged store (other "
+                        "modes are merged-by-design and refuse it)")
     p.set_defaults(fn=cmd_sketch_report)
 
     p = sub.add_parser("benchmark", help="measure scan throughput")

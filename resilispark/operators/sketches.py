@@ -704,6 +704,13 @@ def topk_store_report(
     error bound as one ``(NULL, 0, err_bound)`` row."""
     store = spark.read.parquet(path)
     if snapshot is not None:
+        known = sorted(
+            r["snapshot"] for r in
+            store.select("snapshot").distinct().collect())
+        if snapshot not in known:
+            raise ValueError(
+                f"snapshot {snapshot!r} not in top-k store {path} "
+                f"(has: {known})")
         store = store.where(F.col("snapshot") == snapshot)
     rows, err = _merge_summary_topk(store.select("value", "n"), k)
     top = [(v, n, err) for v, n in rows]
@@ -996,6 +1003,14 @@ def quantile_store_report(
             f"quantile store {path} mixes capacities {sorted(caps)}"
         )
     if snapshot is not None:
+        known = sorted(
+            r["snapshot"] for r in
+            store.select("snapshot").distinct().collect())
+        if snapshot not in known:
+            # a typoed crawl label must not read as an empty crawl
+            raise ValueError(
+                f"snapshot {snapshot!r} not in quantile store {path} "
+                f"(has: {known})")
         store = store.where(F.col("snapshot") == snapshot)
     values, weights, n, err = _merge_summary_quantiles(
         store.select("value", "w"), caps[0]

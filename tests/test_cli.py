@@ -1912,3 +1912,32 @@ def test_cli_curate_repetition_filter(tmp_path, spark):
     assert rc == 0
     kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert kept == [0, 2]
+
+
+def test_cli_sketch_report_snapshot_scoping(tmp_path, spark, capsys):
+    """--snapshot scopes --topk; modes that are merged-by-design
+    refuse it; a typoed label errors instead of reading as empty."""
+    from resilispark.__main__ import main
+    from resilispark.operators.sketches import write_snapshot_topk
+
+    store = str(tmp_path / "topk")
+    for snap, host in (("c1", "alpha"), ("c2", "beta")):
+        docs = spark.createDataFrame(
+            [(f"{host}.example",)] * 5, ["host"])
+        write_snapshot_topk(docs, store, snapshot=snap, col="host")
+    rc = main(["--cpus", "4", "sketch-report", store, "--topk", "5",
+               "--snapshot", "c1"])
+    assert rc == 0
+    assert capsys.readouterr().out.splitlines() == [
+        "value=alpha.example n_min=5 err_bound=0"]
+    # merged-by-design modes refuse the flag before any Spark work
+    rc = main(["sketch-report", store, "--snapshot", "c1"])
+    assert rc == 2
+    assert "--snapshot applies" in capsys.readouterr().err
+    # a typoed label is a loud error, not an empty crawl
+    import pytest as _pytest
+
+    from resilispark.operators.sketches import topk_store_report
+
+    with _pytest.raises(ValueError, match="not in top-k store"):
+        topk_store_report(spark, store, snapshot="c9").collect()

@@ -6492,6 +6492,9 @@ class TestGopherRepetition:
         # threshold, incl. the top-gram char fractions that any short
         # text trips trivially
         " ".join(f"word{i:03d}" for i in range(80)),
+        # NBSP is NOT whitespace to the engines (Java/RE2 ASCII \\s):
+        # "caf\xa0bar" must stay ONE token on both sides
+        "one two caf\xa0bar three one two caf\xa0bar three five six",
     ]
 
     @staticmethod
@@ -6509,7 +6512,9 @@ class TestGopherRepetition:
             out[f"dup_{kind}_frac"] = sum(k - 1 for k in c.values()) / tot
             out[f"dup_{kind}_char_frac"] = (
                 sum((k - 1) * len(u) for u, k in c.items()) / max(totch, 1))
-        words = [w for w in re.split(r"\s+", text) if w]
+        # Java/RE2 \s is the ASCII class — Python's unicode \s would
+        # split NBSP/NEL where the engines do not
+        words = [w for w in re.split(r"[ \t\n\x0b\f\r]+", text) if w]
         n_chars = len(" ".join(words))
         for n in range(2, 5):
             c = Counter(tuple(words[i:i + n])
