@@ -19,6 +19,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from resilispark.operators.gramhash import (
+    GRAM_BASE_A,
+    GRAM_BASE_B,
+    GRAM_MOD_A,
+    GRAM_MOD_B,
+    digest_hashes,
+    gram_polyfold,
+    word_digests,
+)
+
 
 def _shingles(words: Column, k: int = 3) -> Column:
     """``words`` MUST be a materialized column, not the split expression:
@@ -455,26 +465,49 @@ def paragraph_dedup(
     )
 
 
-def _token_grams(words: Column, n: int) -> Column:
-    """0-based (position, md5-of-n-gram) structs; empty when the doc has
-    fewer than ``n`` tokens.
+def _token_grams(ha: Column, hb: Column, n: int) -> Column:
+    """0-based ``(pos, ga, gb)`` structs — dual word-hash polynomial
+    n-gram keys (operators/gramhash.py); empty when the doc has fewer
+    than ``n`` tokens.
 
-    ``words`` MUST be a materialized column reference, not the split
-    expression itself: lambda bodies sit outside common-subexpression
-    elimination, so an inline ``split(...)`` here re-tokenizes the doc
-    once per gram (measured 3.5x slower at sf0.1)."""
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda p: F.struct(
-                p.alias("pos"),
-                F.md5(
-                    F.encode(F.concat_ws(" ", F.slice(words, p + 1, n)), "UTF-8")
-                ).alias("gram"),
-            ),
+    md5 runs exactly ONCE per word (both key legs slice the same
+    digest); each leg folds adjacent word hashes with its own
+    (base, mod), for an effective ~114-bit corpus-wide key — the
+    replacement for md5-ing each gram STRING, which pushed ~n x the
+    document's bytes through md5 and was the suite's second-worst
+    sf1 scale slope.
+
+    ``ha``/``hb`` MUST be materialized column references (not inline
+    hash expressions): lambda bodies sit outside common-subexpression
+    elimination, so an inline transform here would re-hash the doc
+    once per fold level."""
+    ga = gram_polyfold(ha, n, base=GRAM_BASE_A, mod=GRAM_MOD_A)
+    gb = gram_polyfold(hb, n, base=GRAM_BASE_B, mod=GRAM_MOD_B)
+    zipped = F.zip_with(
+        ga, gb, lambda a, b: F.struct(a.alias("ga"), b.alias("gb"))
+    )
+    # 2-arg transform lambda: (element, ARRAY INDEX) = the gram position
+    return F.transform(
+        zipped,
+        lambda s, i: F.struct(
+            i.alias("pos"), s["ga"].alias("ga"), s["gb"].alias("gb")
         ),
-    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    )
+
+
+def _dual_hash_words(df: DataFrame, id_col: str, words: Column) -> DataFrame:
+    """``(id, _w, _ha, _hb)`` with the md5 digest array materialized in
+    its OWN projection so both hash slices read one hashing pass."""
+    return df.select(
+        F.col(id_col), words.alias("_w")
+    ).select(
+        F.col(id_col), "_w", word_digests(F.col("_w")).alias("_m")
+    ).select(
+        F.col(id_col),
+        "_w",
+        digest_hashes(F.col("_m")).alias("_ha"),
+        digest_hashes(F.col("_m"), hex_offset=9).alias("_hb"),
+    )
 
 
 def duplicate_span_coverage(
@@ -491,27 +524,36 @@ def duplicate_span_coverage(
     (smaller ``id_col``).
 
     The paper builds a corpus-wide suffix array; the distributed
-    spelling is a gram join: explode every n-token span to an md5 key
-    (O(tokens) rows, no quadratic stage), find each gram's first
-    document with a partial-aggregated ``min`` (skew-immune: a gram
-    repeated across millions of docs collapses map-side before the
-    shuffle), join back, and count the distinct token positions the
-    duplicated spans cover. Two hash shuffles total — gram key, then
-    doc id — both on uniform md5/64-bit keys.
+    spelling is a gram join: explode every n-token span to a dual
+    word-hash polynomial key (O(tokens) rows, no quadratic stage; md5
+    runs once per WORD, not once per gram string — see
+    operators/gramhash.py), find each gram's first document with a
+    partial-aggregated ``min`` (skew-immune: a gram repeated across
+    millions of docs collapses map-side before the shuffle), join
+    back, and count the distinct token positions the duplicated spans
+    cover. Two hash shuffles total — gram key, then doc id — both on
+    uniform hash keys.
 
     Returns (id, n_tokens, dup_tokens, coverage) for every doc with at
     least one duplicated span; coverage is rounded to 4 places.
     """
-    pre = df.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_w")
+    pre = _dual_hash_words(
+        df, id_col, F.split(F.trim(F.col(text_col)), r"\s+")
     )
     base = pre.select(
         F.col(id_col),
         F.size("_w").cast("bigint").alias("n_tokens"),
-        F.explode(_token_grams(F.col("_w"), span_tokens)).alias("g"),
-    ).select(id_col, "n_tokens", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
-    firsts = base.groupBy("gram").agg(F.min(id_col).alias("_first"))
-    dup = base.join(firsts, "gram").filter(F.col(id_col) > F.col("_first"))
+        F.explode(
+            _token_grams(F.col("_ha"), F.col("_hb"), span_tokens)
+        ).alias("g"),
+    ).select(
+        id_col, "n_tokens", F.col("g.pos").alias("pos"),
+        F.col("g.ga").alias("ga"), F.col("g.gb").alias("gb"),
+    )
+    firsts = base.groupBy("ga", "gb").agg(F.min(id_col).alias("_first"))
+    dup = base.join(firsts, ["ga", "gb"]).filter(
+        F.col(id_col) > F.col("_first")
+    )
     # union of the fixed-length spans via sorted interval merge: with
     # sorted start positions p_1..p_k each covering [p_i, p_i+n), the
     # union size is Σ min(n, p_{i+1}-p_i) + n — pure codegen over the
@@ -561,14 +603,19 @@ def mask_duplicate_spans(
     Returns (id, text, n_tokens, dup_tokens) for EVERY input doc.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    toks = df.select(F.col(id_col), words.alias("_w")).select(
+    toks = _dual_hash_words(df, id_col, words).select(
         F.col(id_col),
         "_w",
-        F.explode(_token_grams(F.col("_w"), span_tokens)).alias("g"),
-    ).select(id_col, "_w", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
-    firsts = toks.groupBy("gram").agg(F.min(id_col).alias("_first"))
+        F.explode(
+            _token_grams(F.col("_ha"), F.col("_hb"), span_tokens)
+        ).alias("g"),
+    ).select(
+        id_col, "_w", F.col("g.pos").alias("pos"),
+        F.col("g.ga").alias("ga"), F.col("g.gb").alias("gb"),
+    )
+    firsts = toks.groupBy("ga", "gb").agg(F.min(id_col).alias("_first"))
     covered = (
-        toks.join(firsts, "gram")
+        toks.join(firsts, ["ga", "gb"])
         .filter(F.col(id_col) > F.col("_first"))
         .select(
             id_col,

@@ -1,0 +1,146 @@
+"""Word-hash polynomial n-gram keys — the shared gram-hashing kernel.
+
+Building an n-gram key as ``md5(concat_ws(" ", slice(words, p, n)))``
+re-hashes every word once per gram ORDER per position: the 2..10-gram
+family pushes ~50x the document's bytes through md5 (each word sits in
+up to 9*order windows), and even a single 5-gram pass hashes ~5x the
+text.  That md5 mass was the worst sf1 scale slope in the suite two
+rounds running (t20 6.9-9.1x, d10 7.3-8.8x at 10x data).
+
+The fix is the same one that took the DSIR chain from an 11.4x to a
+2.7x slope (operators/dsir.py:46-119): hash each WORD exactly once
+(the first 8 md5 hex chars as a 32-bit int) and derive every gram
+order's key by left-fold polynomial combination of adjacent word
+hashes::
+
+    G_1[p] = H[p]
+    G_n[p] = (G_{n-1}[p] * BASE + H[p + n - 1]) mod MOD
+
+entirely in whole-stage-codegen integer arithmetic (``zip_with`` over
+two array slices per fold level — never ``element_at`` into the hash
+expression, which would re-derive the md5 transform per access).  The
+md5 cost drops to exactly one digest per word and DuckDB replays the
+fold token for token (``list_reduce(hs[p+1 : p+n], (a, b) ->
+(a*BASE + b) % MOD)``), so the oracle gates stay hash-green.
+
+Collision budget: word hashes are 32-bit md5 slices, the fold mixes
+them into a field of size MOD ~ 2.3e17 (primes just under the
+largest modulus for which ``(MOD-1)*BASE + 2^32`` still fits a signed
+64-bit int at BASE 37 — Spark 4 runs ANSI mode, so intermediate
+products must never overflow).  Within one document (the Gopher
+repetition counters) a 5k-gram doc collides with probability ~5e-11.
+For CORPUS-wide keys (the duplicate-span gram join, where a trillion
+distinct grams meet) one 57-bit field is not enough: pair TWO
+independent folds — a second 32-bit slice of the SAME md5 digest
+(chars 9..16, zero extra hashing) folded with a different
+(base, mod) — for an effective ~114-bit key.
+
+Reference intent: fastwarc/resiliparse have no gram machinery; this
+serves the Lee et al. 2021 exact-substring dedup and Rae et al. 2021
+(Gopher) Table A1 repetition operators at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Fold parameters.  Both moduli are PRIME (Miller-Rabin verified) and
+#: satisfy (MOD-1)*BASE + 2^32 < 2^63 - 1 for BASE up to 37, so every
+#: intermediate of the fold stays inside a signed 64-bit int in both
+#: Spark (ANSI) and DuckDB.
+GRAM_MOD_A = 230000000000000119
+GRAM_MOD_B = 230000000000000189
+GRAM_BASE_A = 31
+GRAM_BASE_B = 37
+
+
+def word_hashes(words: Column, *, hex_offset: int = 1) -> Column:
+    """``array<bigint>`` of per-word 32-bit hashes: md5 hex chars
+    ``[hex_offset, hex_offset+8)`` as an unsigned int.  ``hex_offset=9``
+    yields a second hash INDEPENDENT of the default for free (same
+    digest, different slice) — the second leg of a dual-fold key.
+
+    The caller MUST materialize the result as a real column (its own
+    projection) before fanning out into per-order folds: lambda bodies
+    sit outside common-subexpression elimination, so an inline use
+    referenced k times runs the md5 transform k times.
+    """
+    return F.transform(
+        words,
+        lambda w: F.conv(
+            F.substring(F.md5(w), hex_offset, 8), 16, 10
+        ).cast("bigint"),
+    )
+
+
+def word_digests(words: Column) -> Column:
+    """``array<string>`` of per-word md5 hex digests — the ONE hashing
+    pass a dual-fold key needs.  Materialize this as a real column,
+    then take both 32-bit slices from it with :func:`digest_hashes`;
+    calling :func:`word_hashes` twice would run md5 twice per word."""
+    return F.transform(words, lambda w: F.md5(w))
+
+
+def digest_hashes(digests: Column, *, hex_offset: int = 1) -> Column:
+    """``array<bigint>`` 32-bit slice of pre-computed md5 hex digests
+    (see :func:`word_digests`)."""
+    return F.transform(
+        digests,
+        lambda m: F.conv(
+            F.substring(m, hex_offset, 8), 16, 10
+        ).cast("bigint"),
+    )
+
+
+def gram_polyfold(
+    wh: Column,
+    order: int,
+    *,
+    base: int = GRAM_BASE_A,
+    mod: int = GRAM_MOD_A,
+) -> Column:
+    """``array<bigint>`` of order-``order`` gram keys from a word-hash
+    array: position ``p`` (0-based) holds the left fold of
+    ``wh[p .. p+order-1]``; empty when the doc has fewer than ``order``
+    words.  ``order - 1`` ``zip_with`` levels, each over two
+    length-(words-order+1) slices — O(words) integer ops per level,
+    zero string building, zero hashing.
+    """
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    cnt = F.greatest(F.size(wh) - F.lit(order - 1), F.lit(0))
+    g = F.slice(wh, 1, cnt)
+    for k in range(2, order + 1):
+        g = F.zip_with(
+            g,
+            F.slice(wh, k, cnt),
+            lambda a, b: (a * F.lit(base) + b) % F.lit(mod),
+        )
+    return g
+
+
+def gram_lenfold(wlen: Column, order: int) -> Column:
+    """``array<bigint>`` of per-position gram CHAR lengths — the length
+    of the space-joined gram string, computed as arithmetic over word
+    lengths (sum of the window's word lengths + ``order - 1``
+    separators) instead of building the string."""
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    cnt = F.greatest(F.size(wlen) - F.lit(order - 1), F.lit(0))
+    c = F.slice(wlen, 1, cnt)
+    for k in range(2, order + 1):
+        c = F.zip_with(
+            c, F.slice(wlen, k, cnt), lambda a, b: a + F.lit(1) + b
+        )
+    return c
+
+
+def duckdb_gram_fold_sql(
+    hs_slice: str, *, base: int = GRAM_BASE_A, mod: int = GRAM_MOD_A
+) -> str:
+    """The DuckDB spelling of the SAME fold over a list slice
+    expression (e.g. ``"hs[pos + 1 : pos + n]"``) — kept here so the
+    oracle SQL strings and the Spark kernel can never drift apart on
+    the constants."""
+    return f"list_reduce({hs_slice}, (a, b) -> (a * {base} + b) % {mod})"

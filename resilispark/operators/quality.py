@@ -508,10 +508,12 @@ def gopher_repetition_stats(
       paragraph occurrences beyond each unit's first,
     * ``dup_line_char_frac`` / ``dup_para_char_frac`` — fraction of
       unit characters those repeats carry,
-    * ``top_{2,3,4}gram_char_frac`` — character mass of the heaviest
-      n-gram (occurrences × gram chars over the doc's space-joined
-      chars; occurrences counted individually like the published
-      implementations, capped at 1; ties resolve to the larger mass),
+    * ``top_{2,3,4}gram_char_frac`` — character mass of the MOST
+      FREQUENT n-gram (its occurrences × gram chars over the doc's
+      space-joined chars, capped at 1; occurrences counted
+      individually like the published implementations; count ties
+      resolve to the larger mass — Gopher's stated semantics, argmax
+      by count),
     * ``dup_{5..10}gram_frac`` — fraction of TOKEN positions covered by
       some word n-gram that occurs more than once in the document
       (overlapping spans counted once, the d10 sorted-interval union).
@@ -530,8 +532,20 @@ def gopher_repetition_stats(
     granularity (line/para fused in a single tagged pass; all nine
     gram orders fused in one flattened explode), every shuffle keyed
     by (doc, unit-hash) — uniform, skew-immune, never
-    corpus-quadratic.
+    corpus-quadratic.  Gram keys are word-hash polynomial folds
+    (operators/gramhash.py): md5 runs exactly ONCE per word instead of
+    once per gram string (~50x the doc's bytes across the nine
+    orders), every order's key array derives from the previous order's
+    by one ``zip_with`` level, and gram char lengths are arithmetic
+    over word lengths — the whole pass past tokenization is integer
+    codegen.
     """
+    from resilispark.operators.gramhash import (
+        GRAM_BASE_A,
+        GRAM_MOD_A,
+        word_hashes,
+    )
+
     text = F.col(text_col)
     did = F.col(id_col)
 
@@ -580,44 +594,70 @@ def gopher_repetition_stats(
     )
 
     # --- n-gram pass (n = 2..10 fused in one explode: top-gram char
-    # mass for 2..4, duplicated coverage for 5..10) ---------------------
-    def _grams(words, order: int):
-        # like dedup._token_grams but also carrying the gram's char
-        # length (the top-gram signals are char fractions).  Two-level
-        # transform: build each joined gram string ONCE, then hash and
-        # measure it — CSE does not reach inside lambda bodies, so a
-        # single-level spelling would build every string twice.  The
-        # inner 2-arg lambda receives (element, ARRAY INDEX); the index
-        # is exactly the gram position.
-        joined = F.transform(
-            F.sequence(F.lit(0), F.size(words) - order),
-            lambda p: F.concat_ws(" ", F.slice(words, p + 1, order)),
-        )
-        return F.when(
-            F.size(words) >= order,
-            F.transform(
-                joined,
-                lambda s, i: F.struct(
-                    F.lit(order).alias("n"),
-                    i.alias("pos"),
-                    F.md5(F.encode(s, "UTF-8")).alias("gram"),
-                    F.length(s).alias("clen"),
-                ),
-            ),
-        ).otherwise(F.array().cast(
-            "array<struct<n:int,pos:int,gram:string,clen:int>>"))
-
-    pre = docs.select(
+    # mass for 2..4, duplicated coverage for 5..10).  Each order's key
+    # array G_n comes from G_{n-1} by ONE zip_with level
+    # (G_n[p] = (G_{n-1}[p]*B + H[p+n-1]) mod M) — 9 fold levels total
+    # instead of 45 a per-order from-scratch fold would cost.  Each
+    # array lives in its own chained projection: the previous order is
+    # referenced twice (passthrough + fold input), so CollapseProject
+    # keeps the boundaries and every fold level runs once. -------------
+    B, M = F.lit(GRAM_BASE_A), F.lit(GRAM_MOD_A)
+    cur = docs.select(
         did.alias("_id"),
         F.filter(F.split(text, r"\s+"), lambda t: t != "").alias("_w"),
     ).select(
         "_id",
         F.size("_w").cast("bigint").alias("n_tokens"),
         F.length(F.concat_ws(" ", "_w")).cast("bigint").alias("n_chars"),
+        word_hashes(F.col("_w")).alias("_g1"),
+        F.transform("_w", lambda w: F.length(w).cast("bigint")).alias("_c1"),
+    )
+    for n in range(2, 11):
+        sz = F.greatest(F.size("_g1") - F.lit(n - 1), F.lit(0))
+        new = [
+            F.zip_with(
+                F.slice(f"_g{n - 1}", 1, sz),
+                F.slice("_g1", n, sz),
+                lambda a, b: (a * B + b) % M,
+            ).alias(f"_g{n}")
+        ]
+        if n <= 4:  # gram char length only feeds the top-gram metrics
+            new.append(
+                F.zip_with(
+                    F.slice(f"_c{n - 1}", 1, sz),
+                    F.slice("_c1", n, sz),
+                    lambda a, b: a + F.lit(1) + b,
+                ).alias(f"_c{n}")
+            )
+        cur = cur.select("*", *new)
+
+    def _structs(n: int):
+        # 2-arg transform lambda: (element, ARRAY INDEX) — the index is
+        # exactly the gram position
+        if n <= 4:
+            zipped = F.zip_with(
+                f"_g{n}", f"_c{n}",
+                lambda g, c: F.struct(g.alias("gram"), c.alias("clen")),
+            )
+            return F.transform(
+                zipped,
+                lambda s, i: F.struct(
+                    F.lit(n).alias("n"), i.alias("pos"),
+                    s["gram"].alias("gram"), s["clen"].alias("clen"),
+                ),
+            )
+        return F.transform(
+            F.col(f"_g{n}"),
+            lambda g, i: F.struct(
+                F.lit(n).alias("n"), i.alias("pos"), g.alias("gram"),
+                F.lit(0).cast("bigint").alias("clen"),
+            ),
+        )
+
+    pre = cur.select(
+        "_id", "n_tokens", "n_chars",
         F.explode_outer(
-            F.flatten(F.array(*[
-                _grams(F.col("_w"), n) for n in range(2, 11)
-            ]))
+            F.flatten(F.array(*[_structs(n) for n in range(2, 11)]))
         ).alias("g"),
     )
     occ = pre.select(
@@ -637,7 +677,14 @@ def gopher_repetition_stats(
     # over `counted` would recompute the whole explode subtree (no CSE
     # across DataFrame branches)
     per_n = counted.groupBy("_id", "n_tokens", "n_chars", "n").agg(
-        F.max(F.col("cnt") * F.col("clen")).alias("mass"),
+        # the MOST FREQUENT gram's char mass (lexicographic struct max:
+        # argmax by count, count ties resolve to the larger mass)
+        F.max(
+            F.struct(
+                F.col("cnt").alias("cnt"),
+                (F.col("cnt") * F.col("clen")).alias("mass"),
+            )
+        )["mass"].alias("mass"),
         # duplicated-gram positions only (coverage input, n>=5 rows)
         F.array_sort(F.flatten(F.collect_list(
             F.when(F.col("cnt") >= 2, F.col("ps"))))).alias("ps"),

@@ -9,6 +9,7 @@ JSON lines via to_json — fully JVM-side after the scan.
 
 from __future__ import annotations
 
+import re
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,6 +84,99 @@ def surt_key(url) -> F.Column:
             F.when(query.isNotNull(), F.concat(F.lit("?"), query)).otherwise(F.lit("")),
         ),
     ).otherwise(u)
+
+
+#: java.net.URI building blocks for the driver-side SURT replica.
+#: Server-based authority host grammar: hostname labels (alphanum
+#: start/end, '-' inside, optional trailing dot), dotted IPv4, or
+#: bracketed IPv6; anything else (underscores, ...) parses as a
+#: registry-based authority whose getHost() is null.
+_SURT_LABEL = r"(?:[a-z0-9]|[a-z0-9][a-z0-9-]*[a-z0-9])"
+_SURT_HOST_RE = re.compile(
+    rf"^(?:{_SURT_LABEL}(?:\.{_SURT_LABEL})*\.?|\[[0-9a-f:.]+\])$"
+)
+_SURT_URI_RE = re.compile(
+    r"^(?P<scheme>[a-z][a-z0-9+.-]*)://(?P<auth>[^/?#]*)(?P<path>[^?#]*)"
+    r"(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+_SURT_LEGAL_RE = re.compile(
+    r"^(?:[a-z0-9\-_.!~*'();/?:@&=+$,#\[\]]|%[0-9a-f]{2}|[^\x00-\x7f])*$"
+)
+
+
+def _java_uri_legal(u: str) -> bool:
+    """Whether ``java.net.URI`` accepts the (lowercased) string: it
+    rejects the WHOLE URI on any illegal character — ASCII outside the
+    RFC-2396 set, a bare ``%``, ISO controls, or a Unicode SPACE
+    character — while non-ASCII 'other'-category characters are
+    legal."""
+    if not _SURT_LEGAL_RE.match(u):
+        return False
+    if u.count("#") > 1:
+        # the FIRST '#' starts the fragment and '#' is illegal inside it
+        return False
+    import unicodedata
+
+    for c in u:
+        o = ord(c)
+        if o <= 0x7F:
+            continue
+        if o <= 0x9F:  # ISO control block
+            return False
+        if unicodedata.category(c) in ("Zs", "Zl", "Zp"):
+            return False
+    return True
+
+
+def surt_key_py(url: str | None) -> str | None:
+    """Driver-side replica of :func:`surt_key` — the SAME canonical
+    key, computed in pure Python so a point lookup
+    (:func:`lookup_captures`) never pays a 1-row Spark job just to
+    SURT its probe.
+
+    Bit-for-bit parity with the column kernel (including
+    ``try_parse_url``'s java.net.URI quirks: whole-URI rejection on
+    illegal characters, registry-authority hosts coming back null,
+    userinfo stripping, scheme-default-port dropping) is pinned by
+    ``tests/test_warctools.py`` over a 40-URL battery plus 1300
+    fuzzed URLs compared against the Spark expression."""
+    if url is None:
+        return None
+    u = url.lower()
+    # illegal URI -> try_parse_url NULL -> the column kernel falls
+    # back to the lowercased raw string
+    if not _java_uri_legal(u):
+        return u
+    m = _SURT_URI_RE.match(u)
+    host = None
+    auth = ""
+    if m is not None:
+        auth = m.group("auth")
+        userinfo, sep, hostport = auth.rpartition("@")
+        # java userinfo grammar: no '@' (so at most ONE in the
+        # authority) and no brackets; a violation fails the
+        # server-based parse and the registry fallback has no host
+        ui_ok = not sep or not re.search(r"[@\[\]]", userinfo)
+        pm = re.match(r"^(\[[^\]]*\]|[^:]*)(?::(\d*))?$", hostport)
+        if ui_ok and pm is not None and _SURT_HOST_RE.match(pm.group(1)):
+            host = pm.group(1)
+    if host is None:
+        return u
+    scheme = m.group("scheme")
+    path = m.group("path") or ""
+    query = m.group("query")  # None when no '?' (trailing '?' -> '')
+    pmm = re.search(r":(\d+)$", auth)
+    port = pmm.group(1) if pmm else ""
+    is_default = (scheme == "http" and port == "80") or (
+        scheme == "https" and port == "443"
+    )
+    out = ",".join(reversed(host.split(".")))
+    if port != "" and not is_default:
+        out += ":" + port
+    out += ")" + path
+    if query is not None:
+        out += "?" + query
+    return out
 
 
 def _header_lookup(headers_col: str, name: str, *, multi: bool = False) -> F.Column:
@@ -445,11 +539,10 @@ def lookup_captures(
     # still SURT — a raw-string fallback would never prefix-match the
     # 'com,example)...' keys and silently return zero captures
     spec = url_prefix if "://" in url_prefix else f"http://{url_prefix}"
-    probe = (
-        spark.range(1)
-        .select(surt_key(F.lit(spec)).alias("k"))
-        .first()["k"]
-    )
+    # driver-side SURT (deterministic string algebra, parity-tested
+    # against the column kernel) — a point lookup costs ONE pruned
+    # index read, not a 1-row probe job plus one
+    probe = surt_key_py(spec)
     if probe is None:
         # still unparseable — fall back to the raw string, matching
         # cdxj_index's NULL-host key behavior

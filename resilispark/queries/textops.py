@@ -1552,15 +1552,29 @@ def d10_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_D10 = """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), dig AS (
+  -- ONE md5 per word; both key legs slice the same digest
+  -- (operators/gramhash.py dual-fold gram keys)
+  SELECT doc_id, len(w)::BIGINT AS n_tokens,
+         list_transform(w, x -> md5(x)) AS ms
+  FROM toks
+), hh AS (
+  SELECT doc_id, n_tokens,
+         list_transform(ms, m -> ('0x' || substr(m, 1, 8))::BIGINT) AS ha,
+         list_transform(ms, m -> ('0x' || substr(m, 9, 8))::BIGINT) AS hb
+  FROM dig
 ), grams AS (
-  SELECT doc_id, len(w)::BIGINT AS n_tokens, p,
-         md5(array_to_string(w[p+1:p+5], ' ')) AS g
-  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(w) - 4, 0))) AS p)
+  SELECT doc_id, n_tokens, p,
+         list_reduce(ha[p+1:p+5],
+                     (a, b) -> (a * 31 + b) % 230000000000000119) AS ga,
+         list_reduce(hb[p+1:p+5],
+                     (a, b) -> (a * 37 + b) % 230000000000000189) AS gb
+  FROM hh, LATERAL (SELECT unnest(range(0, greatest(len(ha) - 4, 0))) AS p)
 ), firsts AS (
-  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+  SELECT ga, gb, min(doc_id) AS first_doc FROM grams GROUP BY ga, gb
 ), dup AS (
   SELECT grams.doc_id, grams.n_tokens, grams.p
-  FROM grams JOIN firsts USING (g)
+  FROM grams JOIN firsts USING (ga, gb)
   WHERE grams.doc_id > firsts.first_doc
 ), covered AS (
   SELECT DISTINCT doc_id, n_tokens, unnest(range(p, p + 5)) AS tok FROM dup
@@ -1791,16 +1805,27 @@ def d11_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_D11 = """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+), dig AS (
+  SELECT doc_id, list_transform(w, x -> md5(x)) AS ms FROM toks
+), hh AS (
+  SELECT doc_id,
+         list_transform(ms, m -> ('0x' || substr(m, 1, 8))::BIGINT) AS ha,
+         list_transform(ms, m -> ('0x' || substr(m, 9, 8))::BIGINT) AS hb
+  FROM dig
 ), grams AS (
-  SELECT doc_id, p, md5(array_to_string(w[p+1:p+5], ' ')) AS g
-  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(w) - 4, 0))) AS p)
+  SELECT doc_id, p,
+         list_reduce(ha[p+1:p+5],
+                     (a, b) -> (a * 31 + b) % 230000000000000119) AS ga,
+         list_reduce(hb[p+1:p+5],
+                     (a, b) -> (a * 37 + b) % 230000000000000189) AS gb
+  FROM hh, LATERAL (SELECT unnest(range(0, greatest(len(ha) - 4, 0))) AS p)
 ), firsts AS (
-  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+  SELECT ga, gb, min(doc_id) AS first_doc FROM grams GROUP BY ga, gb
 ), cut AS (
   SELECT doc_id, list(DISTINCT tok) AS cuts
   FROM (
     SELECT grams.doc_id, unnest(range(p, p + 5)) AS tok
-    FROM grams JOIN firsts USING (g)
+    FROM grams JOIN firsts USING (ga, gb)
     WHERE grams.doc_id > firsts.first_doc
   )
   GROUP BY doc_id
@@ -3024,13 +3049,15 @@ def t20_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Gopher repetition family (operators/quality.py
     gopher_repetition_stats, Rae et al. 2021 Table A1): duplicate
     line/paragraph fractions + the characters they carry + the
-    heaviest {2,3,4}-gram's char mass + duplicated 5..10-gram coverage
-    (sorted-interval union, overlaps counted once) — all THIRTEEN
-    metrics per document in long form, replayed in SQL: unit counting
-    via group-by, top-gram mass via max(cnt*clen), gram coverage via a
-    lead() window over the same md5 gram keys.  Fractions are
-    integer-ratio doubles rounded with the shared floor spelling, so
-    the engines agree bit-for-bit."""
+    most-frequent {2,3,4}-gram's char mass + duplicated 5..10-gram
+    coverage (sorted-interval union, overlaps counted once) — all
+    THIRTEEN metrics per document in long form, replayed in SQL: unit
+    counting via group-by, top-gram mass via a lexicographic struct
+    max (argmax by count, ties to the larger mass), gram coverage via
+    a lead() window over the same word-hash polynomial gram keys
+    (operators/gramhash.py — DuckDB replays the fold with
+    list_reduce).  Fractions are integer-ratio doubles rounded with
+    the shared floor spelling, so the engines agree bit-for-bit."""
     from resilispark.operators.quality import gopher_repetition_stats
 
     # the tiny parquet arrives as ONE split; the gram pass is CPU-bound
@@ -3068,17 +3095,27 @@ WITH units AS (
          list_filter(regexp_split_to_array(text, '\\s+'),
                      x -> x <> '') AS w
   FROM documents
-), positions AS (
+), wh AS (
+  -- one 32-bit md5 hash per WORD; gram keys are polynomial folds of
+  -- adjacent word hashes (operators/gramhash.py GRAM_BASE_A/GRAM_MOD_A)
   SELECT doc_id, len(w)::BIGINT AS n_tokens,
          length(array_to_string(w, ' '))::BIGINT AS n_chars,
-         w, n.n AS n,
-         unnest(range(0, GREATEST(len(w) - n.n + 1, 0))) AS pos
-  FROM words,
+         list_transform(w, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)
+           AS hs,
+         list_transform(w, x -> length(x)::BIGINT) AS ls
+  FROM words
+), positions AS (
+  SELECT doc_id, n_tokens, n_chars, hs, ls, n.n AS n,
+         unnest(range(0, GREATEST(len(hs) - n.n + 1, 0))) AS pos
+  FROM wh,
        (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) n(n)
 ), grams AS (
   SELECT doc_id, n_tokens, n_chars, n, pos,
-         md5(array_to_string(w[pos + 1 : pos + n], ' ')) AS gram,
-         length(array_to_string(w[pos + 1 : pos + n], ' ')) AS clen
+         list_reduce(hs[pos + 1 : pos + n],
+                     (a, b) -> (a * 31 + b) % 230000000000000119) AS gram,
+         CASE WHEN n <= 4 THEN
+           list_reduce(ls[pos + 1 : pos + n], (a, b) -> a + 1 + b)
+         ELSE 0 END::BIGINT AS clen
   FROM positions
 ), counted AS (
   SELECT doc_id, n_tokens, n_chars, n, gram,
@@ -3086,10 +3123,14 @@ WITH units AS (
          list(pos ORDER BY pos) AS ps
   FROM grams GROUP BY doc_id, n_tokens, n_chars, n, gram
 ), top_long AS (
+  -- the MOST FREQUENT gram's char mass: lexicographic struct max =
+  -- argmax by count, count ties resolve to the larger mass
   SELECT doc_id,
          'top_' || n::VARCHAR || 'gram_char_frac' AS metric,
-         LEAST(1.0, MAX(cnt * clen)::DOUBLE
-                    / GREATEST(MIN(n_chars), 1)) AS frac
+         LEAST(1.0,
+               (MAX(struct_pack(cnt := cnt, mass := cnt * clen)).mass)
+                 ::DOUBLE
+               / GREATEST(MIN(n_chars), 1)) AS frac
   FROM counted WHERE n <= 4 GROUP BY doc_id, n
 ), duppos AS (
   SELECT doc_id, n_tokens, n, unnest(ps) AS pos

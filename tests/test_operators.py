@@ -6519,8 +6519,11 @@ class TestGopherRepetition:
         for n in range(2, 5):
             c = Counter(tuple(words[i:i + n])
                         for i in range(len(words) - n + 1))
-            mass = max(
-                (k * len(" ".join(g)) for g, k in c.items()), default=0)
+            # the MOST FREQUENT gram's char mass (argmax by count,
+            # count ties resolve to the larger mass)
+            _, mass = max(
+                ((k, k * len(" ".join(g))) for g, k in c.items()),
+                default=(0, 0))
             out[f"top_{n}gram_char_frac"] = min(
                 1.0, mass / max(n_chars, 1))
         for n in range(5, 11):
