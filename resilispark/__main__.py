@@ -1357,6 +1357,24 @@ def cmd_sketch_report(args) -> int:
             print("error: --values got no candidate values "
                   f"({args.values!r})", file=sys.stderr)
             return 2
+    modes = [
+        name
+        for name, on in (
+            ("--values", getattr(args, "values", None) is not None),
+            ("--quantiles", getattr(args, "quantiles", None) is not None),
+            ("--topk", getattr(args, "topk", None) is not None),
+            ("--histogram", bool(getattr(args, "histogram", False))),
+        )
+        if on
+    ]
+    if len(modes) > 1:
+        # one report per invocation: combining modes would run the
+        # FIRST branch and silently ignore the rest (e.g. --values
+        # --topk --snapshot printed merged CMS estimates while
+        # appearing to honor the snapshot scope)
+        print(f"error: pick one report mode, got {' '.join(modes)}",
+              file=sys.stderr)
+        return 2
     snap = getattr(args, "snapshot", None)
     if snap is not None and getattr(args, "quantiles", None) is None and (
         getattr(args, "topk", None) is None

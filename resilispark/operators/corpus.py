@@ -679,6 +679,20 @@ def bucket_by_quantiles(
         thresholds = quantile_thresholds(
             docs, col, cuts, capacity=capacity
         )
+    elif len(thresholds) != len(labels) - 1:
+        # zip() below would silently truncate and mislabel whole
+        # buckets (one threshold + three labels drops 'middle')
+        raise ValueError(
+            f"need len(thresholds) == len(labels)-1, got "
+            f"{len(thresholds)} thresholds for {len(labels)} labels"
+        )
+    elif any(
+        a is not None and b is not None and a > b
+        for a, b in zip(thresholds, thresholds[1:])
+    ):
+        raise ValueError(
+            f"thresholds must be ascending, got {list(thresholds)}"
+        )
     if any(t is None for t in thresholds):
         # empty corpus (the summary had no values): nothing to rank
         return docs.withColumn("bucket", F.lit(None).cast("string"))

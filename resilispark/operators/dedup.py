@@ -21,12 +21,9 @@ from pyspark.sql import functions as F
 
 from resilispark.operators.gramhash import (
     GRAM_BASE_A,
-    GRAM_BASE_B,
     GRAM_MOD_A,
-    GRAM_MOD_B,
-    digest_hashes,
     gram_polyfold,
-    word_digests,
+    word_hashes,
 )
 
 
@@ -465,48 +462,43 @@ def paragraph_dedup(
     )
 
 
-def _token_grams(ha: Column, hb: Column, n: int) -> Column:
-    """0-based ``(pos, ga, gb)`` structs — dual word-hash polynomial
-    n-gram keys (operators/gramhash.py); empty when the doc has fewer
-    than ``n`` tokens.
+def _token_grams(wh: Column, n: int) -> Column:
+    """0-based ``(pos, gram)`` structs — word-hash polynomial n-gram
+    keys (operators/gramhash.py); empty when the doc has fewer than
+    ``n`` tokens.
 
-    md5 runs exactly ONCE per word (both key legs slice the same
-    digest); each leg folds adjacent word hashes with its own
-    (base, mod), for an effective ~114-bit corpus-wide key — the
-    replacement for md5-ing each gram STRING, which pushed ~n x the
-    document's bytes through md5 and was the suite's second-worst
-    sf1 scale slope.
+    md5 runs exactly ONCE per word; the gram key is the left fold of
+    the window's word hashes — the replacement for md5-ing each gram
+    STRING, which pushed ~n x the document's bytes through md5 and was
+    the suite's second-worst sf1 scale slope (measured: the fold kernel
+    is ~1.4x faster than the string-md5 one at sf0.1 AND the shuffle
+    key shrinks from a 32-char string to one bigint).
 
-    ``ha``/``hb`` MUST be materialized column references (not inline
-    hash expressions): lambda bodies sit outside common-subexpression
-    elimination, so an inline transform here would re-hash the doc
-    once per fold level."""
-    ga = gram_polyfold(ha, n, base=GRAM_BASE_A, mod=GRAM_MOD_A)
-    gb = gram_polyfold(hb, n, base=GRAM_BASE_B, mod=GRAM_MOD_B)
-    zipped = F.zip_with(
-        ga, gb, lambda a, b: F.struct(a.alias("ga"), b.alias("gb"))
-    )
+    Collision budget of the single ~57-bit field for a CORPUS-wide key:
+    with G distinct grams, the chance a given position's key collides
+    with any other gram is ~G/2.3e17 — at a 100 TB crawl's ~1e12 grams
+    that falsely marks ~4e-6 of positions duplicated, orders of
+    magnitude below the noise of the fuzzy-dedup stages around it (a
+    false hit masks one 5-token window; it never drops a document).
+
+    ``wh`` MUST be a materialized column reference (not the inline hash
+    expression): lambda bodies sit outside common-subexpression
+    elimination, so an inline transform here would re-hash the doc once
+    per fold level."""
+    g = gram_polyfold(wh, n, base=GRAM_BASE_A, mod=GRAM_MOD_A)
     # 2-arg transform lambda: (element, ARRAY INDEX) = the gram position
     return F.transform(
-        zipped,
-        lambda s, i: F.struct(
-            i.alias("pos"), s["ga"].alias("ga"), s["gb"].alias("gb")
-        ),
+        g, lambda h, i: F.struct(i.alias("pos"), h.alias("gram"))
     )
 
 
-def _dual_hash_words(df: DataFrame, id_col: str, words: Column) -> DataFrame:
-    """``(id, _w, _ha, _hb)`` with the md5 digest array materialized in
-    its OWN projection so both hash slices read one hashing pass."""
+def _hash_words(df: DataFrame, id_col: str, words: Column) -> DataFrame:
+    """``(id, _w, _wh)`` with the word-hash array materialized in its
+    OWN projection so md5 runs once per word."""
     return df.select(
         F.col(id_col), words.alias("_w")
     ).select(
-        F.col(id_col), "_w", word_digests(F.col("_w")).alias("_m")
-    ).select(
-        F.col(id_col),
-        "_w",
-        digest_hashes(F.col("_m")).alias("_ha"),
-        digest_hashes(F.col("_m"), hex_offset=9).alias("_hb"),
+        F.col(id_col), "_w", word_hashes(F.col("_w")).alias("_wh")
     )
 
 
@@ -524,10 +516,11 @@ def duplicate_span_coverage(
     (smaller ``id_col``).
 
     The paper builds a corpus-wide suffix array; the distributed
-    spelling is a gram join: explode every n-token span to a dual
-    word-hash polynomial key (O(tokens) rows, no quadratic stage; md5
-    runs once per WORD, not once per gram string — see
-    operators/gramhash.py), find each gram's first document with a
+    spelling is a gram join: explode every n-token span to a word-hash
+    polynomial key (O(tokens) rows, no quadratic stage; md5 runs once
+    per WORD, not once per gram string — see operators/gramhash.py and
+    the collision bound on :func:`_token_grams`), find each gram's
+    first document with a
     partial-aggregated ``min`` (skew-immune: a gram repeated across
     millions of docs collapses map-side before the shuffle), join
     back, and count the distinct token positions the duplicated spans
@@ -537,23 +530,19 @@ def duplicate_span_coverage(
     Returns (id, n_tokens, dup_tokens, coverage) for every doc with at
     least one duplicated span; coverage is rounded to 4 places.
     """
-    pre = _dual_hash_words(
+    pre = _hash_words(
         df, id_col, F.split(F.trim(F.col(text_col)), r"\s+")
     )
     base = pre.select(
         F.col(id_col),
         F.size("_w").cast("bigint").alias("n_tokens"),
-        F.explode(
-            _token_grams(F.col("_ha"), F.col("_hb"), span_tokens)
-        ).alias("g"),
+        F.explode(_token_grams(F.col("_wh"), span_tokens)).alias("g"),
     ).select(
         id_col, "n_tokens", F.col("g.pos").alias("pos"),
-        F.col("g.ga").alias("ga"), F.col("g.gb").alias("gb"),
+        F.col("g.gram").alias("gram"),
     )
-    firsts = base.groupBy("ga", "gb").agg(F.min(id_col).alias("_first"))
-    dup = base.join(firsts, ["ga", "gb"]).filter(
-        F.col(id_col) > F.col("_first")
-    )
+    firsts = base.groupBy("gram").agg(F.min(id_col).alias("_first"))
+    dup = base.join(firsts, "gram").filter(F.col(id_col) > F.col("_first"))
     # union of the fixed-length spans via sorted interval merge: with
     # sorted start positions p_1..p_k each covering [p_i, p_i+n), the
     # union size is Σ min(n, p_{i+1}-p_i) + n — pure codegen over the
@@ -603,19 +592,17 @@ def mask_duplicate_spans(
     Returns (id, text, n_tokens, dup_tokens) for EVERY input doc.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    toks = _dual_hash_words(df, id_col, words).select(
+    toks = _hash_words(df, id_col, words).select(
         F.col(id_col),
         "_w",
-        F.explode(
-            _token_grams(F.col("_ha"), F.col("_hb"), span_tokens)
-        ).alias("g"),
+        F.explode(_token_grams(F.col("_wh"), span_tokens)).alias("g"),
     ).select(
         id_col, "_w", F.col("g.pos").alias("pos"),
-        F.col("g.ga").alias("ga"), F.col("g.gb").alias("gb"),
+        F.col("g.gram").alias("gram"),
     )
-    firsts = toks.groupBy("ga", "gb").agg(F.min(id_col).alias("_first"))
+    firsts = toks.groupBy("gram").agg(F.min(id_col).alias("_first"))
     covered = (
-        toks.join(firsts, ["ga", "gb"])
+        toks.join(firsts, "gram")
         .filter(F.col(id_col) > F.col("_first"))
         .select(
             id_col,

@@ -287,6 +287,14 @@ def hits(
     if max_iterations < 1:
         raise ValueError(
             f"max_iterations must be >= 1, got {max_iterations}")
+    if tol is not None and max_iterations < 2:
+        # the L1 delta needs TWO completed rounds to be measured, so a
+        # 1-round tol run would unconditionally raise 'did not
+        # converge' — even on a graph already at the fixed point
+        raise ValueError(
+            "convergence detection (tol) needs max_iterations >= 2; "
+            "use tol=None for a fixed 1-round budget"
+        )
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()

@@ -1552,29 +1552,23 @@ def d10_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_D10 = """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
-), dig AS (
-  -- ONE md5 per word; both key legs slice the same digest
-  -- (operators/gramhash.py dual-fold gram keys)
-  SELECT doc_id, len(w)::BIGINT AS n_tokens,
-         list_transform(w, x -> md5(x)) AS ms
-  FROM toks
 ), hh AS (
-  SELECT doc_id, n_tokens,
-         list_transform(ms, m -> ('0x' || substr(m, 1, 8))::BIGINT) AS ha,
-         list_transform(ms, m -> ('0x' || substr(m, 9, 8))::BIGINT) AS hb
-  FROM dig
+  -- ONE md5 per WORD; gram keys are polynomial folds of adjacent word
+  -- hashes (operators/gramhash.py GRAM_BASE_A/GRAM_MOD_A)
+  SELECT doc_id, len(w)::BIGINT AS n_tokens,
+         list_transform(w, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)
+           AS hs
+  FROM toks
 ), grams AS (
   SELECT doc_id, n_tokens, p,
-         list_reduce(ha[p+1:p+5],
-                     (a, b) -> (a * 31 + b) % 230000000000000119) AS ga,
-         list_reduce(hb[p+1:p+5],
-                     (a, b) -> (a * 37 + b) % 230000000000000189) AS gb
-  FROM hh, LATERAL (SELECT unnest(range(0, greatest(len(ha) - 4, 0))) AS p)
+         list_reduce(hs[p+1:p+5],
+                     (a, b) -> (a * 31 + b) % 230000000000000119) AS g
+  FROM hh, LATERAL (SELECT unnest(range(0, greatest(len(hs) - 4, 0))) AS p)
 ), firsts AS (
-  SELECT ga, gb, min(doc_id) AS first_doc FROM grams GROUP BY ga, gb
+  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
 ), dup AS (
   SELECT grams.doc_id, grams.n_tokens, grams.p
-  FROM grams JOIN firsts USING (ga, gb)
+  FROM grams JOIN firsts USING (g)
   WHERE grams.doc_id > firsts.first_doc
 ), covered AS (
   SELECT DISTINCT doc_id, n_tokens, unnest(range(p, p + 5)) AS tok FROM dup
@@ -1805,27 +1799,23 @@ def d11_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_D11 = """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
-), dig AS (
-  SELECT doc_id, list_transform(w, x -> md5(x)) AS ms FROM toks
 ), hh AS (
   SELECT doc_id,
-         list_transform(ms, m -> ('0x' || substr(m, 1, 8))::BIGINT) AS ha,
-         list_transform(ms, m -> ('0x' || substr(m, 9, 8))::BIGINT) AS hb
-  FROM dig
+         list_transform(w, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)
+           AS hs
+  FROM toks
 ), grams AS (
   SELECT doc_id, p,
-         list_reduce(ha[p+1:p+5],
-                     (a, b) -> (a * 31 + b) % 230000000000000119) AS ga,
-         list_reduce(hb[p+1:p+5],
-                     (a, b) -> (a * 37 + b) % 230000000000000189) AS gb
-  FROM hh, LATERAL (SELECT unnest(range(0, greatest(len(ha) - 4, 0))) AS p)
+         list_reduce(hs[p+1:p+5],
+                     (a, b) -> (a * 31 + b) % 230000000000000119) AS g
+  FROM hh, LATERAL (SELECT unnest(range(0, greatest(len(hs) - 4, 0))) AS p)
 ), firsts AS (
-  SELECT ga, gb, min(doc_id) AS first_doc FROM grams GROUP BY ga, gb
+  SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
 ), cut AS (
   SELECT doc_id, list(DISTINCT tok) AS cuts
   FROM (
     SELECT grams.doc_id, unnest(range(p, p + 5)) AS tok
-    FROM grams JOIN firsts USING (ga, gb)
+    FROM grams JOIN firsts USING (g)
     WHERE grams.doc_id > firsts.first_doc
   )
   GROUP BY doc_id

@@ -1934,6 +1934,14 @@ def test_cli_sketch_report_snapshot_scoping(tmp_path, spark, capsys):
     rc = main(["sketch-report", store, "--snapshot", "c1"])
     assert rc == 2
     assert "--snapshot applies" in capsys.readouterr().err
+    # report modes are mutually exclusive: --values --topk --snapshot
+    # used to run the --values branch (merged CMS estimates) while
+    # appearing to honor the snapshot scope
+    rc = main(["sketch-report", store, "--values", "alpha.example",
+               "--topk", "5", "--snapshot", "c1"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "one report mode" in err and "--values" in err
     # a typoed label is a loud error, not an empty crawl
     import pytest as _pytest
 

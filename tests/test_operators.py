@@ -6382,6 +6382,12 @@ class TestQuantileBuckets:
                                 labels=("a", "b", "c"))
         with _pytest.raises(ValueError, match="ascending"):
             bucket_by_quantiles(docs, "ppl", cuts=(0.7, 0.3))
+        # an explicit thresholds list is validated too — zip() would
+        # silently truncate and mislabel the 'middle' bucket as 'tail'
+        with _pytest.raises(ValueError, match="thresholds"):
+            bucket_by_quantiles(docs, "ppl", thresholds=[1.0])
+        with _pytest.raises(ValueError, match="ascending"):
+            bucket_by_quantiles(docs, "ppl", thresholds=[2.0, 1.0])
 
 
 class TestHits:
@@ -6444,8 +6450,13 @@ class TestHits:
             [(1, 2), (2, 3), (3, 1)], "src long, dst long")
         rows = hits(e, max_iterations=50, tol=1e-10).collect()
         assert len(rows) == 3
+        # asymmetric graph, impossibly tight tol, minimum round budget
+        # that can measure a delta at all (tol + max_iterations=1 is a
+        # ValueError now — the delta needs two completed rounds)
+        e2 = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3)], "src long, dst long")
         with _pytest.raises(RuntimeError, match="did not converge"):
-            hits(e, max_iterations=1, tol=1e-12)
+            hits(e2, max_iterations=2, tol=1e-18)
 
 
 class TestRound7ReviewFixes:
@@ -6472,6 +6483,13 @@ class TestRound7ReviewFixes:
         e = spark.createDataFrame([(1, 2)], "src long, dst long")
         with _pytest.raises(ValueError, match="max_iterations"):
             hits(e, max_iterations=0, tol=None)
+        # tol needs two completed rounds to measure a delta; a 1-round
+        # tol run used to raise 'did not converge' even at a fixed
+        # point — now it's a clear up-front error, and tol=None keeps
+        # the fixed-1-round budget working
+        with _pytest.raises(ValueError, match="max_iterations >= 2"):
+            hits(e, max_iterations=1, tol=1e-6)
+        assert hits(e, max_iterations=1, tol=None).count() == 2
 
 
 class TestGopherRepetition:
