@@ -307,6 +307,28 @@ def main() -> None:
             if groups != n_groups:
                 big_labels.add(label)
 
+        # sidecar-LESS parallel gz scan (r8): a foreign .warc.gz with
+        # no CDXJ index fans out via executor-validated member-boundary
+        # scanning — the path a third-party 100 TB archive actually
+        # hits; compare against warc_scan_gz (unsplit) and
+        # warc_scan_gz_split (indexed)
+        noidx = f"{bdir}/bench-{groups}.noindex.warc.gz"
+        if not os.path.exists(noidx):
+            import shutil as _shutil
+
+            _shutil.copy(f"{bdir}/bench-{groups}.warc.gz", noidx)
+        scan_df = (
+            spark.read.format("warc")
+            .option("split_bytes", str(forced_split))
+            .load(noidx)
+        )
+        scan_df.write.mode("overwrite").format("noop").save()
+        timings[f"warc_scan_gz_noindex_split_{n_records}_recs"] = timed_median(
+            lambda: scan_df.write.mode("overwrite").format("noop").save()
+        )
+        if groups != n_groups:
+            big_labels.add(f"warc_scan_gz_noindex_split_{n_records}_recs")
+
     bdir = ensure_bench_fixture(n_groups)
     n_records = 3 * n_groups + 2
     gz_path = f"{bdir}/bench-{n_groups}.warc.gz"

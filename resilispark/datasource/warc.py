@@ -167,6 +167,10 @@ class _WarcPartition(InputPartition):
     path: str
     start: int
     end: int  # exclusive; records STARTING in [start, end) belong here
+    # False = a sidecar-less compressed range: the EXECUTOR finds the
+    # first member boundary itself (scan_gzip_members) instead of the
+    # planner promising start is member-aligned
+    aligned: bool = True
 
 
 def _read_first_member(fs, path: str, start: int, size: int,
@@ -218,6 +222,10 @@ class WarcDataSourceReader(DataSourceReader):
         self.strict = self._bool_opt("strict", False)
         split = self.options.get("split_bytes")
         self.split_bytes = int(split) if split else _TARGET_SPLIT_BYTES
+        # sidecar-less gzip splitting (executor-side member-boundary
+        # scan); see scan_gzip_members for the validation contract and
+        # the one documented hazard
+        self.member_scan = self._bool_opt("member_scan", True)
         off = self.options.get("offset")
         self.offset = int(off) if off is not None else None
         # T3/R5: per-partition offset-resume against flaky streams
@@ -303,21 +311,29 @@ class WarcDataSourceReader(DataSourceReader):
         return offs or None
 
     @staticmethod
-    def _infer_compressed(path: str, fs) -> bool:
+    def _infer_codec(path: str, fs) -> str | None:
         """Codec for SPLIT PLANNING from the file extension, head-sniff
         only for unrecognized names — the driver must not issue a
         ranged GET per file across a million-object corpus. A
         mislabeled file stays correct: the executor-side read()
         re-sniffs the actual magic, so a compressed file planned as
         plain fails LOUDLY at the member-boundary check and a plain
-        file planned as compressed merely scans unsplit."""
+        file planned as compressed merely scans unsplit (or, for a
+        member-scan range, finds no boundary and yields nothing while
+        the start-of-file range covers everything)."""
         low = path.lower()
-        if low.endswith((".gz", ".gzip", ".lz4")):
-            return True
+        if low.endswith((".gz", ".gzip")):
+            return "gzip"
+        if low.endswith(".lz4"):
+            return "lz4"
         if low.endswith((".warc", ".arc", ".txt")):
-            return False
+            return None
         head = fs.read_head(path, 8)
-        return head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC)
+        if head.startswith(GZIP_MAGIC):
+            return "gzip"
+        if head.startswith(LZ4_MAGIC):
+            return "lz4"
+        return None
 
     def partitions(self) -> list[_WarcPartition]:
         parts: list[_WarcPartition] = []
@@ -331,7 +347,8 @@ class WarcDataSourceReader(DataSourceReader):
             size = getattr(self, "_sizes", {}).get(p)
             if size is None:
                 size = fs.size(p)
-            if self._infer_compressed(p, fs):
+            codec = self._infer_codec(p, fs)
+            if codec is not None:
                 offs = self._sidecar_offsets(p)  # gzip AND lz4 members split at indexed offsets
                 if offs and size > self.split_bytes:
                     # split at member boundaries listed by the index:
@@ -347,9 +364,31 @@ class WarcDataSourceReader(DataSourceReader):
                     for s, e in zip(bounds, bounds[1:]):
                         if e > s:
                             parts.append(_WarcPartition(p, s, e))
+                elif (
+                    codec == "gzip"
+                    and self.member_scan
+                    and size > self.split_bytes
+                ):
+                    # no index: fixed byte ranges, and each EXECUTOR
+                    # task locates its first member boundary itself
+                    # (scan_gzip_members) — a foreign multi-GiB
+                    # .warc.gz without sidecars fans out instead of
+                    # serializing one file on one core.  A file that
+                    # turns out single-member still reads correctly:
+                    # the range containing offset 0 decodes everything,
+                    # the others find no boundary and yield nothing.
+                    n_splits = max(1, size // self.split_bytes)
+                    step = (size + n_splits - 1) // n_splits
+                    for s in range(0, size, step):
+                        parts.append(
+                            _WarcPartition(
+                                p, s, min(s + step, size), aligned=False
+                            )
+                        )
                 else:
-                    # no index: whole file is one partition (member
-                    # boundaries are only discoverable by decompressing)
+                    # LZ4 without an index: whole file is one partition
+                    # (frame boundaries are only discoverable by
+                    # decompressing; index once to split)
                     parts.append(_WarcPartition(p, 0, size))
             else:
                 n_splits = max(1, size // self.split_bytes)
@@ -417,7 +456,24 @@ class WarcDataSourceReader(DataSourceReader):
             keep_payload=self.keep_payload,
         )
         point = partition.end == partition.start + 1
-        if self.retry_count and not point:
+        if not partition.aligned:
+            # sidecar-less compressed range: the boundary scan IS the
+            # read (validated member decode, yielding members that
+            # START in [start, end) — the tail member completes with
+            # ranged reads past end)
+            from resilispark.io.warc import scan_gzip_members
+
+            streams = scan_gzip_members(
+                fs, partition.path, partition.start, partition.end, size
+            )
+            record_iter = (
+                rec
+                for base, plain in streams
+                for rec in iter_warc_bytes(
+                    plain, stream_pos_base=base, **kwargs
+                )
+            )
+        elif self.retry_count and not point:
             # R5: resume this partition's scan from the last good record
             # offset on stream failure, instead of re-running the whole
             # task (matters for flaky object stores)

@@ -649,6 +649,133 @@ def _iter_gzip_members(data: bytes) -> Iterator[tuple[int, bytes]]:
         pos += consumed
 
 
+#: gzip magic + the deflate method byte — the 3-byte member-start
+#: candidate the sidecar-less splitter scans for (matching only the
+#: 2-byte magic would triple the false-candidate rate for free).
+_GZ_CANDIDATE = b"\x1f\x8b\x08"
+
+
+def scan_gzip_members(
+    fs,
+    path: str,
+    start: int,
+    end: int,
+    file_size: int,
+    *,
+    chunk: int = 1 << 20,
+) -> Iterator[tuple[int, bytes]]:
+    """Yield ``(abs_offset, plain)`` for every gzip member STARTING in
+    ``[start, end)`` of a member-compressed WARC — WITHOUT any side
+    index.  This is what makes a FOREIGN ``.warc.gz`` corpus (no CDXJ
+    sidecars) splittable: each task scans its own byte range for
+    member boundaries instead of the whole file reading on one core.
+
+    Boundary detection: scan for the 3-byte gzip-header candidate,
+    then VALIDATE by decoding the full member — the deflate stream
+    must terminate cleanly, zlib must verify the member's CRC32 +
+    ISIZE trailer, and the decompressed payload must start with the
+    ``WARC/`` version line.  A false candidate (the magic appearing
+    inside compressed data, ~one per 16 MiB) fails one of the three
+    within a few bytes of inflate work.  After a member validates, the
+    scan resumes at its END, so candidates INSIDE members are never
+    probed — exactly the member chain a from-the-start decode yields.
+
+    The reference re-syncs mid-stream by scanning for the 2-byte gzip
+    magic alone (fastwarc stream_io.pyx:561-591 member framing /
+    warc.pyx re-sync); this validation is strictly stronger.  The one
+    residual hazard (shared with the reference, documented here for
+    honesty): a COMPLETE valid gzip-compressed WARC record embedded
+    verbatim inside another record's payload (e.g. a crawl that
+    archived a .warc.gz file, stored raw because already-compressed
+    bytes deflate to stored blocks) reachable from a partition start
+    without crossing the enclosing member's start would re-yield the
+    embedded records.  Corpora where that matters should index once
+    (``write_cdxj_sidecars``) or scan with ``member_scan=false``.
+
+    The member straddling ``end`` belongs to this range (it STARTS
+    here) and is completed with ``chunk``-sized ranged reads past
+    ``end`` — the next partition's scan skips it because no candidate
+    VALIDATES mid-member.
+    """
+    if start >= end:
+        return
+    # +2 slack: a member may START at end-1 with its 3-byte candidate
+    # (and header) extending past the range boundary
+    buf = bytearray(
+        fs.read_range(path, start, min(end - start + 2, file_size - start))
+    )
+    have_to = start + len(buf)
+
+    def _extend() -> bool:
+        nonlocal have_to
+        if have_to >= file_size:
+            return False
+        n = min(chunk, file_size - have_to)
+        buf.extend(fs.read_range(path, have_to, n))
+        have_to += n
+        return True
+
+    limit = end - start  # members must BEGIN before this buffer index
+    pos = 0
+    while pos < limit:
+        q = buf.find(_GZ_CANDIDATE, pos)
+        if q < 0 or q >= limit:
+            return
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out: list[bytes] = []
+        total_out = 0
+        prefix_ok = False
+        p = q
+        bad = False
+        truncated = False
+        try:
+            while not d.eof:
+                if p >= len(buf) and not _extend():
+                    truncated = True
+                    break
+                # feed chunked: the wholesale-slice feed is O(range²)
+                # over member count (every unused byte re-copied per
+                # member).  Until the WARC/ prefix is confirmed, cap
+                # the OUTPUT too, so a false candidate that happens to
+                # inflate never blows the rest of the buffer into
+                # garbage before the 5-byte check can reject it.
+                step = min(4096 if not out else 64 * 1024, len(buf) - p)
+                fed = bytes(buf[p : p + step])
+                p += step
+                while True:
+                    piece = d.decompress(fed, 256 if not prefix_ok else 0)
+                    if piece:
+                        out.append(piece)
+                        total_out += len(piece)
+                    if not prefix_ok and total_out >= 5:
+                        if b"".join(out).startswith(b"WARC/"):
+                            prefix_ok = True
+                        else:
+                            bad = True
+                            break
+                    fed = d.unconsumed_tail
+                    if not fed or d.eof:
+                        break
+                if bad:
+                    break
+        except zlib.error:
+            bad = True
+        if bad or (not d.eof and not (truncated and prefix_ok)):
+            # invalid candidate (or truncated garbage): resume the scan
+            # one byte past the magic
+            pos = q + 1
+            continue
+        plain = b"".join(out)
+        if not plain.startswith(b"WARC/"):
+            pos = q + 1
+            continue
+        yield start + q, plain
+        if not d.eof:
+            return  # tolerated truncated trailing member (non-strict)
+        consumed = (p - q) - len(d.unused_data) - len(d.unconsumed_tail)
+        pos = q + max(consumed, 1)
+
+
 def decode_warc_stream(data: bytes) -> Iterator[tuple[int, bytes]]:
     """Negotiate compression and yield (stream_pos_base, plain_bytes)
     chunks, one per compression member (or one for the whole stream)."""

@@ -146,6 +146,105 @@ def test_cdxj_sidecars_multi_file_distributed(spark, fixture_dir, tmp_path):
     assert split.count() == 150
 
 
+def test_sidecarless_gz_split_invariance(spark, fixture_dir, tmp_path):
+    """A FOREIGN multi-member .warc.gz (no CDXJ sidecar anywhere) must
+    split into executor-scanned ranges and yield the identical record
+    set as the single-partition scan — the 100 TB third-party-archive
+    path (member boundaries found by validated decode, not an index)."""
+    import shutil
+
+    gz = str(tmp_path / "foreign-50.warc.gz")
+    shutil.copy(f"{fixture_dir}/golden-50.warc.gz", gz)
+    unsplit = _load_path(spark, gz, member_scan="false")
+    assert unsplit.rdd.getNumPartitions() == 1
+    split = _load_path(spark, gz, split_bytes=2048)
+    assert split.rdd.getNumPartitions() > 3
+    a = sorted((r.record_id, r.stream_pos)
+               for r in unsplit.select("record_id", "stream_pos").collect())
+    b = sorted((r.record_id, r.stream_pos)
+               for r in split.select("record_id", "stream_pos").collect())
+    assert a == b and len(a) == 50
+
+
+def test_sidecarless_split_single_member_file(spark, fixture_dir, tmp_path):
+    """A single-stream gzip (NOT member-per-record) planned as scan
+    ranges must still read every record exactly once: the range
+    containing offset 0 decodes the whole stream, the others find no
+    boundary and yield nothing."""
+    import gzip as _gzip
+
+    raw = open(f"{fixture_dir}/golden-50.warc", "rb").read()
+    mono = str(tmp_path / "mono.warc.gz")
+    with open(mono, "wb") as f:
+        f.write(_gzip.compress(raw))
+    df = _load_path(spark, mono, split_bytes=512)
+    assert df.rdd.getNumPartitions() > 3
+    assert df.count() == 50
+    assert df.select("record_id").distinct().count() == 50
+
+
+def test_scan_gzip_members_rejects_false_candidates(tmp_path):
+    """Adversarial stored-block members: gzip level 0 copies payload
+    bytes verbatim into the compressed stream, so a payload carrying
+    the 3-byte gzip candidate (and even a fake header + 'WARC/' tail)
+    plants false boundaries mid-member.  The validated scan must yield
+    exactly the true member chain from EVERY starting range."""
+    import gzip as _gzip
+    import io as _io
+
+    from resilispark.io.fs import LocalFS
+    from resilispark.io.warc import scan_gzip_members
+
+    def member(body: bytes, level: int) -> bytes:
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb",
+                            compresslevel=level, mtime=0) as g:
+            g.write(body)
+        return buf.getvalue()
+
+    def rec(i: int, payload: bytes) -> bytes:
+        return (
+            f"WARC/1.0\r\nWARC-Record-ID: <urn:uuid:r{i}>\r\n"
+            f"WARC-Type: resource\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode() + payload + b"\r\n\r\n"
+
+    # payload 1: raw gzip candidate + fake deflate garbage
+    trap1 = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03" + b"\x55" * 64
+    # payload 2: a fake header whose 'inflate' would even start with
+    # WARC/ if zlib accepted it (it must fail the stream/CRC checks)
+    trap2 = b"\x1f\x8b\x08" + b"\x00" * 7 + b"WARC/1.0\r\n" + b"\xaa" * 32
+    members = [
+        member(rec(0, trap1), 0),          # stored blocks: traps verbatim
+        member(rec(1, b"clean body 1"), 6),
+        member(rec(2, trap2), 0),
+        member(rec(3, b"clean body 3"), 6),
+    ]
+    data = b"".join(members)
+    p = str(tmp_path / "trap.warc.gz")
+    open(p, "wb").write(data)
+    # the raw stream really does contain false candidates beyond the
+    # member starts (the premise of the test)
+    true_starts = []
+    off = 0
+    for m in members:
+        true_starts.append(off)
+        off += len(m)
+    n_candidates = data.count(b"\x1f\x8b\x08")
+    assert n_candidates > len(members)
+
+    fs = LocalFS()
+    size = len(data)
+    # full-range scan reproduces the true chain exactly
+    got = [o for o, _ in scan_gzip_members(fs, p, 0, size, size)]
+    assert got == true_starts
+    # every possible split point yields each member exactly once
+    for cut in range(1, size, 97):
+        left = [o for o, _ in scan_gzip_members(fs, p, 0, cut, size)]
+        right = [o for o, _ in scan_gzip_members(fs, p, cut, size, size)]
+        assert left + right == true_starts, f"cut={cut}"
+
+
 def test_surt_key_py_matches_column_kernel(spark):
     """The driver-side SURT replica (lookup_captures' probe path) must
     be bit-for-bit the column kernel — battery of named edge cases
@@ -462,9 +561,17 @@ def test_stale_cdxj_sidecar_ignored(spark, fixture_dir, tmp_path):
     # "rewrite" the warc after indexing
     time.sleep(0.05)
     os.utime(gz, None)
-    df = _load_path(spark, gz, split_bytes=2048)
+    # stale offsets must not drive ALIGNED planning; with member_scan
+    # off that means one unsplit partition...
+    df = _load_path(spark, gz, split_bytes=2048, member_scan="false")
     assert df.rdd.getNumPartitions() == 1  # sidecar ignored
     assert df.count() == 50
+    # ...and the default falls back to executor-validated scan ranges,
+    # which cannot trust the stale offsets either (boundaries are
+    # re-discovered by decode, so the read stays exact)
+    df2 = _load_path(spark, gz, split_bytes=2048)
+    assert df2.rdd.getNumPartitions() > 1
+    assert df2.count() == 50
 
 
 def test_lz4_scan_and_point_extract(spark, fixture_dir, tmp_path):

@@ -570,7 +570,7 @@ def test_extension_inference_sniffs_unknown_names(fixture_dir, tmp_path):
     # unknown extension -> falls back to the head sniff
     odd = tmp_path / "mystery.bin"
     shutil.copy(f"{fixture_dir}/golden-50.warc.gz", odd)
-    assert WarcDataSourceReader._infer_compressed(str(odd), LocalFS())
+    assert WarcDataSourceReader._infer_codec(str(odd), LocalFS()) == "gzip"
     plain = tmp_path / "mystery2.dat"
     shutil.copy(f"{fixture_dir}/golden-50.warc", plain)
-    assert not WarcDataSourceReader._infer_compressed(str(plain), LocalFS())
+    assert WarcDataSourceReader._infer_codec(str(plain), LocalFS()) is None
