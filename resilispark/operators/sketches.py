@@ -851,13 +851,75 @@ def quantile_summary(
     return vals.mapInPandas(summarize, "value double, w bigint")
 
 
+def _prereduce_quantile_summary(
+    summary: DataFrame, capacity: int, groups: int = 32
+) -> DataFrame:
+    """ONE Spark-side merge level between per-task summaries and the
+    driver collect: repartition the summary rows to ``groups`` and
+    merge/compress inside each group, bounding the final collect at
+    ``groups × (capacity + 2)`` rows no matter how many tasks produced
+    summaries — a 100k-task crawl at capacity 1024 would otherwise put
+    ~10⁸ rows on the driver.
+
+    Exactness: a group whose distinct values stay ≤ capacity merges by
+    coalesce alone (no compress, no added error), so when the WHOLE
+    summary is in the exact regime the driver sees the same item
+    multiset and every reported quantile stays exact."""
+    import numpy as np
+    import pandas as pd
+
+    def merge(batches):
+        vals: list = []
+        wts: list = []
+        err = 0
+        for pdf in batches:
+            mask = pdf["value"].notna()
+            err += int(pdf.loc[~mask, "w"].sum())
+            vals.append(pdf.loc[mask, "value"].to_numpy(dtype=np.float64))
+            wts.append(pdf.loc[mask, "w"].to_numpy(dtype=np.int64))
+        if vals:
+            v = np.concatenate(vals)
+            w = np.concatenate(wts)
+            order = np.argsort(v, kind="mergesort")
+            v, w = _coalesce_sorted(v[order], w[order])
+            v, w, add = _compress_quantile_items(v, w, capacity)
+            err += add
+        else:
+            v = np.empty(0, dtype=np.float64)
+            w = np.empty(0, dtype=np.int64)
+        yield pd.DataFrame(
+            {
+                "value": np.concatenate((v, [np.nan])),
+                "w": np.concatenate((w, [err])).astype(np.int64),
+            }
+        )
+
+    return summary.repartition(groups).mapInPandas(
+        merge, "value double, w bigint"
+    )
+
+
+#: Above this many upstream partitions the driver merge inserts the
+#: Spark-side pre-merge level; below it the direct collect is already
+#: bounded (≤ threshold × (capacity + 2) rows) and skipping the extra
+#: shuffle + Python pass keeps small-corpus latency flat.
+_PREREDUCE_PARTITION_THRESHOLD = 256
+
+
 def _merge_summary_quantiles(summary: DataFrame, capacity: int):
     """Merge quantile summary rows into one driver-side summary:
     ``(values ndarray, weights ndarray, n, err)``.  Like the MG merge,
     the summary is persisted so the item rows and the error rows come
-    from ONE execution of the (stateful) mapInPandas pass."""
+    from ONE execution of the (stateful) mapInPandas pass.
+
+    The collect is driver-bounded: past
+    ``_PREREDUCE_PARTITION_THRESHOLD`` upstream partitions, one
+    Spark-side pre-merge level (:func:`_prereduce_quantile_summary`)
+    caps it at ~32 × (capacity + 2) rows regardless of task count."""
     import numpy as np
 
+    if summary.rdd.getNumPartitions() > _PREREDUCE_PARTITION_THRESHOLD:
+        summary = _prereduce_quantile_summary(summary, capacity)
     s = summary.persist()
     try:
         err = int(

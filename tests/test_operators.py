@@ -6184,6 +6184,42 @@ class TestQuantileSketches:
         assert got[0.9].value == 2 * 900 - 1
         assert got[1.0].value == 2 * 1000 - 1
 
+    def test_many_partition_merge_is_driver_bounded(self, spark):
+        """Past the pre-reduce threshold the driver collect is capped
+        at ~32 x (capacity+2) rows no matter how many tasks produced
+        summaries — and the exact regime stays EXACT through the extra
+        merge level (groups below capacity never compress)."""
+        from pyspark.sql import functions as F
+
+        from resilispark.operators.sketches import (
+            _PREREDUCE_PARTITION_THRESHOLD,
+            _prereduce_quantile_summary,
+            quantile_summary,
+            quantiles,
+        )
+
+        n = 2000
+        docs = spark.range(0, n).select(
+            (F.col("id") * 2 + 1).cast("double").alias("v")
+        ).repartition(_PREREDUCE_PARTITION_THRESHOLD + 44)
+        # exact regime end-to-end across >threshold partitions
+        got = {r.q: r for r in quantiles(
+            docs, "v", (0.25, 0.5, 1.0), capacity=4096).collect()}
+        assert all(r.err_bound == 0 and r.n == n for r in got.values())
+        assert got[0.25].value == 2 * 500 - 1
+        assert got[0.5].value == 2 * 1000 - 1
+        assert got[1.0].value == 2 * n - 1
+        # the pre-reduced summary itself respects the row bound even in
+        # the compressed regime (capacity far below the distinct count)
+        cap = 64
+        summ = _prereduce_quantile_summary(
+            quantile_summary(docs, "v", capacity=cap), cap)
+        rows = summ.collect()
+        assert len(rows) <= 32 * (cap + 2)
+        # mass conservation through the extra level: item weights plus
+        # nothing lost (error mass is a rank bound, not dropped weight)
+        assert sum(r.w for r in rows if r.value is not None) == n
+
     def test_nulls_and_nans_dropped(self, spark):
         from resilispark.operators.sketches import quantiles
 
