@@ -648,6 +648,19 @@ def cmd_curate(args) -> int:
             )
         print(f"{'updated' if store_exists else 'initialized'} dedup store "
               f"{args.dedup_store}")
+    # the five sketch flags all read the SHIPPED corpus; with more than
+    # one set, cache the read-back once so the output parquet is
+    # scanned a single time instead of once per store
+    _n_sketch_flags = sum(
+        bool(getattr(args, k, None))
+        for k in ("cardinality_sketch", "histogram_sketch",
+                  "frequency_sketch", "topk_sketch", "quantile_sketch")
+    )
+    _sketch_src = _read_output
+    _sketch_cached = None
+    if _n_sketch_flags > 1:
+        _sketch_cached = _read_output().persist()
+        _sketch_src = lambda: _sketch_cached  # noqa: E731
     if getattr(args, "cardinality_sketch", None):
         # persist this snapshot's HLL sketches (few KB): corpus-wide
         # distinct counts and crawl-over-crawl overlap later come from
@@ -657,7 +670,7 @@ def cmd_curate(args) -> int:
         # the store/index instead of dying on the duplicate label.
         from resilispark.operators.sketches import write_snapshot_sketch
 
-        shipped = _read_output()
+        shipped = _sketch_src()
         sketch_cols = {"content_digest": F.md5(F.col("text"))}
         if "url" in shipped.columns:
             sketch_cols["url"] = F.col("url")
@@ -676,7 +689,7 @@ def cmd_curate(args) -> int:
         # distribution drift across crawls from the stored bin rows
         from resilispark.operators.sketches import write_snapshot_histogram
 
-        shipped = _read_output()
+        shipped = _sketch_src()
         hist_cols = {"n_chars": F.length("text")}
         if "n_bpe_tokens" in shipped.columns:
             hist_cols["n_bpe_tokens"] = F.col("n_bpe_tokens")
@@ -695,7 +708,7 @@ def cmd_curate(args) -> int:
         # watchlist for cap_per_host tuning, zero corpus reads
         from resilispark.operators.sketches import write_snapshot_cms
 
-        shipped = _read_output()
+        shipped = _sketch_src()
         if "url" not in shipped.columns:
             print("frequency sketch skipped: corpus has no url column")
         else:
@@ -717,7 +730,7 @@ def cmd_curate(args) -> int:
         # — the discovery sibling of the count-min point probe
         from resilispark.operators.sketches import write_snapshot_topk
 
-        shipped = _read_output()
+        shipped = _sketch_src()
         if "url" not in shipped.columns:
             print("top-k sketch skipped: corpus has no url column")
         else:
@@ -739,7 +752,7 @@ def cmd_curate(args) -> int:
         # percentiles across all crawls from the stored items alone
         from resilispark.operators.sketches import write_snapshot_quantiles
 
-        shipped = _read_output()
+        shipped = _sketch_src()
         appended = write_snapshot_quantiles(
             shipped.withColumn("n_chars", F.length("text").cast("double")),
             args.quantile_sketch,
@@ -749,6 +762,8 @@ def cmd_curate(args) -> int:
             f"{'appended quantile sketch to' if appended else 'quantile sketch already recorded in'} "
             f"{args.quantile_sketch}"
         )
+    if _sketch_cached is not None:
+        _sketch_cached.unpersist()
     if args.pack:
         from resilispark.operators.packing import emit_sequences
 

@@ -1754,6 +1754,47 @@ def test_cli_curate_quantile_sketch_and_report(tmp_path, spark, capsys):
     assert main(["sketch-report", store, "--quantiles", "1.5"]) == 2
 
 
+def test_cli_curate_all_sketch_flags_one_cached_scan(tmp_path, spark, capsys):
+    """All five sketch flags on one curate run: the shipped corpus is
+    read back ONCE (cached) and every store still lands with the same
+    contents the flag-at-a-time path writes."""
+    from pyspark.sql import functions as F
+
+    from resilispark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "word " * (20 + i), "en", "web",
+          f"http://h{i % 3}.example/p{i}") for i in range(12)],
+        "doc_id long, text string, lang string, source string, url string",
+    ).write.mode("overwrite").parquet(src)
+    stores = {k: str(tmp_path / k) for k in
+              ("card", "hist", "freq", "topk", "quant")}
+    rc = main(["--cpus", "4", "curate", src,
+               "-o", str(tmp_path / "corpus"),
+               "--no-quality", "--keep-pii",
+               "--cardinality-sketch", stores["card"],
+               "--histogram-sketch", stores["hist"],
+               "--frequency-sketch", stores["freq"],
+               "--topk-sketch", stores["topk"],
+               "--quantile-sketch", stores["quant"]])
+    assert rc == 0
+    out = capsys.readouterr().out
+    for phrase in ("appended cardinality sketch",
+                   "appended histogram sketch",
+                   "appended frequency sketch",
+                   "appended top-k sketch",
+                   "appended quantile sketch"):
+        assert phrase in out
+    # stores are readable and sized by the shipped corpus
+    for name in ("hist", "topk", "quant"):
+        assert spark.read.parquet(stores[name]).count() > 0
+    hosts = spark.read.parquet(stores["topk"]) \
+        .where(F.col("value").isNotNull())
+    assert {r.value for r in hosts.select("value").collect()} == {
+        "h0.example", "h1.example", "h2.example"}
+
+
 def test_cli_curate_ccnet_buckets(tmp_path, spark):
     """--ccnet-buckets tags every doc head/middle/tail by seed-LM
     perplexity instead of filtering; nothing is dropped."""

@@ -146,6 +146,63 @@ def test_cdxj_sidecars_multi_file_distributed(spark, fixture_dir, tmp_path):
     assert split.count() == 150
 
 
+def test_writer_warcinfo_record_shape(spark, fixture_dir, tmp_path):
+    """Golden pin on the writer's warcinfo lead record (the one S9
+    feature t18/t19 only exercise implicitly): header set and order,
+    application/warc-fields body round-tripping byte-exact, a valid
+    urn:uuid record id deterministic in (body, filename), verified
+    digests, and offset 0 in every part file."""
+    body = "software: resilispark\r\nformat: WARC File Format 1.0\r\n"
+    src = _load(spark, fixture_dir).filter("record_type = 'response'")
+    out = str(tmp_path / "with-info")
+    (
+        src.coalesce(1).write.format("warc")
+        .option("warcinfo", body)
+        .option("warcinfo_date", "2024-06-01T00:00:00Z")
+        .mode("append")
+        .save(out)
+    )
+    back = (
+        spark.read.format("warc")
+        .option("verify_digests", "true")
+        .load(out + "/part-*.warc.gz")
+    )
+    rows = back.collect()
+    assert sum(1 for r in rows if r.record_type == "warcinfo") == 1
+    info = next(r for r in rows if r.record_type == "warcinfo")
+    assert info.stream_pos == 0
+    assert not info.is_http
+    hdrs = [(h["key"], h["value"]) for h in info.headers]
+    keys = [k for k, _ in hdrs]
+    assert keys == [
+        "WARC-Type", "WARC-Record-ID", "WARC-Date", "WARC-Filename",
+        "Content-Type", "WARC-Block-Digest", "Content-Length",
+    ] or keys[:5] == [
+        "WARC-Type", "WARC-Record-ID", "WARC-Date", "WARC-Filename",
+        "Content-Type",
+    ]
+    h = dict(hdrs)
+    assert h["WARC-Type"] == "warcinfo"
+    assert h["WARC-Date"] == "2024-06-01T00:00:00Z"
+    assert h["WARC-Filename"] == info.filename
+    assert h["Content-Type"] == "application/warc-fields"
+    import re as _re
+
+    assert _re.fullmatch(
+        r"<urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}"
+        r"-[0-9a-f]{12}>", h["WARC-Record-ID"])
+    # deterministic in (body, filename): md5 of their concatenation
+    import hashlib as _hashlib
+
+    d = _hashlib.md5((body + info.filename).encode()).hexdigest()
+    assert h["WARC-Record-ID"] == (
+        f"<urn:uuid:{d[:8]}-{d[8:12]}-{d[12:16]}-{d[16:20]}-{d[20:32]}>")
+    # warc-fields body round-trips byte-exact; the digest verified
+    assert bytes(info.payload) == body.encode("utf-8")
+    assert info.block_digest_ok is True
+    assert info.content_length == len(body.encode("utf-8"))
+
+
 def test_sidecarless_gz_split_invariance(spark, fixture_dir, tmp_path):
     """A FOREIGN multi-member .warc.gz (no CDXJ sidecar anywhere) must
     split into executor-scanned ranges and yield the identical record
