@@ -203,16 +203,42 @@ ORDER BY warc_version, has_dup_header
 def w08_split_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5-style byte-range splitting: forcing ~8 KiB splits on the plain
     fixture must yield the identical record set (no drops/dupes at split
-    boundaries — the seek-align invariant of beam/textio.py:189-193)."""
-    df = _warc(spark, compressed=False, split_bytes="8192")
-    return df.agg(
-        F.count(F.lit(1)).alias("n_records"),
-        F.countDistinct("record_id").alias("n_distinct_ids"),
+    boundaries — the seek-align invariant of beam/textio.py:189-193) —
+    and the r8 sidecar-LESS gzip leg: the same file as a foreign
+    .warc.gz with NO CDXJ index, split into executor-scanned ranges
+    (io/warc.py scan_gzip_members), must land the identical set too."""
+    import shutil
+    import tempfile
+
+    from resilispark.io.fixtures import ensure_fixture_dir
+
+    plain = _warc(spark, compressed=False, split_bytes="8192")
+    d = ensure_fixture_dir()
+    tmp = tempfile.mkdtemp(prefix="resilispark-w08-")
+    gz = tmp + "/noindex-50.warc.gz"
+    shutil.copy(f"{d}/golden-50.warc.gz", gz)
+    scan = spark.read.format("warc").option("split_bytes", "2048").load(gz)
+
+    def agg(df, method):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("record_id").alias("n_distinct_ids"),
+        ).select(F.lit(method).alias("method"), "n_records",
+                 "n_distinct_ids")
+
+    return (
+        agg(plain, "plain_range")
+        .unionByName(agg(scan, "gz_member_scan"))
+        .orderBy("method")
     )
 
 
 ORACLE_W08 = """
-SELECT CAST(50 AS BIGINT) AS n_records, CAST(50 AS BIGINT) AS n_distinct_ids
+SELECT * FROM (VALUES
+  ('gz_member_scan', CAST(50 AS BIGINT), CAST(50 AS BIGINT)),
+  ('plain_range',    CAST(50 AS BIGINT), CAST(50 AS BIGINT)))
+  t(method, n_records, n_distinct_ids)
+ORDER BY method
 """
 
 
