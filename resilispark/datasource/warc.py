@@ -364,19 +364,16 @@ class WarcDataSourceReader(DataSourceReader):
                     for s, e in zip(bounds, bounds[1:]):
                         if e > s:
                             parts.append(_WarcPartition(p, s, e))
-                elif (
-                    codec == "gzip"
-                    and self.member_scan
-                    and size > self.split_bytes
-                ):
+                elif self.member_scan and size > self.split_bytes:
                     # no index: fixed byte ranges, and each EXECUTOR
                     # task locates its first member boundary itself
-                    # (scan_gzip_members) — a foreign multi-GiB
-                    # .warc.gz without sidecars fans out instead of
-                    # serializing one file on one core.  A file that
-                    # turns out single-member still reads correctly:
-                    # the range containing offset 0 decodes everything,
-                    # the others find no boundary and yield nothing.
+                    # (scan_gzip_members / scan_lz4_members) — a
+                    # foreign multi-GiB archive without sidecars fans
+                    # out instead of serializing one file on one core.
+                    # A file that turns out single-member still reads
+                    # correctly: the range containing offset 0 decodes
+                    # everything, the others find no boundary and
+                    # yield nothing.
                     n_splits = max(1, size // self.split_bytes)
                     step = (size + n_splits - 1) // n_splits
                     for s in range(0, size, step):
@@ -386,9 +383,7 @@ class WarcDataSourceReader(DataSourceReader):
                             )
                         )
                 else:
-                    # LZ4 without an index: whole file is one partition
-                    # (frame boundaries are only discoverable by
-                    # decompressing; index once to split)
+                    # member_scan off / small file: one partition
                     parts.append(_WarcPartition(p, 0, size))
             else:
                 n_splits = max(1, size // self.split_bytes)
@@ -461,9 +456,12 @@ class WarcDataSourceReader(DataSourceReader):
             # read (validated member decode, yielding members that
             # START in [start, end) — the tail member completes with
             # ranged reads past end)
-            from resilispark.io.warc import scan_gzip_members
+            if head.startswith(LZ4_MAGIC):
+                from resilispark.io.lz4f import scan_lz4_members as _scan
+            else:
+                from resilispark.io.warc import scan_gzip_members as _scan
 
-            streams = scan_gzip_members(
+            streams = _scan(
                 fs, partition.path, partition.start, partition.end, size
             )
             record_iter = (

@@ -184,6 +184,131 @@ def _decompress_one(data: bytes, pos: int) -> tuple[bytes, int]:
     return bytes(out), pos
 
 
+class _NeedMore(Exception):
+    """The buffer ends before the frame does — fetch more bytes."""
+
+
+def _frame_extent(buf, q: int) -> int | None:
+    """End offset (exclusive) of the LZ4 frame starting at ``buf[q]``,
+    walking the descriptor + block sizes WITHOUT decoding.  ``None``
+    when the bytes are not a coherent frame head: wrong version,
+    reserved bits set, block-max-size code outside 4..7, a block
+    larger than the declared maximum, or a failed xxh32 HEADER
+    CHECKSUM (the descriptor's own 1-byte integrity field — the cheap
+    strong validator a boundary scan leans on).  Raises
+    :class:`_NeedMore` when the buffer ends before the frame does."""
+    n = len(buf)
+    if q + 7 > n:
+        raise _NeedMore
+    flg = buf[q + 4]
+    bd = buf[q + 5]
+    if (flg >> 6) != 1 or (flg & 0x02):
+        return None
+    if bd & 0x8F:
+        return None
+    bs_code = (bd >> 4) & 0x07
+    if bs_code < 4:
+        return None
+    block_max = 1 << (8 + 2 * bs_code)  # 4 -> 64 KiB ... 7 -> 4 MiB
+    desc_len = 2 + (8 if flg & 0x08 else 0) + (4 if flg & 0x01 else 0)
+    if q + 4 + desc_len + 1 > n:
+        raise _NeedMore
+    desc = bytes(buf[q + 4 : q + 4 + desc_len])
+    hc = buf[q + 4 + desc_len]
+    if ((xxh32(desc) >> 8) & 0xFF) != hc:
+        return None
+    p = q + 4 + desc_len + 1
+    b_checksum = bool(flg & 0x10)
+    while True:
+        if p + 4 > n:
+            raise _NeedMore
+        (bsize,) = struct.unpack_from("<I", buf, p)
+        p += 4
+        if bsize == 0:  # EndMark
+            break
+        size = bsize & 0x7FFFFFFF
+        if size > block_max:
+            return None
+        p += size + (4 if b_checksum else 0)
+        if p > n:
+            raise _NeedMore
+    if flg & 0x04:  # content checksum
+        p += 4
+        if p > n:
+            raise _NeedMore
+    return p
+
+
+def scan_lz4_members(
+    fs,
+    path: str,
+    start: int,
+    end: int,
+    file_size: int,
+    *,
+    chunk: int = 1 << 20,
+):
+    """Yield ``(abs_offset, content)`` for every LZ4 frame STARTING in
+    ``[start, end)`` — the sidecar-less splitter's LZ4 leg (see
+    io/warc.py scan_gzip_members for the gzip twin and the shared
+    contract).  Candidate = the 4-byte frame magic; validation =
+    coherent descriptor + xxh32 HEADER checksum + block-size walk to a
+    clean EndMark + (when the frame carries one) the xxh32 CONTENT
+    checksum + the decoded payload starting with ``WARC/``.  The frame
+    straddling ``end`` belongs to this range and is completed with
+    ranged reads past it; a truncated tail frame (file cut mid-frame)
+    is dropped, matching the strict frame walk of decompress_members.
+    """
+    if start >= end:
+        return
+    buf = bytearray(
+        fs.read_range(path, start, min(end - start + 3, file_size - start))
+    )
+    have_to = start + len(buf)
+
+    def _extend() -> bool:
+        nonlocal have_to
+        if have_to >= file_size:
+            return False
+        n = min(chunk, file_size - have_to)
+        buf.extend(fs.read_range(path, have_to, n))
+        have_to += n
+        return True
+
+    limit = end - start
+    pos = 0
+    while pos < limit:
+        q = buf.find(LZ4_FRAME_MAGIC, pos)
+        if q < 0 or q >= limit:
+            return
+        while True:
+            try:
+                ext = _frame_extent(buf, q)
+                break
+            except _NeedMore:
+                if not _extend():
+                    return  # truncated tail frame: dropped
+        if ext is None:
+            pos = q + 1
+            continue
+        frame = bytes(buf[q:ext])
+        try:
+            content, _ = _decompress_one(frame, 0)
+        except (ValueError, IndexError, struct.error):
+            pos = q + 1
+            continue
+        if frame[4] & 0x04:  # verify the content checksum too
+            (want,) = struct.unpack_from("<I", frame, len(frame) - 4)
+            if xxh32(content) != want:
+                pos = q + 1
+                continue
+        if not content.startswith(b"WARC/"):
+            pos = q + 1
+            continue
+        yield start + q, content
+        pos = ext
+
+
 def decompress_members(data: bytes):
     """Yield (byte_offset, content) per concatenated LZ4 frame — the
     member-per-record layout analog of gzip members."""

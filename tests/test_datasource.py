@@ -240,6 +240,76 @@ def test_sidecarless_split_single_member_file(spark, fixture_dir, tmp_path):
     assert df.select("record_id").distinct().count() == 50
 
 
+def test_sidecarless_lz4_split_invariance(spark, fixture_dir, tmp_path):
+    """The LZ4 twin of the gz member-scan split: a foreign .warc.lz4
+    with no sidecar fans out via frame-header-checksum-validated
+    boundary scanning and yields the identical record set."""
+    from resilispark.io.fixtures import build_golden_records
+    from resilispark.io.warc import write_warc
+
+    lz = str(tmp_path / "foreign-50.warc.lz4")
+    write_warc(build_golden_records(), lz, compression="lz4",
+               checksum_data=False)
+    unsplit = _load_path(spark, lz, member_scan="false")
+    assert unsplit.rdd.getNumPartitions() == 1
+    split = _load_path(spark, lz, split_bytes=2048)
+    assert split.rdd.getNumPartitions() > 3
+    a = sorted((r.record_id, r.stream_pos)
+               for r in unsplit.select("record_id", "stream_pos").collect())
+    b = sorted((r.record_id, r.stream_pos)
+               for r in split.select("record_id", "stream_pos").collect())
+    assert a == b and len(a) == 50
+
+
+def test_scan_lz4_members_rejects_false_candidates(tmp_path):
+    """Adversarial stored-block LZ4 frames: compress_stored copies
+    payload bytes verbatim, so a payload carrying the 4-byte frame
+    magic (and a full fake descriptor) plants false candidates.  The
+    header-checksum + block-walk + WARC-prefix validation must yield
+    exactly the true frame chain from every starting range."""
+    from resilispark.io.fs import LocalFS
+    from resilispark.io.lz4f import compress_stored, scan_lz4_members, xxh32
+
+    def rec(i: int, payload: bytes) -> bytes:
+        return (
+            f"WARC/1.0\r\nWARC-Record-ID: <urn:uuid:r{i}>\r\n"
+            f"WARC-Type: resource\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode() + payload + b"\r\n\r\n"
+
+    # trap 1: magic + garbage descriptor (header checksum can't match)
+    trap1 = b"\x04\x22\x4d\x18" + b"\x64\x40\x00" + b"\x99" * 40
+    # trap 2: magic + VALID descriptor (correct header checksum) but
+    # garbage blocks after it — the block walk / decode must reject
+    desc = bytes([0x40, 0x40])
+    hc = (xxh32(desc) >> 8) & 0xFF
+    trap2 = b"\x04\x22\x4d\x18" + desc + bytes([hc]) + b"\xff\xff\xff\x7f"
+    frames = [
+        compress_stored(rec(0, trap1)),
+        compress_stored(rec(1, b"clean body 1")),
+        compress_stored(rec(2, trap2)),
+        compress_stored(rec(3, b"clean body 3")),
+    ]
+    data = b"".join(frames)
+    p = str(tmp_path / "trap.warc.lz4")
+    open(p, "wb").write(data)
+    true_starts = []
+    off = 0
+    for f in frames:
+        true_starts.append(off)
+        off += len(f)
+    assert data.count(b"\x04\x22\x4d\x18") > len(frames)
+
+    fs = LocalFS()
+    size = len(data)
+    got = [o for o, _ in scan_lz4_members(fs, p, 0, size, size)]
+    assert got == true_starts
+    for cut in range(1, size, 89):
+        left = [o for o, _ in scan_lz4_members(fs, p, 0, cut, size)]
+        right = [o for o, _ in scan_lz4_members(fs, p, cut, size, size)]
+        assert left + right == true_starts, f"cut={cut}"
+
+
 def test_scan_gzip_members_rejects_false_candidates(tmp_path):
     """Adversarial stored-block members: gzip level 0 copies payload
     bytes verbatim into the compressed stream, so a payload carrying
