@@ -153,22 +153,57 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: Universal-hash family for MinHash: h_s(x) = (A_s·x + B_s) mod P31
+#: over the 31-bit shingle base hash.  P31 is prime, so every (A, B)
+#: with A ≠ 0 is a bijection of the field; the per-family constants are
+#: md5-derived (deterministic across runs/engines, any family count).
+_MINHASH_P31 = 2147483647  # 2^31 - 1, prime
+
+
+def _minhash_ab(s: int) -> tuple[int, int]:
+    import hashlib
+
+    a = int(hashlib.md5(f"minhash-a-{s}".encode()).hexdigest()[:8], 16)
+    b = int(hashlib.md5(f"minhash-b-{s}".encode()).hexdigest()[:8], 16)
+    return a % (_MINHASH_P31 - 1) + 1, b % _MINHASH_P31
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, *, num_hashes: int = 8, shingle_k: int = 3
 ) -> DataFrame:
-    """Per-doc MinHash signature columns h0..h{n-1} (md5-hex min per
-    seeded hash family — engine-portable and deterministic)."""
-    sh = (
-        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
-        .select(
-            F.col(id_col),
-            F.explode(_shingles(F.col("_w"), shingle_k)).alias("shingle"),
-        )
-        .distinct()
-    )
+    """Per-doc MinHash signature columns h0..h{n-1} — engine-portable
+    and deterministic.
+
+    Hashing shape (the dominant cost of the whole LSH chain): md5 runs
+    exactly ONCE per word; a shingle's base hash is the polynomial fold
+    of its window's word hashes mod 2³¹−1 (operators/gramhash.py); each
+    of the ``num_hashes`` families is one universal-hash transform
+    ``(A_s·x + B_s) mod P`` — integer codegen, versus the previous
+    spelling's ``num_hashes`` md5 digests over every shingle STRING
+    (~8× the document's bytes through md5).  Signatures are 31-bit
+    ints: min-collision probability between unrelated docs is
+    ~shingles/2³¹ — negligible, and the d04-style pipelines verify
+    candidates with exact Jaccard anyway."""
+    from resilispark.operators.gramhash import word_hashes
+
+    P = F.lit(_MINHASH_P31)
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    ).select(F.col(id_col), word_hashes(F.col("_w")).alias("_wh"))
+    sh = base.select(
+        F.col(id_col),
+        F.explode(
+            gram_polyfold(
+                F.col("_wh"), shingle_k, base=GRAM_BASE_A, mod=_MINHASH_P31
+            )
+        ).alias("x"),
+    ).distinct()
+    ab = [_minhash_ab(s) for s in range(num_hashes)]
     aggs = [
-        F.min(F.md5(F.encode(F.concat(F.lit(f"{s}|"), F.col("shingle")), "UTF-8"))).alias(f"h{s}")
-        for s in range(num_hashes)
+        F.min(
+            (F.col("x") * F.lit(a) + F.lit(b)) % P
+        ).alias(f"h{s}")
+        for s, (a, b) in enumerate(ab)
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -266,7 +301,16 @@ def band_table(
             F.lit(b).alias("band_idx"),
             F.md5(
                 F.encode(
-                    F.concat(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]),
+                    # "|" separator + explicit casts: integer signature
+                    # columns (the word-hash minhash) concat safely and
+                    # (h0, h1) can never collide with (h0*10, h1/10)
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    ),
                     "UTF-8",
                 )
             ).alias("val"),
@@ -299,14 +343,20 @@ def minhash_lsh_pairs(
     pairs = lsh_bucket_pairs(bands_df, id_col, max_bucket=max_bucket)
     if jaccard_threshold is None:
         return pairs
-    sh = (
-        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
-        .select(
-            F.col(id_col),
-            F.explode(_shingles(F.col("_w"), shingle_k)).alias("shingle"),
-        )
-        .distinct()
-    )
+    # verify on 57-bit shingle fold keys instead of the shingle strings:
+    # the equi joins carry one bigint per row, and a per-pair collision
+    # needs two different shingles to fold equal (~|shingles|²/4.6e17 —
+    # immaterial next to the Jaccard threshold itself)
+    sh = _hash_words(
+        df, id_col, F.split(F.col(text_col), " ")
+    ).select(
+        F.col(id_col),
+        F.explode(
+            gram_polyfold(
+                F.col("_wh"), shingle_k, base=GRAM_BASE_A, mod=GRAM_MOD_A
+            )
+        ).alias("shingle"),
+    ).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
