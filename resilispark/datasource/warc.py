@@ -451,7 +451,9 @@ class WarcDataSourceReader(DataSourceReader):
             keep_payload=self.keep_payload,
         )
         point = partition.end == partition.start + 1
-        if not partition.aligned:
+        if not partition.aligned and (
+            head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC)
+        ):
             # sidecar-less compressed range: the boundary scan IS the
             # read (validated member decode, yielding members that
             # START in [start, end) — the tail member completes with
@@ -470,6 +472,16 @@ class WarcDataSourceReader(DataSourceReader):
                 for rec in iter_warc_bytes(
                     plain, stream_pos_base=base, **kwargs
                 )
+            )
+        elif not partition.aligned:
+            # mislabeled: planned as compressed (extension said .gz)
+            # but the actual head is neither magic — fall back to the
+            # plain byte-range scan so the file still reads completely
+            # (a member scan would find no boundary in ANY range and
+            # silently yield zero records)
+            record_iter = iter_warc_range(
+                partition.path, partition.start, partition.end,
+                file_size=size, opener=fs.open, **kwargs
             )
         elif self.retry_count and not point:
             # R5: resume this partition's scan from the last good record

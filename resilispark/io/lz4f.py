@@ -281,13 +281,19 @@ def scan_lz4_members(
         q = buf.find(LZ4_FRAME_MAGIC, pos)
         if q < 0 or q >= limit:
             return
+        ext = None
         while True:
             try:
                 ext = _frame_extent(buf, q)
                 break
             except _NeedMore:
                 if not _extend():
-                    return  # truncated tail frame: dropped
+                    # frame walk ran past EOF: either a genuinely
+                    # truncated tail frame (nothing after it validates)
+                    # or a FALSE candidate whose bogus block sizes
+                    # point past the file — resume at q+1 so real
+                    # frames later in the range are not dropped
+                    break
         if ext is None:
             pos = q + 1
             continue

@@ -184,8 +184,6 @@ def minhash_signatures(
     ints: min-collision probability between unrelated docs is
     ~shingles/2³¹ — negligible, and the d04-style pipelines verify
     candidates with exact Jaccard anyway."""
-    from resilispark.operators.gramhash import word_hashes
-
     P = F.lit(_MINHASH_P31)
     base = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_w")

@@ -20,20 +20,23 @@ entirely in whole-stage-codegen integer arithmetic (``zip_with`` over
 two array slices per fold level — never ``element_at`` into the hash
 expression, which would re-derive the md5 transform per access).  The
 md5 cost drops to exactly one digest per word and DuckDB replays the
-fold token for token (``list_reduce(hs[p+1 : p+n], (a, b) ->
-(a*BASE + b) % MOD)``), so the oracle gates stay hash-green.
+fold token for token (:func:`duckdb_gram_fold_sql`), so the oracle
+gates stay hash-green.
 
 Collision budget: word hashes are 32-bit md5 slices, the fold mixes
-them into a field of size MOD ~ 2.3e17 (primes just under the
+them into a field of size MOD ~ 2.3e17 (a prime just under the
 largest modulus for which ``(MOD-1)*BASE + 2^32`` still fits a signed
-64-bit int at BASE 37 — Spark 4 runs ANSI mode, so intermediate
-products must never overflow).  Within one document (the Gopher
-repetition counters) a 5k-gram doc collides with probability ~5e-11.
-For CORPUS-wide keys (the duplicate-span gram join, where a trillion
-distinct grams meet) one 57-bit field is not enough: pair TWO
-independent folds — a second 32-bit slice of the SAME md5 digest
-(chars 9..16, zero extra hashing) folded with a different
-(base, mod) — for an effective ~114-bit key.
+64-bit int — Spark 4 runs ANSI mode, so intermediate products must
+never overflow).  Within one document (the Gopher repetition
+counters) a 5k-gram doc collides with probability ~5e-11.  For
+CORPUS-wide keys the single ~57-bit field is a deliberate, DOCUMENTED
+trade: at a 100 TB crawl's ~1e12 distinct grams, any given position's
+key collides with some other gram with probability ~1e12/2.3e17 ≈
+4e-6 — for the duplicate-span join that falsely marks ~4 token
+positions per million duplicated (never drops a document), orders of
+magnitude below the noise of the fuzzy-dedup stages around it.
+Callers whose false-positive budget is tighter should md5 the gram
+strings instead and pay the hashing.
 
 Reference intent: fastwarc/resiliparse have no gram machinery; this
 serves the Lee et al. 2021 exact-substring dedup and Rae et al. 2021
@@ -45,21 +48,17 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Fold parameters.  Both moduli are PRIME (Miller-Rabin verified) and
-#: satisfy (MOD-1)*BASE + 2^32 < 2^63 - 1 for BASE up to 37, so every
-#: intermediate of the fold stays inside a signed 64-bit int in both
-#: Spark (ANSI) and DuckDB.
+#: Fold parameters.  The modulus is PRIME (Miller-Rabin verified) and
+#: satisfies (MOD-1)*BASE + 2^32 < 2^63 - 1, so every intermediate of
+#: the fold stays inside a signed 64-bit int in both Spark (ANSI) and
+#: DuckDB.
 GRAM_MOD_A = 230000000000000119
-GRAM_MOD_B = 230000000000000189
 GRAM_BASE_A = 31
-GRAM_BASE_B = 37
 
 
 def word_hashes(words: Column, *, hex_offset: int = 1) -> Column:
     """``array<bigint>`` of per-word 32-bit hashes: md5 hex chars
-    ``[hex_offset, hex_offset+8)`` as an unsigned int.  ``hex_offset=9``
-    yields a second hash INDEPENDENT of the default for free (same
-    digest, different slice) — the second leg of a dual-fold key.
+    ``[hex_offset, hex_offset+8)`` as an unsigned int.
 
     The caller MUST materialize the result as a real column (its own
     projection) before fanning out into per-order folds: lambda bodies
@@ -70,25 +69,6 @@ def word_hashes(words: Column, *, hex_offset: int = 1) -> Column:
         words,
         lambda w: F.conv(
             F.substring(F.md5(w), hex_offset, 8), 16, 10
-        ).cast("bigint"),
-    )
-
-
-def word_digests(words: Column) -> Column:
-    """``array<string>`` of per-word md5 hex digests — the ONE hashing
-    pass a dual-fold key needs.  Materialize this as a real column,
-    then take both 32-bit slices from it with :func:`digest_hashes`;
-    calling :func:`word_hashes` twice would run md5 twice per word."""
-    return F.transform(words, lambda w: F.md5(w))
-
-
-def digest_hashes(digests: Column, *, hex_offset: int = 1) -> Column:
-    """``array<bigint>`` 32-bit slice of pre-computed md5 hex digests
-    (see :func:`word_digests`)."""
-    return F.transform(
-        digests,
-        lambda m: F.conv(
-            F.substring(m, hex_offset, 8), 16, 10
         ).cast("bigint"),
     )
 
@@ -120,27 +100,11 @@ def gram_polyfold(
     return g
 
 
-def gram_lenfold(wlen: Column, order: int) -> Column:
-    """``array<bigint>`` of per-position gram CHAR lengths — the length
-    of the space-joined gram string, computed as arithmetic over word
-    lengths (sum of the window's word lengths + ``order - 1``
-    separators) instead of building the string."""
-    if order < 1:
-        raise ValueError(f"order must be >= 1, got {order}")
-    cnt = F.greatest(F.size(wlen) - F.lit(order - 1), F.lit(0))
-    c = F.slice(wlen, 1, cnt)
-    for k in range(2, order + 1):
-        c = F.zip_with(
-            c, F.slice(wlen, k, cnt), lambda a, b: a + F.lit(1) + b
-        )
-    return c
-
-
 def duckdb_gram_fold_sql(
     hs_slice: str, *, base: int = GRAM_BASE_A, mod: int = GRAM_MOD_A
 ) -> str:
     """The DuckDB spelling of the SAME fold over a list slice
-    expression (e.g. ``"hs[pos + 1 : pos + n]"``) — kept here so the
-    oracle SQL strings and the Spark kernel can never drift apart on
-    the constants."""
+    expression (e.g. ``"hs[pos + 1 : pos + n]"``).  The t20/d10/d11
+    oracle strings are BUILT from this helper, so the oracle SQL and
+    the Spark kernel cannot drift apart on the constants."""
     return f"list_reduce({hs_slice}, (a, b) -> (a * {base} + b) % {mod})"

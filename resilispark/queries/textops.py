@@ -1561,8 +1561,7 @@ WITH toks AS (
   FROM toks
 ), grams AS (
   SELECT doc_id, n_tokens, p,
-         list_reduce(hs[p+1:p+5],
-                     (a, b) -> (a * 31 + b) % 230000000000000119) AS g
+         __GRAM_FOLD_P5__ AS g
   FROM hh, LATERAL (SELECT unnest(range(0, greatest(len(hs) - 4, 0))) AS p)
 ), firsts AS (
   SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
@@ -1806,8 +1805,7 @@ WITH toks AS (
   FROM toks
 ), grams AS (
   SELECT doc_id, p,
-         list_reduce(hs[p+1:p+5],
-                     (a, b) -> (a * 31 + b) % 230000000000000119) AS g
+         __GRAM_FOLD_P5__ AS g
   FROM hh, LATERAL (SELECT unnest(range(0, greatest(len(hs) - 4, 0))) AS p)
 ), firsts AS (
   SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
@@ -3101,8 +3099,7 @@ WITH units AS (
        (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) n(n)
 ), grams AS (
   SELECT doc_id, n_tokens, n_chars, n, pos,
-         list_reduce(hs[pos + 1 : pos + n],
-                     (a, b) -> (a * 31 + b) % 230000000000000119) AS gram,
+         __GRAM_FOLD_POS__ AS gram,
          CASE WHEN n <= 4 THEN
            list_reduce(ls[pos + 1 : pos + n], (a, b) -> a + 1 + b)
          ELSE 0 END::BIGINT AS clen
@@ -3295,6 +3292,15 @@ GROUP BY b.bucket
 ORDER BY b.bucket
 """
 
+
+# The gram-fold oracles are BUILT from the shared kernel constants so
+# the SQL can never drift from the Spark fold (gramhash.py).
+from resilispark.operators.gramhash import duckdb_gram_fold_sql as _fold_sql
+
+ORACLE_D10 = ORACLE_D10.replace("__GRAM_FOLD_P5__", _fold_sql("hs[p+1:p+5]"))
+ORACLE_D11 = ORACLE_D11.replace("__GRAM_FOLD_P5__", _fold_sql("hs[p+1:p+5]"))
+ORACLE_T20 = ORACLE_T20.replace(
+    "__GRAM_FOLD_POS__", _fold_sql("hs[pos + 1 : pos + n]"))
 
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,

@@ -207,16 +207,18 @@ def w08_split_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the r8 sidecar-LESS gzip leg: the same file as a foreign
     .warc.gz with NO CDXJ index, split into executor-scanned ranges
     (io/warc.py scan_gzip_members), must land the identical set too."""
+    import os
     import shutil
-    import tempfile
 
     from resilispark.io.fixtures import ensure_fixture_dir
 
     plain = _warc(spark, compressed=False, split_bytes="8192")
     d = ensure_fixture_dir()
-    tmp = tempfile.mkdtemp(prefix="resilispark-w08-")
-    gz = tmp + "/noindex-50.warc.gz"
-    shutil.copy(f"{d}/golden-50.warc.gz", gz)
+    # fixed fixture name, copied once (nothing ever writes a .cdxj for
+    # it) — a per-call mkdtemp would leak one dir + copy per gate run
+    gz = f"{d}/noindex-50.warc.gz"
+    if not os.path.exists(gz):
+        shutil.copy(f"{d}/golden-50.warc.gz", gz)
     scan = spark.read.format("warc").option("split_bytes", "2048").load(gz)
 
     def agg(df, method):

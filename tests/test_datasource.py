@@ -310,6 +310,58 @@ def test_scan_lz4_members_rejects_false_candidates(tmp_path):
         assert left + right == true_starts, f"cut={cut}"
 
 
+def test_mislabeled_plain_file_with_gz_extension_still_reads(
+        spark, fixture_dir, tmp_path):
+    """A plain WARC misnamed .warc.gz and large enough to plan as
+    member-scan ranges must fall back to the plain byte-range read on
+    the executor (the boundary scan would find no gzip candidate in
+    any range and silently yield zero records)."""
+    import shutil
+
+    lie = str(tmp_path / "actually-plain.warc.gz")
+    shutil.copy(f"{fixture_dir}/golden-50.warc", lie)
+    df = _load_path(spark, lie, split_bytes=8192)
+    assert df.rdd.getNumPartitions() > 3  # planned as scan ranges
+    assert df.count() == 50
+    assert df.select("record_id").distinct().count() == 50
+
+
+def test_scan_lz4_false_candidate_walking_past_eof_resumes(tmp_path):
+    """A false LZ4 candidate whose (header-checksum-valid) descriptor
+    declares a block running past EOF must not abort the range scan —
+    real frames after it would be silently dropped."""
+    from resilispark.io.fs import LocalFS
+    from resilispark.io.lz4f import compress_stored, scan_lz4_members, xxh32
+
+    desc = bytes([0x40, 0x70])  # v01, block-max code 7 (4 MiB)
+    hc = (xxh32(desc) >> 8) & 0xFF
+    # declared 3 MB block — far past the end of this small file
+    trap = (b"\x04\x22\x4d\x18" + desc + bytes([hc])
+            + (3_000_000).to_bytes(4, "little"))
+    body = b"A" * 40 + trap + b"B" * 40
+    rec = (
+        f"WARC/1.0\r\nWARC-Record-ID: <urn:uuid:t>\r\n"
+        f"WARC-Type: resource\r\nContent-Length: {len(body)}\r\n\r\n"
+    ).encode() + body + b"\r\n\r\n"
+    frames = [
+        compress_stored(b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n"),
+        compress_stored(rec),           # trap rides in this payload
+        compress_stored(b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n"),
+    ]
+    data = b"".join(frames)
+    p = str(tmp_path / "eoftrap.warc.lz4")
+    open(p, "wb").write(data)
+    starts = [0, len(frames[0]), len(frames[0]) + len(frames[1])]
+    fs = LocalFS()
+    size = len(data)
+    assert [o for o, _ in scan_lz4_members(fs, p, 0, size, size)] == starts
+    # a cut inside frame 2 before the trap: the right-hand scan hits
+    # the trap first and must still find frame 3 after it
+    cut = starts[1] + 4
+    right = [o for o, _ in scan_lz4_members(fs, p, cut, size, size)]
+    assert right == [starts[2]]
+
+
 def test_scan_gzip_members_rejects_false_candidates(tmp_path):
     """Adversarial stored-block members: gzip level 0 copies payload
     bytes verbatim into the compressed stream, so a payload carrying
