@@ -610,8 +610,15 @@ def duplicate_span_coverage(
         id_col, "n_tokens", F.col("g.pos").alias("pos"),
         F.col("g.gram").alias("gram"),
     )
-    firsts = base.groupBy("gram").agg(F.min(id_col).alias("_first"))
-    dup = base.join(firsts, "gram").filter(F.col(id_col) > F.col("_first"))
+    # first-occurrence via window min, NOT groupBy+self-join: the two
+    # join branches would each recompute the whole hash+fold+explode
+    # lineage (no cross-branch CSE — measured 1.5-1.8x), and both
+    # spellings route a hyper-common gram's rows to one reducer anyway
+    # (the window buffers them with disk spill, the join streams them
+    # through one probe task — same straggler either way)
+    dup = base.withColumn(
+        "_first", F.min(id_col).over(W.partitionBy("gram"))
+    ).filter(F.col(id_col) > F.col("_first"))
     # union of the fixed-length spans via sorted interval merge: with
     # sorted start positions p_1..p_k each covering [p_i, p_i+n), the
     # union size is Σ min(n, p_{i+1}-p_i) + n — pure codegen over the
@@ -669,9 +676,12 @@ def mask_duplicate_spans(
         id_col, "_w", F.col("g.pos").alias("pos"),
         F.col("g.gram").alias("gram"),
     )
-    firsts = toks.groupBy("gram").agg(F.min(id_col).alias("_first"))
     covered = (
-        toks.join(firsts, "gram")
+        # window min, not groupBy+self-join — see
+        # duplicate_span_coverage for the recompute/skew reasoning
+        toks.withColumn(
+            "_first", F.min(id_col).over(W.partitionBy("gram"))
+        )
         .filter(F.col(id_col) > F.col("_first"))
         .select(
             id_col,
