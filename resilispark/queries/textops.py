@@ -284,29 +284,22 @@ ORDER BY doc_a, doc_b
 
 
 def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprint from word unigrams.
+    """16-bit SimHash fingerprint from word unigrams (operators/
+    dedup.py simhash).
 
     Bit j is the sign of the sum over words of ±1 according to the high
-    bit of hex digit j of md5(word). Pure column arithmetic — no UDF.
-    """
+    bit of hex digit j of md5(word). Pure column arithmetic — no UDF;
+    the operator reads the digest bit by integer shift/mask, which is
+    VALUE-identical to the oracle's substring+strpos spelling (same md5
+    bits), so the hash gate pins the equivalence."""
+    from resilispark.operators.dedup import simhash
+
     d = _docs(spark, sf_dir)
-    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word")).withColumn(
-        "wh", F.md5(F.encode("word", "UTF-8"))
+    return (
+        simhash(d, "text", "doc_id", bits=16)
+        .select("doc_id", F.col("simhash").alias("simhash16"))
+        .orderBy("doc_id")
     )
-    bit_aggs = [
-        F.sum(
-            F.when(
-                F.instr(F.lit("89abcdef"), F.substring("wh", j + 1, 1)) > 0, 1
-            ).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(16)
-    ]
-    sums = words.groupBy("doc_id").agg(*bit_aggs)
-    fp = None
-    for j in range(16):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        fp = term if fp is None else (fp + term)
-    return sums.select("doc_id", fp.cast("bigint").alias("simhash16")).orderBy("doc_id")
 
 
 _bits = " + ".join(
