@@ -32,7 +32,7 @@ PICKS = {
     "m01_image_features": "Real PNG decode path: two chained Arrow Python kernels over the parquet scan, no shuffle.",
     "m02_video_frames": "Real AVI decode + stub sampling unioned; sort only at the final output.",
     "t07_pack_stats": "Sequence packing: two-phase prefix sum — range partition on the layout order (pinned by localCheckpoint), tiny per-(partition,bucket) sums collected and broadcast back as offsets, running-sum window per (partition,bucket); layout parallelism tracks num_partitions, never capped at n_buckets.",
-    "d10_duplicate_spans": "Exact-substring dedup: gram join (AQE broadcasts the firsts side at this SF; sort-merge at scale) + covered-position aggregate — no quadratic stage.",
+    "d10_duplicate_spans": "Exact-substring dedup: ONE gram-keyed window (min doc per gram — the groupBy+self-join spelling recomputed the hash/fold/explode lineage on both branches) + covered-position aggregate; gram keys are word-hash polynomial folds, md5 once per word — no quadratic stage.",
     "q31_asof_join": "As-of join: pushed event_type filters, one hash shuffle on user_id for the union+window carry, no per-row range probe.",
     "t08_emit_sequences": "Materialized packing: two-phase prefix-sum layout (light columns only through the checkpoint) -> text joined back by id -> per-sequence fragment explode -> one reassembly aggregate; per-task state bounded by one sequence.",
     "t09_bpe_tokens": "Learned-BPE encode: ONE Arrow-batched projection with the frozen merge table riding in the UDF closure; count + md5 are codegen above it; no shuffle, sort only at output.",
@@ -55,7 +55,7 @@ PICKS = {
     "t16_quantile_store": "Quantile store readout: per-partition rank summaries via ONE mapInPandas pass (memory ~2x capacity regardless of distinct count), merge over <= partitions*(capacity+2) tiny persisted rows, LocalTableScan report — per-snapshot and merged probes read the stored items alone, never the corpus.",
     "t17_ccnet_buckets": "CCNet bucketing: one summary pass for the two thresholds (same bounded shape as t16), then the bucket CASE is codegen over literal floats — the grouped count is the only exchange; no join, no Python in the bucketing stage.",
     "g02_hits": "HITS round: hub mass forward (partial-aggregated per target) and authority mass back (per source) are the two bounded shuffles; norms are scalars to the driver, lineage cut by localCheckpoint each half-step.",
-    "t20_gopher_repetition": "Gopher repetition: ONE tagged explode covers lines+paragraphs, ONE flattened explode covers all nine gram orders; both aggregate partial-first on (doc, unit-hash) keys, the interval-union arithmetic is pure array codegen, and the metric grid join is doc-keyed — no window over corpus-sized partitions, no Python.",
+    "t20_gopher_repetition": "Gopher repetition: ONE tagged explode covers lines+paragraphs, ONE flattened explode covers all nine gram orders (keys: word-hash polynomial folds, one zip_with level per order, md5 once per WORD); both aggregate partial-first on (doc, unit-hash) keys, the interval-union arithmetic is pure array codegen, and the metric grid join is doc-keyed — no window over corpus-sized partitions, no Python.",
     "t18_wet_roundtrip": "WET round-trip read side: the conversion-record scan's record-type pushdown filters the per-file warcinfo records AT THE SOURCE; md5/length/decode are codegen over the payload column — the audited plan is the read; the write was one warc-writer pass, one file per partition.",
     "t19_wat_roundtrip": "WAT round-trip read side: metadata-record scan -> get_json_object/from_json link extraction -> explode -> host-collapse, all whole-stage codegen (no Python); distinct is the only exchange.",
 }
