@@ -237,45 +237,68 @@ ORDER BY doc_id
 
 
 def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs sharing any minhash band bucket.
+    """LSH candidate pairs: docs sharing any minhash band bucket —
+    the PRODUCTION chain (operators/dedup.py minhash_lsh_pairs, the
+    one `curate --fuzzy-dedup` runs): md5 once per WORD, 31-bit
+    shingle polynomial folds, eight universal-hash families
+    (A_s·x + B_s mod 2³¹−1), 4 bands of 2, bucket-chunked pair
+    generation (band table checkpointed once, per-bucket arrays capped
+    at max_bucket, hyper-common band values spread over chunk-pairs —
+    exact all-pairs output either way).
 
     The join key is (band_index, band_value) — this is the scale path:
-    band tables are O(n_docs), not O(n_shingles).
+    band tables are O(n_docs), not O(n_shingles).  d03 separately pins
+    the split-md5 construction the persistent dedup store uses.
     """
-    from resilispark.operators.dedup import lsh_bucket_pairs
+    from resilispark.operators.dedup import minhash_lsh_pairs
 
-    sig = d03_minhash_signatures(spark, sf_dir)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("val")) for b in range(4)])
-        ).alias("bd"),
-    ).select("doc_id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.val").alias("val"))
-    # bucket-chunked pair generation (operators/dedup.py
-    # lsh_bucket_pairs): the band table is checkpointed once (the
-    # shingle->minhash lineage never re-executes), per-bucket arrays are
-    # capped at max_bucket elements, and a hyper-common band value (many
-    # identical short docs) spreads over chunk-pairs instead of melting
-    # one reducer — exact all-pairs output either way.
-    return lsh_bucket_pairs(bands, "doc_id", max_bucket=1024).orderBy(
-        "doc_a", "doc_b"
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=8, bands=4, shingle_k=3,
+        max_bucket=1024,
+    ).orderBy("doc_a", "doc_b")
+
+
+def _duck_wordhash_minhash_ctes() -> str:
+    """The DuckDB replay of the PRODUCTION MinHash chain
+    (operators/dedup.py minhash_signatures + band_table): word hashes,
+    31-bit shingle folds, the md5-derived universal-hash families, and
+    4 bands of 2 — generated from the operator's own constants so the
+    two sides cannot drift."""
+    from resilispark.operators.dedup import _MINHASH_P31, _minhash_ab
+
+    mins = ",\n       ".join(
+        f"min((x * {a} + {b}) % {_MINHASH_P31}) AS h{s}"
+        for s, (a, b) in ((s, _minhash_ab(s)) for s in range(8))
     )
-
-
-ORACLE_D04 = f"""
-WITH sh AS (
-  SELECT doc_id, md5(unnest({_DUCK_SHINGLES})) AS mh
-  FROM documents
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(h{2 * b}::VARCHAR || '|' || h{2 * b + 1}::VARCHAR) AS val "
+        f"FROM sig"
+        for b in range(4)
+    )
+    return f"""w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), wh AS (
+  SELECT doc_id,
+         list_transform(ws, z -> ('0x' || substr(md5(z), 1, 8))::BIGINT)
+           AS hs
+  FROM w
+), sh AS (
+  SELECT DISTINCT doc_id,
+         list_reduce(hs[p+1:p+3],
+                     (a, b) -> (a * 31 + b) % {_MINHASH_P31}) AS x
+  FROM wh, LATERAL (SELECT unnest(range(0, greatest(len(hs) - 2, 0))) AS p)
 ), sig AS (
   SELECT doc_id,
-       {_h}
+       {mins}
   FROM sh GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS val FROM sig
-  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
-)
+  {bands}
+)"""
+
+
+ORACLE_D04 = f"""WITH {_duck_wordhash_minhash_ctes()}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.val = b.val AND a.doc_id < b.doc_id
@@ -1852,19 +1875,7 @@ def d13_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_D13 = f"""
-WITH RECURSIVE sh AS (
-  SELECT doc_id, md5(unnest({_DUCK_SHINGLES})) AS mh
-  FROM documents
-), sig AS (
-  SELECT doc_id,
-       {_h}
-  FROM sh GROUP BY doc_id
-), bands AS (
-  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS val FROM sig
-  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
-), pairs AS (
+WITH RECURSIVE {_duck_wordhash_minhash_ctes()}, pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.val = b.val AND a.doc_id < b.doc_id
