@@ -585,16 +585,18 @@ def duplicate_span_coverage(
     (smaller ``id_col``).
 
     The paper builds a corpus-wide suffix array; the distributed
-    spelling is a gram join: explode every n-token span to a word-hash
-    polynomial key (O(tokens) rows, no quadratic stage; md5 runs once
-    per WORD, not once per gram string — see operators/gramhash.py and
-    the collision bound on :func:`_token_grams`), find each gram's
-    first document with a
-    partial-aggregated ``min`` (skew-immune: a gram repeated across
-    millions of docs collapses map-side before the shuffle), join
-    back, and count the distinct token positions the duplicated spans
-    cover. Two hash shuffles total — gram key, then doc id — both on
-    uniform hash keys.
+    spelling: explode every n-token span to a word-hash polynomial key
+    (O(tokens) rows, no quadratic stage; md5 runs once per WORD, not
+    once per gram string — see operators/gramhash.py and the collision
+    bound on :func:`_token_grams`), find each gram's first document
+    with ONE ``min`` window over the gram key (a groupBy+self-join
+    spelling would recompute the whole hash/fold/explode lineage on
+    both branches — no cross-branch CSE), and count the distinct token
+    positions the duplicated spans cover.  Two hash shuffles total —
+    gram key, then doc id — both uniform.  Skew: a hyper-common gram's
+    rows land on one reducer under EITHER spelling; the window buffers
+    them with disk spill where a join would stream them through one
+    probe task — same straggler, half the compute here.
 
     Returns (id, n_tokens, dup_tokens, coverage) for every doc with at
     least one duplicated span; coverage is rounded to 4 places.

@@ -259,23 +259,35 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-def _duck_wordhash_minhash_ctes() -> str:
+def _duck_wordhash_minhash_ctes(
+    num_hashes: int = 8, bands: int = 4, shingle_k: int = 3
+) -> str:
     """The DuckDB replay of the PRODUCTION MinHash chain
     (operators/dedup.py minhash_signatures + band_table): word hashes,
     31-bit shingle folds, the md5-derived universal-hash families, and
-    4 bands of 2 — generated from the operator's own constants so the
-    two sides cannot drift."""
+    ``bands`` bands of ``num_hashes // bands`` — EVERY constant (fold
+    base via duckdb_gram_fold_sql, modulus, per-family A/B, window
+    size) comes from the operator's own definitions, so the two sides
+    cannot drift.  Defaults mirror the d04 gate's explicit kwargs."""
     from resilispark.operators.dedup import _MINHASH_P31, _minhash_ab
+    from resilispark.operators.gramhash import duckdb_gram_fold_sql
 
+    fold = duckdb_gram_fold_sql(
+        f"hs[p+1:p+{shingle_k}]", mod=_MINHASH_P31
+    )
     mins = ",\n       ".join(
         f"min((x * {a} + {b}) % {_MINHASH_P31}) AS h{s}"
-        for s, (a, b) in ((s, _minhash_ab(s)) for s in range(8))
+        for s, (a, b) in ((s, _minhash_ab(s)) for s in range(num_hashes))
     )
-    bands = "\n  UNION ALL ".join(
+    r = num_hashes // bands
+    band_rows = "\n  UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, "
-        f"md5(h{2 * b}::VARCHAR || '|' || h{2 * b + 1}::VARCHAR) AS val "
-        f"FROM sig"
-        for b in range(4)
+        "md5("
+        + " || '|' || ".join(
+            f"h{b * r + j}::VARCHAR" for j in range(r)
+        )
+        + ") AS val FROM sig"
+        for b in range(bands)
     )
     return f"""w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -286,15 +298,14 @@ def _duck_wordhash_minhash_ctes() -> str:
   FROM w
 ), sh AS (
   SELECT DISTINCT doc_id,
-         list_reduce(hs[p+1:p+3],
-                     (a, b) -> (a * 31 + b) % {_MINHASH_P31}) AS x
-  FROM wh, LATERAL (SELECT unnest(range(0, greatest(len(hs) - 2, 0))) AS p)
+         {fold} AS x
+  FROM wh, LATERAL (SELECT unnest(range(0, greatest(len(hs) - {shingle_k - 1}, 0))) AS p)
 ), sig AS (
   SELECT doc_id,
        {mins}
   FROM sh GROUP BY doc_id
 ), bands AS (
-  {bands}
+  {band_rows}
 )"""
 
 
