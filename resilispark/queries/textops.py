@@ -997,19 +997,7 @@ def d07_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_D07 = f"""
-WITH RECURSIVE sh AS (
-  SELECT doc_id, md5(unnest({_DUCK_SHINGLES})) AS mh
-  FROM documents
-), sig AS (
-  SELECT doc_id,
-       {_h}
-  FROM sh GROUP BY doc_id
-), bands AS (
-  SELECT doc_id, 0 AS band_idx, md5(h0 || h1) AS val FROM sig
-  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
-), pairs AS (
+WITH RECURSIVE {_duck_wordhash_minhash_ctes()}, pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.val = b.val AND a.doc_id < b.doc_id
