@@ -773,7 +773,10 @@ class WarcDataSource(DataSource):
 
     Options: record_types (csv), min/max_content_length, parse_http,
     verify_digests, always_keep_meta, payload (false = never materialize
-    payload bytes), strict, split_bytes.
+    payload bytes), strict, split_bytes, member_scan (default true:
+    sidecar-less compressed files larger than split_bytes fan out via
+    executor-side validated member-boundary scanning — scan_gzip_members
+    / scan_lz4_members), offset (point extract), retry_count.
     """
 
     @classmethod
