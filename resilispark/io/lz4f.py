@@ -265,14 +265,17 @@ def scan_lz4_members(
         fs.read_range(path, start, min(end - start + 3, file_size - start))
     )
     have_to = start + len(buf)
+    fetch = chunk
 
     def _extend() -> bool:
-        nonlocal have_to
+        # doubling fetch (capped at 16x the base) — see the gzip twin
+        nonlocal have_to, fetch
         if have_to >= file_size:
             return False
-        n = min(chunk, file_size - have_to)
+        n = min(fetch, file_size - have_to)
         buf.extend(fs.read_range(path, have_to, n))
         have_to += n
+        fetch = min(fetch * 2, chunk * 16)
         return True
 
     limit = end - start

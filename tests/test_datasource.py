@@ -310,6 +310,39 @@ def test_scan_lz4_members_rejects_false_candidates(tmp_path):
         assert left + right == true_starts, f"cut={cut}"
 
 
+def test_member_scan_over_remote_store(spark, fixture_dir):
+    """The sidecar-less member scan works through the remote fs layer
+    (ranged GETs only — the memory:// store), including completing a
+    tail member that crosses the range boundary via the doubling
+    extend path."""
+    from resilispark.io.fs import MemoryFS
+    from resilispark.io.warc import scan_gzip_members
+
+    data = open(f"{fixture_dir}/golden-50.warc.gz", "rb").read()
+    memfs = MemoryFS()
+    url = "memory://scan/golden-50.warc.gz"
+    if not memfs.exists(url):
+        memfs.put(url, data)
+    size = len(data)
+    # whole-file via three ranges, tiny extend chunk to exercise growth
+    cuts = [0, size // 3, 2 * size // 3, size]
+    got = []
+    for s, e in zip(cuts, cuts[1:]):
+        got += [o for o, _ in
+                scan_gzip_members(memfs, url, s, e, size, chunk=256)]
+    local = [o for o, _ in scan_gzip_members(
+        memfs, url, 0, size, size)]
+    assert got == local and len(local) == 50
+    # and through the data source end-to-end
+    df = (
+        spark.read.format("warc")
+        .option("split_bytes", "2048")
+        .load(url)
+    )
+    assert df.rdd.getNumPartitions() > 3
+    assert df.count() == 50
+
+
 def test_mislabeled_plain_file_with_gz_extension_still_reads(
         spark, fixture_dir, tmp_path):
     """A plain WARC misnamed .warc.gz and large enough to plan as
