@@ -55,7 +55,7 @@ PICKS = {
     "t16_quantile_store": "Quantile store readout: per-partition rank summaries via ONE mapInPandas pass (memory ~2x capacity regardless of distinct count), merge over <= partitions*(capacity+2) tiny persisted rows, LocalTableScan report — per-snapshot and merged probes read the stored items alone, never the corpus.",
     "t17_ccnet_buckets": "CCNet bucketing: one summary pass for the two thresholds (same bounded shape as t16), then the bucket CASE is codegen over literal floats — the grouped count is the only exchange; no join, no Python in the bucketing stage.",
     "g02_hits": "HITS round: hub mass forward (partial-aggregated per target) and authority mass back (per source) are the two bounded shuffles; norms are scalars to the driver, lineage cut by localCheckpoint each half-step.",
-    "t20_gopher_repetition": "Gopher repetition: ONE tagged explode covers lines+paragraphs, ONE flattened explode covers all nine gram orders (keys: word-hash polynomial folds, one zip_with level per order, md5 once per WORD); both aggregate partial-first on (doc, unit-hash) keys, the interval-union arithmetic is pure array codegen, and the metric grid join is doc-keyed — no window over corpus-sized partitions, no Python.",
+    "t20_gopher_repetition": "Gopher repetition: ZERO shuffles — all 13 signals are per-document array expressions (word-hash polynomial fold keys, md5 once per WORD; per-order counting via array_sort + run-boundary filtering; interval-union coverage as an array fold); the only explode is the 13-rows-per-doc long-form emit, no aggregation exchange, no Python.",
     "t18_wet_roundtrip": "WET round-trip read side: the conversion-record scan's record-type pushdown filters the per-file warcinfo records AT THE SOURCE; md5/length/decode are codegen over the payload column — the audited plan is the read; the write was one warc-writer pass, one file per partition.",
     "t19_wat_roundtrip": "WAT round-trip read side: metadata-record scan -> get_json_object/from_json link extraction -> explode -> host-collapse, all whole-stage codegen (no Python); distinct is the only exchange.",
 }
