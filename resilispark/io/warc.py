@@ -693,9 +693,10 @@ def scan_gzip_members(
     (``write_cdxj_sidecars``) or scan with ``member_scan=false``.
 
     The member straddling ``end`` belongs to this range (it STARTS
-    here) and is completed with ``chunk``-sized ranged reads past
-    ``end`` — the next partition's scan skips it because no candidate
-    VALIDATES mid-member.
+    here) and is completed with ranged reads past ``end`` that start at
+    ``chunk`` and double up to a 16x cap (~size/(16*chunk) + 4 GETs for
+    a member of any size) — the next partition's scan skips it because
+    no candidate VALIDATES mid-member.
     """
     if start >= end:
         return
@@ -708,9 +709,9 @@ def scan_gzip_members(
     fetch = chunk
 
     def _extend() -> bool:
-        # doubling fetch (capped at 16x the base): completing a huge
-        # member that crosses `end` costs O(log size) ranged GETs on a
-        # remote store, not one round trip per base chunk
+        # doubling fetch (capped at 16x the base): completing a member
+        # that crosses `end` costs ~size/(16*chunk) + 4 ranged GETs on
+        # a remote store, not one round trip per base chunk
         nonlocal have_to, fetch
         if have_to >= file_size:
             return False

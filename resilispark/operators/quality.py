@@ -627,24 +627,34 @@ def gopher_repetition_stats(
         "_id", "_sl", "_sp", "n_tokens", "n_chars", *sorted_cols
     )
 
-    def _run_starts(sc, size_col):
+    def _run_starts(sc, size_col, field):
         # indices where a new run of equal keys begins; get() yields
         # NULL (not an error) at index -1, and FALSE|NULL -> the i==0
         # disjunct still admits the first index
         return F.filter(
             F.sequence(F.lit(0), size_col - 1),
             lambda i: (i == 0)
-            | (F.get(sc, i)["g"] != F.get(sc, i - 1)["g"]),
+            | (F.get(sc, i)[field] != F.get(sc, i - 1)[field]),
         )
 
-    # run starts (2..4) and duplicated positions (5..10), each aliased
-    # (sequence(0, -1) would go DESCENDING on empty arrays: guard L>0)
+    # run starts (units + orders 2..4) and duplicated positions
+    # (5..10), each aliased (sequence(0, L-1) would go DESCENDING on
+    # empty/NULL arrays — size() is -1 for NULL under non-ANSI — so
+    # every consumer is guarded by L > 0)
     aux = []
+    for name, field in (("_sl", "h"), ("_sp", "h")):
+        sc = F.col(name)
+        L = F.size(sc)
+        aux.append(
+            F.when(L > 0, _run_starts(sc, L, field))
+            .otherwise(F.array().cast("array<int>"))
+            .alias(f"_r{name[1:]}")
+        )
     for n in (2, 3, 4):
         sc = F.col(f"_s{n}")
         L = F.size(sc)
         aux.append(
-            F.when(L > 0, _run_starts(sc, L))
+            F.when(L > 0, _run_starts(sc, L, "g"))
             .otherwise(F.array().cast("array<int>"))
             .alias(f"_r{n}")
         )
@@ -676,12 +686,15 @@ def gopher_repetition_stats(
     cur = cur.select("*", *aux)
 
     # --- metric values -----------------------------------------------
-    def _unit_metrics(sc_name):
+    def _unit_metrics(sc_name, starts_name):
         su = F.col(sc_name)
+        starts = F.col(starts_name)  # aliased: evaluated once per row
         L = F.size(su)
-        starts = _run_starts_h(su, L)
         n_runs = F.size(starts)
-        dup_frac = (L - n_runs) / L  # split() never yields an empty array
+        # L > 0 guard: a NULL text column gives a NULL unit array whose
+        # size() is -1 under non-ANSI mode — unguarded, dup_frac would
+        # read 2.0 and the filter would silently drop the doc
+        dup_frac = F.when(L > 0, (L - n_runs) / L).otherwise(F.lit(0.0))
         nexts = F.concat(
             F.slice(starts, 2, F.greatest(n_runs - 1, F.lit(0))),
             F.array(L),
@@ -697,19 +710,14 @@ def gopher_repetition_stats(
         tot_chars = F.aggregate(
             su, F.lit(0).cast("bigint"), lambda a, x: a + x["len"]
         )
-        char_frac = dup_chars / F.greatest(tot_chars, F.lit(1))
+        char_frac = F.when(
+            L > 0, dup_chars / F.greatest(tot_chars, F.lit(1))
+        ).otherwise(F.lit(0.0))
         return dup_frac, char_frac
-
-    def _run_starts_h(sc, size_col):
-        return F.filter(
-            F.sequence(F.lit(0), size_col - 1),
-            lambda i: (i == 0)
-            | (F.get(sc, i)["h"] != F.get(sc, i - 1)["h"]),
-        )
 
     metric_cols = []
     for kind, sc_name in (("line", "_sl"), ("para", "_sp")):
-        dup_frac, char_frac = _unit_metrics(sc_name)
+        dup_frac, char_frac = _unit_metrics(sc_name, f"_r{sc_name[1:]}")
         metric_cols.append(dup_frac.alias(f"_m_dup_{kind}_frac"))
         metric_cols.append(char_frac.alias(f"_m_dup_{kind}_char_frac"))
     for n in (2, 3, 4):

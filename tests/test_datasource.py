@@ -321,8 +321,10 @@ def test_member_scan_over_remote_store(spark, fixture_dir):
     data = open(f"{fixture_dir}/golden-50.warc.gz", "rb").read()
     memfs = MemoryFS()
     url = "memory://scan/golden-50.warc.gz"
-    if not memfs.exists(url):
-        memfs.put(url, data)
+    # unconditional put: the memfs spill dir persists across runs while
+    # the golden fixture can regenerate — a guarded put would scan
+    # STALE stored bytes with the new local length
+    memfs.put(url, data)
     size = len(data)
     # whole-file via three ranges, tiny extend chunk to exercise growth
     cuts = [0, size // 3, 2 * size // 3, size]

@@ -6641,3 +6641,22 @@ class TestGopherRepetition:
         plan = gopher_repetition_stats(
             docs)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan
+
+    def test_null_text_scores_zero_and_survives_filter(self, spark):
+        """A NULL text column must score 0.0 on all 13 metrics and pass
+        the filter — under non-ANSI mode size(NULL array) is -1 and an
+        unguarded run count once made dup_line_frac read 2.0 (silently
+        dropping the doc)."""
+        from resilispark.operators.quality import (
+            gopher_repetition_filter,
+            gopher_repetition_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, None), (1, "")], "doc_id long, text string")
+        got = {(r.doc_id, r.metric): r.frac
+               for r in gopher_repetition_stats(docs).collect()}
+        assert len(got) == 26 and all(v == 0.0 for v in got.values())
+        kept = sorted(r.doc_id
+                      for r in gopher_repetition_filter(docs).collect())
+        assert kept == [0, 1]
