@@ -661,109 +661,114 @@ def cmd_curate(args) -> int:
     if _n_sketch_flags > 1:
         _sketch_cached = _read_output().persist()
         _sketch_src = lambda: _sketch_cached  # noqa: E731
-    if getattr(args, "cardinality_sketch", None):
-        # persist this snapshot's HLL sketches (few KB): corpus-wide
-        # distinct counts and crawl-over-crawl overlap later come from
-        # unioning the stored rows, never from rescanning old crawls.
-        # Runs AFTER the index/store updates with skip_existing so a
-        # retried run (sketch already recorded) still re-establishes
-        # the store/index instead of dying on the duplicate label.
-        from resilispark.operators.sketches import write_snapshot_sketch
+    try:
+        if getattr(args, "cardinality_sketch", None):
+            # persist this snapshot's HLL sketches (few KB): corpus-wide
+            # distinct counts and crawl-over-crawl overlap later come from
+            # unioning the stored rows, never from rescanning old crawls.
+            # Runs AFTER the index/store updates with skip_existing so a
+            # retried run (sketch already recorded) still re-establishes
+            # the store/index instead of dying on the duplicate label.
+            from resilispark.operators.sketches import write_snapshot_sketch
 
-        shipped = _sketch_src()
-        sketch_cols = {"content_digest": F.md5(F.col("text"))}
-        if "url" in shipped.columns:
-            sketch_cols["url"] = F.col("url")
-            sketch_cols["host"] = F.parse_url(F.col("url"), F.lit("HOST"))
-        appended = write_snapshot_sketch(
-            shipped, args.cardinality_sketch,
-            snapshot=args.output, cols=sketch_cols, skip_existing=True,
-        )
-        print(
-            f"{'appended cardinality sketch to' if appended else 'cardinality sketch already recorded in'} "
-            f"{args.cardinality_sketch}"
-        )
-    if getattr(args, "histogram_sketch", None):
-        # persist mergeable log2 histograms of doc length (and token
-        # counts when present): `sketch-report --histogram` later reads
-        # distribution drift across crawls from the stored bin rows
-        from resilispark.operators.sketches import write_snapshot_histogram
-
-        shipped = _sketch_src()
-        hist_cols = {"n_chars": F.length("text")}
-        if "n_bpe_tokens" in shipped.columns:
-            hist_cols["n_bpe_tokens"] = F.col("n_bpe_tokens")
-        appended = write_snapshot_histogram(
-            shipped, args.histogram_sketch,
-            snapshot=args.output, cols=hist_cols, skip_existing=True,
-        )
-        print(
-            f"{'appended histogram sketch to' if appended else 'histogram sketch already recorded in'} "
-            f"{args.histogram_sketch}"
-        )
-    if getattr(args, "frequency_sketch", None):
-        # persist a mergeable count-min sketch of per-host doc counts:
-        # cms_estimate later answers "how many docs has host X shipped
-        # across all crawls" from the stored cells alone — the hot-host
-        # watchlist for cap_per_host tuning, zero corpus reads
-        from resilispark.operators.sketches import write_snapshot_cms
-
-        shipped = _sketch_src()
-        if "url" not in shipped.columns:
-            print("frequency sketch skipped: corpus has no url column")
-        else:
-            appended = write_snapshot_cms(
-                shipped.withColumn(
-                    "host", F.parse_url(F.col("url"), F.lit("HOST"))
-                ),
-                args.frequency_sketch,
-                snapshot=args.output, col="host", skip_existing=True,
+            shipped = _sketch_src()
+            sketch_cols = {"content_digest": F.md5(F.col("text"))}
+            if "url" in shipped.columns:
+                sketch_cols["url"] = F.col("url")
+                sketch_cols["host"] = F.parse_url(F.col("url"), F.lit("HOST"))
+            appended = write_snapshot_sketch(
+                shipped, args.cardinality_sketch,
+                snapshot=args.output, cols=sketch_cols, skip_existing=True,
             )
             print(
-                f"{'appended frequency sketch to' if appended else 'frequency sketch already recorded in'} "
-                f"{args.frequency_sketch}"
+                f"{'appended cardinality sketch to' if appended else 'cardinality sketch already recorded in'} "
+                f"{args.cardinality_sketch}"
             )
-    if getattr(args, "topk_sketch", None):
-        # persist a mergeable Misra-Gries heavy-hitters summary of
-        # hosts: topk_store_report later answers "which hosts DOMINATE
-        # the corpus across all crawls" from the stored counters alone
-        # — the discovery sibling of the count-min point probe
-        from resilispark.operators.sketches import write_snapshot_topk
+        if getattr(args, "histogram_sketch", None):
+            # persist mergeable log2 histograms of doc length (and token
+            # counts when present): `sketch-report --histogram` later reads
+            # distribution drift across crawls from the stored bin rows
+            from resilispark.operators.sketches import write_snapshot_histogram
 
-        shipped = _sketch_src()
-        if "url" not in shipped.columns:
-            print("top-k sketch skipped: corpus has no url column")
-        else:
-            appended = write_snapshot_topk(
-                shipped.withColumn(
-                    "host", F.parse_url(F.col("url"), F.lit("HOST"))
-                ),
-                args.topk_sketch,
-                snapshot=args.output, col="host",
-                capacity=args.topk_capacity, skip_existing=True,
+            shipped = _sketch_src()
+            hist_cols = {"n_chars": F.length("text")}
+            if "n_bpe_tokens" in shipped.columns:
+                hist_cols["n_bpe_tokens"] = F.col("n_bpe_tokens")
+            appended = write_snapshot_histogram(
+                shipped, args.histogram_sketch,
+                snapshot=args.output, cols=hist_cols, skip_existing=True,
             )
             print(
-                f"{'appended top-k sketch to' if appended else 'top-k sketch already recorded in'} "
-                f"{args.topk_sketch}"
+                f"{'appended histogram sketch to' if appended else 'histogram sketch already recorded in'} "
+                f"{args.histogram_sketch}"
             )
-    if getattr(args, "quantile_sketch", None):
-        # persist a mergeable quantile summary of doc length:
-        # `sketch-report --quantiles` later answers corpus-wide length
-        # percentiles across all crawls from the stored items alone
-        from resilispark.operators.sketches import write_snapshot_quantiles
+        if getattr(args, "frequency_sketch", None):
+            # persist a mergeable count-min sketch of per-host doc counts:
+            # cms_estimate later answers "how many docs has host X shipped
+            # across all crawls" from the stored cells alone — the hot-host
+            # watchlist for cap_per_host tuning, zero corpus reads
+            from resilispark.operators.sketches import write_snapshot_cms
 
-        shipped = _sketch_src()
-        appended = write_snapshot_quantiles(
-            shipped.withColumn("n_chars", F.length("text").cast("double")),
-            args.quantile_sketch,
-            snapshot=args.output, col="n_chars", skip_existing=True,
-        )
-        print(
-            f"{'appended quantile sketch to' if appended else 'quantile sketch already recorded in'} "
-            f"{args.quantile_sketch}"
-        )
-    if _sketch_cached is not None:
-        _sketch_cached.unpersist()
+            shipped = _sketch_src()
+            if "url" not in shipped.columns:
+                print("frequency sketch skipped: corpus has no url column")
+            else:
+                appended = write_snapshot_cms(
+                    shipped.withColumn(
+                        "host", F.parse_url(F.col("url"), F.lit("HOST"))
+                    ),
+                    args.frequency_sketch,
+                    snapshot=args.output, col="host", skip_existing=True,
+                )
+                print(
+                    f"{'appended frequency sketch to' if appended else 'frequency sketch already recorded in'} "
+                    f"{args.frequency_sketch}"
+                )
+        if getattr(args, "topk_sketch", None):
+            # persist a mergeable Misra-Gries heavy-hitters summary of
+            # hosts: topk_store_report later answers "which hosts DOMINATE
+            # the corpus across all crawls" from the stored counters alone
+            # — the discovery sibling of the count-min point probe
+            from resilispark.operators.sketches import write_snapshot_topk
+
+            shipped = _sketch_src()
+            if "url" not in shipped.columns:
+                print("top-k sketch skipped: corpus has no url column")
+            else:
+                appended = write_snapshot_topk(
+                    shipped.withColumn(
+                        "host", F.parse_url(F.col("url"), F.lit("HOST"))
+                    ),
+                    args.topk_sketch,
+                    snapshot=args.output, col="host",
+                    capacity=args.topk_capacity, skip_existing=True,
+                )
+                print(
+                    f"{'appended top-k sketch to' if appended else 'top-k sketch already recorded in'} "
+                    f"{args.topk_sketch}"
+                )
+        if getattr(args, "quantile_sketch", None):
+            # persist a mergeable quantile summary of doc length:
+            # `sketch-report --quantiles` later answers corpus-wide length
+            # percentiles across all crawls from the stored items alone
+            from resilispark.operators.sketches import write_snapshot_quantiles
+
+            shipped = _sketch_src()
+            appended = write_snapshot_quantiles(
+                shipped.withColumn("n_chars", F.length("text").cast("double")),
+                args.quantile_sketch,
+                snapshot=args.output, col="n_chars", skip_existing=True,
+            )
+            print(
+                f"{'appended quantile sketch to' if appended else 'quantile sketch already recorded in'} "
+                f"{args.quantile_sketch}"
+            )
+    finally:
+        # unpersist even when a sketch writer raises (e.g. a
+        # duplicate snapshot label): the cached corpus must not
+        # outlive the command in the block manager (ADVICE r8)
+        if _sketch_cached is not None:
+            _sketch_cached.unpersist()
     if args.pack:
         from resilispark.operators.packing import emit_sequences
 

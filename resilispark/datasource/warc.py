@@ -87,10 +87,12 @@ from resilispark.io.fs import expand_source_stat, get_fs, split_scheme
 from resilispark.io.warc import (
     GZIP_MAGIC,
     LZ4_MAGIC,
+    WarcColumnarSink,
     _iter_gzip_members,
     decode_warc_stream,
     iter_warc_bytes,
     iter_warc_range,
+    scan_warc_columnar,
 )
 
 _HEADERS_T = ArrayType(
@@ -220,6 +222,9 @@ class WarcDataSourceReader(DataSourceReader):
         self.keep_meta = self._bool_opt("always_keep_meta", False)
         self.keep_payload = self._bool_opt("payload", True)
         self.strict = self._bool_opt("strict", False)
+        # escape hatch for A/B and the fused-vs-record-path equivalence
+        # test; metadata-only scans fuse by default
+        self.columnar = self._bool_opt("columnar", True)
         split = self.options.get("split_bytes")
         self.split_bytes = int(split) if split else _TARGET_SPLIT_BYTES
         # sidecar-less gzip splitting (executor-side member-boundary
@@ -393,11 +398,193 @@ class WarcDataSourceReader(DataSourceReader):
         return parts
 
     # -- record scan --------------------------------------------------------
+    def _read_columnar(
+        self, partition: _WarcPartition, fs, size: int, head: bytes,
+        filename: str,
+    ) -> Iterator[pa.RecordBatch]:
+        """Metadata-only scan via the fused columnar kernel
+        (``scan_warc_columnar``): parse appends straight into flat
+        per-column lists, and the headers ``list<struct>`` column is
+        assembled from flat key/value arrays + offsets — no WarcRecord
+        objects, no per-row tuple decoding in pyarrow.  Behavior is
+        pinned equal to the record-object path by
+        ``tests/test_datasource.py::test_columnar_scan_matches_record_path``."""
+        sink = WarcColumnarSink()
+        # without per-record Python objects bigger batches are pure win
+        # (fewer Arrow assemblies + fewer transport round-trips)
+        batch_rows = 4 * _BATCH_ROWS
+        scan_kwargs = dict(
+            strict=self.strict,
+            record_types=self.record_types,
+            min_content_length=self.min_len,
+            max_content_length=self.max_len,
+            keep_meta_on_strip=self.keep_meta,
+            max_rows=batch_rows,
+        )
+
+        def flush() -> Iterator[pa.RecordBatch]:
+            n = len(sink)
+            if not n:
+                return
+            hdr_struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(sink.hdr_keys, type=pa.string()),
+                    pa.array(sink.hdr_vals, type=pa.string()),
+                ],
+                names=["key", "value"],
+            )
+            headers = pa.ListArray.from_arrays(
+                pa.array(sink.hdr_offsets, type=pa.int32()), hdr_struct
+            )
+            nulls = pa.nulls
+            arrays = [
+                pa.array([filename] * n, type=pa.string()),
+                pa.array(sink.stream_pos, type=pa.int64()),
+                pa.array(sink.record_length, type=pa.int64()),
+                pa.array(sink.record_id, type=pa.string()),
+                pa.array(sink.record_type, type=pa.string()),
+                pa.array(sink.warc_version, type=pa.string()),
+                pa.array(sink.warc_date_us, type=pa.timestamp("us")),
+                pa.array(sink.target_uri, type=pa.string()),
+                pa.array(sink.concurrent_to, type=pa.string()),
+                headers,
+                pa.array([False] * n, type=pa.bool_()),  # is_http
+                nulls(n, type=pa.int32()),               # http_status
+                nulls(n, type=_ARROW_SCHEMA.field(12).type),  # http_headers
+                nulls(n, type=pa.string()),              # http_content_type
+                nulls(n, type=pa.string()),              # http_charset
+                nulls(n, type=pa.timestamp("us")),       # http_date
+                pa.array(sink.content_length, type=pa.int64()),
+                nulls(n, type=pa.binary()),              # payload
+                nulls(n, type=pa.bool_()),               # block_digest_ok
+                nulls(n, type=pa.bool_()),               # payload_digest_ok
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=_ARROW_SCHEMA)
+            sink.reset()
+
+        point = partition.end == partition.start + 1
+        compressed = head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC)
+        if not partition.aligned and not compressed:
+            # mislabeled fallback — same rationale as the generic path
+            streams = None
+        elif not partition.aligned:
+            if head.startswith(LZ4_MAGIC):
+                # lz4 drops truncated tail frames unconditionally (the
+                # frame walk is strict by construction)
+                from resilispark.io.lz4f import scan_lz4_members as _scan
+
+                streams = _scan(
+                    fs, partition.path, partition.start, partition.end, size
+                )
+            else:
+                from resilispark.io.warc import scan_gzip_members
+
+                streams = scan_gzip_members(
+                    fs, partition.path, partition.start, partition.end,
+                    size, strict=self.strict,
+                )
+        elif compressed:
+            if point:
+                data = _read_first_member(fs, partition.path, partition.start, size)
+            else:
+                data = fs.read_range(
+                    partition.path, partition.start,
+                    partition.end - partition.start,
+                )
+            if partition.start == 0 and partition.end >= size:
+                streams = decode_warc_stream(data)
+            else:
+                import itertools
+
+                if data.startswith(GZIP_MAGIC):
+                    members = _iter_gzip_members(data)
+                elif data.startswith(LZ4_MAGIC):
+                    from resilispark.io.lz4f import decompress_members
+
+                    members = decompress_members(data)
+                else:
+                    raise ValueError(
+                        f"compressed split at {partition.start} of "
+                        f"{partition.path} is not a member boundary "
+                        "(stale/foreign .cdxj index?)"
+                    )
+                streams = ((partition.start + off, plain) for off, plain in members)
+                if point:
+                    streams = itertools.islice(streams, 1)
+        else:
+            streams = None
+
+        if streams is not None:
+            # fully-decoded member buffers: eof=True, re-reads never fire
+            for mbase, plain in streams:
+                pos = 0
+                while True:
+                    resume, _rr = scan_warc_columnar(
+                        plain, sink, base=mbase, start=pos, eof=True,
+                        **scan_kwargs,
+                    )
+                    if resume < 0:
+                        break
+                    pos = resume - mbase
+                    yield from flush()
+                if len(sink) >= batch_rows:
+                    yield from flush()
+            yield from flush()
+            return
+
+        # uncompressed byte range: the iter_warc_range driver loop
+        # (aligned-to-magic start, bounded re-read past the range for
+        # records larger than the slack) fused over the columnar kernel
+        start, end = partition.start, min(partition.end, size)
+        if start >= end:
+            return
+        slack = 2**20
+        with fs.open(partition.path) as f:
+            f.seek(start)
+            buf = f.read(min(end - start + slack, size - start))
+            base = start
+            pos = 0
+            if start > 0:
+                idx = buf.find(b"WARC/")
+                if idx < 0:
+                    return
+                pos = idx
+            while True:
+                resume, reread = scan_warc_columnar(
+                    buf, sink, base=base, start=pos, limit=end,
+                    eof=base + len(buf) >= size, **scan_kwargs,
+                )
+                if resume < 0:
+                    break
+                if reread:
+                    grow = max(2 * (base + len(buf) - resume), 2 * slack)
+                    f.seek(resume)
+                    buf = f.read(min(grow, size - resume))
+                    base = resume
+                    pos = 0
+                else:
+                    pos = resume - base
+                    yield from flush()
+        yield from flush()
+
     def read(self, partition: _WarcPartition) -> Iterator[pa.RecordBatch]:
         fs = self._fs(partition.path)
         size = fs.size(partition.path)
         head = fs.read_head(partition.path, 8)
         filename = posixpath.basename(split_scheme(partition.path)[1])
+        if (
+            self.columnar
+            and not self.parse_http
+            and not self.keep_payload
+            and not self.verify_digests
+            and not self.retry_count
+        ):
+            # metadata-only scans (CDXJ indexing, record counting, the
+            # BASELINE.md records/s rows) take the fused parse→columns
+            # kernel: no WarcRecord objects, flat-array Arrow assembly
+            # (scan_warc_columnar; ~35% of the single-core scan wall)
+            yield from self._read_columnar(partition, fs, size, head, filename)
+            return
         # column-wise accumulation: pa.array per column is ~2x faster
         # than from_pylist's per-row dict decoding for this wide schema
         cols: list[list] = [[] for _ in _ARROW_SCHEMA]
@@ -460,12 +647,17 @@ class WarcDataSourceReader(DataSourceReader):
             # ranged reads past end)
             if head.startswith(LZ4_MAGIC):
                 from resilispark.io.lz4f import scan_lz4_members as _scan
-            else:
-                from resilispark.io.warc import scan_gzip_members as _scan
 
-            streams = _scan(
-                fs, partition.path, partition.start, partition.end, size
-            )
+                streams = _scan(
+                    fs, partition.path, partition.start, partition.end, size
+                )
+            else:
+                from resilispark.io.warc import scan_gzip_members
+
+                streams = scan_gzip_members(
+                    fs, partition.path, partition.start, partition.end,
+                    size, strict=self.strict,
+                )
             record_iter = (
                 rec
                 for base, plain in streams

@@ -612,6 +612,209 @@ def iter_warc_range(
                 yield rec
 
 
+_EPOCH = datetime(1970, 1, 1)
+_date_us_cache: dict = {}
+
+
+def _warc_date_micros(value: str | None) -> int | None:
+    """``WARC-Date`` as int microseconds since epoch (UTC) — the raw
+    Arrow ``timestamp("us")`` representation, so the columnar scan can
+    hand pyarrow integers instead of datetime objects (pyarrow converts
+    a naive datetime as UTC wall time, which is exactly ``dt - epoch``).
+    Same memo rationale/bound as ``_parse_warc_date``."""
+    if not value:
+        return None
+    us = _date_us_cache.get(value)
+    if us is not None:
+        return us
+    dt = _parse_warc_date(value)
+    if dt is None:
+        return None
+    delta = dt - _EPOCH
+    us = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+    if len(_date_us_cache) >= 65536:
+        _date_us_cache.clear()
+    _date_us_cache[value] = us
+    return us
+
+
+class WarcColumnarSink:
+    """Flat per-column accumulators for the metadata-only scan fast
+    path.  Headers are stored FLAT (keys, values, row offsets) so the
+    Arrow ``list<struct<key,value>>`` column can be assembled from two
+    string arrays + an offsets array — ~5x cheaper than ``pa.array``
+    over per-row tuple lists (measured at 150k records; a row-tuple +
+    flush-side ``zip(*rows)`` variant measured SLOWER — unpacking tens
+    of thousands of arguments per flush costs more than per-record
+    appends save)."""
+
+    __slots__ = (
+        "stream_pos", "record_length", "record_id", "record_type",
+        "warc_version", "warc_date_us", "target_uri", "concurrent_to",
+        "content_length", "hdr_keys", "hdr_vals", "hdr_offsets",
+    )
+
+    def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        self.stream_pos: list[int] = []
+        self.record_length: list[int] = []
+        self.record_id: list[str | None] = []
+        self.record_type: list[str] = []
+        self.warc_version: list[str] = []
+        self.warc_date_us: list[int | None] = []
+        self.target_uri: list[str | None] = []
+        self.concurrent_to: list[str | None] = []
+        self.content_length: list[int] = []
+        self.hdr_keys: list[str] = []
+        self.hdr_vals: list[str] = []
+        self.hdr_offsets: list[int] = [0]
+
+    def __len__(self) -> int:
+        return len(self.stream_pos)
+
+
+def scan_warc_columnar(
+    data: bytes,
+    sink: WarcColumnarSink,
+    *,
+    base: int = 0,
+    start: int = 0,
+    limit: int | None = None,
+    eof: bool = True,
+    max_rows: int | None = None,
+    strict: bool = False,
+    record_types: frozenset[str] | set[str] | None = None,
+    min_content_length: int = -1,
+    max_content_length: int = -1,
+    keep_meta_on_strip: bool = False,
+) -> tuple[int, bool]:
+    """Fused parse→columns scan for metadata-only reads (``parse_http``,
+    ``payload`` and ``verify_digests`` all off — the CDXJ-indexing /
+    record-counting configuration, and the configuration BASELINE.md's
+    records/s rows measure).  Semantically identical to
+    ``iter_warc_bytes`` + per-record column appends, but it skips the
+    ``WarcRecord`` object, the ``_postprocess`` call layer and the
+    generator chain, appending straight into ``sink``'s flat lists —
+    worth ~35% of the single-core scan wall (r9 profile).  Equivalence
+    with the record-object path is pinned by
+    ``tests/test_datasource.py::test_columnar_scan_matches_record_path``.
+
+    Returns ``(resume_abs, needs_reread)``:
+
+    - ``(-1, False)`` — buffer exhausted (or ``limit`` reached): done.
+    - ``(abs, False)`` — paused at ``max_rows``; continue from ``abs``
+      (within this buffer) after flushing the sink.
+    - ``(abs, True)`` — a record starting before ``limit`` touches the
+      end of a NON-final buffer (``eof=False``); re-read from ``abs``
+      with a larger buffer (the caller doubles, like
+      ``iter_warc_range``).  Nothing was appended for that record.
+    """
+    n = len(data)
+    pos = start
+    find = data.find
+    slots_get = _FIELD_SLOTS.get
+    lower_get = _FIELD_SLOTS_LOWER.get
+    ver_get = _ver_cache.get
+    date_us = _warc_date_micros
+    sp_a = sink.stream_pos.append
+    rl_a = sink.record_length.append
+    rid_a = sink.record_id.append
+    rt_a = sink.record_type.append
+    wv_a = sink.warc_version.append
+    wd_a = sink.warc_date_us.append
+    tu_a = sink.target_uri.append
+    ct_a = sink.concurrent_to.append
+    cl_a = sink.content_length.append
+    hk = sink.hdr_keys
+    hk_a = hk.append
+    hv_a = sink.hdr_vals.append
+    ho_a = sink.hdr_offsets.append
+    rows = len(sink.stream_pos)
+    while True:
+        idx = find(WARC_MAGIC, pos)
+        if idx < 0:
+            if not eof:
+                # magic may straddle the buffer end — same conservative
+                # re-read as iter_warc_range's rec-is-None truncation
+                return base + pos, True
+            return -1, False
+        if limit is not None and base + idx >= limit:
+            return -1, False
+        if strict and data[pos:idx].strip(b"\r\n"):
+            raise ValueError(f"garbage before record at offset {base + pos}")
+        eol = find(b"\n", idx)
+        if eol < 0:
+            if not eof:
+                return base + idx, True
+            return -1, False
+        vb = data[idx:eol]
+        version = ver_get(vb)
+        if version is None:
+            version = vb.rstrip(b"\r").decode("ascii", "replace")
+            if len(_ver_cache) < 64:
+                _ver_cache[vb] = version
+        headers, body_start = parse_header_block(data, eol + 1)
+        vals = [None] * 6
+        for k, v in headers:
+            s = slots_get(k)
+            if s is None:
+                s = lower_get(k.lower())
+                if s is None:
+                    continue
+            if s >= 0 and vals[s] is None:
+                vals[s] = v
+        h_id, h_type, h_date, h_uri, h_conc, h_clen = vals
+        try:
+            clen = int(h_clen or 0)
+        except ValueError:
+            clen = 0
+        next_pos = min(body_start + clen, n)
+        if data.startswith(b"\r\n\r\n", next_pos) and not data.startswith(
+            b"\r", next_pos + 4
+        ) and not data.startswith(b"\n", next_pos + 4):
+            next_pos += 4
+        else:
+            while next_pos < n and data[next_pos] in (13, 10):
+                next_pos += 1
+        if next_pos >= n and not eof:
+            # record (or its header block / separator) touches the end
+            # of a non-final buffer: nothing appended, caller re-reads
+            return base + idx, True
+        record_length = next_pos - idx
+        pos = next_pos
+        # the reference's cheap-first filter cascade (warc.pyx:1238-1248)
+        if h_type in RECORD_TYPES:
+            rtype = h_type
+        else:
+            rtype = (h_type or "").lower()
+            if rtype not in RECORD_TYPES:
+                rtype = "unknown"
+        if record_types is not None and rtype not in record_types:
+            continue
+        if clen < min_content_length:  # min default -1: never fires
+            continue
+        if 0 <= max_content_length < clen and not keep_meta_on_strip:
+            continue
+        sp_a(base + idx)
+        rl_a(record_length)
+        rid_a(h_id)
+        rt_a(rtype)
+        wv_a(version)
+        wd_a(date_us(h_date))
+        tu_a(h_uri)
+        ct_a(h_conc)
+        cl_a(clen)
+        for k, v in headers:
+            hk_a(k)
+            hv_a(v)
+        ho_a(len(hk))
+        rows += 1
+        if max_rows is not None and rows >= max_rows:
+            return (base + pos, False) if pos < n or not eof else (-1, False)
+
+
 def _iter_gzip_members(data: bytes) -> Iterator[tuple[int, bytes]]:
     """Yield (compressed_offset, decompressed_bytes) per gzip member.
 
@@ -663,6 +866,7 @@ def scan_gzip_members(
     file_size: int,
     *,
     chunk: int = 1 << 20,
+    strict: bool = False,
 ) -> Iterator[tuple[int, bytes]]:
     """Yield ``(abs_offset, plain)`` for every gzip member STARTING in
     ``[start, end)`` of a member-compressed WARC — WITHOUT any side
@@ -697,6 +901,12 @@ def scan_gzip_members(
     ``chunk`` and double up to a 16x cap (~size/(16*chunk) + 4 GETs for
     a member of any size) — the next partition's scan skips it because
     no candidate VALIDATES mid-member.
+
+    A TRUNCATED trailing member (file cut mid-member, ``WARC/`` prefix
+    already seen) is yielded without CRC32/ISIZE verification in the
+    default tolerant mode — same tolerance as ``_iter_gzip_members``'s
+    non-strict tail — and raises when ``strict=True`` (the reader's
+    ``strict`` option threads through here).
     """
     if start >= end:
         return
@@ -775,6 +985,11 @@ def scan_gzip_members(
         if not plain.startswith(b"WARC/"):
             pos = q + 1
             continue
+        if not d.eof and strict:
+            raise ValueError(
+                f"truncated trailing gzip member at offset {start + q} "
+                f"of {path} (strict mode)"
+            )
         yield start + q, plain
         if not d.eof:
             return  # tolerated truncated trailing member (non-strict)

@@ -617,7 +617,15 @@ def duplicate_span_coverage(
     # lineage (no cross-branch CSE — measured 1.5-1.8x), and both
     # spellings route a hyper-common gram's rows to one reducer anyway
     # (the window buffers them with disk spill, the join streams them
-    # through one probe task — same straggler either way)
+    # through one probe task — same straggler either way).
+    # r9 A/B (persisted repartitioned input, min-of-3, 1x+10x sf0.1):
+    # the partial-agg variants lose too — groupBy(gram).agg(min,count>1)
+    # + join-back 6.38s vs window 5.29s at 10x (both lineage branches
+    # recompute; AQE broadcasts the survivor side but the probe shuffle
+    # + double md5 cost more than the window's sort); single-pass
+    # collect_list(struct) 5.85s (bigger shuffle payload); packing
+    # (doc_id,pos) into one int64 a wash (2.90 vs 2.87 in the calm
+    # re-run).  Window slope in the controlled A/B: 2.9-3.2x at 10x.
     dup = base.withColumn(
         "_first", F.min(id_col).over(W.partitionBy("gram"))
     ).filter(F.col(id_col) > F.col("_first"))

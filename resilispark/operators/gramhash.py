@@ -91,6 +91,14 @@ def gram_polyfold(
         raise ValueError(f"order must be >= 1, got {order}")
     cnt = F.greatest(F.size(wh) - F.lit(order - 1), F.lit(0))
     g = F.slice(wh, 1, cnt)
+    if order == 1:
+        # keep order-1 keys inside the documented field [0, mod).  For
+        # order >= 2 the raw 32-bit initial is fine without reducing:
+        # (a*base + b) % mod == ((a%mod)*base + b) % mod, and the
+        # worst-case first-level product (2^32-1)*base + 2^32 fits
+        # int64 by the module invariant — so the extra array pass is
+        # only paid where it changes the result (ADVICE r8).
+        g = F.transform(g, lambda x: x % F.lit(mod))
     for k in range(2, order + 1):
         g = F.zip_with(
             g,
@@ -106,5 +114,14 @@ def duckdb_gram_fold_sql(
     """The DuckDB spelling of the SAME fold over a list slice
     expression (e.g. ``"hs[pos + 1 : pos + n]"``).  The t20/d10/d11
     oracle strings are BUILT from this helper, so the oracle SQL and
-    the Spark kernel cannot drift apart on the constants."""
-    return f"list_reduce({hs_slice}, (a, b) -> (a * {base} + b) % {mod})"
+    the Spark kernel cannot drift apart on the constants.
+
+    The trailing ``% mod`` matches :func:`gram_polyfold`'s order-1
+    reduction: DuckDB's ``list_reduce`` returns a single-element list's
+    element WITHOUT applying the lambda, so the raw 32-bit word hash
+    must still be brought into the field; for multi-element slices the
+    extra mod is an identity (the fold result is already < mod)."""
+    return (
+        f"(list_reduce({hs_slice}, (a, b) -> (a * {base} + b) % {mod})"
+        f" % {mod})"
+    )

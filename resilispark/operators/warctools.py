@@ -138,8 +138,9 @@ def surt_key_py(url: str | None) -> str | None:
     ``try_parse_url``'s java.net.URI quirks: whole-URI rejection on
     illegal characters, registry-authority hosts coming back null,
     userinfo stripping, scheme-default-port dropping) is pinned by
-    ``tests/test_warctools.py`` over a 40-URL battery plus 1300
-    fuzzed URLs compared against the Spark expression."""
+    ``tests/test_datasource.py::test_surt_key_py_matches_column_kernel``
+    over a 55-URL named battery plus 1300 seeded-fuzz URLs compared
+    against the Spark expression."""
     if url is None:
         return None
     u = url.lower()
@@ -161,6 +162,13 @@ def surt_key_py(url: str | None) -> str | None:
         if ui_ok and pm is not None and _SURT_HOST_RE.match(pm.group(1)):
             host = pm.group(1)
     if host is None:
+        return u
+    # java.net.URI allows '['/']' ONLY as the IPv6-literal delimiters
+    # inside the authority; a bracket anywhere in path/query/fragment
+    # rejects the WHOLE URI (try_parse_url NULL -> raw fallback).
+    # Found by the 1300-URL fuzz battery (r9).
+    rest = u[m.end("auth"):]
+    if "[" in rest or "]" in rest:
         return u
     scheme = m.group("scheme")
     path = m.group("path") or ""

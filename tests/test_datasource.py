@@ -502,10 +502,10 @@ def test_surt_key_py_matches_column_kernel(spark):
     rng = random.Random(8)
     alphabet = list("abc.:/?@#&=%20[]_-~!$,;'()*+xyz09") + \
         ["é", "中", " ", "\t"]
-    for _ in range(120):
+    for _ in range(650):
         urls.append("".join(
             rng.choice(alphabet) for _ in range(rng.randint(0, 22))))
-    for _ in range(120):
+    for _ in range(650):
         urls.append("http://" + "".join(
             rng.choice(alphabet) for _ in range(rng.randint(0, 16))))
     df = spark.createDataFrame([(u,) for u in urls], "url string")
@@ -941,3 +941,71 @@ def test_docs_to_wat_roundtrips_via_wat_to_links(spark, tmp_path):
     assert got == [("s1.example", "hub.example"),
                    ("s1.example", "s2.example"),
                    ("s2.example", "hub.example")]
+
+
+def test_columnar_fast_path_matches_record_path(spark, fixture_dir):
+    """The fused metadata-only read (columnar=true, the default) must
+    return exactly the rows of the record-object path across plain,
+    gzip, and forced-split scans — full-row comparison including the
+    headers multimap and timestamps."""
+    variants = [
+        ("golden-50.warc", {}),
+        ("golden-50.warc.gz", {}),
+        ("golden-50.warc", {"split_bytes": "4096"}),
+        ("golden-50.warc.gz", {"split_bytes": "4096"}),  # CDXJ-less member scan
+        ("golden-50.warc", {"record_types": "response,warcinfo"}),
+        ("golden-50.warc", {"max_content_length": "500",
+                            "always_keep_meta": "true"}),
+    ]
+    for name, opts in variants:
+        base = dict(opts, parse_http="false", payload="false")
+        fused = (
+            _load(spark, fixture_dir, name, **base)
+            .orderBy("stream_pos").collect()
+        )
+        record = (
+            _load(spark, fixture_dir, name, columnar="false", **base)
+            .orderBy("stream_pos").collect()
+        )
+        assert fused == record, (name, opts)
+        assert len(fused) > 0, (name, opts)
+
+
+def test_scan_gzip_members_truncated_tail_strictness(tmp_path):
+    """A file cut mid-final-member: tolerant scan yields the partial
+    member (matching _iter_gzip_members' non-strict tail), strict scan
+    raises (ADVICE r8: the reader's strict option threads through)."""
+    import gzip as _gzip
+    import io as _io
+
+    import pytest as _pytest
+
+    from resilispark.io.fs import LocalFS
+    from resilispark.io.warc import scan_gzip_members
+
+    def member(body: bytes) -> bytes:
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(body)
+        return buf.getvalue()
+
+    recs = [
+        (
+            f"WARC/1.0\r\nWARC-Record-ID: <urn:uuid:t{i}>\r\n"
+            f"WARC-Type: resource\r\nContent-Length: 64\r\n\r\n"
+        ).encode() + bytes(64) + b"\r\n\r\n"
+        for i in range(3)
+    ]
+    members = [member(r) for r in recs]
+    blob = b"".join(members)
+    cut = blob[: len(blob) - len(members[-1]) // 2]  # mid-final-member
+    p = tmp_path / "trunc.warc.gz"
+    p.write_bytes(cut)
+    fs = LocalFS()
+    got = list(scan_gzip_members(fs, str(p), 0, len(cut), len(cut)))
+    assert [off for off, _ in got] == [
+        0, len(members[0]), len(members[0]) + len(members[1])
+    ]
+    assert got[-1][1].startswith(b"WARC/")  # partial tail, tolerated
+    with _pytest.raises(ValueError, match="truncated trailing"):
+        list(scan_gzip_members(fs, str(p), 0, len(cut), len(cut), strict=True))

@@ -815,3 +815,52 @@ def test_t05_lang_confusion_pytest_home(spark):
     again = sorted((r.labeled, r.detected, r.n)
                    for r in t05_lang_confusion(spark, sf_dir).collect())
     assert again == sorted((r.labeled, r.detected, r.n) for r in rows)
+
+
+def test_gram_polyfold_matches_duckdb_all_orders(spark):
+    """Spark gram keys == DuckDB's replay via duckdb_gram_fold_sql for
+    orders 1..4, including the order-1 field reduction (ADVICE r8:
+    raw 32-bit word hashes must come back inside [0, MOD) and DuckDB's
+    single-element list_reduce short-circuit must be compensated)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from resilispark.operators.gramhash import (
+        GRAM_MOD_A,
+        duckdb_gram_fold_sql,
+        gram_polyfold,
+        word_hashes,
+    )
+
+    docs = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "one"),
+        ("d3", "a b"),
+        ("d4", ""),
+    ]
+    base = (
+        spark.createDataFrame(docs, "id string, text string")
+        .select("id", F.split("text", " ").alias("w"))
+        .select("id", word_hashes(F.col("w")).alias("wh"))
+    )
+    con = duckdb.connect()
+    for order in (1, 2, 3, 4):
+        got = {
+            r["id"]: r["g"]
+            for r in base.select(
+                "id", gram_polyfold(F.col("wh"), order).alias("g")
+            ).collect()
+        }
+        assert all(0 <= x < GRAM_MOD_A for g in got.values() for x in g), order
+        fold = duckdb_gram_fold_sql(f"wh[p : p + {order - 1}]")
+        for doc_id, wh in base.collect():
+            want = con.execute(
+                f"""
+                SELECT coalesce(list({fold} ORDER BY p), []) AS g
+                FROM (SELECT unnest(range(1, len(?::BIGINT[]) - {order} + 2)) AS p,
+                             ?::BIGINT[] AS wh)
+                """,
+                [wh, wh],
+            ).fetchone()[0]
+            assert got[doc_id] == want, (order, doc_id, got[doc_id], want)

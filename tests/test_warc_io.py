@@ -297,3 +297,141 @@ def test_header_fast_path_fires_on_crlf_blocks():
     ]:
         headers, _ = parse_header_block(blob, 0)
         assert headers == want, (blob, headers)
+
+
+# ---------------------------------------------------------------------------
+# Fused columnar scan (scan_warc_columnar) vs the record-object path.
+# The metadata-only datasource fast path parses with the fused kernel;
+# these pin it field-for-field equal to iter_warc_bytes on golden AND
+# adversarial inputs (folding, LF-only, garbage, truncation, filters).
+# ---------------------------------------------------------------------------
+
+def _columnar_rows(data, **kw):
+    from resilispark.io.warc import WarcColumnarSink, scan_warc_columnar
+
+    sink = WarcColumnarSink()
+    res, reread = scan_warc_columnar(data, sink, **kw)
+    assert res == -1 and not reread
+    rows = []
+    for i in range(len(sink)):
+        ks = sink.hdr_keys[sink.hdr_offsets[i]:sink.hdr_offsets[i + 1]]
+        vs = sink.hdr_vals[sink.hdr_offsets[i]:sink.hdr_offsets[i + 1]]
+        rows.append((
+            sink.stream_pos[i], sink.record_length[i], sink.record_id[i],
+            sink.record_type[i], sink.warc_version[i], sink.warc_date_us[i],
+            sink.target_uri[i], sink.concurrent_to[i],
+            sink.content_length[i], list(zip(ks, vs)),
+        ))
+    return rows
+
+
+def _record_rows(data, **kw):
+    from resilispark.io.warc import _EPOCH
+
+    rows = []
+    for r in iter_warc_bytes(data, parse_http=False, keep_payload=False, **kw):
+        if r.warc_date is None:
+            us = None
+        else:
+            d = r.warc_date - _EPOCH
+            us = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+        rows.append((
+            r.stream_pos, r.record_length, r.record_id, r.record_type,
+            r.warc_version, us, r.target_uri, r.concurrent_to,
+            r.content_length, r.headers,
+        ))
+    return rows
+
+
+_ADVERSARIAL_BLOBS = [
+    # canonical CRLF pair
+    b"WARC/1.1\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:a>\r\n"
+    b"WARC-Date: 2024-05-01T12:00:00Z\r\nContent-Length: 4\r\n\r\nBODY\r\n\r\n"
+    b"WARC/1.1\r\nWARC-Type: request\r\nContent-Length: 0\r\n\r\n\r\n\r\n",
+    # LF-only terminators
+    b"WARC/1.0\nWARC-Type: metadata\nContent-Length: 2\n\nAB\n\n",
+    # folded header + duplicate keys + odd casing
+    b"WARC/1.1\r\nwarc-type: response\r\nX-M: a\r\nX-M: b\r\n"
+    b"X-Fold: start\r\n  continued\r\nContent-Length: 3\r\n\r\nxyz\r\n\r\n",
+    # garbage between records (non-strict skip)
+    b"WARC/1.1\r\nWARC-Type: response\r\nContent-Length: 1\r\n\r\nZ\r\n\r\n"
+    b"###not a record###\r\n"
+    b"WARC/1.1\r\nWARC-Type: metadata\r\nContent-Length: 0\r\n\r\n\r\n\r\n",
+    # truncated final record payload (declared 100, present 3)
+    b"WARC/1.1\r\nWARC-Type: response\r\nContent-Length: 100\r\n\r\nabc",
+    # whitespace before colon + empty key + colonless line
+    b"WARC/1.1\r\nWARC-Type : response\r\n:empty\r\nnocolonhere\r\n"
+    b"Content-Length: 0\r\n\r\n\r\n\r\n",
+    # bad Content-Length value + missing mandatory fields
+    b"WARC/1.1\r\nContent-Length: NaN\r\nWARC-Type: revisit\r\n\r\n\r\n\r\n",
+    # unknown record type + non-ascii utf-8 header value
+    b"WARC/1.1\r\nWARC-Type: sp\xc3\xa9cial\r\nWARC-Target-URI: http://\xc3\xa9.example\r\n"
+    b"Content-Length: 0\r\n\r\n\r\n\r\n",
+]
+
+
+@pytest.mark.parametrize("blob", _ADVERSARIAL_BLOBS)
+def test_columnar_scan_matches_record_path_adversarial(blob):
+    assert _columnar_rows(blob) == _record_rows(blob)
+
+
+def test_columnar_scan_matches_record_path_golden(golden_dir):
+    data = open(f"{golden_dir}/golden-50.warc", "rb").read()
+    assert _columnar_rows(data) == _record_rows(data)
+    # filters applied inside the fused kernel
+    for kw in (
+        {"record_types": frozenset({"response", "warcinfo"})},
+        {"min_content_length": 300},
+        {"max_content_length": 500},
+        {"max_content_length": 500, "keep_meta_on_strip": True},
+    ):
+        assert _columnar_rows(data, **kw) == _record_rows(data, **kw), kw
+
+
+def test_columnar_scan_strict_raises_on_garbage():
+    from resilispark.io.warc import WarcColumnarSink, scan_warc_columnar
+
+    blob = (
+        b"WARC/1.1\r\nWARC-Type: response\r\nContent-Length: 1\r\n\r\nZ\r\n\r\n"
+        b"###garbage###\r\n"
+        b"WARC/1.1\r\nWARC-Type: metadata\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="garbage"):
+        scan_warc_columnar(blob, WarcColumnarSink(), strict=True)
+
+
+def test_columnar_scan_pause_and_resume_matches():
+    """max_rows pauses + re-entry produce the same rows as one pass."""
+    from resilispark.io.warc import WarcColumnarSink, scan_warc_columnar
+
+    data = open(f"{ensure_fixture_dir()}/golden-50.warc", "rb").read()
+    sink = WarcColumnarSink()
+    pos = 0
+    while True:
+        res, reread = scan_warc_columnar(data, sink, start=pos, max_rows=7)
+        assert not reread
+        if res < 0:
+            break
+        pos = res
+    one = WarcColumnarSink()
+    scan_warc_columnar(data, one)
+    assert sink.stream_pos == one.stream_pos
+    assert sink.hdr_keys == one.hdr_keys
+
+
+def test_columnar_scan_truncated_buffer_asks_for_reread():
+    """A record crossing the end of a NON-final buffer must not be
+    emitted: the scanner returns (record_start, True) and appends
+    nothing for it."""
+    from resilispark.io.warc import WarcColumnarSink, scan_warc_columnar
+
+    rec = (
+        b"WARC/1.1\r\nWARC-Type: response\r\nContent-Length: 40\r\n\r\n"
+        + b"x" * 40 + b"\r\n\r\n"
+    )
+    data = rec + rec
+    cut = len(rec) + 20  # second record's header block incomplete
+    sink = WarcColumnarSink()
+    res, reread = scan_warc_columnar(data[:cut], sink, eof=False)
+    assert (res, reread) == (len(rec), True)
+    assert len(sink) == 1
