@@ -376,6 +376,11 @@ def main() -> None:
     from resilispark.__main__ import main as _cli_main
 
     _cur_out = tempfile.mkdtemp(prefix="resilispark-bench-curate-")
+    # per-action breakdown on stderr ([stage-times] lines — the r9 ask):
+    # write_corpus resolves the whole extract+filter ladder, pack reads
+    # the written corpus; the leakage-safe split's cluster closure runs
+    # eagerly BEFORE the write (driver union-find fast path since r9)
+    os.environ["RESILISPARK_STAGE_TIMES"] = "1"
     try:
         _t0 = time.perf_counter()
         with contextlib.redirect_stdout(_io.StringIO()):
@@ -402,6 +407,7 @@ def main() -> None:
             time.perf_counter() - _t0, 3
         )
     finally:
+        os.environ.pop("RESILISPARK_STAGE_TIMES", None)
         shutil.rmtree(_cur_out, ignore_errors=True)
     big_labels.add(f"curate_e2e_{n_groups}_warc_groups")
 

@@ -552,6 +552,24 @@ def cmd_curate(args) -> int:
             "mixture",
         )
 
+    # opt-in per-ACTION wall timing (RESILISPARK_STAGE_TIMES=1, stderr):
+    # the filter ladder is ONE lazy plan resolved by the corpus write,
+    # so the honest breakdown is per action, not per transformation —
+    # bench.py captures these lines for the curate_e2e row
+    import contextlib as _ctx
+    import os as _os
+    import time as _time
+
+    _stage_on = _os.environ.get("RESILISPARK_STAGE_TIMES", "") in ("1", "true")
+
+    @_ctx.contextmanager
+    def _stage(label):
+        t0 = _time.perf_counter()
+        yield
+        if _stage_on:
+            print(f"[stage-times] {label}: {_time.perf_counter() - t0:.2f}s",
+                  file=sys.stderr, flush=True)
+
     if args.val_fraction:
         from resilispark.operators.corpus import leakage_safe_split
 
@@ -560,14 +578,15 @@ def cmd_curate(args) -> int:
             fractions={"train": 1.0 - args.val_fraction, "val": args.val_fraction},
         )
     part_col = "lang" if "lang" in docs.columns else None
-    if part_col:
-        parts = (("split", "lang") if args.val_fraction else ("lang",))
-        write_docs_partitioned(
-            docs, args.output, partition_by=parts, manifest=True,
-            token_count_col=token_count_col,
-        )
-    else:
-        docs.write.mode("overwrite").parquet(args.output)
+    with _stage("write_corpus (extract+filter ladder resolved here)"):
+        if part_col:
+            parts = (("split", "lang") if args.val_fraction else ("lang",))
+            write_docs_partitioned(
+                docs, args.output, partition_by=parts, manifest=True,
+                token_count_col=token_count_col,
+            )
+        else:
+            docs.write.mode("overwrite").parquet(args.output)
     def _read_output():
         # an all-filtered snapshot (e.g. nothing novel vs --dedup-store)
         # writes an EMPTY parquet dir, where schema inference fails —
@@ -575,14 +594,16 @@ def cmd_curate(args) -> int:
         return spark.read.schema(docs.schema).parquet(args.output)
 
     lang_kw = {"lang_col": part_col} if part_col else {"lang_col": None}
-    sheet = corpus_datasheet(
-        _read_output()
-        if part_col
-        else docs,
-        token_count_col=token_count_col,
-        **lang_kw,
-    )
-    for row in sheet.orderBy("grouping_level", "source").collect():
+    with _stage("datasheet"):
+        sheet = corpus_datasheet(
+            _read_output()
+            if part_col
+            else docs,
+            token_count_col=token_count_col,
+            **lang_kw,
+        )
+        rows = sheet.orderBy("grouping_level", "source").collect()
+    for row in rows:
         print(
             f"level={row.grouping_level} source={row.source} "
             f"docs={row.n_docs} tokens={row.n_tokens} "
@@ -812,7 +833,8 @@ def cmd_curate(args) -> int:
                 token_count_col=pack_count_col,
                 separator=args.pack_separator,
             )
-        seqs.write.mode("overwrite").parquet(args.output + ".packed")
+        with _stage("pack"):
+            seqs.write.mode("overwrite").parquet(args.output + ".packed")
         print(f"wrote {args.output}.packed")
     if getattr(args, "export_jsonl", None):
         # additional export for training stacks that ingest JSONL;
@@ -1094,11 +1116,10 @@ def cmd_linkgraph(args) -> int:
         ensure_workers_can_import(spark)
         register(spark)
         udfs = register_functions(spark)
-        recs = (
-            spark.read.format("warc")
-            .option("record_types", "response")
-            .load(args.input)
-        )
+        reader = spark.read.format("warc").option("record_types", "response")
+        if getattr(args, "no_member_scan", False):
+            reader = reader.option("member_scan", "false")
+        recs = reader.load(args.input)
         html = recs.select(
             F.col("target_uri").alias("url"),
             udfs["to_str"](
@@ -1491,6 +1512,8 @@ def cmd_benchmark(args) -> int:
         reader = reader.option("record_types", args.filter_type)
     if args.split_bytes:
         reader = reader.option("split_bytes", str(args.split_bytes))
+    if getattr(args, "no_member_scan", False):
+        reader = reader.option("member_scan", "false")
     df = reader.load(args.file)
     t0 = time.perf_counter()
     n = df.count()
@@ -1837,6 +1860,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--input-format", default="auto",
                    choices=["auto", "warc", "wet", "parquet"])
+    p.add_argument(
+        "--no-member-scan", action="store_true",
+        help="disable sidecar-less compressed splitting (executor "
+        "member-boundary scans). Use for corpora that ARCHIVE complete "
+        ".warc.gz files inside record payloads (stored deflate blocks "
+        "keep the inner archive byte-verbatim, so a range scan can "
+        "re-yield its embedded records — the documented hazard in "
+        "io/warc.py scan_gzip_members); or index once with "
+        "`index --sidecars` for splits without the scan",
+    )
     p.add_argument("--blocklist", default=None, help="text file, one domain per line")
     p.add_argument(
         "--robots",
@@ -2193,6 +2226,11 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("benchmark", help="measure scan throughput")
     p.add_argument("file")
     p.add_argument("--split-bytes", type=int, default=None)
+    p.add_argument(
+        "--no-member-scan", action="store_true",
+        help="disable sidecar-less compressed splitting (see "
+        "`curate --no-member-scan` for when: archives-inside-archives)",
+    )
     p.add_argument("-H", "--parse-http", action="store_true",
                    help="parse HTTP headers (opt-in like the reference)")
     p.add_argument("-v", "--verify-digests", action="store_true")

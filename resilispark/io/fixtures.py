@@ -369,9 +369,11 @@ def ensure_fixture_dir(root: str = "/root/repo/.fixtures") -> str:
     os.makedirs(root, exist_ok=True)
     plain = os.path.join(root, "golden-50.warc")
     gz = os.path.join(root, "golden-50.warc.gz")
-    if _stale([plain, gz]):
+    lz = os.path.join(root, "golden-50.warc.lz4")
+    if _stale([plain, gz, lz]):
         # checksum_data=False preserves the deliberately-wrong digests
         recs = build_golden_records()
         write_warc(recs, plain, compression="none", checksum_data=False)
         write_warc(recs, gz, compression="gzip", checksum_data=False)
+        write_warc(recs, lz, compression="lz4", checksum_data=False)
     return root

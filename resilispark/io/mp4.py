@@ -1,0 +1,202 @@
+"""MP4 / ISO-BMFF box-walk METADATA parser (no decoding).
+
+A pure-Python walk of the ISO base media file format box tree
+(ISO/IEC 14496-12): ``ftyp`` brand, ``mvhd`` duration, per-track
+``tkhd``/``mdhd``/``hdlr``/``stsd`` codec + dimensions, ``stsz`` frame
+count, ``stco``/``co64`` chunk offsets.  This is what lets a
+LAION-style pipeline FILTER, SHARD, and SIZE a video corpus (drop
+>10-minute clips, bucket by codec, plan byte-ranges at chunk
+boundaries) WITHOUT an H.264/VP9 decoder — the decode itself stays
+behind the documented native-codec stub in operators/multimodal.py
+(no ffmpeg/libav in this container).
+
+Everything here is public knowledge (the ISO-BMFF box layout is
+published; the same walk exists in every mp4 probe tool).  The
+reference has no video machinery at all — this is part of the
+LLM-data-pipeline extension surface.
+
+Layout refresher: a box = ``[size:u32be][type:4cc][payload]``;
+``size == 1`` means a u64 ``largesize`` follows the type; ``size == 0``
+means "to end of enclosing container".  Container boxes (``moov``,
+``trak``, ``mdia``, ``minf``, ``stbl``) nest child boxes directly;
+"full boxes" (``mvhd``, ``tkhd``, ``mdhd``, ...) start with
+``[version:u8][flags:u24]``.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+_U32 = struct.Struct(">I")
+_U64 = struct.Struct(">Q")
+
+#: boxes whose payload is a plain sequence of child boxes
+_CONTAINERS = frozenset(
+    {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta", b"mvex"}
+)
+
+#: cap stored chunk offsets per track — enough to plan byte-range
+#: splits, bounded so a pathological million-chunk file cannot blow
+#: up a metadata row (the cap is recorded in ``n_chunks`` regardless)
+_MAX_OFFSETS = 4096
+
+
+class Mp4Error(ValueError):
+    """Not an ISO-BMFF stream, or a structurally broken box tree."""
+
+
+@dataclass
+class Mp4Track:
+    track_id: int = 0
+    handler: str = ""          # 'vide' / 'soun' / ...
+    codec: str = ""            # sample-entry fourcc: avc1, hev1, mp4a, ...
+    width: int = 0             # from the stsd video sample entry
+    height: int = 0
+    timescale: int = 0         # mdhd
+    duration_ms: int = 0       # mdhd duration / timescale
+    n_samples: int = 0         # stsz/stz2 sample count (frames for video)
+    n_chunks: int = 0          # total stco/co64 entries
+    chunk_offsets: list[int] = field(default_factory=list)  # capped
+
+
+@dataclass
+class Mp4Metadata:
+    brand: str = ""            # ftyp major brand
+    timescale: int = 0         # mvhd
+    duration_ms: int = 0       # mvhd duration / timescale
+    tracks: list[Mp4Track] = field(default_factory=list)
+
+    @property
+    def video_tracks(self) -> list[Mp4Track]:
+        return [t for t in self.tracks if t.handler == "vide"]
+
+    @property
+    def audio_tracks(self) -> list[Mp4Track]:
+        return [t for t in self.tracks if t.handler == "soun"]
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    """Yield ``(type, payload_start, payload_end)`` for the sibling
+    boxes in ``data[start:end]``.  Tolerant of a truncated final box
+    (clamped to ``end``) — probing a partial download must still
+    surface whatever moov metadata is present."""
+    pos = start
+    while pos + 8 <= end:
+        size = _U32.unpack_from(data, pos)[0]
+        btype = data[pos + 4 : pos + 8]
+        head = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = _U64.unpack_from(data, pos + 8)[0]
+            head = 16
+        elif size == 0:
+            size = end - pos  # "to end of container"
+        if size < head:
+            raise Mp4Error(f"box {btype!r} at {pos} declares size {size} < header")
+        yield btype, pos + head, min(pos + size, end)
+        pos += size
+
+
+def _fullbox(data: bytes, start: int) -> tuple[int, int]:
+    """(version, payload_start_after_version_and_flags)."""
+    return data[start], start + 4
+
+
+def _parse_stsd(data: bytes, start: int, end: int, tr: Mp4Track) -> None:
+    _, p = _fullbox(data, start)
+    if p + 4 > end:
+        return
+    p += 4  # entry_count; first entry is the operative codec
+    if p + 8 > end:
+        return
+    entry_size = _U32.unpack_from(data, p)[0]
+    tr.codec = data[p + 4 : p + 8].decode("ascii", "replace").strip()
+    if tr.handler == "vide" and p + 8 + 70 <= min(p + entry_size, end):
+        # VisualSampleEntry: 6 reserved + 2 data_ref_index + 2+2
+        # pre_defined/reserved + 12 pre_defined, then width/height u16
+        base = p + 8 + 6 + 2 + 2 + 2 + 12
+        tr.width = struct.unpack_from(">H", data, base)[0]
+        tr.height = struct.unpack_from(">H", data, base + 2)[0]
+
+
+def _parse_track(data: bytes, start: int, end: int) -> Mp4Track:
+    tr = Mp4Track()
+    for btype, ps, pe in _iter_boxes(data, start, end):
+        if btype == b"tkhd":
+            ver, p = _fullbox(data, ps)
+            # v0: ctime/mtime/id = u32,u32,u32; v1: u64,u64,u32
+            tr.track_id = _U32.unpack_from(data, p + (16 if ver else 8))[0]
+        elif btype == b"mdia":
+            for mt, ms, me in _iter_boxes(data, ps, pe):
+                if mt == b"mdhd":
+                    ver, p = _fullbox(data, ms)
+                    if ver:
+                        ts = _U32.unpack_from(data, p + 16)[0]
+                        dur = _U64.unpack_from(data, p + 20)[0]
+                    else:
+                        ts = _U32.unpack_from(data, p + 8)[0]
+                        dur = _U32.unpack_from(data, p + 12)[0]
+                    tr.timescale = ts
+                    tr.duration_ms = (dur * 1000) // ts if ts else 0
+                elif mt == b"hdlr":
+                    _, p = _fullbox(data, ms)
+                    tr.handler = data[p + 4 : p + 8].decode("ascii", "replace")
+                elif mt == b"minf":
+                    for st, ss, se in _iter_boxes(data, ms, me):
+                        if st != b"stbl":
+                            continue
+                        for bt, bs, be in _iter_boxes(data, ss, se):
+                            if bt == b"stsd":
+                                _parse_stsd(data, bs, be, tr)
+                            elif bt == b"stsz":
+                                _, p = _fullbox(data, bs)
+                                tr.n_samples = _U32.unpack_from(data, p + 4)[0]
+                            elif bt in (b"stco", b"co64"):
+                                _, p = _fullbox(data, bs)
+                                n = _U32.unpack_from(data, p)[0]
+                                tr.n_chunks = n
+                                wide = bt == b"co64"
+                                step, unp = (8, _U64) if wide else (4, _U32)
+                                take = min(n, _MAX_OFFSETS,
+                                           max(0, (be - p - 4) // step))
+                                tr.chunk_offsets = [
+                                    unp.unpack_from(data, p + 4 + i * step)[0]
+                                    for i in range(take)
+                                ]
+    return tr
+
+
+def parse_mp4_metadata(data: bytes) -> Mp4Metadata:
+    """Walk the box tree of an ISO-BMFF byte string and return the
+    typed metadata.  Raises :class:`Mp4Error` when the payload is not
+    BMFF (no ``ftyp``/``moov`` at the top level).  ``mdat`` payloads
+    are never touched — the walk cost is proportional to the metadata
+    boxes, not the media bytes."""
+    if len(data) < 8:
+        raise Mp4Error("too short for an ISO-BMFF box")
+    meta = Mp4Metadata()
+    saw_bmff = False
+    for btype, ps, pe in _iter_boxes(data, 0, len(data)):
+        if btype == b"ftyp":
+            saw_bmff = True
+            meta.brand = data[ps : ps + 4].decode("ascii", "replace").strip()
+        elif btype == b"moov":
+            saw_bmff = True
+            for mt, ms, me in _iter_boxes(data, ps, pe):
+                if mt == b"mvhd":
+                    ver, p = _fullbox(data, ms)
+                    if ver:
+                        ts = _U32.unpack_from(data, p + 16)[0]
+                        dur = _U64.unpack_from(data, p + 20)[0]
+                    else:
+                        ts = _U32.unpack_from(data, p + 8)[0]
+                        dur = _U32.unpack_from(data, p + 12)[0]
+                    meta.timescale = ts
+                    meta.duration_ms = (dur * 1000) // ts if ts else 0
+                elif mt == b"trak":
+                    meta.tracks.append(_parse_track(data, ms, me))
+    if not saw_bmff:
+        raise Mp4Error("no ftyp/moov box: not an ISO-BMFF stream")
+    return meta

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from resilispark.operators.gramhash import (
     GRAM_BASE_A,
@@ -48,6 +49,7 @@ def connected_components(
     b_col: str = "doc_b",
     *,
     max_iterations: int = 20,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """Cluster ids for near-duplicate pair graphs: each vertex gets the
     MINIMUM id reachable from it (label propagation to fixpoint).
@@ -65,6 +67,20 @@ def connected_components(
     if the budget is exhausted before the fixpoint, never returns wrong
     labels silently.
 
+    Small-graph fast path (r9): near-dup pair graphs are usually tiny
+    relative to the corpus (they ARE the duplicates), and each
+    distributed round costs ~2 fixed-overhead Spark jobs + a
+    checkpoint — the dominant cost of `curate --val-fraction`'s
+    leakage-safe split in profiling.  When the deduplicated edge list
+    (already materialized by the checkpoint, so the count is cheap)
+    fits ``small_graph_edges``, the closure runs as driver-side
+    union-find over ONE collect — identical min-label semantics,
+    pinned equal to the distributed loop by
+    ``tests/test_operators.py::test_connected_components_small_graph_matches_distributed``.
+    2M edges ≈ 32 MB of bigint pairs (a few hundred MB for long string
+    ids — still driver-safe); pass ``small_graph_edges=0`` to force the
+    distributed loop.
+
     Returns (vertex, cluster_id). Oracle-expressible as a recursive CTE,
     so this stays inside the hash-checked gate.
     """
@@ -76,6 +92,36 @@ def connected_components(
         # pipeline) must not re-execute on every propagation round
         .localCheckpoint(eager=True)
     )
+    if small_graph_edges and edges.count() <= small_graph_edges:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.collect():
+            s, d = row[0], row[1]
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union by MIN id keeps find() returning the component
+                # minimum, matching the distributed fixpoint labels
+                if rd < rs:
+                    rs, rd = rd, rs
+                parent[rd] = rs
+        out = [(v, find(v)) for v in parent]
+        schema = T.StructType(
+            [
+                T.StructField("vertex", pairs.schema[a_col].dataType),
+                T.StructField("cluster_id", pairs.schema[a_col].dataType),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(out, schema)
     labels = (
         edges.select(F.col("src").alias("vertex"))
         .distinct()

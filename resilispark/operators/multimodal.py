@@ -12,6 +12,10 @@ frames) decode FOR REAL through the pure-Python codecs in
 Formats that genuinely need native libraries (MP3/AAC, H.264/VP9)
 remain behind the documented ``RESILISPARK_FAKE_DECODE`` deterministic
 stub so the distributed pipeline can still be exercised end to end.
+MP4/ISO-BMFF **metadata** (duration, codec fourcc, dimensions, frame
+count, chunk offsets) parses FOR REAL via the io/mp4.py box walk —
+:func:`video_metadata` — so a video corpus can be filtered and
+sharded without any decoder.
 """
 
 from __future__ import annotations
@@ -212,6 +216,68 @@ def extract_video_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame
             )
 
     return media.mapInPandas(op, schema=VIDEO_FRAMES_SCHEMA)
+
+
+VIDEO_METADATA_SCHEMA = (
+    "media_id string, mime string, brand string, duration_ms long, "
+    "codec string, width int, height int, n_frames long, "
+    "n_video_tracks int, n_audio_tracks int, n_chunks long, "
+    "chunk_offsets array<long>"
+)
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """MP4/ISO-BMFF METADATA per clip — no decoding (io/mp4.py box
+    walk): ftyp brand, mvhd duration, first video track's codec fourcc
+    + dimensions + frame count, track counts, and (capped) chunk byte
+    offsets for byte-range shard planning.
+
+    This is the metadata half the native-codec stub cannot cover:
+    H.264/VP9 FRAME DECODE still needs ffmpeg (see _decode_image /
+    _decode_audio stubs above), but filtering a LAION-style crawl by
+    duration/codec/resolution and planning byte-range reads at chunk
+    boundaries needs only the box tree, which parses in pure Python at
+    metadata cost (mdat bytes are never touched).
+
+    Non-BMFF payloads yield a row of NULLs (mime/media_id preserved) so
+    a mixed crawl can ``WHERE brand IS NOT NULL`` instead of dying."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from resilispark.io.mp4 import Mp4Error, parse_mp4_metadata
+
+        for pdf in batches:
+            rows = []
+            for mid, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    m = parse_mp4_metadata(payload)
+                except Mp4Error:
+                    rows.append((mid, mime) + (None,) * 10)
+                    continue
+                vids = m.video_tracks
+                v = vids[0] if vids else None
+                rows.append((
+                    mid, mime, m.brand, m.duration_ms,
+                    v.codec if v else None,
+                    v.width if v else None,
+                    v.height if v else None,
+                    v.n_samples if v else None,
+                    len(vids), len(m.audio_tracks),
+                    v.n_chunks if v else None,
+                    v.chunk_offsets if v else None,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "mime", "brand", "duration_ms", "codec",
+                    "width", "height", "n_frames", "n_video_tracks",
+                    "n_audio_tracks", "n_chunks", "chunk_offsets",
+                ],
+            )
+
+    return media.mapInPandas(op, schema=VIDEO_METADATA_SCHEMA)
 
 
 def sample_video_frames(

@@ -204,9 +204,10 @@ def w08_split_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5-style byte-range splitting: forcing ~8 KiB splits on the plain
     fixture must yield the identical record set (no drops/dupes at split
     boundaries — the seek-align invariant of beam/textio.py:189-193) —
-    and the r8 sidecar-LESS gzip leg: the same file as a foreign
-    .warc.gz with NO CDXJ index, split into executor-scanned ranges
-    (io/warc.py scan_gzip_members), must land the identical set too."""
+    and the sidecar-LESS compressed legs (gzip since r8, LZ4 since r9):
+    the same file as a foreign .warc.gz / .warc.lz4 with NO CDXJ index,
+    split into executor-scanned ranges (io/warc.py scan_gzip_members,
+    io/lz4f.py scan_lz4_members), must land the identical set too."""
     import os
     import shutil
 
@@ -214,12 +215,16 @@ def w08_split_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     plain = _warc(spark, compressed=False, split_bytes="8192")
     d = ensure_fixture_dir()
-    # fixed fixture name, copied once (nothing ever writes a .cdxj for
-    # it) — a per-call mkdtemp would leak one dir + copy per gate run
+    # fixed fixture names, copied once (nothing ever writes a .cdxj for
+    # them) — a per-call mkdtemp would leak one dir + copy per gate run
     gz = f"{d}/noindex-50.warc.gz"
     if not os.path.exists(gz):
         shutil.copy(f"{d}/golden-50.warc.gz", gz)
     scan = spark.read.format("warc").option("split_bytes", "2048").load(gz)
+    lz = f"{d}/noindex-50.warc.lz4"
+    if not os.path.exists(lz):
+        shutil.copy(f"{d}/golden-50.warc.lz4", lz)
+    scan_lz = spark.read.format("warc").option("split_bytes", "2048").load(lz)
 
     def agg(df, method):
         return df.agg(
@@ -231,14 +236,16 @@ def w08_split_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg(plain, "plain_range")
         .unionByName(agg(scan, "gz_member_scan"))
+        .unionByName(agg(scan_lz, "lz4_member_scan"))
         .orderBy("method")
     )
 
 
 ORACLE_W08 = """
 SELECT * FROM (VALUES
-  ('gz_member_scan', CAST(50 AS BIGINT), CAST(50 AS BIGINT)),
-  ('plain_range',    CAST(50 AS BIGINT), CAST(50 AS BIGINT)))
+  ('gz_member_scan',  CAST(50 AS BIGINT), CAST(50 AS BIGINT)),
+  ('lz4_member_scan', CAST(50 AS BIGINT), CAST(50 AS BIGINT)),
+  ('plain_range',     CAST(50 AS BIGINT), CAST(50 AS BIGINT)))
   t(method, n_records, n_distinct_ids)
 ORDER BY method
 """

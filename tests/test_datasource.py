@@ -1009,3 +1009,106 @@ def test_scan_gzip_members_truncated_tail_strictness(tmp_path):
     assert got[-1][1].startswith(b"WARC/")  # partial tail, tolerated
     with _pytest.raises(ValueError, match="truncated trailing"):
         list(scan_gzip_members(fs, str(p), 0, len(cut), len(cut), strict=True))
+
+
+def test_member_scan_embedded_archive_hazard_and_mitigation(tmp_path):
+    """The DOCUMENTED residual hazard of sidecar-less splitting
+    (io/warc.py scan_gzip_members): a complete valid .warc.gz stored
+    VERBATIM inside another record's payload (gzip level-0 stored
+    blocks keep the bytes unchanged) re-yields its embedded records to
+    a range that starts inside the enclosing member.  This test pins
+    the failure mode loudly — if validation ever gets strong enough to
+    reject it, update the docstring and flip these asserts — and pins
+    the two mitigations (whole-file walk, member_scan=false)."""
+    import gzip as _gzip
+    import io as _io
+
+    from resilispark.io.fs import LocalFS
+    from resilispark.io.warc import (
+        WarcRecord,
+        iter_warc,
+        scan_gzip_members,
+        serialize_record,
+        write_warc,
+    )
+
+    def rec(rid: str, payload: bytes) -> WarcRecord:
+        return WarcRecord(
+            warc_version="WARC/1.1",
+            headers=[("WARC-Type", "resource"),
+                     ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+                     ("WARC-Date", "2024-01-01T00:00:00Z")],
+            payload=payload,
+        )
+
+    inner_path = tmp_path / "inner.warc.gz"
+    write_warc([rec("inner-1", b"i" * 50), rec("inner-2", b"j" * 50)],
+               str(inner_path), compression="gzip")
+    inner = inner_path.read_bytes()
+
+    # outer member #2 archives the inner .warc.gz; LEVEL 0 gzip stores
+    # the deflate blocks verbatim, planting the inner bytes raw in the
+    # outer compressed stream
+    outer_members = []
+    for r in (rec("outer-1", b"x" * 400), rec("outer-2", inner),
+              rec("outer-3", b"z" * 400)):
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb",
+                            compresslevel=0, mtime=0) as g:
+            g.write(serialize_record(r))
+        outer_members.append(buf.getvalue())
+    outer = b"".join(outer_members)
+    outer_path = tmp_path / "outer.warc.gz"
+    outer_path.write_bytes(outer)
+
+    embed_off = outer.find(inner)
+    assert embed_off > 0, "level-0 gzip must keep the inner bytes verbatim"
+
+    fs = LocalFS()
+    # 1. HAZARD: a range opening inside the enclosing member, before
+    # the embedded archive, validates the embedded members and
+    # re-yields the inner records
+    got = list(scan_gzip_members(
+        fs, str(outer_path), embed_off - 8, embed_off + 8, len(outer)))
+    inner_ids = {
+        r.record_id
+        for off, plain in got
+        for r in iter_warc(plain, parse_http=False)
+    }
+    assert "<urn:uuid:inner-1>" in inner_ids, (
+        "hazard no longer reproduces — strengthen the docstring instead"
+    )
+
+    # 2. MITIGATION A: ranges that start at true member boundaries
+    # (what a whole-file walk or indexed split produces) never probe
+    # candidates inside members
+    starts = [0]
+    for m in outer_members[:-1]:
+        starts.append(starts[-1] + len(m))
+    whole_ids = set()
+    bounds = starts + [len(outer)]
+    for s, e in zip(bounds, bounds[1:]):
+        for off, plain in scan_gzip_members(fs, str(outer_path), s, e, len(outer)):
+            for r in iter_warc(plain, parse_http=False):
+                whole_ids.add(r.record_id)
+    assert whole_ids == {
+        "<urn:uuid:outer-1>", "<urn:uuid:outer-2>", "<urn:uuid:outer-3>"
+    }
+
+    # 3. MITIGATION B: member_scan=false reads the file unsplit and
+    # exactly the outer chain comes back (the CLI flag --no-member-scan
+    # documents this for archives-inside-archives corpora)
+    from resilispark.datasource.warc import WarcDataSource
+
+    ds = WarcDataSource({
+        "path": str(outer_path), "member_scan": "false",
+        "split_bytes": "512", "parse_http": "false", "payload": "false",
+    })
+    rd = ds.reader(ds.schema())
+    ids = set()
+    for part in rd.partitions():
+        for b in rd.read(part):
+            ids.update(b.column("record_id").to_pylist())
+    assert ids == {
+        "<urn:uuid:outer-1>", "<urn:uuid:outer-2>", "<urn:uuid:outer-3>"
+    }
