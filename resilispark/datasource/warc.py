@@ -237,6 +237,11 @@ class WarcDataSourceReader(DataSourceReader):
         self.verify_digests = self._bool_opt("verify_digests", False)
         self.keep_meta = self._bool_opt("always_keep_meta", False)
         self.keep_payload = self._bool_opt("payload", True)
+        # headers=false prunes the headers multimap COLUMN (NULL like a
+        # pruned payload); the blocks are still parsed for the typed
+        # fields — option-driven pruning for record-count / statistics
+        # scans that never read the multimap, same rationale as payload
+        self.keep_headers = self._bool_opt("headers", True)
         self.strict = self._bool_opt("strict", False)
         # escape hatch for A/B and the fused-vs-record-path equivalence
         # test; metadata-only scans fuse by default
@@ -435,6 +440,7 @@ class WarcDataSourceReader(DataSourceReader):
             min_content_length=self.min_len,
             max_content_length=self.max_len,
             keep_meta_on_strip=self.keep_meta,
+            keep_headers=self.keep_headers,
             max_rows=batch_rows,
         )
 
@@ -442,17 +448,20 @@ class WarcDataSourceReader(DataSourceReader):
             n = len(sink)
             if not n:
                 return
-            hdr_struct = pa.StructArray.from_arrays(
-                [
-                    pa.array(sink.hdr_keys, type=pa.string()),
-                    pa.array(sink.hdr_vals, type=pa.string()),
-                ],
-                names=["key", "value"],
-            )
-            headers = pa.ListArray.from_arrays(
-                pa.array(sink.hdr_offsets, type=pa.int32()), hdr_struct
-            )
             nulls = pa.nulls
+            if self.keep_headers:
+                hdr_struct = pa.StructArray.from_arrays(
+                    [
+                        pa.array(sink.hdr_keys, type=pa.string()),
+                        pa.array(sink.hdr_vals, type=pa.string()),
+                    ],
+                    names=["key", "value"],
+                )
+                headers = pa.ListArray.from_arrays(
+                    pa.array(sink.hdr_offsets, type=pa.int32()), hdr_struct
+                )
+            else:
+                headers = nulls(n, type=_ARROW_SCHEMA.field(9).type)
             arrays = [
                 pa.array([filename] * n, type=pa.string()),
                 pa.array(sink.stream_pos, type=pa.int64()),
@@ -613,6 +622,8 @@ class WarcDataSourceReader(DataSourceReader):
         # payload=false) that CDXJ indexing and record counting run
         # builds 10 of the 20 columns as O(1) pa.nulls per batch
         const_vals: dict[int, object] = {0: filename}
+        if not self.keep_headers:
+            const_vals[9] = None  # headers column pruned (option)
         if not self.parse_http:
             const_vals.update(
                 {10: False, 11: None, 12: None, 13: None, 14: None, 15: None}

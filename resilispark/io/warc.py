@@ -689,6 +689,7 @@ def scan_warc_columnar(
     min_content_length: int = -1,
     max_content_length: int = -1,
     keep_meta_on_strip: bool = False,
+    keep_headers: bool = True,
 ) -> tuple[int, bool]:
     """Fused parse→columns scan for metadata-only reads (``parse_http``,
     ``payload`` and ``verify_digests`` all off — the CDXJ-indexing /
@@ -793,7 +794,9 @@ def scan_warc_columnar(
                 rtype = "unknown"
         if record_types is not None and rtype not in record_types:
             continue
-        if clen < min_content_length:  # min default -1: never fires
+        # explicit >= 0 guards: a NEGATIVE declared Content-Length
+        # (adversarial) must not trip the disabled (-1) thresholds
+        if min_content_length >= 0 and clen < min_content_length:
             continue
         if 0 <= max_content_length < clen and not keep_meta_on_strip:
             continue
@@ -806,10 +809,15 @@ def scan_warc_columnar(
         tu_a(h_uri)
         ct_a(h_conc)
         cl_a(clen)
-        for k, v in headers:
-            hk_a(k)
-            hv_a(v)
-        ho_a(len(hk))
+        if keep_headers:
+            # headers=false prunes the multimap COLUMN only — the block
+            # is still parsed above (the six typed fields need it),
+            # matching the reference's benchmark loop, which parses
+            # headers but never serializes them anywhere
+            for k, v in headers:
+                hk_a(k)
+                hv_a(v)
+            ho_a(len(hk))
         rows += 1
         if max_rows is not None and rows >= max_rows:
             return (base + pos, False) if pos < n or not eof else (-1, False)

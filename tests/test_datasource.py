@@ -956,6 +956,8 @@ def test_columnar_fast_path_matches_record_path(spark, fixture_dir):
         ("golden-50.warc", {"record_types": "response,warcinfo"}),
         ("golden-50.warc", {"max_content_length": "500",
                             "always_keep_meta": "true"}),
+        ("golden-50.warc", {"headers": "false"}),  # pruned multimap
+        ("golden-50.warc.gz", {"headers": "false"}),
     ]
     for name, opts in variants:
         base = dict(opts, parse_http="false", payload="false")

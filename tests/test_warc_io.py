@@ -364,6 +364,10 @@ _ADVERSARIAL_BLOBS = [
     b"Content-Length: 0\r\n\r\n\r\n\r\n",
     # bad Content-Length value + missing mandatory fields
     b"WARC/1.1\r\nContent-Length: NaN\r\nWARC-Type: revisit\r\n\r\n\r\n\r\n",
+    # NEGATIVE declared Content-Length (must not trip the disabled
+    # min/max thresholds in the fused kernel)
+    b"WARC/1.1\r\nWARC-Type: response\r\nContent-Length: -7\r\n\r\n\r\n\r\n"
+    b"WARC/1.1\r\nWARC-Type: metadata\r\nContent-Length: 0\r\n\r\n\r\n\r\n",
     # unknown record type + non-ascii utf-8 header value
     b"WARC/1.1\r\nWARC-Type: sp\xc3\xa9cial\r\nWARC-Target-URI: http://\xc3\xa9.example\r\n"
     b"Content-Length: 0\r\n\r\n\r\n\r\n",
