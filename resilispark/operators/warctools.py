@@ -219,7 +219,24 @@ def cdxj_index(
     the record's WARC header multimap. The searchable key is the SURT
     canonical form of the target URI."""
     _prep(spark)
-    df = spark.read.format("warc").option("payload", "false").load(src)
+    lows = [f.strip().lower() for f in fields]
+    # column pruning by option (r9): the headers multimap only travels
+    # when a custom <warc-header> field reads it; likewise HTTP parsing
+    # only when an http:* field needs it — the DEFAULT field set
+    # (offset/length/filename/http:status) indexes with parse_http on
+    # but headers pruned, and a pure offset index scans metadata-only
+    needs_warc_hdrs = any(
+        f not in ("offset", "length", "filename") and not f.startswith("http:")
+        for f in lows
+    )
+    needs_http = any(f.startswith("http:") for f in lows)
+    df = (
+        spark.read.format("warc")
+        .option("payload", "false")
+        .option("headers", "true" if needs_warc_hdrs else "false")
+        .option("parse_http", "true" if needs_http else "false")
+        .load(src)
+    )
     w = W.partitionBy("filename").orderBy("stream_pos")
     enriched = df.withColumn("offset", F.col("stream_pos")).withColumn(
         "length",

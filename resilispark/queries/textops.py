@@ -38,6 +38,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Fan a gate input out to all cores: the tiny testdata parquet
+    arrives as ONE split, and the heavy gates' first stage is per-row
+    CPU (gram/shingle/hash explosions) that would otherwise run
+    single-core — real crawls arrive pre-partitioned, so the
+    repartition lives in the GATE wrapper, not the operator (t20
+    established the pattern; r9 extends it to every slope gate)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -252,7 +262,7 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from resilispark.operators.dedup import minhash_lsh_pairs
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
     return minhash_lsh_pairs(
         d, "text", "doc_id", num_hashes=8, bands=4, shingle_k=3,
         max_bucket=1024,
@@ -328,7 +338,7 @@ def d05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits), so the hash gate pins the equivalence."""
     from resilispark.operators.dedup import simhash
 
-    d = _docs(spark, sf_dir)
+    d = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
     return (
         simhash(d, "text", "doc_id", bits=16)
         .select("doc_id", F.col("simhash").alias("simhash16"))
@@ -1520,7 +1530,7 @@ def t07_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce it."""
     from resilispark.operators.packing import pack_stats
 
-    d = _docs(spark, sf_dir)
+    d = _fan(spark, _docs(spark, sf_dir))
     return pack_stats(d, seq_len=512, n_buckets=8)
 
 
@@ -1560,7 +1570,7 @@ def d10_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic stage."""
     from resilispark.operators.dedup import duplicate_span_coverage
 
-    d = _docs(spark, sf_dir)
+    d = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
     return duplicate_span_coverage(d, span_tokens=5).orderBy("doc_id")
 
 
@@ -1602,7 +1612,7 @@ def t08_emit_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     and stream-order reassembly, not just the t07 layout arithmetic."""
     from resilispark.operators.packing import emit_sequences
 
-    d = _docs(spark, sf_dir)
+    d = _fan(spark, _docs(spark, sf_dir))
     return emit_sequences(d, seq_len=256, n_buckets=4).select(
         "bucket",
         "seq_idx",
@@ -1727,7 +1737,7 @@ def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_dedup_store,
     )
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
     # leaked on purpose: the returned DataFrame reads the store lazily,
     # so the directory must outlive this call (OS tmp cleanup owns it)
     store = tempfile.mkdtemp(prefix="resilispark-d12-store-")
@@ -1797,7 +1807,7 @@ def d11_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, verified by the md5 of every reassembled document."""
     from resilispark.operators.dedup import mask_duplicate_spans
 
-    d = _docs(spark, sf_dir)
+    d = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
     return (
         mask_duplicate_spans(d, span_tokens=5)
         .select(
@@ -2015,7 +2025,7 @@ def t10_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly in DuckDB."""
     from resilispark.operators.dsir import dsir_select
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
     target = docs.where(F.col("doc_id") % 5 == 0)
     sel = dsir_select(
         docs, target, n=50, id_col="doc_id", text_col="text",
