@@ -88,10 +88,11 @@ def cmd_index(args) -> int:
     from resilispark.operators.warctools import cdxj_index
 
     spark = _spark(args.cpus)
+    member_scan = not getattr(args, "no_member_scan", False)
     if getattr(args, "sidecars", False):
         from resilispark.operators.warctools import write_cdxj_sidecars
 
-        sides = write_cdxj_sidecars(spark, args.file)
+        sides = write_cdxj_sidecars(spark, args.file, member_scan=member_scan)
         print(f"wrote {len(sides)} sidecar(s)")
         return 0
     fields = tuple(args.fields.split(",")) if args.fields else (
@@ -108,7 +109,8 @@ def cmd_index(args) -> int:
 
         write_cdxj_parquet(spark, args.file, args.output, fields=fields,
                            prefix_len=args.prefix_len,
-                           preserve_multi_header=args.preserve_multi_header)
+                           preserve_multi_header=args.preserve_multi_header,
+                           member_scan=member_scan)
         print(f"wrote {args.output} (parquet cdx)")
         return 0
     # concat_ws silently DROPS nulls (shifting fields); records without
@@ -117,6 +119,7 @@ def cmd_index(args) -> int:
     lines = cdxj_index(
         spark, args.file, fields=fields,
         preserve_multi_header=args.preserve_multi_header,
+        member_scan=member_scan,
     ).select(
         F.concat_ws(
             " ",
@@ -254,8 +257,14 @@ def cmd_curate(args) -> int:
         docs = wet_to_docs(spark, args.input)
     else:
         meta_robots = bool(getattr(args, "meta_robots", False))
+        scan_opts = (
+            {"member_scan": "false"}
+            if getattr(args, "no_member_scan", False)
+            else None
+        )
         docs = warc_to_html_docs(
-            spark, args.input, main_content=True, robots_meta=meta_robots
+            spark, args.input, main_content=True, robots_meta=meta_robots,
+            scan_options=scan_opts,
         )
         docs = docs.withColumnRenamed("plain_text", "text")
         if meta_robots:
@@ -1820,6 +1829,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--preserve-multi-header", action="store_true",
                    help="repeated HTTP headers as a JSON list")
+    p.add_argument(
+        "--no-member-scan", action="store_true",
+        help="index with sidecar-less splitting disabled — REQUIRED for "
+        "archives-inside-archives corpora, where the boundary scan "
+        "would bake embedded records' offsets into the index (see "
+        "`curate --no-member-scan`)",
+    )
     p.add_argument("--sidecars", action="store_true",
                    help="write a <file>.cdxj split-planning sidecar "
                         "next to every matched WARC (one task per "
@@ -1868,7 +1884,7 @@ def main(argv: list[str] | None = None) -> int:
         "keep the inner archive byte-verbatim, so a range scan can "
         "re-yield its embedded records — the documented hazard in "
         "io/warc.py scan_gzip_members); or index once with "
-        "`index --sidecars` for splits without the scan",
+        "`index --no-member-scan --sidecars` for splits without the scan",
     )
     p.add_argument("--blocklist", default=None, help="text file, one domain per line")
     p.add_argument(
@@ -2105,6 +2121,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--wat", action="store_true",
                    help="input is WAT metadata (pure-JVM JSON path)")
+    p.add_argument(
+        "--no-member-scan", action="store_true",
+        help="disable sidecar-less compressed splitting (see "
+        "`curate --no-member-scan`: archives-inside-archives corpora)",
+    )
     p.add_argument("--max-iterations", type=int, default=50)
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--top", type=int, default=20)

@@ -419,6 +419,67 @@ class WarcDataSourceReader(DataSourceReader):
         return parts
 
     # -- record scan --------------------------------------------------------
+    def _compressed_streams(self, partition: _WarcPartition, fs, size: int,
+                            head: bytes):
+        """``(base, plain)`` member streams for a COMPRESSED partition,
+        or None when the partition is an uncompressed byte range (the
+        caller picks its range reader) — including the mislabeled
+        fallback (planned compressed, actual head neither magic).  The
+        single source of truth for stream negotiation, shared by the
+        record-object and fused-columnar read paths (review r9: the
+        two inline copies had to be kept in sync by hand)."""
+        compressed = head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC)
+        if not compressed:
+            return None
+        if not partition.aligned:
+            # sidecar-less range: the boundary scan IS the read
+            # (validated member decode; the tail member completes with
+            # ranged reads past end)
+            if head.startswith(LZ4_MAGIC):
+                # lz4 drops truncated tail frames unconditionally (the
+                # frame walk is strict by construction)
+                from resilispark.io.lz4f import scan_lz4_members
+
+                return scan_lz4_members(
+                    fs, partition.path, partition.start, partition.end, size
+                )
+            from resilispark.io.warc import scan_gzip_members
+
+            return scan_gzip_members(
+                fs, partition.path, partition.start, partition.end,
+                size, strict=self.strict,
+            )
+        point = partition.end == partition.start + 1
+        if point:
+            # bounded fetch: grow until the first member decodes whole,
+            # instead of reading offset..EOF from a remote store (S12)
+            data = _read_first_member(fs, partition.path, partition.start, size)
+        else:
+            data = fs.read_range(
+                partition.path, partition.start,
+                partition.end - partition.start,
+            )
+        if partition.start == 0 and partition.end >= size:
+            return decode_warc_stream(data)
+        import itertools
+
+        if data.startswith(GZIP_MAGIC):
+            members = _iter_gzip_members(data)
+        elif data.startswith(LZ4_MAGIC):
+            from resilispark.io.lz4f import decompress_members
+
+            members = decompress_members(data)
+        else:
+            # a split partition MUST begin at a member boundary;
+            # failing loudly beats silently yielding no records
+            raise ValueError(
+                f"compressed split at {partition.start} of "
+                f"{partition.path} is not a member boundary "
+                "(stale/foreign .cdxj index?)"
+            )
+        streams = ((partition.start + off, plain) for off, plain in members)
+        return itertools.islice(streams, 1) if point else streams
+
     def _read_columnar(
         self, partition: _WarcPartition, fs, size: int, head: bytes,
         filename: str,
@@ -487,58 +548,7 @@ class WarcDataSourceReader(DataSourceReader):
             yield pa.RecordBatch.from_arrays(arrays, schema=_ARROW_SCHEMA)
             sink.reset()
 
-        point = partition.end == partition.start + 1
-        compressed = head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC)
-        if not partition.aligned and not compressed:
-            # mislabeled fallback — same rationale as the generic path
-            streams = None
-        elif not partition.aligned:
-            if head.startswith(LZ4_MAGIC):
-                # lz4 drops truncated tail frames unconditionally (the
-                # frame walk is strict by construction)
-                from resilispark.io.lz4f import scan_lz4_members as _scan
-
-                streams = _scan(
-                    fs, partition.path, partition.start, partition.end, size
-                )
-            else:
-                from resilispark.io.warc import scan_gzip_members
-
-                streams = scan_gzip_members(
-                    fs, partition.path, partition.start, partition.end,
-                    size, strict=self.strict,
-                )
-        elif compressed:
-            if point:
-                data = _read_first_member(fs, partition.path, partition.start, size)
-            else:
-                data = fs.read_range(
-                    partition.path, partition.start,
-                    partition.end - partition.start,
-                )
-            if partition.start == 0 and partition.end >= size:
-                streams = decode_warc_stream(data)
-            else:
-                import itertools
-
-                if data.startswith(GZIP_MAGIC):
-                    members = _iter_gzip_members(data)
-                elif data.startswith(LZ4_MAGIC):
-                    from resilispark.io.lz4f import decompress_members
-
-                    members = decompress_members(data)
-                else:
-                    raise ValueError(
-                        f"compressed split at {partition.start} of "
-                        f"{partition.path} is not a member boundary "
-                        "(stale/foreign .cdxj index?)"
-                    )
-                streams = ((partition.start + off, plain) for off, plain in members)
-                if point:
-                    streams = itertools.islice(streams, 1)
-        else:
-            streams = None
-
+        streams = self._compressed_streams(partition, fs, size, head)
         if streams is not None:
             # fully-decoded member buffers: eof=True, re-reads never fire
             for mbase, plain in streams:
@@ -665,44 +675,7 @@ class WarcDataSourceReader(DataSourceReader):
             keep_payload=self.keep_payload,
         )
         point = partition.end == partition.start + 1
-        if not partition.aligned and (
-            head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC)
-        ):
-            # sidecar-less compressed range: the boundary scan IS the
-            # read (validated member decode, yielding members that
-            # START in [start, end) — the tail member completes with
-            # ranged reads past end)
-            if head.startswith(LZ4_MAGIC):
-                from resilispark.io.lz4f import scan_lz4_members as _scan
-
-                streams = _scan(
-                    fs, partition.path, partition.start, partition.end, size
-                )
-            else:
-                from resilispark.io.warc import scan_gzip_members
-
-                streams = scan_gzip_members(
-                    fs, partition.path, partition.start, partition.end,
-                    size, strict=self.strict,
-                )
-            record_iter = (
-                rec
-                for base, plain in streams
-                for rec in iter_warc_bytes(
-                    plain, stream_pos_base=base, **kwargs
-                )
-            )
-        elif not partition.aligned:
-            # mislabeled: planned as compressed (extension said .gz)
-            # but the actual head is neither magic — fall back to the
-            # plain byte-range scan so the file still reads completely
-            # (a member scan would find no boundary in ANY range and
-            # silently yield zero records)
-            record_iter = iter_warc_range(
-                partition.path, partition.start, partition.end,
-                file_size=size, opener=fs.open, **kwargs
-            )
-        elif self.retry_count and not point:
+        if partition.aligned and self.retry_count and not point:
             # R5: resume this partition's scan from the last good record
             # offset on stream failure, instead of re-running the whole
             # task (matters for flaky object stores)
@@ -716,57 +689,25 @@ class WarcDataSourceReader(DataSourceReader):
                 end=partition.end,
                 **kwargs,
             )
-        elif head.startswith(GZIP_MAGIC) or head.startswith(LZ4_MAGIC):
-            # compressed: read only this partition's byte range (the
-            # whole file when unsplit; a member-aligned CDXJ range when
-            # split) and iterate members with stream_pos in the
-            # compressed stream, exactly like FastWARC's offsets
-            point = partition.end == partition.start + 1  # S12 seek-extract
-            if point:
-                # bounded fetch: grow until the first member decodes
-                # complete, instead of reading offset..EOF (which over
-                # http/s3 would pull the remainder of a multi-GiB file)
-                data = _read_first_member(fs, partition.path, partition.start, size)
-            else:
-                data = fs.read_range(
-                    partition.path, partition.start,
-                    partition.end - partition.start,
-                )
-            if partition.start == 0 and partition.end >= size:
-                streams = decode_warc_stream(data)
-            else:
-                import itertools
-
-                if data.startswith(GZIP_MAGIC):
-                    members = _iter_gzip_members(data)
-                elif data.startswith(LZ4_MAGIC):
-                    from resilispark.io.lz4f import decompress_members
-
-                    members = decompress_members(data)
-                else:
-                    # a split partition MUST begin at a member boundary;
-                    # failing loudly beats silently yielding no records
-                    raise ValueError(
-                        f"compressed split at {partition.start} of "
-                        f"{partition.path} is not a member boundary "
-                        "(stale/foreign .cdxj index?)"
-                    )
-                streams = ((partition.start + off, plain) for off, plain in members)
-                if point:
-                    streams = itertools.islice(streams, 1)
-            record_iter = (
-                rec
-                for base, plain in streams
-                for rec in iter_warc_bytes(plain, stream_pos_base=base, **kwargs)
-            )
         else:
-            # uncompressed: true range read — records starting inside
-            # [start, end), magic-aligned, with bounded re-read for
-            # range-crossing records (iter_warc_range)
-            record_iter = iter_warc_range(
-                partition.path, partition.start, partition.end,
-                file_size=size, opener=fs.open, **kwargs
-            )
+            streams = self._compressed_streams(partition, fs, size, head)
+            if streams is None:
+                # uncompressed byte range (incl. the mislabeled
+                # planned-as-compressed fallback): records starting in
+                # [start, end), magic-aligned, bounded re-read for
+                # range-crossing records
+                record_iter = iter_warc_range(
+                    partition.path, partition.start, partition.end,
+                    file_size=size, opener=fs.open, **kwargs
+                )
+            else:
+                record_iter = (
+                    rec
+                    for base, plain in streams
+                    for rec in iter_warc_bytes(
+                        plain, stream_pos_base=base, **kwargs
+                    )
+                )
 
         keep_payload = self.keep_payload
         # bind the column lists ONCE per batch, not per record (the

@@ -104,7 +104,24 @@ def _fullbox(data: bytes, start: int) -> tuple[int, int]:
     return data[start], start + 4
 
 
+def _u32_at(data: bytes, pos: int, end: int) -> int | None:
+    """Bounded read: None when the field lies past the box's clamped
+    ``end`` (truncated download or a lying box size must neither raise
+    struct.error nor read the NEXT box's bytes as field values)."""
+    if pos + 4 > end:
+        return None
+    return _U32.unpack_from(data, pos)[0]
+
+
+def _u64_at(data: bytes, pos: int, end: int) -> int | None:
+    if pos + 8 > end:
+        return None
+    return _U64.unpack_from(data, pos)[0]
+
+
 def _parse_stsd(data: bytes, start: int, end: int, tr: Mp4Track) -> None:
+    if end - start < 4:
+        return
     _, p = _fullbox(data, start)
     if p + 4 > end:
         return
@@ -124,38 +141,50 @@ def _parse_stsd(data: bytes, start: int, end: int, tr: Mp4Track) -> None:
 def _parse_track(data: bytes, start: int, end: int) -> Mp4Track:
     tr = Mp4Track()
     for btype, ps, pe in _iter_boxes(data, start, end):
-        if btype == b"tkhd":
+        if btype == b"tkhd" and pe - ps >= 4:
             ver, p = _fullbox(data, ps)
             # v0: ctime/mtime/id = u32,u32,u32; v1: u64,u64,u32
-            tr.track_id = _U32.unpack_from(data, p + (16 if ver else 8))[0]
+            tid = _u32_at(data, p + (16 if ver else 8), pe)
+            if tid is not None:
+                tr.track_id = tid
         elif btype == b"mdia":
             for mt, ms, me in _iter_boxes(data, ps, pe):
-                if mt == b"mdhd":
+                if mt == b"mdhd" and me - ms >= 4:
                     ver, p = _fullbox(data, ms)
                     if ver:
-                        ts = _U32.unpack_from(data, p + 16)[0]
-                        dur = _U64.unpack_from(data, p + 20)[0]
+                        ts = _u32_at(data, p + 16, me)
+                        dur = _u64_at(data, p + 20, me)
                     else:
-                        ts = _U32.unpack_from(data, p + 8)[0]
-                        dur = _U32.unpack_from(data, p + 12)[0]
-                    tr.timescale = ts
-                    tr.duration_ms = (dur * 1000) // ts if ts else 0
-                elif mt == b"hdlr":
+                        ts = _u32_at(data, p + 8, me)
+                        dur = _u32_at(data, p + 12, me)
+                    if ts is not None:
+                        tr.timescale = ts
+                        tr.duration_ms = (
+                            (dur * 1000) // ts if ts and dur is not None else 0
+                        )
+                elif mt == b"hdlr" and me - ms >= 4:
                     _, p = _fullbox(data, ms)
-                    tr.handler = data[p + 4 : p + 8].decode("ascii", "replace")
+                    tr.handler = data[p + 4 : min(p + 8, me)].decode(
+                        "ascii", "replace")
                 elif mt == b"minf":
                     for st, ss, se in _iter_boxes(data, ms, me):
                         if st != b"stbl":
                             continue
                         for bt, bs, be in _iter_boxes(data, ss, se):
+                            if be - bs < 4:
+                                continue
                             if bt == b"stsd":
                                 _parse_stsd(data, bs, be, tr)
                             elif bt == b"stsz":
                                 _, p = _fullbox(data, bs)
-                                tr.n_samples = _U32.unpack_from(data, p + 4)[0]
+                                ns = _u32_at(data, p + 4, be)
+                                if ns is not None:
+                                    tr.n_samples = ns
                             elif bt in (b"stco", b"co64"):
                                 _, p = _fullbox(data, bs)
-                                n = _U32.unpack_from(data, p)[0]
+                                n = _u32_at(data, p, be)
+                                if n is None:
+                                    continue
                                 tr.n_chunks = n
                                 wide = bt == b"co64"
                                 step, unp = (8, _U64) if wide else (4, _U32)
@@ -185,16 +214,19 @@ def parse_mp4_metadata(data: bytes) -> Mp4Metadata:
         elif btype == b"moov":
             saw_bmff = True
             for mt, ms, me in _iter_boxes(data, ps, pe):
-                if mt == b"mvhd":
+                if mt == b"mvhd" and me - ms >= 4:
                     ver, p = _fullbox(data, ms)
                     if ver:
-                        ts = _U32.unpack_from(data, p + 16)[0]
-                        dur = _U64.unpack_from(data, p + 20)[0]
+                        ts = _u32_at(data, p + 16, me)
+                        dur = _u64_at(data, p + 20, me)
                     else:
-                        ts = _U32.unpack_from(data, p + 8)[0]
-                        dur = _U32.unpack_from(data, p + 12)[0]
-                    meta.timescale = ts
-                    meta.duration_ms = (dur * 1000) // ts if ts else 0
+                        ts = _u32_at(data, p + 8, me)
+                        dur = _u32_at(data, p + 12, me)
+                    if ts is not None:
+                        meta.timescale = ts
+                        meta.duration_ms = (
+                            (dur * 1000) // ts if ts and dur is not None else 0
+                        )
                 elif mt == b"trak":
                     meta.tracks.append(_parse_track(data, ms, me))
     if not saw_bmff:

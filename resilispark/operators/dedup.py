@@ -93,6 +93,11 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     if small_graph_edges and edges.count() <= small_graph_edges:
+        rows = edges.collect()
+        # NULL vertex ids can't be ordered by `<` — match the
+        # distributed loop's semantics instead of raising: a NULL never
+        # equi-joins, so its row propagates nothing and keeps its own
+        # (NULL) label; handle those rows separately below
         parent: dict = {}
 
         def find(x):
@@ -103,8 +108,16 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in edges.collect():
+        for row in rows:
             s, d = row[0], row[1]
+            if s is None or d is None:
+                # the non-NULL endpoint still gets its singleton label
+                # (it appears as src in the reversed union row too)
+                if s is not None:
+                    parent.setdefault(s, s)
+                if d is not None:
+                    parent.setdefault(d, d)
+                continue
             parent.setdefault(s, s)
             parent.setdefault(d, d)
             rs, rd = find(s), find(d)
@@ -114,6 +127,8 @@ def connected_components(
                 if rd < rs:
                     rs, rd = rd, rs
                 parent[rd] = rs
+        # a NULL vertex itself is DROPPED, matching the distributed
+        # loop (its convergence join on `vertex` is null-dropping)
         out = [(v, find(v)) for v in parent]
         schema = T.StructType(
             [

@@ -207,6 +207,7 @@ def cdxj_index(
     *,
     fields: tuple[str, ...] = ("offset", "length", "filename", "http:status"),
     preserve_multi_header: bool = False,
+    member_scan: bool = True,
 ) -> DataFrame:
     """CDXJ index records: one JSON line per record with the configured
     fields (fastwarc index, cli.py:225-283). ``length`` uses the
@@ -230,11 +231,16 @@ def cdxj_index(
         for f in lows
     )
     needs_http = any(f.startswith("http:") for f in lows)
+    # member_scan=False: indexing an archives-inside-archives corpus
+    # with the boundary scan would bake embedded records' offsets into
+    # the index (the scan_gzip_members hazard) — the unsplit read is
+    # the safe one-time cost (CLI: `index --no-member-scan`)
     df = (
         spark.read.format("warc")
         .option("payload", "false")
         .option("headers", "true" if needs_warc_hdrs else "false")
         .option("parse_http", "true" if needs_http else "false")
+        .option("member_scan", "true" if member_scan else "false")
         .load(src)
     )
     w = W.partitionBy("filename").orderBy("stream_pos")
@@ -273,7 +279,9 @@ def cdxj_index(
     )
 
 
-def write_cdxj_sidecars(spark: SparkSession, src: str) -> list[str]:
+def write_cdxj_sidecars(
+    spark: SparkSession, src: str, *, member_scan: bool = True
+) -> list[str]:
     """Write a ``<file>.cdxj`` sidecar next to EVERY WARC file in
     ``src`` (a path, glob, directory, or comma-list) so the warc data
     source can split them at member boundaries (SURVEY §4
@@ -311,7 +319,8 @@ def write_cdxj_sidecars(spark: SparkSession, src: str) -> list[str]:
             )
         by_base[base] = p
 
-    idx = cdxj_index(spark, src, fields=("offset", "length", "filename"))
+    idx = cdxj_index(spark, src, fields=("offset", "length", "filename"),
+                     member_scan=member_scan)
     # concat_ws SKIPS NULLs: a record without a target URI / date
     # (warcinfo) would write a malformed 2-field line that shifts every
     # parser — placeholder like the CLI's stdout path (cmd_index)
@@ -434,6 +443,7 @@ def write_cdxj_parquet(
     fields: tuple[str, ...] = ("offset", "length", "filename", "http:status"),
     prefix_len: int = 4,
     preserve_multi_header: bool = False,
+    member_scan: bool = True,
 ) -> str:
     """Index WARCs into a PRUNABLE parquet CDX: the same typed rows as
     :func:`read_cdxj`, hive-partitioned by the first ``prefix_len``
@@ -462,6 +472,7 @@ def write_cdxj_parquet(
     idx = cdxj_index(
         spark, src, fields=fields,
         preserve_multi_header=preserve_multi_header,
+        member_scan=member_scan,
     )
     rows = idx.select(
         "surt_key",

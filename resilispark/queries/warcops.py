@@ -215,15 +215,20 @@ def w08_split_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     plain = _warc(spark, compressed=False, split_bytes="8192")
     d = ensure_fixture_dir()
-    # fixed fixture names, copied once (nothing ever writes a .cdxj for
-    # them) — a per-call mkdtemp would leak one dir + copy per gate run
-    gz = f"{d}/noindex-50.warc.gz"
-    if not os.path.exists(gz):
-        shutil.copy(f"{d}/golden-50.warc.gz", gz)
+
+    # fixed fixture names, re-copied when the golden SOURCE is newer
+    # (a regenerated golden file must not leave the gate scanning a
+    # stale copy — review r9); nothing ever writes a .cdxj for them,
+    # and a per-call mkdtemp would leak one dir + copy per gate run
+    def _fresh_copy(src: str, dst: str) -> str:
+        if (not os.path.exists(dst)
+                or os.path.getmtime(dst) < os.path.getmtime(src)):
+            shutil.copy(src, dst)
+        return dst
+
+    gz = _fresh_copy(f"{d}/golden-50.warc.gz", f"{d}/noindex-50.warc.gz")
     scan = spark.read.format("warc").option("split_bytes", "2048").load(gz)
-    lz = f"{d}/noindex-50.warc.lz4"
-    if not os.path.exists(lz):
-        shutil.copy(f"{d}/golden-50.warc.lz4", lz)
+    lz = _fresh_copy(f"{d}/golden-50.warc.lz4", f"{d}/noindex-50.warc.lz4")
     scan_lz = spark.read.format("warc").option("split_bytes", "2048").load(lz)
 
     def agg(df, method):

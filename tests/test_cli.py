@@ -1990,3 +1990,42 @@ def test_cli_sketch_report_snapshot_scoping(tmp_path, spark, capsys):
 
     with _pytest.raises(ValueError, match="not in top-k store"):
         topk_store_report(spark, store, snapshot="c9").collect()
+
+
+def test_cli_no_member_scan_reaches_the_readers(monkeypatch, tmp_path, capsys,
+                                                golden_gz, spark):
+    """Review r9: --no-member-scan must actually reach the WARC reader
+    in every command that documents it (curate was parsed-but-ignored
+    once).  curate: warc_to_html_docs gets scan_options; index: the
+    member_scan kwarg threads to cdxj_index."""
+    import resilispark.operators.pipelines as pipelines
+
+    captured = {}
+    real = pipelines.warc_to_html_docs
+
+    def spy(spark_, path, **kw):
+        captured["scan_options"] = kw.get("scan_options")
+        return real(spark_, path, **kw)
+
+    monkeypatch.setattr(pipelines, "warc_to_html_docs", spy)
+    rc, _ = _run(capsys, [
+        "curate", golden_gz, "-o", str(tmp_path / "c"), "--no-member-scan",
+    ])
+    assert rc == 0
+    assert captured["scan_options"] == {"member_scan": "false"}
+
+    import resilispark.operators.warctools as warctools
+
+    idx_kwargs = {}
+    real_idx = warctools.cdxj_index
+
+    def spy_idx(spark_, src, **kw):
+        idx_kwargs.update(kw)
+        return real_idx(spark_, src, **kw)
+
+    monkeypatch.setattr(warctools, "cdxj_index", spy_idx)
+    rc, _ = _run(capsys, [
+        "index", "--no-member-scan", "-o", str(tmp_path / "i"), golden_gz,
+    ])
+    assert rc == 0
+    assert idx_kwargs.get("member_scan") is False

@@ -6793,6 +6793,30 @@ class TestMp4BoxWalk:
         j = rows["junk"]
         assert j.brand is None and j.codec is None and j.mime == "video/avi"
 
+    def test_every_truncation_point_is_graceful(self):
+        """Review r9: a box cut ANYWHERE (partial download / lying box
+        size) must either parse what's present or raise Mp4Error —
+        never struct.error/IndexError (which would kill the Spark task
+        instead of yielding the NULL row), and bounded reads must not
+        take the NEXT box's bytes as field values."""
+        from resilispark.io.mp4 import Mp4Error, parse_mp4_metadata
+
+        blob = self._minimal_mp4()
+        # moov-first so truncations hit metadata boxes, not just mdat
+        import struct as _s
+
+        mdat_size = _s.unpack_from(">I", blob, 24)[0]
+        rearranged = blob[:24] + blob[24 + mdat_size:] + blob[24:24 + mdat_size]
+        for cut in range(len(rearranged)):
+            try:
+                parse_mp4_metadata(rearranged[:cut])
+            except Mp4Error:
+                pass
+        # lying size: an mvhd that claims 16 bytes (fields past its end)
+        lie = self._box(b"moov", self._full(b"mvhd", 0, bytes(8)))
+        m = parse_mp4_metadata(self._box(b"ftyp", b"isom" + bytes(8)) + lie)
+        assert m.duration_ms == 0  # fields unread, not garbage
+
 
 def test_connected_components_small_graph_matches_distributed(spark):
     """The r9 driver union-find fast path must produce exactly the
@@ -6827,3 +6851,21 @@ def test_connected_components_small_graph_matches_distributed(spark):
         for r in connected_components(spairs).collect()
     )
     assert fast_s == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_null_ids_match_distributed(spark):
+    """Review r9: NULL vertex ids must not TypeError in the union-find
+    fast path; both paths label NULL with NULL and the non-NULL
+    endpoint of a NULL edge as its own singleton."""
+    from resilispark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (None, None)],
+        "doc_a int, doc_b int",
+    )
+    fast = {(r.vertex, r.cluster_id)
+            for r in connected_components(pairs).collect()}
+    dist = {(r.vertex, r.cluster_id)
+            for r in connected_components(pairs, small_graph_edges=0).collect()}
+    assert fast == dist
+    assert (1, 1) in fast and (2, 1) in fast and (3, 3) in fast and (4, 4) in fast
