@@ -18,8 +18,9 @@ loop, --tokenizer bpe/byte, --pack/--pack-separator, --search-index,
 (BM25 scan or persisted term-sharded index; ``--queries`` batch
 mode), ``sketch-report`` (corpus-wide distinct/overlap estimates from
 stored HLL sketches), ``media-dedup`` (image/audio/video near-dup
-removal via perceptual fingerprints), ``linkgraph`` (WARC/WAT ->
-PageRank).
+removal via perceptual fingerprints), ``media-metadata`` (MP4/ISO-BMFF
+box-walk table — duration/codec/dimensions/frames, no decoding),
+``linkgraph`` (WARC/WAT -> PageRank).
 """
 
 from __future__ import annotations
@@ -1234,6 +1235,29 @@ def cmd_search_index(args) -> int:
     return 0
 
 
+def cmd_media_metadata(args) -> int:
+    """MP4/ISO-BMFF metadata table for a media parquet: the io/mp4.py
+    box walk over every payload (duration, codec fourcc, dimensions,
+    frame count, chunk offsets — NO decoding; non-BMFF rows come back
+    NULL).  What a video pipeline filters/shards on before it ever
+    needs a codec."""
+    from pyspark.sql import functions as F
+
+    spark = _spark(args.cpus)
+    from resilispark.operators.multimodal import video_metadata
+
+    media = spark.read.parquet(args.input)
+    meta = video_metadata(media)
+    if args.drop_offsets:
+        meta = meta.drop("chunk_offsets")
+    meta.write.mode("overwrite").parquet(args.output)
+    parsed = spark.read.parquet(args.output)
+    n = parsed.count()
+    n_mp4 = parsed.filter(F.col("brand").isNotNull()).count()
+    print(f"wrote {args.output}: {n} rows, {n_mp4} parsed as ISO-BMFF")
+    return 0
+
+
 def cmd_media_dedup(args) -> int:
     """Near-duplicate removal for media corpora: fingerprint every
     payload (image pHash / audio RMS-trend / per-frame video pHash),
@@ -2161,6 +2185,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="replace an existing index at OUTPUT (refused "
                         "otherwise — update_text_index grows one in place)")
     p.set_defaults(fn=cmd_search_index)
+
+    p = sub.add_parser(
+        "media-metadata",
+        help="MP4/ISO-BMFF box-walk metadata table (duration/codec/"
+             "dimensions/frames/chunk offsets; no decoding)",
+    )
+    p.add_argument("input", help="parquet with media_id/mime/payload")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--drop-offsets", action="store_true",
+                   help="omit the chunk_offsets array column")
+    p.set_defaults(fn=cmd_media_metadata)
 
     p = sub.add_parser(
         "media-dedup",

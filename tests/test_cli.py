@@ -2029,3 +2029,26 @@ def test_cli_no_member_scan_reaches_the_readers(monkeypatch, tmp_path, capsys,
     ])
     assert rc == 0
     assert idx_kwargs.get("member_scan") is False
+
+
+def test_cli_media_metadata(tmp_path, capsys, spark):
+    """media-metadata over a mixed parquet: the MP4 row carries real
+    box-walk metadata, the non-BMFF row comes back NULL."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from test_operators import TestMp4BoxWalk
+
+    mp4 = TestMp4BoxWalk._minimal_mp4()
+    src = str(tmp_path / "media.parquet")
+    spark.createDataFrame(
+        [("v1", "video/mp4", bytearray(mp4)),
+         ("junk", "video/avi", bytearray(b"RIFFxxxxAVI "))],
+        "media_id string, mime string, payload binary",
+    ).write.parquet(src)
+    out = str(tmp_path / "meta.parquet")
+    rc, text = _run(capsys, ["media-metadata", src, "-o", out])
+    assert rc == 0 and "2 rows, 1 parsed as ISO-BMFF" in text
+    rows = {r.media_id: r for r in spark.read.parquet(out).collect()}
+    assert rows["v1"].codec == "avc1" and rows["v1"].duration_ms == 5400
+    assert rows["junk"].brand is None

@@ -102,3 +102,52 @@ def test_lang_kernel_never_raises(text):
     assert vectorize(text).shape == (256,)
     lang, rank = detect_fast(text)
     assert isinstance(lang, str) and isinstance(rank, int)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    payloads=st.lists(_payload, min_size=1, max_size=5),
+    uris=st.lists(_value, min_size=5, max_size=5),
+    junk=st.binary(min_size=0, max_size=64),
+)
+def test_columnar_scan_property_matches_record_path(payloads, uris, junk):
+    """r9 fused kernel: for ANY serialized stream (arbitrary payloads,
+    header values, inter-record junk) scan_warc_columnar appends
+    exactly what iter_warc_bytes yields — stream_pos, lengths, typed
+    fields (dates as micros), and the flat headers."""
+    from resilispark.io.warc import (
+        WarcColumnarSink,
+        _EPOCH,
+        scan_warc_columnar,
+    )
+
+    blob = b"".join(
+        serialize_record(_mk(uris[i % 5], p, uris[(i + 1) % 5]),
+                         checksum_data=True)
+        for i, p in enumerate(payloads)
+    )
+    # junk between records exercises the non-strict resync (skip unless
+    # it contains the magic itself, which would legitimately diverge)
+    if junk and b"WARC/" not in junk:
+        blob += junk
+    sink = WarcColumnarSink()
+    res, reread = scan_warc_columnar(blob, sink)
+    assert (res, reread) == (-1, False)
+    recs = list(iter_warc_bytes(blob, parse_http=False, keep_payload=False))
+    assert len(sink.stream_pos) == len(recs)
+    for i, r in enumerate(recs):
+        assert sink.stream_pos[i] == r.stream_pos
+        assert sink.record_length[i] == r.record_length
+        assert sink.record_id[i] == r.record_id
+        assert sink.record_type[i] == r.record_type
+        assert sink.target_uri[i] == r.target_uri
+        assert sink.content_length[i] == r.content_length
+        us = sink.warc_date_us[i]
+        if r.warc_date is None:
+            assert us is None
+        else:
+            d = r.warc_date - _EPOCH
+            assert us == (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+        ks = sink.hdr_keys[sink.hdr_offsets[i]:sink.hdr_offsets[i + 1]]
+        vs = sink.hdr_vals[sink.hdr_offsets[i]:sink.hdr_offsets[i + 1]]
+        assert list(zip(ks, vs)) == r.headers
