@@ -255,7 +255,14 @@ def cmd_curate(args) -> int:
     elif fmt == "wet":
         from resilispark.operators.pipelines import wet_to_docs
 
-        docs = wet_to_docs(spark, args.input)
+        docs = wet_to_docs(
+            spark, args.input,
+            scan_options=(
+                {"member_scan": "false"}
+                if getattr(args, "no_member_scan", False)
+                else None
+            ),
+        )
     else:
         meta_robots = bool(getattr(args, "meta_robots", False))
         scan_opts = (
@@ -1251,9 +1258,10 @@ def cmd_media_metadata(args) -> int:
     if args.drop_offsets:
         meta = meta.drop("chunk_offsets")
     meta.write.mode("overwrite").parquet(args.output)
-    parsed = spark.read.parquet(args.output)
-    n = parsed.count()
-    n_mp4 = parsed.filter(F.col("brand").isNotNull()).count()
+    # one aggregate returns both counts (F.count(col) skips NULLs)
+    n, n_mp4 = spark.read.parquet(args.output).agg(
+        F.count(F.lit(1)), F.count("brand")
+    ).first()
     print(f"wrote {args.output}: {n} rows, {n_mp4} parsed as ISO-BMFF")
     return 0
 

@@ -210,7 +210,10 @@ def parse_mp4_metadata(data: bytes) -> Mp4Metadata:
     for btype, ps, pe in _iter_boxes(data, 0, len(data)):
         if btype == b"ftyp":
             saw_bmff = True
-            meta.brand = data[ps : ps + 4].decode("ascii", "replace").strip()
+            # clamped to the box end: an empty/short ftyp must not read
+            # the NEXT box's size bytes as the brand (review r9)
+            meta.brand = data[ps : min(ps + 4, pe)].decode(
+                "ascii", "replace").strip()
         elif btype == b"moov":
             saw_bmff = True
             for mt, ms, me in _iter_boxes(data, ps, pe):

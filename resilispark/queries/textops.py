@@ -3061,12 +3061,7 @@ def t20_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared floor spelling, so the engines agree bit-for-bit."""
     from resilispark.operators.quality import gopher_repetition_stats
 
-    # the tiny parquet arrives as ONE split; the gram pass is CPU-bound
-    # per row, so fan out first (real crawls arrive pre-partitioned)
-    d = (
-        _docs(spark, sf_dir).select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    d = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
     return gopher_repetition_stats(d).orderBy("doc_id", "metric")
 
 

@@ -6817,6 +6817,16 @@ class TestMp4BoxWalk:
         m = parse_mp4_metadata(self._box(b"ftyp", b"isom" + bytes(8)) + lie)
         assert m.duration_ms == 0  # fields unread, not garbage
 
+    def test_empty_ftyp_brand_not_next_box_bytes(self):
+        """Review r9 pass 2: an ftyp declaring size 8 (empty payload)
+        must yield an empty brand, not the next box's size bytes."""
+        from resilispark.io.mp4 import parse_mp4_metadata
+
+        blob = self._box(b"ftyp", b"") + self._box(
+            b"moov", self._full(b"mvhd", 0, bytes(96)))
+        m = parse_mp4_metadata(blob)
+        assert m.brand == ""
+
 
 def test_connected_components_small_graph_matches_distributed(spark):
     """The r9 driver union-find fast path must produce exactly the
