@@ -866,6 +866,41 @@ def _iter_gzip_members(data: bytes) -> Iterator[tuple[int, bytes]]:
 _GZ_CANDIDATE = b"\x1f\x8b\x08"
 
 
+def _warn_broken_chain(
+    path: str, start: int, end: int, at: int, *, gap: bool
+) -> None:
+    """A healthy member-per-record chain is CONTIGUOUS: once a member
+    validates, the next begins exactly at its end.  Two anomalies are
+    the embedded-archive signature (a complete .warc.gz stored verbatim
+    inside a record's payload — the r8 hazard note's cheap detection):
+
+    - ``gap=True``: a validated member did NOT start at the previous
+      member's end — the scan yielded an inner chain, then resynced
+      onto the true outer chain past the enclosing member's tail;
+    - ``gap=False``: the chain STOPPED SHORT of the range end mid-file
+      (the inner chain ended and nothing after it validated).
+
+    Either way this range's output may contain re-yielded embedded
+    records.  Mitigations: ``member_scan=false`` or a one-time
+    ``index --no-member-scan --sidecars`` pass."""
+    import warnings
+
+    what = (
+        f"validated member at {at} does not start at the previous "
+        "member's end"
+        if gap
+        else f"member chain stops at {at} before the range end"
+    )
+    warnings.warn(
+        f"gzip member-scan anomaly in {path}[{start}:{end}): {what} — "
+        "possible embedded .warc.gz inside a record payload (records "
+        "may be re-yielded); scan with member_scan=false or index once "
+        "with `index --no-member-scan --sidecars`",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 def scan_gzip_members(
     fs,
     path: str,
@@ -903,6 +938,14 @@ def scan_gzip_members(
     without crossing the enclosing member's start would re-yield the
     embedded records.  Corpora where that matters should index once
     (``write_cdxj_sidecars``) or scan with ``member_scan=false``.
+    Since r9 the scan DETECTS the signature where it is visible: a
+    validated chain with a mid-range gap or a short tail raises a
+    ``RuntimeWarning`` naming the mitigation (``_warn_broken_chain``;
+    pinned by ``tests/test_datasource.py::
+    test_member_scan_embedded_archive_hazard_and_mitigation`` — a
+    narrow range that only sees the straddling inner member still
+    looks locally healthy, so the warning is best-effort, not a
+    guarantee).
 
     The member straddling ``end`` belongs to this range (it STARTS
     here) and is completed with ranged reads past ``end`` that start at
@@ -941,9 +984,12 @@ def scan_gzip_members(
 
     limit = end - start  # members must BEGIN before this buffer index
     pos = 0
+    chain_end = None  # absolute end of the last VALIDATED member
     while pos < limit:
         q = buf.find(_GZ_CANDIDATE, pos)
         if q < 0 or q >= limit:
+            if chain_end is not None and chain_end < end and end < file_size:
+                _warn_broken_chain(path, start, end, chain_end, gap=False)
             return
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
         out: list[bytes] = []
@@ -998,11 +1044,24 @@ def scan_gzip_members(
                 f"truncated trailing gzip member at offset {start + q} "
                 f"of {path} (strict mode)"
             )
+        if chain_end is not None and start + q != chain_end:
+            # a validated member NOT starting at the previous member's
+            # end: the gap is the embedded-archive signature (the scan
+            # yielded an inner chain stored verbatim inside a record's
+            # payload, then resynced onto the true outer chain)
+            _warn_broken_chain(path, start, end, start + q, gap=True)
         yield start + q, plain
         if not d.eof:
             return  # tolerated truncated trailing member (non-strict)
-        consumed = (p - q) - len(d.unused_data) - len(d.unconsumed_tail)
+        # at eof zlib moves any pending input into unused_data but can
+        # LEAVE the same bytes in unconsumed_tail — subtracting both
+        # double-counts the tail (was masked by the find() resync; the
+        # r9 chain-contiguity check needs the exact end)
+        consumed = (p - q) - len(d.unused_data)
+        chain_end = start + q + consumed
         pos = q + max(consumed, 1)
+    if chain_end is not None and chain_end < end and end < file_size:
+        _warn_broken_chain(path, start, end, chain_end, gap=False)
 
 
 def decode_warc_stream(data: bytes) -> Iterator[tuple[int, bytes]]:

@@ -1069,9 +1069,23 @@ def test_member_scan_embedded_archive_hazard_and_mitigation(tmp_path):
     fs = LocalFS()
     # 1. HAZARD: a range opening inside the enclosing member, before
     # the embedded archive, validates the embedded members and
-    # re-yields the inner records
+    # re-yields the inner records — AND the broken-chain detector
+    # warns (r9: a validated chain stopping short of the range end is
+    # the embedded-archive signature)
+    import warnings as _warnings
+
     got = list(scan_gzip_members(
         fs, str(outer_path), embed_off - 8, embed_off + 8, len(outer)))
+    # the detector is per-range: it fires when the broken chain's END
+    # is visible inside the range (a narrow range that only sees the
+    # straddling inner member looks locally healthy)
+    with _warnings.catch_warnings(record=True) as _w:
+        _warnings.simplefilter("always")
+        list(scan_gzip_members(
+            fs, str(outer_path), embed_off - 8,
+            embed_off + len(inner) + 50, len(outer)))
+    assert any("embedded" in str(x.message) for x in _w), (
+        "chain-anomaly warning must fire on the embedded-archive range")
     inner_ids = {
         r.record_id
         for off, plain in got
@@ -1089,10 +1103,13 @@ def test_member_scan_embedded_archive_hazard_and_mitigation(tmp_path):
         starts.append(starts[-1] + len(m))
     whole_ids = set()
     bounds = starts + [len(outer)]
-    for s, e in zip(bounds, bounds[1:]):
-        for off, plain in scan_gzip_members(fs, str(outer_path), s, e, len(outer)):
-            for r in iter_warc(plain, parse_http=False):
-                whole_ids.add(r.record_id)
+    with _warnings.catch_warnings(record=True) as _w2:
+        _warnings.simplefilter("always")
+        for s, e in zip(bounds, bounds[1:]):
+            for off, plain in scan_gzip_members(fs, str(outer_path), s, e, len(outer)):
+                for r in iter_warc(plain, parse_http=False):
+                    whole_ids.add(r.record_id)
+    assert not _w2, [str(x.message) for x in _w2]  # healthy ranges: silent
     assert whole_ids == {
         "<urn:uuid:outer-1>", "<urn:uuid:outer-2>", "<urn:uuid:outer-3>"
     }
