@@ -258,7 +258,18 @@ def scan_lz4_members(
     straddling ``end`` belongs to this range and is completed with
     ranged reads past it; a truncated tail frame (file cut mid-frame)
     is dropped, matching the strict frame walk of decompress_members.
+
+    Embedded-archive detection (r9, mirroring the gzip twin): a
+    complete ``.warc.lz4`` archived inside a record's payload keeps its
+    bytes verbatim in the outer frame's LITERAL sequences, so a range
+    opening inside the enclosing frame can validate and re-yield the
+    inner frames.  Where the break is visible — a validated frame not
+    starting at the previous frame's end, or the chain stopping short
+    of the range end mid-file — a ``RuntimeWarning`` names the
+    mitigations (best-effort per range, like the gzip twin).
     """
+    from resilispark.io.warc import _warn_broken_chain
+
     if start >= end:
         return
     buf = bytearray(
@@ -280,9 +291,12 @@ def scan_lz4_members(
 
     limit = end - start
     pos = 0
+    chain_end = None  # absolute end of the last VALIDATED frame
     while pos < limit:
         q = buf.find(LZ4_FRAME_MAGIC, pos)
         if q < 0 or q >= limit:
+            if chain_end is not None and chain_end < end and end < file_size:
+                _warn_broken_chain(path, start, end, chain_end, gap=False)
             return
         ext = None
         while True:
@@ -314,8 +328,13 @@ def scan_lz4_members(
         if not content.startswith(b"WARC/"):
             pos = q + 1
             continue
+        if chain_end is not None and start + q != chain_end:
+            _warn_broken_chain(path, start, end, start + q, gap=True)
         yield start + q, content
+        chain_end = start + ext
         pos = ext
+    if chain_end is not None and chain_end < end and end < file_size:
+        _warn_broken_chain(path, start, end, chain_end, gap=False)
 
 
 def decompress_members(data: bytes):

@@ -892,8 +892,8 @@ def _warn_broken_chain(
         else f"member chain stops at {at} before the range end"
     )
     warnings.warn(
-        f"gzip member-scan anomaly in {path}[{start}:{end}): {what} — "
-        "possible embedded .warc.gz inside a record payload (records "
+        f"member-scan anomaly in {path}[{start}:{end}): {what} — "
+        "possible embedded archive inside a record payload (records "
         "may be re-yielded); scan with member_scan=false or index once "
         "with `index --no-member-scan --sidecars`",
         RuntimeWarning,

@@ -1131,3 +1131,64 @@ def test_member_scan_embedded_archive_hazard_and_mitigation(tmp_path):
     assert ids == {
         "<urn:uuid:outer-1>", "<urn:uuid:outer-2>", "<urn:uuid:outer-3>"
     }
+
+
+def test_lz4_member_scan_embedded_archive_warns(tmp_path):
+    """LZ4 twin of the embedded-archive hazard: a complete .warc.lz4
+    inside a record payload, outer frames STORED (bytes verbatim) — a
+    range opening inside the enclosing frame re-yields the inner
+    frames and the chain-anomaly warning fires where the break is
+    visible."""
+    import warnings as _warnings
+
+    from resilispark.io.fs import LocalFS
+    from resilispark.io.lz4f import compress_stored, scan_lz4_members
+    from resilispark.io.warc import WarcRecord, iter_warc, serialize_record
+
+    def rec(rid: str, payload: bytes) -> WarcRecord:
+        return WarcRecord(
+            warc_version="WARC/1.1",
+            headers=[("WARC-Type", "resource"),
+                     ("WARC-Record-ID", f"<urn:uuid:{rid}>")],
+            payload=payload,
+        )
+
+    inner = b"".join(
+        compress_stored(serialize_record(rec(f"in-{i}", bytes(40))))
+        for i in range(2)
+    )
+    outer_members = [
+        compress_stored(serialize_record(r))
+        for r in (rec("out-1", b"x" * 300), rec("out-2", inner),
+                  rec("out-3", b"z" * 300))
+    ]
+    outer = b"".join(outer_members)
+    p = tmp_path / "outer.warc.lz4"
+    p.write_bytes(outer)
+    embed_off = outer.find(inner)
+    assert embed_off > 0
+    fs = LocalFS()
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        got = list(scan_lz4_members(
+            fs, str(p), embed_off - 8, embed_off + len(inner) + 40,
+            len(outer)))
+    ids = {r.record_id for off, c in got for r in iter_warc(c, parse_http=False)}
+    assert "<urn:uuid:in-1>" in ids  # hazard reproduces
+    assert any("embedded" in str(x.message) for x in w)
+    # healthy boundary ranges: full chain, silent
+    starts = [0]
+    for m in outer_members[:-1]:
+        starts.append(starts[-1] + len(m))
+    bounds = starts + [len(outer)]
+    with _warnings.catch_warnings(record=True) as w2:
+        _warnings.simplefilter("always")
+        healthy = {
+            r.record_id
+            for s, e in zip(bounds, bounds[1:])
+            for off, c in scan_lz4_members(fs, str(p), s, e, len(outer))
+            for r in iter_warc(c, parse_http=False)
+        }
+    assert healthy == {"<urn:uuid:out-1>", "<urn:uuid:out-2>",
+                       "<urn:uuid:out-3>"}
+    assert not w2, [str(x.message) for x in w2]
