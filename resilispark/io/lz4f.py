@@ -292,10 +292,20 @@ def scan_lz4_members(
     limit = end - start
     pos = 0
     chain_end = None  # absolute end of the last VALIDATED frame
+    # a chain-contiguous frame cut off by EOF is a legitimately
+    # truncated FILE tail (dropped per the strict frame walk), not an
+    # embedded-archive break — it suppresses the short-chain warning on
+    # the last partition (see the gzip twin)
+    tail_truncated = False
+    warn_to = min(end, file_size)
     while pos < limit:
         q = buf.find(LZ4_FRAME_MAGIC, pos)
         if q < 0 or q >= limit:
-            if chain_end is not None and chain_end < end and end < file_size:
+            if (
+                chain_end is not None
+                and chain_end < warn_to
+                and not tail_truncated
+            ):
                 _warn_broken_chain(path, start, end, chain_end, gap=False)
             return
         ext = None
@@ -310,6 +320,8 @@ def scan_lz4_members(
                     # or a FALSE candidate whose bogus block sizes
                     # point past the file — resume at q+1 so real
                     # frames later in the range are not dropped
+                    if chain_end is not None and start + q == chain_end:
+                        tail_truncated = True
                     break
         if ext is None:
             pos = q + 1
@@ -333,7 +345,7 @@ def scan_lz4_members(
         yield start + q, content
         chain_end = start + ext
         pos = ext
-    if chain_end is not None and chain_end < end and end < file_size:
+    if chain_end is not None and chain_end < warn_to and not tail_truncated:
         _warn_broken_chain(path, start, end, chain_end, gap=False)
 
 

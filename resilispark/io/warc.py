@@ -605,6 +605,14 @@ def iter_warc_range(
                 continue
             if rec is None:
                 return  # true end of file / no record starts in range
+            # bound by the record's MAGIC offset, not the scan position:
+            # junk bytes before a record can start inside [start, end)
+            # while the record itself begins at/after end — that record
+            # belongs to the NEXT partition (scan_warc_columnar applies
+            # the same `base + idx >= limit` rule, and the pinned
+            # columnar≡record-path equality contract depends on it)
+            if base + rec.stream_pos >= end:
+                return
             rec.stream_pos += base
             pos = nxt
             rec = _postprocess(rec, *args)
@@ -985,10 +993,21 @@ def scan_gzip_members(
     limit = end - start  # members must BEGIN before this buffer index
     pos = 0
     chain_end = None  # absolute end of the last VALIDATED member
+    # a chain-contiguous candidate cut off by EOF is a legitimately
+    # truncated FILE tail, not an embedded-archive break — it suppresses
+    # the short-chain warning on the last partition (ADVICE r9: with the
+    # old `end < file_size` guard the last partition could never warn,
+    # even when undecodable non-member bytes follow the chain)
+    tail_truncated = False
+    warn_to = min(end, file_size)
     while pos < limit:
         q = buf.find(_GZ_CANDIDATE, pos)
         if q < 0 or q >= limit:
-            if chain_end is not None and chain_end < end and end < file_size:
+            if (
+                chain_end is not None
+                and chain_end < warn_to
+                and not tail_truncated
+            ):
                 _warn_broken_chain(path, start, end, chain_end, gap=False)
             return
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
@@ -1031,6 +1050,16 @@ def scan_gzip_members(
         except zlib.error:
             bad = True
         if bad or (not d.eof and not (truncated and prefix_ok)):
+            if (
+                truncated
+                and not bad
+                and chain_end is not None
+                and start + q == chain_end
+            ):
+                # the chain's own next member was cut by EOF before the
+                # WARC/ prefix could confirm — a truncated file tail,
+                # tolerated like the prefix-confirmed case below
+                tail_truncated = True
             # invalid candidate (or truncated garbage): resume the scan
             # one byte past the magic
             pos = q + 1
@@ -1060,7 +1089,7 @@ def scan_gzip_members(
         consumed = (p - q) - len(d.unused_data)
         chain_end = start + q + consumed
         pos = q + max(consumed, 1)
-    if chain_end is not None and chain_end < end and end < file_size:
+    if chain_end is not None and chain_end < warn_to and not tail_truncated:
         _warn_broken_chain(path, start, end, chain_end, gap=False)
 
 

@@ -27,6 +27,13 @@ from resilispark.operators.gramhash import (
     word_hashes,
 )
 
+# id types whose collected-Row cost matches the 16 B/edge calibration of
+# connected_components' small-graph threshold (variable-width ids rescale)
+_FIXED_WIDTH_ID_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DateType, T.TimestampType, T.BooleanType,
+)
+
 
 def _shingles(words: Column, k: int = 3) -> Column:
     """``words`` MUST be a materialized column, not the split expression:
@@ -92,7 +99,29 @@ def connected_components(
         # pipeline) must not re-execute on every propagation round
         .localCheckpoint(eager=True)
     )
-    if small_graph_edges and edges.count() <= small_graph_edges:
+    # the threshold is calibrated for fixed-width ids (2M edges of
+    # bigint pairs ~ 32 MB collected); string/binary ids (digests) can
+    # be 10-40x heavier per edge, so convert the edge budget into a BYTE
+    # budget and rescale by the sampled average id width — a digest-id
+    # graph at the same byte cost gets a proportionally smaller edge cap
+    # instead of silently risking the driver heap
+    n_edges = edges.count() if small_graph_edges else None
+    effective_cap = small_graph_edges
+    vertex_type = edges.schema["src"].dataType
+    if (
+        small_graph_edges
+        and n_edges <= small_graph_edges
+        and not isinstance(vertex_type, _FIXED_WIDTH_ID_TYPES)
+    ):
+        avg_len = (
+            edges.limit(10_000)
+            .select(F.avg(F.length(F.col("src").cast("string"))).alias("w"))
+            .first()["w"]
+        ) or 8.0
+        # ~16 bytes/edge at the calibration point; string edges cost
+        # roughly 2*(len + 49B object overhead) in a collected Row
+        effective_cap = int(small_graph_edges * 16 / (2 * (avg_len + 49)))
+    if small_graph_edges and n_edges <= effective_cap:
         rows = edges.collect()
         # NULL vertex ids can't be ordered by `<` — match the
         # distributed loop's semantics instead of raising: a NULL never
@@ -130,10 +159,13 @@ def connected_components(
         # a NULL vertex itself is DROPPED, matching the distributed
         # loop (its convergence join on `vertex` is null-dropping)
         out = [(v, find(v)) for v in parent]
+        # the vertex type comes from the UNION-coerced edges frame, not
+        # a_col: int doc_a unioned with bigint doc_b widens to bigint,
+        # and the distributed path labels in that widened type
         schema = T.StructType(
             [
-                T.StructField("vertex", pairs.schema[a_col].dataType),
-                T.StructField("cluster_id", pairs.schema[a_col].dataType),
+                T.StructField("vertex", vertex_type),
+                T.StructField("cluster_id", vertex_type),
             ]
         )
         return pairs.sparkSession.createDataFrame(out, schema)

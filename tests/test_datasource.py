@@ -748,6 +748,51 @@ def test_range_read_default_slack_huge_record(tmp_path):
     assert sorted(len(r.payload) for r in got) == [100, 100, 3 * 2**20]
 
 
+def test_range_read_junk_straddling_boundary_no_duplicates(tmp_path):
+    """A record whose WARC/ magic sits at/after ``end`` but is preceded
+    by junk starting before ``end`` belongs ONLY to the next partition
+    (ADVICE r10: iter_warc_range used to bound by the scan position
+    after the previous record, double-yielding such records and
+    diverging from scan_warc_columnar's magic-offset limit)."""
+    from resilispark.io.warc import (
+        WarcColumnarSink,
+        iter_warc_range,
+        scan_warc_columnar,
+    )
+
+    r1 = (
+        b"WARC/1.1\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:r1>\r\nContent-Length: 10\r\n\r\n"
+        + b"a" * 10 + b"\r\n\r\n"
+    )
+    r2 = (
+        b"WARC/1.1\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:r2>\r\nContent-Length: 10\r\n\r\n"
+        + b"b" * 10 + b"\r\n\r\n"
+    )
+    junk = b"#" * 32
+    data = r1 + junk + r2
+    path = str(tmp_path / "junk.warc")
+    open(path, "wb").write(data)
+    # split boundary inside the junk: r2's magic is AFTER end
+    end = len(r1) + 8
+    p1 = [r.record_id for r in iter_warc_range(path, 0, end)]
+    p2 = [r.record_id for r in iter_warc_range(path, end, len(data))]
+    assert p1 == ["<urn:r1>"]
+    assert p2 == ["<urn:r2>"]
+    # columnar path agrees partition-by-partition
+    for lo, hi, want in ((0, end, p1), (end, len(data), p2)):
+        sink = WarcColumnarSink()
+        blob = data[lo:]
+        start = 0
+        if lo > 0:
+            start = blob.find(b"WARC/")
+            if start < 0:
+                start = len(blob)
+        scan_warc_columnar(blob, sink, base=lo, start=start, limit=hi)
+        assert sink.record_id == want, (lo, hi)
+
+
 def test_point_extract_by_offset(spark, fixture_dir):
     """S12: seek to a byte offset and parse exactly one record
     (fastwarc extract FILE OFFSET, cli.py:185-222) — both codecs."""
@@ -1131,6 +1176,151 @@ def test_member_scan_embedded_archive_hazard_and_mitigation(tmp_path):
     assert ids == {
         "<urn:uuid:outer-1>", "<urn:uuid:outer-2>", "<urn:uuid:outer-3>"
     }
+
+
+def test_member_scan_last_partition_anomaly_detection(tmp_path):
+    """ADVICE r10: an embedded archive inside the file's FINAL enclosing
+    member must still warn on the last partition (``end == file_size``),
+    while a genuinely truncated trailing member stays silent (the
+    tolerated-truncation path)."""
+    import gzip as _gzip
+    import io as _io
+    import warnings as _warnings
+
+    from resilispark.io.fs import LocalFS
+    from resilispark.io.warc import (
+        WarcRecord,
+        scan_gzip_members,
+        serialize_record,
+        write_warc,
+    )
+
+    def rec(rid: str, payload: bytes) -> WarcRecord:
+        return WarcRecord(
+            warc_version="WARC/1.1",
+            headers=[("WARC-Type", "resource"),
+                     ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+                     ("WARC-Date", "2024-01-01T00:00:00Z")],
+            payload=payload,
+        )
+
+    inner_path = tmp_path / "inner.warc.gz"
+    write_warc([rec("inner-1", b"i" * 50), rec("inner-2", b"j" * 50)],
+               str(inner_path), compression="gzip")
+    inner = inner_path.read_bytes()
+
+    # the EMBEDDING member is the file's LAST member
+    outer_members = []
+    for r in (rec("outer-1", b"x" * 400), rec("outer-2", inner)):
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb",
+                            compresslevel=0, mtime=0) as g:
+            g.write(serialize_record(r))
+        outer_members.append(buf.getvalue())
+    outer = b"".join(outer_members)
+    p = tmp_path / "tail-embed.warc.gz"
+    p.write_bytes(outer)
+    embed_off = outer.find(inner)
+    assert embed_off > 0
+
+    fs = LocalFS()
+    # 1. last partition opens inside the enclosing member before the
+    # embedded archive: the inner chain validates, then stops short of
+    # EOF with non-member bytes remaining — must WARN even though
+    # end == file_size (the r9 guard suppressed this)
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        got = list(scan_gzip_members(
+            fs, str(p), embed_off - 8, len(outer), len(outer)))
+    assert got, "inner chain should validate"
+    assert any("embedded" in str(x.message) for x in w), (
+        "last-partition short chain must warn")
+
+    # 2. a healthy chain whose trailing member is cut by EOF before the
+    # WARC/ prefix confirms is a truncated FILE, not an embedded
+    # archive: silent on the last partition
+    healthy_path = tmp_path / "healthy.warc.gz"
+    write_warc([rec(f"h-{i}", bytes(120)) for i in range(4)],
+               str(healthy_path), compression="gzip")
+    hb = healthy_path.read_bytes()
+    # member starts: walk the chain
+    starts, off = [], 0
+    import zlib as _zlib
+    while off < len(hb):
+        starts.append(off)
+        d = _zlib.decompressobj(wbits=_zlib.MAX_WBITS | 16)
+        d.decompress(hb[off:])
+        off = len(hb) - len(d.unused_data)
+    cut = hb[: starts[-1] + 3]  # last member cut inside its header
+    cut_path = tmp_path / "cut.warc.gz"
+    cut_path.write_bytes(cut)
+    with _warnings.catch_warnings(record=True) as w2:
+        _warnings.simplefilter("always")
+        got2 = list(scan_gzip_members(
+            fs, str(cut_path), 0, len(cut), len(cut)))
+    assert len(got2) == 3
+    assert not w2, [str(x.message) for x in w2]
+
+    # 3. fully healthy file, last partition: silent
+    with _warnings.catch_warnings(record=True) as w3:
+        _warnings.simplefilter("always")
+        list(scan_gzip_members(fs, str(healthy_path), 0, len(hb), len(hb)))
+    assert not w3, [str(x.message) for x in w3]
+
+
+def test_lz4_member_scan_last_partition_anomaly_detection(tmp_path):
+    """LZ4 twin of the last-partition detection: embedded archive in the
+    final frame warns at ``end == file_size``; a truncated tail frame
+    stays silent."""
+    import warnings as _warnings
+
+    from resilispark.io.fs import LocalFS
+    from resilispark.io.lz4f import compress_stored, scan_lz4_members
+    from resilispark.io.warc import WarcRecord, serialize_record
+
+    def rec(rid: str, payload: bytes) -> WarcRecord:
+        return WarcRecord(
+            warc_version="WARC/1.1",
+            headers=[("WARC-Type", "resource"),
+                     ("WARC-Record-ID", f"<urn:uuid:{rid}>")],
+            payload=payload,
+        )
+
+    inner = b"".join(
+        compress_stored(serialize_record(rec(f"in-{i}", bytes(40))))
+        for i in range(2)
+    )
+    outer_members = [
+        compress_stored(serialize_record(r))
+        for r in (rec("out-1", b"x" * 300), rec("out-2", inner))
+    ]
+    outer = b"".join(outer_members)
+    p = tmp_path / "tail-embed.warc.lz4"
+    p.write_bytes(outer)
+    embed_off = outer.find(inner)
+    assert embed_off > 0
+    fs = LocalFS()
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        got = list(scan_lz4_members(
+            fs, str(p), embed_off - 8, len(outer), len(outer)))
+    assert got
+    assert any("embedded" in str(x.message) for x in w)
+
+    # truncated tail frame on the last partition: silent
+    healthy = b"".join(
+        compress_stored(serialize_record(rec(f"h-{i}", bytes(80))))
+        for i in range(4)
+    )
+    frame_len = len(healthy) // 4
+    cut = healthy[: 3 * frame_len + 9]
+    cp = tmp_path / "cut.warc.lz4"
+    cp.write_bytes(cut)
+    with _warnings.catch_warnings(record=True) as w2:
+        _warnings.simplefilter("always")
+        got2 = list(scan_lz4_members(fs, str(cp), 0, len(cut), len(cut)))
+    assert len(got2) == 3
+    assert not w2, [str(x.message) for x in w2]
 
 
 def test_lz4_member_scan_embedded_archive_warns(tmp_path):

@@ -6863,6 +6863,46 @@ def test_connected_components_small_graph_matches_distributed(spark):
     assert fast_s == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_connected_components_mixed_width_id_types(spark):
+    """ADVICE r10: with int doc_a and bigint doc_b the edges union
+    widens to bigint — the fast path must type its output from the
+    union-coerced edges frame, not a_col, and match the distributed
+    labels."""
+    from pyspark.sql import types as T
+
+    from resilispark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2**40), (2, 2**40), (3, 4)], "doc_a int, doc_b long"
+    )
+    fast = connected_components(pairs)
+    assert isinstance(fast.schema["vertex"].dataType, T.LongType)
+    got = {(r.vertex, r.cluster_id) for r in fast.collect()}
+    dist = {(r.vertex, r.cluster_id)
+            for r in connected_components(pairs, small_graph_edges=0).collect()}
+    assert got == dist
+    assert (2**40, 1) in got and (2, 1) in got and (4, 3) in got
+
+
+def test_connected_components_string_ids_byte_aware_threshold(spark):
+    """ADVICE r10: string-id graphs rescale the edge cap by sampled id
+    width (a digest-id graph at the bigint threshold could OOM the
+    driver). A tiny cap forces long-string graphs onto the distributed
+    path; labels stay identical either way."""
+    from resilispark.operators.dedup import connected_components
+
+    wide = [("v" * 200 + str(i), "v" * 200 + str(i + 1)) for i in range(6)]
+    pairs = spark.createDataFrame(wide, "doc_a string, doc_b string")
+    # 12 directed edges; byte-aware cap = 12*16/(2*(~204+49)) = 0 → the
+    # fast path must decline and the distributed loop still labels
+    got = dict(
+        (r.vertex, r.cluster_id)
+        for r in connected_components(pairs, small_graph_edges=12).collect()
+    )
+    want_root = min(a for a, b in wide)
+    assert len(got) == 7 and set(got.values()) == {want_root}
+
+
 def test_connected_components_null_ids_match_distributed(spark):
     """Review r9: NULL vertex ids must not TypeError in the union-find
     fast path; both paths label NULL with NULL and the non-NULL
