@@ -627,29 +627,45 @@ def main() -> None:
             try:
                 _bdir10 = ensure_bench_fixture(big_groups)
 
-                def _curate_once(src: str, dst: str) -> float:
-                    t0 = time.perf_counter()
-                    with contextlib.redirect_stdout(_io.StringIO()):
-                        rc = _cli_main(
-                            [
-                                "curate", src, "-o", dst,
-                                "--url-dedup", "--max-per-host", "20000",
-                                "--dedup", "--val-fraction", "0.05",
-                                "--pack", "2048", "--pack-buckets", "8",
-                            ]
-                        )
+                def _curate_once(src: str, dst: str) -> tuple[float, dict]:
+                    # capture the [stage-times] breakdown (r10: the
+                    # VERDICT asks for a per-stage table in BENCH, not
+                    # just stderr lines) — _stage prints go through
+                    # sys.stderr, so redirect_stderr sees them
+                    os.environ["RESILISPARK_STAGE_TIMES"] = "1"
+                    err = _io.StringIO()
+                    try:
+                        t0 = time.perf_counter()
+                        with contextlib.redirect_stdout(_io.StringIO()), \
+                                contextlib.redirect_stderr(err):
+                            rc = _cli_main(
+                                [
+                                    "curate", src, "-o", dst,
+                                    "--url-dedup", "--max-per-host", "20000",
+                                    "--dedup", "--val-fraction", "0.05",
+                                    "--pack", "2048", "--pack-buckets", "8",
+                                ]
+                            )
+                        wall = round(time.perf_counter() - t0, 3)
+                    finally:
+                        os.environ.pop("RESILISPARK_STAGE_TIMES", None)
                     assert rc == 0, "curate pipeline failed"
-                    return round(time.perf_counter() - t0, 3)
+                    stages = {}
+                    for line in err.getvalue().splitlines():
+                        if line.startswith("[stage-times] ") and ": " in line:
+                            label, _, sec = line[14:].rpartition(": ")
+                            stages[label.split(" ")[0]] = float(sec[:-1])
+                    return wall, stages
 
                 # same-window base (r9): the headline curate row ran
                 # many minutes earlier — re-run the 1x pipeline once
                 # right before the 10x so the slope compares one
                 # weather phase against itself
-                base_t = _curate_once(
+                base_t, base_stages = _curate_once(
                     f"{bdir}/bench-{n_groups}.warc.gz",
                     os.path.join(_cur_out, "corpus1x"),
                 )
-                big_t = _curate_once(
+                big_t, big_stages = _curate_once(
                     f"{_bdir10}/bench-{big_groups}.warc.gz",
                     os.path.join(_cur_out, "corpus"),
                 )
@@ -657,6 +673,8 @@ def main() -> None:
                     "sf1x_sec": base_t,
                     "sf10x_sec": big_t,
                     "slope": round(big_t / base_t, 2),
+                    "stages_1x": base_stages,
+                    "stages_10x": big_stages,
                 }
             finally:
                 shutil.rmtree(_cur_out, ignore_errors=True)
@@ -746,6 +764,11 @@ def main() -> None:
                 "sf1_slopes": {
                     k: v.get("slope") for k, v in sf1_slopes.items()
                 },
+                # the r10 ask: curate's per-stage walls at 10x, in the
+                # compact tail-surviving line
+                "curate_stages_10x": sf1_slopes.get("curate_e2e", {}).get(
+                    "stages_10x"
+                ),
             },
             separators=(",", ":"),
         ),

@@ -587,13 +587,32 @@ def cmd_curate(args) -> int:
             print(f"[stage-times] {label}: {_time.perf_counter() - t0:.2f}s",
                   file=sys.stderr, flush=True)
 
+    _split_cached = None
     if args.val_fraction:
+        from pyspark import StorageLevel
+
         from resilispark.operators.corpus import leakage_safe_split
 
-        docs = leakage_safe_split(
-            docs,
-            fractions={"train": 1.0 - args.val_fraction, "val": args.val_fraction},
-        )
+        # the split's cluster closure (MinHash-LSH pairs -> connected
+        # components) runs EAGERLY here, and the corpus write below
+        # re-resolves the same extract+filter lineage — Spark has no
+        # cross-branch CSE, so without a persist the whole WARC-scan +
+        # HTML-extract + quality/dedup ladder executes TWICE (the
+        # dominant curate_e2e stage at 10x in the r10 profile).  Cache
+        # the pre-split corpus once; disk spill keeps it safe at scale
+        # (on a real cluster this is executor-local storage, not driver
+        # memory), and the unpersist below bounds its lifetime.
+        # RESILISPARK_SPLIT_CACHE=0 disables it (A/B escape hatch, and
+        # for corpora whose pre-split frame exceeds executor storage).
+        if _os.environ.get("RESILISPARK_SPLIT_CACHE", "1") != "0":
+            _split_cached = docs.persist(StorageLevel.MEMORY_AND_DISK)
+            docs = _split_cached
+        with _stage("leakage_split_closure (ladder resolved here)"):
+            docs = leakage_safe_split(
+                docs,
+                fractions={"train": 1.0 - args.val_fraction,
+                           "val": args.val_fraction},
+            )
     part_col = "lang" if "lang" in docs.columns else None
     with _stage("write_corpus (extract+filter ladder resolved here)"):
         if part_col:
@@ -620,6 +639,10 @@ def cmd_curate(args) -> int:
             **lang_kw,
         )
         rows = sheet.orderBy("grouping_level", "source").collect()
+    if _split_cached is not None:
+        # the datasheet was the last consumer of the pre-split cache
+        # (every later stage reads the written corpus back)
+        _split_cached.unpersist()
     for row in rows:
         print(
             f"level={row.grouping_level} source={row.source} "
@@ -1243,26 +1266,36 @@ def cmd_search_index(args) -> int:
 
 
 def cmd_media_metadata(args) -> int:
-    """MP4/ISO-BMFF metadata table for a media parquet: the io/mp4.py
-    box walk over every payload (duration, codec fourcc, dimensions,
-    frame count, chunk offsets — NO decoding; non-BMFF rows come back
-    NULL).  What a video pipeline filters/shards on before it ever
-    needs a codec."""
+    """Container metadata table for a media parquet, dispatched on
+    magic bytes per payload (r10): ISO-BMFF box walk, Matroska/WebM
+    EBML walk, MPEG-audio frame stride — duration, codec, dimensions,
+    frame count, sample rate, NO decoding; unrecognized rows come back
+    NULL.  ``--mp4-boxes`` keeps the MP4-only table (with chunk byte
+    offsets for byte-range shard planning) instead.  What a media
+    pipeline filters/shards on before it ever needs a codec."""
     from pyspark.sql import functions as F
 
     spark = _spark(args.cpus)
-    from resilispark.operators.multimodal import video_metadata
 
     media = spark.read.parquet(args.input)
-    meta = video_metadata(media)
-    if args.drop_offsets:
-        meta = meta.drop("chunk_offsets")
+    if getattr(args, "mp4_boxes", False):
+        from resilispark.operators.multimodal import video_metadata
+
+        meta = video_metadata(media)
+        parsed_col = "brand"
+        if args.drop_offsets:
+            meta = meta.drop("chunk_offsets")
+    else:
+        from resilispark.operators.multimodal import container_metadata
+
+        meta = container_metadata(media)
+        parsed_col = "container"
     meta.write.mode("overwrite").parquet(args.output)
     # one aggregate returns both counts (F.count(col) skips NULLs)
-    n, n_mp4 = spark.read.parquet(args.output).agg(
-        F.count(F.lit(1)), F.count("brand")
+    n, n_parsed = spark.read.parquet(args.output).agg(
+        F.count(F.lit(1)), F.count(parsed_col)
     ).first()
-    print(f"wrote {args.output}: {n} rows, {n_mp4} parsed as ISO-BMFF")
+    print(f"wrote {args.output}: {n} rows, {n_parsed} parsed")
     return 0
 
 
@@ -2196,13 +2229,19 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser(
         "media-metadata",
-        help="MP4/ISO-BMFF box-walk metadata table (duration/codec/"
-             "dimensions/frames/chunk offsets; no decoding)",
+        help="container metadata table dispatched on magic bytes: "
+             "MP4/ISO-BMFF box walk, Matroska/WebM EBML walk, MPEG-audio "
+             "frame stride (duration/codec/dimensions/frames/sample "
+             "rate; no decoding)",
     )
     p.add_argument("input", help="parquet with media_id/mime/payload")
     p.add_argument("-o", "--output", required=True)
+    p.add_argument("--mp4-boxes", action="store_true",
+                   help="MP4-only table with chunk byte offsets "
+                        "(byte-range shard planning) instead of the "
+                        "unified container table")
     p.add_argument("--drop-offsets", action="store_true",
-                   help="omit the chunk_offsets array column")
+                   help="with --mp4-boxes: omit the chunk_offsets column")
     p.set_defaults(fn=cmd_media_metadata)
 
     p = sub.add_parser(

@@ -1,0 +1,202 @@
+"""EBML / Matroska / WebM METADATA walk (no decoding).
+
+A pure-Python walk of the EBML element tree (RFC 8794; the Matroska
+element IDs are published at matroska.org and in RFC 9559): DocType,
+Segment > Info (TimestampScale, Duration), Segment > Tracks >
+TrackEntry (type, CodecID, Video PixelWidth/PixelHeight, Audio
+SamplingFrequency/Channels).  The walk STOPS at the first Cluster —
+sample data is never touched, so cost is proportional to the metadata
+elements, not the media bytes.  Same contract as io/mp4.py: pure
+Python, truncation-tolerant (a partial download surfaces whatever
+metadata is present), and a typed :class:`EbmlError` on foreign bytes.
+
+Common Crawl media is not all ISO-BMFF — WebM is the other container a
+LAION-style triage pass must filter/shard/size without a codec.  The
+reference has no media machinery at all; this is part of the
+LLM-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+# element IDs (stored form, marker bit included — how they appear on
+# the wire and in the Matroska spec tables)
+_EBML_HEADER = 0x1A45DFA3
+_DOCTYPE = 0x4282
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TIMESTAMP_SCALE = 0x2AD7B1
+_DURATION = 0x4489
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_NUMBER = 0xD7
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+_VIDEO = 0xE0
+_PIXEL_WIDTH = 0xB0
+_PIXEL_HEIGHT = 0xBA
+_AUDIO = 0xE1
+_SAMPLING_FREQUENCY = 0xB5
+_CHANNELS = 0x9F
+_CLUSTER = 0x1F43B672
+
+_TRACK_TYPE_NAMES = {1: "video", 2: "audio", 17: "subtitle"}
+
+
+class EbmlError(ValueError):
+    """Not an EBML stream, or a structurally broken element tree."""
+
+
+@dataclass
+class EbmlTrack:
+    track_number: int = 0
+    track_type: str = ""       # 'video' / 'audio' / 'subtitle' / ''
+    codec: str = ""            # CodecID: V_VP9, V_AV1, A_OPUS, ...
+    width: int = 0             # Video\PixelWidth
+    height: int = 0
+    sample_rate: int = 0       # Audio\SamplingFrequency (rounded)
+    channels: int = 0
+
+
+@dataclass
+class EbmlMetadata:
+    doctype: str = ""          # 'webm' / 'matroska'
+    timestamp_scale: int = 1_000_000   # ns per tick (Matroska default)
+    duration_ms: int = 0
+    tracks: list[EbmlTrack] = field(default_factory=list)
+
+    @property
+    def video_tracks(self) -> list[EbmlTrack]:
+        return [t for t in self.tracks if t.track_type == "video"]
+
+    @property
+    def audio_tracks(self) -> list[EbmlTrack]:
+        return [t for t in self.tracks if t.track_type == "audio"]
+
+
+def _read_vint(data: bytes, pos: int, end: int, *, keep_marker: bool):
+    """Decode one EBML variable-length integer at ``pos``.
+
+    Returns ``(value, next_pos)`` or ``(None, end)`` when the VINT is
+    truncated.  ``keep_marker=True`` returns the STORED form (element
+    IDs compare against the spec tables that way); ``keep_marker=False``
+    strips the length-marker bit (sizes).  An all-ones size VINT means
+    "unknown size" and is returned as ``-1``.
+    """
+    if pos >= end:
+        return None, end
+    first = data[pos]
+    if first == 0:
+        raise EbmlError(f"invalid VINT lead byte 0x00 at {pos}")
+    length = 8 - first.bit_length() + 1
+    if pos + length > end:
+        return None, end
+    value = first if keep_marker else first & (0xFF >> length)
+    unknown = not keep_marker and value == (0xFF >> length)
+    for i in range(1, length):
+        b = data[pos + i]
+        value = (value << 8) | b
+        if b != 0xFF:
+            unknown = False
+    if not keep_marker and unknown:
+        return -1, pos + length
+    return value, pos + length
+
+
+def _iter_elements(data: bytes, start: int, end: int):
+    """Yield ``(element_id, payload_start, payload_end)`` for sibling
+    elements in ``data[start:end]``; an unknown-size element extends to
+    ``end`` (only Segment/Cluster do this in practice).  Stops silently
+    at a truncated element head."""
+    pos = start
+    while pos < end:
+        eid, p = _read_vint(data, pos, end, keep_marker=True)
+        if eid is None:
+            return
+        size, p = _read_vint(data, p, end, keep_marker=False)
+        if size is None:
+            return
+        pe = end if size == -1 else min(p + size, end)
+        yield eid, p, pe
+        if size == -1:
+            return  # unknown-size element swallows the rest
+        pos = p + size
+
+
+def _uint(data: bytes, start: int, end: int) -> int:
+    v = 0
+    for i in range(start, end):
+        v = (v << 8) | data[i]
+    return v
+
+
+def _float(data: bytes, start: int, end: int) -> float:
+    n = end - start
+    if n == 4:
+        return struct.unpack_from(">f", data, start)[0]
+    if n == 8:
+        return struct.unpack_from(">d", data, start)[0]
+    return 0.0
+
+
+def _parse_track_entry(data: bytes, start: int, end: int) -> EbmlTrack:
+    tr = EbmlTrack()
+    for eid, ps, pe in _iter_elements(data, start, end):
+        if eid == _TRACK_NUMBER:
+            tr.track_number = _uint(data, ps, pe)
+        elif eid == _TRACK_TYPE:
+            tr.track_type = _TRACK_TYPE_NAMES.get(_uint(data, ps, pe), "")
+        elif eid == _CODEC_ID:
+            tr.codec = data[ps:pe].decode("ascii", "replace").rstrip("\x00")
+        elif eid == _VIDEO:
+            for vid, vs, ve in _iter_elements(data, ps, pe):
+                if vid == _PIXEL_WIDTH:
+                    tr.width = _uint(data, vs, ve)
+                elif vid == _PIXEL_HEIGHT:
+                    tr.height = _uint(data, vs, ve)
+        elif eid == _AUDIO:
+            for aid, as_, ae in _iter_elements(data, ps, pe):
+                if aid == _SAMPLING_FREQUENCY:
+                    tr.sample_rate = int(_float(data, as_, ae) + 0.5)
+                elif aid == _CHANNELS:
+                    tr.channels = _uint(data, as_, ae)
+    return tr
+
+
+def parse_ebml_metadata(data: bytes) -> EbmlMetadata:
+    """Walk an EBML/Matroska/WebM byte string and return the typed
+    metadata.  Raises :class:`EbmlError` when the payload does not
+    start with the EBML header magic.  Duration arrives as a FLOAT in
+    TimestampScale ticks (ns by default) and is reported in ms."""
+    if len(data) < 4 or _uint(data, 0, 4) != _EBML_HEADER:
+        raise EbmlError("no EBML header magic: not an EBML stream")
+    meta = EbmlMetadata()
+    duration_ticks = None
+    for eid, ps, pe in _iter_elements(data, 0, len(data)):
+        if eid == _EBML_HEADER:
+            for hid, hs, he in _iter_elements(data, ps, pe):
+                if hid == _DOCTYPE:
+                    meta.doctype = data[hs:he].decode(
+                        "ascii", "replace").rstrip("\x00")
+        elif eid == _SEGMENT:
+            for sid, ss, se in _iter_elements(data, ps, pe):
+                if sid == _INFO:
+                    for iid, is_, ie in _iter_elements(data, ss, se):
+                        if iid == _TIMESTAMP_SCALE:
+                            meta.timestamp_scale = _uint(data, is_, ie)
+                        elif iid == _DURATION:
+                            duration_ticks = _float(data, is_, ie)
+                elif sid == _TRACKS:
+                    for tid, ts, te in _iter_elements(data, ss, se):
+                        if tid == _TRACK_ENTRY:
+                            meta.tracks.append(
+                                _parse_track_entry(data, ts, te))
+                elif sid == _CLUSTER:
+                    break  # metadata precedes sample data; never descend
+    if duration_ticks is not None:
+        meta.duration_ms = int(
+            duration_ticks * meta.timestamp_scale / 1_000_000
+        )
+    return meta

@@ -1,0 +1,193 @@
+"""MPEG audio (MP3) METADATA walk — frame headers + ID3, no decoding.
+
+Pure-Python stride over MPEG audio frame headers (the 4-byte header
+layout, bitrate/samplerate index tables and frame-length formulas are
+published in ISO/IEC 11172-3 / 13818-3 and reproduced by every mp3
+probe tool), plus the ID3v2 envelope (syncsafe size) and the Xing/Info
+VBR header.  Only the 4 header bytes of each frame are read — the walk
+JUMPS from frame to frame using the computed frame length, so cost is
+O(n_frames) with tiny constants and sample data is never decoded.
+
+Same contract as io/mp4.py and io/ebml.py: truncation-tolerant (a cut
+file reports the frames that are whole), typed :class:`Mp3Error` on
+foreign bytes.  The reference has no media machinery; extension
+surface for audio-corpus triage (filter by duration/bitrate/samplerate
+before any decoder exists).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+# bitrate tables, kbps; index 0 = "free", 15 = invalid
+# rows: [MPEG1 L1, MPEG1 L2, MPEG1 L3, MPEG2/2.5 L1, MPEG2/2.5 L2+L3]
+_BITRATES = {
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+# sampling rates by version: MPEG1, MPEG2, MPEG2.5 (index 3 invalid)
+_SAMPLE_RATES = {
+    1: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    25: (11025, 12000, 8000),
+}
+
+# samples per frame: (version_class, layer)
+_SAMPLES_PER_FRAME = {
+    (1, 1): 384, (1, 2): 1152, (1, 3): 1152,
+    (2, 1): 384, (2, 2): 1152, (2, 3): 576,
+}
+
+#: resync budget: scan at most this far for the first valid frame
+#: (player behavior for junk-prefixed streams; streams whose first
+#: sync sits deeper are treated as not-mp3)
+_RESYNC_LIMIT = 65536
+
+
+class Mp3Error(ValueError):
+    """Not an MPEG audio stream."""
+
+
+@dataclass
+class Mp3Metadata:
+    version: str = ""          # '1' / '2' / '2.5'
+    layer: int = 0             # 1..3 (layer III = mp3)
+    bitrate_kbps: int = 0      # first frame's (nominal under VBR)
+    sample_rate: int = 0
+    channels: int = 0          # 1 (mono) or 2
+    n_frames: int = 0          # whole frames present (or Xing count)
+    duration_ms: int = 0       # n_frames * samples_per_frame / rate
+    vbr: bool = False          # Xing header present
+    id3v2_size: int = 0        # bytes of leading ID3v2 envelope
+    truncated: bool = False    # file ends mid-frame
+
+
+def _parse_header(data: bytes, pos: int):
+    """Decode the 4-byte frame header at ``pos``.
+
+    Returns ``(frame_len, version_class, version_name, layer,
+    bitrate_kbps, sample_rate, channels)`` or None when the bytes are
+    not a valid header."""
+    if pos + 4 > len(data):
+        return None
+    b1, b2, b3, b4 = data[pos : pos + 4]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b2 >> 3) & 0x3
+    if ver_bits == 1:
+        return None  # reserved
+    version_name, vclass, vkey = {
+        0: ("2.5", 2, 25), 2: ("2", 2, 2), 3: ("1", 1, 1)
+    }[ver_bits]
+    layer = 4 - ((b2 >> 1) & 0x3)
+    if layer == 4:
+        return None  # reserved layer bits
+    br_idx = (b3 >> 4) & 0xF
+    sr_idx = (b3 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format / invalid
+    bitrate = _BITRATES[(vclass, layer)][br_idx]
+    sample_rate = _SAMPLE_RATES[vkey][sr_idx]
+    padding = (b3 >> 1) & 0x1
+    channels = 1 if ((b4 >> 6) & 0x3) == 3 else 2
+    if layer == 1:
+        frame_len = (12 * bitrate * 1000 // sample_rate + padding) * 4
+    else:
+        # layer II always 144; layer III: 144 for MPEG1, 72 for MPEG2/2.5
+        coef = 144 if (layer == 2 or vclass == 1) else 72
+        frame_len = coef * bitrate * 1000 // sample_rate + padding
+    if frame_len <= 4:
+        return None
+    return frame_len, vclass, version_name, layer, bitrate, sample_rate, channels
+
+
+def _xing_frames(data: bytes, pos: int, end: int, vclass: int,
+                 channels: int) -> int | None:
+    """Frame count from a Xing/Info VBR header inside the first frame,
+    or None.  The tag sits after the side-info block, whose size
+    depends on version and channel mode."""
+    side = (17 if channels == 1 else 32) if vclass == 1 else (
+        9 if channels == 1 else 17)
+    p = pos + 4 + side
+    if p + 8 > end:
+        return None
+    tag = data[p : p + 4]
+    if tag not in (b"Xing", b"Info"):
+        return None
+    flags = struct.unpack_from(">I", data, p + 4)[0]
+    if not flags & 0x1 or p + 12 > end:
+        return None
+    return struct.unpack_from(">I", data, p + 8)[0]
+
+
+def parse_mp3_metadata(data: bytes) -> Mp3Metadata:
+    """Stride the MPEG audio frame chain and return typed metadata.
+
+    Raises :class:`Mp3Error` when no valid frame chain starts within
+    the resync budget (after any ID3v2 envelope).  A valid START needs
+    either two back-to-back valid headers or a single COMPLETE frame
+    ending exactly at EOF — one random 0xFFEx sync in foreign bytes
+    does not pass."""
+    meta = Mp3Metadata()
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        # syncsafe u28 tag size + 10-byte header (+10 footer if flagged)
+        size = 0
+        for b in data[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size + (10 if data[5] & 0x10 else 0)
+        meta.id3v2_size = min(pos, len(data))
+    n = len(data)
+    start = None
+    limit = min(n, pos + _RESYNC_LIMIT)
+    scan = pos
+    while scan < limit:
+        idx = data.find(b"\xff", scan, limit)
+        if idx < 0:
+            break
+        h = _parse_header(data, idx)
+        if h is not None:
+            nxt = idx + h[0]
+            # a valid START needs a confirmed chain: either the next
+            # header validates too, or exactly one COMPLETE frame ends
+            # at EOF — a lone sync whose frame runs past the end is
+            # noise, not a truncated mp3
+            if nxt == n or (nxt < n and _parse_header(data, nxt) is not None):
+                start = idx
+                break
+        scan = idx + 1
+    if start is None:
+        raise Mp3Error("no MPEG audio frame chain found")
+    (flen, vclass, vname, layer, bitrate, rate, channels) = _parse_header(
+        data, start)
+    meta.version, meta.layer = vname, layer
+    meta.bitrate_kbps, meta.sample_rate, meta.channels = bitrate, rate, channels
+    spf = _SAMPLES_PER_FRAME[(vclass, layer)]
+    xing = _xing_frames(data, start, min(start + flen, n), vclass, channels)
+    if xing is not None:
+        # VBR: the tag frame carries the authoritative count; the tag
+        # frame itself is not audio
+        meta.vbr = True
+        meta.n_frames = xing
+        meta.duration_ms = xing * spf * 1000 // rate
+        return meta
+    frames = 0
+    p = start
+    while p + 4 <= n:
+        h = _parse_header(data, p)
+        if h is None:
+            break  # chain ended (trailing tag/junk)
+        if p + h[0] > n:
+            meta.truncated = True
+            break
+        frames += 1
+        p += h[0]
+    meta.n_frames = frames
+    meta.duration_ms = frames * spf * 1000 // rate
+    return meta

@@ -280,6 +280,108 @@ def video_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(op, schema=VIDEO_METADATA_SCHEMA)
 
 
+CONTAINER_METADATA_SCHEMA = (
+    "media_id string, mime string, container string, duration_ms long, "
+    "codec string, width int, height int, n_frames long, "
+    "n_video_tracks int, n_audio_tracks int, sample_rate int, "
+    "channels int, bitrate_kbps int"
+)
+
+# ISO-BMFF files start with any top-level box; these cover real files
+# (ftyp in practice, plus fragmented/raw layouts)
+_BMFF_TOP_BOXES = frozenset(
+    {b"ftyp", b"styp", b"moov", b"mdat", b"free", b"skip", b"wide"}
+)
+
+
+def container_metadata(media: DataFrame) -> DataFrame:
+    """Container-level metadata for MIXED media corpora, dispatching on
+    magic bytes per payload: ISO-BMFF (io/mp4.py box walk), Matroska /
+    WebM (io/ebml.py element walk), MPEG audio (io/mp3.py frame
+    stride).  One unified row shape so a LAION-style triage can filter
+    by duration / codec / resolution / sample-rate across container
+    formats without a single codec; unrecognized payloads yield a row
+    of NULLs (media_id/mime preserved) like :func:`video_metadata`.
+
+    ``container``: 'mp4' | the EBML DocType ('webm'/'matroska') |
+    'mp3'.  Per-format gaps stay NULL (BMFF carries no audio
+    sample-rate here; EBML carries no frame count; mp3 has no video
+    fields).  Same scale shape as video_metadata: one Arrow-batched
+    mapInPandas, sample data never touched."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from resilispark.io.ebml import EbmlError, parse_ebml_metadata
+        from resilispark.io.mp3 import Mp3Error, parse_mp3_metadata
+        from resilispark.io.mp4 import Mp4Error, parse_mp4_metadata
+
+        cols = [
+            "media_id", "mime", "container", "duration_ms", "codec",
+            "width", "height", "n_frames", "n_video_tracks",
+            "n_audio_tracks", "sample_rate", "channels", "bitrate_kbps",
+        ]
+        nulls = (None,) * 11
+
+        def one(payload: bytes):
+            if payload[:4] == b"\x1a\x45\xdf\xa3":
+                try:
+                    m = parse_ebml_metadata(payload)
+                except EbmlError:
+                    return nulls
+                vids, auds = m.video_tracks, m.audio_tracks
+                v = vids[0] if vids else None
+                a = auds[0] if auds else None
+                codec = (v or a).codec if (v or a) else None
+                return (
+                    m.doctype or "matroska", m.duration_ms or None, codec,
+                    v.width if v else None, v.height if v else None,
+                    None, len(vids), len(auds),
+                    a.sample_rate if a else None,
+                    a.channels if a else None, None,
+                )
+            if payload[4:8] in _BMFF_TOP_BOXES:
+                try:
+                    m = parse_mp4_metadata(payload)
+                except Mp4Error:
+                    return nulls
+                vids = m.video_tracks
+                v = vids[0] if vids else None
+                return (
+                    "mp4", m.duration_ms or None,
+                    v.codec if v else None,
+                    v.width if v else None, v.height if v else None,
+                    v.n_samples if v else None,
+                    len(vids), len(m.audio_tracks), None, None, None,
+                )
+            if payload[:3] == b"ID3" or (
+                len(payload) >= 2
+                and payload[0] == 0xFF
+                and (payload[1] & 0xE0) == 0xE0
+            ):
+                try:
+                    m = parse_mp3_metadata(payload)
+                except Mp3Error:
+                    return nulls
+                return (
+                    "mp3", m.duration_ms or None,
+                    f"mpeg{m.version}-layer{m.layer}",
+                    None, None, m.n_frames, 0, 1,
+                    m.sample_rate, m.channels,
+                    m.bitrate_kbps if not m.vbr else None,
+                )
+            return nulls
+
+        for pdf in batches:
+            rows = []
+            for mid, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                rows.append((mid, mime) + one(payload))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(op, schema=CONTAINER_METADATA_SCHEMA)
+
+
 def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, *, fake: bool = False
 ) -> DataFrame:

@@ -160,6 +160,12 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
     "t17_ccnet_buckets": [
         ("bucket", "s"), ("n_docs", "n"), ("threshold", "d"),
     ],
+    "m05_video_metadata": [
+        ("doc_id", "n"), ("brand", "s"), ("codec", "s"),
+        ("duration_ms", "n"), ("width", "n"), ("height", "n"),
+        ("n_frames", "n"), ("n_video_tracks", "n"),
+        ("n_audio_tracks", "n"), ("n_chunks", "n"),
+    ],
 }
 
 # members may live in either query module; merged lookup keeps the
@@ -260,6 +266,11 @@ FAMILIES: dict[str, list[str]] = {
         # metric; cross-checked against an independent pure-Python
         # implementation in pytest)
         "t20_gopher_repetition",
+        # (m05 joined in round 10: the ISO-BMFF box walk — per-doc MP4s
+        # constructed from doc_id arithmetic the oracle replays
+        # literally; mdhd v0/v1, stco/co64 and audio-track branches all
+        # inside the one hash, plus the non-BMFF NULL-row contract)
+        "m05_video_metadata",
     ],
     # sketch-store telemetry (round 7, in the slot t05's rows-only
     # check freed): HLL union/overlap estimates pinned to the exact

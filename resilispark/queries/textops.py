@@ -1407,6 +1407,127 @@ ORDER BY doc_id
 """
 
 
+def m05_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF box-walk gate (io/mp4.py parse_mp4_metadata via
+    operators/multimodal.py video_metadata — the r9 feature previously
+    proven only by pytest): every document becomes a minimal-but-valid
+    MP4 whose duration/codec/dimensions/frame-count/track-mix derive
+    from doc_id arithmetic the DuckDB oracle replays literally.  The
+    construction varies the container shape per row — mdhd v0 vs v1
+    (32/64-bit), stco vs co64 chunk tables, an optional audio track —
+    so one green hash covers the walk's branchy corners, and every 7th
+    doc ships NON-BMFF bytes to pin the NULL-row contract for mixed
+    crawls.  Plan: one narrow Arrow-batched mapInPandas over the
+    parquet scan — no shuffle, O(1) per row, scales linearly."""
+    from resilispark.operators.multimodal import video_metadata
+    from resilispark.session import ensure_workers_can_import
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_workers_can_import(spark)
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    @F.pandas_udf("binary")
+    def to_mp4(ids: pd.Series) -> pd.Series:
+        import struct as s
+
+        def box(fourcc: bytes, payload: bytes) -> bytes:
+            return s.pack(">I", 8 + len(payload)) + fourcc + payload
+
+        def full(fourcc: bytes, version: int, payload: bytes) -> bytes:
+            return box(fourcc, bytes([version, 0, 0, 0]) + payload)
+
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 7 == 3:
+                # deliberately foreign bytes: the NULL-row contract
+                out.append(b"not an mp4 payload #" + str(i).encode())
+                continue
+            dur = 1000 + (i % 97) * 50
+            w, h = 160 + (i % 8) * 80, 120 + (i % 6) * 60
+            codec = ("avc1", "hev1", "vp09", "av01")[i % 4].encode()
+            n = 24 + (i % 1000)
+            mvhd = full(b"mvhd", 0, s.pack(">IIII", 0, 0, 1000, dur) + bytes(80))
+            tkhd = full(b"tkhd", 0, s.pack(">III", 0, 0, 1) + bytes(68))
+            if i % 11 == 0:  # 64-bit v1 media header branch
+                mdhd = full(b"mdhd", 1,
+                            s.pack(">QQIQ", 0, 0, 30000, dur * 30) + bytes(4))
+            else:
+                mdhd = full(b"mdhd", 0,
+                            s.pack(">IIII", 0, 0, 30000, dur * 30) + bytes(4))
+            hdlr = full(b"hdlr", 0, bytes(4) + b"vide" + bytes(12))
+            entry = bytes(6) + s.pack(">H", 1) + bytes(16) + s.pack(
+                ">HH", w, h) + bytes(50)
+            stsd = full(b"stsd", 0, s.pack(">I", 1) + box(codec, entry))
+            stsz = full(b"stsz", 0, s.pack(">II", 0, n))
+            if i % 2 == 0:  # alternate 32/64-bit chunk-offset tables
+                stco = full(b"stco", 0, s.pack(">III", 2, 48, 4096))
+            else:
+                stco = full(b"co64", 0, s.pack(">IQQ", 2, 48, 4096))
+            stbl = box(b"stbl", stsd + stsz + stco)
+            trak = box(b"trak", tkhd + box(
+                b"mdia", mdhd + hdlr + box(b"minf", stbl)))
+            traks = trak
+            if i % 5 == 0:  # optional audio track
+                mdhd_a = full(b"mdhd", 0,
+                              s.pack(">IIII", 0, 0, 44100, dur * 44) + bytes(4))
+                hdlr_a = full(b"hdlr", 0, bytes(4) + b"soun" + bytes(12))
+                stbl_a = box(b"stbl", full(
+                    b"stsd", 0, s.pack(">I", 1) + box(b"mp4a", bytes(28))))
+                traks += box(b"trak", full(
+                    b"tkhd", 0, s.pack(">III", 0, 0, 2) + bytes(68)
+                ) + box(b"mdia", mdhd_a + hdlr_a + box(b"minf", stbl_a)))
+            moov = box(b"moov", mvhd + traks)
+            ftyp = box(b"ftyp", b"isom" + s.pack(">I", 512) + b"isomiso2")
+            mdat = box(b"mdat", bytes(16))
+            out.append(ftyp + mdat + moov)
+        return pd.Series(out)
+
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video/mp4").alias("mime"),
+        to_mp4("doc_id").alias("payload"),
+    )
+    vm = video_metadata(media)
+    return vm.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "brand",
+        "codec",
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("n_video_tracks").cast("bigint").alias("n_video_tracks"),
+        F.col("n_audio_tracks").cast("bigint").alias("n_audio_tracks"),
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+    ).orderBy("doc_id")
+
+
+# literal replay of the doc_id arithmetic baked into the Spark-side MP4
+# constructor; every 7th doc is the non-BMFF NULL row
+ORACLE_M05 = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 <> 3 THEN 'isom' END AS brand,
+       CASE WHEN doc_id % 7 <> 3
+            THEN (['avc1','hev1','vp09','av01'])[(doc_id % 4)::INT + 1]
+       END AS codec,
+       CAST(CASE WHEN doc_id % 7 <> 3
+                 THEN 1000 + (doc_id % 97) * 50 END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 7 <> 3
+                 THEN 160 + (doc_id % 8) * 80 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 7 <> 3
+                 THEN 120 + (doc_id % 6) * 60 END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 7 <> 3
+                 THEN 24 + (doc_id % 1000) END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN doc_id % 7 <> 3 THEN 1 END AS BIGINT) AS n_video_tracks,
+       CAST(CASE WHEN doc_id % 7 <> 3
+                 THEN CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+       END AS BIGINT) AS n_audio_tracks,
+       CAST(CASE WHEN doc_id % 7 <> 3 THEN 2 END AS BIGINT) AS n_chunks
+FROM documents
+ORDER BY doc_id
+"""
+
 
 def d09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontaminate.py): docs
@@ -3350,6 +3471,7 @@ QUERIES = {
     "m02_video_frames": m02_video_frames,
     "m03_audio_features": m03_audio_features,
     "m04_real_codec_roundtrip": m04_real_codec_roundtrip,
+    "m05_video_metadata": m05_video_metadata,
     "t11_cms_estimate": t11_cms_estimate,
     "t12_wds_roundtrip": t12_wds_roundtrip,
     "r01_robots_filter": r01_robots_filter,
@@ -3403,6 +3525,7 @@ ORACLES = {
     "m02_video_frames": ORACLE_M02,
     "m03_audio_features": ORACLE_M03,
     "m04_real_codec_roundtrip": ORACLE_M04,
+    "m05_video_metadata": ORACLE_M05,
     "t11_cms_estimate": ORACLE_T11,
     "t12_wds_roundtrip": ORACLE_T12,
     "r01_robots_filter": ORACLE_R01,

@@ -2032,23 +2032,38 @@ def test_cli_no_member_scan_reaches_the_readers(monkeypatch, tmp_path, capsys,
 
 
 def test_cli_media_metadata(tmp_path, capsys, spark):
-    """media-metadata over a mixed parquet: the MP4 row carries real
-    box-walk metadata, the non-BMFF row comes back NULL."""
+    """media-metadata over a mixed parquet (r10: unified magic-byte
+    dispatch): MP4 / WebM / MP3 rows carry real walk metadata, the
+    foreign row comes back NULL; --mp4-boxes keeps the MP4-only table
+    with chunk offsets."""
     import sys as _sys
 
     _sys.path.insert(0, "tests")
-    from test_operators import TestMp4BoxWalk
+    from test_operators import TestEbmlWalk, TestMp3Walk, TestMp4BoxWalk
 
     mp4 = TestMp4BoxWalk._minimal_mp4()
+    webm = TestEbmlWalk._minimal_webm()
+    mp3 = TestMp3Walk._frame() * 10
     src = str(tmp_path / "media.parquet")
     spark.createDataFrame(
         [("v1", "video/mp4", bytearray(mp4)),
+         ("w1", "video/webm", bytearray(webm)),
+         ("a1", "audio/mpeg", bytearray(mp3)),
          ("junk", "video/avi", bytearray(b"RIFFxxxxAVI "))],
         "media_id string, mime string, payload binary",
     ).write.parquet(src)
     out = str(tmp_path / "meta.parquet")
     rc, text = _run(capsys, ["media-metadata", src, "-o", out])
-    assert rc == 0 and "2 rows, 1 parsed as ISO-BMFF" in text
+    assert rc == 0 and "4 rows, 3 parsed" in text
     rows = {r.media_id: r for r in spark.read.parquet(out).collect()}
     assert rows["v1"].codec == "avc1" and rows["v1"].duration_ms == 5400
-    assert rows["junk"].brand is None
+    assert rows["w1"].container == "webm" and rows["w1"].codec == "V_VP9"
+    assert rows["a1"].container == "mp3" and rows["a1"].sample_rate == 44100
+    assert rows["junk"].container is None
+    # MP4-only box table still available for byte-range shard planning
+    out2 = str(tmp_path / "meta-mp4.parquet")
+    rc, text = _run(capsys, ["media-metadata", src, "-o", out2, "--mp4-boxes"])
+    assert rc == 0 and "4 rows, 1 parsed" in text
+    rows2 = {r.media_id: r for r in spark.read.parquet(out2).collect()}
+    assert list(rows2["v1"].chunk_offsets) == [48, 4096, 81920]
+    assert rows2["w1"].brand is None

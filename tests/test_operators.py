@@ -6828,6 +6828,217 @@ class TestMp4BoxWalk:
         assert m.brand == ""
 
 
+class TestEbmlWalk:
+    """io/ebml.py Matroska/WebM metadata walk over constructed element
+    trees (the r9 verdict's Next #5): DocType, duration, per-track
+    codec/dimensions/audio params — no decoding, clusters never
+    descended."""
+
+    @staticmethod
+    def _size(n: int) -> bytes:
+        if n < 0x7F:
+            return bytes([0x80 | n])
+        assert n < 0x3FFF
+        return bytes([0x40 | (n >> 8), n & 0xFF])
+
+    @classmethod
+    def _el(cls, eid: bytes, payload: bytes) -> bytes:
+        return eid + cls._size(len(payload)) + payload
+
+    @staticmethod
+    def _uint(v: int) -> bytes:
+        out = b""
+        while True:
+            out = bytes([v & 0xFF]) + out
+            v >>= 8
+            if not v:
+                return out
+
+    @classmethod
+    def _minimal_webm(cls, *, unknown_segment_size: bool = False,
+                      doctype: bytes = b"webm") -> bytes:
+        import struct as _s
+
+        el, uint = cls._el, cls._uint
+        header = el(b"\x1a\x45\xdf\xa3", el(b"\x42\x82", doctype))
+        info = el(b"\x15\x49\xa9\x66",
+                  el(b"\x2a\xd7\xb1", uint(1_000_000))
+                  + el(b"\x44\x89", _s.pack(">d", 5400.0)))
+        trv = el(b"\xae",
+                 el(b"\xd7", b"\x01") + el(b"\x83", b"\x01")
+                 + el(b"\x86", b"V_VP9")
+                 + el(b"\xe0", el(b"\xb0", uint(640))
+                      + el(b"\xba", uint(360))))
+        tra = el(b"\xae",
+                 el(b"\xd7", b"\x02") + el(b"\x83", b"\x02")
+                 + el(b"\x86", b"A_OPUS")
+                 + el(b"\xe1", el(b"\xb5", _s.pack(">f", 48000.0))
+                      + el(b"\x9f", b"\x02")))
+        tracks = el(b"\x16\x54\xae\x6b", trv + tra)
+        cluster = el(b"\x1f\x43\xb6\x72", bytes(64))
+        body = info + tracks + cluster
+        if unknown_segment_size:
+            segment = b"\x18\x53\x80\x67" + b"\xff" + body
+        else:
+            segment = el(b"\x18\x53\x80\x67", body)
+        return header + segment
+
+    def test_minimal_webm_metadata(self):
+        from resilispark.io.ebml import parse_ebml_metadata
+
+        m = parse_ebml_metadata(self._minimal_webm())
+        assert m.doctype == "webm"
+        assert m.timestamp_scale == 1_000_000
+        assert m.duration_ms == 5400
+        v = m.video_tracks[0]
+        assert (v.codec, v.width, v.height) == ("V_VP9", 640, 360)
+        a = m.audio_tracks[0]
+        assert (a.codec, a.sample_rate, a.channels) == ("A_OPUS", 48000, 2)
+
+    def test_unknown_segment_size_and_matroska_doctype(self):
+        """The streaming layout: Segment declares unknown size (all-ones
+        VINT) and children parse to EOF."""
+        from resilispark.io.ebml import parse_ebml_metadata
+
+        m = parse_ebml_metadata(self._minimal_webm(
+            unknown_segment_size=True, doctype=b"matroska"))
+        assert m.doctype == "matroska"
+        assert m.duration_ms == 5400
+        assert len(m.tracks) == 2
+
+    def test_non_ebml_raises(self):
+        import pytest as _pytest
+
+        from resilispark.io.ebml import EbmlError, parse_ebml_metadata
+
+        for blob in (b"", b"RIFF....WEBP", b"\x89PNG\r\n\x1a\n" + bytes(64)):
+            with _pytest.raises(EbmlError):
+                parse_ebml_metadata(blob)
+
+    def test_every_truncation_point_is_graceful(self):
+        """A partial download cut anywhere parses what's present or
+        raises EbmlError — never struct.error/IndexError."""
+        from resilispark.io.ebml import EbmlError, parse_ebml_metadata
+
+        blob = self._minimal_webm()
+        for cut in range(len(blob)):
+            try:
+                parse_ebml_metadata(blob[:cut])
+            except EbmlError:
+                pass
+
+
+class TestMp3Walk:
+    """io/mp3.py MPEG-audio frame-header stride over constructed
+    streams: CBR chain walk, Xing VBR count, ID3v2 skip, resync,
+    truncation tolerance."""
+
+    # MPEG1 Layer III 128 kbps 44100 Hz stereo: frame length 417
+    _HDR = bytes([0xFF, 0xFB, 0x90, 0x00])
+    _FRAME_LEN = 417
+
+    @classmethod
+    def _frame(cls, fill: int = 0) -> bytes:
+        return cls._HDR + bytes([fill]) * (cls._FRAME_LEN - 4)
+
+    def test_cbr_chain(self):
+        from resilispark.io.mp3 import parse_mp3_metadata
+
+        m = parse_mp3_metadata(self._frame() * 10)
+        assert (m.version, m.layer) == ("1", 3)
+        assert (m.bitrate_kbps, m.sample_rate, m.channels) == (128, 44100, 2)
+        assert m.n_frames == 10 and not m.vbr and not m.truncated
+        assert m.duration_ms == 10 * 1152 * 1000 // 44100
+
+    def test_id3v2_envelope_skipped(self):
+        from resilispark.io.mp3 import parse_mp3_metadata
+
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + bytes(100)
+        m = parse_mp3_metadata(tag + self._frame() * 3)
+        assert m.id3v2_size == 110
+        assert m.n_frames == 3
+
+    def test_xing_vbr_count_wins(self):
+        import struct as _s
+
+        from resilispark.io.mp3 import parse_mp3_metadata
+
+        body = bytearray(self._frame())
+        p = 4 + 32  # MPEG1 stereo side-info size
+        body[p:p + 4] = b"Xing"
+        body[p + 4:p + 8] = _s.pack(">I", 1)   # frames flag
+        body[p + 8:p + 12] = _s.pack(">I", 42)
+        m = parse_mp3_metadata(bytes(body) + self._frame() * 3)
+        assert m.vbr and m.n_frames == 42
+        assert m.duration_ms == 42 * 1152 * 1000 // 44100
+
+    def test_junk_prefix_resync(self):
+        from resilispark.io.mp3 import parse_mp3_metadata
+
+        junk = bytes(range(1, 128)) * 2  # no 0xFF bytes
+        m = parse_mp3_metadata(junk + self._frame() * 4)
+        assert m.n_frames == 4
+
+    def test_truncated_tail(self):
+        from resilispark.io.mp3 import parse_mp3_metadata
+
+        blob = self._frame() * 5
+        m = parse_mp3_metadata(blob[: len(blob) - 100])
+        assert m.n_frames == 4 and m.truncated
+
+    def test_foreign_bytes_raise(self):
+        import pytest as _pytest
+
+        from resilispark.io.mp3 import Mp3Error, parse_mp3_metadata
+
+        for blob in (b"", b"hello world " * 100,
+                     b"\xff\xfb" + b"ab" * 3,  # one sync, broken chain
+                     bytes(4096)):
+            with _pytest.raises(Mp3Error):
+                parse_mp3_metadata(blob)
+
+    def test_single_frame_at_eof_is_valid(self):
+        from resilispark.io.mp3 import parse_mp3_metadata
+
+        m = parse_mp3_metadata(self._frame())
+        assert m.n_frames == 1
+
+
+def test_container_metadata_dispatch(spark):
+    """operators/multimodal.py container_metadata: one mixed-media
+    frame through the magic-byte dispatch — MP4, WebM, MP3 and foreign
+    payloads land in ONE unified row shape (r10 CLI media-metadata
+    default path)."""
+    from resilispark.operators.multimodal import container_metadata
+
+    mp4 = TestMp4BoxWalk._minimal_mp4()
+    webm = TestEbmlWalk._minimal_webm()
+    mp3 = TestMp3Walk._frame() * 10
+    media = spark.createDataFrame(
+        [
+            ("a", "video/mp4", mp4),
+            ("b", "video/webm", webm),
+            ("c", "audio/mpeg", mp3),
+            ("d", "text/plain", b"not media at all"),
+        ],
+        "media_id string, mime string, payload binary",
+    )
+    rows = {r.media_id: r for r in container_metadata(media).collect()}
+    a = rows["a"]
+    assert (a.container, a.codec, a.width, a.height) == ("mp4", "avc1", 640, 360)
+    assert (a.duration_ms, a.n_frames) == (5400, 162)
+    b = rows["b"]
+    assert (b.container, b.codec, b.width, b.height) == ("webm", "V_VP9", 640, 360)
+    assert (b.duration_ms, b.sample_rate, b.channels) == (5400, 48000, 2)
+    assert (b.n_video_tracks, b.n_audio_tracks) == (1, 1)
+    c = rows["c"]
+    assert (c.container, c.codec) == ("mp3", "mpeg1-layer3")
+    assert (c.sample_rate, c.channels, c.bitrate_kbps) == (44100, 2, 128)
+    assert c.n_frames == 10
+    d = rows["d"]
+    assert d.container is None and d.mime == "text/plain"
+
+
 def test_connected_components_small_graph_matches_distributed(spark):
     """The r9 driver union-find fast path must produce exactly the
     distributed fixpoint's (vertex, min-reachable-id) labels — random
