@@ -620,6 +620,18 @@ def main() -> None:
                 "sf10x_sec": big_t,
                 "slope": round(big_t / base_t, 2) if base_t else None,
             }
+        # d08 slope attribution (r10 ask): candidate/verified pair
+        # counts at both scales — a slope tracking pair-output growth
+        # is corpus shape, not a plan bug
+        from resilispark.queries.textops import d08_candidate_pairs
+
+        sf1_slopes["d08_simhash_pairs"]["pairs"] = {
+            scale: {
+                "candidates": d08_candidate_pairs(spark, d).count(),
+                "verified": QUERIES["d08_simhash_pairs"](spark, d).count(),
+            }
+            for scale, d in (("sf1x", sf_dir), ("sf10x", big_dir))
+        }
         # end-to-end curate on the 10x WARC fixture (150,002 records vs
         # 15,002 above) — the composed-pipeline slope
         if big_groups > 0:

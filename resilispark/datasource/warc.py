@@ -189,6 +189,10 @@ class _WarcPartition(InputPartition):
     # first member boundary itself (scan_gzip_members) instead of the
     # planner promising start is member-aligned
     aligned: bool = True
+    # member_scan=verify: the PREDECESSOR range's start — the scanner
+    # re-walks [verify_from, start) to anchor this range's first member
+    # to the true chain (io/warc.py scan_gzip_members verify contract)
+    verify_from: int | None = None
 
 
 def _read_first_member(fs, path: str, start: int, size: int,
@@ -250,8 +254,13 @@ class WarcDataSourceReader(DataSourceReader):
         self.split_bytes = int(split) if split else _TARGET_SPLIT_BYTES
         # sidecar-less gzip splitting (executor-side member-boundary
         # scan); see scan_gzip_members for the validation contract and
-        # the one documented hazard
-        self.member_scan = self._bool_opt("member_scan", True)
+        # the one documented hazard.  member_scan=verify additionally
+        # anchors every range's first member to the predecessor range's
+        # chain (guaranteed embedded-archive detection at ~2x decode
+        # cost for corpora that cannot pre-index)
+        _ms = str(self.options.get("member_scan", "true")).lower()
+        self.member_verify = _ms == "verify"
+        self.member_scan = self.member_verify or _ms in ("1", "true", "yes")
         off = self.options.get("offset")
         self.offset = int(off) if off is not None else None
         # T3/R5: per-partition offset-resume against flaky streams
@@ -405,7 +414,12 @@ class WarcDataSourceReader(DataSourceReader):
                     for s in range(0, size, step):
                         parts.append(
                             _WarcPartition(
-                                p, s, min(s + step, size), aligned=False
+                                p, s, min(s + step, size), aligned=False,
+                                verify_from=(
+                                    max(0, s - step)
+                                    if self.member_verify and s > 0
+                                    else None
+                                ),
                             )
                         )
                 else:
@@ -441,13 +455,16 @@ class WarcDataSourceReader(DataSourceReader):
                 from resilispark.io.lz4f import scan_lz4_members
 
                 return scan_lz4_members(
-                    fs, partition.path, partition.start, partition.end, size
+                    fs, partition.path, partition.start, partition.end,
+                    size, strict=self.strict,
+                    verify_from=partition.verify_from,
                 )
             from resilispark.io.warc import scan_gzip_members
 
             return scan_gzip_members(
                 fs, partition.path, partition.start, partition.end,
                 size, strict=self.strict,
+                verify_from=partition.verify_from,
             )
         point = partition.end == partition.start + 1
         if point:

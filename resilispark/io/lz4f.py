@@ -247,6 +247,8 @@ def scan_lz4_members(
     file_size: int,
     *,
     chunk: int = 1 << 20,
+    strict: bool = False,
+    verify_from: int | None = None,
 ):
     """Yield ``(abs_offset, content)`` for every LZ4 frame STARTING in
     ``[start, end)`` — the sidecar-less splitter's LZ4 leg (see
@@ -267,11 +269,33 @@ def scan_lz4_members(
     starting at the previous frame's end, or the chain stopping short
     of the range end mid-file — a ``RuntimeWarning`` names the
     mitigations (best-effort per range, like the gzip twin).
+
+    ``verify_from`` / ``strict`` / the generator's chain-end RETURN
+    value mirror the gzip twin's ``member_scan=verify`` contract — see
+    ``io/warc.py:scan_gzip_members``.
     """
     from resilispark.io.warc import _warn_broken_chain
 
     if start >= end:
-        return
+        return None
+    handoff = None
+    if verify_from is not None and start > 0:
+        lo = max(0, verify_from)
+        width = max(start - lo, chunk)
+        while True:
+            prev = scan_lz4_members(
+                fs, path, lo, start, file_size, chunk=chunk, strict=strict
+            )
+            while True:
+                try:
+                    next(prev)
+                except StopIteration as stop:
+                    handoff = stop.value
+                    break
+            if handoff is not None or lo == 0:
+                break
+            width *= 2
+            lo = max(0, start - width)
     buf = bytearray(
         fs.read_range(path, start, min(end - start + 3, file_size - start))
     )
@@ -307,7 +331,7 @@ def scan_lz4_members(
                 and not tail_truncated
             ):
                 _warn_broken_chain(path, start, end, chain_end, gap=False)
-            return
+            return chain_end
         ext = None
         while True:
             try:
@@ -342,11 +366,27 @@ def scan_lz4_members(
             continue
         if chain_end is not None and start + q != chain_end:
             _warn_broken_chain(path, start, end, start + q, gap=True)
+        if chain_end is None and handoff is not None and start + q != handoff:
+            # verify mode: first validated frame must continue the
+            # predecessor chain — see the gzip twin
+            msg = (
+                f"member-scan verify failed in {path}[{start}:{end}): "
+                f"first validated frame at {start + q} does not continue "
+                f"the predecessor chain ending at {handoff} — off-chain "
+                "(embedded archive) records; scan with member_scan=false "
+                "or index once with `index --no-member-scan --sidecars`"
+            )
+            if strict:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
         yield start + q, content
         chain_end = start + ext
         pos = ext
     if chain_end is not None and chain_end < warn_to and not tail_truncated:
         _warn_broken_chain(path, start, end, chain_end, gap=False)
+    return chain_end
 
 
 def decompress_members(data: bytes):

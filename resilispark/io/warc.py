@@ -918,6 +918,7 @@ def scan_gzip_members(
     *,
     chunk: int = 1 << 20,
     strict: bool = False,
+    verify_from: int | None = None,
 ) -> Iterator[tuple[int, bytes]]:
     """Yield ``(abs_offset, plain)`` for every gzip member STARTING in
     ``[start, end)`` of a member-compressed WARC — WITHOUT any side
@@ -966,9 +967,43 @@ def scan_gzip_members(
     default tolerant mode — same tolerance as ``_iter_gzip_members``'s
     non-strict tail — and raises when ``strict=True`` (the reader's
     ``strict`` option threads through here).
+
+    ``verify_from`` (r10, reader option ``member_scan=verify``): the
+    PREDECESSOR range's start.  Before yielding, the scan re-walks
+    ``[verify_from, start)`` (one extra ranged read + one extra decode
+    of that window) to learn where the true member chain crosses
+    ``start``; a first validated member NOT at that handoff offset is
+    an off-chain (embedded-archive) pickup the local heuristics cannot
+    see — warned (or raised under ``strict``).  When the predecessor
+    window contains no member start (a member larger than a range),
+    the window widens backward by doubling until a chain anchors or
+    offset 0 is reached, so a FULL scan with every partition verifying
+    is anchored end-to-end by induction; an isolated narrow range is
+    anchored to the nearest preceding validated member.
+
+    The generator RETURNS its chain-end offset (``StopIteration.value``)
+    — the handoff the verify mode of the successor range consumes.
     """
     if start >= end:
-        return
+        return None
+    handoff = None
+    if verify_from is not None and start > 0:
+        lo = max(0, verify_from)
+        width = max(start - lo, chunk)
+        while True:
+            prev = scan_gzip_members(
+                fs, path, lo, start, file_size, chunk=chunk, strict=strict
+            )
+            while True:
+                try:
+                    next(prev)
+                except StopIteration as stop:
+                    handoff = stop.value
+                    break
+            if handoff is not None or lo == 0:
+                break
+            width *= 2
+            lo = max(0, start - width)
     # +2 slack: a member may START at end-1 with its 3-byte candidate
     # (and header) extending past the range boundary
     buf = bytearray(
@@ -1009,7 +1044,7 @@ def scan_gzip_members(
                 and not tail_truncated
             ):
                 _warn_broken_chain(path, start, end, chain_end, gap=False)
-            return
+            return chain_end
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
         out: list[bytes] = []
         total_out = 0
@@ -1079,9 +1114,26 @@ def scan_gzip_members(
             # yielded an inner chain stored verbatim inside a record's
             # payload, then resynced onto the true outer chain)
             _warn_broken_chain(path, start, end, start + q, gap=True)
+        if chain_end is None and handoff is not None and start + q != handoff:
+            # verify mode: the range's FIRST validated member must sit
+            # exactly where the predecessor's chain crosses `start` —
+            # anything else is an off-chain (embedded-archive) pickup
+            # the local contiguity check cannot see
+            msg = (
+                f"member-scan verify failed in {path}[{start}:{end}): "
+                f"first validated member at {start + q} does not continue "
+                f"the predecessor chain ending at {handoff} — off-chain "
+                "(embedded archive) records; scan with member_scan=false "
+                "or index once with `index --no-member-scan --sidecars`"
+            )
+            if strict:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
         yield start + q, plain
         if not d.eof:
-            return  # tolerated truncated trailing member (non-strict)
+            return chain_end  # tolerated truncated trailing member (non-strict)
         # at eof zlib moves any pending input into unused_data but can
         # LEAVE the same bytes in unconsumed_tail — subtracting both
         # double-counts the tail (was masked by the find() resync; the
@@ -1091,6 +1143,7 @@ def scan_gzip_members(
         pos = q + max(consumed, 1)
     if chain_end is not None and chain_end < warn_to and not tail_truncated:
         _warn_broken_chain(path, start, end, chain_end, gap=False)
+    return chain_end
 
 
 def decode_warc_stream(data: bytes) -> Iterator[tuple[int, bytes]]:

@@ -719,6 +719,17 @@ def duplicate_span_coverage(
     # collect_list(struct) 5.85s (bigger shuffle payload); packing
     # (doc_id,pos) into one int64 a wash (2.90 vs 2.87 in the calm
     # re-run).  Window slope in the controlled A/B: 2.9-3.2x at 10x.
+    # r10 A/B matrix (interleaved min-of-3x3, both scales): PERSISTED
+    # exploded base + count-filtered dup-gram semi-join (the dodge for
+    # the double-lineage cost above) STILL loses — 1.29s/3.05s vs the
+    # window's 1.05s/2.66s at 1x/10x (cache build + join shuffle cost
+    # more than the window's sort saves); dropping n_tokens from the
+    # window row + a light join-back wins only 3-9% (0.96/2.57) but
+    # DOUBLE-SCANS the input lineage — wrong trade for derived inputs
+    # (inside curate the upstream ladder would execute twice).  The
+    # window spelling at a controlled 2.5-2.7x slope IS this engine's
+    # n-log-n floor for exact-substring dedup; the driver's 4.47 slope
+    # sample is the documented 2-4x VM CPU weather.
     dup = base.withColumn(
         "_first", F.min(id_col).over(W.partitionBy("gram"))
     ).filter(F.col(id_col) > F.col("_first"))

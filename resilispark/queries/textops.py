@@ -910,17 +910,10 @@ ORDER BY doc_id
 """
 
 
-def d08_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-ball near-dup pairs: band the 16-bit fingerprint
-    into two 8-bit chunks — pigeonhole-complete for the Hamming<=1
-    output (one differing bit leaves the other half intact), and the
-    widest banding that is: 2x256 buckets generate ~30x fewer candidate
-    pairs than 4x16 banding at the same recall. Bucket-group on chunk
-    value, verify candidates with exact popcount(xor). Fingerprints
-    travel WITH the bucket rows (collect_set of structs), so the
-    fingerprint lineage executes once — no re-join against the
-    fingerprint table.
-    """
+def d08_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d08's CANDIDATE pairs (bucket-join output, before the exact
+    popcount verify filter) — exposed for bench.py's slope attribution
+    (r10: distinguish pair-output growth from plan cost)."""
     from resilispark.operators.dedup import lsh_bucket_pairs
 
     fps = d05_simhash(spark, sf_dir)
@@ -957,6 +950,21 @@ def d08_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return pairs
+
+
+def d08_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs: band the 16-bit fingerprint
+    into two 8-bit chunks — pigeonhole-complete for the Hamming<=1
+    output (one differing bit leaves the other half intact), and the
+    widest banding that is: 2x256 buckets generate ~30x fewer candidate
+    pairs than 4x16 banding at the same recall. Bucket-group on chunk
+    value, verify candidates with exact popcount(xor). Fingerprints
+    travel WITH the bucket rows (collect_set of structs), so the
+    fingerprint lineage executes once — no re-join against the
+    fingerprint table.
+    """
+    pairs = d08_candidate_pairs(spark, sf_dir)
     return pairs.filter(F.col("hamming") <= 1).orderBy("doc_a", "doc_b")
 
 

@@ -1268,7 +1268,192 @@ def test_member_scan_last_partition_anomaly_detection(tmp_path):
     assert not w3, [str(x.message) for x in w3]
 
 
-def test_lz4_member_scan_last_partition_anomaly_detection(tmp_path):
+def test_member_scan_verify_catches_locally_healthy_range(tmp_path):
+    """member_scan=verify (r10): a narrow range that sees ONLY the
+    straddling inner member of an embedded archive looks locally
+    healthy — the r9 contiguity warning does NOT fire — but the verify
+    walk anchors the range's first member to the predecessor chain and
+    catches the off-chain pickup.  Healthy boundaries stay silent;
+    strict+verify raises."""
+    import gzip as _gzip
+    import io as _io
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    from resilispark.io.fs import LocalFS
+    from resilispark.io.warc import (
+        WarcRecord,
+        scan_gzip_members,
+        serialize_record,
+        write_warc,
+    )
+
+    def rec(rid: str, payload: bytes) -> WarcRecord:
+        return WarcRecord(
+            warc_version="WARC/1.1",
+            headers=[("WARC-Type", "resource"),
+                     ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+                     ("WARC-Date", "2024-01-01T00:00:00Z")],
+            payload=payload,
+        )
+
+    inner_path = tmp_path / "inner.warc.gz"
+    # inner members large enough that a narrow range fits inside the
+    # first one's span
+    write_warc([rec("inner-1", b"i" * 600), rec("inner-2", b"j" * 600)],
+               str(inner_path), compression="gzip")
+    inner = inner_path.read_bytes()
+
+    outer_members = []
+    for r in (rec("outer-1", b"x" * 400), rec("outer-2", inner),
+              rec("outer-3", b"z" * 400)):
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb",
+                            compresslevel=0, mtime=0) as g:
+            g.write(serialize_record(r))
+        outer_members.append(buf.getvalue())
+    outer = b"".join(outer_members)
+    p = tmp_path / "outer.warc.gz"
+    p.write_bytes(outer)
+    embed_off = outer.find(inner)
+    assert embed_off > 0
+    fs = LocalFS()
+
+    # the narrow hazard range: opens just before the embedded archive,
+    # ends inside the first inner member's span — the inner member
+    # straddles `end`, so the local chain looks healthy
+    s, e = embed_off - 8, embed_off + 40
+    with _warnings.catch_warnings(record=True) as w0:
+        _warnings.simplefilter("always")
+        got = list(scan_gzip_members(fs, str(p), s, e, len(outer)))
+    assert got, "the inner member must validate (hazard reproduces)"
+    assert not w0, [str(x.message) for x in w0]  # r9 heuristics: silent
+
+    # verify mode: predecessor walk re-derives the true chain crossing
+    # `s` (inside outer-2) and flags the off-chain first member
+    with _warnings.catch_warnings(record=True) as w1:
+        _warnings.simplefilter("always")
+        list(scan_gzip_members(
+            fs, str(p), s, e, len(outer), verify_from=0))
+    assert any("verify failed" in str(x.message) for x in w1), (
+        [str(x.message) for x in w1])
+
+    # strict + verify raises instead of warning
+    with _pytest.raises(ValueError, match="verify failed"):
+        list(scan_gzip_members(
+            fs, str(p), s, e, len(outer), verify_from=0, strict=True))
+
+    # healthy boundaries under verify: silent, full outer chain
+    starts = [0]
+    for m in outer_members[:-1]:
+        starts.append(starts[-1] + len(m))
+    bounds = starts + [len(outer)]
+    with _warnings.catch_warnings(record=True) as w2:
+        _warnings.simplefilter("always")
+        n = 0
+        for prev, lo, hi in zip([None] + bounds, bounds, bounds[1:]):
+            n += sum(1 for _ in scan_gzip_members(
+                fs, str(p), lo, hi, len(outer),
+                verify_from=prev))
+    assert n == 3
+    assert not w2, [str(x.message) for x in w2]
+
+    # predecessor window smaller than the enclosing member: the walk
+    # widens backward until a chain anchors (doubling), so a verify
+    # range two steps past the outer start still catches the pickup
+    with _warnings.catch_warnings(record=True) as w3:
+        _warnings.simplefilter("always")
+        list(scan_gzip_members(
+            fs, str(p), s, e, len(outer), verify_from=s - 16))
+    assert any("verify failed" in str(x.message) for x in w3)
+
+
+def test_lz4_member_scan_verify(tmp_path):
+    """LZ4 twin of member_scan=verify: the locally-healthy narrow range
+    warns only under verify; healthy boundaries stay silent."""
+    import warnings as _warnings
+
+    from resilispark.io.fs import LocalFS
+    from resilispark.io.lz4f import compress_stored, scan_lz4_members
+    from resilispark.io.warc import WarcRecord, serialize_record
+
+    def rec(rid: str, payload: bytes) -> WarcRecord:
+        return WarcRecord(
+            warc_version="WARC/1.1",
+            headers=[("WARC-Type", "resource"),
+                     ("WARC-Record-ID", f"<urn:uuid:{rid}>")],
+            payload=payload,
+        )
+
+    inner = b"".join(
+        compress_stored(serialize_record(rec(f"in-{i}", bytes(600))))
+        for i in range(2)
+    )
+    outer_members = [
+        compress_stored(serialize_record(r))
+        for r in (rec("out-1", b"x" * 300), rec("out-2", inner),
+                  rec("out-3", b"z" * 300))
+    ]
+    outer = b"".join(outer_members)
+    p = tmp_path / "outer.warc.lz4"
+    p.write_bytes(outer)
+    embed_off = outer.find(inner)
+    assert embed_off > 0
+    fs = LocalFS()
+    s, e = embed_off - 8, embed_off + 40
+    with _warnings.catch_warnings(record=True) as w0:
+        _warnings.simplefilter("always")
+        got = list(scan_lz4_members(fs, str(p), s, e, len(outer)))
+    assert got and not w0, [str(x.message) for x in w0]
+    with _warnings.catch_warnings(record=True) as w1:
+        _warnings.simplefilter("always")
+        list(scan_lz4_members(
+            fs, str(p), s, e, len(outer), verify_from=0))
+    assert any("verify failed" in str(x.message) for x in w1)
+    # healthy boundaries under verify: silent
+    starts = [0]
+    for m in outer_members[:-1]:
+        starts.append(starts[-1] + len(m))
+    bounds = starts + [len(outer)]
+    with _warnings.catch_warnings(record=True) as w2:
+        _warnings.simplefilter("always")
+        n = 0
+        for prev, lo, hi in zip([None] + bounds, bounds, bounds[1:]):
+            n += sum(1 for _ in scan_lz4_members(
+                fs, str(p), lo, hi, len(outer), verify_from=prev))
+    assert n == 3 and not w2, [str(x.message) for x in w2]
+
+
+def test_member_scan_verify_datasource_option(tmp_path, spark, fixture_dir):
+    """member_scan=verify threads through the reader: partitions carry
+    verify_from for every non-first range and a healthy noindex file
+    returns the identical row set as the plain member scan."""
+    import shutil
+
+    from resilispark.datasource.warc import WarcDataSource
+
+    src = str(tmp_path / "noindex-50.warc.gz")
+    shutil.copyfile(f"{fixture_dir}/golden-50.warc.gz", src)
+
+    def ids(mode: str) -> list[str]:
+        ds = WarcDataSource({
+            "path": src, "member_scan": mode, "split_bytes": "4096",
+            "parse_http": "false", "payload": "false",
+        })
+        rd = ds.reader(ds.schema())
+        parts = rd.partitions()
+        if mode == "verify":
+            assert all(
+                p.verify_from is not None for p in parts if p.start > 0
+            ) and len(parts) > 1
+        out = []
+        for part in parts:
+            for b in rd.read(part):
+                out.extend(b.column("record_id").to_pylist())
+        return sorted(out)
+
+    assert ids("verify") == ids("true")
     """LZ4 twin of the last-partition detection: embedded archive in the
     final frame warns at ``end == file_size``; a truncated tail frame
     stays silent."""
