@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import re
 from functools import lru_cache as _lru_cache
+from html import unescape as _unescape
 from html.parser import HTMLParser
 
 VOID_ELEMENTS = frozenset(
@@ -289,6 +290,16 @@ _AUTOCLOSE: dict[str, tuple[frozenset, frozenset]] = {
     "a": (frozenset({"a"}), frozenset(BLOCK_ELEMENTS)),
 }
 
+# ONE dict probe on the start-tag hot path instead of a frozenset probe
+# (_P_CLOSERS) plus a dict probe (_AUTOCLOSE): tag -> tuple of
+# (closes, stop) rules to apply in order (r10 kernel-constant shave)
+_START_RULES: dict[str, tuple] = {}
+for _t in _P_CLOSERS:
+    _START_RULES[_t] = ((_P_ONLY, _P_STOP),)
+for _t, _rule in _AUTOCLOSE.items():
+    _START_RULES[_t] = _START_RULES.get(_t, ()) + (_rule,)
+del _t, _rule
+
 
 # HTML5 formatting elements (whatwg "the stack of open elements" /
 # "list of active formatting elements"): misnesting like
@@ -505,11 +516,10 @@ class _TreeBuilder(HTMLParser):
             self.stack.insert(self.stack.index(furthest) + 1, fmt_clone)
 
     def handle_starttag(self, tag, attrs):
-        if tag in _P_CLOSERS:
-            self._autoclose(_P_ONLY, _P_STOP)
-        rule = _AUTOCLOSE.get(tag)
-        if rule:
-            self._autoclose(*rule)
+        rules = _START_RULES.get(tag)
+        if rules is not None:
+            for closes, stop in rules:
+                self._autoclose(closes, stop)
         if self.fmt and tag not in _NO_RECONSTRUCT:
             self._reconstruct()
         # the fast tokenizer hands a ready dict; the stdlib-fallback
@@ -621,13 +631,16 @@ _PRUNE_CACHE: dict[tuple, bool] = {}
 
 
 def _fast_feed(b: "_TreeBuilder", src: str) -> None:
-    from html import unescape
-
     n = len(src)
     pos = 0
     find = src.find
     tok_search = _TOKEN_RE.search
+    # bound-method hoists: ~3 attribute lookups per token add up over
+    # 300k tokens/1000 docs (r10 kernel-constant shave)
     data = b.handle_data
+    starttag = b.handle_starttag
+    endtag = b.handle_endtag
+    startend = b.handle_startendtag
     lsrc = None  # lazily lowered copy for rawtext close-tag search
     while pos < n:
         # ONE search per token: the C engine's literal-'<' scan skips
@@ -637,13 +650,12 @@ def _fast_feed(b: "_TreeBuilder", src: str) -> None:
         m = tok_search(src, pos)
         if m is None:
             text = src[pos:]
-            data(unescape(text) if "&" in text else text)
+            data(_unescape(text) if "&" in text else text)
             break
-        i = m.start()
-        if i > pos:
-            text = src[pos:i]
-            data(unescape(text) if "&" in text else text)
-        pos = m.end()
+        i, pos = m.span()
+        if i > m.pos:
+            text = src[m.pos:i]
+            data(_unescape(text) if "&" in text else text)
         # dispatch on lastgroup (ONE attribute read) instead of probing
         # each named group; start tags always end on the attrs group
         lg = m.lastgroup
@@ -678,16 +690,16 @@ def _fast_feed(b: "_TreeBuilder", src: str) -> None:
                             if (c0 == '"' or c0 == "'") and v[-1] == c0 and len(v) > 1:
                                 v = v[1:-1]
                             if "&" in v:
-                                v = unescape(v)
+                                v = _unescape(v)
                         attrs[k if k.islower() else k.lower()] = (
                             v if v is not None else ""
                         )
                     if len(_ATTR_CACHE) < 4096:
                         _ATTR_CACHE[astr] = dict(attrs)
             if selfclose:
-                b.handle_startendtag(tag, attrs)
+                startend(tag, attrs)
             elif tag in _RAWTEXT_ELEMENTS:
-                b.handle_starttag(tag, attrs)
+                starttag(tag, attrs)
                 if lsrc is None:
                     lsrc = src.lower()
                 close = "</" + tag
@@ -706,12 +718,12 @@ def _fast_feed(b: "_TreeBuilder", src: str) -> None:
                     data(src[pos:j])
                 k = find(">", j)
                 pos = (k + 1) if k >= 0 else n
-                b.handle_endtag(tag)
+                endtag(tag)
             else:
-                b.handle_starttag(tag, attrs)
+                starttag(tag, attrs)
         elif lg == "etag":
             etag = m.group(1)
-            b.handle_endtag(etag if etag.islower() else etag.lower())
+            endtag(etag if etag.islower() else etag.lower())
         elif b.keep_metadata:
             # comments / doctype surface only in keep_metadata mode
             # (DOM facade); otherwise dropped with zero dispatch cost
