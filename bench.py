@@ -776,10 +776,14 @@ def main() -> None:
                 "sf1_slopes": {
                     k: v.get("slope") for k, v in sf1_slopes.items()
                 },
-                # the r10 ask: curate's per-stage walls at 10x, in the
-                # compact tail-surviving line
+                # the r10 asks, repeated in the compact tail-surviving
+                # line: curate's per-stage walls at 10x + d08's pair
+                # counts (slope attribution)
                 "curate_stages_10x": sf1_slopes.get("curate_e2e", {}).get(
                     "stages_10x"
+                ),
+                "d08_pairs": sf1_slopes.get("d08_simhash_pairs", {}).get(
+                    "pairs"
                 ),
             },
             separators=(",", ":"),

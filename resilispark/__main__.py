@@ -83,13 +83,24 @@ def cmd_recompress(args) -> int:
     return 0
 
 
+def _member_scan_mode(args) -> str | None:
+    """Resolve the shared member-scan flags: --no-member-scan wins,
+    --member-scan-verify selects the predecessor-anchored verify mode
+    (io/warc.py scan_gzip_members), None = reader default (on)."""
+    if getattr(args, "no_member_scan", False):
+        return "false"
+    if getattr(args, "member_scan_verify", False):
+        return "verify"
+    return None
+
+
 def cmd_index(args) -> int:
     from pyspark.sql import functions as F
 
     from resilispark.operators.warctools import cdxj_index
 
     spark = _spark(args.cpus)
-    member_scan = not getattr(args, "no_member_scan", False)
+    member_scan = _member_scan_mode(args) or True
     if getattr(args, "sidecars", False):
         from resilispark.operators.warctools import write_cdxj_sidecars
 
@@ -255,21 +266,15 @@ def cmd_curate(args) -> int:
     elif fmt == "wet":
         from resilispark.operators.pipelines import wet_to_docs
 
+        _msm = _member_scan_mode(args)
         docs = wet_to_docs(
             spark, args.input,
-            scan_options=(
-                {"member_scan": "false"}
-                if getattr(args, "no_member_scan", False)
-                else None
-            ),
+            scan_options={"member_scan": _msm} if _msm else None,
         )
     else:
         meta_robots = bool(getattr(args, "meta_robots", False))
-        scan_opts = (
-            {"member_scan": "false"}
-            if getattr(args, "no_member_scan", False)
-            else None
-        )
+        _msm = _member_scan_mode(args)
+        scan_opts = {"member_scan": _msm} if _msm else None
         docs = warc_to_html_docs(
             spark, args.input, main_content=True, robots_meta=meta_robots,
             scan_options=scan_opts,
@@ -1157,8 +1162,9 @@ def cmd_linkgraph(args) -> int:
         register(spark)
         udfs = register_functions(spark)
         reader = spark.read.format("warc").option("record_types", "response")
-        if getattr(args, "no_member_scan", False):
-            reader = reader.option("member_scan", "false")
+        _msm = _member_scan_mode(args)
+        if _msm:
+            reader = reader.option("member_scan", _msm)
         recs = reader.load(args.input)
         html = recs.select(
             F.col("target_uri").alias("url"),
@@ -1586,8 +1592,9 @@ def cmd_benchmark(args) -> int:
         reader = reader.option("record_types", args.filter_type)
     if args.split_bytes:
         reader = reader.option("split_bytes", str(args.split_bytes))
-    if getattr(args, "no_member_scan", False):
-        reader = reader.option("member_scan", "false")
+    _msm = _member_scan_mode(args)
+    if _msm:
+        reader = reader.option("member_scan", _msm)
     df = reader.load(args.file)
     t0 = time.perf_counter()
     n = df.count()
@@ -1901,6 +1908,10 @@ def main(argv: list[str] | None = None) -> int:
         "would bake embedded records' offsets into the index (see "
         "`curate --no-member-scan`)",
     )
+    p.add_argument(
+        "--member-scan-verify", action="store_true",
+        help="anchor every sidecar-less range to its predecessor chain (guaranteed embedded-archive detection, ~2x decode cost; warns, raises with --strict where available)",
+    )
     p.add_argument("--sidecars", action="store_true",
                    help="write a <file>.cdxj split-planning sidecar "
                         "next to every matched WARC (one task per "
@@ -1950,6 +1961,10 @@ def main(argv: list[str] | None = None) -> int:
         "re-yield its embedded records — the documented hazard in "
         "io/warc.py scan_gzip_members); or index once with "
         "`index --no-member-scan --sidecars` for splits without the scan",
+    )
+    p.add_argument(
+        "--member-scan-verify", action="store_true",
+        help="anchor every sidecar-less range to its predecessor chain (guaranteed embedded-archive detection, ~2x decode cost; warns, raises with --strict where available)",
     )
     p.add_argument("--blocklist", default=None, help="text file, one domain per line")
     p.add_argument(
@@ -2191,6 +2206,10 @@ def main(argv: list[str] | None = None) -> int:
         help="disable sidecar-less compressed splitting (see "
         "`curate --no-member-scan`: archives-inside-archives corpora)",
     )
+    p.add_argument(
+        "--member-scan-verify", action="store_true",
+        help="anchor every sidecar-less range to its predecessor chain (guaranteed embedded-archive detection, ~2x decode cost; warns, raises with --strict where available)",
+    )
     p.add_argument("--max-iterations", type=int, default=50)
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--top", type=int, default=20)
@@ -2333,6 +2352,10 @@ def main(argv: list[str] | None = None) -> int:
         "--no-member-scan", action="store_true",
         help="disable sidecar-less compressed splitting (see "
         "`curate --no-member-scan` for when: archives-inside-archives)",
+    )
+    p.add_argument(
+        "--member-scan-verify", action="store_true",
+        help="anchor every sidecar-less range to its predecessor chain (guaranteed embedded-archive detection, ~2x decode cost; warns, raises with --strict where available)",
     )
     p.add_argument("-H", "--parse-http", action="store_true",
                    help="parse HTTP headers (opt-in like the reference)")

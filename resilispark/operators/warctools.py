@@ -207,7 +207,7 @@ def cdxj_index(
     *,
     fields: tuple[str, ...] = ("offset", "length", "filename", "http:status"),
     preserve_multi_header: bool = False,
-    member_scan: bool = True,
+    member_scan: bool | str = True,
 ) -> DataFrame:
     """CDXJ index records: one JSON line per record with the configured
     fields (fastwarc index, cli.py:225-283). ``length`` uses the
@@ -234,13 +234,17 @@ def cdxj_index(
     # member_scan=False: indexing an archives-inside-archives corpus
     # with the boundary scan would bake embedded records' offsets into
     # the index (the scan_gzip_members hazard) — the unsplit read is
-    # the safe one-time cost (CLI: `index --no-member-scan`)
+    # the safe one-time cost (CLI: `index --no-member-scan`).
+    # member_scan="verify" (r10) keeps the fan-out but anchors every
+    # range to its predecessor chain, so an embedded archive warns
+    # instead of silently poisoning the index offsets
     df = (
         spark.read.format("warc")
         .option("payload", "false")
         .option("headers", "true" if needs_warc_hdrs else "false")
         .option("parse_http", "true" if needs_http else "false")
-        .option("member_scan", "true" if member_scan else "false")
+        .option("member_scan", member_scan if isinstance(member_scan, str)
+                else ("true" if member_scan else "false"))
         .load(src)
     )
     w = W.partitionBy("filename").orderBy("stream_pos")
@@ -280,7 +284,7 @@ def cdxj_index(
 
 
 def write_cdxj_sidecars(
-    spark: SparkSession, src: str, *, member_scan: bool = True
+    spark: SparkSession, src: str, *, member_scan: bool | str = True
 ) -> list[str]:
     """Write a ``<file>.cdxj`` sidecar next to EVERY WARC file in
     ``src`` (a path, glob, directory, or comma-list) so the warc data
@@ -443,7 +447,7 @@ def write_cdxj_parquet(
     fields: tuple[str, ...] = ("offset", "length", "filename", "http:status"),
     prefix_len: int = 4,
     preserve_multi_header: bool = False,
-    member_scan: bool = True,
+    member_scan: bool | str = True,
 ) -> str:
     """Index WARCs into a PRUNABLE parquet CDX: the same typed rows as
     :func:`read_cdxj`, hive-partitioned by the first ``prefix_len``

@@ -2031,6 +2031,30 @@ def test_cli_no_member_scan_reaches_the_readers(monkeypatch, tmp_path, capsys,
     assert idx_kwargs.get("member_scan") is False
 
 
+def test_cli_member_scan_verify_flag(tmp_path, capsys, spark):
+    """--member-scan-verify threads the verify mode through benchmark
+    and index --sidecars: healthy files scan clean and the sidecar
+    matches the plain member scan's."""
+    import shutil
+
+    src = str(tmp_path / "noindex-50.warc.gz")
+    from resilispark.io.fixtures import ensure_fixture_dir
+
+    shutil.copyfile(f"{ensure_fixture_dir()}/golden-50.warc.gz", src)
+    rc, text = _run(capsys, ["benchmark", src, "--member-scan-verify",
+                             "--split-bytes", "4096"])
+    assert rc == 0 and "50 records" in text
+    rc, _ = _run(capsys, ["index", src, "--member-scan-verify", "--sidecars"])
+    assert rc == 0
+    verify_side = open(src + ".cdxj").read()
+    import os as _os
+
+    _os.remove(src + ".cdxj")
+    rc, _ = _run(capsys, ["index", src, "--sidecars"])
+    assert rc == 0
+    assert open(src + ".cdxj").read() == verify_side
+
+
 def test_cli_media_metadata(tmp_path, capsys, spark):
     """media-metadata over a mixed parquet (r10: unified magic-byte
     dispatch): MP4 / WebM / MP3 rows carry real walk metadata, the
