@@ -166,6 +166,12 @@ _SPECS: dict[str, list[tuple[str, str]]] = {
         ("n_frames", "n"), ("n_video_tracks", "n"),
         ("n_audio_tracks", "n"), ("n_chunks", "n"),
     ],
+    "m06_container_metadata": [
+        ("doc_id", "n"), ("container", "s"), ("codec", "s"),
+        ("duration_ms", "n"), ("width", "n"), ("height", "n"),
+        ("n_frames", "n"), ("sample_rate", "n"), ("channels", "n"),
+        ("bitrate_kbps", "n"),
+    ],
 }
 
 # members may live in either query module; merged lookup keeps the
@@ -271,6 +277,11 @@ FAMILIES: dict[str, list[str]] = {
         # literally; mdhd v0/v1, stco/co64 and audio-track branches all
         # inside the one hash, plus the non-BMFF NULL-row contract)
         "m05_video_metadata",
+        # (m06 joined in round 10: the EBML + MPEG-audio walks through
+        # the container_metadata magic-byte dispatch — WebM element
+        # trees and CBR mp3 frame chains built from doc_id arithmetic,
+        # foreign bytes pinning the NULL-row contract)
+        "m06_container_metadata",
     ],
     # sketch-store telemetry (round 7, in the slot t05's rows-only
     # check freed): HLL union/overlap estimates pinned to the exact

@@ -1537,6 +1537,143 @@ ORDER BY doc_id
 """
 
 
+def m06_container_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EBML + MPEG-audio walk gate (io/ebml.py, io/mp3.py via
+    operators/multimodal.py container_metadata — the r10 walks,
+    driver-gated like m05 so they are not pytest-only): docs rotate
+    through WebM (constructed EBML element tree: Info duration,
+    TrackEntry codec/dimensions/audio params), MP3 (CBR frame chain
+    whose header encodes a doc_id-derived bitrate; frame count and
+    duration recovered by the stride), and foreign bytes (NULL-row
+    contract) — every field derives from doc_id arithmetic the DuckDB
+    oracle replays literally.  Plan: one Arrow-batched mapInPandas, no
+    shuffle, linear."""
+    from resilispark.operators.multimodal import container_metadata
+    from resilispark.session import ensure_workers_can_import
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_workers_can_import(spark)
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    @F.pandas_udf("binary")
+    def to_media(ids: pd.Series) -> pd.Series:
+        import struct as s
+
+        def el(eid: bytes, payload: bytes) -> bytes:
+            n = len(payload)
+            size = bytes([0x80 | n]) if n < 0x7F else bytes(
+                [0x40 | (n >> 8), n & 0xFF])
+            return eid + size + payload
+
+        def uint(v: int) -> bytes:
+            out = b""
+            while True:
+                out = bytes([v & 0xFF]) + out
+                v >>= 8
+                if not v:
+                    return out
+
+        # MPEG1 Layer III @44100: bitrate index -> kbps per the public
+        # table; frame_len = 144*kbps*1000//44100 (no padding)
+        mp3_choices = ((9, 128), (11, 192), (13, 256))
+        out = []
+        for i in ids:
+            i = int(i)
+            m = i % 3
+            if m == 0:
+                dur = float(2000 + (i % 89) * 25)
+                w, h = 320 + (i % 5) * 64, 240 + (i % 4) * 60
+                codec = b"V_VP9" if i % 2 == 0 else b"V_AV1"
+                rate = 48000 if i % 2 == 0 else 44100
+                chans = 1 + (i % 2)
+                header = el(b"\x1a\x45\xdf\xa3", el(b"\x42\x82", b"webm"))
+                info = el(b"\x15\x49\xa9\x66",
+                          el(b"\x2a\xd7\xb1", uint(1_000_000))
+                          + el(b"\x44\x89", s.pack(">d", dur)))
+                trv = el(b"\xae",
+                         el(b"\xd7", b"\x01") + el(b"\x83", b"\x01")
+                         + el(b"\x86", codec)
+                         + el(b"\xe0", el(b"\xb0", uint(w))
+                              + el(b"\xba", uint(h))))
+                tra = el(b"\xae",
+                         el(b"\xd7", b"\x02") + el(b"\x83", b"\x02")
+                         + el(b"\x86", b"A_OPUS")
+                         + el(b"\xe1",
+                              el(b"\xb5", s.pack(">f", float(rate)))
+                              + el(b"\x9f", bytes([chans]))))
+                tracks = el(b"\x16\x54\xae\x6b", trv + tra)
+                cluster = el(b"\x1f\x43\xb6\x72", bytes(32))
+                out.append(header + el(b"\x18\x53\x80\x67",
+                                       info + tracks + cluster))
+            elif m == 1:
+                br_idx, kbps = mp3_choices[(i // 3) % 3]
+                n = 20 + (i % 50)
+                stereo = i % 2 == 0
+                hdr = bytes([
+                    0xFF, 0xFB, (br_idx << 4) | 0x00,
+                    0x00 if stereo else 0xC0,
+                ])
+                flen = 144 * kbps * 1000 // 44100
+                out.append((hdr + bytes(flen - 4)) * n)
+            else:
+                out.append(b"foreign payload #" + str(i).encode())
+        return pd.Series(out)
+
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("application/octet-stream").alias("mime"),
+        to_media("doc_id").alias("payload"),
+    )
+    cm = container_metadata(media)
+    return cm.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "container",
+        "codec",
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("channels").cast("bigint").alias("channels"),
+        F.col("bitrate_kbps").cast("bigint").alias("bitrate_kbps"),
+    ).orderBy("doc_id")
+
+
+# literal replay of the doc_id arithmetic in the m06 constructor;
+# doc_id%3: 0=webm, 1=mp3 (MPEG1 L3 @44100, spf 1152), 2=foreign NULLs
+ORACLE_M06 = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'webm' WHEN 1 THEN 'mp3' END AS container,
+       CASE doc_id % 3
+            WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_AV1' END
+            WHEN 1 THEN 'mpeg1-layer3'
+       END AS codec,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN 2000 + (doc_id % 89) * 25
+            WHEN 1 THEN ((20 + doc_id % 50) * 1152 * 1000) // 44100
+       END AS BIGINT) AS duration_ms,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN 320 + (doc_id % 5) * 64 END AS BIGINT) AS width,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN 240 + (doc_id % 4) * 60 END AS BIGINT) AS height,
+       CAST(CASE doc_id % 3
+            WHEN 1 THEN 20 + doc_id % 50 END AS BIGINT) AS n_frames,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100 END
+            WHEN 1 THEN 44100
+       END AS BIGINT) AS sample_rate,
+       CAST(CASE doc_id % 3
+            WHEN 0 THEN 1 + (doc_id % 2)
+            WHEN 1 THEN CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
+       END AS BIGINT) AS channels,
+       CAST(CASE doc_id % 3
+            WHEN 1 THEN (LIST_VALUE(128, 192, 256))[((doc_id // 3) % 3)::INT + 1]
+       END AS BIGINT) AS bitrate_kbps
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def d09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontaminate.py): docs
     sharing a verbatim 4-gram with a broadcast benchmark set (here:
@@ -3480,6 +3617,7 @@ QUERIES = {
     "m03_audio_features": m03_audio_features,
     "m04_real_codec_roundtrip": m04_real_codec_roundtrip,
     "m05_video_metadata": m05_video_metadata,
+    "m06_container_metadata": m06_container_metadata,
     "t11_cms_estimate": t11_cms_estimate,
     "t12_wds_roundtrip": t12_wds_roundtrip,
     "r01_robots_filter": r01_robots_filter,
@@ -3534,6 +3672,7 @@ ORACLES = {
     "m03_audio_features": ORACLE_M03,
     "m04_real_codec_roundtrip": ORACLE_M04,
     "m05_video_metadata": ORACLE_M05,
+    "m06_container_metadata": ORACLE_M06,
     "t11_cms_estimate": ORACLE_T11,
     "t12_wds_roundtrip": ORACLE_T12,
     "r01_robots_filter": ORACLE_R01,
