@@ -31,6 +31,8 @@ PICKS = {
     "qc_windows_family": "Composite gate: union of four window queries — each member keeps its own single hash-partition window, the union adds NO extra shuffle.",
     "m01_image_features": "Real PNG decode path: two chained Arrow Python kernels over the parquet scan, no shuffle.",
     "m02_video_frames": "Real AVI decode + stub sampling unioned; sort only at the final output.",
+    "m05_video_metadata": "ISO-BMFF box walk: MP4 constructor + metadata walk as chained Arrow kernels over the parquet scan; no shuffle, sort only at output.",
+    "m06_container_metadata": "Magic-byte container dispatch (EBML / MPEG-audio walks): the same chained-Arrow no-shuffle shape as m05.",
     "t07_pack_stats": "Sequence packing: two-phase prefix sum — range partition on the layout order (pinned by localCheckpoint), tiny per-(partition,bucket) sums collected and broadcast back as offsets, running-sum window per (partition,bucket); layout parallelism tracks num_partitions, never capped at n_buckets.",
     "d10_duplicate_spans": "Exact-substring dedup: ONE gram-keyed window (min doc per gram — the groupBy+self-join spelling recomputed the hash/fold/explode lineage on both branches) + covered-position aggregate; gram keys are word-hash polynomial folds, md5 once per word — no quadratic stage.",
     "q31_asof_join": "As-of join: pushed event_type filters, one hash shuffle on user_id for the union+window carry, no per-row range probe.",
