@@ -100,7 +100,10 @@ def cmd_index(args) -> int:
     from resilispark.operators.warctools import cdxj_index
 
     spark = _spark(args.cpus)
-    member_scan = _member_scan_mode(args) or True
+    # bool for on/off (the warctools contract the tests pin), the
+    # literal mode string only for "verify"
+    _mode = _member_scan_mode(args)
+    member_scan = True if _mode is None else (False if _mode == "false" else _mode)
     if getattr(args, "sidecars", False):
         from resilispark.operators.warctools import write_cdxj_sidecars
 
@@ -1281,6 +1284,17 @@ def cmd_media_metadata(args) -> int:
     pipeline filters/shards on before it ever needs a codec."""
     from pyspark.sql import functions as F
 
+    if getattr(args, "drop_offsets", False) and not getattr(
+        args, "mp4_boxes", False
+    ):
+        # the unified container table never carries chunk_offsets — a
+        # silent no-op would read as "flag applied" to a pre-r10 user
+        print(
+            "error: --drop-offsets applies to the --mp4-boxes table "
+            "(the unified container table has no chunk_offsets column)",
+            file=sys.stderr,
+        )
+        return 1
     spark = _spark(args.cpus)
 
     media = spark.read.parquet(args.input)

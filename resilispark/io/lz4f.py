@@ -274,28 +274,21 @@ def scan_lz4_members(
     value mirror the gzip twin's ``member_scan=verify`` contract — see
     ``io/warc.py:scan_gzip_members``.
     """
-    from resilispark.io.warc import _warn_broken_chain
+    from resilispark.io.warc import (
+        _predecessor_handoff,
+        _truncated_magic_tail,
+        _verify_first_member,
+        _warn_broken_chain,
+    )
 
     if start >= end:
         return None
     handoff = None
     if verify_from is not None and start > 0:
-        lo = max(0, verify_from)
-        width = max(start - lo, chunk)
-        while True:
-            prev = scan_lz4_members(
-                fs, path, lo, start, file_size, chunk=chunk, strict=strict
-            )
-            while True:
-                try:
-                    next(prev)
-                except StopIteration as stop:
-                    handoff = stop.value
-                    break
-            if handoff is not None or lo == 0:
-                break
-            width *= 2
-            lo = max(0, start - width)
+        handoff = _predecessor_handoff(
+            scan_lz4_members, fs, path, start, verify_from, file_size,
+            chunk, strict,
+        )
     buf = bytearray(
         fs.read_range(path, start, min(end - start + 3, file_size - start))
     )
@@ -329,6 +322,8 @@ def scan_lz4_members(
                 chain_end is not None
                 and chain_end < warn_to
                 and not tail_truncated
+                and not _truncated_magic_tail(
+                    buf, start, chain_end, file_size, LZ4_FRAME_MAGIC)
             ):
                 _warn_broken_chain(path, start, end, chain_end, gap=False)
             return chain_end
@@ -366,25 +361,18 @@ def scan_lz4_members(
             continue
         if chain_end is not None and start + q != chain_end:
             _warn_broken_chain(path, start, end, start + q, gap=True)
-        if chain_end is None and handoff is not None and start + q != handoff:
-            # verify mode: first validated frame must continue the
-            # predecessor chain — see the gzip twin
-            msg = (
-                f"member-scan verify failed in {path}[{start}:{end}): "
-                f"first validated frame at {start + q} does not continue "
-                f"the predecessor chain ending at {handoff} — off-chain "
-                "(embedded archive) records; scan with member_scan=false "
-                "or index once with `index --no-member-scan --sidecars`"
-            )
-            if strict:
-                raise ValueError(msg)
-            import warnings
-
-            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        if chain_end is None:
+            _verify_first_member(path, start, end, start + q, handoff, strict)
         yield start + q, content
         chain_end = start + ext
         pos = ext
-    if chain_end is not None and chain_end < warn_to and not tail_truncated:
+    if (
+        chain_end is not None
+        and chain_end < warn_to
+        and not tail_truncated
+        and not _truncated_magic_tail(
+            buf, start, chain_end, file_size, LZ4_FRAME_MAGIC)
+    ):
         _warn_broken_chain(path, start, end, chain_end, gap=False)
     return chain_end
 

@@ -909,6 +909,70 @@ def _warn_broken_chain(
     )
 
 
+def _predecessor_handoff(scan_fn, fs, path, start, verify_from, file_size,
+                         chunk, strict):
+    """``member_scan=verify`` pre-walk, shared by both codecs: drain the
+    predecessor window's member scan and return where its chain crosses
+    ``start`` (the generator's return value), widening the window
+    backward by doubling until a chain anchors or offset 0 is reached.
+    The pre-walk's OWN anomaly warnings are suppressed — the real
+    predecessor partition reports them with the true range; re-emitting
+    them here would duplicate each one under a synthetic range."""
+    import warnings
+
+    lo = max(0, verify_from)
+    width = max(start - lo, chunk)
+    while True:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            prev = scan_fn(fs, path, lo, start, file_size,
+                           chunk=chunk, strict=strict)
+            while True:
+                try:
+                    next(prev)
+                except StopIteration as stop:
+                    handoff = stop.value
+                    break
+        if handoff is not None or lo == 0:
+            return handoff
+        width *= 2
+        lo = max(0, start - width)
+
+
+def _verify_first_member(path, start, end, q_abs, handoff, strict):
+    """Verify-mode check at a range's FIRST validated member: it must
+    sit exactly where the predecessor's chain crosses ``start`` —
+    anything else is an off-chain (embedded-archive) pickup the local
+    contiguity check cannot see.  Warns, or raises under strict."""
+    if handoff is None or q_abs == handoff:
+        return
+    msg = (
+        f"member-scan verify failed in {path}[{start}:{end}): first "
+        f"validated member at {q_abs} does not continue the predecessor "
+        f"chain ending at {handoff} — off-chain (embedded archive) "
+        "records; scan with member_scan=false or index once with "
+        "`index --no-member-scan --sidecars`"
+    )
+    if strict:
+        raise ValueError(msg)
+    import warnings
+
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
+
+def _truncated_magic_tail(buf, start, chain_end, file_size, magic) -> bool:
+    """True when the bytes after ``chain_end`` are a proper PREFIX of
+    the member magic at EOF — a file cut 1-2 bytes into the next
+    member's header.  The candidate search cannot see such a tail (the
+    full magic never materializes), so without this check the
+    short-chain detector would flag a legitimately truncated download
+    as a possible embedded archive (review r10)."""
+    if chain_end is None or file_size - chain_end >= len(magic):
+        return False
+    tail = bytes(buf[chain_end - start:])
+    return 0 < len(tail) < len(magic) and magic.startswith(tail)
+
+
 def scan_gzip_members(
     fs,
     path: str,
@@ -988,22 +1052,10 @@ def scan_gzip_members(
         return None
     handoff = None
     if verify_from is not None and start > 0:
-        lo = max(0, verify_from)
-        width = max(start - lo, chunk)
-        while True:
-            prev = scan_gzip_members(
-                fs, path, lo, start, file_size, chunk=chunk, strict=strict
-            )
-            while True:
-                try:
-                    next(prev)
-                except StopIteration as stop:
-                    handoff = stop.value
-                    break
-            if handoff is not None or lo == 0:
-                break
-            width *= 2
-            lo = max(0, start - width)
+        handoff = _predecessor_handoff(
+            scan_gzip_members, fs, path, start, verify_from, file_size,
+            chunk, strict,
+        )
     # +2 slack: a member may START at end-1 with its 3-byte candidate
     # (and header) extending past the range boundary
     buf = bytearray(
@@ -1042,6 +1094,8 @@ def scan_gzip_members(
                 chain_end is not None
                 and chain_end < warn_to
                 and not tail_truncated
+                and not _truncated_magic_tail(
+                    buf, start, chain_end, file_size, _GZ_CANDIDATE)
             ):
                 _warn_broken_chain(path, start, end, chain_end, gap=False)
             return chain_end
@@ -1114,23 +1168,8 @@ def scan_gzip_members(
             # yielded an inner chain stored verbatim inside a record's
             # payload, then resynced onto the true outer chain)
             _warn_broken_chain(path, start, end, start + q, gap=True)
-        if chain_end is None and handoff is not None and start + q != handoff:
-            # verify mode: the range's FIRST validated member must sit
-            # exactly where the predecessor's chain crosses `start` —
-            # anything else is an off-chain (embedded-archive) pickup
-            # the local contiguity check cannot see
-            msg = (
-                f"member-scan verify failed in {path}[{start}:{end}): "
-                f"first validated member at {start + q} does not continue "
-                f"the predecessor chain ending at {handoff} — off-chain "
-                "(embedded archive) records; scan with member_scan=false "
-                "or index once with `index --no-member-scan --sidecars`"
-            )
-            if strict:
-                raise ValueError(msg)
-            import warnings
-
-            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        if chain_end is None:
+            _verify_first_member(path, start, end, start + q, handoff, strict)
         yield start + q, plain
         if not d.eof:
             return chain_end  # tolerated truncated trailing member (non-strict)
@@ -1141,7 +1180,13 @@ def scan_gzip_members(
         consumed = (p - q) - len(d.unused_data)
         chain_end = start + q + consumed
         pos = q + max(consumed, 1)
-    if chain_end is not None and chain_end < warn_to and not tail_truncated:
+    if (
+        chain_end is not None
+        and chain_end < warn_to
+        and not tail_truncated
+        and not _truncated_magic_tail(
+            buf, start, chain_end, file_size, _GZ_CANDIDATE)
+    ):
         _warn_broken_chain(path, start, end, chain_end, gap=False)
     return chain_end
 

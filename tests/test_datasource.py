@@ -1267,6 +1267,21 @@ def test_member_scan_last_partition_anomaly_detection(tmp_path):
         list(scan_gzip_members(fs, str(healthy_path), 0, len(hb), len(hb)))
     assert not w3, [str(x.message) for x in w3]
 
+    # 4. review r10: a file cut 1-2 bytes INTO the next member's magic
+    # leaves no findable candidate — the magic-prefix tail must be
+    # tolerated like the longer truncations, not flagged as embedded
+    for extra in (1, 2):
+        cut2 = hb[: starts[-1] + extra]
+        assert cut2.endswith(b"\x1f\x8b\x08"[:extra])
+        cp2 = tmp_path / f"cut{extra}.warc.gz"
+        cp2.write_bytes(cut2)
+        with _warnings.catch_warnings(record=True) as w4:
+            _warnings.simplefilter("always")
+            got4 = list(scan_gzip_members(
+                fs, str(cp2), 0, len(cut2), len(cut2)))
+        assert len(got4) == 3
+        assert not w4, (extra, [str(x.message) for x in w4])
+
 
 def test_member_scan_verify_catches_locally_healthy_range(tmp_path):
     """member_scan=verify (r10): a narrow range that sees ONLY the
@@ -1454,6 +1469,9 @@ def test_member_scan_verify_datasource_option(tmp_path, spark, fixture_dir):
         return sorted(out)
 
     assert ids("verify") == ids("true")
+
+
+def test_lz4_member_scan_last_partition_anomaly_detection(tmp_path):
     """LZ4 twin of the last-partition detection: embedded archive in the
     final frame warns at ``end == file_size``; a truncated tail frame
     stays silent."""
@@ -1506,6 +1524,78 @@ def test_member_scan_verify_datasource_option(tmp_path, spark, fixture_dir):
         got2 = list(scan_lz4_members(fs, str(cp), 0, len(cut), len(cut)))
     assert len(got2) == 3
     assert not w2, [str(x.message) for x in w2]
+
+    # review r10: cut 1-3 bytes into the next frame's 4-byte magic —
+    # no findable candidate, but still a truncated file, not an
+    # embedded archive
+    for extra in (1, 2, 3):
+        cut2 = healthy[: 3 * frame_len + extra]
+        cp2 = tmp_path / f"cut{extra}.warc.lz4"
+        cp2.write_bytes(cut2)
+        with _warnings.catch_warnings(record=True) as w3:
+            _warnings.simplefilter("always")
+            got3 = list(scan_lz4_members(
+                fs, str(cp2), 0, len(cut2), len(cut2)))
+        assert len(got3) == 3
+        assert not w3, (extra, [str(x.message) for x in w3])
+
+
+def test_verify_prewalk_suppresses_predecessor_warnings(tmp_path):
+    """Review r10: the verify pre-walk re-decodes the predecessor
+    window, whose own anomaly warnings would otherwise be re-emitted
+    under a synthetic range — the helper must suppress them while the
+    REAL scan of the same window still warns."""
+    import gzip as _gzip
+    import io as _io
+    import warnings as _warnings
+
+    from resilispark.io.fs import LocalFS
+    from resilispark.io.warc import (
+        WarcRecord,
+        _predecessor_handoff,
+        scan_gzip_members,
+        serialize_record,
+        write_warc,
+    )
+
+    def rec(rid: str, payload: bytes) -> WarcRecord:
+        return WarcRecord(
+            warc_version="WARC/1.1",
+            headers=[("WARC-Type", "resource"),
+                     ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+                     ("WARC-Date", "2024-01-01T00:00:00Z")],
+            payload=payload,
+        )
+
+    inner_path = tmp_path / "inner.warc.gz"
+    write_warc([rec("inner-1", b"i" * 50), rec("inner-2", b"j" * 50)],
+               str(inner_path), compression="gzip")
+    inner = inner_path.read_bytes()
+    outer_members = []
+    for r in (rec("outer-1", b"x" * 400), rec("outer-2", inner),
+              rec("outer-3", b"z" * 400)):
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb",
+                            compresslevel=0, mtime=0) as g:
+            g.write(serialize_record(r))
+        outer_members.append(buf.getvalue())
+    outer = b"".join(outer_members)
+    p = tmp_path / "outer.warc.gz"
+    p.write_bytes(outer)
+    embed_off = outer.find(inner)
+    fs = LocalFS()
+    s, e = embed_off - 8, embed_off + len(inner) + 50
+    # the direct scan of this window warns (the r9 detection)
+    with _warnings.catch_warnings(record=True) as w0:
+        _warnings.simplefilter("always")
+        list(scan_gzip_members(fs, str(p), s, e, len(outer)))
+    assert any("embedded" in str(x.message) for x in w0)
+    # the pre-walk over the SAME window stays silent
+    with _warnings.catch_warnings(record=True) as w1:
+        _warnings.simplefilter("always")
+        _predecessor_handoff(
+            scan_gzip_members, fs, str(p), e, s, len(outer), 1 << 20, False)
+    assert not w1, [str(x.message) for x in w1]
 
 
 def test_lz4_member_scan_embedded_archive_warns(tmp_path):
