@@ -673,14 +673,25 @@ def main() -> None:
                 # many minutes earlier — re-run the 1x pipeline once
                 # right before the 10x so the slope compares one
                 # weather phase against itself
-                base_t, base_stages = _curate_once(
-                    f"{bdir}/bench-{n_groups}.warc.gz",
-                    os.path.join(_cur_out, "corpus1x"),
-                )
-                big_t, big_stages = _curate_once(
-                    f"{_bdir10}/bench-{big_groups}.warc.gz",
-                    os.path.join(_cur_out, "corpus"),
-                )
+                # interleaved min-of-2 per scale (r10): a single sample
+                # per side left the slope weather-exposed — the r10
+                # controlled A/B read 22.8 s at 10x while the single
+                # bench shot caught a 31.9 s phase
+                base_t = big_t = None
+                base_stages = big_stages = {}
+                for _ in range(2):
+                    t, st = _curate_once(
+                        f"{bdir}/bench-{n_groups}.warc.gz",
+                        os.path.join(_cur_out, "corpus1x"),
+                    )
+                    if base_t is None or t < base_t:
+                        base_t, base_stages = t, st
+                    t, st = _curate_once(
+                        f"{_bdir10}/bench-{big_groups}.warc.gz",
+                        os.path.join(_cur_out, "corpus"),
+                    )
+                    if big_t is None or t < big_t:
+                        big_t, big_stages = t, st
                 sf1_slopes["curate_e2e"] = {
                     "sf1x_sec": base_t,
                     "sf10x_sec": big_t,
