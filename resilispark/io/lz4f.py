@@ -249,6 +249,7 @@ def scan_lz4_members(
     chunk: int = 1 << 20,
     strict: bool = False,
     verify_from: int | None = None,
+    _quiet: bool = False,
 ):
     """Yield ``(abs_offset, content)`` for every LZ4 frame STARTING in
     ``[start, end)`` — the sidecar-less splitter's LZ4 leg (see
@@ -275,8 +276,8 @@ def scan_lz4_members(
     ``io/warc.py:scan_gzip_members``.
     """
     from resilispark.io.warc import (
+        _maybe_warn_short_chain,
         _predecessor_handoff,
-        _truncated_magic_tail,
         _verify_first_member,
         _warn_broken_chain,
     )
@@ -318,14 +319,9 @@ def scan_lz4_members(
     while pos < limit:
         q = buf.find(LZ4_FRAME_MAGIC, pos)
         if q < 0 or q >= limit:
-            if (
-                chain_end is not None
-                and chain_end < warn_to
-                and not tail_truncated
-                and not _truncated_magic_tail(
-                    buf, start, chain_end, file_size, LZ4_FRAME_MAGIC)
-            ):
-                _warn_broken_chain(path, start, end, chain_end, gap=False)
+            _maybe_warn_short_chain(
+                path, start, end, chain_end, warn_to, tail_truncated,
+                buf, file_size, LZ4_FRAME_MAGIC, _quiet)
             return chain_end
         ext = None
         while True:
@@ -359,21 +355,16 @@ def scan_lz4_members(
         if not content.startswith(b"WARC/"):
             pos = q + 1
             continue
-        if chain_end is not None and start + q != chain_end:
+        if chain_end is not None and start + q != chain_end and not _quiet:
             _warn_broken_chain(path, start, end, start + q, gap=True)
         if chain_end is None:
             _verify_first_member(path, start, end, start + q, handoff, strict)
         yield start + q, content
         chain_end = start + ext
         pos = ext
-    if (
-        chain_end is not None
-        and chain_end < warn_to
-        and not tail_truncated
-        and not _truncated_magic_tail(
-            buf, start, chain_end, file_size, LZ4_FRAME_MAGIC)
-    ):
-        _warn_broken_chain(path, start, end, chain_end, gap=False)
+    _maybe_warn_short_chain(
+        path, start, end, chain_end, warn_to, tail_truncated,
+        buf, file_size, LZ4_FRAME_MAGIC, _quiet)
     return chain_end
 
 

@@ -915,24 +915,22 @@ def _predecessor_handoff(scan_fn, fs, path, start, verify_from, file_size,
     predecessor window's member scan and return where its chain crosses
     ``start`` (the generator's return value), widening the window
     backward by doubling until a chain anchors or offset 0 is reached.
-    The pre-walk's OWN anomaly warnings are suppressed — the real
+    The pre-walk's OWN anomaly warnings are suppressed (via the scan's
+    ``_quiet`` flag — NOT a process-global warnings filter, which would
+    swallow unrelated warnings and races under threads) — the real
     predecessor partition reports them with the true range; re-emitting
     them here would duplicate each one under a synthetic range."""
-    import warnings
-
     lo = max(0, verify_from)
     width = max(start - lo, chunk)
     while True:
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", RuntimeWarning)
-            prev = scan_fn(fs, path, lo, start, file_size,
-                           chunk=chunk, strict=strict)
-            while True:
-                try:
-                    next(prev)
-                except StopIteration as stop:
-                    handoff = stop.value
-                    break
+        prev = scan_fn(fs, path, lo, start, file_size,
+                       chunk=chunk, strict=strict, _quiet=True)
+        while True:
+            try:
+                next(prev)
+            except StopIteration as stop:
+                handoff = stop.value
+                break
         if handoff is not None or lo == 0:
             return handoff
         width *= 2
@@ -960,6 +958,23 @@ def _verify_first_member(path, start, end, q_abs, handoff, strict):
     warnings.warn(msg, RuntimeWarning, stacklevel=3)
 
 
+def _maybe_warn_short_chain(path, start, end, chain_end, warn_to,
+                            tail_truncated, buf, file_size, magic,
+                            quiet) -> None:
+    """The shared short-chain exit check (both codecs, both exit
+    sites): warn when a validated chain stopped before ``warn_to``
+    unless the stop is a tolerated truncated tail — whole-member
+    (``tail_truncated``) or a magic-prefix cut at EOF."""
+    if (
+        not quiet
+        and chain_end is not None
+        and chain_end < warn_to
+        and not tail_truncated
+        and not _truncated_magic_tail(buf, start, chain_end, file_size, magic)
+    ):
+        _warn_broken_chain(path, start, end, chain_end, gap=False)
+
+
 def _truncated_magic_tail(buf, start, chain_end, file_size, magic) -> bool:
     """True when the bytes after ``chain_end`` are a proper PREFIX of
     the member magic at EOF — a file cut 1-2 bytes into the next
@@ -983,6 +998,7 @@ def scan_gzip_members(
     chunk: int = 1 << 20,
     strict: bool = False,
     verify_from: int | None = None,
+    _quiet: bool = False,
 ) -> Iterator[tuple[int, bytes]]:
     """Yield ``(abs_offset, plain)`` for every gzip member STARTING in
     ``[start, end)`` of a member-compressed WARC — WITHOUT any side
@@ -1090,14 +1106,9 @@ def scan_gzip_members(
     while pos < limit:
         q = buf.find(_GZ_CANDIDATE, pos)
         if q < 0 or q >= limit:
-            if (
-                chain_end is not None
-                and chain_end < warn_to
-                and not tail_truncated
-                and not _truncated_magic_tail(
-                    buf, start, chain_end, file_size, _GZ_CANDIDATE)
-            ):
-                _warn_broken_chain(path, start, end, chain_end, gap=False)
+            _maybe_warn_short_chain(
+                path, start, end, chain_end, warn_to, tail_truncated,
+                buf, file_size, _GZ_CANDIDATE, _quiet)
             return chain_end
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
         out: list[bytes] = []
@@ -1162,7 +1173,7 @@ def scan_gzip_members(
                 f"truncated trailing gzip member at offset {start + q} "
                 f"of {path} (strict mode)"
             )
-        if chain_end is not None and start + q != chain_end:
+        if chain_end is not None and start + q != chain_end and not _quiet:
             # a validated member NOT starting at the previous member's
             # end: the gap is the embedded-archive signature (the scan
             # yielded an inner chain stored verbatim inside a record's
@@ -1180,14 +1191,9 @@ def scan_gzip_members(
         consumed = (p - q) - len(d.unused_data)
         chain_end = start + q + consumed
         pos = q + max(consumed, 1)
-    if (
-        chain_end is not None
-        and chain_end < warn_to
-        and not tail_truncated
-        and not _truncated_magic_tail(
-            buf, start, chain_end, file_size, _GZ_CANDIDATE)
-    ):
-        _warn_broken_chain(path, start, end, chain_end, gap=False)
+    _maybe_warn_short_chain(
+        path, start, end, chain_end, warn_to, tail_truncated,
+        buf, file_size, _GZ_CANDIDATE, _quiet)
     return chain_end
 
 
