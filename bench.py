@@ -151,8 +151,27 @@ HEADLINE = [
 ]
 
 
+def _run_kernel_rows(sf_dir: str) -> dict[str, float]:
+    """One clean-subprocess sample of the single-core kernel rows."""
+    import subprocess
+
+    kr = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--kernel-rows", sf_dir],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(kr.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # FIRST kernel-row window, before the Spark JVM exists (r10 VERDICT
+    # #1): the r10 record measured all three single-core kernel rows in
+    # ONE subprocess window at suite end, and a multi-minute host-CPU
+    # slow phase landed on it (lang 0.227->1.19 s, html_extract +41% on
+    # UNCHANGED kernels) while the twice-sampled scan rows improved in
+    # the same run.  Two windows separated by the whole suite, min per
+    # row — the same treatment the pinned scan rows already get.
+    kernel_first = _run_kernel_rows(sf_dir)
     from resilispark.datasource import register
     from resilispark.io.fixtures import ensure_bench_fixture
     from resilispark.queries import ALL_QUERIES as QUERIES
@@ -632,6 +651,16 @@ def main() -> None:
             }
             for scale, d in (("sf1x", sf_dir), ("sf10x", big_dir))
         }
+        # s05 slope attribution (r10 VERDICT #4): probed-candidate row
+        # counts at both scales — nprobe=1 candidates are 10 queries x
+        # ~n/8 cell members, linear by construction; the count makes
+        # that data, not docstring
+        from resilispark.queries.textops import s05_probed_candidates
+
+        sf1_slopes["s05_ivf_topk"]["probed_candidates"] = {
+            scale: s05_probed_candidates(spark, d).count()
+            for scale, d in (("sf1x", sf_dir), ("sf10x", big_dir))
+        }
         # end-to-end curate on the 10x WARC fixture (150,002 records vs
         # 15,002 above) — the composed-pipeline slope
         if big_groups > 0:
@@ -721,16 +750,16 @@ def main() -> None:
         )
         timings[label] = min(timings[label], second)
 
-    import subprocess
-
     # stop the session FIRST: even an idle 32-thread JVM (GC of the
     # suite's heap) slows the subprocess's pure-Python loops ~30%
     spark.stop()
-    kr = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--kernel-rows", sf_dir],
-        capture_output=True, text=True, check=True,
-    )
-    kernel_timings = json.loads(kr.stdout.strip().splitlines()[-1])
+    # SECOND kernel-row window (suite end, several minutes after the
+    # first): min per row across the two windows — host CPU drifts in
+    # multi-minute slow phases a single window cannot escape
+    kernel_second = _run_kernel_rows(sf_dir)
+    kernel_timings = {
+        k: min(kernel_first.get(k, v), v) for k, v in kernel_second.items()
+    }
     timings.update(kernel_timings)
     big_labels.update(kernel_timings)
 
@@ -795,6 +824,9 @@ def main() -> None:
                 ),
                 "d08_pairs": sf1_slopes.get("d08_simhash_pairs", {}).get(
                     "pairs"
+                ),
+                "s05_probed": sf1_slopes.get("s05_ivf_topk", {}).get(
+                    "probed_candidates"
                 ),
             },
             separators=(",", ":"),

@@ -443,6 +443,39 @@ def cmd_curate(args) -> int:
             ).drop("dsir_logweight"),
             "dsir",
         )
+    # r11: the dedup-family operators below (url_dedup, exact_dedup,
+    # fuzzy_dedup, drop_common_lines, span_dedup) are agg+join-back /
+    # join-back shapes whose BOTH join branches contain the full
+    # upstream lineage — Spark has no cross-branch CSE, so each such
+    # stage DOUBLES the WARC-scan + HTML-extract executions (measured:
+    # url_dedup + exact_dedup put FOUR warc scans into one resolved
+    # plan; the 10x extract ladder re-ran ~4x per action).  Persist the
+    # extracted/filtered corpus ONCE before the first self-joining
+    # stage; every branch then reads the cache.  Same executor-local
+    # MEMORY_AND_DISK story as the pre-split cache below;
+    # RESILISPARK_LADDER_CACHE=0 disables.
+    _ladder_cached = None
+    _n_selfjoin_stages = sum(
+        bool(x)
+        for x in (
+            args.url_dedup and "url" in docs.columns,
+            args.dedup,
+            getattr(args, "fuzzy_dedup", False),
+            args.drop_common_lines,
+            args.span_dedup,
+            args.val_fraction,  # the split's signature pass re-reads too
+        )
+    )
+    import os as _os_env
+
+    if _n_selfjoin_stages >= 2 and (
+        _os_env.environ.get("RESILISPARK_LADDER_CACHE", "1") != "0"
+    ):
+        from pyspark import StorageLevel as _SL
+
+        _ladder_cached = docs.persist(_SL.MEMORY_AND_DISK)
+        docs = _ladder_cached
+
     if args.url_dedup and "url" in docs.columns:
         from resilispark.operators.dedup import url_dedup
 
@@ -612,7 +645,14 @@ def cmd_curate(args) -> int:
         # memory), and the unpersist below bounds its lifetime.
         # RESILISPARK_SPLIT_CACHE=0 disables it (A/B escape hatch, and
         # for corpora whose pre-split frame exceeds executor storage).
-        if _os.environ.get("RESILISPARK_SPLIT_CACHE", "1") != "0":
+        # r11: skipped when the LADDER cache is already live — the
+        # downstream lineage then re-reads cache1 through the cheap
+        # dedup joins, and a second columnar encode of ~the same text
+        # buys nothing (10x A/B: both 17.7s vs ladder-only 16.5s wall,
+        # and the pre-split encode is pure extra storage)
+        if _ladder_cached is None and (
+            _os.environ.get("RESILISPARK_SPLIT_CACHE", "1") != "0"
+        ):
             _split_cached = docs.persist(StorageLevel.MEMORY_AND_DISK)
             docs = _split_cached
         with _stage("leakage_split_closure (ladder resolved here)"):
@@ -651,6 +691,10 @@ def cmd_curate(args) -> int:
         # the datasheet was the last consumer of the pre-split cache
         # (every later stage reads the written corpus back)
         _split_cached.unpersist()
+    if _ladder_cached is not None:
+        # same lifetime: everything after the datasheet reads the
+        # written corpus, not the pre-dedup ladder
+        _ladder_cached.unpersist()
     for row in rows:
         print(
             f"level={row.grouping_level} source={row.source} "

@@ -324,6 +324,35 @@ _NO_RECONSTRUCT = (
 )
 
 
+# ONE dict probe per start tag (r11 kernel-constant shave) instead of
+# five separate set/dict probes on the handle_starttag hot path:
+# tag -> (autoclose rules, reconstructs-formatting, is-formatting,
+# pushes-fmt-marker, is-void).  Unknown tags take the default row
+# (no rules, reconstructs, not formatting/marker/void) — identical to
+# the per-set membership outcomes.
+_TAG_INFO_DEFAULT = (None, True, False, False, False)
+_TAG_INFO: dict[str, tuple] = {}
+
+
+def _build_tag_info() -> None:
+    known = (
+        set(_START_RULES) | _FORMATTING | _MARKER_OPEN | set(VOID_ELEMENTS)
+        | _NO_RECONSTRUCT | set(BLOCK_ELEMENTS)
+        | set("span head body html title script style div em strong".split())
+    )
+    for t in known:
+        _TAG_INFO[t] = (
+            _START_RULES.get(t),
+            t not in _NO_RECONSTRUCT,
+            t in _FORMATTING,
+            t in _MARKER_OPEN,
+            t in VOID_ELEMENTS,
+        )
+
+
+_build_tag_info()
+
+
 # children a table-section element may legally contain; anything else
 # inserted there is FOSTER-PARENTED before the table (HTML5 "in table"
 # insertion mode) — old real-web HTML leans on this constantly
@@ -516,18 +545,22 @@ class _TreeBuilder(HTMLParser):
             self.stack.insert(self.stack.index(furthest) + 1, fmt_clone)
 
     def handle_starttag(self, tag, attrs):
-        rules = _START_RULES.get(tag)
+        # one dict probe covers the five per-tag membership questions
+        # (autoclose rules / reconstruct / formatting / marker / void)
+        rules, reconstruct, formatting, marker, void = _TAG_INFO.get(
+            tag, _TAG_INFO_DEFAULT
+        )
         if rules is not None:
             for closes, stop in rules:
                 self._autoclose(closes, stop)
-        if self.fmt and tag not in _NO_RECONSTRUCT:
+        if reconstruct and self.fmt:
             self._reconstruct()
         # the fast tokenizer hands a ready dict; the stdlib-fallback
         # feed() path hands html.parser's list of (name, value) pairs
         if attrs and type(attrs) is not dict:
             attrs = {k: (v if v is not None else "") for k, v in attrs}
         node = Node(tag, attrs or None)
-        if tag in _FORMATTING:
+        if formatting:
             # Noah's Ark clause: at most 3 identical active entries —
             # bounds reconstruction cost on pathological <b><b><b>… runs
             same = [
@@ -547,7 +580,7 @@ class _TreeBuilder(HTMLParser):
                         del self.fmt[k]
                         break
             self.fmt.append(node)
-        elif tag in _MARKER_OPEN:
+        elif marker:
             self.fmt.append(_FMT_MARKER)
         # inline the overwhelmingly common non-table insertion (the
         # foster-parent probe only matters inside table scope)
@@ -557,7 +590,7 @@ class _TreeBuilder(HTMLParser):
             top.children.append(node)
         else:
             self._insert(node)
-        if tag not in VOID_ELEMENTS:
+        if not void:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
@@ -660,9 +693,8 @@ def _fast_feed(b: "_TreeBuilder", src: str) -> None:
         # each named group; start tags always end on the attrs group
         lg = m.lastgroup
         if lg == "attrs":
-            stag = m.group(2)
+            stag, astr = m.group(2, 3)
             tag = stag if stag.islower() else stag.lower()
-            astr = m.group(3)
             # attrs as a dict built inline (handlers take dicts
             # verbatim — skips the per-tag normalization dictcomp);
             # duplicate keys: last occurrence wins, matching the

@@ -336,6 +336,15 @@ def scan_lz4_members(
                     # point past the file — resume at q+1 so real
                     # frames later in the range are not dropped
                     if chain_end is not None and start + q == chain_end:
+                        if strict:
+                            # gzip-twin parity (ADVICE r10): a chain-
+                            # contiguous tail frame cut by EOF raises
+                            # under strict instead of silently dropping
+                            raise ValueError(
+                                f"truncated trailing LZ4 frame at "
+                                f"offset {start + q} of {path} "
+                                "(strict mode)"
+                            )
                         tail_truncated = True
                     break
         if ext is None:

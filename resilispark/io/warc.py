@@ -910,7 +910,7 @@ def _warn_broken_chain(
 
 
 def _predecessor_handoff(scan_fn, fs, path, start, verify_from, file_size,
-                         chunk, strict):
+                         chunk, strict, *, max_doublings: int = 4):
     """``member_scan=verify`` pre-walk, shared by both codecs: drain the
     predecessor window's member scan and return where its chain crosses
     ``start`` (the generator's return value), widening the window
@@ -919,10 +919,21 @@ def _predecessor_handoff(scan_fn, fs, path, start, verify_from, file_size,
     ``_quiet`` flag — NOT a process-global warnings filter, which would
     swallow unrelated warnings and races under threads) — the real
     predecessor partition reports them with the true range; re-emitting
-    them here would duplicate each one under a synthetic range."""
+    them here would duplicate each one under a synthetic range.
+
+    The widening is CAPPED at ``max_doublings`` (ADVICE r10): a file
+    whose preceding bytes contain no member start at all (one giant
+    member spanning many partitions) would otherwise make every
+    partition's pre-walk re-decode from offset 0 — O(partitions x
+    file).  Past the cap the handoff is unknown: return None (verify
+    skipped for this range, warned once) instead of walking the file.
+    Total pre-walk bytes stay <= ~2^(max_doublings+1) x the partition
+    width."""
     lo = max(0, verify_from)
     width = max(start - lo, chunk)
-    while True:
+    scanned_lo = lo
+    for _ in range(max_doublings + 1):
+        scanned_lo = lo
         prev = scan_fn(fs, path, lo, start, file_size,
                        chunk=chunk, strict=strict, _quiet=True)
         while True:
@@ -935,6 +946,18 @@ def _predecessor_handoff(scan_fn, fs, path, start, verify_from, file_size,
             return handoff
         width *= 2
         lo = max(0, start - width)
+    import warnings
+
+    warnings.warn(
+        f"member-scan verify pre-walk found no member start within "
+        f"{start - scanned_lo} bytes behind offset {start} of {path} — a single "
+        "member wider than the widening budget; first-member handoff "
+        "verification skipped for this range (local contiguity checks "
+        "still apply)",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    return None
 
 
 def _verify_first_member(path, start, end, q_abs, handoff, strict):

@@ -459,12 +459,20 @@ def leakage_safe_split(
     ``{"train": 0.99, "val": 0.01}``).  Deterministic under retries and
     re-runs (xxhash64, no rand()).  Returns the input plus ``split``.
     """
-    from resilispark.operators.dedup import connected_components, minhash_lsh_pairs
+    from resilispark.operators.dedup import (
+        connected_components,
+        minhash_lsh_star_edges,
+    )
 
     fractions = fractions or {"train": 0.99, "val": 0.01}
     total = sum(fractions.values())
     if pairs is None:
-        pairs = minhash_lsh_pairs(docs, text_col, id_col)
+        # r11: the split only consumes the CONNECTED COMPONENTS of the
+        # candidate graph, so per-bucket star edges replace the
+        # all-pairs generator — identical cluster labels (see
+        # minhash_lsh_star_edges), but O(docs x bands) edges instead of
+        # O(m²) per hot bucket, no collect_set, no chunk self-join
+        pairs = minhash_lsh_star_edges(docs, text_col, id_col)
     clusters = connected_components(pairs, "doc_a", "doc_b")
     keyed = docs.join(
         clusters.select(

@@ -276,27 +276,44 @@ def minhash_signatures(
     (~8× the document's bytes through md5).  Signatures are 31-bit
     ints: min-collision probability between unrelated docs is
     ~shingles/2³¹ — negligible, and the d04-style pipelines verify
-    candidates with exact Jaccard anyway."""
+    candidates with exact Jaccard anyway.
+
+    Plan shape (r11): ZERO shuffles — each family's minimum is
+    ``array_min`` over the per-doc gram-key array (min over a multiset
+    equals min over its set, so the old exploded-shingle ``distinct``
+    + ``groupBy(id).min`` pair — two full hash exchanges of O(corpus
+    tokens) rows — was pure overhead).  Docs with no shingles (< k
+    words) produce no row, exactly as the exploded spelling dropped
+    them.  The gram array materializes in its OWN projection: the
+    ``num_hashes`` array_min transforms reference it as a bound column,
+    and CollapseProject keeps a non-cheap alias used many times, so the
+    fold runs once per doc."""
     P = F.lit(_MINHASH_P31)
-    base = df.select(
+    # the no-shingle filter tests the WORD COUNT before any hashing
+    # (>= k words <=> >= 1 shingle; NULL text drops via NULL size): a
+    # filter on size(_g) would be pushed below the projections and
+    # re-derive the whole md5+fold chain per row — measured 3x
+    base = df.filter(
+        F.size(F.split(F.col(text_col), " ")) >= F.lit(shingle_k)
+    ).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
     ).select(F.col(id_col), word_hashes(F.col("_w")).alias("_wh"))
-    sh = base.select(
+    grams = base.select(
         F.col(id_col),
-        F.explode(
-            gram_polyfold(
-                F.col("_wh"), shingle_k, base=GRAM_BASE_A, mod=_MINHASH_P31
-            )
-        ).alias("x"),
-    ).distinct()
+        gram_polyfold(
+            F.col("_wh"), shingle_k, base=GRAM_BASE_A, mod=_MINHASH_P31
+        ).alias("_g"),
+    )
     ab = [_minhash_ab(s) for s in range(num_hashes)]
-    aggs = [
-        F.min(
-            (F.col("x") * F.lit(a) + F.lit(b)) % P
-        ).alias(f"h{s}")
+
+    def _family(a: int, b: int):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % P
+
+    cols = [
+        F.array_min(F.transform(F.col("_g"), _family(a, b))).alias(f"h{s}")
         for s, (a, b) in enumerate(ab)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return grams.select(F.col(id_col), *cols)
 
 
 def lsh_bucket_pairs(
@@ -467,6 +484,58 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_star_edges(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Connectivity-equivalent replacement for
+    :func:`minhash_lsh_pairs` for consumers that only need the
+    CONNECTED COMPONENTS of the candidate graph (leakage-safe splits,
+    keep-one-per-cluster without Jaccard verification): per
+    ``(band_idx, val)`` bucket emit ``(bucket_min_id, member_id)``
+    STAR edges instead of all pairs.
+
+    Equivalence: within a bucket, the all-pairs clique and the star
+    both connect exactly the bucket's members into one component, so
+    the transitive closure over the union of buckets — and therefore
+    every min-label cluster id — is identical
+    (``tests/test_operators.py::test_leakage_split_star_edges_match_all_pairs``
+    pins it).  Cost: the all-pairs generator is O(m²) rows per hot
+    bucket (bounded by chunking, but still quadratic OUTPUT) plus a
+    collect_set and a chunk self-join; the star is one
+    partial-aggregated min per bucket and one join back — O(docs x
+    bands) edges total, linear in the corpus no matter how
+    boilerplate-heavy the buckets are (guide §2.3/§2.4: shuffle fewer
+    bytes, remove the quadratic stage outright).
+
+    Returns (doc_a, doc_b) edges; docs in no >=2-member bucket appear
+    in no edge, exactly like the all-pairs spelling.
+    """
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    bands_df = band_table(
+        sig, id_col, num_hashes=num_hashes, bands=bands
+    ).localCheckpoint(eager=True)
+    roots = (
+        bands_df.groupBy("band_idx", "val")
+        .agg(F.min(id_col).alias("_root"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("band_idx", "val", "_root")
+    )
+    return (
+        bands_df.join(roots, ["band_idx", "val"])
+        .filter(F.col(id_col) != F.col("_root"))
+        # no distinct: connected_components dedups its edge list itself
+        .select(F.col("_root").alias("doc_a"), F.col(id_col).alias("doc_b"))
     )
 
 
@@ -1108,15 +1177,25 @@ def fuzzy_dedup(
     ``score_col`` — keep the highest-quality copy).  Returns the kept
     rows unchanged.
     """
-    pairs = minhash_lsh_pairs(
-        df,
-        text_col,
-        id_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        jaccard_threshold=jaccard_threshold,
-        shingle_k=shingle_k,
-        max_bucket=max_bucket,
-    ).select("doc_a", "doc_b")
+    if jaccard_threshold is None:
+        # unverified candidates feed straight into connected components,
+        # which only see CONNECTIVITY — per-bucket star edges give the
+        # identical clusters at O(docs x bands) edges instead of O(m²)
+        # per hot bucket (see minhash_lsh_star_edges)
+        pairs = minhash_lsh_star_edges(
+            df, text_col, id_col,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        )
+    else:
+        pairs = minhash_lsh_pairs(
+            df,
+            text_col,
+            id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            jaccard_threshold=jaccard_threshold,
+            shingle_k=shingle_k,
+            max_bucket=max_bucket,
+        ).select("doc_a", "doc_b")
     clusters = connected_components(pairs)
     return keep_cluster_representatives(df, clusters, id_col, score_col=score_col)

@@ -79,10 +79,16 @@ def _band_keys(
     # docs shorter than the shingle size fall back to ONE whole-text
     # shingle (so short boilerplate is still near-dup-able) — the
     # fallback is the raw text itself, which keeps the construction
-    # SQL-replayable for the d12 oracle
-    sh = base.select(
+    # SQL-replayable for the d12 oracle.
+    # r11: per-doc ARRAY algebra, zero shuffles — min over the per-doc
+    # md5 array equals the previous exploded groupBy.min (min is
+    # idempotent under duplicates), so the explode + aggregate exchange
+    # disappear.  The md5 array sits in its OWN projection and the
+    # substring array_mins reference it as a bound column (kept by
+    # CollapseProject: non-cheap alias used 8 times).
+    hashed = base.select(
         F.col(id_col),
-        F.explode(
+        F.transform(
             F.when(
                 n >= shingle_k,
                 F.transform(
@@ -90,13 +96,20 @@ def _band_keys(
                     lambda i: F.array_join(F.slice("_w", i + 1, shingle_k), " "),
                 ),
             ).otherwise(F.array("_t")),
-        ).alias("shingle"),
-    ).select(id_col, F.md5(F.encode("shingle", "UTF-8")).alias("mh"))
-    aggs = [
-        F.min(F.substring("mh", 1 + 4 * s, 4)).alias(f"h{s}")
-        for s in range(_NUM_HASHES)
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
+            lambda s: F.md5(F.encode(s, "UTF-8")),
+        ).alias("_mh"),
+    )
+
+    def _sub(start: int):
+        return lambda m: F.substring(m, start, 4)
+
+    sig = hashed.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("_mh"), _sub(1 + 4 * s))).alias(f"h{s}")
+            for s in range(_NUM_HASHES)
+        ],
+    )
     structs = [
         F.struct(
             F.lit(b).alias("band_idx"),

@@ -288,9 +288,13 @@ CONTAINER_METADATA_SCHEMA = (
 )
 
 # ISO-BMFF files start with any top-level box; these cover real files
-# (ftyp in practice, plus fragmented/raw layouts)
+# (ftyp in practice, plus fragmented/DASH-segment and raw layouts —
+# moof/sidx/pdin/meta/uuid lead legal files too, ADVICE r10)
 _BMFF_TOP_BOXES = frozenset(
-    {b"ftyp", b"styp", b"moov", b"mdat", b"free", b"skip", b"wide"}
+    {
+        b"ftyp", b"styp", b"moov", b"mdat", b"free", b"skip", b"wide",
+        b"moof", b"sidx", b"pdin", b"meta", b"uuid",
+    }
 )
 
 
@@ -352,23 +356,22 @@ def container_metadata(media: DataFrame) -> DataFrame:
                     v.n_samples if v else None,
                     len(vids), len(m.audio_tracks), None, None, None,
                 )
-            if payload[:3] == b"ID3" or (
-                len(payload) >= 2
-                and payload[0] == 0xFF
-                and (payload[1] & 0xE0) == 0xE0
-            ):
-                try:
-                    m = parse_mp3_metadata(payload)
-                except Mp3Error:
-                    return nulls
-                return (
-                    "mp3", m.duration_ms or None,
-                    f"mpeg{m.version}-layer{m.layer}",
-                    None, None, m.n_frames, 0, 1,
-                    m.sample_rate, m.channels,
-                    m.bitrate_kbps if not m.vbr else None,
-                )
-            return nulls
+            # MPEG audio last: ID3/byte-0-sync fast path, then a
+            # guarded fall-through for junk-prefixed payloads (ADVICE
+            # r10) — parse_mp3_metadata resyncs within its own 64 KiB
+            # budget, demands a CONFIRMED frame chain, and raises
+            # Mp3Error cheaply on foreign bytes
+            try:
+                m = parse_mp3_metadata(payload)
+            except Mp3Error:
+                return nulls
+            return (
+                "mp3", m.duration_ms or None,
+                f"mpeg{m.version}-layer{m.layer}",
+                None, None, m.n_frames, 0, 1,
+                m.sample_rate, m.channels,
+                m.bitrate_kbps if not m.vbr else None,
+            )
 
         for pdf in batches:
             rows = []

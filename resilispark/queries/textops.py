@@ -83,6 +83,12 @@ def _shingle_df(d: DataFrame) -> DataFrame:
         "doc_id", F.explode(F.expr(_SPARK_SHINGLES_W)).alias("shingle")
     )
 
+
+def _substr_lambda(start: int, length: int):
+    """Bound-constant substring lambda for higher-order transforms
+    (a default-arg lambda would read as a 3-arg lambda to PySpark)."""
+    return lambda m: F.substring(m, start, length)
+
 _DUCK_SHINGLES = """
 CASE WHEN len(string_split(text, ' ')) >= 3 THEN
   list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
@@ -202,19 +208,36 @@ def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (SURVEY §2.3 J4).
     """
     d = _docs(spark, sf_dir)
-    # no .distinct() before the agg: min() is idempotent under duplicate
-    # shingles, so set semantics hold without the extra full shuffle of
-    # the exploded table — partial (map-side) min aggregation is the
-    # only pre-shuffle work. The md5 materializes in a projection
-    # BEFORE the aggregate so the 8 slice expressions cannot
-    # re-evaluate it.
-    sh = _shingle_df(d).select(
-        "doc_id", F.md5(F.encode("shingle", "UTF-8")).alias("mh")
+    # r11: per-doc ARRAY algebra, zero shuffles — min() is idempotent
+    # under duplicate shingles, and min over the per-doc md5 array
+    # equals the exploded groupBy.min, so the explode + aggregate
+    # exchange disappear.  The word-count filter replays explode's
+    # empty-array drop (docs with <3 words emit no row) WITHOUT a
+    # filter on the derived array (which Catalyst would push below the
+    # projections and re-derive the md5 chain per row).  The md5 array
+    # materializes in its OWN projection; the 8 substring array_mins
+    # reference it as a bound column (CollapseProject keeps a non-cheap
+    # alias used 8 times), so each shingle is hashed once.
+    base = d.filter(F.size(F.split(F.col("text"), " ")) >= 3).select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.expr(_SPARK_SHINGLES_W),
+            lambda s: F.md5(F.encode(s, "UTF-8")),
+        ).alias("mh"),
     )
-    aggs = [
-        F.min(F.substring("mh", 1 + 4 * s, 4)).alias(f"h{s}") for s in range(8)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = base.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("mh"), _substr_lambda(1 + 4 * s, 4)
+                )
+            ).alias(f"h{s}")
+            for s in range(8)
+        ],
+    )
     for b in range(4):
         sig = sig.withColumn(
             f"band{b}", F.md5(F.encode(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")), "UTF-8"))
@@ -713,7 +736,9 @@ ORDER BY vec_a, vec_b
 """
 
 
-def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s05_ivf_topk(
+    spark: SparkSession, sf_dir: str, *, _candidates_only: bool = False
+) -> DataFrame:
     """IVF-style ANN: coarse-quantize every vector to its nearest of 8
     centroids (here: the first 8 vectors stand in for trained k-means
     centroids — deterministic), then answer each of a fixed 10-query set by probing ONLY
@@ -781,16 +806,30 @@ def s05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdot = F.expr(_SPARK_DOT.format(a="qv", b="ev"))
     nq = F.sqrt(F.expr(_SPARK_DOT.format(a="qv", b="qv")))
     ne = F.sqrt(F.expr(_SPARK_DOT.format(a="ev", b="ev")))
-    wtop = W.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
-    return (
+    cand = (
         F.broadcast(q)
         .join(c, (F.col("qcell") == F.col("ccell")) & (F.col("qid") != F.col("cid")))
         .select("qid", "cid", (qdot / (nq * ne)).alias("cos"))
+    )
+    if _candidates_only:
+        return cand
+    wtop = W.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        cand
         .withColumn("rn", F.row_number().over(wtop))
         .filter(F.col("rn") <= 3)
         .select("qid", "rn", "cid", dround("cos", 4).alias("cosine"))
         .orderBy("qid", "rn")
     )
+
+
+def s05_probed_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s05's PROBED candidate rows (the nprobe=1 cell join output,
+    before the per-query top-3 window) — exposed for bench.py's slope
+    attribution (r10 VERDICT #4: candidates are 10 queries x ~n/8 cell
+    members, linear in corpus size BY CONSTRUCTION; this makes that
+    claim a logged count like d08's, not a docstring)."""
+    return s05_ivf_topk(spark, sf_dir, _candidates_only=True)
 
 
 ORACLE_S05 = f"""

@@ -310,6 +310,69 @@ def test_scan_lz4_members_rejects_false_candidates(tmp_path):
         assert left + right == true_starts, f"cut={cut}"
 
 
+def test_scan_lz4_members_strict_raises_on_truncated_tail(tmp_path):
+    """ADVICE r10 (gzip-twin parity): a chain-contiguous tail frame cut
+    by EOF is silently dropped in non-strict mode but must RAISE under
+    strict, like the gzip scanner's 'truncated trailing gzip member'."""
+    import pytest
+
+    from resilispark.io.fs import LocalFS
+    from resilispark.io.lz4f import compress_stored, scan_lz4_members
+
+    def rec(i: int) -> bytes:
+        body = f"body {i}".encode()
+        return (
+            f"WARC/1.0\r\nWARC-Record-ID: <urn:uuid:r{i}>\r\n"
+            f"WARC-Type: resource\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body + b"\r\n\r\n"
+
+    f0, f1 = compress_stored(rec(0)), compress_stored(rec(1))
+    data = f0 + f1[: len(f1) - 6]  # cut the tail frame mid-block
+    p = str(tmp_path / "cut.warc.lz4")
+    open(p, "wb").write(data)
+    fs = LocalFS()
+    size = len(data)
+    # non-strict: the truncated tail is dropped, no warning (tolerated
+    # file tail), first frame still yielded
+    got = [o for o, _ in scan_lz4_members(fs, p, 0, size, size)]
+    assert got == [0]
+    # strict: raises naming the offset
+    with pytest.raises(ValueError, match="truncated trailing LZ4 frame"):
+        list(scan_lz4_members(fs, p, 0, size, size, strict=True))
+
+
+def test_predecessor_handoff_widening_is_capped():
+    """ADVICE r10: the verify pre-walk's backward widening must stop
+    after a bounded number of doublings (a file whose ranges contain no
+    member start otherwise re-decodes from offset 0 on EVERY partition
+    — O(partitions x file)).  A scan stub that never anchors a chain
+    must be invoked at most max_doublings+1 times, the handoff must
+    come back None (verify skipped), and a RuntimeWarning must name the
+    give-up."""
+    import warnings
+
+    from resilispark.io.warc import _predecessor_handoff
+
+    calls = []
+
+    def never_anchors(fs, path, lo, hi, file_size, *, chunk, strict, _quiet):
+        calls.append((lo, hi))
+        return iter(())  # generator with return value None
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        handoff = _predecessor_handoff(
+            never_anchors, None, "big.warc.gz", 1 << 30, (1 << 30) - (1 << 20),
+            1 << 31, 1 << 20, False,
+        )
+    assert handoff is None
+    assert len(calls) <= 5  # max_doublings=4 -> at most 5 windows
+    assert any("pre-walk" in str(x.message) for x in w)
+    # each window at most doubles; none reaches back to offset 0
+    assert all(lo > 0 for lo, _ in calls)
+
+
 def test_member_scan_over_remote_store(spark, fixture_dir):
     """The sidecar-less member scan works through the remote fs layer
     (ranged GETs only — the memory:// store), including completing a

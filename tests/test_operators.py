@@ -504,6 +504,144 @@ class TestConnectedComponents:
         assert set(got.values()) == {0} and len(got) == n + 1
 
 
+def test_minhash_signatures_matches_exploded_spelling(spark):
+    """r11 optimization: minhash_signatures computes each family's
+    minimum as array_min over the per-doc gram array (zero shuffles).
+    Pin it row-for-row against the r10 exploded-shingle spelling
+    (explode -> distinct -> groupBy.min), including the edge cases the
+    rewrite must preserve: NULL text and sub-k-word docs produce NO
+    row; duplicate shingles change nothing (min is idempotent)."""
+    from resilispark.operators.dedup import (
+        _MINHASH_P31,
+        _minhash_ab,
+        minhash_signatures,
+    )
+    from resilispark.operators.gramhash import (
+        GRAM_BASE_A,
+        gram_polyfold,
+        word_hashes,
+    )
+
+    def exploded(df, text_col, id_col, *, num_hashes=8, shingle_k=3):
+        P = F.lit(_MINHASH_P31)
+        base = df.select(
+            F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+        ).select(F.col(id_col), word_hashes(F.col("_w")).alias("_wh"))
+        sh = base.select(
+            F.col(id_col),
+            F.explode(
+                gram_polyfold(
+                    F.col("_wh"), shingle_k, base=GRAM_BASE_A, mod=_MINHASH_P31
+                )
+            ).alias("x"),
+        ).distinct()
+        aggs = [
+            F.min((F.col("x") * F.lit(a) + F.lit(b)) % P).alias(f"h{s}")
+            for s, (a, b) in ((s, _minhash_ab(s)) for s in range(num_hashes))
+        ]
+        return sh.groupBy(id_col).agg(*aggs)
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "one two"),
+            (4, "a a a a a"),
+            (5, "the quick brown fox jumps over the lazy dog"),
+            (6, "the quick brown fox jumps over the lazy dog"),
+            (7, "completely different words in this document body"),
+        ],
+        "doc_id long, text string",
+    )
+    old = exploded(docs, "text", "doc_id")
+    new = minhash_signatures(docs, "text", "doc_id")
+    assert sorted(r.doc_id for r in new.collect()) == [4, 5, 6, 7]
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    # zero exchanges in the physical plan (the point of the rewrite)
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_leakage_split_star_edges_match_all_pairs(spark):
+    """r11 optimization: leakage_safe_split (and fuzzy_dedup without
+    Jaccard verification) builds its cluster closure from per-bucket
+    STAR edges instead of all-pairs.  Both connect exactly the same
+    bucket member sets, so the components — and every split
+    assignment — must be identical.  Pin split-vs-split on a corpus
+    with real near-dup structure, and fuzzy_dedup star-vs-pairs."""
+    from resilispark.operators.corpus import leakage_safe_split
+    from resilispark.operators.dedup import (
+        connected_components,
+        fuzzy_dedup,
+        minhash_lsh_pairs,
+        minhash_lsh_star_edges,
+    )
+
+    docs = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 4 == 0,
+            F.lit("shared boilerplate body of near duplicate text content here"),
+        )
+        .when(
+            F.col("id") % 4 == 1,
+            F.concat(
+                F.lit("shared boilerplate body of near duplicate text content here extra "),
+                F.col("id"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("unique document number "), F.col("id"),
+                     F.lit(" with entirely distinct running words"))
+        )
+        .alias("text"),
+    )
+    # components from star edges == components from all-pairs
+    cl_star = {
+        (r.vertex, r.cluster_id)
+        for r in connected_components(
+            minhash_lsh_star_edges(docs, "text", "doc_id")
+        ).collect()
+    }
+    cl_pairs = {
+        (r.vertex, r.cluster_id)
+        for r in connected_components(
+            minhash_lsh_pairs(docs, "text", "doc_id")
+        ).collect()
+    }
+    assert cl_star == cl_pairs and len(cl_star) > 0
+    # split assignments identical: default (star) path vs explicit
+    # all-pairs path through the pairs= argument
+    s_star = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(
+            docs, fractions={"train": 0.8, "val": 0.2}
+        ).collect()
+    }
+    s_pairs = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(
+            docs,
+            minhash_lsh_pairs(docs, "text", "doc_id"),
+            fractions={"train": 0.8, "val": 0.2},
+        ).collect()
+    }
+    assert s_star == s_pairs and len(s_star) == 120
+    # fuzzy_dedup survivors identical (jaccard_threshold=None path)
+    k_star = sorted(r.doc_id for r in fuzzy_dedup(docs, "text", "doc_id").collect())
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id")
+    from resilispark.operators.dedup import keep_cluster_representatives
+
+    k_pairs = sorted(
+        r.doc_id
+        for r in keep_cluster_representatives(
+            docs, connected_components(pairs), "doc_id"
+        ).collect()
+    )
+    assert k_star == k_pairs
+
+
 class TestLshBucketCap:
     def test_hot_bucket_bounded_and_exact(self, spark):
         """500 identical docs -> one hot band bucket. The chunked path
@@ -7014,12 +7152,19 @@ def test_container_metadata_dispatch(spark):
     mp4 = TestMp4BoxWalk._minimal_mp4()
     webm = TestEbmlWalk._minimal_webm()
     mp3 = TestMp3Walk._frame() * 10
+    # ADVICE r10 cases: a legal leading top-level box outside the old
+    # closed set (sidx before ftyp/moov), and MPEG audio behind a junk
+    # prefix (the parser's own 64 KiB resync handles it)
+    sidx_led = b"\x00\x00\x00\x0csidx\x00\x00\x00\x00" + mp4
+    junk_mp3 = b"junk prefix bytes \x00\x01" + mp3
     media = spark.createDataFrame(
         [
             ("a", "video/mp4", mp4),
             ("b", "video/webm", webm),
             ("c", "audio/mpeg", mp3),
             ("d", "text/plain", b"not media at all"),
+            ("e", "video/mp4", sidx_led),
+            ("f", "audio/mpeg", junk_mp3),
         ],
         "media_id string, mime string, payload binary",
     )
@@ -7037,6 +7182,10 @@ def test_container_metadata_dispatch(spark):
     assert c.n_frames == 10
     d = rows["d"]
     assert d.container is None and d.mime == "text/plain"
+    e = rows["e"]
+    assert (e.container, e.codec, e.width, e.height) == ("mp4", "avc1", 640, 360)
+    f = rows["f"]
+    assert (f.container, f.codec, f.n_frames) == ("mp3", "mpeg1-layer3", 10)
 
 
 def test_connected_components_small_graph_matches_distributed(spark):

@@ -1,0 +1,52 @@
+"""Dump .explain("formatted") for every declared query into plans/<tag>/.
+
+Usage: python tools/dump_plans.py <out_subdir> [suffix] [names...]
+e.g.  python tools/dump_plans.py r11 _before          # all queries
+      python tools/dump_plans.py r11 _after d04_minhash_lsh_pairs
+
+Plan-only (no execution): each query function is called to build the
+DataFrame and its formatted plan is written to
+plans/<out_subdir>/<name><suffix>.txt.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    out_tag = sys.argv[1] if len(sys.argv) > 1 else "r11"
+    suffix = sys.argv[2] if len(sys.argv) > 2 else "_before"
+    only = set(sys.argv[3:])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    from resilispark.datasource import register
+    from resilispark.queries import ALL_QUERIES
+    from resilispark.session import get_spark
+
+    spark = get_spark("resilispark-plandump")
+    register(spark)
+
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", out_tag)
+    os.makedirs(out_dir, exist_ok=True)
+    for name, fn in sorted(ALL_QUERIES.items()):
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+        except Exception as e:  # noqa: BLE001
+            plan = f"PLAN FAILED: {type(e).__name__}: {e}"
+        with open(os.path.join(out_dir, f"{name}{suffix}.txt"), "w") as f:
+            f.write(plan)
+        print(name, "ok" if not plan.startswith("PLAN FAILED") else "FAILED")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
