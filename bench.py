@@ -590,6 +590,13 @@ def main() -> None:
         lambda: qsum_df.write.mode("overwrite").format("noop").save()
     )
 
+    # THIRD kernel-row window, mid-suite: host CPU slow phases run for
+    # many minutes and can cover both clean windows; the live (idle)
+    # JVM costs these pure-Python loops ~30%, far less than the 2-4x
+    # weather a min across three windows escapes.  min() keeps this
+    # sample only when it beats both clean windows.
+    kernel_mid = _run_kernel_rows(sf_dir)
+
     # sf1 SCALE-SLOPE section: the cheapest 100x proxy this sandbox can
     # produce — rerun the heaviest gate queries over a synthesized 10x
     # corpus and report time(10x)/time(1x) per query.  A plan that is
@@ -758,7 +765,8 @@ def main() -> None:
     # multi-minute slow phases a single window cannot escape
     kernel_second = _run_kernel_rows(sf_dir)
     kernel_timings = {
-        k: min(kernel_first.get(k, v), v) for k, v in kernel_second.items()
+        k: min(kernel_first.get(k, v), kernel_mid.get(k, v), v)
+        for k, v in kernel_second.items()
     }
     timings.update(kernel_timings)
     big_labels.update(kernel_timings)

@@ -84,11 +84,6 @@ def _shingle_df(d: DataFrame) -> DataFrame:
     )
 
 
-def _substr_lambda(start: int, length: int):
-    """Bound-constant substring lambda for higher-order transforms
-    (a default-arg lambda would read as a 3-arg lambda to PySpark)."""
-    return lambda m: F.substring(m, start, length)
-
 _DUCK_SHINGLES = """
 CASE WHEN len(string_split(text, ' ')) >= 3 THEN
   list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
@@ -207,37 +202,30 @@ def d03_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation joins on the tiny band-key table instead of the shingle
     table (SURVEY §2.3 J4).
     """
-    d = _docs(spark, sf_dir)
-    # r11: per-doc ARRAY algebra, zero shuffles — min() is idempotent
-    # under duplicate shingles, and min over the per-doc md5 array
-    # equals the exploded groupBy.min, so the explode + aggregate
-    # exchange disappear.  The word-count filter replays explode's
-    # empty-array drop (docs with <3 words emit no row) WITHOUT a
-    # filter on the derived array (which Catalyst would push below the
-    # projections and re-derive the md5 chain per row).  The md5 array
-    # materializes in its OWN projection; the 8 substring array_mins
-    # reference it as a bound column (CollapseProject keeps a non-cheap
-    # alias used 8 times), so each shingle is hashed once.
-    base = d.filter(F.size(F.split(F.col("text"), " ")) >= 3).select(
-        "doc_id", F.split("text", " ").alias("w")
-    ).select(
-        "doc_id",
-        F.transform(
-            F.expr(_SPARK_SHINGLES_W),
-            lambda s: F.md5(F.encode(s, "UTF-8")),
-        ).alias("mh"),
+    # _fan (r11): the testdata parquet is ONE split and this gate's
+    # dominant cost is the per-shingle md5 explode — single-core
+    # without the repartition (the r9 slope-gate pattern; measured
+    # 2.3 s -> ~0.6 s at sf0.1)
+    d = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
+    # no .distinct() before the agg: min() is idempotent under duplicate
+    # shingles, so set semantics hold without the extra full shuffle of
+    # the exploded table — partial (map-side) min aggregation is the
+    # only pre-shuffle work. The md5 materializes in a projection
+    # BEFORE the aggregate so the 8 slice expressions cannot
+    # re-evaluate it.
+    # r11 A/B note: the per-doc array_min spelling (zero exchanges) was
+    # tried and REVERTED — higher-order transforms evaluate interpreted
+    # per element while this explode+agg path is whole-stage codegen,
+    # and the interpreted md5 passes cost more than the small partial-
+    # agg exchange saves (interleaved min-of-3 at sf0.1: 2.26 s explode
+    # vs 2.95 s arrays).
+    sh = _shingle_df(d).select(
+        "doc_id", F.md5(F.encode("shingle", "UTF-8")).alias("mh")
     )
-    sig = base.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("mh"), _substr_lambda(1 + 4 * s, 4)
-                )
-            ).alias(f"h{s}")
-            for s in range(8)
-        ],
-    )
+    aggs = [
+        F.min(F.substring("mh", 1 + 4 * s, 4)).alias(f"h{s}") for s in range(8)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
     for b in range(4):
         sig = sig.withColumn(
             f"band{b}", F.md5(F.encode(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")), "UTF-8"))
