@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].  The LAST
+printed line is the driver contract line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+— sized to fit the driver's ~2,000-char tail capture whole (r11 VERDICT
+#1: earlier rounds printed the per-query map first and the driver's
+PERF per_query came up empty).  Two earlier lines carry the
+full-precision map and the attribution extras (BASELINE-pinned rows,
+slope details, curate stage walls, d08 pair counts).
 
 Execution is forced with the noop sink (no driver collect, no disk
 write), so timings measure the distributed plan itself.
@@ -618,29 +623,46 @@ def main() -> None:
             # per-row pass (9 gram orders through one (doc,gram) agg)
             "t20_gopher_repetition",
         )
+        # SAME-WINDOW A/B (r9): the old base_t reused the headline
+        # timing measured many minutes earlier — this VM's CPU
+        # drifts 2-4x across phases, and a slower phase at 10x-time
+        # multiplied straight into the slope (d10 read 5.9 in the
+        # suite while a controlled same-window A/B read 2.9-3.2).
+        # Warm both scales, then interleave 1x/10x samples so both
+        # sides see the same weather (noise only adds time to a
+        # deterministic plan, so min per side).
+        # r12 (VERDICT #3): the slow phases run for MINUTES, long
+        # enough to cover one query's whole back-to-back sample block —
+        # t07/t08/t10/d12/t20 all produced phantom 2-4x "regressions"
+        # that a same-day re-run reversed.  The samples are now taken
+        # in TWO windows separated by a full pass over the slope set
+        # (several minutes apart): window 1 warms + takes 2 interleaved
+        # samples per side, window 2 adds 1 more; min across windows.
+        # Same min-of-3-per-side statistic as before — only the
+        # placement of the samples changed.
+        slope_s: dict[str, dict[str, list[float]]] = {
+            name: {"base": [], "big": []} for name in slope_queries
+        }
+
+        def _sample_slopes(rounds: int, warm: bool) -> None:
+            for name in slope_queries:
+                fn = QUERIES[name]
+                if warm:
+                    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                    fn(spark, big_dir).write.mode("overwrite").format("noop").save()
+                for _ in range(rounds):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                    slope_s[name]["base"].append(time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+                    fn(spark, big_dir).write.mode("overwrite").format("noop").save()
+                    slope_s[name]["big"].append(time.perf_counter() - t0)
+
+        _sample_slopes(2, warm=True)   # window 1
+        _sample_slopes(1, warm=False)  # window 2, minutes later per row
         for name in slope_queries:
-            fn = QUERIES[name]
-            # SAME-WINDOW A/B (r9): the old base_t reused the headline
-            # timing measured many minutes earlier — this VM's CPU
-            # drifts 2-4x across phases, and a slower phase at 10x-time
-            # multiplied straight into the slope (d10 read 5.9 in the
-            # suite while a controlled same-window A/B read 2.9-3.2).
-            # Warm both scales, then interleave 1x/10x samples so both
-            # sides see the same weather; min-of-3 per side (noise only
-            # adds time to a deterministic plan).
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            fn(spark, big_dir).write.mode("overwrite").format("noop").save()
-            base_s: list[float] = []
-            big_s: list[float] = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                base_s.append(time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                fn(spark, big_dir).write.mode("overwrite").format("noop").save()
-                big_s.append(time.perf_counter() - t0)
-            base_t = round(min(base_s), 3)
-            big_t = round(min(big_s), 3)
+            base_t = round(min(slope_s[name]["base"]), 3)
+            big_t = round(min(slope_s[name]["big"]), 3)
             sf1_slopes[name] = {
                 "sf1x_sec": base_t,
                 "sf10x_sec": big_t,
@@ -648,12 +670,22 @@ def main() -> None:
             }
         # d08 slope attribution (r10 ask): candidate/verified pair
         # counts at both scales — a slope tracking pair-output growth
-        # is corpus shape, not a plan bug
-        from resilispark.queries.textops import d08_candidate_pairs
+        # is corpus shape, not a plan bug.  r12 (VERDICT #5): plus the
+        # PREDICTED candidate count from the per-bucket histogram
+        # (sum m·(m−1)/2 over band buckets — §2 skew telemetry, one
+        # cheap agg); predicted ≥ measured because the generator's
+        # distinct collapses pairs colliding in both bands.
+        from resilispark.queries.textops import (
+            d08_candidate_pairs,
+            d08_predicted_pairs,
+        )
 
         sf1_slopes["d08_simhash_pairs"]["pairs"] = {
             scale: {
                 "candidates": d08_candidate_pairs(spark, d).count(),
+                "predicted": int(
+                    d08_predicted_pairs(spark, d).first()["predicted_pairs"]
+                ),
                 "verified": QUERIES["d08_simhash_pairs"](spark, d).count(),
             }
             for scale, d in (("sf1x", sf_dir), ("sf10x", big_dir))
@@ -798,12 +830,13 @@ def main() -> None:
             }
         )
     )
-    # SECOND, compact line (fits a 2,000-char tail capture whole: the
-    # r6 record truncated the full line's head and lost the wall).  It
-    # repeats the wall plus the rows graded against BASELINE.md — the
-    # single-core kernel rows, the pinned per-core scan rows — and the
-    # sf1 scale slopes, so a tail-only capture still carries every
-    # cross-round comparable.
+    # SECOND, compact attribution line: the rows graded against
+    # BASELINE.md (single-core kernel rows, pinned per-core scan rows),
+    # the sf1 scale slopes, and the r10/r12 attribution asks (curate
+    # stage walls, d08 pair counts incl. predicted, s05 probed counts).
+    # Read from the committed bench files; the driver's 2,000-char tail
+    # capture may truncate its head — everything the DRIVER must parse
+    # lives on the FINAL line below.
     keep = {
         k: v for k, v in timings.items()
         if k.startswith(("html_parse_title", "html_extract_main",
@@ -841,6 +874,42 @@ def main() -> None:
         ),
         flush=True,
     )
+    # FINAL line — the driver contract line (r11 VERDICT #1): the
+    # driver keeps only the LAST ~2,000 characters of stdout, and
+    # PERF_r10/r11 had per_query={} / n_common=0 because the per-query
+    # timings map was printed FIRST and the tail-surviving line carried
+    # none.  This line folds the per-row timings back in (2-decimal
+    # rounding; every headline row + the BASELINE-pinned rows + the
+    # curate row) plus the slope map and d08's predicted/measured pair
+    # counts, and MUST stay under ~1,950 chars so the tail capture
+    # holds the whole line.  Nothing was removed from the bench: the
+    # full-precision map still prints on the first line, the
+    # attribution extras on the second — this line is additions-only
+    # reordering so the driver can finally join rounds per query.
+    q_final = {
+        k: round(v, 2)
+        for k, v in timings.items()
+        if k in headline or k in keep or k.startswith("curate_e2e_")
+    }
+    final = {
+        "metric": "headline_suite_wall",
+        "value": wall,
+        "unit": "sec",
+        "sf": sf,
+        "queries": q_final,
+        "sf1_slopes": {k: v.get("slope") for k, v in sf1_slopes.items()},
+        "d08_pairs": sf1_slopes.get("d08_simhash_pairs", {}).get("pairs"),
+    }
+    line = json.dumps(final, separators=(",", ":"))
+    if len(line) > 1950:
+        # keep the contract fields whole: shed the attribution extras
+        # first (they remain on lines 1-2), never the queries map
+        for drop in ("d08_pairs", "sf1_slopes"):
+            final.pop(drop, None)
+            line = json.dumps(final, separators=(",", ":"))
+            if len(line) <= 1950:
+                break
+    print(line, flush=True)
 
 
 def kernel_rows(sf_dir: str) -> None:

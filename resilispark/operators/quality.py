@@ -499,6 +499,8 @@ def gopher_repetition_stats(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    emit_order: str = "table",
 ) -> DataFrame:
     """The complete Gopher repetition family per document — all 13
     Table A1 signals (``gopher_quality_flags`` carries only the
@@ -767,12 +769,23 @@ def gopher_repetition_stats(
     cur = cur.select("_id", *metric_cols)
 
     # --- assemble long form: 13 rows per doc, rounded at 6 ------------
+    # emit_order: "table" = Table A1 order (default, historical);
+    # "name" = lexicographic metric name, so a caller whose input is
+    # already range-partitioned + sorted by id gets (id, metric)-sorted
+    # output from the explode alone — no global sort over the heavy
+    # metric chain (the t20 gate's spelling; a final orderBy would make
+    # the range exchange's bound-sampling pass execute this whole
+    # zero-shuffle projection chain a SECOND time)
     order = (
         ["dup_line_frac", "dup_line_char_frac",
          "dup_para_frac", "dup_para_char_frac"]
         + [f"top_{n}gram_char_frac" for n in (2, 3, 4)]
         + [f"dup_{n}gram_frac" for n in range(5, 11)]
     )
+    if emit_order == "name":
+        order = sorted(order)
+    elif emit_order != "table":
+        raise ValueError(f"unknown emit_order: {emit_order!r}")
     rows = F.array(*[
         F.struct(
             F.lit(m).alias("metric"), F.col(f"_m_{m}").alias("frac")

@@ -937,6 +937,46 @@ ORDER BY doc_id
 """
 
 
+def _d08_chunks(fps: DataFrame) -> DataFrame:
+    """d08's (member-struct, band_idx, val) bucket table — shared by the
+    pair generator and the predicted-pair pre-aggregation."""
+    return fps.select(
+        F.struct("doc_id", "simhash16").alias("m"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("simhash16", 8 * i).bitwiseAND(F.lit(255)).alias("val"),
+                    )
+                    for i in range(2)
+                ]
+            )
+        ).alias("c"),
+    ).select("m", F.col("c.band_idx").alias("band_idx"), F.col("c.val").alias("val"))
+
+
+def d08_predicted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket candidate-pair PREDICTION from the band-bucket
+    histogram: sum m·(m−1)/2 over (band_idx, val) buckets — one cheap
+    partial-aggregated pass over the existing chunk table (guide §2
+    skew telemetry).  An upper bound on d08's measured candidate count:
+    the generator's final ``distinct`` collapses pairs that collide in
+    BOTH bands into one row.  Exposed for bench.py's slope attribution;
+    no declared-gate output changes."""
+    fps = d05_simhash(spark, sf_dir)
+    return (
+        _d08_chunks(fps)
+        .groupBy("band_idx", "val")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_m") * (F.col("_m") - 1) / 2), F.lit(0.0)
+            ).cast("bigint").alias("predicted_pairs")
+        )
+    )
+
+
 def d08_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d08's CANDIDATE pairs (bucket-join output, before the exact
     popcount verify filter) — exposed for bench.py's slope attribution
@@ -953,20 +993,7 @@ def d08_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # members per task (a boilerplate-heavy corpus can drop millions
     # of docs into one chunk value; collect_set over that in a single
     # row is an executor OOM at 100 TB)
-    chunks = fps.select(
-        F.struct("doc_id", "simhash16").alias("m"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftright("simhash16", 8 * i).bitwiseAND(F.lit(255)).alias("val"),
-                    )
-                    for i in range(2)
-                ]
-            )
-        ).alias("c"),
-    ).select("m", F.col("c.band_idx").alias("band_idx"), F.col("c.val").alias("val"))
+    chunks = _d08_chunks(fps)
     pairs = (
         lsh_bucket_pairs(chunks, "m")
         .select(
@@ -2320,9 +2347,17 @@ def t10_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
     target = docs.where(F.col("doc_id") % 5 == 0)
+    # persist=False (r12): the gate input is a cheap parquet scan (the
+    # documented persist=False case), and the operator's default
+    # persist(raw) is NEVER unpersisted by the lazy return value — in a
+    # long-lived bench session the leaked MEMORY_AND_DISK cache of the
+    # fanned corpus (1x AND 10x) was silently injected by the
+    # CacheManager into EVERY later query sharing the subtree (t20/d12
+    # read InMemoryRelation instead of parquet, with the 10x text cache
+    # adding storage/GC pressure — the bimodal t20 10x mode).
     sel = dsir_select(
         docs, target, n=50, id_col="doc_id", text_col="text",
-        buckets=256, smoothing=1.0, seed=11,
+        buckets=256, smoothing=1.0, seed=11, persist=False,
     )
     return sel.select(
         "doc_id", dround("dsir_logweight", 6).alias("logweight")
@@ -3351,11 +3386,34 @@ def t20_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     a lead() window over the same word-hash polynomial gram keys
     (operators/gramhash.py — DuckDB replays the fold with
     list_reduce).  Fractions are integer-ratio doubles rounded with
-    the shared floor spelling, so the engines agree bit-for-bit."""
+    the shared floor spelling, so the engines agree bit-for-bit.
+
+    Plan shape (r12): SORT FIRST, compute once.  The former
+    ``stats.orderBy(doc_id, metric)`` made the final range exchange's
+    bound-sampling pass execute the ENTIRE zero-shuffle metric chain a
+    second time (the chain is one post-shuffle stage, so nothing was
+    materialized for the sampling job to reuse — measured 15.1 s vs
+    9.2 s sort-free at the 10x corpus).  Now the CHEAP input
+    (doc_id, text) is range-partitioned and sorted by doc_id — the
+    bound sampling re-reads only the parquet scan — and the operator
+    emits the 13 metrics in lexicographic name order, so the
+    order-preserving projection/explode chain delivers rows already in
+    (doc_id, metric) order: identical rows, identical order, the heavy
+    chain runs exactly once (guide §2.4: establish the partitioning
+    once, before the expensive work).  Row-for-row identity incl.
+    ordering vs the orderBy spelling is pinned by
+    ``tests/test_operators.py::test_t20_sort_first_matches_orderby``."""
     from resilispark.operators.quality import gopher_repetition_stats
 
-    d = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
-    return gopher_repetition_stats(d).orderBy("doc_id", "metric")
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .repartitionByRange(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        .sortWithinPartitions("doc_id")
+    )
+    return gopher_repetition_stats(d, emit_order="name")
 
 
 ORACLE_T20 = """

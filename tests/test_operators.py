@@ -563,6 +563,51 @@ def test_minhash_signatures_matches_exploded_spelling(spark):
     assert "Exchange" not in plan
 
 
+def test_t20_sort_first_matches_orderby(spark):
+    """r12 optimization: the t20 gate range-partitions + sorts the
+    CHEAP (doc_id, text) input and emits metrics in lexicographic name
+    order, instead of a global orderBy over the heavy metric chain
+    (whose range-bound sampling pass executed the whole zero-shuffle
+    chain a second time).  Pin row-for-row identity INCLUDING ORDER
+    against the old spelling on real testdata at two SFs, plus a NULL
+    text / NULL-free edge frame."""
+    from resilispark.operators.quality import gopher_repetition_stats
+    from resilispark.queries.textops import t20_gopher_repetition
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        old = (
+            gopher_repetition_stats(
+                docs.repartition(spark.sparkContext.defaultParallelism)
+            )
+            .orderBy("doc_id", "metric")
+            .collect()
+        )
+        new = t20_gopher_repetition(spark, sf_dir).collect()
+        assert new == old  # same rows, same ORDER
+
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b a b a b"), (4, "x\n\nx\n\nx")],
+        "doc_id long, text string",
+    )
+    old = (
+        gopher_repetition_stats(edge)
+        .orderBy("doc_id", "metric")
+        .collect()
+    )
+    new = (
+        gopher_repetition_stats(
+            edge.repartitionByRange(4, "doc_id")
+            .sortWithinPartitions("doc_id"),
+            emit_order="name",
+        )
+        .collect()
+    )
+    assert new == old
+
+
 def test_leakage_split_star_edges_match_all_pairs(spark):
     """r11 optimization: leakage_safe_split (and fuzzy_dedup without
     Jaccard verification) builds its cluster closure from per-bucket
@@ -5243,6 +5288,23 @@ class TestDsir:
         sel2 = dsir_select(raw, target, n=5, buckets=64, persist=False)
         assert sel2.count() == 5
         assert raw.storageLevel == StorageLevel.NONE
+
+    def test_t10_gate_leaves_no_dataframe_cache(self, spark):
+        """r12 regression pin: the t10 gate must not leak a persisted
+        DataFrame into the session.  dsir_select's default persist(raw)
+        is never unpersisted by the lazily-returned plan, and Spark's
+        CacheManager injects a cached subtree into EVERY later query
+        sharing the same plan — in the bench session the leaked fanned
+        10x corpus cache was silently rewriting t20/d12's scans into
+        InMemoryTableScan and adding the storage/GC pressure behind
+        t20's bimodal 10x timings.  The gate passes persist=False."""
+        from resilispark.queries.textops import t10_dsir
+
+        spark.catalog.clearCache()
+        t10_dsir(spark, "/root/testdata/sf0.001").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 class TestRobotsMatcherProperty:

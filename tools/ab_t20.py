@@ -1,0 +1,48 @@
+"""Interleaved A/B: t20 old (orderBy) vs new (sort-first) spelling."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+
+    from resilispark.operators.quality import gopher_repetition_stats
+    from resilispark.queries.textops import _docs, _fan, t20_gopher_repetition
+    from resilispark.session import get_spark
+
+    spark = get_spark("ab-t20")
+
+    def noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    def old(sf_dir):
+        d = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
+        return gopher_repetition_stats(d).orderBy("doc_id", "metric")
+
+    dirs = {"1x": "/root/testdata/sf0.1",
+            "10x": "/tmp/resilispark-sf10x-0-beffb3fcf6"}
+    variants = {}
+    for scale, d in dirs.items():
+        variants[f"old_{scale}"] = (lambda d=d: old(d))
+        variants[f"new_{scale}"] = (lambda d=d: t20_gopher_repetition(spark, d))
+    for fn in variants.values():
+        noop(fn())
+    samples = {k: [] for k in variants}
+    for _ in range(rounds):
+        for name, fn in variants.items():
+            t0 = time.perf_counter()
+            noop(fn())
+            samples[name].append(time.perf_counter() - t0)
+    for name, s in samples.items():
+        print(f"{name}: min={min(s):.3f} all={[round(x, 3) for x in s]}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Step-by-step profile of the curate 10x chain (r12 VERDICT #4).
+
+Replicates the bench curate invocation's ladder stage by stage with a
+noop sink per step, so each action's marginal cost is visible:
+
+  1. extract+scrub+quality -> ladder cache materialize
+  2. url_dedup + host cap + exact_dedup over the cache
+  3. minhash signatures over (2)
+  4. band table checkpoint + star edges + connected components
+  5. split-joined corpus write (parquet, partitioned)
+
+Usage: python tools/profile_curate.py [groups]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    groups = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
+
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from resilispark.io.fixtures import ensure_bench_fixture
+    from resilispark.operators.corpus import cap_per_host, leakage_safe_split
+    from resilispark.operators.dedup import (
+        band_table,
+        connected_components,
+        exact_dedup,
+        minhash_lsh_star_edges,
+        minhash_signatures,
+        url_dedup,
+    )
+    from resilispark.operators.pipelines import (
+        warc_to_html_docs,
+        write_docs_partitioned,
+    )
+    from resilispark.operators.quality import gopher_filter, scrub_pii
+    from resilispark.session import ensure_workers_can_import, get_spark
+
+    spark = get_spark("profile-curate")
+    ensure_workers_can_import(spark)
+    from resilispark.datasource import register
+
+    register(spark)
+
+    bdir = ensure_bench_fixture(groups)
+    src = f"{bdir}/bench-{groups}.warc.gz"
+
+    t_all0 = time.perf_counter()
+
+    def step(label, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        print(f"[{label}] {time.perf_counter() - t0:.2f}s", flush=True)
+        return out
+
+    def noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    docs = warc_to_html_docs(spark, src, main_content=True)
+    docs = docs.withColumnRenamed("plain_text", "text")
+    docs = docs.withColumn(
+        "doc_id",
+        F.xxhash64(
+            F.coalesce(F.col("url"), F.lit("\x00no-url")),
+            F.coalesce(F.col("warc_date").cast("string"), F.lit("\x00no-date")),
+            F.coalesce(F.md5(F.col("text")), F.lit("\x00no-text")),
+        ),
+    ).withColumn("source", F.lit("default"))
+    docs = scrub_pii(docs)
+    docs = gopher_filter(docs, "text", min_stopwords=None)
+
+    cached = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    step("1 extract+scrub+quality -> cache", lambda: noop(cached))
+
+    d2 = url_dedup(cached, "url", "doc_id").drop("surt", "url_copies")
+    d2 = cap_per_host(d2, "url", max_docs=20000).drop("host")
+    d2 = (
+        exact_dedup(d2, "text", "doc_id")
+        .filter(~F.col("is_duplicate"))
+        .drop("content_hash", "is_duplicate", "copies")
+    )
+    step("2 dedup ladder over cache", lambda: noop(d2))
+
+    sig = minhash_signatures(d2, "text", "doc_id")
+    step("3 signatures over (2)", lambda: noop(sig))
+
+    def closure():
+        edges = minhash_lsh_star_edges(d2, "text", "doc_id")
+        clusters = connected_components(edges, "doc_a", "doc_b")
+        return clusters
+
+    clusters = step("4 star edges + CC (incl. band ckpt)", closure)
+
+    def split_and_write():
+        split = leakage_safe_split(
+            d2, fractions={"train": 0.95, "val": 0.05}
+        )
+        out = tempfile.mkdtemp(prefix="resilispark-profcurate-")
+        try:
+            write_docs_partitioned(
+                split, out + "/corpus", partition_by=("split", "lang"),
+                manifest=True,
+            )
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    step("5 split (recomputed) + partitioned write", split_and_write)
+    print(f"[total] {time.perf_counter() - t_all0:.2f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Diagnose t20_gopher_repetition's 10x cost (r12 VERDICT #2).
+
+Hypotheses tested, interleaved min-of-n in one session:
+  A. as-declared query (heavy HOF projection chain -> orderBy)
+  B. same chain, localCheckpoint barrier before the orderBy (if the
+     range exchange's sampling pass re-executes the child, B ~ A/2)
+  C. chain WITHOUT the final orderBy (lower bound: compute once, no
+     sort)
+  D. chain with sort-first spelling (range-partition the cheap scan,
+     compute once in doc_id order, explode pre-sorted metric array)
+
+Usage: python tools/profile_t20.py [sf_dir] [n_rounds]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    from pyspark.sql import functions as F
+
+    from resilispark.operators.quality import gopher_repetition_stats
+    from resilispark.queries.textops import _docs, _fan, t20_gopher_repetition
+    from resilispark.session import get_spark
+
+    spark = get_spark("profile-t20")
+    spark.catalog.clearCache()
+
+    def noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    def qA():
+        return t20_gopher_repetition(spark, sf_dir)
+
+    def qB():
+        d = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
+        stats = gopher_repetition_stats(d).localCheckpoint(eager=False)
+        return stats.orderBy("doc_id", "metric")
+
+    def qC():
+        d = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
+        return gopher_repetition_stats(d)
+
+    def qD():
+        n = spark.sparkContext.defaultParallelism
+        d = (
+            _docs(spark, sf_dir)
+            .select("doc_id", "text")
+            .repartitionByRange(n, "doc_id")
+            .sortWithinPartitions("doc_id")
+        )
+        return gopher_repetition_stats(d)
+
+    variants = {"A_declared": qA, "B_ckpt_before_sort": qB,
+                "C_no_sort": qC, "D_sort_first": qD}
+    # warm
+    for name, fn in variants.items():
+        noop(fn())
+    samples: dict[str, list[float]] = {k: [] for k in variants}
+    for _ in range(rounds):
+        for name, fn in variants.items():
+            t0 = time.perf_counter()
+            noop(fn())
+            samples[name].append(time.perf_counter() - t0)
+    for name, s in samples.items():
+        print(f"{name}: min={min(s):.3f} all={[round(x, 3) for x in s]}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+"""Isolate t20's final exchange+sort cost: materialize the metric rows
+once (eager localCheckpoint), then time (a) plain noop re-read,
+(b) orderBy+noop, (c) orderBy with more/fewer shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    from resilispark.operators.quality import gopher_repetition_stats
+    from resilispark.queries.textops import _docs, _fan
+    from resilispark.session import get_spark
+
+    spark = get_spark("profile-t20b")
+
+    def noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    d = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
+    stats = gopher_repetition_stats(d).localCheckpoint(eager=True)
+    print("rows:", stats.count())
+
+    variants = {
+        "reread": lambda: stats,
+        "orderBy": lambda: stats.orderBy("doc_id", "metric"),
+        "sortWithin": lambda: stats.repartitionByRange(
+            32, "doc_id", "metric"
+        ).sortWithinPartitions("doc_id", "metric"),
+    }
+    for name, fn in variants.items():
+        noop(fn())
+    samples = {k: [] for k in variants}
+    for _ in range(rounds):
+        for name, fn in variants.items():
+            t0 = time.perf_counter()
+            noop(fn())
+            samples[name].append(time.perf_counter() - t0)
+    for name, s in samples.items():
+        print(f"{name}: min={min(s):.3f} all={[round(x, 3) for x in s]}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
