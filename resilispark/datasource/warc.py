@@ -251,7 +251,30 @@ class WarcDataSourceReader(DataSourceReader):
         # test; metadata-only scans fuse by default
         self.columnar = self._bool_opt("columnar", True)
         split = self.options.get("split_bytes")
-        self.split_bytes = int(split) if split else _TARGET_SPLIT_BYTES
+        if split:
+            self.split_bytes = int(split)
+        else:
+            # r12, scale-adaptive default (guide §2.2/§6): the fixed
+            # 16 MiB target serialized a single ~100 MB archive onto a
+            # handful of cores (the curate bench's 120 MB gz scanned as
+            # 4 tasks × ~3.5 s of decode while 28 cores idled).  Derive
+            # the split from the listed TOTAL instead: aim for at least
+            # RESILISPARK_SCAN_MIN_SPLITS (default 64) tasks, floor
+            # 1 MiB (tiny files stay one partition — per-task overhead
+            # would dominate), cap at the historical 16 MiB (a real
+            # many-file corpus gets its parallelism from file count and
+            # keeps the ~0.5 s task target unchanged — at 100 TB this
+            # rule is a no-op).  An EXPLICIT split_bytes is always
+            # honored verbatim (the pinned single-core bench rows and
+            # the split-invariance tests rely on it).
+            min_splits = int(
+                os.environ.get("RESILISPARK_SCAN_MIN_SPLITS", "64")
+            )
+            total = sum(self._sizes.get(p, 0) or 0 for p in self.paths)
+            self.split_bytes = min(
+                _TARGET_SPLIT_BYTES,
+                max(1 << 20, total // max(1, min_splits)),
+            )
         # sidecar-less gzip splitting (executor-side member-boundary
         # scan); see scan_gzip_members for the validation contract and
         # the one documented hazard.  member_scan=verify additionally

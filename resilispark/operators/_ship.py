@@ -1,0 +1,37 @@
+"""Driver-to-executor shipping of small local tables.
+
+``spark.createDataFrame(list_of_tuples)`` parallelizes PICKLED rows
+into ``defaultParallelism`` partitions, and every downstream action
+pays one Python-worker task per partition just to deserialize a few
+hundred rows (measured 60-70 executor-core-seconds per ship in the 10x
+curate profile — the cluster table, the packing offset table).  The
+pandas/Arrow path serializes driver-side into Arrow batches that
+deserialize INSIDE the JVM: zero Python workers at execution time, and
+the resulting plan carries a usable size estimate.  Rows and schema
+are identical either way; conversion surprises (exotic id types the
+Arrow writer rejects) fall back to the pickled path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def arrow_local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """``spark.createDataFrame(rows, schema)`` shipped via pandas/Arrow
+    when possible.  ``rows`` is a list of tuples; ``schema`` a DDL
+    string or StructType whose field order matches the tuples."""
+    try:
+        import pandas as pd
+
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        st = schema
+        if isinstance(st, str):
+            st = _parse_datatype_string(st)
+        if not isinstance(st, StructType):  # pragma: no cover - guard
+            raise TypeError(f"expected struct schema, got {st}")
+        pdf = pd.DataFrame(rows or None, columns=[f.name for f in st])
+        return spark.createDataFrame(pdf, st)
+    except Exception:  # noqa: BLE001 — ship-path fallback, same rows
+        return spark.createDataFrame(rows, schema)

@@ -598,8 +598,16 @@ def cluster_balanced_sample(
     if max_q == 0:
         return docs.limit(0)
     spark = docs.sparkSession
-    qdf = spark.createDataFrame(
-        [(c, q) for c, q in quotas.items()], ["_cbs_cell", "_cbs_quota"]
+    # Arrow ship (r12, see operators/_ship.py): the quota table is a
+    # handful of rows; the pickled parallelize path paid one Python
+    # task per core to deserialize it on every action
+    from resilispark.operators._ship import arrow_local_df
+
+    cell_type = docs.schema[cell_col].dataType.simpleString()
+    qdf = arrow_local_df(
+        spark,
+        [(c, q) for c, q in quotas.items()],
+        f"_cbs_cell {cell_type}, _cbs_quota bigint",
     )
     tiebreak = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
     order = (

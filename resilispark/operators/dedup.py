@@ -168,7 +168,23 @@ def connected_components(
                 T.StructField("cluster_id", vertex_type),
             ]
         )
-        return pairs.sparkSession.createDataFrame(out, schema)
+        spark = pairs.sparkSession
+        # r12 (guide §3.1/§4): ship the driver-resident cluster table via
+        # Arrow and hint it broadcast.  The plain-list createDataFrame
+        # parallelizes PICKLED rows through Python workers (measured
+        # 71 executor-core-seconds for a ~17k-row table in the 10x
+        # curate profile, eventlog stage 51), and — the RDD-backed plan
+        # having no usable size estimate — the consumer's keyed join
+        # then SHUFFLED the corpus side.  Arrow batches deserialize
+        # JVM-side with no Python workers, and the broadcast hint is
+        # sound by construction: this path only runs when the edge list
+        # fits small_graph_edges, so the label table is bounded too.
+        # Rows and labels are identical either way; the pandas ship
+        # falls back to the pickled path on any conversion surprise
+        # (exotic id types).
+        from resilispark.operators._ship import arrow_local_df
+
+        return F.broadcast(arrow_local_df(spark, out, schema))
     labels = (
         edges.select(F.col("src").alias("vertex"))
         .distinct()

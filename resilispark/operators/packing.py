@@ -127,8 +127,14 @@ def _layout(
             run, cur_bucket = 0, r["bucket"]
         offsets.append((r["_pid"], r["bucket"], run))
         run += r["_s"] or 0
-    off_df = spark.createDataFrame(
-        offsets, "_pid int, bucket bigint, _off bigint"
+    # Arrow ship (r12): the pickled-list createDataFrame parallelized
+    # ~(partitions + buckets) rows into 32 Python-worker tasks per
+    # action — ~60 executor-core-seconds in the 10x curate profile for
+    # a table the broadcast join reads once.
+    from resilispark.operators._ship import arrow_local_df
+
+    off_df = arrow_local_df(
+        spark, offsets, "_pid int, bucket bigint, _off bigint"
     )
     # Phase 2: broadcast offsets back; the running-sum window now
     # partitions by (pid, bucket) — every task sorts at most one range

@@ -1,0 +1,69 @@
+"""Interleaved timing of the real CLI curate at 1x/10x with stage
+breakdown — same invocation as bench.py's curate slope rows.
+
+Usage: python tools/ab_curate.py [rounds] [env_overrides like K=V ...]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    for kv in sys.argv[2:]:
+        k, _, v = kv.partition("=")
+        os.environ[k] = v
+
+    from resilispark.__main__ import main as cli_main
+    from resilispark.io.fixtures import ensure_bench_fixture
+
+    os.environ["RESILISPARK_STAGE_TIMES"] = "1"
+
+    def curate_once(groups: int, dst: str):
+        src = f"{ensure_bench_fixture(groups)}/bench-{groups}.warc.gz"
+        err = io.StringIO()
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(io.StringIO()), \
+                contextlib.redirect_stderr(err):
+            rc = cli_main([
+                "curate", src, "-o", dst,
+                "--url-dedup", "--max-per-host", "20000",
+                "--dedup", "--val-fraction", "0.05",
+                "--pack", "2048", "--pack-buckets", "8",
+            ])
+        wall = time.perf_counter() - t0
+        assert rc == 0
+        stages = {}
+        for line in err.getvalue().splitlines():
+            if line.startswith("[stage-times] ") and ": " in line:
+                label, _, sec = line[14:].rpartition(": ")
+                stages[label.split(" ")[0]] = float(sec[:-1])
+        return wall, stages
+
+    out = tempfile.mkdtemp(prefix="resilispark-abcurate-")
+    try:
+        best = {}
+        for r in range(rounds):
+            for groups, tag in ((5000, "1x"), (50000, "10x")):
+                wall, stages = curate_once(groups, os.path.join(out, tag))
+                print(f"round{r} {tag}: wall={wall:.2f} stages={stages}",
+                      flush=True)
+                if tag not in best or wall < best[tag][0]:
+                    best[tag] = (wall, stages)
+        for tag, (wall, stages) in best.items():
+            print(f"BEST {tag}: wall={wall:.2f} stages={stages}")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

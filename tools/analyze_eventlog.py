@@ -1,0 +1,62 @@
+"""Summarize a Spark event log: per-job wall + description, per-stage
+executor time / GC / spill / task skew.  Usage:
+  python tools/analyze_eventlog.py /tmp/sparklogs/<app-id> [top_n]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    path = sys.argv[1]
+    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    jobs = {}
+    stages = {}
+    for line in open(path):
+        try:
+            ev = json.loads(line)
+        except Exception:
+            continue
+        k = ev.get("Event")
+        if k == "SparkListenerJobStart":
+            jobs[ev["Job ID"]] = {
+                "t0": ev["Submission Time"],
+                "desc": (ev.get("Properties") or {}).get(
+                    "spark.job.description", ""
+                )[:90],
+                "stages": [s["Stage ID"] for s in ev.get("Stage Infos", [])],
+            }
+        elif k == "SparkListenerJobEnd":
+            j = jobs.get(ev["Job ID"])
+            if j:
+                j["wall"] = (ev["Completion Time"] - j["t0"]) / 1000.0
+        elif k == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            acc = {a.get("Name"): a.get("Value") for a in si.get("Accumulables", [])}
+            stages[si["Stage ID"]] = {
+                "name": si.get("Name", "")[:60],
+                "tasks": si.get("Number of Tasks"),
+                "wall": (si.get("Completion Time", 0) - si.get("Submission Time", 0))
+                / 1000.0,
+                "runTime": acc.get("internal.metrics.executorRunTime"),
+                "gc": acc.get("internal.metrics.jvmGCTime"),
+                "memSpill": acc.get("internal.metrics.memoryBytesSpilled"),
+                "diskSpill": acc.get("internal.metrics.diskBytesSpilled"),
+            }
+
+    print("== jobs by wall ==")
+    for jid, j in sorted(jobs.items(), key=lambda kv: -(kv[1].get("wall") or 0))[:top_n]:
+        print(f"job {jid}: {j.get('wall', 0):7.2f}s  {j['desc']}")
+    print("== stages by wall ==")
+    for sid, s in sorted(stages.items(), key=lambda kv: -(kv[1]["wall"] or 0))[:top_n]:
+        print(
+            f"stage {sid}: wall={s['wall']:6.2f}s tasks={s['tasks']:4} "
+            f"run={s['runTime']}ms gc={s['gc']}ms "
+            f"spillMem={s['memSpill']} spillDisk={s['diskSpill']}  {s['name']}"
+        )
+
+
+if __name__ == "__main__":
+    main()

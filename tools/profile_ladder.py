@@ -1,0 +1,89 @@
+"""Micro-profile the curate dedup ladder over a persisted cache:
+url_dedup / cap_per_host / exact_dedup marginal costs + executed-plan
+exchange audit (does corpus text cross a shuffle?).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    groups = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from resilispark.io.fixtures import ensure_bench_fixture
+    from resilispark.operators.corpus import cap_per_host
+    from resilispark.operators.dedup import exact_dedup, url_dedup
+    from resilispark.operators.pipelines import warc_to_html_docs
+    from resilispark.operators.quality import gopher_filter, scrub_pii
+    from resilispark.session import ensure_workers_can_import, get_spark
+
+    spark = get_spark("profile-ladder")
+    ensure_workers_can_import(spark)
+    from resilispark.datasource import register
+
+    register(spark)
+
+    bdir = ensure_bench_fixture(groups)
+    src = f"{bdir}/bench-{groups}.warc.gz"
+
+    def noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    docs = warc_to_html_docs(spark, src, main_content=True)
+    docs = docs.withColumnRenamed("plain_text", "text")
+    docs = docs.withColumn(
+        "doc_id",
+        F.xxhash64(
+            F.coalesce(F.col("url"), F.lit("\x00no-url")),
+            F.coalesce(F.col("warc_date").cast("string"), F.lit("\x00no-date")),
+            F.coalesce(F.md5(F.col("text")), F.lit("\x00no-text")),
+        ),
+    ).withColumn("source", F.lit("default"))
+    docs = gopher_filter(scrub_pii(docs), "text", min_stopwords=None)
+    cached = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    noop(cached)
+    print("docs:", cached.count())
+
+    u = url_dedup(cached, "url", "doc_id").drop("surt", "url_copies")
+    h = cap_per_host(u, "url", max_docs=20000).drop("host")
+    e = (
+        exact_dedup(h, "text", "doc_id")
+        .filter(~F.col("is_duplicate"))
+        .drop("content_hash", "is_duplicate", "copies")
+    )
+    variants = {"cache_only": cached, "plus_url_dedup": u,
+                "plus_host_cap": h, "plus_exact_dedup": e}
+    for df in variants.values():
+        noop(df)
+    samples = {k: [] for k in variants}
+    for _ in range(rounds):
+        for name, df in variants.items():
+            t0 = time.perf_counter()
+            noop(df)
+            samples[name].append(time.perf_counter() - t0)
+    for name, s in samples.items():
+        print(f"{name}: min={min(s):.3f} all={[round(x, 3) for x in s]}")
+
+    plan = e._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange ", plan))
+    print("exchanges in full-ladder executed plan:", n_ex)
+    for m in re.finditer(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)[^\n]*", plan):
+        print(" join:", m.group(0)[:120])
+    for m in re.finditer(r"Exchange (hashpartitioning|rangepartitioning|RoundRobin)[^\n]*", plan):
+        line = m.group(0)
+        print(" exch:", line[:160], "TEXT!" if "text#" in line else "")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
