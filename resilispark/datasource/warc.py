@@ -230,6 +230,19 @@ def _read_first_member(fs, path: str, start: int, size: int,
         slack *= 2
 
 
+def planned_scan_partitions(path: str, options: dict | None = None) -> int:
+    """Number of input partitions the warc data source will plan for
+    ``path`` under ``options`` — one driver-side listing pass, no Spark
+    job.  Pipeline wrappers use it to decide whether their fusion-break
+    ``repartition`` is needed at all: when the scan already fans out to
+    at least the core count, the round-robin exchange only re-ships
+    every payload byte (guide §2.4/§8)."""
+    opts = {"path": path}
+    opts.update({k: str(v) for k, v in (options or {}).items()})
+    reader = WarcDataSourceReader(opts)
+    return len(reader.partitions())
+
+
 class WarcDataSourceReader(DataSourceReader):
     def __init__(self, options: dict):
         self.options = dict(options)

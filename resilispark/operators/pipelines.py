@@ -140,6 +140,22 @@ def _fused_extract(main_content: bool, robots_meta: bool = False):
     return run
 
 
+def _scan_fanout_needed(
+    path: str, scan_options: dict | None, n_cores: int
+) -> bool:
+    """True when the warc scan plans fewer partitions than cores, so
+    the caller's round-robin fusion break still buys parallelism.  On
+    any planning surprise, fan out (the historical behavior)."""
+    try:
+        from resilispark.datasource.warc import planned_scan_partitions
+
+        opts = dict(scan_options or {})
+        opts.setdefault("record_types", "response")
+        return planned_scan_partitions(path, opts) < n_cores
+    except Exception:  # noqa: BLE001 — planning probe only
+        return True
+
+
 def extract_html_docs(
     records: DataFrame,
     *,
@@ -202,22 +218,29 @@ def warc_to_html_docs(
     reader = spark.read.format("warc").option("record_types", "response")
     for k, v in (scan_options or {}).items():
         reader = reader.option(k, str(v))
+    # fusion break: a single compressed WARC used to scan as ONE
+    # partition, so records were round-robin repartitioned before the
+    # CPU kernel — the exact Reshuffle the reference's Beam source
+    # inserts (beam/fileio.py:42-44).  r12: the scan's scale-adaptive
+    # default split already fans a lone archive out, and when the
+    # PLANNED partition count reaches the core count the exchange only
+    # re-ships every payload byte (guide §2.4/§8: it was the single
+    # largest shuffle of the curate chain) — ask the planner and skip
+    # it when redundant.  Explicit small scan splits (bench rows) and
+    # tiny inputs still get the break.
+    fan = _scan_fanout_needed(path, scan_options, n_cores)
     if fused:
-        # fusion break inside extract_html_docs: a single compressed
-        # WARC scans as one partition; spread records across cores
-        # before the kernel runs — the exact Reshuffle the reference's
-        # Beam source inserts (beam/fileio.py:42-44)
         return extract_html_docs(
             reader.load(path),
             main_content=main_content,
-            repartition=n_cores,
+            repartition=n_cores if fan else None,
             robots_meta=robots_meta,
         )
-    records = (
-        reader.load(path)
-        .filter(F.col("http_content_type") == "text/html")
-        .repartition(n_cores)
+    records = reader.load(path).filter(
+        F.col("http_content_type") == "text/html"
     )
+    if fan:
+        records = records.repartition(n_cores)
 
     udfs = register_functions(spark)
 
@@ -403,7 +426,14 @@ def wet_to_docs(
     )
     for k, v in (scan_options or {}).items():
         reader = reader.option(k, str(v))
-    recs = reader.load(path).repartition(n_cores)
+    recs = reader.load(path)
+    if _scan_fanout_needed(
+        path,
+        {**(scan_options or {}), "record_types": "conversion",
+         "parse_http": "false"},
+        n_cores,
+    ):
+        recs = recs.repartition(n_cores)
     decoded = recs.select(
         F.col("target_uri").alias("url"),
         udfs["to_str"](

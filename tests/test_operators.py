@@ -608,6 +608,72 @@ def test_t20_sort_first_matches_orderby(spark):
     assert new == old
 
 
+def test_duplicate_span_coverage_range_agg_matches_plain_groupby(spark):
+    """r12 optimization: duplicate_span_coverage range-repartitions on
+    the doc id before its final aggregation (AQE's byte-based
+    coalescing had folded the CPU-heavy collect_list+fold agg into ONE
+    task, and a consumer orderBy's bound sampling re-executed it).
+    Pin rows against a plain-groupBy spelling, pin that the consumer
+    orderBy keeps row ORDER, and pin the plan properties: exactly one
+    range exchange, and no exchange above the aggregate."""
+    import re
+
+    from pyspark.sql import Window as W
+
+    from resilispark.operators.dedup import (
+        _hash_words,
+        _token_grams,
+        duplicate_span_coverage,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text").repartition(8)
+
+    def plain(df, span_tokens=5):
+        pre = _hash_words(df, "doc_id", F.split(F.trim(F.col("text")), r"\s+"))
+        base = pre.select(
+            F.col("doc_id"),
+            F.size("_w").cast("bigint").alias("n_tokens"),
+            F.explode(_token_grams(F.col("_wh"), span_tokens)).alias("g"),
+        ).select(
+            "doc_id", "n_tokens", F.col("g.pos").alias("pos"),
+            F.col("g.gram").alias("gram"),
+        )
+        dup = base.withColumn(
+            "_first", F.min("doc_id").over(W.partitionBy("gram"))
+        ).filter(F.col("doc_id") > F.col("_first"))
+        ps = F.array_sort(F.collect_list("pos"))
+        gaps = F.transform(
+            ps,
+            lambda p, i: F.least(
+                F.lit(5), F.coalesce(F.get(ps, i + 1) - p, F.lit(5))
+            ),
+        )
+        dt = F.aggregate(gaps, F.lit(0).cast("bigint"), lambda a, v: a + v)
+        return (
+            dup.groupBy("doc_id", "n_tokens")
+            .agg(dt.alias("dup_tokens"))
+            .withColumn(
+                "coverage",
+                F.floor(
+                    F.col("dup_tokens") / F.col("n_tokens") * 1e4 + F.lit(0.5)
+                ) / 1e4,
+            )
+        )
+
+    old = plain(docs).orderBy("doc_id").collect()
+    new_df = duplicate_span_coverage(docs, span_tokens=5).orderBy("doc_id")
+    assert new_df.collect() == old  # same rows, same ORDER
+    plan = new_df._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==", 1)[0]  # AQE dump repeats
+    assert len(re.findall(r"Exchange rangepartitioning", final_plan)) == 1
+    # the final agg + sort run on the range partitioning — no exchange
+    # above the aggregate (the serial-tail regression this pins against)
+    above_agg = final_plan.split("ObjectHashAggregate", 1)[0]
+    assert "Exchange" not in above_agg
+
+
 def test_leakage_split_star_edges_match_all_pairs(spark):
     """r11 optimization: leakage_safe_split (and fuzzy_dedup without
     Jaccard verification) builds its cluster closure from per-bucket
