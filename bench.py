@@ -800,6 +800,17 @@ def main() -> None:
         k: min(kernel_first.get(k, v), kernel_mid.get(k, v), v)
         for k, v in kernel_second.items()
     }
+    # r11 ADVICE #1: keep ALL three window samples in the record (not
+    # just the min) so round-over-round deltas on these rows can be
+    # attributed to code vs. which window the weather hit
+    kernel_windows = {
+        k: {
+            "pre_jvm": kernel_first.get(k),
+            "mid_suite": kernel_mid.get(k),
+            "post_stop": v,
+        }
+        for k, v in kernel_second.items()
+    }
     timings.update(kernel_timings)
     big_labels.update(kernel_timings)
 
@@ -825,6 +836,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_headline": len(headline),
                 "queries": timings,
+                "kernel_windows": kernel_windows,
                 "sf1_slopes": sf1_slopes,
                 "sf": sf,
             }

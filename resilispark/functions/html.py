@@ -330,6 +330,11 @@ _NO_RECONSTRUCT = (
 # pushes-fmt-marker, is-void).  Unknown tags take the default row
 # (no rules, reconstructs, not formatting/marker/void) — identical to
 # the per-set membership outcomes.
+# NOTE (r11 ADVICE #5): _TAG_INFO is FROZEN at import from the five
+# source sets above (_START_RULES, _NO_RECONSTRUCT, _FORMATTING,
+# _MARKER_OPEN, VOID_ELEMENTS).  Mutating any of those after import —
+# in tests or future patches — silently desynchronizes the combined
+# table; call _build_tag_info() again after any such change.
 _TAG_INFO_DEFAULT = (None, True, False, False, False)
 _TAG_INFO: dict[str, tuple] = {}
 

@@ -946,17 +946,26 @@ def _predecessor_handoff(scan_fn, fs, path, start, verify_from, file_size,
             return handoff
         width *= 2
         lo = max(0, start - width)
-    import warnings
-
-    warnings.warn(
+    msg = (
         f"member-scan verify pre-walk found no member start within "
         f"{start - scanned_lo} bytes behind offset {start} of {path} — a single "
         "member wider than the widening budget; first-member handoff "
         "verification skipped for this range (local contiguity checks "
-        "still apply)",
-        RuntimeWarning,
-        stacklevel=3,
+        "still apply)"
     )
+    if strict:
+        # r11 ADVICE #3: strict callers asked for the verify GUARANTEE —
+        # silently degrading it to warn+skip would be the one strict
+        # path that doesn't escalate (the truncated-lz4-tail case
+        # raises).  Raise with the remediation options instead.
+        raise ValueError(
+            msg + "; under strict, scan with member_scan=true, raise "
+            "the widening budget, or index once with "
+            "`index --no-member-scan --sidecars`"
+        )
+    import warnings
+
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
     return None
 
 

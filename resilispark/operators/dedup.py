@@ -511,6 +511,7 @@ def minhash_lsh_star_edges(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_k: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Connectivity-equivalent replacement for
     :func:`minhash_lsh_pairs` for consumers that only need the
@@ -534,13 +535,21 @@ def minhash_lsh_star_edges(
 
     Returns (doc_a, doc_b) edges; docs in no >=2-member bucket appear
     in no edge, exactly like the all-pairs spelling.
+
+    ``checkpoint=True`` (default) localCheckpoints the band table
+    EAGERLY — a Spark job fires at DataFrame-construction time, and the
+    checkpointed partitions live until the RDD is GC'd; this is what
+    keeps the expensive signature lineage from executing once per
+    downstream branch.  Callers that only build plans (no action) can
+    pass ``checkpoint=False`` to stay fully lazy (r11 ADVICE #4), at
+    the price of the roots/members branches re-deriving the band table.
     """
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k
     )
-    bands_df = band_table(
-        sig, id_col, num_hashes=num_hashes, bands=bands
-    ).localCheckpoint(eager=True)
+    bands_df = band_table(sig, id_col, num_hashes=num_hashes, bands=bands)
+    if checkpoint:
+        bands_df = bands_df.localCheckpoint(eager=True)
     roots = (
         bands_df.groupBy("band_idx", "val")
         .agg(F.min(id_col).alias("_root"), F.count(F.lit(1)).alias("_n"))

@@ -360,7 +360,17 @@ def container_metadata(media: DataFrame) -> DataFrame:
             # guarded fall-through for junk-prefixed payloads (ADVICE
             # r10) — parse_mp3_metadata resyncs within its own 64 KiB
             # budget, demands a CONFIRMED frame chain, and raises
-            # Mp3Error cheaply on foreign bytes
+            # Mp3Error cheaply on foreign bytes.
+            # r11 ADVICE #2: gate the fall-through on a CHEAP sync-word
+            # presence probe (one C-speed bytes.find of 0xFF within the
+            # resync budget) — every non-media blob otherwise paid the
+            # full per-byte resync scan, and blobs with no sync byte at
+            # all cannot be mp3 by construction (identical outcome)
+            if (
+                not payload.startswith((b"ID3", b"\xff"))
+                and payload.find(b"\xff", 0, 64 * 1024) < 0
+            ):
+                return nulls
             try:
                 m = parse_mp3_metadata(payload)
             except Mp3Error:

@@ -38,14 +38,49 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Fan a gate input out to all cores: the tiny testdata parquet
+#: target input bytes per partition for LIGHT gates (see _fan): sized
+#: so the sf0.1 fixture fans to ~6-8 partitions (the measured optimum —
+#: 32-way fanning of a 0.6 MB input pays more per-task/Arrow overhead
+#: than the extra cores buy) while anything ≥ ~3 MB still reaches the
+#: full core count.  Size-derived, so the SAME rule yields full
+#: parallelism at real corpus sizes — not a local[32] constant.
+_FAN_LIGHT_BYTES_PER_PART = 96 * 1024
+
+
+def _fan(spark: SparkSession, df: DataFrame, *, light: bool = False) -> DataFrame:
+    """Fan a gate input out across cores: the tiny testdata parquet
     arrives as ONE split, and the heavy gates' first stage is per-row
     CPU (gram/shingle/hash explosions) that would otherwise run
     single-core — real crawls arrive pre-partitioned, so the
     repartition lives in the GATE wrapper, not the operator (t20
-    established the pattern; r9 extends it to every slope gate)."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    established the pattern; r9 extends it to every slope gate).
+
+    ``light=True`` (r12, VERDICT #8): gates whose per-row work is
+    CHEAP (packing layout, store probes, bucket counting) were slower
+    at 32 cores than 8 on the same data — per-task scheduling + Arrow
+    batch overhead outweighed the parallelism (interleaved A/B at 32
+    cores, min-of-3: t10 4.07→2.46 s, d12 4.50→3.22, t08 2.02→1.54,
+    t07 1.44→1.16 just by fanning to 8).  For those, derive the width
+    from the INPUT SIZE (~96 KiB/partition, floor 2, cap
+    defaultParallelism): the sf0.1 fixture fans to ~7, the 10x corpus
+    and anything larger still saturates the cores.  Results are
+    partition-count-independent (oracle-hash-pinned); heavy gates
+    (d03/d04/d05/d10/d11 — md5/gram explosions) keep the full fan."""
+    n = spark.sparkContext.defaultParallelism
+    if light:
+        try:
+            from urllib.parse import unquote, urlparse
+
+            import os
+
+            total = sum(
+                os.path.getsize(unquote(urlparse(f).path))
+                for f in df.inputFiles()
+            )
+            n = max(2, min(n, total // _FAN_LIGHT_BYTES_PER_PART + 1))
+        except Exception:  # noqa: BLE001 — sizing probe only
+            pass
+    return df.repartition(int(n))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1850,7 +1885,7 @@ def t07_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce it."""
     from resilispark.operators.packing import pack_stats
 
-    d = _fan(spark, _docs(spark, sf_dir))
+    d = _fan(spark, _docs(spark, sf_dir), light=True)
     return pack_stats(d, seq_len=512, n_buckets=8)
 
 
@@ -1932,7 +1967,7 @@ def t08_emit_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     and stream-order reassembly, not just the t07 layout arithmetic."""
     from resilispark.operators.packing import emit_sequences
 
-    d = _fan(spark, _docs(spark, sf_dir))
+    d = _fan(spark, _docs(spark, sf_dir), light=True)
     return emit_sequences(d, seq_len=256, n_buckets=4).select(
         "bucket",
         "seq_idx",
@@ -2057,7 +2092,7 @@ def d12_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_dedup_store,
     )
 
-    d = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
+    d = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"), light=True)
     # leaked on purpose: the returned DataFrame reads the store lazily,
     # so the directory must outlive this call (OS tmp cleanup owns it)
     store = tempfile.mkdtemp(prefix="resilispark-d12-store-")
@@ -2345,7 +2380,7 @@ def t10_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly in DuckDB."""
     from resilispark.operators.dsir import dsir_select
 
-    docs = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
+    docs = _fan(spark, _docs(spark, sf_dir).select("doc_id", "text"), light=True)
     target = docs.where(F.col("doc_id") % 5 == 0)
     # persist=False (r12): the gate input is a cheap parquet scan (the
     # documented persist=False case), and the operator's default

@@ -371,6 +371,14 @@ def test_predecessor_handoff_widening_is_capped():
     assert any("pre-walk" in str(x.message) for x in w)
     # each window at most doubles; none reaches back to offset 0
     assert all(lo > 0 for lo, _ in calls)
+    # r11 ADVICE #3: under STRICT the verify guarantee must not degrade
+    # silently — hitting the cap raises instead of warn+skip (matching
+    # the strict semantics of the truncated-lz4-tail case)
+    with pytest.raises(ValueError, match="pre-walk"):
+        _predecessor_handoff(
+            never_anchors, None, "big.warc.gz", 1 << 30,
+            (1 << 30) - (1 << 20), 1 << 31, 1 << 20, True,
+        )
 
 
 def test_member_scan_over_remote_store(spark, fixture_dir):

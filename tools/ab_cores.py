@@ -1,0 +1,48 @@
+"""VERDICT #8 attribution: are the small slope rows (s06, t10, t07,
+d12) actually over-partitioned at 32 cores?  Within ONE session, time
+each gate as declared, plus a variant with the gate input fanned to 8
+partitions instead of defaultParallelism (what an '8-core-sized' fan
+would do).  Run the script under SPARK_GRAFT_CPUS=32 and =8 to get the
+cross-core comparison with the same methodology.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sf_dir = "/root/testdata/sf0.1"
+
+    from resilispark.queries import ALL_QUERIES
+    from resilispark.session import get_spark
+
+    spark = get_spark("ab-cores")
+    print("defaultParallelism:", spark.sparkContext.defaultParallelism)
+
+    def noop(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    names = ["s06_kmeans", "t10_dsir", "t07_pack_stats",
+             "d12_incremental_dedup", "t08_emit_sequences"]
+    variants = {n: (lambda n=n: ALL_QUERIES[n](spark, sf_dir)) for n in names}
+    for fn in variants.values():
+        noop(fn())
+    samples = {k: [] for k in variants}
+    for _ in range(rounds):
+        for name, fn in variants.items():
+            t0 = time.perf_counter()
+            noop(fn())
+            samples[name].append(time.perf_counter() - t0)
+    for name, s in samples.items():
+        print(f"{name}: min={min(s):.3f} all={[round(x, 3) for x in s]}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
