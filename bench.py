@@ -745,21 +745,40 @@ def main() -> None:
                 # per side left the slope weather-exposed — the r10
                 # controlled A/B read 22.8 s at 10x while the single
                 # bench shot caught a 31.9 s phase
-                base_t = big_t = None
+                # r12: a multi-minute slow phase can cover BOTH
+                # back-to-back rounds (one r12 record caught a 4x
+                # phase in both 10x samples while same-day A/Bs read
+                # ~18 s) — when the two samples of a side disagree by
+                # >1.5x the weather verdict is still open, so take up
+                # to two more rounds (additions-only; min per side
+                # unchanged as the statistic)
+                base_s: list[float] = []
+                big_s: list[float] = []
                 base_stages = big_stages = {}
-                for _ in range(2):
+                rounds = 0
+                while rounds < 2 or (
+                    rounds < 4
+                    and (
+                        max(base_s) / min(base_s) > 1.5
+                        or max(big_s) / min(big_s) > 1.5
+                    )
+                ):
                     t, st = _curate_once(
                         f"{bdir}/bench-{n_groups}.warc.gz",
                         os.path.join(_cur_out, "corpus1x"),
                     )
-                    if base_t is None or t < base_t:
-                        base_t, base_stages = t, st
+                    if not base_s or t < min(base_s):
+                        base_stages = st
+                    base_s.append(t)
                     t, st = _curate_once(
                         f"{_bdir10}/bench-{big_groups}.warc.gz",
                         os.path.join(_cur_out, "corpus"),
                     )
-                    if big_t is None or t < big_t:
-                        big_t, big_stages = t, st
+                    if not big_s or t < min(big_s):
+                        big_stages = st
+                    big_s.append(t)
+                    rounds += 1
+                base_t, big_t = min(base_s), min(big_s)
                 sf1_slopes["curate_e2e"] = {
                     "sf1x_sec": base_t,
                     "sf10x_sec": big_t,
@@ -903,6 +922,10 @@ def main() -> None:
         for k, v in timings.items()
         if k in headline or k in keep or k.startswith("curate_e2e_")
     }
+    # d08 pair counts in COMPACT form ([candidates, predicted,
+    # verified] per scale — the dict spelling lives on lines 1-2) so
+    # the attribution survives inside the final line's budget
+    _d08p = sf1_slopes.get("d08_simhash_pairs", {}).get("pairs") or {}
     final = {
         "metric": "headline_suite_wall",
         "value": wall,
@@ -910,13 +933,16 @@ def main() -> None:
         "sf": sf,
         "queries": q_final,
         "sf1_slopes": {k: v.get("slope") for k, v in sf1_slopes.items()},
-        "d08_pairs": sf1_slopes.get("d08_simhash_pairs", {}).get("pairs"),
+        "d08_pairs_cpv": {
+            s: [p.get("candidates"), p.get("predicted"), p.get("verified")]
+            for s, p in _d08p.items()
+        } or None,
     }
     line = json.dumps(final, separators=(",", ":"))
     if len(line) > 1950:
         # keep the contract fields whole: shed the attribution extras
         # first (they remain on lines 1-2), never the queries map
-        for drop in ("d08_pairs", "sf1_slopes"):
+        for drop in ("d08_pairs_cpv", "sf1_slopes"):
             final.pop(drop, None)
             line = json.dumps(final, separators=(",", ":"))
             if len(line) <= 1950:
